@@ -1,38 +1,966 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship funnel; ``queries()`` maps
+every implemented operator from SURVEY.md §2 to a (spark, sf_dir) ->
+DataFrame callable; ``oracle_sql()`` gives the DuckDB-equivalent SQL.
+
+Determinism notes (so value-hashes match the oracle):
+- money sums go through DECIMAL casts (exact, partitioning-order
+  independent) and are cast back to double at the end;
+- averages are exact-sum / count in double, same formula both sides;
+- per-row double math uses the identical formula in both engines;
+- timestamps in output are formatted as strings (no tz ambiguity).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openset_spark.functions.text import STOPWORDS, normalize, tokens
+from openset_spark.functions.vector import cosine
+from openset_spark.operators.events import event_aggregate, user_scalar
+from openset_spark.operators.funnel import funnel, funnel_user_steps
+from openset_spark.operators.histogram import histogram
+from openset_spark.operators.paths import transition_matrix
+from openset_spark.operators.property_counts import (
+    property_counts,
+    property_counts_by_segment,
+)
+from openset_spark.operators.retention import retention
+from openset_spark.operators.segments import Segment, membership, segment_counts
+from openset_spark.operators.sessionize import session_stats, with_session
+from openset_spark.pipeline.dedup import (
+    exact_dedup_clusters,
+    jaccard_pairs,
+    minhash_candidates,
+    simhash_candidates,
+)
+from openset_spark.pipeline.similarity import (
+    brute_force_topk,
+    embedding_near_dup,
+    lsh_topk,
+)
+from openset_spark.pipeline.textstats import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+)
+from openset_spark.sources.tables import load_table
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+# SQL fragment: normalized text (lower, collapse whitespace, trim) —
+# must match openset_spark.functions.text.normalize.
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 
+def _dec(col: str, prec: int = 12, scale: int = 2):
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+# --------------------------------------------------------------------
+# 2.6 relational coverage
+# --------------------------------------------------------------------
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
+    disc, tax = _dec("l_discount", 4, 2), _dec("l_tax", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_SQL_TPCH_Q3 = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount", 4, 2)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+    )
+
+
+_SQL_TPCH_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+_SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
+  COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------
+# 2.1/2.4 event-query engine
+# --------------------------------------------------------------------
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def q_event_agg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    out = event_aggregate(
+        ev,
+        group_by=["event_type"],
+        aggs=[("count", "event_id", "events"), ("sum", "value", "total_value")],
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+_SQL_EVENT_AGG_BY_TYPE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS people, COUNT(event_id) AS events,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_event_agg_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return event_aggregate(
+        ev,
+        group_by=[F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")],
+        aggs=[("count", "event_id", "events")],
+    )
+
+
+_SQL_EVENT_AGG_BY_DAY = """
+SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+  COUNT(DISTINCT user_id) AS people, COUNT(event_id) AS events
+FROM events GROUP BY 1
+"""
+
+
+def q_event_agg_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    out = event_aggregate(
+        ev,
+        group_by=["event_type", F.dayofweek("ts").alias("dow")],
+        aggs=[("count", "event_id", "events"), ("sum", "value", "total_value")],
+        where=F.col("event_type").isin("purchase", "view", "click"),
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+_SQL_EVENT_AGG_TWO_LEVEL = """
+SELECT event_type, dayofweek(ts::TIMESTAMP) + 1 AS dow,
+  COUNT(DISTINCT user_id) AS people, COUNT(event_id) AS events,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_type IN ('purchase','view','click')
+GROUP BY 1, 2
+"""
+
+
+def q_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    kb = (F.floor(k / 10) * 10).cast("long")
+    return ev.groupBy(kb.alias("k_bucket")).agg(
+        F.countDistinct("user_id").alias("people"),
+        F.count(F.lit(1)).alias("events"),
+    )
+
+
+_SQL_PROPS_JSON_EXTRACT = """
+SELECT CAST(FLOOR(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INTEGER) / 10) * 10 AS BIGINT) AS k_bucket,
+  COUNT(DISTINCT user_id) AS people, COUNT(*) AS events
+FROM events GROUP BY 1
+"""
+
+
+def q_user_purchase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    out = user_scalar(
+        ev,
+        aggs=[
+            ("count", "event_id", "purchases"),
+            ("sum", "value", "purchase_value"),
+            ("max", "value", "max_purchase"),
+        ],
+        where=F.col("event_type") == "purchase",
+    )
+    return out.withColumn(
+        "purchase_value", F.col("purchase_value").cast("double")
+    ).withColumn("max_purchase", F.col("max_purchase").cast("double"))
+
+
+_SQL_USER_PURCHASE_TOTALS = """
+SELECT user_id, COUNT(event_id) AS purchases,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS purchase_value,
+  CAST(MAX(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS max_purchase
+FROM events WHERE event_type = 'purchase' GROUP BY user_id
+"""
+
+
+def q_events_with_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    cust = load_table(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id + 1 == cust.c_custkey
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("user_id").alias("people"),
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.col("value")).cast("double").alias("total_value"),
+    )
+
+
+_SQL_EVENTS_WITH_USER_DIM = """
+SELECT c_mktsegment, COUNT(DISTINCT user_id) AS people, COUNT(*) AS events,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events JOIN customer ON user_id + 1 = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------
+# 2.2 sequence / behavioral
+# --------------------------------------------------------------------
+def q_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = with_session(ev, SESSION_GAP_MS)
+    return s.groupBy("user_id").agg(F.max("session").alias("n_sessions"))
+
+
+_SQL_SESSIONS_CTE = """
+ordered AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+    lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) * 1000 > 1800000
+      THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+)
+"""
+
+_SQL_SESSION_COUNTS = f"""
+WITH {_SQL_SESSIONS_CTE}
+SELECT user_id, SUM(new_s) AS n_sessions FROM flagged GROUP BY user_id
+"""
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    s = with_session(ev, SESSION_GAP_MS)
+    per_session = s.groupBy("user_id", "session").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        (F.sum("n_events").cast("double") / F.count(F.lit(1))).alias("avg_events"),
+        (
+            F.sum("span_us").cast("double") / F.count(F.lit(1)) / 1_000_000
+        ).alias("avg_span_sec"),
+    )
+
+
+_SQL_SESSION_STATS = f"""
+WITH {_SQL_SESSIONS_CTE},
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session, COUNT(*) AS n_events,
+    epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us
+  FROM sessions GROUP BY user_id, session
+)
+SELECT COUNT(*) AS n_sessions,
+  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_events,
+  CAST(SUM(span_us) AS DOUBLE) / COUNT(*) / 1000000 AS avg_span_sec
+FROM per_session
+"""
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return funnel(ev, [F.col("event_type") == s for s in FUNNEL_STEPS])
+
+
+_SQL_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+)
+SELECT 1 AS step, (SELECT COUNT(*) FROM s1) AS users
+UNION ALL SELECT 2, (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, (SELECT COUNT(*) FROM s3)
+"""
+
+
+def q_next_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return transition_matrix(ev)
+
+
+_SQL_NEXT_EVENT = """
+WITH stepped AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_event_type
+  FROM events
+)
+SELECT event_type AS from_event, next_event_type AS to_event,
+  COUNT(*) AS transitions, COUNT(DISTINCT user_id) AS people
+FROM stepped WHERE next_event_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = retention(ev, "week")
+    return out.withColumn("cohort", F.date_format("cohort", "yyyy-MM-dd"))
+
+
+_SQL_WEEKLY_RETENTION = """
+WITH base AS (
+  SELECT user_id,
+    date_trunc('week', ts::TIMESTAMP) AS active_period,
+    date_trunc('week', MIN(ts::TIMESTAMP) OVER (PARTITION BY user_id)) AS cohort
+  FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+  CAST((epoch(active_period) - epoch(cohort)) / 604800 AS BIGINT) AS period_n,
+  COUNT(DISTINCT user_id) AS people
+FROM base GROUP BY cohort, period_n
+"""
+
+
+def q_days_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    steps = funnel_user_steps(
+        ev, [F.col("event_type") == "signup", F.col("event_type") == "purchase"]
+    )
+    return steps.filter(F.col("step_2").isNotNull()).select(
+        "user_id",
+        F.floor(
+            (F.unix_micros("step_2") - F.unix_micros("step_1")) / (86400.0 * 1_000_000)
+        ).alias("days"),
+    )
+
+
+_SQL_DAYS_TO_CONVERT = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id
+)
+SELECT s1.user_id,
+  CAST(FLOOR((epoch_us(s2.t2::TIMESTAMP) - epoch_us(s1.t1::TIMESTAMP)) / (86400.0 * 1000000)) AS BIGINT) AS days
+FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+"""
+
+
+# --------------------------------------------------------------------
+# 2.3 segments
+# --------------------------------------------------------------------
+def _segments() -> list[Segment]:
+    return [
+        Segment("purchasers", F.col("event_type") == "purchase"),
+        Segment(
+            "big_spenders",
+            (F.col("event_type") == "purchase") & (F.col("value") > 400),
+        ),
+        Segment("errorers", F.col("event_type") == "error"),
+        Segment(
+            "recent_actives",
+            F.col("ts") >= F.lit("2024-01-25").cast("timestamp"),
+        ),
+    ]
+
+
+_SEG_SQL_PREDS = {
+    "purchasers": "event_type = 'purchase'",
+    "big_spenders": "event_type = 'purchase' AND value > 400",
+    "errorers": "event_type = 'error'",
+    "recent_actives": "ts >= TIMESTAMP '2024-01-25'",
+}
+
+
+def q_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return segment_counts(ev, _segments())
+
+
+def _seg_membership_sql() -> str:
+    cols = ",\n    ".join(
+        f"MAX(CASE WHEN {pred} THEN 1 ELSE 0 END) = 1 AS {name}"
+        for name, pred in _SEG_SQL_PREDS.items()
+    )
+    return f"SELECT user_id,\n    {cols}\n  FROM events GROUP BY user_id"
+
+
+_SQL_SEGMENT_COUNTS = f"""
+WITH m AS ({_seg_membership_sql()})
+SELECT 'purchasers' AS segment, SUM(CASE WHEN purchasers THEN 1 ELSE 0 END) AS people FROM m
+UNION ALL SELECT 'big_spenders', SUM(CASE WHEN big_spenders THEN 1 ELSE 0 END) FROM m
+UNION ALL SELECT 'errorers', SUM(CASE WHEN errorers THEN 1 ELSE 0 END) FROM m
+UNION ALL SELECT 'recent_actives', SUM(CASE WHEN recent_actives THEN 1 ELSE 0 END) FROM m
+"""
+
+
+def q_segment_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    m = membership(ev, _segments())
+    combos = {
+        "big_and_recent": F.col("big_spenders") & F.col("recent_actives"),
+        "big_or_error": F.col("big_spenders") | F.col("errorers"),
+        "big_not_error": F.col("big_spenders") & ~F.col("errorers"),
+        "not_big": ~F.col("big_spenders"),
+    }
+    agg = m.agg(
+        *[F.sum(expr.cast("long")).alias(name) for name, expr in combos.items()]
+    )
+    stack = ", ".join(f"'{n}', {n}" for n in combos)
+    return agg.selectExpr(f"stack({len(combos)}, {stack}) as (combo, people)")
+
+
+_SQL_SEGMENT_ALGEBRA = f"""
+WITH m AS ({_seg_membership_sql()})
+SELECT 'big_and_recent' AS combo, SUM(CASE WHEN big_spenders AND recent_actives THEN 1 ELSE 0 END) AS people FROM m
+UNION ALL SELECT 'big_or_error', SUM(CASE WHEN big_spenders OR errorers THEN 1 ELSE 0 END) FROM m
+UNION ALL SELECT 'big_not_error', SUM(CASE WHEN big_spenders AND NOT errorers THEN 1 ELSE 0 END) FROM m
+UNION ALL SELECT 'not_big', SUM(CASE WHEN NOT big_spenders THEN 1 ELSE 0 END) FROM m
+"""
+
+
+# --------------------------------------------------------------------
+# 2.4 property counts & histograms
+# --------------------------------------------------------------------
+def q_property_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return property_counts(ev, "event_type").withColumnRenamed("value", "prop_value")
+
+
+_SQL_PROPERTY_COUNTS = """
+SELECT event_type AS prop_value, COUNT(DISTINCT user_id) AS people
+FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+"""
+
+
+def q_property_counts_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = property_counts(ev, "value", bucket=50.0)
+    return out.select(F.col("value").cast("double").alias("bucket_lo"), "people")
+
+
+_SQL_PROPERTY_COUNTS_BUCKETED = """
+SELECT CAST(FLOOR(value / 50.0) * 50.0 AS DOUBLE) AS bucket_lo, COUNT(DISTINCT user_id) AS people
+FROM events WHERE value IS NOT NULL GROUP BY 1
+"""
+
+
+def q_property_counts_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    m = membership(ev, _segments())
+    out = property_counts_by_segment(
+        ev, "event_type", m, ["big_spenders", "recent_actives"]
+    )
+    return out.withColumnRenamed("value", "prop_value")
+
+
+_SQL_PROPERTY_COUNTS_BY_SEGMENT = f"""
+WITH m AS ({_seg_membership_sql()})
+SELECT e.event_type AS prop_value,
+  COUNT(DISTINCT e.user_id) AS people,
+  COUNT(DISTINCT CASE WHEN m.big_spenders THEN e.user_id END) AS big_spenders_people,
+  COUNT(DISTINCT CASE WHEN m.recent_actives THEN e.user_id END) AS recent_actives_people
+FROM events e LEFT JOIN m ON e.user_id = m.user_id
+WHERE e.event_type IS NOT NULL
+GROUP BY e.event_type
+"""
+
+
+def q_histogram_weeks_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    now = ev.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(now))
+        .select(
+            "user_id",
+            F.floor(
+                (
+                    (F.unix_micros("now_ts") - F.unix_micros("last_ts")) / 1_000_000.0
+                )
+                / 604800
+            ).alias("weeks_since"),
+        )
+    )
+    return histogram(per_user, "weeks_since", bucket=1.0, name="weeks_since").select(
+        F.col("weeks_since").cast("long").alias("weeks_since"), "people"
+    )
+
+
+_SQL_HISTOGRAM_WEEKS_SINCE = """
+WITH nowt AS (SELECT MAX(ts) AS now_ts FROM events),
+u AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id)
+SELECT CAST(FLOOR(((epoch_us(now_ts::TIMESTAMP) - epoch_us(last_ts::TIMESTAMP)) / 1000000.0) / 604800) AS BIGINT) AS weeks_since,
+  COUNT(DISTINCT user_id) AS people
+FROM u, nowt GROUP BY 1
+"""
+
+
+def q_customer_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openset_spark.operators.customer import customer_timeline
+
+    ev = _events(spark, sf_dir)
+    out = customer_timeline(ev, 7)
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+_SQL_CUSTOMER_TIMELINE = """
+SELECT event_id, strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+  user_id, event_type, value, props
+FROM events WHERE user_id = 7 ORDER BY ts, event_id
+"""
+
+
+# --------------------------------------------------------------------
+# 2.8 pipeline: dedup / similarity / text
+# --------------------------------------------------------------------
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_clusters(_docs(spark, sf_dir))
+
+
+_SQL_DEDUP_EXACT = f"""
+SELECT md5({_NORM_SQL}) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+_SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+d AS (SELECT DISTINCT doc_id, tok FROM tok),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id),
+c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.6
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH candidates — probabilistic; verified against exact jaccard in
+    # tests/test_pipeline.py (rows-only driver check).
+    return minhash_candidates(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_candidates(_docs(spark, sf_dir))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = embedding_near_dup(embs, threshold=0.3, block_col="label")
+    return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+_SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(embs, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
+_SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+    list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim
+  FROM embeddings c CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos_sim, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(embs, queries, dim=64, k=10, n_planes=6)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+        F.round("digit_ratio", 4).alias("digit_ratio"),
+    )
+
+
+_SQL_TEXT_STATS = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len({_TOKS_SQL}) AS n_tokens,
+  ROUND(CAST(length(replace({_NORM_SQL}, ' ', '')) AS DOUBLE) / len({_TOKS_SQL}), 4) AS avg_token_len,
+  ROUND(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+  ROUND(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text), 4) AS digit_ratio
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _stop_list_sql(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+_SQL_QUALITY_SCORE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+    CAST(len(list_filter(toks, x -> list_contains({_stop_list_sql('en')}, x))) AS DOUBLE) / len(toks) AS stop_ratio,
+    CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, ROUND(stop_ratio, 4) AS stop_ratio,
+  ROUND(LEAST(stop_ratio * 5, 1.0) * 0.4 + alpha_ratio * 0.4
+        + (CASE WHEN n_tokens >= 20 AND n_tokens <= 10000 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
+FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _lang_id_sql() -> str:
+    hits = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains({_stop_list_sql(lang)}, x))) AS hits_{lang}"
+        for lang in STOPWORDS
+    )
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    guess = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id,
+    {hits}
+  FROM t)
+SELECT doc_id, {', '.join('hits_' + lang for lang in langs)},
+  CASE WHEN {best} > 0 THEN {guess} ELSE 'unknown' END AS lang_guess
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint_md5")
+
+
+_SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fingerprint_md5 FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the signup→click→purchase funnel on sf0.001."""
+    return q_funnel_signup_purchase(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "top_customers": q_top_customers,
+        # event engine
+        "event_agg_by_type": q_event_agg_by_type,
+        "event_agg_by_day": q_event_agg_by_day,
+        "event_agg_two_level": q_event_agg_two_level,
+        "props_json_extract": q_props_json_extract,
+        "user_purchase_totals": q_user_purchase_totals,
+        "events_with_user_dim": q_events_with_user_dim,
+        # sequence / behavioral
+        "session_counts": q_session_counts,
+        "session_stats": q_session_stats,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "next_event_transitions": q_next_event_transitions,
+        "weekly_retention": q_weekly_retention,
+        "days_to_convert": q_days_to_convert,
+        # segments
+        "segment_counts": q_segment_counts,
+        "segment_algebra": q_segment_algebra,
+        # property / histogram / customer
+        "property_counts": q_property_counts,
+        "property_counts_bucketed": q_property_counts_bucketed,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "histogram_weeks_since": q_histogram_weeks_since,
+        "customer_timeline": q_customer_timeline,
+        # pipeline
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "text_stats": q_text_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1": _SQL_TPCH_Q1,
+        "tpch_q3": _SQL_TPCH_Q3,
+        "tpch_q5": _SQL_TPCH_Q5,
+        "tpch_q6": _SQL_TPCH_Q6,
+        "top_customers": _SQL_TOP_CUSTOMERS,
+        "event_agg_by_type": _SQL_EVENT_AGG_BY_TYPE,
+        "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
+        "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
+        "props_json_extract": _SQL_PROPS_JSON_EXTRACT,
+        "user_purchase_totals": _SQL_USER_PURCHASE_TOTALS,
+        "events_with_user_dim": _SQL_EVENTS_WITH_USER_DIM,
+        "session_counts": _SQL_SESSION_COUNTS,
+        "session_stats": _SQL_SESSION_STATS,
+        "funnel_signup_purchase": _SQL_FUNNEL,
+        "next_event_transitions": _SQL_NEXT_EVENT,
+        "weekly_retention": _SQL_WEEKLY_RETENTION,
+        "days_to_convert": _SQL_DAYS_TO_CONVERT,
+        "segment_counts": _SQL_SEGMENT_COUNTS,
+        "segment_algebra": _SQL_SEGMENT_ALGEBRA,
+        "property_counts": _SQL_PROPERTY_COUNTS,
+        "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
+        "property_counts_by_segment": _SQL_PROPERTY_COUNTS_BY_SEGMENT,
+        "histogram_weeks_since": _SQL_HISTOGRAM_WEEKS_SINCE,
+        "customer_timeline": _SQL_CUSTOMER_TIMELINE,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_embedding": _SQL_DEDUP_EMBEDDING,
+        "ann_topk": _SQL_ANN_TOPK,
+        "text_stats": _SQL_TEXT_STATS,
+        "quality_score": _SQL_QUALITY_SCORE,
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        # no oracle (probabilistic / LSH): dedup_minhash, dedup_simhash,
+        # ann_lsh — verified in tests/test_pipeline.py instead.
+    }

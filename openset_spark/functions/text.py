@@ -1,0 +1,51 @@
+"""Text column helpers for the pipeline operators.
+
+All JVM built-ins (regexp/split/transform) — no Python in the hot
+path. Tokenization is whitespace + lowercase fold; shingles are
+word n-grams built with transform over a token array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A small multilingual stopword table for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "por", "que"],
+}
+
+
+def normalize(text: Column) -> Column:
+    """Lowercase, collapse whitespace, strip — the exact-dedup key."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (space-joined n-grams)."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0)))
+    return F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def char_ngrams(text: Column, n: int = 5) -> Column:
+    """Character n-grams of normalized text (array<string>)."""
+    norm = normalize(text)
+    k = F.length(norm) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
+    return F.transform(idx, lambda i: F.substring(norm, i, n))

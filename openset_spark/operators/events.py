@@ -1,0 +1,70 @@
+"""The core event-query operator: the reference's ``select`` +
+``each_row where`` + ``<<`` aggregator tree.
+
+Reference semantics (src/queryinterpreter.cpp marshal_tally,
+src/result.cpp): rows matching the ``where`` predicate are pushed into
+an aggregator keyed by the grouping values; ``count id`` counts
+DISTINCT customers per group node, ``count prop`` counts matching rows
+with a non-null prop, ``sum/min/max/avg prop`` aggregate the prop over
+matching rows.
+
+Spark-first: a filter + groupBy — Catalyst pushes the filter to the
+scan and does map-side partial aggregation; countDistinct(user) is the
+only agg that forces a wider exchange, and can be swapped for
+approx_count_distinct at interactive scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_AGG_FNS = {
+    "count": F.count,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+}
+
+
+def event_aggregate(
+    df: DataFrame,
+    group_by: Sequence[Column | str],
+    aggs: Sequence[tuple[str, str, str]] = (),
+    where: Column | None = None,
+    user_col: str = "user_id",
+    count_people: bool = True,
+    people_alias: str = "people",
+) -> DataFrame:
+    """OSL event query as one declarative plan.
+
+    ``aggs`` entries are ``(fn, column, alias)`` with fn in
+    count/sum/min/max/avg. ``count_people`` adds the reference's
+    implicit ``count id`` (distinct customers per group).
+    """
+    if where is not None:
+        df = df.filter(where)
+    exprs: list[Column] = []
+    if count_people:
+        exprs.append(F.countDistinct(user_col).alias(people_alias))
+    for fn, col, alias in aggs:
+        exprs.append(_AGG_FNS[fn](col).alias(alias))
+    return df.groupBy(*group_by).agg(*exprs)
+
+
+def user_scalar(
+    df: DataFrame,
+    aggs: Sequence[tuple[str, str, str]],
+    where: Column | None = None,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """OSL row-search aggregations (language_reference.md:767-803):
+    per-customer ``sum/count/min/max/avg(expr) where ...`` — the scalar
+    a script would assign to a variable, here one row per customer."""
+    if where is not None:
+        df = df.filter(where)
+    exprs = [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
+    return df.groupBy(user_col).agg(*exprs)

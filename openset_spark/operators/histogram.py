@@ -1,0 +1,58 @@
+"""Histograms — ``POST /v1/query/{table}/histogram/{name}``.
+
+Reference (src/oloop_histogram.cpp, docs/rest/README.md): an OSL
+script computes ONE scalar per customer (e.g. weeks since last event);
+the engine buckets the returned values and reports distinct-customer
+counts per bucket, with ``bucket=`` size, ``min=`` zero-fill down to a
+floor and ``max=`` clipping (values >= max collapse into the max
+bucket).
+
+Spark-first: per-user scalar = one groupBy(user) aggregate; the
+histogram = a second tiny aggregate over the scalar. Zero-fill uses a
+``sequence()`` range frame joined left — all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def histogram(
+    per_user_scalar: DataFrame,
+    value_col: str,
+    bucket: float = 1.0,
+    min_value: float | None = None,
+    max_value: float | None = None,
+    user_col: str = "user_id",
+    name: str = "value",
+) -> DataFrame:
+    """Bucketed distinct-customer histogram of a per-user scalar frame.
+
+    ``per_user_scalar`` must have one row per user (user_col, value_col).
+    """
+    v: Column = F.col(value_col)
+    if max_value is not None:
+        v = F.least(v, F.lit(max_value))
+    bucketed = F.floor(v / F.lit(bucket)) * F.lit(bucket)
+    hist = (
+        per_user_scalar.filter(v.isNotNull())
+        .groupBy(bucketed.alias(name))
+        .agg(F.countDistinct(user_col).alias("people"))
+    )
+    if min_value is not None:
+        # zero-fill from min_value to the observed max bucket
+        bounds = hist.agg(F.max(name).alias("hi")).select(
+            F.explode(
+                F.sequence(
+                    F.lit(float(min_value)).cast("double"),
+                    F.col("hi").cast("double"),
+                    F.lit(float(bucket)).cast("double"),
+                )
+            ).alias(name)
+        )
+        hist = (
+            bounds.join(hist.withColumnRenamed(name, "_b"), bounds[name] == F.col("_b"), "left")
+            .select(bounds[name], F.coalesce(F.col("people"), F.lit(0)).alias("people"))
+        )
+    return hist

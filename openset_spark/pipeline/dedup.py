@@ -1,0 +1,232 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-bounded (no O(n^2) cross joins at scale):
+
+- exact:     hash-groupBy on normalized text — one shuffle.
+- minhash:   word-shingle MinHash signatures -> LSH bands -> bucket
+             join. Candidate pairs only form inside a band bucket, so
+             the join is a hash join on (band_idx, band_hash) whose
+             fan-out is controlled by band width. All signature math
+             is JVM higher-order functions (xxhash64 + array_min) —
+             no Python in the hot path.
+- simhash:   64-bit simhash via per-bit token votes (JVM aggregate),
+             near-dup candidates = equal 16-bit simhash blocks
+             (hamming<=3 guarantee via 4-block pigeonhole).
+- jaccard:   exact token-set Jaccard via explode + join on token —
+             for verification and small corpora (it IS quadratic in
+             matching pairs; LSH variants above are the scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openset_spark.functions.text import normalize, tokens, word_shingles
+
+
+# ---------- exact ----------
+def exact_dedup_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(text_hash, n_docs, min_doc_id keeper) for duplicated normalized
+    texts; one hash-partitioned aggregate."""
+    return (
+        df.select(
+            F.md5(normalize(F.col(text_col))).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_doc_id"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one doc per normalized text (the min id) — the drop pass."""
+    keep = exact_dedup_clusters(df, text_col, id_col).select(
+        F.col("keeper_doc_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------- minhash + LSH ----------
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) MinHash signature over word shingles.
+
+    Shape matters at scale: shingles are EXPLODED to rows, then each
+    signature slot is a plain ``min(xxhash64(shingle, i))`` aggregate —
+    partial-aggregatable map-side, one shuffle by doc id, no nested
+    higher-order-function expression trees (which defeat codegen).
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias(
+            "shingle"
+        ),
+    )
+    return exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Explode each doc into (band_idx, band_hash) LSH bucket keys."""
+    rows = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh_{b * rows + j}") for j in range(rows)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(band_hashes).alias("band_idx", "band_hash"),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) that share >=1 LSH band.
+
+    The self-join is keyed on (band_idx, band_hash): at 100 TB this is
+    a hash join whose build side is a band bucket, never the corpus.
+    """
+    banded = minhash_bands(df, text_col, id_col, num_hashes, bands, shingle_n)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------- simhash ----------
+def simhash64(text: Column, bits: int = 64) -> Column:
+    """SimHash of the token stream (JVM aggregate, no UDF): bit b of the
+    result = majority vote of bit b over xxhash64(token). The bit loop
+    is unrolled in Python (shift amounts must be literals), producing a
+    static expression tree that codegen handles."""
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+
+    def _voter(b: int):
+        # closure (not a default arg: pyspark reads lambda arity)
+        return lambda votes, h: votes + (
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(b))
+        bit = (1 << b) if b < 63 else -(1 << 63)  # signed-64 wraparound
+        out = out + F.when(vote > 0, F.lit(bit).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", blocks: int = 4
+) -> DataFrame:
+    """Near-dup candidates = pairs sharing any 16-bit simhash block
+    (pigeonhole: hamming distance <= blocks-1 guarantees a shared
+    block). Join is keyed on (block_idx, block_value)."""
+    width = 64 // blocks
+    sim = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("_sim"))
+    block_arr = F.array(
+        *[
+            F.shiftright(F.col("_sim"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(blocks)
+        ]
+    )
+    blocked = sim.select(
+        F.col(id_col),
+        F.posexplode(block_arr).alias("block_idx", "block_value"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_value") == F.col("b.block_value"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------- exact token-set Jaccard ----------
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, jaccard) over distinct-token sets, pairs meeting
+    threshold. Explode+join: only docs sharing a token ever meet."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline. Cross join
+  restricted to a (small) query set — broadcast the queries, scan the
+  corpus once, per-query top-k via window rank. At 100 TB the corpus
+  side streams; only the query set is materialized.
+- LSH (random hyperplane) bucketed ANN: the scale path. Signatures
+  are deterministic (seeded hyperplanes shipped as literal arrays);
+  candidates form inside a bucket, then exact cosine re-ranks.
+
+All vector math is `aggregate`/`zip_with` (JVM codegen), no Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openset_spark.functions.vector import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, cos_sim, rank) exact top-k per query.
+
+    ``queries`` is (query_id, embedding); it is broadcast — the corpus
+    is scanned exactly once regardless of query count.
+    """
+    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")))
+    scored = corpus.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (no numpy needed at
+    plan build; Box-Muller over a hash-seeded LCG)."""
+    rng_state = seed or 1
+
+    def nxt() -> float:
+        nonlocal rng_state
+        rng_state = (6364136223846793005 * rng_state + 1442695040888963407) % (1 << 64)
+        return (rng_state >> 11) / float(1 << 53)
+
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            u1, u2 = max(nxt(), 1e-12), nxt()
+            v.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16, vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """Add a ``bucket`` column: sign-bit signature over random
+    hyperplanes. Vectors in the same bucket are ANN candidates."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    vec = F.col(vec_col)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(vec, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+        )
+        sig = sig + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+    return df.withColumn("bucket", sig)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the hyperplane bucket, then
+    exact cosine re-ranks. Join is a hash join on ``bucket``."""
+    c = lsh_bucket(corpus, dim, n_planes, vec_col, seed)
+    q = lsh_bucket(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+        dim,
+        n_planes,
+        "_qvec",
+        seed,
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) pairs above threshold. ``block_col``
+    restricts comparisons to a blocking key (at scale: an LSH bucket
+    or cluster id) so the join is hash-keyed, not a cross join."""
+    a = df.alias("a")
+    b = df.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col is not None:
+        cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

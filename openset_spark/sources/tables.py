@@ -1,0 +1,60 @@
+"""Parquet table loaders.
+
+The testdata layout is one parquet file per table under an sf dir
+(see TESTDATA.md). At cluster scale the same loader points at a
+partitioned parquet/iceberg location; we deliberately go through
+``spark.read.parquet`` so partition pruning, predicate pushdown and
+column pruning all apply (verify with ``df.explain``: PushedFilters /
+ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark cannot read
+# natively: we read them as raw nanosecond longs and convert with exact
+# integer division (a double `/ 1000` would lose microseconds at 1e18).
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views for spark.sql."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

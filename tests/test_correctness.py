@@ -1,0 +1,79 @@
+"""Local replay of the driver's correctness gate: every queries()
+entry vs its oracle_sql() in DuckDB — row count, column names,
+order-insensitive exact value match."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from openset_spark.sources.tables import TABLE_NAMES
+
+TEST_SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.001")
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql().keys())
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        path = os.path.join(TEST_SF_DIR, f"{name}.parquet")
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return float(v)
+    if hasattr(v, "item"):  # numpy scalar
+        return _canon(v.item())
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    return str(v)
+
+
+def _rows(df_pandas) -> list[tuple]:
+    cols = sorted(df_pandas.columns)
+    out = [tuple(_canon(v) for v in row) for row in df_pandas[cols].itertuples(index=False)]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("key", ORACLE_KEYS)
+def test_query_matches_oracle(spark, oracle, key):
+    q = entry_mod.queries()[key]
+    spark_pdf = q(spark, TEST_SF_DIR).toPandas()
+    duck_pdf = oracle.sql(entry_mod.oracle_sql()[key]).df()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{key}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{key}: rows {len(spark_pdf)} != {len(duck_pdf)}"
+    )
+    srows, drows = _rows(spark_pdf), _rows(duck_pdf)
+    mism = [(a, b) for a, b in zip(srows, drows) if a != b]
+    assert not mism, f"{key}: {len(mism)} mismatched rows; first: {mism[:3]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None
+
+
+def test_rows_only_queries_run(spark):
+    qs = entry_mod.queries()
+    for key in set(qs) - set(entry_mod.oracle_sql()):
+        n = qs[key](spark, TEST_SF_DIR).count()
+        assert n >= 0, key
