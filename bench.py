@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from openset_spark import get_spark
+
+# Headline set: one per operator family — event agg, sessionize,
+# funnel, paths, retention, segments, property/histogram, relational
+# joins/agg, dedup, ANN, text.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "event_agg_by_type",
+    "session_counts",
+    "session_stats",
+    "funnel_signup_purchase",
+    "next_event_transitions",
+    "weekly_retention",
+    "segment_counts",
+    "property_counts_by_segment",
+    "histogram_weeks_since",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_topk",
+    "quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("openset-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    from openset_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        # count() forces full execution of the plan without driver-side
+        # materialization of wide results
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
