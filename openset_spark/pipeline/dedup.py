@@ -199,11 +199,18 @@ def jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    shingle_n: int = 1,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) over distinct-token sets, pairs meeting
-    threshold. Explode+join: only docs sharing a token ever meet."""
+    """(id_a, id_b, jaccard) over distinct token (shingle_n=1) or word
+    n-gram shingle sets, pairs meeting threshold. Explode+join: only
+    docs sharing a token ever meet."""
+    units = (
+        tokens(F.col(text_col))
+        if shingle_n == 1
+        else word_shingles(F.col(text_col), shingle_n)
+    )
     tok = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+        F.col(id_col), F.explode(F.array_distinct(units)).alias("tok")
     )
     sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = tok.alias("a")

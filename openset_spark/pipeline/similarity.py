@@ -89,22 +89,39 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the hyperplane bucket, then
-    exact cosine re-ranks. Join is a hash join on ``bucket``."""
-    c = lsh_bucket(corpus, dim, n_planes, vec_col, seed)
-    q = lsh_bucket(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
-        dim,
-        n_planes,
-        "_qvec",
-        seed,
+    """Approximate top-k with multi-table OR-amplification: a vector is
+    a candidate if it shares a bucket with the query in ANY of the
+    ``n_tables`` independent hyperplane tables; exact cosine re-ranks.
+    Each table is a hash join on (table, bucket); recall ~
+    1-(1-p^planes)^tables. Candidates are deduped before scoring so
+    the cosine work is bounded by the union, not the sum."""
+
+    def bucketed(df: DataFrame, col: str) -> DataFrame:
+        out = []
+        for t in range(n_tables):
+            b = lsh_bucket(df, dim, n_planes, col, seed + 1000 * t)
+            out.append(b.withColumn("table", F.lit(t)))
+        u = out[0]
+        for o in out[1:]:
+            u = u.unionByName(o)
+        return u
+
+    c = bucketed(corpus, vec_col)
+    q = bucketed(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")), "_qvec"
     )
-    scored = c.join(F.broadcast(q), "bucket").select(
+    cands = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .select(query_id_col, id_col, "_qvec", vec_col)
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),

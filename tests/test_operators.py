@@ -1,0 +1,228 @@
+"""Semantics unit tests on tiny hand-built frames — the analog of the
+reference's scripted-insert tests (test/test_sessions.h,
+test_zorder.h, test_count_methods.h, test_osl_language.h)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.operators.events import event_aggregate
+from openset_spark.operators.funnel import funnel, funnel_user_steps
+from openset_spark.operators.paths import transition_matrix
+from openset_spark.operators.retention import retention
+from openset_spark.operators.segments import Segment, membership, segment_counts
+from openset_spark.operators.sessionize import with_session
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    """rows: (event_id, minutes_offset, user_id, event_type, value)"""
+    data = [
+        (eid, T0 + dt.timedelta(minutes=m), uid, et, float(v))
+        for eid, m, uid, et, v in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+# ---- sessions: gap > 30min starts a new session, enumerated from 1
+#      (ref test/test_sessions.h: 3 sessions from 2 gaps) ----
+def test_session_boundaries(spark):
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "a", 0),
+            (2, 10, 1, "a", 0),   # same session (10m gap)
+            (3, 45, 1, "a", 0),   # 35m gap -> session 2
+            (4, 50, 1, "a", 0),
+            (5, 200, 1, "a", 0),  # session 3
+            (6, 0, 2, "a", 0),    # user 2: one session
+        ],
+    )
+    out = {
+        (r.user_id, r.event_id): r.session
+        for r in with_session(df).collect()
+    }
+    assert out[(1, 1)] == 1 and out[(1, 2)] == 1
+    assert out[(1, 3)] == 2 and out[(1, 4)] == 2
+    assert out[(1, 5)] == 3
+    assert out[(2, 6)] == 1
+
+
+def test_session_gap_boundary_is_strict(spark):
+    # exactly 30m gap does NOT start a new session (> not >=)
+    df = _ev(spark, [(1, 0, 1, "a", 0), (2, 30, 1, "a", 0)])
+    assert {r.session for r in with_session(df).collect()} == {1}
+
+
+# ---- funnel: ordered, strictly-after matching ----
+def test_funnel_requires_order(spark):
+    df = _ev(
+        spark,
+        [
+            # user 1: A then B -> completes
+            (1, 0, 1, "A", 0),
+            (2, 10, 1, "B", 0),
+            # user 2: B then A -> does NOT complete step 2
+            (3, 0, 2, "B", 0),
+            (4, 10, 2, "A", 0),
+            # user 3: only A
+            (5, 0, 3, "A", 0),
+        ],
+    )
+    steps = [F.col("event_type") == "A", F.col("event_type") == "B"]
+    out = {r.step: r.users for r in funnel(df, steps).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # B at the same instant as A is not "after" A
+    df = _ev(spark, [(1, 0, 1, "A", 0), (2, 0, 1, "B", 0)])
+    steps = [F.col("event_type") == "A", F.col("event_type") == "B"]
+    out = {r.step: r.users for r in funnel(df, steps).collect()}
+    assert out == {1: 1, 2: 0}
+
+
+def test_funnel_within_ms(spark):
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "A", 0),
+            (2, 120, 1, "B", 0),  # 2h later
+            (3, 0, 2, "A", 0),
+            (4, 10, 2, "B", 0),   # 10m later
+        ],
+    )
+    steps = [F.col("event_type") == "A", F.col("event_type") == "B"]
+    out = {r.step: r.users for r in funnel(df, steps, within_ms=30 * 60 * 1000).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_funnel_earliest_chain_not_greedy(spark):
+    # first A at t=0; B exists only before the SECOND A. Min-ts chaining
+    # must still find B after the first A.
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "A", 0),
+            (2, 5, 1, "B", 0),
+            (3, 10, 1, "A", 0),
+        ],
+    )
+    steps = [F.col("event_type") == "A", F.col("event_type") == "B"]
+    per_user = funnel_user_steps(df, steps).collect()[0]
+    assert per_user.step_1 == T0
+    assert per_user.step_2 == T0 + dt.timedelta(minutes=5)
+
+
+# ---- event aggregation: count id = distinct people per group
+#      (ref test_count_methods.h) ----
+def test_event_aggregate_people_vs_events(spark):
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "p", 10),
+            (2, 1, 1, "p", 20),
+            (3, 2, 2, "p", 30),
+            (4, 3, 2, "q", 5),
+        ],
+    )
+    out = {
+        r.event_type: (r.people, r.events)
+        for r in event_aggregate(
+            df, ["event_type"], [("count", "event_id", "events")]
+        ).collect()
+    }
+    assert out == {"p": (2, 3), "q": (1, 1)}
+
+
+# ---- segments: truth table + algebra ----
+def test_segment_membership_and_counts(spark):
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "buy", 100),
+            (2, 0, 2, "buy", 5),
+            (3, 0, 3, "view", 0),
+        ],
+    )
+    segs = [
+        Segment("buyers", F.col("event_type") == "buy"),
+        Segment("whales", (F.col("event_type") == "buy") & (F.col("value") > 50)),
+        Segment("non_buyers", F.col("event_type") == "buy", mode="never"),
+    ]
+    m = {r.user_id: r for r in membership(df, segs).collect()}
+    assert m[1].buyers and m[1].whales and not m[1].non_buyers
+    assert m[2].buyers and not m[2].whales
+    assert not m[3].buyers and m[3].non_buyers
+    counts = {r.segment: r.people for r in segment_counts(df, segs).collect()}
+    assert counts == {"buyers": 2, "whales": 1, "non_buyers": 1}
+
+
+# ---- paths ----
+def test_transition_matrix(spark):
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "a", 0),
+            (2, 1, 1, "b", 0),
+            (3, 2, 1, "a", 0),
+            (4, 0, 2, "a", 0),
+            (5, 1, 2, "b", 0),
+        ],
+    )
+    out = {
+        (r.from_event, r.to_event): (r.transitions, r.people)
+        for r in transition_matrix(df).collect()
+    }
+    assert out == {("a", "b"): (2, 2), ("b", "a"): (1, 1)}
+
+
+# ---- retention ----
+def test_retention_day(spark):
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "a", 0),             # day 0
+            (2, 24 * 60, 1, "a", 0),       # day 1
+            (3, 0, 2, "a", 0),             # day 0 only
+        ],
+    )
+    out = {
+        (str(r.cohort), r.period_n): r.people
+        for r in retention(df, "day").collect()
+    }
+    assert out == {("2024-01-01 00:00:00", 0): 2, ("2024-01-01 00:00:00", 1): 1}
+
+
+# ---- zorder: same-stamp ordering respects declared event priority
+#      (ref test/test_zorder.h) ----
+def test_zorder_tiebreak(spark):
+    df = _ev(
+        spark,
+        [
+            # same timestamp; event_ids deliberately inverted vs priority
+            (10, 0, 1, "cart_item", 0),
+            (11, 0, 1, "purchase", 0),
+            (12, 40, 1, "cart_item", 0),
+        ],
+    )
+    s = with_session(df, event_order=["purchase", "cart_item"])
+    rows = sorted(s.collect(), key=lambda r: (r.session, r.event_id))
+    # both same-stamp events land in session 1 regardless of order;
+    # ordering itself is observable via lead():
+    from openset_spark.operators.paths import next_event
+
+    stepped = next_event(df.withColumn("_zo", F.lit(0)), order_cols=("event_id",))
+    # with zorder, purchase sorts before cart_item at equal stamps
+    from openset_spark.operators.sessionize import user_window
+
+    w = user_window(event_order=["purchase", "cart_item"])
+    ordered = df.withColumn("rn", F.row_number().over(w)).collect()
+    pos = {r.event_id: r.rn for r in ordered}
+    assert pos[11] == 1 and pos[10] == 2 and pos[12] == 3

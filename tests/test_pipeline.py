@@ -1,0 +1,104 @@
+"""Pipeline operator verification: LSH recall vs exact baselines,
+simhash properties, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidates,
+    simhash_candidates,
+)
+from openset_spark.pipeline.multimodal import extract_features, frame_sample_plan
+from openset_spark.pipeline.similarity import brute_force_topk, lsh_topk
+from openset_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dedup_keeps_one_per_text(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]  # 2 is a normalized dup of 1, keeper = min id
+
+
+def test_minhash_recall_vs_exact_jaccard(spark):
+    docs = load_table(spark, SF, "documents")
+    # truth must live in the same similarity space minhash sketches:
+    # 3-gram shingle jaccard (unigram jaccard is ~1 for these
+    # shared-vocabulary docs and would measure nothing).
+    truth = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, threshold=0.7, shingle_n=3).collect()
+    }
+    cands = {
+        (r.id_a, r.id_b) for r in minhash_candidates(docs).collect()
+    }
+    assert truth, "expected some >=0.7 shingle-jaccard pairs in testdata"
+    recall = len(truth & cands) / len(truth)
+    # 16 bands x 4 rows: P(candidate | j=0.7) = 1-(1-0.7^4)^16 ~ 0.99
+    assert recall >= 0.9, f"minhash recall {recall} over {len(truth)} pairs"
+
+
+def test_simhash_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "zzz yyy xxx www vvv uuu ttt sss"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b) for r in simhash_candidates(df).collect()}
+    assert (1, 2) in pairs  # identical docs always candidates
+    # fully different docs: extremely unlikely to share a 16-bit block
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    embs = load_table(spark, SF, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = embs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(embs, queries, k=10).collect()
+    approx = lsh_topk(embs, queries, dim=64, k=10, n_planes=4).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    # 4 hyperplanes -> 16 buckets over 500 vecs; self-match guarantees
+    # nonzero. Loose bound: LSH with one table is approximate.
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x01\x02\x03\x04"), "image/png", 2, 2, None),
+            (2, "video", bytearray(b"\x05\x06"), "video/mp4", 4, 4, 3500),
+        ],
+        "media_id long, kind string, payload binary, mime string, width long, height long, duration_ms long",
+    )
+    feats = extract_features(media, dim=4).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == 4 and len(by_id[1].feature) == 4
+    # deterministic: same payload -> same feature
+    feats2 = extract_features(media, dim=4).collect()
+    assert {r.media_id: r.feature for r in feats2} == {
+        r.media_id: r.feature for r in feats
+    }
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
