@@ -1,0 +1,165 @@
+"""Streaming coverage: JSON ingest, stateful sessionization, segment
+enter/exit transitions — driven with file sources + availableNow
+triggers into memory sinks."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import time
+import uuid
+
+import pytest
+
+from openset_spark.streaming.ingest import read_event_stream
+from openset_spark.streaming.segments_stream import (
+    StreamSegment,
+    stream_segment_transitions,
+)
+from openset_spark.streaming.sessions import stream_sessionize
+
+
+def _write_events(path, events):
+    with open(f"{path}/batch-{uuid.uuid4().hex}.json", "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _run_available(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="oss-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mk_events(n_per_user):
+    out = []
+    eid = 0
+    for uid, stamps in n_per_user.items():
+        for s in stamps:
+            out.append(
+                {
+                    "event_id": eid,
+                    "ts": s,
+                    "user_id": uid,
+                    "event_type": "purchase" if eid % 3 == 0 else "view",
+                    "value": float(eid),
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    return out
+
+
+def test_stream_ingest_parses_schema(spark, tmpdir):
+    _write_events(
+        tmpdir,
+        _mk_events({1: ["2024-01-01T00:00:00", "2024-01-01T00:10:00"]}),
+    )
+    stream = read_event_stream(spark, tmpdir)
+    assert stream.isStreaming
+    name = f"ingest_{uuid.uuid4().hex[:8]}"
+    _run_available(stream, name)
+    rows = spark.sql(f"select * from {name}").collect()
+    assert len(rows) == 2
+    assert {f.name for f in stream.schema.fields} == {
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    }
+
+
+def test_stream_sessionize_closes_on_gap(spark, tmpdir):
+    # user 1: two bursts separated by > 30min in the SAME batch ->
+    # first session closes immediately.
+    _write_events(
+        tmpdir,
+        _mk_events(
+            {
+                1: [
+                    "2024-01-01T00:00:00",
+                    "2024-01-01T00:05:00",
+                    "2024-01-01T02:00:00",  # gap -> closes session 1
+                ],
+                2: ["2024-01-01T00:00:00"],
+            }
+        ),
+    )
+    stream = read_event_stream(spark, tmpdir)
+    sessions = stream_sessionize(stream)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    _run_available(sessions, name)
+    rows = spark.sql(f"select * from {name}").collect()
+    closed = {(r.user_id, r.n_events) for r in rows}
+    assert (1, 2) in closed  # first burst: 2 events, closed by the gap
+    # user 2's session and user 1's second session stay open (no
+    # further data / no timeout elapsed in availableNow mode).
+    assert not any(r.user_id == 2 for r in rows)
+
+
+def test_stream_segment_transitions(spark, tmpdir):
+    _write_events(
+        tmpdir,
+        _mk_events({1: ["2024-01-01T00:00:00"], 2: ["2024-01-01T00:01:00"]}),
+    )
+    stream = read_event_stream(spark, tmpdir)
+    segs = [
+        StreamSegment("purchasers", lambda pdf: pdf["event_type"] == "purchase"),
+        StreamSegment("viewers", lambda pdf: pdf["event_type"] == "view"),
+    ]
+    out = stream_segment_transitions(stream, segs)
+    name = f"segs_{uuid.uuid4().hex[:8]}"
+    _run_available(out, name)
+    rows = {
+        (r.user_id, r.segment, r.transition)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    # event_id 0 (user 1) is a purchase; event_id 1 (user 2) is a view
+    assert (1, "purchasers", "enter") in rows
+    assert (2, "viewers", "enter") in rows
+    assert (2, "purchasers", "enter") not in rows
+
+
+def test_stream_segment_state_across_batches(spark, tmpdir):
+    # second batch should NOT re-emit an enter for an existing member.
+    # parquet sink: the memory sink can't recover from a checkpoint, so
+    # restarting the query across batches requires a durable sink.
+    _write_events(tmpdir, _mk_events({1: ["2024-01-01T00:00:00"]}))
+    stream = read_event_stream(spark, tmpdir)
+    segs = [StreamSegment("purchasers", lambda pdf: pdf["event_type"] == "purchase")]
+    out = stream_segment_transitions(stream, segs)
+    ckpt = tempfile.mkdtemp(prefix="oss-ckpt-")
+    sink = tempfile.mkdtemp(prefix="oss-sink-")
+
+    def _run_once():
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(sink).count()
+
+    try:
+        n1 = _run_once()
+        # second batch: another purchase by user 1 -> no new transition
+        _write_events(tmpdir, _mk_events({1: ["2024-01-01T00:20:00"]}))
+        n2 = _run_once()
+        assert n1 == 1 and n2 == n1, (n1, n2)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
