@@ -18,11 +18,15 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# `dcount` doubles as the reference's stamped-row count method
+# (test/test_count_methods.h useStampedRowIds: rows sharing a stamp
+# count once) — pass ("dcount", "ts", alias).
 _AGG_FNS = {
     "count": F.count,
+    "dcount": F.countDistinct,
     "sum": F.sum,
     "min": F.min,
     "max": F.max,
@@ -68,3 +72,31 @@ def user_scalar(
         df = df.filter(where)
     exprs = [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
     return df.groupBy(user_col).agg(*exprs)
+
+
+def matching_rows(
+    df: DataFrame,
+    where: Column | None = None,
+    limit: int = 1,
+    reverse: bool = False,
+    user_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """OSL ``each_row.limit(n)`` / ``.reverse().limit(n)``
+    (docs/osl/language_reference.md:276-326): the first (or last) n
+    rows per customer matching the predicate, tie-broken by event id
+    like the reference's z-ordered row grid.
+
+    One window over the user partition — the filter runs BEFORE the
+    rank so only matching rows are sorted; adds a ``match_n`` column
+    (1-based match index in iteration order)."""
+    if where is not None:
+        df = df.filter(where)
+    order = [
+        F.col(c).desc() if reverse else F.col(c).asc() for c in order_cols
+    ]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    return (
+        df.withColumn("match_n", F.row_number().over(w))
+        .filter(F.col("match_n") <= limit)
+    )

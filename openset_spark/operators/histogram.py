@@ -56,3 +56,29 @@ def histogram(
             .select(bounds[name], F.coalesce(F.col("people"), F.lit(0)).alias("people"))
         )
     return hist
+
+
+def histogram_by(
+    per_user_scalar: DataFrame,
+    value_col: str,
+    group_col: str,
+    bucket: float = 1.0,
+    max_value: float | None = None,
+    user_col: str = "user_id",
+    name: str = "value",
+) -> DataFrame:
+    """The reference's ``foreach`` histogram mode
+    (src/oloop_histogram.cpp:88-202): one histogram per value of a
+    property — here one (group, bucket, people) aggregate, a single
+    shuffle keyed by (group, bucket) instead of a per-value query loop.
+
+    ``per_user_scalar`` has one row per (user, group) pair."""
+    v: Column = F.col(value_col)
+    if max_value is not None:
+        v = F.least(v, F.lit(max_value))
+    bucketed = F.floor(v / F.lit(bucket)) * F.lit(bucket)
+    return (
+        per_user_scalar.filter(v.isNotNull())
+        .groupBy(F.col(group_col), bucketed.alias(name))
+        .agg(F.countDistinct(user_col).alias("people"))
+    )
