@@ -21,9 +21,13 @@ from pyspark.sql import functions as F
 
 from openset_spark.functions.text import STOPWORDS, normalize, tokens
 from openset_spark.functions.vector import cosine
-from openset_spark.operators.events import event_aggregate, user_scalar
+from openset_spark.operators.events import (
+    event_aggregate,
+    matching_rows,
+    user_scalar,
+)
 from openset_spark.operators.funnel import funnel, funnel_user_steps
-from openset_spark.operators.histogram import histogram
+from openset_spark.operators.histogram import histogram, histogram_by
 from openset_spark.operators.paths import transition_matrix
 from openset_spark.operators.property_counts import (
     property_counts,
@@ -507,6 +511,106 @@ FROM s1 JOIN s2 ON s1.user_id = s2.user_id
 """
 
 
+def q_event_agg_distinct_stamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's stamped-row count method (useStampedRowIds,
+    # test/test_count_methods.h): rows sharing a stamp count once.
+    ev = _events(spark, sf_dir)
+    return event_aggregate(
+        ev,
+        group_by=["event_type"],
+        aggs=[("dcount", "ts", "distinct_stamps"), ("count", "event_id", "events")],
+    )
+
+
+_SQL_EVENT_AGG_DISTINCT_STAMPS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS people,
+  COUNT(DISTINCT ts) AS distinct_stamps, COUNT(event_id) AS events
+FROM events GROUP BY event_type
+"""
+
+
+def q_last_purchase_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OSL each_row.reverse().limit(1) where event.is(== 'purchase')
+    ev = _events(spark, sf_dir)
+    out = matching_rows(
+        ev, where=F.col("event_type") == "purchase", limit=1, reverse=True
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "value",
+    )
+
+
+_SQL_LAST_PURCHASE_PER_USER = """
+WITH ranked AS (
+  SELECT user_id, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S.%f') AS ts, value
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_first_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OSL each_row.limit(3): first 3 rows per customer, match index kept
+    ev = _events(spark, sf_dir)
+    out = matching_rows(ev, limit=3)
+    return out.select("user_id", "match_n", "event_type")
+
+
+_SQL_FIRST_EVENTS_PER_USER = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS match_n
+  FROM events
+)
+SELECT user_id, match_n, event_type FROM ranked WHERE match_n <= 3
+"""
+
+
+def q_row_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OSL `<< bucket(row_count, 5)` — people by per-customer event count
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("row_count"))
+    return per_user.groupBy(
+        (F.floor(F.col("row_count") / 5) * 5).alias("row_count_bucket")
+    ).agg(F.count(F.lit(1)).alias("people"))
+
+
+_SQL_ROW_COUNT_DISTRIBUTION = """
+WITH u AS (SELECT user_id, COUNT(*) AS row_count FROM events GROUP BY user_id)
+SELECT FLOOR(row_count / 5) * 5 AS row_count_bucket, COUNT(*) AS people
+FROM u GROUP BY 1
+"""
+
+
+def q_purchases_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OSL `<< get_year(stamp), get_quarter(stamp)` pivot
+    from openset_spark.functions.time import get_quarter, get_year
+
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    out = event_aggregate(
+        ev,
+        group_by=[
+            get_year(F.col("ts")).alias("yr"),
+            get_quarter(F.col("ts")).alias("qtr"),
+        ],
+        aggs=[("count", "event_id", "events"), ("sum", "value", "total_value")],
+        where=F.col("event_type") == "purchase",
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+_SQL_PURCHASES_BY_QUARTER = """
+SELECT year(ts::TIMESTAMP) AS yr, quarter(ts::TIMESTAMP) AS qtr,
+  COUNT(DISTINCT user_id) AS people, COUNT(event_id) AS events,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------
 # 2.3 segments
 # --------------------------------------------------------------------
@@ -655,6 +759,82 @@ u AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id)
 SELECT CAST(FLOOR(((epoch_us(now_ts::TIMESTAMP) - epoch_us(last_ts::TIMESTAMP)) / 1000000.0) / 604800) AS BIGINT) AS weeks_since,
   COUNT(DISTINCT user_id) AS people
 FROM u, nowt GROUP BY 1
+"""
+
+
+def q_property_counts_rx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the property endpoint's rx=/sub= value filters: only values
+    # matching the regex are counted.
+    ev = _events(spark, sf_dir)
+    out = property_counts(
+        ev, "event_type", value_filter=F.col("event_type").rlike("^(p|c)")
+    )
+    return out.withColumnRenamed("value", "prop_value")
+
+
+_SQL_PROPERTY_COUNTS_RX = """
+SELECT event_type AS prop_value, COUNT(DISTINCT user_id) AS people
+FROM events
+WHERE event_type IS NOT NULL AND regexp_matches(event_type, '^(p|c)')
+GROUP BY event_type
+"""
+
+
+def q_histogram_spend_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # histogram endpoint min=/max=: per-user purchase spend, bucket=100,
+    # zero-filled from 0, values >= 1000 collapsed into the 1000 bucket.
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    per_user = user_scalar(
+        ev,
+        aggs=[("sum", "value", "spend")],
+        where=F.col("event_type") == "purchase",
+    ).select("user_id", F.col("spend").cast("double").alias("spend"))
+    out = histogram(
+        per_user, "spend", bucket=100.0, min_value=0.0, max_value=1000.0,
+        name="spend_bucket",
+    )
+    return out.select(
+        F.col("spend_bucket").cast("double").alias("spend_bucket"), "people"
+    )
+
+
+_SQL_HISTOGRAM_SPEND_CLIPPED = """
+WITH u AS (
+  SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+b AS (
+  SELECT user_id, FLOOR(LEAST(spend, 1000.0) / 100.0) * 100.0 AS bkt FROM u
+),
+h AS (SELECT bkt, COUNT(DISTINCT user_id) AS people FROM b GROUP BY bkt),
+bounds AS (
+  SELECT unnest(generate_series(0, (SELECT CAST(MAX(bkt) AS BIGINT) FROM h), 100)) AS bkt
+)
+SELECT CAST(bounds.bkt AS DOUBLE) AS spend_bucket, COALESCE(h.people, 0) AS people
+FROM bounds LEFT JOIN h ON bounds.bkt = h.bkt
+"""
+
+
+def q_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # foreach-histogram: one histogram of per-user event counts per
+    # event_type value (src/oloop_histogram.cpp foreach mode).
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = histogram_by(per_user, "n", "event_type", bucket=5.0, name="n_bucket")
+    return out.select(
+        "event_type", F.col("n_bucket").cast("long").alias("n_bucket"), "people"
+    )
+
+
+_SQL_HISTOGRAM_BY_TYPE = """
+WITH u AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(FLOOR(n / 5.0) * 5.0 AS BIGINT) AS n_bucket,
+  COUNT(DISTINCT user_id) AS people
+FROM u GROUP BY 1, 2
 """
 
 
@@ -896,6 +1076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_extract": q_props_json_extract,
         "user_purchase_totals": q_user_purchase_totals,
         "events_with_user_dim": q_events_with_user_dim,
+        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
+        "last_purchase_per_user": q_last_purchase_per_user,
+        "first_events_per_user": q_first_events_per_user,
+        "row_count_distribution": q_row_count_distribution,
+        "purchases_by_quarter": q_purchases_by_quarter,
         # sequence / behavioral
         "session_counts": q_session_counts,
         "session_stats": q_session_stats,
@@ -910,7 +1095,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_counts": q_property_counts,
         "property_counts_bucketed": q_property_counts_bucketed,
         "property_counts_by_segment": q_property_counts_by_segment,
+        "property_counts_rx": q_property_counts_rx,
         "histogram_weeks_since": q_histogram_weeks_since,
+        "histogram_spend_clipped": q_histogram_spend_clipped,
+        "histogram_by_type": q_histogram_by_type,
         "customer_timeline": q_customer_timeline,
         # pipeline
         "dedup_exact": q_dedup_exact,
@@ -940,6 +1128,11 @@ def oracle_sql() -> dict[str, str]:
         "props_json_extract": _SQL_PROPS_JSON_EXTRACT,
         "user_purchase_totals": _SQL_USER_PURCHASE_TOTALS,
         "events_with_user_dim": _SQL_EVENTS_WITH_USER_DIM,
+        "event_agg_distinct_stamps": _SQL_EVENT_AGG_DISTINCT_STAMPS,
+        "last_purchase_per_user": _SQL_LAST_PURCHASE_PER_USER,
+        "first_events_per_user": _SQL_FIRST_EVENTS_PER_USER,
+        "row_count_distribution": _SQL_ROW_COUNT_DISTRIBUTION,
+        "purchases_by_quarter": _SQL_PURCHASES_BY_QUARTER,
         "session_counts": _SQL_SESSION_COUNTS,
         "session_stats": _SQL_SESSION_STATS,
         "funnel_signup_purchase": _SQL_FUNNEL,
@@ -951,7 +1144,10 @@ def oracle_sql() -> dict[str, str]:
         "property_counts": _SQL_PROPERTY_COUNTS,
         "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
         "property_counts_by_segment": _SQL_PROPERTY_COUNTS_BY_SEGMENT,
+        "property_counts_rx": _SQL_PROPERTY_COUNTS_RX,
         "histogram_weeks_since": _SQL_HISTOGRAM_WEEKS_SINCE,
+        "histogram_spend_clipped": _SQL_HISTOGRAM_SPEND_CLIPPED,
+        "histogram_by_type": _SQL_HISTOGRAM_BY_TYPE,
         "customer_timeline": _SQL_CUSTOMER_TIMELINE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,

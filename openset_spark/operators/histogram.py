@@ -41,13 +41,17 @@ def histogram(
         .agg(F.countDistinct(user_col).alias("people"))
     )
     if min_value is not None:
-        # zero-fill from min_value to the observed max bucket
+        # zero-fill from min_value to the observed max bucket.
+        # sequence() is integral-only: generate step indices and scale.
+        n_steps = F.floor(
+            (F.col("hi").cast("double") - F.lit(float(min_value))) / F.lit(bucket)
+        ).cast("long")
         bounds = hist.agg(F.max(name).alias("hi")).select(
             F.explode(
-                F.sequence(
-                    F.lit(float(min_value)).cast("double"),
-                    F.col("hi").cast("double"),
-                    F.lit(float(bucket)).cast("double"),
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), n_steps),
+                    lambda i: F.lit(float(min_value))
+                    + i.cast("double") * F.lit(float(bucket)),
                 )
             ).alias(name)
         )

@@ -226,3 +226,71 @@ def test_zorder_tiebreak(spark):
     ordered = df.withColumn("rn", F.row_number().over(w)).collect()
     pos = {r.event_id: r.rn for r in ordered}
     assert pos[11] == 1 and pos[10] == 2 and pos[12] == 3
+
+
+# ---- each_row.limit / .reverse().limit (language_reference.md:276) ----
+def test_matching_rows_limit_and_reverse(spark):
+    from openset_spark.operators.events import matching_rows
+
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "p", 10),
+            (2, 5, 1, "p", 20),
+            (3, 9, 1, "v", 0),
+            (4, 10, 1, "p", 30),
+            (5, 0, 2, "p", 40),
+        ],
+    )
+    first2 = matching_rows(df, F.col("event_type") == "p", limit=2)
+    got = {(r.user_id, r.event_id, r.match_n) for r in first2.collect()}
+    assert got == {(1, 1, 1), (1, 2, 2), (2, 5, 1)}
+
+    last1 = matching_rows(df, F.col("event_type") == "p", limit=1, reverse=True)
+    got = {(r.user_id, r.event_id) for r in last1.collect()}
+    assert got == {(1, 4), (2, 5)}
+
+
+def test_matching_rows_tiebreak_on_event_id(spark):
+    from openset_spark.operators.events import matching_rows
+
+    # same stamp: z-order tiebreak is the event id
+    df = _ev(spark, [(2, 0, 1, "p", 0), (1, 0, 1, "p", 0)])
+    first = matching_rows(df, limit=1)
+    assert [r.event_id for r in first.collect()] == [1]
+
+
+# ---- stamped-row count method (test/test_count_methods.h) ----
+def test_event_aggregate_dcount_stamps(spark):
+    # two rows share a stamp -> distinct-stamp count treats them as one
+    df = _ev(spark, [(1, 0, 1, "p", 0), (2, 0, 1, "p", 0), (3, 5, 1, "p", 0)])
+    out = event_aggregate(
+        df, group_by=["event_type"], aggs=[("dcount", "ts", "stamps"),
+                                           ("count", "event_id", "rows")]
+    ).collect()[0]
+    assert out.stamps == 2 and out.rows == 3
+
+
+# ---- histogram min/max fill + clip, foreach mode ----
+def test_histogram_fill_and_clip(spark):
+    from openset_spark.operators.histogram import histogram
+
+    per_user = spark.createDataFrame(
+        [(1, 0.5), (2, 2.5), (3, 9.0)], "user_id long, v double"
+    )
+    # max=3 clips 9.0 into the 3-bucket; min=0 zero-fills bucket 1
+    out = histogram(per_user, "v", bucket=1.0, min_value=0.0, max_value=3.0)
+    got = {(r.value, r.people) for r in out.collect()}
+    assert got == {(0.0, 1), (1.0, 0), (2.0, 1), (3.0, 1)}
+
+
+def test_histogram_by_groups(spark):
+    from openset_spark.operators.histogram import histogram_by
+
+    per_user = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.5), (1, "b", 4.0)],
+        "user_id long, grp string, v double",
+    )
+    out = histogram_by(per_user, "v", "grp", bucket=1.0)
+    got = {(r.grp, r.value, r.people) for r in out.collect()}
+    assert got == {("a", 1.0, 2), ("b", 4.0, 1)}
