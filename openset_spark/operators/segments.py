@@ -54,10 +54,17 @@ def membership(
 
 
 def segment_counts(
-    df: DataFrame, segments: list[Segment], user_col: str = "user_id"
+    df: DataFrame,
+    segments: list[Segment],
+    user_col: str = "user_id",
+    membership_df: DataFrame | None = None,
 ) -> DataFrame:
-    """(segment, people) — the reference's segment query response."""
-    m = membership(df, segments, user_col)
+    """(segment, people) — the reference's segment query response.
+    Pass ``membership_df`` to reuse an already-computed (cached)
+    membership frame, e.g. inside a batch query."""
+    m = membership_df if membership_df is not None else membership(
+        df, segments, user_col
+    )
     counts = m.agg(
         *[F.sum(F.col(s.name).cast("long")).alias(s.name) for s in segments]
     )

@@ -1,0 +1,127 @@
+"""Table catalog + JSON insert ingest + batch query composition —
+the reference's table-management / insert / batch endpoints
+(docs/rest/README.md:28-158,379-418, src/rpc_insert.cpp)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+from openset_spark.plans.batch import (
+    BatchQuery,
+    HistogramSpec,
+    PropertySpec,
+    run_batch,
+)
+from openset_spark.operators.segments import Segment
+from openset_spark.sources.catalog import PropertyDef, TableDef
+from openset_spark.sources.json_events import customer_snapshot, parse_events
+
+HIGHSTREET = TableDef(
+    name="highstreet",
+    id_type="textual",
+    properties=(
+        PropertyDef("product_name", "text"),
+        PropertyDef("product_price", "double"),
+        PropertyDef("product_tags", "text", is_set=True),
+        PropertyDef("cart_size", "int"),
+        PropertyDef("age", "int", is_customer=True),
+    ),
+    event_order=("purchase", "purchase_item"),
+)
+
+
+def test_catalog_schemas_and_describe_roundtrip():
+    es = HIGHSTREET.event_schema()
+    assert [f.name for f in es.fields] == [
+        "user_id", "ts", "event_type",
+        "product_name", "product_price", "product_tags", "cart_size",
+    ]
+    assert isinstance(es["user_id"].dataType, StringType)  # textual ids
+    assert isinstance(es["product_tags"].dataType, ArrayType)  # is_set
+    cs = HIGHSTREET.customer_schema()
+    assert [f.name for f in cs.fields] == ["user_id", "age"]
+    assert TableDef.from_describe(HIGHSTREET.describe()) == HIGHSTREET
+
+
+def test_catalog_property_management_and_validation():
+    t2 = HIGHSTREET.with_property(PropertyDef("shipper", "text"))
+    assert "shipper" in [p.name for p in t2.properties]
+    t3 = t2.drop_property("shipper")
+    assert t3 == HIGHSTREET
+    with pytest.raises(ValueError):
+        PropertyDef("9bad", "text")
+    with pytest.raises(ValueError):
+        PropertyDef("ok", "float")  # not a reference type
+    with pytest.raises(ValueError):
+        TableDef("t", properties=(PropertyDef("a", "int"), PropertyDef("a", "int")))
+
+
+def _insert_lines(spark, objs):
+    return spark.createDataFrame([(json.dumps(o),) for o in objs], "value string")
+
+
+INSERTS = [
+    {"uuid": "u1", "stamp": 1_458_820_830_000, "event": "purchase",
+     "product_name": "hammer", "product_price": 9.99,
+     "product_tags": ["tools", "red"], "cart_size": 2, "age": 30},
+    {"uuid": "u1", "stamp": 1_458_820_840_000, "event": "view",
+     "product_name": "saw"},
+    {"uuid": "u2", "stamp": 1_458_820_850_000, "event": "purchase",
+     "product_name": "drill", "product_price": 79.99, "age": 41},
+    # later event for u1 without age: must NOT clobber the fact
+    {"uuid": "u1", "stamp": 1_458_820_860_000, "event": "view"},
+]
+
+
+def test_parse_events_typed(spark):
+    ev = parse_events(_insert_lines(spark, INSERTS), HIGHSTREET)
+    assert [f.name for f in ev.schema.fields] == [
+        "user_id", "ts", "event_type",
+        "product_name", "product_price", "product_tags", "cart_size",
+    ]
+    rows = {(r.user_id, r.event_type, r.product_name) for r in ev.collect()}
+    assert ("u1", "purchase", "hammer") in rows
+    assert ("u2", "purchase", "drill") in rows
+    first = ev.filter(F.col("product_name") == "hammer").collect()[0]
+    assert first.product_tags == ["tools", "red"]  # is_set -> array
+    assert first.ts.second == 30  # ms stamp -> exact timestamp
+
+
+def test_customer_snapshot_latest_nonnull_wins(spark):
+    snap = customer_snapshot(_insert_lines(spark, INSERTS), HIGHSTREET)
+    got = {r.user_id: r.age for r in snap.collect()}
+    # u1's age came on the first event; later fact-less events keep it
+    assert got == {"u1": 30, "u2": 41}
+
+
+def test_run_batch_combined(spark):
+    ev = parse_events(_insert_lines(spark, INSERTS), HIGHSTREET)
+    batch = BatchQuery(
+        segments=(Segment("buyers", F.col("event_type") == "purchase"),),
+        use=("buyers",),
+        properties=(PropertySpec("product_name"),),
+        histograms=(
+            HistogramSpec(
+                "spend",
+                scalar=lambda e: e.filter(F.col("event_type") == "purchase")
+                .groupBy("user_id")
+                .agg(F.sum("product_price").alias("spend")),
+                bucket=50.0,
+            ),
+        ),
+    )
+    out = run_batch(ev, batch)
+    segs = {(r.segment, r.people) for r in out["segments"].collect()}
+    assert segs == {("buyers", 2)}
+    props = {
+        (r.value, r.people, r.buyers_people)
+        for r in out["property:product_name"].collect()
+    }
+    assert ("hammer", 1, 1) in props and ("saw", 1, 1) in props
+    hist = {(r.spend, r.people) for r in out["histogram:spend"].collect()}
+    assert hist == {(0.0, 1), (50.0, 1)}
+    ev.unpersist()
