@@ -335,6 +335,47 @@ FROM events WHERE event_type = 'purchase' GROUP BY user_id
 """
 
 
+def q_recent_purchase_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OSL `.within(7_days, last_event)` row modifier: purchases within
+    # 7 days of the customer's last activity — anchor is a per-user
+    # window max (same user_id shuffle the aggregate reuses).
+    from openset_spark.functions.time import span
+    from openset_spark.operators.segments import within_pred
+
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    w = Window.partitionBy("user_id")
+    ev = ev.withColumn("last_ts", F.max("ts").over(w))
+    pred = within_pred(
+        F.col("event_type") == "purchase",
+        F.col("ts"),
+        span(7, "days"),
+        F.col("last_ts"),
+    )
+    return (
+        ev.filter(pred)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("recent_purchases"),
+            F.sum("value").cast("double").alias("recent_value"),
+        )
+    )
+
+
+_SQL_RECENT_PURCHASE_TOTALS = """
+WITH w AS (
+  SELECT user_id, ts, event_type, value,
+    MAX(ts) OVER (PARTITION BY user_id) AS last_ts
+  FROM events
+)
+SELECT user_id, COUNT(*) AS recent_purchases,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS recent_value
+FROM w
+WHERE event_type = 'purchase'
+  AND ABS(epoch_us(last_ts::TIMESTAMP) - epoch_us(ts::TIMESTAMP)) / 1000.0 <= 604800000
+GROUP BY user_id
+"""
+
+
 def q_events_with_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
     cust = load_table(spark, sf_dir, "customer")
@@ -1076,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_extract": q_props_json_extract,
         "user_purchase_totals": q_user_purchase_totals,
         "events_with_user_dim": q_events_with_user_dim,
+        "recent_purchase_totals": q_recent_purchase_totals,
         "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
         "last_purchase_per_user": q_last_purchase_per_user,
         "first_events_per_user": q_first_events_per_user,
@@ -1128,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
         "props_json_extract": _SQL_PROPS_JSON_EXTRACT,
         "user_purchase_totals": _SQL_USER_PURCHASE_TOTALS,
         "events_with_user_dim": _SQL_EVENTS_WITH_USER_DIM,
+        "recent_purchase_totals": _SQL_RECENT_PURCHASE_TOTALS,
         "event_agg_distinct_stamps": _SQL_EVENT_AGG_DISTINCT_STAMPS,
         "last_purchase_per_user": _SQL_LAST_PURCHASE_PER_USER,
         "first_events_per_user": _SQL_FIRST_EVENTS_PER_USER,

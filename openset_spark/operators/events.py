@@ -42,18 +42,29 @@ def event_aggregate(
     user_col: str = "user_id",
     count_people: bool = True,
     people_alias: str = "people",
+    approx_people: bool = False,
 ) -> DataFrame:
     """OSL event query as one declarative plan.
 
     ``aggs`` entries are ``(fn, column, alias)`` with fn in
-    count/sum/min/max/avg. ``count_people`` adds the reference's
+    count/dcount/sum/min/max/avg. ``count_people`` adds the reference's
     implicit ``count id`` (distinct customers per group).
+    ``approx_people=True`` swaps the exact distinct count for
+    HyperLogLog++ (``approx_count_distinct``, default 5% rsd) — at
+    trillion-row interactive scale the exact count's expand+double
+    shuffle is the dominant cost and ±2% people counts are usually
+    acceptable.
     """
     if where is not None:
         df = df.filter(where)
     exprs: list[Column] = []
     if count_people:
-        exprs.append(F.countDistinct(user_col).alias(people_alias))
+        people = (
+            F.approx_count_distinct(user_col)
+            if approx_people
+            else F.countDistinct(user_col)
+        )
+        exprs.append(people.alias(people_alias))
     for fn, col, alias in aggs:
         exprs.append(_AGG_FNS[fn](col).alias(alias))
     return df.groupBy(*group_by).agg(*exprs)

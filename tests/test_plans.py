@@ -1,0 +1,120 @@
+"""Physical-plan invariants — the scale posture of SURVEY §4/§6,
+asserted mechanically so a regression that adds a shuffle, drops a
+broadcast, loses filter pushdown, or sneaks a Python UDF into a hot
+path fails CI rather than an eventual 100 TB run.
+
+`local[k]` executes the same physical plans a 1000-executor cluster
+would (modulo AQE runtime re-plans), so Exchange/BroadcastHashJoin/
+PushedFilters in the explain output are faithful scale signals."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.operators.funnel import funnel
+from openset_spark.operators.sessionize import session_stats, with_session
+from openset_spark.pipeline.dedup import minhash_candidates
+from openset_spark.sources.tables import load_table
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def user_exchanges(df) -> int:
+    """Count shuffles keyed by user_id (hashpartitioning exchanges);
+    simple mode prints `Exchange hashpartitioning(user_id...)` on one
+    line per exchange node."""
+    return len(
+        re.findall(
+            r"Exchange hashpartitioning\(user_id", plan_str(df, "simple")
+        )
+    )
+
+
+def test_sessionize_chain_shuffles_once_by_user(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = session_stats(with_session(ev))
+    # window(user) then groupBy(user, session) must share ONE exchange;
+    # only the final global stats row may add a SinglePartition one.
+    assert user_exchanges(df) == 1, plan_str(df, "simple")
+
+
+def test_funnel_shuffles_once_by_user(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    steps = [F.col("event_type") == s for s in ("signup", "click", "purchase")]
+    df = funnel(ev, steps)
+    assert user_exchanges(df) == 1, plan_str(df, "simple")
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = plan_str(entry.q_events_with_user_dim(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q3_broadcasts_customer_dim(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = plan_str(entry.q_tpch_q3(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 24)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_str(li)
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity,24" in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey",
+        "l_quantity",
+    }, plan
+
+
+def test_no_python_udfs_on_hot_paths(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    hot = [
+        session_stats(with_session(ev)),
+        funnel(ev, [F.col("event_type") == "signup"]),
+        minhash_candidates(docs),
+    ]
+    for df in hot:
+        plan = plan_str(df)
+        assert "EvalPython" not in plan, plan  # Batch/ArrowEvalPython
+
+
+def test_whole_stage_codegen_covers_event_agg(spark, sf_dir):
+    from openset_spark.operators.events import event_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    out = event_aggregate(ev, ["event_type"], [("sum", "value", "v")])
+    # AQE finalizes codegen stages only at execution: run the query,
+    # then assert the final plan ran the agg inside WholeStageCodegen
+    # (`*(n)` markers), not interpreted.
+    out.collect()  # count() would build a separate QueryExecution
+    plan = plan_str(out, "simple")
+    assert "isFinalPlan=true" in plan, plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan
+
+
+def test_approx_people_swaps_hll(spark, sf_dir):
+    from openset_spark.operators.events import event_aggregate
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = event_aggregate(ev, ["event_type"]).collect()
+    approx = event_aggregate(ev, ["event_type"], approx_people=True)
+    assert "approx_count_distinct" in plan_str(approx, "simple")
+    got = {r.event_type: r.people for r in approx.collect()}
+    for r in exact:
+        assert abs(got[r.event_type] - r.people) <= max(2, 0.05 * r.people)
