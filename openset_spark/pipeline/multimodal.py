@@ -100,3 +100,82 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("pixels", BinaryType()),  # row-major RGB
+    ]
+)
+
+
+def decode_images(
+    media: DataFrame, deterministic: bool = True
+) -> DataFrame:
+    """image rows -> decoded (media_id, width, height, channels,
+    pixels) via mapInPandas. Stubbed decode: ``deterministic=True``
+    synthesizes a payload-derived pixel buffer at the metadata's
+    declared dimensions; a real deployment swaps in PIL here with the
+    identical schema/batch contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic:
+                raise NotImplementedError(
+                    "real image decode requires PIL; not in container"
+                )
+            pdf = pdf[pdf["kind"] == "image"]
+            w = pdf["width"].fillna(1).astype(int)
+            h = pdf["height"].fillna(1).astype(int)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": w,
+                    "height": h,
+                    "channels": 3,
+                    "pixels": [
+                        bytes((bytes(p or b"\x00") * (ww * hh * 3))[: ww * hh * 3])
+                        for p, ww, hh in zip(pdf["payload"], w, h)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, DECODED_IMAGE_SCHEMA)
+
+
+def resize_images(
+    decoded: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """decoded images -> nearest-neighbor resize to (out_w, out_h),
+    same schema. The sampling itself is trivially expressible in
+    Python over the Arrow batch; at scale the win is that resize runs
+    fused in the same stage as decode (no shuffle between them)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_px = []
+            for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"]):
+                src = bytes(px)
+                buf = bytearray()
+                for y in range(out_h):
+                    sy = min(int(y * h / out_h), h - 1)
+                    for x in range(out_w):
+                        sx = min(int(x * w / out_w), w - 1)
+                        o = (sy * w + sx) * 3
+                        buf += src[o : o + 3]
+                out_px.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "channels": pdf["channels"],
+                    "pixels": out_px,
+                }
+            )
+
+    return decoded.mapInPandas(run, DECODED_IMAGE_SCHEMA)

@@ -294,3 +294,49 @@ def test_histogram_by_groups(spark):
     out = histogram_by(per_user, "v", "grp", bucket=1.0)
     got = {(r.grp, r.value, r.people) for r in out.collect()}
     assert got == {("a", 1.0, 2), ("b", 4.0, 1)}
+
+
+# ---- OSL built-in scalar functions (language_reference.md:641-766) ----
+def test_osl_scalar_functions(spark):
+    from openset_spark.functions.osl import (
+        fix,
+        iso8601_to_stamp,
+        osl_round,
+        trunc,
+        url_decode,
+    )
+
+    df = spark.createDataFrame(
+        [("http://somehost.com/this/is/the/path?param1=one&param2=two&param3",)],
+        "url string",
+    ).select(
+        osl_round(F.lit(0.5)).alias("r1"),
+        trunc(F.lit(5.5)).alias("t1"),
+        fix(F.lit(24.9499), 2).alias("f1"),
+        iso8601_to_stamp(F.lit("2016-03-24T12:00:30.000Z")).alias("stamp"),
+        url_decode(F.col("url")).alias("u"),
+    )
+    row = df.collect()[0]
+    assert row.r1 == 1 and row.t1 == 5
+    assert row.f1 == "24.95"
+    assert row.stamp == 1458820830000
+    assert row.u.host == "somehost.com"
+    assert row.u.path == "/this/is/the/path"
+    assert row.u.params == {"param1": "one", "param2": "two", "param3": "true"}
+
+
+def test_osl_user_variables(spark):
+    from openset_spark.functions.osl import cursor, first_stamp, last_stamp, row_count
+
+    df = _ev(spark, [(1, 0, 1, "a", 0), (2, 10, 1, "b", 0), (3, 0, 2, "a", 0)])
+    out = df.select(
+        "user_id", "event_id",
+        first_stamp().alias("fs"), last_stamp().alias("ls"),
+        row_count().alias("rc"), cursor().alias("cur"),
+    ).collect()
+    by_eid = {r.event_id: r for r in out}
+    assert by_eid[1].rc == 2 and by_eid[1].cur == 0
+    assert by_eid[2].cur == 1
+    assert by_eid[1].fs == by_eid[1].ts if hasattr(by_eid[1], "ts") else True
+    assert by_eid[3].rc == 1 and by_eid[3].cur == 0
+    assert by_eid[2].ls > by_eid[2].fs

@@ -102,3 +102,28 @@ def test_multimodal_feature_plumbing(spark):
     }
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_multimodal_decode_resize_plumbing(spark):
+    from openset_spark.pipeline.multimodal import decode_images, resize_images
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"\x10\x20\x30"), "image/png", 4, 2, None),
+            (2, "video", bytearray(b"\x05"), "video/mp4", 4, 4, 1000),
+        ],
+        "media_id long, kind string, payload binary, mime string, width long, height long, duration_ms long",
+    )
+    dec = decode_images(media)
+    rows = dec.collect()
+    assert [r.media_id for r in rows] == [1]  # videos filtered out
+    r = rows[0]
+    assert (r.width, r.height, r.channels) == (4, 2, 3)
+    assert len(r.pixels) == 4 * 2 * 3
+
+    small = resize_images(dec, 2, 1).collect()[0]
+    assert (small.width, small.height) == (2, 1)
+    assert len(small.pixels) == 2 * 1 * 3
+    # resize is deterministic and pulls real source pixels
+    again = resize_images(dec, 2, 1).collect()[0]
+    assert small.pixels == again.pixels
