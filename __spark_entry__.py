@@ -28,13 +28,18 @@ from openset_spark.operators.events import (
 )
 from openset_spark.operators.funnel import funnel, funnel_user_steps
 from openset_spark.operators.histogram import histogram, histogram_by
-from openset_spark.operators.paths import transition_matrix
+from openset_spark.operators.paths import top_paths, transition_matrix
 from openset_spark.operators.property_counts import (
     property_counts,
     property_counts_by_segment,
 )
 from openset_spark.operators.retention import retention
-from openset_spark.operators.segments import Segment, membership, segment_counts
+from openset_spark.operators.segments import (
+    Segment,
+    membership,
+    segment_counts,
+    sequence_membership,
+)
 from openset_spark.operators.sessionize import session_stats, with_session
 from openset_spark.pipeline.dedup import (
     exact_dedup_clusters,
@@ -52,6 +57,7 @@ from openset_spark.pipeline.textstats import (
     lang_id,
     quality_score,
     text_stats,
+    token_counts,
 )
 from openset_spark.sources.tables import load_table
 
@@ -502,6 +508,95 @@ SELECT event_type AS from_event, next_event_type AS to_event,
   COUNT(*) AS transitions, COUNT(DISTINCT user_id) AS people
 FROM stepped WHERE next_event_type IS NOT NULL
 GROUP BY 1, 2
+"""
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # chains-of-events: most common 3-step opening paths
+    ev = _events(spark, sf_dir)
+    return top_paths(ev, max_steps=3, n=10)
+
+
+_SQL_TOP_PATHS = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS n
+  FROM events
+),
+p AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY n) AS path
+  FROM ranked WHERE n <= 3 GROUP BY user_id
+)
+SELECT path, COUNT(*) AS people FROM p GROUP BY path
+ORDER BY people DESC, path ASC LIMIT 10
+"""
+
+
+def q_top_event_types_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # result shaping: sort + trim per result-tree node -> top-2 event
+    # types per day by event count.
+    from openset_spark.operators.shaping import top_n_per_group
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("events"))
+    return top_n_per_group(
+        daily, ["day"], [F.desc("events"), F.asc("event_type")], n=2
+    )
+
+
+_SQL_TOP_EVENT_TYPES_PER_DAY = """
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+    event_type, COUNT(*) AS events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT day, event_type, events,
+    row_number() OVER (PARTITION BY day ORDER BY events DESC, event_type ASC) AS rank
+  FROM daily
+)
+SELECT day, event_type, events, rank FROM ranked WHERE rank <= 2
+"""
+
+
+def q_segment_sequence_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered-sequence segments: `signup then purchase`, `view then error`
+    ev = _events(spark, sf_dir)
+    m = sequence_membership(
+        ev,
+        {
+            "signup_then_purchase": [
+                F.col("event_type") == "signup",
+                F.col("event_type") == "purchase",
+            ],
+            "view_then_error": [
+                F.col("event_type") == "view",
+                F.col("event_type") == "error",
+            ],
+        },
+    )
+    counts = m.agg(
+        F.sum(F.col("signup_then_purchase").cast("long")).alias("signup_then_purchase"),
+        F.sum(F.col("view_then_error").cast("long")).alias("view_then_error"),
+    )
+    return counts.selectExpr(
+        "stack(2, 'signup_then_purchase', signup_then_purchase, "
+        "'view_then_error', view_then_error) as (segment, people)"
+    )
+
+
+_SQL_SEGMENT_SEQUENCE_COUNTS = """
+WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type='signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id FROM events e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type='purchase' AND e.ts > s1.t1 GROUP BY e.user_id),
+v1 AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type='view' GROUP BY user_id),
+v2 AS (SELECT e.user_id FROM events e JOIN v1 ON e.user_id = v1.user_id
+       WHERE e.event_type='error' AND e.ts > v1.t1 GROUP BY e.user_id)
+SELECT 'signup_then_purchase' AS segment, (SELECT COUNT(*) FROM s2) AS people
+UNION ALL SELECT 'view_then_error', (SELECT COUNT(*) FROM v2)
 """
 
 
@@ -1035,6 +1130,17 @@ FROM documents
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir))
+
+
+_SQL_TOKEN_COUNTS = f"""
+SELECT doc_id, len({_TOKS_SQL}) AS ws_tokens,
+  len(regexp_extract_all(text, '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+|\\s+')) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
@@ -1128,11 +1234,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "next_event_transitions": q_next_event_transitions,
+        "top_paths": q_top_paths,
+        "top_event_types_per_day": q_top_event_types_per_day,
         "weekly_retention": q_weekly_retention,
         "days_to_convert": q_days_to_convert,
         # segments
         "segment_counts": q_segment_counts,
         "segment_algebra": q_segment_algebra,
+        "segment_sequence_counts": q_segment_sequence_counts,
         # property / histogram / customer
         "property_counts": q_property_counts,
         "property_counts_bucketed": q_property_counts_bucketed,
@@ -1151,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "text_stats": q_text_stats,
+        "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1180,10 +1290,13 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": _SQL_SESSION_STATS,
         "funnel_signup_purchase": _SQL_FUNNEL,
         "next_event_transitions": _SQL_NEXT_EVENT,
+        "top_paths": _SQL_TOP_PATHS,
+        "top_event_types_per_day": _SQL_TOP_EVENT_TYPES_PER_DAY,
         "weekly_retention": _SQL_WEEKLY_RETENTION,
         "days_to_convert": _SQL_DAYS_TO_CONVERT,
         "segment_counts": _SQL_SEGMENT_COUNTS,
         "segment_algebra": _SQL_SEGMENT_ALGEBRA,
+        "segment_sequence_counts": _SQL_SEGMENT_SEQUENCE_COUNTS,
         "property_counts": _SQL_PROPERTY_COUNTS,
         "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
         "property_counts_by_segment": _SQL_PROPERTY_COUNTS_BY_SEGMENT,
@@ -1197,6 +1310,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _SQL_DEDUP_EMBEDDING,
         "ann_topk": _SQL_ANN_TOPK,
         "text_stats": _SQL_TEXT_STATS,
+        "token_counts": _SQL_TOKEN_COUNTS,
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,

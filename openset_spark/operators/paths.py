@@ -38,6 +38,56 @@ def next_event(
     )
 
 
+def user_paths(
+    df: DataFrame,
+    max_steps: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("event_id",),
+    sep: str = ">",
+) -> DataFrame:
+    """(user_id, path) — the first ``max_steps`` events joined into a
+    path string (the reference's chains-of-events view). One window
+    rank + one groupBy on the same user partitioning: a single
+    shuffle; per-user state is bounded by ``max_steps`` (collect_list
+    is capped by the rank filter, never the whole timeline)."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), *[F.col(c) for c in order_cols]
+    )
+    ranked = (
+        df.select(user_col, ts_col, *order_cols, event_col)
+        .withColumn("_n", F.row_number().over(w))
+        .filter(F.col("_n") <= max_steps)
+    )
+    # sort the collected (idx, event) pairs — collect_list order is
+    # nondeterministic across tasks, the struct sort restores it.
+    steps = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("_n"), F.col(event_col)))),
+        lambda s: s[event_col],
+    )
+    return ranked.groupBy(user_col).agg(
+        F.array_join(steps, sep).alias("path")
+    )
+
+
+def top_paths(
+    df: DataFrame,
+    max_steps: int = 3,
+    n: int = 10,
+    user_col: str = "user_id",
+    **kwargs,
+) -> DataFrame:
+    """(path, people) most common opening paths, deterministic order."""
+    paths = user_paths(df, max_steps, user_col=user_col, **kwargs)
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("people"))
+        .orderBy(F.desc("people"), F.asc("path"))
+        .limit(n)
+    )
+
+
 def transition_matrix(
     df: DataFrame,
     user_col: str = "user_id",

@@ -91,6 +91,32 @@ def complement(a: Column) -> Column:
     return ~a
 
 
+def sequence_membership(
+    df: DataFrame,
+    sequences: dict[str, list[Column]],
+    user_col: str = "user_id",
+    within_ms: int | None = None,
+) -> DataFrame:
+    """Per-user membership frame for ORDERED-sequence segments (the
+    reference's `A then B` segment scripts): user is in segment iff
+    they completed all steps in order. Reuses funnel min-ts chaining —
+    each sequence is one windowed pass over the same user partitioning,
+    memberships joined on user (co-partitioned, no extra shuffle of
+    the events table)."""
+    from openset_spark.operators.funnel import funnel_user_steps
+
+    out: DataFrame | None = None
+    for name, steps in sequences.items():
+        per_user = funnel_user_steps(df, steps, user_col, within_ms=within_ms)
+        m = per_user.select(
+            user_col,
+            F.col(f"step_{len(steps)}").isNotNull().alias(name),
+        )
+        out = m if out is None else out.join(m, user_col, "outer")
+    assert out is not None, "no sequences given"
+    return out.na.fill(False)
+
+
 def within_pred(
     pred: Column,
     ts_col: Column,

@@ -33,6 +33,31 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+# GPT-2-style pre-tokenizer approximation, ASCII classes so the Java
+# (Spark) and RE2 (DuckDB oracle) regex engines agree: contractions,
+# space-prefixed letter runs, digit runs, punct runs, whitespace runs.
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate BPE token count (pre-tokenizer piece count) — the
+    cheap JVM-side stand-in for a real tokenizer when sizing a
+    pretraining mix; counts regex pieces, never materializes them."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc whitespace and BPE-ish token counts."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(t)).alias("ws_tokens"),
+        bpe_token_count(t).alias("bpe_tokens"),
+    )
+
+
 def stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(
         F.filter(toks, lambda x: x.isin(*STOPWORDS[lang]))

@@ -340,3 +340,42 @@ def test_osl_user_variables(spark):
     assert by_eid[1].fs == by_eid[1].ts if hasattr(by_eid[1], "ts") else True
     assert by_eid[3].rc == 1 and by_eid[3].cur == 0
     assert by_eid[2].ls > by_eid[2].fs
+
+
+# ---- paths: opening-path extraction ----
+def test_user_paths_ordering_and_cap(spark):
+    from openset_spark.operators.paths import top_paths, user_paths
+
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "a", 0), (2, 1, 1, "b", 0), (3, 2, 1, "c", 0),
+            (4, 3, 1, "d", 0),  # beyond max_steps
+            (5, 0, 2, "a", 0), (6, 1, 2, "b", 0), (7, 2, 2, "c", 0),
+            (8, 0, 3, "x", 0),
+        ],
+    )
+    got = {r.user_id: r.path for r in user_paths(df, max_steps=3).collect()}
+    assert got == {1: "a>b>c", 2: "a>b>c", 3: "x"}
+    top = top_paths(df, max_steps=3, n=1).collect()
+    assert (top[0].path, top[0].people) == ("a>b>c", 2)
+
+
+# ---- sequence segments (A then B) ----
+def test_sequence_membership(spark):
+    from openset_spark.operators.segments import sequence_membership
+
+    df = _ev(
+        spark,
+        [
+            (1, 0, 1, "signup", 0), (2, 5, 1, "purchase", 0),   # in order
+            (3, 0, 2, "purchase", 0), (4, 5, 2, "signup", 0),   # wrong order
+            (5, 0, 3, "view", 0),                                # neither
+        ],
+    )
+    m = sequence_membership(
+        df,
+        {"sp": [F.col("event_type") == "signup", F.col("event_type") == "purchase"]},
+    )
+    got = {r.user_id: r.sp for r in m.collect()}
+    assert got == {1: True, 2: False, 3: False}

@@ -118,3 +118,14 @@ def test_approx_people_swaps_hll(spark, sf_dir):
     got = {r.event_type: r.people for r in approx.collect()}
     for r in exact:
         assert abs(got[r.event_type] - r.people) <= max(2, 0.05 * r.people)
+
+
+def test_top_n_per_group_uses_window_group_limit(spark, sf_dir):
+    from openset_spark.operators.shaping import top_n_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("events"))
+    out = top_n_per_group(daily, ["event_type"], [F.desc("events")], 2)
+    # rank<=n must push into the window as a group limit (partitions
+    # stream top-n instead of fully sorting every group).
+    assert "WindowGroupLimit" in plan_str(out, "simple")
