@@ -50,6 +50,7 @@ from openset_spark.pipeline.dedup import (
 from openset_spark.pipeline.similarity import (
     brute_force_topk,
     embedding_near_dup,
+    ivf_topk,
     lsh_topk,
 )
 from openset_spark.pipeline.textstats import (
@@ -1107,6 +1108,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(embs, queries, dim=64, k=10, n_planes=6)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF probe (rows-only: recall vs brute force in tests/test_pipeline.py)
+    embs = _embs(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(embs, queries, k=10, n_lists=16, nprobe=4)
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text_stats(_docs(spark, sf_dir))
     return out.select(
@@ -1259,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -1314,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
-        # no oracle (probabilistic / LSH): dedup_minhash, dedup_simhash,
-        # ann_lsh — verified in tests/test_pipeline.py instead.
+        # no oracle (probabilistic / LSH / IVF): dedup_minhash,
+        # dedup_simhash, ann_lsh, ann_ivf — verified in
+        # tests/test_pipeline.py instead.
     }

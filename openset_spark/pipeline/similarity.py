@@ -130,6 +130,91 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse index: pick ``n_lists`` centroids deterministically
+    (hash-order sample of the corpus — cheap, clustering-free flat
+    quantizer), assign every vector to its nearest centroid.
+
+    Returns (assigned corpus with ``list_id``, centroids). The index
+    build collects ONLY the n_lists centroid rows; assignment is a
+    JVM argmax over broadcast centroid literals — one corpus scan, no
+    shuffle. At 100 TB the assigned table is written back partitioned
+    by list_id so probes touch nprobe/n_lists of the data."""
+    cents = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
+    assigned = corpus.withColumn(
+        "list_id", _nearest_centroid(F.col(vec_col), centroids)
+    )
+    return assigned, centroids
+
+
+def _centroid_sims(vec, centroids: list[tuple[int, list[float]]]):
+    """array<struct<sim,cid>> of cosine vs every centroid literal."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in c])).alias("sim"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, c in centroids
+        ]
+    )
+
+
+def _nearest_centroid(vec, centroids: list[tuple[int, list[float]]]):
+    """Argmax of cosine over centroid literals — array_sort keeps the
+    expression LINEAR in n_lists (a when-chain that rebinds 'best'
+    each step doubles the tree per centroid: 2^n nodes, driver OOM)."""
+    return F.reverse(F.array_sort(_centroid_sims(vec, centroids)))[0]["cid"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest inverted lists
+    per query, exact cosine re-rank inside them. The probe join is a
+    hash join on ``list_id`` with the (tiny) query-probe table
+    broadcast — the corpus-side work is nprobe/n_lists of a scan."""
+    assigned, centroids = ivf_index(corpus, n_lists, id_col, vec_col)
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    # per query: nprobe nearest centroids -> (query, list_id) probe rows
+    sims = _centroid_sims(F.col("_qvec"), centroids)
+    probes = q.select(
+        query_id_col,
+        "_qvec",
+        F.explode(
+            F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
+        ).alias("_p"),
+    ).select(query_id_col, "_qvec", F.col("_p.cid").alias("list_id"))
+
+    cands = assigned.join(F.broadcast(probes), "list_id")
+    scored = cands.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

@@ -127,3 +127,26 @@ def test_multimodal_decode_resize_plumbing(spark):
     # resize is deterministic and pulls real source pixels
     again = resize_images(dec, 2, 1).collect()[0]
     assert small.pixels == again.pixels
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from openset_spark.pipeline.similarity import brute_force_topk, ivf_topk
+    from openset_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(embs, queries, k=5).collect()
+    }
+    got = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(embs, queries, k=5, n_lists=8, nprobe=4).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"ivf recall {recall}"

@@ -163,3 +163,34 @@ def test_stream_segment_state_across_batches(spark, tmpdir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_stream_windowed_event_counts(spark, tmpdir):
+    from openset_spark.streaming.aggregate import windowed_event_counts
+
+    _write_events(
+        tmpdir,
+        _mk_events(
+            {
+                1: ["2024-01-01T00:10:00", "2024-01-01T00:20:00",
+                    "2024-01-01T01:10:00"],
+                2: ["2024-01-01T00:40:00",
+                    # far-ahead event moves the 1h ingest watermark past
+                    # hour-0/hour-1 so those windows close and emit
+                    "2024-01-01T05:00:00"],
+            }
+        ),
+    )
+    stream = read_event_stream(spark, tmpdir)
+    agg = windowed_event_counts(stream, "1 hour")
+    name = f"winagg_{uuid.uuid4().hex[:8]}"
+    _run_available(agg, name)
+    rows = {
+        (r.window_start.isoformat(), r.events, r.people)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    # hour 0: 3 events from 2 users; hour 1: 1 event from 1 user.
+    assert ("2024-01-01T00:00:00", 3, 2) in rows
+    assert ("2024-01-01T01:00:00", 1, 1) in rows
+    # the 05:00 window is still open (watermark == max ts - 1h) -> not emitted
+    assert not any(s.startswith("2024-01-01T05") for s, _, _ in rows)
