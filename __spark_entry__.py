@@ -215,6 +215,84 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 """
 
 
+def q_tpch_q9_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # profit by nation x order-year for red parts (TPC-H q9 shape,
+    # minus partsupp which the testdata doesn't ship)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    price, disc = _dec("l_extendedprice"), _dec("l_discount", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(price * (one - disc)).cast("double").alias("profit"))
+    )
+
+
+_SQL_TPCH_Q9_STYLE = """
+SELECT n_name, year(o_orderdate::TIMESTAMP) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS profit
+FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # large-volume orders: HAVING on a grouped sum, then rejoin (q18)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("l_orderkey"))
+        .limit(20)
+    )
+
+
+_SQL_TPCH_Q18_STYLE = """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > 150
+)
+SELECT c_name, c_custkey, l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+  total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, l_orderkey ASC LIMIT 20
+"""
+
+
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -298,6 +376,26 @@ SELECT event_type, dayofweek(ts::TIMESTAMP) + 1 AS dow,
   CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
 FROM events WHERE event_type IN ('purchase','view','click')
 GROUP BY 1, 2
+"""
+
+
+def q_event_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # all pivot-tree levels — (type, dow), (type), grand total — in one
+    # shuffle via rollup (the reference walks the result tree instead).
+    from openset_spark.operators.events import event_aggregate_rollup
+
+    ev = _events(spark, sf_dir)
+    return event_aggregate_rollup(
+        ev,
+        group_by=["event_type", F.dayofweek("ts").alias("dow")],
+        aggs=[("count", "event_id", "events")],
+    )
+
+
+_SQL_EVENT_AGG_ROLLUP = """
+SELECT event_type, dayofweek(ts::TIMESTAMP) + 1 AS dow,
+  COUNT(DISTINCT user_id) AS people, COUNT(event_id) AS events
+FROM events GROUP BY ROLLUP (event_type, dow)
 """
 
 
@@ -1227,11 +1325,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q9_style": q_tpch_q9_style,
+        "tpch_q18_style": q_tpch_q18_style,
         "top_customers": q_top_customers,
         # event engine
         "event_agg_by_type": q_event_agg_by_type,
         "event_agg_by_day": q_event_agg_by_day,
         "event_agg_two_level": q_event_agg_two_level,
+        "event_agg_rollup": q_event_agg_rollup,
         "props_json_extract": q_props_json_extract,
         "user_purchase_totals": q_user_purchase_totals,
         "events_with_user_dim": q_events_with_user_dim,
@@ -1286,10 +1387,13 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": _SQL_TPCH_Q3,
         "tpch_q5": _SQL_TPCH_Q5,
         "tpch_q6": _SQL_TPCH_Q6,
+        "tpch_q9_style": _SQL_TPCH_Q9_STYLE,
+        "tpch_q18_style": _SQL_TPCH_Q18_STYLE,
         "top_customers": _SQL_TOP_CUSTOMERS,
         "event_agg_by_type": _SQL_EVENT_AGG_BY_TYPE,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
+        "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,
         "props_json_extract": _SQL_PROPS_JSON_EXTRACT,
         "user_purchase_totals": _SQL_USER_PURCHASE_TOTALS,
         "events_with_user_dim": _SQL_EVENTS_WITH_USER_DIM,

@@ -85,6 +85,53 @@ def user_scalar(
     return df.groupBy(user_col).agg(*exprs)
 
 
+def event_aggregate_rollup(
+    df: DataFrame,
+    group_by: Sequence[Column | str],
+    aggs: Sequence[tuple[str, str, str]] = (),
+    where: Column | None = None,
+    user_col: str = "user_id",
+    people_alias: str = "people",
+) -> DataFrame:
+    """Multi-level pivot totals in ONE pass: the reference's result
+    tree carries per-node totals at every pivot depth; ``rollup``
+    computes all prefix-grouping levels (a,b), (a), () in a single
+    shuffle instead of one query per level."""
+    if where is not None:
+        df = df.filter(where)
+    exprs = [F.countDistinct(user_col).alias(people_alias)]
+    exprs += [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
+    return df.rollup(*group_by).agg(*exprs)
+
+
+def user_scalar_salted(
+    df: DataFrame,
+    aggs: Sequence[tuple[str, str, str]],
+    where: Column | None = None,
+    user_col: str = "user_id",
+    salt_buckets: int = 16,
+    salt_col: str = "event_id",
+) -> DataFrame:
+    """Skew-safe ``user_scalar`` for algebraic aggs (sum/count/min/max):
+    aggregate by (user, salt) first — a bot with 10^8 events splits
+    across ``salt_buckets`` tasks — then re-aggregate by user
+    (operators/README.md strategy 2). Two small shuffles instead of
+    one skewed one; results are identical for the supported aggs."""
+    reagg = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    unsupported = [fn for fn, _, _ in aggs if fn not in reagg]
+    if unsupported:
+        raise ValueError(f"not algebraic under salting: {unsupported}")
+    if where is not None:
+        df = df.filter(where)
+    salt = F.pmod(F.xxhash64(salt_col), F.lit(salt_buckets)).alias("_salt")
+    partial = df.groupBy(user_col, salt).agg(
+        *[_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
+    )
+    return partial.groupBy(user_col).agg(
+        *[_AGG_FNS[reagg[fn]](alias).alias(alias) for fn, _, alias in aggs]
+    )
+
+
 def matching_rows(
     df: DataFrame,
     where: Column | None = None,

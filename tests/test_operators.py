@@ -379,3 +379,23 @@ def test_sequence_membership(spark):
     )
     got = {r.user_id: r.sp for r in m.collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+# ---- salted skew-safe user aggregates ----
+def test_user_scalar_salted_matches_unsalted(spark):
+    from openset_spark.operators.events import user_scalar, user_scalar_salted
+
+    df = _ev(
+        spark,
+        [(i, i, 1 if i < 8 else 2, "p", i * 10) for i in range(10)],
+    )
+    aggs = [("count", "event_id", "n"), ("sum", "value", "total"),
+            ("min", "value", "lo"), ("max", "value", "hi")]
+    plain = {r.user_id: (r.n, r.total, r.lo, r.hi)
+             for r in user_scalar(df, aggs).collect()}
+    salted = {r.user_id: (r.n, r.total, r.lo, r.hi)
+              for r in user_scalar_salted(df, aggs, salt_buckets=4).collect()}
+    assert plain == salted
+
+    with pytest.raises(ValueError):
+        user_scalar_salted(df, [("avg", "value", "a")])

@@ -194,3 +194,57 @@ def test_stream_windowed_event_counts(spark, tmpdir):
     assert ("2024-01-01T01:00:00", 1, 1) in rows
     # the 05:00 window is still open (watermark == max ts - 1h) -> not emitted
     assert not any(s.startswith("2024-01-01T05") for s, _, _ in rows)
+
+
+def test_stream_funnel_advances_across_batches(spark, tmpdir):
+    from openset_spark.streaming.funnel import stream_funnel
+
+    def _purchase_events(objs):
+        # _mk_events assigns event types by id; build explicit ones here
+        return [
+            {"event_id": i, "ts": ts, "user_id": uid, "event_type": et,
+             "value": 0.0, "props": "{}"}
+            for i, (uid, ts, et) in enumerate(objs)
+        ]
+
+    ckpt = tempfile.mkdtemp(prefix="oss-ckpt-")
+    sink = tempfile.mkdtemp(prefix="oss-sink-")
+    stream = read_event_stream(spark, tmpdir)
+    out = stream_funnel(stream, ["signup", "purchase"])
+
+    def _run_once():
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.user_id, r.step) for r in spark.read.parquet(sink).collect()
+        }
+
+    try:
+        # batch 1: u1 signs up; u2 purchases without signup (no match)
+        with open(f"{tmpdir}/b1.json", "w") as f:
+            for e in _purchase_events(
+                [(1, "2024-01-01T00:00:00", "signup"),
+                 (2, "2024-01-01T00:00:00", "purchase")]
+            ):
+                f.write(json.dumps(e) + "\n")
+        got1 = _run_once()
+        assert got1 == {(1, 1)}
+        # batch 2: u1 purchases (completes); u2 signs up (step 1)
+        with open(f"{tmpdir}/b2.json", "w") as f:
+            for e in _purchase_events(
+                [(1, "2024-01-01T00:10:00", "purchase"),
+                 (2, "2024-01-01T00:10:00", "signup")]
+            ):
+                f.write(json.dumps(e) + "\n")
+        got2 = _run_once()
+        assert got2 == {(1, 1), (1, 2), (2, 1)}
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
