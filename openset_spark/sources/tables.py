@@ -58,3 +58,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_col: str = "user_id",
+    buckets: int = 32,
+    sort_col: str | None = "ts",
+) -> None:
+    """Materialize a table bucketed (and optionally sorted) by a key —
+    the 100 TB layout for the events table: every subsequent
+    per-user window/groupBy reads co-located buckets and skips the
+    exchange entirely (asserted in tests/test_plans.py). On a real
+    cluster this is the once-per-ingest cost that removes the
+    per-query shuffle of the dominant table."""
+    w = df.write.format("parquet").option("path", path).bucketBy(
+        buckets, bucket_col
+    )
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.mode("overwrite").saveAsTable(table)

@@ -129,3 +129,22 @@ def test_top_n_per_group_uses_window_group_limit(spark, sf_dir):
     # rank<=n must push into the window as a group limit (partitions
     # stream top-n instead of fully sorting every group).
     assert "WindowGroupLimit" in plan_str(out, "simple")
+
+
+def test_bucketed_events_skip_user_shuffle(spark, sf_dir, tmp_path_factory):
+    from openset_spark.sources.tables import write_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path_factory.mktemp("bucketed")) + "/events_b"
+    write_bucketed(ev, "events_bucketed_test", path, buckets=8)
+    try:
+        b = spark.table("events_bucketed_test")
+        agg = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        # bucketed layout: the per-user aggregate needs NO exchange
+        assert user_exchanges(agg) == 0, plan_str(agg, "simple")
+        # unbucketed baseline for contrast
+        plain = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        assert user_exchanges(plain) == 1
+        assert agg.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
