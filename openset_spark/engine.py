@@ -1,0 +1,184 @@
+"""The engine facade — one object with the reference's query surface.
+
+A user of the reference talks to REST endpoints per table; here the
+same verbs are methods over a loaded table set:
+
+    eng = OpenSetEngine(spark, "/data/sf")          # cluster: parquet root
+    eng.event_query(group_by=["event_type"], ...)    # POST /query/{t}/event
+    eng.segments([Segment(...), ...])                # POST /query/{t}/segment
+    eng.property_counts("event_type", rx="^p")       # GET  /query/{t}/property/{p}
+    eng.histogram(scalar_fn, bucket=50)              # POST /query/{t}/histogram
+    eng.customer(7)                                  # GET  /query/{t}/customer
+    eng.batch(BatchQuery(...))                       # POST /query/{t}/batch
+
+Every method returns a DataFrame (lazy — compose, then act); nothing
+collects driver-side. Sessionization honors the reference's
+``session_time`` query parameter as ``session_gap_ms``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openset_spark.operators.customer import customer_timeline
+from openset_spark.operators.events import (
+    event_aggregate,
+    event_aggregate_rollup,
+    matching_rows,
+    user_scalar,
+)
+from openset_spark.operators.funnel import funnel
+from openset_spark.operators.histogram import histogram, histogram_by
+from openset_spark.operators.paths import top_paths, transition_matrix
+from openset_spark.operators.property_counts import (
+    property_counts,
+    property_counts_by_segment,
+)
+from openset_spark.operators.retention import retention
+from openset_spark.operators.segments import (
+    Segment,
+    membership,
+    segment_counts,
+    sequence_membership,
+)
+from openset_spark.operators.sessionize import with_session
+from openset_spark.plans.batch import BatchQuery, run_batch
+from openset_spark.sources.tables import load_table
+
+DEFAULT_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+class OpenSetEngine:
+    """Query surface over one events table (+ optional dims)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        events_table: str = "events",
+        session_gap_ms: int = DEFAULT_SESSION_GAP_MS,
+    ) -> None:
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.session_gap_ms = session_gap_ms
+        self._events = load_table(spark, sf_dir, events_table)
+
+    # -- data access --------------------------------------------------
+    @property
+    def events(self) -> DataFrame:
+        return self._events
+
+    def table(self, name: str) -> DataFrame:
+        return load_table(self.spark, self.sf_dir, name)
+
+    def sessionized(self) -> DataFrame:
+        """Events with the synthetic ``session`` property (the
+        reference computes it on demand when a script references it)."""
+        return with_session(self._events, self.session_gap_ms)
+
+    # -- query endpoints ---------------------------------------------
+    def event_query(
+        self,
+        group_by: Sequence[Column | str],
+        aggs: Sequence[tuple[str, str, str]] = (),
+        where: Column | None = None,
+        rollup: bool = False,
+        **kw,
+    ) -> DataFrame:
+        fn = event_aggregate_rollup if rollup else event_aggregate
+        return fn(self._events, group_by, aggs, where, **kw)
+
+    def user_query(
+        self,
+        aggs: Sequence[tuple[str, str, str]],
+        where: Column | None = None,
+    ) -> DataFrame:
+        return user_scalar(self._events, aggs, where)
+
+    def segments(self, segments: list[Segment]) -> DataFrame:
+        return segment_counts(self._events, segments)
+
+    def segment_membership(self, segments: list[Segment]) -> DataFrame:
+        return membership(self._events, segments)
+
+    def sequence_segments(
+        self, sequences: dict[str, list[Column]], **kw
+    ) -> DataFrame:
+        return sequence_membership(self._events, sequences, **kw)
+
+    def property_counts(
+        self,
+        prop: str,
+        bucket: float | None = None,
+        gt: float | None = None,
+        lt: float | None = None,
+        rx: str | None = None,
+        sub: str | None = None,
+        segments: list[Segment] | None = None,
+    ) -> DataFrame:
+        """The property endpoint's filter params, verbatim."""
+        col = F.col(prop)
+        flt: Column | None = None
+        for cond in (
+            col > gt if gt is not None else None,
+            col < lt if lt is not None else None,
+            col.rlike(rx) if rx is not None else None,
+            col.contains(sub) if sub is not None else None,
+        ):
+            if cond is not None:
+                flt = cond if flt is None else (flt & cond)
+        if segments:
+            m = membership(self._events, segments)
+            df = self._events if flt is None else self._events.filter(flt)
+            return property_counts_by_segment(
+                df, prop, m, [s.name for s in segments], bucket=bucket
+            )
+        return property_counts(self._events, prop, bucket=bucket, value_filter=flt)
+
+    def histogram(
+        self,
+        scalar: Callable[[DataFrame], DataFrame],
+        bucket: float = 1.0,
+        min_value: float | None = None,
+        max_value: float | None = None,
+        foreach: str | None = None,
+        name: str = "value",
+    ) -> DataFrame:
+        per_user = scalar(self._events)
+        if foreach is not None:
+            value_col = [
+                c for c in per_user.columns if c not in ("user_id", foreach)
+            ][0]
+            return histogram_by(
+                per_user, value_col, foreach, bucket, max_value, name=name
+            )
+        value_col = [c for c in per_user.columns if c != "user_id"][0]
+        return histogram(per_user, value_col, bucket, min_value, max_value, name=name)
+
+    def customer(self, user_id, with_sessions: bool = False) -> DataFrame:
+        src = self.sessionized() if with_sessions else self._events
+        return customer_timeline(src, user_id)
+
+    def batch(self, batch: BatchQuery) -> dict[str, DataFrame]:
+        return run_batch(self._events, batch)
+
+    # -- behavioral reports ------------------------------------------
+    def funnel(self, steps: Sequence[Column], **kw) -> DataFrame:
+        return funnel(self._events, steps, **kw)
+
+    def retention(self, period: str = "week") -> DataFrame:
+        return retention(self._events, period)
+
+    def transitions(self, **kw) -> DataFrame:
+        return transition_matrix(self._events, **kw)
+
+    def paths(self, max_steps: int = 3, n: int = 10, **kw) -> DataFrame:
+        return top_paths(self._events, max_steps, n, **kw)
+
+    def first_matching(
+        self, where: Column | None = None, limit: int = 1, reverse: bool = False
+    ) -> DataFrame:
+        return matching_rows(self._events, where, limit, reverse)

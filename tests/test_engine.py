@@ -1,0 +1,97 @@
+"""OpenSetEngine facade — the endpoint-per-method API surface a
+reference user would switch to. Exercised against sf0.001 testdata;
+results cross-checked against the underlying operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.engine import OpenSetEngine
+from openset_spark.operators.segments import Segment
+from openset_spark.plans.batch import BatchQuery, PropertySpec
+
+
+@pytest.fixture(scope="module")
+def eng(spark, sf_dir):
+    return OpenSetEngine(spark, sf_dir)
+
+
+def test_event_query_and_rollup(eng):
+    flat = eng.event_query(["event_type"], [("count", "event_id", "n")])
+    assert {"event_type", "people", "n"} == set(flat.columns)
+    roll = eng.event_query(["event_type"], rollup=True)
+    # rollup adds the grand-total row
+    assert roll.count() == flat.count() + 1
+
+
+def test_property_counts_filters(eng):
+    base = eng.property_counts("event_type")
+    rx = eng.property_counts("event_type", rx="^p")
+    sub = eng.property_counts("event_type", sub="u")
+    vals_rx = {r.value for r in rx.collect()}
+    assert vals_rx and all(v.startswith("p") for v in vals_rx)
+    vals_sub = {r.value for r in sub.collect()}
+    assert vals_sub and all("u" in v for v in vals_sub)
+    assert base.count() >= rx.count()
+
+
+def test_property_counts_segment_compare(eng):
+    out = eng.property_counts(
+        "event_type",
+        segments=[Segment("buyers", F.col("event_type") == "purchase")],
+    )
+    rows = {r.value: (r.people, r.buyers_people) for r in out.collect()}
+    assert all(b <= p for p, b in rows.values())
+    assert rows["purchase"][0] == rows["purchase"][1]  # buyers tautology
+
+
+def test_histogram_and_foreach(eng):
+    def spend(ev):
+        return (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("spend"))
+        )
+
+    h = eng.histogram(spend, bucket=200.0, name="spend")
+    assert {"spend", "people"} == set(h.columns)
+
+    def by_type(ev):
+        return ev.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    hf = eng.histogram(by_type, bucket=5.0, foreach="event_type", name="n_b")
+    assert {"event_type", "n_b", "people"} == set(hf.columns)
+
+
+def test_customer_with_sessions(eng):
+    tl = eng.customer(7, with_sessions=True)
+    rows = tl.collect()
+    assert rows and all(r.user_id == 7 for r in rows)
+    assert "session" in tl.columns
+    sessions = [r.session for r in rows]
+    assert sessions[0] == 1 and sessions == sorted(sessions)
+
+
+def test_funnel_and_paths_and_batch(eng):
+    fun = eng.funnel([F.col("event_type") == s for s in ("signup", "purchase")])
+    steps = {r.step: r.users for r in fun.collect()}
+    assert steps[2] <= steps[1]
+    assert eng.paths(max_steps=2, n=5).count() <= 5
+    out = eng.batch(
+        BatchQuery(
+            segments=(Segment("buyers", F.col("event_type") == "purchase"),),
+            properties=(PropertySpec("event_type"),),
+        )
+    )
+    assert set(out) == {"segments", "property:event_type"}
+
+
+def test_first_matching_reverse(eng):
+    last = eng.first_matching(
+        F.col("event_type") == "purchase", limit=1, reverse=True
+    )
+    per_user = last.groupBy("user_id").count().collect()
+    assert per_user and all(r["count"] == 1 for r in per_user)
