@@ -1,0 +1,116 @@
+"""Property-based semantics tests (hypothesis): random small
+timelines, Spark operator vs a pure-Python oracle. These pin the
+boundary behavior (gap strictness, ordering ties, funnel chaining)
+far beyond the hand-picked cases in test_operators.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from openset_spark.operators.events import matching_rows
+from openset_spark.operators.funnel import funnel_user_steps
+from openset_spark.operators.sessionize import with_session
+
+T0 = dt.datetime(2024, 1, 1)
+GAP_MIN = 30  # minutes
+
+# (user, minute-offset, event-kind) — offsets collide on purpose so
+# ties exercise the event_id ordering.
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=300),
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _frame(spark, rows):
+    data = [
+        (eid, T0 + dt.timedelta(minutes=m), uid, kind, 0.0)
+        for eid, (uid, m, kind) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+
+
+def _ordered(rows):
+    """Python-side canonical per-user ordering: (ts, event_id)."""
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for eid, (uid, m, kind) in enumerate(rows):
+        by_user.setdefault(uid, []).append((m, eid, kind))
+    for tl in by_user.values():
+        tl.sort()
+    return by_user
+
+
+@given(events_strategy)
+@SETTINGS
+def test_session_numbering_matches_oracle(spark, rows):
+    got = {
+        (r.user_id, r.event_id): r.session
+        for r in with_session(_frame(spark, rows), GAP_MIN * 60 * 1000).collect()
+    }
+    for uid, tl in _ordered(rows).items():
+        session, prev_m = 0, None
+        for m, eid, _ in tl:
+            if prev_m is None or (m - prev_m) > GAP_MIN:
+                session += 1
+            prev_m = m
+            assert got[(uid, eid)] == session, (uid, eid, rows)
+
+
+@given(events_strategy)
+@SETTINGS
+def test_funnel_steps_match_greedy_oracle(spark, rows):
+    steps = ["a", "b", "c"]
+    out = funnel_user_steps(
+        _frame(spark, rows), [F.col("event_type") == s for s in steps]
+    ).collect()
+    got = {
+        r.user_id: tuple(
+            r[f"step_{i}"] and int(r[f"step_{i}"].timestamp() // 60)
+            for i in range(1, 4)
+        )
+        for r in out
+    }
+    base = int(T0.timestamp() // 60)
+    for uid, tl in _ordered(rows).items():
+        want, last_m, k = [], None, 0
+        for m, _eid, kind in tl:
+            if k < 3 and kind == steps[k] and (last_m is None or m > last_m):
+                want.append(base + m)
+                last_m = m
+                k += 1
+        want += [None] * (3 - len(want))
+        assert got[uid] == tuple(want), (uid, rows)
+
+
+@given(events_strategy, st.integers(min_value=1, max_value=3))
+@SETTINGS
+def test_matching_rows_limit_matches_oracle(spark, rows, limit):
+    out = matching_rows(
+        _frame(spark, rows), F.col("event_type") == "a", limit=limit
+    ).collect()
+    got = {(r.user_id, r.match_n): r.event_id for r in out}
+    for uid, tl in _ordered(rows).items():
+        matches = [eid for _m, eid, kind in tl if kind == "a"][:limit]
+        for i, eid in enumerate(matches, start=1):
+            assert got.get((uid, i)) == eid, (uid, rows)
+        assert not any(
+            u == uid and n > len(matches) for (u, n) in got
+        )
