@@ -91,6 +91,32 @@ def complement(a: Column) -> Column:
     return ~a
 
 
+def refresh_membership(
+    old: DataFrame,
+    new_events: DataFrame,
+    segments: list[Segment],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Incremental segment refresh (src/oloop_seg_refresh.cpp): update
+    a stored membership frame from a DELTA of new events — only the
+    delta is scanned, never the 100 TB history.
+
+    Sound because predicate segments are monotone over appended rows:
+    `ever` can only turn true (old OR delta), `never` only false
+    (old AND delta). Sequence segments are not refreshable this way —
+    recompute those (or use streaming/funnel.py for live progression).
+    """
+    delta = membership(new_events, segments, user_col)
+    o, d = old.alias("o"), delta.alias("d")
+    joined = o.join(d, user_col, "outer")
+    cols = [F.col(user_col)]
+    for s in segments:
+        ov = F.coalesce(F.col(f"o.{s.name}"), F.lit(s.mode == "never"))
+        dv = F.coalesce(F.col(f"d.{s.name}"), F.lit(s.mode == "never"))
+        cols.append((ov | dv if s.mode == "ever" else ov & dv).alias(s.name))
+    return joined.select(*cols)
+
+
 def sequence_membership(
     df: DataFrame,
     sequences: dict[str, list[Column]],

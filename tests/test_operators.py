@@ -399,3 +399,35 @@ def test_user_scalar_salted_matches_unsalted(spark):
 
     with pytest.raises(ValueError):
         user_scalar_salted(df, [("avg", "value", "a")])
+
+
+# ---- incremental segment refresh (src/oloop_seg_refresh.cpp) ----
+def test_refresh_membership_matches_full_recompute(spark):
+    from openset_spark.operators.segments import refresh_membership
+
+    segs = [
+        Segment("buyer", F.col("event_type") == "p"),
+        Segment("never_err", F.col("event_type") == "e", mode="never"),
+    ]
+    old_events = _ev(
+        spark,
+        [(1, 0, 1, "p", 0), (2, 0, 2, "v", 0), (3, 0, 3, "e", 0)],
+    )
+    new_events = _ev(
+        spark,
+        [(4, 10, 2, "p", 0),   # user 2 becomes a buyer
+         (5, 10, 1, "e", 0),   # user 1 loses never_err
+         (6, 10, 4, "v", 0)],  # brand-new user
+    )
+    old_m = membership(old_events, segs)
+    refreshed = {
+        r.user_id: (r.buyer, r.never_err)
+        for r in refresh_membership(old_m, new_events, segs).collect()
+    }
+    full = {
+        r.user_id: (r.buyer, r.never_err)
+        for r in membership(old_events.unionByName(new_events), segs).collect()
+    }
+    assert refreshed == full == {
+        1: (True, False), 2: (True, True), 3: (False, False), 4: (False, True),
+    }
