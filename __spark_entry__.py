@@ -1073,6 +1073,41 @@ FROM u GROUP BY 1, 2
 """
 
 
+def q_session_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distribution summary of session lengths (events per session)
+    from openset_spark.operators.histogram import quantiles
+    from openset_spark.operators.sessionize import session_stats
+
+    ev = _events(spark, sf_dir)
+    per_session = session_stats(ev, SESSION_GAP_MS).select(
+        F.col("n_events").cast("double").alias("n_events")
+    )
+    out = quantiles(per_session, "n_events", [0.5, 0.9, 0.99])
+    return out.select(
+        F.round("q50", 4).alias("q50"),
+        F.round("q90", 4).alias("q90"),
+        F.round("q99", 4).alias("q99"),
+    )
+
+
+_SQL_SESSION_LENGTH_QUANTILES = f"""
+WITH {_SQL_SESSIONS_CTE},
+sessions AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session
+  FROM flagged
+),
+per_session AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_events
+  FROM sessions GROUP BY user_id, session
+)
+SELECT ROUND(quantile_cont(n_events, 0.5), 4) AS q50,
+  ROUND(quantile_cont(n_events, 0.9), 4) AS q90,
+  ROUND(quantile_cont(n_events, 0.99), 4) AS q99
+FROM per_session
+"""
+
+
 def q_customer_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openset_spark.operators.customer import customer_timeline
 
@@ -1363,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_weeks_since": q_histogram_weeks_since,
         "histogram_spend_clipped": q_histogram_spend_clipped,
         "histogram_by_type": q_histogram_by_type,
+        "session_length_quantiles": q_session_length_quantiles,
         "customer_timeline": q_customer_timeline,
         # pipeline
         "dedup_exact": q_dedup_exact,
@@ -1421,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_weeks_since": _SQL_HISTOGRAM_WEEKS_SINCE,
         "histogram_spend_clipped": _SQL_HISTOGRAM_SPEND_CLIPPED,
         "histogram_by_type": _SQL_HISTOGRAM_BY_TYPE,
+        "session_length_quantiles": _SQL_SESSION_LENGTH_QUANTILES,
         "customer_timeline": _SQL_CUSTOMER_TIMELINE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,

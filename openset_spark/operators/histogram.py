@@ -62,6 +62,27 @@ def histogram(
     return hist
 
 
+def quantiles(
+    per_user_scalar: DataFrame,
+    value_col: str,
+    probs: list[float] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+) -> DataFrame:
+    """One-row quantile summary of a per-user scalar — the
+    distribution view a histogram approximates. ``approx=True`` uses
+    the sketch-based approx_percentile (mergeable, bounded memory —
+    the 100 TB interactive path); default is exact interpolated
+    percentile (matches SQL quantile_cont)."""
+    fn = F.approx_percentile if approx else F.percentile
+    arr = fn(F.col(value_col), F.array(*[F.lit(p) for p in probs]))
+    return per_user_scalar.agg(
+        *[
+            F.element_at(arr, i + 1).alias(f"q{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ]
+    )
+
+
 def histogram_by(
     per_user_scalar: DataFrame,
     value_col: str,

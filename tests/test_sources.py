@@ -125,3 +125,39 @@ def test_run_batch_combined(spark):
     hist = {(r.spend, r.people) for r in out["histogram:spend"].collect()}
     assert hist == {(0.0, 1), (50.0, 1)}
     ev.unpersist()
+
+
+def test_set_property_predicates(spark):
+    from openset_spark.functions.sets import (
+        contains,
+        contains_all,
+        contains_any,
+        set_eq,
+    )
+
+    ev = parse_events(_insert_lines(spark, INSERTS), HIGHSTREET)
+    tagged = ev.filter(F.col("product_tags").isNotNull())
+    assert tagged.filter(contains(F.col("product_tags"), "red")).count() == 1
+    assert (
+        tagged.filter(contains_any(F.col("product_tags"), ["red", "blue"])).count()
+        == 1
+    )
+    assert (
+        tagged.filter(contains_all(F.col("product_tags"), ["red", "tools"])).count()
+        == 1
+    )
+    assert (
+        tagged.filter(contains_all(F.col("product_tags"), ["red", "huge"])).count()
+        == 0
+    )
+    assert (
+        tagged.filter(set_eq(F.col("product_tags"), ["red", "tools"])).count() == 1
+    )
+    # per-user `ever(any [...])` composes with the segment machinery
+    from openset_spark.operators.segments import Segment, membership
+
+    m = membership(
+        ev, [Segment("tooled", contains_any(F.col("product_tags"), ["tools"]))]
+    )
+    got = {r.user_id: r.tooled for r in m.collect()}
+    assert got == {"u1": True, "u2": False}
