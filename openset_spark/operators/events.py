@@ -139,22 +139,52 @@ def matching_rows(
     reverse: bool = False,
     user_col: str = "user_id",
     order_cols: Sequence[str] = ("ts", "event_id"),
+    from_row: int = 0,
 ) -> DataFrame:
-    """OSL ``each_row.limit(n)`` / ``.reverse().limit(n)``
-    (docs/osl/language_reference.md:276-326): the first (or last) n
-    rows per customer matching the predicate, tie-broken by event id
-    like the reference's z-ordered row grid.
+    """OSL ``each_row.limit(n)`` / ``.reverse().limit(n)`` /
+    ``.from(#)`` (docs/osl/language_reference.md:276-326): the first
+    (or last) n rows per customer matching the predicate, tie-broken
+    by event id like the reference's z-ordered row grid; ``from_row``
+    skips that many rows of the timeline (pre-filter, 0-based) before
+    matching starts.
 
     One window over the user partition — the filter runs BEFORE the
-    rank so only matching rows are sorted; adds a ``match_n`` column
+    rank so only matching rows are sorted (two window passes share the
+    exchange when ``from_row`` is used); adds a ``match_n`` column
     (1-based match index in iteration order)."""
-    if where is not None:
-        df = df.filter(where)
     order = [
         F.col(c).desc() if reverse else F.col(c).asc() for c in order_cols
     ]
     w = Window.partitionBy(user_col).orderBy(*order)
+    if from_row:
+        df = (
+            df.withColumn("_cursor", F.row_number().over(w) - 1)
+            .filter(F.col("_cursor") >= from_row)
+            .drop("_cursor")
+        )
+    if where is not None:
+        df = df.filter(where)
     return (
         df.withColumn("match_n", F.row_number().over(w))
         .filter(F.col("match_n") <= limit)
+    )
+
+
+def first_match_row(
+    df: DataFrame,
+    where: Column,
+    user_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+) -> DataFrame:
+    """OSL one-line ``row``/``test`` searches
+    (docs/osl/language_reference.md:767-803): per customer, the
+    0-based row index of the first match (``row``) and whether any
+    row matched (``test``); customers with no match get null/false.
+    One shuffle: cursor window + groupBy share the user partitioning."""
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    cur = df.withColumn("_cursor", F.row_number().over(w) - 1)
+    return cur.groupBy(user_col).agg(
+        F.min(F.when(where, F.col("_cursor"))).alias("row"),
+        F.max(F.when(where, True).otherwise(False)).alias("test"),
     )

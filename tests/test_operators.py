@@ -431,3 +431,30 @@ def test_refresh_membership_matches_full_recompute(spark):
     assert refreshed == full == {
         1: (True, False), 2: (True, True), 3: (False, False), 4: (False, True),
     }
+
+
+def test_matching_rows_from_modifier(spark):
+    from openset_spark.operators.events import matching_rows
+
+    df = _ev(
+        spark,
+        [(1, 0, 1, "p", 0), (2, 5, 1, "p", 0), (3, 9, 1, "p", 0)],
+    )
+    # .from(1): skip the first timeline row, then match
+    out = matching_rows(df, F.col("event_type") == "p", limit=5, from_row=1)
+    assert [r.event_id for r in sorted(out.collect(), key=lambda r: r.match_n)] == [2, 3]
+
+
+def test_first_match_row_and_test(spark):
+    from openset_spark.operators.events import first_match_row
+
+    df = _ev(
+        spark,
+        [(1, 0, 1, "v", 0), (2, 5, 1, "p", 0),
+         (3, 0, 2, "v", 0)],
+    )
+    got = {
+        r.user_id: (r.row, r.test)
+        for r in first_match_row(df, F.col("event_type") == "p").collect()
+    }
+    assert got == {1: (1, True), 2: (None, False)}
