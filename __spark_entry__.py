@@ -1336,6 +1336,51 @@ FROM s
 """
 
 
+def q_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openset_spark.pipeline.cleaning import clean_documents
+
+    return clean_documents(_docs(spark, sf_dir)).select("doc_id", "clean_text")
+
+
+# same pattern set as pipeline/cleaning.py, RE2 syntax (no \b — use
+# explicit non-digit guards since testdata text is space-separated)
+_SQL_CLEAN_DOCUMENTS = r"""
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        trim(regexp_replace(regexp_replace(text, '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')),
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+FROM documents
+"""
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openset_spark.pipeline.cleaning import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
+_SQL_TOP_BIGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+         ELSE [array_to_string(t[i+1:i+2], ' ') for i in range(0, len(t) - 1)]
+    END AS gs
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(gs) AS ngram FROM grams)
+SELECT ngram, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS docs
+FROM g GROUP BY ngram
+ORDER BY occurrences DESC, ngram ASC LIMIT 20
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint_md5")
 
@@ -1414,6 +1459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "clean_documents": q_clean_documents,
+        "top_bigrams": q_top_bigrams,
     }
 
 
@@ -1468,6 +1515,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _lang_id_sql(),
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
+        "clean_documents": _SQL_CLEAN_DOCUMENTS,
+        "top_bigrams": _SQL_TOP_BIGRAMS,
         # no oracle (probabilistic / LSH / IVF): dedup_minhash,
         # dedup_simhash, ann_lsh, ann_ivf — verified in
         # tests/test_pipeline.py instead.

@@ -150,3 +150,41 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.5, f"ivf recall {recall}"
+
+
+def test_cleaning_redaction_and_markup(spark):
+    from openset_spark.pipeline.cleaning import clean_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "Contact <b>me</b> at jane.doe@example.com or +1 (555) 123-4567."),
+            (2, "server at 192.168.0.1 <br/> ok"),
+            (3, "plain text stays"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean_text for r in clean_documents(df).collect()}
+    assert got[1] == "Contact me at <EMAIL> or <PHONE>."
+    assert got[2] == "server at <IP> ok"
+    assert got[3] == "plain text stays"
+
+
+def test_stratified_and_weighted_sampling(spark):
+    from openset_spark.pipeline.sampling import stratified_sample, weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    s = stratified_sample(df, "lang", {"en": 1.0, "de": 0.2}, seed=7)
+    counts = {r.lang: r["count"] for r in s.groupBy("lang").count().collect()}
+    assert counts["en"] == 1000
+    assert 100 <= counts.get("de", 0) <= 320  # ~200 expected
+
+    w = df.withColumn("wt", F.when(F.col("lang") == "en", 0.9).otherwise(0.1))
+    kept = weighted_sample(w, "wt", ["id"], seed=7)
+    k = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert 800 <= k["en"] <= 980 and 40 <= k.get("de", 0) <= 180
+    # deterministic: same seed -> identical sample
+    again = weighted_sample(w, "wt", ["id"], seed=7)
+    assert kept.exceptAll(again).count() == 0 and again.exceptAll(kept).count() == 0

@@ -248,3 +248,23 @@ def test_stream_funnel_advances_across_batches(spark, tmpdir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+def test_stream_exact_dedup_drops_repeats(spark, tmpdir):
+    from openset_spark.streaming.dedup import stream_exact_dedup
+
+    from pyspark.sql import functions as F
+
+    # reuse the events reader as a "doc stream": event_type plays the
+    # text column, so repeated types are duplicate docs
+    _write_events(tmpdir, _mk_events({1: ["2024-01-01T00:00:00"] * 3,
+                                      2: ["2024-01-01T00:01:00"]}))
+    stream = read_event_stream(spark, tmpdir).select(
+        "ts", F.col("event_type").alias("text")
+    )
+    out = stream_exact_dedup(stream)  # ingest's 1h watermark applies
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_available(out, name)
+    texts = [r.text for r in spark.sql(f"select * from {name}").collect()]
+    assert sorted(set(texts)) == sorted(texts), texts  # no dup texts
+    assert set(texts) == {"purchase", "view"}
