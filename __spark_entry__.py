@@ -610,6 +610,46 @@ GROUP BY 1, 2
 """
 
 
+def q_next_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # README example 14 (next-basket): carts = sessions, products =
+    # event types.
+    from openset_spark.operators.paths import next_session_transitions
+
+    ev = _events(spark, sf_dir)
+    return next_session_transitions(ev, SESSION_GAP_MS)
+
+
+_SQL_NEXT_SESSION_TRANSITIONS = f"""
+WITH {_SQL_SESSIONS_CTE},
+sessions AS (
+  SELECT s.user_id, e.event_type, s.session
+  FROM (
+    SELECT user_id, event_id,
+      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session
+    FROM flagged
+  ) s JOIN events e ON s.event_id = e.event_id
+),
+per_session AS (
+  SELECT user_id, session, list(DISTINCT event_type) AS types
+  FROM sessions GROUP BY user_id, session
+),
+paired AS (
+  SELECT user_id, types,
+    lead(types) OVER (PARTITION BY user_id ORDER BY session) AS next_types
+  FROM per_session
+),
+exploded AS (
+  SELECT user_id, f.ft AS from_type, t.tt AS to_type
+  FROM paired, UNNEST(types) AS f(ft), UNNEST(next_types) AS t(tt)
+  WHERE next_types IS NOT NULL
+)
+SELECT from_type, to_type, COUNT(DISTINCT user_id) AS people,
+  COUNT(*) AS pairs
+FROM exploded WHERE from_type <> to_type
+GROUP BY from_type, to_type
+"""
+
+
 def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chains-of-events: most common 3-step opening paths
     ev = _events(spark, sf_dir)
@@ -1427,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "next_event_transitions": q_next_event_transitions,
+        "next_session_transitions": q_next_session_transitions,
         "top_paths": q_top_paths,
         "top_event_types_per_day": q_top_event_types_per_day,
         "weekly_retention": q_weekly_retention,
@@ -1490,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": _SQL_SESSION_STATS,
         "funnel_signup_purchase": _SQL_FUNNEL,
         "next_event_transitions": _SQL_NEXT_EVENT,
+        "next_session_transitions": _SQL_NEXT_SESSION_TRANSITIONS,
         "top_paths": _SQL_TOP_PATHS,
         "top_event_types_per_day": _SQL_TOP_EVENT_TYPES_PER_DAY,
         "weekly_retention": _SQL_WEEKLY_RETENTION,

@@ -88,6 +88,46 @@ def top_paths(
     )
 
 
+def next_session_transitions(
+    df: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+    user_col: str = "user_id",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Next-basket analysis (README.md example 14: products purchased
+    in the subsequent cart): (from, to) pairs where `from` appears in
+    one session and `to` in the customer's NEXT session, with distinct
+    customers and pair counts; same-value pairs dropped (the
+    reference's repurchase filter).
+
+    The reference nests four each_row cursors per customer; here it's
+    sessionize -> per-session distinct sets (one user shuffle) ->
+    lead() over the tiny per-session frame -> explode both sets.
+    The exploded fan-out is |types|^2 per session pair — bounded by
+    the event-type vocabulary, not the timeline."""
+    from openset_spark.operators.sessionize import with_session
+
+    s = with_session(df, gap_ms, user_col)
+    per_session = s.groupBy(user_col, "session").agg(
+        F.collect_set(event_col).alias("_types")
+    )
+    w = Window.partitionBy(user_col).orderBy("session")
+    paired = per_session.withColumn("_next", F.lead("_types").over(w)).filter(
+        F.col("_next").isNotNull()
+    )
+    exploded = paired.select(
+        user_col, F.explode("_types").alias("from_type"), "_next"
+    ).select(user_col, "from_type", F.explode("_next").alias("to_type"))
+    return (
+        exploded.filter(F.col("from_type") != F.col("to_type"))
+        .groupBy("from_type", "to_type")
+        .agg(
+            F.countDistinct(user_col).alias("people"),
+            F.count(F.lit(1)).alias("pairs"),
+        )
+    )
+
+
 def transition_matrix(
     df: DataFrame,
     user_col: str = "user_id",

@@ -458,3 +458,27 @@ def test_first_match_row_and_test(spark):
         for r in first_match_row(df, F.col("event_type") == "p").collect()
     }
     assert got == {1: (1, True), 2: (None, False)}
+
+
+# ---- next-basket (README example 14 analog) ----
+def test_next_session_transitions(spark):
+    from openset_spark.operators.paths import next_session_transitions
+
+    df = _ev(
+        spark,
+        [
+            # user 1: session 1 = {a, b}; session 2 = {b, c} (90min later)
+            (1, 0, 1, "a", 0), (2, 5, 1, "b", 0),
+            (3, 95, 1, "b", 0), (4, 99, 1, "c", 0),
+            # user 2: one session only -> contributes nothing
+            (5, 0, 2, "a", 0),
+        ],
+    )
+    got = {
+        (r.from_type, r.to_type): (r.people, r.pairs)
+        for r in next_session_transitions(df, 30 * 60 * 1000).collect()
+    }
+    # pairs across consecutive sessions, same-value pairs dropped
+    assert got == {
+        ("a", "b"): (1, 1), ("a", "c"): (1, 1), ("b", "c"): (1, 1),
+    }
