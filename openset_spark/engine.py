@@ -149,6 +149,12 @@ class OpenSetEngine:
     ) -> DataFrame:
         per_user = scalar(self._events)
         if foreach is not None:
+            if min_value is not None:
+                raise ValueError(
+                    "min= zero-fill is not supported with foreach= "
+                    "(per-group fill bounds are ambiguous); fill the "
+                    "groups downstream or drop min_value"
+                )
             value_col = [
                 c for c in per_user.columns if c not in ("user_id", foreach)
             ][0]

@@ -38,20 +38,29 @@ def iso8601_to_stamp(iso: Column) -> Column:
 def url_decode(url: Column) -> Column:
     """OSL ``url_decode``: struct(host, path, query, params) — params
     is a map; bare params (no ``=``) get the string 'true' (map values
-    are homogeneous in Spark, unlike the reference's dict).
+    are homogeneous in Spark, unlike the reference's dict). Values are
+    split on the FIRST ``=`` only (base64/nested-URL values keep their
+    ``=``) and percent-decoded (try_url_decode: malformed %-escapes
+    yield null rather than failing the row).
 
     All parse_url + higher-order functions: stays JVM-side, but like
     the reference docs warn, prefer extracting URL parts at ingest."""
     query = F.parse_url(url, F.lit("QUERY"))
     pairs = F.split(query, "&")
+
+    def _value(p: Column) -> Column:
+        eq = F.instr(p, "=")
+        raw = F.when(eq == 0, F.lit("true")).otherwise(
+            F.substring(p, eq + 1, F.lit(1 << 20))
+        )
+        return F.coalesce(F.try_url_decode(raw), raw)
+
     params = F.map_from_entries(
         F.transform(
             F.filter(pairs, lambda p: p != ""),
             lambda p: F.struct(
                 F.split_part(p, F.lit("="), F.lit(1)).alias("key"),
-                F.when(~p.contains("="), F.lit("true"))
-                .otherwise(F.split_part(p, F.lit("="), F.lit(2)))
-                .alias("value"),
+                _value(p).alias("value"),
             ),
         )
     )

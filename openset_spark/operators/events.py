@@ -91,15 +91,25 @@ def event_aggregate_rollup(
     aggs: Sequence[tuple[str, str, str]] = (),
     where: Column | None = None,
     user_col: str = "user_id",
+    count_people: bool = True,
     people_alias: str = "people",
+    approx_people: bool = False,
 ) -> DataFrame:
     """Multi-level pivot totals in ONE pass: the reference's result
     tree carries per-node totals at every pivot depth; ``rollup``
     computes all prefix-grouping levels (a,b), (a), () in a single
-    shuffle instead of one query per level."""
+    shuffle instead of one query per level. Same keyword surface as
+    ``event_aggregate`` so callers can toggle rollup freely."""
     if where is not None:
         df = df.filter(where)
-    exprs = [F.countDistinct(user_col).alias(people_alias)]
+    exprs: list[Column] = []
+    if count_people:
+        people = (
+            F.approx_count_distinct(user_col)
+            if approx_people
+            else F.countDistinct(user_col)
+        )
+        exprs.append(people.alias(people_alias))
     exprs += [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
     return df.rollup(*group_by).agg(*exprs)
 

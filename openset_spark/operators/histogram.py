@@ -8,14 +8,28 @@ floor and ``max=`` clipping (values >= max collapse into the max
 bucket).
 
 Spark-first: per-user scalar = one groupBy(user) aggregate; the
-histogram = a second tiny aggregate over the scalar. Zero-fill uses a
-``sequence()`` range frame joined left — all JVM-side.
+histogram = a second tiny aggregate over the scalar. Buckets are
+carried as INTEGRAL indices (floor(v/bucket)) until the final
+projection: zero-fill and the fill join run on exact longs — doing
+either on double bucket values loses buckets whenever
+(hi-min)/bucket or idx*bucket lands a ulp below an integer.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _bucket_idx(
+    value_col: str, bucket: float, max_value: float | None
+) -> Column:
+    """Integral bucket index with max-clip. Null stays null: the clip
+    is applied AFTER the null check (least(NULL, max) would resurrect
+    nulls into the max bucket)."""
+    v: Column = F.col(value_col)
+    clipped = v if max_value is None else F.least(v, F.lit(float(max_value)))
+    return F.when(v.isNotNull(), F.floor(clipped / F.lit(float(bucket))))
 
 
 def histogram(
@@ -31,35 +45,36 @@ def histogram(
 
     ``per_user_scalar`` must have one row per user (user_col, value_col).
     """
-    v: Column = F.col(value_col)
-    if max_value is not None:
-        v = F.least(v, F.lit(max_value))
-    bucketed = F.floor(v / F.lit(bucket)) * F.lit(bucket)
+    idx = _bucket_idx(value_col, bucket, max_value)
     hist = (
-        per_user_scalar.filter(v.isNotNull())
-        .groupBy(bucketed.alias(name))
+        per_user_scalar.select(idx.alias("_idx"), F.col(user_col))
+        .filter(F.col("_idx").isNotNull())
+        .groupBy("_idx")
         .agg(F.countDistinct(user_col).alias("people"))
     )
     if min_value is not None:
-        # zero-fill from min_value to the observed max bucket.
-        # sequence() is integral-only: generate step indices and scale.
-        n_steps = F.floor(
-            (F.col("hi").cast("double") - F.lit(float(min_value))) / F.lit(bucket)
-        ).cast("long")
-        bounds = hist.agg(F.max(name).alias("hi")).select(
+        # zero-fill from min_value's bucket to the observed max bucket —
+        # all index arithmetic on longs, so no FP step-count drift and
+        # the fill join matches observed buckets exactly.
+        import math
+
+        lo = int(math.floor(min_value / bucket))
+        bounds = hist.agg(F.max("_idx").alias("_hi")).select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0).cast("long"), n_steps),
-                    lambda i: F.lit(float(min_value))
-                    + i.cast("double") * F.lit(float(bucket)),
-                )
-            ).alias(name)
+                F.sequence(F.lit(lo).cast("long"), F.col("_hi").cast("long"))
+            ).alias("_idx")
         )
-        hist = (
-            bounds.join(hist.withColumnRenamed(name, "_b"), bounds[name] == F.col("_b"), "left")
-            .select(bounds[name], F.coalesce(F.col("people"), F.lit(0)).alias("people"))
+        hist = bounds.join(
+            hist.withColumnRenamed("_idx", "_b"),
+            bounds["_idx"] == F.col("_b"),
+            "left",
+        ).select(
+            bounds["_idx"], F.coalesce(F.col("people"), F.lit(0)).alias("people")
         )
-    return hist
+    return hist.select(
+        (F.col("_idx").cast("double") * F.lit(float(bucket))).alias(name),
+        "people",
+    )
 
 
 def quantiles(
@@ -98,12 +113,17 @@ def histogram_by(
     shuffle keyed by (group, bucket) instead of a per-value query loop.
 
     ``per_user_scalar`` has one row per (user, group) pair."""
-    v: Column = F.col(value_col)
-    if max_value is not None:
-        v = F.least(v, F.lit(max_value))
-    bucketed = F.floor(v / F.lit(bucket)) * F.lit(bucket)
+    idx = _bucket_idx(value_col, bucket, max_value)
     return (
-        per_user_scalar.filter(v.isNotNull())
-        .groupBy(F.col(group_col), bucketed.alias(name))
+        per_user_scalar.select(
+            F.col(group_col), idx.alias("_idx"), F.col(user_col)
+        )
+        .filter(F.col("_idx").isNotNull())
+        .groupBy(group_col, "_idx")
         .agg(F.countDistinct(user_col).alias("people"))
+        .select(
+            group_col,
+            (F.col("_idx").cast("double") * F.lit(float(bucket))).alias(name),
+            "people",
+        )
     )

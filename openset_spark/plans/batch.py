@@ -61,14 +61,20 @@ class BatchQuery:
 
 def run_batch(events: DataFrame, batch: BatchQuery) -> dict[str, DataFrame]:
     """Execute a batch: {'segments': df, 'property:<p>': df,
-    'histogram:<name>': df}. The events scan is cached for the span of
-    the batch (caller may unpersist after collecting)."""
+    'histogram:<name>': df, '_cached': [handles]}. The events scan
+    (and shared membership, if any) are cached for the span of the
+    batch; the '_cached' entry holds them so the caller can
+    ``unpersist()`` after collecting — otherwise repeated batches
+    accumulate cached frames for the session lifetime."""
     out: dict[str, DataFrame] = {}
     events = events.cache()
+    cached = [events]
+    out["_cached"] = cached
 
     m: DataFrame | None = None
     if batch.segments:
         m = membership(events, list(batch.segments)).cache()
+        cached.append(m)
         out["segments"] = segment_counts(
             events, list(batch.segments), membership_df=m
         )

@@ -29,4 +29,9 @@ def stream_exact_dedup(
     hashed = docs.withColumn("_text_hash", F.md5(normalize(F.col(text_col))))
     if watermark is not None:
         hashed = hashed.withWatermark(ts_col, watermark)
-    return hashed.dropDuplicates(["_text_hash"]).drop("_text_hash")
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates: with a plain
+    # subset=[hash] the state store never evicts (eviction requires the
+    # event-time column in the subset), so state would grow O(corpus).
+    return hashed.dropDuplicatesWithinWatermark(["_text_hash"]).drop(
+        "_text_hash"
+    )

@@ -75,8 +75,6 @@ def make_segment_transitions(segments: list[StreamSegment]):
             ever = bool(prev[i]) or hits[i]
             new[i] = int(ever)
             if ever and not prev[i]:
-                member_now = ever if seg.mode == "ever" else False
-                was_member = bool(prev[i]) if seg.mode == "ever" else True
                 out_user.append(user_id)
                 out_seg.append(seg.name)
                 out_tr.append("enter" if seg.mode == "ever" else "exit")

@@ -49,8 +49,9 @@ def _close_sessions(
     key: tuple,
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    gap_ms: int = DEFAULT_GAP_MS,
 ) -> Iterator[pd.DataFrame]:
-    gap_us = DEFAULT_GAP_MS * 1000
+    gap_us = gap_ms * 1000
     (user_id,) = key
 
     if state.hasTimedOut:
@@ -87,7 +88,7 @@ def _close_sessions(
         last_us = max(last_us, t)
         n += 1
     state.update((start_us, last_us, n))
-    state.setTimeoutDuration(DEFAULT_GAP_MS)
+    state.setTimeoutDuration(gap_ms)
 
     if closed:
         yield pd.DataFrame(
@@ -100,10 +101,18 @@ def _close_sessions(
         )
 
 
-def stream_sessionize(events: DataFrame) -> DataFrame:
-    """events stream -> closed-session stream (append mode)."""
+def stream_sessionize(
+    events: DataFrame, gap_ms: int = DEFAULT_GAP_MS
+) -> DataFrame:
+    """events stream -> closed-session stream (append mode).
+    ``gap_ms`` mirrors batch ``with_session`` (the reference's
+    session_time parameter) so streaming and batch boundaries agree."""
+
+    def fn(key, pdfs, state):
+        return _close_sessions(key, pdfs, state, gap_ms)
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _close_sessions,
+        fn,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -86,7 +86,9 @@ def test_funnel_and_paths_and_batch(eng):
             properties=(PropertySpec("event_type"),),
         )
     )
-    assert set(out) == {"segments", "property:event_type"}
+    assert set(out) == {"segments", "property:event_type", "_cached"}
+    for df in out["_cached"]:
+        df.unpersist()
 
 
 def test_first_matching_reverse(eng):

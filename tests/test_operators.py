@@ -330,14 +330,15 @@ def test_osl_user_variables(spark):
 
     df = _ev(spark, [(1, 0, 1, "a", 0), (2, 10, 1, "b", 0), (3, 0, 2, "a", 0)])
     out = df.select(
-        "user_id", "event_id",
+        "user_id", "event_id", "ts",
         first_stamp().alias("fs"), last_stamp().alias("ls"),
         row_count().alias("rc"), cursor().alias("cur"),
     ).collect()
     by_eid = {r.event_id: r for r in out}
     assert by_eid[1].rc == 2 and by_eid[1].cur == 0
     assert by_eid[2].cur == 1
-    assert by_eid[1].fs == by_eid[1].ts if hasattr(by_eid[1], "ts") else True
+    assert by_eid[1].fs == by_eid[1].ts  # user 1's first event IS event 1
+    assert by_eid[1].ls == by_eid[2].ts  # ...and its last is event 2
     assert by_eid[3].rc == 1 and by_eid[3].cur == 0
     assert by_eid[2].ls > by_eid[2].fs
 
@@ -482,3 +483,37 @@ def test_next_session_transitions(spark):
     assert got == {
         ("a", "b"): (1, 1), ("a", "c"): (1, 1), ("b", "c"): (1, 1),
     }
+
+
+def test_histogram_fractional_bucket_keeps_top_bucket(spark):
+    # regression: FP step-count drift dropped the top observed bucket
+    # when (hi-min)/bucket landed a ulp below an integer.
+    from openset_spark.operators.histogram import histogram
+
+    per_user = spark.createDataFrame(
+        [(1, 4.35), (2, 0.05)], "user_id long, v double"
+    )
+    out = histogram(per_user, "v", bucket=0.1, min_value=0.0)
+    rows = {round(r.value, 1): r.people for r in out.collect()}
+    assert rows[4.3] == 1 and rows[0.0] == 1
+    assert sum(rows.values()) == 2  # nobody lost
+    assert len(rows) == 44  # 0.0 .. 4.3 fill
+
+
+def test_histogram_null_scalar_not_clipped_into_max_bucket(spark):
+    # regression: least(NULL, max) resurrected nulls into the clip bucket
+    from openset_spark.operators.histogram import histogram, histogram_by
+
+    per_user = spark.createDataFrame(
+        [(1, None), (2, 2.5)], "user_id long, v double"
+    )
+    got = {(r.value, r.people) for r in
+           histogram(per_user, "v", bucket=1.0, max_value=3.0).collect()}
+    assert got == {(2.0, 1)}
+
+    grouped = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 2.5)], "user_id long, grp string, v double"
+    )
+    got = {(r.grp, r.value, r.people) for r in
+           histogram_by(grouped, "v", "grp", bucket=1.0, max_value=3.0).collect()}
+    assert got == {("a", 2.0, 1)}
