@@ -161,3 +161,27 @@ def test_set_property_predicates(spark):
     )
     got = {r.user_id: r.tooled for r in m.collect()}
     assert got == {"u1": True, "u2": False}
+
+
+def test_result_tree_from_rollup(spark):
+    from openset_spark.operators.events import event_aggregate_rollup
+    from openset_spark.plans.result_tree import to_result_tree
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "p", "x"), (2, 1, "p", "y"), (3, 2, "p", "x"),
+            (4, 2, "q", "x"),
+        ],
+        "event_id long, user_id long, event_type string, tag string",
+    )
+    roll = event_aggregate_rollup(
+        df, ["event_type", "tag"], [("count", "event_id", "events")]
+    )
+    tree = to_result_tree(roll, ["event_type", "tag"], ["people", "events"])
+    # root totals: 2 people, 4 events
+    assert tree["c"] == [2, 4]
+    top = {n["g"]: n for n in tree["_"]}
+    assert top["p"]["c"] == [2, 3] and top["q"]["c"] == [1, 1]
+    p_kids = {n["g"]: n["c"] for n in top["p"]["_"]}
+    assert p_kids == {"x": [2, 2], "y": [1, 1]}
+    assert "_" not in top["q"] or {n["g"] for n in top["q"]["_"]} == {"x"}
