@@ -566,6 +566,105 @@ FROM per_session
 """
 
 
+def q_funnel_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # funnel with the within() time budget: click must land <= 1h
+    # after signup, purchase <= 1h after click.
+    ev = _events(spark, sf_dir)
+    return funnel(
+        ev,
+        [F.col("event_type") == s for s in ("signup", "click", "purchase")],
+        within_ms=3_600_000,
+    )
+
+
+_SQL_FUNNEL_WITHIN_HOUR = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND (epoch_us(e.ts::TIMESTAMP) - epoch_us(s1.t1::TIMESTAMP)) / 1000 <= 3600000
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND (epoch_us(e.ts::TIMESTAMP) - epoch_us(s2.t2::TIMESTAMP)) / 1000 <= 3600000
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, (SELECT COUNT(*) FROM s1) AS users
+UNION ALL SELECT 2, (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, (SELECT COUNT(*) FROM s3)
+"""
+
+
+def q_monthly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = retention(ev, "month")
+    return out.withColumn("cohort", F.date_format("cohort", "yyyy-MM-dd"))
+
+
+_SQL_MONTHLY_RETENTION = """
+WITH base AS (
+  SELECT user_id,
+    date_trunc('month', ts::TIMESTAMP) AS active_period,
+    date_trunc('month', MIN(ts::TIMESTAMP) OVER (PARTITION BY user_id)) AS cohort
+  FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+  CAST(datediff('month', cohort, active_period) AS BIGINT) AS period_n,
+  COUNT(DISTINCT user_id) AS people
+FROM base GROUP BY cohort, period_n
+"""
+
+
+def q_session_counts_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_time override: 5-minute inactivity gap
+    ev = _events(spark, sf_dir)
+    s = with_session(ev, 5 * 60 * 1000)
+    return s.groupBy("user_id").agg(F.max("session").alias("n_sessions"))
+
+
+_SQL_SESSION_COUNTS_5MIN = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+    lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id,
+    CASE WHEN prev_ts IS NULL OR (epoch(ts) - epoch(prev_ts)) * 1000 > 300000
+      THEN 1 ELSE 0 END AS new_s
+  FROM ordered
+)
+SELECT user_id, SUM(new_s) AS n_sessions FROM flagged GROUP BY user_id
+"""
+
+
+def q_user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # set semantics: people per distinct event-type repertoire
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "type_set"
+        )
+    )
+    return per_user.groupBy("type_set").agg(
+        F.count(F.lit(1)).alias("people")
+    )
+
+
+_SQL_USER_EVENT_TYPE_SETS = """
+WITH u AS (
+  SELECT user_id,
+    array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_set
+  FROM events GROUP BY user_id
+)
+SELECT type_set, COUNT(*) AS people FROM u GROUP BY type_set
+"""
+
+
 FUNNEL_STEPS = ("signup", "click", "purchase")
 
 
@@ -1185,6 +1284,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_clusters(_docs(spark, sf_dir))
 
 
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the drop pass: surviving doc ids after exact dedup
+    from openset_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+_SQL_DEDUP_EXACT_KEEP = f"""
+WITH c AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM_SQL})
+)
+SELECT doc_id FROM c
+"""
+
+
 _SQL_DEDUP_EXACT = f"""
 SELECT md5({_NORM_SQL}) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
 FROM documents GROUP BY 1
@@ -1464,14 +1578,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchases_by_quarter": q_purchases_by_quarter,
         # sequence / behavioral
         "session_counts": q_session_counts,
+        "session_counts_5min": q_session_counts_5min,
         "session_stats": q_session_stats,
         "funnel_signup_purchase": q_funnel_signup_purchase,
+        "funnel_within_hour": q_funnel_within_hour,
         "next_event_transitions": q_next_event_transitions,
         "next_session_transitions": q_next_session_transitions,
         "top_paths": q_top_paths,
         "top_event_types_per_day": q_top_event_types_per_day,
         "weekly_retention": q_weekly_retention,
+        "monthly_retention": q_monthly_retention,
         "days_to_convert": q_days_to_convert,
+        "user_event_type_sets": q_user_event_type_sets,
         # segments
         "segment_counts": q_segment_counts,
         "segment_algebra": q_segment_algebra,
@@ -1488,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_timeline": q_customer_timeline,
         # pipeline
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1528,14 +1647,18 @@ def oracle_sql() -> dict[str, str]:
         "row_count_distribution": _SQL_ROW_COUNT_DISTRIBUTION,
         "purchases_by_quarter": _SQL_PURCHASES_BY_QUARTER,
         "session_counts": _SQL_SESSION_COUNTS,
+        "session_counts_5min": _SQL_SESSION_COUNTS_5MIN,
         "session_stats": _SQL_SESSION_STATS,
         "funnel_signup_purchase": _SQL_FUNNEL,
+        "funnel_within_hour": _SQL_FUNNEL_WITHIN_HOUR,
         "next_event_transitions": _SQL_NEXT_EVENT,
         "next_session_transitions": _SQL_NEXT_SESSION_TRANSITIONS,
         "top_paths": _SQL_TOP_PATHS,
         "top_event_types_per_day": _SQL_TOP_EVENT_TYPES_PER_DAY,
         "weekly_retention": _SQL_WEEKLY_RETENTION,
+        "monthly_retention": _SQL_MONTHLY_RETENTION,
         "days_to_convert": _SQL_DAYS_TO_CONVERT,
+        "user_event_type_sets": _SQL_USER_EVENT_TYPE_SETS,
         "segment_counts": _SQL_SEGMENT_COUNTS,
         "segment_algebra": _SQL_SEGMENT_ALGEBRA,
         "segment_sequence_counts": _SQL_SEGMENT_SEQUENCE_COUNTS,
@@ -1549,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "session_length_quantiles": _SQL_SESSION_LENGTH_QUANTILES,
         "customer_timeline": _SQL_CUSTOMER_TIMELINE,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_exact_keep": _SQL_DEDUP_EXACT_KEEP,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,
         "dedup_embedding": _SQL_DEDUP_EMBEDDING,
         "ann_topk": _SQL_ANN_TOPK,

@@ -27,17 +27,20 @@ def retention(
 ) -> DataFrame:
     """(cohort, period_n, people) with period_n = periods since cohort."""
     w = Window.partitionBy(user_col)
-    divisor = _PERIOD_SECONDS[period]
     with_cohort = df.select(
         user_col,
         F.date_trunc(period, F.col(ts_col)).alias("active_period"),
         F.date_trunc(period, F.min(ts_col).over(w)).alias("cohort"),
     )
+    if period == "month":
+        # months are variable-length: calendar arithmetic, not seconds
+        period_n = F.months_between("active_period", "cohort").cast("long")
+    else:
+        divisor = _PERIOD_SECONDS[period]
+        period_n = (
+            (F.unix_timestamp("active_period") - F.unix_timestamp("cohort"))
+            / divisor
+        ).cast("long")
     return with_cohort.groupBy(
-        "cohort",
-        (
-            (F.unix_timestamp("active_period") - F.unix_timestamp("cohort")) / divisor
-        )
-        .cast("long")
-        .alias("period_n"),
+        "cohort", period_n.alias("period_n")
     ).agg(F.countDistinct(user_col).alias("people"))
