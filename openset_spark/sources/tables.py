@@ -60,6 +60,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return tables
 
 
+def write_partitioned_by_day(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    partition_col: str = "event_date",
+) -> None:
+    """Materialize events partitioned by event date — the other half
+    of the 100 TB layout: time-range queries prune whole directories
+    at planning time (PartitionFilters in the scan, asserted in
+    tests/test_plans.py), so a last-7-days query over 3 years of data
+    reads 0.6% of it."""
+    (
+        df.withColumn(partition_col, F.to_date(F.col(ts_col)))
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

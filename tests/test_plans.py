@@ -148,3 +148,19 @@ def test_bucketed_events_skip_user_shuffle(spark, sf_dir, tmp_path_factory):
         assert agg.count() == plain.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS events_bucketed_test")
+
+
+def test_partitioned_events_prune_date_ranges(spark, sf_dir, tmp_path_factory):
+    from openset_spark.sources.tables import write_partitioned_by_day
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path_factory.mktemp("parted")) + "/events_p"
+    write_partitioned_by_day(ev, path)
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == "2024-01-03")
+    plan = plan_str(one_day)
+    # the date predicate must prune partitions at plan time, not scan+filter
+    assert "PartitionFilters: [isnotnull(event_date" in plan, plan
+    n_total = back.count()
+    n_day = one_day.count()
+    assert 0 < n_day < n_total
