@@ -18,6 +18,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def stream_property_counts(
+    events: DataFrame,
+    prop: str = "event_type",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Live property counts — the streaming analog of
+    ``GET /v1/query/{t}/property/{p}``: (value, people~, events)
+    maintained incrementally. Run with ``outputMode("complete")`` (the
+    result IS the running total per value); people uses HLL for the
+    same bounded-state reason as the windowed aggregate. State is
+    O(distinct property values)."""
+    return (
+        events.filter(F.col(prop).isNotNull())
+        .groupBy(F.col(prop).alias("value"))
+        .agg(
+            F.approx_count_distinct(user_col).alias("people"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",

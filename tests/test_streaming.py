@@ -268,3 +268,31 @@ def test_stream_exact_dedup_drops_repeats(spark, tmpdir):
     texts = [r.text for r in spark.sql(f"select * from {name}").collect()]
     assert sorted(set(texts)) == sorted(texts), texts  # no dup texts
     assert set(texts) == {"purchase", "view"}
+
+
+def test_stream_property_counts_complete_mode(spark, tmpdir):
+    from openset_spark.streaming.aggregate import stream_property_counts
+
+    _write_events(
+        tmpdir,
+        _mk_events({1: ["2024-01-01T00:00:00", "2024-01-01T00:05:00"],
+                    2: ["2024-01-01T00:01:00"]}),
+    )
+    stream = read_event_stream(spark, tmpdir)
+    counts = stream_property_counts(stream)
+    name = f"pc_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.value: (r.people, r.events)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    # event ids 0..2: purchase, view, view (per _mk_events kind rule)
+    assert got["purchase"] == (1, 1)
+    assert got["view"][1] == 2 and got["view"][0] == 2  # 2 users, 2 views
