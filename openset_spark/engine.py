@@ -188,3 +188,36 @@ class OpenSetEngine:
         self, where: Column | None = None, limit: int = 1, reverse: bool = False
     ) -> DataFrame:
         return matching_rows(self._events, where, limit, reverse)
+
+    def next_baskets(self, **kw) -> DataFrame:
+        from openset_spark.operators.paths import next_session_transitions
+
+        return next_session_transitions(
+            self._events, gap_ms=self.session_gap_ms, **kw
+        )
+
+    def quantiles(
+        self,
+        scalar: Callable[[DataFrame], DataFrame],
+        probs: list[float] = (0.5, 0.9, 0.99),
+        approx: bool = False,
+    ) -> DataFrame:
+        from openset_spark.operators.histogram import quantiles
+
+        per_user = scalar(self._events)
+        value_col = [c for c in per_user.columns if c != "user_id"][0]
+        return quantiles(per_user, value_col, list(probs), approx)
+
+    def result_tree(
+        self,
+        group_by: list[str],
+        aggs: Sequence[tuple[str, str, str]] = (),
+        where: Column | None = None,
+    ) -> dict:
+        """Reference-format nested response ({"g","c","_"} nodes) for
+        an event query — rollup + driver-side reassembly."""
+        from openset_spark.plans.result_tree import to_result_tree
+
+        roll = event_aggregate_rollup(self._events, group_by, aggs, where)
+        agg_cols = ["people"] + [alias for _, _, alias in aggs]
+        return to_result_tree(roll, group_by, agg_cols)

@@ -97,3 +97,25 @@ def test_first_matching_reverse(eng):
     )
     per_user = last.groupBy("user_id").count().collect()
     assert per_user and all(r["count"] == 1 for r in per_user)
+
+
+def test_next_baskets_quantiles_result_tree(eng):
+    nb = eng.next_baskets()
+    assert {"from_type", "to_type", "people", "pairs"} == set(nb.columns)
+
+    def spend(ev):
+        return (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("spend"))
+        )
+
+    q = eng.quantiles(spend, probs=[0.5, 0.9]).collect()[0]
+    assert q.q50 <= q.q90
+
+    tree = eng.result_tree(
+        ["event_type"], [("count", "event_id", "events")]
+    )
+    assert "c" in tree and tree["c"][0] > 0  # root people total
+    kids = {n["g"] for n in tree["_"]}
+    assert "purchase" in kids
