@@ -47,10 +47,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
 
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers of every table the suite touches
+    # with trivial actions (each query still pays its own planning and
+    # codegen — this only removes first-touch file-listing noise)
     from openset_spark.sources.tables import load_table
 
-    load_table(spark, sf_dir, "lineitem").count()
+    for t in ("lineitem", "orders", "customer", "events", "documents",
+              "embeddings"):
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

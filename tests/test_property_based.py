@@ -115,3 +115,55 @@ def test_matching_rows_limit_matches_oracle(spark, rows, limit):
         assert not any(
             u == uid and n > len(matches) for (u, n) in got
         )
+
+
+scalar_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=6),  # user
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-5, max_value=25, allow_nan=False),
+        ),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(
+    scalar_strategy,
+    st.sampled_from([0.1, 0.5, 1.0, 2.5]),   # bucket
+    st.sampled_from([None, 0.0]),             # min_value
+    st.sampled_from([None, 10.0]),            # max_value
+)
+@SETTINGS
+def test_histogram_matches_oracle(spark, rows, bucket, min_value, max_value):
+    import math
+
+    from openset_spark.operators.histogram import histogram
+
+    # one row per user: last value wins (dict)
+    per_user = {u: v for u, v in rows}
+    df = spark.createDataFrame(
+        list(per_user.items()), "user_id long, v double"
+    )
+    got = {
+        round(r.value, 6): r.people
+        for r in histogram(df, "v", bucket, min_value, max_value).collect()
+    }
+
+    # python oracle on bucket INDICES
+    idx_people: dict[int, set] = {}
+    for u, v in per_user.items():
+        if v is None:
+            continue
+        if max_value is not None:
+            v = min(v, max_value)
+        idx_people.setdefault(math.floor(v / bucket), set()).add(u)
+    want = {idx: len(us) for idx, us in idx_people.items()}
+    if min_value is not None and want:
+        lo = math.floor(min_value / bucket)
+        hi = max(want)
+        want = {i: want.get(i, 0) for i in range(lo, hi + 1)}
+    want_vals = {round(i * bucket, 6): n for i, n in want.items()}
+    assert got == want_vals, (rows, bucket, min_value, max_value)
