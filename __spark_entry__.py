@@ -232,7 +232,7 @@ def q_tpch_q9_style(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.sum(price * (one - disc)).cast("double").alias("profit"))
     )
 
@@ -363,7 +363,7 @@ def q_event_agg_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
     out = event_aggregate(
         ev,
-        group_by=["event_type", F.dayofweek("ts").alias("dow")],
+        group_by=["event_type", F.dayofweek("ts").cast("long").alias("dow")],
         aggs=[("count", "event_id", "events"), ("sum", "value", "total_value")],
         where=F.col("event_type").isin("purchase", "view", "click"),
     )
@@ -387,7 +387,7 @@ def q_event_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return event_aggregate_rollup(
         ev,
-        group_by=["event_type", F.dayofweek("ts").alias("dow")],
+        group_by=["event_type", F.dayofweek("ts").cast("long").alias("dow")],
         aggs=[("count", "event_id", "events")],
     )
 
@@ -527,7 +527,7 @@ flagged AS (
 
 _SQL_SESSION_COUNTS = f"""
 WITH {_SQL_SESSIONS_CTE}
-SELECT user_id, SUM(new_s) AS n_sessions FROM flagged GROUP BY user_id
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM flagged GROUP BY user_id
 """
 
 
@@ -638,7 +638,7 @@ flagged AS (
       THEN 1 ELSE 0 END AS new_s
   FROM ordered
 )
-SELECT user_id, SUM(new_s) AS n_sessions FROM flagged GROUP BY user_id
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions FROM flagged GROUP BY user_id
 """
 
 
@@ -955,7 +955,7 @@ def q_row_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ROW_COUNT_DISTRIBUTION = """
 WITH u AS (SELECT user_id, COUNT(*) AS row_count FROM events GROUP BY user_id)
-SELECT FLOOR(row_count / 5) * 5 AS row_count_bucket, COUNT(*) AS people
+SELECT CAST(FLOOR(row_count / 5) * 5 AS BIGINT) AS row_count_bucket, COUNT(*) AS people
 FROM u GROUP BY 1
 """
 
@@ -968,8 +968,8 @@ def q_purchases_by_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = event_aggregate(
         ev,
         group_by=[
-            get_year(F.col("ts")).alias("yr"),
-            get_quarter(F.col("ts")).alias("qtr"),
+            get_year(F.col("ts")).cast("long").alias("yr"),
+            get_quarter(F.col("ts")).cast("long").alias("qtr"),
         ],
         aggs=[("count", "event_id", "events"), ("sum", "value", "total_value")],
         where=F.col("event_type") == "purchase",
@@ -1026,10 +1026,10 @@ def _seg_membership_sql() -> str:
 
 _SQL_SEGMENT_COUNTS = f"""
 WITH m AS ({_seg_membership_sql()})
-SELECT 'purchasers' AS segment, SUM(CASE WHEN purchasers THEN 1 ELSE 0 END) AS people FROM m
-UNION ALL SELECT 'big_spenders', SUM(CASE WHEN big_spenders THEN 1 ELSE 0 END) FROM m
-UNION ALL SELECT 'errorers', SUM(CASE WHEN errorers THEN 1 ELSE 0 END) FROM m
-UNION ALL SELECT 'recent_actives', SUM(CASE WHEN recent_actives THEN 1 ELSE 0 END) FROM m
+SELECT 'purchasers' AS segment, CAST(SUM(CASE WHEN purchasers THEN 1 ELSE 0 END) AS BIGINT) AS people FROM m
+UNION ALL SELECT 'big_spenders', CAST(SUM(CASE WHEN big_spenders THEN 1 ELSE 0 END) AS BIGINT) FROM m
+UNION ALL SELECT 'errorers', CAST(SUM(CASE WHEN errorers THEN 1 ELSE 0 END) AS BIGINT) FROM m
+UNION ALL SELECT 'recent_actives', CAST(SUM(CASE WHEN recent_actives THEN 1 ELSE 0 END) AS BIGINT) FROM m
 """
 
 
@@ -1051,10 +1051,10 @@ def q_segment_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SEGMENT_ALGEBRA = f"""
 WITH m AS ({_seg_membership_sql()})
-SELECT 'big_and_recent' AS combo, SUM(CASE WHEN big_spenders AND recent_actives THEN 1 ELSE 0 END) AS people FROM m
-UNION ALL SELECT 'big_or_error', SUM(CASE WHEN big_spenders OR errorers THEN 1 ELSE 0 END) FROM m
-UNION ALL SELECT 'big_not_error', SUM(CASE WHEN big_spenders AND NOT errorers THEN 1 ELSE 0 END) FROM m
-UNION ALL SELECT 'not_big', SUM(CASE WHEN NOT big_spenders THEN 1 ELSE 0 END) FROM m
+SELECT 'big_and_recent' AS combo, CAST(SUM(CASE WHEN big_spenders AND recent_actives THEN 1 ELSE 0 END) AS BIGINT) AS people FROM m
+UNION ALL SELECT 'big_or_error', CAST(SUM(CASE WHEN big_spenders OR errorers THEN 1 ELSE 0 END) AS BIGINT) FROM m
+UNION ALL SELECT 'big_not_error', CAST(SUM(CASE WHEN big_spenders AND NOT errorers THEN 1 ELSE 0 END) AS BIGINT) FROM m
+UNION ALL SELECT 'not_big', CAST(SUM(CASE WHEN NOT big_spenders THEN 1 ELSE 0 END) AS BIGINT) FROM m
 """
 
 

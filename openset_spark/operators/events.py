@@ -175,7 +175,7 @@ def matching_rows(
     if where is not None:
         df = df.filter(where)
     return (
-        df.withColumn("match_n", F.row_number().over(w))
+        df.withColumn("match_n", F.row_number().over(w).cast("long"))
         .filter(F.col("match_n") <= limit)
     )
 

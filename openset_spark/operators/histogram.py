@@ -55,10 +55,15 @@ def histogram(
     if min_value is not None:
         # zero-fill from min_value's bucket to the observed max bucket —
         # all index arithmetic on longs, so no FP step-count drift and
-        # the fill join matches observed buckets exactly.
+        # the fill join matches observed buckets exactly. Values below
+        # min fall outside the histogram's floor and are dropped before
+        # the fill; if nothing survives, max(_idx) is null and the
+        # sequence/explode yields an empty histogram (never a
+        # descending hi<lo fill).
         import math
 
         lo = int(math.floor(min_value / bucket))
+        hist = hist.filter(F.col("_idx") >= F.lit(lo))
         bounds = hist.agg(F.max("_idx").alias("_hi")).select(
             F.explode(
                 F.sequence(F.lit(lo).cast("long"), F.col("_hi").cast("long"))

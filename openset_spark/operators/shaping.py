@@ -28,6 +28,6 @@ def top_n_per_group(
     (order_cols should include a deterministic tiebreak)."""
     w = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return (
-        df.withColumn(rank_alias, F.row_number().over(w))
+        df.withColumn(rank_alias, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_alias) <= n)
     )

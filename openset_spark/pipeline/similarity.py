@@ -43,7 +43,7 @@ def brute_force_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
 
@@ -127,7 +127,7 @@ def lsh_topk(
         cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
 def ivf_index(
@@ -212,7 +212,7 @@ def ivf_topk(
         cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
 def embedding_near_dup(

@@ -17,10 +17,12 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     t = F.col(text_col)
     toks = tokens(t)
     n_chars = F.length(t)
+    # counts surface as BIGINT (like every SQL engine's length/count)
+    # so downstream unions/oracle comparisons don't see int32 drift
     return df.select(
         F.col(id_col),
-        n_chars.alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
         (F.length(F.regexp_replace(normalize(t), " ", "")) / F.size(toks)).alias(
             "avg_token_len"
         ),
@@ -53,8 +55,8 @@ def token_counts(
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
-        F.size(tokens(t)).alias("ws_tokens"),
-        bpe_token_count(t).alias("bpe_tokens"),
+        F.size(tokens(t)).cast("long").alias("ws_tokens"),
+        bpe_token_count(t).cast("long").alias("bpe_tokens"),
     )
 
 
@@ -83,7 +85,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stop_ratio"),
         score.alias("quality"),
     )
@@ -93,7 +95,8 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """Stopword-hit argmax language guess over en/de/fr/es."""
     toks = tokens(F.col(text_col))
     scores = [
-        stopword_hits(toks, lang).alias(f"hits_{lang}") for lang in STOPWORDS
+        stopword_hits(toks, lang).cast("long").alias(f"hits_{lang}")
+        for lang in STOPWORDS
     ]
     scored = df.select(F.col(id_col), *scores)
     langs = list(STOPWORDS)

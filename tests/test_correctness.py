@@ -57,6 +57,15 @@ def test_query_matches_oracle(spark, oracle, key):
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{key}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
     )
+    # The driver hashes raw pandas values, so an int64-vs-float64 (or
+    # int32-vs-int64) drift that _canon would forgive still fails its
+    # gate — pin the dtype down to the exact numpy kind+size here.
+    for c in spark_pdf.columns:
+        sk, dk = spark_pdf[c].dtype, duck_pdf[c].dtype
+        if sk.kind in "iuf" or dk.kind in "iuf":
+            assert (sk.kind, sk.itemsize) == (dk.kind, dk.itemsize), (
+                f"{key}: column {c} dtype {sk} != oracle {dk}"
+            )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{key}: rows {len(spark_pdf)} != {len(duck_pdf)}"
     )
