@@ -1,0 +1,83 @@
+"""Registry invariants: the external driver verifies only the first
+50 queries() keys, so the priority window must stay <= 50 and must
+contain a verified representative of every SURVEY §2 family and every
+LLM-pipeline operator."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+# One representative per operator family that MUST sit inside the
+# driver's verification window (SURVEY §2 + the pipeline table).
+REQUIRED_IN_WINDOW = [
+    # relational
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q9_style",
+    # event engine
+    "event_agg_by_type",
+    "event_agg_rollup",
+    "props_json_extract",
+    "user_purchase_totals",
+    "events_with_user_dim",
+    "event_agg_distinct_stamps",
+    "first_events_per_user",
+    "row_count_distribution",
+    "purchases_by_quarter",
+    # behavioral
+    "session_counts",
+    "funnel_within_hour",
+    "next_event_transitions",
+    "next_session_transitions",
+    "top_paths",
+    "top_event_types_per_day",
+    "weekly_retention",
+    "days_to_convert",
+    "user_event_type_sets",
+    # segments
+    "segment_counts",
+    "segment_algebra",
+    "segment_sequence_counts",
+    # property / histogram / customer
+    "property_counts_bucketed",
+    "property_counts_by_segment",
+    "histogram_spend_clipped",
+    "histogram_by_type",
+    "session_length_quantiles",
+    "customer_timeline",
+    # pipeline (every operator, not just a family rep)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_topk",
+    "ann_lsh",
+    "ann_ivf",
+    "text_stats",
+    "token_counts",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "clean_documents",
+    "top_bigrams",
+]
+
+
+def test_priority_window_fits():
+    keys = list(entry_mod.queries().keys())
+    window = keys[: entry_mod._DRIVER_WINDOW]
+    missing = [k for k in REQUIRED_IN_WINDOW if k not in window]
+    assert not missing, f"family reps outside driver window: {missing}"
+
+
+def test_oracle_keys_are_queries():
+    qs = set(entry_mod.queries())
+    extra = set(entry_mod.oracle_sql()) - qs
+    assert not extra, f"oracle_sql keys without queries entry: {extra}"
+
+
+def test_no_duplicate_keys_across_tiers():
+    prio = set(entry_mod._priority_queries())
+    tail = set(entry_mod._extra_queries())
+    assert not prio & tail, f"duplicated keys: {prio & tail}"
