@@ -1059,6 +1059,81 @@ UNION ALL SELECT 'not_big', CAST(SUM(CASE WHEN NOT big_spenders THEN 1 ELSE 0 EN
 
 
 # --------------------------------------------------------------------
+def q_textual_user_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference `id_type: textual` + sid= param (docs/rest/README.md:34,
+    # 331): the behavioral core is id-type agnostic — sessionize, a
+    # 2-step funnel, and segment membership all keyed on a STRING
+    # customer id in one query. Same plan shape as the numeric path:
+    # the three per-user aggregates share the sid hash partitioning.
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn(
+            "sid", F.concat(F.lit("u-"), F.col("user_id").cast("string"))
+        )
+        .drop("user_id")
+    )
+    sess = (
+        with_session(ev, SESSION_GAP_MS, user_col="sid")
+        .groupBy("sid")
+        .agg(F.max("session").cast("long").alias("n_sessions"))
+    )
+    m = membership(
+        ev,
+        [Segment("is_purchaser", F.col("event_type") == "purchase")],
+        user_col="sid",
+    )
+    f = funnel_user_steps(
+        ev,
+        [F.col("event_type") == "signup", F.col("event_type") == "purchase"],
+        user_col="sid",
+    )
+    return (
+        sess.join(m, "sid")
+        .join(f, "sid")
+        .select(
+            "sid",
+            "n_sessions",
+            "is_purchaser",
+            F.col("step_2").isNotNull().alias("converted"),
+        )
+    )
+
+
+_SQL_TEXTUAL_USER_CORE = """
+WITH ev AS (
+  SELECT 'u-' || CAST(user_id AS VARCHAR) AS sid, event_id, event_type,
+    ts::TIMESTAMP AS ts
+  FROM events
+),
+ordered AS (
+  SELECT sid, ts,
+    lag(ts) OVER (PARTITION BY sid ORDER BY ts, event_id) AS prev_ts
+  FROM ev
+),
+sess AS (
+  SELECT sid, CAST(SUM(CASE WHEN prev_ts IS NULL
+      OR (epoch(ts) - epoch(prev_ts)) * 1000 > 1800000
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+  FROM ordered GROUP BY sid
+),
+m AS (
+  SELECT sid, COALESCE(bool_or(event_type = 'purchase'), FALSE) AS is_purchaser
+  FROM ev GROUP BY sid
+),
+s1 AS (
+  SELECT sid, MIN(ts) AS t1 FROM ev WHERE event_type = 'signup' GROUP BY sid
+),
+s2 AS (
+  SELECT e.sid, MIN(e.ts) AS t2 FROM ev e JOIN s1 ON e.sid = s1.sid
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.sid
+)
+SELECT sess.sid, sess.n_sessions, m.is_purchaser,
+  (s2.t2 IS NOT NULL) AS converted
+FROM sess JOIN m ON sess.sid = m.sid LEFT JOIN s2 ON sess.sid = s2.sid
+"""
+
+
+# --------------------------------------------------------------------
 # 2.4 property counts & histograms
 # --------------------------------------------------------------------
 def q_property_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1151,6 +1226,28 @@ SELECT event_type AS prop_value, COUNT(DISTINCT user_id) AS people
 FROM events
 WHERE event_type IS NOT NULL AND regexp_matches(event_type, '^(p|c)')
 GROUP BY event_type
+"""
+
+
+def q_property_counts_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the property endpoint's between=/and= numeric filter (half-open
+    # [lo, hi) per docs/rest/README.md:311) + bucket= + trim= result
+    # shaping, driven through the engine facade so the endpoint wiring
+    # itself is under the oracle gate.
+    from openset_spark.engine import OpenSetEngine
+
+    eng = OpenSetEngine(spark, sf_dir)
+    out = eng.property_counts(
+        "value", bucket=25.0, between=(100.0, 300.0), order="desc", trim=6
+    )
+    return out.select(F.col("value").cast("double").alias("bucket_lo"), "people")
+
+
+_SQL_PROPERTY_COUNTS_BETWEEN = """
+SELECT CAST(FLOOR(value / 25.0) * 25.0 AS DOUBLE) AS bucket_lo,
+  COUNT(DISTINCT user_id) AS people
+FROM events WHERE value >= 100.0 AND value < 300.0
+GROUP BY 1 ORDER BY people DESC, bucket_lo ASC LIMIT 6
 """
 
 
@@ -1591,8 +1688,10 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_counts": q_segment_counts,
         "segment_algebra": q_segment_algebra,
         "segment_sequence_counts": q_segment_sequence_counts,
+        "textual_user_core": q_textual_user_core,
         # property / histogram / customer
         "property_counts_bucketed": q_property_counts_bucketed,
+        "property_counts_between": q_property_counts_between,
         "property_counts_by_segment": q_property_counts_by_segment,
         "histogram_spend_clipped": q_histogram_spend_clipped,
         "histogram_by_type": q_histogram_by_type,
@@ -1684,8 +1783,10 @@ def oracle_sql() -> dict[str, str]:
         "segment_counts": _SQL_SEGMENT_COUNTS,
         "segment_algebra": _SQL_SEGMENT_ALGEBRA,
         "segment_sequence_counts": _SQL_SEGMENT_SEQUENCE_COUNTS,
+        "textual_user_core": _SQL_TEXTUAL_USER_CORE,
         "property_counts": _SQL_PROPERTY_COUNTS,
         "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
+        "property_counts_between": _SQL_PROPERTY_COUNTS_BETWEEN,
         "property_counts_by_segment": _SQL_PROPERTY_COUNTS_BY_SEGMENT,
         "property_counts_rx": _SQL_PROPERTY_COUNTS_RX,
         "histogram_weeks_since": _SQL_HISTOGRAM_WEEKS_SINCE,

@@ -114,17 +114,31 @@ class OpenSetEngine:
         prop: str,
         bucket: float | None = None,
         gt: float | None = None,
+        gte: float | None = None,
         lt: float | None = None,
+        lte: float | None = None,
+        eq=None,
+        between: tuple[float, float] | None = None,
         rx: str | None = None,
         sub: str | None = None,
         segments: list[Segment] | None = None,
+        order: str = "desc",
+        trim: int | None = None,
     ) -> DataFrame:
-        """The property endpoint's filter params, verbatim."""
+        """The property endpoint's filter params, verbatim
+        (docs/rest/README.md:304-316): gt/gte/lt/lte/eq, between+and
+        (half-open: >= lo and < hi), rx, sub, bucket, plus the
+        order=asc|desc and trim=# result-shaping params (sorted by
+        people count; trim keeps the top/bottom # values)."""
         col = F.col(prop)
         flt: Column | None = None
         for cond in (
             col > gt if gt is not None else None,
+            col >= gte if gte is not None else None,
             col < lt if lt is not None else None,
+            col <= lte if lte is not None else None,
+            col == eq if eq is not None else None,
+            (col >= between[0]) & (col < between[1]) if between is not None else None,
             col.rlike(rx) if rx is not None else None,
             col.contains(sub) if sub is not None else None,
         ):
@@ -133,10 +147,19 @@ class OpenSetEngine:
         if segments:
             m = membership(self._events, segments)
             df = self._events if flt is None else self._events.filter(flt)
-            return property_counts_by_segment(
+            out = property_counts_by_segment(
                 df, prop, m, [s.name for s in segments], bucket=bucket
             )
-        return property_counts(self._events, prop, bucket=bucket, value_filter=flt)
+        else:
+            out = property_counts(
+                self._events, prop, bucket=bucket, value_filter=flt
+            )
+        if trim is not None:
+            # top-N by people under the requested order — a single
+            # TakeOrderedAndProject, no full result sort at scale.
+            by = F.asc("people") if order == "asc" else F.desc("people")
+            return out.orderBy(by, F.asc("value")).limit(trim)
+        return out
 
     def histogram(
         self,

@@ -36,6 +36,30 @@ def test_property_counts_filters(eng):
     assert base.count() >= rx.count()
 
 
+def test_property_counts_numeric_filters(eng):
+    # gte/lte include the boundary, gt/lt exclude it, eq pins one
+    # value, between is half-open [lo, hi) — per the endpoint docs.
+    lo = eng.events.agg(F.min("value")).first()[0]
+    gte = eng.property_counts("value", gte=lo)
+    gt = eng.property_counts("value", gt=lo)
+    assert gte.count() == gt.count() + 1
+    some = eng.events.filter(F.col("value").isNotNull()).first().value
+    eq = eng.property_counts("value", eq=some)
+    assert eq.count() == 1 and eq.first().value == some
+    bt = eng.property_counts("value", between=(some, some + 1e-9))
+    assert {r.value for r in bt.collect()} == {some}
+    lte = eng.property_counts("value", lte=some)
+    lt = eng.property_counts("value", lt=some)
+    assert lte.count() == lt.count() + 1
+
+
+def test_property_counts_order_trim(eng):
+    top2 = eng.property_counts("event_type", trim=2).collect()
+    bot2 = eng.property_counts("event_type", order="asc", trim=2).collect()
+    assert len(top2) == 2 and len(bot2) == 2
+    assert top2[0].people >= top2[1].people >= bot2[1].people >= bot2[0].people
+
+
 def test_property_counts_segment_compare(eng):
     out = eng.property_counts(
         "event_type",

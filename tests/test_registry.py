@@ -38,8 +38,10 @@ REQUIRED_IN_WINDOW = [
     "segment_counts",
     "segment_algebra",
     "segment_sequence_counts",
+    "textual_user_core",
     # property / histogram / customer
     "property_counts_bucketed",
+    "property_counts_between",
     "property_counts_by_segment",
     "histogram_spend_clipped",
     "histogram_by_type",
