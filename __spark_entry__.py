@@ -1456,7 +1456,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    queries = embs.filter(F.col("vec_id") < 5).select(
+    queries = embs.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = brute_force_topk(embs, queries, k=10)
@@ -1466,7 +1466,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_ANN_TOPK = """
-WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 50),
 scored AS (
   SELECT q.query_id, c.vec_id,
     list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos_sim
@@ -1486,7 +1486,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    queries = embs.filter(F.col("vec_id") < 5).select(
+    queries = embs.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return lsh_topk(embs, queries, dim=64, k=10, n_planes=6)
@@ -1497,7 +1497,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    queries = embs.filter(F.col("vec_id") < 5).select(
+    queries = embs.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ivf_topk(embs, queries, k=10, n_lists=16, nprobe=4)

