@@ -1134,6 +1134,80 @@ FROM sess JOIN m ON sess.sid = m.sid LEFT JOIN s2 ON sess.sid = s2.sid
 
 
 # --------------------------------------------------------------------
+# OSL front-end — the reference's query LANGUAGE driven end-to-end
+# (docs/osl/language_reference.md; parser/compiler in
+# openset_spark/osl/)
+# --------------------------------------------------------------------
+_OSL_EVENT_AGG_SCRIPT = """
+select
+  count id
+  sum price as total_value
+end
+
+each_row where event.is(== "purchase")
+  << event, get_year(stamp)
+end
+"""
+
+
+def q_osl_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a verbatim OSL script through parse -> compile -> event_aggregate
+    from openset_spark.osl import compile_osl
+
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    q = compile_osl(_OSL_EVENT_AGG_SCRIPT, column_map={"price": "value"})
+    out = q.dataframe(ev)
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
+
+
+_SQL_OSL_EVENT_AGG = """
+SELECT event_type AS event, CAST(year(ts::TIMESTAMP) AS BIGINT) AS get_year_stamp,
+  COUNT(DISTINCT user_id) AS people,
+  CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+"""
+
+
+_OSL_FUNNEL_SCRIPT = """
+select
+  count id
+end
+
+each_row.limit(1) where event.is(== "signup")
+  each_row.continue().next() where event.is(== "purchase")
+    << event
+  end
+end
+"""
+
+
+def q_osl_funnel_continue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nested each_row.continue().next() (the reference's funnel idiom,
+    # test_osl_language.h) through the parser: purchases after the
+    # customer's first signup
+    from openset_spark.osl import compile_osl
+
+    return compile_osl(_OSL_FUNNEL_SCRIPT).dataframe(_events(spark, sf_dir))
+
+
+_SQL_OSL_FUNNEL = """
+WITH a AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'signup'
+  ) t WHERE rn = 1
+)
+SELECT e.event_type AS event, COUNT(DISTINCT e.user_id) AS people
+FROM events e JOIN a ON e.user_id = a.user_id
+WHERE e.event_type = 'purchase'
+  AND (e.ts::TIMESTAMP > a.ts
+       OR (e.ts::TIMESTAMP = a.ts AND e.event_id > a.event_id))
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
 # 2.4 property counts & histograms
 # --------------------------------------------------------------------
 def q_property_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1689,6 +1763,9 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_algebra": q_segment_algebra,
         "segment_sequence_counts": q_segment_sequence_counts,
         "textual_user_core": q_textual_user_core,
+        # OSL front-end
+        "osl_event_agg": q_osl_event_agg,
+        "osl_funnel_continue": q_osl_funnel_continue,
         # property / histogram / customer
         "property_counts_bucketed": q_property_counts_bucketed,
         "property_counts_between": q_property_counts_between,
@@ -1784,6 +1861,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_algebra": _SQL_SEGMENT_ALGEBRA,
         "segment_sequence_counts": _SQL_SEGMENT_SEQUENCE_COUNTS,
         "textual_user_core": _SQL_TEXTUAL_USER_CORE,
+        "osl_event_agg": _SQL_OSL_EVENT_AGG,
+        "osl_funnel_continue": _SQL_OSL_FUNNEL,
         "property_counts": _SQL_PROPERTY_COUNTS,
         "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
         "property_counts_between": _SQL_PROPERTY_COUNTS_BETWEEN,

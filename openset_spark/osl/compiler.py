@@ -1,0 +1,458 @@
+"""Compile the OSL AST to Spark DataFrame plans.
+
+Mapping (reference: src/queryinterpreter.cpp, docs/osl/
+language_reference.md):
+
+- ``each_row where P`` -> row filter; ``.ever/.never`` predicate parts
+  become window booleans over the user partition (the reference scans
+  the customer's whole row set; here one ``max(when(...))`` over ONE
+  user-keyed exchange shared with every other per-user expression).
+- ``.limit/.reverse/.from`` -> ``matching_rows`` (rank within the same
+  user window).
+- nested ``each_row.continue().next()`` -> anchor on the outer scan's
+  first match (``matching_rows(limit=1)``), inner rows restricted to
+  (ts, event_id) after the anchor — the funnel min-ts chaining of
+  ``operators/funnel.py`` expressed through the same user partition.
+- ``select`` aggregators + ``<<`` pivots -> ``event_aggregate``
+  (``count id`` == the implicit distinct-customer count).
+
+Everything stays in one user-keyed shuffle + one aggregation shuffle;
+no driver-side iteration, so a compiled script runs unchanged on a
+1000-executor cluster.
+
+All OSL time values are epoch **milliseconds** (the reference's
+``stamp``); timestamps convert at the edges via ``timestamp_millis``.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openset_spark.functions import time as T
+from openset_spark.functions.osl import osl_round, row_count, trunc
+from openset_spark.functions.time import epoch_ms
+from openset_spark.operators.events import event_aggregate, matching_rows
+from openset_spark.operators.sessionize import with_session
+from openset_spark.osl.parser import (
+    BoolOp,
+    EachRow,
+    OslUnsupported,
+    PCall,
+    PLit,
+    PName,
+    Pred,
+    Script,
+    parse_osl,
+)
+
+_NO_LIMIT = 1 << 62
+DEFAULT_SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _iso_to_ms(v: Any) -> int:
+    if isinstance(v, (int, float)):
+        return int(v)
+    dt = datetime.fromisoformat(str(v))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+class _Ctx:
+    def __init__(
+        self,
+        df: DataFrame,
+        user_col: str,
+        ts_col: str,
+        event_col: str,
+        order_col: str,
+        column_map: dict[str, str],
+        now_ms: int,
+    ) -> None:
+        self.df = df
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.event_col = event_col
+        self.order_col = order_col
+        self.column_map = column_map
+        self.now_ms = now_ms
+
+    @property
+    def user_window(self) -> Window:
+        return Window.partitionBy(self.user_col)
+
+    def stamp(self) -> Column:
+        return epoch_ms(F.col(self.ts_col))
+
+    def resolve(self, prop: str) -> Column:
+        if prop in ("stamp", "event_time"):
+            return self.stamp()
+        if prop == "event":
+            return F.col(self.event_col)
+        if prop == "id":
+            return F.col(self.user_col)
+        if prop == "row_count":
+            return row_count(self.user_col)
+        if prop == "session_count":
+            return F.max("session").over(self.user_window)
+        if prop == "now":
+            return F.lit(self.now_ms)
+        return F.col(self.column_map.get(prop, prop))
+
+
+_CMP_FNS = {
+    "==": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    "<": lambda c, v: c < v,
+    ">=": lambda c, v: c >= v,
+    "<=": lambda c, v: c <= v,
+}
+
+
+def _value_lit(v: Any, ctx: _Ctx) -> Column:
+    if isinstance(v, PName):
+        return ctx.resolve(v.name)
+    return F.lit(v)
+
+
+def _window_cond(window: tuple, ctx: _Ctx) -> Column:
+    kind, a, b = window
+    stamp = ctx.stamp()
+    if kind == "range":
+        return stamp.between(_iso_to_ms(a), _iso_to_ms(b))
+    span = int(a) if not isinstance(a, PName) else None
+    if span is None:
+        raise OslUnsupported(f"non-literal span in .{kind}()")
+    anchor = _value_lit(b, ctx) if isinstance(b, PName) else F.lit(_iso_to_ms(b))
+    if kind == "within":
+        return F.abs(anchor - stamp) <= span
+    if kind == "look_ahead":
+        return (stamp - anchor).between(0, span)
+    if kind == "look_back":
+        return (anchor - stamp).between(0, span)
+    raise OslUnsupported(f"date window .{kind}()")
+
+
+def _pred_col(p: Pred, ctx: _Ctx) -> Column:
+    base = _CMP_FNS[p.op](ctx.resolve(p.prop), _value_lit(p.value, ctx))
+    if p.mode in ("is", "is_not"):
+        if p.window is not None:
+            # ".is may not be used with date modifiers" (language ref)
+            raise OslUnsupported(".is()/.is_not() with a date window")
+        return base if p.mode == "is" else ~base
+    # ever/never scan the customer's whole row set: a window boolean
+    # over the user partition (shares the one user-keyed exchange).
+    cond = base
+    if p.window is not None:
+        cond = cond & _window_cond(p.window, ctx)
+    ever = (
+        F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))).over(ctx.user_window)
+        == 1
+    )
+    return ever if p.mode == "ever" else ~ever
+
+
+def _bool_col(expr: Any, ctx: _Ctx) -> Column:
+    if isinstance(expr, Pred):
+        return _pred_col(expr, ctx)
+    if isinstance(expr, BoolOp):
+        cols = [_bool_col(p, ctx) for p in expr.parts]
+        out = cols[0]
+        for c in cols[1:]:
+            out = (out & c) if expr.kind == "and" else (out | c)
+        return out
+    raise OslUnsupported(f"where expression node: {expr!r}")
+
+
+# ------------------------------------------------- pivot expressions
+def _ts_of(ms: Column) -> Column:
+    return F.timestamp_millis(ms.cast("long"))
+
+
+_PIVOT_FNS: dict[str, Any] = {
+    "bucket": None,  # handled inline (literal size)
+    "round": osl_round,
+    "trunc": trunc,
+    "to_seconds": T.to_seconds,
+    "to_minutes": T.to_minutes,
+    "to_hours": T.to_hours,
+    "to_days": T.to_days,
+    "to_weeks": T.to_weeks,
+}
+for _name in (
+    "get_second", "get_minute", "get_hour", "get_month", "get_quarter",
+    "get_year", "get_day_of_week", "get_day_of_month", "get_day_of_year",
+):
+    _PIVOT_FNS[_name] = getattr(T, _name)
+for _name in (
+    "start_of_second", "start_of_minute", "start_of_hour", "start_of_day",
+    "start_of_week", "start_of_month", "start_of_quarter", "start_of_year",
+):
+    _PIVOT_FNS[_name] = getattr(T, _name)
+
+_TIME_ARG_FNS = {n for n in _PIVOT_FNS if n.startswith(("get_", "start_of_"))}
+_START_OF_FNS = {n for n in _PIVOT_FNS if n.startswith("start_of_")}
+
+
+def _pexpr_col(e: Any, ctx: _Ctx) -> tuple[Column, str]:
+    if isinstance(e, PLit):
+        return F.lit(e.value), str(e.value)
+    if isinstance(e, PName):
+        return ctx.resolve(e.name), e.name
+    if isinstance(e, PCall):
+        if e.fn == "bucket":
+            val, vname = _pexpr_col(e.args[0], ctx)
+            size = e.args[1]
+            if not isinstance(size, PLit):
+                raise OslUnsupported("bucket() size must be a literal")
+            return T.bucket(val, size.value), f"bucket_{vname}"
+        fn = _PIVOT_FNS.get(e.fn)
+        if fn is None:
+            raise OslUnsupported(f"pivot function {e.fn}()")
+        arg, aname = _pexpr_col(e.args[0], ctx)
+        if e.fn in _TIME_ARG_FNS:
+            out = fn(_ts_of(arg))
+            # OSL integers are int64: ms for start_of_*, long parts
+            # for get_* (Spark's calendar extractors return int32)
+            out = epoch_ms(out) if e.fn in _START_OF_FNS else out.cast("long")
+            return out, f"{e.fn}_{aname}"
+        return fn(arg), f"{e.fn}_{aname}"
+    raise OslUnsupported(f"pivot expression: {e!r}")
+
+
+# ---------------------------------------------------------- the query
+class OslQuery:
+    """A compiled OSL script, runnable against an events DataFrame."""
+
+    def __init__(
+        self,
+        script: Script,
+        column_map: dict[str, str] | None = None,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        event_col: str = "event_type",
+        order_col: str = "event_id",
+    ) -> None:
+        self.script = script
+        self.column_map = dict(column_map or {})
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.event_col = event_col
+        self.order_col = order_col
+
+    # -- helpers ------------------------------------------------------
+    def _references_session(self) -> bool:
+        names: set[str] = set()
+
+        def walk_expr(e):
+            if isinstance(e, Pred):
+                names.add(e.prop)
+            elif isinstance(e, BoolOp):
+                for p in e.parts:
+                    walk_expr(p)
+
+        def walk_pexpr(e):
+            if isinstance(e, PName):
+                names.add(e.name)
+            elif isinstance(e, PCall):
+                for a in e.args:
+                    walk_pexpr(a)
+
+        def walk_block(b: EachRow):
+            walk_expr(b.where)
+            for push in b.pushes:
+                for e in push:
+                    walk_pexpr(e)
+            for c in b.children:
+                walk_block(c)
+
+        for b in self.script.blocks:
+            walk_block(b)
+        return "session" in names or "session_count" in names
+
+    def _ctx(
+        self,
+        events: DataFrame,
+        now_ms: int | None,
+        session_gap_ms: int,
+    ) -> _Ctx:
+        df = events
+        if self._references_session():
+            df = with_session(
+                df, session_gap_ms, self.user_col, self.ts_col
+            )
+        if now_ms is None:
+            now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
+        return _Ctx(
+            df,
+            self.user_col,
+            self.ts_col,
+            self.event_col,
+            self.order_col,
+            self.column_map,
+            now_ms,
+        )
+
+    def _block_matched(
+        self, blk: EachRow, ctx: _Ctx, anchor: tuple[DataFrame, bool] | None
+    ) -> DataFrame:
+        """Rows of ctx.df matched by one each_row scan (after its
+        anchor, window mods, .from/.reverse/.limit)."""
+        cond = _bool_col(blk.where, ctx)
+        for kind in ("range", "within", "look_ahead", "look_back"):
+            if kind in blk.mods:
+                a, b = blk.mods[kind]
+                cond = cond & _window_cond((kind, a, b), ctx)
+        df = ctx.df
+        if anchor is not None:
+            a_df, strict = anchor  # strict: .next() advances past anchor
+            df = df.join(a_df, self.user_col)
+            ts, oc = F.col(self.ts_col), F.col(self.order_col)
+            tie = oc > F.col("_a_oc") if strict else oc >= F.col("_a_oc")
+            after = (ts > F.col("_a_ts")) | ((ts == F.col("_a_ts")) & tie)
+            df = df.filter(after).drop("_a_ts", "_a_oc")
+        # window expressions cannot sit in a bare filter: materialize
+        df = df.withColumn("_osl_match", cond)
+        needs_rank = any(k in blk.mods for k in ("limit", "reverse", "from"))
+        if needs_rank:
+            return matching_rows(
+                df,
+                where=F.col("_osl_match"),
+                limit=blk.mods.get("limit", _NO_LIMIT),
+                reverse=bool(blk.mods.get("reverse")),
+                user_col=self.user_col,
+                order_cols=(self.ts_col, self.order_col),
+                from_row=blk.mods.get("from", 0),
+            ).drop("_osl_match")
+        return df.filter(F.col("_osl_match")).drop("_osl_match")
+
+    def _leaf_matched(self, blk: EachRow, ctx: _Ctx) -> tuple[EachRow, DataFrame]:
+        """Walk the single-child chain; outer scans become per-user
+        anchors (first match), the leaf yields its matched rows."""
+        anchor: tuple[DataFrame, bool] | None = None
+        cur = blk
+        while cur.children:
+            if len(cur.children) > 1:
+                raise OslUnsupported("each_row with multiple nested scans")
+            child = cur.children[0]
+            if not child.mods.get("continue"):
+                anchor = None  # child restarts at row 0: independent scan
+                cur = child
+                continue
+            if cur.mods.get("limit") != 1:
+                raise OslUnsupported(
+                    "outer each_row feeding .continue() must be .limit(1)"
+                )
+            first = self._block_matched(cur, ctx, anchor)
+            a = first.select(
+                self.user_col,
+                F.col(self.ts_col).alias("_a_ts"),
+                F.col(self.order_col).alias("_a_oc"),
+            )
+            anchor = (a, bool(child.mods.get("next")))
+            cur = child
+        return cur, self._block_matched(cur, ctx, anchor)
+
+    # -- public surface ----------------------------------------------
+    def matched_blocks(
+        self,
+        events: DataFrame,
+        now_ms: int | None = None,
+        session_gap_ms: int = DEFAULT_SESSION_GAP_MS,
+    ) -> list[DataFrame]:
+        """One DataFrame of leaf-matched rows per top-level each_row
+        block — the rows the reference's interpreter would visit (what
+        a script body's side effects observe)."""
+        ctx = self._ctx(events, now_ms, session_gap_ms)
+        return [self._leaf_matched(b, ctx)[1] for b in self.script.blocks]
+
+    def matched(self, events: DataFrame, **kw) -> DataFrame:
+        blocks = self.matched_blocks(events, **kw)
+        if len(blocks) != 1:
+            raise OslUnsupported(
+                f"matched() needs exactly one scan, script has {len(blocks)}"
+            )
+        return blocks[0]
+
+    def dataframe(
+        self,
+        events: DataFrame,
+        now_ms: int | None = None,
+        session_gap_ms: int = DEFAULT_SESSION_GAP_MS,
+    ) -> DataFrame:
+        """The aggregated result: select aggregators grouped by the
+        script's ``<<`` pivot (event_aggregate under the hood)."""
+        ctx = self._ctx(events, now_ms, session_gap_ms)
+        pushing = [
+            (b, leaf, rows)
+            for b in self.script.blocks
+            for leaf, rows in [self._leaf_matched(b, ctx)]
+            if leaf.pushes
+        ]
+        if len(pushing) != 1 or len(pushing[0][1].pushes) != 1:
+            raise OslUnsupported(
+                "compile target needs exactly one << push in one scan"
+            )
+        _, leaf, rows = pushing[0]
+        # materialize pivot expressions as columns BEFORE the groupBy:
+        # window-backed pivots (row_count, session_count) are illegal
+        # directly inside GROUP BY
+        gnames = []
+        for e in leaf.pushes[0]:
+            col, name = _pexpr_col(e, ctx)
+            rows = rows.withColumn(name, col)
+            gnames.append(name)
+
+        aggs: list[tuple[str, Any, str]] = []
+        count_people = False
+        people_alias = "people"
+        selects = self.script.selects or [("count", "id", None)]
+        for fn, prop, alias in selects:
+            if fn == "count" and prop == "id":
+                count_people = True
+                people_alias = alias or "people"
+                continue
+            aggs.append(
+                (fn, ctx.resolve(prop), alias or f"{fn}_{prop}")
+            )
+        out = event_aggregate(
+            rows,
+            group_by=gnames,
+            aggs=aggs,
+            user_col=self.user_col,
+            count_people=count_people,
+            people_alias=people_alias,
+        )
+        for name, direction in self.script.sorts:
+            if name in out.columns:
+                out = out.orderBy(
+                    F.asc(name) if direction == "asc" else F.desc(name)
+                )
+        return out
+
+    def run(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        table: str = "events",
+        **kw,
+    ) -> DataFrame:
+        from openset_spark.sources.tables import load_table
+
+        return self.dataframe(load_table(spark, sf_dir, table), **kw)
+
+
+def compile_osl(
+    script: str,
+    column_map: dict[str, str] | None = None,
+    **kw,
+) -> OslQuery:
+    """Parse + bind an OSL script. ``column_map`` maps OSL property
+    names to events-table columns (``event``/``stamp``/``id``/
+    ``session``/``row_count`` are built in)."""
+    return OslQuery(parse_osl(script), column_map=column_map, **kw)

@@ -1,0 +1,401 @@
+"""OSL tokenizer + recursive-descent parser -> small AST.
+
+Grammar (the declarative core; docs/osl/language_reference.md):
+
+    script    := (select | sort | each_row | ignored_line)*
+    select    := 'select' NL (agg_line)* 'end'
+    agg_line  := ('count'|'sum'|'min'|'max'|'avg') name ['as' name]
+    sort      := 'sort' NL (name ['asc'|'desc'])* 'end'
+    each_row  := 'each_row' mods 'where' expr NL body 'end'
+    mods      := ('.' name '(' args? ')')*
+    body      := (push | each_row | ignored_line)*
+    push      := '<<' pexpr (',' pexpr)*
+    expr      := andx ('||' andx)*      # also accepts 'or'
+    andx      := atom ('&&' atom)*      # also accepts 'and'
+    atom      := '(' expr ')' | predicate
+    predicate := name modchain | name cmp value
+    modchain  := ('.' name '(' margs ')')+   # is/is_not/ever/never/
+                                             # within/look_ahead/
+                                             # look_back/range
+    cmp       := '=='|'!='|'>='|'<='|'>'|'<'
+    value     := STRING | NUMBER | SPAN | name
+    pexpr     := name | STRING | NUMBER | name '(' pexpr (',' pexpr)* ')'
+
+Ignored lines: assignments (``x = ...``) and ``debug(...)`` — they
+cannot change which rows match. Flow control raises OslUnsupported.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from openset_spark.functions.time import span as span_ms
+
+
+class OslSyntaxError(ValueError):
+    pass
+
+
+class OslUnsupported(ValueError):
+    """Valid OSL the Spark compile does not cover (imperative flow)."""
+
+
+# ---------------------------------------------------------------- AST
+@dataclass(frozen=True)
+class Pred:
+    prop: str
+    op: str  # == != > < >= <=
+    value: Any
+    mode: str = "is"  # is | is_not | ever | never
+    window: tuple | None = None  # ("within"|"look_ahead"|"look_back", ms, anchor) | ("range", a, b)
+
+
+@dataclass(frozen=True)
+class BoolOp:
+    kind: str  # "and" | "or"
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class PName:
+    name: str
+
+
+@dataclass(frozen=True)
+class PLit:
+    value: Any
+
+
+@dataclass(frozen=True)
+class PCall:
+    fn: str
+    args: tuple
+
+
+@dataclass
+class EachRow:
+    where: Any
+    mods: dict = field(default_factory=dict)
+    pushes: list = field(default_factory=list)  # list[list[pexpr]]
+    children: list = field(default_factory=list)  # nested EachRow
+
+
+@dataclass
+class Script:
+    selects: list  # [(fn, prop, alias)]
+    blocks: list  # top-level EachRow
+    sorts: list  # [(name, "asc"|"desc")]
+
+
+# ---------------------------------------------------------- tokenizer
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<SPAN>\d+_[a-zA-Z]+)
+  | (?P<NUM>\d+\.\d+|\d+)
+  | (?P<STR>"[^"]*"|'[^']*')
+  | (?P<OP><<|==|!=|>=|<=|&&|\|\||[()\[\],.<>=])
+  | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<WS>[ \t]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise OslSyntaxError(f"cannot tokenize at: {s[i:i + 20]!r}")
+        kind = m.lastgroup
+        if kind != "WS":
+            out.append((kind, m.group()))
+        i = m.end()
+    return out
+
+
+def _literal(kind: str, text: str) -> Any:
+    if kind == "STR":
+        return text[1:-1]
+    if kind == "NUM":
+        return float(text) if "." in text else int(text)
+    if kind == "SPAN":
+        n, unit = text.split("_", 1)
+        return span_ms(int(n), unit.lower())
+    if kind == "NAME":
+        return PName(text)
+    raise OslSyntaxError(f"expected literal, got {text!r}")
+
+
+class _Tokens:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise OslSyntaxError("unexpected end of expression")
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, text: str) -> bool:
+        t = self.peek()
+        if t and t[1] == text:
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, text: str) -> None:
+        t = self.next()
+        if t[1] != text:
+            raise OslSyntaxError(f"expected {text!r}, got {t[1]!r}")
+
+
+_CMPS = {"==", "!=", ">", "<", ">=", "<="}
+_PRED_MODES = {"is", "is_not", "ever", "never"}
+_PRED_WINDOWS = {"within", "look_ahead", "look_back", "range"}
+
+
+# ------------------------------------------------- where-expr parsing
+def _parse_expr(tk: _Tokens):
+    left = _parse_and(tk)
+    parts = [left]
+    while True:
+        t = tk.peek()
+        if t and t[1] in ("||", "or"):
+            tk.next()
+            parts.append(_parse_and(tk))
+        else:
+            break
+    return parts[0] if len(parts) == 1 else BoolOp("or", tuple(parts))
+
+
+def _parse_and(tk: _Tokens):
+    parts = [_parse_atom(tk)]
+    while True:
+        t = tk.peek()
+        if t and t[1] in ("&&", "and"):
+            tk.next()
+            parts.append(_parse_atom(tk))
+        else:
+            break
+    return parts[0] if len(parts) == 1 else BoolOp("and", tuple(parts))
+
+
+def _parse_atom(tk: _Tokens):
+    if tk.accept("("):
+        inner = _parse_expr(tk)
+        tk.expect(")")
+        return inner
+    kind, name = tk.next()
+    if kind != "NAME":
+        raise OslSyntaxError(f"expected property name, got {name!r}")
+    # modifier chain: prop.within(...).never(== x) / prop.is(== x)
+    mode, op, value, window = None, None, None, None
+    while tk.peek() and tk.peek()[1] == ".":
+        tk.next()
+        mkind, mname = tk.next()
+        if mkind != "NAME":
+            raise OslSyntaxError(f"expected modifier after '.', got {mname!r}")
+        tk.expect("(")
+        if mname in _PRED_MODES:
+            ckind, ctext = tk.next()
+            if ctext not in _CMPS:
+                raise OslSyntaxError(
+                    f".{mname}() needs a comparator, got {ctext!r}"
+                )
+            vkind, vtext = tk.next()
+            op, value = ctext, _literal(vkind, vtext)
+            mode = mname
+        elif mname in _PRED_WINDOWS:
+            a_kind, a_text = tk.next()
+            a = _literal(a_kind, a_text)
+            tk.expect(",")
+            b_kind, b_text = tk.next()
+            b = _literal(b_kind, b_text)
+            window = (mname, a, b)
+        else:
+            raise OslUnsupported(f"predicate modifier .{mname}()")
+        tk.expect(")")
+    if mode is None:
+        # bare comparison: event == "purchase"  (row-level 'is')
+        ckind, ctext = tk.next()
+        if ctext not in _CMPS:
+            raise OslSyntaxError(
+                f"expected comparator after {name!r}, got {ctext!r}"
+            )
+        vkind, vtext = tk.next()
+        op, value, mode = ctext, _literal(vkind, vtext), "is"
+    return Pred(name, op, value, mode, window)
+
+
+# ------------------------------------------------------ pivot parsing
+def _parse_pexpr(tk: _Tokens):
+    kind, text = tk.next()
+    if kind in ("STR", "NUM", "SPAN"):
+        return PLit(_literal(kind, text))
+    if kind != "NAME":
+        raise OslSyntaxError(f"bad pivot expression at {text!r}")
+    if tk.peek() and tk.peek()[1] == "(":
+        tk.next()
+        args = [_parse_pexpr(tk)]
+        while tk.accept(","):
+            args.append(_parse_pexpr(tk))
+        tk.expect(")")
+        return PCall(text, tuple(args))
+    return PName(text)
+
+
+def _parse_push(line: str) -> list:
+    tk = _Tokens(_tokenize(line))
+    tk.expect("<<")
+    exprs = [_parse_pexpr(tk)]
+    while tk.accept(","):
+        exprs.append(_parse_pexpr(tk))
+    if tk.peek():
+        raise OslSyntaxError(f"trailing tokens in push: {line!r}")
+    return exprs
+
+
+# ----------------------------------------------------- line structure
+_ASSIGN_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\[[^\]]*\])?\s*=[^=]")
+_IGNORED_CALL_RE = re.compile(r"^debug\s*\(")
+_FLOW_RE = re.compile(r"^(if|for|break|continue|return|exit|match)\b")
+_EACH_ROW_RE = re.compile(r"^each_row((?:\.\w+\([^)]*\))*)\s+where\s+(.+)$")
+_EACH_ROW_NOWHERE_RE = re.compile(r"^each_row((?:\.\w+\([^)]*\))*)\s*$")
+_MOD_RE = re.compile(r"\.(\w+)\(([^)]*)\)")
+
+
+def _parse_mods(modstr: str) -> dict:
+    mods: dict = {}
+    for name, args in _MOD_RE.findall(modstr):
+        args = args.strip()
+        if name == "limit":
+            mods["limit"] = int(args)
+        elif name == "from":
+            mods["from"] = int(args)
+        elif name in ("reverse", "forward", "continue", "next"):
+            mods[name] = True
+        elif name in ("range", "within", "look_ahead", "look_back"):
+            tk = _Tokens(_tokenize(args))
+            a_kind, a_text = tk.next()
+            a = _literal(a_kind, a_text)
+            tk.expect(",")
+            b_kind, b_text = tk.next()
+            b = _literal(b_kind, b_text)
+            mods[name] = (a, b)
+        else:
+            raise OslUnsupported(f"each_row modifier .{name}()")
+    return mods
+
+
+def _logical_lines(script: str) -> list[str]:
+    """Strip comments/blank lines; join multi-line dict/list literals
+    minimally (we only need them to skip assignments cleanly)."""
+    out = []
+    depth = 0
+    buf = ""
+    for raw in script.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        buf = f"{buf} {line}".strip() if buf else line
+        depth += line.count("[") + line.count("{") + line.count("(")
+        depth -= line.count("]") + line.count("}") + line.count(")")
+        if depth <= 0:
+            out.append(buf)
+            buf = ""
+            depth = 0
+    if buf:
+        out.append(buf)
+    return out
+
+
+def parse_osl(script: str) -> Script:
+    lines = _logical_lines(script)
+    selects: list = []
+    sorts: list = []
+    blocks: list = []
+    i = 0
+
+    def parse_block(header: str, idx: int) -> tuple[EachRow, int]:
+        m = _EACH_ROW_RE.match(header)
+        if m:
+            mods, where_src = _parse_mods(m.group(1)), m.group(2)
+            tk = _Tokens(_tokenize(where_src))
+            where = _parse_expr(tk)
+            if tk.peek():
+                raise OslSyntaxError(f"trailing tokens in where: {where_src!r}")
+        else:
+            m2 = _EACH_ROW_NOWHERE_RE.match(header)
+            if not m2:
+                raise OslSyntaxError(f"bad each_row header: {header!r}")
+            raise OslSyntaxError("each_row requires a where condition")
+        blk = EachRow(where=where, mods=mods)
+        while idx < len(lines):
+            line = lines[idx]
+            if line == "end":
+                return blk, idx + 1
+            if line.startswith("<<"):
+                blk.pushes.append(_parse_push(line))
+                idx += 1
+            elif line.startswith("each_row"):
+                child, idx = parse_block(line, idx + 1)
+                blk.children.append(child)
+            elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
+                idx += 1  # imperative no-op for the matched row set
+            elif _FLOW_RE.match(line):
+                raise OslUnsupported(f"flow control in each_row body: {line!r}")
+            else:
+                raise OslSyntaxError(f"unrecognized statement: {line!r}")
+        raise OslSyntaxError("each_row block missing 'end'")
+
+    while i < len(lines):
+        line = lines[i]
+        if line == "select":
+            i += 1
+            while i < len(lines) and lines[i] != "end":
+                tk = _Tokens(_tokenize(lines[i]))
+                fkind, fn = tk.next()
+                if fn not in ("count", "sum", "min", "max", "avg", "dcount"):
+                    raise OslSyntaxError(f"bad aggregator: {lines[i]!r}")
+                pkind, prop = tk.next()
+                alias = None
+                if tk.peek() and tk.peek()[1] == "as":
+                    tk.next()
+                    _, alias = tk.next()
+                if tk.peek():
+                    raise OslUnsupported(
+                        f"aggregator option not supported: {lines[i]!r}"
+                    )
+                selects.append((fn, prop, alias))
+                i += 1
+            if i == len(lines):
+                raise OslSyntaxError("select block missing 'end'")
+            i += 1
+        elif line == "sort":
+            i += 1
+            while i < len(lines) and lines[i] != "end":
+                parts = lines[i].split()
+                sorts.append((parts[0], parts[1] if len(parts) > 1 else "desc"))
+                i += 1
+            if i == len(lines):
+                raise OslSyntaxError("sort block missing 'end'")
+            i += 1
+        elif line.startswith("each_row"):
+            blk, i = parse_block(line, i + 1)
+            blocks.append(blk)
+        elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
+            i += 1
+        elif _FLOW_RE.match(line):
+            raise OslUnsupported(f"top-level flow control: {line!r}")
+        else:
+            raise OslSyntaxError(f"unrecognized statement: {line!r}")
+
+    return Script(selects=selects, blocks=blocks, sorts=sorts)

@@ -1,0 +1,281 @@
+"""OSL front-end: replay the reference's own doc/test scripts
+(test/test_osl_language.h, docs/osl/language_reference.md) against the
+compiled Spark plans.
+
+The fixture mirrors the reference's user1 fruit timeline verbatim
+(5 purchases, one customer, 1-second stamps) so each script's expected
+match counts are the reference's own assertions."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.osl import OslUnsupported, compile_osl
+
+BASE = datetime(2016, 3, 24, 12, 0, 30, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def fruit_events(spark):
+    # test_osl_language.h user1_raw_inserts: 5 purchases @ 1s apart
+    rows = [
+        ("user1", i, "purchase", BASE.replace(second=30 + i), fruit, price)
+        for i, (fruit, price) in enumerate(
+            [
+                ("orange", 5.55),
+                ("apple", 9.95),
+                ("pear", 12.49),
+                ("banana", 2.49),
+                ("orange", 5.55),
+            ]
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, ts timestamp, fruit string, price double"
+    )
+
+
+def _counts(script, events):
+    return [df.count() for df in compile_osl(script).matched_blocks(events)]
+
+
+# ----------------------------------------------------- reference tests
+def test_each_ever_never(fruit_events):
+    # "test OSL each": 4 scans, debug fires twice (blocks 2 and 4)
+    script = """
+    each_row where fruit.is(== "banana") && fruit.ever(== "donkey")
+        debug(true)
+    end
+
+    each_row where fruit.is(== "banana") && fruit.ever(== "pear")
+        debug(true)
+    end
+
+    each_row where fruit.is(== "banana") && fruit.never(== "pear")
+        debug(true)
+    end
+
+    each_row where fruit.is(== "banana")
+        debug(true)
+    end
+    """
+    assert _counts(script, fruit_events) == [0, 1, 0, 1]
+
+
+def test_each_row_limit(fruit_events):
+    # "test OSL each_row with limit": counter == 2
+    script = """
+    counter = 0
+
+    each_row.limit(2) where event == "purchase"
+      counter = counter + 1
+    end
+
+    debug(counter == 2)
+    """
+    assert _counts(script, fruit_events) == [2]
+
+
+def test_each_row_range(fruit_events):
+    # "test OSL each_row .range": 3 matches, stamps ascending
+    script = """
+    counter = 0
+
+    each_row.range("2016-03-24T12:00:30+00:00", "2016-03-24T12:00:32+00:00") where event == "purchase"
+      counter = counter + 1
+      debug(stamp)
+    end
+
+    debug(counter == 3)
+    """
+    q = compile_osl(script)
+    rows = q.matched(fruit_events).collect()
+    # inclusive bounds: stamps :30, :31, :32 of the 5-row timeline
+    assert sorted(r.ts.second for r in rows) == [30, 31, 32]
+
+
+def test_each_row_range_reverse(fruit_events):
+    # "test OSL each_row .range .reverse": same 3, visited newest-first
+    script = """
+    each_row.reverse().range("2016-03-24T12:00:30+00:00", "2016-03-24T12:00:32+00:00") where event == "purchase"
+      debug(stamp)
+    end
+    """
+    rows = compile_osl(script).matched(fruit_events).orderBy("match_n").collect()
+    assert len(rows) == 3
+    assert [r.ts for r in rows] == sorted((r.ts for r in rows), reverse=True)
+
+
+def test_each_row_continue_no_advance(fruit_events):
+    # "test OSL each_row .continue (no advance)": counter == 5
+    script = """
+    each_row.limit(1) where event.is(== "purchase")
+      each_row.continue() where event.is(== "purchase")
+        counter = counter + 1
+      end
+    end
+    """
+    assert _counts(script, fruit_events) == [5]
+
+
+def test_each_row_continue_next(fruit_events):
+    # "test OSL each_row .continue .next (with advance)": counter == 4
+    script = """
+    each_row.limit(1) where event.is(== "purchase")
+      each_row.continue().next() where event.is(== "purchase")
+        counter = counter + 1
+      end
+    end
+    """
+    assert _counts(script, fruit_events) == [4]
+
+
+def test_each_row_from(fruit_events):
+    # "test OSL each_row .from": counter == 3
+    script = """
+    each_row.from(2) where event.is(== "purchase")
+      counter = counter + 1
+    end
+    """
+    assert _counts(script, fruit_events) == [3]
+
+
+# ------------------------------------------------- doc example scripts
+def test_select_count_id_pivot(fruit_events):
+    # language_reference.md "<< push to aggregator": count id by pivot
+    script = """
+    select
+      count id
+    end
+
+    each_row where event.is(== "purchase")
+        << fruit
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events)
+    got = {r.fruit: r.people for r in out.collect()}
+    assert got == {"orange": 1, "apple": 1, "pear": 1, "banana": 1}
+
+
+def test_select_sum_alias(fruit_events):
+    script = """
+    select
+      count id
+      sum price as total
+    end
+
+    each_row where event.is(== "purchase")
+        << fruit
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events)
+    got = {r.fruit: r.total for r in out.collect()}
+    assert got["orange"] == pytest.approx(11.10)
+    assert got["banana"] == pytest.approx(2.49)
+
+
+def test_get_day_of_week_pivot(fruit_events):
+    # doc: count all people that purchased by day of week
+    script = """
+    each_row where event.is(== "purchase")
+        << get_day_of_week(event_time)
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events)
+    rows = out.collect()
+    # 2016-03-24 is a Thursday (Spark dayofweek: Sun=1 .. Thu=5)
+    assert len(rows) == 1 and rows[0][0] == 5 and rows[0].people == 1
+
+
+def test_bucket_row_count_pivot(fruit_events):
+    # doc: << bucket( row_count, 5 )
+    script = """
+    each_row where event.is(== "purchase")
+        << bucket( row_count, 5 )
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0][0] == 5 and rows[0].people == 1
+
+
+def test_session_pivot(fruit_events):
+    # doc "Session Functions": session.is(== n) with << pivot
+    script = """
+    select
+      count id
+    end
+
+    each_row where event.is(== "purchase") && session.is(== 1)
+        << fruit
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events)
+    assert out.count() == 4  # all rows in one 30-min session
+
+
+def test_never_with_window(fruit_events):
+    # doc: property.within(span, now).never(== value)
+    now_ms = int(BASE.timestamp() * 1000) + 10_000
+    script = """
+    each_row where fruit.within(1_hour, now).never(== "dog") && event.is(== "purchase")
+      debug(true)
+    end
+    """
+    q = compile_osl(script)
+    assert q.matched(fruit_events, now_ms=now_ms).count() == 5
+    script2 = """
+    each_row where fruit.within(1_hour, now).never(== "pear") && event.is(== "purchase")
+      debug(true)
+    end
+    """
+    assert compile_osl(script2).matched(fruit_events, now_ms=now_ms).count() == 0
+
+
+def test_start_of_month_pivot(fruit_events):
+    script = """
+    each_row where event.is(== "purchase")
+        << start_of_month(event_time)
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events).collect()
+    month_start_ms = int(
+        datetime(2016, 3, 1, tzinfo=timezone.utc).timestamp() * 1000
+    )
+    assert len(out) == 1 and out[0][0] == month_start_ms
+
+
+def test_unsupported_flow_raises(fruit_events):
+    with pytest.raises(OslUnsupported):
+        compile_osl(
+            """
+            each_row where event == "purchase"
+              if price > 5
+                debug(true)
+              end
+            end
+            """
+        )
+
+
+def test_sort_section(fruit_events):
+    script = """
+    select
+      count id
+      sum price as total
+    end
+
+    each_row where event.is(== "purchase")
+        << fruit
+    end
+
+    sort
+      total asc
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events).collect()
+    totals = [r.total for r in out]
+    assert totals == sorted(totals)

@@ -39,6 +39,9 @@ REQUIRED_IN_WINDOW = [
     "segment_algebra",
     "segment_sequence_counts",
     "textual_user_core",
+    # OSL front-end
+    "osl_event_agg",
+    "osl_funnel_continue",
     # property / histogram / customer
     "property_counts_bucketed",
     "property_counts_between",
