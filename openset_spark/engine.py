@@ -65,6 +65,7 @@ class OpenSetEngine:
         self.sf_dir = sf_dir
         self.session_gap_ms = session_gap_ms
         self._events = load_table(spark, sf_dir, events_table)
+        self._segment_store = None
 
     # -- data access --------------------------------------------------
     @property
@@ -86,20 +87,49 @@ class OpenSetEngine:
         aggs: Sequence[tuple[str, str, str]] = (),
         where: Column | None = None,
         rollup: bool = False,
+        segments: Sequence[str] = (),
         **kw,
     ) -> DataFrame:
         fn = event_aggregate_rollup if rollup else event_aggregate
-        return fn(self._events, group_by, aggs, where, **kw)
+        return fn(self._scope(segments), group_by, aggs, where, **kw)
 
     def user_query(
         self,
         aggs: Sequence[tuple[str, str, str]],
         where: Column | None = None,
+        segments: Sequence[str] = (),
     ) -> DataFrame:
-        return user_scalar(self._events, aggs, where)
+        return user_scalar(self._scope(segments), aggs, where)
 
     def segments(self, segments: list[Segment]) -> DataFrame:
         return segment_counts(self._events, segments)
+
+    # -- named segment store (the /counts endpoint's cached segments,
+    #    docs/rest/README.md:260-270) ---------------------------------
+    @property
+    def segment_store(self):
+        """Named segments with ttl/refresh/use_cached/on_insert/z_index
+        policy; members are then usable via the ``segments=`` param of
+        the other query methods."""
+        if self._segment_store is None:
+            from openset_spark.operators.segment_store import SegmentStore
+
+            self._segment_store = SegmentStore(lambda: self._events)
+        return self._segment_store
+
+    def _scope(
+        self, segments: Sequence[str], now_ms: int = 0
+    ) -> DataFrame:
+        """Events restricted to members of ALL named segments (the
+        reference's ``segments=`` query param). Membership frames are
+        one row per user — the semi-join broadcasts under AQE instead
+        of reshuffling the events table."""
+        ev = self._events
+        for name in segments:
+            ev = ev.join(
+                self.segment_store.users(name, now_ms), "user_id", "semi"
+            )
+        return ev
 
     def segment_membership(self, segments: list[Segment]) -> DataFrame:
         return membership(self._events, segments)
@@ -121,7 +151,7 @@ class OpenSetEngine:
         between: tuple[float, float] | None = None,
         rx: str | None = None,
         sub: str | None = None,
-        segments: list[Segment] | None = None,
+        segments: list[Segment] | list[str] | None = None,
         order: str = "desc",
         trim: int | None = None,
     ) -> DataFrame:
@@ -145,11 +175,16 @@ class OpenSetEngine:
             if cond is not None:
                 flt = cond if flt is None else (flt & cond)
         if segments:
-            m = membership(self._events, segments)
+            # compare mode: ad-hoc Segment objects, or NAMES of stored
+            # segments (the REST ``segments=`` param names cached ones)
+            if all(isinstance(s, str) for s in segments):
+                names = list(segments)
+                m = self.segment_store.membership(names)
+            else:
+                names = [s.name for s in segments]
+                m = membership(self._events, segments)
             df = self._events if flt is None else self._events.filter(flt)
-            out = property_counts_by_segment(
-                df, prop, m, [s.name for s in segments], bucket=bucket
-            )
+            out = property_counts_by_segment(df, prop, m, names, bucket=bucket)
         else:
             out = property_counts(
                 self._events, prop, bucket=bucket, value_filter=flt
@@ -195,8 +230,10 @@ class OpenSetEngine:
         return run_batch(self._events, batch)
 
     # -- behavioral reports ------------------------------------------
-    def funnel(self, steps: Sequence[Column], **kw) -> DataFrame:
-        return funnel(self._events, steps, **kw)
+    def funnel(
+        self, steps: Sequence[Column], segments: Sequence[str] = (), **kw
+    ) -> DataFrame:
+        return funnel(self._scope(segments), steps, **kw)
 
     def retention(self, period: str = "week") -> DataFrame:
         return retention(self._events, period)
