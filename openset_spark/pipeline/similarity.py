@@ -13,9 +13,7 @@ All vector math is `aggregate`/`zip_with` (JVM codegen), no Python.
 
 from __future__ import annotations
 
-import functools
 import math
-import operator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -70,43 +68,56 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _lit_vec_sql(v: list[float]) -> str:
+    """SQL literal ``array<double>`` — ONE string the parser ingests in
+    one call. Building the same array as nested ``F.array(F.lit(...))``
+    costs a py4j round trip per element; at 24 planes x 64 dims that
+    was ~4 s of DRIVER time per plan build (measured), repaid on every
+    re-plan. String building is ~ms and scale-free."""
+    return "array(" + ",".join(repr(float(x)) + "D" for x in v) + ")"
+
+
+def _dot_lit_sql(col_sql: str, v: list[float]) -> str:
+    """dot(column, literal vector) as a SQL snippet (same zip_with +
+    aggregate shape as :func:`dot`, so results are bit-identical)."""
+    return (
+        f"aggregate(zip_with({col_sql},{_lit_vec_sql(v)},(x,y)->x*y),"
+        "0D,(a,v)->a+v)"
+    )
+
+
 def lsh_buckets_array(
-    vec: Column, dim: int, n_planes: int, n_tables: int, seed: int = 42
+    vec_col_sql: str, dim: int, n_planes: int, n_tables: int, seed: int = 42
 ) -> Column:
-    """``array<long>`` of ``n_tables`` bucket signatures in ONE pass:
-    every table's hyperplanes sit in a single 2D literal array, the
-    sign bits come from one ``transform`` (one codegen'd loop per row,
-    not one plan subtree per plane), and each table's bucket is
-    assembled from its slice of the bit array. Keeps the physical plan
-    to a single corpus scan + one projection regardless of table
-    count."""
+    """``array<long>`` of ``n_tables`` bucket signatures in ONE pass
+    over the corpus, built as ONE ``F.expr`` string.
+
+    Per-plane dots stay FLAT expressions (zip_with+aggregate each):
+    nesting them inside a transform() over a 2D plane array forces
+    the whole signature out of codegen into interpreted eval —
+    measured ~5x slower per scan. Flat via expression STRING keeps
+    both properties: codegen'd execution and O(1) py4j calls."""
     all_planes: list[list[float]] = []
     for t in range(n_tables):
         all_planes.extend(_hyperplanes(dim, n_planes, seed + 1000 * t))
 
-    # Per-plane dots stay FLAT expressions (zip_with+aggregate each):
-    # nesting them inside a transform() over a 2D plane array forces
-    # the whole signature out of codegen into interpreted eval —
-    # measured ~5x slower per scan.
-    def bucket_of(t: int) -> Column:
-        terms = []
-        for i in range(n_planes):
-            p = all_planes[t * n_planes + i]
-            d = dot(vec, F.array(*[F.lit(float(x)) for x in p]))
-            terms.append(
-                F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        return functools.reduce(operator.add, terms)
+    def bucket_sql(t: int) -> str:
+        terms = [
+            f"(CASE WHEN {_dot_lit_sql(vec_col_sql, all_planes[t * n_planes + i])}"
+            f" > 0D THEN {1 << i}L ELSE 0L END)"
+            for i in range(n_planes)
+        ]
+        return "(" + "+".join(terms) + ")"
 
-    return F.array(*[bucket_of(t) for t in range(n_tables)])
+    return F.expr(
+        "array(" + ",".join(bucket_sql(t) for t in range(n_tables)) + ")"
+    )
 
 
 def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16, vec_col: str = "embedding", seed: int = 42) -> DataFrame:
     """Add a ``bucket`` column: sign-bit signature over random
     hyperplanes. Vectors in the same bucket are ANN candidates."""
-    sig = lsh_buckets_array(F.col(vec_col), dim, n_planes, 1, seed)
+    sig = lsh_buckets_array(f"`{vec_col}`", dim, n_planes, 1, seed)
     return df.withColumn("bucket", sig[0])
 
 
@@ -133,7 +144,7 @@ def lsh_topk(
     sum."""
 
     def bucketed(df: DataFrame, col: str, keep: list[str]) -> DataFrame:
-        sig = lsh_buckets_array(F.col(col), dim, n_planes, n_tables, seed)
+        sig = lsh_buckets_array(f"`{col}`", dim, n_planes, n_tables, seed)
         return df.select(
             *keep, F.posexplode(sig).alias("table", "bucket")
         )
@@ -181,32 +192,41 @@ def ivf_index(
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
     assigned = corpus.withColumn(
-        "list_id", _nearest_centroid(F.col(vec_col), centroids)
+        "list_id", _nearest_centroid(f"`{vec_col}`", centroids)
     )
     return assigned, centroids
 
 
-def _centroid_sims(vec, centroids: list[tuple[int, list[float]]]):
-    """array<struct<sim,cid>> of cosine vs every centroid literal.
+def _centroid_sims(
+    vec_col_sql: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """array<struct<sim,cid>> of cosine vs every centroid literal,
+    built as ONE expression string (see :func:`_lit_vec_sql` — py4j
+    round trips per literal dominated plan build otherwise).
     Deliberately FLAT (one cosine expression per centroid): nesting
     the cosine inside a transform() over a 2D centroid array drops
-    the whole projection out of codegen — measured slower."""
-    return F.array(
-        *[
-            F.struct(
-                cosine(vec, F.array(*[F.lit(x) for x in c])).alias("sim"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, c in centroids
-        ]
-    )
+    the whole projection out of codegen — measured slower. The
+    centroid norms are Python constants (they are literals); the row
+    norm is computed once per row and shared by every centroid via a
+    codegen'd common subexpression."""
+    row_norm = f"sqrt(aggregate({vec_col_sql},0D,(a,v)->a+v*v))"
+    parts = []
+    for cid, c in centroids:
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        parts.append(
+            f"named_struct('sim',{_dot_lit_sql(vec_col_sql, c)}"
+            f"/({row_norm}*{cn!r}D),'cid',{int(cid)})"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
-def _nearest_centroid(vec, centroids: list[tuple[int, list[float]]]):
+def _nearest_centroid(
+    vec_col_sql: str, centroids: list[tuple[int, list[float]]]
+) -> Column:
     """Argmax of cosine over centroid literals — array_sort keeps the
     expression LINEAR in n_lists (a when-chain that rebinds 'best'
     each step doubles the tree per centroid: 2^n nodes, driver OOM)."""
-    return F.reverse(F.array_sort(_centroid_sims(vec, centroids)))[0]["cid"]
+    return F.reverse(F.array_sort(_centroid_sims(vec_col_sql, centroids)))[0]["cid"]
 
 
 def ivf_topk(
@@ -227,7 +247,7 @@ def ivf_topk(
 
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     # per query: nprobe nearest centroids -> (query, list_id) probe rows
-    sims = _centroid_sims(F.col("_qvec"), centroids)
+    sims = _centroid_sims("`_qvec`", centroids)
     probes = q.select(
         query_id_col,
         "_qvec",
