@@ -1190,6 +1190,48 @@ def q_osl_funnel_continue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_osl(_OSL_FUNNEL_SCRIPT).dataframe(_events(spark, sf_dir))
 
 
+_OSL_SEGMENT_SCRIPT = """
+@segment purchasers use_cached=True refresh=5_minutes
+if event.ever(== "purchase")
+  return(true)
+end
+
+@segment engaged z_index=100
+if event.ever(any ["click", "view"]) && event.never(== "error")
+  return(true)
+end
+
+@segment quiet use_cached=True
+if event.never(any ["purchase", "click"])
+  return(true)
+end
+"""
+
+
+def q_osl_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the /counts endpoint's @segment script shape end-to-end
+    # (docs/rest/README.md:275-290): parse -> one-shuffle membership
+    # -> people counts
+    from openset_spark.osl import compile_osl_segments
+
+    segs = compile_osl_segments(_OSL_SEGMENT_SCRIPT)
+    return segs.counts(_events(spark, sf_dir))
+
+
+_SQL_OSL_SEGMENT_COUNTS = """
+WITH m AS (
+  SELECT user_id,
+    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS purchasers,
+    MAX(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) = 1 AS clickview,
+    MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1 AS errored,
+    MAX(CASE WHEN event_type IN ('purchase','click') THEN 1 ELSE 0 END) = 1 AS buyclick
+  FROM events GROUP BY user_id)
+SELECT 'purchasers' AS segment, CAST(SUM(CASE WHEN purchasers THEN 1 ELSE 0 END) AS BIGINT) AS people FROM m
+UNION ALL SELECT 'engaged', CAST(SUM(CASE WHEN clickview AND NOT errored THEN 1 ELSE 0 END) AS BIGINT) FROM m
+UNION ALL SELECT 'quiet', CAST(SUM(CASE WHEN NOT buyclick THEN 1 ELSE 0 END) AS BIGINT) FROM m
+"""
+
+
 _SQL_OSL_FUNNEL = """
 WITH a AS (
   SELECT user_id, ts, event_id FROM (
@@ -1766,6 +1808,7 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OSL front-end
         "osl_event_agg": q_osl_event_agg,
         "osl_funnel_continue": q_osl_funnel_continue,
+        "osl_segment_counts": q_osl_segment_counts,
         # property / histogram / customer
         "property_counts_bucketed": q_property_counts_bucketed,
         "property_counts_between": q_property_counts_between,
@@ -1863,6 +1906,7 @@ def oracle_sql() -> dict[str, str]:
         "textual_user_core": _SQL_TEXTUAL_USER_CORE,
         "osl_event_agg": _SQL_OSL_EVENT_AGG,
         "osl_funnel_continue": _SQL_OSL_FUNNEL,
+        "osl_segment_counts": _SQL_OSL_SEGMENT_COUNTS,
         "property_counts": _SQL_PROPERTY_COUNTS,
         "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
         "property_counts_between": _SQL_PROPERTY_COUNTS_BETWEEN,

@@ -117,6 +117,22 @@ class OpenSetEngine:
             self._segment_store = SegmentStore(lambda: self._events)
         return self._segment_store
 
+    def counts_query(
+        self, script: str, now_ms: int = 0, **kw
+    ) -> DataFrame:
+        """POST /query/{t}/counts with an OSL ``@segment`` script
+        body: parse the sections, install them (with their policy
+        params) into the segment store, and return (segment, people).
+        The named segments are then usable via ``segments=`` on the
+        other endpoints (docs/rest/README.md:245-300)."""
+        from openset_spark.osl.compiler import compile_osl_segments
+
+        segs = compile_osl_segments(script, **kw)
+        segs.register(self.segment_store)
+        return self.segment_store.counts(
+            [d.name for d in segs.defs], now_ms=now_ms
+        )
+
     def _scope(
         self, segments: Sequence[str], now_ms: int = 0
     ) -> DataFrame:

@@ -73,6 +73,9 @@ class _Entry:
     segment: Segment | None = None  # ever/never predicate segment
     steps: list[Column] | None = None  # ordered-sequence segment
     derive: Callable[[DataFrame], Column] | None = None  # algebra
+    # arbitrary membership compute (events -> [user, name bool]);
+    # refresh == recompute (e.g. compiled @segment compound exprs)
+    compute: Callable[[DataFrame], DataFrame] | None = None
     within_ms: int | None = None
     # pandas predicate for the on_insert streaming path (Column
     # predicates drive the batch path; streams are pandas-batched)
@@ -131,6 +134,20 @@ class SegmentStore:
             policy=SegmentPolicy(**policy), steps=steps, within_ms=within_ms
         )
 
+    def define_custom(
+        self,
+        name: str,
+        compute: Callable[[DataFrame], DataFrame],
+        **policy,
+    ) -> None:
+        """Segment backed by an arbitrary membership computation
+        ``events -> DataFrame[user_col, name: boolean]`` (e.g. a
+        compiled ``@segment`` expression). Not monotone-refreshable:
+        stale -> recompute (one scan)."""
+        self._entries[name] = _Entry(
+            policy=SegmentPolicy(**policy), compute=compute
+        )
+
     def define_derived(
         self,
         name: str,
@@ -181,6 +198,8 @@ class SegmentStore:
             new = sequence_membership(
                 events, {name: e.steps}, self.user_col, within_ms=e.within_ms
             )
+        elif e.compute is not None:
+            new = e.compute(events)
         else:  # pragma: no cover - derived handled in membership()
             raise ValueError(f"derived segment {name} needs its inputs")
         new = new.cache()

@@ -22,13 +22,26 @@ reference's own doc/test scripts replay verbatim; flow control that
 *could* (``if``/``for``/``break``/``exit``) raises ``OslUnsupported``.
 """
 
-from openset_spark.osl.parser import OslSyntaxError, OslUnsupported, parse_osl
-from openset_spark.osl.compiler import OslQuery, compile_osl
+from openset_spark.osl.parser import (
+    OslSyntaxError,
+    OslUnsupported,
+    parse_osl,
+    parse_segments,
+)
+from openset_spark.osl.compiler import (
+    OslQuery,
+    OslSegments,
+    compile_osl,
+    compile_osl_segments,
+)
 
 __all__ = [
     "OslQuery",
+    "OslSegments",
     "OslSyntaxError",
     "OslUnsupported",
     "compile_osl",
+    "compile_osl_segments",
     "parse_osl",
+    "parse_segments",
 ]

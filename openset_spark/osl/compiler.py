@@ -114,6 +114,40 @@ _CMP_FNS = {
 }
 
 
+def _word_cmp(p: Pred, ctx: _Ctx) -> Column:
+    """``contains`` / ``any`` / ``in`` against scalar or set (array)
+    columns (functions/sets.py has the set matchers; for scalars,
+    ``contains`` is substring — the reference's
+    ``referral_search.ever(contains "red")``, test/test_db.h:585 —
+    and ``any``/``in`` are list membership)."""
+    from pyspark.sql.types import ArrayType
+
+    from openset_spark.functions import sets
+
+    col = ctx.resolve(p.prop)
+    is_array = False
+    bound = ctx.column_map.get(p.prop, p.prop)
+    field = next((f for f in ctx.df.schema.fields if f.name == bound), None)
+    if field is not None:
+        is_array = isinstance(field.dataType, ArrayType)
+    vals = list(p.value) if isinstance(p.value, tuple) else None
+    if p.op == "contains":
+        if vals is not None:  # contains [..] == holds ALL listed
+            if is_array:
+                return sets.contains_all(col, vals)
+            conds = [col.contains(v) for v in vals]
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+            return out
+        return sets.contains(col, p.value) if is_array else col.contains(p.value)
+    if p.op in ("any", "in"):
+        if vals is None:
+            raise OslUnsupported(f"'{p.op}' needs a [list] value")
+        return sets.contains_any(col, vals) if is_array else col.isin(vals)
+    raise OslUnsupported(f"comparator {p.op!r}")
+
+
 def _value_lit(v: Any, ctx: _Ctx) -> Column:
     if isinstance(v, PName):
         return ctx.resolve(v.name)
@@ -139,7 +173,10 @@ def _window_cond(window: tuple, ctx: _Ctx) -> Column:
 
 
 def _pred_col(p: Pred, ctx: _Ctx) -> Column:
-    base = _CMP_FNS[p.op](ctx.resolve(p.prop), _value_lit(p.value, ctx))
+    if p.op in ("contains", "any", "in"):
+        base = _word_cmp(p, ctx)
+    else:
+        base = _CMP_FNS[p.op](ctx.resolve(p.prop), _value_lit(p.value, ctx))
     if p.mode in ("is", "is_not"):
         if p.window is not None:
             # ".is may not be used with date modifiers" (language ref)
@@ -456,3 +493,183 @@ def compile_osl(
     names to events-table columns (``event``/``stamp``/``id``/
     ``session``/``row_count`` are built in)."""
     return OslQuery(parse_osl(script), column_map=column_map, **kw)
+
+
+# ----------------------------------------------- @segment compilation
+def _leaf_rowcond(p: Pred, ctx: _Ctx) -> Column:
+    """ROW-level condition of one segment leaf predicate (quantifier
+    applied later, per user)."""
+    if p.op in ("contains", "any", "in"):
+        base = _word_cmp(p, ctx)
+    else:
+        base = _CMP_FNS[p.op](ctx.resolve(p.prop), _value_lit(p.value, ctx))
+    if p.window is not None:
+        base = base & _window_cond(p.window, ctx)
+    return base
+
+
+class OslSegments:
+    """A compiled /counts-endpoint script: named segments + policies.
+
+    Spark-first: ALL segments' leaf predicates evaluate in ONE
+    ``groupBy(user)`` aggregation over one scan of the events table —
+    each leaf is a ``max(when(rowcond, 1)) == 1`` conditional
+    aggregate, and each segment's membership is boolean algebra over
+    its leaves (the reference's bitmap composition,
+    src/oloop_segment.cpp). N segments never cost N scans.
+
+    Quantifier semantics per the reference's per-customer scripts:
+    ``.ever``/bare/``.is`` -> the customer has a matching row;
+    ``.never``/``.is_not`` -> the customer has none.
+    """
+
+    def __init__(
+        self,
+        defs: list,
+        column_map: dict[str, str] | None = None,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        event_col: str = "event_type",
+        order_col: str = "event_id",
+    ) -> None:
+        self.defs = defs
+        self.column_map = dict(column_map or {})
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.event_col = event_col
+        self.order_col = order_col
+
+    def _ctx(self, events: DataFrame, now_ms: int | None) -> _Ctx:
+        if now_ms is None:
+            now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
+        return _Ctx(
+            events, self.user_col, self.ts_col, self.event_col,
+            self.order_col, self.column_map, now_ms,
+        )
+
+    def membership(
+        self, events: DataFrame, now_ms: int | None = None,
+        defs: list | None = None,
+    ) -> DataFrame:
+        ctx = self._ctx(events, now_ms)
+        defs = self.defs if defs is None else defs
+        leaves: dict[Pred, str] = {}
+
+        def collect(e):
+            if isinstance(e, Pred):
+                leaves.setdefault(e, f"_leaf_{len(leaves)}")
+            elif isinstance(e, BoolOp):
+                for p in e.parts:
+                    collect(p)
+            else:
+                raise OslUnsupported(f"@segment expression node: {e!r}")
+
+        for d in defs:
+            collect(d.where)
+        aggs = [
+            (
+                F.max(
+                    F.when(_leaf_rowcond(p, ctx), F.lit(1)).otherwise(F.lit(0))
+                )
+                == 1
+            ).alias(name)
+            for p, name in leaves.items()
+        ]
+
+        def seg_col(e) -> Column:
+            if isinstance(e, Pred):
+                ever = F.col(leaves[e])
+                return ever if e.mode in ("is", "ever") else ~ever
+            cols = [seg_col(p) for p in e.parts]
+            out = cols[0]
+            for c in cols[1:]:
+                out = (out & c) if e.kind == "and" else (out | c)
+            return out
+
+        m = ctx.df.groupBy(self.user_col).agg(*aggs)
+        return m.select(
+            self.user_col, *[seg_col(d.where).alias(d.name) for d in defs]
+        )
+
+    def counts(
+        self, events: DataFrame, now_ms: int | None = None
+    ) -> DataFrame:
+        """The /counts response: (segment, people), script order."""
+        m = self.membership(events, now_ms)
+        names = [d.name for d in self.defs]
+        agg = m.agg(
+            *[F.sum(F.col(n).cast("long")).cast("long").alias(n) for n in names]
+        )
+        return agg.selectExpr(
+            f"stack({len(names)}, "
+            + ", ".join(f"'{n}', `{n}`" for n in names)
+            + ") as (segment, people)"
+        )
+
+    def _as_simple_segment(self, d):
+        """A Segment (incremental-refresh capable) when the expression
+        is one symbol-comparator pred — or an OR of same-mode evers,
+        since ever(p1) || ever(p2) == ever(p1 || p2). Window/word-op/
+        compound expressions fall back to recompute-on-refresh."""
+        from openset_spark.operators.segments import Segment
+
+        preds = (
+            list(d.where.parts)
+            if isinstance(d.where, BoolOp) and d.where.kind == "or"
+            else [d.where]
+        )
+        if not all(
+            isinstance(p, Pred)
+            and p.op in _CMP_FNS
+            and p.window is None
+            and p.mode in ("is", "ever")
+            and not isinstance(p.value, PName)
+            and p.prop not in ("stamp", "event_time", "id", "now",
+                               "row_count", "session_count")
+            for p in preds
+        ):
+            return None
+        cols = [
+            _CMP_FNS[p.op](
+                F.col(self.column_map.get(p.prop, p.prop))
+                if p.prop != "event"
+                else F.col(self.event_col),
+                F.lit(p.value),
+            )
+            for p in preds
+        ]
+        out = cols[0]
+        for c in cols[1:]:
+            out = out | c
+        return Segment(d.name, out, "ever")
+
+    def register(self, store, stream_predicates: dict | None = None) -> None:
+        """Install every section into a ``SegmentStore`` with its
+        parsed policy params. Simple predicates keep the store's
+        delta-only incremental refresh; compound/windowed ones
+        recompute on refresh (still one scan each)."""
+        for d in self.defs:
+            policy = dict(d.params)
+            simple = self._as_simple_segment(d)
+            if simple is not None:
+                store.define(
+                    simple,
+                    stream_predicate=(stream_predicates or {}).get(d.name),
+                    **policy,
+                )
+            else:
+                store.define_custom(
+                    d.name,
+                    lambda ev, d=d: self.membership(ev, defs=[d]),
+                    **policy,
+                )
+
+
+def compile_osl_segments(
+    script: str, column_map: dict[str, str] | None = None, **kw
+) -> OslSegments:
+    """Parse + bind a /counts ``@segment`` script
+    (docs/rest/README.md:258-290)."""
+    from openset_spark.osl.parser import parse_segments
+
+    return OslSegments(parse_segments(script), column_map=column_map, **kw)

@@ -89,6 +89,18 @@ class Script:
     sorts: list  # [(name, "asc"|"desc")]
 
 
+@dataclass(frozen=True)
+class SegmentDef:
+    """One ``@segment name param=value ...`` section of a /counts
+    script (docs/rest/README.md:258-290): policy params + the
+    membership expression from its ``if <expr> return(true) end``
+    body."""
+
+    name: str
+    params: dict  # ttl_s/refresh_s/use_cached/on_insert/z_index
+    where: Any  # Pred | BoolOp
+
+
 # ---------------------------------------------------------- tokenizer
 _TOKEN_RE = re.compile(
     r"""
@@ -158,8 +170,33 @@ class _Tokens:
 
 
 _CMPS = {"==", "!=", ">", "<", ">=", "<="}
+# word comparators (docs/osl/language_reference.md:139-260): scalar
+# membership and set-property matchers
+_WORD_CMPS = {"contains", "any", "in"}
 _PRED_MODES = {"is", "is_not", "ever", "never"}
 _PRED_WINDOWS = {"within", "look_ahead", "look_back", "range"}
+
+
+def _parse_value(tk: "_Tokens"):
+    """Literal, name, or ``[list, of, literals]``."""
+    if tk.accept("["):
+        vals = []
+        while not tk.accept("]"):
+            k, t = tk.next()
+            vals.append(_literal(k, t))
+            tk.accept(",")
+        return tuple(v.name if isinstance(v, PName) else v for v in vals)
+    vkind, vtext = tk.next()
+    return _literal(vkind, vtext)
+
+
+def _parse_cmp_value(tk: "_Tokens", owner: str):
+    """comparator + value, where the comparator is a symbol (==, >=,
+    ...) or a word (contains / any / in)."""
+    ckind, ctext = tk.next()
+    if ctext in _CMPS or ctext in _WORD_CMPS:
+        return ctext, _parse_value(tk)
+    raise OslSyntaxError(f"{owner} needs a comparator, got {ctext!r}")
 
 
 # ------------------------------------------------- where-expr parsing
@@ -205,13 +242,7 @@ def _parse_atom(tk: _Tokens):
             raise OslSyntaxError(f"expected modifier after '.', got {mname!r}")
         tk.expect("(")
         if mname in _PRED_MODES:
-            ckind, ctext = tk.next()
-            if ctext not in _CMPS:
-                raise OslSyntaxError(
-                    f".{mname}() needs a comparator, got {ctext!r}"
-                )
-            vkind, vtext = tk.next()
-            op, value = ctext, _literal(vkind, vtext)
+            op, value = _parse_cmp_value(tk, f".{mname}()")
             mode = mname
         elif mname in _PRED_WINDOWS:
             a_kind, a_text = tk.next()
@@ -224,14 +255,10 @@ def _parse_atom(tk: _Tokens):
             raise OslUnsupported(f"predicate modifier .{mname}()")
         tk.expect(")")
     if mode is None:
-        # bare comparison: event == "purchase"  (row-level 'is')
-        ckind, ctext = tk.next()
-        if ctext not in _CMPS:
-            raise OslSyntaxError(
-                f"expected comparator after {name!r}, got {ctext!r}"
-            )
-        vkind, vtext = tk.next()
-        op, value, mode = ctext, _literal(vkind, vtext), "is"
+        # bare comparison: event == "purchase" / fruit in [...] —
+        # row-level 'is'
+        op, value = _parse_cmp_value(tk, f"property {name!r}")
+        mode = "is"
     return Pred(name, op, value, mode, window)
 
 
@@ -358,6 +385,11 @@ def parse_osl(script: str) -> Script:
 
     while i < len(lines):
         line = lines[i]
+        if line.startswith("@segment"):
+            raise OslUnsupported(
+                "@segment sections are a /counts script — use "
+                "parse_segments()/compile_osl_segments()"
+            )
         if line == "select":
             i += 1
             while i < len(lines) and lines[i] != "end":
@@ -399,3 +431,95 @@ def parse_osl(script: str) -> Script:
             raise OslSyntaxError(f"unrecognized statement: {line!r}")
 
     return Script(selects=selects, blocks=blocks, sorts=sorts)
+
+
+# ------------------------------------------------- @segment sections
+_SEG_PARAM_KEYS = {
+    "ttl": "ttl_s",
+    "refresh": "refresh_s",
+    "use_cached": "use_cached",
+    "on_insert": "on_insert",
+    "z_index": "z_index",
+}
+
+
+def _seg_param_value(key: str, text: str):
+    low = text.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if re.fullmatch(r"\d+_[a-zA-Z]+", text):  # 5_minutes -> seconds
+        n, unit = text.split("_", 1)
+        return span_ms(int(n), unit.lower()) / 1000.0
+    if re.fullmatch(r"\d+(\.\d+)?", text):
+        return int(text) if key == "z_index" else float(text)
+    raise OslSyntaxError(f"bad @segment param value {key}={text!r}")
+
+
+def parse_segments(script: str) -> list[SegmentDef]:
+    """Parse a /counts-endpoint script: one or more ``@segment``
+    sections, each ``@segment name [param=value ...]`` followed by an
+    ``if <expr>`` / ``return(true)`` / ``end`` body (the documented
+    shape, docs/rest/README.md:275-290)."""
+    lines = _logical_lines(script)
+    defs: list[SegmentDef] = []
+    name: str | None = None
+    params: dict = {}
+    where = None
+    i = 0
+
+    def flush():
+        nonlocal name, params, where
+        if name is not None:
+            if where is None:
+                raise OslSyntaxError(f"@segment {name} has no if-body")
+            defs.append(SegmentDef(name, params, where))
+        name, params, where = None, {}, None
+
+    while i < len(lines):
+        line = lines[i]
+        if line.startswith("@segment"):
+            flush()
+            parts = line.split()
+            if len(parts) < 2:
+                raise OslSyntaxError(f"@segment needs a name: {line!r}")
+            name = parts[1]
+            for p in parts[2:]:
+                if "=" not in p:
+                    raise OslSyntaxError(f"bad @segment param {p!r}")
+                k, v = p.split("=", 1)
+                if k not in _SEG_PARAM_KEYS:
+                    raise OslUnsupported(f"@segment param {k}=")
+                params[_SEG_PARAM_KEYS[k]] = _seg_param_value(k, v)
+            i += 1
+        elif line.startswith("if ") or line.startswith("if("):
+            if name is None:
+                raise OslSyntaxError("if-body before any @segment header")
+            if where is not None:
+                raise OslUnsupported("multiple if-blocks in one @segment")
+            tk = _Tokens(_tokenize(line[2:].strip()))
+            where = _parse_expr(tk)
+            if tk.peek():
+                raise OslSyntaxError(f"trailing tokens in if: {line!r}")
+            i += 1
+            # body: return(true) [return(false)] ... end
+            while i < len(lines) and lines[i] != "end":
+                if not re.fullmatch(
+                    r"return\s*\(\s*(true|false)\s*\)", lines[i]
+                ):
+                    raise OslUnsupported(
+                        f"@segment body statement: {lines[i]!r}"
+                    )
+                i += 1
+            if i == len(lines):
+                raise OslSyntaxError("@segment if-block missing 'end'")
+            i += 1
+        elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
+            i += 1
+        elif re.fullmatch(r"return\s*\(\s*(true|false)\s*\)", line):
+            i += 1  # trailing default return
+        else:
+            raise OslSyntaxError(f"unrecognized @segment statement: {line!r}")
+    flush()
+    if not defs:
+        raise OslSyntaxError("no @segment sections found")
+    return defs

@@ -1,0 +1,198 @@
+"""@segment /counts scripts (docs/rest/README.md:258-300) compiled to
+one-shuffle membership plans and registered into the SegmentStore with
+their policy params."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.osl import (
+    OslUnsupported,
+    compile_osl,
+    compile_osl_segments,
+    parse_segments,
+)
+
+T0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+# the reference docs' own example, verbatim (docs/rest/README.md:275-290)
+DOCS_SCRIPT = """
+@segment products_home use_cached=false refresh=5_minutes on_insert=true
+
+# match one of these
+if product_group.ever(any ['basement', 'garage', 'kitchen', 'bedroom', 'bathroom'])
+  return(true)
+end
+
+@segment products_yard use_cached=True refresh=5_minutes on_insert=true
+
+# match one of these
+if product_group.ever(contains 'basement') || product_group.ever(contains 'garage')
+  return(true)
+end
+"""
+
+
+@pytest.fixture(scope="module")
+def shop_events(spark):
+    rows = [
+        # user, event_id, event_type, product_group (set property)
+        (1, 0, "purchase", ["kitchen", "cutlery"]),
+        (1, 1, "view", ["lawn"]),
+        (2, 2, "purchase", ["garage", "tools"]),
+        (3, 3, "view", ["office"]),
+        (4, 4, "purchase", []),
+    ]
+    return spark.createDataFrame(
+        [(u, e, t, T0, g) for u, e, t, g in rows],
+        "user_id long, event_id long, event_type string, ts timestamp,"
+        " product_group array<string>",
+    )
+
+
+def test_docs_script_parses_with_policies():
+    defs = parse_segments(DOCS_SCRIPT)
+    assert [d.name for d in defs] == ["products_home", "products_yard"]
+    assert defs[0].params == {
+        "use_cached": False, "refresh_s": 300.0, "on_insert": True,
+    }
+    assert defs[1].params["use_cached"] is True
+
+
+def test_docs_script_membership_and_counts(shop_events):
+    segs = compile_osl_segments(DOCS_SCRIPT)
+    m = {
+        r["user_id"]: (r["products_home"], r["products_yard"])
+        for r in segs.membership(shop_events).collect()
+    }
+    # kitchen -> home only; garage -> home (any) and yard (contains)
+    assert m == {
+        1: (True, False),
+        2: (True, True),
+        3: (False, False),
+        4: (False, False),
+    }
+    counts = {
+        r["segment"]: r["people"]
+        for r in segs.counts(shop_events).collect()
+    }
+    assert counts == {"products_home": 2, "products_yard": 1}
+
+
+def test_membership_is_single_aggregation(shop_events):
+    # all segments evaluate in ONE shuffle: exactly one HashAggregate
+    # keyed by user_id feeding the projection (bitmap-composition
+    # analog; never N scans for N segments)
+    segs = compile_osl_segments(DOCS_SCRIPT)
+    plan = segs.membership(shop_events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_word_cmps_in_each_row(spark):
+    # scalar in [list] (test_osl_language.h:236 shape) + substring
+    # contains (test_db.h:585 referral_search)
+    df = spark.createDataFrame(
+        [
+            (1, 0, "purchase", T0, "red dogs"),
+            (1, 1, "view", T0, "blue cats"),
+            (2, 2, "purchase", T0, "green birds"),
+        ],
+        "user_id long, event_id long, event_type string, ts timestamp,"
+        " referral_search string",
+    )
+    q = compile_osl(
+        'each_row where event in ["purchase", "signup"]\n'
+        "  debug(true)\nend"
+    )
+    assert q.matched(df).count() == 2
+    q2 = compile_osl(
+        'each_row where referral_search.ever(contains "red")\n'
+        "  debug(true)\nend"
+    )
+    # user 1 ever-matched the substring -> all of user 1's rows
+    assert q2.matched(df).count() == 2
+
+
+def test_register_simple_keeps_incremental_refresh(spark, monkeypatch):
+    from openset_spark.operators import segment_store as store_mod
+    from openset_spark.operators.segment_store import SegmentStore
+
+    state = {
+        "rows": [(1, 0, "view"), (2, 1, "purchase")]
+    }
+
+    def events_fn():
+        return spark.createDataFrame(
+            [(u, e, t, T0) for u, e, t in state["rows"]],
+            "user_id long, event_id long, event_type string, ts timestamp",
+        )
+
+    store = SegmentStore(events_fn)
+    segs = compile_osl_segments(
+        "@segment buyers refresh=60\n"
+        'if event.ever(== "purchase")\n  return(true)\nend\n'
+        "@segment active refresh=60\n"
+        'if event.ever(any ["view", "purchase"]) && event.never(== "error")\n'
+        "  return(true)\nend"
+    )
+    segs.register(store)
+
+    m0 = {r["user_id"]: r["buyers"] for r in store.membership(["buyers"]).collect()}
+    assert m0 == {1: False, 2: True}
+
+    state["rows"] = state["rows"] + [(1, 2, "purchase")]
+    calls = {"refresh": 0}
+    real = store_mod.refresh_membership
+    monkeypatch.setattr(
+        store_mod,
+        "refresh_membership",
+        lambda *a, **k: (calls.__setitem__("refresh", calls["refresh"] + 1),
+                         real(*a, **k))[1],
+    )
+    m1 = {
+        r["user_id"]: r["buyers"]
+        for r in store.membership(["buyers"], now_ms=61_000).collect()
+    }
+    assert calls["refresh"] == 1  # simple pred kept the delta-only path
+    assert m1 == {1: True, 2: True}
+
+    # compound (word-op + never) segment registered as custom compute;
+    # refresh recomputes and matches a from-scratch compile
+    m2 = {
+        r["user_id"]: r["active"]
+        for r in store.membership(["active"], now_ms=61_000).collect()
+    }
+    full = {
+        r["user_id"]: r["active"]
+        for r in segs.membership(
+            events_fn(), defs=[d for d in segs.defs if d.name == "active"]
+        ).collect()
+    }
+    assert m2 == full == {1: True, 2: True}
+
+
+def test_engine_counts_query(spark):
+    from openset_spark.engine import OpenSetEngine
+
+    eng = OpenSetEngine(spark, "/root/testdata/sf0.001")
+    out = eng.counts_query(
+        "@segment purchasers use_cached=True refresh=5_minutes\n"
+        'if event.ever(== "purchase")\n  return(true)\nend'
+    )
+    got = {r["segment"]: r["people"] for r in out.collect()}
+    want = (
+        eng.events.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().count()
+    )
+    assert got == {"purchasers": want}
+    # and the named segment now scopes other endpoints
+    scoped = eng.event_query(["event_type"], segments=["purchasers"])
+    assert scoped.count() > 0
+
+
+def test_segment_script_rejected_by_query_parser():
+    with pytest.raises(OslUnsupported, match="counts"):
+        compile_osl(DOCS_SCRIPT)

@@ -42,6 +42,7 @@ REQUIRED_IN_WINDOW = [
     # OSL front-end
     "osl_event_agg",
     "osl_funnel_continue",
+    "osl_segment_counts",
     # property / histogram / customer
     "property_counts_bucketed",
     "property_counts_between",
