@@ -1836,8 +1836,32 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def q_osl_histogram_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the histogram endpoint's documented script, verbatim
+    # (docs/rest/README.md:355): weeks since last event per customer.
+    # `now` is pinned to max(ts) so the result is deterministic.
+    from openset_spark.osl import compile_osl_histogram
+
+    ev = _events(spark, sf_dir)
+    now_ms = ev.agg(F.unix_millis(F.max("ts"))).first()[0]
+    h = compile_osl_histogram("return( to_weeks(now - last_stamp) )")
+    return h.histogram(ev, bucket=1.0, name="weeks_since", now_ms=now_ms).select(
+        F.col("weeks_since").cast("long").alias("weeks_since"), "people"
+    )
+
+
+_SQL_OSL_HISTOGRAM_WEEKS = """
+WITH nowt AS (SELECT MAX(ts) AS now_ts FROM events),
+u AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id)
+SELECT CAST(FLOOR((epoch_ms(now_ts::TIMESTAMP) - epoch_ms(last_ts::TIMESTAMP)) / 604800000.0) AS BIGINT) AS weeks_since,
+  COUNT(DISTINCT user_id) AS people
+FROM u, nowt GROUP BY 1
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "osl_histogram_weeks": q_osl_histogram_weeks,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18_style": q_tpch_q18_style,
@@ -1907,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "osl_event_agg": _SQL_OSL_EVENT_AGG,
         "osl_funnel_continue": _SQL_OSL_FUNNEL,
         "osl_segment_counts": _SQL_OSL_SEGMENT_COUNTS,
+        "osl_histogram_weeks": _SQL_OSL_HISTOGRAM_WEEKS,
         "property_counts": _SQL_PROPERTY_COUNTS,
         "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
         "property_counts_between": _SQL_PROPERTY_COUNTS_BETWEEN,

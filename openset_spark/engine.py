@@ -133,6 +133,27 @@ class OpenSetEngine:
             [d.name for d in segs.defs], now_ms=now_ms
         )
 
+    def histogram_query(
+        self,
+        script: str,
+        bucket: float = 1.0,
+        min_value: float | None = None,
+        max_value: float | None = None,
+        now_ms: int | None = None,
+        name: str = "value",
+    ) -> DataFrame:
+        """POST /query/{t}/histogram/{name} with an OSL ``return(expr)``
+        script body (docs/rest/README.md:339-357): the expression is
+        the per-customer scalar; bucket/min/max behave as the
+        endpoint's query params."""
+        from openset_spark.osl.compiler import compile_osl_histogram
+
+        h = compile_osl_histogram(script)
+        return h.histogram(
+            self._events, bucket=bucket, min_value=min_value,
+            max_value=max_value, name=name, now_ms=now_ms,
+        )
+
     def _scope(
         self, segments: Sequence[str], now_ms: int = 0
     ) -> DataFrame:

@@ -41,6 +41,7 @@ from openset_spark.osl.parser import (
     BoolOp,
     EachRow,
     OslUnsupported,
+    PBin,
     PCall,
     PLit,
     PName,
@@ -673,3 +674,141 @@ def compile_osl_segments(
     from openset_spark.osl.parser import parse_segments
 
     return OslSegments(parse_segments(script), column_map=column_map, **kw)
+
+
+# ---------------------------------------------- histogram compilation
+_HIST_AGG_PRIMS = {
+    "first_stamp": lambda ts, user: F.min(F.col(ts)),
+    "last_stamp": lambda ts, user: F.max(F.col(ts)),
+    "row_count": lambda ts, user: F.count(F.lit(1)),
+    "session_count": lambda ts, user: F.max(F.col("session")),
+}
+
+
+class OslHistogram:
+    """A compiled histogram-endpoint script: ``return(expr)`` computes
+    ONE scalar per customer (docs/rest/README.md:349-357,
+    src/oloop_histogram.cpp).
+
+    Spark-first: every per-user primitive the expression references
+    (``first_stamp``/``last_stamp``/``row_count``/``session_count``)
+    becomes one aggregate in a single ``groupBy(user)``; the arithmetic
+    runs as a projection over that one-row-per-user frame, and the
+    bucketing reuses ``operators/histogram.py`` (a second tiny
+    aggregate). One scan, two shuffles, at any scale.
+    """
+
+    def __init__(
+        self,
+        expr: Any,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+    ) -> None:
+        self.expr = expr
+        self.user_col = user_col
+        self.ts_col = ts_col
+
+    def _names(self) -> set[str]:
+        names: set[str] = set()
+
+        def walk(e):
+            if isinstance(e, PName):
+                names.add(e.name)
+            elif isinstance(e, PCall):
+                for a in e.args:
+                    walk(a)
+            elif isinstance(e, PBin):
+                walk(e.left)
+                walk(e.right)
+
+        walk(self.expr)
+        return names
+
+    def per_user(
+        self,
+        events: DataFrame,
+        now_ms: int | None = None,
+        session_gap_ms: int = DEFAULT_SESSION_GAP_MS,
+    ) -> DataFrame:
+        """(user_col, value) — the scalar the script returns per
+        customer."""
+        names = self._names()
+        unknown = names - set(_HIST_AGG_PRIMS) - {"now"}
+        if unknown:
+            raise OslUnsupported(
+                f"histogram scripts support per-user primitives "
+                f"{sorted(_HIST_AGG_PRIMS)} + now; got {sorted(unknown)}"
+            )
+        if now_ms is None:
+            now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
+        df = events
+        if "session_count" in names:
+            df = with_session(df, session_gap_ms, self.user_col, self.ts_col)
+        aggs = [
+            _HIST_AGG_PRIMS[n](self.ts_col, self.user_col).alias(f"_{n}")
+            for n in sorted(names)
+            if n in _HIST_AGG_PRIMS
+        ] or [F.count(F.lit(1)).alias("_row_count")]
+        per_user = df.groupBy(self.user_col).agg(*aggs)
+
+        def ev(e) -> Column:
+            if isinstance(e, PLit):
+                return F.lit(e.value)
+            if isinstance(e, PName):
+                if e.name == "now":
+                    return F.lit(now_ms)
+                col = F.col(f"_{e.name}")
+                if e.name in ("first_stamp", "last_stamp"):
+                    return epoch_ms(col)  # OSL stamps are epoch ms
+                return col
+            if isinstance(e, PBin):
+                l, r = ev(e.left), ev(e.right)
+                return {
+                    "+": l + r, "-": l - r, "*": l * r, "/": l / r,
+                }[e.op]
+            if isinstance(e, PCall):
+                fn = _PIVOT_FNS.get(e.fn)
+                if fn is None or e.fn == "bucket":
+                    raise OslUnsupported(f"histogram function {e.fn}()")
+                arg = ev(e.args[0])
+                if e.fn in _TIME_ARG_FNS:
+                    out = fn(_ts_of(arg))
+                    return (
+                        epoch_ms(out)
+                        if e.fn in _START_OF_FNS
+                        else out.cast("long")
+                    )
+                return fn(arg)
+            raise OslUnsupported(f"histogram expression node: {e!r}")
+
+        return per_user.select(
+            self.user_col, ev(self.expr).alias("value")
+        )
+
+    def histogram(
+        self,
+        events: DataFrame,
+        bucket: float = 1.0,
+        min_value: float | None = None,
+        max_value: float | None = None,
+        name: str = "value",
+        **kw,
+    ) -> DataFrame:
+        from openset_spark.operators.histogram import histogram
+
+        return histogram(
+            self.per_user(events, **kw),
+            "value",
+            bucket=bucket,
+            min_value=min_value,
+            max_value=max_value,
+            user_col=self.user_col,
+            name=name,
+        )
+
+
+def compile_osl_histogram(script: str, **kw) -> OslHistogram:
+    """Parse + bind a histogram-endpoint ``return(expr)`` script."""
+    from openset_spark.osl.parser import parse_histogram
+
+    return OslHistogram(parse_histogram(script), **kw)

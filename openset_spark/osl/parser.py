@@ -90,6 +90,15 @@ class Script:
 
 
 @dataclass(frozen=True)
+class PBin:
+    """Arithmetic node in a scalar expression (histogram scripts)."""
+
+    op: str  # + - * /
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
 class SegmentDef:
     """One ``@segment name param=value ...`` section of a /counts
     script (docs/rest/README.md:258-290): policy params + the
@@ -107,7 +116,7 @@ _TOKEN_RE = re.compile(
     (?P<SPAN>\d+_[a-zA-Z]+)
   | (?P<NUM>\d+\.\d+|\d+)
   | (?P<STR>"[^"]*"|'[^']*')
-  | (?P<OP><<|==|!=|>=|<=|&&|\|\||[()\[\],.<>=])
+  | (?P<OP><<|==|!=|>=|<=|&&|\|\||[()\[\],.<>=+\-*/])
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<WS>[ \t]+)
     """,
@@ -523,3 +532,71 @@ def parse_segments(script: str) -> list[SegmentDef]:
     if not defs:
         raise OslSyntaxError("no @segment sections found")
     return defs
+
+
+# --------------------------------------------- histogram return(expr)
+def _parse_scalar_expr(tk: _Tokens):
+    """Arithmetic over literals, names, spans, and calls:
+    term (('+'|'-') term)*, term := factor (('*'|'/') factor)*."""
+    left = _parse_scalar_term(tk)
+    while tk.peek() and tk.peek()[1] in ("+", "-"):
+        op = tk.next()[1]
+        left = PBin(op, left, _parse_scalar_term(tk))
+    return left
+
+
+def _parse_scalar_term(tk: _Tokens):
+    left = _parse_scalar_factor(tk)
+    while tk.peek() and tk.peek()[1] in ("*", "/"):
+        op = tk.next()[1]
+        left = PBin(op, left, _parse_scalar_factor(tk))
+    return left
+
+
+def _parse_scalar_factor(tk: _Tokens):
+    if tk.accept("-"):  # unary minus
+        return PBin("-", PLit(0), _parse_scalar_factor(tk))
+    if tk.accept("("):
+        inner = _parse_scalar_expr(tk)
+        tk.expect(")")
+        return inner
+    kind, text = tk.next()
+    if kind in ("NUM", "SPAN", "STR"):
+        return PLit(_literal(kind, text))
+    if kind != "NAME":
+        raise OslSyntaxError(f"bad scalar expression at {text!r}")
+    if tk.peek() and tk.peek()[1] == "(":
+        tk.next()
+        args = [_parse_scalar_expr(tk)]
+        while tk.accept(","):
+            args.append(_parse_scalar_expr(tk))
+        tk.expect(")")
+        return PCall(text, tuple(args))
+    return PName(text)
+
+
+_RETURN_RE = re.compile(r"^return\s*\((.*)\)\s*$")
+
+
+def parse_histogram(script: str):
+    """Parse a histogram-endpoint script (docs/rest/README.md:349-357):
+    no ``select``, one ``return(expr)`` giving the per-customer scalar
+    (e.g. ``return( to_weeks(now - last_stamp) )``)."""
+    lines = _logical_lines(script)
+    expr = None
+    for line in lines:
+        m = _RETURN_RE.match(line)
+        if m:
+            if expr is not None:
+                raise OslUnsupported("multiple return() in histogram script")
+            tk = _Tokens(_tokenize(m.group(1)))
+            expr = _parse_scalar_expr(tk)
+            if tk.peek():
+                raise OslSyntaxError(f"trailing tokens in return: {line!r}")
+        elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
+            continue
+        else:
+            raise OslUnsupported(f"histogram script statement: {line!r}")
+    if expr is None:
+        raise OslSyntaxError("histogram script needs a return(expr)")
+    return expr

@@ -196,3 +196,77 @@ def test_engine_counts_query(spark):
 def test_segment_script_rejected_by_query_parser():
     with pytest.raises(OslUnsupported, match="counts"):
         compile_osl(DOCS_SCRIPT)
+
+
+# ------------------------------------------- histogram return(expr)
+def test_histogram_script_weeks_since(spark):
+    from openset_spark.osl import compile_osl_histogram
+
+    WEEK = 7 * 24 * 3600 * 1000
+    df = spark.createDataFrame(
+        [
+            (1, 0, "view", datetime(2024, 1, 1, tzinfo=timezone.utc)),
+            (1, 1, "view", datetime(2024, 1, 15, tzinfo=timezone.utc)),
+            (2, 2, "view", datetime(2024, 1, 1, tzinfo=timezone.utc)),
+        ],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    now_ms = int(datetime(2024, 1, 29, tzinfo=timezone.utc).timestamp() * 1000)
+    h = compile_osl_histogram(
+        "# return number of weeks since last event\n"
+        "return( to_weeks(now - last_stamp) )"
+    )
+    per_user = {
+        r["user_id"]: r["value"]
+        for r in h.per_user(df, now_ms=now_ms).collect()
+    }
+    assert per_user == {1: 2, 2: 4}  # 14 and 28 days back
+    hist = {
+        r["value"]: r["people"]
+        for r in h.histogram(df, bucket=1.0, now_ms=now_ms).collect()
+    }
+    assert hist == {2.0: 1, 4.0: 1}
+
+
+def test_histogram_script_arithmetic_and_rowcount(spark):
+    from openset_spark.osl import compile_osl_histogram
+
+    df = spark.createDataFrame(
+        [(1, i, "view", T0) for i in range(5)]
+        + [(2, 9, "view", T0)],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    h = compile_osl_histogram("return( row_count * 10 + 1 )")
+    got = {
+        r["user_id"]: r["value"]
+        for r in h.per_user(df, now_ms=0).collect()
+    }
+    assert got == {1: 51, 2: 11}
+
+
+def test_histogram_script_rejects_unknown_names(spark):
+    from openset_spark.osl import compile_osl_histogram
+
+    df = spark.createDataFrame(
+        [(1, 0, "view", T0)],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    h = compile_osl_histogram("return( price * 2 )")
+    with pytest.raises(OslUnsupported, match="price"):
+        h.per_user(df, now_ms=0)
+
+
+def test_engine_histogram_query(spark):
+    from openset_spark.engine import OpenSetEngine
+
+    eng = OpenSetEngine(spark, "/root/testdata/sf0.001")
+    out = eng.histogram_query(
+        "return( to_weeks(now - last_stamp) )",
+        bucket=1.0,
+        now_ms=int(datetime(2024, 3, 1, tzinfo=timezone.utc).timestamp() * 1000),
+        name="weeks_since",
+    )
+    rows = out.collect()
+    assert rows and {f.name for f in out.schema.fields} == {
+        "weeks_since", "people",
+    }
