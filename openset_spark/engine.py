@@ -141,16 +141,18 @@ class OpenSetEngine:
         max_value: float | None = None,
         now_ms: int | None = None,
         name: str = "value",
+        segments: Sequence[str] = (),
     ) -> DataFrame:
         """POST /query/{t}/histogram/{name} with an OSL ``return(expr)``
         script body (docs/rest/README.md:339-357): the expression is
-        the per-customer scalar; bucket/min/max behave as the
-        endpoint's query params."""
+        the per-customer scalar; bucket/min/max/segments behave as the
+        endpoint's query params (``segments=`` restricts the scored
+        population to stored-segment members)."""
         from openset_spark.osl.compiler import compile_osl_histogram
 
         h = compile_osl_histogram(script)
         return h.histogram(
-            self._events, bucket=bucket, min_value=min_value,
+            self._scope(segments), bucket=bucket, min_value=min_value,
             max_value=max_value, name=name, now_ms=now_ms,
         )
 

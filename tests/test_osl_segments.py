@@ -270,3 +270,51 @@ def test_engine_histogram_query(spark):
     assert rows and {f.name for f in out.schema.fields} == {
         "weeks_since", "people",
     }
+
+
+def test_on_insert_segments_stream_transitions(spark, tmp_path):
+    """@segment on_insert=true end-to-end: script -> store ->
+    Structured Streaming enter events (the reference's subscriber
+    notifications for on-insert segment evaluation)."""
+    import json
+    import uuid
+
+    from openset_spark.operators.segment_store import SegmentStore
+    from openset_spark.streaming.ingest import read_event_stream
+
+    d = str(tmp_path)
+    with open(f"{d}/batch-{uuid.uuid4().hex}.json", "w") as f:
+        for eid, (uid, et) in enumerate(
+            [(1, "purchase"), (2, "view"), (3, "purchase")]
+        ):
+            f.write(json.dumps({
+                "event_id": eid, "ts": "2024-01-01T00:00:00",
+                "user_id": uid, "event_type": et, "value": 1.0,
+                "props": "{}",
+            }) + "\n")
+
+    store = SegmentStore(lambda: None)
+    segs = compile_osl_segments(
+        "@segment purchasers on_insert=true\n"
+        'if event.ever(== "purchase")\n  return(true)\nend'
+    )
+    segs.register(
+        store,
+        stream_predicates={
+            "purchasers": lambda pdf: pdf["event_type"] == "purchase"
+        },
+    )
+    out = store.stream_transitions(read_event_stream(spark, d))
+    name = f"osl_seg_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, r.segment, r.transition)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert (1, "purchasers", "enter") in rows
+    assert (3, "purchasers", "enter") in rows
+    assert not any(u == 2 for u, _, _ in rows)

@@ -176,3 +176,45 @@ def test_partitioned_events_prune_date_ranges(spark, sf_dir, tmp_path_factory):
     n_total = back.count()
     n_day = one_day.count()
     assert 0 < n_day < n_total
+
+
+def test_osl_compiled_plans_keep_scale_invariants(spark, sf_dir):
+    """Scripts through the OSL front-end must compile to the same
+    plans the hand-built operators produce: one user-keyed exchange
+    for per-user semantics, no Python eval anywhere."""
+    import __spark_entry__ as entry
+
+    ev = load_table(spark, sf_dir, "events")
+    from openset_spark.osl import compile_osl, compile_osl_segments
+
+    # ever/never where-clause: window booleans share ONE user exchange
+    q = compile_osl(
+        'each_row where event.is(== "purchase") && event.ever(== "signup")\n'
+        "  << event\nend"
+    )
+    df = q.dataframe(ev)
+    assert user_exchanges(df) == 1, plan_str(df, "simple")
+    assert "EvalPython" not in plan_str(df)
+
+    # @segment script: N segments -> ONE user-keyed aggregation
+    segs = compile_osl_segments(entry._OSL_SEGMENT_SCRIPT)
+    m = segs.membership(ev)
+    assert user_exchanges(m) == 1, plan_str(m, "simple")
+    assert "EvalPython" not in plan_str(m)
+
+
+def test_segment_scope_broadcasts_membership(spark, sf_dir):
+    """`segments=` scoping is a semi-join against a per-user membership
+    frame; the big events side must NOT be re-shuffled for it (the
+    small side broadcasts under AQE)."""
+    from openset_spark.engine import OpenSetEngine
+    from openset_spark.operators.segments import Segment
+
+    eng = OpenSetEngine(spark, sf_dir)
+    eng.segment_store.define(
+        Segment("buyers", F.col("event_type") == "purchase")
+    )
+    out = eng.event_query(["event_type"], segments=["buyers"])
+    out.collect()  # let AQE finalize join strategies
+    plan = plan_str(out, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
