@@ -117,6 +117,22 @@ class OpenSetEngine:
             self._segment_store = SegmentStore(lambda: self._events)
         return self._segment_store
 
+    def osl(
+        self,
+        script: str,
+        column_map: dict[str, str] | None = None,
+        customer_df: DataFrame | None = None,
+        **kw,
+    ) -> DataFrame:
+        """POST /query/{t}/events with an OSL script body: parse,
+        compile against this table, return the aggregated result.
+        ``customer_df`` (one row per user) exposes is_customer
+        properties to the script."""
+        from openset_spark.osl import compile_osl
+
+        q = compile_osl(script, column_map=column_map, customer_df=customer_df)
+        return q.dataframe(self._events, **kw)
+
     def counts_query(
         self, script: str, now_ms: int = 0, **kw
     ) -> DataFrame:

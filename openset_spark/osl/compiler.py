@@ -275,6 +275,7 @@ class OslQuery:
         ts_col: str = "ts",
         event_col: str = "event_type",
         order_col: str = "event_id",
+        customer_df: DataFrame | None = None,
     ) -> None:
         self.script = script
         self.column_map = dict(column_map or {})
@@ -282,6 +283,12 @@ class OslQuery:
         self.ts_col = ts_col
         self.event_col = event_col
         self.order_col = order_col
+        # is_customer properties (language_reference.md:102-117): one
+        # row per user; scripts read them like row properties. Joined
+        # on user_col — co-keyed with every other per-user expression,
+        # so bucketed/bucket-joined layouts add no extra shuffle, and
+        # a small dim broadcasts under AQE.
+        self.customer_df = customer_df
 
     # -- helpers ------------------------------------------------------
     def _references_session(self) -> bool:
@@ -320,6 +327,8 @@ class OslQuery:
         session_gap_ms: int,
     ) -> _Ctx:
         df = events
+        if self.customer_df is not None:
+            df = df.join(self.customer_df, self.user_col, "left")
         if self._references_session():
             df = with_session(
                 df, session_gap_ms, self.user_col, self.ts_col
@@ -426,25 +435,36 @@ class OslQuery:
         """The aggregated result: select aggregators grouped by the
         script's ``<<`` pivot (event_aggregate under the hood)."""
         ctx = self._ctx(events, now_ms, session_gap_ms)
-        pushing = [
-            (b, leaf, rows)
-            for b in self.script.blocks
-            for leaf, rows in [self._leaf_matched(b, ctx)]
-            if leaf.pushes
-        ]
-        if len(pushing) != 1 or len(pushing[0][1].pushes) != 1:
-            raise OslUnsupported(
-                "compile target needs exactly one << push in one scan"
-            )
-        _, leaf, rows = pushing[0]
-        # materialize pivot expressions as columns BEFORE the groupBy:
-        # window-backed pivots (row_count, session_count) are illegal
-        # directly inside GROUP BY
-        gnames = []
-        for e in leaf.pushes[0]:
-            col, name = _pexpr_col(e, ctx)
-            rows = rows.withColumn(name, col)
-            gnames.append(name)
+        # every << push in every scan contributes rows to the SAME
+        # aggregator tree (the reference merges all sections' pushes
+        # into one result tree); pivot expressions materialize as
+        # columns BEFORE the groupBy — window-backed pivots
+        # (row_count, session_count) are illegal directly in GROUP BY.
+        parts: list[DataFrame] = []
+        gnames: list[str] | None = None
+        for b in self.script.blocks:
+            leaf, block_rows = self._leaf_matched(b, ctx)
+            for push in leaf.pushes:
+                cur = block_rows
+                names = []
+                for e in push:
+                    col, name = _pexpr_col(e, ctx)
+                    cur = cur.withColumn(name, col)
+                    names.append(name)
+                if gnames is None:
+                    gnames = names
+                elif names != gnames:
+                    raise OslUnsupported(
+                        f"pushes disagree on pivot shape: {names} vs "
+                        f"{gnames} — all << lines must push the same "
+                        "named pivots"
+                    )
+                parts.append(cur)
+        if gnames is None:
+            raise OslUnsupported("compile target needs at least one << push")
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
 
         aggs: list[tuple[str, Any, str]] = []
         count_people = False

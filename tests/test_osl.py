@@ -279,3 +279,66 @@ def test_sort_section(fruit_events):
     out = compile_osl(script).dataframe(fruit_events).collect()
     totals = [r.total for r in out]
     assert totals == sorted(totals)
+
+
+def test_multi_scan_pushes_merge_into_one_tree(fruit_events):
+    # two sections pushing the same pivot shape: rows merge into ONE
+    # aggregator tree (the reference merges all sections' pushes)
+    script = """
+    select
+      count id
+      count fruit as rows
+    end
+
+    each_row where fruit.is(== "banana")
+      << event
+    end
+
+    each_row where fruit.is(== "pear")
+      << event
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events)
+    rows = {r["event"]: (r["people"], r["rows"]) for r in out.collect()}
+    # both scans matched rows of the same single customer
+    assert rows == {"purchase": (1, 2)}
+
+
+def test_customer_props_readable_in_scripts(spark, fruit_events):
+    # is_customer properties (language_reference.md:102-117): a
+    # per-user frame joined on user_col, readable like row props
+    cust = spark.createDataFrame(
+        [("user1", "gold")], "user_id string, tier string"
+    )
+    script = """
+    select
+      count id
+    end
+
+    each_row where tier.is(== "gold") && fruit.is(== "banana")
+      << event, tier
+    end
+    """
+    q = compile_osl(script)
+    out = q.__class__(
+        q.script, customer_df=cust
+    ).dataframe(fruit_events)
+    rows = [(r["event"], r["tier"], r["people"]) for r in out.collect()]
+    assert rows == [("purchase", "gold", 1)]
+
+
+def test_engine_osl_endpoint(spark):
+    from openset_spark.engine import OpenSetEngine
+
+    eng = OpenSetEngine(spark, "/root/testdata/sf0.001")
+    out = eng.osl(
+        "select\n  count id\nend\n\n"
+        'each_row where event.is(== "purchase")\n  << event\nend'
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["event"] == "purchase"
+    want = (
+        eng.events.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().count()
+    )
+    assert rows[0]["people"] == want
