@@ -303,6 +303,43 @@ def _parse_push(line: str) -> list:
 _ASSIGN_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\[[^\]]*\])?\s*=[^=]")
 _IGNORED_CALL_RE = re.compile(r"^debug\s*\(")
 _FLOW_RE = re.compile(r"^(if|for|break|continue|return|exit|match)\b")
+_BLOCK_OPEN_RE = re.compile(r"^(if|for)\b")
+_LOOP_CTL_RE = re.compile(r"^(break|continue)\b")
+
+
+def _skip_noop_block(lines: list[str], idx: int) -> int:
+    """``lines[idx]`` opens an ``if``/``for`` block. If everything in
+    it (transitively) is imperative state the compile ignores anyway —
+    assignments, ``debug()``, ``break``/``continue``, ``else``, nested
+    if/for of the same — the block cannot change which rows match, so
+    it is skipped verbatim (the reference's own variable-logic test
+    scripts replay this way). A ``<<`` push, ``each_row``, ``return``
+    or ``exit`` inside makes it semantic: raise OslUnsupported."""
+    depth = 0
+    j = idx
+    while j < len(lines):
+        line = lines[j]
+        if _BLOCK_OPEN_RE.match(line):
+            depth += 1
+        elif line == "end":
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        elif (
+            _ASSIGN_RE.match(line)
+            or _IGNORED_CALL_RE.match(line)
+            or _LOOP_CTL_RE.match(line)
+            or line == "else"
+            or line.startswith("elif ")
+        ):
+            pass
+        else:
+            raise OslUnsupported(
+                f"flow control with side effects on the matched rows: "
+                f"{line!r}"
+            )
+        j += 1
+    raise OslSyntaxError(f"{lines[idx].split()[0]!r} block missing 'end'")
 _EACH_ROW_RE = re.compile(r"^each_row((?:\.\w+\([^)]*\))*)\s+where\s+(.+)$")
 _EACH_ROW_NOWHERE_RE = re.compile(r"^each_row((?:\.\w+\([^)]*\))*)\s*$")
 _MOD_RE = re.compile(r"\.(\w+)\(([^)]*)\)")
@@ -386,6 +423,8 @@ def parse_osl(script: str) -> Script:
                 blk.children.append(child)
             elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
                 idx += 1  # imperative no-op for the matched row set
+            elif _BLOCK_OPEN_RE.match(line):
+                idx = _skip_noop_block(lines, idx)
             elif _FLOW_RE.match(line):
                 raise OslUnsupported(f"flow control in each_row body: {line!r}")
             else:
@@ -434,6 +473,8 @@ def parse_osl(script: str) -> Script:
             blocks.append(blk)
         elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
             i += 1
+        elif _BLOCK_OPEN_RE.match(line):
+            i = _skip_noop_block(lines, i)
         elif _FLOW_RE.match(line):
             raise OslUnsupported(f"top-level flow control: {line!r}")
         else:

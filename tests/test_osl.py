@@ -248,13 +248,84 @@ def test_start_of_month_pivot(fruit_events):
     assert len(out) == 1 and out[0][0] == month_start_ms
 
 
-def test_unsupported_flow_raises(fruit_events):
+def test_noop_if_skips_semantic_if_raises(fruit_events):
+    # variable-logic if/for blocks cannot change the matched row set —
+    # they replay as no-ops; an if guarding a << push is semantic.
+    script_ok = """
+    each_row where event == "purchase"
+      if price > 5
+        debug(true)
+      end
+    end
+    """
+    assert _counts(script_ok, fruit_events) == [5]
     with pytest.raises(OslUnsupported):
         compile_osl(
             """
             each_row where event == "purchase"
               if price > 5
-                debug(true)
+                << fruit
+              end
+            end
+            """
+        )
+
+
+def test_reference_basic_logic_script_replays():
+    # "test OSL basic logic" (test_osl_language.h:203-240): top-level
+    # variable logic only — parses clean, defines no scans
+    script = """
+    test_value = 123
+    some_list = ["apple", "orange", "pear", "banana"]
+
+    if test_value == 123
+       debug(true)
+    end
+
+    if test_value != 321
+       debug(true)
+    end
+
+    if "peach" in some_list || "plum" in some_list
+       debug(true)
+    end
+    """
+    q = compile_osl(script)
+    assert q.script.blocks == []
+
+
+def test_reference_for_break_script_replays():
+    # "test OSL for/break" (test_osl_language.h:340-362): nested
+    # for/if/break over variables — a no-op for the row set
+    script = """
+    number_list = ["one", "two", "three", "four", "five", "six", "seven"]
+    letter_list = ["a", "b", "c", "d"]
+
+    counter = 0
+    for number in number_list
+
+      for letter in letter_list
+        if number == "three" && letter == "c"
+          break(2)
+        end
+        counter = counter + 1
+      end
+
+    end
+
+    debug(counter == 10)
+    """
+    q = compile_osl(script)
+    assert q.script.blocks == []
+
+
+def test_return_inside_if_still_raises():
+    with pytest.raises(OslUnsupported):
+        compile_osl(
+            """
+            each_row where event == "purchase"
+              if price > 5
+                return(true)
               end
             end
             """
