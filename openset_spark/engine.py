@@ -284,6 +284,17 @@ class OpenSetEngine:
     def batch(self, batch: BatchQuery) -> dict[str, DataFrame]:
         return run_batch(self._events, batch)
 
+    def batch_osl(
+        self, script: str, now_ms: int | None = None, **kw
+    ) -> dict[str, DataFrame]:
+        """POST /query/{t}/batch with the endpoint's combined OSL
+        document (docs/rest/README.md:379-418): @segment sections,
+        @use, @property lines, @histogram return() bodies — one cached
+        scan, shared membership, k tiny aggregates."""
+        from openset_spark.osl import compile_osl_batch
+
+        return compile_osl_batch(script, **kw).run(self._events, now_ms)
+
     # -- behavioral reports ------------------------------------------
     def funnel(
         self, steps: Sequence[Column], segments: Sequence[str] = (), **kw

@@ -25,28 +25,34 @@ reference's own doc/test scripts replay verbatim; flow control that
 from openset_spark.osl.parser import (
     OslSyntaxError,
     OslUnsupported,
+    parse_batch,
     parse_histogram,
     parse_osl,
     parse_segments,
 )
 from openset_spark.osl.compiler import (
+    OslBatch,
     OslHistogram,
     OslQuery,
     OslSegments,
     compile_osl,
+    compile_osl_batch,
     compile_osl_histogram,
     compile_osl_segments,
 )
 
 __all__ = [
+    "OslBatch",
     "OslHistogram",
     "OslQuery",
     "OslSegments",
     "OslSyntaxError",
     "OslUnsupported",
     "compile_osl",
+    "compile_osl_batch",
     "compile_osl_histogram",
     "compile_osl_segments",
+    "parse_batch",
     "parse_histogram",
     "parse_osl",
     "parse_segments",

@@ -41,6 +41,7 @@ from openset_spark.osl.parser import (
     BoolOp,
     EachRow,
     OslUnsupported,
+    PAggWhere,
     PBin,
     PCall,
     PLit,
@@ -221,6 +222,12 @@ _PIVOT_FNS: dict[str, Any] = {
     "to_hours": T.to_hours,
     "to_days": T.to_days,
     "to_weeks": T.to_weeks,
+    # singular aliases (the batch docs use to_day, README:410)
+    "to_second": T.to_seconds,
+    "to_minute": T.to_minutes,
+    "to_hour": T.to_hours,
+    "to_day": T.to_days,
+    "to_week": T.to_weeks,
 }
 for _name in (
     "get_second", "get_minute", "get_hour", "get_month", "get_quarter",
@@ -704,6 +711,37 @@ _HIST_AGG_PRIMS = {
     "session_count": lambda ts, user: F.max(F.col("session")),
 }
 
+# batch docs spell them last_event/first_event (README:410)
+_PRIM_ALIASES = {"last_event": "last_stamp", "first_event": "first_stamp"}
+
+_SCALAR_AGG_COLS = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "dcount": F.count_distinct,
+}
+
+
+def _rowlevel_bool(expr: Any, ctx: _Ctx) -> Column:
+    """Row-level boolean for agg-where conditions: quantifier modes
+    would nest a window inside an aggregate — reject them."""
+
+    def check(e):
+        if isinstance(e, Pred):
+            if e.mode not in ("is", "is_not"):
+                raise OslUnsupported(
+                    f".{e.mode}() inside an aggregate's where — use a "
+                    "row-level .is()/.is_not() condition"
+                )
+        elif isinstance(e, BoolOp):
+            for p in e.parts:
+                check(p)
+
+    check(expr)
+    return _bool_col(expr, ctx)
+
 
 class OslHistogram:
     """A compiled histogram-endpoint script: ``return(expr)`` computes
@@ -723,26 +761,40 @@ class OslHistogram:
         expr: Any,
         user_col: str = "user_id",
         ts_col: str = "ts",
+        event_col: str = "event_type",
+        foreach: str | None = None,
+        column_map: dict[str, str] | None = None,
     ) -> None:
         self.expr = expr
         self.user_col = user_col
         self.ts_col = ts_col
+        self.event_col = event_col
+        # ``foreach=`` histogram param: the scalar is computed per
+        # (user, property value); each_value resolves to the property
+        self.foreach = foreach
+        self.column_map = dict(column_map or {})
 
-    def _names(self) -> set[str]:
+    def _walk(self) -> tuple[set[str], list]:
+        """(referenced prim/unknown names, PAggWhere nodes in eval
+        order)."""
         names: set[str] = set()
+        aggs: list = []
 
         def walk(e):
             if isinstance(e, PName):
-                names.add(e.name)
+                names.add(_PRIM_ALIASES.get(e.name, e.name))
             elif isinstance(e, PCall):
                 for a in e.args:
                     walk(a)
             elif isinstance(e, PBin):
                 walk(e.left)
                 walk(e.right)
+            elif isinstance(e, PAggWhere):
+                if e not in aggs:
+                    aggs.append(e)
 
         walk(self.expr)
-        return names
+        return names, aggs
 
     def per_user(
         self,
@@ -752,7 +804,7 @@ class OslHistogram:
     ) -> DataFrame:
         """(user_col, value) — the scalar the script returns per
         customer."""
-        names = self._names()
+        names, aggwheres = self._walk()
         unknown = names - set(_HIST_AGG_PRIMS) - {"now"}
         if unknown:
             raise OslUnsupported(
@@ -764,21 +816,50 @@ class OslHistogram:
         df = events
         if "session_count" in names:
             df = with_session(df, session_gap_ms, self.user_col, self.ts_col)
-        aggs = [
+        # row-pred context for agg-where conditions; each_value is the
+        # foreach property (per-group it equals the group key, so
+        # `shipper.is(== each_value)` folds to the group's own rows)
+        cmap = dict(self.column_map)
+        if self.foreach is not None:
+            cmap.setdefault("each_value", self.foreach)
+        ctx = _Ctx(
+            df, self.user_col, self.ts_col, self.event_col,
+            "event_id", cmap, now_ms,
+        )
+        agg_alias = {aw: f"_aw_{i}" for i, aw in enumerate(aggwheres)}
+        agg_exprs: list[Column] = []
+        for aw, alias in agg_alias.items():
+            col = ctx.resolve(aw.prop)
+            if aw.where is not None:
+                cond = _rowlevel_bool(aw.where, ctx)
+                col = F.when(cond, col)
+            fn = _SCALAR_AGG_COLS.get(aw.fn)
+            if fn is None:
+                raise OslUnsupported(f"aggregate {aw.fn}() in histogram")
+            agg_exprs.append(fn(col).alias(alias))
+        agg_exprs += [
             _HIST_AGG_PRIMS[n](self.ts_col, self.user_col).alias(f"_{n}")
             for n in sorted(names)
             if n in _HIST_AGG_PRIMS
-        ] or [F.count(F.lit(1)).alias("_row_count")]
-        per_user = df.groupBy(self.user_col).agg(*aggs)
+        ]
+        if not agg_exprs:
+            agg_exprs = [F.count(F.lit(1)).alias("_row_count")]
+        gcols = [self.user_col] + (
+            [self.foreach] if self.foreach is not None else []
+        )
+        per_user = df.groupBy(*gcols).agg(*agg_exprs)
 
         def ev(e) -> Column:
             if isinstance(e, PLit):
                 return F.lit(e.value)
+            if isinstance(e, PAggWhere):
+                return F.col(agg_alias[e])
             if isinstance(e, PName):
-                if e.name == "now":
+                name = _PRIM_ALIASES.get(e.name, e.name)
+                if name == "now":
                     return F.lit(now_ms)
-                col = F.col(f"_{e.name}")
-                if e.name in ("first_stamp", "last_stamp"):
+                col = F.col(f"_{name}")
+                if name in ("first_stamp", "last_stamp"):
                     return epoch_ms(col)  # OSL stamps are epoch ms
                 return col
             if isinstance(e, PBin):
@@ -802,7 +883,7 @@ class OslHistogram:
             raise OslUnsupported(f"histogram expression node: {e!r}")
 
         return per_user.select(
-            self.user_col, ev(self.expr).alias("value")
+            *gcols, ev(self.expr).alias("value")
         )
 
     def histogram(
@@ -832,3 +913,131 @@ def compile_osl_histogram(script: str, **kw) -> OslHistogram:
     from openset_spark.osl.parser import parse_histogram
 
     return OslHistogram(parse_histogram(script), **kw)
+
+
+# --------------------------------------------------- batch compilation
+class OslBatch:
+    """A compiled /batch document (docs/rest/README.md:379-418): the
+    reference's combined segment + property + histogram POST body.
+
+    Execution binds to ``plans/batch.py::run_batch``: the events scan
+    is cached once, segment membership is computed once and shared by
+    the ``@use``-scoped property counts, and every ``@histogram``
+    scalar is one groupBy(user[, foreach]) — k sub-queries cost one
+    read plus k tiny shuffles.
+    """
+
+    def __init__(
+        self,
+        doc,
+        column_map: dict[str, str] | None = None,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        event_col: str = "event_type",
+        order_col: str = "event_id",
+    ) -> None:
+        self.doc = doc
+        self.column_map = dict(column_map or {})
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.event_col = event_col
+        self.order_col = order_col
+
+    def _to_segment(self, d, ctx: _Ctx):
+        """Lift a SegmentDef to one ever/never row predicate:
+        ever(p1) || ever(p2) == ever(p1 || p2) and
+        never(p1) && never(p2) == never(p1 || p2); anything else is
+        outside the batch operator's single-Segment shape."""
+        from openset_spark.operators.segments import Segment
+
+        preds = (
+            list(d.where.parts)
+            if isinstance(d.where, BoolOp)
+            else [d.where]
+        )
+        if not all(isinstance(p, Pred) for p in preds):
+            raise OslUnsupported(
+                f"@segment {d.name}: nested boolean shapes need the "
+                "/counts endpoint (OslSegments)"
+            )
+        modes = {("ever" if p.mode in ("is", "ever") else "never")
+                 for p in preds}
+        kind = d.where.kind if isinstance(d.where, BoolOp) else "or"
+        if len(modes) > 1 or (
+            len(preds) > 1
+            and (modes == {"ever"}) != (kind == "or")
+        ):
+            raise OslUnsupported(
+                f"@segment {d.name}: mixed quantifiers need the "
+                "/counts endpoint (OslSegments)"
+            )
+        conds = [_leaf_rowcond(p, ctx) for p in preds]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return Segment(d.name, out, modes.pop())
+
+    def batch_query(self, events: DataFrame, now_ms: int | None = None):
+        """Bind to the events schema (set-property matchers dispatch
+        on array vs scalar columns) and return the executable
+        BatchQuery."""
+        from openset_spark.plans.batch import (
+            BatchQuery,
+            HistogramSpec,
+            PropertySpec,
+        )
+
+        ctx = _Ctx(
+            events, self.user_col, self.ts_col, self.event_col,
+            self.order_col, self.column_map, now_ms or 0,
+        )
+        segments = tuple(
+            self._to_segment(d, ctx) for d in self.doc.segments
+        )
+        properties = tuple(
+            PropertySpec(name, bucket=params.get("bucket"))
+            for name, params in self.doc.properties
+        )
+
+        def scalar_of(h):
+            hist = OslHistogram(
+                h.expr,
+                user_col=self.user_col,
+                ts_col=self.ts_col,
+                event_col=self.event_col,
+                foreach=h.params.get("foreach"),
+                column_map=self.column_map,
+            )
+            return lambda ev: hist.per_user(ev, now_ms=now_ms)
+
+        histograms = tuple(
+            HistogramSpec(
+                name=h.name,
+                scalar=scalar_of(h),
+                bucket=h.params.get("bucket", 1.0),
+                min_value=h.params.get("min_value"),
+                max_value=h.params.get("max_value"),
+                foreach=h.params.get("foreach"),
+            )
+            for h in self.doc.histograms
+        )
+        return BatchQuery(
+            segments=segments,
+            use=tuple(self.doc.use),
+            properties=properties,
+            histograms=histograms,
+        )
+
+    def run(
+        self, events: DataFrame, now_ms: int | None = None
+    ) -> dict[str, DataFrame]:
+        from openset_spark.plans.batch import run_batch
+
+        return run_batch(events, self.batch_query(events, now_ms))
+
+
+def compile_osl_batch(script: str, **kw) -> OslBatch:
+    """Parse + bind a /batch-endpoint OSL document."""
+    from openset_spark.osl.parser import parse_batch
+
+    return OslBatch(parse_batch(script), **kw)

@@ -99,6 +99,17 @@ class PBin:
 
 
 @dataclass(frozen=True)
+class PAggWhere:
+    """Row-search aggregate in a scalar expression
+    (``sum(total) where event.is(== "purchase")`` — the batch docs'
+    histogram bodies, docs/rest/README.md:404-414)."""
+
+    fn: str  # sum|count|min|max|avg|dcount
+    prop: str
+    where: Any | None  # Pred | BoolOp | None
+
+
+@dataclass(frozen=True)
 class SegmentDef:
     """One ``@segment name param=value ...`` section of a /counts
     script (docs/rest/README.md:258-290): policy params + the
@@ -576,6 +587,9 @@ def parse_segments(script: str) -> list[SegmentDef]:
 
 
 # --------------------------------------------- histogram return(expr)
+_SCALAR_AGG_FNS = {"sum", "count", "min", "max", "avg", "dcount"}
+
+
 def _parse_scalar_expr(tk: _Tokens):
     """Arithmetic over literals, names, spans, and calls:
     term (('+'|'-') term)*, term := factor (('*'|'/') factor)*."""
@@ -612,6 +626,16 @@ def _parse_scalar_factor(tk: _Tokens):
         while tk.accept(","):
             args.append(_parse_scalar_expr(tk))
         tk.expect(")")
+        # row-search aggregate: sum(total) where <expr>
+        if text in _SCALAR_AGG_FNS:
+            if len(args) != 1 or not isinstance(args[0], PName):
+                raise OslSyntaxError(
+                    f"{text}() aggregate needs one property name"
+                )
+            where = None
+            if tk.accept("where"):
+                where = _parse_expr(tk)
+            return PAggWhere(text, args[0].name, where)
         return PCall(text, tuple(args))
     return PName(text)
 
@@ -641,3 +665,106 @@ def parse_histogram(script: str):
     if expr is None:
         raise OslSyntaxError("histogram script needs a return(expr)")
     return expr
+
+
+# ------------------------------------------------ batch documents
+@dataclass(frozen=True)
+class HistogramDef:
+    """``@histogram name [bucket= min= max= foreach=]`` + its
+    ``return(expr)`` body."""
+
+    name: str
+    params: dict  # bucket/min_value/max_value/foreach
+    expr: Any
+
+
+@dataclass(frozen=True)
+class BatchDoc:
+    """A parsed /batch POST body (docs/rest/README.md:379-418)."""
+
+    segments: tuple  # SegmentDef, ...
+    use: tuple  # segment names applied to the property counts
+    properties: tuple  # (name, {"bucket": float?}), ...
+    histograms: tuple  # HistogramDef, ...
+
+
+def parse_batch(script: str) -> BatchDoc:
+    """Parse the batch endpoint's combined OSL document: ``@segment``
+    sections, one ``@use``, ``@property`` lines, ``@histogram``
+    sections with ``return(expr)`` bodies."""
+    lines = _logical_lines(script)
+    seg_lines: list[str] = []
+    use: list[str] = []
+    properties: list[tuple] = []
+    histograms: list[HistogramDef] = []
+    i, n = 0, len(lines)
+    while i < n:
+        line = lines[i]
+        if line.startswith("@segment"):
+            seg_lines.append(line)
+            i += 1
+            while i < n and not lines[i].startswith("@"):
+                seg_lines.append(lines[i])
+                i += 1
+        elif line.startswith("@use"):
+            use.extend(line.split()[1:])
+            i += 1
+        elif line.startswith("@property"):
+            parts = line.split()
+            if len(parts) < 2:
+                raise OslSyntaxError(f"@property needs a name: {line!r}")
+            params: dict = {}
+            for p in parts[2:]:
+                k, _, v = p.partition("=")
+                if k != "bucket" or not v:
+                    raise OslUnsupported(f"@property param {p!r}")
+                params["bucket"] = float(v)
+            properties.append((parts[1], params))
+            i += 1
+        elif line.startswith("@histogram"):
+            parts = line.split()
+            if len(parts) < 2:
+                raise OslSyntaxError(f"@histogram needs a name: {line!r}")
+            params = {}
+            for p in parts[2:]:
+                k, _, v = p.partition("=")
+                if k in ("bucket", "min", "max") and v:
+                    key = {"min": "min_value", "max": "max_value"}.get(k, k)
+                    params[key] = float(v)
+                elif k == "foreach" and v:
+                    params["foreach"] = v
+                else:
+                    raise OslUnsupported(f"@histogram param {p!r}")
+            i += 1
+            expr = None
+            while i < n and not lines[i].startswith("@"):
+                m = _RETURN_RE.match(lines[i])
+                if m:
+                    if expr is not None:
+                        raise OslUnsupported(
+                            f"multiple return() in @histogram {parts[1]}"
+                        )
+                    tk = _Tokens(_tokenize(m.group(1)))
+                    expr = _parse_scalar_expr(tk)
+                    if tk.peek():
+                        raise OslSyntaxError(
+                            f"trailing tokens in return: {lines[i]!r}"
+                        )
+                elif _ASSIGN_RE.match(lines[i]) or _IGNORED_CALL_RE.match(
+                    lines[i]
+                ):
+                    pass
+                else:
+                    raise OslSyntaxError(
+                        f"unrecognized @histogram statement: {lines[i]!r}"
+                    )
+                i += 1
+            if expr is None:
+                raise OslSyntaxError(f"@histogram {parts[1]} needs return()")
+            histograms.append(HistogramDef(parts[1], params, expr))
+        else:
+            raise OslSyntaxError(f"unrecognized batch statement: {line!r}")
+    segments = (
+        tuple(parse_segments("\n".join(seg_lines))) if seg_lines else ()
+    )
+    return BatchDoc(segments, tuple(use), tuple(properties), tuple(histograms))

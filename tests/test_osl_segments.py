@@ -318,3 +318,119 @@ def test_on_insert_segments_stream_transitions(spark, tmp_path):
     assert (1, "purchasers", "enter") in rows
     assert (3, "purchasers", "enter") in rows
     assert not any(u == 2 for u, _, _ in rows)
+
+
+# --------------------------------------------------- batch documents
+BATCH_DOC = """
+@segment products_home use_cached=false refresh=5_minutes on_insert=true
+
+# match one of these
+if product_group.ever(any ['basement', 'garage', 'kitchen', 'bedroom', 'bathroom'])
+  return(true)
+end
+
+@segment products_yard use_cached=True refresh=5_minutes on_insert=true
+
+# match one of these
+if product_group.ever(contains 'basement') || product_group.ever(contains 'garage')
+  return(true)
+end
+
+@use products_home products_yard
+
+@property product_name
+
+@property total bucket=50
+
+@histogram customer_value bucket=50
+  return(sum(total) where event.is(== "purchase"))
+
+@histogram days_since
+  return( to_day(now - last_event) )
+
+@histogram total_by_shipper foreach=shipper bucket=100 min=0 max=1000
+  return( sum(total) where shipper.is(== each_value) )
+"""
+
+
+@pytest.fixture(scope="module")
+def highstreet_events(spark):
+    D = datetime(2024, 1, 10, tzinfo=timezone.utc)
+    rows = [
+        # user, eid, type, days_ago, product_name, group, total, shipper
+        (1, 0, "purchase", 2, "hammer", ["garage", "tools"], 120.0, "ups"),
+        (1, 1, "purchase", 2, "kettle", ["kitchen"], 60.0, "fedex"),
+        (1, 2, "view", 1, "kettle", ["kitchen"], 0.0, "ups"),
+        (2, 3, "purchase", 9, "sofa", ["livingroom"], 700.0, "ups"),
+        (3, 4, "view", 0, "plant", ["lawn"], 0.0, "fedex"),
+    ]
+    return spark.createDataFrame(
+        [
+            (u, e, t, D.fromtimestamp(
+                D.timestamp() - days * 86400, tz=timezone.utc
+            ), pn, pg, tot, sh)
+            for u, e, t, days, pn, pg, tot, sh in rows
+        ],
+        "user_id long, event_id long, event_type string, ts timestamp,"
+        " product_name string, product_group array<string>,"
+        " total double, shipper string",
+    )
+
+
+def test_batch_document_runs_verbatim(highstreet_events):
+    from openset_spark.osl import compile_osl_batch
+
+    now_ms = int(datetime(2024, 1, 10, tzinfo=timezone.utc).timestamp() * 1000)
+    out = compile_osl_batch(BATCH_DOC).run(highstreet_events, now_ms=now_ms)
+
+    segs = {r["segment"]: r["people"] for r in out["segments"].collect()}
+    # home: garage/kitchen buyers = user 1(+garage), 2 has livingroom
+    assert segs == {"products_home": 1, "products_yard": 1}
+
+    # @use scoping: counts per segment for product_name
+    pn = out["property:product_name"]
+    assert set(pn.columns) >= {
+        "value", "people", "products_home_people", "products_yard_people",
+    }
+    vals = {r["value"]: r["products_home_people"] for r in pn.collect()}
+    assert vals["hammer"] == 1 and vals["sofa"] == 0
+
+    cv = {r["customer_value"]: r["people"]
+          for r in out["histogram:customer_value"].collect()}
+    # user1: 180 -> bucket 150; user2: 700 -> 700; user3: no purchase
+    assert cv == {150.0: 1, 700.0: 1}
+
+    ds = {r["days_since"]: r["people"]
+          for r in out["histogram:days_since"].collect()}
+    # last events: u1 1d, u2 9d, u3 0d ago
+    assert ds == {0.0: 1, 1.0: 1, 9.0: 1}
+
+    tbs = out["histogram:total_by_shipper"].collect()
+    by = {(r["shipper"], r["total_by_shipper"]): r["people"] for r in tbs}
+    # u1 ups 120 -> bucket 100 ; u1 fedex 60 -> 0 ; u2 ups 700 -> 700
+    assert by[("ups", 100.0)] == 1
+    assert by[("fedex", 0.0)] >= 1
+    assert by[("ups", 700.0)] == 1
+
+    for c in out["_cached"]:
+        c.unpersist()
+
+
+def test_engine_batch_osl(spark):
+    from openset_spark.engine import OpenSetEngine
+
+    eng = OpenSetEngine(spark, "/root/testdata/sf0.001")
+    out = eng.batch_osl(
+        "@segment purchasers\n"
+        'if event.ever(== "purchase")\n  return(true)\nend\n'
+        "@use purchasers\n"
+        "@property event_type\n"
+        "@histogram spend bucket=100\n"
+        '  return(sum(value) where event.is(== "purchase"))\n',
+        now_ms=0,
+    )
+    assert {r["segment"] for r in out["segments"].collect()} == {"purchasers"}
+    assert out["property:event_type"].count() > 0
+    assert out["histogram:spend"].count() > 0
+    for c in out["_cached"]:
+        c.unpersist()
