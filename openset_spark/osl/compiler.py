@@ -325,6 +325,7 @@ class OslQuery:
 
         for b in self.script.blocks:
             walk_block(b)
+        names.update(prop for _fn, prop, _alias in self.script.selects)
         return "session" in names or "session_count" in names
 
     def _ctx(
@@ -987,9 +988,13 @@ class OslBatch:
             PropertySpec,
         )
 
+        # one wall-clock `now` shared by segment windows AND histogram
+        # scalars (a now-anchored @segment must not see epoch 0)
+        if now_ms is None:
+            now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
         ctx = _Ctx(
             events, self.user_col, self.ts_col, self.event_col,
-            self.order_col, self.column_map, now_ms or 0,
+            self.order_col, self.column_map, now_ms,
         )
         segments = tuple(
             self._to_segment(d, ctx) for d in self.doc.segments

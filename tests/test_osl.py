@@ -413,3 +413,22 @@ def test_engine_osl_endpoint(spark):
         .select("user_id").distinct().count()
     )
     assert rows[0]["people"] == want
+
+
+def test_select_session_without_body_reference(fruit_events):
+    # `select max session` must trigger sessionization even when no
+    # where/push mentions the session column (regression: the session
+    # walk only covered each_row bodies)
+    script = """
+    select
+      max session as max_session
+    end
+
+    each_row where event.is(== "purchase")
+        << fruit
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r.max_session >= 1 for r in rows)

@@ -434,3 +434,24 @@ def test_engine_batch_osl(spark):
     assert out["histogram:spend"].count() > 0
     for c in out["_cached"]:
         c.unpersist()
+
+
+def test_batch_now_defaults_to_wall_clock(highstreet_events):
+    # regression: with now_ms=None a now-anchored @segment window used
+    # epoch 0, so look_back(span, now) matched nothing
+    from openset_spark.osl import compile_osl_batch
+
+    doc = (
+        "@segment recent_buyers\n"
+        'if event.look_back(9000_days, now).ever(== "purchase")\n'
+        "  return(true)\nend\n"
+        "@use recent_buyers\n"
+        "@property shipper\n"
+    )
+    out = compile_osl_batch(doc).run(highstreet_events)  # now_ms=None
+    segs = {r["segment"]: r["people"] for r in out["segments"].collect()}
+    # fixture events sit in Jan 2024: within a 9000-day look-back from
+    # wall clock, unreachable from the buggy anchor (epoch 0)
+    assert segs == {"recent_buyers": 2}
+    for c in out["_cached"]:
+        c.unpersist()
