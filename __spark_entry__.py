@@ -1786,12 +1786,16 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_json_extract": q_props_json_extract,
         "user_purchase_totals": q_user_purchase_totals,
         "events_with_user_dim": q_events_with_user_dim,
-        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
         "first_events_per_user": q_first_events_per_user,
-        "row_count_distribution": q_row_count_distribution,
-        "purchases_by_quarter": q_purchases_by_quarter,
         # sequence / behavioral
         "session_counts": q_session_counts,
+        # rotated in for round 3: the only two oracle queries that never
+        # had a green driver row (session_counts_5min was a round-1 hash
+        # FAIL whose fix the driver never re-confirmed; osl_histogram_weeks
+        # is new in round 2) — every other extras-tier query was verified
+        # by the round-1 window before the registry split.
+        "session_counts_5min": q_session_counts_5min,
+        "osl_histogram_weeks": q_osl_histogram_weeks,
         "funnel_within_hour": q_funnel_within_hour,
         "next_event_transitions": q_next_event_transitions,
         "next_session_transitions": q_next_session_transitions,
@@ -1861,7 +1865,11 @@ FROM u, nowt GROUP BY 1
 
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "osl_histogram_weeks": q_osl_histogram_weeks,
+        # demoted round 3 (driver-green in r1+r2; window slots freed for
+        # the never-verified pair and new round-3 queries)
+        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
+        "row_count_distribution": q_row_count_distribution,
+        "purchases_by_quarter": q_purchases_by_quarter,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18_style": q_tpch_q18_style,

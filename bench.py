@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,13 +59,21 @@ def main() -> None:
               "embeddings"):
         load_table(spark, sf_dir, t).count()
 
+    # Each query runs REPS times; we report the per-query MEDIAN so a
+    # single noisy run (GC pause, sandbox contention) can't swing the
+    # gate metric.  A fresh DataFrame is built per repetition so no
+    # plan/result caching hides the real cost.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        # count() forces full execution of the plan without driver-side
-        # materialization of wide results
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            # count() forces full execution of the plan without
+            # driver-side materialization of wide results
+            qs[name](spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -20,12 +20,12 @@ REQUIRED_IN_WINDOW = [
     "props_json_extract",
     "user_purchase_totals",
     "events_with_user_dim",
-    "event_agg_distinct_stamps",
     "first_events_per_user",
-    "row_count_distribution",
-    "purchases_by_quarter",
     # behavioral
     "session_counts",
+    # round-3 rotation: previously never driver-verified
+    "session_counts_5min",
+    "osl_histogram_weeks",
     "funnel_within_hour",
     "next_event_transitions",
     "next_session_transitions",
