@@ -1320,10 +1320,18 @@ def q_histogram_weeks_since(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_HISTOGRAM_WEEKS_SINCE = """
 WITH nowt AS (SELECT MAX(ts) AS now_ts FROM events),
-u AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id)
-SELECT CAST(FLOOR(((epoch_us(now_ts::TIMESTAMP) - epoch_us(last_ts::TIMESTAMP)) / 1000000.0) / 604800) AS BIGINT) AS weeks_since,
-  COUNT(DISTINCT user_id) AS people
-FROM u, nowt GROUP BY 1
+u AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id),
+h AS (
+  SELECT CAST(FLOOR(((epoch_us(now_ts::TIMESTAMP) - epoch_us(last_ts::TIMESTAMP)) / 1000000.0) / 604800) AS BIGINT) AS weeks_since,
+    COUNT(DISTINCT user_id) AS people
+  FROM u, nowt GROUP BY 1
+),
+bounds AS (
+  SELECT unnest(generate_series((SELECT MIN(weeks_since) FROM h),
+                                (SELECT MAX(weeks_since) FROM h))) AS weeks_since
+)
+SELECT bounds.weeks_since, COALESCE(h.people, 0) AS people
+FROM bounds LEFT JOIN h USING (weeks_since)
 """
 
 
@@ -1394,9 +1402,9 @@ b AS (
   SELECT user_id, FLOOR(LEAST(spend, 1000.0) / 100.0) * 100.0 AS bkt FROM u
 ),
 h AS (SELECT bkt, COUNT(DISTINCT user_id) AS people FROM b GROUP BY bkt),
-bounds AS (
-  SELECT unnest(generate_series(0, (SELECT CAST(MAX(bkt) AS BIGINT) FROM h), 100)) AS bkt
-)
+-- min=0/max=1000 force the fill range: the reference always re-injects
+-- the max bucket, so 0..1000 is emitted even if no one hit the clip
+bounds AS (SELECT unnest(generate_series(0, 1000, 100)) AS bkt)
 SELECT CAST(bounds.bkt AS DOUBLE) AS spend_bucket, COALESCE(h.people, 0) AS people
 FROM bounds LEFT JOIN h ON bounds.bkt = h.bkt
 """
@@ -1418,10 +1426,20 @@ def q_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_HISTOGRAM_BY_TYPE = """
 WITH u AS (
   SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+h AS (
+  SELECT event_type, CAST(FLOOR(n / 5.0) * 5.0 AS BIGINT) AS n_bucket,
+    COUNT(DISTINCT user_id) AS people
+  FROM u GROUP BY 1, 2
+),
+-- per-group interior fill: each event_type's own observed min..max
+bounds AS (
+  SELECT event_type, unnest(generate_series(lo, hi, 5)) AS n_bucket
+  FROM (SELECT event_type, MIN(n_bucket) AS lo, MAX(n_bucket) AS hi
+        FROM h GROUP BY 1)
 )
-SELECT event_type, CAST(FLOOR(n / 5.0) * 5.0 AS BIGINT) AS n_bucket,
-  COUNT(DISTINCT user_id) AS people
-FROM u GROUP BY 1, 2
+SELECT bounds.event_type, bounds.n_bucket, COALESCE(h.people, 0) AS people
+FROM bounds LEFT JOIN h USING (event_type, n_bucket)
 """
 
 
@@ -1856,10 +1874,18 @@ def q_osl_histogram_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_OSL_HISTOGRAM_WEEKS = """
 WITH nowt AS (SELECT MAX(ts) AS now_ts FROM events),
-u AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id)
-SELECT CAST(FLOOR((epoch_ms(now_ts::TIMESTAMP) - epoch_ms(last_ts::TIMESTAMP)) / 604800000.0) AS BIGINT) AS weeks_since,
-  COUNT(DISTINCT user_id) AS people
-FROM u, nowt GROUP BY 1
+u AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY user_id),
+h AS (
+  SELECT CAST(FLOOR((epoch_ms(now_ts::TIMESTAMP) - epoch_ms(last_ts::TIMESTAMP)) / 604800000.0) AS BIGINT) AS weeks_since,
+    COUNT(DISTINCT user_id) AS people
+  FROM u, nowt GROUP BY 1
+),
+bounds AS (
+  SELECT unnest(generate_series((SELECT MIN(weeks_since) FROM h),
+                                (SELECT MAX(weeks_since) FROM h))) AS weeks_since
+)
+SELECT bounds.weeks_since, COALESCE(h.people, 0) AS people
+FROM bounds LEFT JOIN h USING (weeks_since)
 """
 
 
@@ -1878,7 +1904,6 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_agg_two_level": q_event_agg_two_level,
         "recent_purchase_totals": q_recent_purchase_totals,
         "last_purchase_per_user": q_last_purchase_per_user,
-        "session_counts_5min": q_session_counts_5min,
         "session_stats": q_session_stats,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "monthly_retention": q_monthly_retention,

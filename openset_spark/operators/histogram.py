@@ -26,10 +26,23 @@ def _bucket_idx(
 ) -> Column:
     """Integral bucket index with max-clip. Null stays null: the clip
     is applied AFTER the null check (least(NULL, max) would resurrect
-    nulls into the max bucket)."""
+    nulls into the max bucket).
+
+    Int-DIVISION semantics, not floor: the reference buckets with
+    int64 ``(value/bucket)*bucket`` which truncates toward zero, so
+    -50 at bucket=100 lands in bucket 0, not -100. ``cast(double as
+    long)`` truncates toward zero exactly like C++ integer division;
+    ``F.floor`` would diverge for negative values."""
     v: Column = F.col(value_col)
     clipped = v if max_value is None else F.least(v, F.lit(float(max_value)))
-    return F.when(v.isNotNull(), F.floor(clipped / F.lit(float(bucket))))
+    return F.when(
+        v.isNotNull(), (clipped / F.lit(float(bucket))).cast("long")
+    )
+
+
+def _trunc_idx(value: float, bucket: float) -> int:
+    """Python-side twin of _bucket_idx's truncation toward zero."""
+    return int(value / bucket)
 
 
 def histogram(
@@ -52,31 +65,38 @@ def histogram(
         .groupBy("_idx")
         .agg(F.countDistinct(user_col).alias("people"))
     )
-    if min_value is not None:
-        # zero-fill from min_value's bucket to the observed max bucket —
-        # all index arithmetic on longs, so no FP step-count drift and
-        # the fill join matches observed buckets exactly. Values below
-        # min fall outside the histogram's floor and are dropped before
-        # the fill; if nothing survives, max(_idx) is null and the
-        # sequence/explode yields an empty histogram (never a
-        # descending hi<lo fill).
-        import math
-
-        lo = int(math.floor(min_value / bucket))
-        hist = hist.filter(F.col("_idx") >= F.lit(lo))
-        bounds = hist.agg(F.max("_idx").alias("_hi")).select(
-            F.explode(
-                F.sequence(F.lit(lo).cast("long"), F.col("_hi").cast("long"))
-            ).alias("_idx")
-        )
-        hist = bounds.join(
-            hist.withColumnRenamed("_idx", "_b"),
-            bounds["_idx"] == F.col("_b"),
-            "left",
-        ).select(
-            bounds["_idx"], F.coalesce(F.col("people"), F.lit(0)).alias("people")
-        )
-    return hist.select(
+    # Zero-fill per the reference's jsonResultHistogramFill
+    # (src/result.cpp:780-941):
+    # - interior gaps between lo and hi ALWAYS fill with people=0 (the
+    #   reference fills observed-min..max even with no min=/max=);
+    # - ``min=`` forces lo, but observed buckets BELOW it are KEPT
+    #   (the reference voids only values >= max, never below min);
+    # - the hi bucket is always present (the reference re-injects the
+    #   max branch carrying the clipped overflow, 0 if nothing hit it);
+    # - empty input stays empty (the reference returns early).
+    # Spark shape: a sequence() range frame FULL-outer-joined with the
+    # observed buckets — observed rows outside the fill range survive
+    # the join, range rows missing from observed coalesce to 0. All
+    # index arithmetic on longs so no FP step-count drift.
+    lo_forced = None if min_value is None else _trunc_idx(min_value, bucket)
+    hi_forced = None if max_value is None else _trunc_idx(max_value, bucket)
+    bounds = hist.agg(F.min("_idx").alias("_lo"), F.max("_idx").alias("_hi"))
+    lo_c = F.col("_lo") if lo_forced is None else F.lit(lo_forced).cast("long")
+    hi_c = F.col("_hi") if hi_forced is None else F.lit(hi_forced).cast("long")
+    rng = bounds.filter(F.col("_lo").isNotNull()).select(
+        F.explode(
+            # a forced lo above everything degenerates to just the
+            # re-injected hi bucket, matching the reference's
+            # no-iteration fill loop + max re-inject
+            F.when(lo_c <= hi_c, F.sequence(lo_c, hi_c)).otherwise(
+                F.array(hi_c)
+            )
+        ).alias("_idx")
+    )
+    filled = rng.join(hist, "_idx", "full").select(
+        F.col("_idx"), F.coalesce("people", F.lit(0)).alias("people")
+    )
+    return filled.select(
         (F.col("_idx").cast("double") * F.lit(float(bucket))).alias(name),
         "people",
     )
@@ -108,6 +128,7 @@ def histogram_by(
     value_col: str,
     group_col: str,
     bucket: float = 1.0,
+    min_value: float | None = None,
     max_value: float | None = None,
     user_col: str = "user_id",
     name: str = "value",
@@ -119,16 +140,39 @@ def histogram_by(
 
     ``per_user_scalar`` has one row per (user, group) pair."""
     idx = _bucket_idx(value_col, bucket, max_value)
-    return (
+    hist = (
         per_user_scalar.select(
             F.col(group_col), idx.alias("_idx"), F.col(user_col)
         )
         .filter(F.col("_idx").isNotNull())
         .groupBy(group_col, "_idx")
         .agg(F.countDistinct(user_col).alias("people"))
+    )
+    # per-group interior zero-fill: the reference applies
+    # jsonResultHistogramFill to EACH group's branch of a foreach
+    # result (result.cpp:795-807 "isDeep" path), each group filling
+    # its own observed min..max unless min=/max= force the bounds.
+    lo_forced = None if min_value is None else _trunc_idx(min_value, bucket)
+    hi_forced = None if max_value is None else _trunc_idx(max_value, bucket)
+    lo_c = F.col("_lo") if lo_forced is None else F.lit(lo_forced).cast("long")
+    hi_c = F.col("_hi") if hi_forced is None else F.lit(hi_forced).cast("long")
+    rng = (
+        hist.groupBy(group_col)
+        .agg(F.min("_idx").alias("_lo"), F.max("_idx").alias("_hi"))
+        .select(
+            group_col,
+            F.explode(
+                F.when(lo_c <= hi_c, F.sequence(lo_c, hi_c)).otherwise(
+                    F.array(hi_c)
+                )
+            ).alias("_idx"),
+        )
+    )
+    return (
+        rng.join(hist, [group_col, "_idx"], "full")
         .select(
             group_col,
             (F.col("_idx").cast("double") * F.lit(float(bucket))).alias(name),
-            "people",
+            F.coalesce("people", F.lit(0)).alias("people"),
         )
     )

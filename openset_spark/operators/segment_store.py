@@ -100,10 +100,23 @@ class SegmentStore:
         events_fn: Callable[[], DataFrame],
         user_col: str = "user_id",
         ts_col: str = "ts",
+        ingest_col: str | None = None,
     ) -> None:
         self._events_fn = events_fn
         self.user_col = user_col
         self.ts_col = ts_col
+        # Delta boundary column for incremental refresh. The watermark
+        # is the max value ACTUALLY FOLDED on the last compute — never
+        # the policy clock: a row appended with an event stamp at or
+        # before the previous compute's `now` (ingestion lag, late
+        # arrival) must still be folded by the next refresh.
+        # With the default event-time column that leaves one documented
+        # assumption: appends carry stamps >= the max stamp already
+        # folded (true for ordinary ingestion; NOT for historical
+        # backfills). Passing ``ingest_col`` naming a monotonically
+        # increasing append id (the analog of the reference's insert
+        # log position) removes the assumption entirely.
+        self.ingest_col = ingest_col
         self._entries: dict[str, _Entry] = {}
 
     # -- definition ---------------------------------------------------
@@ -178,19 +191,41 @@ class SegmentStore:
             return "refresh"
         return "fresh"
 
+    def _boundary(self) -> Column:
+        if self.ingest_col is not None:
+            return F.col(self.ingest_col)
+        return F.unix_millis(F.col(self.ts_col))
+
+    def _max_boundary(self, df: DataFrame) -> int | None:
+        """Max boundary value in ``df`` — one tiny aggregate; over a
+        parquet layout this reads row-group stats, not data, once
+        aggregate pushdown applies, and on the refresh path it scans
+        only the delta anyway."""
+        return df.agg(F.max(self._boundary())).first()[0]
+
     def _compute(self, e: _Entry, name: str, now_ms: int) -> DataFrame:
         events = self._events_fn()
         state = self._stale(e, now_ms)
         if state == "fresh":
             return e.cached  # type: ignore[return-value]
-        if e.segment is not None and state == "refresh":
-            # monotone ever/never: fold ONLY the delta since watermark
-            delta = events.filter(
-                F.unix_millis(F.col(self.ts_col)) > F.lit(e.watermark_ms)
-            )
+        wm: int | None = None
+        if (
+            e.segment is not None
+            and state == "refresh"
+            and e.watermark_ms is not None
+        ):
+            # monotone ever/never: fold ONLY the delta appended since
+            # the last fold. ``>=`` (not ``>``): rows can share the
+            # boundary value with rows already folded, and ever/never
+            # folds are idempotent, so re-folding the boundary is
+            # harmless while ``>`` would silently skip same-stamp
+            # appends forever.
+            delta = events.filter(self._boundary() >= F.lit(e.watermark_ms))
             new = refresh_membership(
                 e.cached, delta, [e.segment], self.user_col
             )
+            dmax = self._max_boundary(delta)
+            wm = e.watermark_ms if dmax is None else max(e.watermark_ms, dmax)
         elif e.segment is not None:
             new = membership(events, [e.segment], self.user_col)
         elif e.steps is not None:
@@ -199,16 +234,36 @@ class SegmentStore:
                 events, {name: e.steps}, self.user_col, within_ms=e.within_ms
             )
         elif e.compute is not None:
-            new = e.compute(events)
+            new = self._call_compute(e.compute, events, now_ms)
         else:  # pragma: no cover - derived handled in membership()
             raise ValueError(f"derived segment {name} needs its inputs")
+        if wm is None and e.segment is not None:
+            # full compute folded everything currently present: the
+            # watermark is the max boundary actually observed, NOT the
+            # policy clock (which may run ahead of or behind the data)
+            wm = self._max_boundary(events)
         new = new.cache()
         if e.cached is not None:
             e.cached.unpersist()
         e.cached = new
         e.computed_at_ms = now_ms
-        e.watermark_ms = now_ms
+        e.watermark_ms = wm
         return new
+
+    @staticmethod
+    def _call_compute(
+        fn: Callable, events: DataFrame, now_ms: int
+    ) -> DataFrame:
+        """Custom computes may declare a ``now_ms`` parameter to pin
+        now-anchored windows (stamp.within(.., now)) to the caller's
+        clock; computes without one stay supported."""
+        import inspect
+
+        try:
+            takes_now = "now_ms" in inspect.signature(fn).parameters
+        except (TypeError, ValueError):  # builtins / C callables
+            takes_now = False
+        return fn(events, now_ms=now_ms) if takes_now else fn(events)
 
     def membership(
         self, names: list[str] | None = None, now_ms: int = 0

@@ -448,28 +448,35 @@ class OslQuery:
         # into one result tree); pivot expressions materialize as
         # columns BEFORE the groupBy — window-backed pivots
         # (row_count, session_count) are illegal directly in GROUP BY.
+        # Pivot columns are keyed POSITIONALLY (_g0, _g1, ...): the
+        # reference merges every push into one result tree by position,
+        # so different << lines may tally different literal branch
+        # labels (<< "purchase" vs << "return") into the same grouping
+        # column. Display names come from the first push's derived
+        # names and are restored after the aggregate.
         parts: list[DataFrame] = []
-        gnames: list[str] | None = None
+        display: list[str] | None = None
         for b in self.script.blocks:
             leaf, block_rows = self._leaf_matched(b, ctx)
             for push in leaf.pushes:
                 cur = block_rows
                 names = []
-                for e in push:
+                for i, e in enumerate(push):
                     col, name = _pexpr_col(e, ctx)
-                    cur = cur.withColumn(name, col)
+                    cur = cur.withColumn(f"_g{i}", col)
                     names.append(name)
-                if gnames is None:
-                    gnames = names
-                elif names != gnames:
+                if display is None:
+                    display = names
+                elif len(names) != len(display):
                     raise OslUnsupported(
-                        f"pushes disagree on pivot shape: {names} vs "
-                        f"{gnames} — all << lines must push the same "
-                        "named pivots"
+                        f"pushes disagree on pivot arity: {names} vs "
+                        f"{display} — all << lines must push the same "
+                        "number of pivots"
                     )
                 parts.append(cur)
-        if gnames is None:
+        if display is None:
             raise OslUnsupported("compile target needs at least one << push")
+        gnames = [f"_g{i}" for i in range(len(display))]
         rows = parts[0]
         for p in parts[1:]:
             rows = rows.unionByName(p)
@@ -494,6 +501,8 @@ class OslQuery:
             count_people=count_people,
             people_alias=people_alias,
         )
+        for g, disp in zip(gnames, display):
+            out = out.withColumnRenamed(g, disp)
         for name, direction in self.script.sorts:
             if name in out.columns:
                 out = out.orderBy(
@@ -687,9 +696,15 @@ class OslSegments:
                     **policy,
                 )
             else:
+                # now_ms flows from the store's caller so a
+                # now-anchored window (stamp.within(.., now)) inside a
+                # registered @segment evaluates against the SAME pinned
+                # clock as counts_query(now_ms=X), not the wall clock
                 store.define_custom(
                     d.name,
-                    lambda ev, d=d: self.membership(ev, defs=[d]),
+                    lambda ev, now_ms=None, d=d: self.membership(
+                        ev, now_ms=now_ms, defs=[d]
+                    ),
                     **policy,
                 )
 

@@ -198,16 +198,26 @@ _PRED_WINDOWS = {"within", "look_ahead", "look_back", "range"}
 
 
 def _parse_value(tk: "_Tokens"):
-    """Literal, name, or ``[list, of, literals]``."""
+    """Literal, name, or ``[list, of, literals]`` — with unary minus
+    on numeric literals (``value > -5``)."""
+
+    def one():
+        k, t = tk.next()
+        if t == "-":  # unary minus
+            k, t = tk.next()
+            v = _literal(k, t)
+            if not isinstance(v, (int, float)):
+                raise OslSyntaxError(f"unary minus before {t!r}")
+            return -v
+        return _literal(k, t)
+
     if tk.accept("["):
         vals = []
         while not tk.accept("]"):
-            k, t = tk.next()
-            vals.append(_literal(k, t))
+            vals.append(one())
             tk.accept(",")
         return tuple(v.name if isinstance(v, PName) else v for v in vals)
-    vkind, vtext = tk.next()
-    return _literal(vkind, vtext)
+    return one()
 
 
 def _parse_cmp_value(tk: "_Tokens", owner: str):

@@ -284,6 +284,45 @@ def test_histogram_fill_and_clip(spark):
     assert got == {(0.0, 1), (1.0, 0), (2.0, 1), (3.0, 1)}
 
 
+def test_histogram_interior_fill_is_unconditional(spark):
+    # reference jsonResultHistogramFill zero-fills observed-min..max
+    # even with no min=/max= forced (result.cpp:911-927)
+    from openset_spark.operators.histogram import histogram
+
+    per_user = spark.createDataFrame(
+        [(1, 2.0), (2, 6.0)], "user_id long, v double"
+    )
+    got = {(r.value, r.people) for r in
+           histogram(per_user, "v", bucket=2.0).collect()}
+    assert got == {(2.0, 1), (4.0, 0), (6.0, 1)}
+
+
+def test_histogram_keeps_observed_below_forced_min(spark):
+    # the reference voids only values >= max; buckets below a forced
+    # min stay in the result (result.cpp:891-908), fill runs min..max
+    from openset_spark.operators.histogram import histogram
+
+    per_user = spark.createDataFrame(
+        [(1, -3.0), (2, 5.0)], "user_id long, v double"
+    )
+    got = {(r.value, r.people) for r in
+           histogram(per_user, "v", bucket=1.0, min_value=3.0).collect()}
+    assert got == {(-3.0, 1), (3.0, 0), (4.0, 0), (5.0, 1)}
+
+
+def test_histogram_negative_values_truncate_toward_zero(spark):
+    # int64 (value/bucket)*bucket truncates: -50 at bucket=100 -> 0,
+    # not -100 (F.floor semantics would give -100)
+    from openset_spark.operators.histogram import histogram
+
+    per_user = spark.createDataFrame(
+        [(1, -50.0), (2, -150.0)], "user_id long, v double"
+    )
+    got = {(r.value, r.people) for r in
+           histogram(per_user, "v", bucket=100.0).collect()}
+    assert got == {(-100.0, 1), (-0.0, 1)} or got == {(-100.0, 1), (0.0, 1)}
+
+
 def test_histogram_by_groups(spark):
     from openset_spark.operators.histogram import histogram_by
 
@@ -507,13 +546,14 @@ def test_histogram_null_scalar_not_clipped_into_max_bucket(spark):
     per_user = spark.createDataFrame(
         [(1, None), (2, 2.5)], "user_id long, v double"
     )
+    # forced max always re-injects the 3-bucket (people=0, no nulls in it)
     got = {(r.value, r.people) for r in
            histogram(per_user, "v", bucket=1.0, max_value=3.0).collect()}
-    assert got == {(2.0, 1)}
+    assert got == {(2.0, 1), (3.0, 0)}
 
     grouped = spark.createDataFrame(
         [(1, "a", None), (2, "a", 2.5)], "user_id long, grp string, v double"
     )
     got = {(r.grp, r.value, r.people) for r in
            histogram_by(grouped, "v", "grp", bucket=1.0, max_value=3.0).collect()}
-    assert got == {("a", 2.0, 1)}
+    assert got == {("a", 2.0, 1), ("a", 3.0, 0)}

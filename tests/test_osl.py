@@ -432,3 +432,55 @@ def test_select_session_without_body_reference(fruit_events):
     rows = out.collect()
     assert len(rows) == 4
     assert all(r.max_session >= 1 for r in rows)
+
+
+def test_literal_pushes_merge_positionally(fruit_events):
+    # the reference's common idiom: different << lines tally different
+    # literal branch labels into ONE grouping column of the merged
+    # result tree (pivot keyed by position, not by derived name)
+    script = """
+    select
+      count id
+    end
+
+    each_row where fruit.is(== "orange")
+        << "citrus"
+    end
+
+    each_row where fruit.is(== "banana")
+        << "tropical"
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events)
+    got = {r[0]: r.people for r in out.collect()}
+    assert got == {"citrus": 1, "tropical": 1}
+
+
+def test_pushes_still_reject_arity_mismatch(fruit_events):
+    script = """
+    each_row where fruit.is(== "orange")
+        << "a"
+    end
+
+    each_row where fruit.is(== "banana")
+        << "b", fruit
+    end
+    """
+    with pytest.raises(OslUnsupported, match="arity"):
+        compile_osl(script).dataframe(fruit_events)
+
+
+def test_negative_literal_in_where(fruit_events):
+    # unary minus in comparator values
+    script = """
+    each_row where price.is(> -1.5)
+        debug(true)
+    end
+    """
+    assert _counts(script, fruit_events) == [5]
+    script2 = """
+    each_row where price.is(< -1.5)
+        debug(true)
+    end
+    """
+    assert _counts(script2, fruit_events) == [0]

@@ -174,6 +174,38 @@ def test_register_simple_keeps_incremental_refresh(spark, monkeypatch):
     assert m2 == full == {1: True, 2: True}
 
 
+def test_registered_window_segment_pins_callers_now(spark):
+    """A now-anchored window inside a registered @segment must evaluate
+    against the now_ms the store's caller pins — not the wall clock —
+    so counts_query(now_ms=X) is deterministic (matches the batch
+    path's shared-now behavior)."""
+    from openset_spark.operators.segment_store import SegmentStore
+
+    df = spark.createDataFrame(
+        [(1, 0, "purchase", T0), (2, 1, "view", T0)],
+        "user_id long, event_id long, event_type string, ts timestamp",
+    )
+    store = SegmentStore(lambda: df)
+    segs = compile_osl_segments(
+        "@segment recent use_cached=false\n"
+        'if event.within(3600000, now).ever(== "purchase")\n'
+        "  return(true)\nend"
+    )
+    segs.register(store)
+    t0_ms = int(T0.timestamp() * 1000)
+
+    def memb(now_ms):
+        return {
+            r["user_id"]: r["recent"]
+            for r in store.membership(["recent"], now_ms=now_ms).collect()
+        }
+
+    # now pinned inside the window -> member; pinned 10 days out -> not.
+    # Wall-clock evaluation would return False for both (T0 is 2024).
+    assert memb(t0_ms + 60_000) == {1: True, 2: False}
+    assert memb(t0_ms + 10 * 86_400_000) == {1: False, 2: False}
+
+
 def test_engine_counts_query(spark):
     from openset_spark.engine import OpenSetEngine
 
@@ -225,7 +257,8 @@ def test_histogram_script_weeks_since(spark):
         r["value"]: r["people"]
         for r in h.histogram(df, bucket=1.0, now_ms=now_ms).collect()
     }
-    assert hist == {2.0: 1, 4.0: 1}
+    # interior gap zero-fills (reference jsonResultHistogramFill)
+    assert hist == {2.0: 1, 3.0: 0, 4.0: 1}
 
 
 def test_histogram_script_arithmetic_and_rowcount(spark):
@@ -397,13 +430,18 @@ def test_batch_document_runs_verbatim(highstreet_events):
 
     cv = {r["customer_value"]: r["people"]
           for r in out["histogram:customer_value"].collect()}
-    # user1: 180 -> bucket 150; user2: 700 -> 700; user3: no purchase
-    assert cv == {150.0: 1, 700.0: 1}
+    # user1: 180 -> bucket 150; user2: 700 -> 700; user3: no purchase;
+    # interior buckets zero-fill (reference jsonResultHistogramFill)
+    want = {float(b): 0 for b in range(150, 701, 50)}
+    want[150.0] = want[700.0] = 1
+    assert cv == want
 
     ds = {r["days_since"]: r["people"]
           for r in out["histogram:days_since"].collect()}
-    # last events: u1 1d, u2 9d, u3 0d ago
-    assert ds == {0.0: 1, 1.0: 1, 9.0: 1}
+    # last events: u1 1d, u2 9d, u3 0d ago; gaps 2..8 zero-fill
+    want_ds = {float(d): 0 for d in range(0, 10)}
+    want_ds[0.0] = want_ds[1.0] = want_ds[9.0] = 1
+    assert ds == want_ds
 
     tbs = out["histogram:total_by_shipper"].collect()
     by = {(r["shipper"], r["total_by_shipper"]): r["people"] for r in tbs}

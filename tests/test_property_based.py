@@ -152,18 +152,25 @@ def test_histogram_matches_oracle(spark, rows, bucket, min_value, max_value):
         for r in histogram(df, "v", bucket, min_value, max_value).collect()
     }
 
-    # python oracle on bucket INDICES
+    # python oracle on bucket INDICES — reference semantics
+    # (jsonResultHistogramFill): trunc-toward-zero bucketing, interior
+    # zero-fill ALWAYS, observed buckets below a forced min KEPT, the
+    # hi bucket always present.
     idx_people: dict[int, set] = {}
     for u, v in per_user.items():
         if v is None:
             continue
         if max_value is not None:
             v = min(v, max_value)
-        idx_people.setdefault(math.floor(v / bucket), set()).add(u)
+        idx_people.setdefault(int(v / bucket), set()).add(u)
     want = {idx: len(us) for idx, us in idx_people.items()}
-    if min_value is not None and want:
-        lo = math.floor(min_value / bucket)
-        hi = max(want)
-        want = {i: want.get(i, 0) for i in range(lo, hi + 1)}
+    if want:
+        lo = int(min_value / bucket) if min_value is not None else min(want)
+        hi = int(max_value / bucket) if max_value is not None else max(want)
+        if lo <= hi:
+            for i in range(lo, hi + 1):
+                want.setdefault(i, 0)
+        else:
+            want.setdefault(hi, 0)
     want_vals = {round(i * bucket, 6): n for i, n in want.items()}
     assert got == want_vals, (rows, bucket, min_value, max_value)

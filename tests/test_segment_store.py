@@ -90,6 +90,73 @@ def test_refresh_scans_only_delta_and_matches_recompute(
     assert got == full == {1: {"buyers": True}, 2: {"buyers": True}}
 
 
+def test_refresh_folds_late_arriving_rows(spark, mutable_source):
+    """The watermark is the max FOLDED event stamp, not the policy
+    clock: an append stamped before the previous compute's ``now``
+    (ingestion lag, late arrival) must still fold into the next
+    incremental refresh or refresh diverges from a recompute forever."""
+    state, events_fn = mutable_source
+    store = SegmentStore(events_fn)
+    store.define(
+        Segment("buyers", F.col("event_type") == "purchase"), refresh_s=60
+    )
+    # the policy clock runs WAY ahead of event time (wall clock vs a
+    # dataset whose newest stamp is T0+1s)
+    now0 = int(T0.timestamp()) + 10_000
+    assert _memb(store, now0) == {1: {"buyers": False}, 2: {"buyers": True}}
+    # late append: stamped +50s — far BEFORE the previous now, just
+    # after the max folded stamp
+    state["rows"] = state["rows"] + [(1, "purchase", 50)]
+    assert _memb(store, now0 + 61) == {
+        1: {"buyers": True},
+        2: {"buyers": True},
+    }
+
+
+def test_refresh_folds_same_stamp_appends(spark, mutable_source):
+    """Appends sharing the boundary stamp with already-folded rows must
+    not be skipped (the delta filter is >=, safe because ever/never
+    folds are idempotent)."""
+    state, events_fn = mutable_source
+    store = SegmentStore(events_fn)
+    store.define(
+        Segment("buyers", F.col("event_type") == "purchase"), refresh_s=60
+    )
+    _memb(store, 0)
+    # user 3 buys with ts EXACTLY equal to the max already-folded stamp
+    state["rows"] = state["rows"] + [(3, "purchase", 1)]
+    assert _memb(store, 61)[3] == {"buyers": True}
+
+
+def test_refresh_with_ingest_col_folds_historical_backfill(spark):
+    """An explicit monotone ingest id (the reference's insert-log
+    position analog) makes incremental refresh exact even for
+    backfills stamped arbitrarily far in the past."""
+    state = {"rows": [(1, "view", 0, 1), (2, "purchase", 1, 2)]}
+
+    def events_fn():
+        return spark.createDataFrame(
+            [
+                (uid, int(off), et, T0.fromtimestamp(
+                    T0.timestamp() + off, tz=timezone.utc
+                ), ing)
+                for uid, et, off, ing in state["rows"]
+            ],
+            "user_id long, event_id long, event_type string, ts timestamp,"
+            " ingest_id long",
+        )
+
+    store = SegmentStore(events_fn, ingest_col="ingest_id")
+    store.define(
+        Segment("buyers", F.col("event_type") == "purchase"), refresh_s=60
+    )
+    assert _memb(store, 0) == {1: {"buyers": False}, 2: {"buyers": True}}
+    # backfill: user 1's purchase stamped 1000s BEFORE every folded row,
+    # but with a later ingest id
+    state["rows"] = state["rows"] + [(1, "purchase", -1000, 3)]
+    assert _memb(store, 61)[1] == {"buyers": True}
+
+
 def test_use_cached_serves_stale_inside_window(spark, mutable_source):
     state, events_fn = mutable_source
     store = SegmentStore(events_fn)
