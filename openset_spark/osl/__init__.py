@@ -16,12 +16,25 @@ distributed engine can execute as one plan:
 - property modifiers ``.is/.is_not/.ever/.never`` with optional date
   windows, composable with ``&&``/``||``/parentheses
 
-Imperative statements that cannot change the matched row set
-(variable assignments, ``debug(...)``) are accepted and ignored so the
-reference's own doc/test scripts replay verbatim; flow control that
-*could* (``if``/``for``/``break``/``exit``) raises ``OslUnsupported``.
+The imperative half of the language lives in ``osl/lang.py``:
+
+- top-level CONSTANT assignments become named values resolvable in
+  where clauses and pushes (``Script.consts``)
+- ``if`` blocks guarding ``<<`` pushes lower to row filters (CASE
+  WHEN shape); ``for x in [literals]`` bodies with pushes unroll
+- ``ScriptRunner.replay(events)`` runs full scripts — variables,
+  dict/set/list containers and their operators, semantic
+  ``if``/``for``/``break``/``continue``, ``debug()`` — returning the
+  reference interpreter's debug log (test/test_osl_language.h
+  semantics); constant logic evaluates driver-side, row/customer
+  expressions lower to one per-user aggregate plan.
+
+Flow control that would require per-row interpretation the compiler
+cannot express still raises ``OslUnsupported`` (loudly, never
+silently wrong).
 """
 
+from openset_spark.osl.lang import ScriptRunner
 from openset_spark.osl.parser import (
     OslSyntaxError,
     OslUnsupported,
@@ -48,6 +61,7 @@ __all__ = [
     "OslSegments",
     "OslSyntaxError",
     "OslUnsupported",
+    "ScriptRunner",
     "compile_osl",
     "compile_osl_batch",
     "compile_osl_histogram",

@@ -74,6 +74,7 @@ class _Ctx:
         order_col: str,
         column_map: dict[str, str],
         now_ms: int,
+        consts: dict | None = None,
     ) -> None:
         self.df = df
         self.user_col = user_col
@@ -82,6 +83,7 @@ class _Ctx:
         self.order_col = order_col
         self.column_map = column_map
         self.now_ms = now_ms
+        self.consts = consts or {}
 
     @property
     def user_window(self) -> Window:
@@ -91,6 +93,13 @@ class _Ctx:
         return epoch_ms(F.col(self.ts_col))
 
     def resolve(self, prop: str) -> Column:
+        if prop in self.consts:
+            v = self.consts[prop]
+            if isinstance(v, (list, tuple, set, dict)):
+                raise OslUnsupported(
+                    f"container variable {prop!r} in scalar position"
+                )
+            return F.lit(v)
         if prop in ("stamp", "event_time"):
             return self.stamp()
         if prop == "event":
@@ -132,7 +141,13 @@ def _word_cmp(p: Pred, ctx: _Ctx) -> Column:
     field = next((f for f in ctx.df.schema.fields if f.name == bound), None)
     if field is not None:
         is_array = isinstance(field.dataType, ArrayType)
-    vals = list(p.value) if isinstance(p.value, tuple) else None
+    raw = p.value
+    # a script variable holding a container: `fruit in my_list`
+    if isinstance(raw, PName) and isinstance(
+        ctx.consts.get(raw.name), (list, tuple, set)
+    ):
+        raw = tuple(ctx.consts[raw.name])
+    vals = list(raw) if isinstance(raw, tuple) else None
     if p.op == "contains":
         if vals is not None:  # contains [..] == holds ALL listed
             if is_array:
@@ -142,7 +157,7 @@ def _word_cmp(p: Pred, ctx: _Ctx) -> Column:
             for c in conds[1:]:
                 out = out & c
             return out
-        return sets.contains(col, p.value) if is_array else col.contains(p.value)
+        return sets.contains(col, raw) if is_array else col.contains(raw)
     if p.op in ("any", "in"):
         if vals is None:
             raise OslUnsupported(f"'{p.op}' needs a [list] value")
@@ -317,7 +332,9 @@ class OslQuery:
 
         def walk_block(b: EachRow):
             walk_expr(b.where)
-            for push in b.pushes:
+            for guard, push in b.pushes:
+                if guard is not None:
+                    walk_expr(guard)
                 for e in push:
                     walk_pexpr(e)
             for c in b.children:
@@ -351,6 +368,7 @@ class OslQuery:
             self.order_col,
             self.column_map,
             now_ms,
+            consts=getattr(self.script, "consts", None),
         )
 
     def _block_matched(
@@ -458,8 +476,17 @@ class OslQuery:
         display: list[str] | None = None
         for b in self.script.blocks:
             leaf, block_rows = self._leaf_matched(b, ctx)
-            for push in leaf.pushes:
-                cur = block_rows
+            for guard, push in leaf.pushes:
+                # an if-guarded push tallies only rows satisfying the
+                # branch condition — the flow control lowers to a
+                # filter over the matched rows (CASE WHEN shape)
+                cur = (
+                    block_rows
+                    if guard is None
+                    else block_rows.withColumn(
+                        "_osl_guard", _bool_col(guard, ctx)
+                    ).filter(F.col("_osl_guard")).drop("_osl_guard")
+                )
                 names = []
                 for i, e in enumerate(push):
                     col, name = _pexpr_col(e, ctx)

@@ -1,0 +1,1001 @@
+"""General OSL programmability: expression/statement AST + replay
+interpreter.
+
+Covers the imperative half of the language the declarative compiler
+(``osl/compiler.py``) does not: user variables, ``dict``/``set``/
+``list`` containers with ``+``/``-``/``in``/``contains``/``any``/
+``len``/``keys`` (docs/osl/language_reference.md:118-273), semantic
+``if``/``for``/``break``/``continue`` (language_reference.md:343-426),
+and ``debug()`` — the surface the reference exercises in
+test/test_osl_language.h.
+
+Execution model (Spark-first, not a row interpreter):
+
+- CONSTANT logic — variables, containers, flow over literals — is
+  customer-independent, so it evaluates driver-side once with full
+  Python semantics. Running it once IS the distributed answer.
+- Expressions touching row/customer properties lower to Spark Column
+  expressions over ONE per-user aggregate frame:
+    * a bare property reference outside ``each_row`` reads the
+      CURSOR row (the reference starts each customer's interpreter at
+      row 0) -> ``min_by(col, order)`` per user;
+    * ``prop.ever(..)/.never(..)`` -> conditional-max flag per user;
+    * a counter incremented inside an ``each_row`` body ->
+      initial + step * (matched-row count per user).
+  A replay over N customers is one groupBy(user) plan + one small
+  collect of the debug columns — never a per-row driver loop.
+- ``debug(expr)`` under an ``if`` whose condition is row-dependent
+  logs only for customers where the condition holds (the guard
+  becomes a boolean column; reference semantics: the branch body
+  only executes when taken).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from openset_spark.osl.parser import (
+    OslSyntaxError,
+    OslUnsupported,
+    PName,
+    Pred,
+    _EACH_ROW_RE,
+    _logical_lines,
+    _parse_expr,
+    _parse_mods,
+    _parse_push,
+    _tokenize,
+    _Tokens,
+)
+
+# ------------------------------------------------------ expression AST
+@dataclass(frozen=True)
+class LLit:
+    value: Any
+
+
+@dataclass(frozen=True)
+class LName:
+    name: str
+
+
+@dataclass(frozen=True)
+class LList:
+    items: tuple
+
+
+@dataclass(frozen=True)
+class LDict:
+    pairs: tuple  # ((key, expr), ...)
+
+
+@dataclass(frozen=True)
+class LBin:
+    op: str  # + - * / == != < > <= >= in contains any && ||
+    left: Any
+    right: Any
+
+
+@dataclass(frozen=True)
+class LNeg:
+    expr: Any
+
+
+@dataclass(frozen=True)
+class LIndex:
+    obj: Any
+    idx: Any
+
+
+@dataclass(frozen=True)
+class LCall:
+    fn: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class LMod:
+    """``prop.ever(== x)`` / ``prop.never(contains y)`` inside a
+    general expression — a per-customer quantifier leaf."""
+
+    prop: str
+    mode: str  # ever | never | is | is_not
+    op: str
+    value: Any
+
+
+# ------------------------------------------------------- statement AST
+@dataclass
+class SAssign:
+    name: str
+    indexes: tuple  # () for plain `x = ...`; exprs for `x[k][i] = ...`
+    expr: Any
+
+
+@dataclass
+class SIf:
+    cond: Any
+    body: list
+
+
+@dataclass
+class SFor:
+    var: str
+    it: Any
+    body: list
+
+
+@dataclass
+class SBreak:
+    depth: int = 1
+
+
+@dataclass
+class SContinue:
+    pass
+
+
+@dataclass
+class SDebug:
+    expr: Any
+
+
+@dataclass
+class SEachRow:
+    where: Any  # parser Pred/BoolOp tree
+    mods: dict
+    body: list
+
+
+@dataclass
+class SPush:
+    exprs: list
+
+
+@dataclass
+class SExit:
+    pass
+
+
+# -------------------------------------------------- expression parsing
+_CMP_OPS = {"==", "!=", "<", ">", "<=", ">="}
+_WORD_OPS = {"in", "contains", "any"}
+_PRED_MODES = {"is", "is_not", "ever", "never"}
+
+
+def parse_expr_text(src: str):
+    tk = _Tokens(_tokenize(src))
+    e = _expr(tk)
+    if tk.peek():
+        raise OslSyntaxError(f"trailing tokens in expression: {src!r}")
+    return e
+
+
+def _expr(tk):
+    parts = [_and_expr(tk)]
+    while tk.peek() and tk.peek()[1] in ("||", "or"):
+        tk.next()
+        parts.append(_and_expr(tk))
+    out = parts[0]
+    for p in parts[1:]:
+        out = LBin("||", out, p)
+    return out
+
+
+def _and_expr(tk):
+    parts = [_cmp_expr(tk)]
+    while tk.peek() and tk.peek()[1] in ("&&", "and"):
+        tk.next()
+        parts.append(_cmp_expr(tk))
+    out = parts[0]
+    for p in parts[1:]:
+        out = LBin("&&", out, p)
+    return out
+
+
+def _cmp_expr(tk):
+    left = _add_expr(tk)
+    t = tk.peek()
+    if t and (t[1] in _CMP_OPS or t[1] in _WORD_OPS):
+        op = tk.next()[1]
+        right = _add_expr(tk)
+        return LBin(op, left, right)
+    return left
+
+
+def _add_expr(tk):
+    out = _mul_expr(tk)
+    while tk.peek() and tk.peek()[1] in ("+", "-"):
+        op = tk.next()[1]
+        out = LBin(op, out, _mul_expr(tk))
+    return out
+
+
+def _mul_expr(tk):
+    out = _unary(tk)
+    while tk.peek() and tk.peek()[1] in ("*", "/"):
+        op = tk.next()[1]
+        out = LBin(op, out, _unary(tk))
+    return out
+
+
+def _unary(tk):
+    if tk.peek() and tk.peek()[1] == "-":
+        tk.next()
+        return LNeg(_unary(tk))
+    return _postfix(tk)
+
+
+def _postfix(tk):
+    out = _atom(tk)
+    while True:
+        t = tk.peek()
+        if t and t[1] == "[":
+            tk.next()
+            idx = _expr(tk)
+            tk.expect("]")
+            out = LIndex(out, idx)
+        elif t and t[1] == ".":
+            tk.next()
+            _k, name = tk.next()
+            tk.expect("(")
+            if name not in _PRED_MODES:
+                raise OslUnsupported(f"method .{name}() in expression")
+            if not isinstance(out, LName):
+                raise OslUnsupported(f".{name}() on a non-property")
+            # comparator (symbol or word) + value expression
+            ck, ctext = tk.next()
+            if ctext not in _CMP_OPS and ctext not in _WORD_OPS:
+                raise OslSyntaxError(
+                    f".{name}() needs a comparator, got {ctext!r}"
+                )
+            val = _expr(tk)
+            tk.expect(")")
+            out = LMod(out.name, name, ctext, val)
+        else:
+            return out
+
+
+def _atom(tk):
+    t = tk.peek()
+    if t is None:
+        raise OslSyntaxError("unexpected end of expression")
+    kind, text = t
+    if kind == "NUM":
+        tk.next()
+        return LLit(float(text) if "." in text else int(text))
+    if kind == "STR":
+        tk.next()
+        return LLit(text[1:-1])
+    if kind == "SPAN":
+        tk.next()
+        from openset_spark.functions.time import span as span_ms
+
+        n, unit = text.split("_", 1)
+        return LLit(span_ms(int(n), unit.lower()))
+    if text == "(":
+        tk.next()
+        e = _expr(tk)
+        tk.expect(")")
+        return e
+    if text == "[":
+        tk.next()
+        items = []
+        while not tk.accept("]"):
+            items.append(_expr(tk))
+            tk.accept(",")
+        return LList(tuple(items))
+    if text == "{":
+        tk.next()
+        pairs = []
+        while not tk.accept("}"):
+            kk, kt = tk.next()
+            if kk == "STR":
+                key = kt[1:-1]
+            elif kk == "NAME":
+                key = kt  # the reference's tests use unquoted keys
+            else:
+                raise OslSyntaxError(f"bad dict key {kt!r}")
+            tk.expect(":")
+            pairs.append((key, _expr(tk)))
+            tk.accept(",")
+        return LDict(tuple(pairs))
+    if kind == "NAME":
+        tk.next()
+        if text in ("true", "false"):
+            return LLit(text == "true")
+        if tk.peek() and tk.peek()[1] == "(":
+            tk.next()
+            args = []
+            while not tk.accept(")"):
+                args.append(_expr(tk))
+                tk.accept(",")
+            return LCall(text, tuple(args))
+        return LName(text)
+    raise OslSyntaxError(f"unexpected token {text!r}")
+
+
+# --------------------------------------------------- statement parsing
+_ASSIGN_SPLIT_RE = re.compile(
+    r"^([A-Za-z_]\w*)((?:\[[^\[\]]*\])*)\s*=\s*(?![=])(.+)$"
+)
+_IF_RE = re.compile(r"^if[\s(](.*)$", re.DOTALL)
+_FOR_RE = re.compile(r"^for\s+([A-Za-z_]\w*)\s+in\s+(.+)$")
+_BREAK_RE = re.compile(r"^break(?:\s*\(\s*(\d+)\s*\))?$")
+_DEBUG_RE = re.compile(r"^debug\s*\((.*)\)\s*$", re.DOTALL)
+_LOG_RE = re.compile(r"^log\s*\(")
+
+
+def parse_statements(script: str) -> list:
+    lines = _logical_lines(script)
+    stmts, i = _parse_stmt_body(lines, 0, top=True)
+    return stmts
+
+
+def _parse_stmt_body(lines, i, top=False):
+    out: list = []
+    while i < len(lines):
+        line = lines[i]
+        if line == "end":
+            if top:
+                raise OslSyntaxError("unmatched 'end'")
+            return out, i + 1
+        if m := _IF_RE.match(line):
+            cond = parse_expr_text(m.group(1).strip())
+            body, i = _parse_stmt_body(lines, i + 1)
+            out.append(SIf(cond, body))
+        elif m := _FOR_RE.match(line):
+            it = parse_expr_text(m.group(2).strip())
+            body, i = _parse_stmt_body(lines, i + 1)
+            out.append(SFor(m.group(1), it, body))
+        elif m := _BREAK_RE.match(line):
+            out.append(SBreak(int(m.group(1) or 1)))
+            i += 1
+        elif line == "continue":
+            out.append(SContinue())
+            i += 1
+        elif line == "exit":
+            out.append(SExit())
+            i += 1
+        elif m := _DEBUG_RE.match(line):
+            out.append(SDebug(parse_expr_text(m.group(1).strip())))
+            i += 1
+        elif _LOG_RE.match(line):
+            i += 1  # log() goes to the server log, not the result
+        elif line.startswith("each_row"):
+            m = _EACH_ROW_RE.match(line)
+            if not m:
+                raise OslSyntaxError(f"bad each_row header: {line!r}")
+            mods = _parse_mods(m.group(1))
+            tk = _Tokens(_tokenize(m.group(2)))
+            where = _parse_expr(tk)
+            if tk.peek():
+                raise OslSyntaxError(f"trailing tokens in where: {line!r}")
+            body, i = _parse_stmt_body(lines, i + 1)
+            out.append(SEachRow(where, mods, body))
+        elif line.startswith("<<"):
+            out.append(SPush(_parse_push(line)))
+            i += 1
+        elif line in ("select", "sort"):
+            # aggregate config: handled by the declarative compiler;
+            # replay skips to the matching end
+            depth = 1
+            i += 1
+            while i < len(lines) and depth:
+                if lines[i] == "end":
+                    depth -= 1
+                i += 1
+        elif m := _ASSIGN_SPLIT_RE.match(line):
+            name, idx_src, rhs = m.group(1), m.group(2), m.group(3)
+            indexes = tuple(
+                parse_expr_text(s)
+                for s in re.findall(r"\[([^\[\]]*)\]", idx_src)
+            )
+            out.append(SAssign(name, indexes, parse_expr_text(rhs.strip())))
+            i += 1
+        elif line.startswith("return"):
+            out.append(SExit())  # replay: stop this customer's script
+            i += 1
+        else:
+            raise OslSyntaxError(f"unrecognized statement: {line!r}")
+    if not top:
+        raise OslSyntaxError("block missing 'end'")
+    return out, i
+
+
+def const_assign(line: str, env: dict) -> tuple[str | None, Any]:
+    """Parse one assignment line; return (name, value) when the RHS is
+    a compile-time constant given ``env`` (earlier consts). Raises on
+    non-assignments, indexed targets, or row-dependent RHS — callers
+    treat any raise as "not a const"."""
+    m = _ASSIGN_SPLIT_RE.match(line)
+    if not m or m.group(2):
+        raise OslUnsupported("not a plain assignment")
+    value = const_eval(parse_expr_text(m.group(3).strip()), env)
+    return m.group(1), value
+
+
+class _NotConst(Exception):
+    pass
+
+
+def const_eval(e: Any, env: dict) -> Any:
+    """Evaluate an expression AST over constants only; raise _NotConst
+    when it touches anything row/customer-dependent."""
+    if isinstance(e, LLit):
+        return e.value
+    if isinstance(e, LName):
+        if e.name in env:
+            return env[e.name]
+        raise _NotConst(e.name)
+    if isinstance(e, LList):
+        return [const_eval(x, env) for x in e.items]
+    if isinstance(e, LDict):
+        return {k: const_eval(v, env) for k, v in e.pairs}
+    if isinstance(e, LNeg):
+        return -const_eval(e.expr, env)
+    if isinstance(e, LIndex):
+        return _index(const_eval(e.obj, env), const_eval(e.idx, env))
+    if isinstance(e, LCall):
+        return _call_const(e.fn, [const_eval(a, env) for a in e.args])
+    if isinstance(e, LBin):
+        left = const_eval(e.left, env)
+        # short-circuit like the reference interpreter
+        if e.op == "&&":
+            return bool(left) and bool(const_eval(e.right, env))
+        if e.op == "||":
+            return bool(left) or bool(const_eval(e.right, env))
+        return _binop_const(e.op, left, const_eval(e.right, env))
+    raise _NotConst(repr(e))
+
+
+def _index(obj, idx):
+    try:
+        return obj[idx]
+    except (KeyError, IndexError, TypeError):
+        return None  # the reference returns nil on a bad lookup
+
+
+def _call_const(fn: str, args: list):
+    if fn == "len":
+        try:
+            return len(args[0])
+        except TypeError:
+            return 0
+    if fn == "keys":
+        return list(args[0].keys()) if isinstance(args[0], dict) else []
+    if fn == "int":
+        try:
+            return int(float(args[0]))
+        except (TypeError, ValueError):
+            return 0
+    if fn == "float":
+        try:
+            return float(args[0])
+        except (TypeError, ValueError):
+            return 0.0
+    if fn == "str":
+        return str(args[0])
+    if fn == "set":
+        return set(args)
+    if fn == "list":
+        return list(args)
+    if fn == "dict":
+        if args:
+            raise OslUnsupported("dict() takes no arguments")
+        return {}
+    raise _NotConst(f"call {fn}()")
+
+
+def _binop_const(op: str, a, b):
+    if op == "+":
+        if isinstance(a, dict) and isinstance(b, dict):
+            return {**a, **b}
+        if isinstance(a, set):
+            return a | (set(b) if not isinstance(b, set) else b)
+        if isinstance(a, list) and isinstance(b, list):
+            return a + b
+        return a + b
+    if op == "-":
+        # container removal (language_reference.md:228-247)
+        if isinstance(a, dict):
+            drop = b if isinstance(b, (list, set, tuple)) else [b]
+            return {k: v for k, v in a.items() if k not in drop}
+        if isinstance(a, set):
+            drop = b if isinstance(b, (list, set, tuple)) else [b]
+            return a - set(drop)
+        if isinstance(a, list):
+            drop = b if isinstance(b, (list, set, tuple)) else [b]
+            return [x for x in a if x not in drop]
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        return a / b
+    if op == "==":
+        return a == b
+    if op == "!=":
+        return a != b
+    if op == "<":
+        return a < b
+    if op == ">":
+        return a > b
+    if op == "<=":
+        return a <= b
+    if op == ">=":
+        return a >= b
+    if op == "in":
+        try:
+            return a in b
+        except TypeError:
+            return False
+    if op == "contains":
+        # container contains value / ALL of a list of values
+        if isinstance(b, (list, set, tuple)):
+            return all(x in a for x in b)
+        try:
+            return b in a
+        except TypeError:
+            return False
+    if op == "any":
+        if not isinstance(b, (list, set, tuple)):
+            b = [b]
+        return any(x in a for x in b)
+    raise _NotConst(f"op {op!r}")
+
+
+# ------------------------------------------------- replay interpreter
+class Col:
+    """A row/customer-dependent value: a Spark Column over the
+    per-user frame the runner assembles at the end."""
+
+    def __init__(self, col):
+        self.col = col
+
+
+class _Break(Exception):
+    def __init__(self, depth: int):
+        self.depth = depth
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Exit(Exception):
+    pass
+
+
+class ScriptRunner:
+    """Replays a full OSL script (imperative statements included)
+    against an events DataFrame and returns the reference
+    interpreter's ``debugLog()`` — the list of values ``debug()``
+    produced, per customer in script order.
+
+    Reference: TestScriptRunner + debugLog in
+    test/test_osl_language.h; semantics per
+    docs/osl/language_reference.md. See the module docstring for the
+    constant-vs-column execution split.
+    """
+
+    def __init__(
+        self,
+        script: str,
+        column_map: dict[str, str] | None = None,
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+        event_col: str = "event_type",
+        order_col: str = "event_id",
+        now_ms: int = 0,
+    ) -> None:
+        self.stmts = parse_statements(script)
+        self.column_map = dict(column_map or {})
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.event_col = event_col
+        self.order_col = order_col
+        self.now_ms = now_ms
+
+    # -- public -------------------------------------------------------
+    def replay(self, events) -> list:
+        """Run the script; return the flat debug log (single-customer
+        fixtures log exactly the reference's debugLog; multi-customer
+        frames log per customer, customers in user-id order)."""
+        from pyspark.sql import functions as F
+
+        self._events = events
+        self._aggs: dict[str, Any] = {}  # name -> aggregate Column
+        self._count_frames: list = []  # (colname, DataFrame[user, n])
+        self._row_debugs: dict[int, Any] = {}  # debug idx -> (df, col)
+        self._debugs: list = []  # (kind, guard, value)
+        self._n = 0
+        env: dict[str, Any] = {}
+        try:
+            self._exec(self.stmts, env, None)
+        except _Exit:
+            pass
+
+        needs_frame = any(k == "user" for k, _g, _v in self._debugs)
+        rows_by_user: dict[Any, Any] = {}
+        if needs_frame:
+            frame = events.groupBy(self.user_col).agg(
+                *[c.alias(n) for n, c in self._aggs.items()]
+            ) if self._aggs else events.select(self.user_col).distinct()
+            for cname, cdf in self._count_frames:
+                frame = frame.join(cdf, self.user_col, "left").na.fill(
+                    {cname: 0}
+                )
+            gcols = [
+                (F.lit(True) if g is None else g.col).alias(f"_dg{i}")
+                for i, (k, g, _v) in enumerate(self._debugs)
+                if k == "user"
+            ]
+            vcols = [
+                (v.col if isinstance(v, Col) else F.lit(v)).alias(f"_dv{i}")
+                for i, (k, _g, v) in enumerate(self._debugs)
+                if k == "user"
+            ]
+            collected = frame.select(
+                self.user_col, *gcols, *vcols
+            ).orderBy(self.user_col).collect()
+            rows_by_user = {r[self.user_col]: r for r in collected}
+
+        row_vals: dict[int, list] = {}
+        for i, (df, col) in self._row_debugs.items():
+            got = df.select(
+                self.user_col, col.alias("_v")
+            ).orderBy(self.user_col, self.order_col).collect()
+            row_vals[i] = [r["_v"] for r in got]
+
+        log: list = []
+        if not rows_by_user:
+            # no row-dependent debug: const entries once (they are
+            # customer-independent), row-entry values in script order
+            for i, (kind, _g, v) in enumerate(self._debugs):
+                if kind == "const":
+                    log.append(v)
+                elif kind == "rows":
+                    log.extend(row_vals.get(i, []))
+            return log
+        for user in sorted(rows_by_user):
+            r = rows_by_user[user]
+            for i, (kind, _g, v) in enumerate(self._debugs):
+                if kind == "const":
+                    log.append(v)
+                elif kind == "rows":
+                    log.extend(row_vals.get(i, []))
+                elif r[f"_dg{i}"]:
+                    log.append(r[f"_dv{i}"])
+        return log
+
+    # -- statement execution -----------------------------------------
+    def _exec(self, stmts, env, guard) -> None:
+        for st in stmts:
+            if isinstance(st, SAssign):
+                if guard is not None:
+                    raise OslUnsupported(
+                        "assignment under a row-dependent if"
+                    )
+                val = self._eval(st.expr, env)
+                self._assign(st, val, env)
+            elif isinstance(st, SDebug):
+                val = self._eval(st.expr, env)
+                if guard is None and not isinstance(val, Col):
+                    self._debugs.append(("const", None, val))
+                else:
+                    self._debugs.append(("user", guard, val))
+            elif isinstance(st, SIf):
+                cond = self._eval(st.cond, env)
+                if isinstance(cond, Col):
+                    from pyspark.sql import functions as F
+
+                    g = cond if guard is None else Col(guard.col & cond.col)
+                    self._exec(st.body, env, g)
+                elif cond:
+                    self._exec(st.body, env, guard)
+            elif isinstance(st, SFor):
+                seq = self._eval(st.it, env)
+                if isinstance(seq, Col):
+                    raise OslUnsupported("for over a row-dependent value")
+                items = list(seq.keys()) if isinstance(seq, dict) else list(seq)
+                for v in items:
+                    env[st.var] = v
+                    try:
+                        self._exec(st.body, env, guard)
+                    except _Continue:
+                        continue
+                    except _Break as b:
+                        if b.depth > 1:
+                            raise _Break(b.depth - 1)
+                        break
+            elif isinstance(st, SBreak):
+                raise _Break(st.depth)
+            elif isinstance(st, SContinue):
+                raise _Continue()
+            elif isinstance(st, SExit):
+                raise _Exit()
+            elif isinstance(st, SEachRow):
+                self._exec_each_row(st, env, guard)
+            elif isinstance(st, SPush):
+                pass  # aggregation is the declarative compiler's job
+            else:  # pragma: no cover
+                raise OslUnsupported(f"statement {st!r}")
+
+    def _assign(self, st: SAssign, val, env) -> None:
+        if not st.indexes:
+            env[st.name] = val
+            return
+        if st.name not in env:
+            raise OslUnsupported(f"indexed assignment to unset {st.name!r}")
+        obj = env[st.name]
+        for ix in st.indexes[:-1]:
+            obj = _index(obj, const_eval(ix, env))
+        key = const_eval(st.indexes[-1], env)
+        obj[key] = val
+
+    # -- each_row lowering -------------------------------------------
+    def _exec_each_row(self, st: SEachRow, env, guard) -> None:
+        """Counters (`x = x + const`) become per-user matched-row
+        counts; per-row ``debug`` collects from the matched frame."""
+        from pyspark.sql import functions as F
+
+        if guard is not None:
+            raise OslUnsupported("each_row under a row-dependent if")
+        matched = self._matched_frame(st, env)
+        for s in st.body:
+            if isinstance(s, SAssign) and not s.indexes:
+                # x = x + <const> accumulation over matched rows
+                e = s.expr
+                step = None
+                if (
+                    isinstance(e, LBin)
+                    and e.op == "+"
+                    and isinstance(e.left, LName)
+                    and e.left.name == s.name
+                ):
+                    step = const_eval(e.right, env)
+                if step is None:
+                    raise OslUnsupported(
+                        f"each_row body assignment {s.name!r} must be "
+                        "'x = x + <constant>'"
+                    )
+                cname = f"_cnt{len(self._count_frames)}"
+                self._count_frames.append((
+                    cname,
+                    matched.groupBy(self.user_col).agg(
+                        F.count(F.lit(1)).alias(cname)
+                    ),
+                ))
+                prev = env.get(s.name, 0)
+                prev_col = prev.col if isinstance(prev, Col) else F.lit(prev)
+                env[s.name] = Col(prev_col + F.col(cname) * F.lit(step))
+            elif isinstance(s, SDebug):
+                idx = len(self._debugs)
+                self._debugs.append(("rows", None, None))
+                self._row_debugs[idx] = (
+                    matched,
+                    self._row_col(s.expr, env),
+                )
+            elif isinstance(s, SPush):
+                pass
+            else:
+                raise OslUnsupported(
+                    f"each_row body statement in replay: {s!r}"
+                )
+
+    def _matched_frame(self, st: SEachRow, env):
+        """Matched rows via the declarative compiler's scan machinery
+        (anchors/mods/window preds identical to the dataframe path)."""
+        from openset_spark.osl.compiler import OslQuery
+        from openset_spark.osl.parser import EachRow, Script
+
+        where = _subst_env_where(st.where, env)
+        q = OslQuery(
+            Script(
+                selects=[],
+                blocks=[EachRow(where=where, mods=st.mods)],
+                sorts=[],
+            ),
+            column_map=self.column_map,
+            user_col=self.user_col,
+            ts_col=self.ts_col,
+            event_col=self.event_col,
+            order_col=self.order_col,
+        )
+        return q.matched(self._events, now_ms=self.now_ms)
+
+    # -- expression evaluation ---------------------------------------
+    def _ctx(self):
+        from openset_spark.osl.compiler import _Ctx
+
+        return _Ctx(
+            self._events,
+            self.user_col,
+            self.ts_col,
+            self.event_col,
+            self.order_col,
+            self.column_map,
+            self.now_ms,
+        )
+
+    def _cursor(self, prop: str) -> Col:
+        """The cursor row's value of a property: the reference starts
+        each customer's interpreter at row 0 -> min_by per user."""
+        from pyspark.sql import functions as F
+
+        from openset_spark.functions.time import epoch_ms
+
+        if prop == "id":
+            return Col(F.col(self.user_col))
+        name = f"_cur_{prop}"
+        if name not in self._aggs:
+            if prop in ("stamp", "event_time"):
+                src = epoch_ms(F.col(self.ts_col))
+            elif prop == "event":
+                src = F.col(self.event_col)
+            else:
+                src = F.col(self.column_map.get(prop, prop))
+            self._aggs[name] = F.min_by(src, F.col(self.order_col))
+        return Col(F.col(name))
+
+    def _row_col(self, e, env):
+        """Expression over a MATCHED ROW (debug inside each_row):
+        names resolve to the row's columns directly."""
+        from pyspark.sql import functions as F
+
+        try:
+            return F.lit(const_eval(e, env))
+        except _NotConst:
+            pass
+        if isinstance(e, LName):
+            return self._ctx().resolve(e.name)
+        raise OslUnsupported(f"per-row debug expression {e!r}")
+
+    def _eval(self, e, env):
+        try:
+            return const_eval(e, env)
+        except _NotConst:
+            pass
+        return self._eval_dyn(e, env)
+
+    def _eval_dyn(self, e, env):
+        from pyspark.sql import functions as F
+
+        if isinstance(e, LName):
+            if e.name in env:
+                return env[e.name]
+            if e.name == "now":
+                return self.now_ms
+            return self._cursor(e.name)
+        if isinstance(e, LMod):
+            return self._ever_flag(e, env)
+        if isinstance(e, LNeg):
+            v = self._eval(e.expr, env)
+            return Col(-v.col) if isinstance(v, Col) else -v
+        if isinstance(e, LCall):
+            args = [self._eval(a, env) for a in e.args]
+            if not any(isinstance(a, Col) for a in args):
+                return _call_const(e.fn, args)
+            if e.fn == "len":
+                return Col(F.length(args[0].col))
+            if e.fn in ("int", "float", "str"):
+                t = {"int": "long", "float": "double", "str": "string"}
+                return Col(args[0].col.cast(t[e.fn]))
+            raise OslUnsupported(f"{e.fn}() over a row-dependent value")
+        if isinstance(e, LIndex):
+            obj = self._eval(e.obj, env)
+            idx = self._eval(e.idx, env)
+            if isinstance(obj, Col) and not isinstance(idx, Col):
+                if isinstance(idx, int):  # OSL lists are 0-based
+                    return Col(F.element_at(obj.col, idx + 1))
+                return Col(F.element_at(obj.col, idx))
+            return _index(obj, idx)
+        if isinstance(e, LBin):
+            a = self._eval(e.left, env)
+            b = self._eval(e.right, env)
+            return self._binop_dyn(e.op, a, b)
+        raise OslUnsupported(f"expression {e!r}")
+
+    def _ever_flag(self, e: LMod, env) -> Col:
+        """prop.ever/never/is(...) in a script expression: ever/never
+        aggregate over the customer's rows; is/is_not reads the cursor
+        row."""
+        from pyspark.sql import functions as F
+
+        from openset_spark.osl.compiler import _pred_col
+
+        value = const_eval(e.value, env)
+        if isinstance(value, list):
+            value = tuple(value)
+        # mode="is" yields the bare ROW-level comparison; the
+        # quantifier is applied here as a per-user aggregate
+        cond = _pred_col(Pred(e.prop, e.op, value, mode="is"), self._ctx())
+        if e.mode in ("is", "is_not"):
+            # cursor-row evaluation: flag on the min-by row
+            name = f"_is{len(self._aggs)}"
+            self._aggs[name] = F.min_by(cond, F.col(self.order_col))
+            col = F.col(name)
+            return Col(col if e.mode == "is" else ~col)
+        name = f"_ever{len(self._aggs)}"
+        self._aggs[name] = (
+            F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))) == 1
+        )
+        col = F.col(name)
+        return Col(col if e.mode == "ever" else ~col)
+
+    def _binop_dyn(self, op: str, a, b):
+        from pyspark.sql import functions as F
+
+        def c(x):
+            return x.col if isinstance(x, Col) else F.lit(x)
+
+        if op in ("&&", "||"):
+            ca, cb = c(a), c(b)
+            return Col(ca & cb if op == "&&" else ca | cb)
+        if op in ("+", "-", "*", "/"):
+            fn = {
+                "+": lambda x, y: x + y,
+                "-": lambda x, y: x - y,
+                "*": lambda x, y: x * y,
+                "/": lambda x, y: x / y,
+            }[op]
+            return Col(fn(c(a), c(b)))
+        if op in ("==", "!=", "<", ">", "<=", ">="):
+            fn = {
+                "==": lambda x, y: x == y,
+                "!=": lambda x, y: x != y,
+                "<": lambda x, y: x < y,
+                ">": lambda x, y: x > y,
+                "<=": lambda x, y: x <= y,
+                ">=": lambda x, y: x >= y,
+            }[op]
+            return Col(fn(c(a), c(b)))
+        if op == "in":
+            # scalar in container
+            if isinstance(a, Col) and not isinstance(b, Col):
+                return Col(a.col.isin(list(b)))
+            if not isinstance(a, Col) and isinstance(b, Col):
+                return Col(F.array_contains(b.col, F.lit(a)))
+            raise OslUnsupported("'in' over two row-dependent values")
+        if op in ("contains", "any"):
+            from openset_spark.functions import sets
+
+            if isinstance(a, Col) and not isinstance(b, Col):
+                vals = list(b) if isinstance(b, (list, set, tuple)) else [b]
+                if op == "any":
+                    return Col(a.col.isin(vals))
+                out = a.col.contains(vals[0])
+                for v in vals[1:]:
+                    out = out & a.col.contains(v)
+                return Col(out)
+            if not isinstance(a, Col) and isinstance(b, Col):
+                # const container op row value: membership of the value
+                return Col(b.col.isin(list(a)))
+            raise OslUnsupported(f"{op!r} over two row-dependent values")
+        raise OslUnsupported(f"operator {op!r}")
+
+
+def _subst_env_where(e, env):
+    """Resolve script-variable references in a where tree to their
+    constant values before the declarative compiler sees them."""
+    if isinstance(e, Pred):
+        v = e.value
+        if isinstance(v, PName) and v.name in env:
+            cv = env[v.name]
+            if isinstance(cv, Col):
+                raise OslUnsupported(
+                    f"row-dependent variable {v.name!r} in where"
+                )
+            if isinstance(cv, (list, set)):
+                cv = tuple(cv)
+            return Pred(e.prop, e.op, cv, e.mode, e.window)
+        return e
+    from openset_spark.osl.parser import BoolOp
+
+    if isinstance(e, BoolOp):
+        return BoolOp(
+            e.kind, tuple(_subst_env_where(p, env) for p in e.parts)
+        )
+    return e

@@ -78,7 +78,11 @@ class PCall:
 class EachRow:
     where: Any
     mods: dict = field(default_factory=dict)
-    pushes: list = field(default_factory=list)  # list[list[pexpr]]
+    # list[(guard, [pexpr])] — guard is None for unconditional pushes,
+    # or a where-style expression (Pred/BoolOp) from enclosing ``if``
+    # blocks inside the each_row body (lowered to a row filter: the
+    # CASE WHEN shape of the reference's interpreted branch)
+    pushes: list = field(default_factory=list)
     children: list = field(default_factory=list)  # nested EachRow
 
 
@@ -87,6 +91,10 @@ class Script:
     selects: list  # [(fn, prop, alias)]
     blocks: list  # top-level EachRow
     sorts: list  # [(name, "asc"|"desc")]
+    # top-level variables whose values are compile-time constants
+    # (straight-line assignment of literals/containers/arithmetic) —
+    # resolvable by name in where clauses and pushes
+    consts: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -127,7 +135,7 @@ _TOKEN_RE = re.compile(
     (?P<SPAN>\d+_[a-zA-Z]+)
   | (?P<NUM>\d+\.\d+|\d+)
   | (?P<STR>"[^"]*"|'[^']*')
-  | (?P<OP><<|==|!=|>=|<=|&&|\|\||[()\[\],.<>=+\-*/])
+  | (?P<OP><<|==|!=|>=|<=|&&|\|\||[()\[\]{}:,.<>=+\-*/])
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
   | (?P<WS>[ \t]+)
     """,
@@ -326,6 +334,49 @@ _IGNORED_CALL_RE = re.compile(r"^debug\s*\(")
 _FLOW_RE = re.compile(r"^(if|for|break|continue|return|exit|match)\b")
 _BLOCK_OPEN_RE = re.compile(r"^(if|for)\b")
 _LOOP_CTL_RE = re.compile(r"^(break|continue)\b")
+_IF_HDR_RE = re.compile(r"^if[\s(]")
+_FOR_HDR_RE = re.compile(r"^for\b")
+_FOR_LIT_RE = re.compile(r"^for\s+([A-Za-z_]\w*)\s+in\s+(\[.*\])\s*$")
+
+
+def _block_has_push(lines: list[str], idx: int) -> bool:
+    """Does the if/for block opening at ``lines[idx]`` contain a
+    ``<<`` push (transitively)? Push-bearing blocks are SEMANTIC —
+    parsed with their condition as a push guard / unrolled — while
+    variable-only blocks stay skippable."""
+    depth = 0
+    for j in range(idx, len(lines)):
+        line = lines[j]
+        if _BLOCK_OPEN_RE.match(line):
+            depth += 1
+        elif line == "end":
+            depth -= 1
+            if depth == 0:
+                return False
+        elif line.startswith("<<"):
+            return True
+    return False
+
+
+def _subst_pexpr(e, var: str, v):
+    """Replace the loop variable with one unrolled literal in a push
+    expression."""
+    if isinstance(e, PName) and e.name == var:
+        return PLit(v)
+    if isinstance(e, PCall):
+        return PCall(e.fn, tuple(_subst_pexpr(a, var, v) for a in e.args))
+    return e
+
+
+def _subst_where(e, var: str, v):
+    """Replace the loop variable in a guard expression's value slots."""
+    if isinstance(e, Pred):
+        if isinstance(e.value, PName) and e.value.name == var:
+            return Pred(e.prop, e.op, v, e.mode, e.window)
+        return e
+    if isinstance(e, BoolOp):
+        return BoolOp(e.kind, tuple(_subst_where(p, var, v) for p in e.parts))
+    return e
 
 
 def _skip_noop_block(lines: list[str], idx: int) -> int:
@@ -416,6 +467,7 @@ def parse_osl(script: str) -> Script:
     selects: list = []
     sorts: list = []
     blocks: list = []
+    consts: dict = {}
     i = 0
 
     def parse_block(header: str, idx: int) -> tuple[EachRow, int]:
@@ -432,25 +484,64 @@ def parse_osl(script: str) -> Script:
                 raise OslSyntaxError(f"bad each_row header: {header!r}")
             raise OslSyntaxError("each_row requires a where condition")
         blk = EachRow(where=where, mods=mods)
-        while idx < len(lines):
-            line = lines[idx]
-            if line == "end":
-                return blk, idx + 1
-            if line.startswith("<<"):
-                blk.pushes.append(_parse_push(line))
-                idx += 1
-            elif line.startswith("each_row"):
-                child, idx = parse_block(line, idx + 1)
-                blk.children.append(child)
-            elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
-                idx += 1  # imperative no-op for the matched row set
-            elif _BLOCK_OPEN_RE.match(line):
-                idx = _skip_noop_block(lines, idx)
-            elif _FLOW_RE.match(line):
-                raise OslUnsupported(f"flow control in each_row body: {line!r}")
-            else:
-                raise OslSyntaxError(f"unrecognized statement: {line!r}")
-        raise OslSyntaxError("each_row block missing 'end'")
+
+        def parse_body(idx: int, guard) -> int:
+            """Body statements until the matching ``end``. ``guard`` is
+            the AND of enclosing if-conditions: a ``<<`` push under an
+            ``if`` keeps the condition and compiles to a row filter
+            (the reference's interpreted branch, lowered to CASE WHEN
+            shape instead of flow control)."""
+            while idx < len(lines):
+                line = lines[idx]
+                if line == "end":
+                    return idx + 1
+                if line.startswith("<<"):
+                    blk.pushes.append((guard, _parse_push(line)))
+                    idx += 1
+                elif line.startswith("each_row"):
+                    if guard is not None:
+                        raise OslUnsupported("each_row nested under if")
+                    child, idx = parse_block(line, idx + 1)
+                    blk.children.append(child)
+                elif _IF_HDR_RE.match(line) and _block_has_push(lines, idx):
+                    tk = _Tokens(_tokenize(line[2:].strip()))
+                    cond = _parse_expr(tk)
+                    if tk.peek():
+                        raise OslSyntaxError(f"trailing tokens in if: {line!r}")
+                    g = cond if guard is None else BoolOp("and", (guard, cond))
+                    idx = parse_body(idx + 1, g)
+                elif _FOR_HDR_RE.match(line) and _block_has_push(lines, idx):
+                    m = _FOR_LIT_RE.match(line)
+                    if not m:
+                        raise OslUnsupported(
+                            f"for-with-push needs a literal list: {line!r}"
+                        )
+                    var = m.group(1)
+                    values = _parse_value(_Tokens(_tokenize(m.group(2))))
+                    start = len(blk.pushes)
+                    idx = parse_body(idx + 1, guard)
+                    # unroll: one copy of the body's pushes per literal
+                    templ = blk.pushes[start:]
+                    del blk.pushes[start:]
+                    for v in values:
+                        for g, pexprs in templ:
+                            blk.pushes.append((
+                                None if g is None else _subst_where(g, var, v),
+                                [_subst_pexpr(e, var, v) for e in pexprs],
+                            ))
+                elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
+                    idx += 1  # imperative no-op for the matched row set
+                elif _BLOCK_OPEN_RE.match(line):
+                    idx = _skip_noop_block(lines, idx)
+                elif _FLOW_RE.match(line):
+                    raise OslUnsupported(
+                        f"flow control in each_row body: {line!r}"
+                    )
+                else:
+                    raise OslSyntaxError(f"unrecognized statement: {line!r}")
+            raise OslSyntaxError("each_row block missing 'end'")
+
+        return blk, parse_body(idx, None)
 
     while i < len(lines):
         line = lines[i]
@@ -492,7 +583,14 @@ def parse_osl(script: str) -> Script:
         elif line.startswith("each_row"):
             blk, i = parse_block(line, i + 1)
             blocks.append(blk)
-        elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
+        elif _ASSIGN_RE.match(line):
+            # straight-line constant assignments become named values
+            # usable in where clauses and pushes; anything else
+            # (row-dependent, reassigned in flow) stays a no-op for
+            # the row set as before
+            _try_const_assign(line, consts)
+            i += 1
+        elif _IGNORED_CALL_RE.match(line):
             i += 1
         elif _BLOCK_OPEN_RE.match(line):
             i = _skip_noop_block(lines, i)
@@ -501,7 +599,18 @@ def parse_osl(script: str) -> Script:
         else:
             raise OslSyntaxError(f"unrecognized statement: {line!r}")
 
-    return Script(selects=selects, blocks=blocks, sorts=sorts)
+    return Script(selects=selects, blocks=blocks, sorts=sorts, consts=consts)
+
+
+def _try_const_assign(line: str, consts: dict) -> None:
+    from openset_spark.osl import lang
+
+    try:
+        name, value = lang.const_assign(line, consts)
+    except Exception:
+        return
+    if name is not None:
+        consts[name] = value
 
 
 # ------------------------------------------------- @segment sections
