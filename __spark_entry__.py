@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openset_spark.functions.text import STOPWORDS, normalize, tokens
+from openset_spark.functions.time import epoch_ms, epoch_us
 from openset_spark.functions.vector import cosine
 from openset_spark.operators.events import (
     event_aggregate,
@@ -536,7 +537,7 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = with_session(ev, SESSION_GAP_MS)
     per_session = s.groupBy("user_id", "session").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("span_us"),
     )
     return per_session.agg(
         F.count(F.lit(1)).alias("n_sessions"),
@@ -866,7 +867,7 @@ def q_days_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return steps.filter(F.col("step_2").isNotNull()).select(
         "user_id",
         F.floor(
-            (F.unix_micros("step_2") - F.unix_micros("step_1")) / (86400.0 * 1_000_000)
+            (epoch_us(F.col("step_2")) - epoch_us(F.col("step_1"))) / (86400.0 * 1_000_000)
         ).alias("days"),
     )
 
@@ -1307,7 +1308,7 @@ def q_histogram_weeks_since(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.floor(
                 (
-                    (F.unix_micros("now_ts") - F.unix_micros("last_ts")) / 1_000_000.0
+                    (epoch_us(F.col("now_ts")) - epoch_us(F.col("last_ts"))) / 1_000_000.0
                 )
                 / 604800
             ).alias("weeks_since"),
@@ -1865,7 +1866,7 @@ def q_osl_histogram_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openset_spark.osl import compile_osl_histogram
 
     ev = _events(spark, sf_dir)
-    now_ms = ev.agg(F.unix_millis(F.max("ts"))).first()[0]
+    now_ms = ev.agg(epoch_ms(F.max("ts"))).first()[0]
     h = compile_osl_histogram("return( to_weeks(now - last_stamp) )")
     return h.histogram(ev, bucket=1.0, name="weeks_since", now_ms=now_ms).select(
         F.col("weeks_since").cast("long").alias("weeks_since"), "people"

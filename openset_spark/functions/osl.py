@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from openset_spark.functions.time import epoch_ms
+
 
 def osl_round(value: Column) -> Column:
     """OSL ``round``: half-up to nearest integer, returned as long."""
@@ -32,7 +34,7 @@ def fix(value: Column, decimals: int) -> Column:
 def iso8601_to_stamp(iso: Column) -> Column:
     """ISO-8601 text (with zone / Z, optional millis) -> ms epoch."""
     ts = F.to_timestamp(iso)
-    return (F.unix_micros(ts) / 1000).cast("long")
+    return epoch_ms(ts)
 
 
 def url_decode(url: Column) -> Column:

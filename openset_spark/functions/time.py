@@ -36,9 +36,27 @@ def span(n: int, unit: str) -> int:
     return n * table[unit]
 
 
+def to_ltz(ts: Column) -> Column:
+    """Normalize a timestamp column to TIMESTAMP_LTZ.
+
+    Spark 4 reads tz-less parquet ``timestamp[us]`` as TIMESTAMP_NTZ,
+    which ``unix_micros``/``unix_millis`` reject. Casting to the
+    explicit ``timestamp_ltz`` type is a no-op on LTZ input and
+    interprets NTZ wall-clock under the session timezone — the engine
+    pins that to UTC at load (sources/tables.py), so epoch semantics
+    are deterministic and match DuckDB's naive-as-UTC ``epoch_us``.
+    """
+    return ts.cast("timestamp_ltz")
+
+
+def epoch_us(ts: Column) -> Column:
+    """Timestamp column (LTZ or NTZ) -> epoch microseconds."""
+    return F.unix_micros(to_ltz(ts))
+
+
 def epoch_ms(ts: Column) -> Column:
-    """Timestamp column -> epoch milliseconds (OSL `stamp`)."""
-    return (F.unix_micros(ts) / 1000).cast("long")
+    """Timestamp column (LTZ or NTZ) -> epoch milliseconds (OSL `stamp`)."""
+    return (F.unix_micros(to_ltz(ts)) / 1000).cast("long")
 
 
 # ---- ms-span converters (truncating, like OSL to_*) ----

@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from openset_spark.functions.time import epoch_us
+
 
 def funnel_user_steps(
     df: DataFrame,
@@ -60,7 +62,7 @@ def funnel_user_steps(
         cond = F.col(f"_m_{i}") & prev_done.isNotNull() & (ts > prev_done)
         if within_ms is not None:
             cond = cond & (
-                (F.unix_micros(ts) - F.unix_micros(prev_done)) / 1000 <= within_ms
+                (epoch_us(ts) - epoch_us(prev_done)) / 1000 <= within_ms
             )
         cur = cur.withColumn(f"_hit_{i}", F.when(cond, ts))
     return cur.groupBy(user_col).agg(

@@ -48,6 +48,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openset_spark.functions.time import epoch_us
+
 from openset_spark.operators.segments import (
     Segment,
     membership,
@@ -194,7 +196,7 @@ class SegmentStore:
     def _boundary(self) -> Column:
         if self.ingest_col is not None:
             return F.col(self.ingest_col)
-        return F.unix_millis(F.col(self.ts_col))
+        return (epoch_us(F.col(self.ts_col)) / 1000).cast("long")
 
     def _max_boundary(self, df: DataFrame) -> int | None:
         """Max boundary value in ``df`` — one tiny aggregate; over a

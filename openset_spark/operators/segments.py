@@ -29,6 +29,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openset_spark.functions.time import epoch_us
+
 
 @dataclass(frozen=True)
 class Segment:
@@ -150,5 +152,5 @@ def within_pred(
     anchor: Column,
 ) -> Column:
     """OSL ``prop.within(span, anchor)``: pred AND |ts - anchor| <= span."""
-    delta = F.abs(F.unix_micros(ts_col) - F.unix_micros(anchor)) / 1000
+    delta = F.abs(epoch_us(ts_col) - epoch_us(anchor)) / 1000
     return pred & (delta <= span_ms)

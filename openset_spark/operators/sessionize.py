@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from openset_spark.functions.time import epoch_us
+
 DEFAULT_SESSION_GAP_MS = 30 * 60 * 1000
 
 
@@ -59,7 +61,7 @@ def with_session(
     """Add an enumerated-from-1 ``session`` column per user."""
     w = user_window(user_col, ts_col, event_order)
     prev_ts = F.lag(ts_col).over(w)
-    gap = (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) / 1000
+    gap = (epoch_us(F.col(ts_col)) - epoch_us(prev_ts)) / 1000
     new_session = F.when(prev_ts.isNull() | (gap > gap_ms), 1).otherwise(0)
     return df.withColumn(
         session_col,
@@ -83,6 +85,6 @@ def session_stats(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         (
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))) / 1_000_000
+            (epoch_us(F.max(ts_col)) - epoch_us(F.min(ts_col))) / 1_000_000
         ).alias("span_sec"),
     )

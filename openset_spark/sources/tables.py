@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -41,10 +41,20 @@ _NANO_TS_COLS = {"events": ("ts",)}
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The engine's time semantics are naive-wall-clock == UTC (matching
+    # DuckDB's epoch_us on tz-less parquet). Pin the session timezone so
+    # NTZ→LTZ casts are deterministic regardless of the caller's session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Spark 4 reads tz-less parquet timestamp[us] as TIMESTAMP_NTZ, which
+    # unix_micros/unix_millis reject; normalize every NTZ column to LTZ
+    # here so no operator downstream ever sees NTZ.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp_ltz"))
     return df
 
 

@@ -248,9 +248,11 @@ def test_start_of_month_pivot(fruit_events):
     assert len(out) == 1 and out[0][0] == month_start_ms
 
 
-def test_noop_if_skips_semantic_if_raises(fruit_events):
-    # variable-logic if/for blocks cannot change the matched row set —
-    # they replay as no-ops; an if guarding a << push is semantic.
+def test_if_guarded_push_applies_guard(fruit_events):
+    # a variable-logic if around debug() replays as a no-op on the row
+    # set; an if guarding a << push is semantic — the round-3 compiler
+    # ANDs the guard into the push predicate, so price <= 5 rows
+    # (banana @ 2.49) drop out of the pivot.
     script_ok = """
     each_row where event == "purchase"
       if price > 5
@@ -259,16 +261,17 @@ def test_noop_if_skips_semantic_if_raises(fruit_events):
     end
     """
     assert _counts(script_ok, fruit_events) == [5]
-    with pytest.raises(OslUnsupported):
-        compile_osl(
-            """
-            each_row where event == "purchase"
-              if price > 5
-                << fruit
-              end
-            end
-            """
-        )
+    out = compile_osl(
+        """
+        each_row where event == "purchase"
+          if price > 5
+            << fruit
+          end
+        end
+        """
+    ).dataframe(fruit_events)
+    got = {r.fruit: r.people for r in out.collect()}
+    assert got == {"orange": 1, "apple": 1, "pear": 1}
 
 
 def test_reference_basic_logic_script_replays():
