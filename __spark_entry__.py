@@ -1840,9 +1840,15 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_by_type": q_histogram_by_type,
         "session_length_quantiles": q_session_length_quantiles,
         "customer_timeline": q_customer_timeline,
+        # rotated in for round 4 (the two NTZ-affected extras from the
+        # r3 rotation promise, plus the first OSL-imperative oracle);
+        # dedup_ngram_jaccard and clean_documents (driver-green r3)
+        # moved to extras to make room.
+        "histogram_weeks_since": q_histogram_weeks_since,
+        "recent_purchase_totals": q_recent_purchase_totals,
+        "osl_script_counter": q_osl_script_counter,
         # pipeline
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1854,7 +1860,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
-        "clean_documents": q_clean_documents,
         "top_bigrams": q_top_bigrams,
     }
 
@@ -1890,8 +1895,46 @@ FROM bounds LEFT JOIN h USING (weeks_since)
 """
 
 
+def q_osl_script_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OSL imperative half as a query: a script variable becomes a
+    per-user accumulator (ref test/test_osl_language.h "each_row with
+    limit" pattern; docs/osl/language_reference.md:118-180 variables).
+    ScriptRunner.frame() is the aggregate-only lowering — ONE
+    groupBy(user_id) plan, no driver collect."""
+    from openset_spark.osl.lang import ScriptRunner
+
+    ev = _events(spark, sf_dir)
+    runner = ScriptRunner(
+        """
+        min_price = 100
+        counter = 0
+
+        each_row where event == "purchase" && value > min_price
+          counter = counter + 1
+        end
+
+        debug(counter)
+        """,
+        column_map={"event": "event_type"},
+    )
+    return runner.frame(ev, names=["big_purchases"])
+
+
+_SQL_OSL_SCRIPT_COUNTER = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'purchase' AND value > 100 THEN 1 END)
+         AS big_purchases
+FROM events
+GROUP BY user_id
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # demoted round 4 (driver-green r3; slots freed for the r3
+        # rotation promise + the OSL-imperative oracle)
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "clean_documents": q_clean_documents,
         # demoted round 3 (driver-green in r1+r2; window slots freed for
         # the never-verified pair and new round-3 queries)
         "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
@@ -1903,14 +1946,12 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "event_agg_by_day": q_event_agg_by_day,
         "event_agg_two_level": q_event_agg_two_level,
-        "recent_purchase_totals": q_recent_purchase_totals,
         "last_purchase_per_user": q_last_purchase_per_user,
         "session_stats": q_session_stats,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "monthly_retention": q_monthly_retention,
         "property_counts": q_property_counts,
         "property_counts_rx": q_property_counts_rx,
-        "histogram_weeks_since": q_histogram_weeks_since,
         "dedup_exact_keep": q_dedup_exact_keep,
     }
 
@@ -1966,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "osl_funnel_continue": _SQL_OSL_FUNNEL,
         "osl_segment_counts": _SQL_OSL_SEGMENT_COUNTS,
         "osl_histogram_weeks": _SQL_OSL_HISTOGRAM_WEEKS,
+        "osl_script_counter": _SQL_OSL_SCRIPT_COUNTER,
         "property_counts": _SQL_PROPERTY_COUNTS,
         "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
         "property_counts_between": _SQL_PROPERTY_COUNTS_BETWEEN,

@@ -399,7 +399,15 @@ def _parse_stmt_body(lines, i, top=False):
             out.append(SExit())  # replay: stop this customer's script
             i += 1
         else:
-            raise OslSyntaxError(f"unrecognized statement: {line!r}")
+            # bare expression statement — evaluated and discarded, like
+            # the reference interpreter (its own test scripts contain
+            # e.g. `test_value["animals"][1] == "dog"` as a no-op line,
+            # test/test_osl_language.h:184)
+            try:
+                parse_expr_text(line)
+            except (OslSyntaxError, OslUnsupported):
+                raise OslSyntaxError(f"unrecognized statement: {line!r}")
+            i += 1
     if not top:
         raise OslSyntaxError("block missing 'end'")
     return out, i
@@ -428,7 +436,12 @@ def const_eval(e: Any, env: dict) -> Any:
         return e.value
     if isinstance(e, LName):
         if e.name in env:
-            return env[e.name]
+            v = env[e.name]
+            if isinstance(v, Col):
+                # a script variable that became row-dependent (e.g. a
+                # counter accumulated in each_row) is NOT a constant
+                raise _NotConst(e.name)
+            return v
         raise _NotConst(e.name)
     if isinstance(e, LList):
         return [const_eval(x, env) for x in e.items]
@@ -598,35 +611,83 @@ class ScriptRunner:
         self.order_col = order_col
         self.now_ms = now_ms
 
-    # -- public -------------------------------------------------------
-    def replay(self, events) -> list:
-        """Run the script; return the flat debug log (single-customer
-        fixtures log exactly the reference's debugLog; multi-customer
-        frames log per customer, customers in user-id order)."""
-        from pyspark.sql import functions as F
+    #: replay() is the DEBUG surface — it mirrors the reference
+    #: interpreter's debugLog(), which is inherently a driver-side
+    #: value list. It refuses beyond this many customers; use
+    #: ``frame()`` (a distributed per-user DataFrame, no collect) as
+    #: the query path at scale.
+    MAX_REPLAY_USERS = 10_000
 
+    # -- public -------------------------------------------------------
+    def _run(self, events) -> None:
+        """Execute the statement list, populating the aggregate /
+        debug state (no Spark action yet)."""
         self._events = events
         self._aggs: dict[str, Any] = {}  # name -> aggregate Column
         self._count_frames: list = []  # (colname, DataFrame[user, n])
         self._row_debugs: dict[int, Any] = {}  # debug idx -> (df, col)
         self._debugs: list = []  # (kind, guard, value)
-        self._n = 0
         env: dict[str, Any] = {}
         try:
             self._exec(self.stmts, env, None)
         except _Exit:
             pass
 
+    def _user_frame(self):
+        """The ONE per-user aggregate frame all user-level debug
+        columns read from: groupBy(user) over the cursor/ever aggs,
+        left-joined with each each_row counter count (same user key,
+        so every join reuses the one hash partitioning)."""
+        frame = self._events.groupBy(self.user_col).agg(
+            *[c.alias(n) for n, c in self._aggs.items()]
+        ) if self._aggs else self._events.select(self.user_col).distinct()
+        for cname, cdf in self._count_frames:
+            frame = frame.join(cdf, self.user_col, "left").na.fill(
+                {cname: 0}
+            )
+        return frame
+
+    def frame(self, events, names: list[str] | None = None):
+        """Aggregate-only result mode: one row per customer, one
+        column per user-level ``debug()`` in script order (guarded
+        debugs are NULL where the guard is false). This is the
+        distributed query path — no driver collect, safe at any
+        customer count."""
+        from pyspark.sql import functions as F
+
+        self._run(events)
+        cols = []
+        j = 0
+        for _i, (kind, g, v) in enumerate(self._debugs):
+            if kind == "rows":
+                raise OslUnsupported(
+                    "frame() with a per-row debug — use replay()"
+                )
+            val = v.col if isinstance(v, Col) else F.lit(v)
+            if g is not None:
+                val = F.when(g.col, val)
+            name = names[j] if names else f"d{j}"
+            cols.append(val.alias(name))
+            j += 1
+        return self._user_frame().select(self.user_col, *cols)
+
+    def replay(self, events, max_users: int | None = None) -> list:
+        """Run the script; return the flat debug log (single-customer
+        fixtures log exactly the reference's debugLog; multi-customer
+        frames log per customer, customers in user-id order).
+
+        Debug surface only: raises beyond ``max_users`` customers
+        (default MAX_REPLAY_USERS) — use :meth:`frame` for a
+        distributed result."""
+        from pyspark.sql import functions as F
+
+        limit = self.MAX_REPLAY_USERS if max_users is None else max_users
+        self._run(events)
+
         needs_frame = any(k == "user" for k, _g, _v in self._debugs)
         rows_by_user: dict[Any, Any] = {}
         if needs_frame:
-            frame = events.groupBy(self.user_col).agg(
-                *[c.alias(n) for n, c in self._aggs.items()]
-            ) if self._aggs else events.select(self.user_col).distinct()
-            for cname, cdf in self._count_frames:
-                frame = frame.join(cdf, self.user_col, "left").na.fill(
-                    {cname: 0}
-                )
+            frame = self._user_frame()
             gcols = [
                 (F.lit(True) if g is None else g.col).alias(f"_dg{i}")
                 for i, (k, g, _v) in enumerate(self._debugs)
@@ -639,14 +700,25 @@ class ScriptRunner:
             ]
             collected = frame.select(
                 self.user_col, *gcols, *vcols
-            ).orderBy(self.user_col).collect()
+            ).orderBy(self.user_col).limit(limit + 1).collect()
+            if len(collected) > limit:
+                raise OslUnsupported(
+                    f"replay() over more than {limit} customers is a "
+                    "driver-side debug surface — use frame() for a "
+                    "distributed result"
+                )
             rows_by_user = {r[self.user_col]: r for r in collected}
 
         row_vals: dict[int, list] = {}
         for i, (df, col) in self._row_debugs.items():
             got = df.select(
-                self.user_col, col.alias("_v")
-            ).orderBy(self.user_col, self.order_col).collect()
+                self.user_col, col.alias("_v"), self.order_col
+            ).orderBy(self.user_col, self.order_col).limit(limit + 1).collect()
+            if len(got) > limit:
+                raise OslUnsupported(
+                    f"replay() over more than {limit} matched rows — "
+                    "use frame() for a distributed result"
+                )
             row_vals[i] = [r["_v"] for r in got]
 
         log: list = []

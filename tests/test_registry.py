@@ -51,9 +51,16 @@ REQUIRED_IN_WINDOW = [
     "histogram_by_type",
     "session_length_quantiles",
     "customer_timeline",
-    # pipeline (every operator, not just a family rep)
+    # round-4 rotation: the two NTZ-affected extras from the r3
+    # rotation promise + the first OSL-imperative oracle
+    "histogram_weeks_since",
+    "recent_purchase_totals",
+    "osl_script_counter",
+    # pipeline (every operator family; dedup_ngram_jaccard and
+    # clean_documents rotated to extras in round 4 after their r3
+    # green rows — exact-jaccard is covered by dedup_exact/minhash
+    # family reps, cleaning by text_stats/quality_score)
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash",
     "dedup_simhash",
     "dedup_embedding",
@@ -65,7 +72,6 @@ REQUIRED_IN_WINDOW = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
-    "clean_documents",
     "top_bigrams",
 ]
 
