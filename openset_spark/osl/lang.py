@@ -143,6 +143,30 @@ class SDebug:
 
 
 @dataclass
+class SReturn:
+    """``return(expr)``: the script's per-customer result value.
+    Inside an ``each_row`` scan it reads the FIRST matched row
+    (language_reference.md:380-391)."""
+
+    expr: Any
+
+
+@dataclass
+class SAggAssign:
+    """Aggregate assignment — the customer-property write form
+    ``total = sum(price).within(1_year, now) where event.is(== "x")``
+    (language_reference.md:102-117). Lowers to one per-user
+    conditional aggregate; ``first``/``last`` use the min/max-of-
+    (order, value)-struct trick (the max_by update frame)."""
+
+    name: str
+    fn: str  # sum count min max avg first last
+    arg: Any  # expression AST or None (count)
+    window: Any  # (span_expr, anchor_expr) or None
+    where: Any  # parser Pred/BoolOp tree or None
+
+
+@dataclass
 class SEachRow:
     where: Any  # parser Pred/BoolOp tree
     mods: dict
@@ -321,6 +345,71 @@ def _atom(tk):
 _ASSIGN_SPLIT_RE = re.compile(
     r"^([A-Za-z_]\w*)((?:\[[^\[\]]*\])*)\s*=\s*(?![=])(.+)$"
 )
+_AGG_ASSIGN_HEAD_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s*=\s*(sum|count|min|max|avg|first|last)\s*\("
+)
+_RETURN_RE = re.compile(r"^return\s*\((.*)\)\s*$", re.DOTALL)
+
+
+def _balanced(src: str, start: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at ``start``."""
+    depth = 0
+    for i in range(start, len(src)):
+        if src[i] == "(":
+            depth += 1
+        elif src[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise OslSyntaxError(f"unbalanced parens in {src!r}")
+
+
+def _parse_agg_assign(line: str) -> SAggAssign | None:
+    """``name = agg(arg)[.within(span, anchor)] [where <pred>]`` or
+    None when the line is not that shape."""
+    m = _AGG_ASSIGN_HEAD_RE.match(line)
+    if not m:
+        return None
+    name, fn = m.group(1), m.group(2)
+    open_idx = m.end() - 1
+    close = _balanced(line, open_idx)
+    arg_src = line[open_idx + 1 : close - 1].strip()
+    arg = parse_expr_text(arg_src) if arg_src else None
+    rest = line[close:].strip()
+    window = None
+    if rest.startswith("."):
+        wm = re.match(r"^\.\s*within\s*\(", rest)
+        if not wm:
+            raise OslSyntaxError(f"bad aggregate modifier in {line!r}")
+        wclose = _balanced(rest, wm.end() - 1)
+        inner = rest[wm.end() : wclose - 1]
+        # split on the ONE top-level comma
+        depth, cut = 0, -1
+        for i, ch in enumerate(inner):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                cut = i
+                break
+        if cut < 0:
+            raise OslSyntaxError(".within(span, anchor) needs two args")
+        window = (
+            parse_expr_text(inner[:cut].strip()),
+            parse_expr_text(inner[cut + 1 :].strip()),
+        )
+        rest = rest[wclose:].strip()
+    where = None
+    if rest:
+        wm = re.match(r"^where\s+(.+)$", rest, re.DOTALL)
+        if not wm:
+            raise OslSyntaxError(f"trailing tokens in aggregate assign: {rest!r}")
+        tk = _Tokens(_tokenize(wm.group(1)))
+        where = _parse_expr(tk)
+        if tk.peek():
+            raise OslSyntaxError(f"trailing tokens in where: {rest!r}")
+    return SAggAssign(name, fn, arg, window, where)
 _IF_RE = re.compile(r"^if[\s(](.*)$", re.DOTALL)
 _FOR_RE = re.compile(r"^for\s+([A-Za-z_]\w*)\s+in\s+(.+)$")
 _BREAK_RE = re.compile(r"^break(?:\s*\(\s*(\d+)\s*\))?$")
@@ -387,6 +476,9 @@ def _parse_stmt_body(lines, i, top=False):
                 if lines[i] == "end":
                     depth -= 1
                 i += 1
+        elif agg := _parse_agg_assign(line):
+            out.append(agg)
+            i += 1
         elif m := _ASSIGN_SPLIT_RE.match(line):
             name, idx_src, rhs = m.group(1), m.group(2), m.group(3)
             indexes = tuple(
@@ -395,8 +487,11 @@ def _parse_stmt_body(lines, i, top=False):
             )
             out.append(SAssign(name, indexes, parse_expr_text(rhs.strip())))
             i += 1
+        elif m := _RETURN_RE.match(line):
+            out.append(SReturn(parse_expr_text(m.group(1).strip())))
+            i += 1
         elif line.startswith("return"):
-            out.append(SExit())  # replay: stop this customer's script
+            out.append(SExit())  # bare return: stop this customer
             i += 1
         else:
             # bare expression statement — evaluated and discarded, like
@@ -602,6 +697,7 @@ class ScriptRunner:
         event_col: str = "event_type",
         order_col: str = "event_id",
         now_ms: int = 0,
+        customer_props: set[str] | None = None,
     ) -> None:
         self.stmts = parse_statements(script)
         self.column_map = dict(column_map or {})
@@ -610,6 +706,9 @@ class ScriptRunner:
         self.event_col = event_col
         self.order_col = order_col
         self.now_ms = now_ms
+        # names declared is_customer in the catalog: assignments to
+        # them are recorded as write-backs (language_reference.md:102)
+        self.customer_props = set(customer_props or ())
 
     #: replay() is the DEBUG surface — it mirrors the reference
     #: interpreter's debugLog(), which is inherently a driver-side
@@ -627,6 +726,8 @@ class ScriptRunner:
         self._count_frames: list = []  # (colname, DataFrame[user, n])
         self._row_debugs: dict[int, Any] = {}  # debug idx -> (df, col)
         self._debugs: list = []  # (kind, guard, value)
+        self._ret_sites: list = []  # (matched_df, rowguard|None, value col)
+        self._prop_writes: dict[str, Any] = {}  # prop -> const | Col
         env: dict[str, Any] = {}
         try:
             self._exec(self.stmts, env, None)
@@ -670,6 +771,83 @@ class ScriptRunner:
             cols.append(val.alias(name))
             j += 1
         return self._user_frame().select(self.user_col, *cols)
+
+    def result_frame(self, events, name: str = "result"):
+        """``return(expr)`` inside an ``each_row`` scan, lowered to a
+        per-user FIRST-MATCH value (language_reference.md:380-391: the
+        scan stops at return, so the result is the earliest matched
+        row's value). Each return site aggregates min-of-(order, value)
+        struct per user; with several sites the winner is the site
+        whose firing row comes first (ties broken by script order).
+        One groupBy per each_row block — distributed, no collect."""
+        from pyspark.sql import functions as F
+
+        self._run(events)
+        if not self._ret_sites:
+            raise OslUnsupported("script has no return(expr) in a scan")
+        frame = events.select(self.user_col).distinct()
+        for i, (mdf, g, val) in enumerate(self._ret_sites):
+            order = F.col(self.order_col)
+            cand = F.struct(order.alias("o"), val.alias("v"))
+            if g is not None:
+                cand = F.when(g, cand)
+            sf = mdf.groupBy(self.user_col).agg(F.min(cand).alias(f"_site{i}"))
+            frame = frame.join(sf, self.user_col, "left")
+        if len(self._ret_sites) == 1:
+            res = F.col("_site0").getField("v")
+        else:
+            cands = [
+                F.when(
+                    F.col(f"_site{i}").isNotNull(),
+                    F.struct(
+                        F.col(f"_site{i}").getField("o").alias("o"),
+                        F.lit(i).alias("i"),
+                        F.col(f"_site{i}").getField("v").alias("v"),
+                    ),
+                )
+                for i in range(len(self._ret_sites))
+            ]
+            res = F.least(*cands).getField("v")
+        return frame.select(self.user_col, res.alias(name))
+
+    def customer_updates(self, events):
+        """The write-back frame for modified customer properties
+        (language_reference.md:102-117): one row per customer, one
+        column per property the script assigned via an aggregate
+        assignment. The caller merges it into the customer record
+        (see :meth:`apply_customer_updates`)."""
+        from pyspark.sql import functions as F
+
+        self._run(events)
+        if not self._prop_writes:
+            raise OslUnsupported("script writes no customer properties")
+        return self._user_frame().select(
+            self.user_col,
+            *[
+                (v.col if isinstance(v, Col) else F.lit(v)).alias(n)
+                for n, v in self._prop_writes.items()
+            ],
+        )
+
+    def apply_customer_updates(self, customers, events, id_col: str = "id"):
+        """Merge the write-back frame into a customer dimension:
+        updated values win, customers the script never touched keep
+        their old value (left join + coalesce — broadcast-friendly
+        when the update frame is small)."""
+        from pyspark.sql import functions as F
+
+        upd = self.customer_updates(events)
+        renamed = upd.select(
+            F.col(self.user_col).alias(id_col),
+            *[F.col(n).alias(f"_new_{n}") for n in self._prop_writes],
+        )
+        out = customers.join(renamed, id_col, "left")
+        for n in self._prop_writes:
+            newc = F.col(f"_new_{n}")
+            out = out.withColumn(
+                n, F.coalesce(newc, F.col(n)) if n in customers.columns else newc
+            ).drop(f"_new_{n}")
+        return out
 
     def replay(self, events, max_users: int | None = None) -> list:
         """Run the script; return the flat debug log (single-customer
@@ -752,6 +930,19 @@ class ScriptRunner:
                     )
                 val = self._eval(st.expr, env)
                 self._assign(st, val, env)
+                if st.name in self.customer_props and not st.indexes:
+                    self._record_prop_write(st.name, val)
+            elif isinstance(st, SAggAssign):
+                if guard is not None:
+                    raise OslUnsupported(
+                        "aggregate assignment under a row-dependent if"
+                    )
+                self._agg_assign(st, env)
+            elif isinstance(st, SReturn):
+                raise OslUnsupported(
+                    "return(expr) outside an each_row scan — use the "
+                    "histogram endpoint script path"
+                )
             elif isinstance(st, SDebug):
                 val = self._eval(st.expr, env)
                 if guard is None and not isinstance(val, Col):
@@ -810,13 +1001,20 @@ class ScriptRunner:
     # -- each_row lowering -------------------------------------------
     def _exec_each_row(self, st: SEachRow, env, guard) -> None:
         """Counters (`x = x + const`) become per-user matched-row
-        counts; per-row ``debug`` collects from the matched frame."""
-        from pyspark.sql import functions as F
-
+        counts; per-row ``debug`` collects from the matched frame;
+        ``return(expr)`` records a first-match site; an ``if`` whose
+        condition reads the row narrows all of those with a row-level
+        guard (scan semantics: the branch runs per visited row)."""
         if guard is not None:
             raise OslUnsupported("each_row under a row-dependent if")
         matched = self._matched_frame(st, env)
-        for s in st.body:
+        self._each_row_body(st.body, env, matched, None)
+
+    def _each_row_body(self, stmts, env, matched, rowguard) -> None:
+        from pyspark.sql import functions as F
+
+        frame = matched if rowguard is None else matched.filter(rowguard)
+        for s in stmts:
             if isinstance(s, SAssign) and not s.indexes:
                 # x = x + <const> accumulation over matched rows
                 e = s.expr
@@ -836,20 +1034,37 @@ class ScriptRunner:
                 cname = f"_cnt{len(self._count_frames)}"
                 self._count_frames.append((
                     cname,
-                    matched.groupBy(self.user_col).agg(
+                    frame.groupBy(self.user_col).agg(
                         F.count(F.lit(1)).alias(cname)
                     ),
                 ))
                 prev = env.get(s.name, 0)
                 prev_col = prev.col if isinstance(prev, Col) else F.lit(prev)
                 env[s.name] = Col(prev_col + F.col(cname) * F.lit(step))
+                if s.name in self.customer_props:
+                    self._record_prop_write(s.name, env[s.name])
             elif isinstance(s, SDebug):
                 idx = len(self._debugs)
                 self._debugs.append(("rows", None, None))
                 self._row_debugs[idx] = (
-                    matched,
-                    self._row_col(s.expr, env),
+                    frame,
+                    self._row_expr(s.expr, env),
                 )
+            elif isinstance(s, SReturn):
+                self._ret_sites.append(
+                    (matched, rowguard, self._row_expr(s.expr, env))
+                )
+            elif isinstance(s, SIf):
+                try:
+                    cond = const_eval(s.cond, env)
+                    if cond:
+                        self._each_row_body(s.body, env, matched, rowguard)
+                    continue
+                except _NotConst:
+                    pass
+                g = self._row_expr(s.cond, env)
+                g = g if rowguard is None else rowguard & g
+                self._each_row_body(s.body, env, matched, g)
             elif isinstance(s, SPush):
                 pass
             else:
@@ -912,18 +1127,122 @@ class ScriptRunner:
             self._aggs[name] = F.min_by(src, F.col(self.order_col))
         return Col(F.col(name))
 
-    def _row_col(self, e, env):
-        """Expression over a MATCHED ROW (debug inside each_row):
-        names resolve to the row's columns directly."""
+    def _record_prop_write(self, name: str, val) -> None:
+        self._prop_writes[name] = val
+
+    def _agg_assign(self, st: SAggAssign, env) -> None:
+        """``name = agg(arg)[.within(span, anchor)] [where pred]`` —
+        ONE conditional aggregate in the shared per-user frame. first/
+        last use min/max of an (order, value) struct: the max_by
+        update frame for last-value-wins customer facts."""
+        from pyspark.sql import functions as F
+
+        from openset_spark.osl.compiler import _bool_col
+
+        ctx = self._ctx()
+        cond = None
+        if st.where is not None:
+            cond = _bool_col(_subst_env_where(st.where, env), ctx)
+        if st.window is not None:
+            span = const_eval(st.window[0], env)
+            anchor = self._eval(st.window[1], env)
+            if isinstance(anchor, Col):
+                raise OslUnsupported("row-dependent anchor in .within()")
+            wcond = F.abs(F.lit(anchor) - ctx.stamp()) <= F.lit(span)
+            cond = wcond if cond is None else cond & wcond
+        cond = F.lit(True) if cond is None else cond
+        arg = self._row_expr(st.arg, env) if st.arg is not None else F.lit(1)
+        order = F.col(self.order_col)
+        if st.fn == "sum":
+            agg = F.sum(F.when(cond, arg))
+        elif st.fn == "count":
+            agg = F.count(F.when(cond, F.lit(1)))
+        elif st.fn == "min":
+            agg = F.min(F.when(cond, arg))
+        elif st.fn == "max":
+            agg = F.max(F.when(cond, arg))
+        elif st.fn == "avg":
+            agg = F.avg(F.when(cond, arg))
+        elif st.fn == "first":
+            agg = F.min(
+                F.when(cond, F.struct(order.alias("o"), arg.alias("v")))
+            ).getField("v")
+        else:  # last
+            agg = F.max(
+                F.when(cond, F.struct(order.alias("o"), arg.alias("v")))
+            ).getField("v")
+        cname = f"_cp_{st.name}"
+        self._aggs[cname] = agg
+        env[st.name] = Col(F.col(cname))
+        # without a catalog every aggregate assignment is a customer-
+        # property write; with one, only declared is_customer names are
+        if not self.customer_props or st.name in self.customer_props:
+            self._record_prop_write(st.name, env[st.name])
+
+    def _row_expr(self, e, env):
+        """Expression over an INDIVIDUAL ROW (debug/return inside
+        each_row, aggregate arguments, row-level if guards): names
+        resolve to the row's columns directly."""
         from pyspark.sql import functions as F
 
         try:
             return F.lit(const_eval(e, env))
         except _NotConst:
             pass
+        ctx = self._ctx()
         if isinstance(e, LName):
-            return self._ctx().resolve(e.name)
-        raise OslUnsupported(f"per-row debug expression {e!r}")
+            if isinstance(env.get(e.name), Col):
+                raise OslUnsupported(
+                    f"user-frame variable {e.name!r} in a row expression"
+                )
+            return ctx.resolve(e.name)
+        if isinstance(e, LNeg):
+            return -self._row_expr(e.expr, env)
+        if isinstance(e, LCall):
+            args = [self._row_expr(a, env) for a in e.args]
+            if e.fn == "len":
+                return F.length(args[0])
+            if e.fn in ("int", "float", "str"):
+                t = {"int": "long", "float": "double", "str": "string"}
+                return args[0].cast(t[e.fn])
+            raise OslUnsupported(f"{e.fn}() in a row expression")
+        if isinstance(e, LBin):
+            if e.op in ("in", "any", "contains"):
+                try:
+                    b = const_eval(e.right, env)
+                except _NotConst:
+                    raise OslUnsupported(
+                        f"{e.op!r} needs a constant container in a row "
+                        "expression"
+                    )
+                a = self._row_expr(e.left, env)
+                vals = list(b) if isinstance(b, (list, set, tuple)) else [b]
+                if e.op in ("in", "any"):
+                    return a.isin(vals)
+                out = a.contains(vals[0])
+                for v in vals[1:]:
+                    out = out & a.contains(v)
+                return out
+            a = self._row_expr(e.left, env)
+            b = self._row_expr(e.right, env)
+            fns = {
+                "+": lambda x, y: x + y,
+                "-": lambda x, y: x - y,
+                "*": lambda x, y: x * y,
+                "/": lambda x, y: x / y,
+                "==": lambda x, y: x == y,
+                "!=": lambda x, y: x != y,
+                "<": lambda x, y: x < y,
+                ">": lambda x, y: x > y,
+                "<=": lambda x, y: x <= y,
+                ">=": lambda x, y: x >= y,
+                "&&": lambda x, y: x & y,
+                "||": lambda x, y: x | y,
+            }
+            if e.op not in fns:
+                raise OslUnsupported(f"operator {e.op!r} in a row expression")
+            return fns[e.op](a, b)
+        raise OslUnsupported(f"row expression {e!r}")
 
     def _eval(self, e, env):
         try:

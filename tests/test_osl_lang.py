@@ -297,3 +297,154 @@ def test_frame_counter_matches_sql(spark, sf_dir):
     got = {r.user_id: r.n_purchases for r in out.collect()}
     exp = {r.user_id: r.n for r in want.collect()}
     assert got == exp
+
+
+# ------------------------- customer-property writes + return() in scans
+def test_customer_prop_write_doc_example(fruit_events):
+    # language_reference.md:102-117 verbatim shape:
+    # total_purchase_value = sum(...).within(span, now) where event.is(...)
+    now_ms = int(BASE.timestamp() * 1000) + 1_000
+    r = ScriptRunner(
+        """
+        total_purchase_value = sum(price).within(1_year, now) where event.is(== "purchase")
+        debug(total_purchase_value)
+        """,
+        column_map={"event": "event_type"},
+        now_ms=now_ms,
+    )
+    log = r.replay(fruit_events)
+    assert log == [pytest.approx(36.03)]
+    upd = r.customer_updates(fruit_events)
+    rows = upd.collect()
+    assert len(rows) == 1
+    assert rows[0].total_purchase_value == pytest.approx(36.03)
+
+
+def test_customer_prop_write_window_clips(fruit_events):
+    # anchor :31, span 2s -> rows :30..:33 only (|stamp-now| <= span)
+    now_ms = int(BASE.replace(second=31).timestamp() * 1000)
+    r = ScriptRunner(
+        """
+        recent_value = sum(price).within(2_seconds, now) where event.is(== "purchase")
+        """,
+        column_map={"event": "event_type"},
+        now_ms=now_ms,
+    )
+    rows = r.customer_updates(fruit_events).collect()
+    assert rows[0].recent_value == pytest.approx(5.55 + 9.95 + 12.49 + 2.49)
+
+
+def test_last_and_first_aggregate_assign(fruit_events):
+    # last = max-of-(order, value) struct; first = min — the max_by
+    # update frame for last-value-wins customer facts
+    r = ScriptRunner(
+        """
+        last_expensive = last(fruit) where price > 6
+        first_expensive = first(fruit) where price > 6
+        """,
+    )
+    rows = r.customer_updates(fruit_events).collect()
+    assert rows[0].last_expensive == "pear"
+    assert rows[0].first_expensive == "apple"
+
+
+def test_return_in_each_row_first_match(spark):
+    rows = [
+        ("u1", 0, "purchase", BASE, "orange", 5.55),
+        ("u1", 1, "purchase", BASE.replace(second=31), "apple", 9.95),
+        ("u2", 2, "purchase", BASE, "banana", 2.49),
+        ("u3", 3, "view", BASE, "pear", 12.49),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "user_id string, event_id long, event_type string, ts timestamp,"
+        " fruit string, price double",
+    )
+    out = ScriptRunner(
+        """
+        each_row where event.is(== "purchase") && price > 3
+          return(fruit)
+        end
+        """,
+        column_map={"event": "event_type"},
+    ).result_frame(events, name="first_big")
+    got = {r.user_id: r.first_big for r in out.collect()}
+    # u1: first matched row -> orange; u2: no row > 3 -> null;
+    # u3: no purchase -> null
+    assert got == {"u1": "orange", "u2": None, "u3": None}
+
+
+def test_return_under_if_row_semantics(fruit_events):
+    # row-by-row: the FIRST matched row decides — row 0 (orange, 5.55)
+    # fails the if, so the unguarded return fires first even though a
+    # later row (pear, 12.49) would satisfy the guard
+    out = ScriptRunner(
+        """
+        each_row where event.is(== "purchase")
+          if price > 10
+            return("big")
+          end
+          return(fruit)
+        end
+        """,
+        column_map={"event": "event_type"},
+    ).result_frame(fruit_events)
+    assert [r.result for r in out.collect()] == ["orange"]
+
+
+def test_return_only_guarded_site(spark):
+    rows = [
+        ("u1", 0, "purchase", BASE, "orange", 5.55),
+        ("u1", 1, "purchase", BASE.replace(second=31), "apple", 9.95),
+        ("u2", 2, "purchase", BASE, "banana", 2.49),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "user_id string, event_id long, event_type string, ts timestamp,"
+        " fruit string, price double",
+    )
+    out = ScriptRunner(
+        """
+        each_row where event.is(== "purchase")
+          if price > 6
+            return(fruit)
+          end
+        end
+        """,
+        column_map={"event": "event_type"},
+    ).result_frame(events, name="big_fruit")
+    got = {r.user_id: r.big_fruit for r in out.collect()}
+    assert got == {"u1": "apple", "u2": None}
+
+
+def test_apply_customer_updates_merges(spark, fruit_events):
+    customers = spark.createDataFrame(
+        [("user1", 1.0), ("user9", 2.0)],
+        "id string, total_purchase_value double",
+    )
+    r = ScriptRunner(
+        """
+        total_purchase_value = sum(price) where event.is(== "purchase")
+        """,
+        column_map={"event": "event_type"},
+    )
+    out = r.apply_customer_updates(customers, fruit_events, id_col="id")
+    got = {row.id: row.total_purchase_value for row in out.collect()}
+    # user1 updated by the script; user9 (no events) keeps the old value
+    assert got["user1"] == pytest.approx(36.03)
+    assert got["user9"] == pytest.approx(2.0)
+
+
+def test_counter_as_declared_customer_prop(fruit_events):
+    r = ScriptRunner(
+        """
+        n_cheap = 0
+        each_row where event == "purchase" && price < 6
+          n_cheap = n_cheap + 1
+        end
+        """,
+        column_map={"event": "event_type"},
+        customer_props={"n_cheap"},
+    )
+    rows = r.customer_updates(fruit_events).collect()
+    assert rows[0].n_cheap == 3  # orange, banana, orange
