@@ -30,6 +30,7 @@ TRANSITION_SCHEMA = StructType(
         StructField("user_id", LongType()),
         StructField("segment", StringType()),
         StructField("transition", StringType()),  # enter | exit
+        StructField("stamp", LongType()),  # epoch ms of the flip batch
     ]
 )
 
@@ -59,10 +60,15 @@ def make_segment_transitions(segments: list[StreamSegment]):
             return
         hits = [False] * len(segments)
         any_rows = False
+        stamp_ms = 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             any_rows = True
+            if "ts" in pdf.columns:
+                stamp_ms = max(
+                    stamp_ms, int(pd.Timestamp(pdf["ts"].max()).value // 10**6)
+                )
             for i, seg in enumerate(segments):
                 if not hits[i]:
                     hits[i] = bool(seg.predicate(pdf).any())
@@ -81,7 +87,12 @@ def make_segment_transitions(segments: list[StreamSegment]):
         state.update(tuple(new))
         if out_user:
             yield pd.DataFrame(
-                {"user_id": out_user, "segment": out_seg, "transition": out_tr}
+                {
+                    "user_id": out_user,
+                    "segment": out_seg,
+                    "transition": out_tr,
+                    "stamp": [stamp_ms] * len(out_user),
+                }
             )
 
     state_schema = StructType(

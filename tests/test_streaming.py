@@ -296,3 +296,66 @@ def test_stream_property_counts_complete_mode(spark, tmpdir):
     # event ids 0..2: purchase, view, view (per _mk_events kind rule)
     assert got["purchase"] == (1, 1)
     assert got["view"][1] == 2 and got["view"][0] == 2  # 2 users, 2 views
+
+
+def test_subscription_registry_feed(spark, tmpdir):
+    # docs/rest/README.md:160-212: PUT -> insert -> poll returns the
+    # retained enter/exit messages; each subscriber gets its OWN feed
+    from openset_spark.streaming.subscriptions import SubscriptionBroker
+
+    _write_events(
+        tmpdir,
+        _mk_events({1: ["2024-01-01T00:00:00"], 2: ["2024-01-01T00:01:00"]}),
+    )
+    stream = read_event_stream(spark, tmpdir)
+    segs = [
+        StreamSegment("purchasers", lambda pdf: pdf["event_type"] == "purchase"),
+        StreamSegment("viewers", lambda pdf: pdf["event_type"] == "view"),
+    ]
+    broker = SubscriptionBroker()
+    broker.create("purchasers", "sub1")
+    broker.create("purchasers", "sub2")  # independent feed, same segment
+    broker.create("viewers", "sub3")
+    ckpt = tempfile.mkdtemp(prefix="oss-ckpt-")
+    try:
+        q = broker.attach(
+            stream_segment_transitions(stream, segs), ckpt, availableNow=True
+        )
+        q.awaitTermination(120)
+        # poll with an explicit now inside the retention window of the
+        # event-time stamps (real wall-clock would trim 2024 messages)
+        now = 1704067200000 + 60_000
+        p1 = broker.get("purchasers", "sub1").poll(now_ms=now)
+        assert p1["segment"] == "purchasers" and p1["subscriber"] == "sub1"
+        assert p1["count"] == 1 and p1["remaining"] == 0
+        msg = p1["messages"][0]
+        assert msg["uid"] == 1 and msg["state"] == "entered"
+        assert msg["stamp"] == 1704067200000  # 2024-01-01T00:00:00Z
+        assert msg["stamp_iso"].startswith("2024-01-01T00:00:00")
+        # sub2's feed is untouched by sub1's poll
+        p2 = broker.get("purchasers", "sub2").poll(limit=0, now_ms=now)
+        assert p2["count"] == 0 and p2["remaining"] == 1
+        assert broker.get("purchasers", "sub2").poll(now_ms=now)["count"] == 1
+        # viewers feed saw only user 2
+        p3 = broker.get("viewers", "sub3").poll(now_ms=now)
+        assert [m["uid"] for m in p3["messages"]] == [2]
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_subscription_delete_and_retention():
+    from openset_spark.streaming.subscriptions import SubscriptionBroker
+
+    broker = SubscriptionBroker()
+    sub = broker.create("s", "a", retention_ms=1000)
+    with pytest.raises(ValueError):
+        broker.create("s", "a")
+    sub.push(1_000, 7, "entered")
+    sub.push(5_000, 8, "entered")
+    # at t=6s the first message (age 5s) is past the 1s retention
+    got = sub.poll(now_ms=6_000)
+    assert [m["uid"] for m in got["messages"]] == [8]
+    broker.delete("s", "a")
+    with pytest.raises(KeyError):
+        broker.delete("s", "a")
+    assert broker.list() == []
