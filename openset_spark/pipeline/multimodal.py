@@ -5,11 +5,13 @@ metadata structs; per-item decode/feature work runs in Arrow-batched
 ``mapInPandas`` so a 100 TB media table streams through Python in
 columnar batches (never row-at-a-time).
 
-The decode kernels themselves are STUBBED (image/audio libs are not
-in this container): ``deterministic=True`` yields a seeded fake
-feature vector so the full Spark plumbing — schema, batching,
-partitioning — is real and testable; ``deterministic=False`` raises
-NotImplementedError where a real decoder (PIL/ffmpeg) would slot in.
+Decode kernels: formats with pure-Python codecs are REAL — binary
+PPM/PGM images (P6/P5) and RIFF/WAV PCM audio decode for real inside
+the Arrow batches. Codecs that need native libs (JPEG/PNG/ffmpeg) stay
+stubbed: ``deterministic=True`` yields a seeded fake so the Spark
+plumbing — schema, batching, partitioning — is testable;
+``deterministic=False`` raises NotImplementedError where PIL/ffmpeg
+would slot in.
 """
 
 from __future__ import annotations
@@ -49,6 +51,69 @@ FEATURE_SCHEMA = StructType(
         StructField("feature", ArrayType(FloatType())),
     ]
 )
+
+
+def decode_ppm_bytes(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python binary PPM/PGM (P6/P5) decoder ->
+    (width, height, channels, row-major pixel bytes). Supports header
+    comments and maxval <= 255."""
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload: {magic!r}")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    channels = 3 if magic == b"P6" else 1
+    need = w * h * channels
+    px = data[pos : pos + need]
+    if len(px) < need:
+        raise ValueError(f"truncated pixel data: {len(px)} < {need}")
+    return w, h, channels, bytes(px)
+
+
+def decode_wav_bytes(data: bytes) -> tuple[int, int, int, int, int]:
+    """Pure-Python RIFF/WAV PCM header decoder ->
+    (sample_rate, channels, bits_per_sample, n_samples, duration_ms)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt: tuple[int, int, int] | None = None
+    n_data: int | None = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _afmt, n_ch, rate, _brate, _balign, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            n_data = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or n_data is None:
+        raise ValueError("missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    frame = n_ch * (bits // 8)
+    n_samples = n_data // frame if frame else 0
+    duration_ms = n_samples * 1000 // rate if rate else 0
+    return rate, n_ch, bits, n_samples, duration_ms
 
 
 def _fake_feature(payload: bytes, dim: int) -> list[float]:
@@ -117,34 +182,99 @@ def decode_images(
     media: DataFrame, deterministic: bool = True
 ) -> DataFrame:
     """image rows -> decoded (media_id, width, height, channels,
-    pixels) via mapInPandas. Stubbed decode: ``deterministic=True``
-    synthesizes a payload-derived pixel buffer at the metadata's
-    declared dimensions; a real deployment swaps in PIL here with the
-    identical schema/batch contract."""
+    pixels) via mapInPandas. PPM/PGM (P6/P5) payloads decode for REAL
+    (pure-Python kernel, same Arrow batch path a PIL decoder would
+    use); other codecs fall back to the deterministic stub, or raise
+    NotImplementedError with ``deterministic=False`` where PIL would
+    slot in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic:
-                raise NotImplementedError(
-                    "real image decode requires PIL; not in container"
-                )
             pdf = pdf[pdf["kind"] == "image"]
-            w = pdf["width"].fillna(1).astype(int)
-            h = pdf["height"].fillna(1).astype(int)
+            ids, ws, hs, chs, pxs = [], [], [], [], []
+            for mid, p, mw, mh in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                raw = bytes(p or b"")
+                if raw[:2] in (b"P6", b"P5"):
+                    w, h, ch, px = decode_ppm_bytes(raw)
+                elif not deterministic:
+                    raise NotImplementedError(
+                        "non-PPM image decode requires PIL; not in container"
+                    )
+                else:
+                    w = int(mw) if mw is not None and mw == mw else 1
+                    h = int(mh) if mh is not None and mh == mh else 1
+                    ch = 3
+                    px = bytes(((raw or b"\x00") * (w * h * 3))[: w * h * 3])
+                ids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                pxs.append(px)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "width": w,
-                    "height": h,
-                    "channels": 3,
-                    "pixels": [
-                        bytes((bytes(p or b"\x00") * (ww * hh * 3))[: ww * hh * 3])
-                        for p, ww, hh in zip(pdf["payload"], w, h)
-                    ],
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "channels": chs,
+                    "pixels": pxs,
                 }
             )
 
     return media.mapInPandas(run, DECODED_IMAGE_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("bits", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def decode_audio(
+    media: DataFrame, deterministic: bool = True
+) -> DataFrame:
+    """audio rows -> (media_id, sample_rate, channels, bits,
+    n_samples, duration_ms). RIFF/WAV payloads decode for REAL; other
+    codecs use the metadata stub or raise with
+    ``deterministic=False`` where ffmpeg would slot in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            rows = {k: [] for k in (
+                "media_id", "sample_rate", "channels", "bits",
+                "n_samples", "duration_ms",
+            )}
+            for mid, p, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                raw = bytes(p or b"")
+                if raw[:4] == b"RIFF":
+                    rate, ch, bits, n, ms = decode_wav_bytes(raw)
+                elif not deterministic:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires ffmpeg; not in container"
+                    )
+                else:
+                    rate, ch, bits = 16000, 1, 16
+                    ms = int(dur) if dur is not None and dur == dur else 0
+                    n = ms * rate // 1000
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(ch)
+                rows["bits"].append(bits)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(ms)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
 
 
 def resize_images(

@@ -188,3 +188,75 @@ def test_stratified_and_weighted_sampling(spark):
     # deterministic: same seed -> identical sample
     again = weighted_sample(w, "wt", ["id"], seed=7)
     assert kept.exceptAll(again).count() == 0 and again.exceptAll(kept).count() == 0
+
+
+def _ppm_bytes(w, h):
+    # P6 with a comment line; pixel (x, y) = (x, y, x+y) — distinct values
+    header = f"P6\n# test image\n{w} {h}\n255\n".encode()
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes((x * 16 % 256, y * 16 % 256, (x + y) % 256))
+    return header + bytes(px)
+
+
+def _wav_bytes(rate, n_ch, bits, n_samples):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(bits // 8)
+        wf.setframerate(rate)
+        wf.writeframes(b"\x00" * (n_samples * n_ch * (bits // 8)))
+    return buf.getvalue()
+
+
+def test_real_ppm_decode_roundtrip(spark):
+    from openset_spark.pipeline.multimodal import decode_images, resize_images
+
+    payload = _ppm_bytes(6, 4)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), "image/x-portable-pixmap", None, None, None)],
+        "media_id long, kind string, payload binary, mime string,"
+        " width long, height long, duration_ms long",
+    )
+    # deterministic=False: PPM decodes for REAL (no stub fallback)
+    rows = decode_images(media, deterministic=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height, r.channels) == (6, 4, 3)
+    px = bytes(r.pixels)
+    assert len(px) == 6 * 4 * 3
+    # pixel (x=2, y=3) round-trips exactly
+    o = (3 * 6 + 2) * 3
+    assert px[o : o + 3] == bytes((32, 48, 5))
+    # resize runs fused over the really-decoded buffer
+    small = resize_images(decode_images(media, deterministic=False), 3, 2).collect()
+    assert (small[0].width, small[0].height) == (3, 2)
+    assert len(bytes(small[0].pixels)) == 3 * 2 * 3
+
+
+def test_real_wav_decode_roundtrip(spark):
+    from openset_spark.pipeline.multimodal import decode_audio
+
+    payload = _wav_bytes(rate=8000, n_ch=2, bits=16, n_samples=4000)
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(payload), "audio/wav", None, None, None),
+            (2, "audio", bytearray(b"\x00\x01"), "audio/mp3", None, None, 2500),
+        ],
+        "media_id long, kind string, payload binary, mime string,"
+        " width long, height long, duration_ms long",
+    )
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    wav = rows[1]
+    # 4000 samples @ 8kHz stereo 16-bit -> 500 ms, all fields real
+    assert (wav.sample_rate, wav.channels, wav.bits) == (8000, 2, 16)
+    assert wav.n_samples == 4000 and wav.duration_ms == 500
+    # non-WAV falls back to the metadata stub (duration preserved)
+    assert rows[2].duration_ms == 2500
+    # and refuses when the stub is disabled
+    with pytest.raises(Exception):
+        decode_audio(media, deterministic=False).collect()
