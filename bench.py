@@ -76,17 +76,26 @@ def main() -> None:
         timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # ANN scale separation: the sf0.1 embeddings table (~2k vectors) is
+    # below the crossover where bucketed ANN beats brute force, so the
+    # separation is shown on a cached 200k synthetic corpus with
+    # ingest-time LSH/IVF indexes (query paths timed; recall vs the
+    # exact oracle reported). Not part of `value` — it is a different
+    # dataset. Disable with SPARK_GRAFT_ANN_SCALE=0.
+    if os.environ.get("SPARK_GRAFT_ANN_SCALE", "1") != "0":
+        from openset_spark.pipeline.ann_bench import run_scale_bench
+
+        out["ann_scale"] = run_scale_bench(spark)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
