@@ -1929,6 +1929,67 @@ GROUP BY user_id
 """
 
 
+def q_osl_customer_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-property write-back as a query: the language-reference
+    aggregate-assignment form (docs/osl/language_reference.md:102-117)
+    lowered to one conditional aggregate per written property in a
+    single groupBy(user_id)."""
+    from openset_spark.osl.lang import ScriptRunner
+
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    r = ScriptRunner(
+        """
+        total_purchase_value = sum(value) where event.is(== "purchase")
+        n_purchases = count() where event.is(== "purchase")
+        """,
+        column_map={"event": "event_type"},
+    )
+    return r.customer_updates(ev).select(
+        "user_id",
+        F.col("total_purchase_value").cast("double").alias("total_purchase_value"),
+        "n_purchases",
+    )
+
+
+_SQL_OSL_CUSTOMER_WRITE = """
+SELECT user_id,
+  CAST(SUM(CAST(value AS DECIMAL(10,2)))
+       FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+    AS total_purchase_value,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+FROM events GROUP BY user_id
+"""
+
+
+def q_osl_return_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """return(expr) inside an each_row scan: per-user FIRST-MATCH
+    value (language_reference.md:380-391), lowered to a min-of-
+    (order, value) struct aggregate — no window, one groupBy."""
+    from openset_spark.osl.lang import ScriptRunner
+
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 10, 2))
+    r = ScriptRunner(
+        """
+        each_row where event.is(== "purchase")
+          return(value)
+        end
+        """,
+        column_map={"event": "event_type"},
+    )
+    return r.result_frame(ev, name="first_purchase_value").withColumn(
+        "first_purchase_value", F.col("first_purchase_value").cast("double")
+    )
+
+
+_SQL_OSL_RETURN_FIRST = """
+SELECT user_id,
+  CAST(ARG_MIN(CAST(value AS DECIMAL(10,2)), event_id)
+       FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+    AS first_purchase_value
+FROM events GROUP BY user_id
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # demoted round 4 (driver-green r3; slots freed for the r3
@@ -1953,6 +2014,10 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_counts": q_property_counts,
         "property_counts_rx": q_property_counts_rx,
         "dedup_exact_keep": q_dedup_exact_keep,
+        # round-4 additions (extras tier: locally oracle-verified,
+        # rotate into the window next round)
+        "osl_customer_write": q_osl_customer_write,
+        "osl_return_first": q_osl_return_first,
     }
 
 
@@ -2008,6 +2073,8 @@ def oracle_sql() -> dict[str, str]:
         "osl_segment_counts": _SQL_OSL_SEGMENT_COUNTS,
         "osl_histogram_weeks": _SQL_OSL_HISTOGRAM_WEEKS,
         "osl_script_counter": _SQL_OSL_SCRIPT_COUNTER,
+        "osl_customer_write": _SQL_OSL_CUSTOMER_WRITE,
+        "osl_return_first": _SQL_OSL_RETURN_FIRST,
         "property_counts": _SQL_PROPERTY_COUNTS,
         "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
         "property_counts_between": _SQL_PROPERTY_COUNTS_BETWEEN,
