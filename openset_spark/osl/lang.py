@@ -785,27 +785,35 @@ class ScriptRunner:
         self._run(events)
         if not self._ret_sites:
             raise OslUnsupported("script has no return(expr) in a scan")
-        frame = events.select(self.user_col).distinct()
-        for i, (mdf, g, val) in enumerate(self._ret_sites):
+        frame = self._user_frame()
+        site_cols = []
+        for i, site in enumerate(self._ret_sites):
+            if site[0] == "agg":
+                # simple scan: the site is already an aggregate column
+                # in the shared per-user frame — no join at all
+                site_cols.append(F.col(site[1]))
+                continue
+            _kind, mdf, g, val = site
             order = F.col(self.order_col)
             cand = F.struct(order.alias("o"), val.alias("v"))
             if g is not None:
                 cand = F.when(g, cand)
             sf = mdf.groupBy(self.user_col).agg(F.min(cand).alias(f"_site{i}"))
             frame = frame.join(sf, self.user_col, "left")
-        if len(self._ret_sites) == 1:
-            res = F.col("_site0").getField("v")
+            site_cols.append(F.col(f"_site{i}"))
+        if len(site_cols) == 1:
+            res = site_cols[0].getField("v")
         else:
             cands = [
                 F.when(
-                    F.col(f"_site{i}").isNotNull(),
+                    c.isNotNull(),
                     F.struct(
-                        F.col(f"_site{i}").getField("o").alias("o"),
+                        c.getField("o").alias("o"),
                         F.lit(i).alias("i"),
-                        F.col(f"_site{i}").getField("v").alias("v"),
+                        c.getField("v").alias("v"),
                     ),
                 )
-                for i in range(len(self._ret_sites))
+                for i, c in enumerate(site_cols)
             ]
             res = F.least(*cands).getField("v")
         return frame.select(self.user_col, res.alias(name))
@@ -1004,16 +1012,59 @@ class ScriptRunner:
         counts; per-row ``debug`` collects from the matched frame;
         ``return(expr)`` records a first-match site; an ``if`` whose
         condition reads the row narrows all of those with a row-level
-        guard (scan semantics: the branch runs per visited row)."""
+        guard (scan semantics: the branch runs per visited row).
+
+        Scans with no mods and a window-free, row-mode where clause
+        fold DIRECTLY into the shared per-user aggregate as
+        conditional aggregates — zero extra shuffles and no join; only
+        mods (limit/range/reverse) or ever/never quantifiers fall back
+        to a separate matched frame + user-keyed join."""
         if guard is not None:
             raise OslUnsupported("each_row under a row-dependent if")
-        matched = self._matched_frame(st, env)
-        self._each_row_body(st.body, env, matched, None)
+        cond = self._simple_scan_cond(st, env)
+        matched = None if cond is not None else self._matched_frame(st, env)
+        self._each_row_body(st.body, env, matched, cond, None)
 
-    def _each_row_body(self, stmts, env, matched, rowguard) -> None:
+    def _simple_scan_cond(self, st: SEachRow, env):
+        """The scan's where clause as ONE row-level Column, or None
+        when it needs the matched-frame machinery (mods, date windows,
+        ever/never quantifiers — those compile to window functions,
+        which cannot nest inside aggregates)."""
+        from openset_spark.osl.parser import BoolOp
+
+        from openset_spark.osl.compiler import _bool_col
+
+        if st.mods:
+            return None
+
+        def row_only(e) -> bool:
+            if isinstance(e, Pred):
+                return e.mode in ("is", "is_not") and e.window is None
+            if isinstance(e, BoolOp):
+                return all(row_only(p) for p in e.parts)
+            return False
+
+        where = _subst_env_where(st.where, env)
+        if not row_only(where):
+            return None
+        return _bool_col(where, self._ctx())
+
+    def _each_row_body(self, stmts, env, matched, cond, rowguard) -> None:
+        """``matched``/``cond`` are the two lowering modes: a matched
+        DataFrame (mods path) or a row-level condition Column folded
+        into the shared aggregate (simple path). ``rowguard`` is the
+        row-level guard from enclosing ifs inside the body."""
         from pyspark.sql import functions as F
 
-        frame = matched if rowguard is None else matched.filter(rowguard)
+        def full_cond():
+            c = cond if rowguard is None else (
+                cond & rowguard if cond is not None else rowguard
+            )
+            return F.lit(True) if c is None else c
+
+        frame = None
+        if matched is not None:
+            frame = matched if rowguard is None else matched.filter(rowguard)
         for s in stmts:
             if isinstance(s, SAssign) and not s.indexes:
                 # x = x + <const> accumulation over matched rows
@@ -1031,13 +1082,16 @@ class ScriptRunner:
                         f"each_row body assignment {s.name!r} must be "
                         "'x = x + <constant>'"
                     )
-                cname = f"_cnt{len(self._count_frames)}"
-                self._count_frames.append((
-                    cname,
-                    frame.groupBy(self.user_col).agg(
-                        F.count(F.lit(1)).alias(cname)
-                    ),
-                ))
+                cname = f"_cnt{len(self._count_frames) + len(self._aggs)}"
+                if matched is None:
+                    self._aggs[cname] = F.count(F.when(full_cond(), F.lit(1)))
+                else:
+                    self._count_frames.append((
+                        cname,
+                        frame.groupBy(self.user_col).agg(
+                            F.count(F.lit(1)).alias(cname)
+                        ),
+                    ))
                 prev = env.get(s.name, 0)
                 prev_col = prev.col if isinstance(prev, Col) else F.lit(prev)
                 env[s.name] = Col(prev_col + F.col(cname) * F.lit(step))
@@ -1046,25 +1100,35 @@ class ScriptRunner:
             elif isinstance(s, SDebug):
                 idx = len(self._debugs)
                 self._debugs.append(("rows", None, None))
-                self._row_debugs[idx] = (
-                    frame,
-                    self._row_expr(s.expr, env),
+                src = frame if frame is not None else self._events.filter(
+                    full_cond()
                 )
+                self._row_debugs[idx] = (src, self._row_expr(s.expr, env))
             elif isinstance(s, SReturn):
-                self._ret_sites.append(
-                    (matched, rowguard, self._row_expr(s.expr, env))
-                )
+                val = self._row_expr(s.expr, env)
+                if matched is None:
+                    order = F.col(self.order_col)
+                    sname = f"_ret{len(self._aggs)}"
+                    self._aggs[sname] = F.min(
+                        F.when(
+                            full_cond(),
+                            F.struct(order.alias("o"), val.alias("v")),
+                        )
+                    )
+                    self._ret_sites.append(("agg", sname))
+                else:
+                    self._ret_sites.append(("frame", matched, rowguard, val))
             elif isinstance(s, SIf):
                 try:
-                    cond = const_eval(s.cond, env)
-                    if cond:
-                        self._each_row_body(s.body, env, matched, rowguard)
+                    c = const_eval(s.cond, env)
+                    if c:
+                        self._each_row_body(s.body, env, matched, cond, rowguard)
                     continue
                 except _NotConst:
                     pass
                 g = self._row_expr(s.cond, env)
                 g = g if rowguard is None else rowguard & g
-                self._each_row_body(s.body, env, matched, g)
+                self._each_row_body(s.body, env, matched, cond, g)
             elif isinstance(s, SPush):
                 pass
             else:

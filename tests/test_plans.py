@@ -218,3 +218,19 @@ def test_segment_scope_broadcasts_membership(spark, sf_dir):
     out.collect()  # let AQE finalize join strategies
     plan = plan_str(out, "simple")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_osl_script_queries_single_user_exchange(spark, sf_dir):
+    # simple (mod-free, window-free) OSL scans fold counters, return
+    # sites and customer-prop writes into ONE shared per-user
+    # aggregate: exactly one hashpartitioning(user_id) exchange, no
+    # join against a separate matched frame.
+    import __spark_entry__ as entry
+
+    for name in (
+        "osl_script_counter",
+        "osl_customer_write",
+        "osl_return_first",
+    ):
+        df = entry.queries()[name](spark, sf_dir)
+        assert user_exchanges(df) == 1, (name, plan_str(df, "simple"))
