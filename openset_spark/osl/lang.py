@@ -1323,6 +1323,20 @@ class ScriptRunner:
                 return env[e.name]
             if e.name == "now":
                 return self.now_ms
+            if e.name == "session_count":
+                # per-user session total (reference test_sessions.h:
+                # `session_count == 3`); sessionize lazily on first use
+                from openset_spark.operators.sessionize import with_session
+
+                if "session" not in self._events.columns:
+                    self._events = with_session(
+                        self._events,
+                        user_col=self.user_col,
+                        ts_col=self.ts_col,
+                    )
+                if "_session_count" not in self._aggs:
+                    self._aggs["_session_count"] = F.max(F.col("session"))
+                return Col(F.col("_session_count"))
             return self._cursor(e.name)
         if isinstance(e, LMod):
             return self._ever_flag(e, env)

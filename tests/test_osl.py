@@ -487,3 +487,25 @@ def test_negative_literal_in_where(fruit_events):
     end
     """
     assert _counts(script2, fruit_events) == [0]
+
+
+def test_session_property_scan(spark):
+    # reference test_sessions.h: `if session == 2: debug(True)` — the
+    # scan auto-sessionizes when the where clause references `session`
+    from datetime import timedelta
+
+    stamps = [
+        BASE,
+        BASE + timedelta(minutes=5),
+        BASE + timedelta(hours=1),
+        BASE + timedelta(hours=1, minutes=2),
+        BASE + timedelta(hours=3),
+    ]
+    rows = [("u1", i, "purchase", ts, float(i)) for i, ts in enumerate(stamps)]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id string, event_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    q = compile_osl("each_row where session == 2\n  debug(true)\nend")
+    assert q.matched(ev).count() == 2  # the two events of session 2

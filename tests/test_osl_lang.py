@@ -448,3 +448,26 @@ def test_counter_as_declared_customer_prop(fruit_events):
     )
     rows = r.customer_updates(fruit_events).collect()
     assert rows[0].n_cheap == 3  # orange, banana, orange
+
+
+def test_session_count_in_script(spark):
+    # reference test_sessions.h: `debug(session_count == 3)` — three
+    # bursts separated by > 30min; the scan side (`session == 2`)
+    # replays through the declarative compiler (tests/test_osl.py)
+    from datetime import timedelta
+
+    stamps = [
+        BASE,
+        BASE + timedelta(minutes=5),
+        BASE + timedelta(hours=1),
+        BASE + timedelta(hours=1, minutes=2),
+        BASE + timedelta(hours=3),
+    ]
+    rows = [("u1", i, "purchase", ts, float(i)) for i, ts in enumerate(stamps)]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id string, event_id long, event_type string, ts timestamp,"
+        " value double",
+    )
+    assert ScriptRunner("debug(session_count == 3)").replay(ev) == [True]
+    assert ScriptRunner("debug(session_count)").replay(ev) == [3]
