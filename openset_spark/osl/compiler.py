@@ -342,7 +342,10 @@ class OslQuery:
 
         for b in self.script.blocks:
             walk_block(b)
-        names.update(prop for _fn, prop, _alias in self.script.selects)
+        for _fn, prop, _alias, with_prop, _all in self.script.selects:
+            names.add(prop)
+            if with_prop:
+                names.add(with_prop)
         return "session" in names or "session_count" in names
 
     def _ctx(
@@ -508,18 +511,53 @@ class OslQuery:
         for p in parts[1:]:
             rows = rows.unionByName(p)
 
+        selects = self.script.selects or [("count", "id", None, None, False)]
+        # reference default: the SAME row tallied into the SAME group
+        # by several pushes counts once (the eventDistinct key of
+        # src/queryinterpreter.cpp:229 includes the row number); `all`
+        # skips that dedup. With one push part no duplicate (row,
+        # group) can exist, so the visit-flag window is only added for
+        # multi-push scripts that have a non-`all` aggregator.
+        needs_dedup = len(parts) > 1 and any(
+            not a and not (f == "count" and p == "id") for f, p, _al, _w, a in selects
+        )
+        first_visit = None
+        if needs_dedup:
+            from pyspark.sql import Window as _W
+
+            rows = rows.withColumn(
+                "_visit_rn",
+                F.row_number().over(
+                    _W.partitionBy(self.order_col, *gnames).orderBy(F.lit(1))
+                ),
+            )
+            first_visit = F.col("_visit_rn") == 1
+
         aggs: list[tuple[str, Any, str]] = []
         count_people = False
         people_alias = "people"
-        selects = self.script.selects or [("count", "id", None)]
-        for fn, prop, alias in selects:
+        for fn, prop, alias, with_prop, all_flag in selects:
             if fn == "count" and prop == "id":
-                count_people = True
-                people_alias = alias or "people"
+                if with_prop is not None:
+                    # `count id with Y`: the distinct key is Y's value
+                    # instead of the customer id (queryinterpreter.cpp
+                    # distinctColumn) — distinct Y values per group
+                    aggs.append(
+                        ("dcount", ctx.resolve(with_prop), alias or "people")
+                    )
+                elif all_flag:
+                    # nonDistinct people: every matched row counts
+                    aggs.append(("count", F.lit(1), alias or "people"))
+                else:
+                    count_people = True
+                    people_alias = alias or "people"
                 continue
-            aggs.append(
-                (fn, ctx.resolve(prop), alias or f"{fn}_{prop}")
-            )
+            col = ctx.resolve(with_prop) if (
+                fn == "dcount" and with_prop is not None
+            ) else ctx.resolve(prop)
+            if first_visit is not None and not all_flag and fn != "dcount":
+                col = F.when(first_visit, col)
+            aggs.append((fn, col, alias or f"{fn}_{prop}"))
         out = event_aggregate(
             rows,
             group_by=gnames,

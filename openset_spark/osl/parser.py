@@ -88,7 +88,7 @@ class EachRow:
 
 @dataclass
 class Script:
-    selects: list  # [(fn, prop, alias)]
+    selects: list  # [(fn, prop, alias, with_prop, all_flag)]
     blocks: list  # top-level EachRow
     sorts: list  # [(name, "asc"|"desc")]
     # top-level variables whose values are compile-time constants
@@ -559,14 +559,25 @@ def parse_osl(script: str) -> Script:
                     raise OslSyntaxError(f"bad aggregator: {lines[i]!r}")
                 pkind, prop = tk.next()
                 alias = None
-                if tk.peek() and tk.peek()[1] == "as":
-                    tk.next()
-                    _, alias = tk.next()
-                if tk.peek():
-                    raise OslUnsupported(
-                        f"aggregator option not supported: {lines[i]!r}"
-                    )
-                selects.append((fn, prop, alias))
+                with_prop = None
+                all_flag = False
+                while tk.peek():
+                    _k, opt = tk.next()
+                    if opt == "as":
+                        _, alias = tk.next()
+                    elif opt == "with":
+                        # alternate distinct key (language_reference.md:25-29;
+                        # src/queryinterpreter.cpp:229 distinctColumn)
+                        _, with_prop = tk.next()
+                    elif opt == "all":
+                        # nonDistinct: count every scan visit, no
+                        # row-dedup (queryinterpreter.cpp:219)
+                        all_flag = True
+                    else:
+                        raise OslUnsupported(
+                            f"aggregator option {opt!r}: {lines[i]!r}"
+                        )
+                selects.append((fn, prop, alias, with_prop, all_flag))
                 i += 1
             if i == len(lines):
                 raise OslSyntaxError("select block missing 'end'")

@@ -509,3 +509,52 @@ def test_session_property_scan(spark):
     )
     q = compile_osl("each_row where session == 2\n  debug(true)\nend")
     assert q.matched(ev).count() == 2  # the two events of session 2
+
+
+def test_aggregator_with_and_all_options(fruit_events):
+    # language_reference.md:25-29 `[with {{other key}}] [all]`:
+    # `count id with fruit` counts distinct fruit values per group
+    # (the alternate distinct key of queryinterpreter.cpp:229);
+    # `count id all` counts every matched row (nonDistinct, :219)
+    out = compile_osl(
+        """
+        select
+          count id with fruit as n_fruits
+          count id all as n_rows
+          sum price as total
+        end
+
+        each_row where event.is(== "purchase")
+            << "basket"
+        end
+        """
+    ).dataframe(fruit_events)
+    row = out.collect()[0]
+    # 5 purchases, 4 distinct fruits (orange twice), one customer
+    assert row.n_fruits == 4
+    assert row.n_rows == 5
+    assert row.total == pytest.approx(36.03)
+
+
+def test_multi_push_default_dedups_rows_all_does_not(fruit_events):
+    # two scans match overlapping rows into the SAME group: default
+    # sums each (row, group) once; `all` counts every visit
+    script = """
+    select
+      sum price as total
+      count id all as visits
+    end
+
+    each_row where event.is(== "purchase")
+        << "g"
+    end
+
+    each_row where event.is(== "purchase") && price > 6
+        << "g"
+    end
+    """
+    row = compile_osl(script).dataframe(fruit_events).collect()[0]
+    # default sum: the 5 rows once each = 36.03 (NOT + the two > 6 again)
+    assert row.total == pytest.approx(36.03)
+    # all-visits count: 5 + 2 rows matched by the second scan
+    assert row.visits == 7
