@@ -569,7 +569,15 @@ class OslQuery:
         for g, disp in zip(gnames, display):
             out = out.withColumnRenamed(g, disp)
         for name, direction in self.script.sorts:
-            if name in out.columns:
+            if name == "group":
+                # REST `sort=group`: order by the grouping names
+                # (docs/rest/README.md query-params table)
+                keys = [
+                    F.asc(d) if direction == "asc" else F.desc(d)
+                    for d in display
+                ]
+                out = out.orderBy(*keys)
+            elif name in out.columns:
                 out = out.orderBy(
                     F.asc(name) if direction == "asc" else F.desc(name)
                 )

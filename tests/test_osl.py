@@ -558,3 +558,18 @@ def test_multi_push_default_dedups_rows_all_does_not(fruit_events):
     assert row.total == pytest.approx(36.03)
     # all-visits count: 5 + 2 rows matched by the second scan
     assert row.visits == 7
+
+
+def test_sort_group(fruit_events):
+    # REST `sort=group`: order the result by the grouping names
+    script = """
+    each_row where event.is(== "purchase")
+        << fruit
+    end
+
+    sort
+      group asc
+    end
+    """
+    out = compile_osl(script).dataframe(fruit_events).collect()
+    assert [r.fruit for r in out] == ["apple", "banana", "orange", "pear"]
