@@ -298,6 +298,7 @@ class OslQuery:
         event_col: str = "event_type",
         order_col: str = "event_id",
         customer_df: DataFrame | None = None,
+        params: dict | None = None,
     ) -> None:
         self.script = script
         self.column_map = dict(column_map or {})
@@ -305,6 +306,10 @@ class OslQuery:
         self.ts_col = ts_col
         self.event_col = event_col
         self.order_col = order_col
+        # REST str_/int_/dbl_/bool_{var} query params
+        # (docs/rest/README.md:233-236): externally supplied values
+        # override same-named script variables
+        self.params = dict(params or {})
         # is_customer properties (language_reference.md:102-117): one
         # row per user; scripts read them like row properties. Joined
         # on user_col — co-keyed with every other per-user expression,
@@ -371,7 +376,10 @@ class OslQuery:
             self.order_col,
             self.column_map,
             now_ms,
-            consts=getattr(self.script, "consts", None),
+            consts={
+                **(getattr(self.script, "consts", None) or {}),
+                **self.params,
+            },
         )
 
     def _block_matched(

@@ -573,3 +573,30 @@ def test_sort_group(fruit_events):
     """
     out = compile_osl(script).dataframe(fruit_events).collect()
     assert [r.fruit for r in out] == ["apple", "banana", "orange", "pear"]
+
+
+def test_query_params_override_script_variables(fruit_events):
+    # REST str_/int_/dbl_/bool_{var} query params
+    # (docs/rest/README.md:233-236): the supplied value overrides the
+    # same-named script variable
+    script = """
+    min_price = 0
+
+    each_row where event == "purchase" && price > min_price
+      debug(true)
+    end
+    """
+    assert (
+        compile_osl(script, column_map={"event": "event_type"})
+        .matched(fruit_events)
+        .count()
+        == 5
+    )
+    assert (
+        compile_osl(
+            script, column_map={"event": "event_type"}, params={"min_price": 6}
+        )
+        .matched(fruit_events)
+        .count()
+        == 2
+    )
