@@ -20,6 +20,7 @@ def to_result_tree(
     rollup_df: DataFrame,
     group_cols: list[str],
     agg_cols: list[str],
+    trim: int | None = None,
 ) -> dict:
     """Rollup output -> ``{"_": [...]}`` nested nodes.
 
@@ -57,6 +58,20 @@ def to_result_tree(
             children.setdefault(tuple(key[:-1]), []).append(n)
     for key, kids in children.items():
         kids.sort(key=lambda n: (n["g"] is None, str(n["g"])))
+        if trim is not None:
+            # REST `trim=#` (docs/rest/README.md:232): clip long
+            # branches to the top-# nodes by first count — parent
+            # subtotal nodes keep the FULL branch totals (they come
+            # from the rollup, not from summing the clipped children)
+            kids = sorted(
+                kids,
+                key=lambda n: (
+                    n["c"][0] is not None,
+                    n["c"][0] if n["c"][0] is not None else 0,
+                ),
+                reverse=True,
+            )[:trim]
+            kids.sort(key=lambda n: (n["g"] is None, str(n["g"])))
         if key == ():
             root["_"] = kids
         elif key in nodes:

@@ -234,3 +234,21 @@ def test_osl_script_queries_single_user_exchange(spark, sf_dir):
     ):
         df = entry.queries()[name](spark, sf_dir)
         assert user_exchanges(df) == 1, (name, plan_str(df, "simple"))
+
+
+def test_result_tree_trim_clips_branches_keeps_totals(spark, sf_dir):
+    from openset_spark.operators.events import event_aggregate_rollup
+    from openset_spark.plans.result_tree import to_result_tree
+
+    ev = load_table(spark, sf_dir, "events")
+    roll = event_aggregate_rollup(
+        ev, group_by=["event_type"], aggs=[("count", "event_id", "n")]
+    )
+    full = to_result_tree(roll, ["event_type"], ["people", "n"])
+    trimmed = to_result_tree(roll, ["event_type"], ["people", "n"], trim=2)
+    assert len(trimmed["_"]) == 2 and len(full["_"]) > 2
+    # the root subtotal keeps the FULL branch totals after trimming
+    assert trimmed["c"] == full["c"]
+    # the survivors are the top-2 branches by people count
+    top2 = sorted((n["c"][0] for n in full["_"]), reverse=True)[:2]
+    assert sorted((n["c"][0] for n in trimmed["_"]), reverse=True) == top2
