@@ -122,16 +122,32 @@ class OpenSetEngine:
         script: str,
         column_map: dict[str, str] | None = None,
         customer_df: DataFrame | None = None,
+        params: dict | None = None,
+        debug: bool = False,
         **kw,
-    ) -> DataFrame:
+    ) -> DataFrame | str:
         """POST /query/{t}/events with an OSL script body: parse,
         compile against this table, return the aggregated result.
         ``customer_df`` (one row per user) exposes is_customer
-        properties to the script."""
+        properties to the script. ``params`` mirrors the REST
+        str_/int_/dbl_/bool_{var} query params. ``debug=True`` returns
+        the query's "assembly" — here, the formatted physical plan —
+        instead of results (the reference's ``debug=`` param)."""
         from openset_spark.osl import compile_osl
 
-        q = compile_osl(script, column_map=column_map, customer_df=customer_df)
-        return q.dataframe(self._events, **kw)
+        q = compile_osl(
+            script,
+            column_map=column_map,
+            customer_df=customer_df,
+            params=params,
+        )
+        df = q.dataframe(self._events, **kw)
+        if debug:
+            jvm = df.sparkSession._jvm
+            return jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        return df
 
     def counts_query(
         self, script: str, now_ms: int = 0, **kw

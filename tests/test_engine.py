@@ -143,3 +143,11 @@ def test_next_baskets_quantiles_result_tree(eng):
     assert "c" in tree and tree["c"][0] > 0  # root people total
     kids = {n["g"] for n in tree["_"]}
     assert "purchase" in kids
+
+
+def test_osl_debug_returns_plan(eng):
+    out = eng.osl(
+        'each_row where event_type == "purchase"\n    << event_type\nend',
+        debug=True,
+    )
+    assert isinstance(out, str) and "HashAggregate" in out
