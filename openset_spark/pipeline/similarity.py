@@ -295,6 +295,53 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
 
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) near-duplicate pairs above ``threshold``
+    with NO preexisting blocking column: candidates form inside LSH
+    buckets (multi-table OR-amplification — high-cosine pairs land in
+    the same bucket in at least one table with high probability), the
+    exact cosine filters. The join is hash-keyed on (table, bucket);
+    pair volume is bounded by bucket sizes, never all-pairs. This is
+    the self-contained 100 TB path; :func:`embedding_near_dup` is the
+    variant for corpora that already carry a blocking key."""
+    sig = lsh_buckets_array(f"`{vec_col}`", dim, n_planes, n_tables, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(sig).alias("table", "bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        # a pair sharing buckets in several tables appears once
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

@@ -260,3 +260,28 @@ def test_real_wav_decode_roundtrip(spark):
     # and refuses when the stub is disabled
     with pytest.raises(Exception):
         decode_audio(media, deterministic=False).collect()
+
+
+def test_embedding_near_dup_lsh_blocking(spark):
+    # the self-contained near-dup path: no label column, candidates
+    # from LSH buckets, exact cosine filter — and no CartesianProduct
+    from openset_spark.pipeline.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    got = embedding_near_dup_lsh(emb, dim=dim, threshold=0.95, n_planes=8,
+                                 n_tables=6)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    # recall vs the exact blocked variant restricted to same-label
+    # pairs is not apples-to-apples; compare against the full exact
+    # pair set at this (tiny) scale instead
+    exact = embedding_near_dup(emb, threshold=0.95, block_col=None)
+    want = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert pairs <= want  # no false positives (exact cosine re-check)
+    if want:
+        assert len(pairs) / len(want) >= 0.8  # OR-amplified recall
