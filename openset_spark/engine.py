@@ -149,6 +149,32 @@ class OpenSetEngine:
             )
         return df
 
+    def script_runner(self, script: str, **kw):
+        """The imperative-OSL surface (variables, containers, flow
+        control, debug/return, customer-prop writes): a ScriptRunner
+        bound to this table. ``.replay()`` is the bounded debug view,
+        ``.frame()``/``.result_frame()`` the distributed results,
+        ``.customer_updates()`` the write-back frame."""
+        from openset_spark.osl.lang import ScriptRunner
+
+        return ScriptRunner(script, **kw)
+
+    def script_debug(self, script: str, **kw) -> list:
+        """Replay a script against this table and return the debug
+        log (the reference interpreter's debugLog())."""
+        return self.script_runner(script, **kw).replay(self._events)
+
+    def on_insert(
+        self, script: str, customer_df: DataFrame, id_col: str = "id", **kw
+    ) -> DataFrame:
+        """The reference's ``on_insert`` customer-prop maintenance
+        script (language_reference.md:102-117): run the script's
+        aggregate assignments over this table's events and merge the
+        write-back frame into ``customer_df``."""
+        return self.script_runner(script, **kw).apply_customer_updates(
+            customer_df, self._events, id_col=id_col
+        )
+
     def counts_query(
         self, script: str, now_ms: int = 0, **kw
     ) -> DataFrame:

@@ -151,3 +151,26 @@ def test_osl_debug_returns_plan(eng):
         debug=True,
     )
     assert isinstance(out, str) and "HashAggregate" in out
+
+
+def test_engine_script_surfaces(eng, spark):
+    # imperative surface reachable from the facade
+    log = eng.script_debug(
+        """
+        counter = 0
+        each_row where event == "purchase"
+          counter = counter + 1
+        end
+        debug(counter > 0)
+        """,
+        column_map={"event": "event_type"},
+    )
+    assert set(log) == {True}
+    customers = spark.createDataFrame([(1, 0.0)], "id long, total double")
+    out = eng.on_insert(
+        'total = sum(value) where event.is(== "purchase")',
+        customers,
+        column_map={"event": "event_type"},
+    )
+    row = out.collect()[0]
+    assert row.total > 0  # user 1 has purchases in sf0.001
