@@ -144,9 +144,12 @@ def ensure_ivf_index(
         centroids = [
             (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cents)
         ]
+        # partitioned by list_id: the broadcast probe join triggers
+        # dynamic partition pruning, so a query batch touching few
+        # lists reads only those directories — the 100 TB layout
         corpus.withColumn(
             "list_id", _nearest_centroid("`embedding`", centroids)
-        ).write.mode("overwrite").parquet(apath)
+        ).write.partitionBy("list_id").mode("overwrite").parquet(apath)
         with open(cpath, "w") as f:
             json.dump(centroids, f)
     return apath, cpath

@@ -183,10 +183,15 @@ def lsh_topk(
         .select(query_id_col, id_col, "_qvec", vec_col)
         .dropDuplicates([query_id_col, id_col])
     )
+    # norms once per candidate row/query (bit-identical fold order),
+    # one dot per pair — same shape as brute_force_topk
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+        (
+            dot(F.col(vec_col), F.col("_qvec"))
+            / (norm(F.col(vec_col)) * norm(F.col("_qvec")))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
@@ -274,22 +279,34 @@ def ivf_topk(
     else:
         assigned, centroids = ivf_index(corpus, n_lists, id_col, vec_col)
 
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col)).alias("_qnorm"),
+    )
     # per query: nprobe nearest centroids -> (query, list_id) probe rows
     sims = _centroid_sims("`_qvec`", centroids)
     probes = q.select(
         query_id_col,
         "_qvec",
+        "_qnorm",
         F.explode(
             F.slice(F.reverse(F.array_sort(sims)), 1, nprobe)
         ).alias("_p"),
-    ).select(query_id_col, "_qvec", F.col("_p.cid").alias("list_id"))
+    ).select(
+        query_id_col, "_qvec", "_qnorm", F.col("_p.cid").alias("list_id")
+    )
 
     cands = assigned.join(F.broadcast(probes), "list_id")
+    # corpus norm once per candidate row, query norm in the broadcast
+    # probe frame; per-pair work is the one dot product
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cos_sim"),
+        (
+            dot(F.col(vec_col), F.col("_qvec"))
+            / (norm(F.col(vec_col)) * F.col("_qnorm"))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
