@@ -66,7 +66,7 @@ def minhash_signature(
     num_hashes: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) MinHash signature over word shingles.
+    """(id, mh: array<long>) MinHash signature over word shingles.
 
     Shape matters at scale: tokens are materialized in their own
     projection (inlining the normalize/split tree into every shingle
@@ -83,11 +83,14 @@ def minhash_signature(
             F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
         ).alias("shingle"),
     ).select(F.col(id_col), F.xxhash64("shingle").alias("_h"))
+    # ALL slot aggregates in ONE expression string (an array of
+    # min(xxhash64(...)) aggregates): building them as 64 separate
+    # F.min(F.xxhash64(F.lit(i))) Columns costs several py4j round
+    # trips each — ~1s of DRIVER time per plan build, measured (same
+    # lesson as similarity._lit_vec_sql)
+    slots = ",".join(f"min(xxhash64(_h, {i}))" for i in range(num_hashes))
     return exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64("_h", F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
+        F.expr(f"array({slots})").alias("mh")
     )
 
 
@@ -102,11 +105,17 @@ def minhash_bands(
     """Explode each doc into (band_idx, band_hash) LSH bucket keys."""
     rows = num_hashes // bands
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{b * rows + j}") for j in range(rows)])
+    band_hashes = F.expr(
+        "array("
+        + ",".join(
+            "xxhash64("
+            + ",".join(
+                f"element_at(mh, {b * rows + j + 1})" for j in range(rows)
+            )
+            + ")"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return sig.select(
         F.col(id_col),
