@@ -1323,6 +1323,10 @@ class ScriptRunner:
                 return env[e.name]
             if e.name == "now":
                 return self.now_ms
+            if e.name == "cursor":
+                # the interpreter's row cursor sits at 0 outside scans
+                # (language_reference.md:326-332)
+                return 0
             if e.name == "session_count":
                 # per-user session total (reference test_sessions.h:
                 # `session_count == 3`); sessionize lazily on first use
@@ -1345,6 +1349,33 @@ class ScriptRunner:
             return Col(-v.col) if isinstance(v, Col) else -v
         if isinstance(e, LCall):
             args = [self._eval(a, env) for a in e.args]
+            if e.fn == "get_row":
+                # language_reference.md:729-737: the full row at a
+                # timeline index, as a struct per user. Expensive by
+                # design (the docs flag it): a per-user sorted
+                # collect_list — only the constant-index form lowers.
+                if len(args) != 1 or isinstance(args[0], Col):
+                    raise OslUnsupported(
+                        "get_row() needs a constant row index"
+                    )
+                idx = int(args[0])
+                name = f"_getrow{idx}"
+                if name not in self._aggs:
+                    order = F.col(self.order_col)
+                    row_struct = F.struct(
+                        *[F.col(c) for c in self._events.columns]
+                    )
+                    self._aggs[name] = F.element_at(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    order.alias("o"), row_struct.alias("r")
+                                )
+                            )
+                        ),
+                        idx + 1,
+                    ).getField("r")
+                return Col(F.col(name))
             if not any(isinstance(a, Col) for a in args):
                 return _call_const(e.fn, args)
             if e.fn == "len":
@@ -1357,6 +1388,8 @@ class ScriptRunner:
             obj = self._eval(e.obj, env)
             idx = self._eval(e.idx, env)
             if isinstance(obj, Col) and not isinstance(idx, Col):
+                if isinstance(idx, str):  # struct/map field access
+                    return Col(obj.col.getItem(idx))
                 if isinstance(idx, int):  # OSL lists are 0-based
                     return Col(F.element_at(obj.col, idx + 1))
                 return Col(F.element_at(obj.col, idx))

@@ -471,3 +471,16 @@ def test_session_count_in_script(spark):
     )
     assert ScriptRunner("debug(session_count == 3)").replay(ev) == [True]
     assert ScriptRunner("debug(session_count)").replay(ev) == [3]
+
+
+def test_get_row_and_cursor(fruit_events):
+    # language_reference.md:729-737: get_row(cursor) returns the row
+    # the cursor is on (row 0 outside scans); indexing reads fields
+    log = ScriptRunner(
+        """
+        data_in_row = get_row(cursor)
+        debug(data_in_row["fruit"])
+        debug(get_row(2)["price"])
+        """
+    ).replay(fruit_events)
+    assert log == ["orange", 12.49]
