@@ -155,15 +155,18 @@ class SReturn:
 class SAggAssign:
     """Aggregate assignment — the customer-property write form
     ``total = sum(price).within(1_year, now) where event.is(== "x")``
-    (language_reference.md:102-117). Lowers to one per-user
-    conditional aggregate; ``first``/``last`` use the min/max-of-
-    (order, value)-struct trick (the max_by update frame)."""
+    (language_reference.md:102-117) and the one-line searches
+    ``row``/``test`` (language_reference.md:767-800). Lowers to one
+    per-user conditional aggregate; ``first``/``last`` use the
+    min/max-of-(order, value)-struct trick (the max_by update
+    frame)."""
 
     name: str
-    fn: str  # sum count min max avg first last
-    arg: Any  # expression AST or None (count)
+    fn: str  # sum count dcount min max avg first last row test
+    arg: Any  # expression AST or None (count/row/test)
     window: Any  # (span_expr, anchor_expr) or None
     where: Any  # parser Pred/BoolOp tree or None
+    reverse: bool = False  # row.reverse(): newest-first search
 
 
 @dataclass
@@ -346,7 +349,10 @@ _ASSIGN_SPLIT_RE = re.compile(
     r"^([A-Za-z_]\w*)((?:\[[^\[\]]*\])*)\s*=\s*(?![=])(.+)$"
 )
 _AGG_ASSIGN_HEAD_RE = re.compile(
-    r"^([A-Za-z_]\w*)\s*=\s*(sum|count|min|max|avg|first|last)\s*\("
+    r"^([A-Za-z_]\w*)\s*=\s*(sum|count|dcount|min|max|avg|first|last)\s*\("
+)
+_SEARCH_ASSIGN_RE = re.compile(
+    r"^([A-Za-z_]\w*)\s*=\s*(row|test)\b\s*(.*)$", re.DOTALL
 )
 _RETURN_RE = re.compile(r"^return\s*\((.*)\)\s*$", re.DOTALL)
 
@@ -366,17 +372,26 @@ def _balanced(src: str, start: int) -> int:
 
 def _parse_agg_assign(line: str) -> SAggAssign | None:
     """``name = agg(arg)[.within(span, anchor)] [where <pred>]`` or
-    None when the line is not that shape."""
-    m = _AGG_ASSIGN_HEAD_RE.match(line)
-    if not m:
-        return None
-    name, fn = m.group(1), m.group(2)
-    open_idx = m.end() - 1
-    close = _balanced(line, open_idx)
-    arg_src = line[open_idx + 1 : close - 1].strip()
-    arg = parse_expr_text(arg_src) if arg_src else None
-    rest = line[close:].strip()
+    the one-line search ``name = row|test[.reverse()][.within(...)]
+    where <pred>``; None when the line is neither shape."""
+    reverse = False
+    if sm := _SEARCH_ASSIGN_RE.match(line):
+        name, fn, rest = sm.group(1), sm.group(2), sm.group(3).strip()
+        arg = None
+    else:
+        m = _AGG_ASSIGN_HEAD_RE.match(line)
+        if not m:
+            return None
+        name, fn = m.group(1), m.group(2)
+        open_idx = m.end() - 1
+        close = _balanced(line, open_idx)
+        arg_src = line[open_idx + 1 : close - 1].strip()
+        arg = parse_expr_text(arg_src) if arg_src else None
+        rest = line[close:].strip()
     window = None
+    if rm := re.match(r"^\.\s*reverse\s*\(\s*\)", rest):
+        reverse = True
+        rest = rest[rm.end() :].strip()
     if rest.startswith("."):
         wm = re.match(r"^\.\s*within\s*\(", rest)
         if not wm:
@@ -409,7 +424,9 @@ def _parse_agg_assign(line: str) -> SAggAssign | None:
         where = _parse_expr(tk)
         if tk.peek():
             raise OslSyntaxError(f"trailing tokens in where: {rest!r}")
-    return SAggAssign(name, fn, arg, window, where)
+    if fn in ("row", "test") and where is None:
+        raise OslSyntaxError(f"{fn} search needs a where clause: {line!r}")
+    return SAggAssign(name, fn, arg, window, where, reverse)
 _IF_RE = re.compile(r"^if[\s(](.*)$", re.DOTALL)
 _FOR_RE = re.compile(r"^for\s+([A-Za-z_]\w*)\s+in\s+(.+)$")
 _BREAK_RE = re.compile(r"^break(?:\s*\(\s*(\d+)\s*\))?$")
@@ -1194,6 +1211,20 @@ class ScriptRunner:
     def _record_prop_write(self, name: str, val) -> None:
         self._prop_writes[name] = val
 
+    def _ensure_cursor(self) -> None:
+        """Add the 0-based per-user timeline index column (OSL
+        ``cursor`` semantics) once."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        if "_cursor" not in self._events.columns:
+            w = Window.partitionBy(self.user_col).orderBy(
+                F.col(self.ts_col), F.col(self.order_col)
+            )
+            self._events = self._events.withColumn(
+                "_cursor", F.row_number().over(w) - 1
+            )
+
     def _agg_assign(self, st: SAggAssign, env) -> None:
         """``name = agg(arg)[.within(span, anchor)] [where pred]`` —
         ONE conditional aggregate in the shared per-user frame. first/
@@ -1221,6 +1252,18 @@ class ScriptRunner:
             agg = F.sum(F.when(cond, arg))
         elif st.fn == "count":
             agg = F.count(F.when(cond, F.lit(1)))
+        elif st.fn == "dcount":
+            agg = F.count_distinct(F.when(cond, arg))
+        elif st.fn == "row":
+            # one-line row search (language_reference.md:767-775): the
+            # matching row's timeline index, or nil. The cursor index
+            # is a row_number window sharing the user partitioning, so
+            # the whole statement still costs ONE exchange.
+            self._ensure_cursor()
+            pick = F.max if st.reverse else F.min
+            agg = pick(F.when(cond, F.col("_cursor")))
+        elif st.fn == "test":
+            agg = F.max(F.when(cond, F.lit(1)).otherwise(F.lit(0))) == 1
         elif st.fn == "min":
             agg = F.min(F.when(cond, arg))
         elif st.fn == "max":

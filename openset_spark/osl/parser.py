@@ -442,7 +442,10 @@ def _parse_mods(modstr: str) -> dict:
 
 def _logical_lines(script: str) -> list[str]:
     """Strip comments/blank lines; join multi-line dict/list literals
-    minimally (we only need them to skip assignments cleanly)."""
+    minimally (we only need them to skip assignments cleanly), and
+    join explicit continuations — a line ending in ``where``, ``&&``,
+    ``||`` or ``,`` cannot be complete (the reference's one-line
+    search examples wrap after ``where``)."""
     out = []
     depth = 0
     buf = ""
@@ -453,7 +456,7 @@ def _logical_lines(script: str) -> list[str]:
         buf = f"{buf} {line}".strip() if buf else line
         depth += line.count("[") + line.count("{") + line.count("(")
         depth -= line.count("]") + line.count("}") + line.count(")")
-        if depth <= 0:
+        if depth <= 0 and not buf.endswith(("where", "&&", "||", ",")):
             out.append(buf)
             buf = ""
             depth = 0

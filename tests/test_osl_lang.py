@@ -484,3 +484,34 @@ def test_get_row_and_cursor(fruit_events):
         """
     ).replay(fruit_events)
     assert log == ["orange", 12.49]
+
+
+def test_one_line_searches(fruit_events):
+    # language_reference.md:767-800: row/test/dcount one-line
+    # searches, with the doc's own multi-line `where` wrapping
+    now_ms = int(BASE.timestamp() * 1000) + 10_000
+    log = ScriptRunner(
+        """
+        matching_row = row.within(1_hour, now) where
+            fruit.is(== "pear")
+
+        last_orange = row.reverse() where fruit.is(== "orange")
+
+        is_pear = test where
+            fruit.is(== "pear")
+
+        no_kiwi = test where fruit.is(== "kiwi")
+
+        n_fruits = dcount(fruit) where event.is(== "purchase")
+
+        debug(matching_row)
+        debug(last_orange)
+        debug(is_pear)
+        debug(no_kiwi == false)
+        debug(n_fruits)
+        """,
+        column_map={"event": "event_type"},
+        now_ms=now_ms,
+    ).replay(fruit_events)
+    # pear is row 2; the last orange is row 4; 4 distinct fruits
+    assert log == [2, 4, True, True, 4]
