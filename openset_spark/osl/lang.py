@@ -1282,8 +1282,11 @@ class ScriptRunner:
         self._aggs[cname] = agg
         env[st.name] = Col(F.col(cname))
         # without a catalog every aggregate assignment is a customer-
-        # property write; with one, only declared is_customer names are
-        if not self.customer_props or st.name in self.customer_props:
+        # property write (row/test searches are reads, not writes);
+        # with one, only declared is_customer names are
+        if st.name in self.customer_props or (
+            not self.customer_props and st.fn not in ("row", "test")
+        ):
             self._record_prop_write(st.name, env[st.name])
 
     def _row_expr(self, e, env):
