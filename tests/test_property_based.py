@@ -174,3 +174,43 @@ def test_histogram_matches_oracle(spark, rows, bucket, min_value, max_value):
             want.setdefault(hi, 0)
     want_vals = {round(i * bucket, 6): n for i, n in want.items()}
     assert got == want_vals, (rows, bucket, min_value, max_value)
+
+
+@given(events_strategy)
+@SETTINGS
+def test_script_counter_and_searches_match_python(spark, rows):
+    # ScriptRunner lowering vs a direct Python replay of the same
+    # semantics: counter over matching rows, first/last matching row
+    # index, boolean test — on random timelines with ties.
+    from openset_spark.osl.lang import ScriptRunner
+
+    df = _frame(spark, rows)
+    out = ScriptRunner(
+        """
+        counter = 0
+        each_row where event == "a"
+          counter = counter + 1
+        end
+        first_a = row where event.is(== "a")
+        last_a = row.reverse() where event.is(== "a")
+        has_b = test where event.is(== "b")
+        debug(counter)
+        debug(first_a)
+        debug(last_a)
+        debug(has_b)
+        """,
+        column_map={"event": "event_type"},
+    ).frame(df, names=["counter", "first_a", "last_a", "has_b"])
+    got = {
+        r.user_id: (r.counter, r.first_a, r.last_a, r.has_b)
+        for r in out.collect()
+    }
+    for uid, tl in _ordered(rows).items():
+        kinds = [k for _m, _e, k in tl]
+        n_a = kinds.count("a")
+        first_a = kinds.index("a") if "a" in kinds else None
+        last_a = (
+            len(kinds) - 1 - kinds[::-1].index("a") if "a" in kinds else None
+        )
+        want = (n_a, first_a, last_a, "b" in kinds)
+        assert got[uid] == want, (uid, got[uid], want)
