@@ -192,6 +192,11 @@ def _window_cond(window: tuple, ctx: _Ctx) -> Column:
 def _pred_col(p: Pred, ctx: _Ctx) -> Column:
     if p.op in ("contains", "any", "in"):
         base = _word_cmp(p, ctx)
+    elif p.value is None and p.op in ("==", "!="):
+        # `prop.is(!= nil)` (test_db.h:252): null checks, not a
+        # three-valued comparison against a null literal
+        col = ctx.resolve(p.prop)
+        base = col.isNull() if p.op == "==" else col.isNotNull()
     else:
         base = _CMP_FNS[p.op](ctx.resolve(p.prop), _value_lit(p.value, ctx))
     if p.mode in ("is", "is_not"):

@@ -333,6 +333,8 @@ def _atom(tk):
         tk.next()
         if text in ("true", "false"):
             return LLit(text == "true")
+        if text == "nil":
+            return LLit(None)
         if tk.peek() and tk.peek()[1] == "(":
             tk.next()
             args = []
@@ -1146,11 +1148,83 @@ class ScriptRunner:
                 g = self._row_expr(s.cond, env)
                 g = g if rowguard is None else rowguard & g
                 self._each_row_body(s.body, env, matched, cond, g)
+            elif isinstance(s, SFor):
+                self._each_row_for(s, env, matched, cond, rowguard)
             elif isinstance(s, SPush):
                 pass
             else:
                 raise OslUnsupported(
                     f"each_row body statement in replay: {s!r}"
+                )
+
+    def _each_row_for(self, s: SFor, env, matched, cond, rowguard) -> None:
+        """``for x in <container>`` inside a scan. A constant
+        container unrolls; a row-dependent one must be a SET column
+        (test_db.h:225 ``for ref in referral_search``) and supports
+        counter bodies — ``counter += step`` per element lowers to
+        sum(size(set)) * step over matched rows (nil sets contribute
+        0, matching the reference's skip)."""
+        from pyspark.sql import functions as F
+
+        try:
+            seq = const_eval(s.it, env)
+        except _NotConst:
+            seq = None
+        if seq is not None:
+            items = list(seq.keys()) if isinstance(seq, dict) else list(seq)
+            for v in items:
+                env[s.var] = v
+                self._each_row_body(s.body, env, matched, cond, rowguard)
+            return
+        arr = self._row_expr(s.it, env)
+        per_row = F.when(arr.isNotNull(), F.size(arr)).otherwise(F.lit(0))
+        full = cond if rowguard is None else (
+            cond & rowguard if cond is not None else rowguard
+        )
+        for inner in s.body:
+            if isinstance(inner, SAssign) and not inner.indexes:
+                e = inner.expr
+                step = None
+                if (
+                    isinstance(e, LBin)
+                    and e.op == "+"
+                    and isinstance(e.left, LName)
+                    and e.left.name == inner.name
+                ):
+                    step = const_eval(e.right, env)
+                if step is None:
+                    raise OslUnsupported(
+                        "for-over-set body assignment must be "
+                        "'x = x + <constant>'"
+                    )
+                cname = f"_cnt{len(self._count_frames) + len(self._aggs)}"
+                counted = per_row if full is None else F.when(
+                    full, per_row
+                ).otherwise(F.lit(0))
+                if matched is None:
+                    self._aggs[cname] = F.coalesce(
+                        F.sum(counted), F.lit(0)
+                    )
+                else:
+                    frame = matched if rowguard is None else matched.filter(
+                        rowguard
+                    )
+                    self._count_frames.append((
+                        cname,
+                        frame.groupBy(self.user_col).agg(
+                            F.coalesce(F.sum(per_row), F.lit(0)).alias(cname)
+                        ),
+                    ))
+                prev = env.get(inner.name, 0)
+                prev_col = prev.col if isinstance(prev, Col) else F.lit(prev)
+                env[inner.name] = Col(prev_col + F.col(cname) * F.lit(step))
+                if inner.name in self.customer_props:
+                    self._record_prop_write(inner.name, env[inner.name])
+            elif isinstance(inner, SPush):
+                pass  # set-explode pushes are the compiler's job
+            else:
+                raise OslUnsupported(
+                    f"for-over-set body statement: {inner!r}"
                 )
 
     def _matched_frame(self, st: SEachRow, env):
@@ -1333,6 +1407,14 @@ class ScriptRunner:
                 for v in vals[1:]:
                     out = out & a.contains(v)
                 return out
+            # nil comparisons are null checks (reference semantics)
+            for side, other in ((e.right, e.left), (e.left, e.right)):
+                try:
+                    if const_eval(side, env) is None and e.op in ("==", "!="):
+                        col = self._row_expr(other, env)
+                        return col.isNull() if e.op == "==" else col.isNotNull()
+                except _NotConst:
+                    pass
             a = self._row_expr(e.left, env)
             b = self._row_expr(e.right, env)
             fns = {
@@ -1491,6 +1573,14 @@ class ScriptRunner:
             }[op]
             return Col(fn(c(a), c(b)))
         if op in ("==", "!=", "<", ">", "<=", ">="):
+            # nil comparisons are null CHECKS (reference semantics),
+            # not three-valued SQL comparisons against a null literal
+            if b is None and op in ("==", "!="):
+                col = c(a)
+                return Col(col.isNull() if op == "==" else col.isNotNull())
+            if a is None and op in ("==", "!="):
+                col = c(b)
+                return Col(col.isNull() if op == "==" else col.isNotNull())
             fn = {
                 "==": lambda x, y: x == y,
                 "!=": lambda x, y: x != y,

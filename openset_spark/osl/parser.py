@@ -165,6 +165,10 @@ def _literal(kind: str, text: str) -> Any:
         n, unit = text.split("_", 1)
         return span_ms(int(n), unit.lower())
     if kind == "NAME":
+        if text == "nil":  # the reference's null literal
+            return None
+        if text in ("true", "false"):
+            return text == "true"
         return PName(text)
     raise OslSyntaxError(f"expected literal, got {text!r}")
 

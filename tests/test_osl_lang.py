@@ -515,3 +515,60 @@ def test_one_line_searches(fruit_events):
     ).replay(fruit_events)
     # pear is row 2; the last orange is row 4; 4 distinct fruits
     assert log == [2, 4, True, True, 4]
+
+
+def test_for_over_set_column_counter(spark):
+    # test_db.h:225 "iterate a Set column in row": the for loop counts
+    # one per set element, skipping nil sets without an explicit
+    # != nil guard; here with a page.is(!= nil) scan filter as in the
+    # reference script
+    rows = [
+        ("u1", 0, "view", BASE, "home", ["google", "red"]),
+        ("u1", 1, "view", BASE.replace(second=31), "docs", ["bing"]),
+        ("u1", 2, "view", BASE.replace(second=32), None, ["x", "y", "z"]),
+        ("u1", 3, "view", BASE.replace(second=33), "blog", None),
+        ("u1", 4, "view", BASE.replace(second=34), "shop", ["ad", "mail", "rss"]),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "user_id string, event_id long, event_type string, ts timestamp,"
+        " page string, referral_search array<string>",
+    )
+    log = ScriptRunner(
+        """
+        counter = 0
+
+        each_row where page.is(!= nil)
+            for ref in referral_search
+                counter = counter + 1
+            end
+        end
+        debug(counter == 6)
+        debug(counter)
+        """
+    ).replay(events)
+    # rows with page != nil: 0 (2 refs), 1 (1), 3 (nil set -> 0), 4 (3)
+    assert log == [True, 6]
+
+
+def test_nil_comparisons(spark):
+    rows = [
+        ("u1", 0, "view", BASE, "home"),
+        ("u2", 1, "view", BASE, None),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "user_id string, event_id long, event_type string, ts timestamp,"
+        " page string",
+    )
+    from openset_spark.osl import compile_osl
+
+    assert compile_osl(
+        "each_row where page.is(!= nil)\n  debug(true)\nend"
+    ).matched(events).count() == 1
+    assert compile_osl(
+        "each_row where page.is(== nil)\n  debug(true)\nend"
+    ).matched(events).count() == 1
+    # imperative: cursor-row nil check
+    log = ScriptRunner("debug(page != nil)").replay(events)
+    assert log == [True, False]
