@@ -44,6 +44,7 @@ from openset_spark.osl.parser import (
     PAggWhere,
     PBin,
     PCall,
+    PExplode,
     PLit,
     PName,
     Pred,
@@ -267,6 +268,11 @@ _START_OF_FNS = {n for n in _PIVOT_FNS if n.startswith("start_of_")}
 def _pexpr_col(e: Any, ctx: _Ctx) -> tuple[Column, str]:
     if isinstance(e, PLit):
         return F.lit(e.value), str(e.value)
+    if isinstance(e, PExplode):
+        # set-element pivot (for-over-set push): one result row per
+        # element; nil/empty sets contribute nothing — exactly the
+        # reference's loop skip (test_db.h:252)
+        return F.explode(ctx.resolve(e.prop)), e.var or e.prop
     if isinstance(e, PName):
         return ctx.resolve(e.name), e.name
     if isinstance(e, PCall):

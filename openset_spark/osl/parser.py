@@ -74,6 +74,17 @@ class PCall:
     args: tuple
 
 
+@dataclass(frozen=True)
+class PExplode:
+    """A set-column element in a push: ``for ref in referral_search``
+    with ``<< ..., ref`` pushes one result row per element
+    (test/test_db.h:225). ``var`` is the loop variable, used as the
+    result column label."""
+
+    prop: str
+    var: str = ""
+
+
 @dataclass
 class EachRow:
     where: Any
@@ -341,6 +352,7 @@ _LOOP_CTL_RE = re.compile(r"^(break|continue)\b")
 _IF_HDR_RE = re.compile(r"^if[\s(]")
 _FOR_HDR_RE = re.compile(r"^for\b")
 _FOR_LIT_RE = re.compile(r"^for\s+([A-Za-z_]\w*)\s+in\s+(\[.*\])\s*$")
+_FOR_PROP_RE = re.compile(r"^for\s+([A-Za-z_]\w*)\s+in\s+([A-Za-z_]\w*)\s*$")
 
 
 def _block_has_push(lines: list[str], idx: int) -> bool:
@@ -363,10 +375,10 @@ def _block_has_push(lines: list[str], idx: int) -> bool:
 
 
 def _subst_pexpr(e, var: str, v):
-    """Replace the loop variable with one unrolled literal in a push
-    expression."""
+    """Replace the loop variable in a push expression — with an
+    unrolled literal, or with another push node (PExplode)."""
     if isinstance(e, PName) and e.name == var:
-        return PLit(v)
+        return v if isinstance(v, PExplode) else PLit(v)
     if isinstance(e, PCall):
         return PCall(e.fn, tuple(_subst_pexpr(a, var, v) for a in e.args))
     return e
@@ -518,24 +530,45 @@ def parse_osl(script: str) -> Script:
                     g = cond if guard is None else BoolOp("and", (guard, cond))
                     idx = parse_body(idx + 1, g)
                 elif _FOR_HDR_RE.match(line) and _block_has_push(lines, idx):
-                    m = _FOR_LIT_RE.match(line)
-                    if not m:
-                        raise OslUnsupported(
-                            f"for-with-push needs a literal list: {line!r}"
-                        )
-                    var = m.group(1)
-                    values = _parse_value(_Tokens(_tokenize(m.group(2))))
-                    start = len(blk.pushes)
-                    idx = parse_body(idx + 1, guard)
-                    # unroll: one copy of the body's pushes per literal
-                    templ = blk.pushes[start:]
-                    del blk.pushes[start:]
-                    for v in values:
+                    if m := _FOR_LIT_RE.match(line):
+                        var = m.group(1)
+                        values = _parse_value(_Tokens(_tokenize(m.group(2))))
+                        start = len(blk.pushes)
+                        idx = parse_body(idx + 1, guard)
+                        # unroll: one copy of the body's pushes per literal
+                        templ = blk.pushes[start:]
+                        del blk.pushes[start:]
+                        for v in values:
+                            for g, pexprs in templ:
+                                blk.pushes.append((
+                                    None
+                                    if g is None
+                                    else _subst_where(g, var, v),
+                                    [_subst_pexpr(e, var, v) for e in pexprs],
+                                ))
+                    elif m := _FOR_PROP_RE.match(line):
+                        # for over a SET column: the loop variable in a
+                        # push becomes an element explode — one result
+                        # row per element per matched row
+                        # (test/test_db.h:225)
+                        var, prop = m.group(1), m.group(2)
+                        start = len(blk.pushes)
+                        idx = parse_body(idx + 1, guard)
+                        templ = blk.pushes[start:]
+                        del blk.pushes[start:]
                         for g, pexprs in templ:
                             blk.pushes.append((
-                                None if g is None else _subst_where(g, var, v),
-                                [_subst_pexpr(e, var, v) for e in pexprs],
+                                g,
+                                [
+                                    _subst_pexpr(e, var, PExplode(prop, var))
+                                    for e in pexprs
+                                ],
                             ))
+                    else:
+                        raise OslUnsupported(
+                            f"for-with-push needs a literal list or a "
+                            f"set property: {line!r}"
+                        )
                 elif _ASSIGN_RE.match(line) or _IGNORED_CALL_RE.match(line):
                     idx += 1  # imperative no-op for the matched row set
                 elif _BLOCK_OPEN_RE.match(line):

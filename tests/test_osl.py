@@ -600,3 +600,38 @@ def test_query_params_override_script_variables(fruit_events):
         .count()
         == 2
     )
+
+
+def test_for_over_set_push_explodes(spark):
+    # test_db.h:225 "iterate a Set column in row" — the push inside
+    # `for ref in referral_search` emits one result row per set
+    # element; nil sets and nil pages contribute nothing
+    rows = [
+        ("u1", 0, "view", BASE, "home", "google", ["red", "blue"]),
+        ("u1", 1, "view", BASE.replace(second=31), None, "x", ["zzz"]),
+        ("u1", 2, "view", BASE.replace(second=32), "docs", "bing", None),
+        ("u1", 3, "view", BASE.replace(second=33), "blog", "google", ["red"]),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "user_id string, event_id long, event_type string, ts timestamp,"
+        " page string, referral_source string, referral_search array<string>",
+    )
+    out = compile_osl(
+        """
+        select
+          count id
+        end
+
+        each_row where page.is(!= nil)
+            for ref in referral_search
+                << referral_source, ref
+            end
+        end
+        """
+    ).dataframe(events)
+    got = {(r.referral_source, r.ref): r.people for r in out.collect()}
+    assert got == {
+        ("google", "red"): 1,
+        ("google", "blue"): 1,
+    }
