@@ -1,0 +1,79 @@
+"""End-to-end training-corpus preparation: the pipeline operators
+composed into the standard pretraining-data recipe.
+
+    clean -> language filter -> quality filter -> exact dedup
+          -> MinHash near-dup drop -> reproducible sample
+
+Every stage is a declarative DataFrame transform from this package, so
+the whole recipe is ONE lazily-planned query per materialization:
+filters and projections reach the scan, the only shuffles are the two
+dedup aggregates (content hash; LSH band buckets), and the sample is a
+deterministic per-row hash draw — re-running the recipe on the same
+input yields byte-identical output on any cluster at any partitioning
+(the resumability property a 100 TB ingest needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.cleaning import clean_documents
+from openset_spark.pipeline.dedup import exact_dedup, minhash_candidates
+from openset_spark.pipeline.sampling import hash_uniform
+from openset_spark.pipeline.textstats import lang_id, quality_score
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: tuple[str, ...] = ("en",),
+    min_quality: float = 0.5,
+    sample_rate: float = 1.0,
+    seed: int = 42,
+    near_dup: bool = True,
+) -> DataFrame:
+    """The filtered, deduplicated, sampled corpus with per-doc
+    metadata (clean_text, lang_guess, quality, n_tokens).
+
+    Near-dup handling keeps the LOWEST doc id of each candidate pair
+    (the usual "first writer wins" policy); pair generation is the
+    banded MinHash join — never all-pairs."""
+    cleaned = clean_documents(docs, text_col=text_col)
+
+    langs = lang_id(cleaned, text_col="clean_text", id_col=id_col).select(
+        id_col, "lang_guess"
+    )
+    quality = quality_score(cleaned, text_col="clean_text", id_col=id_col).select(
+        id_col, "quality", "n_tokens"
+    )
+    out = (
+        cleaned.join(langs, id_col)
+        .join(quality, id_col)
+        .filter(F.col("lang_guess").isin(list(languages)))
+        .filter(F.col("quality") >= min_quality)
+    )
+
+    # exact dedup on the cleaned content (normalized-hash groupBy)
+    out = exact_dedup(out, text_col="clean_text", id_col=id_col)
+
+    if near_dup:
+        # drop the higher id of every near-dup candidate pair
+        pairs = minhash_candidates(out, text_col="clean_text", id_col=id_col)
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        out = out.join(losers, id_col, "left_anti")
+
+    if sample_rate < 1.0:
+        out = out.filter(hash_uniform([id_col], seed) < sample_rate)
+    return out
+
+
+def corpus_report(prepared: DataFrame) -> DataFrame:
+    """One-row summary of the prepared corpus: docs, tokens, mean
+    quality — the numbers a data card wants."""
+    return prepared.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("mean_quality"),
+    )

@@ -285,3 +285,31 @@ def test_embedding_near_dup_lsh_blocking(spark):
     assert pairs <= want  # no false positives (exact cosine re-check)
     if want:
         assert len(pairs) / len(want) >= 0.8  # OR-amplified recall
+
+
+def test_prepare_corpus_recipe(spark):
+    # the end-to-end recipe: clean -> lang/quality filter -> exact +
+    # near dedup -> deterministic sample, with a data-card report
+    from openset_spark.pipeline.compose import corpus_report, prepare_corpus
+
+    docs = load_table(spark, SF, "documents")
+    full = prepare_corpus(docs, near_dup=True)
+    n_full = full.count()
+    assert 0 < n_full <= docs.count()
+    cols = set(full.columns)
+    assert {"clean_text", "lang_guess", "quality", "n_tokens"} <= cols
+    # every surviving doc satisfies the filters
+    assert full.filter(F.col("quality") < 0.5).count() == 0
+    assert full.filter(F.col("lang_guess") != "en").count() == 0
+    # deterministic: same input + same seed -> identical output
+    again = prepare_corpus(docs, near_dup=True)
+    assert again.count() == n_full
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}  # noqa: E731
+    assert ids(again) == ids(full)
+    # sampling is a strict, reproducible subset
+    half = prepare_corpus(docs, sample_rate=0.5, near_dup=True)
+    assert ids(half) <= ids(full)
+    assert 0 < half.count() < n_full
+    rep = corpus_report(full).collect()[0]
+    assert rep.n_docs == n_full and rep.n_tokens > 0
+    assert 0.0 <= rep.mean_quality <= 1.0
