@@ -742,7 +742,7 @@ class ScriptRunner:
         debug state (no Spark action yet)."""
         self._events = events
         self._aggs: dict[str, Any] = {}  # name -> aggregate Column
-        self._count_frames: list = []  # (colname, DataFrame[user, n])
+        self._count_frames: list = []  # (colname, DataFrame, fill_zero)
         self._row_debugs: dict[int, Any] = {}  # debug idx -> (df, col)
         self._debugs: list = []  # (kind, guard, value)
         self._ret_sites: list = []  # (matched_df, rowguard|None, value col)
@@ -761,10 +761,10 @@ class ScriptRunner:
         frame = self._events.groupBy(self.user_col).agg(
             *[c.alias(n) for n, c in self._aggs.items()]
         ) if self._aggs else self._events.select(self.user_col).distinct()
-        for cname, cdf in self._count_frames:
-            frame = frame.join(cdf, self.user_col, "left").na.fill(
-                {cname: 0}
-            )
+        for cname, cdf, fill_zero in self._count_frames:
+            frame = frame.join(cdf, self.user_col, "left")
+            if fill_zero:
+                frame = frame.na.fill({cname: 0})
         return frame
 
     def frame(self, events, names: list[str] | None = None):
@@ -1097,10 +1097,38 @@ class ScriptRunner:
                 ):
                     step = const_eval(e.right, env)
                 if step is None:
-                    raise OslUnsupported(
-                        f"each_row body assignment {s.name!r} must be "
-                        "'x = x + <constant>'"
-                    )
+                    # x = <row expr>: each visit overwrites, so the
+                    # variable ends as the LAST matched row's value —
+                    # a max-of-(order, value) struct (the max_by
+                    # update frame); unmatched customers keep the
+                    # prior value via coalesce
+                    val = self._row_expr(s.expr, env)
+                    order = F.col(self.order_col)
+                    sname = f"_set{len(self._count_frames) + len(self._aggs)}"
+                    cand = F.struct(order.alias("o"), val.alias("v"))
+                    if matched is None:
+                        self._aggs[sname] = F.max(
+                            F.when(full_cond(), cand)
+                        ).getField("v")
+                    else:
+                        self._count_frames.append((
+                            sname,
+                            frame.groupBy(self.user_col).agg(
+                                F.max(cand).getField("v").alias(sname)
+                            ),
+                            False,
+                        ))
+                    prev = env.get(s.name)
+                    new = F.col(sname)
+                    if prev is not None:
+                        prev_col = (
+                            prev.col if isinstance(prev, Col) else F.lit(prev)
+                        )
+                        new = F.coalesce(new, prev_col)
+                    env[s.name] = Col(new)
+                    if s.name in self.customer_props:
+                        self._record_prop_write(s.name, env[s.name])
+                    continue
                 cname = f"_cnt{len(self._count_frames) + len(self._aggs)}"
                 if matched is None:
                     self._aggs[cname] = F.count(F.when(full_cond(), F.lit(1)))
@@ -1110,6 +1138,7 @@ class ScriptRunner:
                         frame.groupBy(self.user_col).agg(
                             F.count(F.lit(1)).alias(cname)
                         ),
+                        True,
                     ))
                 prev = env.get(s.name, 0)
                 prev_col = prev.col if isinstance(prev, Col) else F.lit(prev)
@@ -1214,6 +1243,7 @@ class ScriptRunner:
                         frame.groupBy(self.user_col).agg(
                             F.coalesce(F.sum(per_row), F.lit(0)).alias(cname)
                         ),
+                        True,
                     ))
                 prev = env.get(inner.name, 0)
                 prev_col = prev.col if isinstance(prev, Col) else F.lit(prev)

@@ -572,3 +572,34 @@ def test_nil_comparisons(spark):
     # imperative: cursor-row nil check
     log = ScriptRunner("debug(page != nil)").replay(events)
     assert log == [True, False]
+
+
+def test_row_value_assignment_in_scan(spark):
+    # `x = <row expr>` inside each_row: last matched visit wins (the
+    # max_by update frame); customers with no match keep the prior
+    # value
+    rows = [
+        ("u1", 0, "purchase", BASE, "orange", 5.55),
+        ("u1", 1, "purchase", BASE.replace(second=31), "pear", 12.49),
+        ("u2", 2, "view", BASE, "kiwi", 1.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "user_id string, event_id long, event_type string, ts timestamp,"
+        " fruit string, price double",
+    )
+    r = ScriptRunner(
+        """
+        favorite_fruit = "unset"
+        each_row where event == "purchase"
+          favorite_fruit = fruit
+        end
+        """,
+        column_map={"event": "event_type"},
+        customer_props={"favorite_fruit"},
+    )
+    got = {
+        row.user_id: row.favorite_fruit
+        for row in r.customer_updates(events).collect()
+    }
+    assert got == {"u1": "pear", "u2": "unset"}
