@@ -91,9 +91,14 @@ def main() -> None:
     # exact oracle reported). Not part of `value` — it is a different
     # dataset. Disable with SPARK_GRAFT_ANN_SCALE=0.
     if os.environ.get("SPARK_GRAFT_ANN_SCALE", "1") != "0":
-        from openset_spark.pipeline.ann_bench import run_scale_bench
+        # never let the auxiliary section break the headline line:
+        # a failed bench artifact is worse than a missing field
+        try:
+            from openset_spark.pipeline.ann_bench import run_scale_bench
 
-        out["ann_scale"] = run_scale_bench(spark)
+            out["ann_scale"] = run_scale_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["ann_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     print(json.dumps(out))
 
