@@ -1990,6 +1990,36 @@ FROM events GROUP BY user_id
 """
 
 
+def q_osl_agg_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The select-block aggregator options end-to-end: `with <key>`
+    (alternate distinct key) and `all` (nonDistinct row count),
+    pivoted by a time expression — all-integer aggregates so the
+    oracle compare is exact."""
+    from openset_spark.osl import compile_osl
+
+    script = """
+    select
+      count id as people
+      count id with event_type as n_types
+      count id all as visits
+    end
+
+    each_row where value > 50
+        << get_year(event_time)
+    end
+    """
+    return compile_osl(script).dataframe(_events(spark, sf_dir))
+
+
+_SQL_OSL_AGG_OPTIONS = """
+SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS get_year_event_time,
+       COUNT(DISTINCT user_id) AS people,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS visits
+FROM events WHERE value > 50 GROUP BY 1
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # demoted round 4 (driver-green r3; slots freed for the r3
@@ -2018,6 +2048,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotate into the window next round)
         "osl_customer_write": q_osl_customer_write,
         "osl_return_first": q_osl_return_first,
+        "osl_agg_options": q_osl_agg_options,
     }
 
 
@@ -2075,6 +2106,7 @@ def oracle_sql() -> dict[str, str]:
         "osl_script_counter": _SQL_OSL_SCRIPT_COUNTER,
         "osl_customer_write": _SQL_OSL_CUSTOMER_WRITE,
         "osl_return_first": _SQL_OSL_RETURN_FIRST,
+        "osl_agg_options": _SQL_OSL_AGG_OPTIONS,
         "property_counts": _SQL_PROPERTY_COUNTS,
         "property_counts_bucketed": _SQL_PROPERTY_COUNTS_BUCKETED,
         "property_counts_between": _SQL_PROPERTY_COUNTS_BETWEEN,
