@@ -2044,8 +2044,11 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_counts": q_property_counts,
         "property_counts_rx": q_property_counts_rx,
         "dedup_exact_keep": q_dedup_exact_keep,
-        # round-4 additions (extras tier: locally oracle-verified,
-        # rotate into the window next round)
+        # round-4 additions (extras tier: locally oracle-verified).
+        # Round-5 rotation plan: move these three into the priority
+        # window for their first driver-green rows, demoting three
+        # round-4-green entries (e.g. props_json_extract,
+        # user_event_type_sets, top_bigrams) to extras.
         "osl_customer_write": q_osl_customer_write,
         "osl_return_first": q_osl_return_first,
         "osl_agg_options": q_osl_agg_options,
