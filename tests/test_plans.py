@@ -252,3 +252,20 @@ def test_result_tree_trim_clips_branches_keeps_totals(spark, sf_dir):
     # the survivors are the top-2 branches by people count
     top2 = sorted((n["c"][0] for n in full["_"]), reverse=True)[:2]
     assert sorted((n["c"][0] for n in trimmed["_"]), reverse=True) == top2
+
+
+def test_every_query_plan_is_scale_clean(spark, sf_dir):
+    # the whole driver surface: no cartesian products (the brute-force
+    # oracle is broadcast-nested-loop by design, still not cartesian)
+    # and no row-at-a-time Python UDFs anywhere
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "row-python UDF"))
+    assert not offenders, offenders
