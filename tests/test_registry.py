@@ -17,7 +17,6 @@ REQUIRED_IN_WINDOW = [
     # event engine
     "event_agg_by_type",
     "event_agg_rollup",
-    "props_json_extract",
     "user_purchase_totals",
     "events_with_user_dim",
     "first_events_per_user",
@@ -33,7 +32,6 @@ REQUIRED_IN_WINDOW = [
     "top_event_types_per_day",
     "weekly_retention",
     "days_to_convert",
-    "user_event_type_sets",
     # segments
     "segment_counts",
     "segment_algebra",
@@ -56,6 +54,15 @@ REQUIRED_IN_WINDOW = [
     "histogram_weeks_since",
     "recent_purchase_totals",
     "osl_script_counter",
+    # round-5 rotation (VERDICT r4 asks #1/#4): first driver rows for
+    # the r4 extras + the z-order oracle; props_json_extract,
+    # user_event_type_sets, top_bigrams, token_counts (all r4-green)
+    # rotated to extras — text family stays represented by
+    # text_stats/quality_score/lang_id/doc_fingerprint
+    "osl_customer_write",
+    "osl_return_first",
+    "osl_agg_options",
+    "zorder_first_rows",
     # pipeline (every operator family; dedup_ngram_jaccard and
     # clean_documents rotated to extras in round 4 after their r3
     # green rows — exact-jaccard is covered by dedup_exact/minhash
@@ -68,11 +75,9 @@ REQUIRED_IN_WINDOW = [
     "ann_lsh",
     "ann_ivf",
     "text_stats",
-    "token_counts",
     "quality_score",
     "lang_id",
     "doc_fingerprint",
-    "top_bigrams",
 ]
 
 
