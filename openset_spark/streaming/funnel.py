@@ -7,8 +7,9 @@ the next step (the reference's on-insert segment re-evaluation,
 specialized to sequences).
 
 State per user is (current_step, ts of last completed step) — O(1)
-regardless of timeline length; a customer who finished the funnel is
-dropped from state entirely.
+regardless of timeline length; a finished customer keeps a terminal
+marker so the funnel completes at most once per user (identical to
+the batch min-ts chain regardless of micro-batch boundaries).
 """
 
 from __future__ import annotations
@@ -73,10 +74,13 @@ def stream_funnel(events: DataFrame, steps: Sequence[str]) -> DataFrame:
                 last_us = ts_us
                 out_steps.append(cur)
                 out_ts.append(pd.Timestamp(ts_us, unit="us"))
-        if cur >= len(step_list):
-            state.remove()  # funnel done: free the state slot
-        else:
-            state.update((cur, last_us))
+        # Completed users keep a terminal (cur == n_steps) marker: a
+        # batch<->stream parity test caught that removing the state
+        # slot here made the funnel RESTART in the next micro-batch —
+        # results then depended on where batch boundaries fell. The
+        # terminal slot is two ints; at scale an idle-timeout sweep
+        # would reclaim it once the funnel's observation window ends.
+        state.update((cur, last_us))
         if out_steps:
             yield pd.DataFrame(
                 {
