@@ -6,12 +6,13 @@ metadata structs; per-item decode/feature work runs in Arrow-batched
 columnar batches (never row-at-a-time).
 
 Decode kernels: formats with pure-Python codecs are REAL — binary
-PPM/PGM images (P6/P5) and RIFF/WAV PCM audio decode for real inside
-the Arrow batches. Codecs that need native libs (JPEG/PNG/ffmpeg) stay
-stubbed: ``deterministic=True`` yields a seeded fake so the Spark
-plumbing — schema, batching, partitioning — is testable;
-``deterministic=False`` raises NotImplementedError where PIL/ffmpeg
-would slot in.
+PPM/PGM images (P6/P5), PNG (8-bit gray/RGB/gray+A/RGBA via stdlib
+zlib, all five scanline filters) and RIFF/WAV PCM audio decode for
+real inside the Arrow batches. Codecs that need native libs
+(JPEG/WebP/ffmpeg) stay stubbed: ``deterministic=True`` yields a
+seeded fake so the Spark plumbing — schema, batching, partitioning —
+is testable; ``deterministic=False`` raises NotImplementedError where
+PIL/ffmpeg would slot in.
 """
 
 from __future__ import annotations
@@ -83,6 +84,83 @@ def decode_ppm_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     if len(px) < need:
         raise ValueError(f"truncated pixel data: {len(px)} < {need}")
     return w, h, channels, bytes(px)
+
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
+
+
+def decode_png_bytes(data: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python PNG decoder (stdlib zlib only) ->
+    (width, height, channels, row-major pixel bytes).
+
+    Supports the baseline still-image profile: 8-bit depth, color
+    types 0/2/4/6 (palette needs a PLTE pass — out of scope), no
+    interlacing, all five scanline filters (None/Sub/Up/Average/
+    Paeth) per the PNG spec §9. IDAT chunks concatenate before
+    inflate, as the spec requires."""
+    import struct
+    import zlib
+
+    if data[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length, cid = struct.unpack(">I4s", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if cid == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc32
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG profile: depth={depth} color={ctype} "
+            f"interlace={interlace}"
+        )
+    channels = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"bad IDAT length: {len(raw)} != {h * (stride + 1)}")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad scanline filter {f}")
+        out += line
+        prev = line
+    return w, h, channels, bytes(out)
 
 
 def decode_wav_bytes(data: bytes) -> tuple[int, int, int, int, int]:
@@ -182,11 +260,11 @@ def decode_images(
     media: DataFrame, deterministic: bool = True
 ) -> DataFrame:
     """image rows -> decoded (media_id, width, height, channels,
-    pixels) via mapInPandas. PPM/PGM (P6/P5) payloads decode for REAL
-    (pure-Python kernel, same Arrow batch path a PIL decoder would
-    use); other codecs fall back to the deterministic stub, or raise
-    NotImplementedError with ``deterministic=False`` where PIL would
-    slot in."""
+    pixels) via mapInPandas. PPM/PGM (P6/P5) and PNG payloads decode
+    for REAL (pure-Python kernels, same Arrow batch path a PIL
+    decoder would use); other codecs fall back to the deterministic
+    stub, or raise NotImplementedError with ``deterministic=False``
+    where PIL would slot in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -198,9 +276,11 @@ def decode_images(
                 raw = bytes(p or b"")
                 if raw[:2] in (b"P6", b"P5"):
                     w, h, ch, px = decode_ppm_bytes(raw)
+                elif raw[:8] == PNG_SIG:
+                    w, h, ch, px = decode_png_bytes(raw)
                 elif not deterministic:
                     raise NotImplementedError(
-                        "non-PPM image decode requires PIL; not in container"
+                        "JPEG/WebP image decode requires PIL; not in container"
                     )
                 else:
                     w = int(mw) if mw is not None and mw == mw else 1
@@ -288,15 +368,18 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_px = []
-            for px, w, h in zip(pdf["pixels"], pdf["width"], pdf["height"]):
+            for px, w, h, ch in zip(
+                pdf["pixels"], pdf["width"], pdf["height"], pdf["channels"]
+            ):
                 src = bytes(px)
+                ch = int(ch)
                 buf = bytearray()
                 for y in range(out_h):
                     sy = min(int(y * h / out_h), h - 1)
                     for x in range(out_w):
                         sx = min(int(x * w / out_w), w - 1)
-                        o = (sy * w + sx) * 3
-                        buf += src[o : o + 3]
+                        o = (sy * w + sx) * ch
+                        buf += src[o : o + ch]
                 out_px.append(bytes(buf))
             yield pd.DataFrame(
                 {

@@ -313,3 +313,109 @@ def test_prepare_corpus_recipe(spark):
     rep = corpus_report(full).collect()[0]
     assert rep.n_docs == n_full and rep.n_tokens > 0
     assert 0.0 <= rep.mean_quality <= 1.0
+
+
+def _png_bytes(w, h, channels, pixels, filters):
+    """Minimal PNG encoder for the round-trip test: 8-bit depth, one
+    IDAT, per-row filter type cycled from ``filters`` so every
+    unfilter path in decode_png_bytes is exercised."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = w * channels
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = pixels[y * stride : (y + 1) * stride]
+        enc = bytearray()
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - a
+            elif f == 2:
+                v = line[i] - b
+            elif f == 3:
+                v = line[i] - ((a + b) >> 1)
+            else:  # Paeth
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                v = line[i] - pr
+            enc.append(v & 0xFF)
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_png_decode_roundtrip(spark):
+    """PNG decodes for REAL through the same mapInPandas path
+    (VERDICT r4 ask #7): exact-pixel round-trip for RGB and RGBA with
+    every scanline filter, plus fused resize on a non-3-channel
+    image."""
+    from openset_spark.pipeline.multimodal import (
+        decode_images,
+        decode_png_bytes,
+        resize_images,
+    )
+
+    w, h = 7, 10
+    rgb = bytes(
+        b for y in range(h) for x in range(w)
+        for b in (x * 31 % 256, y * 37 % 256, (x * y) % 256)
+    )
+    rgba = bytes(
+        b for y in range(h) for x in range(w)
+        for b in (x * 29 % 256, y * 23 % 256, (x + y) % 256, (x * 7 + y) % 256)
+    )
+    # direct kernel: every filter type unfilters exactly
+    for chans, px in ((3, rgb), (4, rgba)):
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            payload = _png_bytes(w, h, chans, px, filters)
+            assert decode_png_bytes(payload) == (w, h, chans, px)
+
+    # through the Arrow mapInPandas path, stubs disabled
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(_png_bytes(w, h, 3, rgb, [0, 1, 2, 3, 4])),
+             "image/png", None, None, None),
+            (2, "image", bytearray(_png_bytes(w, h, 4, rgba, [4, 3, 2, 1, 0])),
+             "image/png", None, None, None),
+        ],
+        "media_id long, kind string, payload binary, mime string,"
+        " width long, height long, duration_ms long",
+    )
+    rows = {r.media_id: r for r in decode_images(media, deterministic=False).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (w, h, 3)
+    assert bytes(rows[1].pixels) == rgb
+    assert (rows[2].width, rows[2].height, rows[2].channels) == (w, h, 4)
+    assert bytes(rows[2].pixels) == rgba
+
+    # nearest-neighbor resize honors the channel count (was hardcoded
+    # to 3 before PNG RGBA support)
+    small = {
+        r.media_id: r
+        for r in resize_images(decode_images(media, deterministic=False), 3, 2).collect()
+    }
+    assert len(bytes(small[2].pixels)) == 3 * 2 * 4
+    # top-left output pixel samples the top-left source pixel exactly
+    assert bytes(small[2].pixels)[:4] == rgba[:4]
