@@ -135,6 +135,19 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["ann_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Skew evidence: one user owns 30% of a 6M-row synthetic corpus;
+    # times the skew-bound window first-row vs the salted/algebraic
+    # rewrite (and shows scalar aggs don't need salting — partial agg
+    # absorbs them). Failure-isolated like ann_scale. Disable with
+    # SPARK_GRAFT_SKEW=0.
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
+        try:
+            from openset_spark.operators.skew_bench import run_skew_bench
+
+            out["skew"] = run_skew_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["skew"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     print(json.dumps(out))
 
 

@@ -557,3 +557,23 @@ def test_histogram_null_scalar_not_clipped_into_max_bucket(spark):
     got = {(r.grp, r.value, r.people) for r in
            histogram_by(grouped, "v", "grp", bucket=1.0, max_value=3.0).collect()}
     assert got == {("a", 2.0, 1), ("a", 3.0, 0)}
+
+
+def test_user_first_row_salted_matches_window_form(spark, sf_dir):
+    """The algebraic min-struct first-row equals matching_rows(limit=1)
+    on the real events table (same (ts, event_id) ordering)."""
+    from openset_spark.operators.events import matching_rows, user_first_row_salted
+    from openset_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = {
+        r.user_id: (r.ts, r.event_id, r.event_type, r.value)
+        for r in matching_rows(ev, limit=1).collect()
+    }
+    s = {
+        r.user_id: (r.ts, r.event_id, r.event_type, r.value)
+        for r in user_first_row_salted(ev, salt_buckets=8).collect()
+    }
+    assert w == s and len(w) >= 10

@@ -280,3 +280,32 @@ def test_every_query_plan_is_scale_clean(spark, sf_dir):
         if "BatchEvalPython" in plan:
             offenders.append((name, "row-python UDF"))
     assert not offenders, offenders
+
+
+def test_salting_adds_exactly_one_exchange(spark, sf_dir):
+    """user_scalar_salted = the unsalted plan + exactly ONE extra
+    user-keyed exchange (the (user, salt) partial stage)."""
+    from openset_spark.operators.events import user_scalar, user_scalar_salted
+
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [("sum", "value", "total"), ("count", "event_id", "n")]
+    plain = user_exchanges(user_scalar(ev, aggs))
+    salted = user_exchanges(user_scalar_salted(ev, aggs, salt_buckets=8))
+    assert (plain, salted) == (1, 2), (plain, salted)
+
+
+def test_first_row_salted_is_aggregate_not_window(spark, sf_dir):
+    """The skew-safe first-row form must plan as AGGREGATES — no
+    Window over whole user timelines. Struct min plans as
+    SortAggregate: the sorts are per input partition (uniform work),
+    the map-side partial min collapses the hot user to one row per
+    split BEFORE each shuffle, and the two exchanges are the salted
+    (user, salt) stage + the user re-agg — the one-extra-exchange
+    trade salting makes."""
+    from openset_spark.operators.events import user_first_row_salted
+
+    df = user_first_row_salted(load_table(spark, sf_dir, "events"))
+    plan = plan_str(df, "simple")
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan  # map-side combine present
+    assert user_exchanges(df) == 2, plan
