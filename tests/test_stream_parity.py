@@ -71,6 +71,16 @@ def _batch_frame(spark, path):
 
 
 def _run_available(stream_df, name):
+    """Start an availableNow query and wait until ALL available data
+    is processed. Termination alone is the wrong wait: an operator
+    with PENDING PROCESSING-TIME TIMEOUTS (stream_sessionize sets a
+    30-min gap timeout) can hold the query open long after the sink
+    table is complete — so wait for drain (no data available, no
+    trigger active, last batch empty), then stop. An expired wait
+    must FAIL, not fall through: a partial memory table makes a
+    baffling parity diff."""
+    import time
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -78,10 +88,26 @@ def _run_available(stream_df, name):
         .trigger(availableNow=True)
         .start()
     )
-    # must assert termination: an expired wait would leave a PARTIAL
-    # memory table and a baffling parity diff (seen once under load)
-    assert q.awaitTermination(300), "stream did not drain in 300s"
-    return q
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        if not q.isActive:
+            return q  # terminated on its own
+        st = q.status
+        # at least one batch completed + source exhausted + no batch
+        # in flight == the sink table is complete (availableNow plans
+        # its file batches up front, so isDataAvailable only goes
+        # false once every planned batch has run)
+        if (
+            not st["isDataAvailable"]
+            and not st["isTriggerActive"]
+            and q.lastProgress is not None
+        ):
+            q.stop()
+            q.awaitTermination(60)
+            return q
+        time.sleep(0.5)
+    q.stop()
+    raise AssertionError("stream did not drain in 600s")
 
 
 def test_stream_sessionize_matches_batch_with_session(spark, sf_dir, tmpdir):
@@ -191,3 +217,44 @@ def test_subscription_poll_is_cappable(spark):
     page2 = sub.poll(limit=100, now_ms=10**9)
     assert [m["uid"] for m in page2["messages"]] == list(range(100, 200))
     assert page2["remaining"] == 800
+
+
+def test_stream_segments_match_batch_membership(spark, sf_dir, tmpdir):
+    """After the full replay, the users that emitted an ever-segment
+    'enter' (and never-segment 'exit') == batch membership on the same
+    files — the reference's on_insert-equals-query-time property."""
+    from openset_spark.operators.segments import Segment, membership
+    from openset_spark.streaming.segments_stream import (
+        StreamSegment,
+        stream_segment_transitions,
+    )
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    segs = [
+        StreamSegment("big_spenders", lambda pdf: (pdf["event_type"] == "purchase") & (pdf["value"] > 150)),
+        StreamSegment("error_free", lambda pdf: pdf["event_type"] == "error", mode="never"),
+    ]
+    name = f"parity_seg_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_segment_transitions(stream, segs), name)
+    flips = spark.sql(f"select * from {name}").collect()
+    entered = {r.user_id for r in flips if r.segment == "big_spenders"}
+    exited = {r.user_id for r in flips if r.segment == "error_free"}
+    assert all(
+        r.transition == ("enter" if r.segment == "big_spenders" else "exit")
+        for r in flips
+    )
+    # each user flips each segment AT MOST once across all batches
+    assert len(flips) == len(entered) + len(exited)
+
+    m = membership(
+        _batch_frame(spark, tmpdir),
+        [
+            Segment("big_spenders", (F.col("event_type") == "purchase") & (F.col("value") > 150)),
+            Segment("error_free", F.col("event_type") == "error", mode="never"),
+        ],
+    ).collect()
+    batch_in = {r.user_id for r in m if r.big_spenders}
+    batch_not_error_free = {r.user_id for r in m if not r.error_free}
+    assert entered == batch_in and len(batch_in) > 3
+    assert exited == batch_not_error_free and len(batch_not_error_free) > 3

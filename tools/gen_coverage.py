@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Regenerate COVERAGE.md — the cumulative driver-verification ledger.
+
+Run from the repo root after each round's CORRECTNESS_r{N}.json lands:
+
+    python tools/gen_coverage.py
+
+For every `queries()` key it reports, per round, whether the external
+driver produced a green row (rows + schema + value-hash all matching),
+a rows-only row (the pre-r5 `no_oracle` state), or did not see the key
+(outside that round's 50-key window). Keys never driver-green are
+called out explicitly — they are the next rotation's promotion
+candidates.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+
+def main() -> None:
+    rounds: dict[int, dict] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r0*(\d+)\.json$", path)
+        if m:
+            rounds[int(m.group(1))] = json.load(open(path))
+    rids = sorted(rounds)
+
+    prio = list(entry._priority_queries().keys())
+    extras = list(entry._extra_queries().keys())
+
+    def cell(key: str, r: int) -> str:
+        row = rounds[r].get(key)
+        if row is None:
+            return "."
+        if row.get("hash_match"):
+            return "G"
+        if row.get("err") == "no_oracle":
+            return "R"
+        return "FAIL"
+
+    hdr = " | ".join(f"r{r}" for r in rids)
+    lines = [
+        "# COVERAGE — cumulative driver-verification ledger",
+        "",
+        "The external driver verifies only the first 50 `queries()` keys per",
+        "round (rows + schema + value-hash vs the DuckDB oracle at sf0.01), so",
+        "full-registry coverage is a MULTI-ROUND property. This table maps every",
+        "registry key to its driver history. Independent of the driver window,",
+        "`tests/test_correctness.py` replays EVERY `oracle_sql()` entry vs DuckDB",
+        "locally on each pytest run — every key below also holds a local pass at",
+        "HEAD.",
+        "",
+        "Legend: `G` = green driver row (all three matches), `R` = rows-only",
+        "(`no_oracle` before the round-5 oracles landed), `.` = outside that",
+        "round's driver window. Tier `priority` = in the CURRENT window.",
+        "",
+        f"Regenerate with `python tools/gen_coverage.py` (reads",
+        f"CORRECTNESS_r*.json; rounds seen: {', '.join(f'r{r}' for r in rids)}).",
+        "",
+        f"| # | query | tier | {hdr} | last green |",
+        "|---|-------|------|" + "----|" * len(rids) + "------------|",
+    ]
+
+    n_green = 0
+    never: list[str] = []
+    for i, key in enumerate(prio + extras, 1):
+        tier = "priority" if key in prio else "extras"
+        cells = [cell(key, r) for r in rids]
+        last = max((r for r, c in zip(rids, cells) if c == "G"), default=None)
+        if last:
+            n_green += 1
+        else:
+            never.append(key)
+        lines.append(
+            f"| {i} | `{key}` | {tier} | "
+            + " | ".join(cells)
+            + f" | {'r%d' % last if last else '—'} |"
+        )
+
+    total = len(prio) + len(extras)
+    lines += [
+        "",
+        f"**{n_green} of {total} keys have ≥1 green driver row across "
+        f"r{rids[0]}–r{rids[-1]}.**",
+    ]
+    if never:
+        lines += [
+            "Keys without one yet (promotion candidates for the next window"
+            " rotation):",
+            "",
+            *[
+                f"- `{k}` — {'priority (current window)' if k in prio else 'extras'}"
+                for k in never
+            ],
+        ]
+    else:
+        lines.append("Every registry key has a green driver row.")
+    lines.append("")
+    with open("COVERAGE.md", "w") as f:
+        f.write("\n".join(lines))
+    print(f"COVERAGE.md: {n_green}/{total} ever-green; never: {never}")
+
+
+if __name__ == "__main__":
+    main()
