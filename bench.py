@@ -119,6 +119,21 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Skew evidence: one user owns 30% of a 6M-row synthetic corpus;
+    # times the skew-bound window first-row vs the salted/algebraic
+    # rewrite (and shows scalar aggs don't need salting — partial agg
+    # absorbs them). Runs BEFORE the ann section: the 200k brute-force
+    # scan there leaves enough JVM heap/GC pressure to distort these
+    # sub-second timings. Failure-isolated; disable with
+    # SPARK_GRAFT_SKEW=0.
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
+        try:
+            from openset_spark.operators.skew_bench import run_skew_bench
+
+            out["skew"] = run_skew_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["skew"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # ANN scale separation: the sf0.1 embeddings table (~2k vectors) is
     # below the crossover where bucketed ANN beats brute force, so the
     # separation is shown on a cached 200k synthetic corpus with
@@ -134,19 +149,6 @@ def main() -> None:
             out["ann_scale"] = run_scale_bench(spark)
         except Exception as e:  # pragma: no cover - defensive
             out["ann_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
-
-    # Skew evidence: one user owns 30% of a 6M-row synthetic corpus;
-    # times the skew-bound window first-row vs the salted/algebraic
-    # rewrite (and shows scalar aggs don't need salting — partial agg
-    # absorbs them). Failure-isolated like ann_scale. Disable with
-    # SPARK_GRAFT_SKEW=0.
-    if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
-        try:
-            from openset_spark.operators.skew_bench import run_skew_bench
-
-            out["skew"] = run_skew_bench(spark)
-        except Exception as e:  # pragma: no cover - defensive
-            out["skew"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     print(json.dumps(out))
 
