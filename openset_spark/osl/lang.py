@@ -562,7 +562,7 @@ def const_eval(e: Any, env: dict) -> Any:
     if isinstance(e, LDict):
         return {k: const_eval(v, env) for k, v in e.pairs}
     if isinstance(e, LNeg):
-        return -const_eval(e.expr, env)
+        return _cvar_neg(const_eval(e.expr, env))
     if isinstance(e, LIndex):
         return _index(const_eval(e.obj, env), const_eval(e.idx, env))
     if isinstance(e, LCall):
@@ -616,6 +616,77 @@ def _call_const(fn: str, args: list):
     raise _NotConst(f"call {fn}()")
 
 
+def _cvar_str(v) -> str:
+    """The reference's string rendering (test_lib_var.h "JS like
+    conversion functions": std::string(cvar(1234.5)) == "1234.5",
+    ints render without a decimal point, bools as true/false)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return f"{v:g}"  # 1234.5 -> "1234.5", 53.0 -> "53" (%g, like cvar)
+    return str(v)
+
+
+def _cvar_numeric(v):
+    """Numeric view under cvar coercion, or None when not numeric:
+    numeric STRINGS parse ("1234.5" -> 1234.5), bools are 1/0
+    (test_lib_var.h "string numeric to all types")."""
+    if isinstance(v, bool):
+        return 1 if v else 0
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        try:
+            return int(v)
+        except ValueError:
+            try:
+                return float(v)
+            except ValueError:
+                return None
+    return None
+
+
+def _cvar_neg(v):
+    """Unary minus; a numeric STRING stays a string
+    (test_lib_var.h "unary operator on all types":
+    -cvar("1234.5") == "-1234.5")."""
+    if isinstance(v, str):
+        n = _cvar_numeric(v)
+        if n is None:
+            raise _NotConst(f"unary - on non-numeric string {v!r}")
+        return v[1:] if v.startswith("-") else "-" + v
+    return -v
+
+
+def _cvar_eq(a, b) -> bool:
+    """cvar cross-type equality (test_lib_var.h "cross type comparison
+    operators"): "123" == 123, "123" == 123.0, "1"/"true" == true,
+    ""/"0"/"false" == false."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        s, o = (b, a) if isinstance(a, bool) else (a, b)
+        if isinstance(s, str):
+            return (s.lower() not in ("", "0", "false")) == o
+        if isinstance(s, (int, float)):
+            return bool(s) == o
+        return s == o
+    if isinstance(a, str) != isinstance(b, str):
+        na, nb = _cvar_numeric(a), _cvar_numeric(b)
+        if na is not None and nb is not None:
+            return na == nb
+        return False
+    return a == b
+
+
+def _cvar_cmp_pair(a, b):
+    """Operands for an ordering comparison: numeric-coerce when types
+    mix (string "9" < 10), raw values otherwise."""
+    if isinstance(a, str) != isinstance(b, str):
+        na, nb = _cvar_numeric(a), _cvar_numeric(b)
+        if na is not None and nb is not None:
+            return na, nb
+    return a, b
+
+
 def _binop_const(op: str, a, b):
     if op == "+":
         if isinstance(a, dict) and isinstance(b, dict):
@@ -624,6 +695,12 @@ def _binop_const(op: str, a, b):
             return a | (set(b) if not isinstance(b, set) else b)
         if isinstance(a, list) and isinstance(b, list):
             return a + b
+        if isinstance(a, str) or isinstance(b, str):
+            # cvar string math: + with a string on EITHER side is
+            # concatenation of the string forms (test_lib_var.h
+            # "text assignment with text addition": "49.5" + 5 ==
+            # "49.55", 5 + "49.5" == "549.5")
+            return _cvar_str(a) + _cvar_str(b)
         return a + b
     if op == "-":
         # container removal (language_reference.md:228-247)
@@ -636,22 +713,31 @@ def _binop_const(op: str, a, b):
         if isinstance(a, list):
             drop = b if isinstance(b, (list, set, tuple)) else [b]
             return [x for x in a if x not in drop]
+        if isinstance(a, str) and isinstance(b, str):
+            # cvar string math: remove the FIRST occurrence of the
+            # right side ("the rain in Spain" - "Spain" ==
+            # "the rain in ", test_lib_var.h "string math operators")
+            return a.replace(b, "", 1)
         return a - b
     if op == "*":
         return a * b
     if op == "/":
         return a / b
     if op == "==":
-        return a == b
+        return _cvar_eq(a, b)
     if op == "!=":
-        return a != b
+        return not _cvar_eq(a, b)
     if op == "<":
+        a, b = _cvar_cmp_pair(a, b)
         return a < b
     if op == ">":
+        a, b = _cvar_cmp_pair(a, b)
         return a > b
     if op == "<=":
+        a, b = _cvar_cmp_pair(a, b)
         return a <= b
     if op == ">=":
+        a, b = _cvar_cmp_pair(a, b)
         return a >= b
     if op == "in":
         try:
