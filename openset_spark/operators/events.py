@@ -192,21 +192,25 @@ def matching_rows(
     user_col: str = "user_id",
     order_cols: Sequence[str] = ("ts", "event_id"),
     from_row: int = 0,
+    event_order: Sequence[str] | None = None,
+    event_col: str = "event_type",
 ) -> DataFrame:
     """OSL ``each_row.limit(n)`` / ``.reverse().limit(n)`` /
     ``.from(#)`` (docs/osl/language_reference.md:276-326): the first
     (or last) n rows per customer matching the predicate, tie-broken
-    by event id like the reference's z-ordered row grid; ``from_row``
-    skips that many rows of the timeline (pre-filter, 0-based) before
+    like the reference's z-ordered row grid — pass the table's
+    declared ``event_order`` (test/test_zorder.h setup: same-stamp
+    rows iterate in declared priority, then insertion id) to slot the
+    priority key between the stamp and the row id; ``from_row`` skips
+    that many rows of the timeline (pre-filter, 0-based) before
     matching starts.
 
     One window over the user partition — the filter runs BEFORE the
     rank so only matching rows are sorted (two window passes share the
     exchange when ``from_row`` is used); adds a ``match_n`` column
     (1-based match index in iteration order)."""
-    order = [
-        F.col(c).desc() if reverse else F.col(c).asc() for c in order_cols
-    ]
+    keys = _grid_keys(order_cols, event_order, event_col)
+    order = [k.desc() if reverse else k.asc() for k in keys]
     w = Window.partitionBy(user_col).orderBy(*order)
     if from_row:
         df = (
@@ -222,18 +226,36 @@ def matching_rows(
     )
 
 
+def _grid_keys(
+    order_cols: Sequence[str],
+    event_order: Sequence[str] | None,
+    event_col: str,
+) -> list[Column]:
+    """The reference row-grid ordering: stamp, declared event
+    priority (z-order), then the remaining tie-break columns."""
+    from openset_spark.operators.sessionize import zorder_key
+
+    keys: list[Column] = [F.col(order_cols[0])]
+    if event_order:
+        keys.append(zorder_key(F.col(event_col), list(event_order)))
+    keys += [F.col(c) for c in order_cols[1:]]
+    return keys
+
+
 def first_match_row(
     df: DataFrame,
     where: Column,
     user_col: str = "user_id",
     order_cols: Sequence[str] = ("ts", "event_id"),
+    event_order: Sequence[str] | None = None,
+    event_col: str = "event_type",
 ) -> DataFrame:
     """OSL one-line ``row``/``test`` searches
     (docs/osl/language_reference.md:767-803): per customer, the
     0-based row index of the first match (``row``) and whether any
     row matched (``test``); customers with no match get null/false.
     One shuffle: cursor window + groupBy share the user partitioning."""
-    order = [F.col(c).asc() for c in order_cols]
+    order = [k.asc() for k in _grid_keys(order_cols, event_order, event_col)]
     w = Window.partitionBy(user_col).orderBy(*order)
     cur = df.withColumn("_cursor", F.row_number().over(w) - 1)
     return cur.groupBy(user_col).agg(

@@ -577,3 +577,72 @@ def test_user_first_row_salted_matches_window_form(spark, sf_dir):
         for r in user_first_row_salted(ev, salt_buckets=8).collect()
     }
     assert w == s and len(w) >= 10
+
+
+def test_zorder_grid_iteration_order(spark):
+    """The reference's z-order scenario (test/test_zorder.h user1
+    inserts, declared order alpha>beta>cappa>delta>echo): same-stamp
+    rows inserted OUT of order iterate in declared priority, then
+    insertion id; distinct stamps keep time order. The reference test
+    body itself is a TODO — the expected order below follows the
+    documented zOrder table property."""
+    from openset_spark.operators.events import matching_rows
+
+    order = ["alpha", "beta", "cappa", "delta", "echo"]
+    # (event_id = insertion order, stamp_s, event, some_val) — verbatim
+    raw = [
+        (0, 1458820830, "delta", 4),
+        (1, 1458820830, "cappa", 3),
+        (2, 1458820830, "beta", 2),
+        (3, 1458820830, "alpha", 1),
+        (4, 1458820830, "beta", 2222),
+        (5, 1458820840, "delta", 4),
+        (6, 1458820840, "cappa", 3),
+        (7, 1458820840, "beta", 2),
+        (8, 1458820820, "alpha", 1),
+        (9, 1458820820, "delta", 4),
+        (10, 1458820820, "cappa", 3),
+        (11, 1458820820, "beta", 2),
+        (12, 1458820820, "alpha", 2),
+        (13, 1458820820, "echo", 5),
+    ]
+    df = spark.createDataFrame(
+        [(1, eid, dt.datetime.fromtimestamp(s, tz=dt.timezone.utc), ev, v)
+         for eid, s, ev, v in raw],
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " some_val long",
+    )
+    got = [
+        (r.event_type, r.some_val)
+        for r in matching_rows(df, limit=99, event_order=order)
+        .orderBy("match_n")
+        .collect()
+    ]
+    expected = [
+        # stamp ...820: declared priority, insertion id breaks alpha tie
+        ("alpha", 1), ("alpha", 2), ("beta", 2), ("cappa", 3),
+        ("delta", 4), ("echo", 5),
+        # stamp ...830: the two betas keep insertion order
+        ("alpha", 1), ("beta", 2), ("beta", 2222), ("cappa", 3),
+        ("delta", 4),
+        # stamp ...840
+        ("beta", 2), ("cappa", 3), ("delta", 4),
+    ]
+    assert got == expected
+
+    # reverse iteration walks the same grid backwards
+    rev = [
+        (r.event_type, r.some_val)
+        for r in matching_rows(df, limit=99, reverse=True, event_order=order)
+        .orderBy("match_n")
+        .collect()
+    ]
+    assert rev == expected[::-1]
+
+    # without the declared order, same-stamp rows fall back to
+    # insertion id — the grid is still deterministic, just unprioritized
+    plain = [
+        r.event_type
+        for r in matching_rows(df, limit=3).orderBy("match_n").collect()
+    ]
+    assert plain == ["alpha", "delta", "cappa"]
