@@ -60,10 +60,15 @@ class OpenSetEngine:
         sf_dir: str,
         events_table: str = "events",
         session_gap_ms: int = DEFAULT_SESSION_GAP_MS,
+        event_order: Sequence[str] | None = None,
     ) -> None:
         self.spark = spark
         self.sf_dir = sf_dir
         self.session_gap_ms = session_gap_ms
+        # the table's declared z-order priority (catalog
+        # TableDef.event_order, test/test_zorder.h): same-stamp rows
+        # iterate in this order through every grid/session surface
+        self.event_order = list(event_order) if event_order else None
         self._events = load_table(spark, sf_dir, events_table)
         self._segment_store = None
 
@@ -78,7 +83,9 @@ class OpenSetEngine:
     def sessionized(self) -> DataFrame:
         """Events with the synthetic ``session`` property (the
         reference computes it on demand when a script references it)."""
-        return with_session(self._events, self.session_gap_ms)
+        return with_session(
+            self._events, self.session_gap_ms, event_order=self.event_order
+        )
 
     # -- query endpoints ---------------------------------------------
     def event_query(
@@ -355,7 +362,9 @@ class OpenSetEngine:
     def first_matching(
         self, where: Column | None = None, limit: int = 1, reverse: bool = False
     ) -> DataFrame:
-        return matching_rows(self._events, where, limit, reverse)
+        return matching_rows(
+            self._events, where, limit, reverse, event_order=self.event_order
+        )
 
     def next_baskets(self, **kw) -> DataFrame:
         from openset_spark.operators.paths import next_session_transitions

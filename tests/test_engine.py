@@ -174,3 +174,32 @@ def test_engine_script_surfaces(eng, spark):
     )
     row = out.collect()[0]
     assert row.total > 0  # user 1 has purchases in sf0.001
+
+
+def test_engine_threads_declared_zorder(spark, sf_dir):
+    """An engine constructed with the table's declared event_order
+    applies it through sessionized() and first_matching() — the
+    reference sets zOrder once per table, not per query."""
+    import datetime as dt
+
+    from openset_spark.engine import OpenSetEngine
+
+    eng = OpenSetEngine(
+        spark, sf_dir, event_order=["purchase", "signup", "error", "click", "view"]
+    )
+    # same-stamp synthetic rows through the engine's own grid surface
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12, 0), 999, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 12, 0), 999, "purchase", 2.0, "{}"),
+    ]
+    eng._events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    first = eng.first_matching(limit=1).collect()
+    assert [r.event_type for r in first] == ["purchase"]
+    # without the declared order, insertion id would pick "view"
+    eng2 = OpenSetEngine(spark, sf_dir)
+    eng2._events = eng._events
+    assert [r.event_type for r in eng2.first_matching(limit=1).collect()] == ["view"]
