@@ -76,6 +76,7 @@ class _Ctx:
         column_map: dict[str, str],
         now_ms: int,
         consts: dict | None = None,
+        event_order: list[str] | None = None,
     ) -> None:
         self.df = df
         self.user_col = user_col
@@ -85,6 +86,7 @@ class _Ctx:
         self.column_map = column_map
         self.now_ms = now_ms
         self.consts = consts or {}
+        self.event_order = event_order
 
     @property
     def user_window(self) -> Window:
@@ -310,6 +312,7 @@ class OslQuery:
         order_col: str = "event_id",
         customer_df: DataFrame | None = None,
         params: dict | None = None,
+        event_order: list[str] | None = None,
     ) -> None:
         self.script = script
         self.column_map = dict(column_map or {})
@@ -317,6 +320,9 @@ class OslQuery:
         self.ts_col = ts_col
         self.event_col = event_col
         self.order_col = order_col
+        # the table's declared z-order priority (test/test_zorder.h):
+        # threads into the session window and each_row grid ranking
+        self.event_order = list(event_order) if event_order else None
         # REST str_/int_/dbl_/bool_{var} query params
         # (docs/rest/README.md:233-236): externally supplied values
         # override same-named script variables
@@ -375,7 +381,8 @@ class OslQuery:
             df = df.join(self.customer_df, self.user_col, "left")
         if self._references_session():
             df = with_session(
-                df, session_gap_ms, self.user_col, self.ts_col
+                df, session_gap_ms, self.user_col, self.ts_col,
+                event_order=self.event_order,
             )
         if now_ms is None:
             now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
@@ -391,6 +398,7 @@ class OslQuery:
                 **(getattr(self.script, "consts", None) or {}),
                 **self.params,
             },
+            event_order=self.event_order,
         )
 
     def _block_matched(
@@ -423,6 +431,8 @@ class OslQuery:
                 user_col=self.user_col,
                 order_cols=(self.ts_col, self.order_col),
                 from_row=blk.mods.get("from", 0),
+                event_order=ctx.event_order,
+                event_col=self.event_col,
             ).drop("_osl_match")
         return df.filter(F.col("_osl_match")).drop("_osl_match")
 

@@ -635,3 +635,37 @@ def test_for_over_set_push_explodes(spark):
         ("google", "red"): 1,
         ("google", "blue"): 1,
     }
+
+
+def test_each_row_limit_respects_declared_zorder(spark):
+    """A compiled each_row.limit(1) grid honors the table's declared
+    z-order (test/test_zorder.h zOrder property): the same-stamp pair
+    resolves by priority, not insertion id."""
+    import datetime as _dt
+
+    from openset_spark.osl import compile_osl
+
+    stamp = _dt.datetime(2024, 1, 1, 12, 0)
+    events = spark.createDataFrame(
+        [
+            (1, stamp, 7, "view", 1.0),
+            (2, stamp, 7, "purchase", 2.0),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    script = """
+    select
+      count id as people
+    end
+
+    each_row.limit(1) where event != "nothing"
+        << event
+    end
+    """
+    with_z = compile_osl(
+        script, event_order=["purchase", "view"]
+    ).dataframe(events)
+    assert [r[0] for r in with_z.collect()] == ["purchase"]
+    without = compile_osl(script).dataframe(events)
+    assert [r[0] for r in without.collect()] == ["view"]
