@@ -258,3 +258,87 @@ def test_stream_segments_match_batch_membership(spark, sf_dir, tmpdir):
     batch_not_error_free = {r.user_id for r in m if not r.error_free}
     assert entered == batch_in and len(batch_in) > 3
     assert exited == batch_not_error_free and len(batch_not_error_free) > 3
+
+
+def test_stream_property_counts_match_batch(spark, sf_dir, tmpdir):
+    """Complete-mode live property counts == the batch property-count
+    aggregate on the same files (identical HLL people estimates: the
+    sketch merge is order-insensitive, so stream and batch agree
+    exactly, not approximately)."""
+    from openset_spark.streaming.aggregate import stream_property_counts
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    name = f"parity_pc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_property_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "complete-mode stream did not finish"
+    streamed = {
+        r.value: (r.people, r.events)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+    batch = (
+        _batch_frame(spark, tmpdir)
+        .groupBy(F.col("event_type").alias("value"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("people"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+    expected = {r.value: (r.people, r.events) for r in batch.collect()}
+    assert streamed == expected and len(expected) >= 5
+
+
+def test_stream_windowed_counts_match_batch(spark, sf_dir, tmpdir):
+    """Append-mode tumbling windows: every window the stream emitted
+    must equal the batch aggregate for that window, and every window
+    safely behind the final watermark must have been emitted."""
+    from openset_spark.streaming.aggregate import windowed_event_counts
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    name = f"parity_win_{uuid.uuid4().hex[:8]}"
+    _run_available(windowed_event_counts(stream, "6 hours"), name)
+    streamed = {
+        r.window_start: (r.window_end, r.events, r.people)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+    bf = _batch_frame(spark, tmpdir)
+    batch = (
+        bf.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.approx_count_distinct("user_id").alias("people"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "events",
+            "people",
+        )
+    )
+    expected = {
+        r.window_start: (r.window_end, r.events, r.people)
+        for r in batch.collect()
+    }
+    # emitted windows carry exactly the batch numbers
+    for ws, row in streamed.items():
+        assert expected[ws] == row
+    # and nothing safely closed (2h behind the 1h ingest watermark at
+    # end-of-stream) was withheld
+    max_ts = bf.agg(F.max("ts")).first()[0]
+    import datetime as _dt
+
+    must_have = {
+        ws for ws, (we, _, _) in expected.items()
+        if we < max_ts - _dt.timedelta(hours=2)
+    }
+    assert must_have <= set(streamed) and len(must_have) > 20
