@@ -202,14 +202,24 @@ def ivf_index(
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """IVF coarse index: pick ``n_lists`` centroids deterministically
     (hash-order sample of the corpus — cheap, clustering-free flat
     quantizer), assign every vector to its nearest centroid.
 
+    ``refine_iters`` runs that many distributed Lloyd iterations over
+    the seeds: assignment is the same JVM argmax projection; the
+    centroid update is ONE shuffle of (list_id, position, component)
+    rows (posexplode -> groupBy avg -> n_lists x dim tiny collect).
+    Per iteration cost = one corpus scan + one bounded aggregate —
+    the 100 TB-safe k-means shape (never collects vectors, only the
+    n_lists x dim centroid matrix). Lists tighten, so nprobe recall
+    rises vs the unrefined quantizer (tested in test_pipeline.py).
+
     Returns (assigned corpus with ``list_id``, centroids). The index
-    build collects ONLY the n_lists centroid rows; assignment is a
-    JVM argmax over broadcast centroid literals — one corpus scan, no
+    build collects ONLY centroid-sized data; assignment is a JVM
+    argmax over broadcast centroid literals — one corpus scan, no
     shuffle. At 100 TB the assigned table is written back partitioned
     by list_id so probes touch nprobe/n_lists of the data."""
     cents = (
@@ -219,6 +229,31 @@ def ivf_index(
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
+    for _ in range(refine_iters):
+        assigned = corpus.withColumn(
+            "list_id", _nearest_centroid(f"`{vec_col}`", centroids)
+        )
+        means = (
+            assigned.select(
+                "list_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_list.setdefault(r.list_id, {})[r.pos] = float(r.m)
+        centroids = [
+            # empty lists keep their previous centroid (standard Lloyd)
+            (
+                cid,
+                [by_list[cid][p] for p in range(len(vec))]
+                if cid in by_list
+                else vec,
+            )
+            for cid, vec in centroids
+        ]
     assigned = corpus.withColumn(
         "list_id", _nearest_centroid(f"`{vec_col}`", centroids)
     )
@@ -267,17 +302,21 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     index: tuple[DataFrame, list[tuple[int, list[float]]]] | None = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest inverted lists
     per query, exact cosine re-rank inside them. The probe join is a
     hash join on ``list_id`` with the (tiny) query-probe table
     broadcast — the corpus-side work is nprobe/n_lists of a scan.
     Pass ``index`` (assigned corpus + centroids, e.g. read back from
-    an ingest-time build) to skip the index build on the query path."""
+    an ingest-time build) to skip the index build on the query path;
+    ``refine_iters`` Lloyd-refines the quantizer at build time."""
     if index is not None:
         assigned, centroids = index
     else:
-        assigned, centroids = ivf_index(corpus, n_lists, id_col, vec_col)
+        assigned, centroids = ivf_index(
+            corpus, n_lists, id_col, vec_col, refine_iters
+        )
 
     q = queries.select(
         F.col(query_id_col),

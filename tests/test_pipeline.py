@@ -419,3 +419,32 @@ def test_real_png_decode_roundtrip(spark):
     assert len(bytes(small[2].pixels)) == 3 * 2 * 4
     # top-left output pixel samples the top-left source pixel exactly
     assert bytes(small[2].pixels)[:4] == rgba[:4]
+
+
+def test_ivf_lloyd_refinement_improves_recall(spark, sf_dir):
+    """Distributed Lloyd refinement of the IVF quantizer (one corpus
+    scan + one bounded (list, pos) aggregate per iteration — never
+    collects vectors) must raise nprobe recall over the hash-sampled
+    seeds. Deterministic on the fixed corpus: measured 0.50 -> 0.60
+    (sf0.001) and 0.52 -> 0.60 (sf0.01) at nprobe=4/16."""
+    from openset_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    embs = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = embs.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in brute_force_topk(embs, qs, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    def recall(iters):
+        got = {}
+        for r in ivf_topk(
+            embs, qs, k=10, n_lists=16, nprobe=4, refine_iters=iters
+        ).collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(len(got.get(q, set()) & e) / 10 for q, e in exact.items()) / len(exact)
+
+    assert recall(2) > recall(0) + 0.03
