@@ -646,3 +646,34 @@ def test_zorder_grid_iteration_order(spark):
         for r in matching_rows(df, limit=3).orderBy("match_n").collect()
     ]
     assert plain == ["alpha", "delta", "cappa"]
+
+
+def test_operators_tolerate_empty_input(spark):
+    """Zero-row inputs (fresh table, filtered-out partition) must flow
+    through every core operator without error — the reference returns
+    empty result trees, not faults."""
+    from openset_spark.operators.events import (
+        first_match_row,
+        matching_rows,
+        user_first_row_salted,
+        user_scalar,
+    )
+    from openset_spark.operators.histogram import histogram
+    from openset_spark.operators.paths import transition_matrix
+    from openset_spark.operators.property_counts import property_counts
+    from openset_spark.operators.sessionize import session_stats, with_session
+
+    empty = _ev(spark, [])
+    assert with_session(empty).count() == 0
+    assert session_stats(empty).count() == 0
+    # funnel emits its per-step drop-off rows with zero users
+    assert {r.users for r in funnel(empty, [F.col("event_type") == "a"]).collect()} <= {0}
+    assert retention(empty, "day").count() == 0
+    assert transition_matrix(empty).count() == 0
+    assert property_counts(empty, "event_type").count() == 0
+    assert matching_rows(empty, limit=3).count() == 0
+    assert first_match_row(empty, F.col("event_type") == "a").count() == 0
+    assert user_first_row_salted(empty).count() == 0
+    assert user_scalar(empty, [("sum", "value", "v")]).count() == 0
+    per_user = user_scalar(empty, [("sum", "value", "v")])
+    assert histogram(per_user, "v", bucket=10.0).count() == 0
