@@ -93,15 +93,18 @@ def _run_available(stream_df, name):
         if not q.isActive:
             return q  # terminated on its own
         st = q.status
-        # at least one batch completed + source exhausted + no batch
-        # in flight == the sink table is complete (availableNow plans
-        # its file batches up front, so isDataAvailable only goes
-        # false once every planned batch has run)
-        if (
-            not st["isDataAvailable"]
-            and not st["isTriggerActive"]
-            and q.lastProgress is not None
-        ):
+        progs = q.recentProgress
+        # Drained when either (a) the source is exhausted with no
+        # batch in flight, or (b) a COMPLETED batch consumed zero
+        # rows — the file source plans its data batches up front, so
+        # an empty batch can only be timeout bookkeeping after every
+        # file was processed. (b) matters under load: a 30-min
+        # processing-time timeout makes Spark churn no-data batches
+        # back-to-back, so a poll may never catch an idle instant.
+        drained = (
+            not st["isDataAvailable"] and not st["isTriggerActive"] and progs
+        ) or any(p["numInputRows"] == 0 for p in progs)
+        if drained:
             q.stop()
             q.awaitTermination(60)
             return q
