@@ -36,7 +36,6 @@ from openset_spark.pipeline.similarity import (
     ivf_topk,
     lsh_buckets_array,
     lsh_topk,
-    _nearest_centroid,
 )
 
 DEFAULT_CACHE = os.path.join(
@@ -131,25 +130,28 @@ def ensure_ivf_index(
     corpus_path: str,
     cache_dir: str = DEFAULT_CACHE,
     n_lists: int = IVF_LISTS,
+    refine_iters: int = 0,
 ) -> tuple[str, str]:
-    """Ingest-time IVF index: corpus with list_id + centroid JSON."""
+    """Ingest-time IVF index: corpus with list_id + centroid JSON.
+    ``refine_iters`` Lloyd-refines the quantizer at build time (an
+    ingest-time cost, cached like the rest of the index)."""
     tag = os.path.basename(corpus_path).removesuffix(".parquet")
-    apath = os.path.join(cache_dir, f"ivf_{tag}_{n_lists}.parquet")
-    cpath = os.path.join(cache_dir, f"ivf_{tag}_{n_lists}_centroids.json")
+    rtag = f"_r{refine_iters}" if refine_iters else ""
+    apath = os.path.join(cache_dir, f"ivf_{tag}_{n_lists}{rtag}.parquet")
+    cpath = os.path.join(
+        cache_dir, f"ivf_{tag}_{n_lists}{rtag}_centroids.json"
+    )
     if not (os.path.exists(apath) and os.path.exists(cpath)):
+        from openset_spark.pipeline.similarity import ivf_index
+
         corpus = spark.read.parquet(corpus_path)
-        cents = (
-            corpus.orderBy(F.xxhash64(F.col("vec_id"))).limit(n_lists).collect()
+        assigned, centroids = ivf_index(
+            corpus, n_lists, refine_iters=refine_iters
         )
-        centroids = [
-            (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cents)
-        ]
         # partitioned by list_id: the broadcast probe join triggers
         # dynamic partition pruning, so a query batch touching few
         # lists reads only those directories — the 100 TB layout
-        corpus.withColumn(
-            "list_id", _nearest_centroid("`embedding`", centroids)
-        ).write.partitionBy("list_id").mode("overwrite").parquet(apath)
+        assigned.write.partitionBy("list_id").mode("overwrite").parquet(apath)
         with open(cpath, "w") as f:
             json.dump(centroids, f)
     return apath, cpath
@@ -239,6 +241,26 @@ def run_scale_bench(
         "lsh_recall": round(_recall(lsh(), exact), 4),
         "ivf_recall": round(_recall(ivf(), exact), 4),
     }
+    # Lloyd-refined quantizer (r5): same probe path against the
+    # 2-iteration ingest-time index — shows the recall lift k-means
+    # buys at the same nprobe; the refine cost is ingest-time and
+    # cached like every other index artifact.
+    ra_path, rc_path = ensure_ivf_index(
+        spark, cpath, cache_dir, refine_iters=2
+    )
+    r_assigned = spark.read.parquet(ra_path)
+    with open(rc_path) as f:
+        r_centroids = [(int(i), v) for i, v in json.load(f)]
+    r_assigned.count()
+    ivf_r = lambda: ivf_topk(  # noqa: E731
+        corpus,
+        queries,
+        k=K,
+        nprobe=IVF_NPROBE,
+        index=(r_assigned, r_centroids),
+    )
+    out["ivf_refined_sec"] = timed(ivf_r)
+    out["ivf_refined_recall"] = round(_recall(ivf_r(), exact), 4)
     exact.unpersist()
     out["lsh_speedup"] = round(out["brute_sec"] / max(out["lsh_sec"], 1e-9), 2)
     out["ivf_speedup"] = round(out["brute_sec"] / max(out["ivf_sec"], 1e-9), 2)
