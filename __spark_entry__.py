@@ -220,6 +220,101 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-0
 """
 
 
+def q_tpch_q7_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between two nations by ship
+    year, in both directions. Dims broadcast; the fact table joins
+    hash-keyed — the classic two-role-dimension shape (nation joins
+    twice under different roles)."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
+_SQL_TPCH_Q7_STYLE = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q10_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item revenue): top customers by revenue
+    lost to returns in one quarter — fact joins hash-keyed, dims
+    broadcast, TakeOrderedAndProject for the top-20."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    price, disc = _dec("l_extendedprice"), _dec("l_discount", 4, 2)
+    one = F.lit(1).cast("decimal(3,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_SQL_TPCH_Q10_STYLE = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 def q_tpch_q9_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     # profit by nation x order-year for red parts (TPC-H q9 shape,
     # minus partsupp which the testdata doesn't ship)
@@ -2221,6 +2316,10 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
         "row_count_distribution": q_row_count_distribution,
         "purchases_by_quarter": q_purchases_by_quarter,
+        # round-5 relational breadth (the §7 r2+ candidate that never
+        # landed): two-role-dimension join + returned-item top-k
+        "tpch_q7_style": q_tpch_q7_style,
+        "tpch_q10_style": q_tpch_q10_style,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18_style": q_tpch_q18_style,
@@ -2258,7 +2357,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": _SQL_TPCH_Q3,
         "tpch_q5": _SQL_TPCH_Q5,
         "tpch_q6": _SQL_TPCH_Q6,
+        "tpch_q7_style": _SQL_TPCH_Q7_STYLE,
         "tpch_q9_style": _SQL_TPCH_Q9_STYLE,
+        "tpch_q10_style": _SQL_TPCH_Q10_STYLE,
         "tpch_q18_style": _SQL_TPCH_Q18_STYLE,
         "top_customers": _SQL_TOP_CUSTOMERS,
         "event_agg_by_type": _SQL_EVENT_AGG_BY_TYPE,
