@@ -1,0 +1,138 @@
+"""Document-corpus loaders — the ingest formats a training-data
+pipeline actually receives (beyond the engine's parquet/JSON-event
+surface): JSON-lines, CSV, one-file-per-document text trees and
+line-per-document text files, all normalized to the pipeline's
+``documents`` shape (doc_id, text, + passthrough metadata).
+
+Spark-first: every reader is a plain DataFrame source (distributed
+splits, predicate/column pruning where the format supports it) plus a
+projection. Missing ids are assigned CONTENT-DETERMINISTICALLY —
+``xxhash64(source, text)`` — so re-ingesting the same corpus yields
+the same ids regardless of partitioning or file order (the property
+``monotonically_increasing_id`` does NOT have, and which exact dedup
+/ sampling reproducibility downstream depends on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+
+def _with_doc_id(df: DataFrame, id_col: str | None) -> DataFrame:
+    """Normalize the id column: keep a provided one (cast to long),
+    else derive a deterministic content hash."""
+    if id_col is not None and id_col in df.columns:
+        out = df.withColumn("doc_id", F.col(id_col).cast("long"))
+        if id_col != "doc_id":
+            out = out.drop(id_col)
+        return out
+    return df.withColumn(
+        "doc_id", F.xxhash64(F.coalesce(F.col("source"), F.lit("")), "text")
+    )
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = "doc_id",
+    meta_fields: tuple[str, ...] = (),
+) -> DataFrame:
+    """JSON-lines corpus (one object per document). Reads with an
+    explicit projection so only the named fields are parsed."""
+    fields = [StructField(text_field, StringType())]
+    if id_field:
+        fields.append(StructField(id_field, LongType()))
+    for m in meta_fields:
+        fields.append(StructField(m, StringType()))
+    raw = spark.read.schema(StructType(fields)).json(path)
+    out = raw.withColumn("source", F.input_file_name())
+    if text_field != "text":
+        out = out.withColumnRenamed(text_field, "text")
+    return _with_doc_id(out, id_field).select(
+        "doc_id", "text", "source", *meta_fields
+    )
+
+
+def read_documents_csv(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = "doc_id",
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV corpus; multiline quoting on so embedded newlines in the
+    text column survive."""
+    raw = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+    out = raw.withColumn("source", F.input_file_name())
+    if text_field != "text":
+        out = out.withColumnRenamed(text_field, "text")
+    return _with_doc_id(out, id_field).select("doc_id", "text", "source")
+
+
+def read_documents_text_files(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """One FILE per document (the crawl-dump layout): wholetext read,
+    the file path is the source, ids content-hashed."""
+    raw = (
+        spark.read.option("wholetext", "true")
+        .text(path)
+        .withColumnRenamed("value", "text")
+        .withColumn("source", F.input_file_name())
+    )
+    return _with_doc_id(raw, None).select("doc_id", "text", "source")
+
+
+def read_documents_text_lines(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """One LINE per document (the shard-file layout). Blank lines are
+    not documents."""
+    raw = (
+        spark.read.text(path)
+        .withColumnRenamed("value", "text")
+        .filter(F.length(F.trim("text")) > 0)
+        .withColumn("source", F.input_file_name())
+    )
+    return _with_doc_id(raw, None).select("doc_id", "text", "source")
+
+
+def read_documents(
+    spark: SparkSession, path: str, fmt: str = "jsonl", **kw
+) -> DataFrame:
+    """Format-dispatching corpus reader: jsonl | csv | text_files |
+    text_lines | parquet."""
+    readers = {
+        "jsonl": read_documents_jsonl,
+        "csv": read_documents_csv,
+        "text_files": read_documents_text_files,
+        "text_lines": read_documents_text_lines,
+    }
+    if fmt == "parquet":
+        return _with_doc_id(
+            spark.read.parquet(path).withColumn(
+                "source", F.input_file_name()
+            ),
+            kw.get("id_field", "doc_id"),
+        ).select("doc_id", "text", "source")
+    if fmt not in readers:
+        raise ValueError(f"unknown corpus format {fmt!r}")
+    return readers[fmt](spark, path, **kw)

@@ -185,3 +185,59 @@ def test_result_tree_from_rollup(spark):
     p_kids = {n["g"]: n["c"] for n in top["p"]["_"]}
     assert p_kids == {"x": [2, 2], "y": [1, 1]}
     assert "_" not in top["q"] or {n["g"] for n in top["q"]["_"]} == {"x"}
+
+
+def test_document_corpus_readers(spark, tmp_path_factory):
+    """Every corpus ingest format normalizes to (doc_id, text, source)
+    and content-hashed ids are reproducible across re-reads and
+    partitionings — the property downstream dedup/sampling relies on."""
+    import json as _json
+
+    from openset_spark.sources.documents import (
+        read_documents,
+        read_documents_csv,
+        read_documents_jsonl,
+        read_documents_text_files,
+        read_documents_text_lines,
+    )
+
+    d = tmp_path_factory.mktemp("corpus")
+    # jsonl with ids and a metadata field
+    with open(d / "a.jsonl", "w") as f:
+        for i, t in enumerate(["hello world", "the rain in spain"]):
+            f.write(_json.dumps({"doc_id": i, "text": t, "lang": "en"}) + "\n")
+    jl = read_documents_jsonl(
+        spark, str(d / "a.jsonl"), meta_fields=("lang",)
+    ).collect()
+    assert {(r.doc_id, r.text, r.lang) for r in jl} == {
+        (0, "hello world", "en"),
+        (1, "the rain in spain", "en"),
+    }
+    assert all(r.source.endswith("a.jsonl") for r in jl)
+
+    # csv with a quoted embedded newline
+    with open(d / "b.csv", "w") as f:
+        f.write('doc_id,text\n7,"line one\nline two"\n8,plain\n')
+    cs = {r.doc_id: r.text for r in read_documents_csv(spark, str(d / "b.csv")).collect()}
+    assert cs == {7: "line one\nline two", 8: "plain"}
+
+    # one file per document
+    sub = tmp_path_factory.mktemp("files")
+    (sub / "x.txt").write_text("document x body")
+    (sub / "y.txt").write_text("document y body")
+    tf = read_documents_text_files(spark, str(sub)).collect()
+    assert {r.text for r in tf} == {"document x body", "document y body"}
+    assert len({r.doc_id for r in tf}) == 2
+
+    # one line per document, blanks dropped
+    (d / "c.txt").write_text("alpha\n\nbeta\n")
+    tl = read_documents_text_lines(spark, str(d / "c.txt")).collect()
+    assert {r.text for r in tl} == {"alpha", "beta"}
+
+    # content-hashed ids are reproducible across reads AND repartitioning
+    a = {r.text: r.doc_id for r in read_documents(spark, str(sub), "text_files").collect()}
+    b = {
+        r.text: r.doc_id
+        for r in read_documents(spark, str(sub), "text_files").repartition(8).collect()
+    }
+    assert a == b
