@@ -77,3 +77,71 @@ def corpus_report(prepared: DataFrame) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.round(F.avg("quality"), 4).alias("mean_quality"),
     )
+
+
+def write_corpus(
+    prepared: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    shard_records: int = 100_000,
+    manifest: bool = True,
+) -> dict | None:
+    """Materialize a prepared corpus as training shards + a data-card
+    manifest.
+
+    Shards are bounded by ``shard_records`` via maxRecordsPerFile —
+    the writer keeps Spark's partitioning (no extra shuffle) and the
+    format is parquet (columnar, splittable — the default) or json
+    (JSONL shards for loaders that stream text). The manifest is the
+    data card: document/token counts, mean quality, a per-language
+    histogram, and a content fingerprint (order-insensitive XOR of
+    per-doc hashes — equal corpora produce equal fingerprints on any
+    partitioning, so a re-run is verifiable byte-independently).
+    Returns the manifest dict (None with ``manifest=False``)."""
+    import json
+    import os
+
+    writer = prepared.write.mode("overwrite").option(
+        "maxRecordsPerFile", str(shard_records)
+    )
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unknown corpus shard format {fmt!r}")
+    if not manifest:
+        return None
+    back = (
+        prepared.sparkSession.read.parquet(path)
+        if fmt == "parquet"
+        else prepared.sparkSession.read.json(path)
+    )
+    stats = back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("quality"), 4).alias("mean_quality"),
+        # XOR of per-doc content hashes: associative+commutative (a
+        # real partial-aggregating bit_xor, no collect), so the
+        # fingerprint is partitioning/order independent at any scale
+        F.expr("bit_xor(xxhash64(clean_text))").alias("fingerprint"),
+    ).first()
+    langs = {
+        r.lang_guess: r.n
+        for r in back.groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    card = {
+        "format": fmt,
+        "shard_records": shard_records,
+        "n_docs": int(stats.n_docs),
+        "n_tokens": int(stats.n_tokens) if stats.n_tokens is not None else 0,
+        "mean_quality": float(stats.mean_quality or 0.0),
+        "languages": langs,
+        "fingerprint": int(stats.fingerprint or 0),
+        "schema": [f.name for f in back.schema.fields],
+    }
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(card, f, indent=1, sort_keys=True)
+    return card
