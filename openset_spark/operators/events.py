@@ -226,6 +226,27 @@ def matching_rows(
     )
 
 
+def cull_users(
+    df: DataFrame, must_match: Column, user_col: str = "user_id"
+) -> DataFrame:
+    """The reference's query-index culling (src/queryindexing.h;
+    test/test_db.h "index compiler" suite) re-expressed for Spark:
+    before running a per-user sequence operator, drop every customer
+    who can NEVER satisfy a required ``ever`` predicate — the bitmap
+    pre-pass that decides which people to scan at all.
+
+    Declarative form: a left-semi join of the events table against
+    the distinct matching-user set. Sound whenever the downstream
+    operator ignores users with zero matching rows (funnels keyed on
+    step 1, segment ``ever`` counts, matching-row grids). At scale
+    this is the difference between window-sorting 100 TB of
+    timelines and window-sorting only the candidate users' slice —
+    Catalyst's pushdown prunes COLUMNS and PARTITIONS, this prunes
+    PEOPLE, which is exactly what the reference's index bits do."""
+    candidates = df.filter(must_match).select(user_col).distinct()
+    return df.join(candidates, user_col, "left_semi")
+
+
 def _grid_keys(
     order_cols: Sequence[str],
     event_order: Sequence[str] | None,

@@ -76,9 +76,21 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     within_ms: int | None = None,
+    cull: bool = False,
 ) -> DataFrame:
     """Funnel summary: one row per step index with the count of users
-    who reached that step in order (classic drop-off table)."""
+    who reached that step in order (classic drop-off table).
+
+    ``cull=True`` pre-drops users who never did step 1 (the
+    reference's index-compiler pre-pass, src/queryindexing.h) BEFORE
+    the per-user window: identical counts — a user without step 1
+    can reach no step — but the window sorts only candidate
+    timelines. The win scales with step-1 rarity; with a common
+    first step the extra semi-join just adds a scan, hence opt-in."""
+    if cull:
+        from openset_spark.operators.events import cull_users
+
+        df = cull_users(df, steps[0], user_col)
     per_user = funnel_user_steps(df, steps, user_col, ts_col, within_ms)
     counts = per_user.agg(
         *[

@@ -677,3 +677,33 @@ def test_operators_tolerate_empty_input(spark):
     assert user_scalar(empty, [("sum", "value", "v")]).count() == 0
     per_user = user_scalar(empty, [("sum", "value", "v")])
     assert histogram(per_user, "v", bucket=10.0).count() == 0
+
+
+def test_cull_users_preserves_funnel_counts(spark, sf_dir):
+    """The index-compiler pre-pass (ref test/test_db.h "index
+    compiler row, ever, never"; src/queryindexing.h): culling users
+    who never did step 1 must not change any funnel count, and must
+    actually drop non-candidate users' rows from the scanned frame."""
+    from openset_spark.operators.events import cull_users
+    from openset_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    steps = [F.col("event_type") == s for s in ("signup", "purchase")]
+    plain = {r.step: r.users for r in funnel(ev, steps).collect()}
+    culled = {r.step: r.users for r in funnel(ev, steps, cull=True).collect()}
+    assert plain == culled and plain[1] > 0
+
+    kept = cull_users(ev, steps[0])
+    n_candidates = kept.select("user_id").distinct().count()
+    assert kept.count() < ev.count() or n_candidates == ev.select(
+        "user_id"
+    ).distinct().count()
+    # every kept user really has a step-1 row
+    assert (
+        kept.join(
+            ev.filter(steps[0]).select("user_id").distinct(),
+            "user_id",
+            "left_anti",
+        ).count()
+        == 0
+    )

@@ -309,3 +309,16 @@ def test_first_row_salted_is_aggregate_not_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan  # map-side combine present
     assert user_exchanges(df) == 2, plan
+
+
+def test_culled_funnel_semijoins_before_window(spark, sf_dir):
+    """cull=True must plan the candidate-user pre-pass as a (semi)
+    hash join feeding the single user-keyed window exchange — people
+    pruning in the plan, the reference's index bits made visible."""
+    from openset_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    steps = [F.col("event_type") == "signup", F.col("event_type") == "purchase"]
+    plan = plan_str(funnel(ev, steps, cull=True), "simple")
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
