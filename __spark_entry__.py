@@ -2030,78 +2030,71 @@ _DRIVER_WINDOW = 50
 
 
 def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Round-6 window (VERDICT r5 asks #1/#5): a freshness rotation, not a
+    # surface change. Promoted all 24 keys whose last driver-green row was
+    # r4 or older — including tpch_q7_style/tpch_q10_style, the only two
+    # registry keys never driver-verified — and demoted 24 r5-green
+    # veterans to extras. Cumulative ledger: COVERAGE.md.
     return {
         # relational (TPC-H family reps: wide agg, broadcast join, multi-join)
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q9_style": q_tpch_q9_style,
-        # event engine
-        "event_agg_by_type": q_event_agg_by_type,
-        "event_agg_rollup": q_event_agg_rollup,
-        "user_purchase_totals": q_user_purchase_totals,
-        "events_with_user_dim": q_events_with_user_dim,
-        "first_events_per_user": q_first_events_per_user,
+        # promoted r6: never driver-verified (new in r5)
+        "tpch_q7_style": q_tpch_q7_style,
+        "tpch_q10_style": q_tpch_q10_style,
+        # promoted r6: last green r1
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q18_style": q_tpch_q18_style,
+        "top_customers": q_top_customers,
+        # event engine (promoted r6: last green r1–r3)
+        "event_agg_by_day": q_event_agg_by_day,
+        "event_agg_two_level": q_event_agg_two_level,
+        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
+        "last_purchase_per_user": q_last_purchase_per_user,
+        "row_count_distribution": q_row_count_distribution,
+        "purchases_by_quarter": q_purchases_by_quarter,
+        "props_json_extract": q_props_json_extract,
+        "user_event_type_sets": q_user_event_type_sets,
         # sequence / behavioral
         "session_counts": q_session_counts,
-        # rotated in for round 3: the only two oracle queries that never
-        # had a green driver row (session_counts_5min was a round-1 hash
-        # FAIL whose fix the driver never re-confirmed; osl_histogram_weeks
-        # is new in round 2) — every other extras-tier query was verified
-        # by the round-1 window before the registry split.
         "session_counts_5min": q_session_counts_5min,
-        "osl_histogram_weeks": q_osl_histogram_weeks,
+        "session_stats": q_session_stats,
         "funnel_within_hour": q_funnel_within_hour,
-        "next_event_transitions": q_next_event_transitions,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "monthly_retention": q_monthly_retention,
         "next_session_transitions": q_next_session_transitions,
-        "top_paths": q_top_paths,
-        "top_event_types_per_day": q_top_event_types_per_day,
-        "weekly_retention": q_weekly_retention,
         "days_to_convert": q_days_to_convert,
-        # rotated in for round 5 (VERDICT r4 asks #1/#4): first driver
-        # rows for the three r4 extras and the new z-order oracle;
-        # props_json_extract, user_event_type_sets, top_bigrams and
-        # token_counts (all r4-green) moved to extras. Cumulative
-        # ledger: COVERAGE.md.
+        "osl_histogram_weeks": q_osl_histogram_weeks,
+        # OSL surfaces (r5 first-greens kept for a second confirming row)
         "osl_customer_write": q_osl_customer_write,
         "osl_return_first": q_osl_return_first,
         "osl_agg_options": q_osl_agg_options,
+        "osl_script_counter": q_osl_script_counter,
         "zorder_first_rows": q_zorder_first_rows,
         # segments
         "segment_counts": q_segment_counts,
         "segment_algebra": q_segment_algebra,
-        "segment_sequence_counts": q_segment_sequence_counts,
         "textual_user_core": q_textual_user_core,
-        # OSL front-end
         "osl_event_agg": q_osl_event_agg,
-        "osl_funnel_continue": q_osl_funnel_continue,
-        "osl_segment_counts": q_osl_segment_counts,
-        # property / histogram / customer
-        "property_counts_bucketed": q_property_counts_bucketed,
+        # property / histogram (promoted r6: last green r1)
+        "property_counts": q_property_counts,
+        "property_counts_rx": q_property_counts_rx,
         "property_counts_between": q_property_counts_between,
-        "property_counts_by_segment": q_property_counts_by_segment,
-        "histogram_spend_clipped": q_histogram_spend_clipped,
-        "histogram_by_type": q_histogram_by_type,
         "session_length_quantiles": q_session_length_quantiles,
-        "customer_timeline": q_customer_timeline,
-        # rotated in for round 4 (the two NTZ-affected extras from the
-        # r3 rotation promise, plus the first OSL-imperative oracle);
-        # dedup_ngram_jaccard and clean_documents (driver-green r3)
-        # moved to extras to make room.
-        "histogram_weeks_since": q_histogram_weeks_since,
-        "recent_purchase_totals": q_recent_purchase_totals,
-        "osl_script_counter": q_osl_script_counter,
-        # pipeline
+        # pipeline (sketch oracles kept; plus the r1/r3/r4-stale keys)
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_topk": q_ann_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
+        "clean_documents": q_clean_documents,
+        "top_bigrams": q_top_bigrams,
+        "token_counts": q_token_counts,
     }
 
 
@@ -2306,40 +2299,36 @@ FROM r WHERE rn = 1
 
 
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Demoted round 6: all 24 were driver-green in r5 (most with 4-5
+    # cumulative greens) — freshest keys in the ledger, so they yield
+    # their window slots to the r4-and-older cohort. Every entry below
+    # still replays its oracle vs DuckDB on each local pytest run
+    # (tests/test_correctness.py); rotation brings them back by r8.
     return {
-        # demoted round 4 (driver-green r3; slots freed for the r3
-        # rotation promise + the OSL-imperative oracle)
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "clean_documents": q_clean_documents,
-        # demoted round 3 (driver-green in r1+r2; window slots freed for
-        # the never-verified pair and new round-3 queries)
-        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
-        "row_count_distribution": q_row_count_distribution,
-        "purchases_by_quarter": q_purchases_by_quarter,
-        # round-5 relational breadth (the §7 r2+ candidate that never
-        # landed): two-role-dimension join + returned-item top-k
-        "tpch_q7_style": q_tpch_q7_style,
-        "tpch_q10_style": q_tpch_q10_style,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q18_style": q_tpch_q18_style,
-        "top_customers": q_top_customers,
-        "event_agg_by_day": q_event_agg_by_day,
-        "event_agg_two_level": q_event_agg_two_level,
-        "last_purchase_per_user": q_last_purchase_per_user,
-        "session_stats": q_session_stats,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "monthly_retention": q_monthly_retention,
-        "property_counts": q_property_counts,
-        "property_counts_rx": q_property_counts_rx,
-        "dedup_exact_keep": q_dedup_exact_keep,
-        # demoted round 5 (driver-green r4; slots freed for the r4
-        # VERDICT rotation: osl_customer_write / osl_return_first /
-        # osl_agg_options promoted, plus the new zorder_first_rows)
-        "props_json_extract": q_props_json_extract,
-        "user_event_type_sets": q_user_event_type_sets,
-        "top_bigrams": q_top_bigrams,
-        "token_counts": q_token_counts,
+        "event_agg_by_type": q_event_agg_by_type,
+        "event_agg_rollup": q_event_agg_rollup,
+        "user_purchase_totals": q_user_purchase_totals,
+        "events_with_user_dim": q_events_with_user_dim,
+        "first_events_per_user": q_first_events_per_user,
+        "next_event_transitions": q_next_event_transitions,
+        "top_paths": q_top_paths,
+        "top_event_types_per_day": q_top_event_types_per_day,
+        "weekly_retention": q_weekly_retention,
+        "segment_sequence_counts": q_segment_sequence_counts,
+        "osl_funnel_continue": q_osl_funnel_continue,
+        "osl_segment_counts": q_osl_segment_counts,
+        "property_counts_bucketed": q_property_counts_bucketed,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "histogram_spend_clipped": q_histogram_spend_clipped,
+        "histogram_by_type": q_histogram_by_type,
+        "customer_timeline": q_customer_timeline,
+        "histogram_weeks_since": q_histogram_weeks_since,
+        "recent_purchase_totals": q_recent_purchase_totals,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
 
