@@ -17,7 +17,7 @@ IS the schema object, "describe" round-trips it.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql.types import (
     ArrayType,
@@ -68,16 +68,25 @@ class PropertyDef:
 
 @dataclass(frozen=True)
 class TableDef:
-    """A table: id type, properties, same-stamp event order."""
+    """A table: id type, properties, same-stamp event order, and the
+    row-retention settings the reference keeps per table
+    (src/table.h:122-124 ``eventMax``/``eventTtl``, serialized as
+    ``event_max``/``event_ttl`` in table settings, src/table.cpp:151).
+    ``sources.tables.apply_retention`` / ``retention_filter`` consume
+    these to run the oloop_cleaner maintenance pass."""
 
     name: str
     id_type: str = "numeric"  # numeric | textual
     properties: tuple[PropertyDef, ...] = ()
     event_order: tuple[str, ...] = ()
+    event_ttl_ms: int = 86_400_000 * 365 * 5  # ref default: 5 years
+    event_max: int = 5000  # ref default: newest 5000 rows/person
 
     def __post_init__(self) -> None:
         if self.id_type not in ("numeric", "textual"):
             raise ValueError("id_type must be 'numeric' or 'textual'")
+        if self.event_ttl_ms <= 0 or self.event_max <= 0:
+            raise ValueError("event_ttl_ms and event_max must be positive")
         names = [p.name for p in self.properties]
         dupes = {n for n in names if names.count(n) > 1}
         if dupes:
@@ -114,14 +123,12 @@ class TableDef:
     # -- property management (PUT/DELETE .../property/{p}) ----------
     def with_property(self, prop: PropertyDef) -> "TableDef":
         others = tuple(p for p in self.properties if p.name != prop.name)
-        return TableDef(self.name, self.id_type, others + (prop,), self.event_order)
+        return replace(self, properties=others + (prop,))
 
     def drop_property(self, name: str) -> "TableDef":
-        return TableDef(
-            self.name,
-            self.id_type,
-            tuple(p for p in self.properties if p.name != name),
-            self.event_order,
+        return replace(
+            self,
+            properties=tuple(p for p in self.properties if p.name != name),
         )
 
     # -- describe (GET /v1/table/{t}) --------------------------------
@@ -138,6 +145,9 @@ class TableDef:
             "table": self.name,
             "id_type": self.id_type,
             "properties": props,
+            # reference settings-key names (src/table.cpp:151-152)
+            "event_ttl": self.event_ttl_ms,
+            "event_max": self.event_max,
         }
         if self.event_order:
             out["event_order"] = list(self.event_order)
@@ -158,6 +168,8 @@ class TableDef:
                 for p in d.get("properties", ())
             ),
             event_order=tuple(d.get("event_order", ())),
+            event_ttl_ms=d.get("event_ttl", 86_400_000 * 365 * 5),
+            event_max=d.get("event_max", 5000),
         )
 
 

@@ -11,8 +11,10 @@ ReadSchema).
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
@@ -109,3 +111,162 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.mode("overwrite").saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Event-row retention (TTL + per-user row cap)
+#
+# The reference auto-culls event rows in a daily background maintenance
+# loop (src/oloop_cleaner.cpp:45-120 walks every person and calls
+# Grid::cull(); interval = table->maintInterval, src/table.h:127).
+# Grid::cull() (src/grid.cpp:698-749) enforces two table settings:
+#   * event_ttl (src/table.h:124, default 5 years): drop rows whose
+#     stamp is older than now - ttl;
+#   * event_max (src/table.h:122, default 5000): keep at most the
+#     NEWEST event_max rows per person.
+# (The reference's expired-row erase computes `numToErase = rowCount -
+# expiredCount` from the front — an inverted count that would erase the
+# *live* rows; we implement the documented intent: expired rows go,
+# live rows stay.)
+#
+# Spark-first split: the *policy* is one declarative filter + one
+# bounded per-user top-k; the *maintenance* is a storage operation that
+# must not scan what it deletes. On the date-partitioned layout whole
+# expired days are directory drops (a metastore/manifest operation at
+# cluster scale — zero rows read); only the single boundary day is
+# rewritten, with partition pruning confining the scan to it.
+# ---------------------------------------------------------------------------
+
+
+def retention_filter(
+    df: DataFrame,
+    now_ms: int,
+    ttl_ms: int | None = 86_400_000 * 365 * 5,
+    event_max: int | None = None,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """The cull policy as a DataFrame transform (Grid::cull semantics).
+
+    The TTL is a plain comparison on ``ts_col`` so it reaches the scan
+    as a pushed filter (plan-asserted in tests/test_plans.py). The
+    per-user cap is a bounded window top-k — the only part that needs
+    the per-user clustering, and it is skipped entirely when
+    ``event_max`` is None (the common TTL-only maintenance pass).
+    """
+    out = df
+    if ttl_ms is not None:
+        cutoff = F.timestamp_micros(F.lit((now_ms - ttl_ms) * 1000))
+        out = out.filter(F.col(ts_col) >= cutoff)
+    if event_max is not None:
+        w = Window.partitionBy(user_col).orderBy(
+            F.col(ts_col).desc(), F.col("event_id").desc()
+        )
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= event_max)
+            .drop("_rn")
+        )
+    return out
+
+
+_PART_DIR_RE = re.compile(r"^event_date=(\d{4}-\d{2}-\d{2})$")
+
+
+def list_day_partitions(path: str) -> list[str]:
+    """Partition values (ISO dates) present in a by-day layout."""
+    out = []
+    for name in os.listdir(path):
+        m = _PART_DIR_RE.match(name)
+        if m and os.path.isdir(os.path.join(path, name)):
+            out.append(m.group(1))
+    return sorted(out)
+
+
+def _boundary_rewrite_frame(
+    spark: SparkSession, path: str, boundary_day: str, cutoff_ts_us: int, ts_col: str
+) -> DataFrame:
+    """The only scan `apply_retention` performs on a partitioned layout:
+    partition-pruned to the single boundary day (PartitionFilters in
+    the scan, asserted in tests/test_retention.py), row-filtered to the
+    surviving tail of that day."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("event_date") == F.lit(boundary_day))
+        .filter(F.col(ts_col) >= F.timestamp_micros(F.lit(cutoff_ts_us)))
+    )
+
+
+def apply_retention(
+    spark: SparkSession,
+    path: str,
+    now_ms: int,
+    ttl_ms: int = 86_400_000 * 365 * 5,
+    ts_col: str = "ts",
+) -> dict:
+    """TTL maintenance over a stored events table (the oloop_cleaner
+    analog). Detects the layout:
+
+    * **date-partitioned** (``event_date=YYYY-MM-DD/`` directories,
+      `write_partitioned_by_day`): every whole day strictly before the
+      cutoff day is DELETED as a directory — no read. The boundary day
+      (the one containing the cutoff instant) is rewritten through a
+      partition-pruned scan of just that directory. At cluster scale
+      the directory drop is an Iceberg/Hive `DROP PARTITION` —
+      metadata-only either way.
+    * **flat** parquet: a retention-filtered rewrite into a fresh
+      directory swapped over the old one (the filter is pushed to the
+      scan, but every surviving row is rewritten — this is why the
+      by-day layout exists).
+
+    Returns a report: layout, dropped partitions, whether a boundary
+    rewrite happened, and rows removed.
+    """
+    cutoff_ms = now_ms - ttl_ms
+    cutoff_us = cutoff_ms * 1000
+    days = list_day_partitions(path)
+    report: dict = {"path": path, "cutoff_ms": cutoff_ms}
+
+    if days:
+        import datetime as _dt
+
+        cutoff_day = (
+            _dt.datetime.fromtimestamp(cutoff_ms / 1000, tz=_dt.timezone.utc)
+            .date()
+            .isoformat()
+        )
+        expired = [d for d in days if d < cutoff_day]
+        for d in expired:
+            shutil.rmtree(os.path.join(path, f"event_date={d}"))
+        report.update(layout="partitioned", dropped_partitions=expired)
+        if cutoff_day in days:
+            # distributed rewrite of the one boundary directory: scan is
+            # partition-pruned to it, output lands in a sibling temp dir,
+            # then a filesystem swap — no driver-side materialization.
+            keep = _boundary_rewrite_frame(
+                spark, path, cutoff_day, cutoff_us, ts_col
+            ).drop("event_date")
+            part_dir = os.path.join(path, f"event_date={cutoff_day}")
+            # temp dir OUTSIDE the table root: inside it, the name would
+            # match the event_date= pattern and poison partition discovery
+            # for any concurrent reader.
+            tmp = path.rstrip("/") + f".boundary_tmp_{cutoff_day}"
+            keep.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(part_dir)
+            os.replace(tmp, part_dir)
+            report["boundary_rewritten"] = cutoff_day
+        else:
+            report["boundary_rewritten"] = None
+        return report
+
+    # flat layout: filtered rewrite + atomic-ish swap
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.filter(F.col(ts_col) >= F.timestamp_micros(F.lit(cutoff_us)))
+    tmp = path.rstrip("/") + ".retention_tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    report.update(layout="flat", rows_removed=before - after, rows_kept=after)
+    return report
