@@ -71,16 +71,8 @@ def _batch_frame(spark, path):
 
 
 def _run_available(stream_df, name):
-    """Start an availableNow query and wait until ALL available data
-    is processed. Termination alone is the wrong wait: an operator
-    with PENDING PROCESSING-TIME TIMEOUTS (stream_sessionize sets a
-    30-min gap timeout) can hold the query open long after the sink
-    table is complete — so wait for drain (no data available, no
-    trigger active, last batch empty), then stop. An expired wait
-    must FAIL, not fall through: a partial memory table makes a
-    baffling parity diff."""
-    import time
-
+    """Start an availableNow query into a memory sink and wait until
+    ALL available data is processed (see _wait_drained)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -88,6 +80,19 @@ def _run_available(stream_df, name):
         .trigger(availableNow=True)
         .start()
     )
+    return _wait_drained(q)
+
+
+def _wait_drained(q):
+    """Wait until an availableNow query has processed ALL available
+    data. Termination alone is the wrong wait: an operator with
+    PENDING PROCESSING-TIME TIMEOUTS (stream_sessionize sets a 30-min
+    gap timeout) can hold the query open long after the sink is
+    complete — so wait for drain (no data available, no trigger
+    active, last batch empty), then stop. An expired wait must FAIL,
+    not fall through: a partial sink makes a baffling parity diff."""
+    import time
+
     deadline = time.time() + 600
     while time.time() < deadline:
         if not q.isActive:
@@ -111,6 +116,147 @@ def _run_available(stream_df, name):
         time.sleep(0.5)
     q.stop()
     raise AssertionError("stream did not drain in 600s")
+
+
+def test_stream_ingest_matches_batch_parse(spark, sf_dir, tmpdir):
+    """Parity for the ingest surface itself (the one streaming op with
+    no stateful logic — the parse must still agree row-for-row):
+
+    1. `read_event_stream` across micro-batches == the batch read of
+       the same files with the same schema, as exact row multisets —
+       including a malformed line both sides must null out identically.
+    2. Cross-format: the SAME underlying events re-serialized in the
+       reference wire format ({"uuid","stamp","event",...},
+       src/rpc_insert.cpp) and parsed by batch `parse_events` yield
+       the identical typed rows — the streaming testdata parse and the
+       reference-wire parse describe one event stream."""
+    import json
+
+    from openset_spark.sources.catalog import EVENTS_TABLE
+    from openset_spark.sources.json_events import parse_events
+
+    _spill_events(spark, sf_dir, tmpdir)
+    # a malformed line: from_json must yield a null row on BOTH sides
+    with open(f"{tmpdir}/batch-000.json", "a") as f:
+        f.write("{not json at all\n")
+
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    name = f"parity_ing_{uuid.uuid4().hex[:8]}"
+    _run_available(stream, name)
+
+    def keyset(rows):
+        out = []
+        for r in rows:
+            out.append((r.event_id, r.ts, r.user_id, r.event_type, r.value, r.props))
+        return sorted(out, key=repr)
+
+    streamed = keyset(spark.sql(f"select * from {name}").collect())
+    batch = keyset(_batch_frame(spark, tmpdir).collect())
+    assert len(streamed) > 100
+    assert streamed == batch
+
+    # wire-format re-serialization of the same events
+    wire_dir = tempfile.mkdtemp(prefix="oss-wire-")
+    try:
+        good = [r for r in streamed if r[0] is not None]
+        with open(f"{wire_dir}/inserts.json", "w") as f:
+            for event_id, ts, user_id, event_type, value, props in good:
+                f.write(
+                    json.dumps(
+                        {
+                            "uuid": user_id,
+                            "stamp": int(ts.timestamp() * 1000),
+                            "event": event_type,
+                            "event_id": event_id,
+                            "value": value,
+                            "props": props,
+                        }
+                    )
+                    + "\n"
+                )
+        wire = parse_events(spark.read.text(wire_dir), EVENTS_TABLE)
+        wired = keyset(
+            wire.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ).collect()
+        )
+        # the reference wire format carries ms-epoch stamps
+        # (src/rpc_insert.cpp), so parity is at millisecond resolution
+        ms = lambda t: (t[0], t[1].replace(microsecond=t[1].microsecond // 1000 * 1000), *t[2:])  # noqa: E731
+        assert wired == [ms(t) for t in good]
+    finally:
+        shutil.rmtree(wire_dir, ignore_errors=True)
+
+
+def test_subscription_broker_end_to_end_matches_batch(spark, sf_dir, tmpdir):
+    """The full reference notification path — stream -> stateful
+    segment flips -> broker fan-out -> poll payloads — replayed over
+    real events across micro-batches must equal batch-recomputed
+    membership: every subscriber on a segment receives exactly the
+    flip set (uid + state), independent feeds don't interfere, and
+    payload bookkeeping (count/remaining) is consistent."""
+    from openset_spark.operators.segments import Segment, membership
+    from openset_spark.streaming.segments_stream import (
+        StreamSegment,
+        stream_segment_transitions,
+    )
+    from openset_spark.streaming.subscriptions import SubscriptionBroker
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    segs = [
+        StreamSegment(
+            "big_spenders",
+            lambda pdf: (pdf["event_type"] == "purchase") & (pdf["value"] > 150),
+        ),
+        StreamSegment("error_free", lambda pdf: pdf["event_type"] == "error", mode="never"),
+    ]
+    broker = SubscriptionBroker()
+    broker.create("big_spenders", "hook_a", retention_ms=10**15)
+    broker.create("big_spenders", "hook_b", retention_ms=10**15)
+    broker.create("error_free", "hook_c", retention_ms=10**15)
+
+    ckpt = tempfile.mkdtemp(prefix="oss-ckpt-")
+    try:
+        q = broker.attach(
+            stream_segment_transitions(stream, segs), ckpt, availableNow=True
+        )
+        _wait_drained(q)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    # batch truth on the same files
+    m = membership(
+        _batch_frame(spark, tmpdir),
+        [
+            Segment(
+                "big_spenders",
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+            ),
+            Segment("error_free", F.col("event_type") == "error", mode="never"),
+        ],
+    ).collect()
+    batch_in = {r.user_id for r in m if r.big_spenders}
+    batch_exited = {r.user_id for r in m if not r.error_free}
+    assert len(batch_in) > 3 and len(batch_exited) > 3
+
+    pa = broker.get("big_spenders", "hook_a").poll(now_ms=0)
+    pb = broker.get("big_spenders", "hook_b").poll(now_ms=0)
+    pc = broker.get("error_free", "hook_c").poll(now_ms=0)
+
+    # both big_spenders feeds saw the identical payload, independently
+    assert pa["messages"] == pb["messages"]
+    assert pa["count"] == len(batch_in) and pa["remaining"] == 0
+    assert {msg["uid"] for msg in pa["messages"]} == batch_in
+    assert all(msg["state"] == "entered" for msg in pa["messages"])
+
+    assert {msg["uid"] for msg in pc["messages"]} == batch_exited
+    assert all(msg["state"] == "exited" for msg in pc["messages"])
+
+    # each user flipped exactly once per segment across all batches
+    assert pc["count"] == len(batch_exited)
+    # a second poll finds the feeds drained
+    assert broker.get("big_spenders", "hook_a").poll(now_ms=0)["count"] == 0
 
 
 def test_stream_sessionize_matches_batch_with_session(spark, sf_dir, tmpdir):
