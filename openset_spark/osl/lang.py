@@ -616,14 +616,29 @@ def _call_const(fn: str, args: list):
     raise _NotConst(f"call {fn}()")
 
 
+def _trim_zeros(s: str) -> str:
+    """cvar::trimZeros (lib/var/var.h:647): strip trailing zeros from a
+    fixed-point rendering, keeping at least one decimal digit."""
+    while len(s) > 2 and s[-1] == "0":
+        s = s[:-1]
+    if s[-1] == ".":
+        s += "0"
+    return s
+
+
 def _cvar_str(v) -> str:
-    """The reference's string rendering (test_lib_var.h "JS like
-    conversion functions": std::string(cvar(1234.5)) == "1234.5",
-    ints render without a decimal point, bools as true/false)."""
+    """The reference's string rendering (cvar::getString): ints render
+    without a decimal point, bools as true/false, floats through
+    trimZeros(std::to_string(v)) — FIXED-POINT with 6 decimals then
+    trailing-zero trim (lib/var/var.h:1149-1151), so 1234.5 -> "1234.5",
+    53.0 -> "53.0", and 1234567.8 -> "1234567.8" (never scientific
+    notation, unlike %g)."""
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
-        return f"{v:g}"  # 1234.5 -> "1234.5", 53.0 -> "53" (%g, like cvar)
+        if v != v or v in (float("inf"), float("-inf")):
+            return str(v)  # to_string renders inf/nan textually too
+        return _trim_zeros(f"{v:.6f}")
     return str(v)
 
 
@@ -713,11 +728,13 @@ def _binop_const(op: str, a, b):
         if isinstance(a, list):
             drop = b if isinstance(b, (list, set, tuple)) else [b]
             return [x for x in a if x not in drop]
-        if isinstance(a, str) and isinstance(b, str):
-            # cvar string math: remove the FIRST occurrence of the
-            # right side ("the rain in Spain" - "Spain" ==
-            # "the rain in ", test_lib_var.h "string math operators")
-            return a.replace(b, "", 1)
+        if isinstance(a, str):
+            # cvar string math: subStrings (lib/var/var.h:657) loops
+            # and removes ALL occurrences of the right side; a
+            # non-string RHS is rendered through getString first
+            # (var.h operator-(const cvar&) STR case), so
+            # "a1b" - 1 == "ab".
+            return a.replace(_cvar_str(b), "")
         return a - b
     if op == "*":
         return a * b

@@ -7,17 +7,51 @@ line-per-document text files, all normalized to the pipeline's
 Spark-first: every reader is a plain DataFrame source (distributed
 splits, predicate/column pruning where the format supports it) plus a
 projection. Missing ids are assigned CONTENT-DETERMINISTICALLY —
-``xxhash64(source, text)`` — so re-ingesting the same corpus yields
-the same ids regardless of partitioning or file order (the property
-``monotonically_increasing_id`` does NOT have, and which exact dedup
-/ sampling reproducibility downstream depends on).
+``xxhash64(source, text)`` where ``source`` is the file path RELATIVE
+to the ingest root — so re-ingesting the same corpus yields the same
+ids regardless of partitioning, file order, or where the corpus
+directory is mounted (the properties ``monotonically_increasing_id``
+and absolute-path hashing do NOT have, and which exact dedup /
+sampling reproducibility downstream depends on).
+
+Collision caveat: two IDENTICAL texts in the SAME file hash to one
+doc_id. For a dedup-bound corpus that is the right semantic (they are
+the same document); supply an explicit ``id_field`` when byte-level
+row identity matters.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import os
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_SCHEME_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*:/+"
+
+
+def _rel_source(root: str) -> Column:
+    """The source label: file path RELATIVE to the ingest root.
+
+    ``input_file_name()`` returns an absolute URI (``file:///...``),
+    which would bake the mount point into content-hashed doc ids; the
+    scheme and the absolutized root prefix are stripped instead. A
+    root that is a single file (or glob) labels relative to its parent
+    directory. If the prefix doesn't match (exotic URI), the label
+    falls back to the scheme-less absolute path — still deterministic
+    per layout, just not mount-portable."""
+    r = root.rstrip("/")
+    if re.match(_SCHEME_RE, r):
+        base = re.sub(_SCHEME_RE, "/", r)
+    else:
+        base = os.path.abspath(r)
+        if not os.path.isdir(base):
+            base = os.path.dirname(base)
+    no_scheme = F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
+    return F.regexp_replace(no_scheme, "^" + re.escape(base) + "/", "")
+
 
 DOC_SCHEMA = StructType(
     [
@@ -56,7 +90,7 @@ def read_documents_jsonl(
     for m in meta_fields:
         fields.append(StructField(m, StringType()))
     raw = spark.read.schema(StructType(fields)).json(path)
-    out = raw.withColumn("source", F.input_file_name())
+    out = raw.withColumn("source", _rel_source(path))
     if text_field != "text":
         out = out.withColumnRenamed(text_field, "text")
     return _with_doc_id(out, id_field).select(
@@ -81,7 +115,7 @@ def read_documents_csv(
         .option("escape", '"')
         .csv(path)
     )
-    out = raw.withColumn("source", F.input_file_name())
+    out = raw.withColumn("source", _rel_source(path))
     if text_field != "text":
         out = out.withColumnRenamed(text_field, "text")
     return _with_doc_id(out, id_field).select("doc_id", "text", "source")
@@ -96,7 +130,7 @@ def read_documents_text_files(
         spark.read.option("wholetext", "true")
         .text(path)
         .withColumnRenamed("value", "text")
-        .withColumn("source", F.input_file_name())
+        .withColumn("source", _rel_source(path))
     )
     return _with_doc_id(raw, None).select("doc_id", "text", "source")
 
@@ -110,7 +144,7 @@ def read_documents_text_lines(
         spark.read.text(path)
         .withColumnRenamed("value", "text")
         .filter(F.length(F.trim("text")) > 0)
-        .withColumn("source", F.input_file_name())
+        .withColumn("source", _rel_source(path))
     )
     return _with_doc_id(raw, None).select("doc_id", "text", "source")
 
@@ -129,7 +163,7 @@ def read_documents(
     if fmt == "parquet":
         return _with_doc_id(
             spark.read.parquet(path).withColumn(
-                "source", F.input_file_name()
+                "source", _rel_source(path)
             ),
             kw.get("id_field", "doc_id"),
         ).select("doc_id", "text", "source")

@@ -241,3 +241,15 @@ def test_document_corpus_readers(spark, tmp_path_factory):
         for r in read_documents(spark, str(sub), "text_files").repartition(8).collect()
     }
     assert a == b
+
+    # ... AND across a corpus move/re-mount: the source label is
+    # relative to the ingest root, so the same layout in a different
+    # directory yields identical ids (dedup/sampling stability)
+    import shutil as _sh
+
+    moved = tmp_path_factory.mktemp("relocated") / "corpus"
+    _sh.copytree(str(sub), str(moved))
+    c = {r.text: r.doc_id for r in read_documents(spark, str(moved), "text_files").collect()}
+    assert c == a
+    mv_src = {r.source for r in read_documents(spark, str(moved), "text_files").collect()}
+    assert mv_src == {"x.txt", "y.txt"}

@@ -59,9 +59,47 @@ def test_cross_type_equality(one_event):
     assert log == [True] * 9
 
 
+def test_string_minus_removes_all_occurrences(one_event):
+    # cvar::subStrings (lib/var/var.h:657) LOOPS: every occurrence of
+    # the right side is removed, and a numeric right side is rendered
+    # through getString first ("a1b" - 1 == "ab")
+    log = _replay(
+        """
+        somevar = "abcabcabc"
+        somevar = somevar - "bc"
+        debug(somevar == "aaa")
+        somevar = "a1b1c" - 1
+        debug(somevar == "abc")
+        somevar = "x1.5y1.5z" - 1.5
+        debug(somevar == "xyz")
+        """,
+        one_event,
+    )
+    assert log == [True] * 3
+
+
+def test_float_string_rendering_is_fixed_point(one_event):
+    # cvar::getString -> trimZeros(std::to_string(v))
+    # (lib/var/var.h:1149): fixed-point with trailing-zero trim, one
+    # decimal kept — NEVER scientific notation, so values beyond %g's
+    # 6 significant digits keep their full form
+    log = _replay(
+        """
+        somevar = "" + 1234567.8
+        debug(somevar == "1234567.8")
+        somevar = "" + 53.0
+        debug(somevar == "53.0")
+        somevar = "n=" + 0.0001
+        debug(somevar == "n=0.0001")
+        """,
+        one_event,
+    )
+    assert log == [True] * 3
+
+
 def test_string_math_operators(one_event):
     # test_lib_var.h "cvar: string math operators" — minus removes the
-    # first occurrence, plus concatenates
+    # occurrence(s), plus concatenates
     log = _replay(
         """
         somevar = "the rain in Spain"
