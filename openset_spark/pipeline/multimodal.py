@@ -7,9 +7,10 @@ columnar batches (never row-at-a-time).
 
 Decode kernels: formats with pure-Python codecs are REAL — binary
 PPM/PGM images (P6/P5), PNG (8-bit gray/RGB/gray+A/RGBA via stdlib
-zlib, all five scanline filters) and RIFF/WAV PCM audio decode for
-real inside the Arrow batches. Codecs that need native libs
-(JPEG/WebP/ffmpeg) stay stubbed: ``deterministic=True`` yields a
+zlib, all five scanline filters), baseline JPEG (huffman + IDCT,
+``pipeline/jpeg.py``) and RIFF/WAV PCM audio decode for real inside
+the Arrow batches. Codecs that need native libs (WebP/ffmpeg, and
+progressive JPEG) stay stubbed: ``deterministic=True`` yields a
 seeded fake so the Spark plumbing — schema, batching, partitioning —
 is testable; ``deterministic=False`` raises NotImplementedError where
 PIL/ffmpeg would slot in.
@@ -87,6 +88,7 @@ def decode_ppm_bytes(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SIG = b"\xff\xd8"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 
 
@@ -278,9 +280,13 @@ def decode_images(
                     w, h, ch, px = decode_ppm_bytes(raw)
                 elif raw[:8] == PNG_SIG:
                     w, h, ch, px = decode_png_bytes(raw)
+                elif raw[:2] == JPEG_SIG:
+                    from openset_spark.pipeline.jpeg import decode_jpeg_bytes
+
+                    w, h, ch, px = decode_jpeg_bytes(raw)
                 elif not deterministic:
                     raise NotImplementedError(
-                        "JPEG/WebP image decode requires PIL; not in container"
+                        "WebP image decode requires PIL; not in container"
                     )
                 else:
                     w = int(mw) if mw is not None and mw == mw else 1

@@ -1,0 +1,355 @@
+"""Baseline JPEG decoder (pipeline/jpeg.py) — exact-pixel verification.
+
+Ground truth comes from an in-test minimal baseline ENCODER: quantized
+coefficient blocks are chosen (seeded), entropy-coded into a valid
+JFIF stream, and the expected pixels are reconstructed independently
+in the test with plain numpy (dequantize, un-zigzag, direct cos-sum
+IDCT, replication upsample, YCbCr conversion). The decoder must parse
+the bitstream — huffman tables, byte stuffing, restart markers,
+sampling factors — and land on the identical bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from openset_spark.pipeline.jpeg import decode_jpeg_bytes
+
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# a deliberately non-flat quant table (catches zigzag/quant misalignment)
+QTABLE = [(1 + (i * 7) % 23) for i in range(64)]  # values 1..23, varied
+
+
+# ---------------------------------------------------------------- encoder
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1s (T.81 F.1.2.3)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _amplitude(v: int, n: int) -> int:
+    return v if v >= 0 else v + (1 << n) - 1
+
+
+class _FixedTable:
+    """All symbols at one code length L: canonical codes 0..k-1."""
+
+    def __init__(self, symbols: list[int], length: int = 8):
+        assert len(symbols) < (1 << length) - 1
+        self.length = length
+        self.index = {s: i for i, s in enumerate(symbols)}
+        self.symbols = symbols
+
+    def dht_payload(self, tc: int, th: int) -> bytes:
+        counts = [0] * 16
+        counts[self.length - 1] = len(self.symbols)
+        return bytes([tc << 4 | th] + counts + self.symbols)
+
+    def emit(self, w: _BitWriter, sym: int):
+        w.put(self.index[sym], self.length)
+
+
+def encode_baseline_jpeg(
+    w: int,
+    h: int,
+    comp_blocks: list[dict],
+    qtables: list[list[int]],
+    restart_interval: int = 0,
+) -> bytes:
+    """comp_blocks: per component {h, v, tq, blocks: {(bx,by): zz64}}.
+    Every block is quantized coefficients in zig-zag order."""
+    hmax = max(c["h"] for c in comp_blocks)
+    vmax = max(c["v"] for c in comp_blocks)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def traverse(on_dc, on_ac, on_bits, on_restart):
+        """The ONE MCU-interleaved emission order (T.81 A.2.3), used
+        for both symbol collection and encoding so DC prediction
+        diffs agree between the passes."""
+        preds = [0] * len(comp_blocks)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    on_restart()
+                    preds = [0] * len(comp_blocks)
+                for ci, c in enumerate(comp_blocks):
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            zz = c["blocks"][
+                                (mx * c["h"] + hh, my * c["v"] + v)
+                            ]
+                            diff = zz[0] - preds[ci]
+                            preds[ci] = zz[0]
+                            t = _category(diff)
+                            on_dc(t)
+                            on_bits(_amplitude(diff, t), t)
+                            run = 0
+                            for k in range(1, 64):
+                                if zz[k] == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    on_ac(0xF0)
+                                    run -= 16
+                                s = _category(zz[k])
+                                on_ac((run << 4) | s)
+                                on_bits(_amplitude(zz[k], s), s)
+                                run = 0
+                            if run:
+                                on_ac(0x00)
+                mcu_count += 1
+
+    # pass 1: collect every DC size / AC symbol actually used
+    dc_syms, ac_syms = set(), {0x00}
+    traverse(dc_syms.add, ac_syms.add, lambda v, n: None, lambda: None)
+    dc_tab = _FixedTable(sorted(dc_syms))
+    ac_tab = _FixedTable(sorted(ac_syms))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tq, q in enumerate(qtables):
+        seg(0xDB, bytes([tq]) + bytes(q))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comp_blocks)])
+    for i, c in enumerate(comp_blocks):
+        sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
+    seg(0xC0, bytes(sof))
+    seg(0xC4, dc_tab.dht_payload(0, 0))
+    seg(0xC4, ac_tab.dht_payload(1, 0))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(comp_blocks)])
+    for i in range(len(comp_blocks)):
+        sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    # pass 2: encode, with restart-marker segmentation
+    state = {"bw": _BitWriter(), "rst": 0}
+
+    def on_restart():
+        state["bw"].flush()
+        out.extend(state["bw"].out)
+        out.extend(b"\xff" + bytes([0xD0 + (state["rst"] % 8)]))
+        state["rst"] += 1
+        state["bw"] = _BitWriter()
+
+    traverse(
+        lambda t: dc_tab.emit(state["bw"], t),
+        lambda s: ac_tab.emit(state["bw"], s),
+        lambda v, n: state["bw"].put(v, n),
+        on_restart,
+    )
+    state["bw"].flush()
+    out.extend(state["bw"].out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- independent reconstruction
+def _idct_block(zz, q):
+    """Direct cos-sum IDCT (formula transcription, independent of the
+    decoder's matrix-sandwich implementation)."""
+    coef = np.zeros((8, 8))
+    for k, z in enumerate(zz):
+        coef[ZIGZAG[k] // 8, ZIGZAG[k] % 8] = z * q[k]
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4.0 + 128.0
+    return out
+
+
+def _expected_pixels(w, h, comp_blocks, qtables):
+    hmax = max(c["h"] for c in comp_blocks)
+    vmax = max(c["v"] for c in comp_blocks)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comp_blocks:
+        plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for (bx, by), zz in c["blocks"].items():
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(
+                zz, qtables[c["tq"]]
+            )
+        sy, sx = vmax // c["v"], hmax // c["h"]
+        if sx > 1 or sy > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+
+
+def _rand_blocks(rng, nx, ny, dense=False):
+    blocks = {}
+    for by in range(ny):
+        for bx in range(nx):
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = rng.integers(-60, 60)
+            n_ac = 40 if dense else rng.integers(0, 10)
+            idx = rng.choice(np.arange(1, 64), size=n_ac, replace=False)
+            zz[idx] = rng.integers(-30, 30, size=len(idx))
+            blocks[(bx, by)] = zz.tolist()
+    return blocks
+
+
+def _roundtrip(w, h, comps, qtables, restart_interval=0):
+    data = encode_baseline_jpeg(w, h, comps, qtables, restart_interval)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert (gw, gh) == (w, h)
+    got = np.frombuffer(px, dtype=np.uint8)
+    exp = _expected_pixels(w, h, comps, qtables)
+    assert ch == (1 if exp.ndim == 2 else exp.shape[2])
+    np.testing.assert_array_equal(got.reshape(exp.shape), exp)
+    return data
+
+
+def test_gray_single_block():
+    rng = np.random.default_rng(7)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 1, 1, dense=True)}]
+    _roundtrip(8, 8, comps, [QTABLE])
+
+
+def test_gray_crop_non_multiple_of_8():
+    rng = np.random.default_rng(11)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 3, 2)}]
+    _roundtrip(24, 13, comps, [QTABLE])
+
+
+def test_color_444():
+    rng = np.random.default_rng(13)
+    q2 = [max(1, v // 2) for v in QTABLE]
+    comps = [
+        {"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 2, 1)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 2, 1)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 2, 1)},
+    ]
+    _roundtrip(16, 8, comps, [QTABLE, q2])
+
+
+def test_color_420_with_crop():
+    rng = np.random.default_rng(17)
+    q2 = [max(1, v // 2) for v in QTABLE]
+    comps = [
+        {"h": 2, "v": 2, "tq": 0, "blocks": _rand_blocks(rng, 4, 2)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 2, 1)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 2, 1)},
+    ]
+    # 2 MCUs wide (32px) cropped to 20; 1 MCU high (16px) cropped to 10
+    _roundtrip(20, 10, comps, [QTABLE, q2])
+
+
+def test_color_422():
+    rng = np.random.default_rng(19)
+    comps = [
+        {"h": 2, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 4, 1)},
+        {"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 2, 1)},
+        {"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 2, 1)},
+    ]
+    _roundtrip(32, 8, comps, [QTABLE])
+
+
+def test_restart_markers_reset_dc_prediction():
+    rng = np.random.default_rng(23)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 6, 1)}]
+    data = _roundtrip(48, 8, comps, [QTABLE], restart_interval=2)
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data  # markers present
+
+
+def test_byte_stuffing_survives():
+    # DC values chosen to force 0xFF bytes into the entropy stream at
+    # some alignment; exactness of the round-trip proves unstuffing
+    rng = np.random.default_rng(29)
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(r, 2, 2, dense=True)}]
+        _roundtrip(16, 16, comps, [[1] * 64])
+
+
+def test_progressive_rejected():
+    rng = np.random.default_rng(31)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 1, 1)}]
+    data = bytearray(encode_baseline_jpeg(8, 8, comps, [QTABLE]))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_bytes(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg_bytes(b"nope")
+
+
+def test_decode_images_routes_jpeg(spark):
+    """The Arrow mapInPandas path dispatches JPEG payloads to the real
+    kernel — same contract as the PPM/PNG kernels."""
+    from openset_spark.pipeline.multimodal import MEDIA_SCHEMA, decode_images
+
+    rng = np.random.default_rng(37)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 2, 1)}]
+    data = encode_baseline_jpeg(16, 8, comps, [QTABLE])
+    exp = _expected_pixels(16, 8, comps, [QTABLE])
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(data), "image/jpeg", None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = decode_images(media, deterministic=False).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.width, r.height, r.channels) == (16, 8, 1)
+    np.testing.assert_array_equal(
+        np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(exp.shape), exp
+    )
