@@ -86,3 +86,30 @@ def test_rows_only_queries_run(spark):
     for key in set(qs) - set(entry_mod.oracle_sql()):
         n = qs[key](spark, TEST_SF_DIR).count()
         assert n >= 0, key
+
+
+@pytest.mark.parametrize("key", ["dedup_minhash", "dedup_simhash"])
+def test_sketch_oracle_containment_at_driver_sf(spark, key):
+    """The sketch-dedup driver oracles equal the exact pair set only
+    because LSH/block candidate CONTAINMENT holds on this corpus — a
+    probabilistic property (~1-2e-5 miss/pair), measured, not proven.
+    Replay both oracles at the DRIVER's scale factor (sf0.01; the
+    parametrized suite above covers sf0.001 via TEST_SF_DIR) so a
+    corpus refresh or hash-seed change that breaks containment is
+    caught locally before it flips a driver row red."""
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):  # pragma: no cover
+        pytest.skip("driver-SF testdata not present")
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"'{os.path.join(sf01, name + '.parquet')}'"
+        )
+    spark_pdf = entry_mod.queries()[key](spark, sf01).toPandas()
+    duck_pdf = con.sql(entry_mod.oracle_sql()[key]).df()
+    assert len(spark_pdf) == len(duck_pdf) > 0, (
+        f"{key}@sf0.01: rows {len(spark_pdf)} != {len(duck_pdf)} — "
+        "candidate containment no longer exact at the driver SF"
+    )
+    assert _rows(spark_pdf) == _rows(duck_pdf)

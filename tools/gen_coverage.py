@@ -104,7 +104,19 @@ def main() -> None:
         ]
     else:
         lines.append("Every registry key has a green driver row.")
-    lines.append("")
+    lines += [
+        "",
+        "**Measured-not-proven caveat**: the `dedup_minhash` /",
+        "`dedup_simhash` oracles equal the exact pair set only because",
+        "LSH/block candidate CONTAINMENT holds on this corpus — a",
+        "probabilistic property (~1-2e-5 miss per pair), verified",
+        "empirically at sf0.001 AND the driver's sf0.01 on every pytest",
+        "run (`tests/test_correctness.py::`",
+        "`test_sketch_oracle_containment_at_driver_sf`). A corpus",
+        "refresh or hash-seed change can legitimately break it with no",
+        "code bug; the local test catches that before a driver round.",
+        "",
+    ]
     with open("COVERAGE.md", "w") as f:
         f.write("\n".join(lines))
     print(f"COVERAGE.md: {n_green}/{total} ever-green; never: {never}")
