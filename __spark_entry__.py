@@ -2057,8 +2057,11 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchases_by_quarter": q_purchases_by_quarter,
         "props_json_extract": q_props_json_extract,
         "user_event_type_sets": q_user_event_type_sets,
-        # sequence / behavioral
-        "session_counts": q_session_counts,
+        # dim-join family rep (its only other member, customer_timeline,
+        # is also resting this round)
+        "events_with_user_dim": q_events_with_user_dim,
+        # sequence / behavioral (session_counts rests: r5-green and the
+        # family keeps two reps in-window)
         "session_counts_5min": q_session_counts_5min,
         "session_stats": q_session_stats,
         "funnel_within_hour": q_funnel_within_hour,
@@ -2308,7 +2311,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_agg_by_type": q_event_agg_by_type,
         "event_agg_rollup": q_event_agg_rollup,
         "user_purchase_totals": q_user_purchase_totals,
-        "events_with_user_dim": q_events_with_user_dim,
+        "session_counts": q_session_counts,
         "first_events_per_user": q_first_events_per_user,
         "next_event_transitions": q_next_event_transitions,
         "top_paths": q_top_paths,
