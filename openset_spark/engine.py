@@ -87,6 +87,41 @@ class OpenSetEngine:
             self._events, self.session_gap_ms, event_order=self.event_order
         )
 
+    # -- retention maintenance (src/oloop_cleaner.cpp analog) ---------
+    def cull(
+        self,
+        now_ms: int | None = None,
+        ttl_ms: int | None = 86_400_000 * 365 * 5,
+        event_max: int | None = None,
+    ) -> DataFrame:
+        """The table's Grid::cull() policy as a VIEW over events: rows
+        older than ``ttl_ms`` drop (pushed-down filter), and with
+        ``event_max`` each user keeps only the newest N. ``now_ms``
+        defaults to the table's max stamp so results are deterministic
+        on static testdata (the reference uses wall-clock Now())."""
+        from openset_spark.sources.tables import retention_filter
+
+        if now_ms is None:
+            now_ms = self._events.agg(
+                F.unix_millis(F.max("ts"))
+            ).first()[0]
+        return retention_filter(
+            self._events, now_ms, ttl_ms=ttl_ms, event_max=event_max
+        )
+
+    def maintain(
+        self, path: str, now_ms: int, ttl_ms: int = 86_400_000 * 365 * 5
+    ) -> dict:
+        """Run the stored-layout retention pass (the daily
+        oloop_cleaner tick) over an events materialization at ``path``
+        — flat parquet gets a filtered rewrite, a by-day partitioned
+        layout gets whole expired days deleted as directories. The
+        path is explicit (never the engine's read-only source dir);
+        see ``sources.tables.apply_retention`` for the layout rules."""
+        from openset_spark.sources.tables import apply_retention
+
+        return apply_retention(self.spark, path, now_ms, ttl_ms=ttl_ms)
+
     # -- query endpoints ---------------------------------------------
     def event_query(
         self,

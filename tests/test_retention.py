@@ -205,6 +205,32 @@ def test_tabledef_carries_retention_settings():
         pass
 
 
+def test_engine_cull_and_maintain(spark, sf_dir, tmp_path_factory):
+    """The facade surface: cull() is the policy view (deterministic
+    now = max stamp), maintain() the storage pass over an explicit
+    materialization."""
+    from openset_spark.engine import OpenSetEngine
+
+    eng = OpenSetEngine(spark, sf_dir)
+    lo, hi = _ts_bounds_ms(eng.events)
+    ttl = (hi - lo) // 2
+    culled = eng.cull(ttl_ms=ttl)
+    expected = eng.events.filter(
+        F.col("ts") >= F.timestamp_micros(F.lit((hi - ttl) * 1000))
+    ).count()
+    assert culled.count() == expected > 0
+    # event_max caps per user
+    capped = eng.cull(ttl_ms=None, event_max=2)
+    per_user_max = capped.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_user_max <= 2
+
+    path = str(tmp_path_factory.mktemp("eng_maint")) + "/events_p"
+    write_partitioned_by_day(eng.events, path)
+    report = eng.maintain(path, now_ms=hi, ttl_ms=ttl)
+    assert report["layout"] == "partitioned"
+    assert spark.read.parquet(path).count() == expected
+
+
 def test_tabledef_drives_retention_filter(spark, sf_dir):
     """End-to-end: a table's declared settings drive the cull, same
     result as passing them explicitly."""
