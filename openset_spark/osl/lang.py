@@ -604,7 +604,9 @@ def _call_const(fn: str, args: list):
         except (TypeError, ValueError):
             return 0.0
     if fn == "str":
-        return str(args[0])
+        # through the cvar rendering (trimZeros fixed-point for
+        # floats, true/false bools), same as every other string form
+        return _cvar_str(args[0])
     if fn == "set":
         return set(args)
     if fn == "list":
