@@ -1874,6 +1874,84 @@ FROM embeddings WHERE vec_id < 50
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-token
+    fraction + top-2-gram character coverage) — the structural
+    pretraining filters; see pipeline/textstats.py::repetition_signals
+    (tie-break and threshold semantics documented there, mirrored in
+    the oracle). NEW r6."""
+    from openset_spark.pipeline.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
+_SQL_REPETITION_SIGNALS = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts, LENGTH({_NORM_SQL}) AS n_chars
+  FROM documents
+),
+base AS (
+  SELECT doc_id, ts, n_chars, len(ts) AS n_tokens,
+         len(list_distinct(ts)) AS n_distinct
+  FROM tok WHERE len(ts) >= 2
+),
+bg AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+  FROM base, UNNEST(generate_series(1, len(ts)-1)) AS s(i)
+),
+cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, bigram, c,
+    row_number() OVER (
+      PARTITION BY doc_id ORDER BY c DESC, bigram DESC
+    ) AS rn
+  FROM cnt
+)
+SELECT b.doc_id, b.n_tokens,
+  ROUND(1.0 - b.n_distinct * 1.0 / b.n_tokens, 4) AS dup_token_ratio,
+  t.bigram AS top_bigram,
+  t.c AS top_bigram_count,
+  ROUND(t.c * LENGTH(t.bigram) * 1.0 / b.n_chars, 4) AS top_bigram_char_frac,
+  ((1.0 - b.n_distinct * 1.0 / b.n_tokens) > 0.5
+   OR (t.c * LENGTH(t.bigram) * 1.0 / b.n_chars) > 0.2) AS flagged
+FROM base b JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 App. C n-gram-overlap shape):
+    documents with doc_id % 50 == 0 play the held-out eval benchmark;
+    every other document reports its 5-gram overlap against that
+    set's broadcast n-gram table. NEW r6 —
+    pipeline/decontam.py::ngram_overlap."""
+    from openset_spark.pipeline.decontam import ngram_overlap
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    rest = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_overlap(rest, bench, n=5)
+
+
+_SQL_CONTAMINATION_CHECK = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS ng
+  FROM tok, UNNEST(generate_series(1, len(ts)-4)) AS s(i)
+  WHERE len(ts) >= 5
+),
+bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 = 0),
+rest AS (SELECT doc_id, ng FROM g WHERE doc_id % 50 <> 0),
+agg AS (
+  SELECT r.doc_id, COUNT(*) AS n_ngrams, COUNT(b.ng) AS n_hits
+  FROM rest r LEFT JOIN bench b USING (ng) GROUP BY 1
+)
+SELECT doc_id, n_ngrams, n_hits,
+  ROUND(n_hits * 1.0 / n_ngrams, 4) AS overlap_frac,
+  n_hits > 0 AS contaminated
+FROM agg
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text_stats(_docs(spark, sf_dir))
     return out.select(
@@ -2079,8 +2157,12 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # segments
         "segment_counts": q_segment_counts,
         "segment_algebra": q_segment_algebra,
-        "textual_user_core": q_textual_user_core,
-        "osl_event_agg": q_osl_event_agg,
+        # NEW r6 pipeline operators (placed in-window so they carry a
+        # green row from their first round; textual_user_core and
+        # osl_event_agg rest in extras — both r5-green, families still
+        # represented)
+        "repetition_signals": q_repetition_signals,
+        "contamination_check": q_contamination_check,
         # property / histogram (promoted r6: last green r1)
         "property_counts": q_property_counts,
         "property_counts_rx": q_property_counts_rx,
@@ -2308,6 +2390,8 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # still replays its oracle vs DuckDB on each local pytest run
     # (tests/test_correctness.py); rotation brings them back by r8.
     return {
+        "textual_user_core": q_textual_user_core,
+        "osl_event_agg": q_osl_event_agg,
         "event_agg_by_type": q_event_agg_by_type,
         "event_agg_rollup": q_event_agg_rollup,
         "user_purchase_totals": q_user_purchase_totals,
@@ -2413,6 +2497,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _SQL_ANN_RECALL_OK,
         "ann_ivf": _SQL_ANN_RECALL_OK,
         "text_stats": _SQL_TEXT_STATS,
+        "repetition_signals": _SQL_REPETITION_SIGNALS,
+        "contamination_check": _SQL_CONTAMINATION_CHECK,
         "token_counts": _SQL_TOKEN_COUNTS,
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _lang_id_sql(),

@@ -119,3 +119,57 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.md5(norm).alias("fingerprint_md5"),
         F.xxhash64(norm).alias("fingerprint_xx64"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    App. A1.1, adapted to single-line documents): the duplicate-token
+    fraction and the character fraction covered by the most frequent
+    word 2-gram — the cheap structural filters a pretraining pipeline
+    runs before any model-based scoring.
+
+    One bigram explode + two aggregates, all JVM-side; the top-bigram
+    tie-break is the lexicographically greatest bigram at the max
+    count (a struct max — deterministic, mirrored in the oracle).
+    ``top_bigram_char_frac`` counts occurrences * bigram length over
+    normalized chars (overlapping occurrences not merged — the usual
+    simplification). Documents with fewer than 2 tokens are excluded.
+    ``flagged`` applies Gopher-ish thresholds (dup fraction > 0.5 or
+    top-bigram coverage > 0.2), computed on unrounded values."""
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.length(normalize(F.col(text_col))).alias("n_chars"),
+    ).filter(F.size("toks") >= 2)
+    bigrams = base.select(
+        id_col,
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks)-2), "
+                "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2)))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy(
+        id_col, "n_chars", "n_tokens", "n_distinct", "bigram"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    top = counts.groupBy(id_col, "n_chars", "n_tokens", "n_distinct").agg(
+        F.max(F.struct(F.col("c"), F.col("bigram"))).alias("m")
+    )
+    dup = 1.0 - F.col("n_distinct") / F.col("n_tokens")
+    frac = F.col("m.c") * F.length("m.bigram") / F.col("n_chars")
+    return top.select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(dup, 4).alias("dup_token_ratio"),
+        F.col("m.bigram").alias("top_bigram"),
+        F.col("m.c").alias("top_bigram_count"),
+        F.round(frac, 4).alias("top_bigram_char_frac"),
+        ((dup > 0.5) | (frac > 0.2)).alias("flagged"),
+    )

@@ -486,3 +486,74 @@ def test_write_corpus_shards_and_manifest(spark, sf_dir, tmp_path_factory):
     card2 = write_corpus(prepared.repartition(13), out2, shard_records=50)
     assert card2["fingerprint"] == card["fingerprint"]
     assert card2["n_docs"] == card["n_docs"]
+
+
+def test_repetition_signals_crafted(spark):
+    from openset_spark.pipeline.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),            # dup-heavy, top bigram "a b" x3
+            # all distinct AND long enough that no single bigram
+            # covers >20% of the characters
+            (2, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"),
+            (3, "solo"),                     # < 2 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    # 6 tokens, 2 distinct -> dup 1 - 2/6
+    assert r1.n_tokens == 6 and abs(r1.dup_token_ratio - (1 - 2 / 6)) < 1e-4
+    # sliding bigrams of "a b a b a b": "a b" x3, "b a" x2
+    assert (r1.top_bigram, r1.top_bigram_count) == ("a b", 3)
+    assert bool(r1.flagged)  # dup 0.667 > 0.5
+    r2 = rows[2]
+    assert r2.dup_token_ratio == 0.0 and not r2.flagged
+    assert r2.top_bigram_count == 1
+
+
+def test_ngram_overlap_and_decontaminate(spark):
+    from openset_spark.pipeline.decontam import decontaminate, ngram_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "he said the quick brown fox jumps right here"),  # leaks
+            (2, "completely unrelated words appear in this document"),
+            (3, "tiny doc"),  # < 5 tokens: no n-grams, excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in ngram_overlap(corpus, bench, n=5).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].contaminated and rows[1].n_hits == 1  # one shared 5-gram
+    assert rows[1].n_ngrams == 5
+    assert not rows[2].contaminated and rows[2].n_hits == 0
+    assert rows[2].overlap_frac == 0.0
+
+    kept = sorted(
+        r.doc_id for r in decontaminate(corpus, bench, n=5).collect()
+    )
+    # doc 1 dropped; doc 3 kept (cannot leak), doc 2 kept
+    assert kept == [2, 3]
+
+
+def test_decontam_plan_broadcasts_benchmark(spark):
+    from openset_spark.pipeline.decontam import ngram_overlap
+    from tests.test_plans import plan_str
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "he said the quick brown fox jumps right here")],
+        "doc_id long, text string",
+    )
+    plan = plan_str(ngram_overlap(corpus, bench, n=5), "simple")
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan

@@ -66,7 +66,9 @@ WINDOW_FAMILIES = {
     "text": [
         "text_stats", "quality_score", "lang_id", "doc_fingerprint",
         "token_counts", "clean_documents", "top_bigrams",
+        "repetition_signals",
     ],
+    "decontam": ["contamination_check"],
 }
 
 
