@@ -243,3 +243,34 @@ def test_tabledef_drives_retention_filter(spark, sf_dir):
     )
     explicit = retention_filter(ev, hi, ttl_ms=(hi - lo) // 2, event_max=3)
     assert via_def.count() == explicit.count() > 0
+
+
+def test_apply_retention_edges(spark, sf_dir, tmp_path_factory):
+    """Nothing-expired is a no-op report; everything-expired drops all
+    day directories (metastore semantics: an empty table, not an
+    error during the maintenance pass itself)."""
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = _ts_bounds_ms(ev)
+
+    # nothing expired: cutoff before the data begins
+    p1 = str(tmp_path_factory.mktemp("ret_edge1")) + "/events_p"
+    write_partitioned_by_day(ev, p1)
+    days = list_day_partitions(p1)
+    rep1 = apply_retention(spark, p1, now_ms=lo, ttl_ms=86_400_000 * 1000)
+    assert rep1["dropped_partitions"] == [] and rep1["boundary_rewritten"] is None
+    assert list_day_partitions(p1) == days
+    assert spark.read.parquet(p1).count() == ev.count()
+
+    # everything expired: cutoff after the data ends
+    p2 = str(tmp_path_factory.mktemp("ret_edge2")) + "/events_p"
+    write_partitioned_by_day(ev, p2)
+    rep2 = apply_retention(spark, p2, now_ms=hi + 2 * 86_400_000, ttl_ms=1)
+    assert rep2["dropped_partitions"] == days
+    assert list_day_partitions(p2) == []
+
+    # flat layout, everything expired: table remains readable and empty
+    p3 = str(tmp_path_factory.mktemp("ret_edge3")) + "/events"
+    ev.write.parquet(p3)
+    rep3 = apply_retention(spark, p3, now_ms=hi + 2 * 86_400_000, ttl_ms=1)
+    assert rep3["rows_kept"] == 0 and rep3["rows_removed"] == ev.count()
+    assert spark.read.parquet(p3).count() == 0
