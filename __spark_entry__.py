@@ -1952,6 +1952,23 @@ FROM agg
 """
 
 
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (the data-mixing primitive):
+    best-quality documents whose running token total stays within the
+    budget, in (quality DESC, doc_id ASC) order. The Spark side
+    computes the global prefix sum DISTRIBUTED (range partitions +
+    per-partition windows + broadcast offsets —
+    pipeline/sampling.py::token_budget_select); the oracle is the
+    naive single-window cumsum, so equality proves the distributed
+    decomposition exact. NEW r6."""
+    from openset_spark.pipeline.sampling import token_budget_select
+    from openset_spark.pipeline.textstats import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir))
+    out = token_budget_select(scored, budget=10_000)
+    return out.select("doc_id", "n_tokens", "quality", "cum_tokens")
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = text_stats(_docs(spark, sf_dir))
     return out.select(
@@ -2008,6 +2025,23 @@ SELECT doc_id, n_tokens, ROUND(stop_ratio, 4) AS stop_ratio,
   ROUND(LEAST(stop_ratio * 5, 1.0) * 0.4 + alpha_ratio * 0.4
         + (CASE WHEN n_tokens >= 20 AND n_tokens <= 10000 THEN 1.0 ELSE 0.5 END) * 0.2, 4) AS quality
 FROM s
+"""
+
+# the oracle for token_budget_select: the NAIVE single-window cumsum
+# over the same quality scores — equality proves the distributed
+# prefix-sum decomposition exact
+_SQL_TOKEN_BUDGET_SELECT = f"""
+WITH q AS ({_SQL_QUALITY_SCORE}),
+c AS (
+  SELECT doc_id, n_tokens, quality,
+    CAST(SUM(n_tokens) OVER (
+      ORDER BY quality DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, n_tokens, quality, cum_tokens
+FROM c WHERE cum_tokens <= 10000
 """
 
 
@@ -2163,11 +2197,11 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # represented)
         "repetition_signals": q_repetition_signals,
         "contamination_check": q_contamination_check,
+        "token_budget_select": q_token_budget_select,
         # property / histogram (promoted r6: last green r1)
         "property_counts": q_property_counts,
         "property_counts_rx": q_property_counts_rx,
         "property_counts_between": q_property_counts_between,
-        "session_length_quantiles": q_session_length_quantiles,
         # pipeline (sketch oracles kept; plus the r1/r3/r4-stale keys)
         "dedup_exact": q_dedup_exact,
         "dedup_exact_keep": q_dedup_exact_keep,
@@ -2392,6 +2426,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "textual_user_core": q_textual_user_core,
         "osl_event_agg": q_osl_event_agg,
+        "session_length_quantiles": q_session_length_quantiles,
         "event_agg_by_type": q_event_agg_by_type,
         "event_agg_rollup": q_event_agg_rollup,
         "user_purchase_totals": q_user_purchase_totals,
@@ -2499,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _SQL_TEXT_STATS,
         "repetition_signals": _SQL_REPETITION_SIGNALS,
         "contamination_check": _SQL_CONTAMINATION_CHECK,
+        "token_budget_select": _SQL_TOKEN_BUDGET_SELECT,
         "token_counts": _SQL_TOKEN_COUNTS,
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _lang_id_sql(),

@@ -8,7 +8,7 @@ uniform hash falls under its weight (one projection, no RNG state)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,3 +46,53 @@ def weighted_sample(
         F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(1.0)
     )
     return df.filter(keep)
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int = 32,
+) -> DataFrame:
+    """Select the best documents that fit a token budget — the
+    data-mixing primitive ("take the top-quality docs until N tokens"):
+    keep every document whose running token total, in (score DESC,
+    id ASC) order, stays within ``budget``.
+
+    The naive form is a global-ordering window — ONE partition doing
+    all the work, the classic 100 TB anti-pattern. Here the prefix sum
+    is distributed instead: ``repartitionByRange`` on the sort key
+    gives range-partitioned data whose partition ids follow the global
+    order, each partition computes its LOCAL running total with an
+    ordinary per-partition window, and the per-partition totals (one
+    tiny row each) are prefix-summed and broadcast back as offsets.
+    Work per partition is uniform; no stage sees more than its slice.
+    """
+    w_key = [F.col(score_col).desc(), F.col(id_col).asc()]
+    ranged = df.repartitionByRange(partitions, *w_key)
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*w_key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local_cum", F.sum(token_col).over(local_w))
+    # per-partition totals: `partitions` rows — the prefix-sum over
+    # them is driver-trivial but stays in-plan as a broadcast join
+    totals = local.groupBy("_pid").agg(F.sum(token_col).alias("_ptot"))
+    offset_w = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "_offset", F.sum("_ptot").over(offset_w) - F.col("_ptot")
+    ).select("_pid", "_offset")
+    out = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_cum", F.col("_local_cum") + F.col("_offset"))
+        .filter(F.col("_cum") <= budget)
+        .drop("_pid", "_local_cum", "_offset")
+    )
+    return out.withColumnRenamed("_cum", "cum_tokens")

