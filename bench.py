@@ -119,6 +119,27 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
+    # Round-6 pipeline additions, timed OUTSIDE the headline so the
+    # cross-round per-query series (and `value`) stays comparable.
+    # Same median-of-reps machinery. Disable with SPARK_GRAFT_R6=0.
+    if os.environ.get("SPARK_GRAFT_R6", "1") != "0":
+        try:
+            extra = {}
+            for name in (
+                "repetition_signals",
+                "contamination_check",
+                "token_budget_select",
+            ):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r6"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r6"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Skew evidence: one user owns 30% of a 6M-row synthetic corpus;
     # times the skew-bound window first-row vs the salted/algebraic
     # rewrite (and shows scalar aggs don't need salting — partial agg
