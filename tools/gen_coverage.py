@@ -86,6 +86,20 @@ def main() -> None:
             + f" | {'r%d' % last if last else '—'} |"
         )
 
+    # rotation planning: extras whose last green is getting stale.
+    # The freshness target is "no key's last green older than 3
+    # rounds", so anything at (current - 1) or older outside the
+    # window is due for promotion within the next two rotations.
+    cur = rids[-1] if rids else 0
+    last_green = {}
+    for key in prio + extras:
+        greens = [r for r in rids if cell(key, r) == "G"]
+        last_green[key] = max(greens, default=None)
+    due = sorted(
+        (k for k in extras if last_green[k] is not None and last_green[k] <= cur - 1),
+        key=lambda k: last_green[k],
+    )
+
     total = len(prio) + len(extras)
     lines += [
         "",
@@ -104,6 +118,14 @@ def main() -> None:
         ]
     else:
         lines.append("Every registry key has a green driver row.")
+    if due:
+        lines += [
+            "",
+            "**Rotation watch** — extras by last-green age (oldest first;",
+            "promote before their last green falls >3 rounds behind):",
+            "",
+            *[f"- `{k}` — last green r{last_green[k]}" for k in due],
+        ]
     lines += [
         "",
         "**Measured-not-proven caveat**: the `dedup_minhash` /",
