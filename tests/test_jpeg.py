@@ -353,3 +353,51 @@ def test_decode_images_routes_jpeg(spark):
     np.testing.assert_array_equal(
         np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(exp.shape), exp
     )
+
+
+def test_fuzz_roundtrip_random_configs():
+    """Property fuzz across geometry, sampling, restart interval and
+    coefficient density: decode(encode(blocks)) must equal the
+    independent reconstruction exactly for every draw."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:  # pragma: no cover
+        pytest.skip("hypothesis not installed")
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        seed=st.integers(0, 10**6),
+        sampling=st.sampled_from(
+            [None, (1, 1), (2, 1), (1, 2), (2, 2)]  # None = grayscale
+        ),
+        mcux=st.integers(1, 2),
+        mcuy=st.integers(1, 2),
+        crop_x=st.integers(0, 7),
+        crop_y=st.integers(0, 7),
+        restart=st.sampled_from([0, 1, 2]),
+        dense=st.booleans(),
+    )
+    def run(seed, sampling, mcux, mcuy, crop_x, crop_y, restart, dense):
+        rng = np.random.default_rng(seed)
+        if sampling is None:
+            hmax = vmax = 1
+            comps = [
+                {"h": 1, "v": 1, "tq": 0,
+                 "blocks": _rand_blocks(rng, mcux, mcuy, dense)}
+            ]
+        else:
+            sh, sv = sampling
+            hmax, vmax = sh, sv
+            comps = [
+                {"h": sh, "v": sv, "tq": 0,
+                 "blocks": _rand_blocks(rng, mcux * sh, mcuy * sv, dense)},
+                {"h": 1, "v": 1, "tq": 1,
+                 "blocks": _rand_blocks(rng, mcux, mcuy, dense)},
+                {"h": 1, "v": 1, "tq": 1,
+                 "blocks": _rand_blocks(rng, mcux, mcuy, dense)},
+            ]
+        w = mcux * 8 * hmax - crop_x
+        h = mcuy * 8 * vmax - crop_y
+        _roundtrip(w, h, comps, [QTABLE, [1] * 64], restart_interval=restart)
+
+    run()
