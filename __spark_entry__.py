@@ -1952,6 +1952,32 @@ FROM agg
 """
 
 
+def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication candidates (Lee et al. 2022 shape):
+    doc pairs sharing any exact 20-token run, weighted by shared
+    distinct windows — the suffix-style dedup's production-safe
+    decomposition (join on window hash; fan-out bounded by true
+    duplication). pipeline/dedup.py::substring_dup_pairs. NEW r6."""
+    from openset_spark.pipeline.dedup import substring_dup_pairs
+
+    return substring_dup_pairs(_docs(spark, sf_dir), window_tokens=20)
+
+
+_SQL_SUBSTRING_DUP_PAIRS = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+19], ' ') AS win
+  FROM tok, UNNEST(generate_series(1, len(ts)-19)) AS s(i)
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_windows
+  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared_windows FROM p
+"""
+
+
 def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus selection (the data-mixing primitive):
     best-quality documents whose running token total stays within the
@@ -2176,7 +2202,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps two reps in-window)
         "session_counts_5min": q_session_counts_5min,
         "session_stats": q_session_stats,
-        "funnel_within_hour": q_funnel_within_hour,
         "funnel_signup_purchase": q_funnel_signup_purchase,
         "monthly_retention": q_monthly_retention,
         "next_session_transitions": q_next_session_transitions,
@@ -2198,6 +2223,7 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "contamination_check": q_contamination_check,
         "token_budget_select": q_token_budget_select,
+        "substring_dup_pairs": q_substring_dup_pairs,
         # property / histogram (promoted r6: last green r1)
         "property_counts": q_property_counts,
         "property_counts_rx": q_property_counts_rx,
@@ -2427,6 +2453,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textual_user_core": q_textual_user_core,
         "osl_event_agg": q_osl_event_agg,
         "session_length_quantiles": q_session_length_quantiles,
+        "funnel_within_hour": q_funnel_within_hour,
         "event_agg_by_type": q_event_agg_by_type,
         "event_agg_rollup": q_event_agg_rollup,
         "user_purchase_totals": q_user_purchase_totals,
@@ -2535,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _SQL_REPETITION_SIGNALS,
         "contamination_check": _SQL_CONTAMINATION_CHECK,
         "token_budget_select": _SQL_TOKEN_BUDGET_SELECT,
+        "substring_dup_pairs": _SQL_SUBSTRING_DUP_PAIRS,
         "token_counts": _SQL_TOKEN_COUNTS,
         "quality_score": _SQL_QUALITY_SCORE,
         "lang_id": _lang_id_sql(),

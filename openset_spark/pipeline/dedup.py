@@ -291,3 +291,45 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    window_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication candidates ("Deduplicating Training
+    Data Makes Language Models Better", Lee et al. 2022 shape): two
+    documents are flagged when they share ANY exact run of
+    ``window_tokens`` consecutive tokens, with the number of shared
+    distinct windows as the evidence weight.
+
+    The production-safe decomposition of suffix-style dedup: every
+    doc explodes into hashes of its sliding k-token windows, and the
+    self-join runs ON THE WINDOW HASH — at k=20 a shared window is
+    essentially proof of copied text, so join fan-out is bounded by
+    true duplication, never all-pairs. Output: (id_a, id_b,
+    n_shared_windows), id_a < id_b."""
+    win = F.expr(
+        f"transform(sequence(0, size(_toks)-{window_tokens}), "
+        f"i -> xxhash64(concat_ws(' ', slice(_toks, i+1, {window_tokens}))))"
+    )
+    w = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= window_tokens)
+        .select(F.col(id_col), F.explode(F.array_distinct(win)).alias("wh"))
+    )
+    a, b = w.alias("a"), w.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wh") == F.col("b.wh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

@@ -607,3 +607,29 @@ def test_token_budget_select_plan_has_no_full_data_global_window(spark):
     # aggregate, not the corpus: it must sit AFTER a partial_sum agg
     single = plan.lower().count("singlepartition")
     assert single <= 2, plan
+
+
+def test_substring_dup_pairs_crafted(spark):
+    from openset_spark.pipeline.dedup import substring_dup_pairs
+
+    shared = "alpha bravo charlie delta echo"  # 5-token run
+    df = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} trailing text one"),
+            (2, f"other start {shared} different ending here"),
+            (3, "completely unrelated text with no common run at all"),
+            (4, f"{shared} {shared} repeated twice"),  # shares with 1,2
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_windows
+        for r in substring_dup_pairs(df, window_tokens=5).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 4), (2, 4)}
+    # docs 1 and 2 share exactly the one 5-token window
+    assert pairs[(1, 2)] == 1
+    # doc 3 never pairs
+    assert not any(3 in p for p in pairs)
+    # longer window than any shared run -> no pairs
+    assert substring_dup_pairs(df, window_tokens=12).count() == 0

@@ -60,7 +60,7 @@ WINDOW_FAMILIES = {
     "dedup_exact": ["dedup_exact", "dedup_exact_keep"],
     "dedup_sketch": [
         "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding",
+        "dedup_embedding", "substring_dup_pairs",
     ],
     "ann": ["ann_topk", "ann_lsh", "ann_ivf"],
     "text": [
