@@ -129,6 +129,7 @@ def main() -> None:
                 "repetition_signals",
                 "contamination_check",
                 "token_budget_select",
+                "substring_dup_pairs",
             ):
                 samples = []
                 for _ in range(reps):
