@@ -231,6 +231,109 @@ def _bool_col(expr: Any, ctx: _Ctx) -> Column:
     raise OslUnsupported(f"where expression node: {expr!r}")
 
 
+# ------------------------------------------------- query-index culling
+#
+# The reference compiles every where clause into an INDEX program over
+# per-value people bitmaps (src/queryindexing.h; test/test_db.h "index
+# compiler" suite): equality terms intersect bitmaps, negated/computed
+# terms degrade, AND/OR become BIT_AND/BIT_OR, and only the surviving
+# people are scanned. The Spark translation: each indexable term
+# becomes a per-user EXISTENCE flag (one conditional max in a single
+# user aggregate), the boolean structure combines the flags, and the
+# result is a candidate-user semi-join applied BEFORE the session
+# window — people-pruning ahead of the expensive per-user stages.
+#
+# Degradations (mirroring the reference tests):
+# - `session`/`session_count`/`row_count` terms: computed properties,
+#   not available pre-scan -> term unindexable ("cull session").
+# - script-variable PROPERTY positions: constant comparisons carry no
+#   per-user information -> unindexable ("cull user variable").
+# - an unindexable term inside AND is dropped (weaker index, still
+#   sound); inside OR it poisons the whole OR (can't bound a union).
+# - never/is_not: indexable as the NEGATED existence flag — users with
+#   rows are judged on their rows (userless rows don't exist in the
+#   frame, so the reference's all-people bitmap is implicit).
+
+_UNINDEXABLE_PROPS = frozenset({"session", "session_count", "row_count"})
+
+
+def _cull_base(p: Pred, ctx: _Ctx) -> Column:
+    """Row-level base condition of one predicate (no quantifier)."""
+    if p.op in ("contains", "any", "in"):
+        base = _word_cmp(p, ctx)
+    elif p.value is None and p.op in ("==", "!="):
+        col = ctx.resolve(p.prop)
+        base = col.isNull() if p.op == "==" else col.isNotNull()
+    else:
+        base = _CMP_FNS[p.op](ctx.resolve(p.prop), _value_lit(p.value, ctx))
+    if p.window is not None and p.mode in ("ever", "never"):
+        base = base & _window_cond(p.window, ctx)
+    return base
+
+
+def _cull_formula(expr: Any, ctx: _Ctx, terms: list, hints: list):
+    """Fold a where clause into (callable flags->Column) over per-term
+    existence flags, appending row conditions to ``terms``. Returns
+    None where the reference's index compiler would degrade."""
+    if isinstance(expr, Pred):
+        if expr.prop in _UNINDEXABLE_PROPS:
+            hints.append({"prop": expr.prop, "op": expr.op, "indexed": False,
+                          "why": "computed property"})
+            return None
+        if expr.prop in ctx.consts:
+            hints.append({"prop": expr.prop, "op": expr.op, "indexed": False,
+                          "why": "script variable"})
+            return None
+        try:
+            base = _cull_base(expr, ctx)
+        except OslUnsupported:
+            hints.append({"prop": expr.prop, "op": expr.op, "indexed": False,
+                          "why": "untranslatable"})
+            return None
+        negate = expr.mode == "never"
+        if expr.mode == "is_not":
+            base = ~base
+        idx = len(terms)
+        terms.append(base)
+        hints.append({"prop": expr.prop, "op": expr.op, "indexed": True,
+                      "mode": expr.mode, "flag": idx})
+        if negate:
+            return lambda flags: ~flags[idx]
+        return lambda flags: flags[idx]
+    if isinstance(expr, BoolOp):
+        parts = [_cull_formula(p, ctx, terms, hints) for p in expr.parts]
+        if expr.kind == "and":
+            live = [p for p in parts if p is not None]
+            if not live:
+                return None
+            return lambda flags: _fold(live, flags, "and")
+        if any(p is None for p in parts):
+            return None
+        return lambda flags: _fold(parts, flags, "or")
+    return None
+
+
+def _fold(fns, flags, kind):
+    out = fns[0](flags)
+    for fn in fns[1:]:
+        out = (out & fn(flags)) if kind == "and" else (out | fn(flags))
+    return out
+
+
+def _required_scan(blk: "EachRow") -> "EachRow":
+    """The scan whose matches gate a block's output: the head of the
+    LAST non-continue segment of the child chain (continue-linked
+    children require their anchor's match; a non-continue child
+    restarts independently)."""
+    eff, cur = blk, blk
+    while cur.children:
+        child = cur.children[0]
+        if not child.mods.get("continue"):
+            eff = child
+        cur = child
+    return eff
+
+
 # ------------------------------------------------- pivot expressions
 def _ts_of(ms: Column) -> Column:
     return F.timestamp_millis(ms.cast("long"))
@@ -313,6 +416,7 @@ class OslQuery:
         customer_df: DataFrame | None = None,
         params: dict | None = None,
         event_order: list[str] | None = None,
+        cull: bool = False,
     ) -> None:
         self.script = script
         self.column_map = dict(column_map or {})
@@ -333,6 +437,11 @@ class OslQuery:
         # so bucketed/bucket-joined layouts add no extra shuffle, and
         # a small dim broadcasts under AQE.
         self.customer_df = customer_df
+        # opt-in query-index culling (the reference builds its people
+        # index unconditionally because bitmaps are ~free there; a
+        # Spark semi-join is not, so the people pre-pass is a caller
+        # decision — same switch as operators/funnel.py cull=)
+        self.cull = cull
 
     # -- helpers ------------------------------------------------------
     def _references_session(self) -> bool:
@@ -377,15 +486,17 @@ class OslQuery:
         session_gap_ms: int,
     ) -> _Ctx:
         df = events
+        if now_ms is None:
+            now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
         if self.customer_df is not None:
             df = df.join(self.customer_df, self.user_col, "left")
+        if self.cull:
+            df = self._apply_cull(df, now_ms)
         if self._references_session():
             df = with_session(
                 df, session_gap_ms, self.user_col, self.ts_col,
                 event_order=self.event_order,
             )
-        if now_ms is None:
-            now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
         return _Ctx(
             df,
             self.user_col,
@@ -399,6 +510,55 @@ class OslQuery:
                 **self.params,
             },
             event_order=self.event_order,
+        )
+
+    def _cull_plan(self, now_ms: int):
+        """(terms, per-block formulas, hints) of the script's index
+        program, or (None, None, hints) when any block degrades."""
+        probe = _Ctx(
+            None, self.user_col, self.ts_col, self.event_col,
+            self.order_col, self.column_map, now_ms,
+            consts={**(getattr(self.script, "consts", None) or {}),
+                    **self.params},
+            event_order=self.event_order,
+        )
+        terms: list[Column] = []
+        formulas = []
+        hints: list[dict] = []
+        for b in self.script.blocks:
+            fn = _cull_formula(_required_scan(b).where, probe, terms, hints)
+            if fn is None:
+                return None, None, hints
+            formulas.append(fn)
+        return terms, formulas, hints
+
+    def index_hints(self, now_ms: int = 0) -> dict:
+        """Introspection of the index program (the analog of the
+        reference's queryMacros.index assertions in test_db.h): which
+        where terms are indexable and whether the script culls."""
+        terms, formulas, hints = self._cull_plan(now_ms)
+        return {"cullable": formulas is not None, "terms": hints}
+
+    def _apply_cull(self, df: DataFrame, now_ms: int) -> DataFrame:
+        terms, formulas, _ = self._cull_plan(now_ms)
+        if not formulas:
+            return df
+        flag_aggs = [
+            F.max(F.when(c, F.lit(1))).alias(f"_ix{i}")
+            for i, c in enumerate(terms)
+        ]
+        cands = df.groupBy(self.user_col).agg(*flag_aggs)
+        flags = [
+            F.coalesce(F.col(f"_ix{i}"), F.lit(0)) == 1
+            for i in range(len(terms))
+        ]
+        keep = formulas[0](flags)
+        for fn in formulas[1:]:
+            keep = keep | fn(flags)
+        return df.join(
+            cands.filter(keep).select(self.user_col),
+            self.user_col,
+            "left_semi",
         )
 
     def _block_matched(
