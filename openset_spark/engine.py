@@ -166,15 +166,19 @@ class OpenSetEngine:
         customer_df: DataFrame | None = None,
         params: dict | None = None,
         debug: bool = False,
+        cull: bool = False,
         **kw,
     ) -> DataFrame | str:
         """POST /query/{t}/events with an OSL script body: parse,
         compile against this table, return the aggregated result.
         ``customer_df`` (one row per user) exposes is_customer
         properties to the script. ``params`` mirrors the REST
-        str_/int_/dbl_/bool_{var} query params. ``debug=True`` returns
-        the query's "assembly" — here, the formatted physical plan —
-        instead of results (the reference's ``debug=`` param)."""
+        str_/int_/dbl_/bool_{var} query params. ``cull=True`` turns on
+        the index-compiler people pre-pass (compiler.py culling notes).
+        ``debug=True`` returns the query's "assembly" — here, the
+        formatted physical plan — instead of results (the reference's
+        ``debug=`` param). The table's declared z-order threads into
+        the compiled plan automatically."""
         from openset_spark.osl import compile_osl
 
         q = compile_osl(
@@ -182,6 +186,8 @@ class OpenSetEngine:
             column_map=column_map,
             customer_df=customer_df,
             params=params,
+            event_order=self.event_order,
+            cull=cull,
         )
         df = q.dataframe(self._events, **kw)
         if debug:

@@ -223,3 +223,29 @@ def test_cull_semi_join_sits_before_session_window(spark, sf_dir):
     # simple-mode plans print top-down: the window consumes the
     # semi-join's output, so Window appears ABOVE (before) LeftSemi
     assert win < semi, plan
+
+
+def test_engine_osl_threads_cull_and_zorder(spark, sf_dir):
+    """The facade must hand both the declared z-order AND the cull
+    switch to the compiler (the z-order passthrough was silently
+    missing before r6)."""
+    from openset_spark.engine import OpenSetEngine
+
+    order = ["signup", "purchase", "error", "click", "view"]
+    eng = OpenSetEngine(spark, sf_dir, event_order=order)
+    script = """
+    select
+      count id as people
+    end
+
+    each_row where event.is(== "purchase")
+        << event
+    end
+    """
+    plain = sorted(tuple(r) for r in eng.osl(script, column_map=CM).collect())
+    culled = sorted(
+        tuple(r) for r in eng.osl(script, column_map=CM, cull=True).collect()
+    )
+    assert plain == culled and len(plain) > 0
+    plan = eng.osl(script, column_map=CM, cull=True, debug=True)
+    assert "LeftSemi" in plan
