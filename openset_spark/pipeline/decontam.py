@@ -94,3 +94,65 @@ def decontaminate(
     return corpus.join(
         F.broadcast(flagged.select(id_col)), id_col, "left_anti"
     )
+
+
+def benchmark_ngram_hashes(
+    benchmark: DataFrame, n: int = 5, text_col: str = "text"
+) -> list[int]:
+    """The benchmark's distinct n-gram xxhash64 set, collected to the
+    driver. Eval benchmarks are small by definition (the same reason
+    the batch path broadcasts them), so this is a bounded collect —
+    the list becomes a literal in the streaming filter expression."""
+    rows = (
+        benchmark_ngrams(benchmark, n=n, text_col=text_col)
+        .select(F.xxhash64("ng").alias("h"))
+        .collect()
+    )
+    return sorted(r.h for r in rows)
+
+
+def contamination_flag(
+    bench_hashes: list[int], n: int = 5, text_col: str = "text"
+):
+    """A pure COLUMN expression flagging documents that share any
+    word n-gram with the benchmark: the document's n-gram hashes are
+    built with JVM higher-order functions and probed against the
+    benchmark hash set as an array literal (the same
+    literals-in-expression trick the IVF centroids use). No join, no
+    state — safe in any context, including Structured Streaming.
+    Documents with fewer than ``n`` tokens (or null text) produce an
+    empty gram array and flag false. Tokenization and hashing match
+    ``benchmark_ngram_hashes`` exactly (normalize + split + xxhash64
+    of the space-joined gram)."""
+    t = f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')"
+    grams = F.expr(
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"transform(sequence(0, size({t}) - {n}), "
+        f"i -> xxhash64(concat_ws(' ', slice({t}, i+1, {n})))) "
+        f"ELSE cast(array() as array<bigint>) END"
+    )
+    if not bench_hashes:
+        return F.lit(False)
+    bench = F.array(*[F.lit(h) for h in bench_hashes])
+    return F.arrays_overlap(grams, bench)
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time decontamination for a document STREAM: drop any
+    arriving document sharing an n-gram with the benchmark. Stateless
+    (a row either overlaps the fixed benchmark or it doesn't), so it
+    composes with any downstream streaming operator; the batch
+    `decontaminate` with max_overlap=0 is its oracle (parity-tested).
+    Documents with fewer than ``n`` tokens pass through — they cannot
+    leak a benchmark item."""
+    flag = contamination_flag(
+        benchmark_ngram_hashes(benchmark, n=n, text_col=text_col),
+        n=n,
+        text_col=text_col,
+    )
+    return docs.filter(~flag)

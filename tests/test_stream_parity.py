@@ -491,3 +491,59 @@ def test_stream_windowed_counts_match_batch(spark, sf_dir, tmpdir):
         if we < max_ts - _dt.timedelta(hours=2)
     }
     assert must_have <= set(streamed) and len(must_have) > 20
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_dir, tmpdir):
+    """Ingest-time streaming decontamination == batch decontaminate
+    with max_overlap=0 on the same documents: identical surviving doc
+    sets, across micro-batches. The streaming side is a pure
+    expression (benchmark n-gram hashes as an array literal), so no
+    state crosses batches — parity proves the expression reproduces
+    the join-based batch semantics, including hash/tokenization
+    agreement and the fewer-than-n-tokens passthrough."""
+    import json
+
+    from openset_spark.pipeline.decontam import (
+        decontaminate,
+        stream_decontaminate,
+    )
+    from openset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    rest = docs.filter(F.col("doc_id") % 50 != 0)
+
+    # spill the corpus as JSON files (plus a sub-n-token doc that must
+    # always survive), one micro-batch each
+    rows = [
+        {"doc_id": r.doc_id, "text": r.text}
+        for r in rest.select("doc_id", "text").collect()
+    ]
+    rows.append({"doc_id": 999999, "text": "tiny doc"})
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_decon_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_decontaminate(stream, bench, n=5), name)
+    streamed = {r.doc_id for r in spark.sql(f"select doc_id from {name}").collect()}
+
+    batch_docs = spark.read.schema(schema).json(tmpdir)
+    expected = {
+        r.doc_id
+        for r in decontaminate(batch_docs, bench, n=5, max_overlap=0.0)
+        .select("doc_id")
+        .collect()
+    }
+    # the short doc survives on both sides; some doc was dropped
+    assert 999999 in streamed
+    assert streamed == expected
+    assert len(streamed) < len(rows)
