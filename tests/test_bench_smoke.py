@@ -1,0 +1,49 @@
+"""bench.py smoke: the driver runs `python bench.py` per round and a
+broken bench (import error, renamed registry key, bad JSON) would cost
+the round's perf artifact. Run the real script end-to-end at sf0.001
+with one rep and the auxiliary sections off (~40s), and require one
+parseable JSON line with the contract fields."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_script_emits_contract_json():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_REPS="1",
+        SPARK_GRAFT_SKEW="0",
+        SPARK_GRAFT_ANN_SCALE="0",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [
+        ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')
+    ]
+    assert len(json_lines) == 1, proc.stdout[-2000:]
+    out = json.loads(json_lines[0])
+    assert out["metric"] == "headline_suite_wall_sec"
+    assert out["unit"] == "sec" and out["value"] > 0
+    assert len(out["queries"]) >= 18
+    assert all(v >= 0 for v in out["queries"].values())
+    # the r6 section rides along even in smoke mode
+    assert set(out.get("pipeline_r6", {})) >= {
+        "repetition_signals",
+        "contamination_check",
+        "token_budget_select",
+        "substring_dup_pairs",
+    }
