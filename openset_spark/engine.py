@@ -110,17 +110,37 @@ class OpenSetEngine:
         )
 
     def maintain(
-        self, path: str, now_ms: int, ttl_ms: int = 86_400_000 * 365 * 5
+        self,
+        path: str,
+        now_ms: int,
+        ttl_ms: int | None = 86_400_000 * 365 * 5,
+        event_max: int | None = None,
+        table: str | None = None,
     ) -> dict:
         """Run the stored-layout retention pass (the daily
         oloop_cleaner tick) over an events materialization at ``path``
         — flat parquet gets a filtered rewrite, a by-day partitioned
-        layout gets whole expired days deleted as directories. The
-        path is explicit (never the engine's read-only source dir);
-        see ``sources.tables.apply_retention`` for the layout rules."""
-        from openset_spark.sources.tables import apply_retention
+        layout gets whole expired days deleted as directories plus a
+        targeted rewrite of cap-affected days, and with ``table`` set
+        (a user-bucketed `write_bucketed` materialization) the whole
+        pass runs shuffle-free per bucket. ``event_max`` enforces the
+        reference's newest-N-per-person cap alongside the TTL
+        (src/table.h:122-124 — the cleaner applies both). The path is
+        explicit (never the engine's read-only source dir); see
+        ``sources.tables.apply_retention`` for the layout rules."""
+        from openset_spark.sources.tables import (
+            apply_retention,
+            apply_retention_bucketed,
+        )
 
-        return apply_retention(self.spark, path, now_ms, ttl_ms=ttl_ms)
+        if table is not None:
+            return apply_retention_bucketed(
+                self.spark, table, path, now_ms,
+                ttl_ms=ttl_ms, event_max=event_max,
+            )
+        return apply_retention(
+            self.spark, path, now_ms, ttl_ms=ttl_ms, event_max=event_max
+        )
 
     # -- query endpoints ---------------------------------------------
     def event_query(

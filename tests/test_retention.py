@@ -274,3 +274,197 @@ def test_apply_retention_edges(spark, sf_dir, tmp_path_factory):
     rep3 = apply_retention(spark, p3, now_ms=hi + 2 * 86_400_000, ttl_ms=1)
     assert rep3["rows_kept"] == 0 and rep3["rows_removed"] == ev.count()
     assert spark.read.parquet(p3).count() == 0
+
+
+def _cull_replay(ev, now_ms, ttl_ms, cap):
+    """Independent pandas replay of Grid::cull (TTL then newest-N)."""
+    pdf = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    ).toPandas()
+    if ttl_ms is not None:
+        pdf = pdf[pdf.ts_us >= (now_ms - ttl_ms) * 1000]
+    expected = set()
+    for _, grp in pdf.groupby("user_id"):
+        newest = grp.sort_values(["ts_us", "event_id"], ascending=False)
+        if cap is not None:
+            newest = newest.head(cap)
+        expected.update(zip(newest.user_id, newest.event_id))
+    return expected
+
+
+def _day_files(path, day):
+    d = os.path.join(path, f"event_date={day}")
+    return sorted(
+        (f, os.path.getsize(os.path.join(d, f)), os.path.getmtime(os.path.join(d, f)))
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+
+
+def test_apply_retention_cap_partitioned(spark, sf_dir, tmp_path_factory):
+    """event_max maintenance on the by-day layout: matches the pandas
+    replay, and days holding no over-cap rows are never rewritten
+    (their parquet files stay byte-identical on disk)."""
+    ev = load_table(spark, sf_dir, "events")
+    _, hi = _ts_bounds_ms(ev)
+    path = str(tmp_path_factory.mktemp("parted_cap")) + "/events_p"
+    write_partitioned_by_day(ev, path)
+    days = list_day_partitions(path)
+    cap = 20
+
+    expected = _cull_replay(ev, hi, None, cap)
+    before_files = {d: _day_files(path, d) for d in days}
+
+    report = apply_retention(
+        spark, path, now_ms=hi, ttl_ms=None, event_max=cap
+    )
+    assert report["layout"] == "partitioned"
+    assert report["dropped_partitions"] == []
+    rewritten = set(report["cap_rewritten_days"])
+    assert rewritten, "cap=20 should doom rows at this SF"
+    # a user's doomed rows are their OLDEST — the newest day must
+    # survive untouched
+    untouched = [d for d in days if d not in rewritten]
+    assert days[-1] in untouched
+    for d in untouched:
+        assert _day_files(path, d) == before_files[d], d
+
+    back = spark.read.parquet(path)
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in back.select("user_id", "event_id").collect()
+    }
+    assert got == expected and len(got) > 0
+    assert report["cap_rows_removed"] == ev.count() - len(expected)
+
+
+def test_apply_retention_ttl_and_cap_partitioned(spark, sf_dir, tmp_path_factory):
+    """Both settings in one maintenance pass, like the reference's
+    cleaner tick: TTL day-drops first, then the cap's targeted
+    rewrite over the survivors."""
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = _ts_bounds_ms(ev)
+    ttl_ms = (hi - lo) // 2
+    cap = 10
+    path = str(tmp_path_factory.mktemp("parted_both")) + "/events_p"
+    write_partitioned_by_day(ev, path)
+
+    expected = _cull_replay(ev, hi, ttl_ms, cap)
+    report = apply_retention(
+        spark, path, now_ms=hi, ttl_ms=ttl_ms, event_max=cap
+    )
+    assert report["dropped_partitions"], "midpoint TTL should drop days"
+    back = spark.read.parquet(path)
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in back.select("user_id", "event_id").collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_apply_retention_partitioned_full_drop_stays_readable(
+    spark, sf_dir, tmp_path_factory
+):
+    """Everything-expired on the by-day layout must leave a READABLE
+    empty table (schema preserved), matching the flat layout's
+    empty-but-readable rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    _, hi = _ts_bounds_ms(ev)
+    path = str(tmp_path_factory.mktemp("parted_empty")) + "/events_p"
+    write_partitioned_by_day(ev, path)
+    report = apply_retention(
+        spark, path, now_ms=hi + 2 * 86_400_000, ttl_ms=1
+    )
+    assert report.get("emptied") is True
+    back = spark.read.parquet(path)
+    assert back.count() == 0
+    assert {"user_id", "ts", "event_id", "event_date"} <= set(back.columns)
+
+
+def test_apply_retention_bucketed_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """The bucketed layout runs TTL + cap with ZERO exchanges (the
+    bucket clustering satisfies the window's distribution), and the
+    swap re-registers the table with the same bucket spec."""
+    from openset_spark.sources.tables import (
+        apply_retention_bucketed,
+        write_bucketed,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = _ts_bounds_ms(ev)
+    ttl_ms = (hi - lo) // 2
+    cap = 10
+    path = str(tmp_path_factory.mktemp("bucketed_ret")) + "/events_b"
+    tbl = "events_ret_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(ev, tbl, path, bucket_col="user_id", buckets=8, sort_col="ts")
+
+    # the maintenance frame itself: no Exchange anywhere in the plan
+    frame = retention_filter(
+        spark.table(tbl), hi, ttl_ms=ttl_ms, event_max=cap
+    )
+    plan = plan_str(frame)
+    assert "Exchange" not in plan, plan
+
+    expected = _cull_replay(ev, hi, ttl_ms, cap)
+    report = apply_retention_bucketed(
+        spark, tbl, path, now_ms=hi, ttl_ms=ttl_ms, event_max=cap
+    )
+    assert report["rows_kept"] == len(expected)
+    back = spark.table(tbl)
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in back.select("user_id", "event_id").collect()
+    }
+    assert got == expected and len(got) > 0
+    # re-registered table keeps the bucket spec (so the NEXT
+    # maintenance tick is also shuffle-free)
+    info = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE EXTENDED {tbl}").collect()
+    }
+    assert info["Num Buckets"] == "8"
+    assert "user_id" in info["Bucket Columns"]
+    again = retention_filter(spark.table(tbl), hi, ttl_ms=ttl_ms, event_max=cap)
+    assert "Exchange" not in plan_str(again)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_retention_filter_without_order_column(spark, sf_dir):
+    """Frames lacking the tie-break column fall back to ts-only
+    ordering instead of raising (ADVICE r6)."""
+    ev = load_table(spark, sf_dir, "events").drop("event_id")
+    _, hi = _ts_bounds_ms(ev)
+    out = retention_filter(ev, hi, ttl_ms=None, event_max=3)
+    per_user_max = (
+        out.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    )
+    assert per_user_max <= 3
+
+
+def test_engine_maintain_bucketed_and_cap(spark, sf_dir, tmp_path_factory):
+    """maintain() drives both new surfaces: event_max on the
+    partitioned layout, and table= for the bucketed pass."""
+    from openset_spark.engine import OpenSetEngine
+    from openset_spark.sources.tables import write_bucketed
+
+    eng = OpenSetEngine(spark, sf_dir)
+    lo, hi = _ts_bounds_ms(eng.events)
+    cap = 15
+
+    p = str(tmp_path_factory.mktemp("eng_cap")) + "/events_p"
+    write_partitioned_by_day(eng.events, p)
+    rep = eng.maintain(p, now_ms=hi, ttl_ms=None, event_max=cap)
+    assert rep["cap_rows_removed"] > 0
+    assert spark.read.parquet(p).count() == len(
+        _cull_replay(eng.events, hi, None, cap)
+    )
+
+    pb = str(tmp_path_factory.mktemp("eng_buck")) + "/events_b"
+    tbl = "events_eng_buck"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(eng.events, tbl, pb, bucket_col="user_id", buckets=4)
+    rep2 = eng.maintain(pb, now_ms=hi, ttl_ms=None, event_max=cap, table=tbl)
+    assert rep2["layout"] == "bucketed"
+    assert spark.table(tbl).count() == len(_cull_replay(eng.events, hi, None, cap))
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
