@@ -1969,9 +1969,15 @@ w AS (
   SELECT DISTINCT doc_id, array_to_string(ts[i:i+19], ' ') AS win
   FROM tok, UNNEST(generate_series(1, len(ts)-19)) AS s(i)
 ),
+-- boilerplate guard mirrored from the Spark side: window runs shared
+-- by more than max_window_df=50 docs are discarded before pairing
+keep AS (
+  SELECT doc_id, win FROM w
+  QUALIFY COUNT(*) OVER (PARTITION BY win) <= 50
+),
 p AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_windows
-  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+  FROM keep a JOIN keep b ON a.win = b.win AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_shared_windows FROM p
@@ -2151,6 +2157,67 @@ SELECT doc_id, md5({_NORM_SQL}) AS fingerprint_md5 FROM documents
 
 
 # --------------------------------------------------------------------
+# retention maintenance as driver-verifiable queries (Grid::cull,
+# /root/reference/src/grid.cpp:698-749; settings src/table.h:122-124)
+# --------------------------------------------------------------------
+def q_retention_cull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL-only cull (event_ttl = 10 days, now = max stamp) summarized
+    per event_type — exercises the production `retention_filter` TTL
+    path, whose comparison reaches the scan as a pushed filter."""
+    from openset_spark.sources.tables import retention_filter
+
+    ev = _events(spark, sf_dir)
+    now_ms = ev.agg(F.unix_millis(F.max("ts"))).first()[0]
+    kept = retention_filter(ev, now_ms, ttl_ms=10 * 86_400_000, event_max=None)
+    return kept.groupBy("event_type").agg(
+        F.count("event_id").alias("events"),
+        F.countDistinct("user_id").alias("people"),
+        F.max(F.unix_micros("ts")).alias("last_us"),
+    )
+
+
+_SQL_RETENTION_CULL = """
+WITH b AS (
+  SELECT (epoch_us(MAX(ts)) // 1000 - 10 * 86400000) * 1000 AS cutoff_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(event_id) AS events,
+       COUNT(DISTINCT user_id) AS people,
+       MAX(epoch_us(ts)) AS last_us
+FROM events, b
+WHERE epoch_us(ts) >= b.cutoff_us
+GROUP BY event_type
+"""
+
+
+def q_retention_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event_max-only cull (keep the newest 70 rows per person, ts
+    then event_id tie-break) summarized as a kept-rows-per-user
+    distribution — exercises the production bounded-window cap path."""
+    from openset_spark.sources.tables import retention_filter
+
+    ev = _events(spark, sf_dir)
+    kept = retention_filter(ev, 0, ttl_ms=None, event_max=70)
+    per_user = kept.groupBy("user_id").agg(F.count("event_id").alias("kept"))
+    return per_user.groupBy("kept").agg(F.count("user_id").alias("users"))
+
+
+_SQL_RETENTION_CAP = """
+WITH r AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+), k AS (
+  SELECT user_id, COUNT(*) AS kept FROM r WHERE rn <= 70 GROUP BY user_id
+)
+SELECT kept, COUNT(*) AS users FROM k GROUP BY kept
+"""
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
@@ -2168,78 +2235,75 @@ _DRIVER_WINDOW = 50
 
 
 def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-6 window (VERDICT r5 asks #1/#5): a freshness rotation, not a
-    # surface change. Promoted all 24 keys whose last driver-green row was
-    # r4 or older — including tpch_q7_style/tpch_q10_style, the only two
-    # registry keys never driver-verified — and demoted 24 r5-green
-    # veterans to extras. Cumulative ledger: COVERAGE.md.
+    # Round-7 window (VERDICT r6 ask #1): the freshness rotation's other
+    # half. ALL 28 extras demoted in r6 (last green r5) return to the
+    # window; 20 r6-green keys stay — the single-green tpch_q7/q10_style
+    # and the four new-in-r6 pipeline operators get a confirming second
+    # row, plus the sole in-registry reps of their families
+    # (osl_imperative, props_sets, dedup_exact, decontam, sampling) and
+    # the sketch-oracle quartet. The 30 remaining r6-greens rest in
+    # extras (due back by r9). Two NEW keys (retention_cull/cap) are
+    # placed in-window for a first-round green. Ledger: COVERAGE.md.
     return {
-        # relational (TPC-H family reps: wide agg, broadcast join, multi-join)
+        # relational family reps (q7/q10: one green row each, confirm)
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q9_style": q_tpch_q9_style,
-        # promoted r6: never driver-verified (new in r5)
         "tpch_q7_style": q_tpch_q7_style,
         "tpch_q10_style": q_tpch_q10_style,
-        # promoted r6: last green r1
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q18_style": q_tpch_q18_style,
-        "top_customers": q_top_customers,
-        # event engine (promoted r6: last green r1–r3)
-        "event_agg_by_day": q_event_agg_by_day,
-        "event_agg_two_level": q_event_agg_two_level,
-        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
-        "last_purchase_per_user": q_last_purchase_per_user,
-        "row_count_distribution": q_row_count_distribution,
-        "purchases_by_quarter": q_purchases_by_quarter,
+        # NEW r7: retention maintenance, driver-verifiable
+        "retention_cull": q_retention_cull,
+        "retention_cap": q_retention_cap,
+        # event engine (promoted r7: last green r5)
+        "event_agg_by_type": q_event_agg_by_type,
+        "event_agg_rollup": q_event_agg_rollup,
+        "user_purchase_totals": q_user_purchase_totals,
+        "recent_purchase_totals": q_recent_purchase_totals,
+        "first_events_per_user": q_first_events_per_user,
+        "top_event_types_per_day": q_top_event_types_per_day,
         "props_json_extract": q_props_json_extract,
         "user_event_type_sets": q_user_event_type_sets,
-        # dim-join family rep (its only other member, customer_timeline,
-        # is also resting this round)
-        "events_with_user_dim": q_events_with_user_dim,
-        # sequence / behavioral (session_counts rests: r5-green and the
-        # family keeps two reps in-window)
+        "zorder_first_rows": q_zorder_first_rows,
+        # sequence / behavioral (promoted r7: last green r5)
+        "session_counts": q_session_counts,
         "session_counts_5min": q_session_counts_5min,
-        "session_stats": q_session_stats,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "monthly_retention": q_monthly_retention,
-        "next_session_transitions": q_next_session_transitions,
-        "days_to_convert": q_days_to_convert,
-        "osl_histogram_weeks": q_osl_histogram_weeks,
-        # OSL surfaces (r5 first-greens kept for a second confirming row)
+        "session_length_quantiles": q_session_length_quantiles,
+        "funnel_within_hour": q_funnel_within_hour,
+        "next_event_transitions": q_next_event_transitions,
+        "top_paths": q_top_paths,
+        "weekly_retention": q_weekly_retention,
+        "customer_timeline": q_customer_timeline,
+        # segments (promoted r7: last green r5)
+        "segment_sequence_counts": q_segment_sequence_counts,
+        "textual_user_core": q_textual_user_core,
+        # OSL surfaces
+        "osl_event_agg": q_osl_event_agg,
+        "osl_funnel_continue": q_osl_funnel_continue,
+        "osl_segment_counts": q_osl_segment_counts,
+        "osl_script_counter": q_osl_script_counter,
         "osl_customer_write": q_osl_customer_write,
         "osl_return_first": q_osl_return_first,
         "osl_agg_options": q_osl_agg_options,
-        "osl_script_counter": q_osl_script_counter,
-        "zorder_first_rows": q_zorder_first_rows,
-        # segments
-        "segment_counts": q_segment_counts,
-        "segment_algebra": q_segment_algebra,
-        # NEW r6 pipeline operators (placed in-window so they carry a
-        # green row from their first round; textual_user_core and
-        # osl_event_agg rest in extras — both r5-green, families still
-        # represented)
+        # property / histogram (promoted r7: last green r5)
+        "property_counts_bucketed": q_property_counts_bucketed,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "histogram_spend_clipped": q_histogram_spend_clipped,
+        "histogram_by_type": q_histogram_by_type,
+        "histogram_weeks_since": q_histogram_weeks_since,
+        # pipeline (sketch-oracle quartet + r6-new ops confirm; plus the
+        # r5-green extras coming back)
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
         "repetition_signals": q_repetition_signals,
         "contamination_check": q_contamination_check,
         "token_budget_select": q_token_budget_select,
-        "substring_dup_pairs": q_substring_dup_pairs,
-        # property / histogram (promoted r6: last green r1)
-        "property_counts": q_property_counts,
-        "property_counts_rx": q_property_counts_rx,
-        "property_counts_between": q_property_counts_between,
-        # pipeline (sketch oracles kept; plus the r1/r3/r4-stale keys)
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_keep": q_dedup_exact_keep,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "text_stats": q_text_stats,
-        "clean_documents": q_clean_documents,
-        "top_bigrams": q_top_bigrams,
-        "token_counts": q_token_counts,
     }
 
 
@@ -2444,40 +2508,42 @@ FROM r WHERE rn = 1
 
 
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Demoted round 6: all 24 were driver-green in r5 (most with 4-5
-    # cumulative greens) — freshest keys in the ledger, so they yield
-    # their window slots to the r4-and-older cohort. Every entry below
-    # still replays its oracle vs DuckDB on each local pytest run
-    # (tests/test_correctness.py); rotation brings them back by r8.
+    # Demoted round 7: all 30 were driver-green in r6 — freshest keys
+    # in the ledger, so they yield their window slots to the r5-green
+    # cohort coming back (plus the two new retention keys). Every entry
+    # below still replays its oracle vs DuckDB on each local pytest run
+    # (tests/test_correctness.py); rotation brings them back by r9.
     return {
-        "textual_user_core": q_textual_user_core,
-        "osl_event_agg": q_osl_event_agg,
-        "session_length_quantiles": q_session_length_quantiles,
-        "funnel_within_hour": q_funnel_within_hour,
-        "event_agg_by_type": q_event_agg_by_type,
-        "event_agg_rollup": q_event_agg_rollup,
-        "user_purchase_totals": q_user_purchase_totals,
-        "session_counts": q_session_counts,
-        "first_events_per_user": q_first_events_per_user,
-        "next_event_transitions": q_next_event_transitions,
-        "top_paths": q_top_paths,
-        "top_event_types_per_day": q_top_event_types_per_day,
-        "weekly_retention": q_weekly_retention,
-        "segment_sequence_counts": q_segment_sequence_counts,
-        "osl_funnel_continue": q_osl_funnel_continue,
-        "osl_segment_counts": q_osl_segment_counts,
-        "property_counts_bucketed": q_property_counts_bucketed,
-        "property_counts_by_segment": q_property_counts_by_segment,
-        "histogram_spend_clipped": q_histogram_spend_clipped,
-        "histogram_by_type": q_histogram_by_type,
-        "customer_timeline": q_customer_timeline,
-        "histogram_weeks_since": q_histogram_weeks_since,
-        "recent_purchase_totals": q_recent_purchase_totals,
-        "dedup_embedding": q_dedup_embedding,
-        "ann_topk": q_ann_topk,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q9_style": q_tpch_q9_style,
+        "tpch_q18_style": q_tpch_q18_style,
+        "top_customers": q_top_customers,
+        "event_agg_by_day": q_event_agg_by_day,
+        "event_agg_two_level": q_event_agg_two_level,
+        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
+        "last_purchase_per_user": q_last_purchase_per_user,
+        "row_count_distribution": q_row_count_distribution,
+        "purchases_by_quarter": q_purchases_by_quarter,
+        "events_with_user_dim": q_events_with_user_dim,
+        "session_stats": q_session_stats,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "monthly_retention": q_monthly_retention,
+        "next_session_transitions": q_next_session_transitions,
+        "days_to_convert": q_days_to_convert,
+        "osl_histogram_weeks": q_osl_histogram_weeks,
+        "segment_counts": q_segment_counts,
+        "segment_algebra": q_segment_algebra,
+        "property_counts": q_property_counts,
+        "property_counts_rx": q_property_counts_rx,
+        "property_counts_between": q_property_counts_between,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "clean_documents": q_clean_documents,
+        "top_bigrams": q_top_bigrams,
+        "token_counts": q_token_counts,
     }
 
 
@@ -2501,6 +2567,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18_style": _SQL_TPCH_Q18_STYLE,
         "top_customers": _SQL_TOP_CUSTOMERS,
         "event_agg_by_type": _SQL_EVENT_AGG_BY_TYPE,
+        "retention_cull": _SQL_RETENTION_CULL,
+        "retention_cap": _SQL_RETENTION_CAP,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

@@ -298,6 +298,7 @@ def substring_dup_pairs(
     window_tokens: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_window_df: int | None = 50,
 ) -> DataFrame:
     """Exact substring-duplication candidates ("Deduplicating Training
     Data Makes Language Models Better", Lee et al. 2022 shape): two
@@ -306,10 +307,22 @@ def substring_dup_pairs(
     distinct windows as the evidence weight.
 
     The production-safe decomposition of suffix-style dedup: every
-    doc explodes into hashes of its sliding k-token windows, and the
-    self-join runs ON THE WINDOW HASH — at k=20 a shared window is
-    essentially proof of copied text, so join fan-out is bounded by
-    true duplication, never all-pairs. Output: (id_a, id_b,
+    doc explodes into hashes of its sliding k-token windows, and pairs
+    form only inside a window-hash bucket — at k=20 a shared window is
+    essentially proof of copied text, so fan-out is bounded by true
+    duplication, never all-pairs.
+
+    True duplication is itself the scale hazard: K documents sharing
+    one 20-token boilerplate run (license header, disclaimer) would
+    put K rows on a single hash and emit K(K-1)/2 pairs from it.
+    ``max_window_df`` drops window hashes whose DOCUMENT FREQUENCY
+    exceeds the cap before any pair forms — Lee et al. likewise
+    discard their highest-frequency duplicate runs as boilerplate.
+    The df count is a plain aggregate (map-side partials absorb the
+    hot key), and the survivors rebuild via an anti-join against the
+    small hot-hash set, so no stage ever materializes a hot bucket.
+    Every surviving bucket is ≤ cap, bounding both the collect_set
+    row and the per-bucket pair fan-out. Output: (id_a, id_b,
     n_shared_windows), id_a < id_b."""
     win = F.expr(
         f"transform(sequence(0, size(_toks)-{window_tokens}), "
@@ -320,16 +333,29 @@ def substring_dup_pairs(
         .filter(F.size("_toks") >= window_tokens)
         .select(F.col(id_col), F.explode(F.array_distinct(win)).alias("wh"))
     )
-    a, b = w.alias("a"), w.alias("b")
+    if max_window_df is not None:
+        hot = (
+            w.groupBy("wh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_window_df)
+            .select("wh")
+        )
+        w = w.join(hot, "wh", "left_anti")
+    grouped = w.groupBy("wh").agg(
+        F.array_sort(F.collect_set(id_col)).alias("_ids")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("_ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.wh") == F.col("b.wh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        grouped.filter(F.size("_ids") >= 2)
+        .select(F.explode(pairs).alias("_p"))
+        .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )

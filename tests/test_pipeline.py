@@ -633,3 +633,32 @@ def test_substring_dup_pairs_crafted(spark):
     assert not any(3 in p for p in pairs)
     # longer window than any shared run -> no pairs
     assert substring_dup_pairs(df, window_tokens=12).count() == 0
+
+
+def test_substring_dup_pairs_boilerplate_cap(spark):
+    """K docs sharing one boilerplate run must NOT go quadratic: the
+    window-df cap drops the hot hash before any pair forms (VERDICT
+    r6 scale flag). Docs sharing a sub-cap window still pair."""
+    from openset_spark.pipeline.dedup import substring_dup_pairs
+
+    header = " ".join(f"lic{i}" for i in range(5))  # 5-token boilerplate
+    rows = [(i, f"{header} unique tail w{i}a w{i}b w{i}c") for i in range(1000)]
+    # two docs sharing a NON-boilerplate run as well
+    rows += [
+        (2001, "rare shared run of tokens only here plus tail one"),
+        (2002, "rare shared run of tokens only here plus tail two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = substring_dup_pairs(df, window_tokens=5, max_window_df=50).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    # the 1000-doc boilerplate cluster contributes ZERO pairs
+    # (499,500 without the cap); the rare pair survives
+    assert got == {(2001, 2002)}, sorted(got)[:5]
+
+    # cap disabled: the quadratic behavior is reproducible on a small K
+    small = spark.createDataFrame(rows[:40] + rows[-2:], "doc_id long, text string")
+    uncapped = substring_dup_pairs(small, window_tokens=5, max_window_df=None)
+    assert uncapped.count() == 40 * 39 // 2 + 1
+    capped = substring_dup_pairs(small, window_tokens=5, max_window_df=10)
+    assert capped.count() == 1

@@ -70,6 +70,7 @@ WINDOW_FAMILIES = {
     ],
     "decontam": ["contamination_check"],
     "sampling": ["token_budget_select"],
+    "retention_maintenance": ["retention_cull", "retention_cap"],
 }
 
 
