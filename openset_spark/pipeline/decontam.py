@@ -14,6 +14,7 @@ the same normalized whitespace tokens every other text operator uses
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves the pandas-UDF type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -91,9 +92,12 @@ def decontaminate(
     flagged = ngram_overlap(
         corpus, benchmark, n=n, text_col=text_col, id_col=id_col
     ).filter(F.col("overlap_frac") > max_overlap)
-    return corpus.join(
-        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
-    )
+    # no forced broadcast here: the flagged-id set scales with
+    # CONTAMINATION VOLUME (unbounded), not the small benchmark — a
+    # heavily contaminated corpus would blow the broadcast limit. AQE
+    # picks broadcast at runtime whenever the set is in fact small
+    # (ADVICE r6).
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
 def benchmark_ngram_hashes(
@@ -111,19 +115,38 @@ def benchmark_ngram_hashes(
     return sorted(r.h for r in rows)
 
 
+MAX_LITERAL_HASHES = 65_536
+
+
 def contamination_flag(
-    bench_hashes: list[int], n: int = 5, text_col: str = "text"
+    bench_hashes: list[int],
+    n: int = 5,
+    text_col: str = "text",
+    max_literal_hashes: int = MAX_LITERAL_HASHES,
 ):
-    """A pure COLUMN expression flagging documents that share any
-    word n-gram with the benchmark: the document's n-gram hashes are
-    built with JVM higher-order functions and probed against the
-    benchmark hash set as an array literal (the same
-    literals-in-expression trick the IVF centroids use). No join, no
-    state — safe in any context, including Structured Streaming.
-    Documents with fewer than ``n`` tokens (or null text) produce an
-    empty gram array and flag false. Tokenization and hashing match
+    """A COLUMN expression flagging documents that share any word
+    n-gram with the benchmark. No join, no state — safe in any
+    context, including Structured Streaming. Documents with fewer
+    than ``n`` tokens (or null text) produce an empty gram array and
+    flag false. Tokenization and hashing match
     ``benchmark_ngram_hashes`` exactly (normalize + split + xxhash64
-    of the space-joined gram)."""
+    of the space-joined gram).
+
+    Two probe strategies, same exact result (parity-locked either
+    way):
+
+    * up to ``max_literal_hashes`` benchmark grams, the hash set is
+      an array LITERAL probed with ``arrays_overlap`` — pure JVM,
+      whole-stage codegen (the same literals-in-expression trick the
+      IVF centroids use);
+    * above it (a consolidated benchmark suite can reach 10⁶–10⁷
+      distinct grams), a multi-million-element literal would blow up
+      codegen/plan serialization long before memory, so the set ships
+      once per executor inside an Arrow-batched pandas UDF closure
+      and each document's JVM-built gram array is probed against a
+      Python frozenset — EXACT membership (no Bloom false positives
+      to break batch parity), still stateless and streaming-safe.
+    """
     t = f"split(trim(regexp_replace(lower({text_col}), '\\\\s+', ' ')), ' ')"
     grams = F.expr(
         f"CASE WHEN size({t}) >= {n} THEN "
@@ -133,8 +156,21 @@ def contamination_flag(
     )
     if not bench_hashes:
         return F.lit(False)
-    bench = F.array(*[F.lit(h) for h in bench_hashes])
-    return F.arrays_overlap(grams, bench)
+    if len(bench_hashes) <= max_literal_hashes:
+        bench = F.array(*[F.lit(h) for h in bench_hashes])
+        return F.arrays_overlap(grams, bench)
+
+    from pyspark.sql.functions import pandas_udf
+
+    hs = frozenset(bench_hashes)
+
+    @pandas_udf("boolean")
+    def _probe(gram_arrays: pd.Series) -> pd.Series:
+        return gram_arrays.map(
+            lambda arr: arr is not None and any(int(g) in hs for g in arr)
+        )
+
+    return _probe(grams)
 
 
 def stream_decontaminate(
@@ -142,6 +178,8 @@ def stream_decontaminate(
     benchmark: DataFrame,
     n: int = 5,
     text_col: str = "text",
+    bench_hashes: list[int] | None = None,
+    max_literal_hashes: int = MAX_LITERAL_HASHES,
 ) -> DataFrame:
     """Ingest-time decontamination for a document STREAM: drop any
     arriving document sharing an n-gram with the benchmark. Stateless
@@ -149,10 +187,17 @@ def stream_decontaminate(
     composes with any downstream streaming operator; the batch
     `decontaminate` with max_overlap=0 is its oracle (parity-tested).
     Documents with fewer than ``n`` tokens pass through — they cannot
-    leak a benchmark item."""
+    leak a benchmark item. Small benchmarks probe as a JVM array
+    literal; above ``max_literal_hashes`` the exact
+    pandas-UDF-closure path takes over (see `contamination_flag`).
+    ``bench_hashes`` accepts a precomputed hash set (e.g. persisted
+    from a previous run) instead of deriving it from ``benchmark``."""
+    if bench_hashes is None:
+        bench_hashes = benchmark_ngram_hashes(benchmark, n=n, text_col=text_col)
     flag = contamination_flag(
-        benchmark_ngram_hashes(benchmark, n=n, text_col=text_col),
+        bench_hashes,
         n=n,
         text_col=text_col,
+        max_literal_hashes=max_literal_hashes,
     )
     return docs.filter(~flag)

@@ -547,3 +547,26 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmpdir):
     assert 999999 in streamed
     assert streamed == expected
     assert len(streamed) < len(rows)
+
+    # --- large-benchmark fallback (VERDICT r6 ask #3): a synthetic
+    # 10^6-gram benchmark must RUN (the literal path would build a
+    # million-element expression) and produce the SAME parity result.
+    # Filler hashes outside xxhash64's realized values for this corpus
+    # pad the real set past the threshold; the probe is exact (a
+    # frozenset in the pandas-UDF closure), so no false positives.
+    from openset_spark.pipeline.decontam import (
+        MAX_LITERAL_HASHES,
+        benchmark_ngram_hashes,
+    )
+
+    real = benchmark_ngram_hashes(bench, n=5)
+    big = real + [10**17 + i for i in range(1_000_000)]
+    assert len(big) > MAX_LITERAL_HASHES
+    name2 = f"parity_decon_big_{uuid.uuid4().hex[:8]}"
+    _run_available(
+        stream_decontaminate(stream, bench, n=5, bench_hashes=big), name2
+    )
+    streamed_big = {
+        r.doc_id for r in spark.sql(f"select doc_id from {name2}").collect()
+    }
+    assert streamed_big == expected
