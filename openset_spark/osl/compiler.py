@@ -301,13 +301,32 @@ def _cull_formula(expr: Any, ctx: _Ctx, terms: list, hints: list):
             return lambda flags: ~flags[idx]
         return lambda flags: flags[idx]
     if isinstance(expr, BoolOp):
-        parts = [_cull_formula(p, ctx, terms, hints) for p in expr.parts]
+        # Degraded subtrees must not leave ORPHAN existence flags
+        # behind (ADVICE r6): every term a discarded arm appended is
+        # truncated immediately — before the next arm runs, so later
+        # flag indices stay aligned — and its indexed=True hints go
+        # with it (the degradation-reason hints stay).
+        start, hstart = len(terms), len(hints)
+
+        def _drop_from(t0: int, h0: int) -> None:
+            del terms[t0:]
+            hints[h0:] = [h for h in hints[h0:] if not h.get("indexed")]
+
+        parts = []
+        for p in expr.parts:
+            t0, h0 = len(terms), len(hints)
+            r = _cull_formula(p, ctx, terms, hints)
+            if r is None:
+                _drop_from(t0, h0)
+            parts.append(r)
         if expr.kind == "and":
             live = [p for p in parts if p is not None]
             if not live:
                 return None
             return lambda flags: _fold(live, flags, "and")
         if any(p is None for p in parts):
+            # a poisoned OR discards its live arms' flags too
+            _drop_from(start, hstart)
             return None
         return lambda flags: _fold(parts, flags, "or")
     return None

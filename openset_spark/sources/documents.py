@@ -49,7 +49,16 @@ def _rel_source(root: str) -> Column:
         base = os.path.abspath(r)
         if not os.path.isdir(base):
             base = os.path.dirname(base)
-    no_scheme = F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")
+    # input_file_name() is a percent-ENCODED URI: a root containing
+    # spaces or non-ASCII would silently miss the prefix strip and
+    # fall back to absolute labels, breaking mount-portable ids
+    # (ADVICE r6). url_decode restores the raw path; the '+'→'%2B'
+    # pre-step stops form-decoding from turning literal '+' in file
+    # names into spaces.
+    decoded = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    )
+    no_scheme = F.regexp_replace(decoded, _SCHEME_RE, "/")
     return F.regexp_replace(no_scheme, "^" + re.escape(base) + "/", "")
 
 

@@ -249,3 +249,55 @@ def test_engine_osl_threads_cull_and_zorder(spark, sf_dir):
     assert plain == culled and len(plain) > 0
     plan = eng.osl(script, column_map=CM, cull=True, debug=True)
     assert "LeftSemi" in plan
+
+
+def test_degraded_or_inside_and_leaves_no_orphan_flags(spark, sf_dir):
+    """When an OR arm degrades inside an enclosing AND, the AND drops
+    the OR — and every existence flag the OR's live arms appended
+    must go with it (ADVICE r6: orphan flags were computed in the
+    candidate aggregate but referenced by no formula). The surviving
+    index program is exactly the indexable AND arm."""
+    script = """
+    select
+      count id as people
+    end
+
+    each_row where event.is(== "purchase") && (value > 100 || session.is(== 1))
+        << event
+    end
+    """
+    plain, culled, ev = _compare(spark, sf_dir, script)
+    h = culled.index_hints()
+    assert h["cullable"]
+    indexed = [t for t in h["terms"] if t.get("indexed")]
+    # only the AND's own arm survives; the poisoned OR contributes no
+    # flags (value's flag would be the orphan) and its degradation
+    # reason is still reported
+    assert [t["prop"] for t in indexed] == ["event"]
+    assert indexed[0]["flag"] == 0
+    assert any(
+        t["prop"] == "session" and not t["indexed"] for t in h["terms"]
+    )
+    # the candidate aggregate computes exactly ONE flag
+    terms, formulas, _ = culled._cull_plan(1_700_000_000_000)
+    assert len(terms) == 1 and formulas is not None
+
+
+def test_poisoned_top_level_or_truncates_all_terms(spark, sf_dir):
+    """A top-level OR with an unindexable arm disables culling AND
+    leaves an empty term list (no orphan aggregates)."""
+    script = """
+    select
+      count id as people
+    end
+
+    each_row where event.is(== "purchase") || session.is(== 1)
+        << event
+    end
+    """
+    _, culled, _ = _compare(spark, sf_dir, script)
+    terms, formulas, hints = culled._cull_plan(1_700_000_000_000)
+    assert formulas is None and terms is None
+    # the live arm's flag was truncated with the poisoned OR: no hint
+    # claims an indexed flag
+    assert not any(t.get("indexed") for t in hints)

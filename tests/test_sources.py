@@ -253,3 +253,13 @@ def test_document_corpus_readers(spark, tmp_path_factory):
     assert c == a
     mv_src = {r.source for r in read_documents(spark, str(moved), "text_files").collect()}
     assert mv_src == {"x.txt", "y.txt"}
+
+    # ... AND when the root contains URI-hostile characters: the
+    # percent-encoded input_file_name() is url-decoded before the
+    # prefix strip, so spaces / non-ASCII / '+' in the path still get
+    # relative labels and mount-portable ids (ADVICE r6)
+    hostile = tmp_path_factory.mktemp("weird") / "my corpus+v2 ü"
+    _sh.copytree(str(sub), str(hostile))
+    hs = read_documents(spark, str(hostile), "text_files").collect()
+    assert {r.source for r in hs} == {"x.txt", "y.txt"}
+    assert {r.text: r.doc_id for r in hs} == a
