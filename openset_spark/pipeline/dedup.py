@@ -19,7 +19,7 @@ Four tiers, all shuffle-bounded (no O(n^2) cross joins at scale):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from openset_spark.functions.text import (
@@ -318,12 +318,13 @@ def substring_dup_pairs(
     ``max_window_df`` drops window hashes whose DOCUMENT FREQUENCY
     exceeds the cap before any pair forms — Lee et al. likewise
     discard their highest-frequency duplicate runs as boilerplate.
-    The df count is a plain aggregate (map-side partials absorb the
-    hot key), and the survivors rebuild via an anti-join against the
-    small hot-hash set, so no stage ever materializes a hot bucket.
-    Every surviving bucket is ≤ cap, bounding both the collect_set
-    row and the per-bucket pair fan-out. Output: (id_a, id_b,
-    n_shared_windows), id_a < id_b."""
+    The df count is a window over the SAME hash-partitioned shuffle
+    the pairing groupBy needs, so the cap costs zero extra exchanges
+    (plan-asserted); a hot hash streams through the window's
+    spill-capable sorter instead of materializing as one giant
+    collect_set row. Every surviving bucket is ≤ cap, bounding both
+    the collect_set row and the per-bucket pair fan-out. Output:
+    (id_a, id_b, n_shared_windows), id_a < id_b."""
     win = F.expr(
         f"transform(sequence(0, size(_toks)-{window_tokens}), "
         f"i -> xxhash64(concat_ws(' ', slice(_toks, i+1, {window_tokens}))))"
@@ -334,13 +335,13 @@ def substring_dup_pairs(
         .select(F.col(id_col), F.explode(F.array_distinct(win)).alias("wh"))
     )
     if max_window_df is not None:
-        hot = (
-            w.groupBy("wh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_window_df)
-            .select("wh")
+        w = (
+            w.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+            )
+            .filter(F.col("_df") <= max_window_df)
+            .drop("_df")
         )
-        w = w.join(hot, "wh", "left_anti")
     grouped = w.groupBy("wh").agg(
         F.array_sort(F.collect_set(id_col)).alias("_ids")
     )

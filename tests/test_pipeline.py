@@ -662,3 +662,15 @@ def test_substring_dup_pairs_boilerplate_cap(spark):
     assert uncapped.count() == 40 * 39 // 2 + 1
     capped = substring_dup_pairs(small, window_tokens=5, max_window_df=10)
     assert capped.count() == 1
+
+    # the cap rides the SAME wh shuffle the pairing groupBy needs:
+    # zero extra exchanges vs the uncapped plan
+    from tests.test_plans import plan_str
+
+    n_capped = plan_str(
+        substring_dup_pairs(small, window_tokens=5, max_window_df=10)
+    ).count("Exchange hashpartitioning")
+    n_uncapped = plan_str(
+        substring_dup_pairs(small, window_tokens=5, max_window_df=None)
+    ).count("Exchange hashpartitioning")
+    assert n_capped == n_uncapped, (n_capped, n_uncapped)
