@@ -7,10 +7,11 @@ columnar batches (never row-at-a-time).
 
 Decode kernels: formats with pure-Python codecs are REAL — binary
 PPM/PGM images (P6/P5), PNG (8-bit gray/RGB/gray+A/RGBA via stdlib
-zlib, all five scanline filters), baseline JPEG (huffman + IDCT,
+zlib, all five scanline filters), baseline AND progressive JPEG
+(huffman + spectral-selection/successive-approximation scans + IDCT,
 ``pipeline/jpeg.py``) and RIFF/WAV PCM audio decode for real inside
-the Arrow batches. Codecs that need native libs (WebP/ffmpeg, and
-progressive JPEG) stay stubbed: ``deterministic=True`` yields a
+the Arrow batches. Codecs that need native libs (WebP/ffmpeg,
+arithmetic-coded JPEG) stay stubbed: ``deterministic=True`` yields a
 seeded fake so the Spark plumbing — schema, batching, partitioning —
 is testable; ``deterministic=False`` raises NotImplementedError where
 PIL/ffmpeg would slot in.

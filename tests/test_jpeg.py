@@ -320,12 +320,274 @@ def test_byte_stuffing_survives():
         _roundtrip(16, 16, comps, [[1] * 64])
 
 
-def test_progressive_rejected():
+# ------------------------------------------------- progressive encoder
+def encode_progressive_jpeg(
+    w: int,
+    h: int,
+    comp_blocks: list[dict],
+    qtables: list[list[int]],
+    scans: list[tuple],
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) encoder for decoder verification: full
+    spectral selection + successive approximation per T.81 G.1.2,
+    including EOB runs and refinement correction-bit buffering.
+    ``scans``: list of (comp_index_list, Ss, Se, Ah, Al)."""
+    hmax = max(c["h"] for c in comp_blocks)
+    vmax = max(c["v"] for c in comp_blocks)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comp_blocks:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["bw"] = (cw + 7) // 8
+        c["bh"] = (ch + 7) // 8
+
+    def units(idxs):
+        if len(idxs) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for ci in idxs:
+                        c = comp_blocks[ci]
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                unit.append(
+                                    (ci, mx * c["h"] + hh, my * c["v"] + v)
+                                )
+                    yield unit
+        else:
+            c = comp_blocks[idxs[0]]
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    yield [(idxs[0], bx, by)]
+
+    def run_scan(idxs, ss, se, ah, al, emit_dc, emit_ac, put, on_restart):
+        preds = {ci: 0 for ci in idxs}
+        st = {"eobrun": 0, "bebits": []}
+
+        def flush_eobrun():
+            if st["eobrun"]:
+                nbits = st["eobrun"].bit_length() - 1
+                emit_ac(nbits << 4)
+                if nbits:
+                    put(st["eobrun"] & ((1 << nbits) - 1), nbits)
+                st["eobrun"] = 0
+            for b in st["bebits"]:
+                put(b, 1)
+            st["bebits"] = []
+
+        for ui, unit in enumerate(units(idxs)):
+            if restart_interval and ui and ui % restart_interval == 0:
+                flush_eobrun()
+                on_restart()
+                preds = {ci: 0 for ci in idxs}
+            for ci, bx, by in unit:
+                zz = comp_blocks[ci]["blocks"][(bx, by)]
+                if ss == 0:
+                    if ah == 0:
+                        v = zz[0] >> al  # DC point transform: arith shift
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = _category(diff)
+                        emit_dc(t)
+                        put(_amplitude(diff, t), t)
+                    else:
+                        put((zz[0] >> al) & 1, 1)
+                    continue
+                band = [zz[k] for k in range(ss, se + 1)]
+                if ah == 0:
+                    # AC first: point transform truncates toward zero
+                    vals = [
+                        (1 if v > 0 else -1) * (abs(v) >> al) for v in band
+                    ]
+                    nz = [i for i, v in enumerate(vals) if v]
+                    if not nz:
+                        st["eobrun"] += 1
+                        if st["eobrun"] == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    run = 0
+                    for i in range(nz[-1] + 1):
+                        v = vals[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            emit_ac(0xF0)
+                            run -= 16
+                        s = _category(v)
+                        emit_ac((run << 4) | s)
+                        put(_amplitude(v, s), s)
+                        run = 0
+                    if nz[-1] < len(vals) - 1:
+                        st["eobrun"] += 1
+                        if st["eobrun"] == 0x7FFF:
+                            flush_eobrun()
+                    continue
+                # AC refinement (T.81 G.1.2.3 encoder side)
+                absv = [abs(v) >> al for v in band]
+                eobpos = -1
+                for i, a in enumerate(absv):
+                    if a == 1:
+                        eobpos = i  # last NEWLY-nonzero coefficient
+                r, br = 0, []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eobpos:
+                        flush_eobrun()
+                        emit_ac(0xF0)
+                        r -= 16
+                        for b in br:
+                            put(b, 1)
+                        br = []
+                    if a > 1:  # history-nonzero: one correction bit
+                        br.append(a & 1)
+                        continue
+                    flush_eobrun()
+                    emit_ac((r << 4) | 1)
+                    put(1 if band[i] > 0 else 0, 1)
+                    for b in br:
+                        put(b, 1)
+                    br, r = [], 0
+                if r > 0 or br:
+                    st["eobrun"] += 1
+                    st["bebits"].extend(br)
+                    if st["eobrun"] == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tq, q in enumerate(qtables):
+        seg(0xDB, bytes([tq]) + bytes(q))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comp_blocks)])
+    for i, c in enumerate(comp_blocks):
+        sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
+    seg(0xC2, bytes(sof))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    for idxs, ss, se, ah, al in scans:
+        # pass 1: symbols actually used by this scan
+        dc_syms, ac_syms = set(), set()
+        run_scan(idxs, ss, se, ah, al, dc_syms.add, ac_syms.add,
+                 lambda v, n: None, lambda: None)
+        dc_tab = _FixedTable(sorted(dc_syms)) if dc_syms else None
+        ac_tab = _FixedTable(sorted(ac_syms)) if ac_syms else None
+        if dc_tab:
+            seg(0xC4, dc_tab.dht_payload(0, 0))
+        if ac_tab:
+            seg(0xC4, ac_tab.dht_payload(1, 0))
+        sos = bytearray([len(idxs)])
+        for ci in idxs:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        # pass 2: entropy-coded data with restart segmentation
+        state = {"bw": _BitWriter(), "rst": 0}
+
+        def on_restart():
+            state["bw"].flush()
+            out.extend(state["bw"].out)
+            out.extend(b"\xff" + bytes([0xD0 + (state["rst"] % 8)]))
+            state["rst"] += 1
+            state["bw"] = _BitWriter()
+
+        run_scan(
+            idxs, ss, se, ah, al,
+            (lambda t: dc_tab.emit(state["bw"], t)) if dc_tab else None,
+            (lambda s: ac_tab.emit(state["bw"], s)) if ac_tab else None,
+            lambda v, n: state["bw"].put(v, n),
+            on_restart,
+        )
+        state["bw"].flush()
+        out.extend(state["bw"].out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _sa_ladder(ncomp, al=1, split=20):
+    """A typical progressive scan script: interleaved DC with
+    successive approximation, split AC bands, then full refinement."""
+    allc = list(range(ncomp))
+    scans = [(allc, 0, 0, 0, al)]
+    for c in range(ncomp):
+        scans += [([c], 1, split, 0, al), ([c], split + 1, 63, 0, al)]
+    for lvl in range(al, 0, -1):
+        scans.append((allc, 0, 0, lvl, lvl - 1))
+        for c in range(ncomp):
+            scans += [
+                ([c], 1, split, lvl, lvl - 1),
+                ([c], split + 1, 63, lvl, lvl - 1),
+            ]
+    return scans
+
+
+def _prog_roundtrip(w, h, comps, qtables, scans, restart_interval=0):
+    data = encode_progressive_jpeg(w, h, comps, qtables, scans, restart_interval)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert (gw, gh) == (w, h)
+    exp = _expected_pixels(w, h, comps, qtables)
+    got = np.frombuffer(px, dtype=np.uint8)
+    np.testing.assert_array_equal(got.reshape(exp.shape), exp)
+    return data
+
+
+def test_progressive_gray_spectral_only():
+    rng = np.random.default_rng(41)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 3, 2)}]
+    scans = [([0], 0, 0, 0, 0), ([0], 1, 9, 0, 0), ([0], 10, 63, 0, 0)]
+    _prog_roundtrip(24, 16, comps, [QTABLE], scans)
+
+
+def test_progressive_color_successive_approximation():
+    rng = np.random.default_rng(42)
+    comps = [
+        {"h": 2, "v": 2, "tq": 0, "blocks": _rand_blocks(rng, 4, 4, dense=True)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 2, 2)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 2, 2)},
+    ]
+    _prog_roundtrip(29, 27, comps, [QTABLE, [1] * 64], _sa_ladder(3, al=2))
+
+
+def test_progressive_equals_baseline_decode():
+    """The two entropy pipelines share only the IDCT back-end: the
+    same quantized blocks through the baseline and progressive
+    encoders must decode to IDENTICAL pixels."""
+    rng = np.random.default_rng(43)
+    comps = [
+        {"h": 2, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 4, 2, dense=True)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 2, 2)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 2, 2)},
+    ]
+    base = encode_baseline_jpeg(30, 15, comps, [QTABLE, [1] * 64])
+    prog = encode_progressive_jpeg(
+        30, 15, comps, [QTABLE, [1] * 64], _sa_ladder(3)
+    )
+    assert decode_jpeg_bytes(base) == decode_jpeg_bytes(prog)
+
+
+def test_progressive_with_restarts():
+    rng = np.random.default_rng(44)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 4, 3, dense=True)}]
+    _prog_roundtrip(32, 24, comps, [QTABLE], _sa_ladder(1), restart_interval=2)
+
+
+def test_arithmetic_rejected():
     rng = np.random.default_rng(31)
     comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 1, 1)}]
     data = bytearray(encode_baseline_jpeg(8, 8, comps, [QTABLE]))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    data[i + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic sequential)
     with pytest.raises(NotImplementedError):
         decode_jpeg_bytes(bytes(data))
     with pytest.raises(ValueError):
@@ -399,5 +661,57 @@ def test_fuzz_roundtrip_random_configs():
         w = mcux * 8 * hmax - crop_x
         h = mcuy * 8 * vmax - crop_y
         _roundtrip(w, h, comps, [QTABLE, [1] * 64], restart_interval=restart)
+
+    run()
+
+
+def test_fuzz_progressive_random_scan_scripts():
+    """Property fuzz for the progressive path: random geometry,
+    sampling, restart interval, coefficient density, AC band split
+    and successive-approximation depth — every draw must decode to
+    the exact independent reconstruction."""
+    try:
+        from hypothesis import given, settings, strategies as st
+    except ImportError:  # pragma: no cover
+        pytest.skip("hypothesis not installed")
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        seed=st.integers(0, 10**6),
+        sampling=st.sampled_from([None, (1, 1), (2, 1), (2, 2)]),
+        mcux=st.integers(1, 2),
+        mcuy=st.integers(1, 2),
+        crop_x=st.integers(0, 7),
+        crop_y=st.integers(0, 7),
+        restart=st.sampled_from([0, 2]),
+        dense=st.booleans(),
+        split=st.integers(1, 62),
+        al=st.integers(0, 2),
+    )
+    def run(seed, sampling, mcux, mcuy, crop_x, crop_y, restart, dense, split, al):
+        rng = np.random.default_rng(seed)
+        if sampling is None:
+            hmax = vmax = 1
+            comps = [
+                {"h": 1, "v": 1, "tq": 0,
+                 "blocks": _rand_blocks(rng, mcux, mcuy, dense)}
+            ]
+        else:
+            sh, sv = sampling
+            hmax, vmax = sh, sv
+            comps = [
+                {"h": sh, "v": sv, "tq": 0,
+                 "blocks": _rand_blocks(rng, mcux * sh, mcuy * sv, dense)},
+                {"h": 1, "v": 1, "tq": 1,
+                 "blocks": _rand_blocks(rng, mcux, mcuy, dense)},
+                {"h": 1, "v": 1, "tq": 1,
+                 "blocks": _rand_blocks(rng, mcux, mcuy, dense)},
+            ]
+        w = mcux * 8 * hmax - crop_x
+        h = mcuy * 8 * vmax - crop_y
+        scans = _sa_ladder(len(comps), al=al, split=split)
+        _prog_roundtrip(
+            w, h, comps, [QTABLE, [1] * 64], scans, restart_interval=restart
+        )
 
     run()
