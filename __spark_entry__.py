@@ -2157,6 +2157,109 @@ SELECT doc_id, md5({_NORM_SQL}) AS fingerprint_md5 FROM documents
 
 
 # --------------------------------------------------------------------
+# r7 pipeline additions: dup clusters, sequence packing, mixture
+# --------------------------------------------------------------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact n-gram-Jaccard pair set:
+    (doc_id, cluster_id = min id in component). Spark side is
+    iterative min-label propagation (pipeline/dedup.py::dup_clusters);
+    the oracle is a recursive-CTE transitive closure — equality
+    proves the iteration converged to true components. NEW r7."""
+    from openset_spark.pipeline.dedup import dup_clusters
+
+    pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.6)
+    return dup_clusters(pairs)
+
+
+_SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE p AS ({P}),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+""".replace("{P}", _SQL_DEDUP_NGRAM_JACCARD)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing plan at L=512 over the corpus token
+    stream in doc_id order: one row per (sequence, document piece)
+    with offsets. Spark computes the global start offsets with the
+    distributed prefix sum; the oracle is the naive single-window
+    cumsum + generate_series explosion. NEW r7."""
+    from openset_spark.pipeline.packing import pack_sequences
+    from openset_spark.pipeline.textstats import quality_score
+
+    scored = quality_score(_docs(spark, sf_dir))
+    return pack_sequences(scored.select("doc_id", "n_tokens"), seq_len=512)
+
+
+_SQL_PACK_SEQUENCES = """
+WITH q AS ({Q}),
+t AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n,
+    CAST(SUM(n_tokens) OVER (
+      ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - n_tokens AS BIGINT) AS s
+  FROM q WHERE n_tokens > 0
+),
+p AS (
+  SELECT doc_id, n, s, u.seq_id
+  FROM t, UNNEST(generate_series(s // 512, (s + n - 1) // 512)) AS u(seq_id)
+)
+SELECT seq_id, doc_id,
+  GREATEST(s - seq_id * 512, 0) AS seq_offset,
+  GREATEST(seq_id * 512 - s, 0) AS doc_offset,
+  LEAST(s + n, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512)
+    AS piece_tokens
+FROM p
+""".replace("{Q}", _SQL_QUALITY_SCORE)
+
+
+def q_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-weighted mix: per detected language, best-quality docs
+    until that language's token budget (en: 8000, unknown: 1500).
+    Spark side uses the GROUPED distributed prefix sum (a dominant
+    domain spreads over range partitions); oracle is the naive
+    per-domain window cumsum. NEW r7."""
+    from openset_spark.pipeline.sampling import mixture_select
+    from openset_spark.pipeline.textstats import lang_id, quality_score
+
+    docs = _docs(spark, sf_dir)
+    scored = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    langs = lang_id(docs).select("doc_id", F.col("lang_guess").alias("lang"))
+    out = mixture_select(
+        scored.join(langs, "doc_id"),
+        {"en": 8000, "unknown": 1500},
+        "lang",
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+_SQL_MIXTURE_SELECT = """
+WITH q AS ({Q}),
+l AS ({L}),
+j AS (
+  SELECT q.doc_id, q.n_tokens, q.quality, l.lang_guess AS lang
+  FROM q JOIN l ON q.doc_id = l.doc_id
+  WHERE l.lang_guess IN ('en', 'unknown')
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM j
+)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+WHERE cum_tokens <= CASE lang WHEN 'en' THEN 8000 ELSE 1500 END
+""".replace("{Q}", _SQL_QUALITY_SCORE).replace("{L}", _lang_id_sql())
+
+
+# --------------------------------------------------------------------
 # retention maintenance as driver-verifiable queries (Grid::cull,
 # /root/reference/src/grid.cpp:698-749; settings src/table.h:122-124)
 # --------------------------------------------------------------------
@@ -2544,6 +2647,11 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_documents": q_clean_documents,
         "top_bigrams": q_top_bigrams,
         "token_counts": q_token_counts,
+        # NEW r7 (extras first: locally oracle-verified this round,
+        # windowed for a driver row in r8)
+        "dedup_clusters": q_dedup_clusters,
+        "pack_sequences": q_pack_sequences,
+        "mixture_select": q_mixture_select,
     }
 
 
@@ -2569,6 +2677,9 @@ def oracle_sql() -> dict[str, str]:
         "event_agg_by_type": _SQL_EVENT_AGG_BY_TYPE,
         "retention_cull": _SQL_RETENTION_CULL,
         "retention_cap": _SQL_RETENTION_CAP,
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
+        "mixture_select": _SQL_MIXTURE_SELECT,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

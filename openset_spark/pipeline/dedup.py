@@ -293,6 +293,63 @@ def jaccard_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over candidate duplicate PAIRS: the step
+    every dedup family needs after pair generation — near-duplication
+    is transitive in practice (A~B, B~C usually means one family),
+    and keep-one-per-cluster needs the cluster, not the pair list.
+    Returns (doc_id, cluster_id) where cluster_id = min doc id in the
+    component; docs in no pair are not emitted (they are their own
+    keepers by definition).
+
+    Iterative min-label propagation: each round every vertex takes
+    the min of its own label and its neighbors' labels, until a round
+    changes nothing. Rounds = graph diameter; duplicate-cluster
+    graphs are near-cliques (members share the same shingles/buckets,
+    so most pairs exist) with diameter 2-3, which is why plain
+    propagation beats the O(log n) large-star/small-star dance here —
+    each round is ONE join + ONE aggregate, and `localCheckpoint`
+    truncates the lineage so the plan never deepens. The iteration
+    driver is a per-round count — a deliberate driver-side loop over
+    a handful of rounds, not a per-row collect."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "label")
+        new = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("label", "_new")
+            .join(labels, "id")
+            .filter(F.col("_new") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def substring_dup_pairs(
     df: DataFrame,
     window_tokens: int = 20,

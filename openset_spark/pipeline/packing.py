@@ -1,0 +1,71 @@
+"""Sequence packing — the training-batch construction primitive.
+
+GPT-style pretraining concatenates the corpus into one token stream
+(EOS-separated) and splits it into fixed-length sequences; a document
+crossing a boundary contributes a piece to each side. The output here
+is the PLAN of that packing: one row per (sequence, document piece)
+with offsets, which a loader joins back to the tokenized text. This
+is the packing used by GPT-3/Pile-style pipelines — no padding waste,
+deterministic, and embarrassingly parallel once every document knows
+its global start offset.
+
+That global start offset is the only hard part at 100 TB: it is a
+corpus-wide running total, and the naive form is a single-partition
+window. `distributed_cumsum` (pipeline/sampling.py) computes it with
+range partitions + local windows + broadcast offsets instead, so no
+stage sees more than its slice; the piece explosion afterwards is a
+pure JVM `sequence()` over the few sequences each document touches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.sampling import distributed_cumsum
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int = 32,
+) -> DataFrame:
+    """Assign every document its pieces in the packed token stream.
+
+    Documents are concatenated in ``id_col`` order (deterministic —
+    repack on any cluster yields byte-identical batches) and split at
+    every ``seq_len`` boundary. Returns one row per piece:
+
+    * ``seq_id``      — which fixed-length sequence the piece lands in
+    * ``doc_id``      — the contributing document
+    * ``seq_offset``  — where in the sequence the piece starts
+    * ``doc_offset``  — where in the document the piece starts
+    * ``piece_tokens``— piece length
+
+    Zero-token documents are excluded (they occupy no stream space).
+    A document longer than ``seq_len`` simply spans several sequences
+    — the spec of suffix pieces is exact, not truncated.
+    """
+    base = df.filter(F.col(token_col) > 0)
+    c = distributed_cumsum(
+        base, [F.col(id_col).asc()], token_col, partitions
+    )
+    n = F.col(token_col).cast("long")
+    start = (F.col("_cum") - n).alias("_start")
+    c = c.withColumn("_start", start)
+    first = F.floor(F.col("_start") / seq_len)
+    last = F.floor((F.col("_start") + n - 1) / seq_len)
+    out = c.withColumn("seq_id", F.explode(F.sequence(first, last)))
+    seq_start = F.col("seq_id") * seq_len
+    return out.select(
+        F.col("seq_id"),
+        F.col(id_col),
+        F.greatest(F.col("_start") - seq_start, F.lit(0)).alias("seq_offset"),
+        F.greatest(seq_start - F.col("_start"), F.lit(0)).alias("doc_offset"),
+        (
+            F.least(F.col("_start") + n, seq_start + seq_len)
+            - F.greatest(F.col("_start"), seq_start)
+        ).alias("piece_tokens"),
+    )

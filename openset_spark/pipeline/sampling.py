@@ -71,28 +71,87 @@ def token_budget_select(
     Work per partition is uniform; no stage sees more than its slice.
     """
     w_key = [F.col(score_col).desc(), F.col(id_col).asc()]
-    ranged = df.repartitionByRange(partitions, *w_key)
+    out = (
+        distributed_cumsum(df, w_key, token_col, partitions)
+        .filter(F.col("_cum") <= budget)
+    )
+    return out.withColumnRenamed("_cum", "cum_tokens")
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_key: list[Column],
+    token_col: str,
+    partitions: int = 32,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Running total of ``token_col`` in ``order_key`` order as a
+    ``_cum`` column (inclusive), computed WITHOUT a global-ordering
+    window: range partitions → per-partition local windows →
+    per-partition totals prefix-summed and broadcast back as offsets
+    (see `token_budget_select`, whose oracle proves the decomposition
+    exact). With ``group_cols`` the running total restarts per group
+    — the range partitioning keys on (group, order), so one giant
+    group still spreads over many partitions instead of pinning a
+    single window partition (the per-domain skew case)."""
+    grp = [F.col(c) for c in group_cols]
+    ranged = df.repartitionByRange(partitions, *grp, *order_key)
     part = ranged.withColumn("_pid", F.spark_partition_id())
     local_w = (
-        Window.partitionBy("_pid")
-        .orderBy(*w_key)
+        Window.partitionBy(*group_cols, "_pid")
+        .orderBy(*order_key)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("_local_cum", F.sum(token_col).over(local_w))
-    # per-partition totals: `partitions` rows — the prefix-sum over
-    # them is driver-trivial but stays in-plan as a broadcast join
-    totals = local.groupBy("_pid").agg(F.sum(token_col).alias("_ptot"))
+    # per-(group,)partition totals: `partitions` tiny rows per group —
+    # the prefix-sum over them is driver-trivial but stays in-plan as
+    # a broadcast join
+    totals = local.groupBy(*group_cols, "_pid").agg(
+        F.sum(token_col).alias("_ptot")
+    )
     offset_w = (
-        Window.orderBy("_pid")
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = totals.withColumn(
         "_offset", F.sum("_ptot").over(offset_w) - F.col("_ptot")
-    ).select("_pid", "_offset")
-    out = (
-        local.join(F.broadcast(offsets), "_pid")
+    ).select(*group_cols, "_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "_pid"])
         .withColumn("_cum", F.col("_local_cum") + F.col("_offset"))
-        .filter(F.col("_cum") <= budget)
         .drop("_pid", "_local_cum", "_offset")
     )
-    return out.withColumnRenamed("_cum", "cum_tokens")
+
+
+def mixture_select(
+    df: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str,
+    score_col: str = "quality",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int = 32,
+) -> DataFrame:
+    """Domain-weighted corpus mixing: within each domain keep the
+    best-scoring documents until THAT domain's token budget — the
+    "x% code, y% web, z% books" training-mix primitive. Domains
+    absent from ``budgets`` are dropped.
+
+    Per-domain running totals use the grouped distributed prefix sum,
+    so a dominant domain (80% English is the norm) spreads across
+    range partitions instead of serializing one window partition —
+    the failure mode of the naive ``Window.partitionBy(domain)``
+    form at 100 TB."""
+    base = df.filter(F.col(domain_col).isin(list(budgets)))
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    c = distributed_cumsum(
+        base, order, token_col, partitions, group_cols=(domain_col,)
+    )
+    budget = F.lit(None).cast("long")
+    for dom, b in budgets.items():
+        budget = F.when(F.col(domain_col) == dom, F.lit(b)).otherwise(budget)
+    return (
+        c.filter(F.col("_cum") <= budget)
+        .withColumnRenamed("_cum", "cum_tokens")
+    )

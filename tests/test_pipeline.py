@@ -3,6 +3,7 @@ simhash properties, multimodal plumbing."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -674,3 +675,127 @@ def test_substring_dup_pairs_boilerplate_cap(spark):
         substring_dup_pairs(small, window_tokens=5, max_window_df=None)
     ).count("Exchange hashpartitioning")
     assert n_capped == n_uncapped, (n_capped, n_uncapped)
+
+
+def test_dup_clusters_crafted(spark):
+    """Chain + clique + isolated pair: min-label propagation must
+    produce true components (chain forces multi-round convergence)."""
+    from openset_spark.pipeline.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        # a 5-chain (diameter 4), a triangle, a lone pair
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_pack_sequences_matches_replay(spark):
+    """Packing plan vs a sequential pandas replay: identical pieces,
+    every sequence except the last exactly full, doc pieces
+    partition each document."""
+    import pandas as pd
+
+    from openset_spark.pipeline.packing import pack_sequences
+
+    rng = np.random.default_rng(7)
+    rows = [(i, int(rng.integers(0, 40))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    L = 64
+    got = {
+        (r.seq_id, r.doc_id, r.seq_offset, r.doc_offset, r.piece_tokens)
+        for r in pack_sequences(df, L, partitions=8).collect()
+    }
+
+    # sequential replay
+    expected = set()
+    pos = 0
+    for i, n in rows:
+        if n <= 0:
+            continue
+        off = 0
+        while off < n:
+            seq_id = pos // L
+            take = min(n - off, (seq_id + 1) * L - pos)
+            expected.add((seq_id, i, pos - seq_id * L, off, take))
+            pos += take
+            off += take
+    assert got == expected and len(got) > 200
+
+    # invariants: full sequences, per-doc partition
+    per_seq = {}
+    per_doc = {}
+    for s, d, so, do, p in got:
+        per_seq[s] = per_seq.get(s, 0) + p
+        per_doc.setdefault(d, []).append((do, p))
+    last = max(per_seq)
+    assert all(v == L for s, v in per_seq.items() if s != last)
+    for d, pieces in per_doc.items():
+        pieces.sort()
+        assert pieces[0][0] == 0
+        for (a, pa), (b, _) in zip(pieces, pieces[1:]):
+            assert a + pa == b
+
+
+def test_pack_sequences_plan_is_distributed(spark):
+    """No global single-partition window: the cumsum must ride range
+    partitions, with SinglePartition reserved for the tiny offsets
+    aggregate."""
+    from openset_spark.pipeline.packing import pack_sequences
+    from tests.test_plans import plan_str
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tokens")
+    )
+    plan = plan_str(pack_sequences(df, 128, partitions=8), "simple")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert plan.lower().count("singlepartition") <= 2, plan
+
+
+def test_mixture_select_matches_replay_and_spreads(spark):
+    """Per-domain budgets vs a pandas replay; the grouped prefix sum
+    must range-partition (a dominant domain spreads instead of
+    pinning one window partition)."""
+    import pandas as pd
+
+    from openset_spark.pipeline.sampling import mixture_select
+    from tests.test_plans import plan_str
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, ["web", "code", "books"][int(rng.integers(0, 3))],
+         float(rng.random()), int(rng.integers(1, 50)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, quality double, n_tokens long")
+    budgets = {"web": 900, "code": 500}
+    out = mixture_select(df, budgets, "dom", partitions=8)
+    got = {(r.doc_id, r.cum_tokens) for r in out.collect()}
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "dom", "quality", "n_tokens"])
+    expected = set()
+    for dom, b in budgets.items():
+        grp = pdf[pdf.dom == dom].sort_values(
+            ["quality", "doc_id"], ascending=[False, True]
+        )
+        cum = 0
+        for _, r in grp.iterrows():
+            cum += r.n_tokens
+            if cum > b:
+                break
+            expected.add((r.doc_id, cum))
+    assert got == expected and len(got) > 10
+    # "books" absent from budgets -> dropped entirely
+    assert not any(pdf.set_index("doc_id").loc[d, "dom"] == "books" for d, _ in got)
+
+    plan = plan_str(out, "simple")
+    assert "rangepartitioning" in plan.lower(), plan
