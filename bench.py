@@ -141,6 +141,31 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r6"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-7 pipeline additions, same contract. The retention keys
+    # time the production retention_filter paths; dedup_clusters is
+    # inherently multi-job (iterative convergence), so its single
+    # wall-clock sample is the honest number. Disable with
+    # SPARK_GRAFT_R7=0.
+    if os.environ.get("SPARK_GRAFT_R7", "1") != "0":
+        try:
+            extra = {}
+            for name in (
+                "retention_cull",
+                "retention_cap",
+                "pack_sequences",
+                "mixture_select",
+                "dedup_clusters",
+            ):
+                samples = []
+                for _ in range(1 if name == "dedup_clusters" else reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r7"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r7"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Skew evidence: one user owns 30% of a 6M-row synthetic corpus;
     # times the skew-bound window first-row vs the salted/algebraic
     # rewrite (and shows scalar aggs don't need salting — partial agg

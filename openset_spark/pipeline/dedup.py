@@ -94,6 +94,83 @@ def minhash_signature(
     )
 
 
+def with_minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    out_col: str = "band_keys",
+) -> DataFrame:
+    """Add each document's LSH band keys (``out_col``: array<long> of
+    length ``bands``) as PURE per-row projections — no shuffle, no
+    state, so the same transform drops into a STREAMING pipeline
+    (streaming/dedup.py::stream_near_dedup). Value-identical to
+    `minhash_bands` (tested): same tokens, the same
+    whole-text-shingle fallback for short docs, the same
+    xxhash64(shingle) → min(xxhash64(h, slot)) signature and band
+    hash. Batch prefers `minhash_bands`: hashing each shingle once
+    via the explode is cheaper when signatures feed a bucket join
+    anyway. Staged as real intermediate columns so the shingle array
+    and per-shingle hashes are computed once per row, not once per
+    signature slot."""
+    rows = num_hashes // bands
+    shingled = df.withColumn(
+        "_sh",
+        F.array_distinct(
+            shingles_from_tokens(tokens(F.col(text_col)), shingle_n)
+        ),
+    ).withColumn("_hs", F.transform(F.col("_sh"), lambda s: F.xxhash64(s)))
+    slots = ",".join(
+        f"array_min(transform(_hs, h -> xxhash64(h, {i})))"
+        for i in range(num_hashes)
+    )
+    sig = shingled.withColumn("_mh", F.expr(f"array({slots})"))
+    band_hashes = F.expr(
+        "array("
+        + ",".join(
+            "xxhash64("
+            + ",".join(
+                f"element_at(_mh, {b * rows + j + 1})" for j in range(rows)
+            )
+            + ")"
+            for b in range(bands)
+        )
+        + ")"
+    )
+    return sig.withColumn(out_col, band_hashes).drop("_sh", "_hs", "_mh")
+
+
+def near_dup_against(
+    docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Documents that near-duplicate NOTHING in ``corpus`` — the
+    incremental-ingest filter ("drop arrivals already represented in
+    the training set"). A doc is dropped when ANY of its LSH bands
+    hits a corpus bucket; docs too short to shingle always pass (they
+    have no bands). Both sides are banded once and the decision is a
+    semi-join on the bucket key + an anti-join on the matched ids —
+    never a pairwise comparison."""
+    cb = (
+        minhash_bands(corpus, text_col, id_col, num_hashes, bands, shingle_n)
+        .select("band_idx", "band_hash")
+        .distinct()
+    )
+    db = minhash_bands(docs, text_col, id_col, num_hashes, bands, shingle_n)
+    matched = (
+        db.join(cb, ["band_idx", "band_hash"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(matched, id_col, "left_anti")
+
+
 def minhash_bands(
     df: DataFrame,
     text_col: str = "text",

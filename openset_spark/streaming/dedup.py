@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openset_spark.functions.text import normalize
+from openset_spark.pipeline.dedup import with_minhash_bands
 
 
 def stream_exact_dedup(
@@ -34,4 +35,62 @@ def stream_exact_dedup(
     # event-time column in the subset), so state would grow O(corpus).
     return hashed.dropDuplicatesWithinWatermark(["_text_hash"]).drop(
         "_text_hash"
+    )
+
+
+def stream_near_dedup(
+    docs: DataFrame,
+    corpus_bands: DataFrame,
+    window: str = "10 seconds",
+    watermark: str | None = "5 seconds",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Ingest-time NEAR-dup filtering: drop arriving documents that
+    MinHash/LSH-collide with an existing corpus (the live analog of
+    pipeline/dedup.py::near_dup_against — its batch parity oracle).
+
+    ``corpus_bands`` is the STATIC published index of the training
+    set: the distinct (band_idx, band_hash) buckets of
+    `minhash_bands` — refreshed by the batch layer, read-only here.
+
+    Pipeline (all streaming-legal): the arriving doc's band keys are
+    PURE projections (`with_minhash_bands` — value-identical to the
+    batch banding, tested), posexplode is a stateless row generator,
+    the bucket probe is a stream-static LEFT join, and the per-doc
+    any-hit verdict is a watermark-bounded windowed aggregate that
+    emits each clean document once its window closes. State is
+    O(bands per watermark window), not O(corpus) — the corpus lives
+    in the static index, exactly where a 100 TB deployment wants it."""
+    banded = with_minhash_bands(
+        docs, text_col, num_hashes, bands, shingle_n
+    )
+    if watermark is not None:
+        banded = banded.withWatermark(ts_col, watermark)
+    exploded = banded.select(
+        id_col,
+        ts_col,
+        text_col,
+        F.posexplode("band_keys").alias("band_idx", "band_hash"),
+    )
+    probed = exploded.join(
+        corpus_bands.select(
+            "band_idx", "band_hash", F.lit(1).alias("_hit")
+        ),
+        ["band_idx", "band_hash"],
+        "left",
+    )
+    verdict = probed.groupBy(
+        F.window(ts_col, window), F.col(id_col)
+    ).agg(
+        F.max("_hit").alias("_any_hit"),
+        F.first(text_col).alias(text_col),
+        F.first(ts_col).alias(ts_col),
+    )
+    return verdict.filter(F.col("_any_hit").isNull()).select(
+        id_col, ts_col, text_col
     )

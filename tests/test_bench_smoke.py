@@ -40,10 +40,17 @@ def test_bench_script_emits_contract_json():
     assert out["unit"] == "sec" and out["value"] > 0
     assert len(out["queries"]) >= 18
     assert all(v >= 0 for v in out["queries"].values())
-    # the r6 section rides along even in smoke mode
+    # the r6/r7 sections ride along even in smoke mode
     assert set(out.get("pipeline_r6", {})) >= {
         "repetition_signals",
         "contamination_check",
         "token_budget_select",
         "substring_dup_pairs",
+    }
+    assert set(out.get("pipeline_r7", {})) >= {
+        "retention_cull",
+        "retention_cap",
+        "pack_sequences",
+        "mixture_select",
+        "dedup_clusters",
     }

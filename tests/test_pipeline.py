@@ -799,3 +799,39 @@ def test_mixture_select_matches_replay_and_spreads(spark):
 
     plan = plan_str(out, "simple")
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_with_minhash_bands_matches_batch_banding(spark, sf_dir):
+    """The per-row band projection (the streaming path) must be
+    value-identical to the explode+groupBy batch `minhash_bands`,
+    including the whole-text-shingle fallback for short docs."""
+    from openset_spark.pipeline.dedup import minhash_bands, with_minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in minhash_bands(docs).collect()
+    }
+    got = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in with_minhash_bands(docs)
+        .select("doc_id", F.posexplode("band_keys").alias("band_idx", "band_hash"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+
+    tiny = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    b2 = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in minhash_bands(tiny).collect()
+    }
+    g2 = {
+        (r.doc_id, r.band_idx, r.band_hash)
+        for r in with_minhash_bands(tiny)
+        .select("doc_id", F.posexplode("band_keys").alias("band_idx", "band_hash"))
+        .collect()
+    }
+    assert g2 == b2 and len(b2) == 3 * 16

@@ -570,3 +570,79 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmpdir):
         r.doc_id for r in spark.sql(f"select doc_id from {name2}").collect()
     }
     assert streamed_big == expected
+
+
+def test_stream_near_dedup_matches_batch(spark, sf_dir, tmpdir):
+    """Ingest-time MinHash/LSH near-dedup against a static corpus
+    index == the batch `near_dup_against` on the same documents: the
+    10th parity-locked streaming surface. The stream computes band
+    keys as pure projections (value-identical to `minhash_bands`,
+    unit-tested), probes the static bucket index with a
+    stream-static join, and verdicts per-doc through a
+    watermark-bounded windowed aggregate; a far-future sentinel doc
+    closes every real window so append mode emits them all."""
+    import json
+
+    from openset_spark.pipeline.dedup import minhash_bands, near_dup_against
+    from openset_spark.streaming.dedup import stream_near_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    rest = docs.filter(F.col("doc_id") % 3 != 0)
+
+    base = 1_700_000_000
+    rows = [
+        {"doc_id": r.doc_id, "text": r.text,
+         "ts": f"2023-11-14T22:{13 + i // 60:02d}:{i % 60:02d}.000000"}
+        for i, r in enumerate(rest.select("doc_id", "text").collect())
+    ]
+    # guaranteed near-dups: corpus texts with a tiny tail edit
+    for j, r in enumerate(corpus.select("text").limit(5).collect()):
+        rows.append(
+            {"doc_id": 500_000 + j, "text": r.text + " tail",
+             "ts": "2023-11-14T22:30:00.000000"}
+        )
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+    # sentinel file LAST: advances the watermark 2 days so every real
+    # window flushes before the availableNow query drains
+    sentinel = {"doc_id": 999_999, "text": "sentinel flush doc",
+                "ts": "2023-11-16T23:00:00.000000"}
+    with open(f"{tmpdir}/docs-zz-flush.json", "w") as f:
+        f.write(json.dumps(sentinel) + "\n")
+
+    index = (
+        minhash_bands(corpus).select("band_idx", "band_hash").distinct().cache()
+    )
+    index.count()
+    schema = "doc_id long, ts timestamp, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_neardedup_{uuid.uuid4().hex[:8]}"
+    _run_available(
+        stream_near_dedup(stream, index, window="10 seconds",
+                          watermark="5 seconds"),
+        name,
+    )
+    streamed = {
+        r.doc_id for r in spark.sql(f"select doc_id from {name}").collect()
+    } - {sentinel["doc_id"]}
+
+    batch_docs = spark.read.schema(schema).json(tmpdir).filter(
+        F.col("doc_id") != sentinel["doc_id"]
+    )
+    expected = {
+        r.doc_id
+        for r in near_dup_against(batch_docs, corpus).select("doc_id").collect()
+    }
+    # the injected edits MUST be dropped on both sides; plenty survive
+    assert not any(d >= 500_000 for d in expected)
+    assert streamed == expected
+    assert 0 < len(streamed) < len(rows)
+    index.unpersist()
