@@ -2259,6 +2259,54 @@ WHERE cum_tokens <= CASE lang WHEN 'en' THEN 8000 ELSE 1500 END
 """.replace("{Q}", _SQL_QUALITY_SCORE).replace("{L}", _lang_id_sql())
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter: a Laplace-smoothed bigram model
+    trained on the doc_id%5==0 shard scores the rest of the corpus
+    (per-doc mean log-prob). Pure relational algebra — two count
+    aggregates, two joins (pipeline/lm.py); the oracle replays the
+    identical model in SQL. perplexity=exp(-avg) rides on the
+    operator but stays out of the driver frame (libm exp is the one
+    non-bit-portable step). NEW r7."""
+    from openset_spark.pipeline.lm import lm_perplexity
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    rest = docs.filter(F.col("doc_id") % 5 != 0)
+    return lm_perplexity(rest, train).select("doc_id", "n_bigrams", "avg_logp")
+
+
+_SQL_LM_PERPLEXITY = f"""
+WITH tr AS (SELECT {_TOKS_SQL} AS ts FROM documents WHERE doc_id % 5 = 0),
+trb AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS c12
+  FROM tr, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+  GROUP BY 1, 2
+),
+tru AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(ts) AS w1 FROM tr) GROUP BY 1
+),
+v AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM tr)
+),
+db AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (
+    SELECT doc_id, {_TOKS_SQL} AS ts FROM documents WHERE doc_id % 5 <> 0
+  ), UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+),
+sc AS (
+  SELECT d.doc_id,
+    ln((COALESCE(b.c12, 0) + 1) / (COALESCE(u.c1, 0) + v.v)) AS logp
+  FROM db d
+  LEFT JOIN trb b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN tru u ON d.w1 = u.w1, v
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(logp), 4) AS avg_logp
+FROM sc GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------
 # retention maintenance as driver-verifiable queries (Grid::cull,
 # /root/reference/src/grid.cpp:698-749; settings src/table.h:122-124)
@@ -2652,6 +2700,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "pack_sequences": q_pack_sequences,
         "mixture_select": q_mixture_select,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2680,6 +2729,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _SQL_DEDUP_CLUSTERS,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "mixture_select": _SQL_MIXTURE_SELECT,
+        "lm_perplexity": _SQL_LM_PERPLEXITY,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

@@ -67,8 +67,20 @@ def _bench_impls():
         )
         return embs, qs
 
+    from openset_spark.pipeline.dedup import dup_clusters
+
     return {
         "dedup_minhash": lambda s, d: minhash_candidates(docs(s, d)),
+        # the registry's dedup_clusters clusters the exact-Jaccard
+        # pair set (its recursive-CTE oracle needs exact pairs); at
+        # sf0.1 that graph is near-complete (7.1M of 12.5M possible
+        # pairs — the synthetic corpus is template-heavy), so the
+        # bench times the PRODUCTION composition instead: clusters
+        # over the LSH candidate pairs, the pair source prepare_corpus
+        # actually uses.
+        "dedup_clusters": lambda s, d: dup_clusters(
+            minhash_candidates(docs(s, d))
+        ),
         "ann_lsh": lambda s, d: lsh_topk(
             *ann_inputs(s, d), dim=64, k=10, n_planes=6
         ),
@@ -142,9 +154,12 @@ def main() -> None:
             out["pipeline_r6"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # Round-7 pipeline additions, same contract. The retention keys
-    # time the production retention_filter paths; dedup_clusters is
-    # inherently multi-job (iterative convergence), so its single
-    # wall-clock sample is the honest number. Disable with
+    # time the production retention_filter paths; dedup_clusters runs
+    # the production pin from _bench_impls (clusters over LSH
+    # candidates) and is inherently multi-job (iterative
+    # convergence), so its single wall-clock sample is the honest
+    # number. lm_perplexity scores 4/5 of the corpus against a
+    # bigram LM trained on the other 1/5. Disable with
     # SPARK_GRAFT_R7=0.
     if os.environ.get("SPARK_GRAFT_R7", "1") != "0":
         try:
@@ -155,6 +170,7 @@ def main() -> None:
                 "pack_sequences",
                 "mixture_select",
                 "dedup_clusters",
+                "lm_perplexity",
             ):
                 samples = []
                 for _ in range(1 if name == "dedup_clusters" else reps):

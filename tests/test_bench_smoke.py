@@ -53,4 +53,5 @@ def test_bench_script_emits_contract_json():
         "pack_sequences",
         "mixture_select",
         "dedup_clusters",
+        "lm_perplexity",
     }

@@ -835,3 +835,41 @@ def test_with_minhash_bands_matches_batch_banding(spark, sf_dir):
         .collect()
     }
     assert g2 == b2 and len(b2) == 3 * 16
+
+
+def test_lm_perplexity_discriminates(spark):
+    """The bigram LM must score in-distribution text lower-perplexity
+    than shuffled gibberish; sub-2-token docs are excluded; a
+    hand-checked 2-bigram doc matches the Laplace formula exactly."""
+    import math
+
+    from openset_spark.pipeline.lm import lm_perplexity
+
+    train_rows = [(i, "the cat sat on the mat " * 5) for i in range(10)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),       # in-distribution
+            (101, "mat the on sat cat the"),       # same tokens, shuffled
+            (102, "zq xv qqq unseen words here"),  # out of vocabulary
+            (103, "one"),                          # no bigrams -> excluded
+            (104, "the cat sat"),                  # hand-check below
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lm_perplexity(docs, train).collect()}
+    assert set(out) == {100, 101, 102, 104}
+    # in-distribution text beats both gibberish forms (their relative
+    # order is a smoothing artifact: with a toy V=5 an unseen CONTEXT
+    # costs only ln(1/V), so OOV gibberish can outrank shuffled
+    # known words — with realistic vocabularies both are expensive)
+    assert out[100].perplexity < out[101].perplexity
+    assert out[100].perplexity < out[102].perplexity
+
+    # hand computation for doc 104: vocabulary {the,cat,sat,on,mat}
+    # V=5; C(the)=100, C(the,cat)=50; C(cat)=50, C(cat,sat)=50
+    p1 = (50 + 1) / (100 + 5)
+    p2 = (50 + 1) / (50 + 5)
+    want = round((math.log(p1) + math.log(p2)) / 2, 4)
+    assert float(out[104].avg_logp) == want
+    assert out[104].n_bigrams == 2
