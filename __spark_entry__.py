@@ -2411,7 +2411,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_events_per_user": q_first_events_per_user,
         "top_event_types_per_day": q_top_event_types_per_day,
         "props_json_extract": q_props_json_extract,
-        "user_event_type_sets": q_user_event_type_sets,
         "zorder_first_rows": q_zorder_first_rows,
         # sequence / behavioral (promoted r7: last green r5)
         "session_counts": q_session_counts,
@@ -2430,8 +2429,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osl_funnel_continue": q_osl_funnel_continue,
         "osl_segment_counts": q_osl_segment_counts,
         "osl_script_counter": q_osl_script_counter,
-        "osl_customer_write": q_osl_customer_write,
-        "osl_return_first": q_osl_return_first,
         "osl_agg_options": q_osl_agg_options,
         # property / histogram (promoted r7: last green r5)
         "property_counts_bucketed": q_property_counts_bucketed,
@@ -2447,7 +2444,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "substring_dup_pairs": q_substring_dup_pairs,
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -2455,6 +2451,11 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "contamination_check": q_contamination_check,
         "token_budget_select": q_token_budget_select,
+        # NEW r7 pipeline ops, in-window for first-round greens
+        "dedup_clusters": q_dedup_clusters,
+        "pack_sequences": q_pack_sequences,
+        "mixture_select": q_mixture_select,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2695,12 +2696,11 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_documents": q_clean_documents,
         "top_bigrams": q_top_bigrams,
         "token_counts": q_token_counts,
-        # NEW r7 (extras first: locally oracle-verified this round,
-        # windowed for a driver row in r8)
-        "dedup_clusters": q_dedup_clusters,
-        "pack_sequences": q_pack_sequences,
-        "mixture_select": q_mixture_select,
-        "lm_perplexity": q_lm_perplexity,
+        # rested r7 (r6-green; families covered in-window)
+        "user_event_type_sets": q_user_event_type_sets,
+        "osl_customer_write": q_osl_customer_write,
+        "osl_return_first": q_osl_return_first,
+        "ann_lsh": q_ann_lsh,
     }
 
 
