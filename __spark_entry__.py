@@ -2307,6 +2307,50 @@ FROM sc GROUP BY doc_id
 """
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023 shape): the
+    doc_id%7==0 shard plays the target corpus; every other document
+    scores sum log(p_target/p_raw) over its hashed unigram+bigram
+    buckets (k=256, Laplace smoothed). The bucket hash is md5-prefix
+    based so DuckDB reproduces it bit-for-bit. NEW r7."""
+    from openset_spark.pipeline.dsir import importance_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    rest = docs.filter(F.col("doc_id") % 7 != 0)
+    return importance_weights(rest, target, k=256)
+
+
+_SQL_DSIR_WEIGHTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+g AS (
+  SELECT doc_id, unnest(ts) AS g FROM t
+  UNION ALL
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS g
+  FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+),
+b AS (
+  SELECT doc_id,
+    CAST(CAST(concat('0x', substr(md5(g), 1, 8)) AS UBIGINT) % 256
+         AS BIGINT) AS bucket
+  FROM g
+),
+p AS (SELECT bucket, COUNT(*) AS pc FROM b WHERE doc_id % 7 = 0 GROUP BY 1),
+q AS (SELECT bucket, COUNT(*) AS qc FROM b WHERE doc_id % 7 <> 0 GROUP BY 1),
+pt AS (SELECT SUM(pc) AS ptot FROM p),
+qt AS (SELECT SUM(qc) AS qtot FROM q),
+d AS (SELECT * FROM b WHERE doc_id % 7 <> 0),
+sc AS (
+  SELECT d.doc_id,
+    ln((COALESCE(p.pc, 0) + 1) / (pt.ptot + 256))
+    - ln((COALESCE(q.qc, 0) + 1) / (qt.qtot + 256)) AS lr
+  FROM d LEFT JOIN p USING (bucket) LEFT JOIN q USING (bucket), pt, qt
+)
+SELECT doc_id, COUNT(*) AS n_grams, ROUND(SUM(lr), 4) AS log_weight
+FROM sc GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------
 # retention maintenance as driver-verifiable queries (Grid::cull,
 # /root/reference/src/grid.cpp:698-749; settings src/table.h:122-124)
@@ -2701,6 +2745,9 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osl_customer_write": q_osl_customer_write,
         "osl_return_first": q_osl_return_first,
         "ann_lsh": q_ann_lsh,
+        # NEW r7 late (extras: locally oracle-verified this round,
+        # windowed for a driver row in r8)
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -2730,6 +2777,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "mixture_select": _SQL_MIXTURE_SELECT,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
+        "dsir_weights": _SQL_DSIR_WEIGHTS,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

@@ -171,6 +171,7 @@ def main() -> None:
                 "mixture_select",
                 "dedup_clusters",
                 "lm_perplexity",
+                "dsir_weights",
             ):
                 samples = []
                 for _ in range(1 if name == "dedup_clusters" else reps):

@@ -54,4 +54,5 @@ def test_bench_script_emits_contract_json():
         "mixture_select",
         "dedup_clusters",
         "lm_perplexity",
+        "dsir_weights",
     }

@@ -873,3 +873,39 @@ def test_lm_perplexity_discriminates(spark):
     want = round((math.log(p1) + math.log(p2)) / 2, 4)
     assert float(out[104].avg_logp) == want
     assert out[104].n_bigrams == 2
+
+
+def test_dsir_weights_discriminate_and_select(spark):
+    """Target-like documents must out-weight off-distribution ones;
+    dsir_select top-k keeps them; the Gumbel variant is deterministic
+    per seed and samples target-like docs more often."""
+    from openset_spark.pipeline.dsir import dsir_select, importance_weights
+
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [(100 + i, "quick brown fox and lazy dog again") for i in range(5)]
+        + [(200 + i, "zzz qqq xxx totally different tokens here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    w = {r.doc_id: float(r.log_weight) for r in importance_weights(docs, target, k=64).collect()}
+    assert len(w) == 10
+    assert min(w[d] for d in w if d < 200) > max(w[d] for d in w if d >= 200)
+
+    top = {r.doc_id for r in dsir_select(docs, target, n=5, k=64).collect()}
+    assert top == {100, 101, 102, 103, 104}
+
+    g1 = [r.doc_id for r in dsir_select(docs, target, n=5, k=64, gumbel_seed=7).collect()]
+    g2 = [r.doc_id for r in dsir_select(docs, target, n=5, k=64, gumbel_seed=7).collect()]
+    assert g1 == g2  # reproducible resampling
+    # across seeds, target-like docs dominate the samples
+    picks = []
+    for seed in range(6):
+        picks += [
+            d for r in dsir_select(docs, target, n=3, k=64, gumbel_seed=seed).collect()
+            for d in [r.doc_id]
+        ]
+    frac_target_like = sum(1 for d in picks if d < 200) / len(picks)
+    assert frac_target_like > 0.7
