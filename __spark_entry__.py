@@ -2225,16 +2225,17 @@ def q_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain spreads over range partitions); oracle is the naive
     per-domain window cumsum. NEW r7."""
     from openset_spark.pipeline.sampling import mixture_select
-    from openset_spark.pipeline.textstats import lang_id, quality_score
+    from openset_spark.pipeline.textstats import lang_id, quality_columns
 
     docs = _docs(spark, sf_dir)
-    scored = quality_score(docs).select("doc_id", "n_tokens", "quality")
-    langs = lang_id(docs).select("doc_id", F.col("lang_guess").alias("lang"))
-    out = mixture_select(
-        scored.join(langs, "doc_id"),
-        {"en": 8000, "unknown": 1500},
-        "lang",
-    )
+    # ONE scan computes quality + language together (extra_cols
+    # fusion) — the join-of-two-derived-frames form costs a second
+    # scan plus a shuffle for nothing
+    q = quality_columns()
+    fused = lang_id(
+        docs, extra_cols={"n_tokens": q["n_tokens"], "quality": q["quality"]}
+    ).select("doc_id", "n_tokens", "quality", F.col("lang_guess").alias("lang"))
+    out = mixture_select(fused, {"en": 8000, "unknown": 1500}, "lang")
     return out.select("doc_id", "lang", "n_tokens", "cum_tokens")
 
 

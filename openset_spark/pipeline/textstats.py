@@ -66,9 +66,10 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """A deterministic heuristic quality score in [0,1]: length band,
-    stopword density, alpha ratio — the usual cheap pretraining filter."""
+def quality_columns(text_col: str = "text") -> dict:
+    """The quality heuristic as reusable named Columns (length band,
+    stopword density, alpha ratio) — so fused queries can ride them
+    along another scan instead of joining two derived frames."""
     t = F.col(text_col)
     toks = tokens(t)
     n_tokens = F.size(toks)
@@ -83,22 +84,43 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         ),
         4,
     )
+    return {
+        "n_tokens": n_tokens.cast("long"),
+        "stop_ratio": F.round(stop_ratio, 4),
+        "quality": score,
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """A deterministic heuristic quality score in [0,1]: length band,
+    stopword density, alpha ratio — the usual cheap pretraining filter."""
+    cols = quality_columns(text_col)
     return df.select(
-        F.col(id_col),
-        n_tokens.cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        score.alias("quality"),
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit argmax language guess over en/de/fr/es."""
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: dict | None = None,
+) -> DataFrame:
+    """Stopword-hit argmax language guess over en/de/fr/es.
+    ``extra_cols`` ({name: Column}) ride along in the same scan —
+    the fusion hook that lets a mix query compute language + quality
+    in ONE pass instead of joining two derived frames."""
+    extra_cols = extra_cols or {}
     toks = tokens(F.col(text_col))
     scores = [
         stopword_hits(toks, lang).cast("long").alias(f"hits_{lang}")
         for lang in STOPWORDS
     ]
-    scored = df.select(F.col(id_col), *scores)
+    scored = df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in extra_cols.items()],
+        *scores,
+    )
     langs = list(STOPWORDS)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
     guess = F.coalesce(
@@ -106,6 +128,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
     return scored.select(
         id_col,
+        *extra_cols.keys(),
         *[f"hits_{lang}" for lang in langs],
         F.when(best > 0, guess).otherwise(F.lit("unknown")).alias("lang_guess"),
     )
