@@ -375,6 +375,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over candidate duplicate PAIRS: the step
     every dedup family needs after pair generation — near-duplication
@@ -384,29 +385,38 @@ def dup_clusters(
     component; docs in no pair are not emitted (they are their own
     keepers by definition).
 
-    Iterative min-label propagation: each round every vertex takes
-    the min of its own label and its neighbors' labels, until a round
-    changes nothing. Rounds = graph diameter; duplicate-cluster
-    graphs are near-cliques (members share the same shingles/buckets,
-    so most pairs exist) with diameter 2-3, which is why plain
-    propagation beats the O(log n) large-star/small-star dance here —
-    each round is ONE join + ONE aggregate, and `localCheckpoint`
-    truncates the lineage so the plan never deepens. The iteration
-    driver is a per-round count — a deliberate driver-side loop over
-    a handful of rounds, not a per-row collect."""
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.union(rev).distinct().localCheckpoint()
+    ``algorithm="star"`` (default) is alternating large-star /
+    small-star (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond"): each round reattaches every node to the
+    minimum of its neighborhood, so component depth roughly HALVES
+    per round — O(log n) rounds on any graph shape. That bound is
+    what survives 100 TB: dup graphs are often near-cliques
+    (diameter 2-3), but drifting-text families produce CHAINS whose
+    diameter grows with cluster size, and the simpler min-label
+    propagation (``algorithm="propagate"``, kept as the verification
+    twin — equality is tested on cliques, chains and random graphs)
+    needs a round per hop. Both use `localCheckpoint` each round so
+    the plan never deepens, and a driver-side loop over a handful of
+    rounds — never a per-row collect."""
+    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    rev = pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
+    edges = fwd.union(rev).filter(F.col("a") != F.col("b")).distinct()
+    if algorithm == "star":
+        labels, _ = _cc_star(edges.localCheckpoint(), max_iter)
+        return labels
+    if algorithm != "propagate":
+        raise ValueError(f"unknown algorithm: {algorithm}")
+    edges = edges.localCheckpoint()
     labels = (
-        edges.select(F.col("src").alias("id"))
+        edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr = edges.join(
-            labels.withColumnRenamed("id", "dst"), "dst"
-        ).select(F.col("src").alias("id"), "label")
+            labels.withColumnRenamed("id", "b"), "b"
+        ).select(F.col("a").alias("id"), "label")
         new = (
             labels.union(nbr)
             .groupBy("id")
@@ -425,6 +435,58 @@ def dup_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def _cc_star(edges: DataFrame, max_iter: int):
+    """Alternating large-star/small-star rounds until the edge set is
+    stable; returns (labels DataFrame, rounds used). On convergence
+    every edge points (node → component-min), i.e. the components are
+    stars around their minimum id."""
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = sym.groupBy("a").agg(F.min("b").alias("_mn"))
+        m = m.select("a", F.least("a", "_mn").alias("_m"))
+        return (
+            sym.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        o = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        m = o.groupBy("a").agg(F.min("b").alias("_m"))
+        j = o.join(m, "a")
+        out = j.select(F.col("b").alias("a"), F.col("_m").alias("b")).union(
+            j.select("a", F.col("_m").alias("b"))
+        )
+        return out.filter(F.col("a") != F.col("b")).distinct()
+
+    def sig(e: DataFrame):
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # bit_xor: order-independent and overflow-free under ANSI
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        return r["n"], r["h"]
+
+    cur = edges
+    cur_sig = sig(cur)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        cur = small_star(large_star(cur)).localCheckpoint()
+        new_sig = sig(cur)
+        if new_sig == cur_sig:
+            break
+        cur_sig = new_sig
+    roots = cur.select(F.col("b").alias("doc_id"), F.col("b").alias("cluster_id"))
+    members = cur.select(F.col("a").alias("doc_id"), F.col("b").alias("cluster_id"))
+    return members.union(roots).distinct(), rounds
 
 
 def substring_dup_pairs(

@@ -678,8 +678,8 @@ def test_substring_dup_pairs_boilerplate_cap(spark):
 
 
 def test_dup_clusters_crafted(spark):
-    """Chain + clique + isolated pair: min-label propagation must
-    produce true components (chain forces multi-round convergence)."""
+    """Chain + clique + isolated pair: BOTH algorithms must produce
+    true components (the chain forces multi-round convergence)."""
     from openset_spark.pipeline.dedup import dup_clusters
 
     pairs = spark.createDataFrame(
@@ -689,14 +689,56 @@ def test_dup_clusters_crafted(spark):
          (20, 21)],
         "id_a long, id_b long",
     )
-    got = {
-        (r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()
-    }
-    assert got == {
+    want = {
         (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+    for algo in ("star", "propagate"):
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in dup_clusters(pairs, algorithm=algo).collect()
+        }
+        assert got == want, algo
+
+
+def test_dup_clusters_star_logarithmic_on_chains(spark):
+    """A 96-node path (diameter 95): the alternating-star rounds must
+    be logarithmic, not linear — the property that matters when
+    drifting-text families chain at scale. Results still equal the
+    propagation twin and a random multi-component graph agrees too."""
+    import random
+
+    from openset_spark.pipeline.dedup import _cc_star, dup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(95)], "id_a long, id_b long"
+    )
+    edges = chain.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels, rounds = _cc_star(sym.distinct().localCheckpoint(), max_iter=50)
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(96)}
+    assert rounds <= 12, rounds  # ~log-depth, nowhere near 95
+
+    rng = random.Random(13)
+    pairs = [
+        (c * 1000 + rng.randrange(50), c * 1000 + rng.randrange(50))
+        for c in range(4)
+        for _ in range(60)
+    ]
+    pdf = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "id_a long, id_b long"
+    )
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(pdf, algorithm="star").collect()
+    }
+    prop = {
+        (r.doc_id, r.cluster_id)
+        for r in dup_clusters(pdf, algorithm="propagate").collect()
+    }
+    assert star == prop and len(star) > 50
 
 
 def test_pack_sequences_matches_replay(spark):
