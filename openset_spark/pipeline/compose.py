@@ -33,13 +33,19 @@ def prepare_corpus(
     sample_rate: float = 1.0,
     seed: int = 42,
     near_dup: bool = True,
+    transitive: bool = False,
 ) -> DataFrame:
     """The filtered, deduplicated, sampled corpus with per-doc
     metadata (clean_text, lang_guess, quality, n_tokens).
 
     Near-dup handling keeps the LOWEST doc id of each candidate pair
     (the usual "first writer wins" policy); pair generation is the
-    banded MinHash join — never all-pairs."""
+    banded MinHash join — never all-pairs. ``transitive=True``
+    switches to CLUSTER-keeper semantics (Lee et al.): connected
+    components over the candidate pairs keep one doc per family, so
+    A~B, B~C drops both B and C even though A and C never paired —
+    stricter than the pairwise policy, which keeps every doc smaller
+    than all of its own neighbors."""
     cleaned = clean_documents(docs, text_col=text_col)
 
     langs = lang_id(cleaned, text_col="clean_text", id_col=id_col).select(
@@ -59,9 +65,17 @@ def prepare_corpus(
     out = exact_dedup(out, text_col="clean_text", id_col=id_col)
 
     if near_dup:
-        # drop the higher id of every near-dup candidate pair
         pairs = minhash_candidates(out, text_col="clean_text", id_col=id_col)
-        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        if transitive:
+            from openset_spark.pipeline.dedup import dup_clusters
+
+            clusters = dup_clusters(pairs)
+            losers = clusters.filter(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select(F.col("doc_id").alias(id_col))
+        else:
+            # drop the higher id of every near-dup candidate pair
+            losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
         out = out.join(losers, id_col, "left_anti")
 
     if sample_rate < 1.0:

@@ -951,3 +951,33 @@ def test_dsir_weights_discriminate_and_select(spark):
         ]
     frac_target_like = sum(1 for d in picks if d < 200) / len(picks)
     assert frac_target_like > 0.7
+
+
+def test_prepare_corpus_transitive_cluster_keeper(spark):
+    """transitive=True keeps ONE doc per near-dup family: in the
+    chain A~B, B~C (A and C never pairing), the pairwise policy
+    keeps both local minima while the cluster policy keeps only the
+    component min."""
+    from openset_spark.pipeline.compose import prepare_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    drift = base.replace("lazy", "sleepy")          # ~B: near A and C
+    drift2 = drift.replace("quick", "rapid")        # ~C: near B only
+    far = "this is a story about the engines and the trains " * 6
+    docs = spark.createDataFrame(
+        [(1, base), (2, drift), (3, drift2), (4, far)],
+        "doc_id long, text string",
+    )
+    pairwise = {
+        r.doc_id
+        for r in prepare_corpus(docs, min_quality=0.0).select("doc_id").collect()
+    }
+    transitive = {
+        r.doc_id
+        for r in prepare_corpus(docs, min_quality=0.0, transitive=True)
+        .select("doc_id")
+        .collect()
+    }
+    assert transitive <= pairwise
+    assert 1 in transitive and 4 in transitive
+    assert 2 not in transitive and 3 not in transitive
