@@ -421,7 +421,7 @@ def dup_clusters(
             labels.union(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.withColumnRenamed("label", "_new")
@@ -479,7 +479,9 @@ def _cc_star(edges: DataFrame, max_iter: int):
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        cur = small_star(large_star(cur)).localCheckpoint()
+        # lazy checkpoint: the signature probe right after is the one
+        # action per round (eager would pay a second job)
+        cur = small_star(large_star(cur)).localCheckpoint(eager=False)
         new_sig = sig(cur)
         if new_sig == cur_sig:
             break
