@@ -615,6 +615,51 @@ def _call_const(fn: str, args: list):
         if args:
             raise OslUnsupported("dict() takes no arguments")
         return {}
+    # scalar built-ins (docs/osl/language_reference.md:641-766) —
+    # semantics pinned to the documented examples
+    if fn == "bucket":
+        import math
+
+        v, size = args[0], args[1]
+        b = math.floor(v / size) * size
+        if isinstance(v, int) and isinstance(size, int):
+            return int(b)
+        return round(b, 10)  # shave FP dust from size multiples
+    if fn == "round":
+        # doc example round(0.5)==1: half-up, not banker's
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return int(
+            Decimal(str(args[0])).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+    if fn == "trunc":
+        return int(args[0])
+    if fn == "fix":
+        return f"{float(args[0]):.{int(args[1])}f}"
+    if fn == "iso8601_to_stamp":
+        import datetime as _dt
+
+        s = str(args[0]).replace("Z", "+00:00")
+        return int(_dt.datetime.fromisoformat(s).timestamp() * 1000)
+    if fn == "url_decode":
+        from urllib.parse import unquote, urlsplit
+
+        parts = urlsplit(str(args[0]))
+        params: dict = {}
+        for kv in (parts.query or "").split("&"):
+            if not kv:
+                continue
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                params[k] = unquote(v)
+            else:
+                params[kv] = True  # bare param (doc example)
+        return {
+            "host": parts.hostname or "",
+            "path": parts.path,
+            "query": parts.query,
+            "params": params,
+        }
     raise _NotConst(f"call {fn}()")
 
 
@@ -1646,6 +1691,32 @@ class ScriptRunner:
             if e.fn in ("int", "float", "str"):
                 t = {"int": "long", "float": "double", "str": "string"}
                 return Col(args[0].col.cast(t[e.fn]))
+            # scalar built-ins over row-dependent values lower to the
+            # JVM column forms (functions/osl.py, functions/time.py)
+            if e.fn == "bucket" and not isinstance(args[1], Col):
+                from openset_spark.functions.time import bucket as _bucket_col
+
+                return Col(_bucket_col(args[0].col, args[1]))
+            if e.fn == "round":
+                from openset_spark.functions.osl import osl_round
+
+                return Col(osl_round(args[0].col))
+            if e.fn == "trunc":
+                from openset_spark.functions.osl import trunc as _trunc_col
+
+                return Col(_trunc_col(args[0].col))
+            if e.fn == "fix" and not isinstance(args[1], Col):
+                from openset_spark.functions.osl import fix as _fix_col
+
+                return Col(_fix_col(args[0].col, int(args[1])))
+            if e.fn == "iso8601_to_stamp":
+                from openset_spark.functions.osl import iso8601_to_stamp
+
+                return Col(iso8601_to_stamp(args[0].col))
+            if e.fn == "url_decode":
+                from openset_spark.functions.osl import url_decode
+
+                return Col(url_decode(args[0].col))
             raise OslUnsupported(f"{e.fn}() over a row-dependent value")
         if isinstance(e, LIndex):
             obj = self._eval(e.obj, env)

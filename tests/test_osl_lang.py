@@ -603,3 +603,47 @@ def test_row_value_assignment_in_scan(spark):
         for row in r.customer_updates(events).collect()
     }
     assert got == {"u1": "pear", "u2": "unset"}
+
+
+def test_scalar_builtins_doc_examples(fruit_events):
+    """The scalar built-ins with the language_reference.md:641-766
+    examples VERBATIM: bucket rounding down to multiples, half-up
+    round (the doc's example contradicts its 'bank rounding' label —
+    round(0.5)==1 wins), trunc toward zero, fix as fixed-point text,
+    iso8601_to_stamp, and the url_decode dictionary (bare params get
+    True)."""
+    log = ScriptRunner(
+        """
+        debug(bucket(23.26, 0.50) == 23.00)
+        debug(bucket(27.11, 25) == 25)
+        debug(round(0.5) == 1)
+        debug(round(0.05) == 0)
+        debug(trunc(5.5) == 5)
+        debug(fix(24.9499, 2) == "24.95")
+        debug(iso8601_to_stamp("1970-01-01T00:00:01Z") == 1000)
+        parts = url_decode("http://somehost.com/this/is/the/path?param1=one&param2=two&param3")
+        debug(parts["host"] == "somehost.com")
+        debug(parts["path"] == "/this/is/the/path")
+        debug(parts["params"]["param1"] == "one")
+        debug(parts["params"]["param3"] == true)
+        """
+    ).replay(fruit_events)
+    assert log == [True] * 11
+
+
+def test_scalar_builtins_row_dependent(fruit_events):
+    """The same built-ins over row-dependent values lower to JVM
+    column expressions: bucket the price of the first apple row."""
+    log = ScriptRunner(
+        """
+        pr = 0.0
+        each_row.limit(50) where fruit.is(== "apple")
+            pr = price
+        end
+        debug(bucket(pr, 0.50) == 9.50)
+        debug(round(pr) == 10)
+        debug(trunc(pr) == 9)
+        debug(fix(pr, 1) == "9.9")  # 9.95 is 9.9499... in binary
+        """
+    ).replay(fruit_events)
+    assert log == [True] * 4
