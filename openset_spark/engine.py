@@ -46,7 +46,7 @@ from openset_spark.operators.segments import (
 )
 from openset_spark.operators.sessionize import with_session
 from openset_spark.plans.batch import BatchQuery, run_batch
-from openset_spark.sources.tables import load_table
+from openset_spark.sources.tables import TABLE_NAMES, load_table
 
 DEFAULT_SESSION_GAP_MS = 30 * 60 * 1000
 
@@ -79,6 +79,50 @@ class OpenSetEngine:
 
     def table(self, name: str) -> DataFrame:
         return load_table(self.spark, self.sf_dir, name)
+
+    # -- node health surface (GET /ping, GET /status —
+    #    docs/rest/README.md:464-476, src/rpc_status.cpp) ------------
+    def ping(self) -> dict:
+        """The liveness probe, verbatim."""
+        return {"pong": True}
+
+    def status(self) -> dict:
+        """The /status shape with Spark standing in for the
+        sentinel's cluster bookkeeping: the reference reports
+        partition balance / redundancy / failure tolerance because it
+        IS the cluster manager; here those properties belong to Spark
+        (executors + shuffle partitions + storage replication), so
+        the same keys carry the Spark-level equivalents and the
+        table list comes from the engine's source directory."""
+        import os as _os
+
+        sc = self.spark.sparkContext
+        tables = [
+            t
+            for t in sorted(TABLE_NAMES)
+            if _os.path.exists(
+                _os.path.join(self.sf_dir, f"{t}.parquet")
+            )
+        ]
+        return {
+            "status": {
+                "init": not sc._jsc.sc().isStopped(),
+                "cluster_complete": True,  # Spark admits no partial quorum
+                "redundancy": int(
+                    self.spark.conf.get("spark.task.maxFailures", "4")
+                ),
+                "balanced": True,  # AQE rebalances at runtime
+                "sentinel": sc.master,
+                "tables": len(tables),
+            },
+            "partitions": {
+                "count": int(
+                    self.spark.conf.get("spark.sql.shuffle.partitions")
+                ),
+                "parallelism": sc.defaultParallelism,
+            },
+            "tables": tables,
+        }
 
     def sessionized(self) -> DataFrame:
         """Events with the synthetic ``session`` property (the

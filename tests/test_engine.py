@@ -203,3 +203,19 @@ def test_engine_threads_declared_zorder(spark, sf_dir):
     eng2 = OpenSetEngine(spark, sf_dir)
     eng2._events = eng._events
     assert [r.event_type for r in eng2.first_matching(limit=1).collect()] == ["view"]
+
+
+def test_ping_and_status(spark, sf_dir):
+    """GET /ping and GET /status analogs (docs/rest/README.md:464,
+    src/rpc_status.cpp): liveness, cluster flags with Spark standing
+    in for the sentinel, and the table inventory of the source dir."""
+    from openset_spark.engine import OpenSetEngine
+
+    eng = OpenSetEngine(spark, sf_dir)
+    assert eng.ping() == {"pong": True}
+    st = eng.status()
+    assert st["status"]["init"] is True
+    assert st["status"]["tables"] == len(st["tables"])
+    assert {"events", "documents", "lineitem"} <= set(st["tables"])
+    assert st["partitions"]["count"] >= 1
+    assert st["partitions"]["parallelism"] >= 1

@@ -214,3 +214,90 @@ def test_script_counter_and_searches_match_python(spark, rows):
         )
         want = (n_a, first_a, last_a, "b" in kinds)
         assert got[uid] == want, (uid, got[uid], want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc id seed
+            st.integers(min_value=0, max_value=60),      # n_tokens
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    partitions=st.sampled_from([1, 3, 8]),
+    groups=st.sampled_from([0, 2, 3]),
+)
+@SETTINGS
+def test_distributed_cumsum_matches_sequential_oracle(
+    spark, rows, partitions, groups
+):
+    """The range-partition + local-window + broadcast-offset prefix
+    sum must equal the sequential running total for ANY row set,
+    partition count, and grouping — including zero-token rows, ties,
+    and single-row groups."""
+    from openset_spark.pipeline.sampling import distributed_cumsum
+
+    data = [
+        (i, "g%d" % (i % groups) if groups else "all", n)
+        for (i, n) in rows
+    ]
+    df = spark.createDataFrame(data, "doc_id long, dom string, n long")
+    group_cols = ("dom",) if groups else ()
+    got = {
+        (r.doc_id, r._cum)
+        for r in distributed_cumsum(
+            df, [F.col("doc_id").asc()], "n", partitions, group_cols
+        ).collect()
+    }
+    expected = set()
+    totals: dict = {}
+    for i, dom, n in sorted(data):
+        key = dom if groups else "_"
+        totals[key] = totals.get(key, 0) + n
+        expected.add((i, totals[key]))
+    assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    seq_len=st.sampled_from([1, 7, 32]),
+    partitions=st.sampled_from([1, 4]),
+)
+@SETTINGS
+def test_pack_sequences_matches_sequential_oracle(
+    spark, rows, seq_len, partitions
+):
+    """Packing pieces equal the sequential replay for any doc sizes
+    (including > seq_len and zero), any L, any partitioning."""
+    from openset_spark.pipeline.packing import pack_sequences
+
+    df = spark.createDataFrame(list(rows), "doc_id long, n_tokens long")
+    got = {
+        (r.seq_id, r.doc_id, r.seq_offset, r.doc_offset, r.piece_tokens)
+        for r in pack_sequences(
+            df, seq_len, partitions=partitions
+        ).collect()
+    }
+    expected = set()
+    pos = 0
+    for i, n in sorted(rows):
+        if n <= 0:
+            continue
+        off = 0
+        while off < n:
+            sid = pos // seq_len
+            take = min(n - off, (sid + 1) * seq_len - pos)
+            expected.add((sid, i, pos - sid * seq_len, off, take))
+            pos += take
+            off += take
+    assert got == expected
