@@ -9,8 +9,9 @@ Decode kernels: formats with pure-Python codecs are REAL — binary
 PPM/PGM images (P6/P5), PNG (8-bit gray/RGB/gray+A/RGBA via stdlib
 zlib, all five scanline filters), baseline AND progressive JPEG
 (huffman + spectral-selection/successive-approximation scans + IDCT,
-``pipeline/jpeg.py``) and RIFF/WAV PCM audio decode for real inside
-the Arrow batches. Codecs that need native libs (WebP/ffmpeg,
+``pipeline/jpeg.py``), GIF 87a/89a (LZW, interlacing, transparency,
+first-frame composition — ``pipeline/gif.py``) and RIFF/WAV PCM
+audio decode for real inside the Arrow batches. Codecs that need native libs (WebP/ffmpeg,
 arithmetic-coded JPEG) stay stubbed: ``deterministic=True`` yields a
 seeded fake so the Spark plumbing — schema, batching, partitioning —
 is testable; ``deterministic=False`` raises NotImplementedError where
@@ -285,6 +286,10 @@ def decode_images(
                     from openset_spark.pipeline.jpeg import decode_jpeg_bytes
 
                     w, h, ch, px = decode_jpeg_bytes(raw)
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    from openset_spark.pipeline.gif import decode_gif_bytes
+
+                    w, h, ch, px = decode_gif_bytes(raw)
                 elif not deterministic:
                     raise NotImplementedError(
                         "WebP image decode requires PIL; not in container"
