@@ -10,8 +10,11 @@ PPM/PGM images (P6/P5), PNG (8-bit gray/RGB/gray+A/RGBA via stdlib
 zlib, all five scanline filters), baseline AND progressive JPEG
 (huffman + spectral-selection/successive-approximation scans + IDCT,
 ``pipeline/jpeg.py``), GIF 87a/89a (LZW, interlacing, transparency,
-first-frame composition — ``pipeline/gif.py``) and RIFF/WAV PCM
-audio decode for real inside the Arrow batches. Codecs that need native libs (WebP/ffmpeg,
+first-frame composition — ``pipeline/gif.py``), LOSSLESS WebP (the
+full VP8L bitstream: canonical prefix codes, LZ77 + color cache,
+all four transforms, meta-prefix tiling — ``pipeline/webp.py``) and
+RIFF/WAV PCM audio decode for real inside the Arrow batches. Codecs
+that need native libs (lossy-VP8 WebP / ffmpeg video,
 arithmetic-coded JPEG) stay stubbed: ``deterministic=True`` yields a
 seeded fake so the Spark plumbing — schema, batching, partitioning —
 is testable; ``deterministic=False`` raises NotImplementedError where
@@ -290,9 +293,25 @@ def decode_images(
                     from openset_spark.pipeline.gif import decode_gif_bytes
 
                     w, h, ch, px = decode_gif_bytes(raw)
+                elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                    from openset_spark.pipeline.webp import decode_webp_bytes
+
+                    # lossless VP8L decodes for real; lossy VP8 raises
+                    # NotImplementedError below in strict mode
+                    try:
+                        w, h, ch, px = decode_webp_bytes(raw)
+                    except NotImplementedError:
+                        if not deterministic:
+                            raise
+                        w = int(mw) if mw is not None and mw == mw else 1
+                        h = int(mh) if mh is not None and mh == mh else 1
+                        ch = 3
+                        px = bytes(
+                            ((raw or b"\x00") * (w * h * 3))[: w * h * 3]
+                        )
                 elif not deterministic:
                     raise NotImplementedError(
-                        "WebP image decode requires PIL; not in container"
+                        "lossy-WebP/AVIF decode requires PIL; not in container"
                     )
                 else:
                     w = int(mw) if mw is not None and mw == mw else 1
