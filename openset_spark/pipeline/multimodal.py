@@ -97,15 +97,23 @@ JPEG_SIG = b"\xff\xd8"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+A, RGBA
 
 
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     """Pure-Python PNG decoder (stdlib zlib only) ->
     (width, height, channels, row-major pixel bytes).
 
-    Supports the baseline still-image profile: 8-bit depth, color
-    types 0/2/4/6 (palette needs a PLTE pass — out of scope), no
-    interlacing, all five scanline filters (None/Sub/Up/Average/
-    Paeth) per the PNG spec §9. IDAT chunks concatenate before
-    inflate, as the spec requires."""
+    Supports the still-image profile: 8-bit gray/RGB/gray+A/RGBA,
+    PALETTE images (color type 3 at bit depths 1/2/4/8, PLTE + tRNS
+    alpha -> RGB or RGBA output), Adam7 INTERLACING for every
+    supported color type, and all five scanline filters
+    (None/Sub/Up/Average/Paeth) per the PNG spec §9. IDAT chunks
+    concatenate before inflate, as the spec requires. 16-bit depth
+    stays unsupported."""
     import struct
     import zlib
 
@@ -114,6 +122,8 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     w = h = depth = ctype = interlace = None
     idat = bytearray()
+    plte = None
+    trns = None
     while pos + 8 <= len(data):
         length, cid = struct.unpack(">I4s", data[pos : pos + 8])
         body = data[pos + 8 : pos + 8 + length]
@@ -121,6 +131,10 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
+        elif cid == b"PLTE":
+            plte = body
+        elif cid == b"tRNS":
+            trns = body
         elif cid == b"IDAT":
             idat += body
         elif cid == b"IEND":
@@ -128,46 +142,109 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length  # length + type + body + crc32
     if w is None:
         raise ValueError("missing IHDR")
-    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+    paletted = ctype == 3
+    ok_depth = depth in (1, 2, 4, 8) if paletted else depth == 8
+    if not ok_depth or (not paletted and ctype not in _PNG_CHANNELS) or (
+        interlace not in (0, 1)
+    ):
         raise ValueError(
             f"unsupported PNG profile: depth={depth} color={ctype} "
             f"interlace={interlace}"
         )
-    channels = _PNG_CHANNELS[ctype]
+    if paletted and plte is None:
+        raise ValueError("invalid PNG: palette image without PLTE")
+    channels = 1 if paletted else _PNG_CHANNELS[ctype]
+    bpp = max(1, channels * depth // 8)  # filter granularity (bytes)
+
+    def row_stride(pw: int) -> int:
+        return (pw * channels * depth + 7) // 8
+
     raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError(f"bad IDAT length: {len(raw)} != {h * (stride + 1)}")
-    out = bytearray()
-    prev = bytearray(stride)
+
+    def unfilter(pos: int, pw: int, ph: int):
+        """One filtered sub-image -> list of unfiltered row buffers."""
+        stride = row_stride(pw)
+        rows = []
+        prev = bytearray(stride)
+        for _y in range(ph):
+            f = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if f == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line[i] = (line[i] + pr) & 0xFF
+            elif f != 0:
+                raise ValueError(f"bad scanline filter {f}")
+            rows.append(line)
+            prev = line
+        return rows, pos
+
+    def row_pixels(line: bytearray, pw: int):
+        """Row buffer -> per-pixel tuples (channel bytes or index)."""
+        if depth == 8:
+            return [
+                tuple(line[x * channels : (x + 1) * channels])
+                for x in range(pw)
+            ]
+        per_byte = 8 // depth
+        mask = (1 << depth) - 1
+        out = []
+        for x in range(pw):
+            b = line[x // per_byte]
+            shift = 8 - depth * (x % per_byte + 1)  # MSB-first packing
+            out.append(((b >> shift) & mask,))
+        return out
+
+    grid = [[None] * w for _ in range(h)]
     p = 0
-    for _y in range(h):
-        f = raw[p]
-        line = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
-        if f == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif f == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif f == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad scanline filter {f}")
-        out += line
-        prev = line
-    return w, h, channels, bytes(out)
+    if interlace == 0:
+        rows, p = unfilter(0, w, h)
+        for y, line in enumerate(rows):
+            grid[y] = row_pixels(line, w)
+    else:
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            rows, p = unfilter(p, pw, ph)
+            for ry, line in enumerate(rows):
+                for rx, pxv in enumerate(row_pixels(line, pw)):
+                    grid[y0 + ry * dy][x0 + rx * dx] = pxv
+
+    if not paletted:
+        out = bytearray()
+        for y in range(h):
+            for pxv in grid[y]:
+                out += bytes(pxv)
+        return w, h, channels, bytes(out)
+
+    n_pal = len(plte) // 3
+    has_alpha = trns is not None
+    out = bytearray()
+    for y in range(h):
+        for (idx,) in grid[y]:
+            if idx >= n_pal:
+                raise ValueError("invalid PNG: palette index out of range")
+            out += plte[3 * idx : 3 * idx + 3]
+            if has_alpha:
+                out.append(trns[idx] if idx < len(trns) else 255)
+    return w, h, 4 if has_alpha else 3, bytes(out)
 
 
 def decode_wav_bytes(data: bytes) -> tuple[int, int, int, int, int]:

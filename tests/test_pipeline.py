@@ -981,3 +981,148 @@ def test_prepare_corpus_transitive_cluster_keeper(spark):
     assert transitive <= pairwise
     assert 1 in transitive and 4 in transitive
     assert 2 not in transitive and 3 not in transitive
+
+
+def _png_encode_full(
+    w, h, depth, ctype, px_at, plte=None, trns=None, interlace=0,
+    filters=(0, 1, 2, 3, 4),
+):
+    """General in-test PNG encoder: any supported color type/bit
+    depth, optional Adam7 interlacing, per-row filter cycling."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = max(1, channels * depth // 8)
+
+    def pack_row(pxs):
+        if depth == 8:
+            return bytearray(b for p in pxs for b in p)
+        per_byte = 8 // depth
+        out = bytearray((len(pxs) * depth + 7) // 8)
+        for x, (v,) in enumerate(pxs):
+            shift = 8 - depth * (x % per_byte + 1)
+            out[x // per_byte] |= v << shift
+        return out
+
+    def filt(line, prev, f):
+        enc = bytearray()
+        for i in range(len(line)):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = line[i]
+            elif f == 1:
+                v = line[i] - a
+            elif f == 2:
+                v = line[i] - b
+            elif f == 3:
+                v = line[i] - ((a + b) >> 1)
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                v = line[i] - pr
+            enc.append(v & 0xFF)
+        return enc
+
+    passes = (
+        [(0, 0, 1, 1)] if interlace == 0
+        else [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    )
+    raw = bytearray()
+    fi = 0
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw == 0 or ph == 0:
+            continue
+        prev = bytearray((pw * channels * depth + 7) // 8)
+        for ry in range(ph):
+            line = pack_row(
+                [px_at(x0 + rx * dx, y0 + ry * dy) for rx in range(pw)]
+            )
+            f = filters[fi % len(filters)]
+            fi += 1
+            raw += bytes([f]) + filt(line, prev, f)
+            prev = line
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body))
+        )
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", bytes(b for c in plte for b in c))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_png_palette_depths_and_trns():
+    """Color type 3 at every bit depth, with and without tRNS alpha:
+    exact pixels through the palette map."""
+    from openset_spark.pipeline.multimodal import decode_png_bytes
+
+    rng = np.random.default_rng(51)
+    for depth, ncolors in ((1, 2), (2, 4), (4, 13), (8, 200)):
+        pal = [tuple(int(v) for v in rng.integers(0, 256, size=3))
+               for _ in range(ncolors)]
+        w, h = 13, 7  # width not a multiple of any packing
+        idx = [int(i) for i in rng.integers(0, ncolors, size=w * h)]
+        data = _png_encode_full(
+            w, h, depth, 3, lambda x, y: (idx[y * w + x],), plte=pal
+        )
+        gw, gh, ch, px = decode_png_bytes(data)
+        assert (gw, gh, ch) == (w, h, 3)
+        exp = bytes(b for i in idx for b in pal[i])
+        assert px == exp
+
+        trns = [int(v) for v in rng.integers(0, 256, size=min(ncolors, 5))]
+        data = _png_encode_full(
+            w, h, depth, 3, lambda x, y: (idx[y * w + x],),
+            plte=pal, trns=trns,
+        )
+        gw, gh, ch, px = decode_png_bytes(data)
+        assert ch == 4
+        exp = bytearray()
+        for i in idx:
+            exp += bytes(pal[i])
+            exp.append(trns[i] if i < len(trns) else 255)
+        assert px == bytes(exp)
+
+
+def test_png_adam7_interlaced():
+    """Adam7 for RGB, RGBA, gray and 4-bit palette — including tiny
+    images where some passes are empty."""
+    from openset_spark.pipeline.multimodal import decode_png_bytes
+
+    rng = np.random.default_rng(52)
+    for w, h in ((11, 9), (3, 2), (1, 1), (8, 8)):
+        for ctype, nch in ((2, 3), (6, 4), (0, 1)):
+            vals = rng.integers(0, 256, size=(h, w, nch))
+
+            def at(x, y):
+                return tuple(int(v) for v in vals[y, x])
+
+            data = _png_encode_full(w, h, 8, ctype, at, interlace=1)
+            gw, gh, ch, px = decode_png_bytes(data)
+            assert (gw, gh, ch) == (w, h, nch)
+            assert px == bytes(int(v) for v in vals.reshape(-1))
+        # palette + interlace + sub-byte packing
+        pal = [tuple(int(v) for v in rng.integers(0, 256, size=3))
+               for _ in range(9)]
+        idx = rng.integers(0, 9, size=(h, w))
+        data = _png_encode_full(
+            w, h, 4, 3, lambda x, y: (int(idx[y, x]),), plte=pal, interlace=1
+        )
+        gw, gh, ch, px = decode_png_bytes(data)
+        assert (gw, gh, ch) == (w, h, 3)
+        exp = bytes(b for i in idx.reshape(-1) for b in pal[int(i)])
+        assert px == exp
