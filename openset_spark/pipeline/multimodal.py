@@ -500,3 +500,128 @@ def resize_images(
             )
 
     return decoded.mapInPandas(run, DECODED_IMAGE_SCHEMA)
+
+
+# ------------------------------------------------- video metadata probe
+def probe_mp4_bytes(data: bytes) -> dict:
+    """ISO BMFF (MP4/MOV) metadata probe — pure box-tree parsing, no
+    codec work: brand, duration (mvhd timescale), per-track type,
+    codec fourcc and visual dimensions (tkhd fixed-point 16.16).
+    This is what a 100 TB video ingest actually needs at catalog
+    time: route/filter/sample by duration, resolution and codec
+    BEFORE any expensive decode (which stays ffmpeg territory)."""
+    import struct as _struct
+
+    def walk(lo: int, hi: int):
+        while lo + 8 <= hi:
+            size, box = _struct.unpack(">I4s", data[lo : lo + 8])
+            body = lo + 8
+            if size == 1:  # 64-bit largesize
+                size = _struct.unpack(">Q", data[lo + 8 : lo + 16])[0]
+                body = lo + 16
+            elif size == 0:
+                size = hi - lo
+            yield box, body, lo + size
+            lo += size
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (missing ftyp)")
+    out: dict = {"brand": data[8:12].decode("latin1"), "tracks": []}
+
+    def parse_mvhd(b: int):
+        ver = data[b]
+        if ver == 1:
+            ts, dur = _struct.unpack(">IQ", data[b + 20 : b + 32])
+        else:
+            ts, dur = _struct.unpack(">II", data[b + 12 : b + 20])
+        out["duration_ms"] = dur * 1000 // ts if ts else 0
+
+    def parse_trak(lo: int, hi: int):
+        trk: dict = {}
+        for box, b, e in walk(lo, hi):
+            if box == b"tkhd":
+                ver = data[b]
+                off = b + (32 if ver == 1 else 20)
+                w16, h16 = _struct.unpack(">II", data[e - 8 : e])
+                trk["width"] = w16 >> 16
+                trk["height"] = h16 >> 16
+                _ = off
+            elif box == b"mdia":
+                for box2, b2, e2 in walk(b, e):
+                    if box2 == b"hdlr":
+                        trk["kind"] = data[b2 + 8 : b2 + 12].decode("latin1")
+                    elif box2 == b"minf":
+                        for box3, b3, e3 in walk(b2, e2):
+                            if box3 == b"stbl":
+                                for box4, b4, e4 in walk(b3, e3):
+                                    if box4 == b"stsd":
+                                        trk["codec"] = data[
+                                            b4 + 12 : b4 + 16
+                                        ].decode("latin1")
+        out["tracks"].append(trk)
+
+    for box, b, e in walk(0, len(data)):
+        if box == b"moov":
+            for box2, b2, e2 in walk(b, e):
+                if box2 == b"mvhd":
+                    parse_mvhd(b2)
+                elif box2 == b"trak":
+                    parse_trak(b2, e2)
+    if "duration_ms" not in out:
+        raise ValueError("invalid MP4: no moov/mvhd")
+    return out
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", LongType()),
+        StructField("video_codec", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def probe_videos(media: DataFrame) -> DataFrame:
+    """video rows -> container metadata via the same Arrow batch path
+    the decoders use. MP4/MOV parse for REAL; other containers yield
+    nulls (decode itself remains the documented ffmpeg stub)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "video"]
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p or b"")
+                try:
+                    meta = probe_mp4_bytes(raw)
+                except ValueError:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                vid = next(
+                    (t for t in meta["tracks"] if t.get("kind") == "vide"),
+                    {},
+                )
+                rows.append(
+                    (
+                        mid,
+                        meta["brand"],
+                        meta["duration_ms"],
+                        len(meta["tracks"]),
+                        vid.get("codec"),
+                        vid.get("width"),
+                        vid.get("height"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "brand", "duration_ms", "n_tracks",
+                    "video_codec", "width", "height",
+                ],
+            )
+
+    return media.mapInPandas(run, VIDEO_META_SCHEMA)

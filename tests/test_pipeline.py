@@ -1126,3 +1126,84 @@ def test_png_adam7_interlaced():
         assert (gw, gh, ch) == (w, h, 3)
         exp = bytes(b for i in idx.reshape(-1) for b in pal[int(i)])
         assert px == exp
+
+
+def _box(cid, *payload):
+    import struct
+
+    body = b"".join(payload)
+    return struct.pack(">I", 8 + len(body)) + cid + body
+
+
+def _mp4_bytes(duration_ms=5500, timescale=1000, w=640, h=360,
+               codec=b"avc1", v1=False, audio_track=True):
+    import struct
+
+    if v1:
+        mvhd = _box(
+            b"mvhd", b"\x01" + b"\x00" * 3 + b"\x00" * 16
+            + struct.pack(">IQ", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80,
+        )
+    else:
+        mvhd = _box(
+            b"mvhd", b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+            + b"\x00" * 80,
+        )
+
+    def trak(kind, codec_id, tw, th):
+        tkhd = _box(
+            b"tkhd", b"\x00" * 4 + b"\x00" * 72
+            + struct.pack(">II", tw << 16, th << 16),
+        )
+        hdlr = _box(b"hdlr", b"\x00" * 8 + kind + b"\x00" * 12)
+        stsd = _box(b"stsd", b"\x00" * 8 + _box(codec_id, b"\x00" * 8))
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", hdlr, minf)
+        return _box(b"trak", tkhd, mdia)
+
+    traks = [trak(b"vide", codec, w, h)]
+    if audio_track:
+        traks.append(trak(b"soun", b"mp4a", 0, 0))
+    moov = _box(b"moov", mvhd, *traks)
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4 + b"mp42")
+    return ftyp + moov
+
+
+def test_probe_mp4_metadata(spark):
+    """ISO-BMFF probe: brand, mvhd duration (32- and 64-bit forms),
+    per-track codec/kind and the tkhd 16.16 dimensions — through the
+    Arrow probe_videos path; non-MP4 payloads yield null metadata."""
+    from openset_spark.pipeline.multimodal import (
+        MEDIA_SCHEMA,
+        probe_mp4_bytes,
+        probe_videos,
+    )
+
+    data = _mp4_bytes(duration_ms=5500, w=640, h=360)
+    meta = probe_mp4_bytes(data)
+    assert meta["brand"] == "isom" and meta["duration_ms"] == 5500
+    kinds = [t.get("kind") for t in meta["tracks"]]
+    assert kinds == ["vide", "soun"]
+    assert meta["tracks"][0]["codec"] == "avc1"
+    assert (meta["tracks"][0]["width"], meta["tracks"][0]["height"]) == (640, 360)
+
+    # 64-bit mvhd (version 1)
+    meta1 = probe_mp4_bytes(_mp4_bytes(duration_ms=7250, v1=True))
+    assert meta1["duration_ms"] == 7250
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(data), "video/mp4", None, None, None),
+            (2, "video", bytearray(b"\x00" * 32), "video/x-raw", None, None, None),
+            (3, "image", bytearray(b"P6"), "image/ppm", None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in probe_videos(media).collect()}
+    assert set(rows) == {1, 2}  # images filtered out
+    assert rows[1].video_codec == "avc1" and rows[1].duration_ms == 5500
+    assert rows[1].n_tracks == 2 and (rows[1].width, rows[1].height) == (640, 360)
+    assert rows[2].brand is None and rows[2].duration_ms is None
