@@ -625,3 +625,50 @@ def probe_videos(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+_MP3_BITRATES = {  # kbps, MPEG1 layer III / MPEG2 layer III columns
+    (1, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {1: (44100, 48000, 32000), 2: (22050, 24000, 16000)}
+
+
+def probe_mp3_bytes(data: bytes) -> dict:
+    """MPEG audio (MP3) header probe: skips an ID3v2 tag, finds the
+    first frame sync, and reads version/layer/bitrate/sample-rate/
+    channel mode; duration is the CBR estimate from the audio byte
+    count. Catalog-time metadata, no decoding."""
+    pos = 0
+    if data[:3] == b"ID3":
+        sz = (
+            (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+        )
+        pos = 10 + sz
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+            ver = {3: 1, 2: 2, 0: 2}.get((b1 >> 3) & 0x03)
+            layer = 4 - ((b1 >> 1) & 0x03)
+            br_idx = (b2 >> 4) & 0x0F
+            sr_idx = (b2 >> 2) & 0x03
+            if (
+                ver is not None and layer == 3 and 0 < br_idx < 15
+                and sr_idx < 3
+            ):
+                bitrate = _MP3_BITRATES[(ver, 3)][br_idx] * 1000
+                rate = _MP3_RATES[ver][sr_idx]
+                mode = (b3 >> 6) & 0x03
+                audio_bytes = n - pos
+                return {
+                    "mpeg_version": ver,
+                    "layer": 3,
+                    "bitrate": bitrate,
+                    "sample_rate": rate,
+                    "channels": 1 if mode == 3 else 2,
+                    "duration_ms": audio_bytes * 8000 // bitrate,
+                }
+        pos += 1
+    raise ValueError("not an MPEG audio payload (no frame sync)")

@@ -1207,3 +1207,32 @@ def test_probe_mp4_metadata(spark):
     assert rows[1].video_codec == "avc1" and rows[1].duration_ms == 5500
     assert rows[1].n_tracks == 2 and (rows[1].width, rows[1].height) == (640, 360)
     assert rows[2].brand is None and rows[2].duration_ms is None
+
+
+def test_probe_mp3_metadata():
+    """MP3 probe: ID3v2 skip (syncsafe size), frame-sync scan,
+    MPEG1/2 bitrate + sample-rate tables, mono/stereo mode, CBR
+    duration estimate."""
+    from openset_spark.pipeline.multimodal import probe_mp3_bytes
+
+    # MPEG1 Layer III, 128 kbps, 44100 Hz, joint stereo (mode 01)
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x40])
+    audio = hdr + b"\x00" * (16000 - 4)  # 16 kB -> 1s at 128 kbps
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    meta = probe_mp3_bytes(id3 + audio)
+    assert meta["mpeg_version"] == 1 and meta["layer"] == 3
+    assert meta["bitrate"] == 128_000 and meta["sample_rate"] == 44100
+    assert meta["channels"] == 2
+    assert meta["duration_ms"] == 1000
+
+    # MPEG2, 64 kbps @ 22050, mono (mode 11)
+    hdr2 = bytes([0xFF, 0xF3, 0x80, 0xC0])
+    meta2 = probe_mp3_bytes(hdr2 + b"\x00" * (8000 - 4))
+    assert meta2["mpeg_version"] == 2 and meta2["bitrate"] == 64_000
+    assert meta2["sample_rate"] == 22050 and meta2["channels"] == 1
+    assert meta2["duration_ms"] == 1000
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        probe_mp3_bytes(b"\x00" * 64)
