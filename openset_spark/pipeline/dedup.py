@@ -376,6 +376,7 @@ def dup_clusters(
     id_b: str = "id_b",
     max_iter: int = 50,
     algorithm: str = "star",
+    driver_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Connected components over candidate duplicate PAIRS: the step
     every dedup family needs after pair generation — near-duplication
@@ -397,12 +398,27 @@ def dup_clusters(
     twin — equality is tested on cliques, chains and random graphs)
     needs a round per hop. Both use `localCheckpoint` each round so
     the plan never deepens, and a driver-side loop over a handful of
-    rounds — never a per-row collect."""
+    rounds — never a per-row collect. Edge sets at or below
+    ``driver_threshold`` short-circuit to an exact driver-side
+    union-find (collect bounded by the threshold — the same
+    small-side judgement a broadcast join makes); pass None to force
+    the distributed loop."""
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     rev = pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
     edges = fwd.union(rev).filter(F.col("a") != F.col("b")).distinct()
     if algorithm == "star":
-        labels, _ = _cc_star(edges.localCheckpoint(), max_iter)
+        edges = edges.localCheckpoint()
+        if (
+            driver_threshold is not None
+            and edges.count() <= driver_threshold
+        ):
+            # the broadcast-able regime: a small candidate graph is
+            # union-find work, not a multi-job iteration — collect
+            # once (bounded by the threshold), solve exactly, ship
+            # the labels back. The distributed star loop below is
+            # the path that survives graphs too big to collect.
+            return _cc_driver(edges)
+        labels, _ = _cc_star(edges, max_iter)
         return labels
     if algorithm != "propagate":
         raise ValueError(f"unknown algorithm: {algorithm}")
@@ -434,6 +450,35 @@ def dup_clusters(
             break
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Exact union-find over a collected (bounded) edge list."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id so cluster_id semantics match the
+            # distributed algorithms exactly
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in parent]
+    return edges.sparkSession.createDataFrame(
+        labels, "doc_id long, cluster_id long"
     )
 
 

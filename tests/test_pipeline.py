@@ -694,12 +694,19 @@ def test_dup_clusters_crafted(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
-    for algo in ("star", "propagate"):
+    for algo, thr in (("star", 0), ("star", None), ("propagate", None)):
         got = {
             (r.doc_id, r.cluster_id)
-            for r in dup_clusters(pairs, algorithm=algo).collect()
+            for r in dup_clusters(
+                pairs, algorithm=algo, driver_threshold=thr
+            ).collect()
         }
-        assert got == want, algo
+        assert got == want, (algo, thr)
+    # default threshold takes the driver union-find path on this size
+    got = {
+        (r.doc_id, r.cluster_id) for r in dup_clusters(pairs).collect()
+    }
+    assert got == want
 
 
 def test_dup_clusters_star_logarithmic_on_chains(spark):
