@@ -204,3 +204,102 @@ def decode_gif_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             row = blank * w
         rows.append(row)
     return w, h, ch, b"".join(rows)
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Animated GIF -> (width, height, [(delay_ms, RGBA pixels)...]):
+    every frame fully COMPOSED onto the logical screen with the 89a
+    disposal semantics (1/0 keep, 2 restore-background-as-transparent,
+    3 restore-previous) and per-frame transparency, so downstream
+    frame sampling sees what a viewer sees, not raw sub-rectangles.
+    Frames are RGBA (animations almost always involve transparency
+    between frames)."""
+    if data[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF (missing signature)")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+
+    canvas = bytearray(w * h * 4)  # transparent black
+    frames: list[tuple[int, bytes]] = []
+    transparent = None
+    disposal = 0
+    delay_ms = 0
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:
+                blk, pos = _sub_blocks(data, pos)
+                if len(blk) >= 4:
+                    disposal = (blk[0] >> 2) & 0x07
+                    transparent = blk[3] if blk[0] & 0x01 else None
+                    delay_ms = struct.unpack("<H", blk[1:3])[0] * 10
+            else:
+                _, pos = _sub_blocks(data, pos)
+            continue
+        if b == 0x2C:
+            left, top, fw, fh, iflags = struct.unpack(
+                "<HHHHB", data[pos : pos + 9]
+            )
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("invalid GIF: no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw, pos = _sub_blocks(data, pos)
+            idx = _lzw_decode(mcs, lzw, fw * fh)
+            if iflags & 0x40:
+                idx = _deinterlace(idx, fw, fh)
+            saved = bytes(canvas) if disposal == 3 else None
+            region = (left, top, fw, fh)
+            for y in range(fh):
+                cy = top + y
+                if cy >= h:
+                    break
+                for x in range(fw):
+                    cx = left + x
+                    if cx >= w:
+                        break
+                    i = idx[y * fw + x]
+                    if transparent is not None and i == transparent:
+                        continue
+                    j = (cy * w + cx) * 4
+                    canvas[j : j + 3] = pal[3 * i : 3 * i + 3]
+                    canvas[j + 3] = 255
+            frames.append((delay_ms, bytes(canvas)))
+            if max_frames is not None and len(frames) >= max_frames:
+                return w, h, frames
+            if disposal == 2:  # restore background = transparent
+                lft, tp, rw, rh = region
+                for y in range(rh):
+                    cy = tp + y
+                    if cy >= h:
+                        break
+                    j0 = (cy * w + lft) * 4
+                    span = min(rw, w - lft)
+                    canvas[j0 : j0 + span * 4] = b"\x00" * (span * 4)
+            elif disposal == 3 and saved is not None:
+                canvas = bytearray(saved)
+            transparent = None
+            disposal = 0
+            continue
+        raise ValueError(f"invalid GIF: unknown block 0x{b:02x}")
+    if not frames:
+        raise ValueError("invalid GIF: no image data")
+    return w, h, frames

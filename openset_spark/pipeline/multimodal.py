@@ -672,3 +672,68 @@ def probe_mp3_bytes(data: bytes) -> dict:
                 }
         pos += 1
     raise ValueError("not an MPEG audio payload (no frame sync)")
+
+
+GIF_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("pixels", BinaryType()),
+    ]
+)
+
+
+def gif_frame_rows(
+    media: DataFrame, every_ms: int | None = None, max_frames: int = 64
+) -> DataFrame:
+    """Animated-GIF frame SAMPLING with real pixels: each GIF payload
+    expands to composed RGBA frames (disposal semantics applied)
+    timestamped by the accumulated frame delays; with ``every_ms``
+    only the latest frame at or before each sample instant survives —
+    the GIF analog of `frame_sample_plan`, except the frames are
+    decoded, not planned. Non-GIF rows are skipped."""
+    from openset_spark.pipeline.gif import GIF_SIGS, decode_gif_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p or b"")
+                if raw[:6] not in GIF_SIGS:
+                    continue
+                w, h, frames = decode_gif_frames(raw, max_frames=max_frames)
+                ts = 0
+                timeline = []
+                for i, (delay, px) in enumerate(frames):
+                    timeline.append((i, ts, px))
+                    ts += delay if delay > 0 else 100  # GIF default tick
+                if every_ms:
+                    total = ts
+                    picked = []
+                    t = 0
+                    while t < max(total, 1):
+                        cand = [f for f in timeline if f[1] <= t]
+                        if cand:
+                            picked.append(cand[-1])
+                        t += every_ms
+                    # dedupe consecutive repeats, keep order
+                    seen = set()
+                    timeline = [
+                        f for f in picked
+                        if not (f[0] in seen or seen.add(f[0]))
+                    ]
+                for i, t, px in timeline:
+                    rows.append((mid, i, t, w, h, 4, px))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "width", "height",
+                    "channels", "pixels",
+                ],
+            )
+
+    return media.mapInPandas(run, GIF_FRAME_SCHEMA)

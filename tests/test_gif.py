@@ -257,3 +257,112 @@ def test_gif_fuzz_roundtrip():
         )
 
     run()
+
+
+def encode_gif_anim(screen_w, screen_h, palette, frames):
+    """frames: list of dicts {indices, fw, fh, left, top, disposal,
+    delay_cs, transparent} — full 89a animation encoder."""
+    n = 2
+    while n < len(palette):
+        n *= 2
+    pal = list(palette) + [(0, 0, 0)] * (n - len(palette))
+    bits = max(1, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", screen_w, screen_h, 0x80 | (bits - 1), 0, 0)
+    for r, g, b in pal:
+        out += bytes((r, g, b))
+    for f in frames:
+        flags = (f.get("disposal", 0) & 0x07) << 2
+        if f.get("transparent") is not None:
+            flags |= 0x01
+        out.extend(b"\x21\xf9\x04")
+        out.extend(bytes((
+            flags, f.get("delay_cs", 10) & 0xFF,
+            (f.get("delay_cs", 10) >> 8) & 0xFF,
+            f.get("transparent") or 0, 0,
+        )))
+        fw, fh = f["fw"], f["fh"]
+        out.append(0x2C)
+        out.extend(struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), fw, fh, 0
+        ))
+        mcs = max(2, bits)
+        out.append(mcs)
+        lzw = _lzw_encode(mcs, f["indices"])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out.extend(chunk)
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def test_gif_animation_disposal_and_delays():
+    """Three frames exercising keep / restore-background /
+    restore-previous disposal plus per-frame transparency and
+    offsets; composition checked pixel-exactly."""
+    from openset_spark.pipeline.gif import decode_gif_frames
+
+    pal = [(250, 0, 0), (0, 250, 0), (0, 0, 250), (200, 200, 0)]
+    W, H = 6, 4
+    # frame 0: full screen color 0, disposal keep
+    f0 = {"indices": bytes([0] * (W * H)), "fw": W, "fh": H,
+          "disposal": 1, "delay_cs": 5}
+    # frame 1: 2x2 patch of color 1 at (1,1), restore-background after
+    f1 = {"indices": bytes([1] * 4), "fw": 2, "fh": 2, "left": 1,
+          "top": 1, "disposal": 2, "delay_cs": 7}
+    # frame 2: 2x1 patch color 2 at (3,2) with transparent index 3,
+    # disposal restore-previous
+    f2 = {"indices": bytes([2, 3]), "fw": 2, "fh": 1, "left": 3,
+          "top": 2, "disposal": 3, "transparent": 3, "delay_cs": 3}
+    data = encode_gif_anim(W, H, pal, [f0, f1, f2])
+
+    w, h, frames = decode_gif_frames(data)
+    assert (w, h) == (W, H) and len(frames) == 3
+    assert [d for d, _ in frames] == [50, 70, 30]
+
+    def px(buf, x, y):
+        j = (y * W + x) * 4
+        return tuple(buf[j : j + 4])
+
+    base = (250, 0, 0, 255)
+    # frame 0: solid color 0
+    assert all(
+        px(frames[0][1], x, y) == base for y in range(H) for x in range(W)
+    )
+    # frame 1: patch over base
+    assert px(frames[1][1], 1, 1) == (0, 250, 0, 255)
+    assert px(frames[1][1], 0, 0) == base
+    # frame 2: background-restored hole where the patch was...
+    assert px(frames[2][1], 1, 1) == (0, 0, 0, 0)
+    assert px(frames[2][1], 2, 2) == (0, 0, 0, 0)
+    # ...new opaque pixel drawn, transparent one skipped (shows base)
+    assert px(frames[2][1], 3, 2) == (0, 0, 250, 255)
+    assert px(frames[2][1], 4, 2) == base
+
+
+def test_gif_frame_rows_sampling(spark):
+    from openset_spark.pipeline.multimodal import MEDIA_SCHEMA, gif_frame_rows
+
+    pal = [(9, 9, 9), (99, 99, 99)]
+    frames = [
+        {"indices": bytes([i % 2] * 12), "fw": 4, "fh": 3,
+         "delay_cs": 20, "disposal": 1}
+        for i in range(4)
+    ]  # 200ms per frame, 800ms total
+    data = encode_gif_anim(4, 3, pal, frames)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(data), "image/gif", None, None, None),
+         (2, "image", bytearray(b"P6 1 1 255 abc"), "image/ppm",
+          None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    rows = gif_frame_rows(media).collect()
+    assert [(r.frame_idx, r.ts_ms) for r in rows] == [
+        (0, 0), (1, 200), (2, 400), (3, 600)
+    ]
+    assert all(r.media_id == 1 and r.channels == 4 for r in rows)
+    # sampled every 450ms: frames at t=0 and t=450 -> idx 0 and 2
+    sampled = gif_frame_rows(media, every_ms=450).collect()
+    assert [r.frame_idx for r in sampled] == [0, 2]
