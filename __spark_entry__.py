@@ -2704,6 +2704,151 @@ FROM r WHERE rn = 1
 """
 
 
+# --------------------------------------------------------------------
+# IR scoring + winnowing fingerprints (NEW r7 late): corpus-selection
+# primitives for a pretraining pipeline — TF-IDF keywords, BM25
+# query-relevance retrieval, MOSS winnowing (pipeline/ir.py,
+# pipeline/winnow.py). All ranked on ROUNDED scores with integer /
+# lexical tie-breaks so DuckDB reproduces the ordering exactly.
+# --------------------------------------------------------------------
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document: the cheap keyword / topic
+    proxy. One token shuffle; the vocabulary-sized df table and the
+    1-row doc count are broadcast; top-k is a per-doc window."""
+    from openset_spark.pipeline.ir import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+_SQL_TFIDF_TOP_TERMS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS w FROM t) GROUP BY 1, 2
+),
+dfk AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM t),
+s AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+    ROUND(tf.tf * ln(n.n_docs * 1.0 / dfk.dfc), 4) AS score
+  FROM tf JOIN dfk USING (term), n
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM s
+)
+SELECT doc_id, term, tf, score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 5
+"""
+
+
+_BM25_QUERY = ["spark", "window", "merge", "customer"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed bag-of-words query — targeted corpus
+    selection ("retrieve the most query-relevant shard"). Global
+    top-n is sort+limit (TakeOrderedAndProject), never a
+    single-partition window."""
+    from openset_spark.pipeline.ir import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), _BM25_QUERY, top_n=20)
+
+
+_SQL_BM25_SEARCH = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+dl AS (SELECT doc_id, len(ts) AS dl FROM t),
+sc0 AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, w AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(ts) AS w FROM t) GROUP BY 1, 2
+),
+hits AS (
+  SELECT * FROM tf WHERE term IN ('spark', 'window', 'merge', 'customer')
+),
+dfk AS (SELECT term, COUNT(*) AS dfc FROM hits GROUP BY 1),
+pt AS (
+  SELECT h.doc_id,
+    ln(1.0 + (s.n_docs - d.dfc + 0.5) / (d.dfc + 0.5)) AS idf,
+    h.tf * 2.2 / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)) AS tfn
+  FROM hits h JOIN dfk d USING (term) JOIN dl l USING (doc_id), sc0 s
+),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+    ROUND(SUM(idf * tfn), 4) AS score
+  FROM pt GROUP BY doc_id
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sc
+)
+SELECT doc_id, n_hit_terms, score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 20
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed (k=4, w=5) fingerprint sets — guaranteed-coverage
+    positional fingerprints at ~2/(w+1) density (Schleimer et al.
+    2003). md5-prefix hashes + integer rightmost-min encoding keep
+    every selected (pos, hash) engine-portable."""
+    from openset_spark.pipeline.winnow import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=5)
+
+
+_WINNOW_CAP = 1 << 20
+_SQL_WINNOW_FINGERPRINTS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+g AS (
+  SELECT doc_id, i AS pos, len(ts) - 3 AS ng,
+    ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS gram
+  FROM t, UNNEST(generate_series(1, len(ts) - 3)) AS s(i)
+  WHERE len(ts) >= 8
+),
+c AS (
+  SELECT doc_id, pos, ng,
+    CAST(CAST(concat('0x', substr(md5(gram), 1, 8)) AS UBIGINT) AS BIGINT)
+      * {_WINNOW_CAP} + ({_WINNOW_CAP - 1} - pos) AS comb
+  FROM g
+),
+m AS (
+  SELECT doc_id, pos, ng,
+    MIN(comb) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sel
+  FROM c
+)
+SELECT DISTINCT doc_id,
+  CAST({_WINNOW_CAP - 1} - (sel % {_WINNOW_CAP}) AS BIGINT) AS kpos,
+  CAST(sel // {_WINNOW_CAP} AS BIGINT) AS khash
+FROM m WHERE pos <= ng - 4
+"""
+
+
+def q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match report: pairs sharing >= 2 winnowed fingerprints.
+    The hash-df cap (<= 50 docs) rides the pairing shuffle — the same
+    boilerplate-quadratic guard as substring_dup_pairs."""
+    from openset_spark.pipeline.winnow import winnow_matches
+
+    return winnow_matches(_docs(spark, sf_dir), k=4, w=5)
+
+
+_SQL_WINNOW_MATCHES = f"""
+WITH fp AS ({_SQL_WINNOW_FINGERPRINTS}),
+f AS (SELECT DISTINCT doc_id, khash FROM fp),
+capped AS (
+  SELECT doc_id, khash FROM f
+  QUALIFY COUNT(*) OVER (PARTITION BY khash) <= 50
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared
+FROM capped a JOIN capped b
+  ON a.khash = b.khash AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Demoted round 7: all 30 were driver-green in r6 — freshest keys
     # in the ledger, so they yield their window slots to the r5-green
@@ -2749,6 +2894,10 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r7 late (extras: locally oracle-verified this round,
         # windowed for a driver row in r8)
         "dsir_weights": q_dsir_weights,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_matches": q_winnow_matches,
     }
 
 
@@ -2779,6 +2928,10 @@ def oracle_sql() -> dict[str, str]:
         "mixture_select": _SQL_MIXTURE_SELECT,
         "lm_perplexity": _SQL_LM_PERPLEXITY,
         "dsir_weights": _SQL_DSIR_WEIGHTS,
+        "tfidf_top_terms": _SQL_TFIDF_TOP_TERMS,
+        "bm25_search": _SQL_BM25_SEARCH,
+        "winnow_fingerprints": _SQL_WINNOW_FINGERPRINTS,
+        "winnow_matches": _SQL_WINNOW_MATCHES,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,
