@@ -103,17 +103,22 @@ _ADAM7 = (
 )
 
 
-def decode_png_bytes(data: bytes) -> tuple[int, int, int, bytes]:
+def decode_png_bytes(
+    data: bytes, keep_16bit: bool = False
+) -> tuple[int, int, int, bytes]:
     """Pure-Python PNG decoder (stdlib zlib only) ->
     (width, height, channels, row-major pixel bytes).
 
-    Supports the still-image profile: 8-bit gray/RGB/gray+A/RGBA,
-    PALETTE images (color type 3 at bit depths 1/2/4/8, PLTE + tRNS
-    alpha -> RGB or RGBA output), Adam7 INTERLACING for every
+    Supports the still-image profile: 8- and 16-BIT gray/RGB/gray+A/
+    RGBA, PALETTE images (color type 3 at bit depths 1/2/4/8, PLTE +
+    tRNS alpha -> RGB or RGBA output), Adam7 INTERLACING for every
     supported color type, and all five scanline filters
     (None/Sub/Up/Average/Paeth) per the PNG spec §9. IDAT chunks
-    concatenate before inflate, as the spec requires. 16-bit depth
-    stays unsupported."""
+    concatenate before inflate, as the spec requires.
+
+    16-bit samples are reduced to 8 bits by taking the HIGH byte
+    (libpng's 16->8 strip); pass ``keep_16bit=True`` to get the full
+    big-endian u16 samples instead (2 bytes per channel)."""
     import struct
     import zlib
 
@@ -143,7 +148,7 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     if w is None:
         raise ValueError("missing IHDR")
     paletted = ctype == 3
-    ok_depth = depth in (1, 2, 4, 8) if paletted else depth == 8
+    ok_depth = depth in (1, 2, 4, 8) if paletted else depth in (8, 16)
     if not ok_depth or (not paletted and ctype not in _PNG_CHANNELS) or (
         interlace not in (0, 1)
     ):
@@ -195,7 +200,17 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, bytes]:
         return rows, pos
 
     def row_pixels(line: bytearray, pw: int):
-        """Row buffer -> per-pixel tuples (channel bytes or index)."""
+        """Row buffer -> per-pixel tuples (channel values or index);
+        16-bit channels come out as u16 ints (big-endian pairs)."""
+        if depth == 16:
+            return [
+                tuple(
+                    (line[(x * channels + c) * 2] << 8)
+                    | line[(x * channels + c) * 2 + 1]
+                    for c in range(channels)
+                )
+                for x in range(pw)
+            ]
         if depth == 8:
             return [
                 tuple(line[x * channels : (x + 1) * channels])
@@ -229,9 +244,19 @@ def decode_png_bytes(data: bytes) -> tuple[int, int, int, bytes]:
 
     if not paletted:
         out = bytearray()
-        for y in range(h):
-            for pxv in grid[y]:
-                out += bytes(pxv)
+        if depth == 16:
+            for y in range(h):
+                for pxv in grid[y]:
+                    for v in pxv:
+                        if keep_16bit:
+                            out.append(v >> 8)
+                            out.append(v & 0xFF)
+                        else:
+                            out.append(v >> 8)  # libpng-style strip
+        else:
+            for y in range(h):
+                for pxv in grid[y]:
+                    out += bytes(pxv)
         return w, h, channels, bytes(out)
 
     n_pal = len(plte) // 3

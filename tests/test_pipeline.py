@@ -1003,6 +1003,13 @@ def _png_encode_full(
     bpp = max(1, channels * depth // 8)
 
     def pack_row(pxs):
+        if depth == 16:
+            out = bytearray()
+            for p in pxs:
+                for v in p:
+                    out.append(v >> 8)
+                    out.append(v & 0xFF)
+            return out
         if depth == 8:
             return bytearray(b for p in pxs for b in p)
         per_byte = 8 // depth
@@ -1103,6 +1110,37 @@ def test_png_palette_depths_and_trns():
             exp += bytes(pal[i])
             exp.append(trns[i] if i < len(trns) else 255)
         assert px == bytes(exp)
+
+
+def test_png_16bit_depths():
+    """16-bit gray/RGB/gray+A/RGBA: filters work on the byte stream
+    with a 2-byte-per-channel bpp, samples come back exactly in
+    keep_16bit mode and high-byte-stripped by default — sequential
+    and Adam7, every filter in the cycle."""
+    from openset_spark.pipeline.multimodal import decode_png_bytes
+
+    rng = np.random.default_rng(53)
+    for w, h in ((9, 5), (1, 1), (8, 8)):
+        for ctype, nch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+            vals = rng.integers(0, 1 << 16, size=(h, w, nch))
+
+            def at(x, y):
+                return tuple(int(v) for v in vals[y, x])
+
+            for interlace in (0, 1):
+                data = _png_encode_full(
+                    w, h, 16, ctype, at, interlace=interlace
+                )
+                gw, gh, ch, px = decode_png_bytes(data, keep_16bit=True)
+                assert (gw, gh, ch) == (w, h, nch)
+                exp16 = bytearray()
+                for v in vals.reshape(-1):
+                    exp16.append(int(v) >> 8)
+                    exp16.append(int(v) & 0xFF)
+                assert px == bytes(exp16)
+                gw, gh, ch, px8 = decode_png_bytes(data)
+                assert (gw, gh, ch) == (w, h, nch)
+                assert px8 == bytes(int(v) >> 8 for v in vals.reshape(-1))
 
 
 def test_png_adam7_interlaced():
