@@ -612,8 +612,11 @@ VIDEO_META_SCHEMA = StructType(
 
 def probe_videos(media: DataFrame) -> DataFrame:
     """video rows -> container metadata via the same Arrow batch path
-    the decoders use. MP4/MOV parse for REAL; other containers yield
-    nulls (decode itself remains the documented ffmpeg stub)."""
+    the decoders use. MP4/MOV and RIFF/AVI parse for REAL; other
+    containers yield nulls. Frame DECODE is real for MJPEG/DIB AVIs
+    (`video_frame_rows`); other codecs remain the ffmpeg stub."""
+
+    from openset_spark.pipeline.avi import probe_avi_bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -624,8 +627,13 @@ def probe_videos(media: DataFrame) -> DataFrame:
                 try:
                     meta = probe_mp4_bytes(raw)
                 except ValueError:
-                    rows.append((mid, None, None, None, None, None, None))
-                    continue
+                    try:
+                        meta = probe_avi_bytes(raw)
+                    except ValueError:
+                        rows.append(
+                            (mid, None, None, None, None, None, None)
+                        )
+                        continue
                 vid = next(
                     (t for t in meta["tracks"] if t.get("kind") == "vide"),
                     {},
@@ -697,6 +705,65 @@ def probe_mp3_bytes(data: bytes) -> dict:
                 }
         pos += 1
     raise ValueError("not an MPEG audio payload (no frame sync)")
+
+
+def video_frame_rows(
+    media: DataFrame, every_ms: int | None = None, max_frames: int = 64
+) -> DataFrame:
+    """AVI frame SAMPLING with real pixels: each MJPEG/DIB AVI payload
+    expands to decoded frames timestamped on the stream clock; with
+    ``every_ms`` only the latest frame at or before each sample
+    instant survives — the video analog of `gif_frame_rows` (same
+    output schema), real where `frame_sample_plan` only plans.
+    Non-AVI / non-decodable payloads are skipped, not errors: route
+    them to the ffmpeg tier via `probe_videos` metadata."""
+    from openset_spark.pipeline.avi import AVI_SIG, decode_avi_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p or b"")
+                if raw[:4] != AVI_SIG or raw[8:12] != b"AVI ":
+                    continue
+                try:
+                    w, h, frames = decode_avi_frames(raw, max_frames=max_frames)
+                except ValueError:
+                    continue
+                timeline = [
+                    (i, ts, ch, px) for i, (ts, ch, px) in enumerate(frames)
+                ]
+                if every_ms and timeline:
+                    # sample through the LAST frame's display period
+                    period = (
+                        timeline[1][1] - timeline[0][1]
+                        if len(timeline) > 1
+                        else every_ms
+                    )
+                    total = timeline[-1][1] + max(period, 1)
+                    picked = []
+                    t = 0
+                    while t < max(total, 1):
+                        cand = [f for f in timeline if f[1] <= t]
+                        if cand:
+                            picked.append(cand[-1])
+                        t += every_ms
+                    seen = set()
+                    timeline = [
+                        f for f in picked
+                        if not (f[0] in seen or seen.add(f[0]))
+                    ]
+                for i, ts, ch, px in timeline:
+                    rows.append((mid, i, ts, w, h, ch, px))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "width", "height",
+                    "channels", "pixels",
+                ],
+            )
+
+    return media.mapInPandas(run, GIF_FRAME_SCHEMA)
 
 
 GIF_FRAME_SCHEMA = StructType(
