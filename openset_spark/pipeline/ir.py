@@ -7,8 +7,10 @@ out of a web-scale corpus (e.g. targeted data selection a la
 
 Scale shape (100 TB posture):
 - one token explode + per-(doc, term) count is the only wide shuffle;
-- the term -> document-frequency table is vocabulary-sized, BROADCAST
-  back onto the tf frame (never a shuffle join against the corpus);
+- the term -> document-frequency table is vocabulary-sized: small
+  next to the corpus but unbounded, so its join onto the tf frame is
+  left to AQE (broadcast when it fits, shuffle join when it doesn't);
+  BM25's df table is query-sized and always broadcast;
 - corpus-level scalars (doc count, average doc length) ride a 1-row
   broadcast cross join;
 - top-k per doc is a bounded window partitioned by doc_id.
@@ -51,7 +53,10 @@ def tfidf_top_terms(
     Returns (id, term, tf, score, rank).
     """
     tf = _tf(df, text_col, id_col)
-    dfk = F.broadcast(tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc")))
+    # document frequencies are VOCABULARY-sized — small next to the
+    # corpus but unbounded (1e9+ distinct terms on a web corpus), so
+    # no forced broadcast: AQE picks broadcast when it actually fits
+    dfk = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     n = F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs")))
     scored = (
         tf.join(dfk, "term")
