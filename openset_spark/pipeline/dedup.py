@@ -200,6 +200,22 @@ def minhash_bands(
     )
 
 
+def _pairs_expr(ids_col) -> F.Column:
+    """All ordered (id_a < id_b) pairs from a SORTED id array, as an
+    array<struct<id_a,id_b>> — generated JVM-side with nested
+    ``transform``; shared by bucket-pair candidate generation here and
+    fingerprint matching in pipeline/winnow.py."""
+    return F.flatten(
+        F.transform(
+            ids_col,
+            lambda x, i: F.transform(
+                F.slice(ids_col, i + 2, F.size(ids_col)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def _bucket_pairs(
     bucketed: DataFrame, bucket_cols: list[str], id_col: str
 ) -> DataFrame:
@@ -213,15 +229,7 @@ def _bucket_pairs(
     be handled upstream by exact-dedup first, which collapses them."""
     ids = F.array_sort(F.collect_set(id_col))
     grouped = bucketed.groupBy(*bucket_cols).agg(ids.alias("_ids"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("_ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("_ids"), i + 2, F.size(F.col("_ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    pairs = _pairs_expr(F.col("_ids"))
     return (
         grouped.filter(F.size("_ids") >= 2)
         .select(F.explode(pairs).alias("_p"))

@@ -116,29 +116,32 @@ def winnow_matches(
     Fingerprint hashes occurring in more than ``max_hash_df``
     documents are dropped BEFORE pairing — the same boilerplate guard
     as substring_dup_pairs: K documents sharing one boilerplate run
-    would otherwise put K^2/2 pairs on a single join key. The df-count
-    window rides the same hash shuffle the self-join needs, so the cap
-    costs no extra exchange.
+    would otherwise put K^2/2 pairs on a single join key.
+
+    Shape: ONE groupBy on the hash — the doc set per hash gives both
+    the df cap (array size) and the pairs (JVM-side nested transform,
+    shared with dedup._bucket_pairs), so the winnowing pipeline runs
+    exactly once. The earlier self-join form executed the full
+    tokenize→explode→window pipeline once per side AND needed a
+    separate count-window pass for the cap — the exact
+    double-evaluation _bucket_pairs documents and avoids.
     """
+    from openset_spark.pipeline.dedup import _pairs_expr
+
     fps = winnow_fingerprints(df, k, w, text_col, id_col).select(
         F.col(id_col), "khash"
     ).distinct()
-    hw = Window.partitionBy("khash")
-    capped = (
-        fps.withColumn("_df", F.count(F.lit(1)).over(hw))
-        .filter(F.col("_df") <= max_hash_df)
-        .drop("_df")
-    )
-    a, b = capped.alias("a"), capped.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.khash") == F.col("b.khash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    grouped = (
+        fps.groupBy("khash")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))
+        .filter(
+            (F.size("_ids") >= 2) & (F.size("_ids") <= max_hash_df)
         )
+    )
+    return (
+        grouped.select(F.explode(_pairs_expr(F.col("_ids"))).alias("_p"))
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
         .filter(F.col("shared") >= min_shared)

@@ -390,9 +390,15 @@ def _cap_pass_partitioned(
                 & (F.col(order_col) >= F.col("_thr_ord"))
             )
         )
+        # thr is one row per user AT the cap — unbounded on a large
+        # table where most users exceed event_max (the reference
+        # default is 5000 rows/person, routinely exceeded). No forced
+        # broadcast: AQE broadcasts when the threshold frame is small
+        # and falls back to a shuffle join when it isn't, instead of a
+        # multi-GB driver-side build.
         kept = (
             full.join(
-                F.broadcast(thr),
+                thr,
                 full[user_col] == F.col("_thr_user"),
                 "left",
             )
