@@ -398,8 +398,10 @@ def decode_images(
                 elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
                     from openset_spark.pipeline.webp import decode_webp_bytes
 
-                    # lossless VP8L decodes for real; lossy VP8 raises
-                    # NotImplementedError below in strict mode
+                    # lossless VP8L AND lossy VP8 (pipeline/vp8.py)
+                    # both decode for real, incl. VP8X/ALPH/first
+                    # ANMF frame; the deterministic fallback now only
+                    # covers corrupt payloads
                     try:
                         w, h, ch, px = decode_webp_bytes(raw)
                     except NotImplementedError:
@@ -413,7 +415,8 @@ def decode_images(
                         )
                 elif not deterministic:
                     raise NotImplementedError(
-                        "lossy-WebP/AVIF decode requires PIL; not in container"
+                        "unsupported image format (AVIF/BMP/TIFF...) — "
+                        "requires PIL; not in container"
                     )
                 else:
                     w = int(mw) if mw is not None and mw == mw else 1

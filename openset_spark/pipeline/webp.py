@@ -464,7 +464,15 @@ def decode_vp8l(data: bytes) -> tuple[int, int, bool, list[int]]:
     alpha_hint = bool(r.read(1))
     if r.read(3) != 0:
         raise ValueError("unsupported VP8L version")
+    return w, h, alpha_hint, _decode_argb_stream(r, w, h)
 
+
+def _decode_argb_stream(r: BitReader, w: int, h: int) -> list[int]:
+    """Header-less VP8L image stream (transforms + entropy-coded
+    pixels) at known dimensions -> ARGB pixel list. Shared by the
+    VP8L path (after its 5-byte signature/size header) and ALPH-chunk
+    lossless alpha, whose stream carries NO header — dimensions come
+    from the embedding container."""
     transforms = []  # applied in reverse at the end
     xsize = w
     while r.read(1):
@@ -517,37 +525,122 @@ def decode_vp8l(data: bytes) -> tuple[int, int, bool, list[int]]:
             _inv_predictor(px, xsize, h, t[1], t[2])
         elif t[0] == "color":
             _inv_color_transform(px, xsize, h, t[1], t[2])
-    return w, h, alpha_hint, px
+    return px
+
+
+def _unfilter_alpha(vals: bytearray, w: int, h: int, method: int) -> None:
+    """In-place ALPH-chunk prediction unfilter (libwebp dsp/filters.c
+    semantics): 1=horizontal (pred=left; row 0 col 0 pred=0; later
+    rows' col 0 pred=above), 2=vertical (row 0 falls back to
+    horizontal; else pred=above), 3=gradient (row 0 / col 0 fall back;
+    else pred=clamp(left+above-aboveleft))."""
+    if method == 0:
+        return
+    for y in range(h):
+        base = y * w
+        for x in range(w):
+            i = base + x
+            if y == 0:
+                pred = 0 if x == 0 else vals[i - 1]
+            elif method == 1:
+                pred = vals[i - w] if x == 0 else vals[i - 1]
+            elif method == 2:
+                pred = vals[i - w]
+            else:  # gradient
+                if x == 0:
+                    pred = vals[i - w]
+                else:
+                    g = vals[i - 1] + vals[i - w] - vals[i - w - 1]
+                    pred = 0 if g < 0 else (255 if g > 255 else g)
+            vals[i] = (vals[i] + pred) & 0xFF
+
+
+def _decode_alpha(body: bytes, w: int, h: int) -> bytes:
+    """ALPH chunk -> w*h row-major alpha bytes. Header byte (LSB
+    first): compression in bits 0-1 (0=raw, 1=header-less VP8L stream
+    with alpha in the green channel), filter method in bits 2-3,
+    pre-processing in 4-5 (encode-side level reduction — no decoder
+    action)."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    comp = body[0] & 0x03
+    filt = (body[0] >> 2) & 0x03
+    if comp == 0:
+        raw = body[1 : 1 + w * h]
+        if len(raw) < w * h:
+            raise ValueError("short raw alpha plane")
+        vals = bytearray(raw)
+    elif comp == 1:
+        px = _decode_argb_stream(BitReader(body, 1), w, h)
+        vals = bytearray((p >> 8) & 0xFF for p in px)
+    else:
+        raise ValueError(f"invalid alpha compression {comp}")
+    _unfilter_alpha(vals, w, h, filt)
+    return bytes(vals)
+
+
+def _argb_to_bytes(w: int, h: int, px: list[int]) -> tuple[int, bytes]:
+    """ARGB ints -> (channels, row-major bytes); alpha emitted only
+    when some pixel actually uses it."""
+    has_alpha = any((p >> 24) & 0xFF != 0xFF for p in px)
+    ch = 4 if has_alpha else 3
+    out = bytearray(w * h * ch)
+    for i, p in enumerate(px):
+        j = i * ch
+        out[j] = (p >> 16) & 0xFF
+        out[j + 1] = (p >> 8) & 0xFF
+        out[j + 2] = p & 0xFF
+        if ch == 4:
+            out[j + 3] = (p >> 24) & 0xFF
+    return ch, bytes(out)
 
 
 def decode_webp_bytes(data: bytes) -> tuple[int, int, int, bytes]:
-    """RIFF/WEBP container -> first VP8L image as
-    (width, height, channels, row-major pixels). Lossy VP8/VP8X
-    payloads raise NotImplementedError (DCT codec — PIL territory)."""
+    """RIFF/WEBP container -> first image as (width, height,
+    channels, row-major pixels).
+
+    Handles all three container shapes: simple VP8L (lossless,
+    decode_vp8l), simple lossy VP8 (the RFC 6386 keyframe decoder in
+    pipeline/vp8.py + BT.601 upsampling), and extended VP8X — whose
+    walk continues into the feature chunks (ALPH alpha plane fused
+    onto the lossy RGB; ANIM/ANMF animations yield their FIRST frame
+    by descending into the ANMF payload's own chunk list)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     pos = 12
-    while pos + 8 <= len(data):
+    end = len(data)
+    alpha_body: bytes | None = None
+    while pos + 8 <= end:
         cid = data[pos : pos + 4]
         size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"VP8L":
             w, h, _hint, px = decode_vp8l(body)
-            # emit alpha only when some pixel actually uses it
-            has_alpha = any((p >> 24) & 0xFF != 0xFF for p in px)
-            ch = 4 if has_alpha else 3
-            out = bytearray(w * h * ch)
-            for i, p in enumerate(px):
-                j = i * ch
-                out[j] = (p >> 16) & 0xFF
-                out[j + 1] = (p >> 8) & 0xFF
-                out[j + 2] = p & 0xFF
-                if ch == 4:
-                    out[j + 3] = (p >> 24) & 0xFF
-            return w, h, ch, bytes(out)
-        if cid == b"VP8 " or cid == b"VP8X":
-            raise NotImplementedError(
-                "lossy/extended WebP not supported (VP8L lossless only)"
+            ch, out = _argb_to_bytes(w, h, px)
+            return w, h, ch, out
+        if cid == b"VP8 ":
+            from openset_spark.pipeline.vp8 import (
+                decode_vp8_frame,
+                vp8_to_rgb,
             )
+
+            w, h, y, u, v = decode_vp8_frame(body)
+            rgb = vp8_to_rgb(w, h, y, u, v)
+            if alpha_body is None:
+                return w, h, 3, rgb
+            a = _decode_alpha(alpha_body, w, h)
+            out = bytearray(w * h * 4)
+            for i in range(w * h):
+                out[i * 4 : i * 4 + 3] = rgb[i * 3 : i * 3 + 3]
+                out[i * 4 + 3] = a[i]
+            return w, h, 4, bytes(out)
+        if cid == b"ALPH":
+            alpha_body = body
+        elif cid == b"ANMF":
+            # frame params are 16 bytes (x/y/w/h/duration/flags);
+            # the frame's ALPH/VP8/VP8L chunks follow inside — descend
+            pos = pos + 8 + 16
+            continue
+        # VP8X header / ANIM params / ICCP / EXIF / XMP: skip
         pos += 8 + size + (size & 1)
-    raise ValueError("invalid WebP: no VP8L chunk")
+    raise ValueError("invalid WebP: no image chunk")

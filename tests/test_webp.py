@@ -649,19 +649,186 @@ def test_vp8l_alpha_and_combined_transforms():
     assert decode_webp_bytes(data)[2] == 4
 
 
-def test_webp_container_and_lossy_rejection():
+def test_webp_container_and_invalid_payloads():
     rng = np.random.default_rng(32)
     data = wrap_webp(encode_vp8l(3, 3, _rand_px(rng, 9), use_lz77=False))
     w, h, ch, _ = decode_webp_bytes(data)
     assert (w, h, ch) == (3, 3, 3)
     with pytest.raises(ValueError):
         decode_webp_bytes(b"RIFF\x00\x00\x00\x00NOPE")
+    # a truncated lossy chunk must fail loudly, not decode garbage
     lossy = (
         b"RIFF" + struct.pack("<I", 12) + b"WEBP"
         + b"VP8 " + struct.pack("<I", 0)
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception):
         decode_webp_bytes(lossy)
+
+
+# ------------------------------------------------- lossy + extended
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return (
+        cid + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def _container(*chunks: bytes) -> bytes:
+    payload = b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload
+
+
+def _le24(v: int) -> bytes:
+    return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+
+def _vp8x(w: int, h: int, flags: int = 0) -> bytes:
+    return _chunk(
+        b"VP8X", bytes([flags, 0, 0, 0]) + _le24(w - 1) + _le24(h - 1)
+    )
+
+
+def _lossy_frame(w: int, h: int, seed: int = 5) -> bytes:
+    from test_vp8 import VP8Encoder
+    from test_vp8_frame import _rand_mb
+
+    rng = np.random.default_rng(seed)
+    enc = VP8Encoder(w, h, q_index=45)
+    return enc.encode(
+        [_rand_mb(rng) for _ in range(enc.mb_w * enc.mb_h)]
+    )
+
+
+def test_webp_lossy_vp8_simple_container():
+    from openset_spark.pipeline.vp8 import decode_vp8_frame, vp8_to_rgb
+
+    frame = _lossy_frame(24, 20)
+    w, h, ch, px = decode_webp_bytes(_container(_chunk(b"VP8 ", frame)))
+    assert (w, h, ch) == (24, 20, 3)
+    fw, fh, y, u, v = decode_vp8_frame(frame)
+    assert px == vp8_to_rgb(fw, fh, y, u, v)
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_webp_vp8x_alph_raw_filters(filt):
+    # VP8X container, raw (uncompressed) alpha under each prediction
+    # filter, fused onto the lossy RGB as a 4th channel
+    rng = np.random.default_rng(40 + filt)
+    W_, H_ = 18, 10
+    frame = _lossy_frame(W_, H_, seed=41)
+    alpha = [int(v) for v in rng.integers(0, 256, W_ * H_)]
+    # forward-filter so the decoder's unfilter reproduces `alpha`
+    residual = bytearray(W_ * H_)
+    for yy in range(H_):
+        for xx in range(W_):
+            i = yy * W_ + xx
+            if filt == 0:
+                pred = 0
+            elif yy == 0:
+                pred = 0 if xx == 0 else alpha[i - 1]
+            elif filt == 1:
+                pred = alpha[i - W_] if xx == 0 else alpha[i - 1]
+            elif filt == 2:
+                pred = alpha[i - W_]
+            else:
+                if xx == 0:
+                    pred = alpha[i - W_]
+                else:
+                    g = (
+                        alpha[i - 1] + alpha[i - W_] - alpha[i - W_ - 1]
+                    )
+                    pred = min(255, max(0, g))
+            residual[i] = (alpha[i] - pred) & 0xFF
+    alph = bytes([filt << 2]) + bytes(residual)
+    data = _container(
+        _vp8x(W_, H_, flags=0x10),
+        _chunk(b"ALPH", alph),
+        _chunk(b"VP8 ", frame),
+    )
+    w, h, ch, px = decode_webp_bytes(data)
+    assert (w, h, ch) == (W_, H_, 4)
+    assert [px[i * 4 + 3] for i in range(W_ * H_)] == alpha
+
+
+def test_webp_vp8x_alph_lossless_compressed():
+    # compression=1: header-less VP8L stream with alpha in the green
+    # channel
+    rng = np.random.default_rng(55)
+    W_, H_ = 21, 9
+    frame = _lossy_frame(W_, H_, seed=56)
+    alpha = [int(v) for v in rng.integers(0, 256, W_ * H_)]
+    wtr = W()
+    wtr.put(0, 1)  # no transforms
+    wtr.put(0, 1)  # no color cache
+    wtr.put(0, 1)  # no meta-prefix
+    _write_pixel_stream(
+        wtr,
+        [0xFF000000 | (a << 8) for a in alpha],
+        W_,
+        0,
+        True,
+        False,
+    )
+    alph = bytes([0x01]) + wtr.flush()
+    data = _container(
+        _vp8x(W_, H_, flags=0x10),
+        _chunk(b"ALPH", alph),
+        _chunk(b"VP8 ", frame),
+    )
+    w, h, ch, px = decode_webp_bytes(data)
+    assert (w, h, ch) == (W_, H_, 4)
+    assert [px[i * 4 + 3] for i in range(W_ * H_)] == alpha
+
+
+def test_webp_vp8x_lossless_passthrough():
+    # VP8X wrapping a VP8L still: the walk skips the header chunk
+    rng = np.random.default_rng(60)
+    px_in = _rand_px(rng, 5 * 4)
+    data = _container(
+        _vp8x(5, 4),
+        _chunk(b"VP8L", encode_vp8l(5, 4, px_in, use_lz77=False)),
+    )
+    w, h, ch, out = decode_webp_bytes(data)
+    ref = decode_webp_bytes(
+        wrap_webp(encode_vp8l(5, 4, px_in, use_lz77=False))
+    )
+    assert (w, h, ch, out) == ref
+
+
+def test_webp_animation_first_frame():
+    # ANMF payload holds the frame's own chunk list; the walk
+    # descends past the 16-byte frame params to the first image
+    rng = np.random.default_rng(65)
+    px_in = _rand_px(rng, 6 * 3)
+    vp8l = _chunk(b"VP8L", encode_vp8l(6, 3, px_in, use_lz77=False))
+    anmf_body = (
+        _le24(0) + _le24(0) + _le24(6 - 1) + _le24(3 - 1)
+        + _le24(100) + bytes([0])
+        + vp8l
+    )
+    data = _container(
+        _vp8x(6, 3, flags=0x02),
+        _chunk(b"ANIM", struct.pack("<IH", 0, 0)),
+        _chunk(b"ANMF", anmf_body),
+    )
+    w, h, ch, out = decode_webp_bytes(data)
+    ref = decode_webp_bytes(
+        wrap_webp(encode_vp8l(6, 3, px_in, use_lz77=False))
+    )
+    assert (w, h, ch, out) == ref
+
+
+def test_webp_lossy_routes_through_decode_images(spark):
+    from openset_spark.pipeline.multimodal import MEDIA_SCHEMA, decode_images
+
+    frame = _lossy_frame(20, 14, seed=77)
+    data = _container(_chunk(b"VP8 ", frame))
+    media = spark.createDataFrame(
+        [(9, "image", bytearray(data), "image/webp", None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    r = decode_images(media, deterministic=False).collect()[0]
+    assert (r.width, r.height, r.channels) == (20, 14, 3)
 
 
 def test_webp_routes_through_decode_images(spark):
