@@ -2431,76 +2431,78 @@ _DRIVER_WINDOW = 50
 
 
 def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-7 window (VERDICT r6 ask #1): the freshness rotation's other
-    # half. ALL 28 extras demoted in r6 (last green r5) return to the
-    # window; 20 r6-green keys stay — the single-green tpch_q7/q10_style
-    # and the four new-in-r6 pipeline operators get a confirming second
-    # row, plus the sole in-registry reps of their families
-    # (osl_imperative, props_sets, dedup_exact, decontam, sampling) and
-    # the sketch-oracle quartet. The 30 remaining r6-greens rest in
-    # extras (due back by r9). Two NEW keys (retention_cull/cap) are
-    # placed in-window for a first-round green. Ledger: COVERAGE.md.
+    # Round-8 window (VERDICT r7 asks #2): close cumulative coverage.
+    # The 5 never-driver-green keys (dsir_weights + the four late-r7
+    # IR/winnowing keys) take slots alongside the 34 keys whose last
+    # green is r6 (the 30 r7-rested veterans + user_event_type_sets /
+    # osl_customer_write / osl_return_first / ann_lsh — stale at >r9).
+    # Family reps with no other in-window coverage stay (decontam,
+    # sampling, retention_maintenance) plus two confirming r7-greens
+    # (dedup_exact, quality_score). Six NEW r8 keys are placed
+    # directly in-window for a first-round green: char_entropy,
+    # readability, vocab_growth, embedding_centroids,
+    # containment_pairs, sample_per_stratum. The 45 remaining
+    # r7-greens rest in extras (due back by r10). Ledger: COVERAGE.md.
     return {
-        # relational family reps (q7/q10: one green row each, confirm)
-        "tpch_q1": q_tpch_q1,
-        "tpch_q7_style": q_tpch_q7_style,
-        "tpch_q10_style": q_tpch_q10_style,
-        # NEW r7: retention maintenance, driver-verifiable
-        "retention_cull": q_retention_cull,
-        "retention_cap": q_retention_cap,
-        # event engine (promoted r7: last green r5)
-        "event_agg_by_type": q_event_agg_by_type,
-        "event_agg_rollup": q_event_agg_rollup,
-        "user_purchase_totals": q_user_purchase_totals,
-        "recent_purchase_totals": q_recent_purchase_totals,
-        "first_events_per_user": q_first_events_per_user,
-        "top_event_types_per_day": q_top_event_types_per_day,
-        "props_json_extract": q_props_json_extract,
-        "zorder_first_rows": q_zorder_first_rows,
-        # sequence / behavioral (promoted r7: last green r5)
-        "session_counts": q_session_counts,
-        "session_counts_5min": q_session_counts_5min,
-        "session_length_quantiles": q_session_length_quantiles,
-        "funnel_within_hour": q_funnel_within_hour,
-        "next_event_transitions": q_next_event_transitions,
-        "top_paths": q_top_paths,
-        "weekly_retention": q_weekly_retention,
-        "customer_timeline": q_customer_timeline,
-        # segments (promoted r7: last green r5)
-        "segment_sequence_counts": q_segment_sequence_counts,
-        "textual_user_core": q_textual_user_core,
-        # OSL surfaces
-        "osl_event_agg": q_osl_event_agg,
-        "osl_funnel_continue": q_osl_funnel_continue,
-        "osl_segment_counts": q_osl_segment_counts,
-        "osl_script_counter": q_osl_script_counter,
-        "osl_agg_options": q_osl_agg_options,
-        # property / histogram (promoted r7: last green r5)
-        "property_counts_bucketed": q_property_counts_bucketed,
-        "property_counts_by_segment": q_property_counts_by_segment,
-        "histogram_spend_clipped": q_histogram_spend_clipped,
-        "histogram_by_type": q_histogram_by_type,
-        "histogram_weeks_since": q_histogram_weeks_since,
-        # pipeline (sketch-oracle quartet + r6-new ops confirm; plus the
-        # r5-green extras coming back)
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "substring_dup_pairs": q_substring_dup_pairs,
-        "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "repetition_signals": q_repetition_signals,
+        # relational (promoted r8: last green r6)
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q9_style": q_tpch_q9_style,
+        "tpch_q18_style": q_tpch_q18_style,
+        "top_customers": q_top_customers,
+        # event engine (promoted r8)
+        "event_agg_by_day": q_event_agg_by_day,
+        "event_agg_two_level": q_event_agg_two_level,
+        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
+        "last_purchase_per_user": q_last_purchase_per_user,
+        "row_count_distribution": q_row_count_distribution,
+        "purchases_by_quarter": q_purchases_by_quarter,
+        "events_with_user_dim": q_events_with_user_dim,
+        # behavioral (promoted r8)
+        "session_stats": q_session_stats,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "monthly_retention": q_monthly_retention,
+        "next_session_transitions": q_next_session_transitions,
+        "days_to_convert": q_days_to_convert,
+        # OSL + segments (promoted r8)
+        "osl_histogram_weeks": q_osl_histogram_weeks,
+        "segment_counts": q_segment_counts,
+        "segment_algebra": q_segment_algebra,
+        "osl_customer_write": q_osl_customer_write,
+        "osl_return_first": q_osl_return_first,
+        # property counts (promoted r8)
+        "property_counts": q_property_counts,
+        "property_counts_rx": q_property_counts_rx,
+        "property_counts_between": q_property_counts_between,
+        "user_event_type_sets": q_user_event_type_sets,
+        # pipeline: dedup/text (promoted r8)
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "clean_documents": q_clean_documents,
+        "top_bigrams": q_top_bigrams,
+        "token_counts": q_token_counts,
+        "ann_lsh": q_ann_lsh,
+        # never-driver-green cohort (VERDICT r7 ask: all 5 in-window)
+        "dsir_weights": q_dsir_weights,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_matches": q_winnow_matches,
+        # sole in-window family reps (r7-green, confirming)
         "contamination_check": q_contamination_check,
         "token_budget_select": q_token_budget_select,
-        # NEW r7 pipeline ops, in-window for first-round greens
-        "dedup_clusters": q_dedup_clusters,
-        "pack_sequences": q_pack_sequences,
-        "mixture_select": q_mixture_select,
-        "lm_perplexity": q_lm_perplexity,
+        "retention_cull": q_retention_cull,
+        "dedup_exact": q_dedup_exact,
+        "quality_score": q_quality_score,
+        # NEW r8: first-round green targets
+        "char_entropy": q_char_entropy,
+        "readability": q_readability,
+        "vocab_growth": q_vocab_growth,
+        "embedding_centroids": q_embedding_centroids,
+        "containment_pairs": q_containment_pairs,
+        "sample_per_stratum": q_sample_per_stratum,
     }
 
 
@@ -2849,55 +2851,211 @@ GROUP BY 1, 2 HAVING COUNT(*) >= 2
 """
 
 
+# --------------------------------------------------------------------
+# r8 additions: quality signals (entropy/readability/vocab growth),
+# containment near-dup, centroid training, portable stratified sample
+# --------------------------------------------------------------------
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy over normalized chars (bits/char),
+    rounded to 4 — the gibberish/low-diversity quality filter. NEW
+    r8."""
+    from openset_spark.pipeline.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+_SQL_CHAR_ENTROPY = f"""
+WITH base AS (SELECT doc_id, {_NORM_SQL} AS nm FROM documents),
+ch AS (
+  SELECT doc_id, substring(nm, i, 1) AS ch
+  FROM base, UNNEST(generate_series(1, length(nm))) AS s(i)
+),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+  ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 4) AS entropy_bits
+FROM cnt GROUP BY doc_id
+"""
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid-style grade from vowel-group syllable counts,
+    sentence count floored at 1 (word-soup corpora). NEW r8."""
+    from openset_spark.pipeline.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+_SQL_READABILITY = f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({_TOKS_SQL}) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+      AS n_syllables,
+    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      AS n_sentences
+  FROM documents
+)
+SELECT doc_id, n_words, n_syllables, n_sentences,
+  FLOOR(
+    (2 * (39 * n_words * n_words + 1180 * n_syllables * n_sentences
+          - 1559 * n_words * n_sentences)
+     + n_words * n_sentences)
+    / (2 * n_words * n_sentences)
+  ) / 100.0 AS fk_grade
+FROM base WHERE n_words > 0
+"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary: total tokens, corpus-wide distinct
+    tokens, type-token ratio (Heaps-law corpus-card stat). NEW r8."""
+    from openset_spark.pipeline.textstats import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir), group_col="source")
+
+
+_SQL_VOCAB_GROWTH = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS total_tokens,
+  CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_tokens,
+  ROUND(COUNT(DISTINCT tok) / COUNT(*), 6) AS type_token_ratio
+FROM tok GROUP BY source
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label (long form: label, dim,
+    centroid) — the k-means/IVF training aggregate. NEW r8."""
+    from openset_spark.pipeline.similarity import embedding_centroids
+
+    return embedding_centroids(_embs(spark, sf_dir), group_col="label")
+
+
+_SQL_EMBEDDING_CENTROIDS = """
+SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
+GROUP BY 1, 2
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle-set containment >= 0.8 over
+    5-gram sets with document-frequency cap 50 (Broder's
+    resemblance-vs-containment distinction — the pair Jaccard/minhash
+    misses). NEW r8."""
+    from openset_spark.pipeline.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), n=5, threshold=0.8)
+
+
+_SQL_CONTAINMENT_PAIRS = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+  WHERE len({_TOKS_SQL}) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+  FROM base, UNNEST(generate_series(1, len(ts) - 4)) AS s(i)
+),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+capped AS (
+  SELECT doc_id, g FROM sh
+  QUALIFY COUNT(*) OVER (PARTITION BY g) <= 50
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(COUNT(*) AS BIGINT) AS shared
+  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared,
+  ROUND(shared / LEAST(x.sz, y.sz), 6) AS containment
+FROM shared
+JOIN sz x ON x.doc_id = shared.id_a
+JOIN sz y ON y.doc_id = shared.id_b
+WHERE shared / LEAST(x.sz, y.sz) >= 0.8
+"""
+
+
+def q_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-3-per-(lang,source) deterministic sample by portable
+    md5 hash order — count-exact, engine-verifiable row-for-row
+    (unlike Bernoulli sampleBy). NEW r8."""
+    from openset_spark.pipeline.sampling import sample_per_stratum
+
+    return sample_per_stratum(
+        _docs(spark, sf_dir), ["lang", "source"], k=3
+    )
+
+
+_SQL_SAMPLE_PER_STRATUM = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY lang, source
+  ORDER BY
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS UBIGINT),
+    doc_id
+) <= 3
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Demoted round 7: all 30 were driver-green in r6 — freshest keys
-    # in the ledger, so they yield their window slots to the r5-green
-    # cohort coming back (plus the two new retention keys). Every entry
-    # below still replays its oracle vs DuckDB on each local pytest run
-    # (tests/test_correctness.py); rotation brings them back by r9.
+    # Demoted round 8: all 45 were driver-green in r7 — freshest keys
+    # in the ledger, resting while the r6-green cohort and the five
+    # never-green keys take the window. Every entry below still
+    # replays its oracle vs DuckDB on each local pytest run
+    # (tests/test_correctness.py); rotation brings them back by r10.
     return {
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q9_style": q_tpch_q9_style,
-        "tpch_q18_style": q_tpch_q18_style,
-        "top_customers": q_top_customers,
-        "event_agg_by_day": q_event_agg_by_day,
-        "event_agg_two_level": q_event_agg_two_level,
-        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
-        "last_purchase_per_user": q_last_purchase_per_user,
-        "row_count_distribution": q_row_count_distribution,
-        "purchases_by_quarter": q_purchases_by_quarter,
-        "events_with_user_dim": q_events_with_user_dim,
-        "session_stats": q_session_stats,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "monthly_retention": q_monthly_retention,
-        "next_session_transitions": q_next_session_transitions,
-        "days_to_convert": q_days_to_convert,
-        "osl_histogram_weeks": q_osl_histogram_weeks,
-        "segment_counts": q_segment_counts,
-        "segment_algebra": q_segment_algebra,
-        "property_counts": q_property_counts,
-        "property_counts_rx": q_property_counts_rx,
-        "property_counts_between": q_property_counts_between,
-        "dedup_exact_keep": q_dedup_exact_keep,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_stats": q_text_stats,
-        "clean_documents": q_clean_documents,
-        "top_bigrams": q_top_bigrams,
-        "token_counts": q_token_counts,
-        # rested r7 (r6-green; families covered in-window)
-        "user_event_type_sets": q_user_event_type_sets,
-        "osl_customer_write": q_osl_customer_write,
-        "osl_return_first": q_osl_return_first,
-        "ann_lsh": q_ann_lsh,
-        # NEW r7 late (extras: locally oracle-verified this round,
-        # windowed for a driver row in r8)
-        "dsir_weights": q_dsir_weights,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_search": q_bm25_search,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_matches": q_winnow_matches,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q7_style": q_tpch_q7_style,
+        "tpch_q10_style": q_tpch_q10_style,
+        "retention_cap": q_retention_cap,
+        "event_agg_by_type": q_event_agg_by_type,
+        "event_agg_rollup": q_event_agg_rollup,
+        "user_purchase_totals": q_user_purchase_totals,
+        "recent_purchase_totals": q_recent_purchase_totals,
+        "first_events_per_user": q_first_events_per_user,
+        "top_event_types_per_day": q_top_event_types_per_day,
+        "props_json_extract": q_props_json_extract,
+        "zorder_first_rows": q_zorder_first_rows,
+        "session_counts": q_session_counts,
+        "session_counts_5min": q_session_counts_5min,
+        "session_length_quantiles": q_session_length_quantiles,
+        "funnel_within_hour": q_funnel_within_hour,
+        "next_event_transitions": q_next_event_transitions,
+        "top_paths": q_top_paths,
+        "weekly_retention": q_weekly_retention,
+        "customer_timeline": q_customer_timeline,
+        "segment_sequence_counts": q_segment_sequence_counts,
+        "textual_user_core": q_textual_user_core,
+        "osl_event_agg": q_osl_event_agg,
+        "osl_funnel_continue": q_osl_funnel_continue,
+        "osl_segment_counts": q_osl_segment_counts,
+        "osl_script_counter": q_osl_script_counter,
+        "osl_agg_options": q_osl_agg_options,
+        "property_counts_bucketed": q_property_counts_bucketed,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "histogram_spend_clipped": q_histogram_spend_clipped,
+        "histogram_by_type": q_histogram_by_type,
+        "histogram_weeks_since": q_histogram_weeks_since,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "repetition_signals": q_repetition_signals,
+        "dedup_clusters": q_dedup_clusters,
+        "pack_sequences": q_pack_sequences,
+        "mixture_select": q_mixture_select,
+        "lm_perplexity": q_lm_perplexity,
     }
 
 
@@ -2932,6 +3090,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25_SEARCH,
         "winnow_fingerprints": _SQL_WINNOW_FINGERPRINTS,
         "winnow_matches": _SQL_WINNOW_MATCHES,
+        "char_entropy": _SQL_CHAR_ENTROPY,
+        "readability": _SQL_READABILITY,
+        "vocab_growth": _SQL_VOCAB_GROWTH,
+        "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
+        "containment_pairs": _SQL_CONTAINMENT_PAIRS,
+        "sample_per_stratum": _SQL_SAMPLE_PER_STRATUM,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

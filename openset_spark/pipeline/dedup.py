@@ -200,7 +200,7 @@ def minhash_bands(
     )
 
 
-def _pairs_expr(ids_col) -> F.Column:
+def _pairs_expr(ids_col) -> Column:
     """All ordered (id_a < id_b) pairs from a SORTED id array, as an
     array<struct<id_a,id_b>> — generated JVM-side with nested
     ``transform``; shared by bucket-pair candidate generation here and
@@ -610,4 +610,80 @@ def substring_dup_pairs(
         .select(F.explode(pairs).alias("_p"))
         .groupBy(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+    max_shingle_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, shared, containment) — asymmetric near-dup
+    detection: containment = |S_A ∩ S_B| / min(|S_A|, |S_B|) over
+    distinct word n-gram shingle sets. Catches the pair Jaccard
+    misses by construction: a short document pasted inside a much
+    longer one has tiny Jaccard (union is huge) but containment ~1.
+    Broder's resemblance-vs-containment distinction (1997) — MinHash
+    sketches estimate the former and structurally CANNOT rank the
+    latter, so this is computed on exact shingle sets with the
+    boilerplate guard making it corpus-safe.
+
+    Scale shape mirrors substring_dup_pairs: per-doc DISTINCT
+    shingles (array_distinct before the explode — map-side
+    reduction), shingles with document frequency > ``max_shingle_df``
+    dropped before any pair forms (an n-gram shared by >cap docs is
+    boilerplate, not evidence), pairs generated from ONE groupBy on
+    the shingle via collect_set (bounded ≤ cap per bucket). The
+    intersection count is therefore over capped-df shingles on BOTH
+    sides — documented estimator semantics, mirrored exactly by the
+    SQL oracle. Set sizes join back on the per-doc frame.
+
+    Documents shorter than ``n`` tokens are excluded (no full
+    shingle)."""
+    base = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).filter(F.size("_toks") >= n)
+    sh = base.select(
+        F.col(id_col),
+        F.array_distinct(
+            shingles_from_tokens(F.col("_toks"), n)
+        ).alias("_sh"),
+    )
+    sizes = sh.select(F.col(id_col), F.size("_sh").alias("_sz"))
+    exploded = sh.select(F.col(id_col), F.explode("_sh").alias("_g"))
+    grouped = (
+        exploded.groupBy("_g")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("_ids"))
+        .filter(
+            (F.size("_ids") >= 2) & (F.size("_ids") <= max_shingle_df)
+        )
+    )
+    shared = (
+        grouped.select(F.explode(_pairs_expr(F.col("_ids"))).alias("_p"))
+        .groupBy(
+            F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sz_a = sizes.select(
+        F.col(id_col).alias("id_a"), F.col("_sz").alias("_sz_a")
+    )
+    sz_b = sizes.select(
+        F.col(id_col).alias("id_b"), F.col("_sz").alias("_sz_b")
+    )
+    cont = F.col("shared") / F.least(F.col("_sz_a"), F.col("_sz_b"))
+    return (
+        shared.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .filter(cont >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.round(cont, 6).alias("containment"),
+        )
     )

@@ -171,3 +171,36 @@ def mixture_select(
         c.filter(F.col("_cum") <= budget)
         .withColumnRenamed("_cum", "cum_tokens")
     )
+
+
+def sample_per_stratum(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample: keep the k rows
+    with the smallest portable hash of the id in each stratum (ties
+    broken by the id itself). Unlike ``stratified_sample`` (Bernoulli
+    via sampleBy — approximate counts, Spark-RNG-specific), this is
+    count-exact AND engine-portable: the md5-prefix hash
+    (conv(substr(md5(id),1,8),16,10), the pipeline/dsir.py bucket
+    hash) computes identically in DuckDB, so the draw is verifiable
+    row-for-row by the SQL oracle.
+
+    Shape: one shuffle on the strata key + a per-stratum top-k
+    window. Stratum count grows with the key cardinality (lang x
+    source x ...), so partitions stay balanced at corpus scale; a
+    single global stratum would funnel to one partition — callers
+    with no strata should use weighted_sample instead."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        h.asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -422,3 +422,36 @@ def embedding_near_dup(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 4,
+) -> DataFrame:
+    """(group, dim, centroid) — element-wise mean embedding per group,
+    the k-means/IVF training primitive (pipeline/similarity.py's IVF
+    index seeds its Lloyd iterations from exactly this aggregate).
+
+    Shape: posexplode to (group, dim, value) then one groupBy — the
+    per-dimension partial sums combine map-side, so the shuffle
+    carries |groups| x dim rows regardless of corpus size. Output is
+    long-form (group, dim, centroid) rather than a re-assembled
+    array: downstream joins (assignment, residuals) want the
+    exploded key anyway, and it keeps the oracle comparable.
+    Rounded to ``decimals`` so cross-engine float summation order
+    (~1e-7 relative on fp32 inputs) cannot flip the compare."""
+    exploded = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    return (
+        exploded.groupBy(group_col, "dim")
+        .agg(F.avg(F.col("val").cast("double")).alias("_avg"))
+        .select(
+            group_col,
+            F.col("dim").cast("long").alias("dim"),
+            F.round("_avg", decimals).alias("centroid"),
+        )
+    )

@@ -203,3 +203,119 @@ def repetition_signals(
         F.round(frac, 4).alias("top_bigram_char_frac"),
         ((dup > 0.5) | (frac > 0.2)).alias("flagged"),
     )
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Shannon entropy (bits/char) over normalized characters
+    — the classic gibberish/low-diversity quality signal (near-zero
+    for repeated-char spam, ~4.2 for natural English).
+
+    Shape: one character explode + two aggregates on (doc, char) —
+    the same cardinality as a char-frequency table, never quadratic.
+    H = log2(n) - sum(c*log2(c))/n keeps all arithmetic on integer
+    counts until the final expression; the result is rounded to 4
+    decimals so the DuckDB oracle's libm/summation-order noise
+    (~1e-13) cannot flip the compare."""
+    norm = normalize(F.col(text_col))
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(norm, "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("_clog"),
+        )
+        .select(
+            id_col,
+            F.col("n").cast("long").alias("n_chars"),
+            F.round(F.log2("n") - F.col("_clog") / F.col("n"), 4).alias(
+                "entropy_bits"
+            ),
+        )
+    )
+
+
+def readability(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch-Kincaid-style readability from pure column expressions:
+    syllables approximated as vowel-group runs (the standard cheap
+    estimator), sentences as terminal-punctuation runs (floored at 1
+    so punctuation-free corpora don't divide by zero).
+
+    ASCII character classes only, so the Java (Spark) and RE2
+    (DuckDB) regex engines agree. Grade = 0.39*words/sentences +
+    11.8*syllables/words - 15.59, reported at 2 decimals.
+
+    Rounding is deliberately NOT float ROUND(x, 2): the grade is an
+    exact small-denominator rational (100*grade = (39w² + 1180*syl*s
+    - 1559ws)/(ws)), so values routinely land exactly ON a rounding
+    boundary, where Spark (BigDecimal of the shortest decimal
+    repr, HALF_UP) and DuckDB (binary-value rounding) disagree —
+    9.995 → 10.0 vs 9.99. Instead the centigrade integer is rounded
+    explicitly as floor((2a+b)/(2b)) (ties toward +inf) — identical
+    IEEE ops in both engines — and divided by 100."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    words = F.size(toks).cast("long")
+    syllables = F.regexp_count(F.lower(t), F.lit("[aeiouy]+")).cast("long")
+    sentences = F.greatest(
+        F.regexp_count(t, F.lit("[.!?]+")), F.lit(1)
+    ).cast("long")
+    num = (
+        F.lit(39) * words * words
+        + F.lit(1180) * syllables * sentences
+        - F.lit(1559) * words * sentences
+    )
+    den = words * sentences
+    cent = F.floor((F.lit(2) * num + den) / (F.lit(2) * den))
+    return df.filter(words > 0).select(
+        F.col(id_col),
+        words.alias("n_words"),
+        syllables.alias("n_syllables"),
+        sentences.alias("n_sentences"),
+        (cent / F.lit(100.0)).alias("fk_grade"),
+    )
+
+
+def vocab_growth(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group vocabulary statistics: total tokens, distinct tokens
+    (corpus-wide vocabulary per group, NOT summed per-doc distincts)
+    and the type-token ratio — the Heaps-law health check a corpus
+    card reports per source/domain.
+
+    One token explode, then a two-level aggregate: (group, token)
+    partial counts collapse the explode map-side before the distinct
+    count — the same shape at 100 TB, with vocabulary (not corpus)
+    cardinality in the final shuffle."""
+    toked = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    per_tok = toked.groupBy(group_col, "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_tok.groupBy(group_col)
+        .agg(
+            F.sum("c").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("distinct_tokens"),
+        )
+        .select(
+            group_col,
+            "total_tokens",
+            "distinct_tokens",
+            F.round(
+                F.col("distinct_tokens") / F.col("total_tokens"), 6
+            ).alias("type_token_ratio"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Unit semantics for the round-8 operators: entropy/readability/
+vocabulary quality signals, containment near-dup, centroid training,
+and the portable per-stratum sample. (Oracle parity for each runs in
+tests/test_correctness.py via the registry.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_char_entropy_known_values(spark):
+    from openset_spark.pipeline.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert rows[1].entropy_bits == 0.0  # single symbol
+    assert rows[2].entropy_bits == 1.0  # two equiprobable
+    assert rows[3].entropy_bits == 2.0  # four equiprobable
+    assert rows[3].n_chars == 4
+
+
+def test_char_entropy_counts_normalized_chars(spark):
+    from openset_spark.pipeline.textstats import char_entropy
+
+    # normalize() collapses whitespace: "a  b" -> "a b" (3 chars)
+    df = spark.createDataFrame([(1, "A  b")], ["doc_id", "text"])
+    r = char_entropy(df).collect()[0]
+    assert r.n_chars == 3
+    expected = round(-(2 / 3) * math.log2(1 / 3) - (1 / 3) * math.log2(1 / 3), 4)
+    assert r.entropy_bits == pytest.approx(expected, abs=1e-4)
+
+
+def test_readability_formula_and_floor(spark):
+    from openset_spark.pipeline.textstats import readability
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat."), (2, "word soup no punct")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in readability(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_words, r1.n_sentences) == (6, 1)
+    grade = 0.39 * 6 / 1 + 11.8 * r1.n_syllables / 6 - 15.59
+    assert r1.fk_grade == pytest.approx(grade, abs=0.006)
+    assert rows[2].n_sentences == 1  # floored, no div-by-zero
+
+
+def test_vocab_growth_distinct_is_corpus_wide(spark):
+    from openset_spark.pipeline.textstats import vocab_growth
+
+    # two docs in one group sharing a token: distinct counts the
+    # group vocabulary, not the sum of per-doc distincts
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a d", "s1"), (3, "x x", "s2")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r.source: r for r in vocab_growth(df).collect()}
+    assert rows["s1"].total_tokens == 5
+    assert rows["s1"].distinct_tokens == 4  # a b c d
+    assert rows["s2"].total_tokens == 2
+    assert rows["s2"].distinct_tokens == 1
+    assert rows["s2"].type_token_ratio == 0.5
+
+
+def test_embedding_centroids_exact(spark):
+    from openset_spark.pipeline.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [3.0, 2.0], 0),
+            (2, [5.0, 5.0], 1),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    rows = {(r.label, r.dim): r.centroid for r in embedding_centroids(df).collect()}
+    assert rows[(0, 0)] == 2.0 and rows[(0, 1)] == 1.0
+    assert rows[(1, 0)] == 5.0 and rows[(1, 1)] == 5.0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from openset_spark.pipeline.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"  # 6 tokens, 2 5-grams
+    filler = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, short),
+            (2, short + " " + filler),  # contains doc 1 verbatim
+            (3, filler),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in containment_pairs(df, n=5, threshold=0.8).collect()
+    }
+    # doc1 ⊂ doc2: containment 1.0 though Jaccard is ~2/42
+    assert (1, 2) in out and out[(1, 2)].containment == 1.0
+    # doc3 ⊂ doc2 as well (the filler run)
+    assert (2, 3) in out
+    assert (1, 3) not in out
+
+
+def test_containment_df_cap_drops_boilerplate(spark):
+    from openset_spark.pipeline.dedup import containment_pairs
+
+    # one shared 5-token boilerplate across many docs + unique tails:
+    # with a small cap the hot shingle is dropped and no pair forms
+    boiler = "b1 b2 b3 b4 b5"
+    rows = [(i, boiler + f" u{i}a u{i}b u{i}c u{i}d") for i in range(12)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = containment_pairs(df, n=5, threshold=0.1, max_shingle_df=5)
+    assert capped.count() == 0
+    uncapped = containment_pairs(df, n=5, threshold=0.1, max_shingle_df=100)
+    assert uncapped.count() > 0
+
+
+def test_sample_per_stratum_exact_k_and_partition_invariance(spark):
+    from openset_spark.pipeline.sampling import sample_per_stratum
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", ["en", "de"][i % 2]) for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    out = sample_per_stratum(df, ["lang"], k=4).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert all(len(v) == 4 for v in by_lang.values())
+    # deterministic under different partitioning
+    out2 = sample_per_stratum(df.repartition(13), ["lang"], k=4).collect()
+    assert {r.doc_id for r in out2} == {r.doc_id for r in out}
+    # strata smaller than k keep everything
+    tiny = sample_per_stratum(df.filter(F.col("doc_id") < 3), ["lang"], k=4)
+    assert tiny.count() == 3

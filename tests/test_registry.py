@@ -60,16 +60,17 @@ WINDOW_FAMILIES = {
     "dedup_exact": ["dedup_exact", "dedup_exact_keep"],
     "dedup_sketch": [
         "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding", "substring_dup_pairs",
+        "dedup_embedding", "substring_dup_pairs", "containment_pairs",
     ],
-    "ann": ["ann_topk", "ann_lsh", "ann_ivf"],
+    "ann": ["ann_topk", "ann_lsh", "ann_ivf", "embedding_centroids"],
     "text": [
         "text_stats", "quality_score", "lang_id", "doc_fingerprint",
         "token_counts", "clean_documents", "top_bigrams",
-        "repetition_signals",
+        "repetition_signals", "char_entropy", "readability",
+        "vocab_growth",
     ],
     "decontam": ["contamination_check"],
-    "sampling": ["token_budget_select"],
+    "sampling": ["token_budget_select", "sample_per_stratum"],
     "retention_maintenance": ["retention_cull", "retention_cap"],
 }
 
