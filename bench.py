@@ -183,6 +183,35 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r7"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-8 pipeline additions (VERDICT r7 ask: bench the IR keys),
+    # same contract. tfidf_top_terms ranks every doc's top-5 terms
+    # (the full-corpus indexing pass); bm25_search is the per-query
+    # retrieval path. Disable with SPARK_GRAFT_R8=0.
+    if os.environ.get("SPARK_GRAFT_R8", "1") != "0":
+        try:
+            extra = {}
+            for name in (
+                "tfidf_top_terms",
+                "bm25_search",
+                "winnow_fingerprints",
+                "winnow_matches",
+                "containment_pairs",
+                "char_entropy",
+                "readability",
+                "vocab_growth",
+                "embedding_centroids",
+                "sample_per_stratum",
+            ):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r8"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r8"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Skew evidence: one user owns 30% of a 6M-row synthetic corpus;
     # times the skew-bound window first-row vs the salted/algebraic
     # rewrite (and shows scalar aggs don't need salting — partial agg

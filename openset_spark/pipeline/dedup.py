@@ -647,12 +647,14 @@ def containment_pairs(
         F.col(id_col),
         tokens(F.col(text_col)).alias("_toks"),
     ).filter(F.size("_toks") >= n)
+    # _sh feeds both the size projection and the pair explode —
+    # materialize once (the tfidf_top_terms/materialize_input rule)
     sh = base.select(
         F.col(id_col),
         F.array_distinct(
             shingles_from_tokens(F.col("_toks"), n)
         ).alias("_sh"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.select(F.col(id_col), F.size("_sh").alias("_sz"))
     exploded = sh.select(F.col(id_col), F.explode("_sh").alias("_g"))
     grouped = (

@@ -52,7 +52,12 @@ def tfidf_top_terms(
     engine-portable, and the term tie-break makes it total.
     Returns (id, term, tf, score, rank).
     """
-    tf = _tf(df, text_col, id_col)
+    # the tf frame feeds BOTH the df aggregate and the scored join —
+    # without materialization the corpus explode executes twice (the
+    # same double-evaluation distributed_cumsum's materialize_input
+    # and winnow_matches' one-groupBy rewrite exist to avoid); a lazy
+    # localCheckpoint pins it to executor storage after first compute
+    tf = _tf(df, text_col, id_col).localCheckpoint(eager=False)
     # document frequencies are VOCABULARY-sized — small next to the
     # corpus but unbounded (1e9+ distinct terms on a web corpus), so
     # no forced broadcast: AQE picks broadcast when it actually fits
@@ -110,7 +115,12 @@ def bm25_search(
             F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
         )
     )
-    hits = tf.filter(F.col("term").isin(*query_terms))
+    # query-pruned, but still rooted in the full corpus explode: both
+    # the df aggregate and the scoring join consume it — materialize
+    # once (same rule as tfidf_top_terms above)
+    hits = tf.filter(F.col("term").isin(*query_terms)).localCheckpoint(
+        eager=False
+    )
     dfk = F.broadcast(
         hits.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     )
