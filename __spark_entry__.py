@@ -2936,7 +2936,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EMBEDDING_CENTROIDS = """
 SELECT label, CAST(i - 1 AS BIGINT) AS dim,
-  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid
+  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid
 FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
 GROUP BY 1, 2
 """

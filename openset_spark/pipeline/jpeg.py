@@ -156,6 +156,9 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     frame = None  # (precision, h, w, components)
     progressive = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
+    ac_cond: dict[int, int] = {}  # DAC: table -> Kx
     coef = None  # progressive: comp id -> (blocks_y, blocks_x, 64) int32
     geo = None  # (hmax, vmax, mcux, mcuy)
     n = len(data)
@@ -197,7 +200,9 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                 symbols = seg[i + 17 : i + 17 + total]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 i += 17 + total
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
+            # arithmetic (QM-coded — pipeline/jpeg_arith.py)
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -211,10 +216,22 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                 )
             frame = (precision, h, w, comps)
             progressive = marker == 0xC2
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            arith = marker == 0xC9
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless/arithmetic/hierarchical JPEG not supported"
+                "lossless/progressive-arithmetic/hierarchical JPEG "
+                "not supported"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0x0F
+                cs = seg[i + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = cs  # Kx
+                i += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -225,6 +242,19 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            if arith:
+                pixels = _decode_scan_arith(
+                    data,
+                    pos + seglen,
+                    frame,
+                    scan_sel,
+                    qt,
+                    dc_cond,
+                    ac_cond,
+                    restart_interval,
+                )
+                _, h, w, comps = frame
+                return w, h, len(comps), pixels
             if not progressive:
                 pixels = _decode_scan(
                     data,
@@ -322,6 +352,84 @@ def _decode_scan(
                                 raise ValueError("invalid JPEG: AC overflow")
                             zz[k] = _extend(reader.receive(s), s)
                             k += 1
+                        coef[c["id"]][my * c["v"] + v, mx * c["h"] + hh] = zz
+            mcu_count += 1
+
+    return _reconstruct(comps, coef, qt, hmax, vmax, h, w)
+
+
+def _decode_scan_arith(
+    data, pos, frame, scan_sel, qt, dc_cond, ac_cond, restart_interval
+) -> bytes:
+    """Sequential arithmetic (SOF9) scan: the same MCU walk as
+    `_decode_scan`, with the QM-coder statistical models from
+    pipeline/jpeg_arith.py in place of Huffman tables. Restart
+    markers re-init the coder AND every statistics bin (F.2.4)."""
+    from openset_spark.pipeline.jpeg_arith import (
+        ArithDecoder,
+        _new_ac_stats,
+        _new_dc_stats,
+        decode_ac_coefs,
+        decode_dc_diff,
+    )
+
+    _, h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan_sel:
+        c = by_id[cs]
+        c["td"], c["ta"] = td, ta
+        order.append(c)
+
+    coef = {}
+    for c in comps:
+        coef[c["id"]] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.float64
+        )
+        c["pred"] = 0
+        c["dc_ctx"] = 0
+
+    def fresh_stats():
+        dc = {c["td"]: _new_dc_stats() for c in order}
+        ac = {c["ta"]: _new_ac_stats() for c in order}
+        return dc, ac
+
+    dec = ArithDecoder(data, pos)
+    dc_stats, ac_stats = fresh_stats()
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (
+                restart_interval
+                and mcu_count
+                and mcu_count % restart_interval == 0
+            ):
+                # skip to the RSTn marker, then restart everything
+                p = dec.find_marker()
+                if p + 1 < len(data) and 0xD0 <= data[p + 1] <= 0xD7:
+                    p += 2
+                dec = ArithDecoder(data, p)
+                dc_stats, ac_stats = fresh_stats()
+                for c in order:
+                    c["pred"] = 0
+                    c["dc_ctx"] = 0
+            for c in order:
+                cl, cu = dc_cond.get(c["td"], (0, 1))
+                kx = ac_cond.get(c["ta"], 5)
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        diff, c["dc_ctx"] = decode_dc_diff(
+                            dec, dc_stats[c["td"]], c["dc_ctx"], cl, cu
+                        )
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        decode_ac_coefs(dec, ac_stats[c["ta"]], zz, kx)
                         coef[c["id"]][my * c["v"] + v, mx * c["h"] + hh] = zz
             mcu_count += 1
 

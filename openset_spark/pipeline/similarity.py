@@ -452,6 +452,9 @@ def embedding_centroids(
         .select(
             group_col,
             F.col("dim").cast("long").alias("dim"),
-            F.round("_avg", decimals).alias("centroid"),
+            # + 0.0 folds IEEE negative zero to +0.0: a tiny negative
+            # mean rounds to -0.0 in engines that round the binary
+            # value but +0.0 in Spark's BigDecimal path
+            (F.round("_avg", decimals) + F.lit(0.0)).alias("centroid"),
         )
     )

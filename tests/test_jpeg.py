@@ -582,12 +582,14 @@ def test_progressive_with_restarts():
     _prog_roundtrip(32, 24, comps, [QTABLE], _sa_ladder(1), restart_interval=2)
 
 
-def test_arithmetic_rejected():
+def test_unsupported_frames_rejected():
+    # sequential arithmetic (SOF9) decodes for real since r8 — see
+    # tests/test_jpeg_arith.py; lossless/hierarchical still reject
     rng = np.random.default_rng(31)
     comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 1, 1)}]
     data = bytearray(encode_baseline_jpeg(8, 8, comps, [QTABLE]))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC9  # SOF0 -> SOF9 (arithmetic sequential)
+    data[i + 1] = 0xC3  # SOF0 -> SOF3 (lossless)
     with pytest.raises(NotImplementedError):
         decode_jpeg_bytes(bytes(data))
     with pytest.raises(ValueError):
