@@ -200,9 +200,9 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                 symbols = seg[i + 17 : i + 17 + total]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 i += 17 + total
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
-            # arithmetic (QM-coded — pipeline/jpeg_arith.py)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9/10 sequential/
+            # progressive arithmetic (QM-coded — pipeline/jpeg_arith.py)
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -215,12 +215,11 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (precision, h, w, comps)
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless/progressive-arithmetic/hierarchical JPEG "
-                "not supported"
+                "lossless/hierarchical JPEG not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -242,7 +241,7 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
-            if arith:
+            if arith and not progressive:
                 pixels = _decode_scan_arith(
                     data,
                     pos + seglen,
@@ -255,6 +254,27 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                 )
                 _, h, w, comps = frame
                 return w, h, len(comps), pixels
+            if arith:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                if coef is None:
+                    coef, geo = _init_prog_state(frame)
+                pos = _decode_prog_scan_arith(
+                    data,
+                    pos + seglen,
+                    frame,
+                    geo,
+                    scan_sel,
+                    ss,
+                    se,
+                    ahal >> 4,
+                    ahal & 0x0F,
+                    dc_cond,
+                    ac_cond,
+                    restart_interval,
+                    coef,
+                )
+                continue
             if not progressive:
                 pixels = _decode_scan(
                     data,
@@ -434,6 +454,111 @@ def _decode_scan_arith(
             mcu_count += 1
 
     return _reconstruct(comps, coef, qt, hmax, vmax, h, w)
+
+
+def _decode_prog_scan_arith(
+    data,
+    pos,
+    frame,
+    geo,
+    scan_sel,
+    ss,
+    se,
+    ah,
+    al,
+    dc_cond,
+    ac_cond,
+    restart_interval,
+    coef,
+) -> int:
+    """One progressive ARITHMETIC scan (SOF10, T.81 G.1.3) into the
+    coefficient accumulators; returns the next marker position. Same
+    traversal rules as the Huffman progressive path; restarts re-init
+    the QM coder and every statistics bin."""
+    from openset_spark.pipeline.jpeg_arith import (
+        ArithDecoder,
+        _new_ac_stats,
+        _new_dc_stats,
+        decode_ac_first,
+        decode_ac_refine,
+        decode_dc_diff,
+        decode_dc_refine,
+    )
+
+    _, h, w, comps = frame
+    hmax, vmax, mcux, mcuy = geo
+    by_id = {c["id"]: c for c in comps}
+    order = [(by_id[cs], td, ta) for cs, td, ta in scan_sel]
+
+    def units():
+        if len(order) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for c, td, ta in order:
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                unit.append(
+                                    (c, td, ta, mx * c["h"] + hh, my * c["v"] + v)
+                                )
+                    yield unit
+        else:
+            c, td, ta = order[0]
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    yield [(c, td, ta, bx, by)]
+
+    def fresh():
+        dc = {td: _new_dc_stats() for _, td, _ in order}
+        ac = {ta: _new_ac_stats() for _, _, ta in order}
+        preds = {c["id"]: 0 for c, _, _ in order}
+        ctxs = {c["id"]: 0 for c, _, _ in order}
+        return dc, ac, preds, ctxs
+
+    dec = ArithDecoder(data, pos)
+    dc_stats, ac_stats, preds, ctxs = fresh()
+    count = 0
+    for unit in units():
+        if restart_interval and count and count % restart_interval == 0:
+            p = dec.find_marker()
+            if p + 1 < len(data) and 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+            dec = ArithDecoder(data, p)
+            dc_stats, ac_stats, preds, ctxs = fresh()
+        for c, td, ta, bx, by in unit:
+            block = coef[c["id"]][by, bx]
+            if ss == 0:
+                if ah == 0:
+                    cl, cu = dc_cond.get(td, (0, 1))
+                    diff, ctxs[c["id"]] = decode_dc_diff(
+                        dec, dc_stats[td], ctxs[c["id"]], cl, cu
+                    )
+                    preds[c["id"]] += diff
+                    block[0] = preds[c["id"]] << al
+                else:
+                    decode_dc_refine(dec, block, al)
+            elif ah == 0:
+                kx = ac_cond.get(ta, 5)
+                decode_ac_first(dec, ac_stats[ta], block, ss, se, al, kx)
+            else:
+                decode_ac_refine(dec, ac_stats[ta], block, ss, se, al)
+        count += 1
+
+    # resume marker parsing (same skip rules as the Huffman path)
+    p = dec.pos
+    n = len(data)
+    while p < n:
+        if data[p] != 0xFF:
+            p += 1
+            continue
+        nxt = data[p + 1] if p + 1 < n else 0xD9
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            p += 2
+        elif nxt == 0xFF:
+            p += 1
+        else:
+            break
+    return p
 
 
 def _reconstruct(comps, coef, qt, hmax, vmax, h, w) -> bytes:

@@ -265,3 +265,90 @@ def decode_ac_coefs(
         v += 1
         block[k] = -v if sign else v
         k += 1
+
+
+# ---------------------------------------------------------------
+# Progressive models (T.81 G.1.3 / SOF10 scans)
+# ---------------------------------------------------------------
+def decode_ac_first(
+    dec: ArithDecoder, stats: list[int], block, ss: int, se: int,
+    al: int, kx: int
+) -> None:
+    """AC first scan (Ah=0): the sequential AC model restricted to
+    the Ss..Se band, decoded values point-transformed up by Al.
+    Arithmetic scans have per-block EOB decisions — no Huffman-style
+    EOB runs."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(stats, st):
+            return  # EOB
+        while dec.decode(stats, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic JPEG: AC band overflow")
+        sign = dec.decode_fixed()
+        st += 2
+        m = dec.decode(stats, st)
+        if m != 0:
+            if dec.decode(stats, st):
+                m <<= 1
+                st = 189 if k <= kx else 217
+                while dec.decode(stats, st):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "arithmetic JPEG: AC magnitude overflow"
+                        )
+                    st += 1
+        v = m
+        st += 14
+        mm = m
+        while mm := mm >> 1:
+            if dec.decode(stats, st):
+                v |= mm
+        v += 1
+        block[k] = (-v if sign else v) << al
+        k += 1
+
+
+def decode_dc_refine(dec: ArithDecoder, block, al: int) -> None:
+    """DC refinement: one fixed-probability correction bit (G.1.3.1)."""
+    if dec.decode_fixed():
+        block[0] = int(block[0]) | (1 << al)
+
+
+def decode_ac_refine(
+    dec: ArithDecoder, stats: list[int], block, ss: int, se: int, al: int
+) -> None:
+    """AC refinement scan (G.1.3.3): EOB decisions only beyond the
+    previous stage's last nonzero index; per-coefficient correction
+    bits for already-nonzero entries, newly-significant values get a
+    fixed-probability sign."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = 0
+    for kk in range(se, 0, -1):
+        if block[kk]:
+            kex = kk
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):
+                return  # EOB
+        while True:
+            if block[k]:
+                if dec.decode(stats, st + 2):
+                    block[k] += m1 if block[k] < 0 else p1
+                break
+            if dec.decode(stats, st + 1):
+                block[k] = m1 if dec.decode_fixed() else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic JPEG: AC refine overflow")
+        k += 1

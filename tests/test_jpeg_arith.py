@@ -436,11 +436,260 @@ def test_arith_fuzz_roundtrip():
         )
 
 
-def test_progressive_arithmetic_still_rejected():
+def test_lossless_arithmetic_still_rejected():
+    # SOF10 (progressive arithmetic) decodes since r8; SOF11
+    # (lossless arithmetic) remains out of scope
     rng = np.random.default_rng(31)
     comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 1, 1)}]
     data = bytearray(encode_arith_jpeg(8, 8, comps, [QTABLE]))
     i = data.index(b"\xff\xc9")
-    data[i + 1] = 0xCA  # SOF9 -> SOF10 (progressive arithmetic)
+    data[i + 1] = 0xCB  # SOF9 -> SOF11 (lossless arithmetic)
     with pytest.raises(NotImplementedError):
         decode_jpeg_bytes(bytes(data))
+
+
+# ------------------------------------------------- progressive (G.1.3)
+def encode_dc_first_arith(enc, stats, ctx, zz0, pred, al, cl, cu):
+    v = int(zz0) >> al  # DC point transform: arithmetic shift
+    diff = v - pred
+    ctx = encode_dc_diff(enc, stats, ctx, diff, cl, cu)
+    return v, ctx
+
+
+def encode_ac_first_arith(enc, stats, zz, ss, se, al, kx):
+    vals = {
+        k: (1 if zz[k] > 0 else -1) * (abs(int(zz[k])) >> al)
+        for k in range(ss, se + 1)
+    }
+    last = 0
+    for k in range(ss, se + 1):
+        if vals[k]:
+            last = k
+    if last == 0:
+        enc.encode(stats, 3 * (ss - 1), 1)  # immediate EOB
+        return
+    k = ss
+    while k <= last:
+        st = 3 * (k - 1)
+        enc.encode(stats, st, 0)
+        while vals[k] == 0:
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        enc.encode(stats, st + 1, 1)
+        v = vals[k]
+        sign = 1 if v < 0 else 0
+        enc.encode_fixed(sign)
+        sz = abs(v) - 1
+        st += 2
+        if sz == 0:
+            enc.encode(stats, st, 0)
+            m = 0
+        elif sz == 1:
+            enc.encode(stats, st, 1)
+            enc.encode(stats, st, 0)
+            m = 1
+        else:
+            enc.encode(stats, st, 1)
+            enc.encode(stats, st, 1)
+            m = 2
+            st = 189 if k <= kx else 217
+            while sz >= (m << 1):
+                enc.encode(stats, st, 1)
+                m <<= 1
+                st += 1
+            enc.encode(stats, st, 0)
+        st += 14
+        mm = m >> 1
+        while mm:
+            enc.encode(stats, st, 1 if sz & mm else 0)
+            mm >>= 1
+        k += 1
+    if last < se:
+        enc.encode(stats, 3 * (k - 1), 1)
+
+
+def encode_ac_refine_arith(enc, stats, zz, ss, se, ah, al):
+    def vis(k, sh):
+        v = int(zz[k])
+        return (1 if v > 0 else -1) * (abs(v) >> sh)
+
+    prev = {k: vis(k, ah) for k in range(ss, se + 1)}
+    cur = {k: vis(k, al) for k in range(ss, se + 1)}
+    kex = 0
+    for kk in range(se, ss - 1, -1):
+        if prev[kk]:
+            kex = kk
+            break
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if all(cur[j] == 0 for j in range(k, se + 1)):
+                enc.encode(stats, st, 1)  # EOB
+                return
+            enc.encode(stats, st, 0)
+        while True:
+            if prev[k]:
+                # the newly revealed magnitude bit: cur = 2*prev + bit
+                enc.encode(stats, st + 2, abs(cur[k]) & 1)
+                break
+            if cur[k]:
+                enc.encode(stats, st + 1, 1)
+                enc.encode_fixed(1 if cur[k] < 0 else 0)
+                break
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+
+
+def encode_progressive_arith_jpeg(
+    w, h, comp_blocks, qtables, scans, restart_interval=0
+) -> bytes:
+    """SOF10 mirror of test_jpeg.encode_progressive_jpeg: same scan
+    scripts, QM-coded; statistics and coder re-init per scan and at
+    every restart marker."""
+    cl, cu, kx = 0, 1, 5
+    hmax = max(c["h"] for c in comp_blocks)
+    vmax = max(c["v"] for c in comp_blocks)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comp_blocks:
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["bw"] = (cw + 7) // 8
+        c["bh"] = (ch + 7) // 8
+
+    def units(idxs):
+        if len(idxs) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    unit = []
+                    for ci in idxs:
+                        c = comp_blocks[ci]
+                        for v in range(c["v"]):
+                            for hh in range(c["h"]):
+                                unit.append(
+                                    (ci, mx * c["h"] + hh, my * c["v"] + v)
+                                )
+                    yield unit
+        else:
+            c = comp_blocks[idxs[0]]
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    yield [(idxs[0], bx, by)]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tq, q in enumerate(qtables):
+        seg(0xDB, bytes([tq]) + bytes(q))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comp_blocks)])
+    for i, c in enumerate(comp_blocks):
+        sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
+    seg(0xCA, bytes(sof))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    for idxs, ss, se, ah, al in scans:
+        sos = bytearray([len(idxs)])
+        for ci in idxs:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        enc = ArithEncoder()
+        dstats = _new_dc_stats()
+        astats = _new_ac_stats()
+        preds = {ci: 0 for ci in idxs}
+        ctxs = {ci: 0 for ci in idxs}
+        rst = 0
+        for ui, unit in enumerate(units(idxs)):
+            if restart_interval and ui and ui % restart_interval == 0:
+                out.extend(enc.flush())
+                out.extend(b"\xff" + bytes([0xD0 + (rst % 8)]))
+                rst += 1
+                enc = ArithEncoder()
+                dstats = _new_dc_stats()
+                astats = _new_ac_stats()
+                preds = {ci: 0 for ci in idxs}
+                ctxs = {ci: 0 for ci in idxs}
+            for ci, bx, by in unit:
+                zz = comp_blocks[ci]["blocks"][(bx, by)]
+                if ss == 0:
+                    if ah == 0:
+                        preds[ci], ctxs[ci] = encode_dc_first_arith(
+                            enc, dstats, ctxs[ci], zz[0], preds[ci], al,
+                            cl, cu,
+                        )
+                    else:
+                        enc.encode_fixed((int(zz[0]) >> al) & 1)
+                elif ah == 0:
+                    encode_ac_first_arith(enc, astats, zz, ss, se, al, kx)
+                else:
+                    encode_ac_refine_arith(enc, astats, zz, ss, se, ah, al)
+        out.extend(enc.flush())
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def test_arith_progressive_gray_spectral():
+    from test_jpeg import _sa_ladder
+
+    rng = np.random.default_rng(41)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 2, 2)}]
+    scans = [([0], 0, 0, 0, 0), ([0], 1, 20, 0, 0), ([0], 21, 63, 0, 0)]
+    data = encode_progressive_arith_jpeg(16, 16, comps, [QTABLE], scans)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    got = np.frombuffer(px, dtype=np.uint8)
+    exp = _expected_pixels(16, 16, comps, [QTABLE])
+    np.testing.assert_array_equal(got.reshape(exp.shape), exp)
+
+
+def test_arith_progressive_color_sa_ladder():
+    from test_jpeg import _sa_ladder
+
+    rng = np.random.default_rng(43)
+    comps = [
+        {"h": 2, "v": 2, "tq": 0, "blocks": _rand_blocks(rng, 2, 2, dense=True)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 1, 1)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks(rng, 1, 1)},
+    ]
+    scans = _sa_ladder(3, al=2)
+    data = encode_progressive_arith_jpeg(14, 13, comps, [QTABLE, QTABLE], scans)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert (gw, gh, ch) == (14, 13, 3)
+    got = np.frombuffer(px, dtype=np.uint8)
+    exp = _expected_pixels(14, 13, comps, [QTABLE, QTABLE])
+    np.testing.assert_array_equal(got.reshape(exp.shape), exp)
+
+
+def test_arith_progressive_equals_huffman_progressive():
+    from test_jpeg import _sa_ladder, encode_progressive_jpeg
+
+    rng = np.random.default_rng(47)
+    comps = [
+        {"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 3, 2, dense=True)}
+    ]
+    scans = _sa_ladder(1, al=1)
+    ja = encode_progressive_arith_jpeg(22, 11, comps, [QTABLE], scans)
+    jh = encode_progressive_jpeg(22, 11, comps, [QTABLE], scans)
+    assert decode_jpeg_bytes(ja) == decode_jpeg_bytes(jh)
+
+
+def test_arith_progressive_with_restarts():
+    rng = np.random.default_rng(53)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 4, 4)}]
+    scans = [([0], 0, 0, 0, 1), ([0], 1, 63, 0, 1),
+             ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    data = encode_progressive_arith_jpeg(
+        32, 32, comps, [QTABLE], scans, restart_interval=3
+    )
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    got = np.frombuffer(px, dtype=np.uint8)
+    exp = _expected_pixels(32, 32, comps, [QTABLE])
+    np.testing.assert_array_equal(got.reshape(exp.shape), exp)
