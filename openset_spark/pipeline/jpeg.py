@@ -157,6 +157,7 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     frame = None  # (precision, h, w, components)
     progressive = False
     arith = False
+    adobe = None  # APP14 color-transform flag
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
     ac_cond: dict[int, int] = {}  # DAC: table -> Kx
     coef = None  # progressive: comp id -> (blocks_y, blocks_x, 64) int32
@@ -231,6 +232,9 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                 else:
                     ac_cond[tb] = cs  # Kx
                 i += 2
+        elif marker == 0xEE:  # APP14 (Adobe color transform)
+            if seg[:5] == b"Adobe" and len(seg) >= 12:
+                adobe = seg[11]
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -251,6 +255,7 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                     dc_cond,
                     ac_cond,
                     restart_interval,
+                    adobe,
                 )
                 _, h, w, comps = frame
                 return w, h, len(comps), pixels
@@ -285,6 +290,7 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                     huff_dc,
                     huff_ac,
                     restart_interval,
+                    adobe,
                 )
                 _, h, w, comps = frame
                 return w, h, len(comps), pixels
@@ -314,12 +320,15 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     if coef is not None:
         _, h, w, comps = frame
         hmax, vmax = geo[0], geo[1]
-        return w, h, len(comps), _reconstruct(comps, coef, qt, hmax, vmax, h, w)
+        return w, h, len(comps), _reconstruct(
+            comps, coef, qt, hmax, vmax, h, w, adobe
+        )
     raise ValueError("invalid JPEG: no scan data")
 
 
 def _decode_scan(
-    data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+    data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval,
+    adobe=None,
 ) -> bytes:
     _, h, w, comps = frame
     hmax = max(c["h"] for c in comps)
@@ -375,11 +384,12 @@ def _decode_scan(
                         coef[c["id"]][my * c["v"] + v, mx * c["h"] + hh] = zz
             mcu_count += 1
 
-    return _reconstruct(comps, coef, qt, hmax, vmax, h, w)
+    return _reconstruct(comps, coef, qt, hmax, vmax, h, w, adobe)
 
 
 def _decode_scan_arith(
-    data, pos, frame, scan_sel, qt, dc_cond, ac_cond, restart_interval
+    data, pos, frame, scan_sel, qt, dc_cond, ac_cond, restart_interval,
+    adobe=None,
 ) -> bytes:
     """Sequential arithmetic (SOF9) scan: the same MCU walk as
     `_decode_scan`, with the QM-coder statistical models from
@@ -453,7 +463,7 @@ def _decode_scan_arith(
                         coef[c["id"]][my * c["v"] + v, mx * c["h"] + hh] = zz
             mcu_count += 1
 
-    return _reconstruct(comps, coef, qt, hmax, vmax, h, w)
+    return _reconstruct(comps, coef, qt, hmax, vmax, h, w, adobe)
 
 
 def _decode_prog_scan_arith(
@@ -561,9 +571,13 @@ def _decode_prog_scan_arith(
     return p
 
 
-def _reconstruct(comps, coef, qt, hmax, vmax, h, w) -> bytes:
+def _reconstruct(comps, coef, qt, hmax, vmax, h, w, adobe=None) -> bytes:
     """Shared back-end: dequantize + batched IDCT + upsample + color
-    conversion over per-component zig-zag coefficient arrays."""
+    conversion over per-component zig-zag coefficient arrays.
+    ``adobe`` is the APP14 color-transform flag (None when absent):
+    for 4-component frames, 2 means YCCK (the first three planes are
+    YCbCr-coded inverted CMY) and anything else raw CMYK; output for
+    4 components is the CMYK plane stack as 4 channels."""
     full = []
     for c in comps:
         q = qt[c["tq"]]
@@ -596,7 +610,16 @@ def _reconstruct(comps, coef, qt, hmax, vmax, h, w) -> bytes:
         b = y + 1.772 * (cb - 128.0)
         rgb = np.stack([r, g, b], axis=-1)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
-    raise NotImplementedError("CMYK/4-component JPEG not supported")
+    if len(comps) == 4:
+        c1, c2, c3, c4 = full
+        if adobe == 2:  # YCCK: undo the YCbCr coding of inverted CMY
+            r = c1 + 1.402 * (c3 - 128.0)
+            g = c1 - 0.344136 * (c2 - 128.0) - 0.714136 * (c3 - 128.0)
+            b = c1 + 1.772 * (c2 - 128.0)
+            c1, c2, c3 = 255.0 - r, 255.0 - g, 255.0 - b
+        cmyk = np.stack([c1, c2, c3, c4], axis=-1)
+        return np.clip(np.round(cmyk), 0, 255).astype(np.uint8).tobytes()
+    raise NotImplementedError("JPEG with >4 components not supported")
 
 
 # ------------------------------------------------- progressive (T.81 G)

@@ -717,3 +717,74 @@ def test_fuzz_progressive_random_scan_scripts():
         )
 
     run()
+
+
+# ------------------------------------------------- CMYK / APP14 (r8)
+def _app14(transform: int) -> bytes:
+    payload = b"Adobe" + struct.pack(">HHH", 100, 0, 0) + bytes([transform])
+    return b"\xff\xee" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _inject_app14(data: bytes, transform: int) -> bytes:
+    i = data.index(b"\xff\xdb")  # before the first DQT
+    return data[:i] + _app14(transform) + data[i:]
+
+
+def _expected_cmyk(w, h, comp_blocks, qtables, transform):
+    planes = []
+    for c in comp_blocks:
+        hmax = max(cc["h"] for cc in comp_blocks)
+        vmax = max(cc["v"] for cc in comp_blocks)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for (bx, by), zz in c["blocks"].items():
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _idct_block(
+                zz, qtables[c["tq"]]
+            )
+        sy, sx = vmax // c["v"], hmax // c["h"]
+        if sx > 1 or sy > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        planes.append(plane[:h, :w])
+    c1, c2, c3, c4 = planes
+    if transform == 2:
+        r = c1 + 1.402 * (c3 - 128.0)
+        g = c1 - 0.344136 * (c2 - 128.0) - 0.714136 * (c3 - 128.0)
+        b = c1 + 1.772 * (c2 - 128.0)
+        c1, c2, c3 = 255.0 - r, 255.0 - g, 255.0 - b
+    out = np.stack([c1, c2, c3, c4], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("transform", [0, 2])
+def test_cmyk_four_component(transform):
+    rng = np.random.default_rng(61)
+    comps = [
+        {"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 2, 2)}
+        for _ in range(4)
+    ]
+    data = _inject_app14(
+        encode_baseline_jpeg(16, 16, comps, [QTABLE]), transform
+    )
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert (gw, gh, ch) == (16, 16, 4)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 16, 4)
+    np.testing.assert_array_equal(
+        got, _expected_cmyk(16, 16, comps, [QTABLE], transform)
+    )
+
+
+def test_cmyk_without_app14_is_raw():
+    # no APP14 -> planes pass through untransformed
+    rng = np.random.default_rng(67)
+    comps = [
+        {"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 1, 1)}
+        for _ in range(4)
+    ]
+    data = encode_baseline_jpeg(8, 8, comps, [QTABLE])
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert ch == 4
+    got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8, 4)
+    np.testing.assert_array_equal(
+        got, _expected_cmyk(8, 8, comps, [QTABLE], 0)
+    )
