@@ -139,3 +139,56 @@ def test_sample_per_stratum_exact_k_and_partition_invariance(spark):
     # strata smaller than k keep everything
     tiny = sample_per_stratum(df.filter(F.col("doc_id") < 3), ["lang"], k=4)
     assert tiny.count() == 3
+
+
+def test_containment_matches_bruteforce_reference(spark):
+    # property check vs a plain-Python reference on a seeded corpus:
+    # same shingling, same df cap, same containment formula
+    import numpy as np
+
+    from openset_spark.pipeline.dedup import containment_pairs
+
+    rng = np.random.default_rng(99)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = []
+    for i in range(30):
+        n = int(rng.integers(5, 25))
+        docs.append((i, " ".join(rng.choice(vocab, n))))
+    # inject a guaranteed subset pair
+    docs.append((100, docs[0][1] + " extra tokens here now"))
+
+    n_, thr, cap = 4, 0.5, 8
+
+    def sh(text):
+        toks = text.split()
+        if len(toks) < n_:
+            return set()
+        return {" ".join(toks[i : i + n_]) for i in range(len(toks) - n_ + 1)}
+
+    sets = {i: sh(t) for i, t in docs if len(t.split()) >= n_}
+    from collections import Counter
+
+    df_count = Counter(g for s in sets.values() for g in s)
+    capped = {
+        i: {g for g in s if df_count[g] <= cap} for i, s in sets.items()
+    }
+    expect = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = len(capped[a] & capped[b])
+            if not shared:
+                continue
+            cont = shared / min(len(sets[a]), len(sets[b]))
+            if cont >= thr:
+                expect[(a, b)] = shared
+
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.shared
+        for r in containment_pairs(
+            sdf, n=n_, threshold=thr, max_shingle_df=cap
+        ).collect()
+    }
+    assert got == expect
