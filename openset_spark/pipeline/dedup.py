@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, all shuffle-bounded (no O(n^2) cross joins at scale):
+Five tiers, all shuffle-bounded (no O(n^2) cross joins at scale):
 
 - exact:     hash-groupBy on normalized text — one shuffle.
 - minhash:   word-shingle MinHash signatures -> LSH bands -> bucket
@@ -15,6 +15,9 @@ Four tiers, all shuffle-bounded (no O(n^2) cross joins at scale):
 - jaccard:   exact token-set Jaccard via explode + join on token —
              for verification and small corpora (it IS quadratic in
              matching pairs; LSH variants above are the scale path).
+- containment: |A∩B| / min(|A|,|B|) over df-capped shingle sets —
+             the asymmetric subset-dup detector MinHash cannot rank
+             (r8; `containment_pairs`).
 """
 
 from __future__ import annotations
