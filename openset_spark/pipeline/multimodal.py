@@ -6,19 +6,22 @@ metadata structs; per-item decode/feature work runs in Arrow-batched
 columnar batches (never row-at-a-time).
 
 Decode kernels: formats with pure-Python codecs are REAL — binary
-PPM/PGM images (P6/P5), PNG (8-bit gray/RGB/gray+A/RGBA via stdlib
-zlib, all five scanline filters), baseline AND progressive JPEG
-(huffman + spectral-selection/successive-approximation scans + IDCT,
-``pipeline/jpeg.py``), GIF 87a/89a (LZW, interlacing, transparency,
-first-frame composition — ``pipeline/gif.py``), LOSSLESS WebP (the
-full VP8L bitstream: canonical prefix codes, LZ77 + color cache,
-all four transforms, meta-prefix tiling — ``pipeline/webp.py``) and
-RIFF/WAV PCM audio decode for real inside the Arrow batches. Codecs
-that need native libs (lossy-VP8 WebP / ffmpeg video,
-arithmetic-coded JPEG) stay stubbed: ``deterministic=True`` yields a
-seeded fake so the Spark plumbing — schema, batching, partitioning —
-is testable; ``deterministic=False`` raises NotImplementedError where
-PIL/ffmpeg would slot in.
+PPM/PGM images (P6/P5), PNG (8/16-bit gray/RGB/gray+A/RGBA +
+palettes + Adam7 via stdlib zlib), JPEG in all four entropy/scan
+shapes (baseline + progressive Huffman, sequential + progressive
+ARITHMETIC via the T.81 QM-coder, CMYK/YCCK 4-component —
+``pipeline/jpeg.py``/``jpeg_arith.py``), GIF 87a/89a incl. animation
+frame composition (``pipeline/gif.py``), WebP BOTH lossless VP8L and
+lossy VP8 (RFC 6386 keyframe decoder, VP8X/ALPH/first-ANMF —
+``pipeline/webp.py``/``vp8.py``), AVI MJPEG/DIB video frames
+(``pipeline/avi.py``) and RIFF/WAV PCM audio, all inside the Arrow
+batches. Codecs that genuinely need native libs (H.264/VP9/AV1
+video, AV1F/HEIF payloads, lossless JPEG) stay stubbed —
+``probe_mp4_bytes``/``probe_avif_bytes`` still route them by
+metadata; ``deterministic=True`` yields a seeded fake so the Spark
+plumbing — schema, batching, partitioning — is testable;
+``deterministic=False`` raises NotImplementedError where PIL/ffmpeg
+would slot in.
 """
 
 from __future__ import annotations
@@ -832,3 +835,57 @@ def gif_frame_rows(
             )
 
     return media.mapInPandas(run, GIF_FRAME_SCHEMA)
+
+
+def probe_avif_bytes(data: bytes) -> dict:
+    """AVIF/HEIF still-image metadata probe — the same ISO-BMFF
+    box-tree parsing as ``probe_mp4_bytes``, reading the item
+    properties instead of movie tracks: brand, pixel dimensions from
+    the ``ispe`` property, and the coded format from the codec config
+    box present in ``ipco`` (``av1C`` -> av01, ``hvcC`` -> hvc1).
+    AV1/HEVC payload decode is native-codec territory (an explicit
+    stub in decode_images); this probe is the route/filter step a
+    catalog needs before deciding what to hand to one."""
+    import struct as _struct
+
+    def walk(lo: int, hi: int):
+        while lo + 8 <= hi:
+            size, box = _struct.unpack(">I4s", data[lo : lo + 8])
+            body = lo + 8
+            if size == 1:
+                size = _struct.unpack(">Q", data[lo + 8 : lo + 16])[0]
+                body = lo + 16
+            elif size == 0:
+                size = hi - lo
+            yield box, body, lo + size
+            lo += size
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (missing ftyp)")
+    out: dict = {
+        "brand": data[8:12].decode("latin1"),
+        "codec": None,
+        "width": None,
+        "height": None,
+    }
+
+    def parse_ipco(lo: int, hi: int):
+        for box, b, e in walk(lo, hi):
+            if box == b"ispe" and out["width"] is None:
+                w, h = _struct.unpack(">II", data[b + 4 : b + 12])
+                out["width"], out["height"] = w, h
+            elif box == b"av1C":
+                out["codec"] = "av01"
+            elif box == b"hvcC":
+                out["codec"] = "hvc1"
+
+    for box, b, e in walk(0, len(data)):
+        if box == b"meta":  # fullbox: 4 version/flags bytes
+            for box2, b2, e2 in walk(b + 4, e):
+                if box2 == b"iprp":
+                    for box3, b3, e3 in walk(b2, e2):
+                        if box3 == b"ipco":
+                            parse_ipco(b3, e3)
+    if out["width"] is None:
+        raise ValueError("invalid AVIF/HEIF: no ispe property")
+    return out

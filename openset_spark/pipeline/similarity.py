@@ -458,3 +458,41 @@ def embedding_centroids(
             (F.round("_avg", decimals) + F.lit(0.0)).alias("centroid"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.97,
+    n_lists: int = 16,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023 shape): cluster the embedding
+    space with the distributed Lloyd quantizer (`ivf_index` — one
+    corpus scan + one bounded aggregate per iteration), then compute
+    EXACT cosine pairs only WITHIN a cluster and greedily drop the
+    larger id of every pair above ``threshold`` (the paper keeps one
+    representative per semantic-duplicate group; min-id is the
+    deterministic choice).
+
+    Returns (kept, pairs). Scale shape: the pair join is hash-keyed
+    on list_id — never all-pairs — and cluster sizes are bounded by
+    the quantizer granularity (n_lists scales with corpus size; at
+    100 TB the assigned table is written partitioned by list_id).
+    Semantic duplicates straddling a cluster boundary are missed —
+    the standard SemDeDup trade, recovered by raising n_lists'
+    overlap via refine_iters (tighter, better-centered lists)."""
+    assigned, _ = ivf_index(
+        df, n_lists, id_col, vec_col, refine_iters=refine_iters
+    )
+    pairs = embedding_near_dup(
+        assigned,
+        threshold=threshold,
+        block_col="list_id",
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = df.join(doomed, id_col, "left_anti")
+    return kept, pairs

@@ -192,3 +192,68 @@ def test_containment_matches_bruteforce_reference(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_semantic_dedup_drops_within_cluster_twins(spark):
+    from openset_spark.pipeline.similarity import semantic_dedup
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    # 4 well-separated cluster centers; a few near-identical twins
+    centers = [rng.normal(size=8) * 10 for _ in range(4)]
+    twin_of = {}
+    for ci, c in enumerate(centers):
+        for j in range(6):
+            v = c + rng.normal(scale=0.5, size=8)
+            rows.append((vid, [float(x) for x in v]))
+            if j == 0:
+                first = vid
+            vid += 1
+        # exact twin of the cluster's first vector
+        twin = [float(x) for x in np.array(rows[first][1]) * 1.0]
+        rows.append((vid, twin))
+        twin_of[vid] = first
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # exact twins have cosine 1.0; noisy cluster-mates sit near
+    # 1 - (noise/|center|)^2/2 ~ 0.998 — threshold splits them
+    kept, pairs = semantic_dedup(
+        df, threshold=0.99999, n_lists=4, refine_iters=3
+    )
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    pair_set = {(r.id_a, r.id_b) for r in pairs.collect()}
+    for twin, orig in twin_of.items():
+        assert (orig, twin) in pair_set  # found despite clustering
+        assert twin not in kept_ids  # larger id dropped
+        assert orig in kept_ids  # keeper survives
+    # non-duplicates survive
+    assert len(kept_ids) == len(rows) - len(twin_of)
+
+
+def test_probe_avif_bytes():
+    import struct
+
+    from openset_spark.pipeline.multimodal import probe_avif_bytes
+
+    def box(tag, body):
+        return struct.pack(">I4s", len(body) + 8, tag) + body
+
+    ispe = box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", 640, 480))
+    av1c = box(b"av1C", b"\x81\x0c\x00\x00")
+    ipco = box(b"ipco", ispe + av1c)
+    iprp = box(b"iprp", ipco)
+    meta = box(b"meta", b"\x00\x00\x00\x00" + iprp)
+    ftyp = box(b"ftyp", b"avif\x00\x00\x00\x00avifmif1")
+    data = ftyp + meta
+    got = probe_avif_bytes(data)
+    assert got == {
+        "brand": "avif", "codec": "av01", "width": 640, "height": 480
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        probe_avif_bytes(b"\x00\x00\x00\x08nope")
