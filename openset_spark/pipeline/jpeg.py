@@ -205,8 +205,10 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             # SOF0/1 baseline, SOF2 progressive, SOF9/10 sequential/
             # progressive arithmetic (QM-coded — pipeline/jpeg_arith.py)
             precision = seg[0]
-            if precision != 8:
-                raise NotImplementedError("only 8-bit JPEG supported")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    "only 8- and 12-bit JPEG supported"
+                )
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -257,7 +259,7 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                     restart_interval,
                     adobe,
                 )
-                _, h, w, comps = frame
+                precision, h, w, comps = frame
                 return w, h, len(comps), pixels
             if arith:
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
@@ -292,7 +294,7 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
                     restart_interval,
                     adobe,
                 )
-                _, h, w, comps = frame
+                precision, h, w, comps = frame
                 return w, h, len(comps), pixels
             # progressive: accumulate this scan's coefficients, then
             # keep walking markers (more scans follow until EOI)
@@ -318,10 +320,10 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             continue
         pos += seglen
     if coef is not None:
-        _, h, w, comps = frame
+        precision, h, w, comps = frame
         hmax, vmax = geo[0], geo[1]
         return w, h, len(comps), _reconstruct(
-            comps, coef, qt, hmax, vmax, h, w, adobe
+            comps, coef, qt, hmax, vmax, h, w, adobe, frame[0]
         )
     raise ValueError("invalid JPEG: no scan data")
 
@@ -330,7 +332,7 @@ def _decode_scan(
     data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval,
     adobe=None,
 ) -> bytes:
-    _, h, w, comps = frame
+    precision, h, w, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -384,7 +386,9 @@ def _decode_scan(
                         coef[c["id"]][my * c["v"] + v, mx * c["h"] + hh] = zz
             mcu_count += 1
 
-    return _reconstruct(comps, coef, qt, hmax, vmax, h, w, adobe)
+    return _reconstruct(
+        comps, coef, qt, hmax, vmax, h, w, adobe, precision
+    )
 
 
 def _decode_scan_arith(
@@ -403,7 +407,7 @@ def _decode_scan_arith(
         decode_dc_diff,
     )
 
-    _, h, w, comps = frame
+    precision, h, w, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -463,7 +467,9 @@ def _decode_scan_arith(
                         coef[c["id"]][my * c["v"] + v, mx * c["h"] + hh] = zz
             mcu_count += 1
 
-    return _reconstruct(comps, coef, qt, hmax, vmax, h, w, adobe)
+    return _reconstruct(
+        comps, coef, qt, hmax, vmax, h, w, adobe, precision
+    )
 
 
 def _decode_prog_scan_arith(
@@ -495,7 +501,7 @@ def _decode_prog_scan_arith(
         decode_dc_refine,
     )
 
-    _, h, w, comps = frame
+    precision, h, w, comps = frame
     hmax, vmax, mcux, mcuy = geo
     by_id = {c["id"]: c for c in comps}
     order = [(by_id[cs], td, ta) for cs, td, ta in scan_sel]
@@ -571,13 +577,21 @@ def _decode_prog_scan_arith(
     return p
 
 
-def _reconstruct(comps, coef, qt, hmax, vmax, h, w, adobe=None) -> bytes:
+def _reconstruct(
+    comps, coef, qt, hmax, vmax, h, w, adobe=None, precision=8
+) -> bytes:
     """Shared back-end: dequantize + batched IDCT + upsample + color
     conversion over per-component zig-zag coefficient arrays.
     ``adobe`` is the APP14 color-transform flag (None when absent):
     for 4-component frames, 2 means YCCK (the first three planes are
     YCbCr-coded inverted CMY) and anything else raw CMYK; output for
-    4 components is the CMYK plane stack as 4 channels."""
+    4 components is the CMYK plane stack as 4 channels.
+
+    ``precision`` 12 (extended sequential / progressive, T.81 table
+    B.2) level-shifts by 2048, clips to [0, 4095] per plane and
+    emits the HIGH 8 bits — the byte contract stays uniform across
+    precisions (the 16-bit surface is a corpus rarity not worth a
+    second schema)."""
     full = []
     for c in comps:
         q = qt[c["tq"]]
@@ -588,7 +602,8 @@ def _reconstruct(comps, coef, qt, hmax, vmax, h, w, adobe=None) -> bytes:
         deq[:, _ZIGZAG] = flat * q  # un-zigzag while dequantizing
         blocks = deq.reshape(-1, 8, 8)
         # spatial = A.T @ B @ A for the whole batch
-        spatial = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A) + 128.0
+        shift = 2048.0 if precision == 12 else 128.0
+        spatial = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A) + shift
         plane = (
             spatial.reshape(nby, nbx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -598,7 +613,11 @@ def _reconstruct(comps, coef, qt, hmax, vmax, h, w, adobe=None) -> bytes:
         sx, sy = hmax // c["h"], vmax // c["v"]
         if sx > 1 or sy > 1:
             plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
-        full.append(plane[:h, :w])
+        plane = plane[:h, :w]
+        if precision == 12:
+            # clip at 12-bit range, then keep the high byte
+            plane = np.floor(np.clip(np.round(plane), 0, 4095) / 16.0)
+        full.append(plane)
 
     if len(comps) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
@@ -627,7 +646,7 @@ def _init_prog_state(frame):
     """Per-component zig-zag coefficient accumulators (MCU-padded) and
     the frame geometry, including each component's own non-interleaved
     block dimensions (T.81 A.1.1: ceil of the scaled sample dims)."""
-    _, h, w, comps = frame
+    precision, h, w, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -738,7 +757,7 @@ def _decode_prog_scan(
     interleaved and traverse MCUs; AC scans are single-component and
     traverse that component's own block grid (T.81 G.1.1). Restarts
     reset DC predictors AND the EOB run."""
-    _, h, w, comps = frame
+    precision, h, w, comps = frame
     hmax, vmax, mcux, mcuy = geo
     by_id = {c["id"]: c for c in comps}
     order = [(by_id[cs], td, ta) for cs, td, ta in scan_sel]

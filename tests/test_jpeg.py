@@ -84,6 +84,7 @@ def encode_baseline_jpeg(
     comp_blocks: list[dict],
     qtables: list[list[int]],
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """comp_blocks: per component {h, v, tq, blocks: {(bx,by): zz64}}.
     Every block is quantized coefficients in zig-zag order."""
@@ -148,11 +149,18 @@ def encode_baseline_jpeg(
         out.extend(payload)
 
     for tq, q in enumerate(qtables):
-        seg(0xDB, bytes([tq]) + bytes(q))
-    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comp_blocks)])
+        if precision == 12:  # pq=1: 16-bit quantizer entries
+            seg(0xDB, bytes([0x10 | tq]) + struct.pack(">64H", *q))
+        else:
+            seg(0xDB, bytes([tq]) + bytes(q))
+    sof = (
+        bytearray([precision])
+        + struct.pack(">HH", h, w)
+        + bytes([len(comp_blocks)])
+    )
     for i, c in enumerate(comp_blocks):
         sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
-    seg(0xC0, bytes(sof))
+    seg(0xC0 if precision == 8 else 0xC1, bytes(sof))
     seg(0xC4, dc_tab.dht_payload(0, 0))
     seg(0xC4, ac_tab.dht_payload(1, 0))
     if restart_interval:
@@ -787,4 +795,78 @@ def test_cmyk_without_app14_is_raw():
     got = np.frombuffer(px, dtype=np.uint8).reshape(8, 8, 4)
     np.testing.assert_array_equal(
         got, _expected_cmyk(8, 8, comps, [QTABLE], 0)
+    )
+
+
+# ------------------------------------------------- 12-bit precision (r8)
+def _expected_pixels12(w, h, comp_blocks, qtables):
+    """Decoder contract for precision 12: per-plane level shift 2048,
+    clip [0,4095], HIGH byte; then the usual 1/3-component packing."""
+    hmax = max(c["h"] for c in comp_blocks)
+    vmax = max(c["v"] for c in comp_blocks)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comp_blocks:
+        plane = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for (bx, by), zz in c["blocks"].items():
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _idct_block(zz, qtables[c["tq"]]) - 128.0 + 2048.0
+            )
+        sy, sx = vmax // c["v"], hmax // c["h"]
+        if sx > 1 or sy > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        plane = plane[:h, :w]
+        planes.append(np.floor(np.clip(np.round(plane), 0, 4095) / 16.0))
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128)
+    g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+    b = y + 1.772 * (cb - 128)
+    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+
+
+def _rand_blocks12(rng, nx, ny):
+    blocks = {}
+    for by in range(ny):
+        for bx in range(nx):
+            zz = np.zeros(64, dtype=np.int64)
+            zz[0] = rng.integers(-800, 800)  # 12-bit DC range
+            idx = rng.choice(np.arange(1, 64), size=12, replace=False)
+            zz[idx] = rng.integers(-200, 200, size=len(idx))
+            blocks[(bx, by)] = zz.tolist()
+    return blocks
+
+
+QTABLE12 = [(1 + (i * 11) % 401) for i in range(64)]  # 16-bit-range entries
+
+
+def test_12bit_gray_huffman():
+    rng = np.random.default_rng(71)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks12(rng, 2, 2)}]
+    data = encode_baseline_jpeg(16, 16, comps, [QTABLE12], precision=12)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert (gw, gh, ch) == (16, 16, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 16)
+    np.testing.assert_array_equal(
+        got, _expected_pixels12(16, 16, comps, [QTABLE12])
+    )
+
+
+def test_12bit_color_huffman():
+    rng = np.random.default_rng(73)
+    comps = [
+        {"h": 2, "v": 1, "tq": 0, "blocks": _rand_blocks12(rng, 4, 2)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks12(rng, 2, 2)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks12(rng, 2, 2)},
+    ]
+    data = encode_baseline_jpeg(
+        30, 14, comps, [QTABLE12, QTABLE12], precision=12
+    )
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert (gw, gh, ch) == (30, 14, 3)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(14, 30, 3)
+    np.testing.assert_array_equal(
+        got, _expected_pixels12(30, 14, comps, [QTABLE12, QTABLE12])
     )

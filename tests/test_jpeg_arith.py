@@ -210,7 +210,8 @@ def encode_ac_coefs(enc, stats, block, kx) -> None:
 
 
 def encode_arith_jpeg(
-    w, h, comp_blocks, qtables, restart_interval=0, dc_cond=None, ac_cond=None
+    w, h, comp_blocks, qtables, restart_interval=0, dc_cond=None,
+    ac_cond=None, precision=8,
 ) -> bytes:
     """SOF9 mirror of test_jpeg.encode_baseline_jpeg: same comp_blocks
     structure, QM-coded entropy segment, optional DAC conditioning."""
@@ -229,8 +230,15 @@ def encode_arith_jpeg(
         out.extend(payload)
 
     for tq, q in enumerate(qtables):
-        seg(0xDB, bytes([tq]) + bytes(q))
-    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comp_blocks)])
+        if precision == 12:
+            seg(0xDB, bytes([0x10 | tq]) + struct.pack(">64H", *q))
+        else:
+            seg(0xDB, bytes([tq]) + bytes(q))
+    sof = (
+        bytearray([precision])
+        + struct.pack(">HH", h, w)
+        + bytes([len(comp_blocks)])
+    )
     for i, c in enumerate(comp_blocks):
         sof += bytes([i + 1, (c["h"] << 4) | c["v"], c["tq"]])
     seg(0xC9, bytes(sof))
@@ -693,3 +701,35 @@ def test_arith_progressive_with_restarts():
     got = np.frombuffer(px, dtype=np.uint8)
     exp = _expected_pixels(32, 32, comps, [QTABLE])
     np.testing.assert_array_equal(got.reshape(exp.shape), exp)
+
+
+def test_arith_12bit_gray():
+    from test_jpeg import QTABLE12, _expected_pixels12, _rand_blocks12
+
+    rng = np.random.default_rng(79)
+    comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks12(rng, 2, 2)}]
+    data = encode_arith_jpeg(16, 16, comps, [QTABLE12], precision=12)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert (gw, gh, ch) == (16, 16, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(16, 16)
+    np.testing.assert_array_equal(
+        got, _expected_pixels12(16, 16, comps, [QTABLE12])
+    )
+
+
+def test_arith_12bit_matches_huffman_12bit():
+    from test_jpeg import QTABLE12, _rand_blocks12
+
+    rng = np.random.default_rng(83)
+    comps = [
+        {"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks12(rng, 2, 2)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks12(rng, 2, 2)},
+        {"h": 1, "v": 1, "tq": 1, "blocks": _rand_blocks12(rng, 2, 2)},
+    ]
+    jh = encode_baseline_jpeg(
+        16, 16, comps, [QTABLE12, QTABLE12], precision=12
+    )
+    ja = encode_arith_jpeg(
+        16, 16, comps, [QTABLE12, QTABLE12], precision=12
+    )
+    assert decode_jpeg_bytes(jh) == decode_jpeg_bytes(ja)
