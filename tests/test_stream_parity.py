@@ -646,3 +646,62 @@ def test_stream_near_dedup_matches_batch(spark, sf_dir, tmpdir):
     assert streamed == expected
     assert 0 < len(streamed) < len(rows)
     index.unpersist()
+
+
+def test_stream_sample_per_stratum_matches_batch(spark, sf_dir, tmpdir):
+    """11th parity surface: the streaming per-stratum reservoir
+    (admits minus evicts) must equal the batch sample_per_stratum of
+    the SAME documents — exactly, because the draw is the
+    deterministic portable-hash top-k, independent of arrival order
+    and micro-batch splits. Also replays out-of-order arrival: the
+    files are written in REVERSE id order."""
+    import json
+
+    from openset_spark.pipeline.sampling import sample_per_stratum
+    from openset_spark.streaming.sampling_stream import (
+        stream_sample_per_stratum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = [
+        {"doc_id": r.doc_id, "lang": r.lang, "source": r.source}
+        for r in docs.select("doc_id", "lang", "source").collect()
+    ]
+    rows.sort(key=lambda r: -r["doc_id"])  # adversarial arrival order
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "doc_id long, lang string, source string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_sample_{uuid.uuid4().hex[:8]}"
+    _run_available(
+        stream_sample_per_stratum(stream, ["lang", "source"], k=3), name
+    )
+    log = spark.sql(
+        f"select lang, source, doc_id, action from {name}"
+    ).collect()
+    live: set[tuple] = set()
+    admits = [r for r in log if r.action == "admit"]
+    evicts = [r for r in log if r.action == "evict"]
+    for r in admits:
+        live.add((r.lang, r.source, r.doc_id))
+    for r in evicts:
+        live.discard((r.lang, r.source, r.doc_id))
+
+    batch_docs = spark.read.schema(schema).json(tmpdir)
+    expected = {
+        (r.lang, r.source, r.doc_id)
+        for r in sample_per_stratum(
+            batch_docs, ["lang", "source"], k=3
+        ).collect()
+    }
+    assert live == expected
+    # the reservoir genuinely churned across batches (not single-shot)
+    assert evicts, "expected at least one eviction across micro-batches"
