@@ -2494,9 +2494,9 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": q_contamination_check,
         "token_budget_select": q_token_budget_select,
         "retention_cull": q_retention_cull,
-        "dedup_exact": q_dedup_exact,
-        "quality_score": q_quality_score,
         # NEW r8: first-round green targets
+        "source_overlap": q_source_overlap,
+        "collocations": q_collocations,
         "char_entropy": q_char_entropy,
         "readability": q_readability,
         "vocab_growth": q_vocab_growth,
@@ -3004,6 +3004,76 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level 5-gram Jaccard — the cross-source
+    redundancy matrix a corpus card reports before per-doc dedup.
+    Pair fan-out bounded by the source count, a catalog constant.
+    NEW r8."""
+    from openset_spark.pipeline.corpus_stats import source_ngram_overlap
+
+    return source_ngram_overlap(_docs(spark, sf_dir), n=5)
+
+
+_SQL_SOURCE_OVERLAP = f"""
+WITH base AS (
+  SELECT source, {_TOKS_SQL} AS ts FROM documents
+  WHERE len({_TOKS_SQL}) >= 5
+),
+sh AS (
+  SELECT DISTINCT source, array_to_string(ts[i:i+4], ' ') AS g
+  FROM base, UNNEST(generate_series(1, len(ts) - 4)) AS s(i)
+),
+sz AS (SELECT source, COUNT(*) AS sz FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, shared,
+  ROUND(shared / (x.sz + y.sz - shared), 6) AS jaccard
+FROM shared
+JOIN sz x ON x.source = shared.source_a
+JOIN sz y ON y.source = shared.source_b
+"""
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI word bigrams (collocation mining) with c12 >= 5;
+    ranked on the rounded PMI with a (w1, w2) tie-break. NEW r8."""
+    from openset_spark.pipeline.corpus_stats import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, k=20)
+
+
+_SQL_COLLOCATIONS = f"""
+WITH t AS (
+  SELECT {_TOKS_SQL} AS ts FROM documents WHERE len({_TOKS_SQL}) >= 2
+),
+big AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS c12
+  FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+  GROUP BY 1, 2
+),
+cl AS (SELECT w1, SUM(c12) AS cl FROM big GROUP BY 1),
+cr AS (SELECT w2, SUM(c12) AS cr FROM big GROUP BY 1),
+n AS (SELECT SUM(c12) AS n FROM big),
+scored AS (
+  SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+    ROUND(
+      ln((CAST(c12 AS DOUBLE) * n.n) / (CAST(cl.cl AS DOUBLE) * cr.cr)),
+      4
+    ) AS pmi
+  FROM big JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN n
+  WHERE c12 >= 5
+)
+SELECT w1, w2, c12, pmi,
+  CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 20
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Demoted round 8: all 45 were driver-green in r7 — freshest keys
     # in the ledger, resting while the r6-green cohort and the five
@@ -3056,6 +3126,10 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "mixture_select": q_mixture_select,
         "lm_perplexity": q_lm_perplexity,
+        # swapped out for the late-r8 corpus-stats keys (both
+        # r7-green; their families stay covered in-window)
+        "dedup_exact": q_dedup_exact,
+        "quality_score": q_quality_score,
     }
 
 
@@ -3090,6 +3164,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _SQL_BM25_SEARCH,
         "winnow_fingerprints": _SQL_WINNOW_FINGERPRINTS,
         "winnow_matches": _SQL_WINNOW_MATCHES,
+        "source_overlap": _SQL_SOURCE_OVERLAP,
+        "collocations": _SQL_COLLOCATIONS,
         "char_entropy": _SQL_CHAR_ENTROPY,
         "readability": _SQL_READABILITY,
         "vocab_growth": _SQL_VOCAB_GROWTH,

@@ -201,6 +201,8 @@ def main() -> None:
                 "vocab_growth",
                 "embedding_centroids",
                 "sample_per_stratum",
+                "source_overlap",
+                "collocations",
             ):
                 samples = []
                 for _ in range(reps):

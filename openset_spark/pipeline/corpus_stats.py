@@ -1,0 +1,149 @@
+"""Corpus-level redundancy and collocation statistics.
+
+Two reports a pretraining data card wants that none of the per-doc
+operators produce:
+
+- ``source_ngram_overlap``: pairwise n-gram Jaccard BETWEEN sources
+  (crawls, dumps, snapshots) — the redundancy matrix that decides
+  which sources to drop or down-weight before any per-doc dedup
+  runs. Scale shape: the distinct (source, shingle) frame is the
+  only corpus-wide aggregate; pair generation groups by shingle
+  (sources-per-shingle is bounded by the SOURCE COUNT, a catalog
+  constant, so the collect_set row and pair fan-out are tiny by
+  construction — unlike document pairing, which needs df caps).
+
+- ``collocations``: top-k PMI word bigrams (collocation / phrase
+  mining). All marginals derive from the single bigram-count
+  aggregate: cL/cR are groupBys OF the count frame (vocabulary
+  cardinality), N is a 1-row broadcast. PMI = ln(c12*N/(cL*cR)),
+  ranked on the ROUNDED value with a (w1, w2) tie-break so the
+  DuckDB oracle reproduces the ordering bit-for-bit (the
+  pipeline/ir.py portability pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openset_spark.functions.text import shingles_from_tokens, tokens
+
+
+def source_ngram_overlap(
+    df: DataFrame,
+    n: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source_a, source_b, shared, jaccard) for every source pair
+    sharing at least one distinct word n-gram; source_a < source_b."""
+    sh = (
+        df.select(
+            F.col(group_col),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select(
+            F.col(group_col),
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("_toks"), n))
+            ).alias("_g"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(group_col).agg(F.count(F.lit(1)).alias("_sz"))
+    from openset_spark.pipeline.dedup import _pairs_expr
+
+    grouped = (
+        sh.groupBy("_g")
+        .agg(F.array_sort(F.collect_set(group_col)).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    shared = (
+        grouped.select(F.explode(_pairs_expr(F.col("_ids"))).alias("_p"))
+        .groupBy(
+            F.col("_p.id_a").alias("source_a"),
+            F.col("_p.id_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col(group_col).alias("source_a"), F.col("_sz").alias("_sza")
+    )
+    sb = sizes.select(
+        F.col(group_col).alias("source_b"), F.col("_sz").alias("_szb")
+    )
+    jac = F.col("shared") / (
+        F.col("_sza") + F.col("_szb") - F.col("shared")
+    )
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` PMI word bigrams over the corpus:
+    (w1, w2, c12, pmi, rank). Marginals are the bigram table's own
+    left/right sums; bigrams rarer than ``min_count`` are dropped
+    before scoring (PMI's low-count pathology)."""
+    toked = df.select(tokens(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    big = (
+        toked.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_toks)-2), i -> "
+                    "struct(element_at(_toks, i+1) AS w1, "
+                    "element_at(_toks, i+2) AS w2))"
+                )
+            ).alias("_b")
+        )
+        .groupBy(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    # the bigram-count frame feeds three aggregates + the final join:
+    # materialize once (the tfidf_top_terms rule)
+    big = big.localCheckpoint(eager=False)
+    cl = big.groupBy("w1").agg(F.sum("c12").alias("_cl"))
+    cr = big.groupBy("w2").agg(F.sum("c12").alias("_cr"))
+    n_tot = F.broadcast(big.agg(F.sum("c12").alias("_n")))
+    # doubles BEFORE multiplying: c12*N and cL*cR overflow int64 on a
+    # web-scale corpus (c12 ~ 1e9, N ~ 1e13); the oracle mirrors the
+    # exact cast+operation order so the IEEE results are identical
+    pmi = F.log(
+        F.col("c12").cast("double")
+        * F.col("_n")
+        / (F.col("_cl").cast("double") * F.col("_cr"))
+    )
+    scored = (
+        big.filter(F.col("c12") >= min_count)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(n_tot)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+    )
+    # global top-k as sort+limit -> TakeOrderedAndProject (the bm25
+    # pattern: distributed partial top-k, rank stamped after the
+    # limit over <= k rows — never a single-partition window)
+    order = (F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
