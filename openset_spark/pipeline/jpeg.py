@@ -157,6 +157,7 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     frame = None  # (precision, h, w, components)
     progressive = False
     arith = False
+    lossless = False
     adobe = None  # APP14 color-transform flag
     dc_cond: dict[int, tuple[int, int]] = {}  # DAC: table -> (L, U)
     ac_cond: dict[int, int] = {}  # DAC: table -> Kx
@@ -220,9 +221,27 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             frame = (precision, h, w, comps)
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3: lossless (Huffman DPCM, Annex H)
+            precision = seg[0]
+            if not 2 <= precision <= 16:
+                raise ValueError("invalid lossless precision")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG not supported"
+                    )
+                comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+            frame = (precision, h, w, comps)
+            progressive = False
+            arith = False
+            lossless = True
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless/hierarchical JPEG not supported"
+                "lossless-arithmetic/hierarchical JPEG not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
@@ -247,6 +266,21 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            if lossless:
+                ss = seg[1 + 2 * ns]  # predictor selector
+                pt = seg[3 + 2 * ns] & 0x0F  # point transform
+                pixels = _decode_scan_lossless(
+                    data,
+                    pos + seglen,
+                    frame,
+                    scan_sel,
+                    ss,
+                    pt,
+                    huff_dc,
+                    restart_interval,
+                )
+                _, h, w, comps = frame
+                return w, h, len(comps), pixels
             if arith and not progressive:
                 pixels = _decode_scan_arith(
                     data,
@@ -575,6 +609,99 @@ def _decode_prog_scan_arith(
         else:
             break
     return p
+
+
+def _decode_scan_lossless(
+    data, pos, frame, scan_sel, predictor, pt, huff_dc, restart_interval
+) -> bytes:
+    """Lossless JPEG (SOF3, T.81 Annex H): Huffman-coded DPCM over
+    spatial samples — no DCT, no quantization. Per sample: an SSSS
+    category from the DC table, then that many magnitude bits
+    (SSSS=16 means diff=32768 with NO extra bits); reconstruction is
+    (prediction + diff) mod 2^16, output = sample << Pt.
+
+    Predictors 1-7 per H.1: a (left), b (above), c (above-left),
+    a+b-c, a+(b-c)/2, b+(a-c)/2, (a+b)/2. First sample of the image
+    (and after each restart) predicts 2^(P-Pt-1); the rest of the
+    first line uses the left neighbor, the first sample of every
+    other line its upper neighbor. Components interleave one sample
+    per MCU (sampling factors restricted to 1x1 — the common lossless
+    shape). Output: precision <= 8 emits the samples as bytes, wider
+    precisions emit the high 8 bits (the repo-wide byte contract);
+    3-component output is raw RGB planes (lossless JPEG defines no
+    color transform)."""
+    precision, h, w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, _ta in scan_sel:
+        c = by_id[cs]
+        c["td"] = td
+        order.append(c)
+    ncomp = len(order)
+
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in range(ncomp)]
+    reader = _BitReader(data, pos)
+    default_pred = 1 << (precision - pt - 1)
+    # restart intervals count MCUs = one sample per component
+    count = 0
+    restart_row_start = 0  # after a restart, prediction re-defaults
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and count
+                and count % restart_interval == 0
+            ):
+                reader.restart()
+                restart_row_start = count
+            for ci, c in enumerate(order):
+                t = reader.decode_huff(huff_dc[c["td"]])
+                if t == 16:
+                    diff = 32768
+                elif t > 16:
+                    raise ValueError("invalid lossless SSSS")
+                else:
+                    diff = _extend(reader.receive(t), t)
+                plane = planes[ci]
+                first_since_restart = count == restart_row_start and (
+                    restart_interval or count == 0
+                )
+                if (y == 0 and x == 0) or (
+                    restart_interval and first_since_restart
+                ):
+                    pred = default_pred
+                elif y == 0:
+                    pred = int(plane[0, x - 1])
+                elif x == 0:
+                    pred = int(plane[y - 1, 0])
+                else:
+                    a = int(plane[y, x - 1])
+                    b = int(plane[y - 1, x])
+                    cc = int(plane[y - 1, x - 1])
+                    if predictor == 1:
+                        pred = a
+                    elif predictor == 2:
+                        pred = b
+                    elif predictor == 3:
+                        pred = cc
+                    elif predictor == 4:
+                        pred = a + b - cc
+                    elif predictor == 5:
+                        pred = a + ((b - cc) >> 1)
+                    elif predictor == 6:
+                        pred = b + ((a - cc) >> 1)
+                    elif predictor == 7:
+                        pred = (a + b) >> 1
+                    else:
+                        raise ValueError(
+                            f"invalid lossless predictor {predictor}"
+                        )
+                plane[y, x] = (pred + diff) & 0xFFFF
+            count += 1
+
+    down = max(0, precision - 8)
+    out = np.stack([(p << pt) >> down for p in planes], axis=-1)
+    return np.clip(out, 0, 255).astype(np.uint8).tobytes()
 
 
 def _reconstruct(

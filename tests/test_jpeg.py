@@ -597,7 +597,7 @@ def test_unsupported_frames_rejected():
     comps = [{"h": 1, "v": 1, "tq": 0, "blocks": _rand_blocks(rng, 1, 1)}]
     data = bytearray(encode_baseline_jpeg(8, 8, comps, [QTABLE]))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC3  # SOF0 -> SOF3 (lossless)
+    data[i + 1] = 0xC7  # SOF0 -> SOF7 (differential lossless)
     with pytest.raises(NotImplementedError):
         decode_jpeg_bytes(bytes(data))
     with pytest.raises(ValueError):
@@ -870,3 +870,154 @@ def test_12bit_color_huffman():
     np.testing.assert_array_equal(
         got, _expected_pixels12(30, 14, comps, [QTABLE12, QTABLE12])
     )
+
+
+# ------------------------------------------------- lossless SOF3 (r8)
+def encode_lossless_jpeg(
+    w, h, samples, precision=8, predictor=1, pt=0, restart_interval=0
+):
+    """samples: list of 2-D lists (one per component), values in
+    [0, 2^precision - 1 >> pt] pre-point-transform (i.e. the values
+    the DECODER will reconstruct before << Pt)."""
+    ncomp = len(samples)
+
+    def predict(plane, x, y, first):
+        if first:
+            return 1 << (precision - pt - 1)
+        if y == 0:
+            return plane[0][x - 1]
+        if x == 0:
+            return plane[y - 1][0]
+        a, b, c = plane[y][x - 1], plane[y - 1][x], plane[y - 1][x - 1]
+        return {
+            1: a, 2: b, 3: c, 4: a + b - c,
+            5: a + ((b - c) >> 1), 6: b + ((a - c) >> 1),
+            7: (a + b) >> 1,
+        }[predictor]
+
+    def traverse(on_cat, on_bits, on_restart):
+        count = 0
+        restart_at = -1
+        for y in range(h):
+            for x in range(w):
+                if (
+                    restart_interval
+                    and count
+                    and count % restart_interval == 0
+                ):
+                    on_restart()
+                    restart_at = count
+                for ci in range(ncomp):
+                    first = (y == 0 and x == 0) or count == restart_at
+                    pred = predict(samples[ci], x, y, first)
+                    raw = (samples[ci][y][x] - pred) & 0xFFFF
+                    if raw == 32768:
+                        on_cat(16)
+                        continue
+                    sdiff = raw if raw < 32768 else raw - 65536
+                    t = _category(sdiff)
+                    on_cat(t)
+                    on_bits(_amplitude(sdiff, t), t)
+                count += 1
+
+    cats = set()
+    traverse(cats.add, lambda v, n: None, lambda: None)
+    tab = _FixedTable(sorted(cats))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload):
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    sof = bytearray([precision]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    seg(0xC3, bytes(sof))
+    seg(0xC4, tab.dht_payload(0, 0))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    seg(0xDA, bytes(sos))
+
+    state = {"bw": _BitWriter(), "rst": 0}
+
+    def on_restart():
+        state["bw"].flush()
+        out.extend(state["bw"].out)
+        out.extend(b"\xff" + bytes([0xD0 + (state["rst"] % 8)]))
+        state["rst"] += 1
+        state["bw"] = _BitWriter()
+
+    traverse(
+        lambda t: tab.emit(state["bw"], t),
+        lambda v, n: state["bw"].put(v, n),
+        on_restart,
+    )
+    state["bw"].flush()
+    out.extend(state["bw"].out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_gray_all_predictors(predictor):
+    rng = np.random.default_rng(80 + predictor)
+    w, h = 9, 7
+    plane = [[int(v) for v in rng.integers(0, 256, w)] for _ in range(h)]
+    data = encode_lossless_jpeg(w, h, [plane], predictor=predictor)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert (gw, gh, ch) == (w, h, 1)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    np.testing.assert_array_equal(got, np.array(plane))
+
+
+def test_lossless_rgb_and_point_transform():
+    rng = np.random.default_rng(91)
+    w, h, pt = 6, 5, 1
+    planes = [
+        [[int(v) for v in rng.integers(0, 128, w)] for _ in range(h)]
+        for _ in range(3)
+    ]
+    data = encode_lossless_jpeg(w, h, planes, predictor=4, pt=pt)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    assert (gw, gh, ch) == (w, h, 3)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    exp = (np.stack([np.array(p) for p in planes], -1) << pt)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_lossless_16bit_high_byte():
+    rng = np.random.default_rng(93)
+    w, h = 5, 4
+    plane = [[int(v) for v in rng.integers(0, 1 << 16, w)] for _ in range(h)]
+    data = encode_lossless_jpeg(w, h, [plane], precision=16, predictor=2)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    np.testing.assert_array_equal(got, np.array(plane) >> 8)
+
+
+def test_lossless_with_restarts():
+    rng = np.random.default_rng(97)
+    w, h = 8, 6
+    plane = [[int(v) for v in rng.integers(0, 256, w)] for _ in range(h)]
+    data = encode_lossless_jpeg(
+        w, h, [plane], predictor=7, restart_interval=5
+    )
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w)
+    np.testing.assert_array_equal(got, np.array(plane))
+
+
+def test_lossless_ssss16_special_category():
+    # first sample 0 with precision 16: diff = (0 - 32768) mod 2^16
+    # = 32768 -> the SSSS=16 category with NO magnitude bits
+    plane = [[0, 1], [2, 3]]
+    data = encode_lossless_jpeg(2, 2, [plane], precision=16, predictor=1)
+    gw, gh, ch, px = decode_jpeg_bytes(data)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(2, 2)
+    np.testing.assert_array_equal(got, np.array(plane) >> 8)
