@@ -1,15 +1,18 @@
-"""Pure-Python baseline + progressive JPEG (ITU-T T.81) decoder.
+"""Pure-Python JPEG (ITU-T T.81) decoder — the full still-image
+matrix.
 
-The last common real-corpus image formats that were stubbed in
-``pipeline/multimodal.py`` (VERDICT r5 ask #6, r6 ask #6): baseline
-sequential DCT (SOF0/1) and progressive DCT (SOF2), 8-bit samples,
-Huffman entropy coding, grayscale or YCbCr with any 1-2 sampling
-factors (4:4:4, 4:2:2, 4:2:0), DRI/RSTn restart markers. Progressive
+Frames: baseline/extended sequential DCT (SOF0/1), progressive DCT
+(SOF2), sequential + progressive ARITHMETIC (SOF9/10 — the QM-coder
+models live in ``pipeline/jpeg_arith.py``), and LOSSLESS (SOF3,
+Annex H Huffman DPCM with all seven predictors). Precisions 8 and 12
+for DCT frames (2-16 for lossless), grayscale / YCbCr with any 1-2
+sampling factors (4:4:4, 4:2:2, 4:2:0), CMYK/YCCK 4-component via
+Adobe APP14, DRI/RSTn restart markers, DAC conditioning. Progressive
 scans implement full spectral selection AND successive approximation
 (T.81 G.1.2: DC first/refine, AC first with EOB runs, AC refinement
 with correction bits), accumulating coefficients across scans and
-reconstructing once at EOI. Arithmetic coding and 12-bit precision
-raise ``NotImplementedError`` — rare in training corpora.
+reconstructing once at EOI. Only differential/hierarchical frames
+raise ``NotImplementedError`` — vanishingly rare in corpora.
 
 Decoding is numpy-vectorized where it counts: dequantization + IDCT
 run as one 8x8 matrix sandwich per block batch, and the component
