@@ -3074,6 +3074,169 @@ QUALIFY rank <= 20
 """
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf power-law fit: OLS of ln(count) on ln(rank)
+    over each source's top-100 word frequencies — the
+    distribution-shape screen (natural text ~ -1; templated or
+    spammy sources flatten toward 0) a corpus card reports per
+    crawl. Deterministic rank tie-break on the word; closed-form
+    OLS on AVG aggregates replayed term-for-term by the oracle.
+    NEW r8."""
+    from openset_spark.pipeline.corpus_stats import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_r=100)
+
+
+_SQL_ZIPF_FIT = f"""
+WITH cnt AS (
+  SELECT source, w, COUNT(*) AS c FROM (
+    SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+  ) GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM (
+    SELECT source, c,
+      ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS r
+    FROM cnt
+  ) WHERE r <= 100
+),
+agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ranks,
+    AVG(x) AS ax, AVG(y) AS ay, AVG(x * y) AS axy, AVG(x * x) AS axx
+  FROM ranked GROUP BY 1
+)
+SELECT source, n_ranks,
+  ROUND(CASE WHEN axx - ax * ax > 0
+        THEN (axy - ax * ay) / (axx - ax * ax) END, 4) AS slope,
+  ROUND(ay - (CASE WHEN axx - ax * ax > 0
+        THEN (axy - ax * ay) / (axx - ax * ax) END) * ax, 4) AS intercept
+FROM agg
+"""
+
+
+def q_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (the KenLM/CCNet
+    smoothing family, vs lm_perplexity's Laplace): continuation
+    counts, absolute discount D=0.75, add-one-smoothed continuation
+    floor — all closed-form aggregates the oracle replays exactly.
+    Same train shard as lm_perplexity (doc_id%5==0) scoring the
+    rest. NEW r8."""
+    from openset_spark.pipeline.lm import kneser_ney_score
+
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 5 == 0)
+    rest = docs.filter(F.col("doc_id") % 5 != 0)
+    return kneser_ney_score(rest, train)
+
+
+_SQL_KNESER_NEY = f"""
+WITH tr AS (SELECT {_TOKS_SQL} AS ts FROM documents WHERE doc_id % 5 = 0),
+trb AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS c12
+  FROM tr, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+  GROUP BY 1, 2
+),
+ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1fw FROM trb GROUP BY 1),
+cont AS (SELECT w2, COUNT(*) AS n1bw FROM trb GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n1all, COUNT(DISTINCT w2) AS v FROM trb),
+db AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (
+    SELECT doc_id, {_TOKS_SQL} AS ts FROM documents WHERE doc_id % 5 <> 0
+  ), UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+),
+sc AS (
+  SELECT d.doc_id,
+    ln(CASE WHEN x.c1 IS NOT NULL THEN
+        (GREATEST(COALESCE(b.c12, 0) - 0.75, 0.0)
+         + 0.75 * x.n1fw
+           * ((COALESCE(n.n1bw, 0) + 1) / (t.n1all + t.v))) / x.c1
+      ELSE (COALESCE(n.n1bw, 0) + 1) / (t.n1all + t.v) END) AS logp
+  FROM db d
+  LEFT JOIN trb b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN ctx x ON d.w1 = x.w1
+  LEFT JOIN cont n ON d.w2 = n.w2, tot t
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(logp), 4) AS avg_logp_kn
+FROM sc GROUP BY doc_id
+"""
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span exposure (Lee et al.'s removal-pass
+    statistic): fraction of each doc's distinct 20-token runs that
+    occur in >= 2 docs. No pair fan-out anywhere — cross-doc
+    evidence is one document-frequency aggregate joined back.
+    NEW r8."""
+    from openset_spark.pipeline.dedup import dup_span_fraction
+
+    return dup_span_fraction(_docs(spark, sf_dir), window_tokens=20)
+
+
+_SQL_DUP_SPAN_FRACTION = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+19], ' ') AS win
+  FROM tok, UNNEST(generate_series(1, len(ts) - 19)) AS s(i)
+),
+hdf AS (SELECT win, COUNT(*) AS df FROM w GROUP BY 1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_windows,
+  ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
+    AS dup_frac
+FROM w JOIN hdf USING (win) GROUP BY doc_id
+"""
+
+
+_TAG_LEXICON = {
+    "execution": ["scan", "filter", "sort", "merge", "join", "agg"],
+    "storage": ["table", "row", "column", "key", "value", "part"],
+    "streaming": ["stream", "window", "batch"],
+    "sizing": ["big", "small", "fast", "slow"],
+}
+
+
+def q_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy keyword tagging (FlashText / domain-routing shape):
+    broadcast lexicon join + per-doc aggregate; every doc surfaces
+    (empty tags via the left spine join). Topics string-joined for
+    the driver frame (the user_event_type_sets pattern). NEW r8."""
+    from openset_spark.pipeline.textstats import keyword_tags
+
+    out = keyword_tags(_docs(spark, sf_dir), _TAG_LEXICON)
+    return out.select(
+        "doc_id",
+        F.array_join("topics", ",").alias("topics"),
+        "n_hit_words",
+    )
+
+
+def _tag_lexicon_values() -> str:
+    rows = sorted(
+        (w, t) for t, ws in _TAG_LEXICON.items() for w in ws
+    )
+    return ", ".join(f"('{w}', '{t}')" for w, t in rows)
+
+
+_SQL_KEYWORD_TAGS = f"""
+WITH lex(word, topic) AS (VALUES {_tag_lexicon_values()}),
+tok AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+),
+hits AS (
+  SELECT doc_id,
+    array_to_string(list_sort(list(DISTINCT topic)), ',') AS topics,
+    CAST(COUNT(DISTINCT word) AS BIGINT) AS n_hit_words
+  FROM tok JOIN lex USING (word) GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(h.topics, '') AS topics,
+  COALESCE(h.n_hit_words, CAST(0 AS BIGINT)) AS n_hit_words
+FROM (SELECT doc_id FROM documents) d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Demoted round 8: all 45 were driver-green in r7 — freshest keys
     # in the ledger, resting while the r6-green cohort and the five
@@ -3130,6 +3293,11 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7-green; their families stay covered in-window)
         "dedup_exact": q_dedup_exact,
         "quality_score": q_quality_score,
+        # NEW late-r8 (never windowed yet — window in r9):
+        "zipf_fit": q_zipf_fit,
+        "kneser_ney_score": q_kneser_ney_score,
+        "dup_span_fraction": q_dup_span_fraction,
+        "keyword_tags": q_keyword_tags,
     }
 
 
@@ -3172,6 +3340,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": _SQL_EMBEDDING_CENTROIDS,
         "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "sample_per_stratum": _SQL_SAMPLE_PER_STRATUM,
+        "zipf_fit": _SQL_ZIPF_FIT,
+        "kneser_ney_score": _SQL_KNESER_NEY,
+        "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
+        "keyword_tags": _SQL_KEYWORD_TAGS,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

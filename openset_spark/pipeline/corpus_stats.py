@@ -19,6 +19,16 @@ operators produce:
   ranked on the ROUNDED value with a (w1, w2) tie-break so the
   DuckDB oracle reproduces the ordering bit-for-bit (the
   pipeline/ir.py portability pattern).
+
+- ``zipf_fit``: per-source Zipf power-law fit — OLS of ln(freq) on
+  ln(rank) over the top-R word frequencies. Natural corpora track
+  slope ~ -1 (Zipf's law); synthetic, templated, or spam-heavy
+  sources flatten toward 0 — a one-number distribution-shape
+  screen a corpus card reports per crawl/dump. Shape: one word
+  count aggregate, a per-source top-R rank window (partition
+  cardinality = that source's vocabulary — bounded by Heaps' law,
+  the tfidf-rank-window shape), then a 5-number OLS aggregate per
+  source.
 """
 
 from __future__ import annotations
@@ -147,3 +157,56 @@ def collocations(
     top = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def zipf_fit(
+    df: DataFrame,
+    top_r: int = 100,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, n_ranks, slope, intercept): least-squares fit of
+    ln(count) = slope*ln(rank) + intercept over the ``top_r`` most
+    frequent words of each source.
+
+    Rank ties break on the word itself so the rank assignment (and
+    therefore the fitted line) is deterministic and engine-portable.
+    The regression uses the closed form on plain AVG aggregates —
+    slope = (E[xy] - E[x]E[y]) / (E[x^2] - E[x]^2) — computed in the
+    same expression shape the DuckDB oracle uses, with the final
+    values rounded to 4 (the lm_perplexity float posture). Sources
+    with a single ranked word have zero x-variance and yield NULL
+    slope/intercept rather than a division error."""
+    cnt = (
+        df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rw = Window.partitionBy(group_col).orderBy(F.desc("c"), F.asc("w"))
+    ranked = (
+        cnt.withColumn("r", F.row_number().over(rw))
+        .filter(F.col("r") <= top_r)
+        .select(
+            group_col,
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.avg("x").alias("_ax"),
+        F.avg("y").alias("_ay"),
+        F.avg(F.col("x") * F.col("y")).alias("_axy"),
+        F.avg(F.col("x") * F.col("x")).alias("_axx"),
+    )
+    var = F.col("_axx") - F.col("_ax") * F.col("_ax")
+    slope = F.when(
+        var > 0,
+        (F.col("_axy") - F.col("_ax") * F.col("_ay")) / var,
+    )
+    return agg.select(
+        group_col,
+        "n_ranks",
+        F.round(slope, 4).alias("slope"),
+        F.round(F.col("_ay") - slope * F.col("_ax"), 4).alias("intercept"),
+    )

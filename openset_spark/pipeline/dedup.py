@@ -616,6 +616,54 @@ def substring_dup_pairs(
     )
 
 
+def dup_span_fraction(
+    df: DataFrame,
+    window_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span exposure: the fraction of a
+    document's distinct ``window_tokens``-token runs that also occur
+    in at least one OTHER document — Lee et al. 2022's removal-pass
+    statistic (their dedup cuts exactly these spans; this annotates
+    how much of each doc would be cut), and the per-doc complement
+    of ``substring_dup_pairs``' pair report.
+
+    Scale shape: no pair fan-out exists anywhere — the cross-doc
+    evidence is a document-frequency count per window hash (one
+    aggregate at distinct-window cardinality), joined back and
+    averaged per doc. Boilerplate needs no cap here: a hash shared
+    by K docs costs K rows, not K²/2. Output: (doc_id, n_windows,
+    n_dup_windows, dup_frac) for every doc with >= window_tokens
+    tokens."""
+    win = F.expr(
+        f"transform(sequence(0, size(_toks)-{window_tokens}), "
+        f"i -> xxhash64(concat_ws(' ', slice(_toks, i+1, {window_tokens}))))"
+    )
+    w = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") >= window_tokens)
+        .select(F.col(id_col), F.explode(F.array_distinct(win)).alias("wh"))
+    )
+    hdf = w.groupBy("wh").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        w.join(hdf, "wh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     n: int = 5,

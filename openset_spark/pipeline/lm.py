@@ -101,3 +101,92 @@ def lm_perplexity(
         F.round("_avg", 4).alias("avg_logp"),
         F.round(F.exp(-F.col("_avg")), 2).alias("perplexity"),
     )
+
+
+def train_kneser_ney_lm(
+    corpus: DataFrame, text_col: str = "text", min_count: int = 1
+) -> dict:
+    """Interpolated Kneser-Ney bigram statistics (Kneser & Ney 1995;
+    Chen & Goodman 1999 eq. 4.24 shape) as four lazy frames, every
+    one a groupBy OF the single bigram-count aggregate:
+
+    * ``bigrams``  — (w1, w2, c12)
+    * ``contexts`` — (w1, c1=SUM c12, n1fw=#distinct followers);
+      c1 counts w1 as a CONTEXT (non-final positions), the KN
+      denominator, not the raw unigram count
+    * ``cont``     — (w2, n1bw=#distinct predecessors), the
+      continuation counts that make KN KN: "how many contexts has
+      this word completed", not "how often has it occurred"
+    * ``totals``   — 1 row: n1all=#bigram types, v=#distinct w2
+      types (the continuation-smoothing denominator)
+
+    The bigram frame is checkpointed lazily (the collocations rule:
+    one frame feeding 3+ aggregates is materialized once)."""
+    bg = (
+        _bigrams(corpus, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+        .localCheckpoint(eager=False)
+    )
+    ctx = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fw")
+    )
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
+    totals = bg.agg(
+        F.count(F.lit(1)).alias("n1all"),
+        F.countDistinct("w2").alias("v"),
+    )
+    return {"bigrams": bg, "contexts": ctx, "cont": cont, "totals": totals}
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    lm_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    min_count: int = 1,
+) -> DataFrame:
+    """Score ``docs`` with an interpolated Kneser-Ney bigram model
+    trained on ``lm_corpus``: (doc_id, n_bigrams, avg_logp_kn).
+
+    P(w2|w1) for a seen context interpolates the discounted ML
+    estimate with the continuation distribution::
+
+        P = (max(c12 - D, 0) + D * n1fw * Pc(w2)) / c1
+
+    an unseen context backs off to Pc directly. Pc is the
+    continuation probability with add-one smoothing over bigram
+    TYPES — ``(n1bw + 1) / (n1all + v)`` — so out-of-vocabulary
+    words keep a nonzero floor (no ln(0)) and the whole scorer
+    stays a pure closed-form the SQL oracle replays term for term.
+    Same float posture as ``lm_perplexity``: integer counts until
+    the final expression, ROUND(avg, 4), no exp() in the frame."""
+    lm = train_kneser_ney_lm(lm_corpus, text_col, min_count)
+    d = F.lit(float(discount))
+    doc_bg = _bigrams(docs, text_col, F.col(id_col))
+    pc = (F.coalesce(F.col("n1bw"), F.lit(0)) + 1) / (
+        F.col("n1all") + F.col("v")
+    )
+    p_seen = (
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)) - d, F.lit(0.0))
+        + d * F.col("n1fw") * pc
+    ) / F.col("c1")
+    scored = (
+        doc_bg.join(lm["bigrams"], ["w1", "w2"], "left")
+        .join(lm["contexts"], "w1", "left")
+        .join(lm["cont"], "w2", "left")
+        .crossJoin(F.broadcast(lm["totals"]))
+        .withColumn(
+            "_logp",
+            F.log(F.when(F.col("c1").isNotNull(), p_seen).otherwise(pc)),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_logp").alias("_avg"),
+    )
+    return agg.select(
+        id_col, "n_bigrams", F.round("_avg", 4).alias("avg_logp_kn")
+    )

@@ -319,3 +319,51 @@ def vocab_growth(
             ).alias("type_token_ratio"),
         )
     )
+
+
+def keyword_tags(
+    df: DataFrame,
+    lexicon: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Taxonomy tagging by keyword lexicon (the FlashText /
+    domain-routing shape every corpus triage step starts with):
+    ``lexicon`` maps topic -> keyword list; each document gets the
+    sorted set of topics whose keywords it contains plus the count
+    of distinct matched keywords. A keyword claimed by several
+    topics counts once per topic it tags but once total in
+    ``n_hit_words``.
+
+    Scale shape: the lexicon is a broadcast dim (thousands of rows
+    at most — a catalog artifact); the document side is the standard
+    distinct-token explode, so the whole operator is one broadcast
+    join + one per-doc aggregate. Docs with no hits surface with an
+    empty tag array via the left join back to the id spine."""
+    rows = sorted(
+        {(w, t) for t, ws in lexicon.items() for w in ws}
+    )
+    spark = df.sparkSession
+    lex = spark.createDataFrame(rows, "word string, topic string")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("word"),
+    )
+    hits = (
+        toks.join(F.broadcast(lex), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_set("topic")).alias("topics"),
+            F.countDistinct("word").cast("long").alias("n_hit_words"),
+        )
+    )
+    spine = df.select(id_col)
+    return spine.join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("topics"), F.array().cast("array<string>")).alias(
+            "topics"
+        ),
+        F.coalesce(F.col("n_hit_words"), F.lit(0).cast("long")).alias(
+            "n_hit_words"
+        ),
+    )

@@ -257,3 +257,112 @@ def test_probe_avif_bytes():
 
     with _pytest.raises(ValueError):
         probe_avif_bytes(b"\x00\x00\x00\x08nope")
+
+
+# ---- late-r8 operators: zipf_fit / kneser_ney / dup spans / tags ----
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from openset_spark.pipeline.corpus_stats import zipf_fit
+
+    # counts c_r = 120/r for ranks 1..5: ln c = ln 120 - 1*ln r, an
+    # EXACTLY linear sample, so the OLS slope must come out -1.0
+    counts = {"w%d" % r: 120 // r for r in (1, 2, 3, 4, 5)}
+    text = " ".join(w for w, c in sorted(counts.items()) for _ in range(c))
+    df = spark.createDataFrame([(text, "s1")], ["text", "source"])
+    row = zipf_fit(df, top_r=100).collect()[0]
+    assert row.n_ranks == 5
+    assert row.slope == -1.0
+    assert abs(row.intercept - round(math.log(120), 4)) <= 1e-4
+
+
+def test_zipf_fit_single_rank_null_slope(spark):
+    from openset_spark.pipeline.corpus_stats import zipf_fit
+
+    df = spark.createDataFrame([("only only only", "s1")], ["text", "source"])
+    row = zipf_fit(df).collect()[0]
+    assert row.n_ranks == 1 and row.slope is None and row.intercept is None
+
+
+def test_kneser_ney_hand_check(spark):
+    from openset_spark.pipeline.lm import kneser_ney_score
+
+    # train: "a b a b a c"  ->  bigram types: (a,b)x2, (b,a)x1, (a,c)x1
+    # ctx a: c1=3 n1fw=2 ; ctx b: c1=1 n1fw=1
+    # cont b: n1bw=1 ; cont a: n1bw=1 ; cont c: n1bw=1
+    # totals: n1all=3 types, v=3 distinct w2
+    train = spark.createDataFrame([(100, "a b a b a c")], ["doc_id", "text"])
+    docs = spark.createDataFrame([(1, "a b"), (2, "z q")], ["doc_id", "text"])
+    out = {r.doc_id: r for r in kneser_ney_score(docs, train).collect()}
+    pc_b = (1 + 1) / (3 + 3)
+    p_ab = (max(2 - 0.75, 0) + 0.75 * 2 * pc_b) / 3
+    assert out[1].avg_logp_kn == round(math.log(p_ab), 4)
+    # unseen context AND unseen word: continuation floor 1/(n1all+v)
+    assert out[2].avg_logp_kn == round(math.log(1 / 6), 4)
+
+
+def test_kneser_ney_probs_sum_below_one(spark):
+    from openset_spark.pipeline.lm import kneser_ney_score
+
+    train = spark.createDataFrame(
+        [(100, "a b a b a c b c a b")], ["doc_id", "text"]
+    )
+    # every bigram over the seen vocab, one per doc
+    vocab = ["a", "b", "c"]
+    docs = spark.createDataFrame(
+        [(i * 10 + j, f"{w1} {w2}") for i, w1 in enumerate(vocab)
+         for j, w2 in enumerate(vocab)],
+        ["doc_id", "text"],
+    )
+    rows = kneser_ney_score(docs, train).collect()
+    assert all(r.avg_logp_kn < 0 for r in rows)
+    # per seen context, sum over seen-vocab continuations is <= 1
+    # (can hit exactly 1 when the seen vocab exhausts the continuation
+    # mass, as here); slack covers the round-4 on avg_logp_kn
+    by_ctx = {}
+    for r in rows:
+        ctx = vocab[(r.doc_id // 10)]
+        by_ctx.setdefault(ctx, 0.0)
+        by_ctx[ctx] += math.exp(r.avg_logp_kn)
+    for ctx, total in by_ctx.items():
+        assert total <= 1.0 + 3 * 5e-5, (ctx, total)
+
+
+def test_dup_span_fraction_shared_run(spark):
+    from openset_spark.pipeline.dedup import dup_span_fraction
+
+    shared = " ".join(f"t{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " ua ub uc"),          # 4 windows, 1 shared
+            (2, "va " + shared),                # 2 windows, 1 shared
+            (3, " ".join(f"z{i}" for i in range(25))),  # all unique
+            (4, "short doc"),                   # < 20 tokens: excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dup_span_fraction(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_windows == 4 and out[1].n_dup_windows == 1
+    assert out[2].n_windows == 2 and out[2].n_dup_windows == 1
+    assert out[2].dup_frac == 0.5
+    assert out[3].n_dup_windows == 0 and out[3].dup_frac == 0.0
+
+
+def test_keyword_tags_semantics(spark):
+    from openset_spark.pipeline.textstats import keyword_tags
+
+    lex = {"pets": ["cat", "dog"], "food": ["fish", "cat"]}
+    df = spark.createDataFrame(
+        [
+            (1, "my cat saw a dog"),   # cat tags both topics
+            (2, "fish fish fish"),
+            (3, "nothing relevant"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in keyword_tags(df, lex).collect()}
+    assert out[1].topics == ["food", "pets"]
+    assert out[1].n_hit_words == 2  # cat counted once despite 2 topics
+    assert out[2].topics == ["food"] and out[2].n_hit_words == 1
+    assert out[3].topics == [] and out[3].n_hit_words == 0
