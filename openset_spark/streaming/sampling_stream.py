@@ -24,6 +24,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -107,6 +108,85 @@ def stream_sample_per_stratum(
         update,
         outputStructType=out_schema,
         stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# state: total tokens ARRIVED for the domain (admitted or not) — the
+# batch rule filters on the inclusive cumsum over every candidate,
+# so the streaming replica must accumulate rejected docs too
+ADMIT_STATE_SCHEMA = StructType([StructField("arrived_tokens", LongType())])
+
+
+def stream_mixture_admit(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    domain_col: str = "lang",
+    score_col: str = "quality",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingest-time enforcement of the ``mixture_select`` policy: a
+    ranked doc stream (upstream scorer emits in (score DESC, id ASC)
+    order) -> the admitted (domain, doc_id, n_tokens, cum_tokens)
+    stream, cut off at each domain's token budget.
+
+    EXACT batch parity (12th parity surface): because the batch
+    operator filters on the inclusive per-domain cumsum over EVERY
+    candidate — not just over admitted docs — the state here is
+    "tokens arrived", advanced by rejected documents too. For any
+    micro-batch split of a stream arriving in the batch sort order,
+    admitted rows (including cum_tokens) equal
+    ``mixture_select(batch_union)`` row-for-row. Order sensitivity
+    is inherent to quota admission, so the locked property is
+    boundary-invariance of an in-order stream (the reservoir surface
+    covers the order-free case). Domains without a budget are
+    dropped before the stateful stage; state is O(1) per domain."""
+    filtered = docs.filter(F.col(domain_col).isin(list(budgets)))
+    out_schema = StructType(
+        [
+            docs.schema[domain_col],
+            StructField(id_col, LongType()),
+            StructField(token_col, LongType()),
+            StructField("cum_tokens", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        arrived = state.get[0] if state.exists else 0
+        budget = budgets[key[0]]
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        )
+        out_ids, out_toks, out_cums = [], [], []
+        for did, ntok in zip(batch[id_col], batch[token_col]):
+            arrived += int(ntok)
+            if arrived <= budget:
+                out_ids.append(int(did))
+                out_toks.append(int(ntok))
+                out_cums.append(arrived)
+        state.update((int(arrived),))
+        if not out_ids:
+            return
+        yield pd.DataFrame(
+            {
+                domain_col: [key[0]] * len(out_ids),
+                id_col: out_ids,
+                token_col: out_toks,
+                "cum_tokens": out_cums,
+            }
+        )
+
+    return filtered.groupBy(domain_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=ADMIT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -705,3 +705,75 @@ def test_stream_sample_per_stratum_matches_batch(spark, sf_dir, tmpdir):
     assert live == expected
     # the reservoir genuinely churned across batches (not single-shot)
     assert evicts, "expected at least one eviction across micro-batches"
+
+
+def test_stream_mixture_admit_matches_batch(spark, sf_dir, tmpdir):
+    """12th parity surface: ingest-time mixture-budget admission.
+    For a stream arriving in the batch sort order (quality DESC,
+    doc_id ASC — "the upstream scorer emits ranked docs"), the
+    admitted rows INCLUDING their cum_tokens must equal
+    mixture_select of the batch union row-for-row, however the
+    stream is split into micro-batches. The state accumulates
+    REJECTED docs' tokens too — the batch rule filters the inclusive
+    cumsum over every candidate, and that is exactly what makes the
+    parity exact rather than approximate."""
+    import json
+
+    from openset_spark.pipeline.sampling import mixture_select
+    from openset_spark.pipeline.textstats import quality_score
+    from openset_spark.streaming.sampling_stream import stream_mixture_admit
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    rows = [
+        {
+            "doc_id": r.doc_id,
+            "lang": r.lang,
+            "n_tokens": r.n_tokens,
+            "quality": r.quality,
+        }
+        for r in scored.select(
+            "doc_id", "lang", "n_tokens", "quality"
+        ).collect()
+    ]
+    rows.sort(key=lambda r: (-r["quality"], r["doc_id"]))  # ranked stream
+    totals: dict[str, int] = {}
+    for r in rows:
+        totals[r["lang"]] = totals.get(r["lang"], 0) + r["n_tokens"]
+    # half of each domain's mass => every budgeted domain both admits
+    # and rejects; one domain gets NO budget and must vanish
+    budgets = {lang: t // 2 for lang, t in totals.items() if lang != "zh"}
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "doc_id long, lang string, n_tokens long, quality double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_mixadmit_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_mixture_admit(stream, budgets), name)
+    streamed = {
+        (r.lang, r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in spark.sql(
+            f"select lang, doc_id, n_tokens, cum_tokens from {name}"
+        ).collect()
+    }
+
+    batch = spark.read.schema(schema).json(tmpdir)
+    expected = {
+        (r.lang, r.doc_id, r.n_tokens, r.cum_tokens)
+        for r in mixture_select(batch, budgets, domain_col="lang")
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+        .collect()
+    }
+    assert streamed == expected
+    assert 0 < len(streamed) < len(rows)
+    # admission genuinely crossed micro-batch boundaries
+    assert len(streamed) > chunk / 2
+    # un-budgeted domain dropped before the stateful stage
+    assert not any(lang == "zh" for lang, *_ in streamed)
