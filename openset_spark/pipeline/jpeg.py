@@ -11,8 +11,14 @@ Adobe APP14, DRI/RSTn restart markers, DAC conditioning. Progressive
 scans implement full spectral selection AND successive approximation
 (T.81 G.1.2: DC first/refine, AC first with EOB runs, AC refinement
 with correction bits), accumulating coefficients across scans and
-reconstructing once at EOI. Only differential/hierarchical frames
-raise ``NotImplementedError`` — vanishingly rare in corpora.
+reconstructing once at EOI. HIERARCHICAL sequences (T.81 Annex J)
+decode too: DHP-introduced pyramids of sequential Huffman stages —
+non-differential stages establish reference components, EXP doubles
+them by J.1.1.2 sample interpolation, SOF5 differential stages add
+an IDCT'd difference signal (DC coded without prediction, no level
+shift) with per-stage integer rounding and clamping. Only
+differential progressive/lossless and arithmetic-differential
+stages raise ``NotImplementedError`` — vanishingly rare in corpora.
 
 Decoding is numpy-vectorized where it counts: dequantization + IDCT
 run as one 8x8 matrix sandwich per block batch, and the component
@@ -166,6 +172,10 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     ac_cond: dict[int, int] = {}  # DAC: table -> Kx
     coef = None  # progressive: comp id -> (blocks_y, blocks_x, 64) int32
     geo = None  # (hmax, vmax, mcux, mcuy)
+    hier = None  # hierarchical (DHP seen): {"ref", "comps", "h", "w"}
+    hier_coef = None  # current hierarchical frame's coefficient store
+    hier_remaining = None  # component ids still unscanned this frame
+    differential = False
     n = len(data)
 
     while pos < n:
@@ -224,6 +234,7 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             frame = (precision, h, w, comps)
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
+            differential = False
         elif marker == 0xC3:  # SOF3: lossless (Huffman DPCM, Annex H)
             precision = seg[0]
             if not 2 <= precision <= 16:
@@ -242,10 +253,43 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             progressive = False
             arith = False
             lossless = True
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC5:  # SOF5: differential sequential (Huffman)
+            if hier is None:
+                raise ValueError(
+                    "invalid JPEG: differential frame without DHP"
+                )
+            precision = seg[0]
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    "only 8- and 12-bit JPEG supported"
+                )
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = (precision, h, w, comps)
+            progressive = False
+            arith = False
+            differential = True
+        elif marker in (0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless-arithmetic/hierarchical JPEG not supported"
+                "differential progressive/lossless and "
+                "arithmetic-differential JPEG frames not supported"
             )
+        elif marker == 0xDE:  # DHP: hierarchical sequence (T.81 J)
+            precision = seg[0]
+            hh, hw = struct.unpack(">HH", seg[1:5])
+            hier = {"ref": {}, "comps": None, "h": hh, "w": hw}
+        elif marker == 0xDF:  # EXP: expand reference components
+            if hier is None or not hier["ref"]:
+                raise ValueError("invalid JPEG: EXP without reference")
+            eh, ev = seg[0] >> 4, seg[0] & 0x0F
+            for cid in hier["ref"]:
+                hier["ref"][cid] = _expand_plane(hier["ref"][cid], eh, ev)
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
             while i < len(seg):
@@ -269,6 +313,31 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            if hier is not None:
+                if progressive or arith or lossless:
+                    raise NotImplementedError(
+                        "hierarchical JPEG: only sequential Huffman "
+                        "stages supported"
+                    )
+                if hier_coef is None:
+                    hier_coef = _alloc_seq_coefs(frame)
+                    hier_remaining = {c["id"] for c in frame[3]}
+                pos = _decode_scan_coefs(
+                    data,
+                    pos + seglen,
+                    frame,
+                    scan_sel,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                    hier_coef,
+                    differential,
+                )
+                hier_remaining -= {cs for cs, _, _ in scan_sel}
+                if not hier_remaining:
+                    _hier_apply_frame(hier, frame, hier_coef, qt, differential)
+                    hier_coef = None
+                continue
             if lossless:
                 ss = seg[1 + 2 * ns]  # predictor selector
                 pt = seg[3 + 2 * ns] & 0x0F  # point transform
@@ -356,6 +425,13 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
             )
             continue
         pos += seglen
+    if hier is not None and hier["comps"] is not None:
+        return (
+            hier["w"],
+            hier["h"],
+            len(hier["comps"]),
+            _hier_emit(hier, adobe, frame[0]),
+        )
     if coef is not None:
         precision, h, w, comps = frame
         hmax, vmax = geo[0], geo[1]
@@ -365,10 +441,31 @@ def decode_jpeg_bytes(data: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("invalid JPEG: no scan data")
 
 
-def _decode_scan(
-    data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval,
-    adobe=None,
-) -> bytes:
+def _alloc_seq_coefs(frame) -> dict:
+    """MCU-padded per-component coefficient arrays for a sequential
+    (single-pass) frame."""
+    precision, h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return {
+        c["id"]: np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.float64
+        )
+        for c in comps
+    }
+
+
+def _decode_scan_coefs(
+    data, pos, frame, scan_sel, huff_dc, huff_ac, restart_interval,
+    coef, differential=False,
+) -> int:
+    """The sequential-Huffman MCU walk into ``coef`` (per-component
+    zig-zag arrays from ``_alloc_seq_coefs``); returns the position
+    of the marker following the entropy-coded data. ``differential``
+    decodes DC WITHOUT prediction (T.81 F.2.1.3.1: PRED is zero in
+    differential frames — the hierarchical difference signal)."""
     precision, h, w, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -381,13 +478,7 @@ def _decode_scan(
         c = by_id[cs]
         c["td"], c["ta"] = td, ta
         order.append(c)
-
-    # per-component coefficient arrays (in MCU-padded block dimensions)
-    coef = {}
-    for c in comps:
-        coef[c["id"]] = np.zeros(
-            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.float64
-        )
+    for c in order:
         c["pred"] = 0
 
     reader = _BitReader(data, pos)
@@ -404,8 +495,11 @@ def _decode_scan(
                         zz = np.zeros(64, dtype=np.float64)
                         t = reader.decode_huff(huff_dc[c["td"]])
                         diff = _extend(reader.receive(t), t)
-                        c["pred"] += diff
-                        zz[0] = c["pred"]
+                        if differential:
+                            zz[0] = diff
+                        else:
+                            c["pred"] += diff
+                            zz[0] = c["pred"]
                         k = 1
                         while k < 64:
                             rs = reader.decode_huff(huff_ac[c["ta"]])
@@ -423,6 +517,26 @@ def _decode_scan(
                         coef[c["id"]][my * c["v"] + v, mx * c["h"] + hh] = zz
             mcu_count += 1
 
+    # advance to the marker that terminates this entropy segment
+    p = reader.pos
+    n = len(data)
+    while p + 1 < n and not (data[p] == 0xFF and data[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _decode_scan(
+    data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval,
+    adobe=None,
+) -> bytes:
+    precision, h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    coef = _alloc_seq_coefs(frame)
+    _decode_scan_coefs(
+        data, pos, frame, scan_sel, huff_dc, huff_ac, restart_interval,
+        coef,
+    )
     return _reconstruct(
         comps, coef, qt, hmax, vmax, h, w, adobe, precision
     )
@@ -749,17 +863,119 @@ def _reconstruct(
             plane = np.floor(np.clip(np.round(plane), 0, 4095) / 16.0)
         full.append(plane)
 
-    if len(comps) == 1:
+    return _color_emit(full, adobe)
+
+
+def _expand_plane(p: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """EXP reference expansion (T.81 J.1.1.2): double a dimension by
+    sample interpolation — out[2i]=in[i], out[2i+1]=(in[i]+in[i+1]+1)>>1,
+    with the final output sample replicating the last input sample."""
+    if eh:
+        n = p.shape[1]
+        out = np.zeros((p.shape[0], 2 * n))
+        out[:, 0::2] = p
+        if n > 1:
+            out[:, 1:-1:2] = np.floor((p[:, :-1] + p[:, 1:] + 1.0) / 2.0)
+        out[:, -1] = p[:, -1]
+        p = out
+    if ev:
+        n = p.shape[0]
+        out = np.zeros((2 * n, p.shape[1]))
+        out[0::2, :] = p
+        if n > 1:
+            out[1:-1:2, :] = np.floor((p[:-1, :] + p[1:, :] + 1.0) / 2.0)
+        out[-1, :] = p[-1, :]
+        p = out
+    return p
+
+
+def _hier_apply_frame(hier, frame, coef, qt, differential) -> None:
+    """Fold one hierarchical stage into the reference components
+    (T.81 J.1.1): dequantize + IDCT the stage's blocks, crop to the
+    stage's component dimensions, then either replace the reference
+    (non-differential stage, with level shift) or ADD the difference
+    signal (differential stage, no level shift). References hold
+    integer sample values — rounded and clamped to [0, 2^P-1] after
+    every stage (the rule the in-test encoder mirrors exactly)."""
+    precision, h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    maxval = float((1 << precision) - 1)
+    shift = 0.0 if differential else (
+        2048.0 if precision == 12 else 128.0
+    )
+    for c in comps:
+        q = qt[c["tq"]]
+        arr = np.asarray(coef[c["id"]], dtype=np.float64)
+        nby, nbx = arr.shape[:2]
+        flat = arr.reshape(-1, 64)
+        deq = np.zeros_like(flat)
+        deq[:, _ZIGZAG] = flat * q
+        blocks = deq.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _A, blocks, _A) + shift
+        plane = (
+            spatial.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        plane = np.round(plane[:ch, :cw])
+        if differential:
+            ref = hier["ref"].get(c["id"])
+            if ref is None:
+                raise ValueError(
+                    "invalid JPEG: differential frame before any "
+                    "reference for component"
+                )
+            if ref.shape[0] < ch or ref.shape[1] < cw:
+                raise ValueError(
+                    "invalid JPEG: reference smaller than differential "
+                    "frame (missing EXP?)"
+                )
+            plane = ref[:ch, :cw] + plane
+        hier["ref"][c["id"]] = np.clip(plane, 0.0, maxval)
+    hier["comps"] = comps
+
+
+def _hier_emit(hier, adobe, precision) -> bytes:
+    """Assemble the final hierarchical image from the reference
+    components: replicate to full resolution by the LAST frame's
+    sampling factors, crop to the DHP dimensions, and run the shared
+    color emission (12-bit references emit their high byte, matching
+    the sequential back-end's contract)."""
+    h, w = hier["h"], hier["w"]
+    comps = hier["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for c in comps:
+        plane = hier["ref"][c["id"]]
+        sx, sy = hmax // c["h"], vmax // c["v"]
+        if sx > 1 or sy > 1:
+            plane = np.repeat(np.repeat(plane, sy, axis=0), sx, axis=1)
+        plane = plane[:h, :w]
+        if precision == 12:
+            plane = np.floor(np.clip(plane, 0, 4095) / 16.0)
+        full.append(plane)
+    return _color_emit(full, adobe)
+
+
+def _color_emit(full: list, adobe=None) -> bytes:
+    """Color conversion + byte emission over full-resolution planes
+    (shared by the sequential/progressive back-end and the
+    hierarchical final stage)."""
+    if len(full) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return out.tobytes()
-    if len(comps) == 3:
+    if len(full) == 3:
         y, cb, cr = full
         r = y + 1.402 * (cr - 128.0)
         g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
         b = y + 1.772 * (cb - 128.0)
         rgb = np.stack([r, g, b], axis=-1)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8).tobytes()
-    if len(comps) == 4:
+    if len(full) == 4:
         c1, c2, c3, c4 = full
         if adobe == 2:  # YCCK: undo the YCbCr coding of inverted CMY
             r = c1 + 1.402 * (c3 - 128.0)
