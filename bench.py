@@ -203,6 +203,10 @@ def main() -> None:
                 "sample_per_stratum",
                 "source_overlap",
                 "collocations",
+                "zipf_fit",
+                "kneser_ney_score",
+                "dup_span_fraction",
+                "keyword_tags",
             ):
                 samples = []
                 for _ in range(reps):

@@ -14,9 +14,11 @@ ARITHMETIC via the T.81 QM-coder, CMYK/YCCK 4-component —
 frame composition (``pipeline/gif.py``), WebP BOTH lossless VP8L and
 lossy VP8 (RFC 6386 keyframe decoder, VP8X/ALPH/first-ANMF —
 ``pipeline/webp.py``/``vp8.py``), AVI MJPEG/DIB video frames
-(``pipeline/avi.py``) and RIFF/WAV PCM audio, all inside the Arrow
-batches. Codecs that genuinely need native libs (H.264/VP9/AV1
-video, AV1F/HEIF payloads, lossless JPEG) stay stubbed —
+(``pipeline/avi.py``), H.264 Annex-B keyframe extraction (baseline
+IDR CAVLC decode, ``pipeline/h264.py``) and RIFF/WAV PCM audio, all
+inside the Arrow batches. Codecs that genuinely need native libs
+(H.264 inter frames/CABAC, VP9/AV1 video, AV1F/HEIF payloads) stay
+stubbed —
 ``probe_mp4_bytes``/``probe_avif_bytes`` still route them by
 metadata; ``deterministic=True`` yields a seeded fake so the Spark
 plumbing — schema, batching, partitioning — is testable;
@@ -721,15 +723,27 @@ def video_frame_rows(
     ``every_ms`` only the latest frame at or before each sample
     instant survives — the video analog of `gif_frame_rows` (same
     output schema), real where `frame_sample_plan` only plans.
-    Non-AVI / non-decodable payloads are skipped, not errors: route
-    them to the ffmpeg tier via `probe_videos` metadata."""
+    H.264 Annex-B elementary streams (start-code payloads) decode
+    their first IDR picture through ``pipeline/h264.py`` as frame 0 —
+    the keyframe-extraction route of a video ingest. Non-AVI /
+    non-Annex-B / non-decodable payloads are skipped, not errors:
+    route them to the ffmpeg tier via `probe_videos` metadata."""
     from openset_spark.pipeline.avi import AVI_SIG, decode_avi_frames
+    from openset_spark.pipeline.h264 import decode_h264_frame, h264_to_rgb
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(p or b"")
+                if raw[:4] == b"\x00\x00\x00\x01" or raw[:3] == b"\x00\x00\x01":
+                    try:
+                        w, h, y, u, v = decode_h264_frame(raw)
+                        px = h264_to_rgb(w, h, y, u, v)
+                    except (ValueError, NotImplementedError, IndexError):
+                        continue
+                    rows.append((mid, 0, 0, w, h, 3, px))
+                    continue
                 if raw[:4] != AVI_SIG or raw[8:12] != b"AVI ":
                     continue
                 try:
