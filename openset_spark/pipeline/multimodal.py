@@ -605,6 +605,152 @@ def probe_mp4_bytes(data: bytes) -> dict:
     return out
 
 
+def extract_mp4_h264_keyframe(data: bytes) -> bytes:
+    """MP4/ISO-BMFF -> Annex-B byte stream of the FIRST sync sample
+    of the first AVC track: avcC parameter sets + the sample's
+    length-prefixed NALs converted to start codes. Pure sample-table
+    walking (stsd/avcC, stsz, stsc, stco/co64, stss) — feed the
+    result to ``pipeline/h264.py::decode_h264_frame`` for the
+    container-to-pixels keyframe path of a video ingest."""
+    import struct as _struct
+
+    def walk(lo: int, hi: int):
+        while lo + 8 <= hi:
+            size, box = _struct.unpack(">I4s", data[lo : lo + 8])
+            body = lo + 8
+            if size == 1:
+                size = _struct.unpack(">Q", data[lo + 8 : lo + 16])[0]
+                body = lo + 16
+            elif size == 0:
+                size = hi - lo
+            yield box, body, lo + size
+            lo += size
+
+    def find(lo, hi, *path):
+        for box, b, e in walk(lo, hi):
+            if box == path[0]:
+                if len(path) == 1:
+                    return b, e
+                return find(b, e, *path[1:])
+        return None
+
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload (missing ftyp)")
+    moov = find(0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("invalid MP4: no moov")
+    for box, tb, te in walk(*moov):
+        if box != b"trak":
+            continue
+        stbl = find(tb, te, b"mdia", b"minf", b"stbl")
+        if stbl is None:
+            continue
+        stsd = find(*stbl, b"stsd")
+        if stsd is None:
+            continue
+        # sample entries start after version/flags + entry_count
+        entry = stsd[0] + 8
+        fourcc = data[entry + 4 : entry + 8]
+        if fourcc not in (b"avc1", b"avc3"):
+            continue
+        # avcC lives inside the visual sample entry after 78 bytes
+        avcc = find(entry + 8 + 78, stsd[1], b"avcC")
+        if avcc is None:
+            raise ValueError("AVC track without avcC configuration")
+        b = avcc[0]
+        length_size = (data[b + 4] & 3) + 1
+        out = bytearray()
+        n_sps = data[b + 5] & 0x1F
+        p = b + 6
+        for _ in range(n_sps):
+            (ln,) = _struct.unpack(">H", data[p : p + 2])
+            out += b"\x00\x00\x00\x01" + data[p + 2 : p + 2 + ln]
+            p += 2 + ln
+        n_pps = data[p]
+        p += 1
+        for _ in range(n_pps):
+            (ln,) = _struct.unpack(">H", data[p : p + 2])
+            out += b"\x00\x00\x00\x01" + data[p + 2 : p + 2 + ln]
+            p += 2 + ln
+
+        # first sync sample index (1-based); no stss => all sync
+        sync = 1
+        stss = find(*stbl, b"stss")
+        if stss is not None:
+            cnt = _struct.unpack(">I", data[stss[0] + 4 : stss[0] + 8])[0]
+            if cnt:
+                sync = _struct.unpack(
+                    ">I", data[stss[0] + 8 : stss[0] + 12]
+                )[0]
+
+        stsz_b = find(*stbl, b"stsz")
+        uniform, n_samples = _struct.unpack(
+            ">II", data[stsz_b[0] + 4 : stsz_b[0] + 12]
+        )
+
+        def sample_size(i):  # 1-based
+            if uniform:
+                return uniform
+            off = stsz_b[0] + 12 + 4 * (i - 1)
+            return _struct.unpack(">I", data[off : off + 4])[0]
+
+        if sync > n_samples:
+            raise ValueError("invalid MP4: sync sample out of range")
+
+        # sample -> chunk via stsc runs
+        stsc_b = find(*stbl, b"stsc")
+        n_runs = _struct.unpack(">I", data[stsc_b[0] + 4 : stsc_b[0] + 8])[0]
+        runs = []
+        for i in range(n_runs):
+            off = stsc_b[0] + 8 + 12 * i
+            first_chunk, per_chunk, _desc = _struct.unpack(
+                ">III", data[off : off + 12]
+            )
+            runs.append((first_chunk, per_chunk))
+        co = find(*stbl, b"stco")
+        if co is not None:
+            n_chunks = _struct.unpack(">I", data[co[0] + 4 : co[0] + 8])[0]
+            offsets = [
+                _struct.unpack(
+                    ">I", data[co[0] + 8 + 4 * i : co[0] + 12 + 4 * i]
+                )[0]
+                for i in range(n_chunks)
+            ]
+        else:
+            co = find(*stbl, b"co64")
+            n_chunks = _struct.unpack(">I", data[co[0] + 4 : co[0] + 8])[0]
+            offsets = [
+                _struct.unpack(
+                    ">Q", data[co[0] + 8 + 8 * i : co[0] + 16 + 8 * i]
+                )[0]
+                for i in range(n_chunks)
+            ]
+
+        # walk chunks until the sync sample's chunk
+        sample = 1
+        for ci in range(1, n_chunks + 1):
+            per = runs[0][1]
+            for fc, pc in runs:
+                if fc <= ci:
+                    per = pc
+            if sample + per > sync:
+                off = offsets[ci - 1]
+                for s in range(sample, sync):
+                    off += sample_size(s)
+                size = sample_size(sync)
+                raw = data[off : off + size]
+                q = 0
+                while q + length_size <= len(raw):
+                    ln = int.from_bytes(raw[q : q + length_size], "big")
+                    out += b"\x00\x00\x00\x01"
+                    out += raw[q + length_size : q + length_size + ln]
+                    q += length_size + ln
+                return bytes(out)
+            sample += per
+        raise ValueError("invalid MP4: sync sample beyond chunk map")
+    raise ValueError("no AVC video track found")
+
+
 VIDEO_META_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -728,6 +874,8 @@ def video_frame_rows(
     the keyframe-extraction route of a video ingest. Non-AVI /
     non-Annex-B / non-decodable payloads are skipped, not errors:
     route them to the ffmpeg tier via `probe_videos` metadata."""
+    import struct
+
     from openset_spark.pipeline.avi import AVI_SIG, decode_avi_frames
     from openset_spark.pipeline.h264 import decode_h264_frame, h264_to_rgb
 
@@ -741,6 +889,17 @@ def video_frame_rows(
                         w, h, y, u, v = decode_h264_frame(raw)
                         px = h264_to_rgb(w, h, y, u, v)
                     except (ValueError, NotImplementedError, IndexError):
+                        continue
+                    rows.append((mid, 0, 0, w, h, 3, px))
+                    continue
+                if len(raw) >= 12 and raw[4:8] == b"ftyp":
+                    # MP4: first AVC sync sample -> Annex-B -> decode
+                    try:
+                        annexb = extract_mp4_h264_keyframe(raw)
+                        w, h, y, u, v = decode_h264_frame(annexb)
+                        px = h264_to_rgb(w, h, y, u, v)
+                    except (ValueError, NotImplementedError, IndexError,
+                            struct.error):
                         continue
                     rows.append((mid, 0, 0, w, h, 3, px))
                     continue
