@@ -630,12 +630,14 @@ def dup_span_fraction(
     of ``substring_dup_pairs``' pair report.
 
     Scale shape: no pair fan-out exists anywhere — the cross-doc
-    evidence is a document-frequency count per window hash (one
-    aggregate at distinct-window cardinality), joined back and
-    averaged per doc. Boilerplate needs no cap here: a hash shared
-    by K docs costs K rows, not K²/2. Output: (doc_id, n_windows,
-    n_dup_windows, dup_frac) for every doc with >= window_tokens
-    tokens."""
+    evidence is a document-frequency COUNT WINDOW riding the same
+    wh-partitioned shuffle ``substring_dup_pairs``' boilerplate cap
+    uses (one exchange for the df evidence, one for the per-doc
+    aggregate — the join-back formulation costs a third exchange and
+    measured ~2x slower at sf0.1). Boilerplate needs no cap here: a
+    hash shared by K docs costs K rows, not K²/2. Output: (doc_id,
+    n_windows, n_dup_windows, dup_frac) for every doc with >=
+    window_tokens tokens."""
     win = F.expr(
         f"transform(sequence(0, size(_toks)-{window_tokens}), "
         f"i -> xxhash64(concat_ws(' ', slice(_toks, i+1, {window_tokens}))))"
@@ -645,10 +647,11 @@ def dup_span_fraction(
         .filter(F.size("_toks") >= window_tokens)
         .select(F.col(id_col), F.explode(F.array_distinct(win)).alias("wh"))
     )
-    hdf = w.groupBy("wh").agg(F.count(F.lit(1)).alias("_df"))
+    flagged = w.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("wh"))
+    )
     return (
-        w.join(hdf, "wh")
-        .groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_windows"),
             F.sum((F.col("_df") >= 2).cast("long")).alias("n_dup_windows"),
