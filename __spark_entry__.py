@@ -3237,6 +3237,48 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN hits h USING (doc_id)
 """
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split (the Lee et al. leakage
+    guard): every near-duplicate family — components of the exact
+    Jaccard pair graph — draws ONE portable-hash split from its
+    cluster id, so no family straddles train and eval. The oracle
+    replays components via the recursive-CTE closure + the identical
+    md5 bucket. NEW r8."""
+    from openset_spark.pipeline.sampling import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_pairs(docs, threshold=0.6)
+    return leakage_safe_split(docs, pairs)
+
+
+_SQL_LEAKAGE_SAFE_SPLIT = """
+WITH RECURSIVE p AS ({P}),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+         FROM reach GROUP BY a),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN comp c USING (doc_id)
+),
+b AS (
+  SELECT doc_id, cluster_id,
+    CAST(CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+         AS UBIGINT) % 1000 AS BIGINT) AS bucket
+  FROM lab
+)
+SELECT doc_id, cluster_id,
+  CASE WHEN bucket < 900 THEN 'train'
+       WHEN bucket < 950 THEN 'val'
+       ELSE 'test' END AS split
+FROM b
+""".replace("{P}", _SQL_DEDUP_NGRAM_JACCARD)
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Demoted round 8: all 45 were driver-green in r7 — freshest keys
     # in the ledger, resting while the r6-green cohort and the five
@@ -3298,6 +3340,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kneser_ney_score": q_kneser_ney_score,
         "dup_span_fraction": q_dup_span_fraction,
         "keyword_tags": q_keyword_tags,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -3344,6 +3387,7 @@ def oracle_sql() -> dict[str, str]:
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,
+        "leakage_safe_split": _SQL_LEAKAGE_SAFE_SPLIT,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

@@ -68,6 +68,11 @@ def _bench_impls():
         return embs, qs
 
     from openset_spark.pipeline.dedup import dup_clusters
+    from openset_spark.pipeline.sampling import leakage_safe_split
+
+    def _leakage_split_prod(s, d):
+        dd = docs(s, d)
+        return leakage_safe_split(dd, minhash_candidates(dd))
 
     return {
         "dedup_minhash": lambda s, d: minhash_candidates(docs(s, d)),
@@ -81,6 +86,9 @@ def _bench_impls():
         "dedup_clusters": lambda s, d: dup_clusters(
             minhash_candidates(docs(s, d))
         ),
+        # same fence for the split operator: production pairs = LSH
+        # candidates, not the near-complete exact-Jaccard graph
+        "leakage_safe_split": lambda s, d: _leakage_split_prod(s, d),
         "ann_lsh": lambda s, d: lsh_topk(
             *ann_inputs(s, d), dim=64, k=10, n_planes=6
         ),
@@ -207,9 +215,12 @@ def main() -> None:
                 "kneser_ney_score",
                 "dup_span_fraction",
                 "keyword_tags",
+                "leakage_safe_split",
             ):
                 samples = []
-                for _ in range(reps):
+                for _ in range(
+                    1 if name == "leakage_safe_split" else reps
+                ):
                     t0 = time.time()
                     qs[name](spark, sf_dir).count()
                     samples.append(time.time() - t0)

@@ -204,3 +204,69 @@ def sample_per_stratum(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment — the Lee et al. 2022
+    leakage guard: near-duplicate documents MUST land in the same
+    split, or the eval set leaks into training through surviving
+    near-copies. A per-document hash split (the naive approach)
+    violates this for every duplicate family it straddles.
+
+    Assignment: connected components of the candidate pair graph
+    (``dup_clusters`` — pass MinHash/SimHash candidates at scale,
+    exact pairs for verification), then every document draws its
+    split from the portable md5 bucket of its CLUSTER id (singletons
+    use their own id). Family-atomic by construction, deterministic,
+    engine-portable (the sample_per_stratum hash), and re-runnable:
+    adding documents never reshuffles existing families across
+    splits unless the new docs merge two families.
+
+    Scale: one left join against the component frame (itself the
+    O(log n) star algorithm) + pure column expressions.
+    Output: (doc_id, cluster_id, split)."""
+    from openset_spark.pipeline.dedup import dup_clusters
+
+    if fractions is None:
+        fractions = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    comps = dup_clusters(pairs)
+    labeled = (
+        docs.select(id_col)
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("cluster_id").cast("string")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    names = list(fractions)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * 1000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    if expr is None:  # single split name
+        split = F.lit(names[-1])
+    else:
+        split = expr.otherwise(names[-1])
+    return labeled.select(id_col, "cluster_id", split.alias("split"))

@@ -366,3 +366,40 @@ def test_keyword_tags_semantics(spark):
     assert out[1].n_hit_words == 2  # cat counted once despite 2 topics
     assert out[2].topics == ["food"] and out[2].n_hit_words == 1
     assert out[3].topics == [] and out[3].n_hit_words == 0
+
+
+def test_leakage_safe_split_family_atomic(spark):
+    from openset_spark.pipeline.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(300)], ["doc_id"]
+    )
+    # three families: {0..4}, {10,11}, {20,21,22} via chain pairs
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        ["id_a", "id_b"],
+    )
+    out = leakage_safe_split(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(by_id) == 300
+    # family atomicity: one split and one cluster id per family
+    for fam in ([0, 1, 2, 3, 4], [10, 11], [20, 21, 22]):
+        splits = {by_id[d].split for d in fam}
+        clusters = {by_id[d].cluster_id for d in fam}
+        assert len(splits) == 1 and clusters == {fam[0]}
+    # singletons keep their own id and get valid labels
+    assert by_id[100].cluster_id == 100
+    labels = {r.split for r in out}
+    assert labels <= {"train", "val", "test"}
+    # fractions roughly honored over the 300 mostly-singleton docs
+    n_train = sum(1 for r in out if r.split == "train")
+    assert 230 <= n_train <= 300
+
+
+def test_leakage_safe_split_validates_fractions(spark):
+    from openset_spark.pipeline.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(1,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.1})
