@@ -3279,6 +3279,45 @@ FROM b
 """.replace("{P}", _SQL_DEDUP_NGRAM_JACCARD)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-set (Rae et al. 2021 App. A1.1) as one fused
+    pass: word-count/mean-length bands, symbol ratio, alpha-word
+    fraction, required-stopword count + combined keep flag — the
+    filter family every published pretraining pipeline applies
+    first. Comparisons on raw rationals (exact IEEE), reported
+    ratios rounded. NEW r8."""
+    from openset_spark.pipeline.textstats import gopher_quality_flags
+
+    return gopher_quality_flags(_docs(spark, sf_dir))
+
+
+_SQL_GOPHER_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS_SQL} AS ts FROM documents),
+m AS (
+  SELECT doc_id,
+    len(ts) AS n_words,
+    length(array_to_string(ts, '')) AS sum_len,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+    len(list_filter(ts, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+    len(list_distinct(list_intersect(list_distinct(ts),
+        ['the','be','to','of','and','that','have','with']))) AS n_req
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  ROUND(sum_len / n_words, 4) AS mean_word_len,
+  ROUND((n_hash + n_ell) / n_words, 4) AS symbol_ratio,
+  ROUND(n_alpha / n_words, 4) AS alpha_word_frac,
+  CAST(n_req AS BIGINT) AS n_req_stopwords,
+  (n_words BETWEEN 50 AND 100000)
+    AND (sum_len / n_words BETWEEN 3 AND 10)
+    AND ((n_hash + n_ell) / n_words < 0.1)
+    AND (n_alpha / n_words > 0.8)
+    AND (n_req >= 2) AS keep
+FROM m
+"""
+
+
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Demoted round 8: all 45 were driver-green in r7 — freshest keys
     # in the ledger, resting while the r6-green cohort and the five
@@ -3341,6 +3380,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_fraction": q_dup_span_fraction,
         "keyword_tags": q_keyword_tags,
         "leakage_safe_split": q_leakage_safe_split,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -3388,6 +3428,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,
         "leakage_safe_split": _SQL_LEAKAGE_SAFE_SPLIT,
+        "gopher_quality": _SQL_GOPHER_QUALITY,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

@@ -216,6 +216,7 @@ def main() -> None:
                 "dup_span_fraction",
                 "keyword_tags",
                 "leakage_safe_split",
+                "gopher_quality",
             ):
                 samples = []
                 for _ in range(

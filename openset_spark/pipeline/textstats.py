@@ -367,3 +367,62 @@ def keyword_tags(
             "n_hit_words"
         ),
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher rule-set (Rae et al. 2021, App. A1.1) as one
+    fused column pass: word-count band [50, 100k], mean word length
+    band [3, 10], symbol-to-word ratio (# and ellipsis) < 0.1,
+    alphabetic-word fraction > 0.8, and >= 2 of the eight required
+    English stopwords — plus the combined ``keep``. Every published
+    pretraining pipeline (Gopher, MassiveText, RefinedWeb, Dolma)
+    applies exactly this family before anything expensive runs.
+
+    All JVM built-ins over one token array; rule comparisons happen
+    on the RAW rational values (exact IEEE divisions of integer
+    counts — identical in any engine), with only the REPORTED ratio
+    columns rounded."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col), t.alias("_text"), tokens(t).alias("_toks")
+    )
+    n_words = F.size("_toks")
+    sum_len = F.length(F.concat_ws("", F.col("_toks")))
+    n_hash = F.length("_text") - F.length(
+        F.regexp_replace("_text", "#", "")
+    )
+    n_ell = (
+        F.length("_text")
+        - F.length(F.regexp_replace("_text", r"\.\.\.", ""))
+    ) / 3
+    n_alpha = F.expr("size(filter(_toks, w -> w rlike '[a-z]'))")
+    req = F.array([F.lit(w) for w in GOPHER_REQUIRED_STOPWORDS])
+    n_req = F.size(
+        F.array_distinct(F.array_intersect(F.array_distinct("_toks"), req))
+    )
+    mean_len = sum_len / n_words
+    sym = (n_hash + n_ell) / n_words
+    alpha = n_alpha / n_words
+    keep = (
+        n_words.between(50, 100_000)
+        & mean_len.between(3, 10)
+        & (sym < 0.1)
+        & (alpha > 0.8)
+        & (n_req >= 2)
+    )
+    return base.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(sym, 4).alias("symbol_ratio"),
+        F.round(alpha, 4).alias("alpha_word_frac"),
+        n_req.cast("long").alias("n_req_stopwords"),
+        keep.alias("keep"),
+    )

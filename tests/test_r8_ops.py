@@ -403,3 +403,38 @@ def test_leakage_safe_split_validates_fractions(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.1})
+
+
+def test_gopher_quality_rule_semantics(spark):
+    from openset_spark.pipeline.textstats import gopher_quality_flags
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + [f"word{i}" for i in range(60)]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, good),                                # passes every rule
+            (2, "too short of the text"),             # word-count fails
+            (3, good + " " + "#" * 40),               # symbol ratio fails
+            (4, " ".join(["123"] * 70)),              # alpha + stopwords fail
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert rows[1].keep is True
+    assert rows[1].n_req_stopwords == 5
+    assert rows[2].keep is False and rows[2].n_words == 5
+    assert rows[3].keep is False and rows[3].symbol_ratio > 0.1
+    assert rows[4].keep is False and rows[4].alpha_word_frac == 0.0
+
+
+def test_gopher_ellipsis_counted_in_symbols(spark):
+    from openset_spark.pipeline.textstats import gopher_quality_flags
+
+    df = spark.createDataFrame(
+        [(1, "plain words here"), (2, "some... trailing... dots...")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert rows[1].symbol_ratio == 0.0
+    assert rows[2].symbol_ratio == 1.0  # 3 ellipses / 3 words
