@@ -3381,7 +3381,122 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_tags": q_keyword_tags,
         "leakage_safe_split": q_leakage_safe_split,
         "gopher_quality": q_gopher_quality,
+        "lexical_diversity": q_lexical_diversity,
+        "oov_rate": q_oov_rate,
+        "chunk_windows": q_chunk_windows,
+        "dsir_resample": q_dsir_resample,
     }
+
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical-diversity profile (TTR + hapax fraction):
+    the repetitiveness screen a corpus card reports next to the
+    Gopher flags. Ratios are exact integer basis points (integer
+    division) — no float ROUND, no engine-boundary risk. NEW r8."""
+    from openset_spark.pipeline.textstats import lexical_diversity
+
+    return lexical_diversity(_docs(spark, sf_dir))
+
+
+_SQL_LEXICAL_DIVERSITY = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+per AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(10000 * COUNT(*) // SUM(c) AS BIGINT) AS ttr_x10k,
+  CAST(10000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) // COUNT(*)
+       AS BIGINT) AS hapax_x10k
+FROM per GROUP BY doc_id
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate vs the corpus's own top-20 token
+    vocabulary — the coverage screen before committing a tokenizer
+    vocab size. Vocabulary cut is (count DESC, token ASC)
+    deterministic; the top-V is a TakeOrdered whose result
+    broadcasts. NEW r8."""
+    from openset_spark.pipeline.corpus_stats import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), vocab_size=20)
+
+
+_SQL_OOV_RATE = f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+v AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok)
+  QUALIFY row_number() OVER (ORDER BY c DESC, tok ASC) <= 20
+),
+j AS (
+  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+  FROM t LEFT JOIN v ON t.tok = v.tok
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(oov) AS BIGINT) AS n_oov,
+  CAST(10000 * SUM(oov) // COUNT(*) AS BIGINT) AS oov_x10k
+FROM j GROUP BY doc_id
+"""
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (window 32, stride 16) with per-chunk
+    content hashes — the RAG / retrieval-index preparation shape;
+    pure explode, zero shuffle. NEW r8."""
+    from openset_spark.pipeline.packing import chunk_windows
+
+    return chunk_windows(_docs(spark, sf_dir), window=32, stride=16)
+
+
+_SQL_CHUNK_WINDOWS = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+           WHERE trim(text) <> '' AND len({_TOKS_SQL}) > 0)
+SELECT doc_id,
+  CAST(len(ts) AS BIGINT) AS n_tokens,
+  CAST(i AS BIGINT) AS chunk_id,
+  CAST(i * 16 AS BIGINT) AS start_tok,
+  CAST(LEAST(32, len(ts) - i * 16) AS BIGINT) AS chunk_len,
+  md5(array_to_string(ts[i * 16 + 1 : i * 16 + 32], ' ')) AS chunk_hash
+FROM t, UNNEST(generate_series(0, CAST((len(ts) - 1) // 16 AS BIGINT)))
+     AS s(i)
+"""
+
+
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection closed end-to-end: Gumbel-top-k importance
+    RESAMPLING (sample ∝ exp(log_weight)) of the 100 most
+    target-like docs, Gumbel draws from each doc's own md5 uniform
+    (deterministic per (doc, seed) — reproducible on any cluster at
+    any partitioning). Same target shard (doc_id%7==0) and k=256
+    buckets as dsir_weights. NEW r8."""
+    from openset_spark.pipeline.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n=100,
+        k=256,
+        gumbel_seed=7,
+    )
+
+
+_SQL_DSIR_RESAMPLE = """
+WITH w AS ({W}),
+g AS (
+  SELECT doc_id, n_grams, log_weight,
+    log_weight + (-ln(-ln(
+      CAST(CAST(concat('0x',
+        substr(md5(concat(CAST(doc_id AS VARCHAR), '_7')), 1, 8))
+        AS UBIGINT) AS DOUBLE) / 4294967296.0
+    ))) AS _key
+  FROM w
+)
+SELECT doc_id, n_grams, log_weight FROM g
+QUALIFY row_number() OVER (ORDER BY _key DESC, doc_id ASC) <= 100
+""".replace("{W}", _SQL_DSIR_WEIGHTS)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3429,6 +3544,10 @@ def oracle_sql() -> dict[str, str]:
         "keyword_tags": _SQL_KEYWORD_TAGS,
         "leakage_safe_split": _SQL_LEAKAGE_SAFE_SPLIT,
         "gopher_quality": _SQL_GOPHER_QUALITY,
+        "lexical_diversity": _SQL_LEXICAL_DIVERSITY,
+        "oov_rate": _SQL_OOV_RATE,
+        "chunk_windows": _SQL_CHUNK_WINDOWS,
+        "dsir_resample": _SQL_DSIR_RESAMPLE,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

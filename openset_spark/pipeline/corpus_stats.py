@@ -210,3 +210,45 @@ def zipf_fit(
         F.round(slope, 4).alias("slope"),
         F.round(F.col("_ay") - slope * F.col("_ax"), 4).alias("intercept"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-V
+    word vocabulary — the coverage screen run before committing to a
+    tokenizer vocab size (docs with high OOV under the candidate
+    vocab will fragment into byte fallbacks).
+
+    Vocabulary = the ``vocab_size`` most frequent tokens, ordered
+    (count DESC, token ASC) so the cut is deterministic under count
+    ties. Scale shape: the token-count aggregate map-side combines to
+    vocabulary cardinality; the top-V is a TakeOrdered (no global
+    sort) whose V-row result broadcasts to the instance join — the
+    only shuffle over raw instances is the final per-doc aggregate.
+    OOV fraction surfaces as exact integer basis points (integer
+    division; see lexical_diversity for why not ROUND)."""
+    inst = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = (
+        inst.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_inv"))
+    )
+    joined = inst.join(F.broadcast(vocab), "tok", "left")
+    n_tok = F.count(F.lit(1))
+    n_oov = F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+    return joined.groupBy(id_col).agg(
+        n_tok.cast("long").alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.expr(
+            "10000 * sum(case when _inv is null then 1 else 0 end) "
+            "div count(1)"
+        ).alias("oov_x10k"),
+    )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from openset_spark.functions.text import tokens
 from openset_spark.pipeline.sampling import distributed_cumsum
 
 
@@ -68,4 +69,54 @@ def pack_sequences(
             F.least(F.col("_start") + n, seq_start + seq_len)
             - F.greatest(F.col("_start"), seq_start)
         ).alias("piece_tokens"),
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking (the RAG / retrieval-index shape):
+    each document yields overlapping token windows of ``window``
+    tokens every ``stride`` tokens — chunk starts at 0, S, 2S, … for
+    every start < n_tokens, so the tail chunk may be short but no
+    token is unreachable. One row per chunk with a content hash
+    (md5 of the space-joined window) so a downstream index or
+    chunk-level dedup never re-tokenizes.
+
+    Scale shape: pure per-row explode — no shuffle at all; the chunk
+    fan-out is n/stride per doc and the slices are computed inside
+    codegen from the one tokens() array."""
+    base = (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .filter(F.size("_toks") > 0)
+    )
+    n = F.size("_toks").cast("long")
+    last_chunk = F.floor((n - 1) / stride)
+    step1 = base.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.col("_toks"),
+        F.explode(F.sequence(F.lit(0).cast("long"), last_chunk)).alias(
+            "chunk_id"
+        ),
+    )
+    start = F.col("chunk_id") * stride
+    return step1.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        F.least(F.lit(window).cast("long"), F.col("n_tokens") - start).alias(
+            "chunk_len"
+        ),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), start.cast("int") + 1, window)
+            )
+        ).alias("chunk_hash"),
     )

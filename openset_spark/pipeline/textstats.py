@@ -426,3 +426,40 @@ def gopher_quality_flags(
         n_req.cast("long").alias("n_req_stopwords"),
         keep.alias("keep"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc lexical-diversity profile: token/type counts, TTR and
+    hapax-legomenon fraction — the cheap repetitiveness screens a
+    corpus card reports next to the Gopher flags (templated or spammy
+    text shows depressed TTR long before a dedup pass finds it).
+
+    Ratios surface as exact integer basis points (``x10k`` columns,
+    integer division) instead of ROUND()ed doubles: float rounding
+    half-way cases are the one place Spark (BigDecimal HALF_UP on the
+    shortest repr) and other engines (binary rounding) disagree, and
+    integer division of the exact counts sidesteps the whole class.
+
+    Scale shape: one explode into a two-level hash aggregate —
+    (doc, token) partial counts map-side combine before the shuffle,
+    so the wire carries per-doc vocabularies (bounded by Heaps' law),
+    never raw token instances.
+    """
+    inst = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    per = inst.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    n_tok = F.sum("c")
+    n_typ = F.count(F.lit(1))
+    n_hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return per.groupBy(id_col).agg(
+        n_tok.cast("long").alias("n_tokens"),
+        n_typ.cast("long").alias("n_types"),
+        n_hapax.cast("long").alias("n_hapax"),
+        F.expr("10000 * count(1) div sum(c)").alias("ttr_x10k"),
+        F.expr(
+            "10000 * sum(case when c = 1 then 1 else 0 end) div count(1)"
+        ).alias("hapax_x10k"),
+    )

@@ -438,3 +438,83 @@ def test_gopher_ellipsis_counted_in_symbols(spark):
     rows = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
     assert rows[1].symbol_ratio == 0.0
     assert rows[2].symbol_ratio == 1.0  # 3 ellipses / 3 words
+
+
+# ------------------------------------------------------------------
+# lexical_diversity / oov_rate / chunk_windows / dsir resample key
+# ------------------------------------------------------------------
+def test_lexical_diversity_exact_counts(spark):
+    from openset_spark.pipeline.textstats import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "x x x x")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in lexical_diversity(df).collect()}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_types, r1.n_hapax) == (4, 3, 2)
+    assert r1.ttr_x10k == 7500  # 3/4 exactly
+    assert r1.hapax_x10k == 6666  # floor(2/3 * 10000)
+    r2 = rows[2]
+    assert (r2.n_types, r2.n_hapax, r2.ttr_x10k) == (1, 0, 2500)
+
+
+def test_oov_rate_vocab_cut_deterministic(spark):
+    from openset_spark.pipeline.corpus_stats import oov_rate
+
+    # corpus counts: a=3, b=3, c=2, d=1 — vocab_size=2 must pick
+    # (a, b): count ties break on token ASC
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "a b")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in oov_rate(df, vocab_size=2).collect()}
+    assert rows[1].n_oov == 1 and rows[1].oov_x10k == 3333
+    assert rows[2].n_oov == 2 and rows[2].oov_x10k == 5000
+    assert rows[3].n_oov == 0 and rows[3].oov_x10k == 0
+
+
+def test_chunk_windows_full_coverage(spark):
+    from openset_spark.pipeline.packing import chunk_windows
+
+    # 70 tokens, window 32 stride 16 -> starts 0,16,32,48,64;
+    # every token lands in >=1 chunk, tail chunk short (len 6)
+    text = " ".join(f"t{i}" for i in range(70))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_windows(df, window=32, stride=16).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.start_tok for r in rows] == [0, 16, 32, 48, 64]
+    assert [r.chunk_len for r in rows] == [32, 32, 32, 22, 6]
+    covered = set()
+    for r in rows:
+        covered |= set(range(r.start_tok, r.start_tok + r.chunk_len))
+    assert covered == set(range(70))
+    # identical windows hash identically, distinct ones don't
+    assert len({r.chunk_hash for r in rows}) == 5
+
+
+def test_chunk_windows_short_doc_single_chunk(spark):
+    from openset_spark.pipeline.packing import chunk_windows
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "")], ["doc_id", "text"])
+    rows = chunk_windows(df, window=32, stride=16).collect()
+    assert len(rows) == 1  # empty doc excluded entirely
+    assert rows[0].chunk_len == 3 and rows[0].chunk_id == 0
+
+
+def test_dsir_gumbel_resample_reproducible(spark):
+    from openset_spark.pipeline.dsir import dsir_select
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{i % 3} common") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    target = docs.filter("doc_id % 4 = 0")
+    a = dsir_select(docs, target, n=10, gumbel_seed=7).collect()
+    b = dsir_select(
+        docs.repartition(13), target, n=10, gumbel_seed=7
+    ).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+    # different seed -> (almost surely) different sample
+    c = dsir_select(docs, target, n=10, gumbel_seed=8).collect()
+    assert {r.doc_id for r in a} != {r.doc_id for r in c}
