@@ -3385,6 +3385,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "chunk_windows": q_chunk_windows,
         "dsir_resample": q_dsir_resample,
+        "embedding_gram": q_embedding_gram,
     }
 
 
@@ -3499,6 +3500,34 @@ QUALIFY row_number() OVER (ORDER BY _key DESC, doc_id ASC) <= 100
 """.replace("{W}", _SQL_DSIR_WEIGHTS)
 
 
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment / covariance matrix of the embedding corpus —
+    the PCA/whitening prep aggregate. Long-form upper triangle,
+    exact-product double sums rounded at 4 (see
+    pipeline/similarity.py::embedding_gram for the determinism
+    argument). NEW r8."""
+    from openset_spark.pipeline.similarity import embedding_gram
+
+    return embedding_gram(_embs(spark, sf_dir))
+
+
+_SQL_EMBEDDING_GRAM = """
+WITH x AS (
+  SELECT i, j, CAST(embedding[i] AS DOUBLE) AS xd,
+         CAST(embedding[j] AS DOUBLE) AS yd
+  FROM embeddings,
+    UNNEST(generate_series(1, len(embedding))) AS s(i),
+    UNNEST(generate_series(i, len(embedding))) AS t(j)
+)
+SELECT CAST(i - 1 AS BIGINT) AS i, CAST(j - 1 AS BIGINT) AS j,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(SUM(xd * yd), 4) + 0.0 AS sum_xy,
+  ROUND((SUM(xd * yd) - SUM(xd) * SUM(yd) / COUNT(*)) / COUNT(*), 4)
+    + 0.0 AS cov_xy
+FROM x GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prio = _priority_queries()
     assert len(prio) <= _DRIVER_WINDOW, (
@@ -3548,6 +3577,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": _SQL_OOV_RATE,
         "chunk_windows": _SQL_CHUNK_WINDOWS,
         "dsir_resample": _SQL_DSIR_RESAMPLE,
+        "embedding_gram": _SQL_EMBEDDING_GRAM,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

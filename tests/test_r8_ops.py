@@ -518,3 +518,53 @@ def test_dsir_gumbel_resample_reproducible(spark):
     # different seed -> (almost surely) different sample
     c = dsir_select(docs, target, n=10, gumbel_seed=8).collect()
     assert {r.doc_id for r in a} != {r.doc_id for r in c}
+
+
+# ------------------------------------------------------------------
+# embedding_gram
+# ------------------------------------------------------------------
+def test_embedding_gram_exact_small(spark):
+    from openset_spark.pipeline.similarity import embedding_gram
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {(r.i, r.j): r for r in embedding_gram(df).collect()}
+    assert set(rows) == {(0, 0), (0, 1), (1, 1)}
+    assert rows[(0, 0)].sum_xy == 35.0  # 1+9+25
+    assert rows[(0, 1)].sum_xy == 44.0  # 2+12+30
+    assert rows[(1, 1)].sum_xy == 56.0  # 4+16+36
+    # cov(x,x) for x=(1,3,5): mean 3, pop var 8/3
+    assert rows[(0, 0)].cov_xy == round(8 / 3, 4)
+    assert rows[(0, 1)].cov_xy == round(8 / 3, 4)  # y = x + 1
+    assert all(r.n == 3 for r in rows.values())
+
+
+def test_embedding_gram_blas_matches_exact(spark):
+    import math
+
+    from openset_spark.pipeline.similarity import (
+        embedding_gram,
+        embedding_gram_blas,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [math.sin(i * 7 + d) for d in range(5)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>",
+    ).repartition(7)
+    exact = {
+        (r.i, r.j): (r.n, r.sum_xy) for r in embedding_gram(df).collect()
+    }
+    fast = {
+        (r.i, r.j): (r.n, r.sum_xy)
+        for r in embedding_gram_blas(df).collect()
+    }
+    assert set(exact) == set(fast) and len(exact) == 15
+    for k, (n, sxy) in exact.items():
+        assert fast[k][0] == n
+        # exact path is ROUND(...,4): allow the half-ulp of that grid
+        assert abs(fast[k][1] - sxy) < 6e-5
