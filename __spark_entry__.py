@@ -1874,6 +1874,25 @@ FROM embeddings WHERE vec_id < 50
 """
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011 / FAISS IndexPQ)
+    with its recall oracle in plan: M=8 x ksub=16 codebooks (1-round
+    Lloyd), ADC shortlist 192, exact cosine re-rank to top-10,
+    per-query recall asserted >= 0.3 vs brute force (measured min
+    0.6 sf0.01 / 0.7 sf0.001, avg 0.92+ — the test embeddings are
+    near-random; the clustered-corpus behavior and the 16x-fewer-
+    bytes scan story are in ann_bench.py's pq_sec/pq_recall on the
+    200k corpus). NEW r8."""
+    from openset_spark.pipeline.pq import pq_topk
+
+    embs, queries = _ann_queries(spark, sf_dir)
+    ann = pq_topk(
+        embs, queries, k=10, m=8, ksub=16, shortlist=192, refine_iters=1
+    )
+    exact = brute_force_topk(embs, queries, k=10)
+    return _ann_recall_frame(ann, exact, floor=0.3)
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (duplicate-token
     fraction + top-2-gram character coverage) — the structural
@@ -3386,6 +3405,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "dsir_resample": q_dsir_resample,
         "embedding_gram": q_embedding_gram,
+        "ann_pq": q_ann_pq,
     }
 
 
@@ -3578,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_windows": _SQL_CHUNK_WINDOWS,
         "dsir_resample": _SQL_DSIR_RESAMPLE,
         "embedding_gram": _SQL_EMBEDDING_GRAM,
+        "ann_pq": _SQL_ANN_RECALL_OK,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

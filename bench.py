@@ -217,6 +217,11 @@ def main() -> None:
                 "keyword_tags",
                 "leakage_safe_split",
                 "gopher_quality",
+                "lexical_diversity",
+                "oov_rate",
+                "chunk_windows",
+                "dsir_resample",
+                "embedding_gram",
             ):
                 samples = []
                 for _ in range(

@@ -54,6 +54,11 @@ LSH_TABLES = 8
 IVF_LISTS = 64
 IVF_NPROBE = 8
 SEED = 7
+PQ_M = 8
+PQ_KSUB = 256  # FAISS-standard 8-bit codes; coarse codebooks on a
+# clustered corpus collapse whole clusters into one code -> giant
+# ADC tie groups and recall ~0.33 (measured at ksub=16)
+PQ_SHORTLIST = 200
 
 
 def _gen_corpus(n: int, dim: int, n_clusters: int, seed: int) -> np.ndarray:
@@ -155,6 +160,39 @@ def ensure_ivf_index(
         with open(cpath, "w") as f:
             json.dump(centroids, f)
     return apath, cpath
+
+
+def ensure_pq_index(
+    spark: SparkSession,
+    corpus_path: str,
+    cache_dir: str = DEFAULT_CACHE,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    refine_iters: int = 2,
+) -> tuple[str, str]:
+    """Ingest-time PQ index: the M-byte code table + codebook JSON.
+    The byte story is the point — at DIM=32 fp32 a vector is 128 B,
+    its code row 8 B, so the ADC scan reads ~6% of the corpus bytes
+    (and at 100 TB the code table is what stays hot)."""
+    tag = os.path.basename(corpus_path).removesuffix(".parquet")
+    codes_path = os.path.join(cache_dir, f"pq_{tag}_{m}x{ksub}.parquet")
+    books_path = os.path.join(
+        cache_dir, f"pq_{tag}_{m}x{ksub}_books.json"
+    )
+    if not (os.path.exists(codes_path) and os.path.exists(books_path)):
+        from openset_spark.pipeline.pq import pq_codebooks, pq_encode
+
+        corpus = spark.read.parquet(corpus_path)
+        books = pq_codebooks(
+            corpus, m=m, ksub=ksub, refine_iters=refine_iters,
+            method="numpy",
+        )
+        pq_encode(corpus, books, method="numpy").write.mode(
+            "overwrite"
+        ).parquet(codes_path)
+        with open(books_path, "w") as f:
+            json.dump(books, f)
+    return codes_path, books_path
 
 
 def _recall(approx: DataFrame, exact: DataFrame) -> float:
@@ -261,7 +299,27 @@ def run_scale_bench(
     )
     out["ivf_refined_sec"] = timed(ivf_r)
     out["ivf_refined_recall"] = round(_recall(ivf_r(), exact), 4)
+    # PQ/ADC (r8): flat code-table scan + exact re-rank against the
+    # ingest-time codebooks/codes — times the 16x-fewer-bytes path.
+    from openset_spark.pipeline.pq import pq_topk
+
+    codes_path, books_path = ensure_pq_index(spark, cpath, cache_dir)
+    pq_codes = spark.read.parquet(codes_path)
+    pq_codes.count()
+    with open(books_path) as f:
+        pq_books = json.load(f)
+    pq_q = lambda: pq_topk(  # noqa: E731
+        corpus,
+        queries,
+        k=K,
+        shortlist=PQ_SHORTLIST,
+        books=pq_books,
+        codes=pq_codes,
+    )
+    out["pq_sec"] = timed(pq_q)
+    out["pq_recall"] = round(_recall(pq_q(), exact), 4)
     exact.unpersist()
     out["lsh_speedup"] = round(out["brute_sec"] / max(out["lsh_sec"], 1e-9), 2)
     out["ivf_speedup"] = round(out["brute_sec"] / max(out["ivf_sec"], 1e-9), 2)
+    out["pq_speedup"] = round(out["brute_sec"] / max(out["pq_sec"], 1e-9), 2)
     return out

@@ -1,0 +1,384 @@
+"""Product-quantization (PQ) ANN — Jegou, Douze & Schmid, "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011), the FAISS
+``IndexPQ`` shape.
+
+Split each d-dim vector into M contiguous subvectors, vector-quantize
+every subspace to ``ksub`` centroids (a codebook of M * ksub * (d/M)
+floats — driver-literal tiny), and store M small codes per vector.
+Queries score candidates by Asymmetric Distance Computation (ADC):
+one per-query table of query-subvector-to-centroid distances, after
+which every candidate costs M table lookups + adds instead of d
+multiplies.
+
+Why this is the 100 TB path: the win is not FLOPs but BYTES. A
+64-dim fp32 embedding is 256 B; its M=8 code row is 8 B — the ADC
+scan reads ~3% of the bytes of a float scan, so the same cluster
+sweeps ~30x the corpus per unit time, then an exact re-rank touches
+only the shortlist. Vectors are normalized before encoding, so
+reduced-L2 ADC order is exactly monotone with cosine — the re-rank
+fixes quantization error, not metric mismatch.
+
+Spark-first shape (same rules as pipeline/similarity.py): codebooks
+train with a one-scan-per-iteration distributed Lloyd (the update
+shuffle is M * ksub * dsub partial rows, corpus-size independent);
+encode / ADC are FLAT codegen'd expression strings (nesting the dots
+inside transform() over a 2D literal drops out of codegen — measured
+in similarity._centroid_sims), built as ONE string so plan build
+stays O(1) py4j calls.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from openset_spark.functions.vector import dot, norm
+
+Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
+
+
+def _unit_vec_sql(vec_sql: str) -> str:
+    """Normalized copy of a vector column (zero-norm guarded)."""
+    n = f"sqrt(aggregate({vec_sql},0D,(a,v)->a+CAST(v AS DOUBLE)*v))"
+    return (
+        f"transform({vec_sql},"
+        f" x -> CAST(x AS DOUBLE) / (CASE WHEN {n} = 0D THEN 1D"
+        f" ELSE {n} END))"
+    )
+
+
+def _sub_l2_sql(vec_sql: str, s: int, dsub: int, cent: list[float]) -> str:
+    """Reduced squared L2 of subspace ``s`` of ``vec_sql`` vs a
+    centroid literal: ``-2 * dot(sub, c) + |c|^2`` — the ``|sub|^2``
+    term is constant per (row, subspace) so it cannot change an
+    argmin over centroids nor a sum-over-subspaces ranking.
+
+    The dot is FLAT indexed arithmetic (``v[i]*c_i + ...``), not
+    aggregate/zip_with: higher-order functions run INTERPRETED in
+    Spark, and at M*ksub copies the lambda forest also blew plan
+    analysis time to ~20-35s per action (measured at 128 terms);
+    the flat form codegens and plans in ms — same lesson as
+    similarity.lsh_buckets_array's 3072-term signatures."""
+    off = s * dsub
+    d = "+".join(
+        f"CAST({vec_sql}[{off + t}] AS DOUBLE)*{float(c)!r}D"
+        for t, c in enumerate(cent)
+    )
+    c2 = sum(float(x) * float(x) for x in cent)
+    return f"(-2D*({d})+{c2!r}D)"
+
+
+def _dist_array_sql(vec_sql: str, s: int, cents: list[list[float]]) -> str:
+    """``array<double>`` of reduced-L2 distances of subspace ``s``
+    vs every centroid in its codebook."""
+    dsub = len(cents[0])
+    return (
+        "array("
+        + ",".join(_sub_l2_sql(vec_sql, s, dsub, c) for c in cents)
+        + ")"
+    )
+
+
+def _encode_codes(df: DataFrame, nv_sql: str, books: Codebooks) -> DataFrame:
+    """Append ``_codes array<int>`` (per-subspace argmin centroid) to
+    ``df``. Two projections: distance ARRAYS first (flat codegen'd
+    arithmetic), then ``array_position(d, array_min(d)) - 1`` — the
+    first-match semantics of array_position IS the lowest-centroid-id
+    tie-break. The earlier named_struct + array_sort argmin ran
+    interpreted at ~2 ms/row (402 s for one Lloyd pass over 200k at
+    ksub=64); this form is plain arithmetic + two linear array scans."""
+    m = len(books)
+    dists = df.select(
+        "*",
+        *[
+            F.expr(_dist_array_sql(nv_sql, s, books[s])).alias(f"_d{s}")
+            for s in range(m)
+        ],
+    )
+    codes = ",".join(
+        f"CAST(array_position(_d{s}, array_min(_d{s})) - 1 AS INT)"
+        for s in range(m)
+    )
+    return dists.select(*df.columns, F.expr(f"array({codes})").alias("_codes"))
+
+
+def pq_dtab_expr(qvec_sql: str, books: Codebooks) -> Column:
+    """Per-query ADC lookup table ``array<array<double>>``:
+    ``dtab[s][j]`` = reduced-L2 of the query's subspace ``s`` vs
+    centroid ``j``. M * ksub expressions, one plan string."""
+    subs = []
+    for s, cents in enumerate(books):
+        dsub = len(cents[0])
+        subs.append(
+            "array("
+            + ",".join(_sub_l2_sql(qvec_sql, s, dsub, c) for c in cents)
+            + ")"
+        )
+    return F.expr("array(" + ",".join(subs) + ")")
+
+
+def _np_normalize(mat):
+    import numpy as np
+
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return mat / n
+
+
+def _np_codes(mat, books_np):
+    """(n, M) int32 codes for normalized rows ``mat`` — np.argmin's
+    first-match rule matches the SQL path's lowest-cid tie-break."""
+    import numpy as np
+
+    m = len(books_np)
+    dsub = books_np[0].shape[1]
+    out = np.empty((mat.shape[0], m), dtype=np.int32)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        c = books_np[s]
+        d = -2.0 * (sub @ c.T) + (c * c).sum(axis=1)
+        out[:, s] = np.argmin(d, axis=1)
+    return out
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "sql",
+) -> Codebooks:
+    """Train PQ codebooks: seed every subspace from the same
+    ``ksub``-vector hash-order sample (deterministic, clustering-free
+    — the ivf_index seeding rule), then ``refine_iters`` distributed
+    Lloyd rounds run over ALL subspaces in one corpus scan each: the
+    assignment is the codegen'd encode expression; the update is ONE
+    shuffle of (subspace, code, component) partial means — bounded by
+    M * ksub * dsub rows, never by corpus size. Trains on normalized
+    vectors (see module docstring).
+
+    ``method='sql'`` (default) keeps assignment as the codegen'd
+    expression — deterministic per engine, right for query-path
+    builds at modest ksub. ``method='numpy'`` runs assignment +
+    partial sums per Arrow batch (BLAS) — the INGEST-time bulk shape
+    for large ksub, where the M*ksub-term projection outgrows
+    whole-stage codegen's method limits and falls back to
+    interpreted eval (measured 402 s -> 78 s -> ~s per Lloyd pass on
+    200k x ksub=64 across struct-sort / flat-SQL / numpy)."""
+    unit = corpus.select(
+        F.col(id_col), F.expr(_unit_vec_sql(f"`{vec_col}`")).alias("_nv")
+    )
+    seeds = unit.orderBy(F.xxhash64(F.col(id_col))).limit(ksub).collect()
+    vecs = [[float(x) for x in r["_nv"]] for r in seeds]
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books: Codebooks = [
+        [v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(m)
+    ]
+    for _ in range(refine_iters):
+        if method == "numpy":
+            import numpy as np
+            import pandas as pd
+
+            books_np = [np.asarray(b, dtype=np.float64) for b in books]
+
+            def _partials(batches):
+                for pdf in batches:
+                    mat = np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["_nv"]]
+                    )
+                    if mat.size == 0:
+                        continue
+                    codes = _np_codes(mat, books_np)
+                    for s in range(m):
+                        sub = mat[:, s * dsub : (s + 1) * dsub]
+                        sums = np.zeros((ksub, dsub))
+                        cnts = np.zeros(ksub, dtype=np.int64)
+                        np.add.at(sums, codes[:, s], sub)
+                        np.add.at(cnts, codes[:, s], 1)
+                        nz = np.nonzero(cnts)[0]
+                        yield pd.DataFrame(
+                            {
+                                "s": np.full(len(nz) * dsub, s, dtype="int32"),
+                                "c": np.repeat(nz, dsub).astype("int32"),
+                                "t": np.tile(
+                                    np.arange(dsub, dtype="int32"), len(nz)
+                                ),
+                                "sm": sums[nz].ravel(),
+                                "cnt": np.repeat(cnts[nz], dsub),
+                            }
+                        )
+
+            stats = (
+                unit.select("_nv")
+                .mapInPandas(
+                    _partials, "s int, c int, t int, sm double, cnt long"
+                )
+                .groupBy("s", "c", "t")
+                .agg((F.sum("sm") / F.sum("cnt")).alias("m"))
+                .collect()
+            )
+        else:
+            coded = _encode_codes(unit.select("_nv"), "`_nv`", books)
+            stats = (
+                coded.select(F.posexplode("_nv").alias("p", "x"), "_codes")
+                .select(
+                    F.expr(f"p div {dsub}").cast("int").alias("s"),
+                    (F.col("p") % dsub).cast("int").alias("t"),
+                    F.expr(f"_codes[p div {dsub}]").alias("c"),
+                    F.col("x").cast("double").alias("x"),
+                )
+                .groupBy("s", "c", "t")
+                .agg(F.avg("x").alias("m"))
+                .collect()
+            )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in stats:
+            upd.setdefault((r.s, r.c), {})[r.t] = float(r.m)
+        books = [
+            [
+                # empty cells keep their previous centroid (standard
+                # Lloyd, same rule as ivf_index)
+                [upd[(s, j)][t] for t in range(dsub)]
+                if (s, j) in upd
+                else cent
+                for j, cent in enumerate(cents)
+            ]
+            for s, cents in enumerate(books)
+        ]
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "sql",
+) -> DataFrame:
+    """(id, codes array<int>) — the stored PQ index table. At scale
+    this is what gets written back (8 B/vector at M=8) and scanned by
+    ADC instead of the float corpus. ``method='numpy'`` encodes per
+    Arrow batch with BLAS — the ingest-time bulk path (see
+    :func:`pq_codebooks`); both paths share the argmin tie rule."""
+    if method == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        books_np = [np.asarray(b, dtype=np.float64) for b in books]
+
+        def _enc(batches):
+            for pdf in batches:
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                if mat.size == 0:
+                    continue
+                codes = _np_codes(_np_normalize(mat), books_np)
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col].values, "codes": list(codes)}
+                )
+
+        return corpus.select(id_col, vec_col).mapInPandas(
+            _enc, f"{id_col} long, codes array<int>"
+        )
+    # normalize into a real column FIRST: inlining the normalization
+    # into every one of the M*ksub distance terms re-evaluates it per
+    # term and multiplies the expression tree Catalyst must analyze
+    nv = corpus.select(
+        F.col(id_col), F.expr(_unit_vec_sql(f"`{vec_col}`")).alias("_nv")
+    )
+    return _encode_codes(nv, "`_nv`", books).select(
+        F.col(id_col), F.col("_codes").alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    shortlist: int = 64,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    books: Codebooks | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k with exact cosine re-rank: scan the code table once
+    per query batch (queries + their ADC tables broadcast), take the
+    ``shortlist`` best by ADC per query, join back the float vectors
+    for ONLY those rows, exact-cosine re-rank to top ``k``.
+
+    Pass ``books``/``codes`` (an ingest-time build) to skip training
+    and encoding on the query path. Output matches
+    similarity.ivf_topk: (query_id, vec_id, cos_sim, rank)."""
+    if books is None:
+        books = pq_codebooks(
+            corpus, m, ksub, refine_iters, id_col, vec_col
+        )
+    m = len(books)
+    if codes is None:
+        codes = pq_encode(corpus, books, id_col, vec_col)
+
+    # ADC scan rows stay NARROW: (query_id, id, adc) only. Carrying
+    # the query vector/norm through the 10M-row shortlist shuffle
+    # cost more than the scan itself (measured 36s -> re-join form
+    # below); the query frame is tiny and re-joins after the cut.
+    qtab = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.expr(_unit_vec_sql(f"`{vec_col}`")).alias("_qnv"),
+        ).select(
+            query_id_col, pq_dtab_expr("`_qnv`", books).alias("_dtab")
+        )
+    )
+    adc = "+".join(
+        f"element_at(_dtab,{s + 1})[_codes[{s}]]" for s in range(m)
+    )
+    scored = (
+        codes.withColumnRenamed("codes", "_codes")
+        .crossJoin(qtab)
+        .select(query_id_col, id_col, F.expr(adc).alias("_adc"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("_adc"), F.asc(id_col)
+    )
+    short = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    # join the float vectors back for the shortlist only — at scale
+    # the ADC scan never touches the float corpus
+    qvecs = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            norm(F.col(vec_col)).alias("_qnorm"),
+        )
+    )
+    rer = (
+        short.join(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+        .join(qvecs, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            (
+                dot(F.col(vec_col), F.col("_qvec"))
+                / (norm(F.col(vec_col)) * F.col("_qnorm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return rer.withColumn(
+        "rank", F.row_number().over(w2).cast("long")
+    ).filter(F.col("rank") <= k)
