@@ -2202,6 +2202,50 @@ SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
 """.replace("{P}", _SQL_DEDUP_NGRAM_JACCARD)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atomic near-dup resolution keeping the HIGHEST-QUALITY
+    doc per duplicate family (tie -> lower id) instead of min-id —
+    components from the same exact-Jaccard pair set as
+    dedup_clusters, keeper via one window over (cluster). Oracle =
+    recursive-CTE closure + identical quality CTE + the same window.
+    NEW r8."""
+    from openset_spark.pipeline.dedup import dedup_keep_best
+    from openset_spark.pipeline.textstats import quality_score
+
+    docs = _docs(spark, sf_dir)
+    return dedup_keep_best(
+        quality_score(docs).select("doc_id", "quality"),
+        jaccard_pairs(docs, threshold=0.6),
+    )
+
+
+_SQL_DEDUP_KEEP_BEST = """
+WITH RECURSIVE p AS ({P}),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+),
+cl AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM reach GROUP BY a
+),
+q AS ({Q}),
+j AS (
+  SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id,
+         q.quality
+  FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id
+)
+SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, quality,
+  (row_number() OVER (
+     PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+   ) = 1) AS keep
+FROM j
+""".replace("{P}", _SQL_DEDUP_NGRAM_JACCARD).replace(
+    "{Q}", _SQL_QUALITY_SCORE
+)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing plan at L=512 over the corpus token
     stream in doc_id order: one row per (sequence, document piece)
@@ -3406,6 +3450,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "embedding_gram": q_embedding_gram,
         "ann_pq": q_ann_pq,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -3599,6 +3644,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": _SQL_DSIR_RESAMPLE,
         "embedding_gram": _SQL_EMBEDDING_GRAM,
         "ann_pq": _SQL_ANN_RECALL_OK,
+        "dedup_keep_best": _SQL_DEDUP_KEEP_BEST,
         "event_agg_by_day": _SQL_EVENT_AGG_BY_DAY,
         "event_agg_two_level": _SQL_EVENT_AGG_TWO_LEVEL,
         "event_agg_rollup": _SQL_EVENT_AGG_ROLLUP,

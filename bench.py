@@ -95,7 +95,32 @@ def _bench_impls():
         "ann_ivf": lambda s, d: ivf_topk(
             *ann_inputs(s, d), k=10, n_lists=16, nprobe=4
         ),
+        # registry ann_pq is a recall-verification frame (runs brute
+        # force in-plan); bench times the production PQ path alone
+        "ann_pq": lambda s, d: _pq_prod(s, d),
     }
+
+
+def _pq_prod(s, d):
+    from openset_spark.pipeline.pq import pq_topk
+
+    embs, qs = _ann_inputs_for_pq(s, d)
+    return pq_topk(embs, qs, k=10, m=8, ksub=16, shortlist=192,
+                   refine_iters=1)
+
+
+def _ann_inputs_for_pq(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from openset_spark.sources.tables import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = embs.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return embs, qs
 
 
 def main() -> None:
@@ -222,6 +247,7 @@ def main() -> None:
                 "chunk_windows",
                 "dsir_resample",
                 "embedding_gram",
+                "ann_pq",
             ):
                 samples = []
                 for _ in range(

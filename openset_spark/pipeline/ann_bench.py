@@ -315,6 +315,7 @@ def run_scale_bench(
         shortlist=PQ_SHORTLIST,
         books=pq_books,
         codes=pq_codes,
+        adc_method="numpy",
     )
     out["pq_sec"] = timed(pq_q)
     out["pq_recall"] = round(_recall(pq_q(), exact), 4)

@@ -743,3 +743,44 @@ def containment_pairs(
             F.round(cont, 6).alias("containment"),
         )
     )
+
+
+def dedup_keep_best(
+    scored: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cluster-atomic near-dup resolution keeping the HIGHEST-QUALITY
+    representative per duplicate family (ties on the lower id) — the
+    production alternative to the min-id keeper: when a template
+    family mixes a clean original with mangled copies, min-id keeps
+    whichever crawled first; this keeps the best one.
+
+    ``scored`` is (id, ..., score) — e.g. textstats.quality_score;
+    ``pairs`` the candidate pair set (exact-Jaccard or LSH). Output
+    is one row per scored doc: (id, cluster_id, score, keep).
+    Singletons (docs in no pair) are their own cluster and kept.
+
+    Scale shape: components come from dup_clusters (O(log n) star
+    rounds / driver union-find short-circuit); the keeper choice is
+    ONE window over (cluster) — the shuffle carries (id, cluster,
+    score) triples only, never text. The scored frame joins the
+    (small) cluster labels with a broadcast-friendly left join."""
+    clusters = dup_clusters(pairs, id_a=id_a, id_b=id_b)
+    joined = scored.join(
+        clusters.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return joined.withColumn("_rn", F.row_number().over(w)).select(
+        F.col(id_col),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col(score_col),
+        (F.col("_rn") == 1).alias("keep"),
+    )

@@ -9,13 +9,14 @@ adaptive suffix length), I_4x4 and I_16x16 macroblocks with all nine
 4x4 / four 16x16 / four chroma intra prediction modes plus I_PCM,
 the 4x4 integer inverse transform with the Intra16x16 luma Hadamard
 DC and the 2x2 chroma DC, per-macroblock QP deltas with the chroma
-QP mapping, frame cropping, and multiple slices per picture. Inter
-frames (P/B), CABAC and the in-loop deblocking filter are out of
-scope: this kernel serves corpus keyframe EXTRACTION, where streams
-are decoded at their IDR access points (the frame-sampling step of a
-video ingest), and the in-test encoder emits
-``disable_deblocking_filter_idc=1`` streams, which the decoder
-requires and real encoders can produce.
+QP mapping, frame cropping, multiple slices per picture, and the
+full in-loop deblocking filter (8.7: strong/normal modes, alpha/
+beta/tC0 tables, slice alpha/beta offsets, idc 0/1/2 incl. the
+don't-cross-slice-boundaries mode; bS derivation collapses to 4 on
+MB edges / 3 on internal edges for intra-only pictures). Inter
+frames (P/B) and CABAC are out of scope: this kernel serves corpus
+keyframe EXTRACTION, where streams are decoded at their IDR access
+points (the frame-sampling step of a video ingest).
 
 Verification mirrors ``pipeline/vp8.py``: exact-pixel YUV round
 trips against an in-test H.264 ENCODER (tests/test_h264.py) across
@@ -847,6 +848,9 @@ class _Frame:
         self.decoded4 = [[False] * bw for _ in range(bh)]
         self.is_i4 = [[False] * self.mb_w for _ in range(self.mb_h)]
         self.mb_slice = [[-1] * self.mb_w for _ in range(self.mb_h)]
+        # per-MB luma QP for the deblocking filter (8.7); I_PCM MBs
+        # record 0 per the qPp derivation rule
+        self.mb_qp = [[0] * self.mb_w for _ in range(self.mb_h)]
 
     # ---- availability -------------------------------------------------
     def mb_avail(self, mbx, mby, cur_slice):
@@ -1019,6 +1023,7 @@ def _decode_i4x4(br, frame, mbx, mby, qp, cur_slice):
         frame.mode4[by][bx] = mode  # later blocks predict from it
     chroma_mode = br.ue()
     cbp_luma, cbp_chroma, qp = _parse_cbp_qp(br, frame, qp, False)
+    frame.mb_qp[mby][mbx] = qp
 
     # residual parse (z-scan), tracking nnz for nC contexts
     blocks = []
@@ -1061,6 +1066,7 @@ def _decode_i16x16(br, frame, mbx, mby, qp, cur_slice, mb_type):
     cbp_luma = 15 if (mb_type - 1) >= 12 else 0
     chroma_mode = br.ue()
     _, _, qp = _parse_cbp_qp(br, frame, qp, True)
+    frame.mb_qp[mby][mbx] = qp
 
     # DC block: nC context of luma block 0
     bx0, by0 = mbx * 4, mby * 4
@@ -1181,6 +1187,171 @@ def _recon_chroma(frame, mbx, mby, mode, chroma_res, qp_y, cur_slice):
                     )
 
 
+# ---- in-loop deblocking filter (8.7) -------------------------------
+# Tables 8-16 / 8-17: alpha/beta thresholds and t'C0 clipping values,
+# indexed by indexA/indexB = Clip3(0, 51, qPav + slice offset).
+_DB_ALPHA = [0] * 16 + [
+    4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+    40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182,
+    203, 226, 255, 255,
+]
+_DB_BETA = [0] * 16 + [
+    2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10,
+    11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18,
+]
+# t'C0 rows for bS = 1, 2, 3
+_DB_TC0 = {
+    1: [0] * 16 + [
+        0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
+        2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13,
+    ],
+    2: [0] * 16 + [
+        0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3,
+        4, 4, 4, 5, 5, 6, 6, 7, 8, 8, 9, 10, 12, 13, 15, 17,
+    ],
+    3: [0] * 16 + [
+        0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4,
+        4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25,
+    ],
+}
+
+
+def _clip3(lo, hi, v):
+    return lo if v < lo else hi if v > hi else v
+
+
+def _filter_line(buf, bs, alpha, beta, tc0, chroma):
+    """Filter one 8-sample line across an edge IN PLACE.
+    ``buf`` = [p3, p2, p1, p0, q0, q1, q2, q3] (p-side first)."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = buf
+    if not (
+        abs(p0 - q0) < alpha and abs(p1 - p0) < beta and abs(q1 - q0) < beta
+    ):
+        return
+    ap = abs(p2 - p0) < beta
+    aq = abs(q2 - q0) < beta
+    if bs == 4:
+        if chroma:
+            buf[3] = (2 * p1 + p0 + q1 + 2) >> 2
+            buf[4] = (2 * q1 + q0 + p1 + 2) >> 2
+            return
+        strong = abs(p0 - q0) < (alpha >> 2) + 2
+        if ap and strong:
+            buf[3] = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+            buf[2] = (p2 + p1 + p0 + q0 + 2) >> 2
+            buf[1] = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+        else:
+            buf[3] = (2 * p1 + p0 + q1 + 2) >> 2
+        if aq and strong:
+            buf[4] = (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3
+            buf[5] = (q2 + q1 + q0 + p0 + 2) >> 2
+            buf[6] = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+        else:
+            buf[4] = (2 * q1 + q0 + p1 + 2) >> 2
+        return
+    # bS 1..3: clipped delta on p0/q0 (+ p1/q1 for luma)
+    tc = tc0 + 1 if chroma else tc0 + (1 if ap else 0) + (1 if aq else 0)
+    delta = _clip3(-tc, tc, ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3)
+    buf[3] = _clip(p0 + delta)
+    buf[4] = _clip(q0 - delta)
+    if not chroma:
+        if ap:
+            buf[2] = p1 + _clip3(
+                -tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1
+            )
+        if aq:
+            buf[5] = q1 + _clip3(
+                -tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1
+            )
+
+
+def _deblock_edges(plane, x0, y0, span, vertical, bs, qpav, a_off, b_off, chroma):
+    """Filter ``span`` lines of one edge of ``plane``; the edge sits
+    LEFT of column x0 (vertical) or ABOVE row y0 (horizontal)."""
+    idx_a = _clip3(0, 51, qpav + a_off)
+    idx_b = _clip3(0, 51, qpav + b_off)
+    alpha = _DB_ALPHA[idx_a]
+    beta = _DB_BETA[idx_b]
+    if alpha == 0 or beta == 0:
+        return
+    tc0 = 0 if bs == 4 else _DB_TC0[bs][idx_a]
+    for k in range(span):
+        if vertical:
+            row = plane[y0 + k]
+            buf = [row[x0 - 4 + i] for i in range(8)]
+            _filter_line(buf, bs, alpha, beta, tc0, chroma)
+            for i in range(1, 7):  # p3/q3 never change
+                row[x0 - 4 + i] = buf[i]
+        else:
+            x = x0 + k
+            buf = [plane[y0 - 4 + i][x] for i in range(8)]
+            _filter_line(buf, bs, alpha, beta, tc0, chroma)
+            for i in range(1, 7):
+                plane[y0 - 4 + i][x] = buf[i]
+
+
+def deblock_frame(frame: "_Frame", slice_deblock) -> None:
+    """8.7 for intra-only pictures: per MB in raster order, all
+    vertical edges left-to-right then all horizontal edges
+    top-to-bottom, filtering in place so later edges read earlier
+    edges' output (the spec's sequential semantics). bS derivation
+    collapses for I slices: 4 on macroblock edges, 3 on internal
+    transform edges. idc=1 disables the MB's slice entirely; idc=2
+    skips edges that cross a slice boundary. I_PCM macroblocks take
+    qPp = 0 (frame.mb_qp records that at decode time)."""
+    co = frame.pps["chroma_qp_index_offset"]
+    for mby in range(frame.mb_h):
+        for mbx in range(frame.mb_w):
+            sl = frame.mb_slice[mby][mbx]
+            idc, a_off, b_off = slice_deblock[sl]
+            if idc == 1:
+                continue
+            qp_cur = frame.mb_qp[mby][mbx]
+
+            def edge_sets(n_mbx, n_mby):
+                """(bs, qpav_luma, qpav_chroma) for the MB-boundary
+                edge vs neighbor, or None if it must not filter."""
+                if n_mbx < 0 or n_mby < 0:
+                    return None
+                if (
+                    idc == 2
+                    and frame.mb_slice[n_mby][n_mbx] != sl
+                ):
+                    return None
+                qp_n = frame.mb_qp[n_mby][n_mbx]
+                qpav = (qp_cur + qp_n + 1) >> 1
+                qpav_c = (
+                    _chroma_qp(qp_cur, co) + _chroma_qp(qp_n, co) + 1
+                ) >> 1
+                return 4, qpav, qpav_c
+
+            qpc = _chroma_qp(qp_cur, co)
+            x16, y16 = mbx * 16, mby * 16
+            x8, y8 = mbx * 8, mby * 8
+            # vertical edges, left to right
+            left = edge_sets(mbx - 1, mby)
+            if left is not None:
+                bs, qa, qac = left
+                _deblock_edges(frame.y, x16, y16, 16, True, bs, qa, a_off, b_off, False)
+                _deblock_edges(frame.u, x8, y8, 8, True, bs, qac, a_off, b_off, True)
+                _deblock_edges(frame.v, x8, y8, 8, True, bs, qac, a_off, b_off, True)
+            for xe in (4, 8, 12):
+                _deblock_edges(frame.y, x16 + xe, y16, 16, True, 3, qp_cur, a_off, b_off, False)
+            _deblock_edges(frame.u, x8 + 4, y8, 8, True, 3, qpc, a_off, b_off, True)
+            _deblock_edges(frame.v, x8 + 4, y8, 8, True, 3, qpc, a_off, b_off, True)
+            # horizontal edges, top to bottom
+            top = edge_sets(mbx, mby - 1)
+            if top is not None:
+                bs, qa, qac = top
+                _deblock_edges(frame.y, x16, y16, 16, False, bs, qa, a_off, b_off, False)
+                _deblock_edges(frame.u, x8, y8, 8, False, bs, qac, a_off, b_off, True)
+                _deblock_edges(frame.v, x8, y8, 8, False, bs, qac, a_off, b_off, True)
+            for ye in (4, 8, 12):
+                _deblock_edges(frame.y, x16, y16 + ye, 16, False, 3, qp_cur, a_off, b_off, False)
+            _deblock_edges(frame.u, x8, y8 + 4, 8, False, 3, qpc, a_off, b_off, True)
+            _deblock_edges(frame.v, x8, y8 + 4, 8, False, 3, qpc, a_off, b_off, True)
+
+
 def _parse_slice_header(br, nal_type, sps_map, pps_map):
     first_mb = br.ue()
     slice_type = br.ue()
@@ -1199,19 +1370,19 @@ def _parse_slice_header(br, nal_type, sps_map, pps_map):
         br.u(1)  # no_output_of_prior_pics
         br.u(1)  # long_term_reference_flag
     qp = pps["pic_init_qp"] + br.se()
+    idc, a_off, b_off = 0, 0, 0
     if pps["deblocking_control"]:
         idc = br.ue()
+        if idc > 2:
+            raise ValueError(f"invalid disable_deblocking_filter_idc {idc}")
         if idc != 1:
-            raise NotImplementedError(
-                "in-loop deblocking not implemented: stream must set "
-                "disable_deblocking_filter_idc=1"
-            )
-    else:
-        raise NotImplementedError(
-            "in-loop deblocking not implemented: stream must carry "
-            "deblocking_filter_control_present_flag=1 and disable it"
-        )
-    return sps, pps, {"first_mb": first_mb, "qp": qp}
+            a_off = br.se() * 2  # slice_alpha_c0_offset_div2
+            b_off = br.se() * 2  # slice_beta_offset_div2
+    return sps, pps, {
+        "first_mb": first_mb,
+        "qp": qp,
+        "deblock": (idc, a_off, b_off),
+    }
 
 
 def decode_h264_frame(data: bytes):
@@ -1222,6 +1393,7 @@ def decode_h264_frame(data: bytes):
     pps_map: dict[int, dict] = {}
     frame = None
     slice_idx = 0
+    slice_deblock: list[tuple[int, int, int]] = []
     for nal in split_nals(data):
         if not nal:
             continue
@@ -1240,12 +1412,16 @@ def decode_h264_frame(data: bytes):
             )
             if frame is None:
                 frame = _Frame(sps, pps)
+            slice_deblock.append(header["deblock"])
             end = _decode_slice(br, frame, slice_idx, header)
             slice_idx += 1
             if end >= frame.mb_w * frame.mb_h:
                 break
     if frame is None:
         raise ValueError("no decodable H.264 slice found")
+    # in-loop deblocking runs over the FULL decoded picture, before
+    # cropping (8.7: a separate per-MB pass after reconstruction)
+    deblock_frame(frame, slice_deblock)
     cl, cr, ct, cb = frame.sps["crop"]
     W, H = frame.mb_w * 16, frame.mb_h * 16
     w = W - 2 * (cl + cr)

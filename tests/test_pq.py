@@ -183,3 +183,31 @@ def test_pq_codebooks_numpy_close_to_sql(spark):
         for j in range(4):
             for t in range(4):
                 assert abs(bs[s][j][t] - bn[s][j][t]) < 1e-9
+
+
+def test_pq_adc_numpy_matches_sql_path(spark):
+    import random
+
+    rng = random.Random(21)
+    df = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(150)],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    queries = df.filter(F.col("vec_id") % 30 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_codebooks(df, m=2, ksub=8, refine_iters=1)
+    a = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in pq_topk(
+            df, queries, k=5, shortlist=20, books=books
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.vec_id, r.rank)
+        for r in pq_topk(
+            df, queries, k=5, shortlist=20, books=books,
+            adc_method="numpy",
+        ).collect()
+    )
+    assert a == b

@@ -568,3 +568,24 @@ def test_embedding_gram_blas_matches_exact(spark):
         assert fast[k][0] == n
         # exact path is ROUND(...,4): allow the half-ulp of that grid
         assert abs(fast[k][1] - sxy) < 6e-5
+
+
+def test_dedup_keep_best_picks_quality_then_id(spark):
+    from openset_spark.pipeline.dedup import dedup_keep_best
+
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.7), (9, 0.1)],
+        "doc_id long, quality double",
+    )
+    # {1,2,3} one family (chain), {4} paired with nothing in scored?
+    # no - pairs only among scored ids; 9 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    rows = {r.doc_id: r for r in dedup_keep_best(scored, pairs).collect()}
+    assert [rows[i].cluster_id for i in (1, 2, 3)] == [1, 1, 1]
+    # 2 and 3 tie on quality 0.9 -> lower id 2 kept
+    assert rows[2].keep and not rows[3].keep and not rows[1].keep
+    # singletons keep themselves
+    assert rows[4].keep and rows[4].cluster_id == 4
+    assert rows[9].keep and rows[9].cluster_id == 9
