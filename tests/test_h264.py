@@ -209,7 +209,8 @@ def encode_residual_block(w: BW, coeffs: list[int], n_c: int):
 # macroblock encoder (bookkeeping mirrors the decoder via _Frame)
 # ------------------------------------------------------------------
 def encode_frame(mb_w, mb_h, mbs, pic_init_qp=26, chroma_offset=0,
-                 crop=(0, 0, 0, 0), slice_starts=(0,)):
+                 crop=(0, 0, 0, 0), slice_starts=(0,),
+                 deblock=(1, 0, 0)):
     """mbs: list (raster order) of per-MB dicts:
     {"type": "i4"|"i16"|"pcm", "modes": [16]|int, "chroma_mode": int,
      "cbp_luma": int, "cbp_chroma": int, "qp_delta": int,
@@ -237,7 +238,11 @@ def encode_frame(mb_w, mb_h, mbs, pic_init_qp=26, chroma_offset=0,
         w.u(0, 1)
         w.u(0, 1)
         w.se(0)  # slice_qp_delta
-        w.ue(1)  # disable_deblocking_filter_idc
+        idc, a_div2, b_div2 = deblock
+        w.ue(idc)  # disable_deblocking_filter_idc
+        if idc != 1:
+            w.se(a_div2)  # slice_alpha_c0_offset_div2
+            w.se(b_div2)  # slice_beta_offset_div2
         qp = pic_init_qp
         for addr in range(first, endmb):
             mbx, mby = addr % mb_w, addr // mb_w
