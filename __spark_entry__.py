@@ -2494,78 +2494,73 @@ _DRIVER_WINDOW = 50
 
 
 def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-8 window (VERDICT r7 asks #2): close cumulative coverage.
-    # The 5 never-driver-green keys (dsir_weights + the four late-r7
-    # IR/winnowing keys) take slots alongside the 34 keys whose last
-    # green is r6 (the 30 r7-rested veterans + user_event_type_sets /
-    # osl_customer_write / osl_return_first / ann_lsh — stale at >r9).
-    # Family reps with no other in-window coverage stay (decontam,
-    # sampling, retention_maintenance) plus two confirming r7-greens
-    # (dedup_exact, quality_score). Six NEW r8 keys are placed
-    # directly in-window for a first-round green: char_entropy,
-    # readability, vocab_growth, embedding_centroids,
-    # containment_pairs, sample_per_stratum. The 45 remaining
-    # r7-greens rest in extras (due back by r10). Ledger: COVERAGE.md.
+    # Round-9 window (VERDICT r8 ask #2): the 13 never-driver-green
+    # late-r8 keys all take slots, alongside 35 of the 47 veterans
+    # whose last green is r7 (rested through r8, stale at >r10) and
+    # the two sole family reps with no other coverage (decontam,
+    # sampling). The 12 remaining veterans are deferred to the r10
+    # window (marked in _extra_queries); the 48 r8-green keys rest in
+    # extras and are due back by r11. Ledger: COVERAGE.md.
     return {
-        # relational (promoted r8: last green r6)
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q9_style": q_tpch_q9_style,
-        "tpch_q18_style": q_tpch_q18_style,
-        "top_customers": q_top_customers,
-        # event engine (promoted r8)
-        "event_agg_by_day": q_event_agg_by_day,
-        "event_agg_two_level": q_event_agg_two_level,
-        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
-        "last_purchase_per_user": q_last_purchase_per_user,
-        "row_count_distribution": q_row_count_distribution,
-        "purchases_by_quarter": q_purchases_by_quarter,
-        "events_with_user_dim": q_events_with_user_dim,
-        # behavioral (promoted r8)
-        "session_stats": q_session_stats,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "monthly_retention": q_monthly_retention,
-        "next_session_transitions": q_next_session_transitions,
-        "days_to_convert": q_days_to_convert,
-        # OSL + segments (promoted r8)
-        "osl_histogram_weeks": q_osl_histogram_weeks,
-        "segment_counts": q_segment_counts,
-        "segment_algebra": q_segment_algebra,
-        "osl_customer_write": q_osl_customer_write,
-        "osl_return_first": q_osl_return_first,
-        # property counts (promoted r8)
-        "property_counts": q_property_counts,
-        "property_counts_rx": q_property_counts_rx,
-        "property_counts_between": q_property_counts_between,
-        "user_event_type_sets": q_user_event_type_sets,
-        # pipeline: dedup/text (promoted r8)
-        "dedup_exact_keep": q_dedup_exact_keep,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_stats": q_text_stats,
-        "clean_documents": q_clean_documents,
-        "top_bigrams": q_top_bigrams,
-        "token_counts": q_token_counts,
-        "ann_lsh": q_ann_lsh,
-        # never-driver-green cohort (VERDICT r7 ask: all 5 in-window)
-        "dsir_weights": q_dsir_weights,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_search": q_bm25_search,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_matches": q_winnow_matches,
-        # sole in-window family reps (r7-green, confirming)
+        # relational (promoted r9: rested r8, last green r7)
+        "tpch_q1": q_tpch_q1,
+        "tpch_q7_style": q_tpch_q7_style,
+        "tpch_q10_style": q_tpch_q10_style,
+        # event engine (promoted r9)
+        "event_agg_by_type": q_event_agg_by_type,
+        "user_purchase_totals": q_user_purchase_totals,
+        "first_events_per_user": q_first_events_per_user,
+        "top_event_types_per_day": q_top_event_types_per_day,
+        "zorder_first_rows": q_zorder_first_rows,
+        # behavioral (promoted r9)
+        "session_counts": q_session_counts,
+        "session_length_quantiles": q_session_length_quantiles,
+        "funnel_within_hour": q_funnel_within_hour,
+        "next_event_transitions": q_next_event_transitions,
+        "weekly_retention": q_weekly_retention,
+        "customer_timeline": q_customer_timeline,
+        # OSL + segments (promoted r9)
+        "segment_sequence_counts": q_segment_sequence_counts,
+        "textual_user_core": q_textual_user_core,
+        "osl_event_agg": q_osl_event_agg,
+        "osl_agg_options": q_osl_agg_options,
+        "osl_script_counter": q_osl_script_counter,
+        # property counts / histograms / props (promoted r9)
+        "property_counts_bucketed": q_property_counts_bucketed,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "histogram_spend_clipped": q_histogram_spend_clipped,
+        "props_json_extract": q_props_json_extract,
+        # retention maintenance (promoted r9)
+        "retention_cap": q_retention_cap,
+        # pipeline: dedup / ann / text / packing (promoted r9)
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "pack_sequences": q_pack_sequences,
+        "mixture_select": q_mixture_select,
+        "lm_perplexity": q_lm_perplexity,
+        # sole in-window family reps (r8-green, confirming)
         "contamination_check": q_contamination_check,
         "token_budget_select": q_token_budget_select,
-        "retention_cull": q_retention_cull,
-        # NEW r8: first-round green targets
-        "source_overlap": q_source_overlap,
-        "collocations": q_collocations,
-        "char_entropy": q_char_entropy,
-        "readability": q_readability,
-        "vocab_growth": q_vocab_growth,
-        "embedding_centroids": q_embedding_centroids,
-        "containment_pairs": q_containment_pairs,
-        "sample_per_stratum": q_sample_per_stratum,
+        # never-driver-green cohort (VERDICT r8 ask #2: all 13 in-window)
+        "zipf_fit": q_zipf_fit,
+        "kneser_ney_score": q_kneser_ney_score,
+        "dup_span_fraction": q_dup_span_fraction,
+        "keyword_tags": q_keyword_tags,
+        "leakage_safe_split": q_leakage_safe_split,
+        "gopher_quality": q_gopher_quality,
+        "lexical_diversity": q_lexical_diversity,
+        "oov_rate": q_oov_rate,
+        "chunk_windows": q_chunk_windows,
+        "dsir_resample": q_dsir_resample,
+        "embedding_gram": q_embedding_gram,
+        "ann_pq": q_ann_pq,
+        "dedup_keep_best": q_dedup_keep_best,
     }
 
 
@@ -3382,75 +3377,74 @@ FROM m
 
 
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Demoted round 8: all 45 were driver-green in r7 — freshest keys
-    # in the ledger, resting while the r6-green cohort and the five
-    # never-green keys take the window. Every entry below still
-    # replays its oracle vs DuckDB on each local pytest run
-    # (tests/test_correctness.py); rotation brings them back by r10.
+    # Two cohorts: 48 keys driver-green in r8 (freshest in the
+    # ledger, resting; due back by r11) and 12 veterans deferred from
+    # the r9 rotation (last green r7 — they MUST take r10 window
+    # slots). Every entry still replays its oracle vs DuckDB on each
+    # local pytest run (tests/test_correctness.py).
     return {
-        "tpch_q1": q_tpch_q1,
-        "tpch_q7_style": q_tpch_q7_style,
-        "tpch_q10_style": q_tpch_q10_style,
-        "retention_cap": q_retention_cap,
-        "event_agg_by_type": q_event_agg_by_type,
+        # demoted r9: driver-green in r8, due back by r11
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q9_style": q_tpch_q9_style,
+        "tpch_q18_style": q_tpch_q18_style,
+        "top_customers": q_top_customers,
+        "event_agg_by_day": q_event_agg_by_day,
+        "event_agg_two_level": q_event_agg_two_level,
+        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
+        "last_purchase_per_user": q_last_purchase_per_user,
+        "row_count_distribution": q_row_count_distribution,
+        "purchases_by_quarter": q_purchases_by_quarter,
+        "events_with_user_dim": q_events_with_user_dim,
+        "session_stats": q_session_stats,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "monthly_retention": q_monthly_retention,
+        "next_session_transitions": q_next_session_transitions,
+        "days_to_convert": q_days_to_convert,
+        "osl_histogram_weeks": q_osl_histogram_weeks,
+        "segment_counts": q_segment_counts,
+        "segment_algebra": q_segment_algebra,
+        "osl_customer_write": q_osl_customer_write,
+        "osl_return_first": q_osl_return_first,
+        "property_counts": q_property_counts,
+        "property_counts_rx": q_property_counts_rx,
+        "property_counts_between": q_property_counts_between,
+        "user_event_type_sets": q_user_event_type_sets,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "clean_documents": q_clean_documents,
+        "top_bigrams": q_top_bigrams,
+        "token_counts": q_token_counts,
+        "ann_lsh": q_ann_lsh,
+        "dsir_weights": q_dsir_weights,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_matches": q_winnow_matches,
+        "retention_cull": q_retention_cull,
+        "source_overlap": q_source_overlap,
+        "collocations": q_collocations,
+        "char_entropy": q_char_entropy,
+        "readability": q_readability,
+        "vocab_growth": q_vocab_growth,
+        "embedding_centroids": q_embedding_centroids,
+        "containment_pairs": q_containment_pairs,
+        "sample_per_stratum": q_sample_per_stratum,
+        # deferred veterans (last green r7, MUST window in r10)
         "event_agg_rollup": q_event_agg_rollup,
-        "user_purchase_totals": q_user_purchase_totals,
         "recent_purchase_totals": q_recent_purchase_totals,
-        "first_events_per_user": q_first_events_per_user,
-        "top_event_types_per_day": q_top_event_types_per_day,
-        "props_json_extract": q_props_json_extract,
-        "zorder_first_rows": q_zorder_first_rows,
-        "session_counts": q_session_counts,
-        "session_counts_5min": q_session_counts_5min,
-        "session_length_quantiles": q_session_length_quantiles,
-        "funnel_within_hour": q_funnel_within_hour,
-        "next_event_transitions": q_next_event_transitions,
-        "top_paths": q_top_paths,
-        "weekly_retention": q_weekly_retention,
-        "customer_timeline": q_customer_timeline,
-        "segment_sequence_counts": q_segment_sequence_counts,
-        "textual_user_core": q_textual_user_core,
-        "osl_event_agg": q_osl_event_agg,
-        "osl_funnel_continue": q_osl_funnel_continue,
-        "osl_segment_counts": q_osl_segment_counts,
-        "osl_script_counter": q_osl_script_counter,
-        "osl_agg_options": q_osl_agg_options,
-        "property_counts_bucketed": q_property_counts_bucketed,
-        "property_counts_by_segment": q_property_counts_by_segment,
-        "histogram_spend_clipped": q_histogram_spend_clipped,
         "histogram_by_type": q_histogram_by_type,
         "histogram_weeks_since": q_histogram_weeks_since,
-        "dedup_minhash": q_dedup_minhash,
+        "osl_funnel_continue": q_osl_funnel_continue,
+        "osl_segment_counts": q_osl_segment_counts,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
-        "substring_dup_pairs": q_substring_dup_pairs,
-        "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
-        "lang_id": q_lang_id,
+        "session_counts_5min": q_session_counts_5min,
+        "top_paths": q_top_paths,
         "doc_fingerprint": q_doc_fingerprint,
         "repetition_signals": q_repetition_signals,
-        "dedup_clusters": q_dedup_clusters,
-        "pack_sequences": q_pack_sequences,
-        "mixture_select": q_mixture_select,
-        "lm_perplexity": q_lm_perplexity,
-        # swapped out for the late-r8 corpus-stats keys (both
-        # r7-green; their families stay covered in-window)
-        "dedup_exact": q_dedup_exact,
-        "quality_score": q_quality_score,
-        # NEW late-r8 (never windowed yet — window in r9):
-        "zipf_fit": q_zipf_fit,
-        "kneser_ney_score": q_kneser_ney_score,
-        "dup_span_fraction": q_dup_span_fraction,
-        "keyword_tags": q_keyword_tags,
-        "leakage_safe_split": q_leakage_safe_split,
-        "gopher_quality": q_gopher_quality,
-        "lexical_diversity": q_lexical_diversity,
-        "oov_rate": q_oov_rate,
-        "chunk_windows": q_chunk_windows,
-        "dsir_resample": q_dsir_resample,
-        "embedding_gram": q_embedding_gram,
-        "ann_pq": q_ann_pq,
-        "dedup_keep_best": q_dedup_keep_best,
     }
 
 

@@ -1,9 +1,16 @@
 #!/usr/bin/env python
 """Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints TWO JSON lines: first the
+full record (headline + auxiliary pipeline_r*/skew/ann_scale
+sections), then a COMPACT final line with just
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "sf": ...}
-"""
+ "sf": ..., "calibration_sec": ...}
+so a consumer that keeps only the tail of stdout (or parses the last
+line) always sees an intact headline record. ``calibration_sec``
+times a fixed pure-python busy loop on this host right before the
+suite — cross-round headline deltas should be read against it (the
+benchmark host shows 1.2-1.5x tenancy swings on identical code;
+see SURVEY §7)."""
 
 from __future__ import annotations
 
@@ -71,8 +78,15 @@ def _bench_impls():
     from openset_spark.pipeline.sampling import leakage_safe_split
 
     def _leakage_split_prod(s, d):
+        # production shape (VERDICT r8 ask #7): the corpus-prep chain
+        # materializes the component frame ONCE (its build cost is the
+        # dedup_clusters bench entry above) and the split reuses it
+        # via comps= — one left join + column expressions.
         dd = docs(s, d)
-        return leakage_safe_split(dd, minhash_candidates(dd))
+        if d not in _COMPS_CACHE:
+            comps = dup_clusters(minhash_candidates(dd)).localCheckpoint()
+            _COMPS_CACHE[d] = comps
+        return leakage_safe_split(dd, comps=_COMPS_CACHE[d])
 
     return {
         "dedup_minhash": lambda s, d: minhash_candidates(docs(s, d)),
@@ -101,12 +115,51 @@ def _bench_impls():
     }
 
 
+_COMPS_CACHE: dict[str, object] = {}
+
+# Ingest-time PQ index, built once per sf_dir (VERDICT r8 ask #4):
+# at scale nobody trains codebooks or encodes the corpus inside the
+# query — books/codes are written at ingest like the LSH/IVF bucket
+# indexes. The build is timed separately as pipeline_r8.ann_pq_build.
+_PQ_INDEX: dict[str, tuple] = {}
+
+
+def _pq_build(s, d):
+    from openset_spark.pipeline.pq import pq_codebooks, pq_encode
+
+    if d not in _PQ_INDEX:
+        embs, _ = _ann_inputs_for_pq(s, d)
+        books = pq_codebooks(embs, m=8, ksub=16, refine_iters=1,
+                             method="numpy")
+        codes = pq_encode(embs, books, method="numpy").cache()
+        codes.count()
+        _PQ_INDEX[d] = (books, codes)
+    return _PQ_INDEX[d]
+
+
 def _pq_prod(s, d):
     from openset_spark.pipeline.pq import pq_topk
 
+    books, codes = _pq_build(s, d)
     embs, qs = _ann_inputs_for_pq(s, d)
     return pq_topk(embs, qs, k=10, m=8, ksub=16, shortlist=192,
-                   refine_iters=1)
+                   refine_iters=1, books=books, codes=codes,
+                   adc_method="numpy")
+
+
+def _calibration(reps: int = 3) -> float:
+    """Median wall time of a fixed pure-python workload — a tenancy
+    ruler, not a benchmark. Identical work every run; if this number
+    moves 1.3x between rounds, so does every Spark timing on the
+    host, and headline deltas of that scale are noise, not code."""
+    samples = []
+    for _ in range(reps):
+        t0 = time.time()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i * i
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
 
 
 def _ann_inputs_for_pq(spark, sf_dir):
@@ -139,6 +192,10 @@ def main() -> None:
               "embeddings"):
         load_table(spark, sf_dir, t).count()
 
+    # tenancy ruler (VERDICT r7 ask #8 / r8 ask #5): fixed CPU-bound
+    # work, timed before any Spark query so GC/JIT state can't skew it
+    calibration = _calibration()
+
     # Each query runs REPS times; we report the per-query MEDIAN so a
     # single noisy run (GC pause, sandbox contention) can't swing the
     # gate metric.  A fresh DataFrame is built per repetition so no
@@ -162,6 +219,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration_sec": calibration,
     }
 
     # Round-6 pipeline additions, timed OUTSIDE the headline so the
@@ -223,6 +281,12 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_R8", "1") != "0":
         try:
             extra = {}
+            # ann_pq below times the PRODUCTION query path (prebuilt
+            # index + numpy ADC scan); the one-off codebook training +
+            # corpus encode is the ingest-time cost, timed here
+            t0 = time.time()
+            _pq_build(spark, sf_dir)
+            extra["ann_pq_build"] = round(time.time() - t0, 3)
             for name in (
                 "tfidf_top_terms",
                 "bm25_search",
@@ -250,9 +314,7 @@ def main() -> None:
                 "ann_pq",
             ):
                 samples = []
-                for _ in range(
-                    1 if name == "leakage_safe_split" else reps
-                ):
+                for _ in range(reps):
                     t0 = time.time()
                     qs[name](spark, sf_dir).count()
                     samples.append(time.time() - t0)
@@ -295,7 +357,19 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["ann_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # full record first, COMPACT headline last: a tail-capped consumer
+    # keeps the end of stdout, so the short final line always survives
+    # intact (r8's single fat line lost its "value" field to the cap)
     print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "sf": out["sf"],
+        "calibration_sec": out["calibration_sec"],
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ def prepare_corpus(
     seed: int = 42,
     near_dup: bool = True,
     transitive: bool = False,
+    split_fractions: dict[str, float] | None = None,
 ) -> DataFrame:
     """The filtered, deduplicated, sampled corpus with per-doc
     metadata (clean_text, lang_guess, quality, n_tokens).
@@ -45,7 +46,14 @@ def prepare_corpus(
     components over the candidate pairs keep one doc per family, so
     A~B, B~C drops both B and C even though A and C never paired —
     stricter than the pairwise policy, which keeps every doc smaller
-    than all of its own neighbors."""
+    than all of its own neighbors.
+
+    ``split_fractions`` (e.g. ``{"train": .9, "val": .05, "test":
+    .05}``) appends a leakage-safe ``split`` column. The connected
+    components are computed ONCE and shared between the
+    transitive-dedup keeper pass and the split assignment
+    (``leakage_safe_split(comps=...)``) — the iterative CC job never
+    runs twice in one chain."""
     cleaned = clean_documents(docs, text_col=text_col)
 
     langs = lang_id(cleaned, text_col="clean_text", id_col=id_col).select(
@@ -64,12 +72,14 @@ def prepare_corpus(
     # exact dedup on the cleaned content (normalized-hash groupBy)
     out = exact_dedup(out, text_col="clean_text", id_col=id_col)
 
+    clusters = None
     if near_dup:
         pairs = minhash_candidates(out, text_col="clean_text", id_col=id_col)
-        if transitive:
+        if transitive or split_fractions:
             from openset_spark.pipeline.dedup import dup_clusters
 
             clusters = dup_clusters(pairs)
+        if transitive:
             losers = clusters.filter(
                 F.col("doc_id") != F.col("cluster_id")
             ).select(F.col("doc_id").alias(id_col))
@@ -80,6 +90,26 @@ def prepare_corpus(
 
     if sample_rate < 1.0:
         out = out.filter(hash_uniform([id_col], seed) < sample_rate)
+
+    if split_fractions:
+        from openset_spark.pipeline.sampling import leakage_safe_split
+
+        if clusters is None:
+            # no near-dup pass ran: every doc is its own family, the
+            # split degrades to the same portable per-doc hash bucket
+            assigned = leakage_safe_split(
+                out, pairs=out.limit(0).select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                ),
+                fractions=split_fractions, id_col=id_col,
+            )
+        else:
+            assigned = leakage_safe_split(
+                out, fractions=split_fractions, id_col=id_col,
+                comps=clusters,
+            )
+        out = out.join(assigned.select(id_col, "split"), id_col)
     return out
 
 

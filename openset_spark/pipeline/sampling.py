@@ -208,9 +208,10 @@ def sample_per_stratum(
 
 def leakage_safe_split(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     fractions: dict[str, float] | None = None,
     id_col: str = "doc_id",
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-aware train/val/test assignment — the Lee et al. 2022
     leakage guard: near-duplicate documents MUST land in the same
@@ -229,6 +230,12 @@ def leakage_safe_split(
 
     Scale: one left join against the component frame (itself the
     O(log n) star algorithm) + pure column expressions.
+
+    Pass ``comps`` (a materialized ``dup_clusters`` result — like
+    PQ's ``books=``/``codes=``) when the pipeline already ran
+    component discovery: corpus-prep chains that dedup AND split
+    should compute the component frame once, not per consumer.
+    Exactly one of ``pairs``/``comps`` is required.
     Output: (doc_id, cluster_id, split)."""
     from openset_spark.pipeline.dedup import dup_clusters
 
@@ -237,7 +244,10 @@ def leakage_safe_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
-    comps = dup_clusters(pairs)
+    if comps is None:
+        if pairs is None:
+            raise ValueError("leakage_safe_split needs pairs= or comps=")
+        comps = dup_clusters(pairs)
     labeled = (
         docs.select(id_col)
         .join(comps, id_col, "left")

@@ -403,6 +403,70 @@ def test_leakage_safe_split_validates_fractions(spark):
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     with pytest.raises(ValueError, match="sum to 1"):
         leakage_safe_split(docs, pairs, {"train": 0.5, "test": 0.1})
+    with pytest.raises(ValueError, match="pairs= or comps="):
+        leakage_safe_split(docs)
+
+
+def test_leakage_safe_split_comps_reuse_identical(spark):
+    """comps= (a pre-materialized dup_clusters frame) must yield the
+    exact assignment the pairs= path computes — chains that already
+    ran component discovery pass it through instead of re-running the
+    iterative CC job per consumer."""
+    from openset_spark.pipeline.dedup import dup_clusters
+    from openset_spark.pipeline.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(120)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (50, 51), (90, 91), (91, 92)], ["id_a", "id_b"]
+    )
+    via_pairs = {
+        (r.doc_id, r.cluster_id, r.split)
+        for r in leakage_safe_split(docs, pairs).collect()
+    }
+    comps = dup_clusters(pairs).localCheckpoint()
+    via_comps = {
+        (r.doc_id, r.cluster_id, r.split)
+        for r in leakage_safe_split(docs, comps=comps).collect()
+    }
+    assert via_pairs == via_comps
+
+
+def test_prepare_corpus_split_fractions(spark):
+    """split_fractions= appends a leakage-safe split column; near-dup
+    families that survive pairwise dedup stay split-atomic, and the
+    component frame is shared with the keeper pass (transitive)."""
+    from openset_spark.pipeline.compose import prepare_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(i, f"document number {i} tells a plain story about "
+               f"weather and roads and rivers flowing down {i} " * 3)
+            for i in range(40)]
+    rows += [(100, base), (101, base.replace("lazy", "sleepy"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prepare_corpus(
+        docs, min_quality=0.0, transitive=True,
+        split_fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    got = out.collect()
+    assert set(out.columns) >= {"doc_id", "split"}
+    assert {r.split for r in got} <= {"train", "val", "test"}
+    # cluster keeper ran: only one of the near-dup pair survives
+    ids = {r.doc_id for r in got}
+    assert 100 in ids and 101 not in ids
+    # deterministic: second run assigns identically
+    again = prepare_corpus(
+        docs, min_quality=0.0, transitive=True,
+        split_fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()
+    assert {(r.doc_id, r.split) for r in got} == {
+        (r.doc_id, r.split) for r in again
+    }
+    # no near-dup pass: the split degrades to per-doc hash buckets
+    solo = prepare_corpus(
+        docs, min_quality=0.0, near_dup=False,
+        split_fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    assert {r.split for r in solo.collect()} <= {"train", "val", "test"}
 
 
 def test_gopher_quality_rule_semantics(spark):
