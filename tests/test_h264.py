@@ -238,7 +238,11 @@ def encode_frame(mb_w, mb_h, mbs, pic_init_qp=26, chroma_offset=0,
         w.u(0, 1)
         w.u(0, 1)
         w.se(0)  # slice_qp_delta
-        idc, a_div2, b_div2 = deblock
+        # deblock: one (idc, alpha_div2, beta_div2) tuple for all
+        # slices, or a per-slice list of them
+        idc, a_div2, b_div2 = (
+            deblock[si] if isinstance(deblock, list) else deblock
+        )
         w.ue(idc)  # disable_deblocking_filter_idc
         if idc != 1:
             w.se(a_div2)  # slice_alpha_c0_offset_div2
