@@ -398,9 +398,7 @@ def parse_pps(rbsp: bytes) -> dict:
     br = BitReader(rbsp)
     pps_id = br.ue()
     sps_id = br.ue()
-    entropy_coding_mode = br.u(1)
-    if entropy_coding_mode:
-        raise NotImplementedError("CABAC H.264 not supported (CAVLC only)")
+    entropy_coding_mode = br.u(1)  # 0 = CAVLC, 1 = CABAC
     br.u(1)  # bottom_field_pic_order_in_frame_present
     num_slice_groups = br.ue() + 1
     if num_slice_groups != 1:
@@ -418,6 +416,7 @@ def parse_pps(rbsp: bytes) -> dict:
     return {
         "id": pps_id,
         "sps_id": sps_id,
+        "entropy": entropy_coding_mode,
         "pic_init_qp": pic_init_qp,
         "chroma_qp_index_offset": chroma_qp_index_offset,
         "deblocking_control": deblocking_filter_control_present,
@@ -1041,7 +1040,16 @@ def _decode_i4x4(br, frame, mbx, mby, qp, cur_slice):
         br, frame, mbx, mby, cbp_chroma, cur_slice
     )
 
-    # reconstruct luma block-by-block in z-scan order
+    _recon_i4x4_luma(frame, mbx, mby, modes, blocks, qp, cur_slice)
+    _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp, cur_slice)
+    return qp
+
+
+def _recon_i4x4_luma(frame, mbx, mby, modes, blocks, qp, cur_slice):
+    """Reconstruct the 16 luma 4x4 blocks of an I_NxN macroblock from
+    parsed modes + scan-order coefficient lists (shared by the CAVLC
+    and CABAC entropy front-ends — prediction, dequant and transform
+    are entropy-agnostic)."""
     for blk in range(16):
         dx, dy = _BLK_XY[blk]
         bx, by = mbx * 4 + dx, mby * 4 + dy
@@ -1055,9 +1063,6 @@ def _decode_i4x4(br, frame, mbx, mby, qp, cur_slice):
                     pred[yy][xx] + res[yy][xx]
                 )
         frame.decoded4[by][bx] = True
-
-    _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp, cur_slice)
-    return qp
 
 
 def _decode_i16x16(br, frame, mbx, mby, qp, cur_slice, mb_type):
@@ -1087,7 +1092,18 @@ def _decode_i16x16(br, frame, mbx, mby, qp, cur_slice, mb_type):
         br, frame, mbx, mby, cbp_chroma, cur_slice
     )
 
-    # prediction neighborhood for the full 16x16
+    _recon_i16x16_luma(
+        frame, mbx, mby, pred_mode, dc_coeffs, ac_blocks, qp, cur_slice
+    )
+    _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp, cur_slice)
+    return qp
+
+
+def _recon_i16x16_luma(frame, mbx, mby, pred_mode, dc_coeffs, ac_blocks,
+                       qp, cur_slice):
+    """Reconstruct an I_16x16 macroblock's luma from the parsed DC
+    (scan order, 16) and AC (scan order, 15 each) levels — shared by
+    the CAVLC and CABAC entropy front-ends."""
     x0, y0 = mbx * 16, mby * 16
     a_ok = mby > 0 and frame.mb_avail(mbx, mby - 1, cur_slice)
     l_ok = mbx > 0 and frame.mb_avail(mbx - 1, mby, cur_slice)
@@ -1121,9 +1137,6 @@ def _decode_i16x16(br, frame, mbx, mby, qp, cur_slice, mb_type):
                     pred[(dy * 4) + yy][(dx * 4) + xx] + res[yy][xx]
                 )
         frame.decoded4[by][bx] = True
-
-    _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp, cur_slice)
-    return qp
 
 
 def _parse_chroma_residual(br, frame, mbx, mby, cbp_chroma, cur_slice):
@@ -1413,7 +1426,14 @@ def decode_h264_frame(data: bytes):
             if frame is None:
                 frame = _Frame(sps, pps)
             slice_deblock.append(header["deblock"])
-            end = _decode_slice(br, frame, slice_idx, header)
+            if pps["entropy"]:
+                from openset_spark.pipeline.h264_cabac import (
+                    decode_slice_cabac,
+                )
+
+                end = decode_slice_cabac(br, frame, slice_idx, header)
+            else:
+                end = _decode_slice(br, frame, slice_idx, header)
             slice_idx += 1
             if end >= frame.mb_w * frame.mb_h:
                 break

@@ -95,11 +95,11 @@ def _sps_nal(mb_w, mb_h, crop=(0, 0, 0, 0)) -> bytes:
     return _nal(7, w.rbsp())
 
 
-def _pps_nal(pic_init_qp=26, chroma_offset=0) -> bytes:
+def _pps_nal(pic_init_qp=26, chroma_offset=0, entropy=0) -> bytes:
     w = BW()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
-    w.u(0, 1)  # CAVLC
+    w.u(entropy, 1)  # 0 = CAVLC, 1 = CABAC
     w.u(0, 1)
     w.ue(0)  # one slice group
     w.ue(0)
@@ -954,14 +954,14 @@ def test_decoder_rejects_unsupported():
     rng = np.random.default_rng(8)
     mbs = [_rand_mb(rng, 0, 0, 1, allow_pcm=False)]
     data, _ = encode_frame(1, 1, mbs)
-    # flip PPS entropy_coding_mode bit -> CABAC must be rejected
-    # (rebuild a PPS with the flag set)
+    # PPS with two slice groups -> FMO must be rejected
     w = BW()
     w.ue(0)
     w.ue(0)
-    w.u(1, 1)  # CABAC
+    w.u(0, 1)  # CAVLC (CABAC is supported since r9 — h264_cabac.py)
     w.u(0, 1)
-    w.ue(0)
+    w.ue(1)  # num_slice_groups_minus1 = 1 -> FMO
+    w.ue(0)  # slice_group_map_type
     w.ue(0)
     w.ue(0)
     w.u(0, 1)
@@ -972,7 +972,7 @@ def test_decoder_rejects_unsupported():
     w.u(1, 1)
     w.u(0, 1)
     w.u(0, 1)
-    with pytest.raises(NotImplementedError, match="CABAC"):
+    with pytest.raises(NotImplementedError, match="FMO"):
         H.parse_pps(w.rbsp())
 
 
