@@ -2514,7 +2514,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_first_rows": q_zorder_first_rows,
         # behavioral (promoted r9)
         "session_counts": q_session_counts,
-        "session_length_quantiles": q_session_length_quantiles,
         "funnel_within_hour": q_funnel_within_hour,
         "next_event_transitions": q_next_event_transitions,
         "weekly_retention": q_weekly_retention,
@@ -2523,11 +2522,9 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_sequence_counts": q_segment_sequence_counts,
         "textual_user_core": q_textual_user_core,
         "osl_event_agg": q_osl_event_agg,
-        "osl_agg_options": q_osl_agg_options,
         "osl_script_counter": q_osl_script_counter,
         # property counts / histograms / props (promoted r9)
         "property_counts_bucketed": q_property_counts_bucketed,
-        "property_counts_by_segment": q_property_counts_by_segment,
         "histogram_spend_clipped": q_histogram_spend_clipped,
         "props_json_extract": q_props_json_extract,
         # retention maintenance (promoted r9)
@@ -2537,7 +2534,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "substring_dup_pairs": q_substring_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2561,6 +2557,11 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram": q_embedding_gram,
         "ann_pq": q_ann_pq,
         "dedup_keep_best": q_dedup_keep_best,
+        # NEW r9: first-round green targets
+        "remove_dup_spans": q_remove_dup_spans,
+        "nearest_dup": q_nearest_dup,
+        "perplexity_buckets": q_perplexity_buckets,
+        "ngram_coverage": q_ngram_coverage,
     }
 
 
@@ -3445,6 +3446,10 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "doc_fingerprint": q_doc_fingerprint,
         "repetition_signals": q_repetition_signals,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "osl_agg_options": q_osl_agg_options,
+        "session_length_quantiles": q_session_length_quantiles,
+        "ann_topk": q_ann_topk,
     }
 
 
@@ -3587,6 +3592,193 @@ FROM x GROUP BY 1, 2
 """
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee et al. 2022 REMOVAL pass (dup_span_fraction annotates
+    it; this executes it): rewrite every document with cross-doc
+    duplicated 20-token spans cut out. Value-checked by the portable
+    md5 of the surviving token stream. NEW r9."""
+    from openset_spark.pipeline.dedup import remove_dup_spans
+
+    return remove_dup_spans(_docs(spark, sf_dir), window_tokens=20)
+
+
+_SQL_REMOVE_DUP_SPANS = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+pw AS (
+  SELECT doc_id, i AS s, array_to_string(ts[i:i+19], ' ') AS win
+  FROM tok, UNNEST(generate_series(1, len(ts) - 19)) AS st(i)
+),
+dup AS (
+  SELECT win FROM (SELECT DISTINCT doc_id, win FROM pw)
+  GROUP BY win HAVING COUNT(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT pw.doc_id, pw.s + j AS p
+  FROM pw JOIN dup USING (win),
+       UNNEST(generate_series(0, 19)) AS u(j)
+),
+tp AS (
+  SELECT doc_id, i AS p, ts[i] AS tok
+  FROM tok, UNNEST(generate_series(1, len(ts))) AS st(i)
+),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+  WHERE cov.p IS NULL
+),
+ka AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    md5(string_agg(tok, ' ' ORDER BY p)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+  CAST(len(t.ts) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+  COALESCE(ka.kept_md5, md5('')) AS kept_md5
+FROM tok t LEFT JOIN ka USING (doc_id)
+"""
+
+
+def q_nearest_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document nearest-duplicate report: best exact-Jaccard
+    match among substring-dup candidates (docs sharing a 20-token
+    run — the SQL-reproducible candidate set; production passes
+    MinHash candidates through pairs=). Ranking key jac_ppm =
+    integer floor division, engine-exact. NEW r9."""
+    from openset_spark.pipeline.dedup import nearest_dup, substring_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    return nearest_dup(docs, pairs=substring_dup_pairs(docs))
+
+
+_SQL_NEAREST_DUP = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+19], ' ') AS win
+  FROM tok, UNNEST(generate_series(1, len(ts)-19)) AS st(i)
+),
+keep AS (
+  SELECT doc_id, win FROM w
+  QUALIFY COUNT(*) OVER (PARTITION BY win) <= 50
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keep a JOIN keep b ON a.win = b.win AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+),
+tok2 AS (SELECT DISTINCT doc_id, unnest(ts) AS tk FROM tok),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok2 GROUP BY 1),
+ix AS (
+  SELECT s.a, s.b, COUNT(*) AS inter
+  FROM sym s
+  JOIN tok2 x ON x.doc_id = s.a
+  JOIN tok2 y ON y.doc_id = s.b AND y.tk = x.tk
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT a, b, inter, na.n + nb.n - inter AS union_
+  FROM ix JOIN sizes na ON na.doc_id = a JOIN sizes nb ON nb.doc_id = b
+)
+SELECT a AS doc_id, b AS nn_id,
+  CAST(inter AS BIGINT) AS inter,
+  CAST(union_ AS BIGINT) AS union_,
+  CAST((inter * 1000000) // union_ AS BIGINT) AS jac_ppm
+FROM sc
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY a ORDER BY (inter * 1000000) // union_ DESC, b
+) = 1
+"""
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail stratification: bigram-LM scores (the
+    lm_perplexity model, doc_id%5==0 train shard) split into 3 NTILE
+    buckets ranked by the cross-engine-stable ROUND(avg_logp, 4)
+    with doc_id tie-break. NEW r9."""
+    from openset_spark.pipeline.lm import perplexity_buckets
+
+    docs = _docs(spark, sf_dir)
+    return perplexity_buckets(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
+_SQL_PERPLEXITY_BUCKETS = f"""
+WITH tr AS (SELECT {_TOKS_SQL} AS ts FROM documents WHERE doc_id % 5 = 0),
+trb AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS c12
+  FROM tr, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+  GROUP BY 1, 2
+),
+tru AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(ts) AS w1 FROM tr) GROUP BY 1
+),
+v AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM tr)
+),
+db AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (
+    SELECT doc_id, {_TOKS_SQL} AS ts FROM documents WHERE doc_id % 5 <> 0
+  ), UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+),
+sc AS (
+  SELECT d.doc_id,
+    ln((COALESCE(b.c12, 0) + 1) / (COALESCE(u.c1, 0) + v.v)) AS logp
+  FROM db d
+  LEFT JOIN trb b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN tru u ON d.w1 = u.w1, v
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(logp), 4) AS avg_logp
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_logp,
+  CASE NTILE(3) OVER (ORDER BY avg_logp DESC, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM agg
+"""
+
+
+def q_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-side coverage (eval-integrity report, the inverse
+    of contamination_check): per benchmark doc (doc_id%50==0), how
+    many of its distinct 5-grams the training corpus contains.
+    coverage_ppm = integer floor division, engine-exact. NEW r9."""
+    from openset_spark.pipeline.decontam import ngram_coverage
+
+    docs = _docs(spark, sf_dir)
+    return ngram_coverage(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=5,
+    )
+
+
+_SQL_NGRAM_COVERAGE = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS ng
+  FROM tok, UNNEST(generate_series(1, len(ts)-4)) AS s(i)
+  WHERE len(ts) >= 5
+),
+corpus AS (SELECT DISTINCT ng FROM g WHERE doc_id % 50 <> 0),
+bench AS (SELECT DISTINCT doc_id, ng FROM g WHERE doc_id % 50 = 0),
+agg AS (
+  SELECT b.doc_id, COUNT(*) AS n_grams, COUNT(c.ng) AS n_covered
+  FROM bench b LEFT JOIN corpus c USING (ng) GROUP BY 1
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_covered AS BIGINT) AS n_covered,
+  CAST((n_covered * 1000000) // n_grams AS BIGINT) AS coverage_ppm
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prio = _priority_queries()
     assert len(prio) <= _DRIVER_WINDOW, (
@@ -3627,6 +3819,10 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": _SQL_CONTAINMENT_PAIRS,
         "sample_per_stratum": _SQL_SAMPLE_PER_STRATUM,
         "zipf_fit": _SQL_ZIPF_FIT,
+        "remove_dup_spans": _SQL_REMOVE_DUP_SPANS,
+        "nearest_dup": _SQL_NEAREST_DUP,
+        "perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
+        "ngram_coverage": _SQL_NGRAM_COVERAGE,
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,

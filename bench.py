@@ -323,6 +323,29 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r8"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-9 additions: the Lee-et-al span REMOVAL pass, the
+    # nearest-duplicate report (exact Jaccard over capped substring
+    # candidates), CCNet perplexity buckets, benchmark n-gram
+    # coverage. Disable with SPARK_GRAFT_R9=0.
+    if os.environ.get("SPARK_GRAFT_R9", "1") != "0":
+        try:
+            extra = {}
+            for name in (
+                "remove_dup_spans",
+                "nearest_dup",
+                "perplexity_buckets",
+                "ngram_coverage",
+            ):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r9"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r9"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Skew evidence: one user owns 30% of a 6M-row synthetic corpus;
     # times the skew-bound window first-row vs the salted/algebraic
     # rewrite (and shows scalar aggs don't need salting — partial agg

@@ -201,3 +201,55 @@ def stream_decontaminate(
         max_literal_hashes=max_literal_hashes,
     )
     return docs.filter(~flag)
+
+
+def ngram_coverage(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-side coverage — the inverse direction of
+    `ngram_overlap`: for every BENCHMARK document, how many of its
+    distinct n-grams appear anywhere in the training corpus. The
+    eval-integrity report reads this ("which benchmark items does
+    the corpus already contain"), while decontamination reads the
+    corpus-side report.
+
+    Scale shape: the corpus collapses to its DISTINCT n-gram set
+    ONCE (one hash aggregate — the join key frame, not the corpus,
+    flows into the join) and benchmark grams probe it with a left
+    join; n_covered uses exact integer counts. Output per benchmark
+    doc: (doc_id, n_grams, n_covered, coverage_ppm) with
+    coverage_ppm = (n_covered * 1_000_000) div n_grams — integer
+    floor division, engine-exact."""
+    corpus_grams = (
+        corpus.select(tokens(F.col(text_col)).alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select(F.explode(_ngram_expr("toks", n)).alias("ng"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    bench_grams = (
+        benchmark.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("toks")
+        )
+        .filter(F.size("toks") >= n)
+        .select(
+            id_col,
+            F.explode(F.array_distinct(_ngram_expr("toks", n))).alias("ng"),
+        )
+    )
+    agg = bench_grams.join(corpus_grams, "ng", "left").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count("_hit").alias("n_covered"),
+    )
+    return agg.select(
+        id_col,
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_covered").cast("long").alias("n_covered"),
+        F.expr(
+            "(CAST(n_covered AS BIGINT) * 1000000) div n_grams"
+        ).alias("coverage_ppm"),
+    )

@@ -784,3 +784,160 @@ def dedup_keep_best(
         F.col(score_col),
         (F.col("_rn") == 1).alias("keep"),
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    window_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The Lee et al. 2022 removal pass itself: REWRITE every
+    document with its cross-document duplicated spans cut out. A
+    token is removed when ANY ``window_tokens``-run containing it
+    also occurs in at least one other document — `dup_span_fraction`
+    annotates how much this pass would cut; this executes the cut.
+
+    Scale shape (all declarative, no UDFs):
+      1. positional windows (doc, start, hash) — the same sliding
+         xxhash64 runs every span operator uses, positions kept;
+      2. cross-doc evidence = distinct (doc, hash) -> hash df >= 2
+         (one aggregate; the dup-hash frame is small — it holds only
+         duplicated content — and AQE broadcasts the pair join);
+      3. covered positions = flagged starts exploded to their
+         ``window_tokens`` token indexes (fan-out bounded by the
+         duplicated volume being removed, never by corpus size);
+      4. kept text = token positions LEFT ANTI covered, re-assembled
+         per doc with one sort_array(collect_list) aggregate.
+    Output: (doc_id, n_tokens, n_removed, kept_md5) where kept_md5
+    is the portable md5 of the space-joined surviving tokens — the
+    rewrite is value-checkable without shipping full text."""
+    k = window_tokens
+    toked = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).localCheckpoint(eager=False)
+    win = F.expr(
+        f"transform(sequence(1, size(_toks)-{k}+1), "
+        f"s -> struct(s as s, "
+        f"xxhash64(concat_ws(' ', slice(_toks, s, {k}))) as wh))"
+    )
+    pos_wins = (
+        toked.filter(F.size("_toks") >= k)
+        .select(F.col(id_col), F.explode(win).alias("_w"))
+        .select(F.col(id_col), F.col("_w.s").alias("s"),
+                F.col("_w.wh").alias("wh"))
+    ).localCheckpoint(eager=False)
+    dup_wh = (
+        pos_wins.select(id_col, "wh").distinct()
+        .groupBy("wh").agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= 2)
+        .select("wh")
+    )
+    covered = (
+        pos_wins.join(dup_wh, "wh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    tok_pos = toked.select(
+        F.col(id_col),
+        F.posexplode("_toks").alias("p0", "tok"),
+    ).select(F.col(id_col), (F.col("p0") + 1).alias("p"), "tok")
+    kept = tok_pos.join(covered, [id_col, "p"], "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("p", "tok"))
+            ).alias("_kept"),
+        )
+        .join(
+            toked.select(
+                F.col(id_col), F.size("_toks").alias("n_tokens")
+            ),
+            id_col,
+            "right",
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.size("_kept"), F.lit(0)).cast("long")
+            ).alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform(F.coalesce("_kept", F.array()),
+                                     lambda st: st["tok"])
+                )
+            ).alias("kept_md5"),
+        )
+    )
+
+
+def nearest_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document nearest-duplicate report: each document's best
+    exact-token-Jaccard match among its MinHash/LSH CANDIDATES — the
+    per-doc diagnostic a dedup audit reads ("what is this doc's
+    closest neighbor and how close is it"). Candidate-bounded: exact
+    Jaccard is computed ONLY for LSH candidate pairs, never all
+    pairs. Pass ``pairs`` to reuse an ingest-time candidate set.
+
+    The ranking key is jac_ppm = (inter * 1_000_000) div union —
+    integer floor division, so ordering and values are engine-exact
+    (no float rounding at tie boundaries). Output: one row per doc
+    that HAS a candidate: (doc_id, nn_id, inter, union_, jac_ppm)."""
+    if pairs is None:
+        pairs = minhash_candidates(df, text_col=text_col, id_col=id_col)
+    toksets = df.select(
+        F.col(id_col).alias("_tid"),
+        F.array_distinct(tokens(F.col(text_col))).alias("_ts"),
+    ).localCheckpoint(eager=False)
+    sym = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).union(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    )
+    scored = (
+        sym.join(toksets.withColumnRenamed("_tid", "a"), "a")
+        .withColumnRenamed("_ts", "_ta")
+        .join(
+            toksets.select(
+                F.col("_tid").alias("b"), F.col("_ts").alias("_tb")
+            ),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_ta", "_tb")).alias("inter"),
+            F.size(F.array_union("_ta", "_tb")).alias("union_"),
+        )
+        .withColumn(
+            "jac_ppm",
+            F.expr("(CAST(inter AS BIGINT) * 1000000) div union_"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.desc("jac_ppm"), F.asc("b")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("a").alias(id_col),
+            F.col("b").alias("nn_id"),
+            F.col("inter").cast("long").alias("inter"),
+            F.col("union_").cast("long").alias("union_"),
+            F.col("jac_ppm").cast("long").alias("jac_ppm"),
+        )
+    )

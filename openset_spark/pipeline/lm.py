@@ -190,3 +190,46 @@ def kneser_ney_score(
     return agg.select(
         id_col, "n_bigrams", F.round("_avg", 4).alias("avg_logp_kn")
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm_corpus: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition: score every
+    document against the trusted-corpus bigram LM and split the
+    ranking into ``n_buckets`` equal tiles — the standard quality
+    stratification that downstream mixtures sample from (CCNet keeps
+    "head", samples "middle", drops "tail").
+
+    Determinism across engines: docs are ranked by the ROUNDED
+    avg_logp (4 dp — the cross-engine-stable key lm_perplexity
+    already proves) descending with doc_id as the total-order tie
+    break, so the NTILE boundaries are engine-exact. One extra
+    exchange over lm_perplexity: the global NTILE sorts the (doc,
+    score) pairs — tiny rows, and at scale an approx-quantile
+    range-partitioned variant slots in behind the same API.
+    Output: (doc_id, n_bigrams, avg_logp, bucket) with bucket in
+    head/middle/tail (or tile_<i> beyond 3)."""
+    from pyspark.sql import Window
+
+    scored = lm_perplexity(
+        docs, lm_corpus, text_col=text_col, id_col=id_col,
+        min_count=min_count,
+    ).select(id_col, "n_bigrams", "avg_logp")
+    w = Window.orderBy(F.desc("avg_logp"), F.asc(id_col))
+    names = (
+        ["head", "middle", "tail"] if n_buckets == 3
+        else [f"tile_{i + 1}" for i in range(n_buckets)]
+    )
+    name_map = F.array(*[F.lit(s) for s in names])
+    return scored.withColumn("_t", F.ntile(n_buckets).over(w)).select(
+        id_col,
+        "n_bigrams",
+        "avg_logp",
+        F.element_at(name_map, F.col("_t")).alias("bucket"),
+    )

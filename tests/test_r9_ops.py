@@ -1,0 +1,162 @@
+"""Round-9 pipeline operators: span removal, nearest-dup report,
+perplexity buckets, benchmark n-gram coverage. Semantics pinned on
+hand-checkable fixtures (the registry oracles cover the sf corpora;
+these pin the EDGE rules: coverage boundaries, tie-breaks, empty
+results, degenerate docs)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+WORDS = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+         "juliet kilo lima mike november oscar papa quebec romeo "
+         "sierra tango").split()  # 20 distinct tokens
+
+
+def test_remove_dup_spans_cuts_only_shared_runs(spark):
+    from openset_spark.pipeline.dedup import remove_dup_spans
+
+    shared = " ".join(WORDS)  # exactly one 20-token window
+    rows = [
+        (1, shared + " uniqueone uniquetwo"),
+        (2, "prefixword " + shared),
+        (3, "totally different words " + " ".join(f"w{i}" for i in range(20))),
+    ]
+    out = {r.doc_id: r for r in
+           remove_dup_spans(_mk_docs(spark, rows), 20).collect()}
+    assert len(out) == 3
+    # docs 1/2 share the 20-token run -> those 20 tokens are removed
+    assert out[1].n_tokens == 22 and out[1].n_removed == 20
+    assert out[2].n_tokens == 21 and out[2].n_removed == 20
+    # doc 3 shares nothing -> untouched
+    assert out[3].n_removed == 0
+    # the surviving text of doc 1 is its unique suffix
+    import hashlib
+
+    assert out[1].kept_md5 == hashlib.md5(
+        b"uniqueone uniquetwo"
+    ).hexdigest()
+    assert out[2].kept_md5 == hashlib.md5(b"prefixword").hexdigest()
+
+
+def test_remove_dup_spans_full_removal_and_short_docs(spark):
+    from openset_spark.pipeline.dedup import remove_dup_spans
+
+    shared = " ".join(WORDS)
+    rows = [
+        (1, shared),          # fully duplicated -> everything removed
+        (2, shared),
+        (3, "short doc below window size"),
+    ]
+    out = {r.doc_id: r for r in
+           remove_dup_spans(_mk_docs(spark, rows), 20).collect()}
+    import hashlib
+
+    empty = hashlib.md5(b"").hexdigest()
+    assert out[1].n_removed == 20 and out[1].kept_md5 == empty
+    assert out[2].n_removed == 20 and out[2].kept_md5 == empty
+    assert out[3].n_removed == 0 and out[3].n_tokens == 5
+
+
+def test_remove_dup_spans_overlapping_windows_union(spark):
+    """Two docs share a 21-token run -> two overlapping windows flag
+    21 covered positions (the union, not 40)."""
+    from openset_spark.pipeline.dedup import remove_dup_spans
+
+    run = " ".join(WORDS) + " extra"
+    rows = [(1, run + " tail1only"), (2, run + " tail2only")]
+    out = {r.doc_id: r for r in
+           remove_dup_spans(_mk_docs(spark, rows), 20).collect()}
+    assert out[1].n_removed == 21
+    assert out[2].n_removed == 21
+
+
+def test_nearest_dup_picks_best_jaccard_with_tiebreak(spark):
+    from openset_spark.pipeline.dedup import nearest_dup
+
+    docs = _mk_docs(spark, [
+        (1, "a b c d"),
+        (2, "a b c d e"),
+        (3, "a b c x y"),
+        (4, "zz qq"),
+    ])
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in nearest_dup(docs, pairs=pairs).collect()}
+    # doc 1: vs 2 -> 4/5 = 800000 ppm; vs 3 -> 3/6 = 500000
+    assert out[1].nn_id == 2 and out[1].jac_ppm == 800_000
+    assert out[2].nn_id == 1
+    # doc 4 has no candidates -> no row
+    assert 4 not in out
+    # deterministic tie-break: two equal-jaccard neighbors -> lower id
+    docs2 = _mk_docs(spark, [(1, "a b"), (2, "a b"), (3, "a b")])
+    p2 = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    o2 = {r.doc_id: r for r in nearest_dup(docs2, pairs=p2).collect()}
+    assert o2[1].nn_id == 2 and o2[1].jac_ppm == 1_000_000
+
+
+def test_perplexity_buckets_ordering_and_names(spark):
+    from openset_spark.pipeline.lm import perplexity_buckets
+
+    train = _mk_docs(spark, [(100, "the cat sat on the mat " * 5)])
+    docs = _mk_docs(spark, [
+        (1, "the cat sat on the mat"),       # fluent under the LM
+        (2, "mat the on sat cat the"),       # scrambled
+        (3, "zz yy xx ww vv uu"),            # fully OOV
+    ])
+    out = {r.doc_id: r for r in
+           perplexity_buckets(docs, train).collect()}
+    assert out[1].bucket == "head"
+    # Laplace scores a seen-context/unseen-pair bigram BELOW the
+    # unseen-context fallback (ln(1/(c1+V)) < ln(1/V)), so the
+    # scrambled doc ranks under the fully-OOV one — real LM-filter
+    # behavior, pinned here
+    assert out[2].bucket == "tail"
+    assert out[3].bucket == "middle"
+    assert {r.bucket for r in out.values()} == {"head", "middle", "tail"}
+    # custom bucket count uses tile names
+    o5 = perplexity_buckets(docs, train, n_buckets=2).collect()
+    assert {r.bucket for r in o5} == {"tile_1", "tile_2"}
+
+
+def test_ngram_coverage_counts(spark):
+    from openset_spark.pipeline.decontam import ngram_coverage
+
+    corpus = _mk_docs(spark, [(1, "a b c d e f"), (2, "p q r s t")])
+    bench = _mk_docs(spark, [
+        (50, "a b c d e"),        # its single 5-gram is in corpus
+        (51, "b c d e f zzz"),    # 2 grams: one covered, one not
+        (52, "x1 x2 x3"),         # too short: excluded
+    ])
+    out = {r.doc_id: r for r in
+           ngram_coverage(corpus, bench, n=5).collect()}
+    assert out[50].n_grams == 1 and out[50].n_covered == 1
+    assert out[50].coverage_ppm == 1_000_000
+    assert out[51].n_grams == 2 and out[51].n_covered == 1
+    assert out[51].coverage_ppm == 500_000
+    assert 52 not in out
+
+
+def test_prepare_corpus_unaffected_smoke(spark):
+    """The r9 dedup additions must not disturb the existing module
+    surface (regression guard on shared helpers)."""
+    from openset_spark.pipeline.dedup import (
+        minhash_candidates,
+        substring_dup_pairs,
+    )
+
+    docs = _mk_docs(spark, [
+        (i, " ".join(WORDS) + f" doc{i}") for i in range(4)
+    ])
+    assert substring_dup_pairs(docs).count() == 6
+    assert minhash_candidates(docs).count() >= 1
+
+
+if __name__ == "__main__":  # pragma: no cover
+    pytest.main([__file__, "-q"])
