@@ -777,3 +777,95 @@ def test_stream_mixture_admit_matches_batch(spark, sf_dir, tmpdir):
     assert len(streamed) > chunk / 2
     # un-budgeted domain dropped before the stateful stage
     assert not any(lang == "zh" for lang, *_ in streamed)
+
+
+def test_stream_ngram_coverage_matches_batch(spark, sf_dir, tmpdir):
+    """13th parity surface: streaming benchmark n-gram coverage. The
+    statistic is a set union, so the final per-benchmark-doc counts
+    must EXACTLY equal the batch ngram_coverage of the same files —
+    independent of arrival order (files written in reverse id order)
+    and micro-batch splits."""
+    import json
+
+    from openset_spark.pipeline.decontam import ngram_coverage
+    from openset_spark.streaming.coverage import (
+        benchmark_gram_index,
+        stream_ngram_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus_rows = [
+        {"doc_id": r.doc_id, "text": r.text}
+        for r in docs.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "text")
+        .collect()
+    ]
+    corpus_rows.sort(key=lambda r: -r["doc_id"])  # adversarial order
+    chunk = (len(corpus_rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in corpus_rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    index = benchmark_gram_index(bench, n=5)
+    name = f"parity_coverage_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_ngram_coverage(stream, index, n=5), name)
+    snaps = spark.sql(
+        f"select doc_id, n_grams, n_covered from {name}"
+    ).collect()
+    # latest (= max, counts are monotone) snapshot per benchmark doc
+    live: dict[int, tuple[int, int]] = {}
+    for r in snaps:
+        cur = live.get(r.doc_id, (0, 0))
+        live[r.doc_id] = (r.n_grams, max(cur[1], r.n_covered))
+
+    corpus_batch = spark.read.schema(schema).json(tmpdir)
+    expected = {
+        r.doc_id: (r.n_grams, r.n_covered)
+        for r in ngram_coverage(corpus_batch, bench, n=5).collect()
+    }
+    for doc_id, (n_grams, n_covered) in expected.items():
+        if n_covered == 0:
+            assert doc_id not in live  # never emitted: no coverage
+        else:
+            assert live[doc_id] == (n_grams, n_covered), doc_id
+    assert set(live) <= set(expected)
+
+    # incrementality: a benchmark doc whose grams arrive in separate
+    # micro-batches emits a RISING snapshot per batch (the sf corpus
+    # is template-heavy enough that one batch often saturates a doc,
+    # so the accumulation property needs a controlled stream)
+    inc_dir = f"{tmpdir}/inc"
+    import os
+
+    os.makedirs(inc_dir)
+    b2 = spark.createDataFrame(
+        [(7, "g1 g2 g3 g4 g5 g6 x1 x2 x3 x4 y1 y2 y3 y4 y5 y6")],
+        "doc_id long, text string",
+    )
+    with open(f"{inc_dir}/a.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "g1 g2 g3 g4 g5 g6"}))
+    with open(f"{inc_dir}/b.json", "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "y1 y2 y3 y4 y5 y6"}))
+    s2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(inc_dir)
+    )
+    name2 = f"parity_coverage_inc_{uuid.uuid4().hex[:8]}"
+    _run_available(
+        stream_ngram_coverage(s2, benchmark_gram_index(b2, n=5), n=5),
+        name2,
+    )
+    rises = sorted(
+        r.n_covered
+        for r in spark.sql(f"select n_covered from {name2}").collect()
+    )
+    assert rises == [2, 4]  # two snapshots, strictly rising
