@@ -898,6 +898,10 @@ def nearest_dup(
     that HAS a candidate: (doc_id, nn_id, inter, union_, jac_ppm)."""
     if pairs is None:
         pairs = minhash_candidates(df, text_col=text_col, id_col=id_col)
+    # the symmetrizing union references the pair pipeline twice —
+    # materialize it once (the repo's shared-subtree rule; without
+    # this the candidate generation runs twice, plan-verified)
+    pairs = pairs.localCheckpoint(eager=False)
     toksets = df.select(
         F.col(id_col).alias("_tid"),
         F.array_distinct(tokens(F.col(text_col))).alias("_ts"),

@@ -34,12 +34,20 @@ def test_bench_script_emits_contract_json():
     json_lines = [
         ln for ln in proc.stdout.splitlines() if ln.startswith('{"metric"')
     ]
-    assert len(json_lines) == 1, proc.stdout[-2000:]
-    out = json.loads(json_lines[0])
+    # r9 contract: full record + compact final line (a tail-capped
+    # consumer keeps the end of stdout, so the LAST line must be the
+    # intact headline)
+    assert len(json_lines) == 2, proc.stdout[-2000:]
+    full = json.loads(json_lines[0])
+    out = json.loads(json_lines[1])
     assert out["metric"] == "headline_suite_wall_sec"
     assert out["unit"] == "sec" and out["value"] > 0
     assert len(out["queries"]) >= 18
     assert all(v >= 0 for v in out["queries"].values())
+    assert out["calibration_sec"] > 0
+    assert out["value"] == full["value"]
+    assert len(json_lines[1]) < 1024  # survives a 1 KiB tail cap
+    out = full  # aux sections live on the full record
     # the r6/r7 sections ride along even in smoke mode
     assert set(out.get("pipeline_r6", {})) >= {
         "repetition_signals",
