@@ -2508,7 +2508,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_style": q_tpch_q10_style,
         # event engine (promoted r9)
         "event_agg_by_type": q_event_agg_by_type,
-        "user_purchase_totals": q_user_purchase_totals,
         "first_events_per_user": q_first_events_per_user,
         "top_event_types_per_day": q_top_event_types_per_day,
         "zorder_first_rows": q_zorder_first_rows,
@@ -2520,7 +2519,6 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_timeline": q_customer_timeline,
         # OSL + segments (promoted r9)
         "segment_sequence_counts": q_segment_sequence_counts,
-        "textual_user_core": q_textual_user_core,
         "osl_event_agg": q_osl_event_agg,
         "osl_script_counter": q_osl_script_counter,
         # property counts / histograms / props (promoted r9)
@@ -2562,6 +2560,8 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_dup": q_nearest_dup,
         "perplexity_buckets": q_perplexity_buckets,
         "ngram_coverage": q_ngram_coverage,
+        "lang_confusion": q_lang_confusion,
+        "cross_source_dups": q_cross_source_dups,
     }
 
 
@@ -3446,6 +3446,8 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "doc_fingerprint": q_doc_fingerprint,
         "repetition_signals": q_repetition_signals,
+        "user_purchase_totals": q_user_purchase_totals,
+        "textual_user_core": q_textual_user_core,
         "property_counts_by_segment": q_property_counts_by_segment,
         "osl_agg_options": q_osl_agg_options,
         "session_length_quantiles": q_session_length_quantiles,
@@ -3779,6 +3781,75 @@ FROM agg
 """
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the gold `lang` column — the
+    classifier-audit frame; gold labels ride lang_id's extra_cols
+    fusion hook (one scan, no join back). NEW r9."""
+    from openset_spark.pipeline.textstats import lang_confusion
+
+    return lang_confusion(_docs(spark, sf_dir))
+
+
+def _lang_confusion_sql() -> str:
+    hits = ",\n    ".join(
+        f"len(list_filter(toks, x -> list_contains({_stop_list_sql(lang)}, x)))"
+        f" AS hits_{lang}"
+        for lang in STOPWORDS
+    )
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    guess = "CASE " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+s AS (SELECT doc_id, lang,
+    {hits}
+  FROM t),
+g AS (
+  SELECT lang,
+    CASE WHEN {best} > 0 THEN {guess} ELSE 'unknown' END AS lang_guess
+  FROM s
+)
+SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM g GROUP BY 1, 2
+"""
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-level duplication matrix: candidate duplicate PAIR
+    counts per (source, source) combination, over the capped
+    substring-dup candidates — which feeds copy from which. NEW r9."""
+    from openset_spark.pipeline.dedup import cross_source_dups
+
+    return cross_source_dups(_docs(spark, sf_dir))
+
+
+_SQL_CROSS_SOURCE_DUPS = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+19], ' ') AS win
+  FROM tok, UNNEST(generate_series(1, len(ts)-19)) AS st(i)
+),
+keep AS (
+  SELECT doc_id, win FROM w
+  QUALIFY COUNT(*) OVER (PARTITION BY win) <= 50
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keep a JOIN keep b ON a.win = b.win AND a.doc_id < b.doc_id
+),
+s AS (SELECT doc_id, source FROM documents)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+  GREATEST(sa.source, sb.source) AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p
+JOIN s sa ON sa.doc_id = p.id_a
+JOIN s sb ON sb.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prio = _priority_queries()
     assert len(prio) <= _DRIVER_WINDOW, (
@@ -3823,6 +3894,8 @@ def oracle_sql() -> dict[str, str]:
         "nearest_dup": _SQL_NEAREST_DUP,
         "perplexity_buckets": _SQL_PERPLEXITY_BUCKETS,
         "ngram_coverage": _SQL_NGRAM_COVERAGE,
+        "lang_confusion": _lang_confusion_sql(),
+        "cross_source_dups": _SQL_CROSS_SOURCE_DUPS,
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,

@@ -335,6 +335,8 @@ def main() -> None:
                 "nearest_dup",
                 "perplexity_buckets",
                 "ngram_coverage",
+                "lang_confusion",
+                "cross_source_dups",
             ):
                 samples = []
                 for _ in range(reps):

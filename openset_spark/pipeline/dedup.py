@@ -945,3 +945,50 @@ def nearest_dup(
             F.col("jac_ppm").cast("long").alias("jac_ppm"),
         )
     )
+
+
+def cross_source_dups(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Provenance-level duplication matrix: how many candidate
+    duplicate PAIRS link each (source, source) combination — the
+    report that tells a corpus curator which feeds copy from which
+    (and how much of the duplication is intra-feed). Pass ``pairs``
+    to reuse an ingest-time candidate set; defaults to the capped
+    substring-dup candidates.
+
+    Scale shape: the pair frame joins the tiny (id, source) dim twice
+    (AQE broadcasts it); the aggregate key space is bounded by the
+    CATALOG's source count squared, independent of corpus size.
+    Output: (source_a, source_b, n_pairs) with source_a <= source_b."""
+    if pairs is None:
+        pairs = substring_dup_pairs(df, text_col=text_col, id_col=id_col)
+    src = df.select(F.col(id_col), F.col(source_col))
+    labeled = (
+        pairs.join(
+            src.select(
+                F.col(id_col).alias("id_a"),
+                F.col(source_col).alias("_sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias("id_b"),
+                F.col(source_col).alias("_sb"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        labeled.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

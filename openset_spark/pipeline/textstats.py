@@ -463,3 +463,29 @@ def lexical_diversity(
             "10000 * sum(case when c = 1 then 1 else 0 end) div count(1)"
         ).alias("hapax_x10k"),
     )
+
+
+def lang_confusion(
+    df: DataFrame,
+    gold_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-ID evaluation against gold labels: the confusion
+    matrix (gold, guess, n_docs) every classifier audit starts from.
+    Rides lang_id's extra_cols fusion hook, so gold labels flow
+    through the SAME single scan the classifier uses — no join back
+    to the source table. One hash aggregate on a (|langs|+1)^2-bounded
+    key space; the result is a catalog-sized frame at any corpus
+    size."""
+    guessed = lang_id(
+        df, text_col=text_col, id_col=id_col,
+        extra_cols={"_gold": F.col(gold_col)},
+    )
+    return (
+        guessed.groupBy(
+            F.col("_gold").alias(gold_col),
+            F.col("lang_guess"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

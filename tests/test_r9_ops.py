@@ -158,5 +158,43 @@ def test_prepare_corpus_unaffected_smoke(spark):
     assert minhash_candidates(docs).count() >= 1
 
 
-if __name__ == "__main__":  # pragma: no cover
-    pytest.main([__file__, "-q"])
+def test_lang_confusion_matrix(spark):
+    from openset_spark.pipeline.textstats import lang_confusion
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the and is of to in the and"),
+            (2, "en", "der und die das ist nicht"),  # mislabeled gold
+            (3, "de", "der und die das ist nicht"),
+            (4, "xx", "zz qq ww rr"),                # no stopword hits
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {(r.lang, r.lang_guess): r.n_docs
+           for r in lang_confusion(docs).collect()}
+    assert out[("en", "en")] == 1
+    assert out[("en", "de")] == 1
+    assert out[("de", "de")] == 1
+    assert out[("xx", "unknown")] == 1
+
+
+def test_cross_source_dups_matrix(spark):
+    from openset_spark.pipeline.dedup import cross_source_dups
+
+    run = " ".join(WORDS)
+    docs = spark.createDataFrame(
+        [
+            (1, "feedA", run + " a1"),
+            (2, "feedB", run + " b1"),
+            (3, "feedB", run + " b2"),
+            (4, "feedC", "totally unrelated " + " ".join(
+                f"w{i}" for i in range(20))),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {(r.source_a, r.source_b): r.n_pairs
+           for r in cross_source_dups(docs).collect()}
+    # pairs (1,2) (1,3) cross feedA/feedB; (2,3) intra feedB
+    assert out[("feedA", "feedB")] == 2
+    assert out[("feedB", "feedB")] == 1
+    assert ("feedC", "feedC") not in out
