@@ -413,12 +413,22 @@ def parse_pps(rbsp: bytes) -> dict:
     deblocking_filter_control_present = br.u(1)
     constrained_intra_pred = br.u(1)
     redundant_pic_cnt_present = br.u(1)
+    # High-profile PPS extension (present iff more RBSP data remains)
+    transform_8x8_mode = 0
+    second_chroma_qp_offset = chroma_qp_index_offset
+    if br.more_rbsp_data():
+        transform_8x8_mode = br.u(1)
+        if br.u(1):  # pic_scaling_matrix_present
+            raise NotImplementedError("scaling matrices not supported")
+        second_chroma_qp_offset = br.se()
     return {
         "id": pps_id,
         "sps_id": sps_id,
         "entropy": entropy_coding_mode,
         "pic_init_qp": pic_init_qp,
         "chroma_qp_index_offset": chroma_qp_index_offset,
+        "second_chroma_qp_offset": second_chroma_qp_offset,
+        "transform_8x8_mode": transform_8x8_mode,
         "deblocking_control": deblocking_filter_control_present,
         "constrained_intra_pred": constrained_intra_pred,
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
@@ -846,6 +856,9 @@ class _Frame:
         self.mode4 = [[-1] * bw for _ in range(bh)]  # intra4x4 modes
         self.decoded4 = [[False] * bw for _ in range(bh)]
         self.is_i4 = [[False] * self.mb_w for _ in range(self.mb_h)]
+        # True when the MB used the High-profile 8x8 transform (the
+        # deblocking filter skips the 4/12 internal luma edges then)
+        self.mb_t8 = [[False] * self.mb_w for _ in range(self.mb_h)]
         self.mb_slice = [[-1] * self.mb_w for _ in range(self.mb_h)]
         # per-MB luma QP for the deblocking filter (8.7); I_PCM MBs
         # record 0 per the qPp derivation rule
@@ -1006,6 +1019,9 @@ def _parse_cbp_qp(br, frame, qp, intra16):
 
 
 def _decode_i4x4(br, frame, mbx, mby, qp, cur_slice):
+    # High profile: I_NxN carries transform_size_8x8_flag first
+    if frame.pps.get("transform_8x8_mode") and br.u(1):
+        return _decode_i8x8_cavlc(br, frame, mbx, mby, qp, cur_slice)
     frame.is_i4[mby][mbx] = True
     # mb_pred: 16 intra modes (z-scan), then chroma mode
     modes = []
@@ -1163,7 +1179,16 @@ def _parse_chroma_residual(br, frame, mbx, mby, cbp_chroma, cur_slice):
 
 def _recon_chroma(frame, mbx, mby, mode, chroma_res, qp_y, cur_slice):
     dcs, acs = chroma_res
-    qpc = _chroma_qp(qp_y, frame.pps["chroma_qp_index_offset"])
+    qpc_by_comp = (
+        _chroma_qp(qp_y, frame.pps["chroma_qp_index_offset"]),
+        _chroma_qp(
+            qp_y,
+            frame.pps.get(
+                "second_chroma_qp_offset",
+                frame.pps["chroma_qp_index_offset"],
+            ),
+        ),
+    )
     a_ok = mby > 0 and frame.mb_avail(mbx, mby - 1, cur_slice)
     l_ok = mbx > 0 and frame.mb_avail(mbx - 1, mby, cur_slice)
     x_ok = a_ok and l_ok and frame.mb_avail(mbx - 1, mby - 1, cur_slice)
@@ -1174,6 +1199,7 @@ def _recon_chroma(frame, mbx, mby, mode, chroma_res, qp_y, cur_slice):
     if mode == 2 and not a_ok:
         raise ValueError("chroma vertical without above")
     for comp, plane in ((0, frame.u), (1, frame.v)):
+        qpc = qpc_by_comp[comp]
         x0, y0 = mbx * 8, mby * 8
         above = [plane[y0 - 1][x0 + i] for i in range(8)] if a_ok else [0] * 8
         left = [plane[y0 + i][x0 - 1] for i in range(8)] if l_ok else [0] * 8
@@ -1312,7 +1338,8 @@ def deblock_frame(frame: "_Frame", slice_deblock) -> None:
     transform edges. idc=1 disables the MB's slice entirely; idc=2
     skips edges that cross a slice boundary. I_PCM macroblocks take
     qPp = 0 (frame.mb_qp records that at decode time)."""
-    co = frame.pps["chroma_qp_index_offset"]
+    co_u = frame.pps["chroma_qp_index_offset"]
+    co_v = frame.pps.get("second_chroma_qp_offset", co_u)
     for mby in range(frame.mb_h):
         for mbx in range(frame.mb_w):
             sl = frame.mb_slice[mby][mbx]
@@ -1320,10 +1347,15 @@ def deblock_frame(frame: "_Frame", slice_deblock) -> None:
             if idc == 1:
                 continue
             qp_cur = frame.mb_qp[mby][mbx]
+            # 8x8-transform MBs have no 4x4 luma transform edges:
+            # only the internal edge at 8 is filtered (8.7's
+            # transform-block-boundary condition)
+            internal = (8,) if frame.mb_t8[mby][mbx] else (4, 8, 12)
 
             def edge_sets(n_mbx, n_mby):
-                """(bs, qpav_luma, qpav_chroma) for the MB-boundary
-                edge vs neighbor, or None if it must not filter."""
+                """(bs, qpav_luma, (qpav_u, qpav_v)) for the
+                MB-boundary edge vs neighbor, or None if it must not
+                filter."""
                 if n_mbx < 0 or n_mby < 0:
                     return None
                 if (
@@ -1333,12 +1365,15 @@ def deblock_frame(frame: "_Frame", slice_deblock) -> None:
                     return None
                 qp_n = frame.mb_qp[n_mby][n_mbx]
                 qpav = (qp_cur + qp_n + 1) >> 1
-                qpav_c = (
-                    _chroma_qp(qp_cur, co) + _chroma_qp(qp_n, co) + 1
-                ) >> 1
+                qpav_c = tuple(
+                    (_chroma_qp(qp_cur, co) + _chroma_qp(qp_n, co) + 1)
+                    >> 1
+                    for co in (co_u, co_v)
+                )
                 return 4, qpav, qpav_c
 
-            qpc = _chroma_qp(qp_cur, co)
+            qpc_u = _chroma_qp(qp_cur, co_u)
+            qpc_v = _chroma_qp(qp_cur, co_v)
             x16, y16 = mbx * 16, mby * 16
             x8, y8 = mbx * 8, mby * 8
             # vertical edges, left to right
@@ -1346,23 +1381,23 @@ def deblock_frame(frame: "_Frame", slice_deblock) -> None:
             if left is not None:
                 bs, qa, qac = left
                 _deblock_edges(frame.y, x16, y16, 16, True, bs, qa, a_off, b_off, False)
-                _deblock_edges(frame.u, x8, y8, 8, True, bs, qac, a_off, b_off, True)
-                _deblock_edges(frame.v, x8, y8, 8, True, bs, qac, a_off, b_off, True)
-            for xe in (4, 8, 12):
+                _deblock_edges(frame.u, x8, y8, 8, True, bs, qac[0], a_off, b_off, True)
+                _deblock_edges(frame.v, x8, y8, 8, True, bs, qac[1], a_off, b_off, True)
+            for xe in internal:
                 _deblock_edges(frame.y, x16 + xe, y16, 16, True, 3, qp_cur, a_off, b_off, False)
-            _deblock_edges(frame.u, x8 + 4, y8, 8, True, 3, qpc, a_off, b_off, True)
-            _deblock_edges(frame.v, x8 + 4, y8, 8, True, 3, qpc, a_off, b_off, True)
+            _deblock_edges(frame.u, x8 + 4, y8, 8, True, 3, qpc_u, a_off, b_off, True)
+            _deblock_edges(frame.v, x8 + 4, y8, 8, True, 3, qpc_v, a_off, b_off, True)
             # horizontal edges, top to bottom
             top = edge_sets(mbx, mby - 1)
             if top is not None:
                 bs, qa, qac = top
                 _deblock_edges(frame.y, x16, y16, 16, False, bs, qa, a_off, b_off, False)
-                _deblock_edges(frame.u, x8, y8, 8, False, bs, qac, a_off, b_off, True)
-                _deblock_edges(frame.v, x8, y8, 8, False, bs, qac, a_off, b_off, True)
-            for ye in (4, 8, 12):
+                _deblock_edges(frame.u, x8, y8, 8, False, bs, qac[0], a_off, b_off, True)
+                _deblock_edges(frame.v, x8, y8, 8, False, bs, qac[1], a_off, b_off, True)
+            for ye in internal:
                 _deblock_edges(frame.y, x16, y16 + ye, 16, False, 3, qp_cur, a_off, b_off, False)
-            _deblock_edges(frame.u, x8, y8 + 4, 8, False, 3, qpc, a_off, b_off, True)
-            _deblock_edges(frame.v, x8, y8 + 4, 8, False, 3, qpc, a_off, b_off, True)
+            _deblock_edges(frame.u, x8, y8 + 4, 8, False, 3, qpc_u, a_off, b_off, True)
+            _deblock_edges(frame.v, x8, y8 + 4, 8, False, 3, qpc_v, a_off, b_off, True)
 
 
 def _parse_slice_header(br, nal_type, sps_map, pps_map):
@@ -1478,3 +1513,366 @@ def h264_to_rgb(w, h, y, u, v) -> bytes:
             out[o + 1] = _clip(g)
             out[o + 2] = _clip(b)
     return bytes(out)
+
+
+# ------------------------------------------------------------------
+# High-profile 8x8 transform (8.3.2 intra prediction, 8.5.13
+# scaling + transform, 7.3.5.3.2 CAVLC interleave)
+# ------------------------------------------------------------------
+_ZZ8 = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# Table 8-40-style per-class weights (flat scaling lists): the six
+# distinct LevelScale8x8 values per qp%6
+_V8 = [
+    [20, 18, 32, 19, 25, 24],
+    [22, 19, 35, 21, 28, 26],
+    [26, 23, 42, 24, 33, 31],
+    [28, 25, 45, 26, 35, 33],
+    [32, 28, 51, 30, 40, 38],
+    [36, 32, 58, 34, 46, 43],
+]
+
+
+def _level_scale8(m: int, i: int, j: int) -> int:
+    if i % 4 == 0 and j % 4 == 0:
+        idx = 0
+    elif i % 2 == 1 and j % 2 == 1:
+        idx = 1
+    elif i % 4 == 2 and j % 4 == 2:
+        idx = 2
+    elif (i % 4 == 0 and j % 2 == 1) or (i % 2 == 1 and j % 4 == 0):
+        idx = 3
+    elif (i % 4 == 0 and j % 4 == 2) or (i % 4 == 2 and j % 4 == 0):
+        idx = 4
+    else:
+        idx = 5
+    return _V8[m][idx]
+
+
+def _dequant_8x8(coeffs: list[int], qp: int) -> list[list[int]]:
+    """64 scan-order levels -> dequantized 8x8 matrix (8.5.13.1,
+    flat scaling lists; note the 8x8 shift pivot is qp 36)."""
+    d = [[0] * 8 for _ in range(8)]
+    m, sh = qp % 6, qp // 6
+    for k, lvl in enumerate(coeffs):
+        if lvl == 0:
+            continue
+        idx = _ZZ8[k]
+        i, j = idx >> 3, idx & 7
+        ls = _level_scale8(m, i, j)
+        if qp >= 36:
+            d[i][j] = (lvl * ls) << (sh - 6)
+        else:
+            d[i][j] = (lvl * ls + (1 << (5 - sh))) >> (6 - sh)
+    return d
+
+
+def _idct8_1d(f: list[int]) -> list[int]:
+    """One 8-point pass of the 8.5.13.2 integer butterfly."""
+    e0 = f[0] + f[4]
+    e1 = -f[3] + f[5] - f[7] - (f[7] >> 1)
+    e2 = f[0] - f[4]
+    e3 = f[1] + f[7] - f[3] - (f[3] >> 1)
+    e4 = (f[2] >> 1) - f[6]
+    e5 = -f[1] + f[7] + f[5] + (f[5] >> 1)
+    e6 = f[2] + (f[6] >> 1)
+    e7 = f[3] + f[5] + f[1] + (f[1] >> 1)
+    g0 = e0 + e6
+    g1 = e1 + (e7 >> 2)
+    g2 = e2 + e4
+    g3 = e3 + (e5 >> 2)
+    g4 = e2 - e4
+    g5 = (e3 >> 2) - e5
+    g6 = e0 - e6
+    g7 = e7 - (e1 >> 2)
+    return [
+        g0 + g7, g2 + g5, g4 + g3, g6 + g1,
+        g6 - g1, g4 - g3, g2 - g5, g0 - g7,
+    ]
+
+
+def inverse_8x8(d: list[list[int]]) -> list[list[int]]:
+    """8.5.13.2: rows, then columns, then (x + 32) >> 6."""
+    rows = [_idct8_1d(d[i]) for i in range(8)]
+    out = [[0] * 8 for _ in range(8)]
+    for j in range(8):
+        col = _idct8_1d([rows[i][j] for i in range(8)])
+        for i in range(8):
+            out[i][j] = (col[i] + 32) >> 6
+    return out
+
+
+def _filter_ref_8x8(A, L, X, a_ok, l_ok, x_ok):
+    """8.3.2.2.1 reference-sample low-pass. A: 16 above samples
+    (above-right already padded), L: 8 left, X: corner. Returns
+    filtered copies (unavailable sides returned untouched)."""
+    fA, fL, fX = list(A), list(L), X
+    if a_ok:
+        first = (
+            (X + 2 * A[0] + A[1] + 2) >> 2
+            if x_ok
+            else (3 * A[0] + A[1] + 2) >> 2
+        )
+        fA = [first] + [
+            (A[x - 1] + 2 * A[x] + A[x + 1] + 2) >> 2 for x in range(1, 15)
+        ] + [(A[14] + 3 * A[15] + 2) >> 2]
+    if x_ok:
+        if a_ok and l_ok:
+            fX = (A[0] + 2 * X + L[0] + 2) >> 2
+        elif a_ok:
+            fX = (3 * X + A[0] + 2) >> 2
+        elif l_ok:
+            fX = (3 * X + L[0] + 2) >> 2
+    if l_ok:
+        first = (
+            (X + 2 * L[0] + L[1] + 2) >> 2
+            if x_ok
+            else (3 * L[0] + L[1] + 2) >> 2
+        )
+        fL = [first] + [
+            (L[y - 1] + 2 * L[y] + L[y + 1] + 2) >> 2 for y in range(1, 7)
+        ] + [(L[6] + 3 * L[7] + 2) >> 2]
+    return fA, fL, fX
+
+
+def predict_8x8(mode, A, L, X, a_ok, l_ok):
+    """9 intra 8x8 modes over FILTERED references (the 4x4 formulas
+    at N=8). A: 16 filtered above(+right) samples, L: 8 filtered
+    left, X: filtered corner."""
+    p = [[0] * 8 for _ in range(8)]
+    if mode == 0:  # vertical
+        if not a_ok:
+            raise ValueError("intra8x8 vertical without above")
+        for y in range(8):
+            for x in range(8):
+                p[y][x] = A[x]
+    elif mode == 1:  # horizontal
+        if not l_ok:
+            raise ValueError("intra8x8 horizontal without left")
+        for y in range(8):
+            for x in range(8):
+                p[y][x] = L[y]
+    elif mode == 2:  # DC
+        if a_ok and l_ok:
+            dc = (sum(A[:8]) + sum(L) + 8) >> 4
+        elif a_ok:
+            dc = (sum(A[:8]) + 4) >> 3
+        elif l_ok:
+            dc = (sum(L) + 4) >> 3
+        else:
+            dc = 128
+        for y in range(8):
+            for x in range(8):
+                p[y][x] = dc
+    elif mode == 3:  # diagonal down-left
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    p[y][x] = (A[14] + 3 * A[15] + 2) >> 2
+                else:
+                    k = x + y
+                    p[y][x] = (A[k] + 2 * A[k + 1] + A[k + 2] + 2) >> 2
+    elif mode == 4:  # diagonal down-right
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    k = x - y - 2
+                    a0 = A[k] if k >= 0 else X
+                    a1 = A[k + 1] if k + 1 >= 0 else X
+                    p[y][x] = (a0 + 2 * a1 + A[k + 2] + 2) >> 2
+                elif x < y:
+                    k = y - x - 2
+                    l0 = L[k] if k >= 0 else X
+                    l1 = L[k + 1] if k + 1 >= 0 else X
+                    p[y][x] = (l0 + 2 * l1 + L[k + 2] + 2) >> 2
+                else:
+                    p[y][x] = (A[0] + 2 * X + L[0] + 2) >> 2
+    elif mode == 5:  # vertical-right
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    k = x - (y >> 1) - 1
+                    a0 = A[k] if k >= 0 else X
+                    p[y][x] = (a0 + A[k + 1] + 1) >> 1
+                elif z >= 0:
+                    k = x - (y >> 1) - 2
+                    a0 = A[k] if k >= 0 else X
+                    a1 = A[k + 1] if k + 1 >= 0 else X
+                    p[y][x] = (a0 + 2 * a1 + A[k + 2] + 2) >> 2
+                elif z == -1:
+                    p[y][x] = (L[0] + 2 * X + A[0] + 2) >> 2
+                else:
+                    k = y - 2 * x
+                    l2 = L[k - 3] if k >= 3 else X
+                    p[y][x] = (L[k - 1] + 2 * L[k - 2] + l2 + 2) >> 2
+    elif mode == 6:  # horizontal-down
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    k = y - (x >> 1) - 1
+                    l0 = L[k] if k >= 0 else X
+                    p[y][x] = (l0 + L[k + 1] + 1) >> 1
+                elif z >= 0:
+                    k = y - (x >> 1) - 2
+                    l0 = L[k] if k >= 0 else X
+                    l1 = L[k + 1] if k + 1 >= 0 else X
+                    p[y][x] = (l0 + 2 * l1 + L[k + 2] + 2) >> 2
+                elif z == -1:
+                    p[y][x] = (A[0] + 2 * X + L[0] + 2) >> 2
+                else:
+                    k = x - 2 * y
+                    a2 = A[k - 3] if k >= 3 else X
+                    p[y][x] = (A[k - 1] + 2 * A[k - 2] + a2 + 2) >> 2
+    elif mode == 7:  # vertical-left
+        for y in range(8):
+            for x in range(8):
+                k = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y][x] = (A[k] + A[k + 1] + 1) >> 1
+                else:
+                    p[y][x] = (A[k] + 2 * A[k + 1] + A[k + 2] + 2) >> 2
+    elif mode == 8:  # horizontal-up
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z < 13 and z % 2 == 0:
+                    k = y + (x >> 1)
+                    p[y][x] = (L[k] + L[k + 1] + 1) >> 1
+                elif z < 13:
+                    k = y + (x >> 1)
+                    p[y][x] = (L[k] + 2 * L[k + 1] + L[k + 2] + 2) >> 2
+                elif z == 13:
+                    p[y][x] = (L[6] + 3 * L[7] + 2) >> 2
+                else:
+                    p[y][x] = L[7]
+    else:
+        raise ValueError(f"invalid intra8x8 mode {mode}")
+    return p
+
+
+def _neighbors_8x8(frame, b8x, b8y, cur_slice):
+    """Raw (A16, L8, X, a_ok, l_ok, x_ok) references for the 8x8 luma
+    block at 8x8-grid coords (b8x, b8y) — decoded-flag above-right
+    availability at 4x4 granularity, pad-with-A[7] substitution."""
+    bx, by = b8x * 2, b8y * 2  # top-left 4x4 cell
+    x0, y0 = b8x * 8, b8y * 8
+    a_ok = by > 0 and frame.mb_avail(*frame.blk_mb(bx, by - 1), cur_slice)
+    l_ok = bx > 0 and frame.mb_avail(*frame.blk_mb(bx - 1, by), cur_slice)
+    x_ok = (
+        a_ok
+        and l_ok
+        and frame.mb_avail(*frame.blk_mb(bx - 1, by - 1), cur_slice)
+    )
+    A = [0] * 16
+    L = [0] * 8
+    X = 128
+    if a_ok:
+        A[:8] = frame.y[y0 - 1][x0:x0 + 8]
+        ar_ok = (
+            bx + 2 < frame.mb_w * 4
+            and frame.mb_avail(*frame.blk_mb(bx + 2, by - 1), cur_slice)
+            and frame.decoded4[by - 1][bx + 2]
+            and frame.decoded4[by - 1][bx + 3]
+        )
+        if ar_ok:
+            A[8:] = frame.y[y0 - 1][x0 + 8:x0 + 16]
+        else:
+            A[8:] = [A[7]] * 8
+    if l_ok:
+        L = [frame.y[y0 + i][x0 - 1] for i in range(8)]
+    if x_ok:
+        X = frame.y[y0 - 1][x0 - 1]
+    elif a_ok:
+        X = A[0]
+    elif l_ok:
+        X = L[0]
+    return A, L, X, a_ok, l_ok, x_ok
+
+
+def _recon_i8x8_luma(frame, mbx, mby, modes, blocks, qp, cur_slice):
+    """Reconstruct the 4 luma 8x8 blocks of an I_NxN/8x8 macroblock
+    from parsed modes + 64-length scan-order levels (shared by the
+    CAVLC and CABAC front-ends)."""
+    frame.mb_t8[mby][mbx] = True
+    for b8 in range(4):
+        b8x = mbx * 2 + (b8 & 1)
+        b8y = mby * 2 + (b8 >> 1)
+        A, L, X, a_ok, l_ok, x_ok = _neighbors_8x8(
+            frame, b8x, b8y, cur_slice
+        )
+        fA, fL, fX = _filter_ref_8x8(A, L, X, a_ok, l_ok, x_ok)
+        pred = predict_8x8(modes[b8], fA, fL, fX, a_ok, l_ok)
+        res = inverse_8x8(_dequant_8x8(blocks[b8], qp))
+        x0, y0 = b8x * 8, b8y * 8
+        for yy in range(8):
+            for xx in range(8):
+                frame.y[y0 + yy][x0 + xx] = _clip(
+                    pred[yy][xx] + res[yy][xx]
+                )
+        for cy in range(2):
+            for cx in range(2):
+                frame.decoded4[b8y * 2 + cy][b8x * 2 + cx] = True
+
+
+def _pred_mode_8x8(frame, b8x, b8y, cur_slice):
+    """predIntra8x8PredMode (8.3.2.1): min of the neighboring blocks'
+    intra NxN modes (8x8 MBs record their mode in every covered 4x4
+    cell, so the 4x4 lookup covers both block sizes)."""
+    bx, by = b8x * 2, b8y * 2
+    return _pred_mode_4x4(frame, bx, by, cur_slice)
+
+
+def _decode_i8x8_cavlc(br, frame, mbx, mby, qp, cur_slice):
+    """I_NxN with transform_size_8x8_flag=1, CAVLC entropy: 4 8x8
+    prediction modes, then each coded 8x8 parsed as FOUR interleaved
+    4x4 CAVLC blocks (level8x8[4*i + k] = level4x4[k][i] — 8.5.8's
+    de-interleave), nnz tracked per 4x4 cell for nC contexts."""
+    frame.is_i4[mby][mbx] = True  # I_NxN for mb_type ctx purposes
+    modes = []
+    for b8 in range(4):
+        b8x = mbx * 2 + (b8 & 1)
+        b8y = mby * 2 + (b8 >> 1)
+        pred = _pred_mode_8x8(frame, b8x, b8y, cur_slice)
+        if br.u(1):
+            mode = pred
+        else:
+            rem = br.u(3)
+            mode = rem if rem < pred else rem + 1
+        modes.append(mode)
+        for cy in range(2):
+            for cx in range(2):
+                frame.mode4[b8y * 2 + cy][b8x * 2 + cx] = mode
+    chroma_mode = br.ue()
+    cbp_luma, cbp_chroma, qp = _parse_cbp_qp(br, frame, qp, False)
+    frame.mb_qp[mby][mbx] = qp
+
+    blocks = []
+    for b8 in range(4):
+        levels = [0] * 64
+        if cbp_luma & (1 << b8):
+            for k in range(4):
+                blk = b8 * 4 + k
+                dx, dy = _BLK_XY[blk]
+                bx, by = mbx * 4 + dx, mby * 4 + dy
+                nc = frame.luma_nC(bx, by, cur_slice)
+                sub, tc = decode_residual_block(br, nc, 16)
+                frame.nnz_y[by][bx] = tc
+                for i in range(16):
+                    levels[4 * i + k] = sub[i]
+        else:
+            for k in range(4):
+                dx, dy = _BLK_XY[b8 * 4 + k]
+                frame.nnz_y[mby * 4 + dy][mbx * 4 + dx] = 0
+        blocks.append(levels)
+    chroma_res = _parse_chroma_residual(
+        br, frame, mbx, mby, cbp_chroma, cur_slice
+    )
+    _recon_i8x8_luma(frame, mbx, mby, modes, blocks, qp, cur_slice)
+    _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp, cur_slice)
+    return qp

@@ -7,9 +7,9 @@ models, binarizations (9.3.2) and residual syntax (7.3.5.3.x /
 9.3.3.1.x), and feeds the SAME reconstruction back-end as the CAVLC
 path (`_recon_i4x4_luma` / `_recon_i16x16_luma` / `_recon_chroma` in
 h264.py) — entropy coding is the only difference between the two
-front-ends. Scope: 4:2:0 I slices without transform_size_8x8_flag
-(the transform the in-repo encoder and the CAVLC path cover);
-High-profile 8x8 transform streams raise NotImplementedError.
+front-ends. Scope: 4:2:0 I slices, including the High-profile 8x8
+transform (transform_size_8x8_flag, ctxBlockCat 5 residuals with the
+Table 9-43 significance maps — r9 second pass).
 
 Engine constants (Tables 9-44/9-45) and the I-slice context
 initialization values (the Intra columns of Tables 9-12..9-23) are
@@ -148,7 +148,7 @@ _fill(227, [(-3, 71), (-6, 42), (-5, 50), (-3, 54),
             (-10, 77), (-7, 81), (-17, 80), (-18, 73),
             (-4, 74), (-10, 83), (-9, 71), (-9, 67), (-1, 61)])
 
-N_CTX = 277  # 0..275 + the terminate pseudo-context slot
+N_CTX = 460  # 0..435 used (core I-slice + 8x8 frame contexts)
 
 # per-category layout constants shared by decoder and in-test encoder
 SIG_OFF = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}
@@ -492,6 +492,12 @@ def _decode_mb_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
         return qp
 
     if kind == "i4":
+        if frame.pps.get("transform_8x8_mode") and rd.decision(
+            ps, ms, _t8_flag_ctx(frame, mbx, mby, cur_slice)
+        ):
+            return _decode_mb_i8x8_cabac(
+                rd, ps, ms, st, frame, mbx, mby, qp, cur_slice
+            )
         frame.is_i4[mby][mbx] = True
         modes = []
         for blk in range(16):
@@ -667,3 +673,166 @@ def decode_slice_cabac(br, frame, slice_idx, header) -> int:
             break
     br.pos = rd.pos
     return mb_addr
+
+
+# ------------------------------------------------------------------
+# High-profile 8x8 transform (ctxBlockCat 5; ctx 399-435 frame-coded)
+# ------------------------------------------------------------------
+# transform_size_8x8_flag: ctx 399 + leftFlag + aboveFlag
+_fill(399, [(31, 21), (31, 31), (25, 50)])
+# significant_coeff_flag 8x8 frame: ctx 402..416 (15 contexts)
+_fill(402, [(-17, 120), (-20, 112), (-18, 114), (-11, 85),
+            (-15, 92), (-14, 89), (-26, 71), (-15, 81),
+            (-14, 80), (0, 68), (-14, 70), (-24, 56),
+            (-23, 68), (-24, 50), (-11, 74)])
+# last_significant_coeff_flag 8x8 frame: ctx 417..425 (9 contexts)
+_fill(417, [(23, -13), (26, -13), (40, -15), (49, -14), (44, 3),
+            (45, 6), (44, 34), (33, 54), (19, 82)])
+# coeff_abs_level_minus1 8x8: ctx 426..435 (10 contexts)
+_fill(426, [(-3, 75), (-1, 23), (1, 34), (1, 43), (0, 54),
+            (-2, 55), (0, 61), (1, 64), (0, 68), (-9, 92)])
+
+# Table 9-43 ctxIdxInc maps for the 64-coefficient significance scan
+# (frame-coded): levelListIdx 0..62
+SIG_MAP_8X8 = [
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12,
+]
+LAST_MAP_8X8 = [
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 3,
+    4, 4, 4, 4, 4, 4, 4, 5, 5, 5, 6, 6, 6, 7, 7,
+]
+
+
+def _decode_block_8x8(rd, ps, ms):
+    """ctxBlockCat 5 residual: 64-coefficient significance map with
+    the Table 9-43 context maps + levels (abs ctx base 426, the
+    standard increments, cap 4). No coded_block_flag exists for
+    4:2:0 luma 8x8 blocks — presence is the CBP bit, and the encoder
+    guarantees a coded block is non-empty."""
+    npos = []
+    ended = False
+    for i in range(63):
+        if rd.decision(ps, ms, 402 + SIG_MAP_8X8[i]):
+            npos.append(i)
+            if rd.decision(ps, ms, 417 + LAST_MAP_8X8[i]):
+                ended = True
+                break
+    if not ended:
+        npos.append(63)
+    coeffs = [0] * 64
+    num_eq1 = 0
+    num_gt1 = 0
+    for pos in reversed(npos):
+        inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+        if rd.decision(ps, ms, 426 + inc0) == 0:
+            level = 1
+            num_eq1 += 1
+        else:
+            ctx_rest = 426 + 5 + min(4, num_gt1)
+            prefix = 1
+            while prefix < 14 and rd.decision(ps, ms, ctx_rest):
+                prefix += 1
+            level = prefix + 1
+            if prefix == 14:
+                level = 15 + _decode_ueg0_suffix(rd)
+            num_gt1 += 1
+        if rd.bypass():
+            level = -level
+        coeffs[pos] = level
+    return coeffs
+
+
+def _decode_mb_i8x8_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
+    """I_NxN with transform_size_8x8_flag=1 under CABAC (invoked by
+    _decode_mb_cabac after the flag bin)."""
+    from openset_spark.pipeline.h264 import (
+        _pred_mode_8x8,
+        _recon_i8x8_luma,
+    )
+
+    frame.is_i4[mby][mbx] = True
+    modes = []
+    for b8 in range(4):
+        b8x = mbx * 2 + (b8 & 1)
+        b8y = mby * 2 + (b8 >> 1)
+        pred = _pred_mode_8x8(frame, b8x, b8y, cur_slice)
+        if rd.decision(ps, ms, 68):
+            mode = pred
+        else:
+            rem = (
+                rd.decision(ps, ms, 69)
+                + 2 * rd.decision(ps, ms, 69)
+                + 4 * rd.decision(ps, ms, 69)
+            )
+            mode = rem if rem < pred else rem + 1
+        modes.append(mode)
+        for cy in range(2):
+            for cx in range(2):
+                frame.mode4[b8y * 2 + cy][b8x * 2 + cx] = mode
+    chroma_mode = _decode_intra_chroma_mode(
+        rd, ps, ms, st, frame, mbx, mby, cur_slice
+    )
+    st.chroma_mode[mby][mbx] = chroma_mode
+    cbp_luma, cbp_chroma = _decode_cbp(
+        rd, ps, ms, st, frame, mbx, mby, cur_slice
+    )
+    st.cbp_luma[mby][mbx] = cbp_luma
+    st.cbp_chroma[mby][mbx] = cbp_chroma
+    if cbp_luma or cbp_chroma:
+        qp = (qp + _decode_mb_qp_delta(rd, ps, ms, st) + 52) % 52
+    else:
+        st.prev_qp_delta_nz = False
+    frame.mb_qp[mby][mbx] = qp
+
+    blocks = []
+    for b8 in range(4):
+        if cbp_luma & (1 << b8):
+            blocks.append(_decode_block_8x8(rd, ps, ms))
+            # 9.3.3.1.1.9: cells of a coded 8x8 block count as coded
+            # for later coded_block_flag neighbor derivations
+            cbf = 1
+        else:
+            blocks.append([0] * 64)
+            cbf = 0
+        dx0, dy0 = _BLK_XY[b8 * 4]
+        for cy in range(2):
+            for cx in range(2):
+                st.cbf_y[mby * 4 + dy0 + cy][mbx * 4 + dx0 + cx] = cbf
+
+    dcs = {0: [0] * 4, 1: [0] * 4}
+    acs = {0: [[0] * 15 for _ in range(4)], 1: [[0] * 15 for _ in range(4)]}
+    if cbp_chroma:
+        for comp in range(2):
+            ctx = _cbf_ctx(st, frame, 3, mbx, mby, cur_slice, comp)
+            if rd.decision(ps, ms, ctx):
+                st.cbf_cdc[comp][mby][mbx] = 1
+                dcs[comp] = _decode_block(rd, ps, ms, 3)
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for blk in range(4):
+                cx = mbx * 2 + (blk & 1)
+                cy = mby * 2 + (blk >> 1)
+                ctx = _cbf_ctx(
+                    st, frame, 4, mbx, mby, cur_slice, (comp, cx, cy)
+                )
+                if rd.decision(ps, ms, ctx):
+                    st.cbf_c[comp][cy][cx] = 1
+                    acs[comp][blk] = _decode_block(rd, ps, ms, 4)
+
+    _recon_i8x8_luma(frame, mbx, mby, modes, blocks, qp, cur_slice)
+    _recon_chroma(frame, mbx, mby, chroma_mode, (dcs, acs), qp, cur_slice)
+    return qp
+
+
+def _t8_flag_ctx(frame, mbx, mby, cur_slice) -> int:
+    inc = 0
+    if _mb_avail(frame, mbx - 1, mby, cur_slice) and frame.mb_t8[mby][mbx - 1]:
+        inc += 1
+    if _mb_avail(frame, mbx, mby - 1, cur_slice) and frame.mb_t8[mby - 1][mbx]:
+        inc += 1
+    return 399 + inc

@@ -95,7 +95,8 @@ def _sps_nal(mb_w, mb_h, crop=(0, 0, 0, 0)) -> bytes:
     return _nal(7, w.rbsp())
 
 
-def _pps_nal(pic_init_qp=26, chroma_offset=0, entropy=0) -> bytes:
+def _pps_nal(pic_init_qp=26, chroma_offset=0, entropy=0,
+             transform8x8=0, second_chroma=None) -> bytes:
     w = BW()
     w.ue(0)  # pps_id
     w.ue(0)  # sps_id
@@ -112,6 +113,11 @@ def _pps_nal(pic_init_qp=26, chroma_offset=0, entropy=0) -> bytes:
     w.u(1, 1)  # deblocking_filter_control_present
     w.u(0, 1)
     w.u(0, 1)
+    if transform8x8 or second_chroma is not None:
+        # High-profile PPS extension
+        w.u(transform8x8, 1)
+        w.u(0, 1)  # pic_scaling_matrix_present
+        w.se(second_chroma if second_chroma is not None else chroma_offset)
     return _nal(8, w.rbsp())
 
 
@@ -210,7 +216,7 @@ def encode_residual_block(w: BW, coeffs: list[int], n_c: int):
 # ------------------------------------------------------------------
 def encode_frame(mb_w, mb_h, mbs, pic_init_qp=26, chroma_offset=0,
                  crop=(0, 0, 0, 0), slice_starts=(0,),
-                 deblock=(1, 0, 0)):
+                 deblock=(1, 0, 0), transform8x8=0, second_chroma=None):
     """mbs: list (raster order) of per-MB dicts:
     {"type": "i4"|"i16"|"pcm", "modes": [16]|int, "chroma_mode": int,
      "cbp_luma": int, "cbp_chroma": int, "qp_delta": int,
@@ -218,11 +224,13 @@ def encode_frame(mb_w, mb_h, mbs, pic_init_qp=26, chroma_offset=0,
      "chroma_ac": {c: {blk: [15]}}, "pcm": (y, u, v arrays)}"""
     # parse back the SAME bytes the decoder will see
     sps = H.parse_sps(H.rbsp_unescape(_sps_nal(mb_w, mb_h, crop)[5:]))
-    pps = H.parse_pps(H.rbsp_unescape(_pps_nal(pic_init_qp, chroma_offset)[5:]))
+    pps_nal = _pps_nal(pic_init_qp, chroma_offset, 0, transform8x8,
+                       second_chroma)
+    pps = H.parse_pps(H.rbsp_unescape(pps_nal[5:]))
     frame = H._Frame(sps, pps)
     out = bytearray()
     out += _sps_nal(mb_w, mb_h, crop)
-    out += _pps_nal(pic_init_qp, chroma_offset)
+    out += pps_nal
 
     n_mbs = mb_w * mb_h
     starts = list(slice_starts) + [n_mbs]
@@ -278,8 +286,13 @@ def _encode_mb(w, frame, mbx, mby, qp, cur_slice, mb):
                     frame.nnz_c[comp][mby * 2 + cy][mbx * 2 + cx] = 16
         return qp
 
+    if mb["type"] == "i8":
+        return _encode_mb_i8(w, frame, mbx, mby, qp, cur_slice, mb)
+
     if mb["type"] == "i4":
         w.ue(0)
+        if frame.pps.get("transform_8x8_mode"):
+            w.u(0, 1)  # transform_size_8x8_flag
         frame.is_i4[mby][mbx] = True
         for blk in range(16):
             dx, dy = H._BLK_XY[blk]
@@ -334,6 +347,56 @@ def _encode_mb(w, frame, mbx, mby, qp, cur_slice, mb):
             tc = 0
         frame.nnz_y[by][bx] = tc
         frame.decoded4[by][bx] = True
+    _encode_chroma_res(w, frame, mbx, mby, mb, cur_slice)
+    return qp
+
+
+def _encode_mb_i8(w, frame, mbx, mby, qp, cur_slice, mb):
+    """I_NxN + transform_size_8x8_flag=1 (CAVLC): 4 8x8 modes, CBP,
+    per-coded-8x8 FOUR interleaved 4x4 residual blocks."""
+    assert frame.pps.get("transform_8x8_mode"), "PPS lacks 8x8 mode"
+    w.ue(0)  # I_NxN
+    w.u(1, 1)  # transform_size_8x8_flag
+    frame.is_i4[mby][mbx] = True
+    for b8 in range(4):
+        b8x = mbx * 2 + (b8 & 1)
+        b8y = mby * 2 + (b8 >> 1)
+        pred = H._pred_mode_8x8(frame, b8x, b8y, cur_slice)
+        mode = mb["modes"][b8]
+        if mode == pred:
+            w.u(1, 1)
+        else:
+            w.u(0, 1)
+            rem = mode if mode < pred else mode - 1
+            assert rem < 8
+            w.u(rem, 3)
+        for cy in range(2):
+            for cx in range(2):
+                frame.mode4[b8y * 2 + cy][b8x * 2 + cx] = mode
+    w.ue(mb["chroma_mode"])
+    cbp = (mb["cbp_chroma"] << 4) | mb["cbp_luma"]
+    w.ue(H._CBP_INTRA.index(cbp))
+    if cbp:
+        w.se(mb["qp_delta"])
+        qp = (qp + mb["qp_delta"] + 52) % 52
+    for b8 in range(4):
+        if mb["cbp_luma"] & (1 << b8):
+            levels = mb["luma8"][b8]
+            for k in range(4):
+                blk = b8 * 4 + k
+                dx, dy = H._BLK_XY[blk]
+                bx, by = mbx * 4 + dx, mby * 4 + dy
+                sub = [levels[4 * i + k] for i in range(16)]
+                nc = frame.luma_nC(bx, by, cur_slice)
+                tc = encode_residual_block(w, sub, nc)
+                frame.nnz_y[by][bx] = tc
+        else:
+            for k in range(4):
+                dx, dy = H._BLK_XY[b8 * 4 + k]
+                frame.nnz_y[mby * 4 + dy][mbx * 4 + dx] = 0
+    for by in range(4):
+        for bx in range(4):
+            frame.decoded4[mby * 4 + by][mbx * 4 + bx] = True
     _encode_chroma_res(w, frame, mbx, mby, mb, cur_slice)
     return qp
 
@@ -504,8 +567,211 @@ def _ref_predict4(mode, A, L, X, a_ok, l_ok, AR):
     return g
 
 
+
+# ------------------------------------------------------------------
+# independent 8x8 reference model (High profile)
+# ------------------------------------------------------------------
+def _ref_idct8(d):
+    """8.5.13.2 butterfly, vectorized per pass (int64 >> is the
+    arithmetic shift the spec means)."""
+    d = np.asarray(d, dtype=np.int64)
+
+    def onepass(f):
+        # f: (8, n) — transform along axis 0
+        e = np.empty_like(f)
+        e[0] = f[0] + f[4]
+        e[1] = -f[3] + f[5] - f[7] - (f[7] >> 1)
+        e[2] = f[0] - f[4]
+        e[3] = f[1] + f[7] - f[3] - (f[3] >> 1)
+        e[4] = (f[2] >> 1) - f[6]
+        e[5] = -f[1] + f[7] + f[5] + (f[5] >> 1)
+        e[6] = f[2] + (f[6] >> 1)
+        e[7] = f[3] + f[5] + f[1] + (f[1] >> 1)
+        g = np.empty_like(e)
+        g[0] = e[0] + e[6]
+        g[1] = e[1] + (e[7] >> 2)
+        g[2] = e[2] + e[4]
+        g[3] = e[3] + (e[5] >> 2)
+        g[4] = e[2] - e[4]
+        g[5] = (e[3] >> 2) - e[5]
+        g[6] = e[0] - e[6]
+        g[7] = e[7] - (e[1] >> 2)
+        return np.stack([
+            g[0] + g[7], g[2] + g[5], g[4] + g[3], g[6] + g[1],
+            g[6] - g[1], g[4] - g[3], g[2] - g[5], g[0] - g[7],
+        ])
+
+    rows = onepass(d.T).T      # row transform
+    cols = onepass(rows)       # column transform
+    return (cols + 32) >> 6
+
+
+_REF_W8_CLASS = np.zeros((8, 8), dtype=int)
+for _i in range(8):
+    for _j in range(8):
+        if _i % 4 == 0 and _j % 4 == 0:
+            _REF_W8_CLASS[_i, _j] = 0
+        elif _i % 2 == 1 and _j % 2 == 1:
+            _REF_W8_CLASS[_i, _j] = 1
+        elif _i % 4 == 2 and _j % 4 == 2:
+            _REF_W8_CLASS[_i, _j] = 2
+        elif (_i % 4 == 0 and _j % 2 == 1) or (_i % 2 == 1 and _j % 4 == 0):
+            _REF_W8_CLASS[_i, _j] = 3
+        elif (_i % 4 == 0 and _j % 4 == 2) or (_i % 4 == 2 and _j % 4 == 0):
+            _REF_W8_CLASS[_i, _j] = 4
+        else:
+            _REF_W8_CLASS[_i, _j] = 5
+
+
+def _ref_dequant8(levels, qp):
+    v = np.array(H._V8[qp % 6], dtype=np.int64)[_REF_W8_CLASS]
+    d = np.zeros((8, 8), dtype=np.int64)
+    for k, lvl in enumerate(levels):
+        if lvl:
+            idx = H._ZZ8[k]
+            d[idx >> 3, idx & 7] = lvl
+    sh = qp // 6
+    if qp >= 36:
+        return (d * v) << (sh - 6)
+    return (d * v + (1 << (5 - sh))) >> (6 - sh)
+
+
+def _ref_filter8(A, L, X, a_ok, l_ok, x_ok):
+    fA, fL, fX = list(A), list(L), X
+    if a_ok:
+        fA = (
+            [((X + 2 * A[0] + A[1] + 2) >> 2) if x_ok
+             else ((3 * A[0] + A[1] + 2) >> 2)]
+            + [(A[i - 1] + 2 * A[i] + A[i + 1] + 2) >> 2
+               for i in range(1, 15)]
+            + [(A[14] + 3 * A[15] + 2) >> 2]
+        )
+    if x_ok:
+        if a_ok and l_ok:
+            fX = (A[0] + 2 * X + L[0] + 2) >> 2
+        elif a_ok:
+            fX = (3 * X + A[0] + 2) >> 2
+        elif l_ok:
+            fX = (3 * X + L[0] + 2) >> 2
+    if l_ok:
+        fL = (
+            [((X + 2 * L[0] + L[1] + 2) >> 2) if x_ok
+             else ((3 * L[0] + L[1] + 2) >> 2)]
+            + [(L[i - 1] + 2 * L[i] + L[i + 1] + 2) >> 2
+               for i in range(1, 7)]
+            + [(L[6] + 3 * L[7] + 2) >> 2]
+        )
+    return fA, fL, fX
+
+
+def _ref_predict8(mode, A, L, X, a_ok, l_ok):
+    """The 4x4 formulas at N=8 over filtered refs — reuses the
+    decoder's arithmetic shapes via the SAME generalization the spec
+    writes; values are cross-checked against predict_4x4's pinned
+    behavior by the shared roundtrips."""
+    p = np.zeros((8, 8), dtype=np.int64)
+    if mode == 0:
+        p[:] = np.asarray(A[:8])[None, :]
+    elif mode == 1:
+        p[:] = np.asarray(L)[:, None]
+    elif mode == 2:
+        if a_ok and l_ok:
+            dc = (sum(A[:8]) + sum(L) + 8) >> 4
+        elif a_ok:
+            dc = (sum(A[:8]) + 4) >> 3
+        elif l_ok:
+            dc = (sum(L) + 4) >> 3
+        else:
+            dc = 128
+        p[:] = dc
+    elif mode == 3:
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    p[y, x] = (A[14] + 3 * A[15] + 2) >> 2
+                else:
+                    k = x + y
+                    p[y, x] = (A[k] + 2 * A[k + 1] + A[k + 2] + 2) >> 2
+    elif mode == 4:
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    k = x - y - 2
+                    a0 = A[k] if k >= 0 else X
+                    a1 = A[k + 1] if k + 1 >= 0 else X
+                    p[y, x] = (a0 + 2 * a1 + A[k + 2] + 2) >> 2
+                elif x < y:
+                    k = y - x - 2
+                    l0 = L[k] if k >= 0 else X
+                    l1 = L[k + 1] if k + 1 >= 0 else X
+                    p[y, x] = (l0 + 2 * l1 + L[k + 2] + 2) >> 2
+                else:
+                    p[y, x] = (A[0] + 2 * X + L[0] + 2) >> 2
+    elif mode == 5:
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    k = x - (y >> 1) - 1
+                    a0 = A[k] if k >= 0 else X
+                    p[y, x] = (a0 + A[k + 1] + 1) >> 1
+                elif z >= 0:
+                    k = x - (y >> 1) - 2
+                    a0 = A[k] if k >= 0 else X
+                    a1 = A[k + 1] if k + 1 >= 0 else X
+                    p[y, x] = (a0 + 2 * a1 + A[k + 2] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (L[0] + 2 * X + A[0] + 2) >> 2
+                else:
+                    k = y - 2 * x
+                    l2 = L[k - 3] if k >= 3 else X
+                    p[y, x] = (L[k - 1] + 2 * L[k - 2] + l2 + 2) >> 2
+    elif mode == 6:
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    k = y - (x >> 1) - 1
+                    l0 = L[k] if k >= 0 else X
+                    p[y, x] = (l0 + L[k + 1] + 1) >> 1
+                elif z >= 0:
+                    k = y - (x >> 1) - 2
+                    l0 = L[k] if k >= 0 else X
+                    l1 = L[k + 1] if k + 1 >= 0 else X
+                    p[y, x] = (l0 + 2 * l1 + L[k + 2] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (A[0] + 2 * X + L[0] + 2) >> 2
+                else:
+                    k = x - 2 * y
+                    a2 = A[k - 3] if k >= 3 else X
+                    p[y, x] = (A[k - 1] + 2 * A[k - 2] + a2 + 2) >> 2
+    elif mode == 7:
+        for y in range(8):
+            for x in range(8):
+                k = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (A[k] + A[k + 1] + 1) >> 1
+                else:
+                    p[y, x] = (A[k] + 2 * A[k + 1] + A[k + 2] + 2) >> 2
+    elif mode == 8:
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z < 13 and z % 2 == 0:
+                    k = y + (x >> 1)
+                    p[y, x] = (L[k] + L[k + 1] + 1) >> 1
+                elif z < 13:
+                    k = y + (x >> 1)
+                    p[y, x] = (L[k] + 2 * L[k + 1] + L[k + 2] + 2) >> 2
+                elif z == 13:
+                    p[y, x] = (L[6] + 3 * L[7] + 2) >> 2
+                else:
+                    p[y, x] = L[7]
+    return p
+
+
 def _ref_decode(mb_w, mb_h, mbs, pic_init_qp, chroma_offset,
-                slice_starts=(0,)):
+                slice_starts=(0,), second_chroma=None):
     """Replays the documented reconstruction with numpy helpers;
     returns (y, u, v) full (uncropped) planes."""
     W, Hh = mb_w * 16, mb_h * 16
@@ -578,6 +844,50 @@ def _ref_decode(mb_w, mb_h, mbs, pic_init_qp, chroma_offset,
                 res = _ref_inverse4x4(_ref_dequant(lv, qp))
                 Y[y0 : y0 + 4, x0 : x0 + 4] = np.clip(pred + res, 0, 255)
                 decoded[by, bx] = True
+        elif mb["type"] == "i8":
+            for b8 in range(4):
+                bx = mbx * 4 + (b8 & 1) * 2
+                by = mby * 4 + (b8 >> 1) * 2
+                x0, y0 = bx * 4, by * 4
+                a_ok = by > 0 and mb_ok(bx, by - 1, cur)
+                l_ok = bx > 0 and mb_ok(bx - 1, by, cur)
+                x_ok = a_ok and l_ok and mb_ok(bx - 1, by - 1, cur)
+                A = [0] * 16
+                L = [0] * 8
+                X = 128
+                if a_ok:
+                    A[:8] = Y[y0 - 1, x0:x0 + 8].tolist()
+                    ar_ok = (
+                        bx + 2 < mb_w * 4
+                        and mb_ok(bx + 2, by - 1, cur)
+                        and decoded[by - 1, bx + 2]
+                        and decoded[by - 1, bx + 3]
+                    )
+                    if ar_ok:
+                        A[8:] = Y[y0 - 1, x0 + 8:x0 + 16].tolist()
+                    else:
+                        A[8:] = [A[7]] * 8
+                if l_ok:
+                    L = Y[y0:y0 + 8, x0 - 1].tolist()
+                if x_ok:
+                    X = int(Y[y0 - 1, x0 - 1])
+                elif a_ok:
+                    X = A[0]
+                elif l_ok:
+                    X = L[0]
+                fA, fL, fX = _ref_filter8(A, L, X, a_ok, l_ok, x_ok)
+                pred = _ref_predict8(
+                    mb["modes"][b8], fA, fL, fX, a_ok, l_ok
+                )
+                lv = (
+                    mb["luma8"][b8]
+                    if mb["cbp_luma"] & (1 << b8)
+                    else [0] * 64
+                )
+                res = _ref_idct8(_ref_dequant8(lv, qp))
+                Y[y0:y0 + 8, x0:x0 + 8] = np.clip(pred + res, 0, 255)
+                decoded[by:by + 2, bx:bx + 2] = True
+                mode4[by:by + 2, bx:bx + 2] = mb["modes"][b8]
         else:  # i16
             x0, y0 = mbx * 16, mby * 16
             a_ok = mby > 0 and mb_ok(mbx * 4, mby * 4 - 1, cur)
@@ -646,9 +956,13 @@ def _ref_decode(mb_w, mb_h, mbs, pic_init_qp, chroma_offset,
                 )
                 decoded[mby * 4 + dy, mbx * 4 + dx] = True
 
-        # chroma
-        qpc = H._chroma_qp(qp, chroma_offset)
+        # chroma (comp 1 uses the High-profile second offset)
         for comp, P in ((0, U), (1, V)):
+            qpc = H._chroma_qp(
+                qp,
+                chroma_offset if comp == 0 or second_chroma is None
+                else second_chroma,
+            )
             x0, y0 = mbx * 8, mby * 8
             a_ok = mby > 0 and mb_ok(mbx * 4, mby * 4 - 1, cur)
             l_ok = mbx > 0 and mb_ok(mbx * 4 - 1, mby * 4, cur)
@@ -703,13 +1017,16 @@ def _rand_levels(rng, n, density=0.3, lo=-8, hi=8):
     return lv
 
 
-def _rand_mb(rng, mbx, mby, mb_w, allow_pcm=True, slice_start_col=None):
+def _rand_mb(rng, mbx, mby, mb_w, allow_pcm=True, slice_start_col=None,
+             allow_i8=False):
     """A random legal macroblock spec. Mode choices respect edge
     availability (the encoder itself asserts nothing — the generator
     must produce conforming streams)."""
     a_ok = mby > 0
     l_ok = mbx > 0 and (slice_start_col is None or mbx != slice_start_col)
     kinds = ["i4", "i16", "i16"]
+    if allow_i8:
+        kinds = ["i4", "i16", "i8", "i8"]
     if allow_pcm and rng.random() < 0.08:
         kinds = ["pcm"]
     kind = kinds[int(rng.integers(0, len(kinds)))]
@@ -742,6 +1059,32 @@ def _rand_mb(rng, mbx, mby, mb_w, allow_pcm=True, slice_start_col=None):
             for c in range(2)
         },
     }
+    if kind == "i8":
+        modes8 = []
+        for b8 in range(4):
+            a8 = a_ok or b8 >= 2
+            l8 = l_ok or bool(b8 & 1)
+            x8 = a8 and l8 and (b8 != 0 or (a_ok and l_ok))
+            ok = [2]
+            if a8:
+                ok += [0, 3, 7]
+            if l8:
+                ok += [1, 8]
+            if a8 and l8 and x8:
+                ok += [4, 5, 6]
+            modes8.append(int(rng.choice(ok)))
+        mb["type"] = "i8"
+        mb["modes"] = modes8
+        mb["cbp_luma"] = int(rng.integers(0, 16))
+        mb["luma8"] = {b: _rand_levels(rng, 64, 0.12) for b in range(4)}
+        # CABAC 8x8 blocks carry no coded_block_flag: a CBP-coded
+        # block must be non-empty
+        for b in range(4):
+            if mb["cbp_luma"] & (1 << b) and not any(mb["luma8"][b]):
+                mb["luma8"][b][0] = 1
+        if mb["cbp_luma"] == 0 and mb["cbp_chroma"] == 0:
+            mb["qp_delta"] = 0
+        return mb
     if kind == "i16":
         modes = [2]
         if a_ok:

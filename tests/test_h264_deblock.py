@@ -183,6 +183,8 @@ def ref_deblock(Y, U, V, mbs, mb_w, mb_h, pic_init_qp, chroma_offset,
         qp = int(qp_map[mby, mbx])
         qpc = _qpc(qp, chroma_offset)
         x16, y16, x8, y8 = mbx * 16, mby * 16, mbx * 8, mby * 8
+        # 8x8-transform MBs filter only the internal edge at 8
+        internal = (8,) if mbs[addr].get("type") == "i8" else (4, 8, 12)
 
         def mb_edge_qp(nbx, nby):
             if nbx < 0 or nby < 0:
@@ -200,7 +202,7 @@ def ref_deblock(Y, U, V, mbs, mb_w, mb_h, pic_init_qp, chroma_offset,
             vedge(Y, x16, y16, 16, 4, left[0], aoff, boff, False)
             vedge(U, x8, y8, 8, 4, left[1], aoff, boff, True)
             vedge(V, x8, y8, 8, 4, left[1], aoff, boff, True)
-        for xe in (4, 8, 12):
+        for xe in internal:
             vedge(Y, x16 + xe, y16, 16, 3, qp, aoff, boff, False)
         vedge(U, x8 + 4, y8, 8, 3, qpc, aoff, boff, True)
         vedge(V, x8 + 4, y8, 8, 3, qpc, aoff, boff, True)
@@ -209,7 +211,7 @@ def ref_deblock(Y, U, V, mbs, mb_w, mb_h, pic_init_qp, chroma_offset,
             hedge(Y, y16, x16, 16, 4, top[0], aoff, boff, False)
             hedge(U, y8, x8, 8, 4, top[1], aoff, boff, True)
             hedge(V, y8, x8, 8, 4, top[1], aoff, boff, True)
-        for ye in (4, 8, 12):
+        for ye in internal:
             hedge(Y, y16 + ye, x16, 16, 3, qp, aoff, boff, False)
         hedge(U, y8 + 4, x8, 8, 3, qpc, aoff, boff, True)
         hedge(V, y8 + 4, x8, 8, 3, qpc, aoff, boff, True)
