@@ -179,7 +179,9 @@ def _encode_block_cabac(w, ps, ms, cat, coeffs):
 
 def _encode_mb_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
     kind = mb["type"]
-    st.kind[mby][mbx] = kind
+    # the decoder records 8x8-transform MBs as I_NxN ("i4") — the
+    # mb_type bin-0 neighbor context must see the same value
+    st.kind[mby][mbx] = "i4" if kind == "i8" else kind
     inc = 0
     if C._mb_avail(frame, mbx - 1, mby, si) and st.kind[mby][mbx - 1] != "i4":
         inc += 1
@@ -216,8 +218,15 @@ def _encode_mb_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
         st.prev_qp_delta_nz = False
         return qp
 
+    if kind == "i8":
+        w.decision(ps, ms, 3 + inc, 0)  # I_NxN
+        w.decision(ps, ms, C._t8_flag_ctx(frame, mbx, mby, si), 1)
+        return _encode_mb_i8_cabac(w, ps, ms, st, frame, mbx, mby, qp,
+                                   si, mb)
     if kind == "i4":
         w.decision(ps, ms, 3 + inc, 0)
+        if frame.pps.get("transform_8x8_mode"):
+            w.decision(ps, ms, C._t8_flag_ctx(frame, mbx, mby, si), 0)
         frame.is_i4[mby][mbx] = True
         for blk in range(16):
             dx, dy = H._BLK_XY[blk]
@@ -387,20 +396,20 @@ def _encode_mb_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
 
 def encode_frame_cabac(mb_w, mb_h, mbs, pic_init_qp=26, chroma_offset=0,
                        crop=(0, 0, 0, 0), slice_starts=(0,),
-                       deblock=(1, 0, 0)):
+                       deblock=(1, 0, 0), transform8x8=0):
     """CABAC twin of test_h264.encode_frame: same macroblock specs,
     entropy_coding_mode_flag = 1."""
     from test_h264 import BW
 
     sps = H.parse_sps(H.rbsp_unescape(_sps_nal(mb_w, mb_h, crop)[5:]))
-    pps = H.parse_pps(
-        H.rbsp_unescape(_pps_nal(pic_init_qp, chroma_offset, entropy=1)[5:])
-    )
+    pps_nal = _pps_nal(pic_init_qp, chroma_offset, entropy=1,
+                       transform8x8=transform8x8)
+    pps = H.parse_pps(H.rbsp_unescape(pps_nal[5:]))
     frame = H._Frame(sps, pps)
     st = C._SliceState(frame)
     out = bytearray()
     out += _sps_nal(mb_w, mb_h, crop)
-    out += _pps_nal(pic_init_qp, chroma_offset, entropy=1)
+    out += pps_nal
 
     n_mbs = mb_w * mb_h
     starts = list(slice_starts) + [n_mbs]
@@ -438,6 +447,197 @@ def encode_frame_cabac(mb_w, mb_h, mbs, pic_init_qp=26, chroma_offset=0,
             bw.bits.append(0)
         out += _nal(5, bw.rbsp(trailing_stop=False))
     return bytes(out)
+
+
+def _encode_block8x8_cabac(w, ps, ms, coeffs):
+    """ctxBlockCat 5: Table 9-43 significance maps + level bins."""
+    npos = [i for i, v in enumerate(coeffs) if v]
+    assert npos, "CBP-coded 8x8 block must be non-empty (no cbf bin)"
+    hi = npos[-1]
+    for i in range(63):
+        sig = 1 if coeffs[i] else 0
+        w.decision(ps, ms, 402 + C.SIG_MAP_8X8[i], sig)
+        if sig:
+            last = 1 if i == hi else 0
+            w.decision(ps, ms, 417 + C.LAST_MAP_8X8[i], last)
+            if last:
+                break
+    num_eq1 = 0
+    num_gt1 = 0
+    for pos in reversed(npos):
+        level = abs(coeffs[pos])
+        inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+        if level == 1:
+            w.decision(ps, ms, 426 + inc0, 0)
+            num_eq1 += 1
+        else:
+            w.decision(ps, ms, 426 + inc0, 1)
+            ctx_rest = 426 + 5 + min(4, num_gt1)
+            m1 = level - 1
+            prefix = min(m1, 14)
+            for _ in range(prefix - 1):
+                w.decision(ps, ms, ctx_rest, 1)
+            if prefix < 14:
+                w.decision(ps, ms, ctx_rest, 0)
+            else:
+                v = m1 - 14
+                k = 0
+                while v >= (1 << (k + 1)) - 1:
+                    k += 1
+                for _ in range(k):
+                    w.bypass(1)
+                w.bypass(0)
+                rem = v - ((1 << k) - 1)
+                for i in range(k - 1, -1, -1):
+                    w.bypass((rem >> i) & 1)
+            num_gt1 += 1
+        w.bypass(1 if coeffs[pos] < 0 else 0)
+
+
+def _encode_mb_i8_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
+    """Mirror of C._decode_mb_i8x8_cabac (mb_type + flag bins already
+    written by the caller)."""
+    frame.is_i4[mby][mbx] = True
+    frame.mb_t8[mby][mbx] = True
+    for b8 in range(4):
+        b8x = mbx * 2 + (b8 & 1)
+        b8y = mby * 2 + (b8 >> 1)
+        pred = H._pred_mode_8x8(frame, b8x, b8y, si)
+        mode = mb["modes"][b8]
+        if mode == pred:
+            w.decision(ps, ms, 68, 1)
+        else:
+            w.decision(ps, ms, 68, 0)
+            rem = mode if mode < pred else mode - 1
+            w.decision(ps, ms, 69, rem & 1)
+            w.decision(ps, ms, 69, (rem >> 1) & 1)
+            w.decision(ps, ms, 69, (rem >> 2) & 1)
+        for cy in range(2):
+            for cx in range(2):
+                frame.mode4[b8y * 2 + cy][b8x * 2 + cx] = mode
+    # intra_chroma_pred_mode
+    cm = mb["chroma_mode"]
+    cinc = 0
+    if C._mb_avail(frame, mbx - 1, mby, si) and (
+        st.kind[mby][mbx - 1] != "pcm" and st.chroma_mode[mby][mbx - 1] != 0
+    ):
+        cinc += 1
+    if C._mb_avail(frame, mbx, mby - 1, si) and (
+        st.kind[mby - 1][mbx] != "pcm" and st.chroma_mode[mby - 1][mbx] != 0
+    ):
+        cinc += 1
+    if cm == 0:
+        w.decision(ps, ms, 64 + cinc, 0)
+    else:
+        w.decision(ps, ms, 64 + cinc, 1)
+        w.decision(ps, ms, 67, 0 if cm == 1 else 1)
+        if cm > 1:
+            w.decision(ps, ms, 67, cm - 2)
+    st.chroma_mode[mby][mbx] = cm
+
+    cbp_luma = mb["cbp_luma"]
+    cbp_chroma = mb["cbp_chroma"]
+
+    def luma_bit(nbx, nby, blk8):
+        if not C._mb_avail(frame, nbx, nby, si):
+            return 0
+        if st.kind[nby][nbx] == "pcm":
+            return 0
+        return 0 if (st.cbp_luma[nby][nbx] >> blk8) & 1 else 1
+
+    coded = 0
+    for blk8 in range(4):
+        bx8, by8 = blk8 & 1, blk8 >> 1
+        if bx8 == 0:
+            cond_a = luma_bit(mbx - 1, mby, blk8 + 1)
+        else:
+            cond_a = 0 if (coded >> (blk8 - 1)) & 1 else 1
+        if by8 == 0:
+            cond_b = luma_bit(mbx, mby - 1, blk8 + 2)
+        else:
+            cond_b = 0 if (coded >> (blk8 - 2)) & 1 else 1
+        bit = (cbp_luma >> blk8) & 1
+        w.decision(ps, ms, 73 + cond_a + 2 * cond_b, bit)
+        coded |= bit << blk8
+
+    def chroma_cond(nbx, nby, two):
+        if not C._mb_avail(frame, nbx, nby, si):
+            return 0
+        if st.kind[nby][nbx] == "pcm":
+            return 1
+        c = st.cbp_chroma[nby][nbx]
+        return 1 if (c == 2 if two else c != 0) else 0
+
+    ci = chroma_cond(mbx - 1, mby, False) + 2 * chroma_cond(
+        mbx, mby - 1, False
+    )
+    w.decision(ps, ms, 77 + ci, 1 if cbp_chroma else 0)
+    if cbp_chroma:
+        ci2 = chroma_cond(mbx - 1, mby, True) + 2 * chroma_cond(
+            mbx, mby - 1, True
+        )
+        w.decision(ps, ms, 81 + ci2, cbp_chroma - 1)
+    st.cbp_luma[mby][mbx] = cbp_luma
+    st.cbp_chroma[mby][mbx] = cbp_chroma
+
+    if cbp_luma or cbp_chroma:
+        delta = mb["qp_delta"]
+        k = 2 * delta - 1 if delta > 0 else -2 * delta
+        qinc = 1 if st.prev_qp_delta_nz else 0
+        if k == 0:
+            w.decision(ps, ms, 60 + qinc, 0)
+            st.prev_qp_delta_nz = False
+        else:
+            w.decision(ps, ms, 60 + qinc, 1)
+            if k == 1:
+                w.decision(ps, ms, 62, 0)
+            else:
+                w.decision(ps, ms, 62, 1)
+                for _ in range(k - 2):
+                    w.decision(ps, ms, 63, 1)
+                w.decision(ps, ms, 63, 0)
+            st.prev_qp_delta_nz = True
+        qp = (qp + delta + 52) % 52
+    else:
+        st.prev_qp_delta_nz = False
+    frame.mb_qp[mby][mbx] = qp
+
+    for b8 in range(4):
+        cbf = 0
+        if cbp_luma & (1 << b8):
+            _encode_block8x8_cabac(w, ps, ms, mb["luma8"][b8])
+            cbf = 1
+        dx0, dy0 = H._BLK_XY[b8 * 4]
+        for cy in range(2):
+            for cx in range(2):
+                st.cbf_y[mby * 4 + dy0 + cy][mbx * 4 + dx0 + cx] = cbf
+    dcs = {c: list(mb["chroma_dc"][c]) for c in range(2)}
+    acs = {c: [list(mb["chroma_ac"][c][b]) for b in range(4)]
+           for c in range(2)}
+    if cbp_chroma:
+        for comp in range(2):
+            cbf = 1 if any(dcs[comp]) else 0
+            ctx = C._cbf_ctx(st, frame, 3, mbx, mby, si, comp)
+            w.decision(ps, ms, ctx, cbf)
+            if cbf:
+                st.cbf_cdc[comp][mby][mbx] = 1
+                _encode_block_cabac(w, ps, ms, 3, dcs[comp])
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for blk in range(4):
+                cx = mbx * 2 + (blk & 1)
+                cy = mby * 2 + (blk >> 1)
+                coeffs = acs[comp][blk]
+                cbf = 1 if any(coeffs) else 0
+                ctx = C._cbf_ctx(st, frame, 4, mbx, mby, si, (comp, cx, cy))
+                w.decision(ps, ms, ctx, cbf)
+                if cbf:
+                    st.cbf_c[comp][cy][cx] = 1
+                    _encode_block_cabac(w, ps, ms, 4, coeffs)
+    for yy in range(4):
+        for xx in range(4):
+            frame.decoded4[mby * 4 + yy][mbx * 4 + xx] = True
+    return qp
 
 
 # ------------------------------------------------------------------
@@ -593,3 +793,86 @@ def test_cabac_stream_routed_in_video_frame_rows(spark):
     rows = video_frame_rows(df).collect()
     assert len(rows) == 1
     assert rows[0].width == 16 and rows[0].height == 16
+
+
+def _cabac_i8_roundtrip(mb_w, mb_h, mbs, qp=26, chroma_offset=0,
+                        slice_starts=(0,), deblock=(1, 0, 0)):
+    data = encode_frame_cabac(mb_w, mb_h, mbs, qp, chroma_offset,
+                              (0, 0, 0, 0), slice_starts, deblock,
+                              transform8x8=1)
+    w, h, y, u, v = H.decode_h264_frame(data)
+    Y, U, V = _ref_decode(mb_w, mb_h, mbs, qp, chroma_offset,
+                          slice_starts)
+    Y = Y.astype(np.int64)
+    U = U.astype(np.int64)
+    V = V.astype(np.int64)
+    ref_deblock(Y, U, V, mbs, mb_w, mb_h, qp, chroma_offset,
+                slice_starts, deblock)
+    np.testing.assert_array_equal(np.array(y), Y)
+    np.testing.assert_array_equal(np.array(u), U)
+    np.testing.assert_array_equal(np.array(v), V)
+    # cross-front-end: the CAVLC encoding of the same specs decodes
+    # to identical pixels
+    cavlc, _ = encode_frame_cavlc(
+        mb_w, mb_h, mbs, qp, chroma_offset, (0, 0, 0, 0), slice_starts,
+        deblock, transform8x8=1,
+    )
+    _, _, y2, u2, v2 = H.decode_h264_frame(cavlc)
+    assert y == y2 and u == u2 and v == v2
+
+
+def test_cabac_i8x8_single_mb():
+    levels = {b: [0] * 64 for b in range(4)}
+    levels[0][0] = 9
+    levels[2] = [0] * 62 + [3, -4]  # tail positions incl. implied 63
+    mb = {
+        "type": "i8", "modes": [2, 2, 2, 2], "chroma_mode": 0,
+        "cbp_luma": 5, "cbp_chroma": 0, "qp_delta": 1,
+        "luma8": levels,
+        "chroma_dc": {0: [0] * 4, 1: [0] * 4},
+        "chroma_ac": {c: {b: [0] * 15 for b in range(4)} for c in range(2)},
+    }
+    _cabac_i8_roundtrip(1, 1, [mb], qp=30)
+
+
+def test_cabac_i8x8_flag_context_and_mixed_sizes():
+    """transform_size_8x8_flag's context tracks the left/above MBs'
+    flags — a mixed i4/i8/i16/PCM grid drives all four context
+    combinations, plus the flag-0 bin every i4 MB now carries."""
+    rng = np.random.default_rng(67)
+    for trial in range(10):
+        mb_w = int(rng.integers(1, 4))
+        mb_h = int(rng.integers(1, 4))
+        mbs = [
+            _rand_mb(rng, a % mb_w, a // mb_w, mb_w, allow_i8=True)
+            for a in range(mb_w * mb_h)
+        ]
+        qp = int(rng.choice([14, 26, 37, 47]))
+        _cabac_i8_roundtrip(mb_w, mb_h, mbs, qp=qp,
+                            chroma_offset=int(rng.integers(-6, 7)))
+
+
+def test_cabac_i8x8_with_deblock_and_slices():
+    rng = np.random.default_rng(71)
+    mbs = []
+    for y in range(3):
+        for x in range(2):
+            eff_y = 0 if y == 2 else y
+            mbs.append(
+                _rand_mb(rng, x, eff_y, 2, allow_pcm=True, allow_i8=True)
+            )
+    _cabac_i8_roundtrip(2, 3, mbs, qp=38, slice_starts=(0, 4),
+                        deblock=(0, 1, -1))
+
+
+def test_cabac_i8x8_large_levels():
+    levels = {b: [0] * 64 for b in range(4)}
+    levels[1] = [250, -2048, 17, 0, 16] + [0] * 59
+    mb = {
+        "type": "i8", "modes": [2, 2, 2, 2], "chroma_mode": 0,
+        "cbp_luma": 2, "cbp_chroma": 0, "qp_delta": 0,
+        "luma8": levels,
+        "chroma_dc": {0: [0] * 4, 1: [0] * 4},
+        "chroma_ac": {c: {b: [0] * 15 for b in range(4)} for c in range(2)},
+    }
+    _cabac_i8_roundtrip(1, 1, [mb], qp=18)
