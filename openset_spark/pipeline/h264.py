@@ -1554,8 +1554,12 @@ def _level_scale8(m: int, i: int, j: int) -> int:
 
 
 def _dequant_8x8(coeffs: list[int], qp: int) -> list[list[int]]:
-    """64 scan-order levels -> dequantized 8x8 matrix (8.5.13.1,
-    flat scaling lists; note the 8x8 shift pivot is qp 36)."""
+    """64 scan-order levels -> dequantized 8x8 matrix (8.5.13.1).
+    LevelScale8x8 = weightScale(i,j) * normAdjust8x8(m,i,j); with
+    flat scaling lists weightScale is 16 (do NOT drop it — the
+    public `(c*qmul + 32) >> 6` dequant form carries the same x16,
+    and without it every 8x8 residual lands 16x too small). The
+    shift pivot is qp 36, with the rounded downshift below it."""
     d = [[0] * 8 for _ in range(8)]
     m, sh = qp % 6, qp // 6
     for k, lvl in enumerate(coeffs):
@@ -1563,7 +1567,7 @@ def _dequant_8x8(coeffs: list[int], qp: int) -> list[list[int]]:
             continue
         idx = _ZZ8[k]
         i, j = idx >> 3, idx & 7
-        ls = _level_scale8(m, i, j)
+        ls = 16 * _level_scale8(m, i, j)  # flat weightScale = 16
         if qp >= 36:
             d[i][j] = (lvl * ls) << (sh - 6)
         else:

@@ -624,7 +624,9 @@ for _i in range(8):
 
 
 def _ref_dequant8(levels, qp):
-    v = np.array(H._V8[qp % 6], dtype=np.int64)[_REF_W8_CLASS]
+    # LevelScale8x8 = weightScale(16, flat) * normAdjust8x8 — the x16
+    # must be present (equivalent to the public (c*qmul + 32) >> 6)
+    v = 16 * np.array(H._V8[qp % 6], dtype=np.int64)[_REF_W8_CLASS]
     d = np.zeros((8, 8), dtype=np.int64)
     for k, lvl in enumerate(levels):
         if lvl:
@@ -633,7 +635,7 @@ def _ref_dequant8(levels, qp):
     sh = qp // 6
     if qp >= 36:
         return (d * v) << (sh - 6)
-    return (d * v + (1 << (5 - sh))) >> (6 - sh)
+    return np.where(d != 0, (d * v + (1 << (5 - sh))) >> (6 - sh), 0)
 
 
 def _ref_filter8(A, L, X, a_ok, l_ok, x_ok):

@@ -122,8 +122,10 @@ def test_i8x8_deblock_skips_quarter_edges():
     internal luma edges at x/y offsets 4 and 12 must stay UNfiltered
     while offset 8 filters (both verified vs the adapted model, and
     the 4/12 skip shown against an i4 twin that does filter there)."""
-    rng = np.random.default_rng(31)
-    levels = {b: _rand_levels_dense(rng) for b in range(4)}
+    # near-flat 8x8 halves with a small DC step across the offset-8
+    # edges: inside alpha, so the bS=3 filter fires there (a sharp
+    # random-texture edge would correctly be LEFT alone)
+    levels = {b: [(4 if b in (0, 2) else 6)] + [0] * 63 for b in range(4)}
     mbs8 = [_flat_i8([2, 2, 2, 2], cbp_luma=15, levels=levels)]
     y8, _, _ = _i8_roundtrip(1, 1, mbs8, qp=40, deblock=(0, 0, 0))
     data_off, _ = encode_frame(1, 1, mbs8, 40, 0, (0, 0, 0, 0), (0,),
@@ -149,13 +151,6 @@ def test_i8x8_deblock_skips_quarter_edges():
             y8[np.ix_(range(e - 2, e + 2), keep)],
             y0[np.ix_(range(e - 2, e + 2), keep)],
         )
-
-
-def _rand_levels_dense(rng):
-    lv = [0] * 64
-    for i in range(0, 64, 3):
-        lv[i] = int(rng.integers(1, 6)) * (1 if i % 2 else -1)
-    return lv
 
 
 def test_second_chroma_qp_offset():
