@@ -587,14 +587,20 @@ def _dequant_4x4(coeffs: list[int], qp: int, dc_from=None) -> list[list[int]]:
 
 
 def _scale_luma_dc(f: int, qp: int) -> int:
-    ls = _level_scale(qp % 6, 0, 0)
+    """8.5.10 — LevelScale4x4(m,0,0) INCLUDES the weightScale (16
+    with flat lists): dropping it decodes every Intra16x16 DC 16x
+    too small (the JM identity InvLevelScale = dequant_coef * 16;
+    caught r9 alongside the same bug in the 8x8 path — the AC path
+    was always correct because its 16 cancels against the >>4)."""
+    ls = 16 * _level_scale(qp % 6, 0, 0)
     if qp >= 36:
         return (f * ls) << (qp // 6 - 6)
     return (f * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
 
 
 def _scale_chroma_dc(f: int, qp: int) -> int:
-    return ((f * _level_scale(qp % 6, 0, 0)) << (qp // 6)) >> 5
+    # 8.5.11 with the same weightScale-16 factor (see _scale_luma_dc)
+    return ((f * 16 * _level_scale(qp % 6, 0, 0)) << (qp // 6)) >> 5
 
 
 # ------------------------------------------------------------------

@@ -257,10 +257,11 @@ def test_deblock_bs4_strong_filter_on_mb_edge():
     fires on luma (and the chroma strong formula on chroma). The
     decoder must match the model exactly AND differ from its own
     unfiltered output (proving the filter ran)."""
-    # chroma DC 40 -> a ~10-level chroma step at QP 36: inside alpha,
-    # so the bS=4 chroma formula fires (a smaller step rounds to a
-    # no-op; a much larger one exceeds alpha and is correctly kept)
-    mbs = [_flat_i16(40, chroma_dc=40), _flat_i16(44, chroma_dc=-40)]
+    # small DC steps at QP 36 (post-r9 corrected DC scale: ~3 px per
+    # luma DC unit, ~2.5 per chroma unit): inside alpha, so the bS=4
+    # strong path fires; much larger steps would exceed alpha and be
+    # correctly kept as real edges
+    mbs = [_flat_i16(2, chroma_dc=2), _flat_i16(4, chroma_dc=-2)]
     y, u, v = _deblock_roundtrip(2, 1, mbs, qp=36)
     data_off, _ = encode_frame(2, 1, mbs, 36, 0, (0, 0, 0, 0), (0,),
                                (1, 0, 0))
@@ -342,7 +343,7 @@ def test_deblock_idc2_skips_slice_boundary_edges():
     two sides belong to different slices: with the slice split on the
     MB row boundary, the horizontal y=16 luma edge (y=8 chroma) stays
     sharp, while the same stream with idc=0 smooths it."""
-    mbs = [_flat_i16(40), _flat_i16(40), _flat_i16(-40), _flat_i16(-40)]
+    mbs = [_flat_i16(4), _flat_i16(4), _flat_i16(-4), _flat_i16(-4)]
     y2, u2, v2 = _deblock_roundtrip(
         2, 2, mbs, qp=40, slice_starts=(0, 2),
         deblock=[(2, 0, 0), (2, 0, 0)],
