@@ -344,6 +344,74 @@ _BLK_XY = [
 # ------------------------------------------------------------------
 # Parameter sets and slice headers (the baseline-I subset)
 # ------------------------------------------------------------------
+# ------------------------------------------------------------------
+# scaling matrices (7.3.2.1.1 / Table 7-2 fallback rules)
+# ------------------------------------------------------------------
+# default lists, in zig-zag scan order (Tables 7-3 / 7-4)
+DEFAULT_4X4_INTRA = [6, 13, 13, 20, 20, 20, 28, 28, 28, 28, 32, 32,
+                     32, 37, 37, 42]
+DEFAULT_4X4_INTER = [10, 14, 14, 20, 20, 20, 24, 24, 24, 24, 27, 27,
+                     27, 30, 30, 34]
+DEFAULT_8X8_INTRA = [
+    6, 10, 10, 13, 11, 13, 16, 16, 16, 16, 18, 18, 18, 18, 18, 23,
+    23, 23, 23, 23, 23, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27,
+    27, 27, 27, 27, 29, 29, 29, 29, 29, 29, 29, 29, 31, 31, 31, 31,
+    31, 31, 31, 33, 33, 33, 33, 33, 33, 36, 36, 36, 36, 38, 40, 42,
+]
+DEFAULT_8X8_INTER = [
+    9, 13, 13, 15, 13, 15, 17, 17, 17, 17, 19, 19, 19, 19, 19, 21,
+    21, 21, 21, 21, 21, 22, 22, 22, 22, 22, 22, 22, 24, 24, 24, 24,
+    24, 24, 24, 24, 25, 25, 25, 25, 25, 25, 25, 25, 27, 27, 27, 27,
+    27, 27, 27, 28, 28, 28, 28, 28, 28, 30, 30, 30, 30, 32, 33, 35,
+]
+_FALLBACK_A = {0: DEFAULT_4X4_INTRA, 3: DEFAULT_4X4_INTER,
+               6: DEFAULT_8X8_INTRA, 7: DEFAULT_8X8_INTER}
+
+
+def _parse_scaling_list(br: "BitReader", size: int):
+    """7.3.2.1.1: returns (list in scan order, use_default_flag)."""
+    lst = [0] * size
+    last, nxt = 8, 8
+    use_default = False
+    for j in range(size):
+        if nxt != 0:
+            delta = br.se()
+            nxt = (last + delta + 256) % 256
+            if j == 0 and nxt == 0:
+                use_default = True
+        lst[j] = last if nxt == 0 else nxt
+        last = lst[j]
+    return lst, use_default
+
+
+def _parse_scaling_matrices(br, n_lists, fallback):
+    """Shared SPS/PPS scaling-matrix parse. ``fallback[i]`` supplies
+    the list used when scaling_list_present_flag[i] is 0 (rule A for
+    SPS, rule B for PPS); absent-and-no-previous falls back through
+    the chain the caller encodes in ``fallback``. Returns the list of
+    resolved scan-order lists."""
+    out = []
+    for i in range(n_lists):
+        size = 16 if i < 6 else 64
+        if br.u(1):  # scaling_list_present_flag
+            lst, use_default = _parse_scaling_list(br, size)
+            if use_default:
+                lst = list(_FALLBACK_A[i] if i in _FALLBACK_A else (
+                    DEFAULT_4X4_INTRA if i < 3
+                    else DEFAULT_4X4_INTER if i < 6
+                    else DEFAULT_8X8_INTRA if i == 6
+                    else DEFAULT_8X8_INTER
+                ))
+            out.append(lst)
+        else:
+            if i in fallback and fallback[i] is not None:
+                out.append(list(fallback[i]))
+            else:
+                out.append(list(out[i - 1]) if i not in _FALLBACK_A
+                           else list(_FALLBACK_A[i]))
+    return out
+
+
 def parse_sps(rbsp: bytes) -> dict:
     br = BitReader(rbsp)
     profile_idc = br.u(8)
@@ -358,7 +426,14 @@ def parse_sps(rbsp: bytes) -> dict:
             raise NotImplementedError("only 8-bit H.264 supported")
         br.u(1)  # qpprime_y_zero_transform_bypass
         if br.u(1):  # seq_scaling_matrix_present
-            raise NotImplementedError("scaling matrices not supported")
+            # fallback rule A: absent lists 0/3/6/7 take the default,
+            # others copy the previous list
+            scaling = _parse_scaling_matrices(br, 8, _FALLBACK_A)
+            seq_scaling = (scaling[:6], scaling[6:])
+        else:
+            seq_scaling = None
+    else:
+        seq_scaling = None
     log2_max_frame_num = br.ue() + 4
     pic_order_cnt_type = br.ue()
     log2_max_poc = 4
@@ -385,6 +460,7 @@ def parse_sps(rbsp: bytes) -> dict:
         "id": sps_id,
         "profile": profile_idc,
         "level": level_idc,
+        "seq_scaling": seq_scaling,  # ([6 x 4x4 lists], [2 x 8x8]) | None
         "log2_max_frame_num": log2_max_frame_num,
         "pic_order_cnt_type": pic_order_cnt_type,
         "log2_max_poc": log2_max_poc,
@@ -394,7 +470,9 @@ def parse_sps(rbsp: bytes) -> dict:
     }
 
 
-def parse_pps(rbsp: bytes) -> dict:
+def parse_pps(rbsp: bytes, sps: dict | None = None) -> dict:
+    """``sps`` (the referenced SPS dict) is needed only to resolve
+    fallback rule B when the PPS carries its own scaling matrices."""
     br = BitReader(rbsp)
     pps_id = br.ue()
     sps_id = br.ue()
@@ -416,11 +494,37 @@ def parse_pps(rbsp: bytes) -> dict:
     # High-profile PPS extension (present iff more RBSP data remains)
     transform_8x8_mode = 0
     second_chroma_qp_offset = chroma_qp_index_offset
+    seq_scaling = (sps or {}).get("seq_scaling")
+    pic_scaling = None
     if br.more_rbsp_data():
         transform_8x8_mode = br.u(1)
         if br.u(1):  # pic_scaling_matrix_present
-            raise NotImplementedError("scaling matrices not supported")
+            # fallback rule B: absent lists 0/3/6/7 inherit the SPS
+            # list when the SPS carried matrices, else the default;
+            # other absent lists copy the previous list
+            if seq_scaling is not None:
+                fb = {0: seq_scaling[0][0], 3: seq_scaling[0][3],
+                      6: seq_scaling[1][0], 7: seq_scaling[1][1]}
+            else:
+                fb = _FALLBACK_A
+            n_lists = 6 + 2 * transform_8x8_mode
+            lists = _parse_scaling_matrices(br, n_lists, fb)
+            pic_scaling = (
+                lists[:6],
+                lists[6:] if n_lists > 6 else (
+                    list(seq_scaling[1]) if seq_scaling is not None
+                    else None
+                ),
+            )
         second_chroma_qp_offset = br.se()
+    # effective weight matrices for this PPS (None = flat 16 fast
+    # path): PPS lists win, else SPS lists, else flat
+    if pic_scaling is not None:
+        w4, w8 = pic_scaling
+    elif seq_scaling is not None:
+        w4, w8 = seq_scaling
+    else:
+        w4, w8 = None, None
     return {
         "id": pps_id,
         "sps_id": sps_id,
@@ -429,6 +533,8 @@ def parse_pps(rbsp: bytes) -> dict:
         "chroma_qp_index_offset": chroma_qp_index_offset,
         "second_chroma_qp_offset": second_chroma_qp_offset,
         "transform_8x8_mode": transform_8x8_mode,
+        "w4": w4,  # 6 scan-order 16-entry weight lists | None (flat)
+        "w8": w8,  # 2 scan-order 64-entry weight lists | None
         "deblocking_control": deblocking_filter_control_present,
         "constrained_intra_pred": constrained_intra_pred,
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
@@ -569,9 +675,13 @@ def inverse_hadamard_4x4(c: list[list[int]]) -> list[list[int]]:
     return out
 
 
-def _dequant_4x4(coeffs: list[int], qp: int, dc_from=None) -> list[list[int]]:
+def _dequant_4x4(coeffs: list[int], qp: int, dc_from=None,
+                 weights: list[int] | None = None) -> list[list[int]]:
     """Zig-zag coeffs -> dequantized 4x4 residual matrix d (8.5.12.1);
-    ``dc_from`` substitutes d[0][0] (Intra16x16 / chroma DC paths)."""
+    ``dc_from`` substitutes d[0][0] (Intra16x16 / chroma DC paths).
+    ``weights`` is the scan-order 16-entry scaling list (weightScale);
+    None = flat 16, for which the general (c*w*v) << (sh-4) collapses
+    to the exact shortcut (c*v) << sh (the 16 cancels the >>4)."""
     d = [[0] * 4 for _ in range(4)]
     m = qp % 6
     shift = qp // 6
@@ -580,27 +690,35 @@ def _dequant_4x4(coeffs: list[int], qp: int, dc_from=None) -> list[list[int]]:
             continue
         idx = _ZZ4[k]
         i, j = idx >> 2, idx & 3
-        d[i][j] = (lvl * _level_scale(m, i, j)) << shift
+        v = _level_scale(m, i, j)
+        if weights is None:
+            d[i][j] = (lvl * v) << shift
+        elif qp >= 24:
+            d[i][j] = (lvl * weights[k] * v) << (shift - 4)
+        else:
+            d[i][j] = (
+                lvl * weights[k] * v + (1 << (3 - shift))
+            ) >> (4 - shift)
     if dc_from is not None:
         d[0][0] = dc_from
     return d
 
 
-def _scale_luma_dc(f: int, qp: int) -> int:
+def _scale_luma_dc(f: int, qp: int, w00: int = 16) -> int:
     """8.5.10 — LevelScale4x4(m,0,0) INCLUDES the weightScale (16
     with flat lists): dropping it decodes every Intra16x16 DC 16x
     too small (the JM identity InvLevelScale = dequant_coef * 16;
     caught r9 alongside the same bug in the 8x8 path — the AC path
     was always correct because its 16 cancels against the >>4)."""
-    ls = 16 * _level_scale(qp % 6, 0, 0)
+    ls = w00 * _level_scale(qp % 6, 0, 0)
     if qp >= 36:
         return (f * ls) << (qp // 6 - 6)
     return (f * ls + (1 << (5 - qp // 6))) >> (6 - qp // 6)
 
 
-def _scale_chroma_dc(f: int, qp: int) -> int:
-    # 8.5.11 with the same weightScale-16 factor (see _scale_luma_dc)
-    return ((f * 16 * _level_scale(qp % 6, 0, 0)) << (qp // 6)) >> 5
+def _scale_chroma_dc(f: int, qp: int, w00: int = 16) -> int:
+    # 8.5.11 with the same weightScale factor (see _scale_luma_dc)
+    return ((f * w00 * _level_scale(qp % 6, 0, 0)) << (qp // 6)) >> 5
 
 
 # ------------------------------------------------------------------
@@ -1072,12 +1190,14 @@ def _recon_i4x4_luma(frame, mbx, mby, modes, blocks, qp, cur_slice):
     parsed modes + scan-order coefficient lists (shared by the CAVLC
     and CABAC entropy front-ends — prediction, dequant and transform
     are entropy-agnostic)."""
+    w4 = frame.pps.get("w4")
+    wy = w4[0] if w4 else None  # intra luma 4x4 scaling list
     for blk in range(16):
         dx, dy = _BLK_XY[blk]
         bx, by = mbx * 4 + dx, mby * 4 + dy
         A, L, X, a_ok, l_ok, AR = _neighbors_4x4(frame, bx, by, cur_slice)
         pred = predict_4x4(modes[blk], A, L, X, a_ok, l_ok, AR)
-        res = inverse_4x4(_dequant_4x4(blocks[blk], qp))
+        res = inverse_4x4(_dequant_4x4(blocks[blk], qp, weights=wy))
         x0, y0 = bx * 4, by * 4
         for yy in range(4):
             for xx in range(4):
@@ -1142,15 +1262,19 @@ def _recon_i16x16_luma(frame, mbx, mby, pred_mode, dc_coeffs, ac_blocks,
     for k in range(16):
         idx = _ZZ4[k]
         f[idx >> 2][idx & 3] = dc_coeffs[k]
+    w4 = frame.pps.get("w4")
+    wy = w4[0] if w4 else None
+    w00 = wy[0] if wy else 16
     g = inverse_hadamard_4x4(f)
-    dc = [[_scale_luma_dc(g[i][j], qp) for j in range(4)] for i in range(4)]
+    dc = [[_scale_luma_dc(g[i][j], qp, w00) for j in range(4)]
+          for i in range(4)]
 
     for blk in range(16):
         dx, dy = _BLK_XY[blk]
         bx, by = mbx * 4 + dx, mby * 4 + dy
         coeffs = [0] + ac_blocks[blk]  # AC levels occupy scan 1..15
         res = inverse_4x4(
-            _dequant_4x4(coeffs, qp, dc_from=dc[dy][dx])
+            _dequant_4x4(coeffs, qp, dc_from=dc[dy][dx], weights=wy)
         )
         px, py = bx * 4, by * 4
         for yy in range(4):
@@ -1219,10 +1343,15 @@ def _recon_chroma(frame, mbx, mby, mode, chroma_res, qp_y, cur_slice):
             c[0] + c[1] - c[2] - c[3],
             c[0] - c[1] - c[2] + c[3],
         ]
-        dc = [_scale_chroma_dc(v, qpc) for v in g]
+        w4 = frame.pps.get("w4")
+        # intra chroma scaling lists: Cb = list 1, Cr = list 2
+        wc = w4[1 + comp] if w4 else None
+        dc = [_scale_chroma_dc(v, qpc, wc[0] if wc else 16) for v in g]
         for blk in range(4):
             coeffs = [0] + acs[comp][blk]
-            res = inverse_4x4(_dequant_4x4(coeffs, qpc, dc_from=dc[blk]))
+            res = inverse_4x4(
+                _dequant_4x4(coeffs, qpc, dc_from=dc[blk], weights=wc)
+            )
             bx0 = (blk & 1) * 4
             by0 = (blk >> 1) * 4
             for yy in range(4):
@@ -1457,7 +1586,12 @@ def decode_h264_frame(data: bytes):
             sps = parse_sps(rbsp)
             sps_map[sps["id"]] = sps
         elif nal_type == 8:
-            pps = parse_pps(rbsp)
+            # rule-B scaling fallback needs the referenced SPS
+            _sps_id_peek = None
+            _br = BitReader(rbsp)
+            _br.ue()  # pps_id
+            _sps_id_peek = _br.ue()
+            pps = parse_pps(rbsp, sps_map.get(_sps_id_peek))
             pps_map[pps["id"]] = pps
         elif nal_type in (1, 5):
             br = BitReader(rbsp)
@@ -1559,7 +1693,8 @@ def _level_scale8(m: int, i: int, j: int) -> int:
     return _V8[m][idx]
 
 
-def _dequant_8x8(coeffs: list[int], qp: int) -> list[list[int]]:
+def _dequant_8x8(coeffs: list[int], qp: int,
+                 weights: list[int] | None = None) -> list[list[int]]:
     """64 scan-order levels -> dequantized 8x8 matrix (8.5.13.1).
     LevelScale8x8 = weightScale(i,j) * normAdjust8x8(m,i,j); with
     flat scaling lists weightScale is 16 (do NOT drop it — the
@@ -1573,7 +1708,8 @@ def _dequant_8x8(coeffs: list[int], qp: int) -> list[list[int]]:
             continue
         idx = _ZZ8[k]
         i, j = idx >> 3, idx & 7
-        ls = 16 * _level_scale8(m, i, j)  # flat weightScale = 16
+        w = 16 if weights is None else weights[k]
+        ls = w * _level_scale8(m, i, j)
         if qp >= 36:
             d[i][j] = (lvl * ls) << (sh - 6)
         else:
@@ -1810,6 +1946,8 @@ def _recon_i8x8_luma(frame, mbx, mby, modes, blocks, qp, cur_slice):
     from parsed modes + 64-length scan-order levels (shared by the
     CAVLC and CABAC front-ends)."""
     frame.mb_t8[mby][mbx] = True
+    w8 = frame.pps.get("w8")
+    w8y = w8[0] if w8 else None  # intra luma 8x8 scaling list
     for b8 in range(4):
         b8x = mbx * 2 + (b8 & 1)
         b8y = mby * 2 + (b8 >> 1)
@@ -1818,7 +1956,7 @@ def _recon_i8x8_luma(frame, mbx, mby, modes, blocks, qp, cur_slice):
         )
         fA, fL, fX = _filter_ref_8x8(A, L, X, a_ok, l_ok, x_ok)
         pred = predict_8x8(modes[b8], fA, fL, fX, a_ok, l_ok)
-        res = inverse_8x8(_dequant_8x8(blocks[b8], qp))
+        res = inverse_8x8(_dequant_8x8(blocks[b8], qp, weights=w8y))
         x0, y0 = b8x * 8, b8y * 8
         for yy in range(8):
             for xx in range(8):
