@@ -3452,6 +3452,10 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osl_agg_options": q_osl_agg_options,
         "session_length_quantiles": q_session_length_quantiles,
         "ann_topk": q_ann_topk,
+        "ngram_novelty": q_ngram_novelty,
+        "quality_funnel": q_quality_funnel,
+        "cooccur_pmi": q_cooccur_pmi,
+        "shard_manifest": q_shard_manifest,
     }
 
 
@@ -3850,6 +3854,156 @@ GROUP BY 1, 2
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc first-occurrence attribution of distinct 3-grams —
+    the crawl-schedule marginal-value report. Novelty ratio as exact
+    integer basis points. NEW r9 (second session)."""
+    from openset_spark.pipeline.corpus_stats import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir), n=3)
+
+
+_SQL_NGRAM_NOVELTY = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+  WHERE len({_TOKS_SQL}) >= 3
+),
+dg AS (
+  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+  FROM tok, UNNEST(generate_series(1, len(ts) - 2)) AS s(i)
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM dg GROUP BY 1
+),
+novel AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel FROM (
+    SELECT g, MIN(doc_id) AS doc_id FROM dg GROUP BY 1
+  ) GROUP BY 1
+)
+SELECT p.doc_id, p.n_grams,
+  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+  CAST(10000 * COALESCE(n.n_novel, 0) // p.n_grams AS BIGINT)
+    AS novelty_x10k
+FROM per_doc p LEFT JOIN novel n ON n.doc_id = p.doc_id
+"""
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative rule-attrition funnel over the 4-rule integer-exact
+    cleaning cascade: which rule is eating the corpus. NEW r9
+    (second session)."""
+    from openset_spark.pipeline.corpus_stats import quality_funnel
+
+    return quality_funnel(_docs(spark, sf_dir))
+
+
+_SQL_QUALITY_FUNNEL = f"""
+WITH tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+  ) GROUP BY 1, 2
+),
+pd AS (
+  SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS top,
+         SUM(length(tok) * c) AS ln FROM tc GROUP BY 1
+),
+fl AS (
+  SELECT (n BETWEEN 20 AND 90) AS b1,
+         (ln >= 4 * n AND ln <= 6 * n) AS b2,
+         (nd * 2 >= n) AS b3,
+         (top * 8 <= n) AS b4
+  FROM pd
+),
+a AS (
+  SELECT COUNT(*) AS n0,
+    SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS n1,
+    SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS n2,
+    SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS n3,
+    SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS n4
+  FROM fl
+)
+SELECT CAST(s.stage AS BIGINT) AS stage, s.rule,
+  CAST(CASE s.stage WHEN 1 THEN n0 WHEN 2 THEN n1 WHEN 3 THEN n2
+       ELSE n3 END AS BIGINT) AS n_in,
+  CAST(CASE s.stage WHEN 1 THEN n1 WHEN 2 THEN n2 WHEN 3 THEN n3
+       ELSE n4 END AS BIGINT) AS n_pass
+FROM a, (VALUES (1, 'n_tokens_band'), (2, 'mean_word_len'),
+         (3, 'dup_fraction'), (4, 'top_token_share')) AS s(stage, rule)
+"""
+
+
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI of unordered word pairs within a ±3-token window —
+    the skip-gram association table. NEW r9 (second session)."""
+    from openset_spark.pipeline.corpus_stats import cooccur_pmi
+
+    return cooccur_pmi(_docs(spark, sf_dir), window=3, min_count=5, k=20)
+
+
+_SQL_COOCCUR_PMI = f"""
+WITH t AS (
+  SELECT {_TOKS_SQL} AS ts FROM documents WHERE len({_TOKS_SQL}) >= 2
+),
+pr AS (
+  SELECT LEAST(ts[i], ts[j]) AS a, GREATEST(ts[i], ts[j]) AS b,
+         COUNT(*) AS c_ab
+  FROM t, UNNEST(generate_series(1, len(ts) - 1)) AS s(i),
+       UNNEST(generate_series(i + 1, least(i + 3, len(ts)))) AS s2(j)
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT w, SUM(c_ab) AS m FROM (
+    SELECT a AS w, c_ab FROM pr UNION ALL SELECT b AS w, c_ab FROM pr
+  ) GROUP BY 1
+),
+n AS (SELECT SUM(c_ab) AS n FROM pr),
+scored AS (
+  SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+    ROUND(
+      ln((CAST(c_ab AS DOUBLE) * n.n) / (CAST(ma.m AS DOUBLE) * mb.m)),
+      4
+    ) AS pmi
+  FROM pr JOIN m ma ON ma.w = pr.a JOIN m mb ON mb.w = pr.b CROSS JOIN n
+  WHERE c_ab >= 5
+)
+SELECT a, b, c_ab, pmi,
+  CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 20
+"""
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writer-side shard manifest: docs concatenated in id order, cut
+    into ~2048-token shards (doc-atomic); one row per shard. NEW r9
+    (second session)."""
+    from openset_spark.functions.text import token_count
+    from openset_spark.pipeline.packing import shard_manifest
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return shard_manifest(docs, budget=2048)
+
+
+_SQL_SHARD_MANIFEST = f"""
+WITH tok AS (
+  SELECT doc_id, len({_TOKS_SQL}) AS n_tokens FROM documents
+  WHERE len({_TOKS_SQL}) > 0
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok
+)
+SELECT CAST((cum - 1) // 2048 AS BIGINT) AS shard_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prio = _priority_queries()
     assert len(prio) <= _DRIVER_WINDOW, (
@@ -3896,6 +4050,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_coverage": _SQL_NGRAM_COVERAGE,
         "lang_confusion": _lang_confusion_sql(),
         "cross_source_dups": _SQL_CROSS_SOURCE_DUPS,
+        "ngram_novelty": _SQL_NGRAM_NOVELTY,
+        "quality_funnel": _SQL_QUALITY_FUNNEL,
+        "cooccur_pmi": _SQL_COOCCUR_PMI,
+        "shard_manifest": _SQL_SHARD_MANIFEST,
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,

@@ -212,6 +212,210 @@ def zipf_fit(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc novelty attribution: of each document's DISTINCT word
+    ``n``-grams, how many occur for the FIRST time in this document
+    (first = the minimum doc id over the whole corpus)? The curve of
+    novelty over ingestion order is the marginal-value report a crawl
+    schedule wants — once new snapshots stop contributing novel
+    n-grams, further crawling of that source is pure dedup load
+    (reference models this as its corpus "freshness" report over
+    ingest batches; cf. the reference's dedup suite which only
+    answers the pairwise question).
+
+    Scale shape: ONE distinct (doc, gram) frame feeds both sides —
+    the per-doc distinct-gram count is a groupBy(doc), and the
+    first-occurrence attribution is groupBy(gram)->min(doc) followed
+    by a count-by-min-doc, i.e. the novelty counts come off the
+    GRAM-keyed aggregate (vocabulary cardinality) rather than a
+    join-back over gram instances. The final join is per-doc
+    (corpus-row cardinality, two slim sides).
+
+    Output: (doc_id, n_grams, n_novel, novelty_x10k) with the ratio
+    as exact integer basis points (integer division — the
+    lexical_diversity portability posture)."""
+    dg = (
+        df.select(
+            F.col(id_col),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("_toks"), n))
+            ).alias("_g"),
+        )
+    )
+    per_doc = dg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    novel = (
+        dg.groupBy("_g")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "10000 * coalesce(n_novel, 0) div n_grams"
+            ).alias("novelty_x10k"),
+        )
+    )
+
+
+#: (rule name, ordered) — the quality_funnel stage sequence. Bands are
+#: integer/rational-exact so any engine reproduces the booleans.
+FUNNEL_RULES = (
+    "n_tokens_band",     # 20 <= n_tokens <= 90
+    "mean_word_len",     # 4*n <= total_chars <= 6*n  (mean in [4, 6])
+    "dup_fraction",      # distinct tokens * 2 >= n_tokens (dup frac <= 1/2)
+    "top_token_share",   # max single-token count * 8 <= n_tokens (<= 12.5%)
+)
+
+
+def quality_funnel(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cumulative rule-attrition report: for each filter stage, how
+    many docs ENTER it and how many SURVIVE it (a doc reaches stage k
+    only if it passed stages 1..k-1). This is the funnel table every
+    cleaning-pipeline data card publishes — per-doc pass flags
+    (gopher_quality) answer "is this doc ok", the funnel answers
+    "which rule is eating my corpus".
+
+    All four rule comparisons are integer-exact (counts against
+    count*constant), so the booleans are engine-portable with no
+    float posture at all. Scale shape: every rule input (token
+    total, char total, distinct count, modal-token count) comes off
+    ONE (doc, token) count aggregate — per-doc group cardinality is
+    the doc's vocabulary, never its length, so a pathological
+    100k-token doc costs its vocab, not vocab x length (the naive
+    array_distinct x filter form is quadratic per doc). The global
+    funnel aggregate map-side combines to 5 numbers; the 4-row
+    stack after it is constant-size."""
+    inst = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    tc = inst.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = tc.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).alias("_nd"),
+        F.max("_c").alias("_top"),
+        F.sum(F.length("_tok") * F.col("_c")).alias("_len"),
+    )
+    n, sum_len = F.col("_n"), F.col("_len")
+    n_dist, top = F.col("_nd"), F.col("_top")
+    flagged = per_doc.select(
+        (n.between(20, 90)).alias("_b1"),
+        ((sum_len >= 4 * n) & (sum_len <= 6 * n)).alias("_b2"),
+        (n_dist * 2 >= n).alias("_b3"),
+        (top * 8 <= n).alias("_b4"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("_n0"),
+        F.sum(F.col("_b1").cast("long")).alias("_n1"),
+        F.sum((F.col("_b1") & F.col("_b2")).cast("long")).alias("_n2"),
+        F.sum(
+            (F.col("_b1") & F.col("_b2") & F.col("_b3")).cast("long")
+        ).alias("_n3"),
+        F.sum(
+            (
+                F.col("_b1") & F.col("_b2") & F.col("_b3") & F.col("_b4")
+            ).cast("long")
+        ).alias("_n4"),
+    )
+    stack = ", ".join(
+        f"{i + 1}L, '{rule}', _n{i}, _n{i + 1}"
+        for i, rule in enumerate(FUNNEL_RULES)
+    )
+    return agg.select(
+        F.expr(f"stack({len(FUNNEL_RULES)}, {stack})").alias(
+            "stage", "rule", "n_in", "n_pass"
+        )
+    )
+
+
+def cooccur_pmi(
+    df: DataFrame,
+    window: int = 3,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` PMI of UNORDERED word pairs co-occurring within a
+    ±``window`` token distance — the skip-gram association table
+    (word2vec's training signal; collocations only sees adjacent
+    ordered bigrams). Pair marginals are the pair table's own
+    per-word sums (each pair contributes its count to both member
+    words), N is the total pair count.
+
+    Scale shape: pair generation is a per-row array expression (no
+    self-join on positions — the position self-join shuffles token
+    instances twice and explodes on long docs); everything after is
+    the collocations shape: one pair-count aggregate, marginals as
+    groupBys OF that frame, doubles-before-multiply PMI, global
+    top-k as sort+limit (TakeOrderedAndProject)."""
+    toked = df.select(tokens(F.col(text_col)).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(_toks) - 1), i -> "
+        f"transform(sequence(i + 1, least(i + {int(window)}, size(_toks))), "
+        "j -> struct("
+        "least(element_at(_toks, i), element_at(_toks, j)) AS a, "
+        "greatest(element_at(_toks, i), element_at(_toks, j)) AS b))))"
+    )
+    pc = (
+        toked.select(F.explode(pair_expr).alias("_p"))
+        .groupBy(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    # feeds two marginal aggregates + total + the scored join:
+    # materialize once (the tfidf_top_terms rule)
+    pc = pc.localCheckpoint(eager=False)
+    marg = (
+        pc.select(F.col("a").alias("w"), "c_ab")
+        .unionAll(pc.select(F.col("b").alias("w"), "c_ab"))
+        .groupBy("w")
+        .agg(F.sum("c_ab").alias("_m"))
+    )
+    n_tot = F.broadcast(pc.agg(F.sum("c_ab").alias("_n")))
+    ma = marg.select(F.col("w").alias("a"), F.col("_m").alias("_ma"))
+    mb = marg.select(F.col("w").alias("b"), F.col("_m").alias("_mb"))
+    pmi = F.log(
+        F.col("c_ab").cast("double")
+        * F.col("_n")
+        / (F.col("_ma").cast("double") * F.col("_mb"))
+    )
+    scored = (
+        pc.filter(F.col("c_ab") >= min_count)
+        .join(ma, "a")
+        .join(mb, "b")
+        .crossJoin(n_tot)
+        .select(
+            "a",
+            "b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+    )
+    order = (F.desc("pmi"), F.asc("a"), F.asc("b"))
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def oov_rate(
     df: DataFrame,
     vocab_size: int = 20,

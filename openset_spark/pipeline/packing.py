@@ -120,3 +120,43 @@ def chunk_windows(
             )
         ).alias("chunk_hash"),
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    partitions: int = 32,
+) -> DataFrame:
+    """The training-corpus WRITER's manifest: documents concatenate in
+    ``id_col`` order and cut into output shards of ~``budget`` tokens
+    each — a doc never splits across shards; the shard a doc lands in
+    is ``(inclusive_cumsum - 1) div budget``, i.e. a shard closes when
+    the running total crosses its budget boundary. One row per shard:
+    (shard_id, n_docs, n_tokens, first_doc, last_doc). The assignment
+    is a pure function of the ordered token totals, so re-running the
+    writer on any cluster layout reproduces the same shard boundaries
+    — the property that makes resumable multi-epoch training and
+    shard-addressed data loaders possible (the reference's segment
+    writer sizes its row groups the same way).
+
+    Scale shape: distributed_cumsum (range partitions + broadcast
+    offsets — no global-ordering window), then ONE groupBy(shard_id)
+    whose cardinality is total_tokens/budget. Zero-token docs are
+    excluded (they occupy no stream space, matching pack_sequences).
+    """
+    base = df.filter(F.col(token_col) > 0)
+    c = distributed_cumsum(base, [F.col(id_col).asc()], token_col, partitions)
+    # integer div, not float floor: cumsum is int64 and stays exact
+    shard = F.expr(f"(_cum - 1) div {int(budget)}").cast("long")
+    return (
+        c.withColumn("shard_id", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_col).cast("long").alias("n_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+    )
