@@ -94,3 +94,88 @@ def stream_near_dedup(
     return verdict.filter(F.col("_any_hit").isNull()).select(
         id_col, ts_col, text_col
     )
+
+
+
+def stream_keeper_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Live keeper reconciliation — the ORDER-FREE streaming twin of
+    ``pipeline/dedup.py::exact_dedup_clusters`` (14th parity surface).
+
+    ``stream_exact_dedup`` above answers "have I seen this text
+    recently?" and is inherently arrival-order dependent (first
+    arrival wins). This operator answers the batch question — "which
+    doc is the canonical keeper (min id) of each normalized text?" —
+    and maintains it LIVE: keyed by the content hash, state is the
+    current minimum id; when a smaller id arrives the stream emits an
+    ``evict`` for the dethroned keeper and an ``admit`` for the new
+    one. Folding admits minus evicts at any point yields EXACTLY
+    ``exact_dedup_clusters`` of everything that has arrived —
+    whatever order documents came in and however micro-batches split
+    them (the reservoir-surface proof shape, with k=1 and the id
+    itself as the ranking key).
+
+    Scale shape: one shuffle keyed by text hash (the batch
+    operator's own aggregate key), O(1) state per DISTINCT text.
+    A 100 TB deployment points this at the ingest firehose and gets
+    the dedup keeper table as an incrementally-maintained view
+    instead of a nightly batch rebuild."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from openset_spark.functions.text import normalize
+
+    hashed = docs.select(
+        F.md5(normalize(F.col(text_col))).alias("text_hash"),
+        F.col(id_col).cast("long").alias(id_col),
+    )
+    out_schema = StructType(
+        [
+            StructField("text_hash", StringType()),
+            StructField(id_col, LongType()),
+            StructField("action", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("keeper", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        keeper = state.get[0] if state.exists else None
+        best = keeper
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf[id_col].min())
+                best = m if best is None else min(best, m)
+        if best == keeper:
+            return
+        state.update((int(best),))
+        rows_id, rows_act = [best], ["admit"]
+        if keeper is not None:
+            rows_id.append(keeper)
+            rows_act.append("evict")
+        yield pd.DataFrame(
+            {
+                "text_hash": [key[0]] * len(rows_id),
+                id_col: rows_id,
+                "action": rows_act,
+            }
+        )
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -869,3 +869,60 @@ def test_stream_ngram_coverage_matches_batch(spark, sf_dir, tmpdir):
         for r in spark.sql(f"select n_covered from {name2}").collect()
     )
     assert rises == [2, 4]  # two snapshots, strictly rising
+
+
+def test_stream_keeper_dedup_matches_batch(spark, sf_dir, tmpdir):
+    """14th parity surface: the live keeper stream (admits minus
+    evicts) must equal exact_dedup_clusters' (text_hash, keeper) of
+    everything that arrived — EXACTLY, for any arrival order and any
+    micro-batch split, because the keeper is the order-free min id.
+    Arrival is adversarial: ids DESCEND (every multi-doc hash
+    dethrones its keeper at least once), plus injected high-id
+    duplicates arriving first so evictions are guaranteed even if
+    the corpus had no exact dups."""
+    import json
+
+    from openset_spark.pipeline.dedup import exact_dedup_clusters
+    from openset_spark.streaming.dedup import stream_keeper_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = [
+        {"doc_id": r.doc_id, "text": r.text}
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    for j, r in enumerate(rows[:5]):
+        rows.append({"doc_id": 500_000 + j, "text": r["text"]})
+    rows.sort(key=lambda r: -r["doc_id"])  # dup'd high ids arrive first
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_keeper_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_keeper_dedup(stream), name)
+    log = spark.sql(
+        f"select text_hash, doc_id, action from {name}"
+    ).collect()
+    live: set[tuple] = set()
+    n_evicts = 0
+    for r in log:
+        if r.action == "admit":
+            live.add((r.text_hash, r.doc_id))
+        else:
+            live.discard((r.text_hash, r.doc_id))
+            n_evicts += 1
+    assert n_evicts >= 5  # the injected dups all got dethroned
+
+    batch_docs = spark.read.schema(schema).json(tmpdir)
+    expected = {
+        (r.text_hash, r.keeper_doc_id)
+        for r in exact_dedup_clusters(batch_docs).collect()
+    }
+    assert live == expected
