@@ -3456,6 +3456,9 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "cooccur_pmi": q_cooccur_pmi,
         "shard_manifest": q_shard_manifest,
+        "epoch_shuffle": q_epoch_shuffle,
+        "embedding_outliers": q_embedding_outliers,
+        "dataset_card": q_dataset_card,
     }
 
 
@@ -4004,6 +4007,91 @@ FROM c GROUP BY 1
 """
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded epoch shuffle + batch assignment (the
+    data-loader contract): rank by portable md5(seed:id) via the
+    distributed prefix-sum, batch = rank div B. NEW r9 (second
+    session)."""
+    from openset_spark.pipeline.packing import epoch_shuffle
+
+    return epoch_shuffle(
+        _docs(spark, sf_dir).select("doc_id"), seed=7, batch_size=32
+    )
+
+
+_SQL_EPOCH_SHUFFLE = """
+WITH keyed AS (
+  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+)
+SELECT doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS BIGINT) AS rank,
+  CAST((ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1) // 32 AS BIGINT)
+    AS batch_id
+FROM keyed
+"""
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 farthest vectors from their label centroid (squared
+    euclidean to the ROUNDED centroid, sequential fold) — the
+    embedding outlier screen. NEW r9 (second session)."""
+    from openset_spark.pipeline.similarity import embedding_outliers
+
+    return embedding_outliers(_embs(spark, sf_dir), k=5)
+
+
+_SQL_EMBEDDING_OUTLIERS = """
+WITH cent AS (
+  SELECT label, i AS dim,
+    ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS c
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
+  GROUP BY 1, 2
+),
+carr AS (SELECT label, list(c ORDER BY dim) AS c FROM cent GROUP BY 1),
+scored AS (
+  SELECT e.label, e.vec_id,
+    ROUND(list_sum(list_transform(generate_series(1, len(e.embedding)),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c[i])
+           * (CAST(e.embedding[i] AS DOUBLE) - c[i]))), 4) + 0.0 AS d2
+  FROM embeddings e JOIN carr USING (label)
+)
+SELECT label, vec_id, d2,
+  CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id)
+       AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset-card header: doc/token totals, source & lang
+    cardinalities, exact unique-text count, duplicate remainder,
+    mean tokens per doc in centitokens — all integer-exact. NEW r9
+    (second session)."""
+    from openset_spark.pipeline.corpus_stats import dataset_card
+
+    return dataset_card(_docs(spark, sf_dir))
+
+
+_SQL_DATASET_CARD = f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+    len({_TOKS_SQL}) AS n_toks,
+    md5(array_to_string({_TOKS_SQL}, ' ')) AS th
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(COUNT(DISTINCT th) AS BIGINT) AS n_unique_texts,
+  CAST(COUNT(*) - COUNT(DISTINCT th) AS BIGINT) AS dup_docs,
+  CAST(100 * SUM(n_toks) // COUNT(*) AS BIGINT) AS mean_tokens_x100
+FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prio = _priority_queries()
     assert len(prio) <= _DRIVER_WINDOW, (
@@ -4054,6 +4142,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_funnel": _SQL_QUALITY_FUNNEL,
         "cooccur_pmi": _SQL_COOCCUR_PMI,
         "shard_manifest": _SQL_SHARD_MANIFEST,
+        "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
+        "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
+        "dataset_card": _SQL_DATASET_CARD,
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,

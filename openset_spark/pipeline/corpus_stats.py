@@ -456,3 +456,42 @@ def oov_rate(
             "div count(1)"
         ).alias("oov_x10k"),
     )
+
+
+def dataset_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row corpus summary — the header block of a dataset card
+    (what every corpus release publishes first): document and token
+    totals, source/language cardinalities, exact unique-text count
+    and the duplicate-doc remainder, and mean tokens per doc as
+    exact integer centitokens. Everything is integer-exact (counts,
+    count distincts, integer division) — no float posture.
+
+    Scale note: the unique-text count here is an EXACT
+    count-distinct over the normalized-text md5 (one shuffle of the
+    hash). At 100 TB swap in approx_count_distinct for the
+    interactive path — the exact form is the oracle-checkable
+    contract, and the dedup suite already materializes the same
+    hash frame, so a real deployment reads it from there."""
+    return df.select(
+        F.col(id_col),
+        F.col("source"),
+        F.col("lang"),
+        tokens(F.col(text_col)).alias("_toks"),
+        F.md5(F.concat_ws(" ", tokens(F.col(text_col)))).alias("_th"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("_toks")).cast("long").alias("n_tokens"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("_th").cast("long").alias("n_unique_texts"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("_th")
+        ).cast("long").alias("dup_docs"),
+        F.expr("100 * sum(size(_toks)) div count(1)").cast("long").alias(
+            "mean_tokens_x100"
+        ),
+    )

@@ -160,3 +160,39 @@ def shard_manifest(
             F.max(id_col).alias("last_doc"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    batch_size: int,
+    id_col: str = "doc_id",
+    partitions: int = 32,
+) -> DataFrame:
+    """Deterministic epoch shuffle + batch assignment — the data-
+    loader contract at 100 TB. "Random" order for epoch ``seed`` is
+    the sort by ``md5(seed || ':' || id)`` (engine-portable, stable,
+    and reshuffleable per epoch by changing the seed); the global
+    rank comes from distributed_cumsum over unit weights (range
+    partitions + broadcast offsets — NO global-ordering window, the
+    token_budget_select decomposition), and ``batch_id = (rank-1)
+    div batch_size``. Any worker can locate its batches by range —
+    resumable mid-epoch training without a driver-side shuffle
+    index. One row per doc: (doc_id, rank, batch_id)."""
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(":", F.lit(str(int(seed))), F.col(id_col).cast("string"))
+        ).alias("_k"),
+        F.lit(1).alias("_one"),
+    )
+    c = distributed_cumsum(
+        keyed, [F.col("_k").asc(), F.col(id_col).asc()], "_one", partitions
+    )
+    return c.select(
+        F.col(id_col),
+        F.col("_cum").cast("long").alias("rank"),
+        F.expr(f"(_cum - 1) div {int(batch_size)}").cast("long").alias(
+            "batch_id"
+        ),
+    )

@@ -603,3 +603,69 @@ def semantic_dedup(
     doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     kept = df.join(doomed, id_col, "left_anti")
     return kept, pairs
+
+
+def embedding_outliers(
+    df: DataFrame,
+    k: int = 5,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``k`` farthest vectors from their group's centroid —
+    the embedding-space outlier screen (mislabeled / off-domain /
+    corrupt rows surface here first; SemDeDup's complement). Distance
+    is squared euclidean to the ROUNDED centroid from
+    ``embedding_centroids`` — the rounding anchors the centroid to an
+    engine-portable value, and the per-vector distance is a
+    SEQUENTIAL left-to-right fold over dims (deterministic on both
+    engines, unlike a row-order-dependent group sum).
+
+    Scale shape: centroids are |groups| x dim — broadcast; the
+    distance pass is map-only. The per-group top-k is TWO-PHASE:
+    a local top-k inside each scan partition (window over
+    (group, partition_id) — bounded by partition size), then the
+    global top-k over <= k x n_partitions survivors — group
+    cardinality is small (labels, sources), so a single-phase
+    group window would pin each group's WHOLE row count on one
+    reducer at 100 TB."""
+    from openset_spark.pipeline.similarity import embedding_centroids
+
+    cents = embedding_centroids(df, group_col=group_col, vec_col=vec_col)
+    carr = (
+        cents.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "centroid"))
+            ).alias("_s")
+        )
+        .select(
+            group_col, F.expr("transform(_s, x -> x.centroid)").alias("_c")
+        )
+    )
+    joined = df.join(F.broadcast(carr), group_col)
+    diff = F.zip_with(
+        F.col(vec_col),
+        F.col("_c"),
+        lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+    )
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+    scored = joined.select(
+        group_col,
+        F.col(id_col),
+        (F.round(d2, 4) + F.lit(0.0)).alias("d2"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    local_w = Window.partitionBy(group_col, "_pid").orderBy(
+        F.desc("d2"), F.asc(id_col)
+    )
+    survivors = (
+        scored.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("d2"), F.asc(id_col))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
