@@ -348,6 +348,32 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r9"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-9 second-session additions: novelty attribution, the
+    # quality funnel, skip-gram PMI, the writer manifests/data-loader
+    # shuffle, embedding outliers, the dataset card.
+    # Disable with SPARK_GRAFT_R9B=0.
+    if os.environ.get("SPARK_GRAFT_R9B", "1") != "0":
+        try:
+            extra = {}
+            for name in (
+                "ngram_novelty",
+                "quality_funnel",
+                "cooccur_pmi",
+                "shard_manifest",
+                "epoch_shuffle",
+                "embedding_outliers",
+                "dataset_card",
+            ):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r9b"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r9b"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Skew evidence: one user owns 30% of a 6M-row synthetic corpus;
     # times the skew-bound window first-row vs the salted/algebraic
     # rewrite (and shows scalar aggs don't need salting — partial agg

@@ -252,6 +252,9 @@ def ngram_novelty(
             ).alias("_g"),
         )
     )
+    # both aggregates consume the same shingle frame: materialize
+    # once (the tfidf_top_terms rule; measured 8.8 -> ~4s at sf0.1)
+    dg = dg.localCheckpoint(eager=False)
     per_doc = dg.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )

@@ -301,6 +301,8 @@ _CBP_INTRA = [
     16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
     8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
 ]
+# same mapping for ChromaArrayType 0 (monochrome): luma-only CBP
+_CBP_INTRA_MONO = [0, 1, 2, 4, 8, 3, 5, 10, 12, 15, 7, 11, 13, 14, 6, 9]
 
 # zig-zag scan for 4x4 blocks (Table 8-13 frame scan)
 _ZZ4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
@@ -329,9 +331,15 @@ _QPC = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
         38, 38, 38, 39, 39, 39, 39]
 
 
-def _chroma_qp(qpy: int, offset: int) -> int:
-    qpi = max(0, min(51, qpy + offset))
-    return qpi if qpi < 30 else _QPC[qpi - 30]
+def _chroma_qp(qpy: int, offset: int, bd_off: int = 0) -> int:
+    """QP'C (8.5.8): table-mapped chroma QP. With a high bit depth,
+    qPI clips at -QpBdOffsetC below and the offset is added back
+    AFTER the table — that sum is what LevelScale consumes.
+    ``bd_off=0`` (the deblock caller) yields the plain QPC used for
+    threshold indexing."""
+    qpi = max(-bd_off, min(51, qpy + offset))
+    qpc = qpi if qpi < 30 else _QPC[qpi - 30]
+    return qpc + bd_off
 
 
 # intra 4x4 blocks: z-scan index -> (x, y) in 4x4 units within the MB
@@ -418,12 +426,19 @@ def parse_sps(rbsp: bytes) -> dict:
     br.u(8)  # constraint flags + reserved
     level_idc = br.u(8)
     sps_id = br.ue()
+    chroma_format_idc, bit_depth = 1, 8
     if profile_idc in (100, 110, 122, 244, 44, 83, 86, 118, 128):
         chroma_format_idc = br.ue()
-        if chroma_format_idc != 1:
-            raise NotImplementedError("only 4:2:0 H.264 supported")
-        if br.ue() != 0 or br.ue() != 0:  # bit depths
-            raise NotImplementedError("only 8-bit H.264 supported")
+        if chroma_format_idc not in (0, 1):
+            raise NotImplementedError("4:2:2/4:4:4 H.264 not supported")
+        bit_depth = br.ue() + 8
+        bd_chroma = br.ue() + 8
+        if bit_depth > 14:
+            raise ValueError(f"invalid H.264 bit depth {bit_depth}")
+        if chroma_format_idc != 0 and bd_chroma != bit_depth:
+            raise NotImplementedError(
+                "distinct luma/chroma bit depths not supported"
+            )
         br.u(1)  # qpprime_y_zero_transform_bypass
         if br.u(1):  # seq_scaling_matrix_present
             # fallback rule A: absent lists 0/3/6/7 take the default,
@@ -460,6 +475,9 @@ def parse_sps(rbsp: bytes) -> dict:
         "id": sps_id,
         "profile": profile_idc,
         "level": level_idc,
+        # 0 = monochrome (4:0:0), 1 = 4:2:0
+        "chroma_format": chroma_format_idc,
+        "bit_depth": bit_depth,  # 8..14 (High 10 / High-profile depths)
         "seq_scaling": seq_scaling,  # ([6 x 4x4 lists], [2 x 8x8]) | None
         "log2_max_frame_num": log2_max_frame_num,
         "pic_order_cnt_type": pic_order_cnt_type,
@@ -728,7 +746,7 @@ def _clip(v: int) -> int:
     return 0 if v < 0 else (255 if v > 255 else v)
 
 
-def predict_4x4(mode, A, L, X, a_ok, l_ok, ar):
+def predict_4x4(mode, A, L, X, a_ok, l_ok, ar, bd=8):
     """9 intra 4x4 modes. A: 4 above samples, ar: 4 above-right
     (already substituted when unavailable), L: 4 left, X: above-left.
     Returns 4x4 prediction."""
@@ -753,7 +771,7 @@ def predict_4x4(mode, A, L, X, a_ok, l_ok, ar):
         elif l_ok:
             dc = (sum(L) + 2) >> 2
         else:
-            dc = 128
+            dc = 1 << (bd - 1)
         for y in range(4):
             for x in range(4):
                 p[y][x] = dc
@@ -849,7 +867,7 @@ def predict_4x4(mode, A, L, X, a_ok, l_ok, ar):
     return p
 
 
-def predict_16x16(mode, above, left, top_left, a_ok, l_ok):
+def predict_16x16(mode, above, left, top_left, a_ok, l_ok, bd=8):
     p = [[0] * 16 for _ in range(16)]
     if mode == 0:  # vertical
         for y in range(16):
@@ -867,7 +885,7 @@ def predict_16x16(mode, above, left, top_left, a_ok, l_ok):
         elif l_ok:
             dc = (sum(left) + 8) >> 4
         else:
-            dc = 128
+            dc = 1 << (bd - 1)
         for y in range(16):
             for x in range(16):
                 p[y][x] = dc
@@ -886,13 +904,13 @@ def predict_16x16(mode, above, left, top_left, a_ok, l_ok):
         a = 16 * (above[15] + left[15])
         for y in range(16):
             for x in range(16):
-                p[y][x] = _clip((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+                p[y][x] = _clip3(0, (1 << bd) - 1, (a + b * (x - 7) + c * (y - 7) + 16) >> 5)
     else:
         raise ValueError(f"invalid intra16x16 mode {mode}")
     return p
 
 
-def predict_chroma(mode, above, left, top_left, a_ok, l_ok):
+def predict_chroma(mode, above, left, top_left, a_ok, l_ok, bd=8):
     """8x8 chroma prediction (modes: 0 DC, 1 horizontal, 2 vertical,
     3 plane)."""
     p = [[0] * 8 for _ in range(8)]
@@ -909,21 +927,21 @@ def predict_chroma(mode, above, left, top_left, a_ok, l_ok):
                     elif s_l is not None:
                         dc = (s_l + 2) >> 2
                     else:
-                        dc = 128
+                        dc = 1 << (bd - 1)
                 elif qx == 4:  # top-right prefers above
                     if s_a is not None:
                         dc = (s_a + 2) >> 2
                     elif s_l is not None:
                         dc = (s_l + 2) >> 2
                     else:
-                        dc = 128
+                        dc = 1 << (bd - 1)
                 else:  # bottom-left prefers left
                     if s_l is not None:
                         dc = (s_l + 2) >> 2
                     elif s_a is not None:
                         dc = (s_a + 2) >> 2
                     else:
-                        dc = 128
+                        dc = 1 << (bd - 1)
                 for y in range(4):
                     for x in range(4):
                         p[qy + y][qx + x] = dc
@@ -950,7 +968,7 @@ def predict_chroma(mode, above, left, top_left, a_ok, l_ok):
         a = 16 * (above[7] + left[7])
         for y in range(8):
             for x in range(8):
-                p[y][x] = _clip((a + b * (x - 3) + c * (y - 3) + 16) >> 5)
+                p[y][x] = _clip3(0, (1 << bd) - 1, (a + b * (x - 3) + c * (y - 3) + 16) >> 5)
     else:
         raise ValueError(f"invalid chroma mode {mode}")
     return p
@@ -967,6 +985,13 @@ class _Frame:
         self.pps = pps
         self.mb_w = sps["mb_w"]
         self.mb_h = sps["mb_h"]
+        # format parameters: 4:0:0 drops every chroma stage; bit
+        # depths > 8 widen samples, QP range, and deblock thresholds
+        self.cf = sps.get("chroma_format", 1)
+        self.bd = sps.get("bit_depth", 8)
+        self.maxv = (1 << self.bd) - 1
+        self.mid = 1 << (self.bd - 1)
+        self.qp_off = 6 * (self.bd - 8)  # QpBdOffsetY (== C here)
         W, H = self.mb_w * 16, self.mb_h * 16
         self.y = [[0] * W for _ in range(H)]
         self.u = [[0] * (W // 2) for _ in range(H // 2)]
@@ -1060,11 +1085,12 @@ def _decode_ipcm(br, frame, mbx, mby, qp):
     br.byte_align()
     for yy in range(16):
         for xx in range(16):
-            frame.y[mby * 16 + yy][mbx * 16 + xx] = br.u(8)
-    for plane in (frame.u, frame.v):
-        for yy in range(8):
-            for xx in range(8):
-                plane[mby * 8 + yy][mbx * 8 + xx] = br.u(8)
+            frame.y[mby * 16 + yy][mbx * 16 + xx] = br.u(frame.bd)
+    if frame.cf:
+        for plane in (frame.u, frame.v):
+            for yy in range(8):
+                for xx in range(8):
+                    plane[mby * 8 + yy][mbx * 8 + xx] = br.u(frame.bd)
     for yy in range(4):
         for xx in range(4):
             frame.nnz_y[mby * 4 + yy][mbx * 4 + xx] = 16
@@ -1107,7 +1133,7 @@ def _neighbors_4x4(frame, bx, by, cur_slice):
     x_ok = a_ok and l_ok and frame.mb_avail(
         *frame.blk_mb(bx - 1, by - 1), cur_slice
     )
-    X = frame.y[y0 - 1][x0 - 1] if x_ok else (A[0] if a_ok else (L[0] if l_ok else 128))
+    X = frame.y[y0 - 1][x0 - 1] if x_ok else (A[0] if a_ok else (L[0] if l_ok else frame.mid))
     # above-right: available iff in frame, same slice, and DECODED
     # (z-scan order makes intra-MB cases resolve correctly)
     ar_ok = (
@@ -1129,6 +1155,13 @@ def _parse_cbp_qp(br, frame, qp, intra16):
     if intra16:
         cbp_luma = cbp_chroma = None  # from mb_type, set by caller
         delta = br.se()
+    elif frame.cf == 0:
+        # Table 9-4, ChromaArrayType 0: luma-only cbp, 16 codes
+        code = br.ue()
+        if code >= 16:
+            raise ValueError("invalid coded_block_pattern")
+        cbp_luma, cbp_chroma = _CBP_INTRA_MONO[code], 0
+        delta = br.se() if cbp_luma != 0 else 0
     else:
         code = br.ue()
         if code >= 48:
@@ -1138,7 +1171,9 @@ def _parse_cbp_qp(br, frame, qp, intra16):
         if cbp_chroma == 3:
             raise ValueError("invalid chroma CBP")
         delta = br.se() if cbp != 0 else 0
-    qp = (qp + delta + 52) % 52
+    # 7.4.5: QPY wraps in [-QpBdOffsetY, 51]
+    off = frame.qp_off
+    qp = ((qp + delta + 52 + 2 * off) % (52 + off)) - off
     return cbp_luma, cbp_chroma, qp
 
 
@@ -1160,7 +1195,7 @@ def _decode_i4x4(br, frame, mbx, mby, qp, cur_slice):
             mode = rem if rem < pred else rem + 1
         modes.append(mode)
         frame.mode4[by][bx] = mode  # later blocks predict from it
-    chroma_mode = br.ue()
+    chroma_mode = br.ue() if frame.cf else 0
     cbp_luma, cbp_chroma, qp = _parse_cbp_qp(br, frame, qp, False)
     frame.mb_qp[mby][mbx] = qp
 
@@ -1178,10 +1213,12 @@ def _decode_i4x4(br, frame, mbx, mby, qp, cur_slice):
         blocks.append(coeffs)
     chroma_res = _parse_chroma_residual(
         br, frame, mbx, mby, cbp_chroma, cur_slice
-    )
+    ) if frame.cf else None
 
     _recon_i4x4_luma(frame, mbx, mby, modes, blocks, qp, cur_slice)
-    _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp, cur_slice)
+    if frame.cf:
+        _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp,
+                      cur_slice)
     return qp
 
 
@@ -1196,13 +1233,15 @@ def _recon_i4x4_luma(frame, mbx, mby, modes, blocks, qp, cur_slice):
         dx, dy = _BLK_XY[blk]
         bx, by = mbx * 4 + dx, mby * 4 + dy
         A, L, X, a_ok, l_ok, AR = _neighbors_4x4(frame, bx, by, cur_slice)
-        pred = predict_4x4(modes[blk], A, L, X, a_ok, l_ok, AR)
-        res = inverse_4x4(_dequant_4x4(blocks[blk], qp, weights=wy))
+        pred = predict_4x4(modes[blk], A, L, X, a_ok, l_ok, AR, bd=frame.bd)
+        res = inverse_4x4(
+            _dequant_4x4(blocks[blk], qp + frame.qp_off, weights=wy)
+        )
         x0, y0 = bx * 4, by * 4
         for yy in range(4):
             for xx in range(4):
-                frame.y[y0 + yy][x0 + xx] = _clip(
-                    pred[yy][xx] + res[yy][xx]
+                frame.y[y0 + yy][x0 + xx] = _clip3(
+                    0, frame.maxv, pred[yy][xx] + res[yy][xx]
                 )
         frame.decoded4[by][bx] = True
 
@@ -1211,7 +1250,7 @@ def _decode_i16x16(br, frame, mbx, mby, qp, cur_slice, mb_type):
     pred_mode = (mb_type - 1) % 4
     cbp_chroma = ((mb_type - 1) // 4) % 3
     cbp_luma = 15 if (mb_type - 1) >= 12 else 0
-    chroma_mode = br.ue()
+    chroma_mode = br.ue() if frame.cf else 0
     _, _, qp = _parse_cbp_qp(br, frame, qp, True)
     frame.mb_qp[mby][mbx] = qp
 
@@ -1232,12 +1271,14 @@ def _decode_i16x16(br, frame, mbx, mby, qp, cur_slice, mb_type):
         ac_blocks.append(coeffs)
     chroma_res = _parse_chroma_residual(
         br, frame, mbx, mby, cbp_chroma, cur_slice
-    )
+    ) if frame.cf else None
 
     _recon_i16x16_luma(
         frame, mbx, mby, pred_mode, dc_coeffs, ac_blocks, qp, cur_slice
     )
-    _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp, cur_slice)
+    if frame.cf:
+        _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp,
+                      cur_slice)
     return qp
 
 
@@ -1252,10 +1293,11 @@ def _recon_i16x16_luma(frame, mbx, mby, pred_mode, dc_coeffs, ac_blocks,
     above = [frame.y[y0 - 1][x0 + i] for i in range(16)] if a_ok else [0] * 16
     left = [frame.y[y0 + i][x0 - 1] for i in range(16)] if l_ok else [0] * 16
     x_ok = a_ok and l_ok and frame.mb_avail(mbx - 1, mby - 1, cur_slice)
-    tl = frame.y[y0 - 1][x0 - 1] if x_ok else 128
+    tl = frame.y[y0 - 1][x0 - 1] if x_ok else frame.mid
     if pred_mode == 3 and not (a_ok and l_ok and x_ok):
         raise ValueError("intra16x16 plane without neighbors")
-    pred = predict_16x16(pred_mode, above, left, tl, a_ok, l_ok)
+    pred = predict_16x16(pred_mode, above, left, tl, a_ok, l_ok,
+                         bd=frame.bd)
 
     # luma DC: inverse Hadamard, then 8.5.10 scaling
     f = [[0] * 4 for _ in range(4)]
@@ -1266,7 +1308,7 @@ def _recon_i16x16_luma(frame, mbx, mby, pred_mode, dc_coeffs, ac_blocks,
     wy = w4[0] if w4 else None
     w00 = wy[0] if wy else 16
     g = inverse_hadamard_4x4(f)
-    dc = [[_scale_luma_dc(g[i][j], qp, w00) for j in range(4)]
+    dc = [[_scale_luma_dc(g[i][j], qp + frame.qp_off, w00) for j in range(4)]
           for i in range(4)]
 
     for blk in range(16):
@@ -1274,12 +1316,14 @@ def _recon_i16x16_luma(frame, mbx, mby, pred_mode, dc_coeffs, ac_blocks,
         bx, by = mbx * 4 + dx, mby * 4 + dy
         coeffs = [0] + ac_blocks[blk]  # AC levels occupy scan 1..15
         res = inverse_4x4(
-            _dequant_4x4(coeffs, qp, dc_from=dc[dy][dx], weights=wy)
+            _dequant_4x4(coeffs, qp + frame.qp_off,
+                         dc_from=dc[dy][dx], weights=wy)
         )
         px, py = bx * 4, by * 4
         for yy in range(4):
             for xx in range(4):
-                frame.y[py + yy][px + xx] = _clip(
+                frame.y[py + yy][px + xx] = _clip3(
+                    0, frame.maxv,
                     pred[(dy * 4) + yy][(dx * 4) + xx] + res[yy][xx]
                 )
         frame.decoded4[by][bx] = True
@@ -1310,13 +1354,15 @@ def _parse_chroma_residual(br, frame, mbx, mby, cbp_chroma, cur_slice):
 def _recon_chroma(frame, mbx, mby, mode, chroma_res, qp_y, cur_slice):
     dcs, acs = chroma_res
     qpc_by_comp = (
-        _chroma_qp(qp_y, frame.pps["chroma_qp_index_offset"]),
+        _chroma_qp(qp_y, frame.pps["chroma_qp_index_offset"],
+                   frame.qp_off),
         _chroma_qp(
             qp_y,
             frame.pps.get(
                 "second_chroma_qp_offset",
                 frame.pps["chroma_qp_index_offset"],
             ),
+            frame.qp_off,
         ),
     )
     a_ok = mby > 0 and frame.mb_avail(mbx, mby - 1, cur_slice)
@@ -1333,8 +1379,9 @@ def _recon_chroma(frame, mbx, mby, mode, chroma_res, qp_y, cur_slice):
         x0, y0 = mbx * 8, mby * 8
         above = [plane[y0 - 1][x0 + i] for i in range(8)] if a_ok else [0] * 8
         left = [plane[y0 + i][x0 - 1] for i in range(8)] if l_ok else [0] * 8
-        tl = plane[y0 - 1][x0 - 1] if x_ok else 128
-        pred = predict_chroma(mode, above, left, tl, a_ok, l_ok)
+        tl = plane[y0 - 1][x0 - 1] if x_ok else frame.mid
+        pred = predict_chroma(mode, above, left, tl, a_ok, l_ok,
+                              bd=frame.bd)
         # 2x2 DC inverse transform (8.5.11) + scaling
         c = dcs[comp]
         g = [
@@ -1356,7 +1403,8 @@ def _recon_chroma(frame, mbx, mby, mode, chroma_res, qp_y, cur_slice):
             by0 = (blk >> 1) * 4
             for yy in range(4):
                 for xx in range(4):
-                    plane[y0 + by0 + yy][x0 + bx0 + xx] = _clip(
+                    plane[y0 + by0 + yy][x0 + bx0 + xx] = _clip3(
+                        0, frame.maxv,
                         pred[by0 + yy][bx0 + xx] + res[yy][xx]
                     )
 
@@ -1394,7 +1442,7 @@ def _clip3(lo, hi, v):
     return lo if v < lo else hi if v > hi else v
 
 
-def _filter_line(buf, bs, alpha, beta, tc0, chroma):
+def _filter_line(buf, bs, alpha, beta, tc0, chroma, maxv=255):
     """Filter one 8-sample line across an edge IN PLACE.
     ``buf`` = [p3, p2, p1, p0, q0, q1, q2, q3] (p-side first)."""
     p3, p2, p1, p0, q0, q1, q2, q3 = buf
@@ -1426,8 +1474,8 @@ def _filter_line(buf, bs, alpha, beta, tc0, chroma):
     # bS 1..3: clipped delta on p0/q0 (+ p1/q1 for luma)
     tc = tc0 + 1 if chroma else tc0 + (1 if ap else 0) + (1 if aq else 0)
     delta = _clip3(-tc, tc, ((q0 - p0) * 4 + (p1 - q1) + 4) >> 3)
-    buf[3] = _clip(p0 + delta)
-    buf[4] = _clip(q0 - delta)
+    buf[3] = _clip3(0, maxv, p0 + delta)
+    buf[4] = _clip3(0, maxv, q0 - delta)
     if not chroma:
         if ap:
             buf[2] = p1 + _clip3(
@@ -1439,27 +1487,30 @@ def _filter_line(buf, bs, alpha, beta, tc0, chroma):
             )
 
 
-def _deblock_edges(plane, x0, y0, span, vertical, bs, qpav, a_off, b_off, chroma):
+def _deblock_edges(plane, x0, y0, span, vertical, bs, qpav, a_off, b_off, chroma, bd=8):
     """Filter ``span`` lines of one edge of ``plane``; the edge sits
     LEFT of column x0 (vertical) or ABOVE row y0 (horizontal)."""
     idx_a = _clip3(0, 51, qpav + a_off)
     idx_b = _clip3(0, 51, qpav + b_off)
-    alpha = _DB_ALPHA[idx_a]
-    beta = _DB_BETA[idx_b]
+    # 8.7.2.2: thresholds scale with bit depth; tables stay 8-bit
+    sh = bd - 8
+    alpha = _DB_ALPHA[idx_a] << sh
+    beta = _DB_BETA[idx_b] << sh
     if alpha == 0 or beta == 0:
         return
-    tc0 = 0 if bs == 4 else _DB_TC0[bs][idx_a]
+    tc0 = 0 if bs == 4 else _DB_TC0[bs][idx_a] << sh
+    maxv = (1 << bd) - 1
     for k in range(span):
         if vertical:
             row = plane[y0 + k]
             buf = [row[x0 - 4 + i] for i in range(8)]
-            _filter_line(buf, bs, alpha, beta, tc0, chroma)
+            _filter_line(buf, bs, alpha, beta, tc0, chroma, maxv)
             for i in range(1, 7):  # p3/q3 never change
                 row[x0 - 4 + i] = buf[i]
         else:
             x = x0 + k
             buf = [plane[y0 - 4 + i][x] for i in range(8)]
-            _filter_line(buf, bs, alpha, beta, tc0, chroma)
+            _filter_line(buf, bs, alpha, beta, tc0, chroma, maxv)
             for i in range(1, 7):
                 plane[y0 - 4 + i][x] = buf[i]
 
@@ -1512,27 +1563,32 @@ def deblock_frame(frame: "_Frame", slice_deblock) -> None:
             x16, y16 = mbx * 16, mby * 16
             x8, y8 = mbx * 8, mby * 8
             # vertical edges, left to right
+            bd, cf = frame.bd, frame.cf
             left = edge_sets(mbx - 1, mby)
             if left is not None:
                 bs, qa, qac = left
-                _deblock_edges(frame.y, x16, y16, 16, True, bs, qa, a_off, b_off, False)
-                _deblock_edges(frame.u, x8, y8, 8, True, bs, qac[0], a_off, b_off, True)
-                _deblock_edges(frame.v, x8, y8, 8, True, bs, qac[1], a_off, b_off, True)
+                _deblock_edges(frame.y, x16, y16, 16, True, bs, qa, a_off, b_off, False, bd)
+                if cf:
+                    _deblock_edges(frame.u, x8, y8, 8, True, bs, qac[0], a_off, b_off, True, bd)
+                    _deblock_edges(frame.v, x8, y8, 8, True, bs, qac[1], a_off, b_off, True, bd)
             for xe in internal:
-                _deblock_edges(frame.y, x16 + xe, y16, 16, True, 3, qp_cur, a_off, b_off, False)
-            _deblock_edges(frame.u, x8 + 4, y8, 8, True, 3, qpc_u, a_off, b_off, True)
-            _deblock_edges(frame.v, x8 + 4, y8, 8, True, 3, qpc_v, a_off, b_off, True)
+                _deblock_edges(frame.y, x16 + xe, y16, 16, True, 3, qp_cur, a_off, b_off, False, bd)
+            if cf:
+                _deblock_edges(frame.u, x8 + 4, y8, 8, True, 3, qpc_u, a_off, b_off, True, bd)
+                _deblock_edges(frame.v, x8 + 4, y8, 8, True, 3, qpc_v, a_off, b_off, True, bd)
             # horizontal edges, top to bottom
             top = edge_sets(mbx, mby - 1)
             if top is not None:
                 bs, qa, qac = top
-                _deblock_edges(frame.y, x16, y16, 16, False, bs, qa, a_off, b_off, False)
-                _deblock_edges(frame.u, x8, y8, 8, False, bs, qac[0], a_off, b_off, True)
-                _deblock_edges(frame.v, x8, y8, 8, False, bs, qac[1], a_off, b_off, True)
+                _deblock_edges(frame.y, x16, y16, 16, False, bs, qa, a_off, b_off, False, bd)
+                if cf:
+                    _deblock_edges(frame.u, x8, y8, 8, False, bs, qac[0], a_off, b_off, True, bd)
+                    _deblock_edges(frame.v, x8, y8, 8, False, bs, qac[1], a_off, b_off, True, bd)
             for ye in internal:
-                _deblock_edges(frame.y, x16, y16 + ye, 16, False, 3, qp_cur, a_off, b_off, False)
-            _deblock_edges(frame.u, x8, y8 + 4, 8, False, 3, qpc_u, a_off, b_off, True)
-            _deblock_edges(frame.v, x8, y8 + 4, 8, False, 3, qpc_v, a_off, b_off, True)
+                _deblock_edges(frame.y, x16, y16 + ye, 16, False, 3, qp_cur, a_off, b_off, False, bd)
+            if cf:
+                _deblock_edges(frame.u, x8, y8 + 4, 8, False, 3, qpc_u, a_off, b_off, True, bd)
+                _deblock_edges(frame.v, x8, y8 + 4, 8, False, 3, qpc_v, a_off, b_off, True, bd)
 
 
 def _parse_slice_header(br, nal_type, sps_map, pps_map):
@@ -1571,7 +1627,9 @@ def _parse_slice_header(br, nal_type, sps_map, pps_map):
 def decode_h264_frame(data: bytes):
     """Decode the first IDR picture of an Annex-B byte stream:
     -> (width, height, y_plane, u_plane, v_plane) with planes as
-    row-major lists of lists (YUV 4:2:0, cropped)."""
+    row-major lists of lists (YUV 4:2:0, cropped). Monochrome
+    (4:0:0) streams return u = v = None; High-10/14 streams return
+    full-precision samples (0..(1<<bit_depth)-1)."""
     sps_map: dict[int, dict] = {}
     pps_map: dict[int, dict] = {}
     frame = None
@@ -1622,6 +1680,8 @@ def decode_h264_frame(data: bytes):
     w = W - 2 * (cl + cr)
     h = H - 2 * (ct + cb)
     y = [row[2 * cl : 2 * cl + w] for row in frame.y[2 * ct : 2 * ct + h]]
+    if not frame.cf:
+        return w, h, y, None, None
     u = [
         row[cl : cl + w // 2]
         for row in frame.u[ct : ct + (h + 1) // 2]
@@ -1633,18 +1693,21 @@ def decode_h264_frame(data: bytes):
     return w, h, y, u, v
 
 
-def h264_to_rgb(w, h, y, u, v) -> bytes:
-    """BT.601 limited-range YUV 4:2:0 -> interleaved RGB bytes."""
+def h264_to_rgb(w, h, y, u, v, bd: int = 8) -> bytes:
+    """BT.601 limited-range YUV 4:2:0 -> interleaved 8-bit RGB.
+    ``u``/``v`` None (monochrome) renders the luma plane gray;
+    ``bd`` > 8 right-shifts samples to 8-bit before the matrix."""
+    sh = bd - 8
     out = bytearray(w * h * 3)
     for yy in range(h):
         yr = y[yy]
-        ur = u[yy >> 1]
-        vr = v[yy >> 1]
+        ur = u[yy >> 1] if u is not None else None
+        vr = v[yy >> 1] if v is not None else None
         base = yy * w * 3
         for xx in range(w):
-            Y = yr[xx] - 16
-            U = ur[xx >> 1] - 128
-            V = vr[xx >> 1] - 128
+            Y = (yr[xx] >> sh) - 16
+            U = (ur[xx >> 1] >> sh) - 128 if ur is not None else 0
+            V = (vr[xx >> 1] >> sh) - 128 if vr is not None else 0
             r = (298 * Y + 409 * V + 128) >> 8
             g = (298 * Y - 100 * U - 208 * V + 128) >> 8
             b = (298 * Y + 516 * U + 128) >> 8
@@ -1785,7 +1848,7 @@ def _filter_ref_8x8(A, L, X, a_ok, l_ok, x_ok):
     return fA, fL, fX
 
 
-def predict_8x8(mode, A, L, X, a_ok, l_ok):
+def predict_8x8(mode, A, L, X, a_ok, l_ok, bd=8):
     """9 intra 8x8 modes over FILTERED references (the 4x4 formulas
     at N=8). A: 16 filtered above(+right) samples, L: 8 filtered
     left, X: filtered corner."""
@@ -1810,7 +1873,7 @@ def predict_8x8(mode, A, L, X, a_ok, l_ok):
         elif l_ok:
             dc = (sum(L) + 4) >> 3
         else:
-            dc = 128
+            dc = 1 << (bd - 1)
         for y in range(8):
             for x in range(8):
                 p[y][x] = dc
@@ -1917,7 +1980,7 @@ def _neighbors_8x8(frame, b8x, b8y, cur_slice):
     )
     A = [0] * 16
     L = [0] * 8
-    X = 128
+    X = frame.mid
     if a_ok:
         A[:8] = frame.y[y0 - 1][x0:x0 + 8]
         ar_ok = (
@@ -1955,13 +2018,16 @@ def _recon_i8x8_luma(frame, mbx, mby, modes, blocks, qp, cur_slice):
             frame, b8x, b8y, cur_slice
         )
         fA, fL, fX = _filter_ref_8x8(A, L, X, a_ok, l_ok, x_ok)
-        pred = predict_8x8(modes[b8], fA, fL, fX, a_ok, l_ok)
-        res = inverse_8x8(_dequant_8x8(blocks[b8], qp, weights=w8y))
+        pred = predict_8x8(modes[b8], fA, fL, fX, a_ok, l_ok,
+                           bd=frame.bd)
+        res = inverse_8x8(
+            _dequant_8x8(blocks[b8], qp + frame.qp_off, weights=w8y)
+        )
         x0, y0 = b8x * 8, b8y * 8
         for yy in range(8):
             for xx in range(8):
-                frame.y[y0 + yy][x0 + xx] = _clip(
-                    pred[yy][xx] + res[yy][xx]
+                frame.y[y0 + yy][x0 + xx] = _clip3(
+                    0, frame.maxv, pred[yy][xx] + res[yy][xx]
                 )
         for cy in range(2):
             for cx in range(2):
@@ -1996,7 +2062,7 @@ def _decode_i8x8_cavlc(br, frame, mbx, mby, qp, cur_slice):
         for cy in range(2):
             for cx in range(2):
                 frame.mode4[b8y * 2 + cy][b8x * 2 + cx] = mode
-    chroma_mode = br.ue()
+    chroma_mode = br.ue() if frame.cf else 0
     cbp_luma, cbp_chroma, qp = _parse_cbp_qp(br, frame, qp, False)
     frame.mb_qp[mby][mbx] = qp
 
@@ -2020,7 +2086,9 @@ def _decode_i8x8_cavlc(br, frame, mbx, mby, qp, cur_slice):
         blocks.append(levels)
     chroma_res = _parse_chroma_residual(
         br, frame, mbx, mby, cbp_chroma, cur_slice
-    )
+    ) if frame.cf else None
     _recon_i8x8_luma(frame, mbx, mby, modes, blocks, qp, cur_slice)
-    _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp, cur_slice)
+    if frame.cf:
+        _recon_chroma(frame, mbx, mby, chroma_mode, chroma_res, qp,
+                      cur_slice)
     return qp

@@ -244,8 +244,11 @@ class CabacReader:
         self.pos = (self.pos + 7) & ~7
 
     def u8(self) -> int:
+        return self.u(8)
+
+    def u(self, n: int) -> int:
         v = 0
-        for _ in range(8):
+        for _ in range(n):
             v = (v << 1) | self._bit()
         return v
 
@@ -361,6 +364,9 @@ def _decode_cbp(rd, ps, ms, st, frame, mbx, mby, cur_slice):
         c = st.cbp_chroma[nby][nbx]
         return 1 if (c == 2 if two else c != 0) else 0
 
+    if frame.cf == 0:
+        # 9.3.2.6: monochrome cbp binarization has no chroma suffix
+        return cbp_luma, 0
     inc = chroma_cond(mbx - 1, mby, False) + 2 * chroma_cond(
         mbx, mby - 1, False
     )
@@ -464,11 +470,12 @@ def _decode_mb_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
         rd.byte_align()
         for yy in range(16):
             for xx in range(16):
-                frame.y[mby * 16 + yy][mbx * 16 + xx] = rd.u8()
-        for plane in (frame.u, frame.v):
-            for yy in range(8):
-                for xx in range(8):
-                    plane[mby * 8 + yy][mbx * 8 + xx] = rd.u8()
+                frame.y[mby * 16 + yy][mbx * 16 + xx] = rd.u(frame.bd)
+        if frame.cf:
+            for plane in (frame.u, frame.v):
+                for yy in range(8):
+                    for xx in range(8):
+                        plane[mby * 8 + yy][mbx * 8 + xx] = rd.u(frame.bd)
         for yy in range(4):
             for xx in range(4):
                 frame.decoded4[mby * 4 + yy][mbx * 4 + xx] = True
@@ -517,7 +524,7 @@ def _decode_mb_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
             frame.mode4[by][bx] = mode
         chroma_mode = _decode_intra_chroma_mode(
             rd, ps, ms, st, frame, mbx, mby, cur_slice
-        )
+        ) if frame.cf else 0
         st.chroma_mode[mby][mbx] = chroma_mode
         cbp_luma, cbp_chroma = _decode_cbp(
             rd, ps, ms, st, frame, mbx, mby, cur_slice
@@ -530,7 +537,7 @@ def _decode_mb_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
         cbp_luma = 15 if (mb_type - 1) >= 12 else 0
         chroma_mode = _decode_intra_chroma_mode(
             rd, ps, ms, st, frame, mbx, mby, cur_slice
-        )
+        ) if frame.cf else 0
         st.chroma_mode[mby][mbx] = chroma_mode
         modes = None
         dc_present = True
@@ -538,7 +545,9 @@ def _decode_mb_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
     st.cbp_chroma[mby][mbx] = cbp_chroma
 
     if cbp_luma or cbp_chroma or kind == "i16":
-        qp = (qp + _decode_mb_qp_delta(rd, ps, ms, st) + 52) % 52
+        off = frame.qp_off
+        qp = ((qp + _decode_mb_qp_delta(rd, ps, ms, st) + 52
+               + 2 * off) % (52 + off)) - off
     else:
         st.prev_qp_delta_nz = False
     frame.mb_qp[mby][mbx] = qp
@@ -591,7 +600,9 @@ def _decode_mb_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
         _recon_i16x16_luma(
             frame, mbx, mby, pred_mode, dc_coeffs, blocks, qp, cur_slice
         )
-    _recon_chroma(frame, mbx, mby, chroma_mode, (dcs, acs), qp, cur_slice)
+    if frame.cf:
+        _recon_chroma(frame, mbx, mby, chroma_mode, (dcs, acs), qp,
+                      cur_slice)
     return qp
 
 
@@ -776,7 +787,7 @@ def _decode_mb_i8x8_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
                 frame.mode4[b8y * 2 + cy][b8x * 2 + cx] = mode
     chroma_mode = _decode_intra_chroma_mode(
         rd, ps, ms, st, frame, mbx, mby, cur_slice
-    )
+    ) if frame.cf else 0
     st.chroma_mode[mby][mbx] = chroma_mode
     cbp_luma, cbp_chroma = _decode_cbp(
         rd, ps, ms, st, frame, mbx, mby, cur_slice
@@ -784,7 +795,9 @@ def _decode_mb_i8x8_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
     st.cbp_luma[mby][mbx] = cbp_luma
     st.cbp_chroma[mby][mbx] = cbp_chroma
     if cbp_luma or cbp_chroma:
-        qp = (qp + _decode_mb_qp_delta(rd, ps, ms, st) + 52) % 52
+        off = frame.qp_off
+        qp = ((qp + _decode_mb_qp_delta(rd, ps, ms, st) + 52
+               + 2 * off) % (52 + off)) - off
     else:
         st.prev_qp_delta_nz = False
     frame.mb_qp[mby][mbx] = qp
@@ -825,7 +838,9 @@ def _decode_mb_i8x8_cabac(rd, ps, ms, st, frame, mbx, mby, qp, cur_slice):
                     acs[comp][blk] = _decode_block(rd, ps, ms, 4)
 
     _recon_i8x8_luma(frame, mbx, mby, modes, blocks, qp, cur_slice)
-    _recon_chroma(frame, mbx, mby, chroma_mode, (dcs, acs), qp, cur_slice)
+    if frame.cf:
+        _recon_chroma(frame, mbx, mby, chroma_mode, (dcs, acs), qp,
+                      cur_slice)
     return qp
 
 

@@ -70,12 +70,25 @@ def _nal(nal_type: int, rbsp: bytes) -> bytes:
     return b"\x00\x00\x00\x01" + bytes([0x60 | nal_type]) + _escape(rbsp)
 
 
-def _sps_nal(mb_w, mb_h, crop=(0, 0, 0, 0)) -> bytes:
+def _sps_nal(mb_w, mb_h, crop=(0, 0, 0, 0), chroma_format=1,
+             bit_depth=8) -> bytes:
     w = BW()
-    w.u(66, 8)  # baseline
-    w.u(0, 8)
-    w.u(30, 8)
-    w.ue(0)  # sps_id
+    if chroma_format != 1 or bit_depth != 8:
+        # High / High 10: the profiles that carry format fields
+        w.u(110 if bit_depth > 8 else 100, 8)
+        w.u(0, 8)
+        w.u(30, 8)
+        w.ue(0)  # sps_id
+        w.ue(chroma_format)
+        w.ue(bit_depth - 8)  # bit_depth_luma_minus8
+        w.ue(bit_depth - 8)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass
+        w.u(0, 1)  # seq_scaling_matrix_present
+    else:
+        w.u(66, 8)  # baseline
+        w.u(0, 8)
+        w.u(30, 8)
+        w.ue(0)  # sps_id
     w.ue(0)  # log2_max_frame_num_minus4
     w.ue(0)  # pic_order_cnt_type
     w.ue(0)  # log2_max_poc_minus4
@@ -216,20 +229,22 @@ def encode_residual_block(w: BW, coeffs: list[int], n_c: int):
 # ------------------------------------------------------------------
 def encode_frame(mb_w, mb_h, mbs, pic_init_qp=26, chroma_offset=0,
                  crop=(0, 0, 0, 0), slice_starts=(0,),
-                 deblock=(1, 0, 0), transform8x8=0, second_chroma=None):
+                 deblock=(1, 0, 0), transform8x8=0, second_chroma=None,
+                 chroma_format=1, bit_depth=8):
     """mbs: list (raster order) of per-MB dicts:
     {"type": "i4"|"i16"|"pcm", "modes": [16]|int, "chroma_mode": int,
      "cbp_luma": int, "cbp_chroma": int, "qp_delta": int,
      "luma": {blk: [levels]}, "luma_dc": [16], "chroma_dc": {c: [4]},
      "chroma_ac": {c: {blk: [15]}}, "pcm": (y, u, v arrays)}"""
     # parse back the SAME bytes the decoder will see
-    sps = H.parse_sps(H.rbsp_unescape(_sps_nal(mb_w, mb_h, crop)[5:]))
+    sps_nal = _sps_nal(mb_w, mb_h, crop, chroma_format, bit_depth)
+    sps = H.parse_sps(H.rbsp_unescape(sps_nal[5:]))
     pps_nal = _pps_nal(pic_init_qp, chroma_offset, 0, transform8x8,
                        second_chroma)
     pps = H.parse_pps(H.rbsp_unescape(pps_nal[5:]))
     frame = H._Frame(sps, pps)
     out = bytearray()
-    out += _sps_nal(mb_w, mb_h, crop)
+    out += sps_nal
     out += pps_nal
 
     n_mbs = mb_w * mb_h
@@ -271,11 +286,12 @@ def _encode_mb(w, frame, mbx, mby, qp, cur_slice, mb):
         y, u, v = mb["pcm"]
         for yy in range(16):
             for xx in range(16):
-                w.u(int(y[yy][xx]), 8)
-        for plane in (u, v):
-            for yy in range(8):
-                for xx in range(8):
-                    w.u(int(plane[yy][xx]), 8)
+                w.u(int(y[yy][xx]), frame.bd)
+        if frame.cf:
+            for plane in (u, v):
+                for yy in range(8):
+                    for xx in range(8):
+                        w.u(int(plane[yy][xx]), frame.bd)
         for by in range(4):
             for bx in range(4):
                 frame.nnz_y[mby * 4 + by][mbx * 4 + bx] = 16
@@ -307,12 +323,17 @@ def _encode_mb(w, frame, mbx, mby, qp, cur_slice, mb):
                 assert rem < 8
                 w.u(rem, 3)
             frame.mode4[by][bx] = mode
-        w.ue(mb["chroma_mode"])
-        cbp = (mb["cbp_chroma"] << 4) | mb["cbp_luma"]
-        w.ue(H._CBP_INTRA.index(cbp))
+        if frame.cf:
+            w.ue(mb["chroma_mode"])
+            cbp = (mb["cbp_chroma"] << 4) | mb["cbp_luma"]
+            w.ue(H._CBP_INTRA.index(cbp))
+        else:
+            cbp = mb["cbp_luma"]
+            w.ue(H._CBP_INTRA_MONO.index(cbp))
         if cbp:
             w.se(mb["qp_delta"])
-            qp = (qp + mb["qp_delta"] + 52) % 52
+            off = frame.qp_off
+            qp = ((qp + mb["qp_delta"] + 52 + 2 * off) % (52 + off)) - off
         for blk in range(16):
             dx, dy = H._BLK_XY[blk]
             bx, by = mbx * 4 + dx, mby * 4 + dy
@@ -331,9 +352,11 @@ def _encode_mb(w, frame, mbx, mby, qp, cur_slice, mb):
     cbp_l = 1 if mb["cbp_luma"] else 0
     mb_type = 1 + pm + 4 * mb["cbp_chroma"] + 12 * cbp_l
     w.ue(mb_type)
-    w.ue(mb["chroma_mode"])
+    if frame.cf:
+        w.ue(mb["chroma_mode"])
     w.se(mb["qp_delta"])
-    qp = (qp + mb["qp_delta"] + 52) % 52
+    off = frame.qp_off
+    qp = ((qp + mb["qp_delta"] + 52 + 2 * off) % (52 + off)) - off
     bx0, by0 = mbx * 4, mby * 4
     nc = frame.luma_nC(bx0, by0, cur_slice)
     encode_residual_block(w, mb["luma_dc"], nc)
@@ -373,12 +396,17 @@ def _encode_mb_i8(w, frame, mbx, mby, qp, cur_slice, mb):
         for cy in range(2):
             for cx in range(2):
                 frame.mode4[b8y * 2 + cy][b8x * 2 + cx] = mode
-    w.ue(mb["chroma_mode"])
-    cbp = (mb["cbp_chroma"] << 4) | mb["cbp_luma"]
-    w.ue(H._CBP_INTRA.index(cbp))
+    if frame.cf:
+        w.ue(mb["chroma_mode"])
+        cbp = (mb["cbp_chroma"] << 4) | mb["cbp_luma"]
+        w.ue(H._CBP_INTRA.index(cbp))
+    else:
+        cbp = mb["cbp_luma"]
+        w.ue(H._CBP_INTRA_MONO.index(cbp))
     if cbp:
         w.se(mb["qp_delta"])
-        qp = (qp + mb["qp_delta"] + 52) % 52
+        off = frame.qp_off
+        qp = ((qp + mb["qp_delta"] + 52 + 2 * off) % (52 + off)) - off
     for b8 in range(4):
         if mb["cbp_luma"] & (1 << b8):
             levels = mb["luma8"][b8]
@@ -402,6 +430,8 @@ def _encode_mb_i8(w, frame, mbx, mby, qp, cur_slice, mb):
 
 
 def _encode_chroma_res(w, frame, mbx, mby, mb, cur_slice):
+    if not frame.cf:
+        return
     if mb["cbp_chroma"]:
         for comp in range(2):
             encode_residual_block(w, mb["chroma_dc"][comp], -1)

@@ -195,13 +195,14 @@ def _encode_mb_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
         y, u, v = mb["pcm"]
         for row in np.asarray(y).reshape(16, 16):
             for px in row:
-                for i in range(7, -1, -1):
+                for i in range(frame.bd - 1, -1, -1):
                     w.bits.append((int(px) >> i) & 1)
-        for plane in (u, v):
-            for row in np.asarray(plane).reshape(8, 8):
-                for px in row:
-                    for i in range(7, -1, -1):
-                        w.bits.append((int(px) >> i) & 1)
+        if frame.cf:
+            for plane in (u, v):
+                for row in np.asarray(plane).reshape(8, 8):
+                    for px in row:
+                        for i in range(frame.bd - 1, -1, -1):
+                            w.bits.append((int(px) >> i) & 1)
         w.reinit()
         for yy in range(4):
             for xx in range(4):
@@ -260,23 +261,26 @@ def _encode_mb_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
         w.decision(ps, ms, 10, pred16 & 1)
 
     # intra_chroma_pred_mode (TU cMax 3)
-    cm = mb["chroma_mode"]
-    cinc = 0
-    if C._mb_avail(frame, mbx - 1, mby, si) and (
-        st.kind[mby][mbx - 1] != "pcm" and st.chroma_mode[mby][mbx - 1] != 0
-    ):
-        cinc += 1
-    if C._mb_avail(frame, mbx, mby - 1, si) and (
-        st.kind[mby - 1][mbx] != "pcm" and st.chroma_mode[mby - 1][mbx] != 0
-    ):
-        cinc += 1
-    if cm == 0:
-        w.decision(ps, ms, 64 + cinc, 0)
-    else:
-        w.decision(ps, ms, 64 + cinc, 1)
-        w.decision(ps, ms, 67, 0 if cm == 1 else 1)
-        if cm > 1:
-            w.decision(ps, ms, 67, cm - 2)
+    cm = mb["chroma_mode"] if frame.cf else 0
+    if frame.cf:
+        cinc = 0
+        if C._mb_avail(frame, mbx - 1, mby, si) and (
+            st.kind[mby][mbx - 1] != "pcm"
+            and st.chroma_mode[mby][mbx - 1] != 0
+        ):
+            cinc += 1
+        if C._mb_avail(frame, mbx, mby - 1, si) and (
+            st.kind[mby - 1][mbx] != "pcm"
+            and st.chroma_mode[mby - 1][mbx] != 0
+        ):
+            cinc += 1
+        if cm == 0:
+            w.decision(ps, ms, 64 + cinc, 0)
+        else:
+            w.decision(ps, ms, 64 + cinc, 1)
+            w.decision(ps, ms, 67, 0 if cm == 1 else 1)
+            if cm > 1:
+                w.decision(ps, ms, 67, cm - 2)
     st.chroma_mode[mby][mbx] = cm
 
     if kind == "i4":
@@ -311,15 +315,16 @@ def _encode_mb_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
             c = st.cbp_chroma[nby][nbx]
             return 1 if (c == 2 if two else c != 0) else 0
 
-        ci = chroma_cond(mbx - 1, mby, False) + 2 * chroma_cond(
-            mbx, mby - 1, False
-        )
-        w.decision(ps, ms, 77 + ci, 1 if cbp_chroma else 0)
-        if cbp_chroma:
-            ci2 = chroma_cond(mbx - 1, mby, True) + 2 * chroma_cond(
-                mbx, mby - 1, True
+        if frame.cf:
+            ci = chroma_cond(mbx - 1, mby, False) + 2 * chroma_cond(
+                mbx, mby - 1, False
             )
-            w.decision(ps, ms, 81 + ci2, cbp_chroma - 1)
+            w.decision(ps, ms, 77 + ci, 1 if cbp_chroma else 0)
+            if cbp_chroma:
+                ci2 = chroma_cond(mbx - 1, mby, True) + 2 * chroma_cond(
+                    mbx, mby - 1, True
+                )
+                w.decision(ps, ms, 81 + ci2, cbp_chroma - 1)
     st.cbp_luma[mby][mbx] = cbp_luma
     st.cbp_chroma[mby][mbx] = cbp_chroma
 
@@ -341,7 +346,8 @@ def _encode_mb_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
                     w.decision(ps, ms, 63, 1)
                 w.decision(ps, ms, 63, 0)
             st.prev_qp_delta_nz = True
-        qp = (qp + delta + 52) % 52
+        off = frame.qp_off
+        qp = ((qp + delta + 52 + 2 * off) % (52 + off)) - off
     else:
         st.prev_qp_delta_nz = False
     frame.mb_qp[mby][mbx] = qp
@@ -396,19 +402,21 @@ def _encode_mb_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
 
 def encode_frame_cabac(mb_w, mb_h, mbs, pic_init_qp=26, chroma_offset=0,
                        crop=(0, 0, 0, 0), slice_starts=(0,),
-                       deblock=(1, 0, 0), transform8x8=0):
+                       deblock=(1, 0, 0), transform8x8=0,
+                       chroma_format=1, bit_depth=8):
     """CABAC twin of test_h264.encode_frame: same macroblock specs,
     entropy_coding_mode_flag = 1."""
     from test_h264 import BW
 
-    sps = H.parse_sps(H.rbsp_unescape(_sps_nal(mb_w, mb_h, crop)[5:]))
+    sps_nal = _sps_nal(mb_w, mb_h, crop, chroma_format, bit_depth)
+    sps = H.parse_sps(H.rbsp_unescape(sps_nal[5:]))
     pps_nal = _pps_nal(pic_init_qp, chroma_offset, entropy=1,
                        transform8x8=transform8x8)
     pps = H.parse_pps(H.rbsp_unescape(pps_nal[5:]))
     frame = H._Frame(sps, pps)
     st = C._SliceState(frame)
     out = bytearray()
-    out += _sps_nal(mb_w, mb_h, crop)
+    out += sps_nal
     out += pps_nal
 
     n_mbs = mb_w * mb_h
@@ -516,23 +524,26 @@ def _encode_mb_i8_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
             for cx in range(2):
                 frame.mode4[b8y * 2 + cy][b8x * 2 + cx] = mode
     # intra_chroma_pred_mode
-    cm = mb["chroma_mode"]
-    cinc = 0
-    if C._mb_avail(frame, mbx - 1, mby, si) and (
-        st.kind[mby][mbx - 1] != "pcm" and st.chroma_mode[mby][mbx - 1] != 0
-    ):
-        cinc += 1
-    if C._mb_avail(frame, mbx, mby - 1, si) and (
-        st.kind[mby - 1][mbx] != "pcm" and st.chroma_mode[mby - 1][mbx] != 0
-    ):
-        cinc += 1
-    if cm == 0:
-        w.decision(ps, ms, 64 + cinc, 0)
-    else:
-        w.decision(ps, ms, 64 + cinc, 1)
-        w.decision(ps, ms, 67, 0 if cm == 1 else 1)
-        if cm > 1:
-            w.decision(ps, ms, 67, cm - 2)
+    cm = mb["chroma_mode"] if frame.cf else 0
+    if frame.cf:
+        cinc = 0
+        if C._mb_avail(frame, mbx - 1, mby, si) and (
+            st.kind[mby][mbx - 1] != "pcm"
+            and st.chroma_mode[mby][mbx - 1] != 0
+        ):
+            cinc += 1
+        if C._mb_avail(frame, mbx, mby - 1, si) and (
+            st.kind[mby - 1][mbx] != "pcm"
+            and st.chroma_mode[mby - 1][mbx] != 0
+        ):
+            cinc += 1
+        if cm == 0:
+            w.decision(ps, ms, 64 + cinc, 0)
+        else:
+            w.decision(ps, ms, 64 + cinc, 1)
+            w.decision(ps, ms, 67, 0 if cm == 1 else 1)
+            if cm > 1:
+                w.decision(ps, ms, 67, cm - 2)
     st.chroma_mode[mby][mbx] = cm
 
     cbp_luma = mb["cbp_luma"]
@@ -568,15 +579,16 @@ def _encode_mb_i8_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
         c = st.cbp_chroma[nby][nbx]
         return 1 if (c == 2 if two else c != 0) else 0
 
-    ci = chroma_cond(mbx - 1, mby, False) + 2 * chroma_cond(
-        mbx, mby - 1, False
-    )
-    w.decision(ps, ms, 77 + ci, 1 if cbp_chroma else 0)
-    if cbp_chroma:
-        ci2 = chroma_cond(mbx - 1, mby, True) + 2 * chroma_cond(
-            mbx, mby - 1, True
+    if frame.cf:
+        ci = chroma_cond(mbx - 1, mby, False) + 2 * chroma_cond(
+            mbx, mby - 1, False
         )
-        w.decision(ps, ms, 81 + ci2, cbp_chroma - 1)
+        w.decision(ps, ms, 77 + ci, 1 if cbp_chroma else 0)
+        if cbp_chroma:
+            ci2 = chroma_cond(mbx - 1, mby, True) + 2 * chroma_cond(
+                mbx, mby - 1, True
+            )
+            w.decision(ps, ms, 81 + ci2, cbp_chroma - 1)
     st.cbp_luma[mby][mbx] = cbp_luma
     st.cbp_chroma[mby][mbx] = cbp_chroma
 
@@ -597,7 +609,8 @@ def _encode_mb_i8_cabac(w, ps, ms, st, frame, mbx, mby, qp, si, mb):
                     w.decision(ps, ms, 63, 1)
                 w.decision(ps, ms, 63, 0)
             st.prev_qp_delta_nz = True
-        qp = (qp + delta + 52) % 52
+        off = frame.qp_off
+        qp = ((qp + delta + 52 + 2 * off) % (52 + off)) - off
     else:
         st.prev_qp_delta_nz = False
     frame.mb_qp[mby][mbx] = qp
