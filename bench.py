@@ -374,6 +374,17 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r9b"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Loader-scale evidence: distributed prefix-sum rank vs the naive
+    # single-task global window on a 6M-row synthetic corpus, plus an
+    # exact rank-equality spot check. Disable with SPARK_GRAFT_LOADER=0.
+    if os.environ.get("SPARK_GRAFT_LOADER", "1") != "0":
+        try:
+            from openset_spark.pipeline.loader_bench import run_loader_bench
+
+            out["loader_scale"] = run_loader_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["loader_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Skew evidence: one user owns 30% of a 6M-row synthetic corpus;
     # times the skew-bound window first-row vs the salted/algebraic
     # rewrite (and shows scalar aggs don't need salting — partial agg
