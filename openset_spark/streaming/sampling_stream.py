@@ -190,3 +190,81 @@ def stream_mixture_admit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# state for the live shard writer: tokens arrived so far (the shard
+# cut is a pure function of the running total)
+SHARD_STATE_SCHEMA = StructType([StructField("arrived_tokens", LongType())])
+
+
+def stream_shard_manifest(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Live twin of ``pipeline/packing.py::shard_manifest`` (15th
+    parity surface): an in-id-order doc stream -> one row per doc
+    (doc_id, n_tokens, cum_tokens, shard_id) with
+    ``shard_id = (cum - 1) div budget`` — fold by shard_id at any
+    point and you have EXACTLY the batch manifest of everything
+    arrived, for any micro-batch split (boundary invariance; the
+    mixture_admit proof shape).
+
+    The running total is a single logical sequence, so state lives
+    under ONE constant key — O(1) state, throughput bounded by the
+    one writer task. That is not a flaw to engineer around: a shard
+    WRITER is serial by contract (shard N must close before N+1
+    opens); the batch operator is the scale path when order can be
+    recomputed, this surface is the ingest-tail path that keeps the
+    manifest live between batch rebuilds."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(token_col, LongType()),
+            StructField("cum_tokens", LongType()),
+            StructField("shard_id", LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        arrived = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        batch = batch.sort_values(id_col)
+        ids, toks, cums, shards = [], [], [], []
+        for did, ntok in zip(batch[id_col], batch[token_col]):
+            ntok = int(ntok)
+            if ntok <= 0:
+                continue  # zero-token docs occupy no stream space
+            arrived += ntok
+            ids.append(int(did))
+            toks.append(ntok)
+            cums.append(arrived)
+            shards.append((arrived - 1) // int(budget))
+        state.update((int(arrived),))
+        if not ids:
+            return
+        yield pd.DataFrame(
+            {
+                id_col: ids,
+                token_col: toks,
+                "cum_tokens": cums,
+                "shard_id": shards,
+            }
+        )
+
+    keyed = docs.withColumn("_w", F.lit(0))
+    return (
+        keyed.groupBy("_w")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=SHARD_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -926,3 +926,56 @@ def test_stream_keeper_dedup_matches_batch(spark, sf_dir, tmpdir):
         for r in exact_dedup_clusters(batch_docs).collect()
     }
     assert live == expected
+
+
+def test_stream_shard_manifest_matches_batch(spark, sf_dir, tmpdir):
+    """15th parity surface: folding the live shard stream by
+    shard_id must equal the batch shard_manifest of the same docs —
+    exactly, for any micro-batch split of an in-id-order stream
+    (the cut is a pure function of the running token total)."""
+    import json
+
+    from openset_spark.functions.text import token_count
+    from openset_spark.pipeline.packing import shard_manifest
+    from openset_spark.streaming.sampling_stream import (
+        stream_shard_manifest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = [
+        {"doc_id": r.doc_id, "n_tokens": r.n_tokens}
+        for r in docs.select(
+            "doc_id", token_count(F.col("text")).alias("n_tokens")
+        ).collect()
+    ]
+    rows.sort(key=lambda r: r["doc_id"])  # in-order arrival contract
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "doc_id long, n_tokens long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_shard_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_shard_manifest(stream, budget=2048), name)
+    live = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+        for r in spark.sql(
+            f"select shard_id, count(*) as n_docs, sum(n_tokens) as "
+            f"n_tokens, min(doc_id) as first_doc, max(doc_id) as "
+            f"last_doc from {name} group by shard_id"
+        ).collect()
+    }
+    batch = {
+        r.shard_id: (r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+        for r in shard_manifest(
+            spark.read.schema(schema).json(tmpdir), budget=2048
+        ).collect()
+    }
+    assert live == batch
+    assert len(live) > 2
