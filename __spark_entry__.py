@@ -3459,6 +3459,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "embedding_outliers": q_embedding_outliers,
         "dataset_card": q_dataset_card,
+        "dup_pagerank": q_dup_pagerank,
     }
 
 
@@ -4092,6 +4093,62 @@ FROM base
 """
 
 
+def q_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 PageRank centrality over the capped substring-dup
+    candidate graph — the canonical-doc / boilerplate-hub ranking.
+    5 power iterations, d=0.85, scores rounded to 6. NEW r9
+    (second session)."""
+    from openset_spark.pipeline.dedup import dup_pagerank
+
+    return dup_pagerank(_docs(spark, sf_dir), iters=5, k=10)
+
+
+def _dup_pagerank_sql(iters: int = 5) -> str:
+    """Unrolled power iteration (no aggregate-in-recursive-CTE
+    dependence): pr0..pr{iters} CTEs, each one join-aggregate over
+    the symmetric edge list, mirroring the Spark loop term for
+    term (teleport and damping applied in the same IEEE order)."""
+    head = f"""
+WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
+w AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+19], ' ') AS win
+  FROM tok, UNNEST(generate_series(1, len(ts)-19)) AS st(i)
+),
+keep AS (
+  SELECT doc_id, win FROM w
+  QUALIFY COUNT(*) OVER (PARTITION BY win) <= 50
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keep a JOIN keep b ON a.win = b.win AND a.doc_id < b.doc_id
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM deg),
+pr0 AS (SELECT src AS doc_id, 1.0 / n.n AS pr FROM deg CROSS JOIN n)"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+pr{i} AS (
+  SELECT e.dst AS doc_id,
+    (1.0 - 0.85) / n.n + 0.85 * SUM(p.pr / d.deg) AS pr
+  FROM e JOIN pr{i - 1} p ON p.doc_id = e.src
+  JOIN deg d ON d.src = e.src CROSS JOIN n
+  GROUP BY e.dst, n.n
+)""")
+    tail = f"""
+SELECT doc_id, ROUND(pr, 6) AS pr,
+  CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pr, 6) DESC, doc_id)
+       AS BIGINT) AS rank
+FROM pr{iters}
+QUALIFY rank <= 10
+"""
+    return head + "".join(its) + tail
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prio = _priority_queries()
     assert len(prio) <= _DRIVER_WINDOW, (
@@ -4145,6 +4202,7 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _SQL_EPOCH_SHUFFLE,
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "dataset_card": _SQL_DATASET_CARD,
+        "dup_pagerank": _dup_pagerank_sql(),
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,
