@@ -13,6 +13,7 @@ micro-batch boundaries; the batch side reads the exact same files.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -116,6 +117,22 @@ def _wait_drained(q):
         time.sleep(0.5)
     q.stop()
     raise AssertionError("stream did not drain in 600s")
+
+
+def _stamp_ordered(tmpdir, n_files=None):
+    """Pin STRICTLY INCREASING mtimes (seconds apart) on the stream
+    files: Spark's FileStreamSource orders files by modification
+    time, and three writes landing in the same clock tick (or
+    reordered under host load) tie — arbitrary arrival order then
+    breaks the IN-ORDER parity contracts (mixture admission, shard
+    writer) with a baffling cum-restart signature. Order-free
+    surfaces (reservoir, keeper, set-union) don't need this."""
+    import glob as _glob
+    import time as _time
+
+    base = _time.time() - 1000
+    for k, path in enumerate(sorted(_glob.glob(f"{tmpdir}/docs-*.json"))):
+        os.utime(path, (base + 10 * k, base + 10 * k))
 
 
 def test_stream_ingest_matches_batch_parse(spark, sf_dir, tmpdir):
@@ -748,6 +765,7 @@ def test_stream_mixture_admit_matches_batch(spark, sf_dir, tmpdir):
         with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
             for r in rows[i * chunk : (i + 1) * chunk]:
                 f.write(json.dumps(r) + "\n")
+    _stamp_ordered(tmpdir)
 
     schema = "doc_id long, lang string, n_tokens long, quality double"
     stream = (
@@ -954,6 +972,7 @@ def test_stream_shard_manifest_matches_batch(spark, sf_dir, tmpdir):
         with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
             for r in rows[i * chunk : (i + 1) * chunk]:
                 f.write(json.dumps(r) + "\n")
+    _stamp_ordered(tmpdir)
 
     schema = "doc_id long, n_tokens long"
     stream = (
