@@ -3460,6 +3460,10 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "dataset_card": q_dataset_card,
         "dup_pagerank": q_dup_pagerank,
+        "hard_negatives": q_hard_negatives,
+        "knn_agreement": q_knn_agreement,
+        "temperature_weights": q_temperature_weights,
+        "boilerplate_affixes": q_boilerplate_affixes,
     }
 
 
@@ -4203,6 +4207,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         "dataset_card": _SQL_DATASET_CARD,
         "dup_pagerank": _dup_pagerank_sql(),
+        "hard_negatives": _SQL_HARD_NEGATIVES,
+        "knn_agreement": _SQL_KNN_AGREEMENT,
+        "temperature_weights": _SQL_TEMPERATURE_WEIGHTS,
+        "boilerplate_affixes": _SQL_BOILERPLATE_AFFIXES,
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,
@@ -4288,3 +4296,156 @@ def oracle_sql() -> dict[str, str]:
         # dedup_simhash, ann_lsh, ann_ivf) now emit containment /
         # recall-floor frames their SQL can reproduce exactly.
     }
+
+
+# --------------------------------------------------------------------
+# r9 third-session ops: embedding kNN quality, mixture temperature,
+# boilerplate affixes
+# --------------------------------------------------------------------
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining over the embedding table:
+    nearest same-label vs nearest different-label neighbour per query,
+    with the (portable, exact-double-difference) margin. NEW r9."""
+    from openset_spark.pipeline.similarity import hard_negatives
+
+    embs = _embs(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = embs.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return hard_negatives(embs, queries)
+
+
+_SQL_HARD_NEGATIVES = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+  FROM embeddings WHERE vec_id < 100
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+    list_cosine_similarity(c.embedding::DOUBLE[], q.qe::DOUBLE[]) AS cos_sim
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id, (label = qlabel)
+    ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id,
+  MAX(CASE WHEN label = qlabel THEN vec_id END) AS pos_id,
+  ROUND(MAX(CASE WHEN label = qlabel THEN cos_sim END), 4) AS pos_sim,
+  MAX(CASE WHEN label <> qlabel THEN vec_id END) AS neg_id,
+  ROUND(MAX(CASE WHEN label <> qlabel THEN cos_sim END), 4) AS neg_sim,
+  ROUND(MAX(CASE WHEN label = qlabel THEN cos_sim END)
+      - MAX(CASE WHEN label <> qlabel THEN cos_sim END), 4) AS margin
+FROM best WHERE rn = 1 GROUP BY query_id
+"""
+
+
+def q_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality screen: per-label average fraction of the 10
+    nearest neighbours sharing the query's label, integer ppm. NEW
+    r9."""
+    from openset_spark.pipeline.similarity import knn_label_agreement
+
+    embs = _embs(spark, sf_dir).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = embs.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    return knn_label_agreement(embs, queries, k=10)
+
+
+_SQL_KNN_AGREEMENT = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+  FROM embeddings WHERE vec_id < 200
+),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+    list_cosine_similarity(c.embedding::DOUBLE[], q.qe::DOUBLE[]) AS cos_sim
+  FROM embeddings c CROSS JOIN q WHERE c.vec_id <> q.query_id
+),
+topk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+  FROM scored
+),
+per_q AS (
+  SELECT query_id, qlabel,
+    SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS m
+  FROM topk WHERE rn <= 10 GROUP BY 1, 2
+)
+SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+  CAST(SUM(m) * 1000000 // (10 * COUNT(*)) AS BIGINT) AS match_ppm
+FROM per_q GROUP BY 1
+"""
+
+
+def q_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLM/mT5 mixture-temperature sampling weights per source at
+    alpha=0.5 (sqrt — the IEEE-correctly-rounded power, so the float
+    ratios are engine-portable). NEW r9."""
+    from openset_spark.pipeline.sampling import temperature_weights
+
+    return temperature_weights(_docs(spark, sf_dir))
+
+
+_SQL_TEMPERATURE_WEIGHTS = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT SUM(n_tokens) AS total, MAX(n_tokens) AS mx FROM per)
+SELECT source, n_docs, n_tokens,
+  CAST(n_tokens * 1000000 // total AS BIGINT) AS p_ppm,
+  ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / sqrt(CAST(mx AS DOUBLE)), 6)
+    AS w_rel,
+  ROUND(sqrt(CAST(mx AS DOUBLE)) / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+    AS boost
+FROM per CROSS JOIN tot
+"""
+
+
+def q_boilerplate_affixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate header/footer detection: modal k-token prefix and
+    suffix per source with its document share (exact-LCP when n_top ==
+    n_docs). NEW r9."""
+    from openset_spark.pipeline.cleaning import boilerplate_affixes
+
+    return boilerplate_affixes(_docs(spark, sf_dir), ks=(1, 2, 4))
+
+
+_SQL_BOILERPLATE_AFFIXES = f"""
+WITH toks AS (SELECT source, {_TOKS_SQL} AS ts FROM documents),
+meta AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM toks GROUP BY 1),
+affixes AS (
+  SELECT source, k,
+    array_to_string(ts[1:k], ' ') AS prefix,
+    array_to_string(ts[greatest(len(ts) - k + 1, 1):len(ts)], ' ')
+      AS suffix
+  FROM toks, UNNEST([1, 2, 4]) AS s(k)
+),
+long AS (
+  SELECT source, k, 'prefix' AS side, prefix AS affix FROM affixes
+  UNION ALL
+  SELECT source, k, 'suffix' AS side, suffix AS affix FROM affixes
+),
+counted AS (
+  SELECT source, side, k, affix, CAST(COUNT(*) AS BIGINT) AS n_top
+  FROM long GROUP BY 1, 2, 3, 4
+),
+top AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source, side, k ORDER BY n_top DESC, affix ASC) AS rn
+  FROM counted
+)
+SELECT t.source, t.side, CAST(t.k AS BIGINT) AS k,
+  t.affix AS top_affix, t.n_top, m.n_docs
+FROM top t JOIN meta m USING (source) WHERE rn = 1
+"""

@@ -74,3 +74,78 @@ def top_ngrams(
         .orderBy(F.desc("occurrences"), F.asc("ngram"))
         .limit(k)
     )
+
+from pyspark.sql import Window  # noqa: E402  (kept below the hot imports)
+
+
+def boilerplate_affixes(
+    df: DataFrame,
+    group_col: str = "source",
+    ks: tuple = (1, 2, 4),
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate header/footer detection: per group (source/domain),
+    the MODAL k-token prefix and suffix and how many documents share
+    it. `n_top == n_docs` means the whole group carries the affix —
+    the exact-LCP case a strip pass can cut unconditionally; a large
+    `n_top` short of that is template boilerplate worth a per-cluster
+    strip. Degrades gracefully on non-templated corpora (modal share
+    ~ uniform) instead of collapsing to lcp=0 everywhere.
+
+    Output: (group, side, k, top_affix, n_top, n_docs); ties on count
+    break to the lexicographically smallest affix so the frame is
+    engine-portable.
+
+    Scale shape: documents are trimmed to their first/last max(ks)
+    tokens BEFORE the k-explode (the shuffle carries <= 2*max_k
+    tokens per doc, not the document body), then one hash aggregate
+    per (group, side, k, affix) and a rank-1 window over the tiny
+    distinct-affix frame."""
+    max_k = max(ks)
+    toked = df.select(
+        F.col(group_col),
+        tokens(F.col(text_col)).alias("_ts"),
+    ).select(
+        group_col,
+        F.slice("_ts", 1, max_k).alias("_pre"),
+        F.expr(f"slice(_ts, -least(size(_ts), {max_k}), {max_k})").alias(
+            "_suf"
+        ),
+    )
+    n_docs = toked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    exploded = toked.withColumn(
+        "k", F.explode(F.array(*[F.lit(k) for k in ks]))
+    ).select(
+        group_col,
+        "k",
+        F.array_join(F.slice("_pre", F.lit(1), F.col("k")), " ").alias(
+            "prefix"
+        ),
+        F.array_join(
+            F.expr("slice(_suf, -least(size(_suf), k), k)"), " "
+        ).alias("suffix"),
+    )
+    long = exploded.selectExpr(
+        f"{group_col}",
+        "k",
+        "stack(2, 'prefix', prefix, 'suffix', suffix) AS (side, affix)",
+    )
+    counted = long.groupBy(group_col, "side", "k", "affix").agg(
+        F.count(F.lit(1)).alias("n_top")
+    )
+    w = Window.partitionBy(group_col, "side", "k").orderBy(
+        F.desc("n_top"), F.asc("affix")
+    )
+    top = counted.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return top.join(F.broadcast(n_docs), group_col).select(
+        group_col,
+        "side",
+        F.col("k").cast("long").alias("k"),
+        F.col("affix").alias("top_affix"),
+        "n_top",
+        "n_docs",
+    )

@@ -280,3 +280,57 @@ def leakage_safe_split(
     else:
         split = expr.otherwise(names[-1])
     return labeled.select(id_col, "cluster_id", split.alias("split"))
+
+
+def temperature_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multilingual-LM mixture smoothing (the XLM/mT5 alpha recipe):
+    per-source sampling weights w_s proportional to p_s^alpha with
+    alpha = 0.5 — large sources are damped toward, small sources
+    boosted from, their natural share. Alpha is FIXED at 0.5 so the
+    power is `sqrt`, which IEEE-754 requires to be correctly rounded:
+    every value in the frame is bit-portable across engines (an
+    arbitrary-alpha `pow` would ride libm and isn't; callers needing
+    other alphas get floats, not oracle rows).
+
+    The weights are reported RELATIVE TO THE LARGEST SOURCE rather
+    than normalized — w_rel = sqrt(n_s)/sqrt(n_max) and the
+    oversampling factor boost = sqrt(n_max)/sqrt(n_s) — because a
+    normalizing sum over float weights is partition-order-dependent;
+    ratios of two exact sqrts are single IEEE divisions. p_ppm is the
+    exact integer natural share.
+
+    Output: (source, n_docs, n_tokens, p_ppm, w_rel, boost).
+
+    Scale shape: one map-side-combinable aggregate over the corpus
+    (token counts are `size(split(..))` — no explode), then a
+    broadcast of the per-source totals frame onto itself via a
+    window-free cross of aggregates (|sources| rows)."""
+    from openset_spark.functions.text import token_count
+
+    per = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_total"), F.max("n_tokens").alias("_max")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.expr("n_tokens * 1000000 div _total").alias("p_ppm"),
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double"))
+            / F.sqrt(F.col("_max").cast("double")),
+            6,
+        ).alias("w_rel"),
+        F.round(
+            F.sqrt(F.col("_max").cast("double"))
+            / F.sqrt(F.col("n_tokens").cast("double")),
+            6,
+        ).alias("boost"),
+    )

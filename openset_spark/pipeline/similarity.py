@@ -669,3 +669,146 @@ def embedding_outliers(
         survivors.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def _label_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Shared scorer for the label-aware kNN ops: corpus x broadcast
+    queries, self-pairs excluded, one dot product per pair (norms
+    precomputed per row exactly like :func:`brute_force_topk` so the
+    cosine values are bit-identical to it)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(label_col).alias("_qlabel"),
+            F.col(vec_col).alias("_qvec"),
+            norm(F.col(vec_col)).alias("_qnorm"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_cnorm"),
+    )
+    return (
+        c.crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col("_qlabel"),
+            F.col(id_col),
+            F.col(label_col),
+            (
+                dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_cnorm") * F.col("_qnorm"))
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for every query,
+    the nearest SAME-label neighbour (the positive, self excluded)
+    and the nearest DIFFERENT-label neighbour (the hard negative),
+    plus the margin between them. A small/negative margin flags
+    queries whose nearest impostor outranks their nearest true
+    neighbour — the rows worth mining for triplet / InfoNCE batches.
+
+    Output: (query_id, pos_id, pos_sim, neg_id, neg_sim, margin),
+    sims rounded at 4, margin = ROUND(pos - neg, 4) on the UNROUNDED
+    doubles (both engines subtract identical IEEE values, so the
+    round is portable).
+
+    Scale shape: queries broadcast, corpus scanned once; the
+    rank-1-per-(query, same/diff) window partitions by query — each
+    query's candidate list is |corpus| rows at worst, but the window
+    keys are (query, is_same) so the sort parallelises across 2x
+    |queries| partitions. For corpus-scale query sets swap the exact
+    scorer for the LSH/IVF candidate generators upstream."""
+    scored = _label_scored(
+        corpus, queries, id_col, vec_col, label_col, query_id_col
+    ).withColumn("_same", F.col(label_col) == F.col("_qlabel"))
+    w = Window.partitionBy(query_id_col, "_same").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    )
+    return (
+        best.groupBy(query_id_col)
+        .agg(
+            F.max(F.when(F.col("_same"), F.col(id_col))).alias("pos_id"),
+            F.max(F.when(F.col("_same"), F.col("cos_sim"))).alias("_ps"),
+            F.max(F.when(~F.col("_same"), F.col(id_col))).alias("neg_id"),
+            F.max(F.when(~F.col("_same"), F.col("cos_sim"))).alias("_ns"),
+        )
+        .select(
+            query_id_col,
+            "pos_id",
+            F.round("_ps", 4).alias("pos_sim"),
+            "neg_id",
+            F.round("_ns", 4).alias("neg_sim"),
+            F.round(F.col("_ps") - F.col("_ns"), 4).alias("margin"),
+        )
+    )
+
+
+def knn_label_agreement(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Embedding-quality metric: for each query, what fraction of its
+    k nearest neighbours (self excluded) share its label — then the
+    per-label summary. High agreement = the embedding separates that
+    class; a label whose agreement sits near the class prior is noise
+    or collapsed. Integer ppm (matches * 1e6 div k * n_queries) keeps
+    the frame float-free and engine-portable.
+
+    Output: (label, n_queries, match_ppm)."""
+    scored = _label_scored(
+        corpus, queries, id_col, vec_col, label_col, query_id_col
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    topk = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    per_q = topk.groupBy(query_id_col, "_qlabel").agg(
+        F.sum(
+            F.when(F.col(label_col) == F.col("_qlabel"), 1).otherwise(0)
+        ).alias("_m")
+    )
+    return (
+        per_q.groupBy(F.col("_qlabel").alias(label_col))
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("_m").alias("_mm"),
+        )
+        .select(
+            label_col,
+            "n_queries",
+            F.expr(f"(_mm * 1000000) div ({k} * n_queries)").alias(
+                "match_ppm"
+            ),
+        )
+    )

