@@ -3464,6 +3464,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_agreement": q_knn_agreement,
         "temperature_weights": q_temperature_weights,
         "boilerplate_affixes": q_boilerplate_affixes,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -4211,6 +4212,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_agreement": _SQL_KNN_AGREEMENT,
         "temperature_weights": _SQL_TEMPERATURE_WEIGHTS,
         "boilerplate_affixes": _SQL_BOILERPLATE_AFFIXES,
+        "embedding_drift": _SQL_EMBEDDING_DRIFT,
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,
@@ -4448,4 +4450,40 @@ top AS (
 SELECT t.source, t.side, CAST(t.k AS BIGINT) AS k,
   t.affix AS top_affix, t.n_top, m.n_docs
 FROM top t JOIN meta m USING (source) WHERE rn = 1
+"""
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online drift monitor, batch form: squared distance of every
+    vector to its label's PREFIX centroid (prior vec_ids only).
+    Running-window prefix sums = the same left fold the streaming twin
+    (16th parity surface) keeps in state. NEW r9."""
+    from openset_spark.pipeline.similarity import embedding_drift
+
+    return embedding_drift(_embs(spark, sf_dir))
+
+
+# prefix sums via running-window SUM: both engines stream cumulative
+# ROWS UNBOUNDED PRECEDING frames with sequential adds in ORDER BY
+# order; the across-dims reduction is list_sum over an ORDER BY dim
+# list = the same sequential fold as Spark's aggregate().
+_SQL_EMBEDDING_DRIFT = """
+WITH ex AS (
+  SELECT label, vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS s(i)
+),
+pr AS (
+  SELECT label, vec_id, dim, x,
+    SUM(x) OVER (PARTITION BY label, dim ORDER BY vec_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS psum,
+    COUNT(x) OVER (PARTITION BY label, dim ORDER BY vec_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pn
+  FROM ex
+)
+SELECT label, vec_id, CAST(MAX(pn) AS BIGINT) AS n_prior,
+  ROUND(list_sum(list_transform(
+    list((x, psum) ORDER BY dim),
+    t -> (t[1] - t[2] / MAX(pn)) * (t[1] - t[2] / MAX(pn))
+  )), 4) + 0.0 AS d2
+FROM pr WHERE pn > 0 GROUP BY 1, 2
 """

@@ -812,3 +812,71 @@ def knn_label_agreement(
             ),
         )
     )
+
+
+def embedding_drift(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Online embedding-drift monitor, batch form: for every vector
+    (in ``id_col`` order within its label) the squared distance to
+    the centroid of all PRIOR same-label vectors — the statistic a
+    live ingest monitor alarms on when a feed's embedding
+    distribution walks away from its history. First arrival per label
+    has no prior and is omitted.
+
+    Determinism: prefix sums per (label, dim) ride a running window
+    (sequential adds in id order — the same left fold the streaming
+    twin's state update performs), and the across-dims reduction is a
+    sequential `aggregate` over the dim-sorted array on both engines
+    (list_sum over an ORDER BY dim list in the oracle). The streaming
+    twin (`streaming/drift.py::stream_embedding_drift`) is
+    bit-identical, not just value-close.
+
+    Output: (label, vec_id, n_prior, d2) with d2 = ROUND(.., 4).
+
+    Scale shape: one explode to (label, dim) — 64x row multiplication
+    of a 2-scalar projection, partitioned by (label, dim) so the
+    running sums parallelise across dims; the regroup is a hash
+    aggregate keyed by (label, id)."""
+    ex = df.select(
+        F.col(label_col),
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    )
+    w = (
+        Window.partitionBy(label_col, "dim")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pr = ex.select(
+        label_col,
+        id_col,
+        "dim",
+        "x",
+        F.sum("x").over(w).alias("_psum"),
+        F.count("x").over(w).alias("_pn"),
+    ).filter(F.col("_pn") > 0)
+    terms = pr.groupBy(label_col, id_col).agg(
+        F.max("_pn").alias("n_prior"),
+        F.array_sort(
+            F.collect_list(F.struct("dim", "x", "_psum", "_pn"))
+        ).alias("_t"),
+    )
+    d2 = F.aggregate(
+        F.col("_t"),
+        F.lit(0.0),
+        lambda acc, t: acc
+        + (t["x"] - t["_psum"] / t["_pn"])
+        * (t["x"] - t["_psum"] / t["_pn"]),
+    )
+    return terms.select(
+        label_col,
+        id_col,
+        "n_prior",
+        (F.round(d2, 4) + F.lit(0.0)).alias("d2"),
+    )

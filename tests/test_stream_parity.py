@@ -998,3 +998,65 @@ def test_stream_shard_manifest_matches_batch(spark, sf_dir, tmpdir):
     }
     assert live == batch
     assert len(live) > 2
+
+
+def test_stream_embedding_drift_matches_batch(spark, sf_dir, tmpdir):
+    """16th parity surface: the online embedding-drift monitor. For an
+    in-id-order vector stream, every emitted (label, vec_id, n_prior,
+    d2) — the squared distance to the PREFIX centroid of the label —
+    must equal the batch operator's running-window frame EXACTLY
+    (bit-identical doubles: both sides left-fold the same values in
+    the same id order and reduce across dims sequentially, and both
+    round through Spark's HALF_UP path). New state TYPE for the
+    surface matrix: running vector moments (count + per-dim sum)."""
+    import json
+
+    from openset_spark.pipeline.similarity import embedding_drift
+    from openset_spark.streaming.drift import stream_embedding_drift
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    rows = [
+        {
+            "vec_id": r.vec_id,
+            "label": r.label,
+            "embedding": [float(x) for x in r.embedding],
+        }
+        for r in embs.filter("vec_id < 120")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    ]
+    rows.sort(key=lambda r: r["vec_id"])  # in-id-order stream
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+    _stamp_ordered(tmpdir)
+
+    schema = "vec_id long, label int, embedding array<double>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_drift_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_embedding_drift(stream), name)
+    streamed = {
+        (r.label, r.vec_id, r.n_prior, r.d2)
+        for r in spark.sql(
+            f"select label, vec_id, n_prior, d2 from {name}"
+        ).collect()
+    }
+
+    batch = spark.read.schema(schema).json(tmpdir)
+    expected = {
+        (r.label, r.vec_id, r.n_prior, r.d2)
+        for r in embedding_drift(batch).collect()
+    }
+    assert streamed == expected
+    # every label's first arrival is silent; everything else emits
+    n_labels = len({r["label"] for r in rows})
+    assert len(streamed) == len(rows) - n_labels
+    # prefix state genuinely crossed micro-batch boundaries: some
+    # label accumulated more priors than one file can hold of it
+    assert max(np for _, _, np, _ in streamed) > chunk / n_labels
