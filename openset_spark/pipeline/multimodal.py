@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -1062,3 +1063,125 @@ def probe_avif_bytes(data: bytes) -> dict:
     if out["width"] is None:
         raise ValueError("invalid AVIF/HEIF: no ispe property")
     return out
+
+
+def wav_samples(data: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """RIFF/WAV PCM sample extraction -> (rate, channels, bits,
+    per-channel integer sample lists). 8-bit PCM is unsigned per the
+    spec and is re-centered to signed (-128..127); 16/24/32-bit are
+    little-endian two's complement. Deinterleaves into one list per
+    channel so windowed DSP never mixes channels."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt: tuple[int, int, int] | None = None
+    payload: bytes | None = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _afmt, n_ch, rate, _brate, _balign, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    if bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported PCM width {bits}")
+    step = bits // 8
+    frame = n_ch * step
+    n_frames = len(payload) // frame if frame else 0
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for i in range(n_frames):
+        base = i * frame
+        for c in range(n_ch):
+            raw = payload[base + c * step : base + (c + 1) * step]
+            if bits == 8:
+                chans[c].append(raw[0] - 128)
+            else:
+                chans[c].append(
+                    int.from_bytes(raw, "little", signed=True)
+                )
+    return rate, n_ch, bits, chans
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("channel", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def audio_feature_rows(
+    media: DataFrame, frame: int = 1024
+) -> DataFrame:
+    """Windowed audio features over WAV payload rows: per (media,
+    channel, non-overlapping frame of ``frame`` samples) -> RMS,
+    zero-crossing count (strict sign flips) and peak |amplitude|.
+    The VAD/energy-gate front end of an audio training pipeline —
+    silence trimming, clipping detection and speech/music heuristics
+    all key off these three.
+
+    Integer DSP: the squared sum is exact (python ints), RMS is the
+    single IEEE sqrt(sumsq/n) at the end — deterministic across
+    platforms. Non-WAV audio raises like decode_audio (probe + route
+    tier). Arrow-batched via mapInPandas; each payload expands to
+    n_samples/frame rows, so partition counts follow payload bytes,
+    not row counts."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["kind"] == "audio"]
+            out = {
+                "media_id": [],
+                "channel": [],
+                "frame_idx": [],
+                "n": [],
+                "rms": [],
+                "zcr": [],
+                "peak": [],
+            }
+            for mid, raw in zip(pdf["media_id"], pdf["payload"]):
+                if raw is None:
+                    continue
+                _rate, n_ch, _bits, chans = wav_samples(bytes(raw))
+                for c in range(n_ch):
+                    xs = chans[c]
+                    for f0 in range(0, len(xs), frame):
+                        win = xs[f0 : f0 + frame]
+                        sumsq = 0
+                        zcr = 0
+                        peak = 0
+                        prev = 0
+                        for j, s in enumerate(win):
+                            sumsq += s * s
+                            a = -s if s < 0 else s
+                            if a > peak:
+                                peak = a
+                            if j > 0 and prev * s < 0:
+                                zcr += 1
+                            prev = s
+                        out["media_id"].append(int(mid))
+                        out["channel"].append(c)
+                        out["frame_idx"].append(f0 // frame)
+                        out["n"].append(len(win))
+                        out["rms"].append(math.sqrt(sumsq / len(win)))
+                        out["zcr"].append(zcr)
+                        out["peak"].append(peak)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)

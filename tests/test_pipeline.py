@@ -1281,3 +1281,91 @@ def test_probe_mp3_metadata():
 
     with _pt.raises(ValueError):
         probe_mp3_bytes(b"\x00" * 64)
+
+
+def _wav_pcm(rate, n_ch, bits, channel_samples):
+    """WAV bytes from explicit per-channel integer samples."""
+    import io
+    import struct
+    import wave
+
+    step = bits // 8
+    n = len(channel_samples[0])
+    frames = bytearray()
+    for i in range(n):
+        for c in range(n_ch):
+            s = channel_samples[c][i]
+            if bits == 8:
+                frames.append((s + 128) & 0xFF)
+            else:
+                frames += int(s).to_bytes(step, "little", signed=True)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_ch)
+        wf.setsampwidth(step)
+        wf.setframerate(rate)
+        wf.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_wav_samples_deinterleave_and_widths():
+    from openset_spark.pipeline.multimodal import wav_samples
+
+    left = [100, -200, 300, -400]
+    right = [1, 2, 3, 4]
+    rate, n_ch, bits, chans = wav_samples(
+        _wav_pcm(8000, 2, 16, [left, right])
+    )
+    assert (rate, n_ch, bits) == (8000, 2, 16)
+    assert chans == [left, right]
+    # 8-bit unsigned recenters to signed
+    _, _, _, c8 = wav_samples(_wav_pcm(8000, 1, 8, [[-128, 0, 127]]))
+    assert c8 == [[-128, 0, 127]]
+
+
+def test_audio_feature_rows_square_dc_stereo(spark):
+    from openset_spark.pipeline.multimodal import audio_feature_rows
+
+    # left: square wave amplitude 1000, half-period 4 -> RMS exactly
+    # 1000; one strict sign flip every 4 samples starting at j=4.
+    # right: DC at -700 -> RMS 700, zero crossings 0.
+    n = 32
+    left = [1000 if (i // 4) % 2 == 0 else -1000 for i in range(n)]
+    right = [-700] * n
+    payload = _wav_pcm(8000, 2, 16, [left, right])
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), "audio/wav", None, None, None),
+         (8, "image", bytearray(b"xx"), "image/png", None, None, None)],
+        "media_id long, kind string, payload binary, mime string,"
+        " width long, height long, duration_ms long",
+    )
+    rows = audio_feature_rows(media, frame=16).collect()
+    got = {(r.channel, r.frame_idx): r for r in rows}
+    assert len(rows) == 4  # 2 channels x 2 frames; image row skipped
+    for fi in (0, 1):
+        sq = got[(0, fi)]
+        assert sq.n == 16 and sq.rms == 1000.0 and sq.peak == 1000
+        assert sq.zcr == 3  # flips at j=4,8,12 within each 16-frame
+        dc = got[(1, fi)]
+        assert dc.rms == 700.0 and dc.zcr == 0 and dc.peak == 700
+
+
+def test_audio_feature_rows_tail_frame_and_zero_runs(spark):
+    from openset_spark.pipeline.multimodal import audio_feature_rows
+
+    # 10 samples at frame=8 -> tail frame of 2; zeros between signs
+    # are NOT strict flips (prev*s < 0 skips zero boundaries)
+    xs = [500, 0, -500, 0, 500, 0, -500, 0, 300, 300]
+    payload = _wav_pcm(8000, 1, 16, [xs])
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), "audio/wav", None, None, None)],
+        "media_id long, kind string, payload binary, mime string,"
+        " width long, height long, duration_ms long",
+    )
+    rows = {r.frame_idx: r for r in
+            audio_feature_rows(media, frame=8).collect()}
+    assert rows[0].n == 8 and rows[0].zcr == 0  # zeros break strictness
+    assert rows[1].n == 2 and rows[1].peak == 300
+    import math
+
+    assert rows[1].rms == math.sqrt((300 * 300 + 300 * 300) / 2)
