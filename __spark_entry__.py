@@ -3465,6 +3465,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_weights": q_temperature_weights,
         "boilerplate_affixes": q_boilerplate_affixes,
         "embedding_drift": q_embedding_drift,
+        "length_histogram": q_length_histogram,
     }
 
 
@@ -4213,6 +4214,7 @@ def oracle_sql() -> dict[str, str]:
         "temperature_weights": _SQL_TEMPERATURE_WEIGHTS,
         "boilerplate_affixes": _SQL_BOILERPLATE_AFFIXES,
         "embedding_drift": _SQL_EMBEDDING_DRIFT,
+        "length_histogram": _SQL_LENGTH_HISTOGRAM,
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,
@@ -4486,4 +4488,26 @@ SELECT label, vec_id, CAST(MAX(pn) AS BIGINT) AS n_prior,
     t -> (t[1] - t[2] / MAX(pn)) * (t[1] - t[2] / MAX(pn))
   )), 4) + 0.0 AS d2
 FROM pr WHERE pn > 0 GROUP BY 1, 2
+"""
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source log2-bucketed sequence-length histogram (loader
+    padding/packing planner). Integer bucketing via binary-string
+    length — no float log2 at bucket boundaries. NEW r9."""
+    from openset_spark.pipeline.textstats import length_histogram
+
+    return length_histogram(_docs(spark, sf_dir))
+
+
+_SQL_LENGTH_HISTOGRAM = f"""
+WITH base AS (
+  SELECT source, len({_TOKS_SQL}) AS n FROM documents
+)
+SELECT source, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+  CAST(MIN(n) AS BIGINT) AS min_tokens,
+  CAST(MAX(n) AS BIGINT) AS max_tokens
+FROM base GROUP BY 1, 2
 """

@@ -489,3 +489,33 @@ def lang_confusion(
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-length histogram in log2 buckets per group — the
+    loader-planning statistic (how much padding a fixed context
+    window wastes, which sources need packing vs truncation).
+    Bucket = bit_length(n_tokens) - 1, i.e. doc lands in
+    [2^b, 2^(b+1)): INTEGER arithmetic via the binary-string length,
+    immune to the float-log2 boundary divergence a log()-based
+    bucketing has between engines.
+
+    Output: (group, bucket, n_docs, sum_tokens, min_tokens,
+    max_tokens). One map-side-combinable aggregate; no explode."""
+    from openset_spark.functions.text import token_count
+
+    base = df.select(
+        F.col(group_col),
+        token_count(F.col(text_col)).alias("_n"),
+    ).withColumn("bucket", (F.length(F.expr("bin(_n)")) - 1).cast("long"))
+    return base.groupBy(group_col, "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("sum_tokens"),
+        F.min("_n").cast("long").alias("min_tokens"),
+        F.max("_n").cast("long").alias("max_tokens"),
+    )

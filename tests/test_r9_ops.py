@@ -336,3 +336,23 @@ def test_boilerplate_affixes_short_docs_clamp(spark):
     assert out[("prefix", 4)].top_affix == "a b"
     assert out[("prefix", 4)].n_top == 2
     assert out[("suffix", 4)].top_affix == "a b"
+
+
+def test_length_histogram_power_of_two_boundaries(spark):
+    from openset_spark.pipeline.textstats import length_histogram
+
+    rows = [
+        (1, " ".join(["w"] * 7), "s"),    # 7 -> bucket 2 [4,8)
+        (2, " ".join(["w"] * 8), "s"),    # 8 -> bucket 3 [8,16)
+        (3, " ".join(["w"] * 15), "s"),   # 15 -> bucket 3
+        (4, " ".join(["w"] * 16), "s"),   # 16 -> bucket 4
+        (5, "single", "t"),               # 1 -> bucket 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source, r.bucket): r for r in length_histogram(docs).collect()}
+    assert out[("s", 2)].n_docs == 1 and out[("s", 2)].max_tokens == 7
+    b3 = out[("s", 3)]
+    assert b3.n_docs == 2 and b3.min_tokens == 8 and b3.max_tokens == 15
+    assert b3.sum_tokens == 23
+    assert out[("s", 4)].min_tokens == 16
+    assert out[("t", 0)].n_docs == 1
