@@ -374,6 +374,31 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r9b"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-9 third-session additions: label-aware kNN (hard-negative
+    # mining, label agreement), mixture temperature weights,
+    # boilerplate affixes, the embedding-drift monitor, the
+    # sequence-length histogram. Disable with SPARK_GRAFT_R9C=0.
+    if os.environ.get("SPARK_GRAFT_R9C", "1") != "0":
+        try:
+            extra = {}
+            for name in (
+                "hard_negatives",
+                "knn_agreement",
+                "temperature_weights",
+                "boilerplate_affixes",
+                "embedding_drift",
+                "length_histogram",
+            ):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r9c"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r9c"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Loader-scale evidence: distributed prefix-sum rank vs the naive
     # single-task global window on a 6M-row synthetic corpus, plus an
     # exact rank-equality spot check. Disable with SPARK_GRAFT_LOADER=0.
