@@ -3466,6 +3466,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_affixes": q_boilerplate_affixes,
         "embedding_drift": q_embedding_drift,
         "length_histogram": q_length_histogram,
+        "dup_cosine_check": q_dup_cosine_check,
     }
 
 
@@ -4215,6 +4216,9 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_affixes": _SQL_BOILERPLATE_AFFIXES,
         "embedding_drift": _SQL_EMBEDDING_DRIFT,
         "length_histogram": _SQL_LENGTH_HISTOGRAM,
+        "dup_cosine_check": _SQL_DUP_COSINE_CHECK.replace(
+            "{SUBSTRING_PAIRS}", _SQL_SUBSTRING_DUP_PAIRS
+        ),
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,
@@ -4510,4 +4514,27 @@ SELECT source, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
   CAST(MIN(n) AS BIGINT) AS min_tokens,
   CAST(MAX(n) AS BIGINT) AS max_tokens
 FROM base GROUP BY 1, 2
+"""
+
+
+def q_dup_cosine_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate QA: substring-dup candidate pairs whose
+    embeddings disagree (cosine < 0.9) — the rows NOT to collapse
+    silently. NEW r9."""
+    from openset_spark.pipeline.dedup import dup_cosine_check, substring_dup_pairs
+
+    pairs = substring_dup_pairs(_docs(spark, sf_dir))
+    return dup_cosine_check(pairs, _embs(spark, sf_dir))
+
+
+_SQL_DUP_COSINE_CHECK = """
+WITH pairs AS ({SUBSTRING_PAIRS})
+SELECT p.id_a, p.id_b,
+  ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]), 4) AS cos_sim,
+  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    < 0.9 AS disagree
+FROM pairs p
+JOIN embeddings a ON a.vec_id = p.id_a
+JOIN embeddings b ON b.vec_id = p.id_b
 """

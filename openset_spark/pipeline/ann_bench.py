@@ -59,6 +59,9 @@ PQ_KSUB = 256  # FAISS-standard 8-bit codes; coarse codebooks on a
 # clustered corpus collapse whole clusters into one code -> giant
 # ADC tie groups and recall ~0.33 (measured at ksub=16)
 PQ_SHORTLIST = 200
+IVFPQ_KSUB = 64  # residual codebooks don't fight between-cluster
+# variance, so 6-bit codes already separate within-list neighbours
+IVFPQ_NPROBE = 8
 
 
 def _gen_corpus(n: int, dim: int, n_clusters: int, seed: int) -> np.ndarray:
@@ -319,8 +322,70 @@ def run_scale_bench(
     )
     out["pq_sec"] = timed(pq_q)
     out["pq_recall"] = round(_recall(pq_q(), exact), 4)
+    # IVF-PQ composite (r9c): coarse lists + residual PQ — the query
+    # reads nprobe/n_lists of a code table that is itself ~6% of the
+    # float bytes, against the ingest-time partitioned index.
+    from openset_spark.pipeline.pq import ivfpq_topk
+
+    ivfpq_path, ivfpq_meta = ensure_ivfpq_index(spark, cpath, cache_dir)
+    ivfpq_index = spark.read.parquet(ivfpq_path)
+    ivfpq_index.count()
+    with open(ivfpq_meta) as f:
+        meta = json.load(f)
+    ivfpq_cents = [(int(i), v) for i, v in meta["centroids"]]
+    ivfpq_books = meta["books"]
+    ivfpq_q = lambda: ivfpq_topk(  # noqa: E731
+        corpus,
+        queries,
+        ivfpq_cents,
+        ivfpq_books,
+        ivfpq_index,
+        k=K,
+        nprobe=IVFPQ_NPROBE,
+        shortlist=PQ_SHORTLIST,
+    )
+    out["ivfpq_sec"] = timed(ivfpq_q)
+    out["ivfpq_recall"] = round(_recall(ivfpq_q(), exact), 4)
     exact.unpersist()
     out["lsh_speedup"] = round(out["brute_sec"] / max(out["lsh_sec"], 1e-9), 2)
     out["ivf_speedup"] = round(out["brute_sec"] / max(out["ivf_sec"], 1e-9), 2)
     out["pq_speedup"] = round(out["brute_sec"] / max(out["pq_sec"], 1e-9), 2)
+    out["ivfpq_speedup"] = round(
+        out["brute_sec"] / max(out["ivfpq_sec"], 1e-9), 2
+    )
     return out
+
+
+def ensure_ivfpq_index(
+    spark: SparkSession,
+    corpus_path: str,
+    cache_dir: str = DEFAULT_CACHE,
+    n_lists: int = IVF_LISTS,
+    m: int = PQ_M,
+    ksub: int = IVFPQ_KSUB,
+) -> tuple[str, str]:
+    """Ingest-time IVF-PQ index: the (id, list_id, codes) table
+    written PARTITIONED BY list_id (probes prune partitions) +
+    centroids/books JSON. Residual codes spend the same M bytes on
+    within-list geometry — the recall-per-byte story vs flat PQ."""
+    tag = os.path.basename(corpus_path).removesuffix(".parquet")
+    ipath = os.path.join(
+        cache_dir, f"ivfpq_{tag}_{n_lists}_{m}x{ksub}.parquet"
+    )
+    jpath = os.path.join(
+        cache_dir, f"ivfpq_{tag}_{n_lists}_{m}x{ksub}_meta.json"
+    )
+    if not (os.path.exists(ipath) and os.path.exists(jpath)):
+        from openset_spark.pipeline.pq import ivfpq_build
+
+        corpus = spark.read.parquet(corpus_path)
+        cents, books, index = ivfpq_build(
+            corpus, n_lists=n_lists, m=m, ksub=ksub,
+            coarse_refine=2, pq_refine=2,
+        )
+        index.write.partitionBy("list_id").mode("overwrite").parquet(
+            ipath
+        )
+        with open(jpath, "w") as f:
+            json.dump({"centroids": cents, "books": books}, f)
+    return ipath, jpath

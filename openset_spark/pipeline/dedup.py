@@ -1064,3 +1064,50 @@ def dup_pagerank(
     top = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def dup_cosine_check(
+    pairs: DataFrame,
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal duplicate QA: join a candidate pair frame (text
+    evidence — substring/minhash) to the embedding table and flag
+    pairs whose vectors DISAGREE (cosine below ``threshold``). Text
+    says copy, embedding says different -> a corrupted vector row, a
+    stale embedding build, or template text with divergent payload —
+    the rows a dedup pipeline should NOT silently collapse.
+
+    Output: (id_a, id_b, cos_sim ROUND 4, disagree). Scale shape: the
+    pair frame is duplication-bounded (small); two hash joins against
+    the vector table touch only the paired ids, and the cosine is the
+    one JVM fold per pair (functions.vector.cosine)."""
+    from openset_spark.functions.vector import cosine
+
+    va = vectors.select(
+        F.col(vec_id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    vb = vectors.select(
+        F.col(vec_id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    out = (
+        pairs.select("id_a", "id_b")
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("_cos"),
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("_cos", 4).alias("cos_sim"),
+        (F.col("_cos") < F.lit(threshold)).alias("disagree"),
+    )

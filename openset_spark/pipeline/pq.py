@@ -149,6 +149,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "sql",
+    normalize: bool = True,
 ) -> Codebooks:
     """Train PQ codebooks: seed every subspace from the same
     ``ksub``-vector hash-order sample (deterministic, clustering-free
@@ -166,10 +167,18 @@ def pq_codebooks(
     for large ksub, where the M*ksub-term projection outgrows
     whole-stage codegen's method limits and falls back to
     interpreted eval (measured 402 s -> 78 s -> ~s per Lloyd pass on
-    200k x ksub=64 across struct-sort / flat-SQL / numpy)."""
-    unit = corpus.select(
-        F.col(id_col), F.expr(_unit_vec_sql(f"`{vec_col}`")).alias("_nv")
+    200k x ksub=64 across struct-sort / flat-SQL / numpy).
+
+    ``normalize=False`` trains on the raw vectors — the IVF-PQ
+    residual path, where the input is already (unit vector − coarse
+    centroid) and re-normalizing would destroy the residual
+    geometry."""
+    nv_expr = (
+        _unit_vec_sql(f"`{vec_col}`")
+        if normalize
+        else f"cast(`{vec_col}` as array<double>)"
     )
+    unit = corpus.select(F.col(id_col), F.expr(nv_expr).alias("_nv"))
     seeds = unit.orderBy(F.xxhash64(F.col(id_col))).limit(ksub).collect()
     vecs = [[float(x) for x in r["_nv"]] for r in seeds]
     dim = len(vecs[0])
@@ -259,6 +268,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "sql",
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, codes array<int>) — the stored PQ index table. At scale
     this is what gets written back (8 B/vector at M=8) and scanned by
@@ -278,7 +288,9 @@ def pq_encode(
                 )
                 if mat.size == 0:
                     continue
-                codes = _np_codes(_np_normalize(mat), books_np)
+                codes = _np_codes(
+                    _np_normalize(mat) if normalize else mat, books_np
+                )
                 yield pd.DataFrame(
                     {id_col: pdf[id_col].values, "codes": list(codes)}
                 )
@@ -289,9 +301,12 @@ def pq_encode(
     # normalize into a real column FIRST: inlining the normalization
     # into every one of the M*ksub distance terms re-evaluates it per
     # term and multiplies the expression tree Catalyst must analyze
-    nv = corpus.select(
-        F.col(id_col), F.expr(_unit_vec_sql(f"`{vec_col}`")).alias("_nv")
+    nv_expr = (
+        _unit_vec_sql(f"`{vec_col}`")
+        if normalize
+        else f"cast(`{vec_col}` as array<double>)"
     )
+    nv = corpus.select(F.col(id_col), F.expr(nv_expr).alias("_nv"))
     return _encode_codes(nv, "`_nv`", books).select(
         F.col(id_col), F.col("_codes").alias("codes")
     )
@@ -445,8 +460,24 @@ def pq_topk(
             .filter(F.col("_r") <= shortlist)
             .select(query_id_col, id_col)
         )
-    # join the float vectors back for the shortlist only — at scale
-    # the ADC scan never touches the float corpus
+    return _exact_rerank(
+        short, corpus, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, id) shortlist: join the
+    float vectors back for ONLY those rows — at scale the ADC scan
+    never touches the float corpus. Shared by the flat-PQ and IVF-PQ
+    query paths."""
     qvecs = F.broadcast(
         queries.select(
             F.col(query_id_col),
@@ -472,3 +503,221 @@ def pq_topk(
     return rer.withColumn(
         "rank", F.row_number().over(w2).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+# --------------------------------------------------------------------
+# IVF-PQ composite (Jegou et al. 2011 §V, the FAISS IndexIVFPQ shape):
+# coarse inverted lists + product-quantized RESIDUALS.
+# --------------------------------------------------------------------
+def ivfpq_build(
+    corpus: DataFrame,
+    n_lists: int = 64,
+    m: int = 8,
+    ksub: int = 64,
+    coarse_refine: int = 2,
+    pq_refine: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], Codebooks, DataFrame]:
+    """Ingest-time IVF-PQ index build ->
+    (coarse centroids, residual codebooks, (id, list_id, codes)).
+
+    Why residuals: a flat PQ codebook must cover the whole corpus
+    spread, so on a clustered corpus most codes burn on BETWEEN-
+    cluster variance. Quantizing (vector - coarse centroid) spends
+    the same M x ksub codes on the WITHIN-list geometry — the recall
+    the bench shows flat PQ giving up at equal bytes.
+
+    Scale shape: the coarse quantizer is similarity.ivf_index on the
+    unit vectors (distributed Lloyd, collects only n_lists x dim);
+    codebooks train on the residual frame with the numpy Lloyd
+    (normalize=False — residuals are NOT re-normalized); the final
+    pass fuses residual + encode per Arrow batch. At 100 TB the
+    returned frame is written back partitioned by list_id (like
+    ann_bench's IVF layout) so probes prune partitions; centroids +
+    books are driver JSON like every other index artifact."""
+    import numpy as np
+    import pandas as pd
+
+    from openset_spark.pipeline.similarity import ivf_index
+
+    nv = corpus.select(
+        F.col(id_col), F.expr(_unit_vec_sql(f"`{vec_col}`")).alias("_nv")
+    )
+    assigned, centroids = ivf_index(
+        nv, n_lists, id_col=id_col, vec_col="_nv",
+        refine_iters=coarse_refine,
+    )
+    centmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+
+    def _resid(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_nv"]]
+            )
+            lids = pdf["list_id"].to_numpy()
+            res = mat - centmat[lids]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "list_id": lids,
+                    "resid": list(res),
+                }
+            )
+
+    residuals = assigned.select(id_col, "list_id", "_nv").mapInPandas(
+        _resid, f"{id_col} long, list_id int, resid array<double>"
+    )
+    books = pq_codebooks(
+        residuals,
+        m=m,
+        ksub=ksub,
+        refine_iters=pq_refine,
+        id_col=id_col,
+        vec_col="resid",
+        method="numpy",
+        normalize=False,
+    )
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+
+    def _enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_nv"]]
+            )
+            lids = pdf["list_id"].to_numpy()
+            codes = _np_codes(mat - centmat[lids], books_np)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "list_id": lids,
+                    "codes": list(codes),
+                }
+            )
+
+    index = assigned.select(id_col, "list_id", "_nv").mapInPandas(
+        _enc, f"{id_col} long, list_id int, codes array<int>"
+    )
+    return centroids, books, index
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: Codebooks,
+    index: DataFrame,
+    k: int = 10,
+    nprobe: int = 8,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ query path: probe the ``nprobe`` nearest coarse lists
+    per query (cosine, the assignment metric), ADC-scan ONLY those
+    lists' code rows, exact-cosine re-rank the shortlist.
+
+    The per-(query, list) distance tables carry the FULL reduced L2
+    ||q_resid_sub||^2 - 2 q_resid_sub . b + ||b||^2 — the first term
+    varies across lists, so dropping it (legal for single-list PQ)
+    would make scores incomparable ACROSS probed lists.
+
+    Scale shape: the probe set is a partition-pruning filter on the
+    list_id-partitioned index (nprobe/n_lists of the bytes read);
+    dtabs are Q x nprobe x M x ksub driver doubles shipped in the
+    closure (tiny — the query batch broadcasts in every ANN path
+    here); each Arrow batch emits per-partition partial top-
+    ``shortlist`` rows and a window takes the exact global cut."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = np.asarray([r[query_id_col] for r in qrows], dtype=np.int64)
+    qmat = _np_normalize(
+        np.asarray([list(r[vec_col]) for r in qrows], dtype=np.float64)
+    )
+    centmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cnorm = np.linalg.norm(centmat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+    # probe by cosine — the ivf_index assignment metric
+    sims = (qmat @ centmat.T) / cnorm
+    nprobe = min(nprobe, centmat.shape[0])
+    probed = np.argsort(-sims, axis=1)[:, :nprobe]  # (Q, nprobe)
+
+    mm = len(books)
+    dsub = len(books[0][0])
+    ksub = len(books[0])
+    books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    # dtabs[(q, list)] -> (M, ksub) FULL reduced-L2 tables
+    dtabs: dict[tuple[int, int], object] = {}
+    for qi in range(len(qids)):
+        for lid in probed[qi]:
+            qr = qmat[qi] - centmat[lid]
+            tab = np.empty((mm, ksub), dtype=np.float64)
+            for s in range(mm):
+                qs = qr[s * dsub : (s + 1) * dsub]
+                b = books_np[s]
+                tab[s] = (qs * qs).sum() - 2.0 * (b @ qs) + (b * b).sum(
+                    axis=1
+                )
+            dtabs[(qi, int(lid))] = tab
+    per_q_lists = [set(int(x) for x in probed[qi]) for qi in range(len(qids))]
+    all_lists = sorted(set().union(*per_q_lists)) if len(qids) else []
+
+    def _scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack(pdf["codes"].to_numpy())
+            ids = pdf[id_col].to_numpy()
+            lids = pdf["list_id"].to_numpy()
+            for qi in range(len(qids)):
+                mask = np.isin(lids, list(per_q_lists[qi]))
+                if not mask.any():
+                    continue
+                sel_ids = ids[mask]
+                sel_codes = cmat[mask]
+                sel_lids = lids[mask]
+                adc = np.zeros(len(sel_ids), dtype=np.float64)
+                for lid in per_q_lists[qi]:
+                    lm = sel_lids == lid
+                    if not lm.any():
+                        continue
+                    tab = dtabs[(qi, lid)]
+                    part = np.zeros(int(lm.sum()), dtype=np.float64)
+                    lc = sel_codes[lm]
+                    for s in range(mm):
+                        part += tab[s, lc[:, s]]
+                    adc[lm] = part
+                kk = min(shortlist, len(sel_ids))
+                top = np.lexsort((sel_ids, adc))[:kk]
+                yield pd.DataFrame(
+                    {
+                        query_id_col: np.full(kk, qids[qi]),
+                        id_col: sel_ids[top],
+                        "_adc": adc[top],
+                    }
+                )
+
+    # the isin filter is what partition-prunes a list_id-partitioned
+    # index at scale; the per-query masks refine inside the scan
+    pruned = index.filter(F.col("list_id").isin(all_lists))
+    partial = pruned.mapInPandas(
+        _scan, f"{query_id_col} long, {id_col} long, _adc double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("_adc"), F.asc(id_col)
+    )
+    short = (
+        partial.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    return _exact_rerank(
+        short, corpus, queries, k, id_col, vec_col, query_id_col
+    )

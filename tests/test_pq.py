@@ -211,3 +211,115 @@ def test_pq_adc_numpy_matches_sql_path(spark):
         ).collect()
     )
     assert a == b
+
+
+# ------------------------------------------------------------------
+# IVF-PQ composite (r9c)
+# ------------------------------------------------------------------
+def _planted(n_clusters=10, per=20, dim=16, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    centers = [
+        [(10.0 if d % 10 == c else 0.0) + rng.uniform(-0.1, 0.1)
+         for d in range(dim)]
+        for c in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for ctr in centers:
+        for _ in range(per):
+            rows.append((vid, [x + rng.uniform(-0.5, 0.5) for x in ctr]))
+            vid += 1
+    return rows
+
+
+def test_ivfpq_build_shape_and_determinism(spark):
+    from openset_spark.pipeline.pq import ivfpq_build
+
+    df = spark.createDataFrame(
+        _planted(), "vec_id long, embedding array<double>"
+    )
+    cents, books, index = ivfpq_build(
+        df, n_lists=8, m=4, ksub=8, coarse_refine=1, pq_refine=1
+    )
+    assert len(cents) == 8 and len(books) == 4 and len(books[0]) == 8
+    rows = index.collect()
+    assert len(rows) == 200
+    assert all(0 <= r.list_id < 8 for r in rows)
+    assert all(len(r.codes) == 4 for r in rows)
+    assert all(0 <= c < 8 for r in rows for c in r.codes)
+    # deterministic rebuild: same centroids, books, codes
+    cents2, books2, index2 = ivfpq_build(
+        df, n_lists=8, m=4, ksub=8, coarse_refine=1, pq_refine=1
+    )
+    assert cents == cents2 and books == books2
+    assert sorted((r.vec_id, r.list_id, tuple(r.codes))
+                  for r in rows) == sorted(
+        (r.vec_id, r.list_id, tuple(r.codes)) for r in index2.collect()
+    )
+
+
+def test_ivfpq_topk_recovers_planted_clusters(spark):
+    from openset_spark.pipeline.pq import ivfpq_build, ivfpq_topk
+    from openset_spark.pipeline.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        _planted(), "vec_id long, embedding array<double>"
+    )
+    queries = df.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents, books, index = ivfpq_build(
+        df, n_lists=10, m=4, ksub=8, coarse_refine=2, pq_refine=2
+    )
+    ann = ivfpq_topk(
+        df, queries, cents, books, index, k=10, nprobe=3, shortlist=40
+    )
+    got = {(r.query_id, r.vec_id) for r in ann.collect()}
+    exact = [
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(df, queries, k=10).collect()
+    ]
+    per_q: dict[int, int] = {}
+    for qid, vid in exact:
+        per_q[qid] = per_q.get(qid, 0) + ((qid, vid) in got)
+    assert min(per_q.values()) >= 9
+    one = ann.filter(F.col("query_id") == 0).orderBy("rank").collect()
+    assert [r.rank for r in one] == list(range(1, 11))
+
+
+def test_ivfpq_nprobe_monotone_recall(spark):
+    """Cross-list ADC comparability: with the full ||q_resid||^2 term
+    in the tables, growing nprobe can only add candidates — recall is
+    monotone. (Dropping the per-list constant breaks exactly this.)"""
+    from openset_spark.pipeline.pq import ivfpq_build, ivfpq_topk
+    from openset_spark.pipeline.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        _planted(), "vec_id long, embedding array<double>"
+    )
+    queries = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents, books, index = ivfpq_build(
+        df, n_lists=10, m=4, ksub=8, coarse_refine=2, pq_refine=2
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(df, queries, k=10).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivfpq_topk(
+                df, queries, cents, books, index,
+                k=10, nprobe=nprobe, shortlist=40,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r3, r10 = recall(1), recall(3), recall(10)
+    assert r1 <= r3 <= r10
+    assert r10 >= 0.95  # all lists probed ~ flat PQ quality or better

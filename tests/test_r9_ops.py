@@ -356,3 +356,23 @@ def test_length_histogram_power_of_two_boundaries(spark):
     assert b3.sum_tokens == 23
     assert out[("s", 4)].min_tokens == 16
     assert out[("t", 0)].n_docs == 1
+
+
+def test_dup_cosine_check_flags_disagreement(spark):
+    from openset_spark.pipeline.dedup import dup_cosine_check
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [2.0, 0.0]),   # same direction -> cos 1.0, agree
+            (3, [0.0, 5.0]),   # orthogonal -> cos 0.0, disagree
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r.id_a, r.id_b): r for r in
+           dup_cosine_check(pairs, vecs).collect()}
+    assert out[(1, 2)].cos_sim == 1.0 and not out[(1, 2)].disagree
+    assert out[(1, 3)].cos_sim == 0.0 and out[(1, 3)].disagree
