@@ -580,7 +580,41 @@ def ivfpq_build(
         method="numpy",
         normalize=False,
     )
+    index = ivfpq_encode_frame(
+        corpus, centroids, books, id_col=id_col, vec_col=vec_col
+    )
+    return centroids, books, index
+
+
+def ivfpq_encode_frame(
+    vecs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    books: Codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, list_id, codes) for ``vecs`` against an EXISTING IVF-PQ
+    index (centroids + residual books): JVM normalize + coarse argmax
+    (the exact assignment expressions ivf_index uses, so list
+    membership and argmin tie-breaks are identical to the build),
+    then the numpy residual-encode per Arrow batch.
+
+    Works on batch AND streaming frames — pure projections, no
+    state — which makes it the LIVE INDEX WRITER: vectors arriving
+    after the nightly build get list_id + codes on ingest, appended
+    to the same list_id-partitioned layout the batch build wrote,
+    and the result is bit-identical to re-running the batch encode
+    over the union (17th parity surface)."""
+    import numpy as np
+    import pandas as pd
+
+    from openset_spark.pipeline.similarity import _nearest_centroid
+
+    centmat = np.asarray([v for _, v in centroids], dtype=np.float64)
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
+    assigned = vecs.select(
+        F.col(id_col), F.expr(_unit_vec_sql(f"`{vec_col}`")).alias("_nv")
+    ).withColumn("list_id", _nearest_centroid("`_nv`", centroids).cast("int"))
 
     def _enc(batches):
         for pdf in batches:
@@ -599,10 +633,9 @@ def ivfpq_build(
                 }
             )
 
-    index = assigned.select(id_col, "list_id", "_nv").mapInPandas(
+    return assigned.select(id_col, "list_id", "_nv").mapInPandas(
         _enc, f"{id_col} long, list_id int, codes array<int>"
     )
-    return centroids, books, index
 
 
 def ivfpq_topk(

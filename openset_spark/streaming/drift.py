@@ -120,3 +120,26 @@ def stream_embedding_drift(
     from pyspark.sql import functions as F
 
     return out.withColumn("d2", F.round("d2", 4) + F.lit(0.0))
+
+
+def stream_ivfpq_encode(
+    vecs: DataFrame,
+    centroids: list,
+    books: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Live IVF-PQ index writer (17th parity surface): vectors
+    arriving after the nightly batch build get (list_id, codes) on
+    ingest against the SAME centroids/books, appended to the same
+    list_id-partitioned layout — the index stays queryable between
+    batch rebuilds (the stream_keeper_dedup posture, but for the ANN
+    index). Stateless: the encode is pure projections (JVM normalize
+    + coarse argmax + numpy residual codes), so parity with the
+    batch `ivfpq_encode_frame` over the union is BIT-EXACT for any
+    arrival order or micro-batch split."""
+    from openset_spark.pipeline.pq import ivfpq_encode_frame
+
+    return ivfpq_encode_frame(
+        vecs, centroids, books, id_col=id_col, vec_col=vec_col
+    )

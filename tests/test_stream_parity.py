@@ -1060,3 +1060,63 @@ def test_stream_embedding_drift_matches_batch(spark, sf_dir, tmpdir):
     # prefix state genuinely crossed micro-batch boundaries: some
     # label accumulated more priors than one file can hold of it
     assert max(np for _, _, np, _ in streamed) > chunk / n_labels
+
+
+def test_stream_ivfpq_encode_matches_batch(spark, sf_dir, tmpdir):
+    """17th parity surface: the live IVF-PQ index writer. New vectors
+    streaming in after a batch index build receive (list_id, codes)
+    IDENTICAL to re-running the batch encode over the same rows —
+    stateless pure projections (JVM normalize + coarse argmax + numpy
+    residual encode share every tie-break with the build), so the
+    parity is bit-exact for any arrival order or micro-batch split."""
+    import json
+
+    from openset_spark.pipeline.pq import ivfpq_build, ivfpq_encode_frame
+    from openset_spark.streaming.drift import stream_ivfpq_encode
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    # the "nightly build" trains on the first half of the corpus...
+    built = embs.filter("vec_id < 250")
+    cents, books, _ = ivfpq_build(
+        built, n_lists=8, m=8, ksub=8, coarse_refine=1, pq_refine=1
+    )
+    # ...and the second half ARRIVES as a stream
+    rows = [
+        {
+            "vec_id": r.vec_id,
+            "embedding": [float(x) for x in r.embedding],
+        }
+        for r in embs.filter("vec_id >= 250 and vec_id < 370")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "vec_id long, embedding array<double>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_ivfpq_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_ivfpq_encode(stream, cents, books), name)
+    streamed = {
+        (r.vec_id, r.list_id, tuple(r.codes))
+        for r in spark.sql(
+            f"select vec_id, list_id, codes from {name}"
+        ).collect()
+    }
+
+    batch = spark.read.schema(schema).json(tmpdir)
+    expected = {
+        (r.vec_id, r.list_id, tuple(r.codes))
+        for r in ivfpq_encode_frame(batch, cents, books).collect()
+    }
+    assert streamed == expected
+    assert len(streamed) == len(rows)
+    # the stream genuinely fans across lists (not one degenerate bucket)
+    assert len({lid for _, lid, _ in streamed}) >= 2
