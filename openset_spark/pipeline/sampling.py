@@ -334,3 +334,31 @@ def temperature_weights(
             6,
         ).alias("boost"),
     )
+
+
+def temperature_budgets(
+    docs: DataFrame,
+    total_budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> dict[str, int]:
+    """Driver-side companion to :func:`temperature_weights`: turn the
+    alpha=0.5 smoothed weights into per-source TOKEN BUDGETS summing
+    to <= ``total_budget``, ready for :func:`mixture_select` /
+    ``stream_mixture_admit``. Allocation is floor(total * w_s / sum w)
+    capped at the source's own supply (a budget above supply is
+    unfillable and silently distorts the realized mixture toward the
+    big sources — the exact skew the temperature was meant to undo).
+
+    The weights frame is |sources| rows — collecting it is the
+    intended scale shape (same contract as every centroid/codebook
+    collect in this repo)."""
+    rows = temperature_weights(docs, group_col, text_col).collect()
+    import math
+
+    w = {r[group_col]: math.sqrt(float(r["n_tokens"])) for r in rows}
+    supply = {r[group_col]: int(r["n_tokens"]) for r in rows}
+    tot = sum(w.values()) or 1.0
+    return {
+        s: min(int(total_budget * w[s] / tot), supply[s]) for s in w
+    }

@@ -376,3 +376,32 @@ def test_dup_cosine_check_flags_disagreement(spark):
            dup_cosine_check(pairs, vecs).collect()}
     assert out[(1, 2)].cos_sim == 1.0 and not out[(1, 2)].disagree
     assert out[(1, 3)].cos_sim == 0.0 and out[(1, 3)].disagree
+
+
+def test_temperature_budgets_compose_with_mixture(spark):
+    from openset_spark.pipeline.sampling import (
+        mixture_select,
+        temperature_budgets,
+    )
+
+    rows = []
+    did = 0
+    for src, n_docs, toks in (("big", 16, 16), ("small", 4, 4)):
+        for _ in range(n_docs):
+            rows.append((did, " ".join(["w"] * toks), src, 1.0, toks))
+            did += 1
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, source string, quality double,"
+        " n_tokens long",
+    )
+    # big supplies 256 tokens, small 16: sqrt weights 16 vs 4
+    budgets = temperature_budgets(docs, total_budget=100)
+    assert budgets["big"] == 80 and budgets["small"] == 16  # capped at supply
+    # small is over-sampled relative to its 1/17 natural share
+    assert budgets["small"] / 96 > 16 / 272
+    admitted = mixture_select(docs, budgets, domain_col="source")
+    got = admitted.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    assert by["small"] == 4      # whole supply admitted
+    assert by["big"] == 5        # 80 tokens // 16 per doc
