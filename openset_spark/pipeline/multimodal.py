@@ -463,8 +463,8 @@ def decode_audio(
     media: DataFrame, deterministic: bool = True
 ) -> DataFrame:
     """audio rows -> (media_id, sample_rate, channels, bits,
-    n_samples, duration_ms). RIFF/WAV payloads decode for REAL; other
-    codecs use the metadata stub or raise with
+    n_samples, duration_ms). RIFF/WAV and FLAC payloads decode for
+    REAL; other codecs use the metadata stub or raise with
     ``deterministic=False`` where ffmpeg would slot in."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -480,6 +480,14 @@ def decode_audio(
                 raw = bytes(p or b"")
                 if raw[:4] == b"RIFF":
                     rate, ch, bits, n, ms = decode_wav_bytes(raw)
+                elif raw[:4] == b"fLaC":
+                    from openset_spark.pipeline.flac import (
+                        decode_flac_bytes,
+                    )
+
+                    rate, ch, bits, chans = decode_flac_bytes(raw)
+                    n = len(chans[0]) if chans else 0
+                    ms = n * 1000 // rate if rate else 0
                 elif not deterministic:
                     raise NotImplementedError(
                         "non-WAV audio decode requires ffmpeg; not in container"
@@ -1158,7 +1166,15 @@ def audio_feature_rows(
             for mid, raw in zip(pdf["media_id"], pdf["payload"]):
                 if raw is None:
                     continue
-                _rate, n_ch, _bits, chans = wav_samples(bytes(raw))
+                b = bytes(raw)
+                if b[:4] == b"fLaC":
+                    from openset_spark.pipeline.flac import (
+                        decode_flac_bytes,
+                    )
+
+                    _rate, n_ch, _bits, chans = decode_flac_bytes(b)
+                else:
+                    _rate, n_ch, _bits, chans = wav_samples(b)
                 for c in range(n_ch):
                     xs = chans[c]
                     for f0 in range(0, len(xs), frame):
