@@ -1120,3 +1120,61 @@ def test_stream_ivfpq_encode_matches_batch(spark, sf_dir, tmpdir):
     assert len(streamed) == len(rows)
     # the stream genuinely fans across lists (not one degenerate bucket)
     assert len({lid for _, lid, _ in streamed}) >= 2
+
+
+def test_stream_audio_features_match_batch(spark, tmpdir):
+    """18th parity surface — the first MULTIMODAL one: live media
+    ingest feature extraction. Binary audio payloads (a WAV and a
+    FLAC carrying different signals) stream in as parquet files;
+    audio_feature_rows is Arrow-batched mapInPandas with no state, so
+    the streamed feature rows equal the batch extraction of the same
+    files exactly, for any arrival order or micro-batch split — the
+    front-end an audio corpus runs BEFORE its stateful stages."""
+    from openset_spark.pipeline.multimodal import audio_feature_rows
+    from tests.test_flac import _Enc
+    from tests.test_pipeline import _wav_pcm
+
+    n = 32
+    square = [2000 if (i // 8) % 2 == 0 else -2000 for i in range(n)]
+    ramp = [100 * (i - 16) for i in range(n)]
+    wav = _wav_pcm(8000, 2, 16, [square, ramp])
+    enc = _Enc(rate=8000, bps=16)
+
+    def f(w):
+        enc.frame_header(w, n, 0, 0)
+        enc.verbatim_sub(w, ramp, 16)
+
+    flac = enc.stream([enc.frame(f)], 1, n)
+    schema = (
+        "media_id long, kind string, payload binary, mime string,"
+        " width long, height long, duration_ms long"
+    )
+    for i, (mid, payload, mime) in enumerate(
+        [(1, wav, "audio/wav"), (2, flac, "audio/flac")]
+    ):
+        spark.createDataFrame(
+            [(mid, "audio", bytearray(payload), mime, None, None, None)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(tmpdir + "/media")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/media")
+    )
+    name = f"parity_audio_{uuid.uuid4().hex[:8]}"
+    _run_available(audio_feature_rows(stream, frame=16), name)
+    streamed = {
+        (r.media_id, r.channel, r.frame_idx, r.n, r.rms, r.zcr, r.peak)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch = {
+        (r.media_id, r.channel, r.frame_idx, r.n, r.rms, r.zcr, r.peak)
+        for r in audio_feature_rows(
+            spark.read.schema(schema).parquet(tmpdir + "/media"), frame=16
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 2 * 2 + 1 * 2  # stereo WAV + mono FLAC frames
+    # the two containers genuinely contributed distinct signals
+    assert {m for m, *_ in streamed} == {1, 2}
