@@ -733,28 +733,35 @@ def hard_negatives(
     doubles (both engines subtract identical IEEE values, so the
     round is portable).
 
-    Scale shape: queries broadcast, corpus scanned once; the
-    rank-1-per-(query, same/diff) window partitions by query — each
-    query's candidate list is |corpus| rows at worst, but the window
-    keys are (query, is_same) so the sort parallelises across 2x
-    |queries| partitions. For corpus-scale query sets swap the exact
-    scorer for the LSH/IVF candidate generators upstream."""
+    Scale shape: queries broadcast, corpus scanned once, and the
+    argmax is ONE hash aggregate of max-of-struct — (cos_sim,
+    -id, id) compares fieldwise, so the max IS "highest cosine,
+    ties to lowest id". max() partial-aggregates map-side, so no
+    stage ever holds a query's full |corpus| candidate list (the
+    rank-1 window form pins it on one reducer per (query, side) —
+    the embedding_outliers anti-pattern). For corpus-scale query
+    sets swap the exact scorer for the LSH/IVF candidate
+    generators upstream."""
     scored = _label_scored(
         corpus, queries, id_col, vec_col, label_col, query_id_col
     ).withColumn("_same", F.col(label_col) == F.col("_qlabel"))
-    w = Window.partitionBy(query_id_col, "_same").orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
-    )
-    best = scored.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") == 1
+    pick = F.struct(
+        F.col("cos_sim").alias("s"),
+        (-F.col(id_col)).alias("n"),
+        F.col(id_col).alias("i"),
     )
     return (
-        best.groupBy(query_id_col)
+        scored.groupBy(query_id_col)
         .agg(
-            F.max(F.when(F.col("_same"), F.col(id_col))).alias("pos_id"),
-            F.max(F.when(F.col("_same"), F.col("cos_sim"))).alias("_ps"),
-            F.max(F.when(~F.col("_same"), F.col(id_col))).alias("neg_id"),
-            F.max(F.when(~F.col("_same"), F.col("cos_sim"))).alias("_ns"),
+            F.max(F.when(F.col("_same"), pick)).alias("_p"),
+            F.max(F.when(~F.col("_same"), pick)).alias("_n"),
+        )
+        .select(
+            query_id_col,
+            F.col("_p.i").alias("pos_id"),
+            F.col("_p.s").alias("_ps"),
+            F.col("_n.i").alias("neg_id"),
+            F.col("_n.s").alias("_ns"),
         )
         .select(
             query_id_col,
@@ -783,14 +790,28 @@ def knn_label_agreement(
     or collapsed. Integer ppm (matches * 1e6 div k * n_queries) keeps
     the frame float-free and engine-portable.
 
-    Output: (label, n_queries, match_ppm)."""
+    Output: (label, n_queries, match_ppm).
+
+    Scale shape: the top-k cut is TWO-PHASE like embedding_outliers
+    — a local top-k inside each scan partition (window over (query,
+    partition_id), bounded by partition size) feeds a global top-k
+    over <= k x n_partitions survivors, so no reducer ever holds a
+    query's full |corpus| candidate list."""
     scored = _label_scored(
         corpus, queries, id_col, vec_col, label_col, query_id_col
+    ).withColumn("_pid", F.spark_partition_id())
+    local_w = Window.partitionBy(query_id_col, "_pid").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    survivors = (
+        scored.withColumn("_lrn", F.row_number().over(local_w))
+        .filter(F.col("_lrn") <= k)
+        .drop("_pid", "_lrn")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
-    topk = scored.withColumn("_rn", F.row_number().over(w)).filter(
+    topk = survivors.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
     )
     per_q = topk.groupBy(query_id_col, "_qlabel").agg(
