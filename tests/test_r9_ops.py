@@ -405,3 +405,28 @@ def test_temperature_budgets_compose_with_mixture(spark):
     by = {r.source: r["count"] for r in got}
     assert by["small"] == 4      # whole supply admitted
     assert by["big"] == 5        # 80 tokens // 16 per doc
+
+
+def test_hard_negatives_plan_is_window_free(spark):
+    """Scale-shape assertion: the argmax is a hash aggregate (map-side
+    partial), never a rank window — a Window node here would mean one
+    reducer holds a query's whole corpus candidate list."""
+    from openset_spark.pipeline.similarity import hard_negatives
+
+    embs = spark.createDataFrame(
+        [(i, i % 2, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    queries = embs.limit(2).selectExpr(
+        "vec_id AS query_id", "label", "embedding"
+    )
+    plan = (
+        hard_negatives(embs, queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    # struct-typed max lands in Sort/ObjectHash aggregate — any
+    # Aggregate node partial-aggregates map-side, which is the claim
+    assert "Aggregate" in plan
