@@ -388,6 +388,7 @@ def main() -> None:
                 "boilerplate_affixes",
                 "embedding_drift",
                 "length_histogram",
+                "dup_cosine_check",
             ):
                 samples = []
                 for _ in range(reps):
