@@ -3468,6 +3468,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_histogram": q_length_histogram,
         "dup_cosine_check": q_dup_cosine_check,
         "ann_ivfpq": q_ann_ivfpq,
+        "source_divergence": q_source_divergence,
     }
 
 
@@ -4221,6 +4222,7 @@ def oracle_sql() -> dict[str, str]:
             "{SUBSTRING_PAIRS}", _SQL_SUBSTRING_DUP_PAIRS
         ),
         "ann_ivfpq": _SQL_ANN_RECALL_OK,
+        "source_divergence": _SQL_SOURCE_DIVERGENCE,
         "kneser_ney_score": _SQL_KNESER_NEY,
         "dup_span_fraction": _SQL_DUP_SPAN_FRACTION,
         "keyword_tags": _SQL_KEYWORD_TAGS,
@@ -4563,3 +4565,43 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = brute_force_topk(embs, queries, k=10)
     return _ann_recall_frame(ann, exact, floor=0.3)
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source total-variation distance from the corpus unigram
+    distribution — the distributional-shift screen (exact-integer
+    numerator in DECIMAL(38)/HUGEINT, one IEEE division). NEW r9."""
+    from openset_spark.pipeline.corpus_stats import source_divergence
+
+    return source_divergence(_docs(spark, sf_dir))
+
+
+_SQL_SOURCE_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT source, unnest({_TOKS_SQL}) AS w FROM documents
+),
+sw AS (SELECT source, w, COUNT(*) AS c_sw FROM toks GROUP BY 1, 2),
+wtot AS (SELECT w, COUNT(*) AS c_w FROM toks GROUP BY 1),
+stot AS (SELECT source, COUNT(*) AS t_s FROM toks GROUP BY 1),
+gtot AS (SELECT COUNT(*) AS t FROM toks),
+per AS (
+  SELECT s.source,
+    SUM(abs(CAST(c_sw AS HUGEINT) * t - CAST(c_w AS HUGEINT) * t_s))
+      AS present,
+    SUM(CAST(c_w AS HUGEINT)) AS cw_present,
+    MAX(t_s) AS t_s, MAX(t) AS t
+  FROM sw s JOIN wtot USING (w) JOIN stot USING (source)
+  CROSS JOIN gtot
+  GROUP BY 1
+),
+num AS (
+  SELECT source, t_s, t,
+    present + (CAST(t AS HUGEINT) - cw_present) * t_s AS n
+  FROM per
+)
+SELECT source, CAST(t_s AS BIGINT) AS n_tokens,
+  CAST((n * 1000000) // (2 * CAST(t_s AS HUGEINT) * t) AS BIGINT)
+    AS tv_ppm,
+  ROUND(CAST(n AS DOUBLE) / (2.0 * t_s * t), 6) AS tv
+FROM num
+"""

@@ -389,6 +389,7 @@ def main() -> None:
                 "embedding_drift",
                 "length_histogram",
                 "dup_cosine_check",
+                "source_divergence",
             ):
                 samples = []
                 for _ in range(reps):

@@ -498,3 +498,86 @@ def dataset_card(
             "mean_tokens_x100"
         ),
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributional-shift screen: per source, the TOTAL VARIATION
+    distance between its unigram distribution and the whole corpus's
+    — TV = (1/2) sum_w |p_s(w) - p(w)|. The source a curation pass
+    investigates first is the one furthest from the mix it is
+    supposed to blend into (an injected domain, a language
+    mislabel, a scraper gone wrong all spike it).
+
+    Cross-engine exactness: the numerator sum_w |c_sw * T - c_w *
+    T_s| is computed in EXACT integer arithmetic (products up to
+    corpus-tokens x source-tokens need 128-bit headroom — DECIMAL(38)
+    on the Spark side, DuckDB's HUGEINT on the oracle side), then the
+    one division is IEEE double over exact operands. tv_ppm = the
+    integer div form for the hash-stable ranking key.
+
+    Scale shape: one (group, word) count aggregate (map-side
+    combinable), a broadcast of the |vocab|-row global counts onto
+    it, and a per-group sum. The |p_s - p| terms for words ABSENT
+    from a source still contribute — handled in closed form: absent
+    words add c_w * T_s in total, i.e. (T - sum of c_w over PRESENT
+    words) * T_s, so the join stays per-(source, present-word) and
+    never explodes to the source x vocab cross product."""
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    sw = toks.groupBy(group_col, "w").agg(
+        F.count(F.lit(1)).alias("c_sw")
+    )
+    wtot = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    stot = toks.groupBy(group_col).agg(F.count(F.lit(1)).alias("t_s"))
+    gtot = toks.agg(F.count(F.lit(1)).alias("t"))
+    d38 = "decimal(38,0)"
+    joined = (
+        sw.join(wtot, "w")
+        .join(F.broadcast(stot), group_col)
+        .crossJoin(F.broadcast(gtot))
+    )
+    per_src = joined.groupBy(group_col).agg(
+        F.sum(
+            F.abs(
+                F.col("c_sw").cast(d38) * F.col("t").cast(d38)
+                - F.col("c_w").cast(d38) * F.col("t_s").cast(d38)
+            )
+        ).alias("_present"),
+        # closed form for words this source never uses:
+        # sum over absent w of c_w * t_s = (t - sum of PRESENT c_w) * t_s
+        F.sum(F.col("c_w").cast(d38)).alias("_cw_present"),
+        F.max("t_s").alias("t_s"),
+        F.max("t").alias("t"),
+    )
+    with_num = per_src.withColumn(
+        "_num",
+        F.col("_present")
+        + (F.col("t").cast(d38) - F.col("_cw_present"))
+        * F.col("t_s").cast(d38),
+    )
+    # integer `div`, NOT cast-of-division: Spark's decimal division
+    # rounds HALF_UP before a long cast truncates (4.9999999 -> 5),
+    # while DuckDB's `//` floors — `div` is the true floor on both
+    return with_num.select(
+        group_col,
+        F.col("t_s").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((_num * 1000000) div"
+            " (2 * CAST(t_s AS decimal(38,0))"
+            "  * CAST(t AS decimal(38,0))) AS BIGINT)"
+        ).alias("tv_ppm"),
+        F.round(
+            F.col("_num").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("t_s").cast("double")
+                * F.col("t").cast("double")
+            ),
+            6,
+        ).alias("tv"),
+    )

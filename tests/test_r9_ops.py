@@ -430,3 +430,28 @@ def test_hard_negatives_plan_is_window_free(spark):
     # struct-typed max lands in Sort/ObjectHash aggregate — any
     # Aggregate node partial-aggregates map-side, which is the claim
     assert "Aggregate" in plan
+
+
+def test_source_divergence_exact_values(spark):
+    from openset_spark.pipeline.corpus_stats import source_divergence
+
+    # corpus: src A = 4x "x", src B = 2x "y" 2x "z".
+    # global: x:4, y:2, z:2, T=8. T_A = 4, T_B = 4.
+    # TV(A) = .5(|1-.5| + |0-.25| + |0-.25|) = .5
+    # numerator(A): present |4*8-4*4|=16; absent (8-4)*4=16 -> 32
+    # tv = 32 / (2*4*8) = 0.5
+    docs = spark.createDataFrame(
+        [(1, "x x x x", "A"), (2, "y y z z", "B")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in source_divergence(docs).collect()}
+    assert out["A"].n_tokens == 4
+    assert out["A"].tv == 0.5 and out["A"].tv_ppm == 500000
+    assert out["B"].tv == 0.5  # symmetric here: B lacks x (p=.5)
+    # identical distribution -> zero divergence
+    same = spark.createDataFrame(
+        [(1, "a b", "A"), (2, "a b", "B")],
+        "doc_id long, text string, source string",
+    )
+    o2 = {r.source: r for r in source_divergence(same).collect()}
+    assert o2["A"].tv == 0.0 and o2["B"].tv_ppm == 0
