@@ -488,6 +488,10 @@ def decode_audio(
                     rate, ch, bits, chans = decode_flac_bytes(raw)
                     n = len(chans[0]) if chans else 0
                     ms = n * 1000 // rate if rate else 0
+                elif raw[:4] == b"FORM" and raw[8:12] == b"AIFF":
+                    rate, ch, bits, chans = decode_aiff_bytes(raw)
+                    n = len(chans[0]) if chans else 0
+                    ms = n * 1000 // rate if rate else 0
                 elif not deterministic:
                     raise NotImplementedError(
                         "non-WAV audio decode requires ffmpeg; not in container"
@@ -1173,6 +1177,8 @@ def audio_feature_rows(
                     )
 
                     _rate, n_ch, _bits, chans = decode_flac_bytes(b)
+                elif b[:4] == b"FORM" and b[8:12] == b"AIFF":
+                    _rate, n_ch, _bits, chans = decode_aiff_bytes(b)
                 else:
                     _rate, n_ch, _bits, chans = wav_samples(b)
                 for c in range(n_ch):
@@ -1201,3 +1207,49 @@ def audio_feature_rows(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def decode_aiff_bytes(
+    data: bytes,
+) -> tuple[int, int, int, list[list[int]]]:
+    """AIFF (the big-endian IFF cousin of WAV) -> the `wav_samples`
+    contract: (rate, channels, bits, per-channel sample lists).
+    Parses FORM/AIFF, COMM (channels, frames, bits, 80-bit extended-
+    float sample rate — decoded exactly: rate = mantissa >>
+    (63 - (exp - 16383))) and SSND (offset/blockSize headers then
+    big-endian two's-complement frames)."""
+    import struct
+
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            n_ch, n_frames, bits = struct.unpack(">hIh", body[:8])
+            # 80-bit IEEE 754 extended float, always integral for
+            # real sample rates -> exact integer extraction
+            exp = struct.unpack(">H", body[8:10])[0] & 0x7FFF
+            mant = int.from_bytes(body[10:18], "big")
+            rate = mant >> (63 - (exp - 16383)) if exp else 0
+            comm = (n_ch, n_frames, bits, rate)
+        elif cid == b"SSND":
+            offset, _blk = struct.unpack(">II", body[:8])
+            ssnd = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("missing COMM/SSND chunk")
+    n_ch, n_frames, bits, rate = comm
+    step = (bits + 7) // 8
+    frame = n_ch * step
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for i in range(min(n_frames, len(ssnd) // frame)):
+        base = i * frame
+        for c in range(n_ch):
+            raw = ssnd[base + c * step : base + (c + 1) * step]
+            chans[c].append(int.from_bytes(raw, "big", signed=True))
+    return rate, n_ch, bits, chans

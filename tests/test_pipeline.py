@@ -1369,3 +1369,69 @@ def test_audio_feature_rows_tail_frame_and_zero_runs(spark):
     import math
 
     assert rows[1].rms == math.sqrt((300 * 300 + 300 * 300) / 2)
+
+
+def _aiff_bytes(rate, n_ch, bits, channel_samples):
+    """AIFF via the stdlib aifc-free route: hand-built FORM/COMM/SSND
+    with the 80-bit extended-float rate — an INDEPENDENT writer, so
+    the decoder's rate extraction is not self-referential."""
+    import struct
+
+    n = len(channel_samples[0])
+    step = bits // 8
+    # 80-bit extended float of an integer rate
+    e = 16383 + 63
+    m = rate
+    while m < (1 << 63):
+        m <<= 1
+        e -= 1
+    comm = struct.pack(">hIh", n_ch, n, bits) + struct.pack(">H", e) + m.to_bytes(8, "big")
+    frames = bytearray()
+    for i in range(n):
+        for c in range(n_ch):
+            frames += int(channel_samples[c][i]).to_bytes(
+                step, "big", signed=True
+            )
+    ssnd = struct.pack(">II", 0, 0) + bytes(frames)
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack(">I", len(body)) + body + pad
+
+    inner = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(inner)) + inner
+
+
+def test_aiff_decode_and_container_invariance(spark):
+    from openset_spark.pipeline.multimodal import (
+        audio_feature_rows,
+        decode_aiff_bytes,
+        decode_audio,
+    )
+
+    left = [1000, -1000, 500, -500] * 4
+    right = [-700] * 16
+    payload = _aiff_bytes(44100, 2, 16, [left, right])
+    rate, ch, bits, chans = decode_aiff_bytes(payload)
+    assert (rate, ch, bits) == (44100, 2, 16)
+    assert chans == [left, right]
+    # odd rates decode exactly too (the 80-bit float is integral)
+    assert decode_aiff_bytes(_aiff_bytes(22050, 1, 16, [[1, 2, 3]]))[0] == 22050
+
+    wav = _wav_pcm(44100, 2, 16, [left, right])
+    media = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(payload), "audio/aiff", None, None, None),
+            (2, "audio", bytearray(wav), "audio/wav", None, None, None),
+        ],
+        "media_id long, kind string, payload binary, mime string,"
+        " width long, height long, duration_ms long",
+    )
+    meta = {r.media_id: r for r in decode_audio(media).collect()}
+    assert meta[1].sample_rate == 44100 and meta[1].n_samples == 16
+    feats = {}
+    for r in audio_feature_rows(media, frame=8).collect():
+        feats.setdefault(r.media_id, set()).add(
+            (r.channel, r.frame_idx, r.n, r.rms, r.zcr, r.peak)
+        )
+    assert feats[1] == feats[2]  # AIFF == WAV of the same samples
