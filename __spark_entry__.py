@@ -3928,11 +3928,15 @@ fl AS (
   FROM pd
 ),
 a AS (
-  SELECT COUNT(*) AS n0,
-    SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS n1,
-    SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END) AS n2,
-    SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END) AS n3,
-    SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END) AS n4
+  -- stage-1 entrants = every corpus doc (zero-token docs produce no
+  -- token rows but still enter and fail rule 1) — mirrors the Spark
+  -- totals crossJoin
+  SELECT (SELECT COUNT(*) FROM documents) AS n0,
+    COALESCE(SUM(CASE WHEN b1 THEN 1 ELSE 0 END), 0) AS n1,
+    COALESCE(SUM(CASE WHEN b1 AND b2 THEN 1 ELSE 0 END), 0) AS n2,
+    COALESCE(SUM(CASE WHEN b1 AND b2 AND b3 THEN 1 ELSE 0 END), 0) AS n3,
+    COALESCE(SUM(CASE WHEN b1 AND b2 AND b3 AND b4 THEN 1 ELSE 0 END), 0)
+      AS n4
   FROM fl
 )
 SELECT CAST(s.stage AS BIGINT) AS stage, s.rule,
@@ -4510,7 +4514,10 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_LENGTH_HISTOGRAM = f"""
 WITH base AS (
+  -- zero-token docs (normalized text empty) are excluded — split('')
+  -- yields [''] on both engines, so the guard is on text, not len
   SELECT source, len({_TOKS_SQL}) AS n FROM documents
+  WHERE length({_NORM_SQL}) > 0
 )
 SELECT source, CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
   CAST(COUNT(*) AS BIGINT) AS n_docs,

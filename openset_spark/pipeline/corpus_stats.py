@@ -306,7 +306,14 @@ def quality_funnel(
     100k-token doc costs its vocab, not vocab x length (the naive
     array_distinct x filter form is quadratic per doc). The global
     funnel aggregate map-side combines to 5 numbers; the 4-row
-    stack after it is constant-size."""
+    stack after it is constant-size.
+
+    Stage-1 entrants = EVERY corpus doc (a count off the raw frame,
+    cross-joined as a single-row literal — not a per-doc join):
+    docs whose text produces no token rows (NULL text — explode
+    drops them) still enter the funnel and fail the n_tokens_band
+    rule, so n_in at stage 1 is the corpus size, and n1..n4 are
+    unaffected (such a doc is false on every rule)."""
     inst = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
     )
@@ -325,8 +332,8 @@ def quality_funnel(
         (n_dist * 2 >= n).alias("_b3"),
         (top * 8 <= n).alias("_b4"),
     )
+    totals = df.agg(F.count(F.lit(1)).alias("_n0"))
     agg = flagged.agg(
-        F.count(F.lit(1)).alias("_n0"),
         F.sum(F.col("_b1").cast("long")).alias("_n1"),
         F.sum((F.col("_b1") & F.col("_b2")).cast("long")).alias("_n2"),
         F.sum(
@@ -337,6 +344,10 @@ def quality_funnel(
                 F.col("_b1") & F.col("_b2") & F.col("_b3") & F.col("_b4")
             ).cast("long")
         ).alias("_n4"),
+    )
+    agg = totals.crossJoin(agg).select(
+        "_n0",
+        *[F.coalesce(F.col(f"_n{i}"), F.lit(0)).alias(f"_n{i}") for i in (1, 2, 3, 4)],
     )
     stack = ", ".join(
         f"{i + 1}L, '{rule}', _n{i}, _n{i + 1}"

@@ -505,14 +505,25 @@ def length_histogram(
     immune to the float-log2 boundary divergence a log()-based
     bucketing has between engines.
 
+    Zero-token docs (empty/whitespace-only/NULL text — note
+    split('') yields [''] so their token_count reads 1, not 0) are
+    EXCLUDED: no bucket satisfies the [2^b, 2^(b+1)) contract for
+    them, and a loader plans no sequence for an empty doc. The
+    emptiness test is on the NORMALIZED text, matching the
+    tokenizer's own definition.
+
     Output: (group, bucket, n_docs, sum_tokens, min_tokens,
     max_tokens). One map-side-combinable aggregate; no explode."""
-    from openset_spark.functions.text import token_count
+    from openset_spark.functions.text import normalize, token_count
 
-    base = df.select(
-        F.col(group_col),
-        token_count(F.col(text_col)).alias("_n"),
-    ).withColumn("bucket", (F.length(F.expr("bin(_n)")) - 1).cast("long"))
+    base = (
+        df.filter(F.length(normalize(F.col(text_col))) > 0)
+        .select(
+            F.col(group_col),
+            token_count(F.col(text_col)).alias("_n"),
+        )
+        .withColumn("bucket", (F.length(F.expr("bin(_n)")) - 1).cast("long"))
+    )
     return base.groupBy(group_col, "bucket").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_n").alias("sum_tokens"),

@@ -347,6 +347,8 @@ def test_length_histogram_power_of_two_boundaries(spark):
         (3, " ".join(["w"] * 15), "s"),   # 15 -> bucket 3
         (4, " ".join(["w"] * 16), "s"),   # 16 -> bucket 4
         (5, "single", "t"),               # 1 -> bucket 0
+        (6, "", "t"),                     # 0 tokens -> excluded
+        (7, "   ", "t"),                  # whitespace-only -> excluded
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = {(r.source, r.bucket): r for r in length_histogram(docs).collect()}
@@ -355,7 +357,10 @@ def test_length_histogram_power_of_two_boundaries(spark):
     assert b3.n_docs == 2 and b3.min_tokens == 8 and b3.max_tokens == 15
     assert b3.sum_tokens == 23
     assert out[("s", 4)].min_tokens == 16
-    assert out[("t", 0)].n_docs == 1
+    # zero-token docs are excluded: bucket 0 holds ONLY the 1-token doc
+    # (bin(0) would collide with it), and no other t-bucket appears
+    assert out[("t", 0)].n_docs == 1 and out[("t", 0)].min_tokens == 1
+    assert {k for k in out if k[0] == "t"} == {("t", 0)}
 
 
 def test_dup_cosine_check_flags_disagreement(spark):
@@ -455,3 +460,33 @@ def test_source_divergence_exact_values(spark):
     )
     o2 = {r.source: r for r in source_divergence(same).collect()}
     assert o2["A"].tv == 0.0 and o2["B"].tv_ppm == 0
+
+
+def test_quality_funnel_counts_empty_docs_at_stage_one(spark):
+    from openset_spark.pipeline.corpus_stats import quality_funnel
+
+    good = " ".join(f"word{i}" for i in range(30))  # 30 distinct 6-char-ish tokens
+    rows = [
+        (1, good, "s"),       # passes every rule
+        (2, "too short", "s"),  # fails rule 1 (n=2)
+        (3, "", "s"),          # zero tokens: enters stage 1, fails rule 1
+        (4, "   ", "s"),       # whitespace-only: same
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.stage: r for r in quality_funnel(docs).collect()}
+    # stage 1 entrants = the WHOLE corpus, incl. the 2 token-less docs
+    assert out[1].n_in == 4
+    assert out[1].n_pass == 1
+    # downstream stages see only the stage-1 survivor
+    assert out[2].n_in == 1
+
+
+def test_quality_funnel_all_empty_corpus(spark):
+    from openset_spark.pipeline.corpus_stats import quality_funnel
+
+    docs = spark.createDataFrame(
+        [(1, "", "s"), (2, " ", "s")], "doc_id long, text string, source string"
+    )
+    out = {r.stage: r for r in quality_funnel(docs).collect()}
+    assert out[1].n_in == 2 and out[1].n_pass == 0
+    assert out[4].n_in == 0 and out[4].n_pass == 0
