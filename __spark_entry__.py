@@ -2494,74 +2494,68 @@ _DRIVER_WINDOW = 50
 
 
 def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-9 window (VERDICT r8 ask #2): the 13 never-driver-green
-    # late-r8 keys all take slots, alongside 35 of the 47 veterans
-    # whose last green is r7 (rested through r8, stale at >r10) and
-    # the two sole family reps with no other coverage (decontam,
-    # sampling). The 12 remaining veterans are deferred to the r10
-    # window (marked in _extra_queries); the 48 r8-green keys rest in
-    # extras and are due back by r11. Ledger: COVERAGE.md.
+    # Round-10 window (VERDICT r9 ask #1 — the forced rotation): all
+    # 17 never-driver-green late-r9 keys + all 18 veterans whose last
+    # green is r7 (3 rounds stale) take 35 slots; the other 15 go to
+    # r8-green resting keys chosen for family coverage
+    # (tests/test_registry.py) plus the sole decontam rep. The 49
+    # r9-green keys rest in extras (due back by r12); the 34
+    # remaining r8-greens are due back in r11. Ledger: COVERAGE.md.
     return {
-        # relational (promoted r9: rested r8, last green r7)
-        "tpch_q1": q_tpch_q1,
-        "tpch_q7_style": q_tpch_q7_style,
-        "tpch_q10_style": q_tpch_q10_style,
-        # event engine (promoted r9)
-        "event_agg_by_type": q_event_agg_by_type,
-        "first_events_per_user": q_first_events_per_user,
-        "top_event_types_per_day": q_top_event_types_per_day,
-        "zorder_first_rows": q_zorder_first_rows,
-        # behavioral (promoted r9)
-        "session_counts": q_session_counts,
-        "funnel_within_hour": q_funnel_within_hour,
-        "next_event_transitions": q_next_event_transitions,
-        "weekly_retention": q_weekly_retention,
-        "customer_timeline": q_customer_timeline,
-        # OSL + segments (promoted r9)
-        "segment_sequence_counts": q_segment_sequence_counts,
-        "osl_event_agg": q_osl_event_agg,
-        "osl_script_counter": q_osl_script_counter,
-        # property counts / histograms / props (promoted r9)
-        "property_counts_bucketed": q_property_counts_bucketed,
-        "histogram_spend_clipped": q_histogram_spend_clipped,
-        "props_json_extract": q_props_json_extract,
-        # retention maintenance (promoted r9)
-        "retention_cap": q_retention_cap,
-        # pipeline: dedup / ann / text / packing (promoted r9)
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
-        "substring_dup_pairs": q_substring_dup_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_ivf": q_ann_ivf,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "pack_sequences": q_pack_sequences,
-        "mixture_select": q_mixture_select,
-        "lm_perplexity": q_lm_perplexity,
-        # sole in-window family reps (r8-green, confirming)
+        # never-driver-green cohort (late-r9 extras; VERDICT r9 ask #1)
+        "ngram_novelty": q_ngram_novelty,
+        "quality_funnel": q_quality_funnel,
+        "cooccur_pmi": q_cooccur_pmi,
+        "shard_manifest": q_shard_manifest,
+        "epoch_shuffle": q_epoch_shuffle,
+        "embedding_outliers": q_embedding_outliers,
+        "dataset_card": q_dataset_card,
+        "dup_pagerank": q_dup_pagerank,
+        "hard_negatives": q_hard_negatives,
+        "knn_agreement": q_knn_agreement,
+        "temperature_weights": q_temperature_weights,
+        "boilerplate_affixes": q_boilerplate_affixes,
+        "embedding_drift": q_embedding_drift,
+        "length_histogram": q_length_histogram,
+        "dup_cosine_check": q_dup_cosine_check,
+        "ann_ivfpq": q_ann_ivfpq,
+        "source_divergence": q_source_divergence,
+        # r7-stale veterans (deferred from the r9 rotation; 3 rounds old)
+        "event_agg_rollup": q_event_agg_rollup,
+        "recent_purchase_totals": q_recent_purchase_totals,
+        "histogram_by_type": q_histogram_by_type,
+        "histogram_weeks_since": q_histogram_weeks_since,
+        "osl_funnel_continue": q_osl_funnel_continue,
+        "osl_segment_counts": q_osl_segment_counts,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "session_counts_5min": q_session_counts_5min,
+        "top_paths": q_top_paths,
+        "doc_fingerprint": q_doc_fingerprint,
+        "repetition_signals": q_repetition_signals,
+        "user_purchase_totals": q_user_purchase_totals,
+        "textual_user_core": q_textual_user_core,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "osl_agg_options": q_osl_agg_options,
+        "session_length_quantiles": q_session_length_quantiles,
+        "ann_topk": q_ann_topk,
+        # r8-green fillers: family coverage + freshness (due r11 anyway)
+        "tpch_q3": q_tpch_q3,
+        "row_count_distribution": q_row_count_distribution,
+        "events_with_user_dim": q_events_with_user_dim,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "monthly_retention": q_monthly_retention,
+        "osl_customer_write": q_osl_customer_write,
+        "user_event_type_sets": q_user_event_type_sets,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "sample_per_stratum": q_sample_per_stratum,
+        "retention_cull": q_retention_cull,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "winnow_matches": q_winnow_matches,
+        "dsir_weights": q_dsir_weights,
+        "ann_lsh": q_ann_lsh,
+        # sole in-window decontam rep (r9-green, only family member)
         "contamination_check": q_contamination_check,
-        "token_budget_select": q_token_budget_select,
-        # never-driver-green cohort (VERDICT r8 ask #2: all 13 in-window)
-        "zipf_fit": q_zipf_fit,
-        "kneser_ney_score": q_kneser_ney_score,
-        "dup_span_fraction": q_dup_span_fraction,
-        "keyword_tags": q_keyword_tags,
-        "leakage_safe_split": q_leakage_safe_split,
-        "gopher_quality": q_gopher_quality,
-        "lexical_diversity": q_lexical_diversity,
-        "oov_rate": q_oov_rate,
-        "chunk_windows": q_chunk_windows,
-        "dsir_resample": q_dsir_resample,
-        "embedding_gram": q_embedding_gram,
-        "ann_pq": q_ann_pq,
-        "dedup_keep_best": q_dedup_keep_best,
-        # NEW r9: first-round green targets
-        "remove_dup_spans": q_remove_dup_spans,
-        "nearest_dup": q_nearest_dup,
-        "perplexity_buckets": q_perplexity_buckets,
-        "ngram_coverage": q_ngram_coverage,
-        "lang_confusion": q_lang_confusion,
-        "cross_source_dups": q_cross_source_dups,
     }
 
 
@@ -3378,14 +3372,13 @@ FROM m
 
 
 def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Two cohorts: 48 keys driver-green in r8 (freshest in the
-    # ledger, resting; due back by r11) and 12 veterans deferred from
-    # the r9 rotation (last green r7 — they MUST take r10 window
-    # slots). Every entry still replays its oracle vs DuckDB on each
-    # local pytest run (tests/test_correctness.py).
+    # Two resting cohorts: 34 keys driver-green in r8 (due back in
+    # the r11 window — 34 < 50, so r11 closes the cycle) and 49 keys
+    # driver-green in r9 (freshest; due back by r12). Every entry
+    # still replays its oracle vs DuckDB on each local pytest run
+    # (tests/test_correctness.py).
     return {
-        # demoted r9: driver-green in r8, due back by r11
-        "tpch_q3": q_tpch_q3,
+        # r8-green, resting (due r11)
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q9_style": q_tpch_q9_style,
@@ -3395,36 +3388,24 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_agg_two_level": q_event_agg_two_level,
         "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
         "last_purchase_per_user": q_last_purchase_per_user,
-        "row_count_distribution": q_row_count_distribution,
         "purchases_by_quarter": q_purchases_by_quarter,
-        "events_with_user_dim": q_events_with_user_dim,
         "session_stats": q_session_stats,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "monthly_retention": q_monthly_retention,
         "next_session_transitions": q_next_session_transitions,
         "days_to_convert": q_days_to_convert,
         "osl_histogram_weeks": q_osl_histogram_weeks,
         "segment_counts": q_segment_counts,
         "segment_algebra": q_segment_algebra,
-        "osl_customer_write": q_osl_customer_write,
         "osl_return_first": q_osl_return_first,
         "property_counts": q_property_counts,
         "property_counts_rx": q_property_counts_rx,
         "property_counts_between": q_property_counts_between,
-        "user_event_type_sets": q_user_event_type_sets,
-        "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
         "clean_documents": q_clean_documents,
         "top_bigrams": q_top_bigrams,
         "token_counts": q_token_counts,
-        "ann_lsh": q_ann_lsh,
-        "dsir_weights": q_dsir_weights,
-        "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "winnow_matches": q_winnow_matches,
-        "retention_cull": q_retention_cull,
         "source_overlap": q_source_overlap,
         "collocations": q_collocations,
         "char_entropy": q_char_entropy,
@@ -3432,43 +3413,56 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "embedding_centroids": q_embedding_centroids,
         "containment_pairs": q_containment_pairs,
-        "sample_per_stratum": q_sample_per_stratum,
-        # deferred veterans (last green r7, MUST window in r10)
-        "event_agg_rollup": q_event_agg_rollup,
-        "recent_purchase_totals": q_recent_purchase_totals,
-        "histogram_by_type": q_histogram_by_type,
-        "histogram_weeks_since": q_histogram_weeks_since,
-        "osl_funnel_continue": q_osl_funnel_continue,
-        "osl_segment_counts": q_osl_segment_counts,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "session_counts_5min": q_session_counts_5min,
-        "top_paths": q_top_paths,
-        "doc_fingerprint": q_doc_fingerprint,
-        "repetition_signals": q_repetition_signals,
-        "user_purchase_totals": q_user_purchase_totals,
-        "textual_user_core": q_textual_user_core,
-        "property_counts_by_segment": q_property_counts_by_segment,
-        "osl_agg_options": q_osl_agg_options,
-        "session_length_quantiles": q_session_length_quantiles,
-        "ann_topk": q_ann_topk,
-        "ngram_novelty": q_ngram_novelty,
-        "quality_funnel": q_quality_funnel,
-        "cooccur_pmi": q_cooccur_pmi,
-        "shard_manifest": q_shard_manifest,
-        "epoch_shuffle": q_epoch_shuffle,
-        "embedding_outliers": q_embedding_outliers,
-        "dataset_card": q_dataset_card,
-        "dup_pagerank": q_dup_pagerank,
-        "hard_negatives": q_hard_negatives,
-        "knn_agreement": q_knn_agreement,
-        "temperature_weights": q_temperature_weights,
-        "boilerplate_affixes": q_boilerplate_affixes,
-        "embedding_drift": q_embedding_drift,
-        "length_histogram": q_length_histogram,
-        "dup_cosine_check": q_dup_cosine_check,
-        "ann_ivfpq": q_ann_ivfpq,
-        "source_divergence": q_source_divergence,
+        # r9-green, resting (due by r12)
+        "tpch_q1": q_tpch_q1,
+        "tpch_q7_style": q_tpch_q7_style,
+        "tpch_q10_style": q_tpch_q10_style,
+        "event_agg_by_type": q_event_agg_by_type,
+        "first_events_per_user": q_first_events_per_user,
+        "top_event_types_per_day": q_top_event_types_per_day,
+        "zorder_first_rows": q_zorder_first_rows,
+        "session_counts": q_session_counts,
+        "funnel_within_hour": q_funnel_within_hour,
+        "next_event_transitions": q_next_event_transitions,
+        "weekly_retention": q_weekly_retention,
+        "customer_timeline": q_customer_timeline,
+        "segment_sequence_counts": q_segment_sequence_counts,
+        "osl_event_agg": q_osl_event_agg,
+        "osl_script_counter": q_osl_script_counter,
+        "property_counts_bucketed": q_property_counts_bucketed,
+        "histogram_spend_clipped": q_histogram_spend_clipped,
+        "props_json_extract": q_props_json_extract,
+        "retention_cap": q_retention_cap,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_ivf": q_ann_ivf,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "pack_sequences": q_pack_sequences,
+        "mixture_select": q_mixture_select,
+        "lm_perplexity": q_lm_perplexity,
+        "token_budget_select": q_token_budget_select,
+        "zipf_fit": q_zipf_fit,
+        "kneser_ney_score": q_kneser_ney_score,
+        "dup_span_fraction": q_dup_span_fraction,
+        "keyword_tags": q_keyword_tags,
+        "leakage_safe_split": q_leakage_safe_split,
+        "gopher_quality": q_gopher_quality,
+        "lexical_diversity": q_lexical_diversity,
+        "oov_rate": q_oov_rate,
+        "chunk_windows": q_chunk_windows,
+        "dsir_resample": q_dsir_resample,
+        "embedding_gram": q_embedding_gram,
+        "ann_pq": q_ann_pq,
+        "dedup_keep_best": q_dedup_keep_best,
+        "remove_dup_spans": q_remove_dup_spans,
+        "nearest_dup": q_nearest_dup,
+        "perplexity_buckets": q_perplexity_buckets,
+        "ngram_coverage": q_ngram_coverage,
+        "lang_confusion": q_lang_confusion,
+        "cross_source_dups": q_cross_source_dups,
     }
 
 
