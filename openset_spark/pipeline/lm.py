@@ -209,27 +209,67 @@ def perplexity_buckets(
     Determinism across engines: docs are ranked by the ROUNDED
     avg_logp (4 dp — the cross-engine-stable key lm_perplexity
     already proves) descending with doc_id as the total-order tie
-    break, so the NTILE boundaries are engine-exact. One extra
-    exchange over lm_perplexity: the global NTILE sorts the (doc,
-    score) pairs — tiny rows, and at scale an approx-quantile
-    range-partitioned variant slots in behind the same API.
+    break, so the tile boundaries are engine-exact.
+
+    Scale shape: NO global window. The rank is a distributed prefix
+    sum of unit weights (range partitions -> per-partition local
+    windows -> broadcast offsets — the token_budget_select
+    decomposition, proved exact by that operator's oracle), and the
+    tile is the closed-form NTILE assignment computed from (rank,
+    total): with N rows, k tiles, q = N div k, r = N mod k, the
+    first r tiles hold q+1 rows —
+
+        tile = 1 + (rank-1) div (q+1)            if rank <= r*(q+1)
+               1 + r + (rank-1-r*(q+1)) div q    otherwise
+
+    which is SQL NTILE's exact distribution row for row (note the
+    simpler floor((rank-1)*k/N) is NOT: at N=10,k=4 it deals sizes
+    3,2,3,2 vs NTILE's 3,3,2,2). The scored frame is checkpointed
+    once so the LM-scoring subtree isn't re-executed by the
+    range-boundary sampling or the total-count aggregate.
     Output: (doc_id, n_bigrams, avg_logp, bucket) with bucket in
     head/middle/tail (or tile_<i> beyond 3)."""
-    from pyspark.sql import Window
+    from openset_spark.pipeline.sampling import distributed_cumsum
 
-    scored = lm_perplexity(
-        docs, lm_corpus, text_col=text_col, id_col=id_col,
-        min_count=min_count,
-    ).select(id_col, "n_bigrams", "avg_logp")
-    w = Window.orderBy(F.desc("avg_logp"), F.asc(id_col))
+    scored = (
+        lm_perplexity(
+            docs, lm_corpus, text_col=text_col, id_col=id_col,
+            min_count=min_count,
+        )
+        .select(id_col, "n_bigrams", "avg_logp", F.lit(1).alias("_one"))
+        .localCheckpoint(eager=False)
+    )
+    order = [F.desc("avg_logp"), F.asc(id_col)]
+    ranked = distributed_cumsum(scored, order, "_one").withColumnRenamed(
+        "_cum", "_rank"
+    )
+    totals = scored.agg(F.count(F.lit(1)).alias("_N"))
     names = (
         ["head", "middle", "tail"] if n_buckets == 3
         else [f"tile_{i + 1}" for i in range(n_buckets)]
     )
     name_map = F.array(*[F.lit(s) for s in names])
-    return scored.withColumn("_t", F.ntile(n_buckets).over(w)).select(
+    with_n = ranked.crossJoin(F.broadcast(totals)).select(
+        F.col(id_col),
+        "n_bigrams",
+        "avg_logp",
+        F.expr(f"_N div {n_buckets}").alias("_q"),
+        F.expr(f"_N % {n_buckets}").alias("_r"),
+        F.col("_rank"),
+    )
+    big = F.col("_r") * (F.col("_q") + 1)  # rows living in the q+1 tiles
+    tile = F.when(
+        F.col("_rank") <= big,
+        1 + F.expr("(_rank - 1) div (_q + 1)"),
+    ).otherwise(
+        # greatest(_q,1): the branch is unreachable when _q = 0 (every
+        # rank <= _r = N there) but ANSI mode still evaluates the div
+        1 + F.col("_r")
+        + F.expr("(_rank - 1 - _r * (_q + 1)) div greatest(_q, 1L)")
+    )
+    return with_n.select(
         id_col,
         "n_bigrams",
         "avg_logp",
-        F.element_at(name_map, F.col("_t")).alias("bucket"),
+        F.element_at(name_map, tile.cast("int")).alias("bucket"),
     )

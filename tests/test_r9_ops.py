@@ -7,6 +7,7 @@ results, degenerate docs)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _mk_docs(spark, rows):
@@ -490,3 +491,73 @@ def test_quality_funnel_all_empty_corpus(spark):
     out = {r.stage: r for r in quality_funnel(docs).collect()}
     assert out[1].n_in == 2 and out[1].n_pass == 0
     assert out[4].n_in == 0 and out[4].n_pass == 0
+
+
+def test_perplexity_buckets_plan_has_no_global_window(spark):
+    """Scale-shape assertion (VERDICT r9 ask #2): the ranking is the
+    distributed prefix-sum, so every Window node in the executed plan
+    is partitioned (the per-range-partition local cumsum) — a
+    partition-less window here would serialize the whole corpus's
+    (doc, score) rows through one reducer."""
+    from openset_spark.pipeline.lm import perplexity_buckets
+
+    train = spark.createDataFrame(
+        [(100, "the cat sat on the mat " * 5)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"the cat w{i}") for i in range(6)], "doc_id long, text string"
+    )
+    plan = (
+        perplexity_buckets(docs, train)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan.lower()
+    # every window spec must name a partition column before its sort
+    # spec: windowspecdefinition(<partition cols...>, <order>, frame)
+    for seg in plan.split("windowspecdefinition(")[1:]:
+        head = seg.split("ASC")[0].split("DESC")[0]
+        assert "_pid" in head, f"partition-less window spec: {seg[:120]}"
+
+
+def test_perplexity_buckets_matches_ntile_distribution(spark):
+    """The closed-form tile assignment must equal SQL NTILE row for
+    row — including the N=10,k=4 shape where the naive
+    floor((rank-1)*k/N) deals 3,2,3,2 instead of NTILE's 3,3,2,2 —
+    and must be invariant to input partitioning."""
+    from pyspark.sql import Window as W
+
+    from openset_spark.pipeline.lm import lm_perplexity, perplexity_buckets
+
+    train = spark.createDataFrame(
+        [(100, "the cat sat on the mat " * 5)], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(3)) + " the cat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    for k in (2, 3, 4, 7, 10, 13):
+        got = {
+            r.doc_id: r.bucket
+            for r in perplexity_buckets(docs, train, n_buckets=k).collect()
+        }
+        ref_scored = lm_perplexity(docs, train)
+        w = W.orderBy(F.desc("avg_logp"), F.asc("doc_id"))
+        ref = {
+            r.doc_id: r.t
+            for r in ref_scored.withColumn(
+                "t", F.ntile(k).over(w)
+            ).collect()
+        }
+        names = (
+            ["head", "middle", "tail"] if k == 3
+            else [f"tile_{i + 1}" for i in range(k)]
+        )
+        want = {d: names[t - 1] for d, t in ref.items()}
+        assert got == want, f"k={k}: {got} != {want}"
+    # partition-count invariance
+    sprayed = docs.repartition(7)
+    a = sorted(perplexity_buckets(docs, train, n_buckets=4).collect())
+    b = sorted(perplexity_buckets(sprayed, train, n_buckets=4).collect())
+    assert a == b
