@@ -88,8 +88,43 @@ def _bench_impls():
             _COMPS_CACHE[d] = comps
         return leakage_safe_split(dd, comps=_COMPS_CACHE[d])
 
+    def _knn_agreement_cand(s, d):
+        # candidate-driven shape (VERDICT r9 ask #3): the IVF index is
+        # an ingest-time artifact (cached once, like the split's
+        # component frame); the query pays only the probe join +
+        # candidate-bounded scoring, never the corpus x queries cross
+        # join the registry's exact/oracle path times above.
+        from openset_spark.pipeline.similarity import (
+            ivf_candidate_pairs,
+            knn_label_agreement,
+        )
+
+        embs, _ = ann_inputs(s, d)
+        embs = embs.select("vec_id", "label", "embedding")
+        key = ("ivf_idx", d)
+        if key not in _COMPS_CACHE:
+            from openset_spark.pipeline.similarity import ivf_index
+
+            assigned, cents = ivf_index(embs, n_lists=16)
+            _COMPS_CACHE[key] = (assigned.localCheckpoint(), cents)
+        queries = embs.filter(F.col("vec_id") < 200).select(
+            F.col("vec_id").alias("query_id"), "label", "embedding"
+        )
+        # payload candidates (label+vector on the pair row): the
+        # scorer skips its corpus re-join, so the query path is pure
+        # broadcast joins over the pruned index scan. IVF pairs are
+        # unique by construction (one list per vector).
+        cand = ivf_candidate_pairs(
+            embs, queries, nprobe=4, index=_COMPS_CACHE[key],
+            payload_cols=("label", "embedding"),
+        )
+        return knn_label_agreement(
+            embs, queries, k=10, candidates=cand, assume_distinct=True
+        )
+
     return {
         "dedup_minhash": lambda s, d: minhash_candidates(docs(s, d)),
+        "knn_agreement_cand": _knn_agreement_cand,
         # the registry's dedup_clusters clusters the exact-Jaccard
         # pair set (its recursive-CTE oracle needs exact pairs); at
         # sf0.1 that graph is near-complete (7.1M of 12.5M possible
@@ -384,6 +419,7 @@ def main() -> None:
             for name in (
                 "hard_negatives",
                 "knn_agreement",
+                "knn_agreement_cand",
                 "temperature_weights",
                 "boilerplate_affixes",
                 "embedding_drift",

@@ -346,6 +346,76 @@ def run_scale_bench(
     )
     out["ivfpq_sec"] = timed(ivfpq_q)
     out["ivfpq_recall"] = round(_recall(ivfpq_q(), exact), 4)
+    # Label-aware kNN, candidate-driven (r10): agreement over the
+    # same 200k corpus through the IVF payload-candidate path — the
+    # shape hard_negatives/knn_label_agreement run at corpus scale.
+    # The EXACT agreement is derived from the persisted brute top-k
+    # frame (it IS the true kNN — zero extra cost), so the section
+    # reports both the speedup vs the exact scorer (brute_sec is the
+    # same crossJoin + top-k machinery) and the agreement deviation.
+    from openset_spark.pipeline.similarity import (
+        ivf_candidate_pairs,
+        knn_label_agreement,
+    )
+
+    lab_corpus = corpus.select(
+        "vec_id", (F.col("vec_id") % 8).cast("int").alias("label"), "embedding"
+    )
+    lab_queries = queries.select(
+        "query_id",
+        (F.col("query_id") % 8).cast("int").alias("label"),
+        "embedding",
+    )
+    lab_assigned = ivf_assigned.select(
+        "vec_id",
+        (F.col("vec_id") % 8).cast("int").alias("label"),
+        "embedding",
+        "list_id",
+    )
+    knn_cand = lambda: knn_label_agreement(  # noqa: E731
+        lab_corpus,
+        lab_queries,
+        k=K,
+        candidates=ivf_candidate_pairs(
+            lab_corpus,
+            lab_queries,
+            nprobe=IVF_NPROBE,
+            index=(lab_assigned, centroids),
+            payload_cols=("label", "embedding"),
+        ),
+        assume_distinct=True,
+    )
+    out["knn_cand_sec"] = timed(knn_cand)
+    out["knn_cand_speedup"] = round(
+        out["brute_sec"] / max(out["knn_cand_sec"], 1e-9), 2
+    )
+    # exact agreement from the persisted brute frame
+    q_lab = F.broadcast(
+        lab_queries.select("query_id", F.col("label").alias("_qlabel"))
+    )
+    exact_agree = {
+        r.label: r.match_ppm
+        for r in (
+            exact.join(q_lab, "query_id")
+            .join(lab_corpus.select("vec_id", "label"), "vec_id")
+            .groupBy("query_id", "_qlabel")
+            .agg(
+                F.sum(
+                    F.when(F.col("label") == F.col("_qlabel"), 1).otherwise(0)
+                ).alias("_m")
+            )
+            .groupBy(F.col("_qlabel").alias("label"))
+            .agg(F.count("*").alias("nq"), F.sum("_m").alias("_mm"))
+            .selectExpr(
+                "label", f"(_mm * 1000000) div ({K} * nq) AS match_ppm"
+            )
+            .collect()
+        )
+    }
+    cand_agree = {r.label: r.match_ppm for r in knn_cand().collect()}
+    out["knn_cand_max_ppm_dev"] = max(
+        abs(cand_agree.get(lbl, 0) - ppm) for lbl, ppm in exact_agree.items()
+    )
     exact.unpersist()
     out["lsh_speedup"] = round(out["brute_sec"] / max(out["lsh_sec"], 1e-9), 2)
     out["ivf_speedup"] = round(out["brute_sec"] / max(out["ivf_sec"], 1e-9), 2)

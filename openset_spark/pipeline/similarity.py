@@ -671,6 +671,73 @@ def embedding_outliers(
     )
 
 
+def ivf_candidate_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    index: tuple[DataFrame, list[tuple[int, list[float]]]] | None = None,
+    refine_iters: int = 0,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Candidate (query_id, id) pairs from the IVF coarse quantizer —
+    the generator the label-aware kNN ops plug in via ``candidates=``
+    (VERDICT r9 ask #3). Per query: the ``nprobe`` nearest inverted
+    lists; candidates = every corpus vector assigned to a probed
+    list. Same probe-join shape as :func:`ivf_topk` (broadcast probe
+    table, corpus-side cost nprobe/n_lists of a scan) but WITHOUT the
+    scoring — the consumer scores only these pairs. Pass ``index``
+    to reuse an ingest-time build (at 100 TB the assigned table is
+    partitioned by list_id, so the probe join prunes partitions).
+
+    ``payload_cols`` carries corpus columns (the vector, the label)
+    on each pair row, making the frame SELF-SCORING: the consumer
+    skips its corpus re-join entirely, so the whole candidate path
+    is broadcast joins over one pruned index scan — zero shuffles.
+
+    Probe selection here joins a 16-row centroid DataFrame instead
+    of compiling per-centroid literal expressions (ivf_topk's corpus
+    -assignment trick): the query side is small, and the literal
+    form costs seconds of whole-stage-codegen COMPILE per execution
+    at dim 64 — driver time that dominates small query batches."""
+    if index is not None:
+        assigned, centroids = index
+    else:
+        assigned, centroids = ivf_index(
+            corpus, n_lists, id_col, vec_col, refine_iters
+        )
+    cent_df = queries.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in v]) for cid, v in centroids],
+        "list_id int, _cvec array<double>",
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    sims = (
+        q.crossJoin(F.broadcast(cent_df))
+        .select(
+            query_id_col,
+            "list_id",
+            (
+                dot(F.col("_qvec"), F.col("_cvec"))
+                / (norm(F.col("_qvec")) * norm(F.col("_cvec")))
+            ).alias("_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("_sim"), F.asc("list_id")
+    )
+    probes = (
+        sims.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= nprobe)
+        .select(query_id_col, "list_id")
+    )
+    return assigned.join(F.broadcast(probes), "list_id").select(
+        query_id_col, id_col, *payload_cols
+    )
+
+
 def _label_scored(
     corpus: DataFrame,
     queries: DataFrame,
@@ -678,11 +745,34 @@ def _label_scored(
     vec_col: str,
     label_col: str,
     query_id_col: str,
+    candidates: DataFrame | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Shared scorer for the label-aware kNN ops: corpus x broadcast
     queries, self-pairs excluded, one dot product per pair (norms
     precomputed per row exactly like :func:`brute_force_topk` so the
-    cosine values are bit-identical to it)."""
+    cosine values are bit-identical to it).
+
+    ``candidates`` (a (query_id, id) pair frame, e.g. from
+    :func:`ivf_candidate_pairs` or an LSH bucket join) restricts
+    scoring to those pairs: the corpus joins the candidate frame on
+    id (AQE picks broadcast vs shuffle by size) and only then meets
+    the broadcast query frame — corpus rows outside any candidate
+    list are never scored, which is what makes corpus-scale query
+    sets affordable. The exact crossJoin remains the default (and
+    the oracle path). A candidate frame that already CARRIES
+    ``label_col`` and ``vec_col`` (ivf_candidate_pairs
+    ``payload_cols``) is self-scoring — the corpus re-join is
+    skipped and the path is pure broadcast joins over the pruned
+    index scan.
+
+    ``assume_distinct`` skips the pair dedup — REQUIRED correct only
+    when the generator emits each (query, id) at most once (IVF
+    assigns every vector to exactly one list, so
+    :func:`ivf_candidate_pairs` qualifies; multi-table LSH does
+    NOT). Duplicate pairs would double-count rows in the top-k cut,
+    and the dedup is a full shuffle of the pair frame — the single
+    biggest cost of the candidate path when it isn't needed."""
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),
@@ -697,9 +787,27 @@ def _label_scored(
         F.col(vec_col),
         norm(F.col(vec_col)).alias("_cnorm"),
     )
+    if candidates is None:
+        paired = c.crossJoin(q)
+    elif label_col in candidates.columns and vec_col in candidates.columns:
+        # self-scoring payload frame: no corpus re-join
+        cand = candidates.select(
+            query_id_col,
+            id_col,
+            F.col(label_col),
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("_cnorm"),
+        )
+        if not assume_distinct:
+            cand = cand.dropDuplicates([query_id_col, id_col])
+        paired = cand.join(q, query_id_col)
+    else:
+        cand = candidates.select(query_id_col, id_col)
+        if not assume_distinct:
+            cand = cand.distinct()
+        paired = c.join(cand, id_col).join(q, query_id_col)
     return (
-        c.crossJoin(q)
-        .filter(F.col(id_col) != F.col(query_id_col))
+        paired.filter(F.col(id_col) != F.col(query_id_col))
         .select(
             F.col(query_id_col),
             F.col("_qlabel"),
@@ -720,6 +828,8 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     query_id_col: str = "query_id",
+    candidates: DataFrame | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Contrastive-training hard-negative mining: for every query,
     the nearest SAME-label neighbour (the positive, self excluded)
@@ -740,10 +850,15 @@ def hard_negatives(
     stage ever holds a query's full |corpus| candidate list (the
     rank-1 window form pins it on one reducer per (query, side) —
     the embedding_outliers anti-pattern). For corpus-scale query
-    sets swap the exact scorer for the LSH/IVF candidate
-    generators upstream."""
+    sets pass ``candidates=`` (e.g. :func:`ivf_candidate_pairs`) to
+    restrict scoring to a candidate pair frame; the exact crossJoin
+    stays the default/oracle path. With candidates, a query probing
+    lists that hold no same-label (or no different-label) vector
+    reports NULL on that side — mine with nprobe high enough that
+    both sides are populated."""
     scored = _label_scored(
-        corpus, queries, id_col, vec_col, label_col, query_id_col
+        corpus, queries, id_col, vec_col, label_col, query_id_col,
+        candidates=candidates, assume_distinct=assume_distinct,
     ).withColumn("_same", F.col(label_col) == F.col("_qlabel"))
     pick = F.struct(
         F.col("cos_sim").alias("s"),
@@ -782,6 +897,8 @@ def knn_label_agreement(
     vec_col: str = "embedding",
     label_col: str = "label",
     query_id_col: str = "query_id",
+    candidates: DataFrame | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Embedding-quality metric: for each query, what fraction of its
     k nearest neighbours (self excluded) share its label — then the
@@ -796,9 +913,14 @@ def knn_label_agreement(
     — a local top-k inside each scan partition (window over (query,
     partition_id), bounded by partition size) feeds a global top-k
     over <= k x n_partitions survivors, so no reducer ever holds a
-    query's full |corpus| candidate list."""
+    query's full |corpus| candidate list. ``candidates=`` (e.g.
+    :func:`ivf_candidate_pairs`) restricts scoring to a candidate
+    pair frame — the affordable shape when the query set is itself
+    corpus-scale; agreement then measures the probed neighbourhood
+    (equal to exact whenever the true top-k are inside it)."""
     scored = _label_scored(
-        corpus, queries, id_col, vec_col, label_col, query_id_col
+        corpus, queries, id_col, vec_col, label_col, query_id_col,
+        candidates=candidates, assume_distinct=assume_distinct,
     ).withColumn("_pid", F.spark_partition_id())
     local_w = Window.partitionBy(query_id_col, "_pid").orderBy(
         F.desc("cos_sim"), F.asc(id_col)

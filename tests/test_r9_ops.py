@@ -561,3 +561,109 @@ def test_perplexity_buckets_matches_ntile_distribution(spark):
     a = sorted(perplexity_buckets(docs, train, n_buckets=4).collect())
     b = sorted(perplexity_buckets(sprayed, train, n_buckets=4).collect())
     assert a == b
+
+
+def _planted_clusters(spark, per_cluster=10, dim=8):
+    """4 tilted clusters, one per axis pair, labels alternating: odd
+    cluster c leans 0.05 toward cluster c-1's axis, so every query's
+    nearest OTHER cluster is its even/odd partner (cosine ~0.05 vs an
+    exact 0 for the far pair) and every pairwise cosine is UNIQUE
+    (the 0.01*j spread changes each member's norm) — no ties, so the
+    exact argmax and any candidate set containing the partner cluster
+    agree row for row."""
+    rows = []
+    for c in range(4):
+        for j in range(per_cluster):
+            v = [0.0] * dim
+            v[c * 2] = 1.0
+            v[c * 2 + 1] = 0.01 * j  # unique norms -> unique cosines
+            if c % 2 == 1:           # tilt toward partner cluster c-1
+                v[(c - 1) * 2] = 0.05
+            rows.append((c * per_cluster + j, c % 2, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+
+def _planted_index(spark, dim=8):
+    """Hand-built IVF index aligned with the planted clusters: list c
+    = cluster c, centroid = the cluster's tilted axis. nprobe=2 then
+    provably probes {own cluster, partner cluster}, which contains
+    both argmax sides — yet HALF the corpus is never scored."""
+    cents = []
+    for c in range(4):
+        v = [0.0] * dim
+        v[c * 2] = 1.0
+        if c % 2 == 1:
+            v[(c - 1) * 2] = 0.05
+        cents.append((c, v))
+    return cents
+
+
+def test_hard_negatives_candidates_equal_exact_on_planted(spark):
+    from openset_spark.pipeline.similarity import (
+        hard_negatives,
+        ivf_candidate_pairs,
+    )
+
+    embs = _planted_clusters(spark)
+    queries = embs.filter("vec_id % 10 = 3").selectExpr(
+        "vec_id AS query_id", "label", "embedding"
+    )
+    exact = sorted(hard_negatives(embs, queries).collect())
+    cents = _planted_index(spark)
+    assigned = embs.withColumn(
+        "list_id", (F.col("vec_id") / 10).cast("int")
+    )
+    cand = ivf_candidate_pairs(
+        embs, queries, nprobe=2, index=(assigned, cents)
+    )
+    # the candidate set genuinely restricts: half the corpus unscored
+    n_pairs = cand.count()
+    assert n_pairs == 4 * 20  # 4 queries x (own + partner cluster)
+    approx = sorted(
+        hard_negatives(embs, queries, candidates=cand).collect()
+    )
+    assert approx == exact
+
+
+def test_knn_agreement_candidates_equal_exact_on_planted(spark):
+    from openset_spark.pipeline.similarity import (
+        ivf_candidate_pairs,
+        knn_label_agreement,
+    )
+
+    embs = _planted_clusters(spark)
+    queries = embs.filter("vec_id % 5 = 3").selectExpr(
+        "vec_id AS query_id", "label", "embedding"
+    )
+    exact = sorted(knn_label_agreement(embs, queries, k=5).collect())
+    assigned = embs.withColumn(
+        "list_id", (F.col("vec_id") / 10).cast("int")
+    )
+    cand = ivf_candidate_pairs(
+        embs, queries, nprobe=2, index=(assigned, _planted_index(spark))
+    )
+    approx = sorted(
+        knn_label_agreement(embs, queries, k=5, candidates=cand).collect()
+    )
+    assert approx == exact
+
+
+def test_candidate_scored_pairs_never_leave_candidate_set(spark):
+    """The candidate join must RESTRICT: a pair outside the frame is
+    never scored, so handing a label-0 query only label-1 candidates
+    leaves its positive side NULL."""
+    from openset_spark.pipeline.similarity import hard_negatives
+
+    embs = _planted_clusters(spark)
+    queries = embs.filter("vec_id = 3").selectExpr(
+        "vec_id AS query_id", "label", "embedding"
+    )
+    diff_only = embs.filter("label = 1").selectExpr(
+        "CAST(3 AS LONG) AS query_id", "vec_id"
+    )
+    out = hard_negatives(embs, queries, candidates=diff_only).collect()
+    assert len(out) == 1
+    assert out[0].pos_id is None and out[0].pos_sim is None
+    assert out[0].neg_id is not None
