@@ -340,11 +340,18 @@ def _clamp_add_sub_full(l: int, t: int, tl: int) -> int:  # noqa: E741
 
 
 def _clamp_add_sub_half(ave: int, tl: int) -> int:
+    # spec pseudo-code is C: (a - b) / 2 TRUNCATES TOWARD ZERO.
+    # Python // floors, which differs for odd negative deltas
+    # (a=10, b=15: C -> 8, floor -> 7) — a divergence the mirrored
+    # in-test encoder could never see (caught r10 by the independent
+    # numpy model, the r9 dequant-x16 lesson applied)
     out = 0
     for shift in (24, 16, 8, 0):
         a = (ave >> shift) & 0xFF
         c = (tl >> shift) & 0xFF
-        v = _clamp(a + (a - c) // 2)
+        d = a - c
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        v = _clamp(a + half)
         out |= v << shift
     return out
 
