@@ -1178,3 +1178,83 @@ def test_stream_audio_features_match_batch(spark, tmpdir):
     assert len(streamed) == 2 * 2 + 1 * 2  # stereo WAV + mono FLAC frames
     # the two containers genuinely contributed distinct signals
     assert {m for m, *_ in streamed} == {1, 2}
+
+
+def test_stream_keep_best_matches_batch(spark, sf_dir, tmpdir):
+    """19th parity surface: folding the live quality-keeper stream
+    (admits minus evicts) must equal dedup_keep_best's keep=True set
+    over everything that arrived, with exact-text duplicate pairs —
+    EXACTLY, for adversarial arrival (scores ASCEND across files so
+    every multi-doc text dethrones its keeper; a same-score twin
+    with a LOWER id arrives last to exercise the tie rule)."""
+    import json
+
+    from openset_spark.pipeline.dedup import _bucket_pairs, dedup_keep_best
+    from openset_spark.functions.text import normalize
+    from openset_spark.streaming.dedup import stream_keep_best
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = [
+        {"doc_id": r.doc_id, "text": r.text}
+        for r in docs.select("doc_id", "text").limit(120).collect()
+    ]
+    originals = [
+        {**r, "quality": float((r["doc_id"] * 37) % 100) / 10.0}
+        for r in base
+    ]
+    # duplicates of the first 6 docs with HIGHER scores and high ids
+    dups = [
+        {"doc_id": 600_000 + j, "text": r["text"], "quality": 11.0 + j}
+        for j, r in enumerate(base[:6])
+    ]
+    # same-score twin with a LOWER id than its dup (tie -> lower id);
+    # 599_999 is outside the corpus id range (no collision with a
+    # real doc's own text cluster)
+    tie = [{"doc_id": 599_999, "text": base[0]["text"], "quality": 11.0}]
+    # files ARE the micro-batches (maxFilesPerTrigger=1): originals
+    # first, then the dethroning dups, then the tie twin — every
+    # injected row is guaranteed to arrive in a LATER batch than the
+    # keeper it dethrones
+    for i, batch_rows in enumerate((originals, dups, tie)):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in batch_rows:
+                f.write(json.dumps(r) + "\n")
+    _stamp_ordered(tmpdir)  # FileStreamSource orders by mtime
+
+    schema = "doc_id long, text string, quality double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_keepbest_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_keep_best(stream), name)
+    log = spark.sql(
+        f"select text_hash, doc_id, action from {name}"
+    ).collect()
+    live: set[tuple] = set()
+    n_evicts = 0
+    for r in log:
+        if r.action == "admit":
+            live.add((r.text_hash, r.doc_id))
+        else:
+            live.discard((r.text_hash, r.doc_id))
+            n_evicts += 1
+    assert n_evicts >= 6  # every injected better-score dup dethroned
+
+    batch_docs = spark.read.schema(schema).json(tmpdir)
+    hashed = batch_docs.select(
+        "doc_id", F.md5(normalize(F.col("text"))).alias("text_hash")
+    )
+    pairs = _bucket_pairs(hashed, ["text_hash"], "doc_id")
+    kept = {
+        r.doc_id
+        for r in dedup_keep_best(
+            batch_docs.select("doc_id", "quality"), pairs
+        ).collect()
+        if r.keep
+    }
+    assert {i for _h, i in live} == kept
+    # the tie rule resolved to the LOWER id at equal score 11.0:
+    # doc 599_999 (score 11.0) beats 600_000 (score 11.0)
+    assert 599_999 in kept and 600_000 not in kept
