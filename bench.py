@@ -256,6 +256,18 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration_sec": calibration,
     }
+    # Calibration gate (VERDICT r9 ask #8): the quiet-host series
+    # median of the busy-loop ruler is ~0.49 s. A >10% deviation means
+    # the host is contended (or throttled) and every Spark timing in
+    # this record scales with it — flag the record so a cross-round
+    # comparison discounts it instead of reading noise as regression.
+    _CAL_BASELINE = 0.49
+    if abs(calibration - _CAL_BASELINE) > 0.1 * _CAL_BASELINE:
+        out["calibration_warning"] = (
+            f"calibration_sec {calibration} deviates >10% from the "
+            f"quiet-series median {_CAL_BASELINE} — host tenancy noise; "
+            "discount absolute timings, per-query ratios stay usable"
+        )
 
     # Round-6 pipeline additions, timed OUTSIDE the headline so the
     # cross-round per-query series (and `value`) stays comparable.
@@ -481,6 +493,18 @@ def main() -> None:
             out["ann_scale"] = run_scale_bench(spark, reps=2)
         except Exception as e:  # pragma: no cover - defensive
             out["ann_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    # Media-path throughput (r10): decode_images / image_hashes /
+    # audio_feature_rows over cached generated payloads at a fixed
+    # byte budget — MB/s of payload through the Arrow mapInPandas
+    # tier. Disable with SPARK_GRAFT_MEDIA=0.
+    if os.environ.get("SPARK_GRAFT_MEDIA", "1") != "0":
+        try:
+            from openset_spark.pipeline.media_bench import run_media_bench
+
+            out["pipeline_media"] = run_media_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_media"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # full record first, COMPACT headline last: a tail-capped consumer
     # keeps the end of stdout, so the short final line always survives
