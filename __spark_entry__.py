@@ -3463,6 +3463,9 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_coverage": q_ngram_coverage,
         "lang_confusion": q_lang_confusion,
         "cross_source_dups": q_cross_source_dups,
+        # NEW r10 (never windowed yet; due in the r11 window)
+        "dedup_lines": q_dedup_lines,
+        "pii_report": q_pii_report,
     }
 
 
@@ -4202,6 +4205,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_coverage": _SQL_NGRAM_COVERAGE,
         "lang_confusion": _lang_confusion_sql(),
         "cross_source_dups": _SQL_CROSS_SOURCE_DUPS,
+        "dedup_lines": _SQL_DEDUP_LINES,
+        "pii_report": _pii_report_sql(),
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "quality_funnel": _SQL_QUALITY_FUNNEL,
         "cooccur_pmi": _SQL_COOCCUR_PMI,
@@ -4605,4 +4610,73 @@ SELECT source, CAST(t_s AS BIGINT) AS n_tokens,
     AS tv_ppm,
   ROUND(CAST(n AS DOUBLE) / (2.0 * t_s * t), 6) AS tv
 FROM num
+"""
+
+
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line-level dedup as a rewrite: drop lines appearing in
+    >= 2 distinct docs (document frequency, not occurrences). The
+    testdata has no newlines, so each doc is one line and the pass
+    degenerates to exact-text dedup — but the oracle checks the FULL
+    REWRITTEN TEXT string per doc, so the split/normalize/frequency/
+    reassembly chain is verified end to end. NEW r10."""
+    from openset_spark.pipeline.dedup import dedup_lines
+
+    return dedup_lines(_docs(spark, sf_dir))
+
+
+_SQL_DEDUP_LINES = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS ln,
+    md5(trim(regexp_replace(lower(ls[i]), '\\s+', ' ', 'g'))) AS h,
+    length(trim(regexp_replace(lower(ls[i]), '\\s+', ' ', 'g'))) AS nlen
+  FROM base, UNNEST(generate_series(1, len(ls))) AS s(i)
+),
+freq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS n FROM lines GROUP BY h
+),
+fl AS (
+  SELECT l.doc_id, l.pos, l.ln,
+    (f.n >= 2 AND l.nlen > 0) AS dropped
+  FROM lines l JOIN freq f USING (h)
+)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN NOT dropped THEN ln END, chr(10)
+                      ORDER BY pos), '') AS text,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM fl GROUP BY doc_id
+"""
+
+
+def q_pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII audit (URL/email/IPv4/phone regex hits). The
+    synthetic corpus carries no PII, so the oracle verifies the
+    cross-engine NO-FALSE-POSITIVE property of the shared Java/RE2
+    pattern subset on every doc; positive semantics are pinned by
+    unit fixtures (tests/test_r9_ops.py). NEW r10."""
+    from openset_spark.pipeline.pii import pii_source_report
+
+    return pii_source_report(_docs(spark, sf_dir))
+
+
+def _pii_report_sql() -> str:
+    from openset_spark.pipeline.pii import PII_PATTERNS
+
+    hit = {k: f"len(regexp_extract_all(text, '{p}'))"
+           for k, (p, _r) in PII_PATTERNS.items()}
+    total = " + ".join(hit.values())
+    per = ",\n  ".join(
+        f"CAST(SUM({expr}) AS BIGINT) AS n_{k}" for k, expr in hit.items()
+    )
+    return f"""
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN ({total}) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_with_pii,
+  {per}
+FROM documents GROUP BY source
 """

@@ -1258,3 +1258,63 @@ def test_stream_keep_best_matches_batch(spark, sf_dir, tmpdir):
     # the tie rule resolved to the LOWER id at equal score 11.0:
     # doc 599_999 (score 11.0) beats 600_000 (score 11.0)
     assert 599_999 in kept and 600_000 not in kept
+
+
+def test_stream_image_hashes_match_batch(spark, tmpdir):
+    """20th parity surface — second multimodal one: live perceptual
+    image hashing for ingest-time near-dup screening. decode_images
+    and image_hashes are both stateless Arrow mapInPandas stages, so
+    the composed stream equals the batch hashes of the same files
+    bit for bit, for any arrival order or micro-batch split — a
+    100 TB ingest points this at the media firehose and feeds the
+    Hamming-banded candidate join downstream."""
+    import sys
+
+    if "/root/repo/tests" not in sys.path:
+        sys.path.insert(0, "/root/repo/tests")
+    from openset_spark.pipeline.image_dedup import image_hashes
+    from openset_spark.pipeline.multimodal import decode_images
+    from test_image_dedup import _pattern, _ppm
+
+    schema = (
+        "media_id long, kind string, payload binary, mime string,"
+        " width long, height long, duration_ms long"
+    )
+    payloads = [
+        (1, _ppm(48, 32, _pattern)),
+        (2, _ppm(32, 24, _pattern)),   # resize twin of 1
+        (3, _ppm(40, 40, lambda x, y, w, h: (x * 13 + y * 29) % 256)),
+    ]
+    for mid, p in payloads:
+        spark.createDataFrame(
+            [(mid, "image", bytearray(p), "image/ppm", None, None, None)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(tmpdir + "/media")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmpdir + "/media")
+    )
+    name = f"parity_imghash_{uuid.uuid4().hex[:8]}"
+    _run_available(image_hashes(decode_images(stream)), name)
+    streamed = {
+        (r.media_id, r.dhash, r.phash)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch = {
+        (r.media_id, r.dhash, r.phash)
+        for r in image_hashes(
+            decode_images(spark.read.schema(schema).parquet(tmpdir + "/media"))
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) == 3
+    # the live hashes carry the perceptual signal: the resize twin is
+    # within Hamming 8 of its original, the distinct image is not
+    h = {m: (d, p) for m, d, p in streamed}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h[1][1], h[2][1]) <= 8
+    assert ham(h[1][1], h[3][1]) > 8
