@@ -64,6 +64,54 @@ def _png_payload(seed: int, w: int, h: int) -> bytes:
     )
 
 
+def _avi_payload(seed: int, w: int, h: int, n_frames: int) -> bytes:
+    """Minimal uncompressed-DIB AVI (bottom-up 24-bit frames, rows
+    padded to 4 bytes) — plain RIFF building from the public spec,
+    independent of the decoder and of the test suite's writer."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    row_bytes = (w * 3 + 3) & ~3
+    frames = []
+    for f in range(n_frames):
+        rows = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (seed * 2654435761 + (f * h + y) * w * 3 + x * 97) & 0xFFFFFF
+                rows += bytes((v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF))
+            rows += b"\x00" * (row_bytes - w * 3)
+        frames.append(bytes(rows))
+    avih = chunk(
+        b"avih",
+        struct.pack("<IIIII", 100_000, 0, 0, 0, n_frames)
+        + struct.pack("<III", 0, 1, 0)
+        + struct.pack("<II", w, h)
+        + b"\x00" * 16,
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"DIB "
+        + struct.pack("<IHHI", 0, 0, 0, 0)
+        + struct.pack("<IIII", 1, 10, 0, n_frames)
+        + struct.pack("<III", 0, 0, 0)
+        + struct.pack("<HHHH", 0, 0, w, h),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHH", 40, w, h, 1, 24)
+        + b"\x00\x00\x00\x00"
+        + struct.pack("<IiiII", row_bytes * h, 0, 0, 0, 0),
+    )
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def _wav_payload(seed: int, n_samples: int, rate: int = 16000) -> bytes:
     """16-bit mono PCM WAV: deterministic integer triangle-ish wave."""
     import io
@@ -106,6 +154,11 @@ def ensure_media_corpus(
             "media_wav.parquet",
             [(i, "audio", _wav_payload(i, 131072)) for i in range(128)],
         ),
+        # ~14 MB of DIB AVI (48 clips x 6 frames of 128x96x24bpp)
+        "avi": (
+            "media_avi.parquet",
+            [(i, "video", _avi_payload(i, 128, 96, 6)) for i in range(48)],
+        ),
     }
     out = {}
     for kind, (fname, rows) in specs.items():
@@ -133,6 +186,7 @@ def run_media_bench(
     from openset_spark.pipeline.multimodal import (
         audio_feature_rows,
         decode_images,
+        video_frame_rows,
     )
 
     corpora = ensure_media_corpus(spark, cache_dir)
@@ -160,6 +214,10 @@ def run_media_bench(
             lambda: audio_feature_rows(frames["wav"]),
             "wav",
         ),
+        "video_frames_avi": (
+            lambda: video_frame_rows(frames["avi"]),
+            "avi",
+        ),
     }
     for name, (build, kind) in jobs.items():
         sec = timed(build)
@@ -169,4 +227,5 @@ def run_media_bench(
     out["ppm_mb"] = round(corpora["ppm"][1] / 1e6, 1)
     out["png_mb"] = round(corpora["png"][1] / 1e6, 1)
     out["wav_mb"] = round(corpora["wav"][1] / 1e6, 1)
+    out["avi_mb"] = round(corpora["avi"][1] / 1e6, 1)
     return out
