@@ -3466,6 +3466,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r10 (never windowed yet; due in the r11 window)
         "dedup_lines": q_dedup_lines,
         "pii_report": q_pii_report,
+        "mink_prob": q_mink_prob,
     }
 
 
@@ -4207,6 +4208,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dups": _SQL_CROSS_SOURCE_DUPS,
         "dedup_lines": _SQL_DEDUP_LINES,
         "pii_report": _pii_report_sql(),
+        "mink_prob": _SQL_MINK_PROB,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "quality_funnel": _SQL_QUALITY_FUNNEL,
         "cooccur_pmi": _SQL_COOCCUR_PMI,
@@ -4679,4 +4681,70 @@ SELECT source,
     AS docs_with_pii,
   {per}
 FROM documents GROUP BY source
+"""
+
+
+def q_mink_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-K% probability membership signal (Shi et al. 2023): mean
+    of each doc's lowest 20% bigram log-probs under the same
+    doc_id%5==0-shard Laplace LM lm_perplexity uses. Selection is an
+    integer-exact windowed partial take over (logp, w1, w2)-ordered
+    bigram types. NEW r10."""
+    from openset_spark.pipeline.lm import mink_prob
+
+    docs = _docs(spark, sf_dir)
+    return mink_prob(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        k_pct=20,
+    )
+
+
+_SQL_MINK_PROB = f"""
+WITH tr AS (SELECT {_TOKS_SQL} AS ts FROM documents WHERE doc_id % 5 = 0),
+trb AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2, COUNT(*) AS c12
+  FROM tr, UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+  GROUP BY 1, 2
+),
+tru AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(ts) AS w1 FROM tr) GROUP BY 1
+),
+v AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM tr)
+),
+db AS (
+  SELECT doc_id, ts[i] AS w1, ts[i + 1] AS w2
+  FROM (
+    SELECT doc_id, {_TOKS_SQL} AS ts FROM documents WHERE doc_id % 5 <> 0
+  ), UNNEST(generate_series(1, len(ts) - 1)) AS s(i)
+),
+ty AS (
+  SELECT d.doc_id, d.w1, d.w2, COUNT(*) AS c,
+    MAX(ln((COALESCE(b.c12, 0) + 1) / (COALESCE(u.c1, 0) + v.v))) AS logp
+  FROM db d
+  LEFT JOIN trb b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN tru u ON d.w1 = u.w1, v
+  GROUP BY 1, 2, 3
+),
+st AS (
+  SELECT doc_id, logp, c,
+    SUM(c) OVER (PARTITION BY doc_id) AS n,
+    COALESCE(SUM(c) OVER (PARTITION BY doc_id ORDER BY logp, w1, w2
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM ty
+),
+tk AS (
+  SELECT doc_id, logp, n,
+    GREATEST(1, (n * 20 + 99) // 100) AS nlow,
+    GREATEST(0, LEAST(c, GREATEST(1, (n * 20 + 99) // 100) - before))
+      AS take
+  FROM st
+)
+SELECT doc_id,
+  CAST(MAX(n) AS BIGINT) AS n_bigrams,
+  CAST(MAX(nlow) AS BIGINT) AS n_scored,
+  ROUND(SUM(logp * take) / MAX(nlow), 4) AS mink_logp
+FROM tk GROUP BY doc_id
 """

@@ -65,6 +65,28 @@ def train_bigram_lm(
     return {"bigrams": bg, "unigrams": uni, "vocab": vocab}
 
 
+def _scored_bigrams(
+    docs: DataFrame, lm: dict, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-instance (id, w1, w2, _logp) rows of ``docs`` under a
+    trained Laplace bigram model — the shared scoring frame of
+    lm_perplexity and mink_prob (identical joins, so their logps
+    are the same IEEE doubles)."""
+    doc_bg = _bigrams(docs, text_col, F.col(id_col))
+    return (
+        doc_bg.join(lm["bigrams"], ["w1", "w2"], "left")
+        .join(lm["unigrams"], "w1", "left")
+        .crossJoin(F.broadcast(lm["vocab"]))
+        .withColumn(
+            "_logp",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ),
+        )
+    )
+
+
 def lm_perplexity(
     docs: DataFrame,
     lm_corpus: DataFrame,
@@ -78,19 +100,7 @@ def lm_perplexity(
     either way — the quality pipeline passes them to length filters
     instead)."""
     lm = train_bigram_lm(lm_corpus, text_col, min_count)
-    doc_bg = _bigrams(docs, text_col, F.col(id_col))
-    scored = (
-        doc_bg.join(lm["bigrams"], ["w1", "w2"], "left")
-        .join(lm["unigrams"], "w1", "left")
-        .crossJoin(F.broadcast(lm["vocab"]))
-        .withColumn(
-            "_logp",
-            F.log(
-                (F.coalesce(F.col("c12"), F.lit(0)) + 1)
-                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
-            ),
-        )
-    )
+    scored = _scored_bigrams(docs, lm, text_col, id_col)
     agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg("_logp").alias("_avg"),
@@ -272,4 +282,73 @@ def perplexity_buckets(
         "n_bigrams",
         "avg_logp",
         F.element_at(name_map, tile.cast("int")).alias("bucket"),
+    )
+
+
+def mink_prob(
+    docs: DataFrame,
+    lm_corpus: DataFrame,
+    k_pct: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """Min-K% probability — the pretraining-data membership signal
+    (Shi et al. 2023, "Detecting Pretraining Data from Large
+    Language Models"): a document the model has SEEN has few
+    surprisingly-low-probability tokens, so the mean of its lowest
+    k% token log-probs separates members from non-members better
+    than the full-average perplexity. Here the model is the same
+    Laplace bigram LM lm_perplexity scores with (identical joins —
+    identical IEEE logps).
+
+    Selection is integer-exact and engine-portable: n_low =
+    max(1, ceil(n * k / 100)) via (n*k + 99) div 100; bigram
+    instances collapse to (w1, w2, count) types, types order by
+    (logp ASC, w1, w2) — a total order because logp is a function
+    of (w1, w2) — and each type contributes
+    min(count, n_low - cum_before) instances, a windowed partial
+    take. The per-doc window is bounded by the doc's bigram
+    VOCABULARY. Output: (id, n_bigrams, n_scored,
+    mink_logp = ROUND(sum/n_low, 4)) — same float posture as
+    lm_perplexity's proven avg-then-round key."""
+    from pyspark.sql import Window
+
+    lm = train_bigram_lm(lm_corpus, text_col, min_count)
+    scored = _scored_bigrams(docs, lm, text_col, id_col)
+    types = scored.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_c"), F.max("_logp").alias("_logp")
+    )
+    w_doc = Window.partitionBy(id_col)
+    w_ord = Window.partitionBy(id_col).orderBy(
+        F.asc("_logp"), F.asc("w1"), F.asc("w2")
+    )
+    staged = (
+        types.withColumn("_n", F.sum("_c").over(w_doc))
+        .withColumn(
+            "_before",
+            F.coalesce(
+                F.sum("_c").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_nlow",
+            F.greatest(F.lit(1), F.expr(f"(_n * {int(k_pct)} + 99) div 100")),
+        )
+        .withColumn(
+            "_take",
+            F.greatest(
+                F.lit(0), F.least(F.col("_c"), F.col("_nlow") - F.col("_before"))
+            ),
+        )
+    )
+    return staged.groupBy(id_col).agg(
+        F.max("_n").cast("long").alias("n_bigrams"),
+        F.max("_nlow").cast("long").alias("n_scored"),
+        F.round(
+            F.sum(F.col("_logp") * F.col("_take")) / F.max("_nlow"), 4
+        ).alias("mink_logp"),
     )

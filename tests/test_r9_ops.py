@@ -770,3 +770,38 @@ def test_pii_source_report(spark):
     assert out["web"].n_docs == 2 and out["web"].docs_with_pii == 1
     assert out["web"].n_email == 2
     assert out["chat"].n_ipv4 == 1 and out["chat"].docs_with_pii == 1
+
+
+def test_mink_prob_selection_math(spark):
+    import math
+
+    from openset_spark.pipeline.lm import mink_prob
+
+    train = _mk_docs(spark, [(100, "a b a b a c")])
+    # unigrams a:3 b:2 c:1, V=3; bigrams (a,b):2 (b,a):2 (a,c):1
+    docs = _mk_docs(spark, [(1, "a b a z"), (2, "z z z z z")])
+    lp_ab = math.log(3 / 6)   # (2+1)/(3+3)
+    lp_ba = math.log(3 / 5)   # (2+1)/(2+3)
+    lp_az = math.log(1 / 6)   # unseen pair, seen context a
+    lp_zz = math.log(1 / 3)   # unseen context -> 1/V
+
+    out40 = {r.doc_id: r for r in
+             mink_prob(docs, train, k_pct=40).collect()}
+    # doc 1: n=3, nlow=ceil(1.2)=2 -> two lowest: az, ab
+    assert out40[1].n_bigrams == 3 and out40[1].n_scored == 2
+    assert out40[1].mink_logp == round((lp_az + lp_ab) / 2, 4)
+    # doc 2: one TYPE (z,z) x4 instances, nlow=2 -> partial take of 2
+    assert out40[2].n_bigrams == 4 and out40[2].n_scored == 2
+    assert out40[2].mink_logp == round(lp_zz, 4)
+
+    out20 = {r.doc_id: r for r in
+             mink_prob(docs, train, k_pct=20).collect()}
+    # nlow floors at 1: only the single worst bigram
+    assert out20[1].n_scored == 1
+    assert out20[1].mink_logp == round(lp_az, 4)
+    # sanity: a member-like doc (pure training text) scores HIGHER
+    member = _mk_docs(spark, [(9, "a b a b a c")])
+    m = mink_prob(member, train, k_pct=40).collect()[0]
+    assert m.mink_logp > out40[1].mink_logp
+    # unused tie-break sanity: lp ordering is az < ab < ba
+    assert lp_az < lp_ab < lp_ba
