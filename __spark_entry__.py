@@ -3467,6 +3467,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "pii_report": q_pii_report,
         "mink_prob": q_mink_prob,
+        "corpus_diff": q_corpus_diff,
     }
 
 
@@ -4209,6 +4210,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _SQL_DEDUP_LINES,
         "pii_report": _pii_report_sql(),
         "mink_prob": _SQL_MINK_PROB,
+        "corpus_diff": _SQL_CORPUS_DIFF,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "quality_funnel": _SQL_QUALITY_FUNNEL,
         "cooccur_pmi": _SQL_COOCCUR_PMI,
@@ -4747,4 +4749,52 @@ SELECT doc_id,
   CAST(MAX(nlow) AS BIGINT) AS n_scored,
   ROUND(SUM(logp * take) / MAX(nlow), 4) AS mink_logp
 FROM tk GROUP BY doc_id
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two derived corpus versions: old =
+    doc_id%7!=0 with an edit token appended on the %5==0 docs, new =
+    doc_id%11!=0 — exercising all four statuses (added %7==0&%11!=0,
+    removed %11==0&%7!=0, changed %5==0 survivors, unchanged rest)
+    through one full-outer hash join. NEW r10."""
+    from openset_spark.pipeline.compose import corpus_diff
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" archivednote")),
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 0)
+    return corpus_diff(old, new)
+
+
+_SQL_CORPUS_DIFF = f"""
+WITH old AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text || ' archivednote' ELSE text END
+      AS text
+  FROM documents WHERE doc_id % 7 <> 0
+),
+new AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0),
+oh AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS old_hash
+  FROM old
+),
+nh AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS new_hash
+  FROM new
+)
+SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+  CASE WHEN old_hash IS NULL THEN 'added'
+       WHEN new_hash IS NULL THEN 'removed'
+       WHEN old_hash = new_hash THEN 'unchanged'
+       ELSE 'changed' END AS status,
+  old_hash, new_hash
+FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
 """

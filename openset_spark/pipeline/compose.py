@@ -189,3 +189,39 @@ def write_corpus(
     with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
         json.dump(card, f, indent=1, sort_keys=True)
     return card
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the dataset-versioning
+    primitive (what changed between crawl N and crawl N+1, what a
+    retraining run actually sees as new): per-doc status over the
+    NORMALIZED content hash.
+
+    Output: (id, status in added|removed|changed|unchanged,
+    old_hash, new_hash). One full-outer hash join on the id — the
+    hashes are computed in the same projection as the scan, so each
+    side is one pass; at 100 TB both sides are id-bucketed snapshot
+    tables and the join is zero-exchange."""
+    from openset_spark.functions.text import normalize
+
+    oh = old.select(
+        F.col(id_col), F.md5(normalize(F.col(text_col))).alias("old_hash")
+    )
+    nh = new.select(
+        F.col(id_col), F.md5(normalize(F.col(text_col))).alias("new_hash")
+    )
+    j = oh.join(nh, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        F.col(id_col), status.alias("status"), "old_hash", "new_hash"
+    )

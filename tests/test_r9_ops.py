@@ -805,3 +805,28 @@ def test_mink_prob_selection_math(spark):
     assert m.mink_logp > out40[1].mink_logp
     # unused tie-break sanity: lp ordering is az < ab < ba
     assert lp_az < lp_ab < lp_ba
+
+
+def test_corpus_diff_statuses(spark):
+    from openset_spark.pipeline.compose import corpus_diff
+
+    old = _mk_docs(spark, [
+        (1, "same text"),
+        (2, "will change"),
+        (3, "will be removed"),
+        (4, "Same   TEXT normalizes too"),
+    ])
+    new = _mk_docs(spark, [
+        (1, "same text"),
+        (2, "changed now"),
+        (4, "same text NORMALIZES too"),  # case/space only -> unchanged
+        (5, "brand new"),
+    ])
+    out = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",
+        5: "added",
+    }
