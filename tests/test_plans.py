@@ -322,3 +322,45 @@ def test_culled_funnel_semijoins_before_window(spark, sf_dir):
     plan = plan_str(funnel(ev, steps, cull=True), "simple")
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_corpus_diff_is_zero_exchange(spark, sf_dir, tmp_path_factory):
+    """corpus_diff's scale claim, proven: two snapshot tables bucketed
+    by doc_id full-outer-join with NO exchange on either side, while
+    the plain-parquet baseline shuffles both."""
+    from openset_spark.pipeline.compose import corpus_diff
+    from openset_spark.sources.tables import write_bucketed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = str(tmp_path_factory.mktemp("snaps"))
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 0)
+    write_bucketed(
+        old, "corpus_snap_old", base + "/old",
+        bucket_col="doc_id", buckets=8, sort_col=None,
+    )
+    write_bucketed(
+        new, "corpus_snap_new", base + "/new",
+        bucket_col="doc_id", buckets=8, sort_col=None,
+    )
+    try:
+        diff_b = corpus_diff(
+            spark.table("corpus_snap_old"), spark.table("corpus_snap_new")
+        )
+        plan = plan_str(diff_b, "simple")
+        assert "Exchange hashpartitioning(doc_id" not in plan, plan
+        # unbucketed baseline shuffles both sides
+        diff_p = corpus_diff(old, new)
+        assert (
+            len(re.findall(
+                r"Exchange hashpartitioning\(doc_id",
+                plan_str(diff_p, "simple"),
+            )) == 2
+        )
+        # and the results are identical
+        a = sorted(diff_b.collect())
+        b = sorted(diff_p.collect())
+        assert a == b and len(a) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_snap_old")
+        spark.sql("DROP TABLE IF EXISTS corpus_snap_new")
