@@ -29,7 +29,12 @@ def redact_pii(
 ) -> Column:
     """Replace emails, phone-like runs and IPv4 addresses with tokens.
     Order matters: emails first (their digits would otherwise feed the
-    phone pattern), then IPs, then phones."""
+    phone pattern), then IPs, then phones.
+
+    This is the cheap in-projection pass clean_documents ships (its
+    behavior is pinned by that operator's oracle key); the richer
+    audit layer — URL pattern, typed per-doc counts, per-source
+    report, kinds= selection — lives in ``pipeline.pii``."""
     out = F.regexp_replace(text, EMAIL_RE, email)
     out = F.regexp_replace(out, IPV4_RE, ip)
     return F.regexp_replace(out, PHONE_RE, phone)

@@ -13,7 +13,14 @@ semantics (what each pattern catches, scrub order, overlap rules)
 are pinned by unit fixtures in tests/test_r9_ops.py.
 
 Everything is built-in regexp expressions — JVM-side, codegen'd, one
-scan, no Python in the hot path."""
+scan, no Python in the hot path.
+
+Relationship to ``cleaning.redact_pii``: that is the legacy cheap
+column-level redaction inside clean_documents (email/IP/phone, no
+URL — its output is pinned by the clean_documents oracle key and
+must not drift). This module is the AUDIT layer on top: typed
+counts, URL handling with the overlap-resolving scrub order, kinds=
+selection, and the per-source report."""
 
 from __future__ import annotations
 
