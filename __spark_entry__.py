@@ -3468,6 +3468,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_report": q_pii_report,
         "mink_prob": q_mink_prob,
         "corpus_diff": q_corpus_diff,
+        "asof_last_purchase": q_asof_last_purchase,
     }
 
 
@@ -4211,6 +4212,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_report": _pii_report_sql(),
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
+        "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "quality_funnel": _SQL_QUALITY_FUNNEL,
         "cooccur_pmi": _SQL_COOCCUR_PMI,
@@ -4797,4 +4799,50 @@ SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
        ELSE 'changed' END AS status,
   old_hash, new_hash
 FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+"""
+
+
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (kdb aj / merge_asof / DuckDB ASOF): every
+    non-purchase event picks the user's latest purchase at-or-before
+    its timestamp — union + running-window carry (one shuffle, no
+    range join), duplicate (user, ts) purchases resolved by
+    max-of-struct = MAX(value). Oracle = DuckDB's NATIVE ASOF LEFT
+    JOIN. NEW r10."""
+    from openset_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(left, right, values=("purchase_value",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.col("purchase_value_asof").alias("purchase_value"),
+    )
+
+
+_SQL_ASOF_LAST_PURCHASE = """
+WITH l AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts
+  FROM events WHERE event_type <> 'purchase'
+),
+r AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id,
+  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+  strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  r.purchase_value
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
 """

@@ -1,0 +1,120 @@
+"""AS-OF JOIN: each left row picks the temporally nearest right row
+at-or-before (backward) or at-or-after (forward) its own timestamp,
+per key — the kdb `aj` / pandas `merge_asof` / DuckDB `ASOF JOIN`
+operator Spark lacks natively. The canonical uses: join events to
+the dimension snapshot that was CURRENT when the event happened
+(SCD-2 without effective-date ranges), trades to the latest quote,
+sensor readings to the last calibration.
+
+Scale shape — union + running window, NOT a range join:
+
+* the right side collapses to one row per (key, ts) (deterministic
+  max-of-struct on the payload, so duplicate snapshot rows can't
+  make the result order-dependent);
+* both sides union into one frame tagged with a side bit, RIGHT
+  rows ordering BEFORE left rows at equal timestamps (that is what
+  makes the match inclusive: ts_right <= ts_left);
+* one window per key ordered by (ts, side) carries the most recent
+  payload forward via last(ignorenulls) — every left row reads its
+  answer from the running state.
+
+Cost: ONE shuffle of |left| + |right(key,ts)-distinct| rows keyed by
+the join key, and a per-key ordered scan — the same posture as
+sessionize (a key is processed within one task; key-level skew is
+the documented caveat, mitigated the same way: per-key history is
+bounded by retention). The naive alternatives lose at scale: a
+range-condition join degenerates to per-key cross products, and a
+per-left-row subquery probe is quadratic.
+
+``tolerance_ms`` nulls the match when the time gap exceeds it (the
+merge_asof semantics); unmatched left rows survive with NULL payload
+(LEFT-join semantics, mirroring DuckDB's ASOF LEFT JOIN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    values: tuple[str, ...] | None = None,
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Every ``left`` row + the payload ``values`` of the nearest
+    ``right`` row per ``by`` key (backward: greatest right.on <=
+    left.on; forward: least right.on >= left.on; equality matches in
+    both). Output = all left columns, then ``<on><suffix>`` (the
+    matched right timestamp) and ``<v><suffix>`` per payload column
+    — NULL when no match (or outside ``tolerance_ms``)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    if values is None:
+        values = tuple(
+            c for c in right.columns if c != on and c not in by
+        )
+    if not values:
+        raise ValueError("right side has no payload columns")
+
+    # one snapshot row per (key, ts): deterministic max-of-struct
+    right_d = right.groupBy(*by, on).agg(
+        F.max(F.struct(*[F.col(v) for v in values])).alias("_rp")
+    )
+    r_side = right_d.select(
+        *by,
+        F.col(on).alias("_ots"),
+        F.col(on).alias("_rts"),
+        F.col("_rp"),
+        F.lit(0).alias("_side"),
+        F.lit(None).alias("_lrow"),
+    )
+    l_side = left.select(
+        *by,
+        F.col(on).alias("_ots"),
+        F.lit(None).cast(right_d.schema[on].dataType).alias("_rts"),
+        F.lit(None).cast(right_d.schema["_rp"].dataType).alias("_rp"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    unioned = r_side.unionByName(l_side, allowMissingColumns=False)
+    order = (
+        [F.asc("_ots"), F.asc("_side")]
+        if direction == "backward"
+        else [F.desc("_ots"), F.asc("_side")]
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_side",
+        "_ots",
+        "_lrow",
+        F.last("_rts", ignorenulls=True).over(w).alias("_mts"),
+        F.last("_rp", ignorenulls=True).over(w).alias("_mp"),
+    ).filter(F.col("_side") == 1)
+    if tolerance_ms is not None:
+        gap = F.abs(
+            F.col("_ots").cast("double") - F.col("_mts").cast("double")
+        ) * 1000.0  # timestamps cast to double = epoch SECONDS
+        ok = F.col("_mts").isNotNull() & (gap <= float(tolerance_ms))
+        carried = carried.select(
+            "_side",
+            "_ots",
+            "_lrow",
+            F.when(ok, F.col("_mts")).alias("_mts"),
+            F.when(ok, F.col("_mp")).alias("_mp"),
+        )
+    out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("_mts").alias(f"{on}{suffix}"))
+    out_cols.extend(
+        F.col(f"_mp.{v}").alias(f"{v}{suffix}") for v in values
+    )
+    return carried.select(*out_cols)

@@ -707,3 +707,65 @@ def test_cull_users_preserves_funnel_counts(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_asof_join_backward_semantics(spark):
+    from openset_spark.operators.asof import asof_join
+
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, 10, t(5)), (2, 10, t(2)), (3, 10, t(1)), (4, 20, t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, t(2), 100.0), (10, t(4), 200.0), (20, t(30), 999.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    out = {r.event_id: r for r in
+           asof_join(left, right, by=("user_id",)).collect()}
+    # event 1 (t5): latest price at-or-before is t4 -> 200
+    assert out[1].price_asof == 200.0 and out[1].ts_asof == t(4)
+    # event 2 (t2): EQUALITY matches -> t2/100
+    assert out[2].price_asof == 100.0
+    # event 3 (t1): nothing before -> NULL, left row survives
+    assert out[3].price_asof is None and out[3].ts_asof is None
+    # event 4 (user 20, t9): its only quote is in the future -> NULL
+    assert out[4].price_asof is None
+    # all left columns intact
+    assert set(out[1].asDict()) == {
+        "event_id", "user_id", "ts", "ts_asof", "price_asof"
+    }
+
+
+def test_asof_join_forward_tolerance_and_dup_snapshots(spark):
+    from openset_spark.operators.asof import asof_join
+
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, 7, t(0)), (2, 7, t(25))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        # duplicate snapshot at the same (key, ts): max-of-struct wins
+        [(7, t(10), 5.0), (7, t(10), 8.0), (7, t(50), 1.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    fwd = {r.event_id: r for r in
+           asof_join(left, right, direction="forward").collect()}
+    assert fwd[1].price_asof == 8.0 and fwd[1].ts_asof == t(10)
+    assert fwd[2].price_asof == 1.0
+    # tolerance: 10s reaches t(10) from t(0); 20s does NOT reach
+    # t(50) from t(25)
+    tol = {r.event_id: r for r in
+           asof_join(left, right, direction="forward",
+                     tolerance_ms=20_000).collect()}
+    assert tol[1].price_asof == 8.0
+    assert tol[2].price_asof is None and tol[2].ts_asof is None
