@@ -3469,6 +3469,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mink_prob": q_mink_prob,
         "corpus_diff": q_corpus_diff,
         "asof_last_purchase": q_asof_last_purchase,
+        "events_in_purchase_window": q_events_in_purchase_window,
     }
 
 
@@ -4213,6 +4214,7 @@ def oracle_sql() -> dict[str, str]:
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,
+        "events_in_purchase_window": _SQL_EVENTS_IN_PURCHASE_WINDOW,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "quality_funnel": _SQL_QUALITY_FUNNEL,
         "cooccur_pmi": _SQL_COOCCUR_PMI,
@@ -4845,4 +4847,51 @@ SELECT l.event_id, l.user_id,
   r.purchase_value
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_events_in_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE/INTERVAL JOIN: non-purchase events x the 1-hour windows
+    opened by the same user's purchases ([purchase_ts, +1h), exclusive
+    end; overlapping windows each emit a row). Bucketized hash join —
+    never a per-key nested loop. Oracle = DuckDB's plain inequality
+    join. NEW r10."""
+    from openset_spark.operators.asof import interval_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("valid_to"),
+    )
+    out = interval_join(left, right, bucket_ms=3_600_000)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+    )
+
+
+_SQL_EVENTS_IN_PURCHASE_WINDOW = """
+WITH l AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts
+  FROM events WHERE event_type <> 'purchase'
+),
+r AS (
+  SELECT user_id, ts::TIMESTAMP AS valid_from,
+    ts::TIMESTAMP + INTERVAL 1 HOUR AS valid_to
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.event_id, l.user_id,
+  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+  strftime(r.valid_from, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+FROM l JOIN r
+  ON l.user_id = r.user_id
+ AND r.valid_from <= l.ts AND l.ts < r.valid_to
 """

@@ -118,3 +118,66 @@ def asof_join(
         F.col(f"_mp.{v}").alias(f"{v}{suffix}") for v in values
     )
     return carried.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    bucket_ms: int = 3_600_000,
+    how: str = "inner",
+) -> DataFrame:
+    """RANGE/INTERVAL JOIN: every ``left`` row x every ``right``
+    interval (``[start_col, end_col)``, same ``by`` key) that
+    CONTAINS its timestamp — the validity-window join (SCD-2 dims
+    with effective ranges, campaign windows, maintenance periods).
+    Many-to-many by definition: overlapping intervals each emit a
+    row.
+
+    Scale shape: Spark turns a bare range predicate into a per-key
+    nested-loop — quadratic in the key's row count. Instead both
+    sides BUCKETIZE on ``bucket_ms``: a point lands in exactly one
+    bucket, an interval explodes to the buckets it touches, the join
+    is a plain hash join on (key, bucket), and the exact containment
+    predicate filters after. Each (row, interval) pair can only meet
+    in the row's single bucket, so no dedup is needed. The explode
+    factor is interval_length / bucket_ms — pick the bucket near the
+    TYPICAL interval length (default 1 h); degenerate/empty
+    intervals (end <= start) match nothing and are dropped before
+    exploding.
+
+    ``how="left"`` keeps unmatched left rows with NULL interval
+    columns: the bucket join stays inner and the original left frame
+    left-joins the match frame back on ALL left columns (exact —
+    the match frame carries them verbatim)."""
+    from openset_spark.functions.time import epoch_ms
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how}")
+    w = int(bucket_ms)
+    lb = left.withColumn(
+        "_b", F.floor(epoch_ms(F.col(on)) / w).cast("long")
+    )
+    r_ok = right.filter(F.col(end_col) > F.col(start_col))
+    rb = r_ok.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(epoch_ms(F.col(start_col)) / w).cast("long"),
+                F.floor((epoch_ms(F.col(end_col)) - 1) / w).cast("long"),
+            )
+        ),
+    )
+    matched = (
+        lb.join(rb, [*by, "_b"])
+        .filter(
+            (F.col(start_col) <= F.col(on)) & (F.col(on) < F.col(end_col))
+        )
+        .drop("_b")
+    )
+    if how == "inner":
+        return matched
+    return left.join(matched, on=list(left.columns), how="left")

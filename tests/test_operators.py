@@ -769,3 +769,47 @@ def test_asof_join_forward_tolerance_and_dup_snapshots(spark):
                      tolerance_ms=20_000).collect()}
     assert tol[1].price_asof == 8.0
     assert tol[2].price_asof is None and tol[2].ts_asof is None
+
+
+def test_interval_join_containment_and_overlaps(spark):
+    from openset_spark.operators.asof import interval_join
+
+    import datetime as dt
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 5, t(10)), (2, 5, t(30)), (3, 5, t(61)), (4, 6, t(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (5, t(0), t(20), "a"),     # catches event 1
+            (5, t(5), t(40), "b"),     # overlaps: catches 1 AND 2
+            (5, t(61), t(61), "bad"),  # empty interval: matches nothing
+            (5, t(61), t(62), "c"),    # [61, 62): catches 3 (inclusive
+                                       # start), crosses an hour bucket
+            (6, t(20), t(30), "d"),    # wrong window for event 4
+        ],
+        "user_id long, valid_from timestamp, valid_to timestamp, tag string",
+    )
+    out = sorted(
+        (r.event_id, r.tag)
+        for r in interval_join(
+            left, right, bucket_ms=600_000
+        ).collect()
+    )
+    assert out == [(1, "a"), (1, "b"), (2, "b"), (3, "c")]
+    # exclusive end: an event AT valid_to does not match
+    edge = spark.createDataFrame(
+        [(9, 5, t(20))], "event_id long, user_id long, ts timestamp"
+    )
+    assert interval_join(
+        edge, right.filter("tag = 'a'"), bucket_ms=600_000
+    ).count() == 0
+    # left semantics keep unmatched rows with NULL interval columns
+    lo = {r.event_id: r for r in interval_join(
+        left, right, bucket_ms=600_000, how="left"
+    ).collect() if r.event_id == 4}
+    assert lo[4].tag is None and lo[4].valid_from is None
