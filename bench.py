@@ -449,6 +449,30 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r9c"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-10 additions: line-level dedup, the PII audit, Min-K%
+    # scoring, snapshot diffs, and the temporal joins.
+    # Disable with SPARK_GRAFT_R10=0.
+    if os.environ.get("SPARK_GRAFT_R10", "1") != "0":
+        try:
+            extra = {}
+            for name in (
+                "dedup_lines",
+                "pii_report",
+                "mink_prob",
+                "corpus_diff",
+                "asof_last_purchase",
+                "events_in_purchase_window",
+            ):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r10"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r10"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Loader-scale evidence: distributed prefix-sum rank vs the naive
     # single-task global window on a 6M-row synthetic corpus, plus an
     # exact rank-equality spot check. Disable with SPARK_GRAFT_LOADER=0.
