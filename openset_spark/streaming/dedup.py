@@ -278,3 +278,4 @@ def stream_keep_best(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+

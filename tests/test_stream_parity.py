@@ -1318,3 +1318,77 @@ def test_stream_image_hashes_match_batch(spark, tmpdir):
 
     assert ham(h[1][1], h[2][1]) <= 8
     assert ham(h[1][1], h[3][1]) > 8
+
+
+def test_stream_asof_enrich_matches_batch_asof_join(spark, tmpdir):
+    """21st parity surface: the live as-of enrichment (state = latest
+    snapshot per key) over an in-order mixed stream equals the batch
+    asof_join of the split sides EXACTLY, across micro-batch
+    boundaries — including an event whose matching snapshot arrived
+    in an EARLIER batch (the state carry) and events before any
+    snapshot (NULL payload both sides)."""
+    import json
+
+    from openset_spark.operators.asof import asof_join
+    from openset_spark.streaming.enrich import stream_asof_enrich
+
+    base = "2024-01-01T00:"
+    rows = [
+        # user 1: snapshot @00, events @01 (match 00), snapshot @02
+        # in the NEXT batch, events @03/@05 (match 02), equal-ts
+        # event @02 (snapshot sorts first -> matches 02)
+        {"user_id": 1, "ts": base + "00:00", "side": "snapshot",
+         "price": 10.0, "event_id": 0},
+        {"user_id": 1, "ts": base + "01:00", "side": "event",
+         "price": None, "event_id": 101},
+        {"user_id": 2, "ts": base + "00:30", "side": "event",
+         "price": None, "event_id": 201},  # before any snapshot
+        {"user_id": 1, "ts": base + "02:00", "side": "snapshot",
+         "price": 20.0, "event_id": 0},
+        {"user_id": 1, "ts": base + "02:00", "side": "event",
+         "price": None, "event_id": 102},
+        {"user_id": 2, "ts": base + "03:00", "side": "snapshot",
+         "price": 99.0, "event_id": 0},
+        {"user_id": 1, "ts": base + "03:00", "side": "event",
+         "price": None, "event_id": 103},
+        {"user_id": 1, "ts": base + "05:00", "side": "event",
+         "price": None, "event_id": 104},
+        {"user_id": 2, "ts": base + "06:00", "side": "event",
+         "price": None, "event_id": 202},
+    ]
+    chunks = [rows[:3], rows[3:6], rows[6:]]
+    for i, ch in enumerate(chunks):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in ch:
+                f.write(json.dumps(r) + "\n")
+    _stamp_ordered(tmpdir)
+
+    schema = ("user_id long, ts timestamp, side string, price double,"
+              " event_id long")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_asof_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_asof_enrich(stream), name)
+    streamed = {
+        (r.event_id, r.ts_asof, r.price_asof)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+
+    batch = spark.read.schema(schema).json(tmpdir)
+    left = batch.filter("side = 'event'").select("event_id", "user_id", "ts")
+    right = batch.filter("side = 'snapshot'").select(
+        "user_id", "ts", "price"
+    )
+    expected = {
+        (r.event_id, r.ts_asof, r.price_asof)
+        for r in asof_join(left, right, values=("price",)).collect()
+    }
+    assert streamed == expected and len(streamed) == 6
+    by_id = {e: (t, p) for e, t, p in streamed}
+    assert by_id[201] == (None, None)       # no snapshot yet
+    assert by_id[102][1] == 20.0            # equal-ts inclusive match
+    assert by_id[104][1] == 20.0            # state carried across batches
+    assert by_id[202][1] == 99.0
