@@ -3470,6 +3470,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,
         "asof_last_purchase": q_asof_last_purchase,
         "events_in_purchase_window": q_events_in_purchase_window,
+        "time_rollup": q_time_rollup,
     }
 
 
@@ -4215,6 +4216,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,
         "events_in_purchase_window": _SQL_EVENTS_IN_PURCHASE_WINDOW,
+        "time_rollup": _SQL_TIME_ROLLUP,
         "ngram_novelty": _SQL_NGRAM_NOVELTY,
         "quality_funnel": _SQL_QUALITY_FUNNEL,
         "cooccur_pmi": _SQL_COOCCUR_PMI,
@@ -4894,4 +4896,50 @@ SELECT l.event_id, l.user_id,
 FROM l JOIN r
   ON l.user_id = r.user_id
  AND r.valid_from <= l.ts AND l.ts < r.valid_to
+"""
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: counts + DECIMAL
+    value sums per event_type at day AND hour granularity from ONE
+    rollup shuffle (levels where the type dim is grouped away are
+    filtered out). Buckets emitted as formatted strings. NEW r10."""
+    from openset_spark.operators.events import time_rollup
+
+    ev = _events(spark, sf_dir).withColumn("value", _dec("value", 12, 2))
+    out = time_rollup(
+        ev,
+        granularities=("day", "hour"),
+        aggs=[("sum", "value", "sum_value")],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "granularity",
+        "event_type",
+        F.date_format("bucket_day", fmt).alias("bucket_day"),
+        F.date_format("bucket_hour", fmt).alias("bucket_hour"),
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+_SQL_TIME_ROLLUP = """
+WITH base AS (
+  SELECT event_type, date_trunc('day', ts::TIMESTAMP) AS bd,
+    date_trunc('hour', ts::TIMESTAMP) AS bh,
+    CAST(value AS DECIMAL(12,2)) AS value
+  FROM events
+),
+r AS (
+  SELECT event_type, bd, bh, COUNT(*) AS n,
+    CAST(SUM(value) AS DOUBLE) AS sum_value,
+    GROUPING(bd) AS g_bd, GROUPING(bh) AS g_bh
+  FROM base GROUP BY event_type, ROLLUP(bd, bh)
+)
+SELECT CASE WHEN g_bh = 1 THEN 'day' ELSE 'hour' END AS granularity,
+  event_type,
+  strftime(bd, '%Y-%m-%d %H:%M:%S') AS bucket_day,
+  strftime(bh, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+  CAST(n AS BIGINT) AS n, sum_value
+FROM r WHERE g_bd = 0
 """

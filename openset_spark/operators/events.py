@@ -283,3 +283,60 @@ def first_match_row(
         F.min(F.when(where, F.col("_cursor"))).alias("row"),
         F.max(F.when(where, True).otherwise(False)).alias("test"),
     )
+
+
+def time_rollup(
+    df: DataFrame,
+    granularities: Sequence[str] = ("day", "hour", "minute"),
+    ts_col: str = "ts",
+    group_by: Sequence[str] = ("event_type",),
+    aggs: Sequence[tuple[str, str, str]] = (),
+    count_alias: str = "n",
+) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the SAME
+    aggregates at EVERY time granularity of a hierarchy (day > hour >
+    minute ...) in ONE shuffle — the pre-aggregation table a
+    time-series store maintains so dashboards never rescan raw
+    events. Each output row carries its ``granularity`` label, the
+    bucket columns (finer ones NULL at coarser levels — the standard
+    rollup shape), the fixed ``group_by`` dims, a row count, and the
+    requested aggregates.
+
+    Plan shape: one ``rollup`` over (group_by..., bucket_coarse ...
+    bucket_fine), filtered to the levels where every group_by dim is
+    present — Spark computes all levels map-side-partially in a
+    single exchange; N granularities never cost N scans. The
+    incremental-refresh twin is the streaming aggregate surface
+    (streaming/aggregate.py) feeding the same bucket expressions."""
+    buckets = [
+        F.date_trunc(g, F.col(ts_col)).alias(f"bucket_{g}")
+        for g in granularities
+    ]
+    exprs: list[Column] = [F.count(F.lit(1)).alias(count_alias)]
+    exprs += [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
+    gcols = [F.col(c) for c in group_by]
+    rolled = df.rollup(*gcols, *buckets).agg(
+        *exprs, F.grouping_id().alias("_gid")
+    )
+    # keep only levels where ALL group_by dims are grouped-in AND at
+    # least the coarsest bucket is present: grouping_id's low bits
+    # cover the FINE buckets, high bits the group_by dims
+    n_bits = len(group_by) + len(granularities)
+    # rows kept: _gid < 2^(len(granularities)-?) ... compute masks
+    # explicitly: every group_by bit 0, bucket bits form a suffix of
+    # 1s (rollup guarantees the suffix shape)
+    max_fine_mask = (1 << (len(granularities) - 1)) - 1
+    kept = rolled.filter(F.col("_gid") <= F.lit(max_fine_mask))
+    level = F.lit(None).cast("string")
+    for i, g in enumerate(granularities):
+        # level g: buckets finer than g are grouped away — gid has
+        # exactly (len - 1 - i) low bits set
+        gid = (1 << (len(granularities) - 1 - i)) - 1
+        level = F.when(F.col("_gid") == gid, F.lit(g)).otherwise(level)
+    return kept.select(
+        level.alias("granularity"),
+        *[F.col(c) for c in group_by],
+        *[F.col(f"bucket_{g}") for g in granularities],
+        count_alias,
+        *[alias for _fn, _c, alias in aggs],
+    )

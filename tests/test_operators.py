@@ -813,3 +813,48 @@ def test_interval_join_containment_and_overlaps(spark):
         left, right, bucket_ms=600_000, how="left"
     ).collect() if r.event_id == 4}
     assert lo[4].tag is None and lo[4].valid_from is None
+
+
+def test_time_rollup_hierarchy_levels(spark):
+    from openset_spark.operators.events import time_rollup
+
+    import datetime as dt
+
+    def t(h, m):
+        return dt.datetime(2024, 3, 1, h, m, 0)
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", t(10, 5), 1.0),
+            (2, "click", t(10, 5), 2.0),
+            (3, "click", t(10, 30), 4.0),
+            (4, "click", t(11, 0), 8.0),
+            (5, "buy", t(10, 5), 16.0),
+        ],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    out = time_rollup(
+        ev, aggs=[("sum", "value", "sum_value")]
+    ).collect()
+    rows = {
+        (r.granularity, r.event_type, r.bucket_day, r.bucket_hour,
+         r.bucket_minute): (r.n, r.sum_value)
+        for r in out
+    }
+    d = dt.datetime(2024, 3, 1)
+    # day level: finer buckets NULL, totals across the whole day
+    assert rows[("day", "click", d, None, None)] == (4, 15.0)
+    assert rows[("day", "buy", d, None, None)] == (1, 16.0)
+    # hour level
+    h10 = dt.datetime(2024, 3, 1, 10)
+    assert rows[("hour", "click", d, h10, None)] == (3, 7.0)
+    assert rows[("hour", "click", d, dt.datetime(2024, 3, 1, 11), None)][0] == 1
+    # minute level
+    assert rows[("minute", "click", d, h10, t(10, 5))] == (2, 3.0)
+    # NO grand-total or type-rolled rows leak through
+    assert all(k[1] is not None for k in rows)
+    assert all(k[0] is not None for k in rows)
+    # level counts are consistent: sum of minute n == day n per type
+    mins = sum(v[0] for k, v in rows.items()
+               if k[0] == "minute" and k[1] == "click")
+    assert mins == rows[("day", "click", d, None, None)][0]
