@@ -858,3 +858,120 @@ def test_time_rollup_hierarchy_levels(spark):
     mins = sum(v[0] for k, v in rows.items()
                if k[0] == "minute" and k[1] == "click")
     assert mins == rows[("day", "click", d, None, None)][0]
+
+
+def test_asof_join_fuzz_vs_pandas_merge_asof(spark):
+    """Independent model: pandas merge_asof implements the same
+    operator from a different codebase — 8 fuzzed corpora (random
+    keys/timestamps incl. equal-ts collisions) must agree row for
+    row in both directions and under tolerance. (key, ts) is kept
+    unique on the right so both resolutions coincide."""
+    import random
+
+    import pandas as pd
+
+    from openset_spark.operators.asof import asof_join
+
+    rnd = random.Random(77)
+    for trial in range(8):
+        n_l, n_r = rnd.randrange(5, 60), rnd.randrange(3, 40)
+        lrows = [
+            (i, rnd.randrange(3),
+             (pd.Timestamp(2024, 1, 1)
+              + pd.Timedelta(seconds=rnd.randrange(0, 500)))
+             .to_pydatetime())
+            for i in range(n_l)
+        ]
+        seen = set()
+        rrows = []
+        for j in range(n_r):
+            k = rnd.randrange(3)
+            ts = (
+                pd.Timestamp(2024, 1, 1)
+                + pd.Timedelta(seconds=rnd.randrange(0, 500))
+            ).to_pydatetime()
+            if (k, ts) in seen:
+                continue
+            seen.add((k, ts))
+            rrows.append((k, ts, float(j)))
+        left = spark.createDataFrame(
+            lrows, "event_id long, user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            rrows, "user_id long, ts timestamp, price double"
+        )
+        direction = rnd.choice(["backward", "forward"])
+        tol = rnd.choice([None, 60_000])
+        got = {
+            r.event_id: (r.ts_asof, r.price_asof)
+            for r in asof_join(
+                left, right, direction=direction, tolerance_ms=tol
+            ).collect()
+        }
+        lp = pd.DataFrame(lrows, columns=["event_id", "user_id", "ts"])
+        rp = pd.DataFrame(rrows, columns=["user_id", "ts", "price"])
+        ref = pd.merge_asof(
+            lp.sort_values("ts"),
+            rp.sort_values("ts").rename(columns={"ts": "rts"}),
+            left_on="ts",
+            right_on="rts",
+            by="user_id",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(milliseconds=tol),
+        )
+        for _, r in ref.iterrows():
+            want_ts = None if pd.isna(r["rts"]) else r["rts"].to_pydatetime()
+            want_p = None if pd.isna(r["price"]) else float(r["price"])
+            assert got[int(r["event_id"])] == (want_ts, want_p), (
+                trial, int(r["event_id"]), direction, tol
+            )
+
+
+def test_interval_join_fuzz_vs_naive_predicate_join(spark):
+    """Independent model: the bucketized join must equal the naive
+    (quadratic) range-predicate join on fuzzed intervals — including
+    intervals shorter, longer, and much longer than the bucket."""
+    import random
+
+    from openset_spark.operators.asof import interval_join
+
+    import datetime as dt
+
+    rnd = random.Random(31)
+    base = dt.datetime(2024, 5, 1)
+    for trial in range(6):
+        left = spark.createDataFrame(
+            [
+                (i, rnd.randrange(2),
+                 base + dt.timedelta(seconds=rnd.randrange(0, 2000)))
+                for i in range(40)
+            ],
+            "event_id long, user_id long, ts timestamp",
+        )
+        rrows = []
+        for j in range(15):
+            a = rnd.randrange(0, 2000)
+            b = a + rnd.randrange(-50, 900)  # some empty/negative
+            rrows.append(
+                (rnd.randrange(2), base + dt.timedelta(seconds=a),
+                 base + dt.timedelta(seconds=b), j)
+            )
+        right = spark.createDataFrame(
+            rrows,
+            "user_id long, valid_from timestamp, valid_to timestamp,"
+            " iv_id long",
+        )
+        got = sorted(
+            (r.event_id, r.iv_id)
+            for r in interval_join(left, right, bucket_ms=120_000).collect()
+        )
+        naive = sorted(
+            (r.event_id, r.iv_id)
+            for r in left.join(
+                right,
+                (left.user_id == right.user_id)
+                & (right.valid_from <= left.ts)
+                & (left.ts < right.valid_to),
+            ).collect()
+        )
+        assert got == naive, trial
