@@ -151,8 +151,10 @@ def interval_join(
 
     ``how="left"`` keeps unmatched left rows with NULL interval
     columns: the bucket join stays inner and the original left frame
-    left-joins the match frame back on ALL left columns (exact —
-    the match frame carries them verbatim)."""
+    left-joins the match frame back on ALL left columns (exact when
+    left rows are distinct — the match frame carries them verbatim;
+    a left frame with FULLY duplicated rows would cross-multiply in
+    the join-back, so carry a unique id column in that case)."""
     from openset_spark.functions.time import epoch_ms
 
     if how not in ("inner", "left"):
