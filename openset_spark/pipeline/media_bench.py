@@ -144,10 +144,12 @@ def ensure_media_corpus(
             "media_ppm.parquet",
             [(i, "image", _ppm_payload(i, 128, 96)) for i in range(640)],
         ),
-        # ~6 MB compressed / ~24 MB decoded PNG (pure-Python unfilter)
+        # ~24 MB compressed / ~94 MB decoded PNG — sized r10 after the
+        # numpy fast-path unfilter (155 MB/s single-core) made the old
+        # 6 MB corpus a pure Spark-overhead measurement
         "png": (
             "media_png.parquet",
-            [(i, "image", _png_payload(i, 128, 96)) for i in range(160)],
+            [(i, "image", _png_payload(i, 128, 96)) for i in range(640)],
         ),
         # ~32 MB of PCM (128 x 128k-sample mono WAVs x 256 KB)
         "wav": (

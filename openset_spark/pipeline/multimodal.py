@@ -172,6 +172,68 @@ def decode_png_bytes(
 
     raw = zlib.decompress(bytes(idat))
 
+    if interlace == 0 and depth == 8 and not paletted:
+        # numpy FAST PATH for the dominant profile (8-bit truecolor/
+        # gray, no interlace): whole-row vector unfilter for
+        # None/Sub/Up (Sub is a per-lane cumsum — exact, since mod
+        # 256 distributes over the sum) and direct array assembly —
+        # no per-pixel tuple grid. Average/Paeth rows keep the
+        # per-byte loop (true left-dependency). Bit-identical to the
+        # general path below, which still serves palette/16-bit/
+        # Adam7 (the exact-pixel suites cover every filter on both).
+        import numpy as np
+
+        stride = row_stride(w)
+        need = h * (stride + 1)
+        if len(raw) < need:
+            raise ValueError("truncated PNG pixel data")
+        mat = np.frombuffer(raw, dtype=np.uint8)[:need].reshape(
+            h, stride + 1
+        )
+        filters = mat[:, 0]
+        out_rows = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            f = int(filters[y])
+            line = mat[y, 1:].astype(np.int64)
+            if f == 0:
+                cur = line
+            elif f == 1:  # Sub
+                cur = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(
+                    stride
+                )
+            elif f == 2:  # Up
+                cur = line + prev
+            elif f in (3, 4):  # Average/Paeth: sequential left dep
+                lb = bytearray(mat[y, 1:].tobytes())
+                pb_ = prev.astype(np.uint8).tobytes()
+                if f == 3:
+                    for i in range(stride):
+                        a = lb[i - bpp] if i >= bpp else 0
+                        lb[i] = (lb[i] + ((a + pb_[i]) >> 1)) & 0xFF
+                else:
+                    for i in range(stride):
+                        a = lb[i - bpp] if i >= bpp else 0
+                        b = pb_[i]
+                        c = pb_[i - bpp] if i >= bpp else 0
+                        pa, pb2, pc = (
+                            abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                        )
+                        pr = (
+                            a if pa <= pb2 and pa <= pc
+                            else (b if pb2 <= pc else c)
+                        )
+                        lb[i] = (lb[i] + pr) & 0xFF
+                cur = np.frombuffer(bytes(lb), dtype=np.uint8).astype(
+                    np.int64
+                )
+            else:
+                raise ValueError(f"bad scanline filter {f}")
+            cur = cur & 0xFF
+            out_rows[y] = cur
+            prev = cur
+        return w, h, channels, out_rows.tobytes()
+
     def unfilter(pos: int, pw: int, ph: int):
         """One filtered sub-image -> list of unfiltered row buffers."""
         stride = row_stride(pw)
