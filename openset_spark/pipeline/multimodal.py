@@ -1172,6 +1172,22 @@ def wav_samples(data: bytes) -> tuple[int, int, int, list[list[int]]]:
     step = bits // 8
     frame = n_ch * step
     n_frames = len(payload) // frame if frame else 0
+    if bits in (8, 16, 32) and n_frames:
+        # numpy fast path: native dtypes deinterleave as one strided
+        # view (values identical to the per-sample loop — same
+        # two's-complement reads, same 8-bit recentering). 24-bit has
+        # no native dtype and keeps the loop.
+        import numpy as np
+
+        dt = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
+        flat = np.frombuffer(
+            payload[: n_frames * frame], dtype=dt
+        ).reshape(n_frames, n_ch)
+        if bits == 8:
+            flat = flat.astype(np.int64) - 128
+        return rate, n_ch, bits, [
+            flat[:, c].tolist() for c in range(n_ch)
+        ]
     chans: list[list[int]] = [[] for _ in range(n_ch)]
     for i in range(n_frames):
         base = i * frame
@@ -1245,6 +1261,30 @@ def audio_feature_rows(
                     _rate, n_ch, _bits, chans = wav_samples(b)
                 for c in range(n_ch):
                     xs = chans[c]
+                    if _bits <= 16 and xs:
+                        # numpy fast path: s*s <= 2^30, so int64
+                        # frame sums are exact for any sane frame
+                        # size; np.sqrt and math.sqrt are both the
+                        # correctly-rounded IEEE sqrt, so values are
+                        # bit-identical to the loop below (which
+                        # stays for 24/32-bit samples, whose squares
+                        # could overflow the int64 accumulator)
+                        import numpy as np
+
+                        arr = np.asarray(xs, dtype=np.int64)
+                        for f0 in range(0, len(arr), frame):
+                            wn = arr[f0 : f0 + frame]
+                            sumsq = int((wn * wn).sum())
+                            zcr = int((wn[:-1] * wn[1:] < 0).sum())
+                            peak = int(np.abs(wn).max())
+                            out["media_id"].append(int(mid))
+                            out["channel"].append(c)
+                            out["frame_idx"].append(f0 // frame)
+                            out["n"].append(len(wn))
+                            out["rms"].append(math.sqrt(sumsq / len(wn)))
+                            out["zcr"].append(zcr)
+                            out["peak"].append(peak)
+                        continue
                     for f0 in range(0, len(xs), frame):
                         win = xs[f0 : f0 + frame]
                         sumsq = 0
