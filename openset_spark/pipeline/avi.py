@@ -230,6 +230,19 @@ def _decode_dib(body: bytes, w: int, h: int, bitcount: int, bottom_up: bool) -> 
         raise ValueError(f"unsupported DIB bit count {bitcount}")
     bpp = bitcount // 8
     stride = (w * bpp + 3) & ~3
+    try:
+        # numpy fast path: strided view + channel reversal (same
+        # BGR->RGB, same bottom-up flip, byte-identical)
+        import numpy as np
+
+        a = np.frombuffer(body[: stride * h], dtype=np.uint8).reshape(
+            h, stride
+        )[:, : w * bpp].reshape(h, w, bpp)
+        if bottom_up:
+            a = a[::-1]
+        return a[:, :, 2::-1].tobytes()  # BGR(A) -> RGB, alpha dropped
+    except ImportError:  # pragma: no cover - numpy is baked in
+        pass
     out = bytearray(w * h * 3)
     for y in range(h):
         src = (h - 1 - y if bottom_up else y) * stride
