@@ -61,19 +61,21 @@ def _to_gray(np, px: bytes, w: int, h: int, ch: int):
 def _area_resize(np, gray, out_h: int, out_w: int):
     """Area-average downsample (float64) with integer box boundaries
     i*h//H — exact, partition-free, and defined for ANY size ratio
-    (upsampling repeats pixels; boxes are never empty)."""
+    (upsampling repeats pixels; boxes are never empty). Vectorized
+    via an int64 integral image: box sums are exact integers, so the
+    float64 division gives the same values the per-box loop did."""
     h, w = gray.shape
-    ys = [(i * h) // out_h for i in range(out_h)] + [h]
-    xs = [(j * w) // out_w for j in range(out_w)] + [w]
-    out = np.empty((out_h, out_w), dtype=np.float64)
-    for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        row = gray[y0:y1]
-        for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            box = row[:, x0:x1]
-            out[i, j] = box.sum() / box.size
-    return out
+    ss = np.zeros((h + 1, w + 1), dtype=np.int64)
+    ss[1:, 1:] = gray.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    ys = np.array([(i * h) // out_h for i in range(out_h)] + [h])
+    xs = np.array([(j * w) // out_w for j in range(out_w)] + [w])
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    sums = (
+        ss[y1][:, x1] - ss[y0][:, x1] - ss[y1][:, x0] + ss[y0][:, x0]
+    )
+    sizes = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return sums / sizes
 
 
 def _dct_basis(np, n: int):
