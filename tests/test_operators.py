@@ -975,3 +975,57 @@ def test_interval_join_fuzz_vs_naive_predicate_join(spark):
             ).collect()
         )
         assert got == naive, trial
+
+
+def test_time_rollup_fuzz_vs_independent_per_level_groupby(spark):
+    """Independent model: the single-shuffle rollup must equal three
+    separately-computed per-granularity groupBy aggregates on fuzzed
+    events (random types/timestamps across days)."""
+    import random
+
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from openset_spark.operators.events import time_rollup
+
+    rnd = random.Random(55)
+    rows = [
+        (i,
+         rnd.choice(["a", "b", "c"]),
+         dt.datetime(2024, 6, 1 + rnd.randrange(3), rnd.randrange(24),
+                     rnd.randrange(60), rnd.randrange(60)),
+         float(rnd.randrange(100)))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r.granularity, r.event_type, r.bucket_day, r.bucket_hour,
+         r.bucket_minute): (r.n, r.sum_value)
+        for r in time_rollup(ev, aggs=[("sum", "value", "sum_value")])
+        .collect()
+    }
+    grans = ("day", "hour", "minute")
+    want = {}
+    for gi, g in enumerate(grans):
+        bucket_cols = [
+            F.date_trunc(gg, "ts").alias(f"b_{gg}") for gg in grans[: gi + 1]
+        ]
+        agg = ev.groupBy("event_type", *bucket_cols).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        )
+        for r in agg.collect():
+            key = (
+                g,
+                r.event_type,
+                r.b_day,
+                r.b_hour if gi >= 1 else None,
+                r.b_minute if gi >= 2 else None,
+            )
+            want[key] = (r.n, r.sv)
+    assert set(got) == set(want)
+    for k, (n, sv) in want.items():
+        gn, gsv = got[k]
+        assert gn == n and abs(gsv - sv) < 1e-9, k
