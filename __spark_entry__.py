@@ -2494,68 +2494,66 @@ _DRIVER_WINDOW = 50
 
 
 def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-10 window (VERDICT r9 ask #1 — the forced rotation): all
-    # 17 never-driver-green late-r9 keys + all 18 veterans whose last
-    # green is r7 (3 rounds stale) take 35 slots; the other 15 go to
-    # r8-green resting keys chosen for family coverage
-    # (tests/test_registry.py) plus the sole decontam rep. The 49
-    # r9-green keys rest in extras (due back by r12); the 34
-    # remaining r8-greens are due back in r11. Ledger: COVERAGE.md.
+    # Round-11 window (VERDICT r10 ask #1 — closes the full-registry
+    # cycle): all 7 never-driver-green r10-born keys + all 34 veterans
+    # whose last green is r8 (due this round) take 41 slots; 7 fillers
+    # cover the remaining families (tests/test_registry.py) and the 2
+    # free slots re-verify perplexity_buckets (its r10 distributed-rank
+    # rewrite never saw a driver row) and mixture_select. The 50
+    # r10-greens rest in extras (due r12); the 49 r9-greens split
+    # across r12/r13. Ledger: COVERAGE.md.
     return {
-        # never-driver-green cohort (late-r9 extras; VERDICT r9 ask #1)
-        "ngram_novelty": q_ngram_novelty,
-        "quality_funnel": q_quality_funnel,
-        "cooccur_pmi": q_cooccur_pmi,
-        "shard_manifest": q_shard_manifest,
-        "epoch_shuffle": q_epoch_shuffle,
-        "embedding_outliers": q_embedding_outliers,
-        "dataset_card": q_dataset_card,
-        "dup_pagerank": q_dup_pagerank,
-        "hard_negatives": q_hard_negatives,
-        "knn_agreement": q_knn_agreement,
-        "temperature_weights": q_temperature_weights,
-        "boilerplate_affixes": q_boilerplate_affixes,
-        "embedding_drift": q_embedding_drift,
-        "length_histogram": q_length_histogram,
-        "dup_cosine_check": q_dup_cosine_check,
-        "ann_ivfpq": q_ann_ivfpq,
-        "source_divergence": q_source_divergence,
-        # r7-stale veterans (deferred from the r9 rotation; 3 rounds old)
-        "event_agg_rollup": q_event_agg_rollup,
-        "recent_purchase_totals": q_recent_purchase_totals,
-        "histogram_by_type": q_histogram_by_type,
-        "histogram_weeks_since": q_histogram_weeks_since,
-        "osl_funnel_continue": q_osl_funnel_continue,
-        "osl_segment_counts": q_osl_segment_counts,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "session_counts_5min": q_session_counts_5min,
-        "top_paths": q_top_paths,
-        "doc_fingerprint": q_doc_fingerprint,
-        "repetition_signals": q_repetition_signals,
-        "user_purchase_totals": q_user_purchase_totals,
-        "textual_user_core": q_textual_user_core,
-        "property_counts_by_segment": q_property_counts_by_segment,
-        "osl_agg_options": q_osl_agg_options,
-        "session_length_quantiles": q_session_length_quantiles,
-        "ann_topk": q_ann_topk,
-        # r8-green fillers: family coverage + freshness (due r11 anyway)
-        "tpch_q3": q_tpch_q3,
-        "row_count_distribution": q_row_count_distribution,
-        "events_with_user_dim": q_events_with_user_dim,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "monthly_retention": q_monthly_retention,
-        "osl_customer_write": q_osl_customer_write,
-        "user_event_type_sets": q_user_event_type_sets,
-        "dedup_exact_keep": q_dedup_exact_keep,
-        "sample_per_stratum": q_sample_per_stratum,
-        "retention_cull": q_retention_cull,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "winnow_matches": q_winnow_matches,
-        "dsir_weights": q_dsir_weights,
-        "ann_lsh": q_ann_lsh,
-        # sole in-window decontam rep (r9-green, only family member)
+        # r8-stale veterans (34 — last green r8, due back this round)
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q9_style": q_tpch_q9_style,
+        "tpch_q18_style": q_tpch_q18_style,
+        "top_customers": q_top_customers,
+        "event_agg_by_day": q_event_agg_by_day,
+        "event_agg_two_level": q_event_agg_two_level,
+        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
+        "last_purchase_per_user": q_last_purchase_per_user,
+        "purchases_by_quarter": q_purchases_by_quarter,
+        "session_stats": q_session_stats,
+        "next_session_transitions": q_next_session_transitions,
+        "days_to_convert": q_days_to_convert,
+        "osl_histogram_weeks": q_osl_histogram_weeks,
+        "segment_counts": q_segment_counts,
+        "segment_algebra": q_segment_algebra,
+        "osl_return_first": q_osl_return_first,
+        "property_counts": q_property_counts,
+        "property_counts_rx": q_property_counts_rx,
+        "property_counts_between": q_property_counts_between,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "clean_documents": q_clean_documents,
+        "top_bigrams": q_top_bigrams,
+        "token_counts": q_token_counts,
+        "bm25_search": q_bm25_search,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "source_overlap": q_source_overlap,
+        "collocations": q_collocations,
+        "char_entropy": q_char_entropy,
+        "readability": q_readability,
+        "vocab_growth": q_vocab_growth,
+        "embedding_centroids": q_embedding_centroids,
+        "containment_pairs": q_containment_pairs,
+        "dedup_lines": q_dedup_lines,
+        "pii_report": q_pii_report,
+        "mink_prob": q_mink_prob,
+        "corpus_diff": q_corpus_diff,
+        "asof_last_purchase": q_asof_last_purchase,
+        "events_in_purchase_window": q_events_in_purchase_window,
+        "time_rollup": q_time_rollup,
+        "customer_timeline": q_customer_timeline,
+        "weekly_retention": q_weekly_retention,
+        "props_json_extract": q_props_json_extract,
+        "dedup_exact": q_dedup_exact,
         "contamination_check": q_contamination_check,
+        "token_budget_select": q_token_budget_select,
+        "retention_cap": q_retention_cap,
+        "perplexity_buckets": q_perplexity_buckets,
+        "mixture_select": q_mixture_select,
     }
 
 
@@ -3378,42 +3376,55 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # still replays its oracle vs DuckDB on each local pytest run
     # (tests/test_correctness.py).
     return {
-        # r8-green, resting (due r11)
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q9_style": q_tpch_q9_style,
-        "tpch_q18_style": q_tpch_q18_style,
-        "top_customers": q_top_customers,
-        "event_agg_by_day": q_event_agg_by_day,
-        "event_agg_two_level": q_event_agg_two_level,
-        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
-        "last_purchase_per_user": q_last_purchase_per_user,
-        "purchases_by_quarter": q_purchases_by_quarter,
-        "session_stats": q_session_stats,
-        "next_session_transitions": q_next_session_transitions,
-        "days_to_convert": q_days_to_convert,
-        "osl_histogram_weeks": q_osl_histogram_weeks,
-        "segment_counts": q_segment_counts,
-        "segment_algebra": q_segment_algebra,
-        "osl_return_first": q_osl_return_first,
-        "property_counts": q_property_counts,
-        "property_counts_rx": q_property_counts_rx,
-        "property_counts_between": q_property_counts_between,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_stats": q_text_stats,
-        "clean_documents": q_clean_documents,
-        "top_bigrams": q_top_bigrams,
-        "token_counts": q_token_counts,
-        "bm25_search": q_bm25_search,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "source_overlap": q_source_overlap,
-        "collocations": q_collocations,
-        "char_entropy": q_char_entropy,
-        "readability": q_readability,
-        "vocab_growth": q_vocab_growth,
-        "embedding_centroids": q_embedding_centroids,
-        "containment_pairs": q_containment_pairs,
-        # r9-green, resting (due by r12)
+        "ngram_novelty": q_ngram_novelty,
+        "quality_funnel": q_quality_funnel,
+        "cooccur_pmi": q_cooccur_pmi,
+        "shard_manifest": q_shard_manifest,
+        "epoch_shuffle": q_epoch_shuffle,
+        "embedding_outliers": q_embedding_outliers,
+        "dataset_card": q_dataset_card,
+        "dup_pagerank": q_dup_pagerank,
+        "hard_negatives": q_hard_negatives,
+        "knn_agreement": q_knn_agreement,
+        "temperature_weights": q_temperature_weights,
+        "boilerplate_affixes": q_boilerplate_affixes,
+        "embedding_drift": q_embedding_drift,
+        "length_histogram": q_length_histogram,
+        "dup_cosine_check": q_dup_cosine_check,
+        "ann_ivfpq": q_ann_ivfpq,
+        "source_divergence": q_source_divergence,
+        "event_agg_rollup": q_event_agg_rollup,
+        "recent_purchase_totals": q_recent_purchase_totals,
+        "histogram_by_type": q_histogram_by_type,
+        "histogram_weeks_since": q_histogram_weeks_since,
+        "osl_funnel_continue": q_osl_funnel_continue,
+        "osl_segment_counts": q_osl_segment_counts,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "session_counts_5min": q_session_counts_5min,
+        "top_paths": q_top_paths,
+        "doc_fingerprint": q_doc_fingerprint,
+        "repetition_signals": q_repetition_signals,
+        "user_purchase_totals": q_user_purchase_totals,
+        "textual_user_core": q_textual_user_core,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "osl_agg_options": q_osl_agg_options,
+        "session_length_quantiles": q_session_length_quantiles,
+        "ann_topk": q_ann_topk,
+        "tpch_q3": q_tpch_q3,
+        "row_count_distribution": q_row_count_distribution,
+        "events_with_user_dim": q_events_with_user_dim,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "monthly_retention": q_monthly_retention,
+        "osl_customer_write": q_osl_customer_write,
+        "user_event_type_sets": q_user_event_type_sets,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "sample_per_stratum": q_sample_per_stratum,
+        "retention_cull": q_retention_cull,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "winnow_matches": q_winnow_matches,
+        "dsir_weights": q_dsir_weights,
+        "ann_lsh": q_ann_lsh,
         "tpch_q1": q_tpch_q1,
         "tpch_q7_style": q_tpch_q7_style,
         "tpch_q10_style": q_tpch_q10_style,
@@ -3424,16 +3435,11 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_counts": q_session_counts,
         "funnel_within_hour": q_funnel_within_hour,
         "next_event_transitions": q_next_event_transitions,
-        "weekly_retention": q_weekly_retention,
-        "customer_timeline": q_customer_timeline,
         "segment_sequence_counts": q_segment_sequence_counts,
         "osl_event_agg": q_osl_event_agg,
         "osl_script_counter": q_osl_script_counter,
         "property_counts_bucketed": q_property_counts_bucketed,
         "histogram_spend_clipped": q_histogram_spend_clipped,
-        "props_json_extract": q_props_json_extract,
-        "retention_cap": q_retention_cap,
-        "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "substring_dup_pairs": q_substring_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -3441,9 +3447,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "pack_sequences": q_pack_sequences,
-        "mixture_select": q_mixture_select,
         "lm_perplexity": q_lm_perplexity,
-        "token_budget_select": q_token_budget_select,
         "zipf_fit": q_zipf_fit,
         "kneser_ney_score": q_kneser_ney_score,
         "dup_span_fraction": q_dup_span_fraction,
@@ -3459,18 +3463,9 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "remove_dup_spans": q_remove_dup_spans,
         "nearest_dup": q_nearest_dup,
-        "perplexity_buckets": q_perplexity_buckets,
         "ngram_coverage": q_ngram_coverage,
         "lang_confusion": q_lang_confusion,
         "cross_source_dups": q_cross_source_dups,
-        # NEW r10 (never windowed yet; due in the r11 window)
-        "dedup_lines": q_dedup_lines,
-        "pii_report": q_pii_report,
-        "mink_prob": q_mink_prob,
-        "corpus_diff": q_corpus_diff,
-        "asof_last_purchase": q_asof_last_purchase,
-        "events_in_purchase_window": q_events_in_purchase_window,
-        "time_rollup": q_time_rollup,
     }
 
 
