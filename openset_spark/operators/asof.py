@@ -150,11 +150,13 @@ def interval_join(
     exploding.
 
     ``how="left"`` keeps unmatched left rows with NULL interval
-    columns: the bucket join stays inner and the original left frame
-    left-joins the match frame back on ALL left columns (exact when
-    left rows are distinct — the match frame carries them verbatim;
-    a left frame with FULLY duplicated rows would cross-multiply in
-    the join-back, so carry a unique id column in that case)."""
+    columns: the matches come from the same inner bucket join, and
+    the unmatched rows from a LEFT ANTI join on the identical (key,
+    bucket, containment) condition — the two unioned. No join-back
+    on left columns at all, so duplicated left rows each survive
+    independently and NULLs in payload columns can't drop genuine
+    matches (each anti-side row is judged only by its key, bucket
+    and timestamp)."""
     from openset_spark.functions.time import epoch_ms
 
     if how not in ("inner", "left"):
@@ -182,4 +184,24 @@ def interval_join(
     )
     if how == "inner":
         return matched
-    return left.join(matched, on=list(left.columns), how="left")
+    # unmatched lefts: LEFT ANTI on the same (key, bucket, containment)
+    # condition — exact because a point meets any interval only in its
+    # own single bucket, and free of the join-back hazards (duplicate
+    # left rows cross-multiplying, NULL payloads failing equality)
+    anti_cond = F.lit(True)
+    for c in by:
+        anti_cond = anti_cond & (lb[c] == rb[c])
+    anti_cond = (
+        anti_cond
+        & (lb["_b"] == rb["_b"])
+        & (rb[start_col] <= lb[on])
+        & (lb[on] < rb[end_col])
+    )
+    unmatched = lb.join(rb, anti_cond, "left_anti").drop("_b")
+    right_types = {f.name: f.dataType for f in matched.schema.fields}
+    right_only = [c for c in matched.columns if c not in unmatched.columns]
+    unmatched = unmatched.select(
+        *unmatched.columns,
+        *[F.lit(None).cast(right_types[c]).alias(c) for c in right_only],
+    )
+    return matched.unionByName(unmatched)

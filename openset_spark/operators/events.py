@@ -33,6 +33,20 @@ _AGG_FNS = {
     "avg": F.avg,
 }
 
+# date_trunc units accepted by time_rollup, coarse → fine; the rollup
+# hierarchy only makes sense in that order (grouping_id level labels
+# depend on it), so the precondition is validated, not assumed.
+_GRANULARITY_RANK = {
+    "year": 0,
+    "quarter": 1,
+    "month": 2,
+    "week": 3,
+    "day": 4,
+    "hour": 5,
+    "minute": 6,
+    "second": 7,
+}
+
 
 def event_aggregate(
     df: DataFrame,
@@ -302,38 +316,46 @@ def time_rollup(
     rollup shape), the fixed ``group_by`` dims, a row count, and the
     requested aggregates.
 
-    Plan shape: one ``rollup`` over (group_by..., bucket_coarse ...
-    bucket_fine), filtered to the levels where every group_by dim is
-    present — Spark computes all levels map-side-partially in a
-    single exchange; N granularities never cost N scans. The
-    incremental-refresh twin is the streaming aggregate surface
-    (streaming/aggregate.py) feeding the same bucket expressions."""
-    buckets = [
-        F.date_trunc(g, F.col(ts_col)).alias(f"bucket_{g}")
-        for g in granularities
-    ]
+    Plan shape: one ``GROUPING SETS`` over (group_by...,
+    bucket_coarse ... bucket_fine) that names EXACTLY the m wanted
+    levels — Spark's Expand emits m projections per input row, all
+    aggregated map-side-partially in a single exchange; N
+    granularities never cost N scans, and (unlike a rollup-then-
+    filter) no discarded grand-total / dims-rolled-away levels
+    inflate the Expand output. The incremental-refresh twin is the
+    streaming aggregate surface (streaming/aggregate.py) feeding the
+    same bucket expressions."""
+    ranks = [_GRANULARITY_RANK.get(g) for g in granularities]
+    if None in ranks:
+        bad = [g for g in granularities if g not in _GRANULARITY_RANK]
+        raise ValueError(f"unknown granularities: {bad}")
+    if ranks != sorted(ranks) or len(set(ranks)) != len(ranks):
+        raise ValueError(
+            "granularities must be ordered coarsest to finest, e.g. "
+            f"('day', 'hour', 'minute'); got {tuple(granularities)}"
+        )
+    bnames = [f"bucket_{g}" for g in granularities]
+    pre = df.withColumns(
+        {n: F.date_trunc(g, F.col(ts_col)) for n, g in zip(bnames, granularities)}
+    )
     exprs: list[Column] = [F.count(F.lit(1)).alias(count_alias)]
     exprs += [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
-    gcols = [F.col(c) for c in group_by]
-    rolled = df.rollup(*gcols, *buckets).agg(
+    all_keys = list(group_by) + bnames
+    # level i keeps buckets[0..i]: dims + a coarse-to-g prefix
+    sets = [
+        [F.col(c) for c in list(group_by) + bnames[: i + 1]]
+        for i in range(len(granularities))
+    ]
+    rolled = pre.groupingSets(sets, *[F.col(c) for c in all_keys]).agg(
         *exprs, F.grouping_id().alias("_gid")
     )
-    # keep only levels where ALL group_by dims are grouped-in AND at
-    # least the coarsest bucket is present: grouping_id's low bits
-    # cover the FINE buckets, high bits the group_by dims
-    n_bits = len(group_by) + len(granularities)
-    # rows kept: _gid < 2^(len(granularities)-?) ... compute masks
-    # explicitly: every group_by bit 0, bucket bits form a suffix of
-    # 1s (rollup guarantees the suffix shape)
-    max_fine_mask = (1 << (len(granularities) - 1)) - 1
-    kept = rolled.filter(F.col("_gid") <= F.lit(max_fine_mask))
     level = F.lit(None).cast("string")
     for i, g in enumerate(granularities):
         # level g: buckets finer than g are grouped away — gid has
         # exactly (len - 1 - i) low bits set
         gid = (1 << (len(granularities) - 1 - i)) - 1
         level = F.when(F.col("_gid") == gid, F.lit(g)).otherwise(level)
-    return kept.select(
+    return rolled.select(
         level.alias("granularity"),
         *[F.col(c) for c in group_by],
         *[F.col(f"bucket_{g}") for g in granularities],

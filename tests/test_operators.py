@@ -977,6 +977,66 @@ def test_interval_join_fuzz_vs_naive_predicate_join(spark):
         assert got == naive, trial
 
 
+def test_interval_join_left_handles_dup_rows_and_null_payloads(spark):
+    """The r11 anti-join rewrite of how="left": fully duplicated left
+    rows each survive independently (the old all-columns join-back
+    cross-multiplied them) and NULL left payload columns don't turn
+    matched rows into unmatched ones (null-unsafe equality dropped
+    them). Fuzzed against the naive left range-predicate join."""
+    import datetime as dt
+    import random
+
+    from openset_spark.operators.asof import interval_join
+
+    rnd = random.Random(47)
+    base = dt.datetime(2024, 5, 1)
+    for trial in range(4):
+        lrows = []
+        for i in range(30):
+            row = (
+                i % 10,  # NON-unique event_id: duplicates guaranteed
+                rnd.randrange(2),
+                base + dt.timedelta(seconds=rnd.randrange(0, 2000)),
+                None if rnd.random() < 0.4 else f"p{i % 3}",
+            )
+            lrows.append(row)
+            if rnd.random() < 0.3:
+                lrows.append(row)  # exact full-row duplicate
+        left = spark.createDataFrame(
+            lrows,
+            "event_id long, user_id long, ts timestamp, payload string",
+        )
+        rrows = [
+            (rnd.randrange(2),
+             base + dt.timedelta(seconds=(a := rnd.randrange(0, 2000))),
+             base + dt.timedelta(seconds=a + rnd.randrange(-50, 900)),
+             j)
+            for j in range(12)
+        ]
+        right = spark.createDataFrame(
+            rrows,
+            "user_id long, valid_from timestamp, valid_to timestamp,"
+            " iv_id long",
+        )
+        got = sorted(
+            (r.event_id, r.user_id, r.ts, r.payload, r.iv_id)
+            for r in interval_join(
+                left, right, bucket_ms=120_000, how="left"
+            ).collect()
+        )
+        naive = sorted(
+            (r.event_id, r.user_id, r.ts, r.payload, r.iv_id)
+            for r in left.join(
+                right,
+                (left.user_id == right.user_id)
+                & (right.valid_from <= left.ts)
+                & (left.ts < right.valid_to),
+                "left",
+            ).drop(right.user_id).collect()
+        )
+        assert got == naive, trial
+
+
 def test_time_rollup_fuzz_vs_independent_per_level_groupby(spark):
     """Independent model: the single-shuffle rollup must equal three
     separately-computed per-granularity groupBy aggregates on fuzzed

@@ -364,3 +364,41 @@ def test_bucketed_corpus_diff_is_zero_exchange(spark, sf_dir, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS corpus_snap_old")
         spark.sql("DROP TABLE IF EXISTS corpus_snap_new")
+
+
+def test_time_rollup_expand_carries_exactly_m_projections(spark, sf_dir):
+    """time_rollup's GROUPING SETS rewrite (r11): the Expand node must
+    emit exactly one projection per requested granularity — the old
+    rollup-then-filter shape paid for g+1 extra levels (grand total +
+    dims-rolled-away) that the _gid filter immediately discarded."""
+    from openset_spark.operators.events import time_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    for grans in [("day", "hour", "minute"), ("day", "hour")]:
+        out = time_rollup(ev, granularities=grans)
+        plan = out._jdf.queryExecution().optimizedPlan()
+        expands = []
+
+        def walk(node):
+            if node.nodeName() == "Expand":
+                expands.append(node)
+            for i in range(node.children().size()):
+                walk(node.children().apply(i))
+
+        walk(plan)
+        assert len(expands) == 1, plan.toString()
+        nproj = expands[0].projections().size()
+        assert nproj == len(grans), (
+            f"Expand carries {nproj} projections for {len(grans)} "
+            f"granularities:\n{plan.toString()}"
+        )
+
+
+def test_time_rollup_rejects_misordered_granularities(spark):
+    from openset_spark.operators.events import time_rollup
+
+    df = spark.range(1).withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="coarsest to finest"):
+        time_rollup(df, granularities=("minute", "hour", "day"), group_by=())
+    with pytest.raises(ValueError, match="unknown"):
+        time_rollup(df, granularities=("day", "fortnight"), group_by=())
