@@ -52,7 +52,9 @@ def _to_gray(np, px: bytes, w: int, h: int, ch: int):
     """(h, w) int32 grayscale via integer Rec.601 (no float luma)."""
     a = np.frombuffer(px, dtype=np.uint8)
     a = a[: w * h * ch].reshape(h, w, ch).astype(np.int32)
-    if ch == 1:
+    if ch <= 2:
+        # 1 = gray, 2 = gray+alpha (PNG color type 4): luma is
+        # channel 0 either way; alpha doesn't enter the hash
         return a[:, :, 0]
     r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
     return (299 * r + 587 * g + 114 * b) // 1000
@@ -171,6 +173,11 @@ def hamming_block_candidates(
     shiftright + mask handles the signed bit 63)."""
     from openset_spark.pipeline.dedup import _bucket_pairs
 
+    if blocks < 1 or 64 % blocks != 0:
+        # a remainder would leave the top 64 - blocks*(64//blocks)
+        # bits outside every block, silently voiding the pigeonhole
+        # guarantee for pairs differing only there
+        raise ValueError(f"blocks must divide 64: {blocks}")
     width = 64 // blocks
     block_arr = F.array(
         *[

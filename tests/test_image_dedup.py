@@ -199,3 +199,44 @@ def test_image_hashes_skips_corrupt_rows(spark):
 def test_image_near_dups_rejects_unknown_method(spark):
     with pytest.raises(ValueError):
         image_near_dups(_decoded(spark, [(1, _ppm(8, 8, _pattern))]), method="md5")
+
+
+def test_gray_alpha_two_channel_rows_hash_not_crash(spark):
+    """PNG color type 4 decodes to channels=2 (gray+alpha); _to_gray
+    must use channel 0 instead of indexing a missing channel 2 and
+    killing the whole Spark task (ADVICE r10). The alpha plane must
+    not affect the hash: the same gray pixels with different alphas
+    hash identically."""
+    from openset_spark.pipeline.multimodal import DECODED_IMAGE_SCHEMA
+
+    w = h = 24
+    gray = bytes(
+        _pattern(x, y, w, h) for y in range(h) for x in range(w)
+    )
+
+    def interleave(alpha):
+        out = bytearray()
+        for g in gray:
+            out += bytes((g, alpha))
+        return bytes(out)
+
+    rows = [
+        (1, w, h, 2, bytearray(interleave(255))),
+        (2, w, h, 2, bytearray(interleave(7))),
+        (3, w, h, 1, bytearray(gray)),
+    ]
+    decoded = spark.createDataFrame(rows, DECODED_IMAGE_SCHEMA)
+    got = {r.media_id: (r.dhash, r.phash) for r in image_hashes(decoded).collect()}
+    assert set(got) == {1, 2, 3}
+    # alpha ignored AND gray+alpha == pure gray for identical luma
+    assert got[1] == got[2] == got[3]
+
+
+def test_hamming_block_candidates_rejects_non_divisor_blocks(spark):
+    hashes = spark.createDataFrame(
+        [(1, 0), (2, 1)], "media_id long, phash long"
+    )
+    with pytest.raises(ValueError, match="divide 64"):
+        hamming_block_candidates(hashes, blocks=3)
+    with pytest.raises(ValueError, match="divide 64"):
+        hamming_block_candidates(hashes, blocks=0)
