@@ -3466,6 +3466,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_coverage": q_ngram_coverage,
         "lang_confusion": q_lang_confusion,
         "cross_source_dups": q_cross_source_dups,
+        "pii_positive": q_pii_positive,
     }
 
 
@@ -4207,6 +4208,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_source_dups": _SQL_CROSS_SOURCE_DUPS,
         "dedup_lines": _SQL_DEDUP_LINES,
         "pii_report": _pii_report_sql(),
+        "pii_positive": _pii_positive_sql(),
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,
@@ -4684,6 +4686,67 @@ SELECT source,
     AS docs_with_pii,
   {per}
 FROM documents GROUP BY source
+"""
+
+
+# Positive-path PII fixture (VERDICT r10 ask #6): the corpus oracle
+# above can only prove no-false-positives (testdata is PII-free), so
+# this inline frame carries synthetic emails/URLs/IPs/phones —
+# including the overlap cases the scrub order exists for — and DuckDB
+# replays both the counts AND the scrubbed rewrite cross-engine.
+# ASCII only, no apostrophes (keeps the SQL literal trivial).
+_PII_FIXTURE = [
+    (1, "contact alice.smith+labs@example.org for access"),
+    (2, "mirror at https://user@10.0.0.1/path?tok=x then nothing"),
+    (3, "hosts 192.168.0.1 and 8.8.8.8. done"),
+    (4, "call +1 (415) 555-0134 or +44 20-7946-0958 today"),
+    (5, "plain text with no identifiers at all"),
+    (6, "a@b.io c@d.co and see http://example.com/a_b?q=1 now"),
+    (7, "email inside url https://x.com/mail?to=e@f.gg stays a url"),
+]
+
+
+def q_pii_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive PII semantics, cross-engine: per-doc typed counts on
+    the raw text plus the scrubbed rewrite in the documented order
+    (URL > email > IP > phone) over an inline fixture bearing real
+    pattern hits and the overlap cases. NEW r11."""
+    from openset_spark.pipeline.pii import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(_PII_FIXTURE, "doc_id long, text string")
+    counts = pii_counts(df)
+    scrubbed = scrub_pii(df).select(
+        F.col("doc_id"), F.col("text").alias("scrubbed")
+    )
+    return counts.join(scrubbed, "doc_id")
+
+
+def _pii_positive_sql() -> str:
+    from openset_spark.pipeline.pii import PII_PATTERNS
+
+    values = ",\n    ".join(
+        f"({i}, '{t}')" for i, t in _PII_FIXTURE
+    )
+    hit = {k: f"len(regexp_extract_all(text, '{p}'))"
+           for k, (p, _r) in PII_PATTERNS.items()}
+    total = " + ".join(hit.values())
+    per = ",\n  ".join(
+        f"CAST({expr} AS BIGINT) AS n_{k}" for k, expr in hit.items()
+    )
+    scrub = "text"
+    for _k, (p, rep) in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '{rep}', 'g')"
+    return f"""
+WITH docs AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) AS t(doc_id, text)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  {per},
+  CAST({total} AS BIGINT) AS n_pii,
+  {scrub} AS scrubbed
+FROM docs
 """
 
 
