@@ -325,6 +325,22 @@ def time_rollup(
     inflate the Expand output. The incremental-refresh twin is the
     streaming aggregate surface (streaming/aggregate.py) feeding the
     same bucket expressions."""
+    validate_granularities(granularities)
+    bnames = [f"bucket_{g}" for g in granularities]
+    pre = df.withColumns(
+        {n: F.date_trunc(g, F.col(ts_col)) for n, g in zip(bnames, granularities)}
+    )
+    exprs: list[Column] = [F.count(F.lit(1)).alias(count_alias)]
+    exprs += [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
+    return grouping_sets_rollup(
+        pre, granularities, group_by, exprs,
+        out_cols=[count_alias] + [alias for _fn, _c, alias in aggs],
+    )
+
+
+def validate_granularities(granularities: Sequence[str]) -> None:
+    """Rollup hierarchies must be coarsest-to-finest (the grouping_id
+    level labels depend on it) and built from known date_trunc units."""
     ranks = [_GRANULARITY_RANK.get(g) for g in granularities]
     if None in ranks:
         bad = [g for g in granularities if g not in _GRANULARITY_RANK]
@@ -334,12 +350,21 @@ def time_rollup(
             "granularities must be ordered coarsest to finest, e.g. "
             f"('day', 'hour', 'minute'); got {tuple(granularities)}"
         )
+
+
+def grouping_sets_rollup(
+    pre: DataFrame,
+    granularities: Sequence[str],
+    group_by: Sequence[str],
+    exprs: Sequence[Column],
+    out_cols: Sequence[str],
+) -> DataFrame:
+    """The shared GROUPING SETS core of :func:`time_rollup` and its
+    streaming fold twin (streaming/aggregate.py::fold_rollup):
+    ``pre`` already carries ``bucket_<g>`` columns; one Expand emits
+    exactly one projection per granularity level (dims + the
+    coarse-to-g bucket prefix), the grouping_id labels the level."""
     bnames = [f"bucket_{g}" for g in granularities]
-    pre = df.withColumns(
-        {n: F.date_trunc(g, F.col(ts_col)) for n, g in zip(bnames, granularities)}
-    )
-    exprs: list[Column] = [F.count(F.lit(1)).alias(count_alias)]
-    exprs += [_AGG_FNS[fn](col).alias(alias) for fn, col, alias in aggs]
     all_keys = list(group_by) + bnames
     # level i keeps buckets[0..i]: dims + a coarse-to-g prefix
     sets = [
@@ -358,7 +383,6 @@ def time_rollup(
     return rolled.select(
         level.alias("granularity"),
         *[F.col(c) for c in group_by],
-        *[F.col(f"bucket_{g}") for g in granularities],
-        count_alias,
-        *[alias for _fn, _c, alias in aggs],
+        *bnames,
+        *out_cols,
     )

@@ -1392,3 +1392,57 @@ def test_stream_asof_enrich_matches_batch_asof_join(spark, tmpdir):
     assert by_id[102][1] == 20.0            # equal-ts inclusive match
     assert by_id[104][1] == 20.0            # state carried across batches
     assert by_id[202][1] == 99.0
+
+
+def test_stream_time_rollup_fold_matches_batch(spark, sf_dir, tmpdir):
+    """22nd parity surface: time_rollup's incremental-refresh twin.
+    The stream maintains only the FINEST granularity (hour) in append
+    mode; fold_rollup reconstructs every level from the emitted
+    partials — and on fully-closed days the folded table must equal
+    the batch time_rollup over the same events, row for row. Aggs are
+    integer-exact (sum of a long, max of a double) so the partial
+    fold cannot diverge by float association."""
+    import datetime as _dt
+
+    from openset_spark.operators.events import time_rollup
+    from openset_spark.streaming.aggregate import (
+        fold_rollup,
+        stream_time_rollup_finest,
+    )
+
+    _spill_events(spark, sf_dir, tmpdir)
+    grans = ("day", "hour")
+    aggs = (("sum", "event_id", "sum_eid"), ("max", "value", "max_value"))
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    name = f"parity_rollup_{uuid.uuid4().hex[:8]}"
+    _run_available(
+        stream_time_rollup_finest(stream, granularities=grans, aggs=aggs),
+        name,
+    )
+    finest = spark.sql(f"select * from {name}")
+    assert finest.count() > 0
+
+    bf = _batch_frame(spark, tmpdir)
+    max_ts = bf.agg(F.max("ts")).first()[0]
+    cutoff = max_ts - _dt.timedelta(hours=2)
+    closed_day = F.col("bucket_day") + F.expr("INTERVAL 1 DAY") < F.lit(
+        cutoff
+    )
+
+    folded = fold_rollup(finest, granularities=grans, aggs=aggs).filter(
+        closed_day
+    )
+    batch = time_rollup(bf, granularities=grans, aggs=aggs).filter(
+        closed_day
+    )
+
+    def key(r):
+        return (r.granularity, r.event_type, r.bucket_day, r.bucket_hour)
+
+    got = {key(r): (r.n, r.sum_eid, r.max_value) for r in folded.collect()}
+    want = {key(r): (r.n, r.sum_eid, r.max_value) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 20
+    assert any(k[0] == "hour" for k in want) and any(
+        k[0] == "day" for k in want
+    )
