@@ -26,6 +26,8 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CACHE = os.path.join(os.path.dirname(__file__), "..", "..", ".cache")
 
+_TWIN_OFFSET = 10_000
+
 
 def _ppm_payload(seed: int, w: int, h: int) -> bytes:
     header = f"P6\n{w} {h}\n255\n".encode()
@@ -130,6 +132,19 @@ def _wav_payload(seed: int, n_samples: int, rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+def _ppm_twin_payload(seed: int, w: int, h: int, shift: int = 0) -> bytes:
+    """Deterministic RGB noise with every byte in [8, 239], so a
+    brightness twin (same seed, shift=+8) never clips — dhash/phash
+    are exactly invariant to the shift and the planted pair's Hamming
+    distance is 0 by construction."""
+    header = f"P6\n{w} {h}\n255\n".encode()
+    px = bytearray(w * h * 3)
+    for i in range(len(px)):
+        v = (seed * 2654435761 + i * 40503) >> 7
+        px[i] = 8 + (v % 232) + shift
+    return header + bytes(px)
+
+
 def ensure_media_corpus(
     spark: SparkSession, cache_dir: str = DEFAULT_CACHE
 ) -> dict[str, tuple[str, int]]:
@@ -160,6 +175,23 @@ def ensure_media_corpus(
         "avi": (
             "media_avi.parquet",
             [(i, "video", _avi_payload(i, 128, 96, 6)) for i in range(48)],
+        ),
+        # 320 bases + 320 planted brightness twins (id + _TWIN_OFFSET)
+        # for the image_near_dups candidate-join timing + recall check
+        "ppm_twins": (
+            "media_ppm_twins.parquet",
+            [
+                (i, "image", _ppm_twin_payload(i, 128, 96))
+                for i in range(320)
+            ]
+            + [
+                (
+                    _TWIN_OFFSET + i,
+                    "image",
+                    _ppm_twin_payload(i, 128, 96, shift=8),
+                )
+                for i in range(320)
+            ],
         ),
     }
     out = {}
@@ -226,6 +258,33 @@ def run_media_bench(
         mb = corpora[kind][1] / 1e6
         out[f"{name}_sec"] = round(sec, 3)
         out[f"{name}_mb_per_s"] = round(mb / max(sec, 1e-9), 1)
+
+    # image_near_dups end to end (VERDICT r10 ask #7): hash -> banded
+    # candidates -> bit_count re-rank over 320 planted brightness
+    # twins + 320 distinct bases; reports the candidate-set size the
+    # pigeonhole banding admitted and the planted-pair recall
+    from openset_spark.pipeline.image_dedup import (
+        hamming_block_candidates,
+        image_hashes,
+        image_near_dups,
+    )
+    from openset_spark.pipeline.multimodal import decode_images
+
+    twins = frames["ppm_twins"]
+    t0 = time.time()
+    pairs = image_near_dups(decode_images(twins), max_hamming=3).collect()
+    out["image_near_dups_sec"] = round(time.time() - t0, 3)
+    out["image_near_dups_pairs"] = len(pairs)
+    planted = {
+        frozenset((i, _TWIN_OFFSET + i)) for i in range(320)
+    }
+    found = {frozenset((r.id_a, r.id_b)) for r in pairs}
+    out["image_near_dups_recall"] = round(
+        len(planted & found) / len(planted), 3
+    )
+    out["image_near_dups_candidates"] = hamming_block_candidates(
+        image_hashes(decode_images(twins))
+    ).count()
     out["ppm_mb"] = round(corpora["ppm"][1] / 1e6, 1)
     out["png_mb"] = round(corpora["png"][1] / 1e6, 1)
     out["wav_mb"] = round(corpora["wav"][1] / 1e6, 1)
