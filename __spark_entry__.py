@@ -3467,6 +3467,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "cross_source_dups": q_cross_source_dups,
         "pii_positive": q_pii_positive,
+        "asof_nearest_purchase": q_asof_nearest_purchase,
     }
 
 
@@ -4209,6 +4210,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines": _SQL_DEDUP_LINES,
         "pii_report": _pii_report_sql(),
         "pii_positive": _pii_positive_sql(),
+        "asof_nearest_purchase": _SQL_ASOF_NEAREST_PURCHASE,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,
@@ -4907,6 +4909,65 @@ SELECT l.event_id, l.user_id,
   r.purchase_value
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN, direction=nearest (merge_asof's third mode): every
+    non-purchase event picks the user's purchase with the smallest
+    absolute time gap, ties to the earlier one — still ONE shuffle
+    (two running carries over the same key partitioning, integer-
+    microsecond gap pick). Oracle = two native DuckDB ASOF joins +
+    the same epoch_us CASE. NEW r11."""
+    from openset_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        left, right, values=("purchase_value",), direction="nearest"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "purchase_ts"
+        ),
+        F.col("purchase_value_asof").alias("purchase_value"),
+    )
+
+
+_SQL_ASOF_NEAREST_PURCHASE = """
+WITH l AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts
+  FROM events WHERE event_type <> 'purchase'
+),
+r AS (
+  SELECT user_id, ts::TIMESTAMP AS ts, MAX(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+b AS (
+  SELECT l.event_id, r.ts AS bts, r.purchase_value AS bv
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+),
+f AS (
+  SELECT l.event_id, r.ts AS fts, r.purchase_value AS fv
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT l.event_id, l.user_id,
+  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+  strftime(CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+      epoch_us(l.ts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(l.ts))
+    THEN b.bts ELSE f.fts END, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+      epoch_us(l.ts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(l.ts))
+    THEN b.bv ELSE f.fv END AS purchase_value
+FROM l JOIN b USING (event_id) JOIN f USING (event_id)
 """
 
 

@@ -49,12 +49,23 @@ def asof_join(
 ) -> DataFrame:
     """Every ``left`` row + the payload ``values`` of the nearest
     ``right`` row per ``by`` key (backward: greatest right.on <=
-    left.on; forward: least right.on >= left.on; equality matches in
-    both). Output = all left columns, then ``<on><suffix>`` (the
-    matched right timestamp) and ``<v><suffix>`` per payload column
-    — NULL when no match (or outside ``tolerance_ms``)."""
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    left.on; forward: least right.on >= left.on; nearest: smaller
+    absolute gap of the two, ties to backward — pandas merge_asof's
+    rule; equality matches in every direction). Output = all left
+    columns, then ``<on><suffix>`` (the matched right timestamp) and
+    ``<v><suffix>`` per payload column — NULL when no match (or
+    outside ``tolerance_ms``).
+
+    ``nearest`` still costs ONE shuffle: both running carries
+    (backward = asc order, forward = desc order) are windows over
+    the same key partitioning — Spark plans two sorts on one
+    exchange — and the pick is a row-local integer-microsecond gap
+    comparison (``unix_micros``, never float seconds, so equal-gap
+    ties cannot flip on rounding)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}"
+        )
     if values is None:
         values = tuple(
             c for c in right.columns if c != on and c not in by
@@ -83,16 +94,67 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
     )
     unioned = r_side.unionByName(l_side, allowMissingColumns=False)
-    order = (
-        [F.asc("_ots"), F.asc("_side")]
-        if direction == "backward"
-        else [F.desc("_ots"), F.asc("_side")]
-    )
-    w = (
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = (
         Window.partitionBy(*by)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.asc("_ots"), F.asc("_side"))
+        .rowsBetween(*frame)
     )
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.desc("_ots"), F.asc("_side"))
+        .rowsBetween(*frame)
+    )
+    if direction == "nearest":
+        both = unioned.select(
+            "_side",
+            "_ots",
+            "_lrow",
+            F.last("_rts", ignorenulls=True).over(w_back).alias("_bts"),
+            F.last("_rp", ignorenulls=True).over(w_back).alias("_bp"),
+            F.last("_rts", ignorenulls=True).over(w_fwd).alias("_fts"),
+            F.last("_rp", ignorenulls=True).over(w_fwd).alias("_fp"),
+        ).filter(F.col("_side") == 1)
+        bgap = F.unix_micros(F.col("_ots")) - F.unix_micros(F.col("_bts"))
+        fgap = F.unix_micros(F.col("_fts")) - F.unix_micros(F.col("_ots"))
+        if tolerance_ms is not None:
+            lim = int(tolerance_ms) * 1000
+            both = both.select(
+                "_side",
+                "_ots",
+                "_lrow",
+                F.when(bgap <= lim, F.col("_bts")).alias("_bts"),
+                F.when(bgap <= lim, F.col("_bp")).alias("_bp"),
+                F.when(fgap <= lim, F.col("_fts")).alias("_fts"),
+                F.when(fgap <= lim, F.col("_fp")).alias("_fp"),
+            )
+            bgap = F.unix_micros(F.col("_ots")) - F.unix_micros(
+                F.col("_bts")
+            )
+            fgap = F.unix_micros(F.col("_fts")) - F.unix_micros(
+                F.col("_ots")
+            )
+        take_back = F.col("_bts").isNotNull() & (
+            F.col("_fts").isNull() | (bgap <= fgap)
+        )
+        carried = both.select(
+            "_side",
+            "_ots",
+            "_lrow",
+            F.when(take_back, F.col("_bts"))
+            .otherwise(F.col("_fts"))
+            .alias("_mts"),
+            F.when(take_back, F.col("_bp"))
+            .otherwise(F.col("_fp"))
+            .alias("_mp"),
+        )
+        out_cols = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+        out_cols.append(F.col("_mts").alias(f"{on}{suffix}"))
+        out_cols.extend(
+            F.col(f"_mp.{v}").alias(f"{v}{suffix}") for v in values
+        )
+        return carried.select(*out_cols)
+    w = w_back if direction == "backward" else w_fwd
     carried = unioned.select(
         "_side",
         "_ots",

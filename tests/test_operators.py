@@ -900,7 +900,7 @@ def test_asof_join_fuzz_vs_pandas_merge_asof(spark):
         right = spark.createDataFrame(
             rrows, "user_id long, ts timestamp, price double"
         )
-        direction = rnd.choice(["backward", "forward"])
+        direction = rnd.choice(["backward", "forward", "nearest"])
         tol = rnd.choice([None, 60_000])
         got = {
             r.event_id: (r.ts_asof, r.price_asof)
@@ -925,6 +925,44 @@ def test_asof_join_fuzz_vs_pandas_merge_asof(spark):
             assert got[int(r["event_id"])] == (want_ts, want_p), (
                 trial, int(r["event_id"]), direction, tol
             )
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    """merge_asof's nearest rule, pinned explicitly: equal absolute
+    gaps pick the BACKWARD match; one-sided availability picks the
+    available side; tolerance nulls both sides independently."""
+    import datetime as dt
+
+    from openset_spark.operators.asof import asof_join
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, 0, t(10)), (2, 0, t(1)), (3, 0, t(58)), (4, 1, t(30))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(0, t(5), 5.0), (0, t(15), 15.0), (0, t(40), 40.0)],
+        "user_id long, ts timestamp, price double",
+    )
+    got = {
+        r.event_id: r.price_asof
+        for r in asof_join(left, right, direction="nearest").collect()
+    }
+    # event 1 at t10: gaps 5 both ways -> backward (5.0)
+    # event 2 at t1: only forward exists -> 5.0
+    # event 3 at t58: nearest is t40
+    # event 4: no key-0 rows for user 1 -> NULL
+    assert got == {1: 5.0, 2: 5.0, 3: 40.0, 4: None}
+    tol = {
+        r.event_id: r.price_asof
+        for r in asof_join(
+            left, right, direction="nearest", tolerance_ms=4_000
+        ).collect()
+    }
+    # event 2's forward gap is exactly 4s -> kept; event 3 (18s) nulls
+    assert tol == {1: None, 2: 5.0, 3: None, 4: None}
 
 
 def test_interval_join_fuzz_vs_naive_predicate_join(spark):
