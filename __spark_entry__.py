@@ -3468,6 +3468,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "pii_positive": q_pii_positive,
         "asof_nearest_purchase": q_asof_nearest_purchase,
+        "overlapping_activity_windows": q_overlapping_activity_windows,
     }
 
 
@@ -4211,6 +4212,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_report": _pii_report_sql(),
         "pii_positive": _pii_positive_sql(),
         "asof_nearest_purchase": _SQL_ASOF_NEAREST_PURCHASE,
+        "overlapping_activity_windows": _SQL_OVERLAPPING_ACTIVITY_WINDOWS,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,
@@ -4968,6 +4970,51 @@ SELECT l.event_id, l.user_id,
       epoch_us(l.ts) - epoch_us(b.bts) <= epoch_us(f.fts) - epoch_us(l.ts))
     THEN b.bv ELSE f.fv END AS purchase_value
 FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+"""
+
+
+def q_overlapping_activity_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join: each user's view spans
+    ([ts, +30min)) x purchase attention windows ([ts-15min, +45min))
+    that intersect — emitted exactly once per pair via the
+    max-start-anchor-bucket trick (one hash join on (user, bucket),
+    no distinct). Oracle = DuckDB's plain overlap-predicate join.
+    NEW r11."""
+    from openset_spark.operators.asof import interval_overlap_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("valid_from"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("valid_to"),
+    )
+    out = interval_overlap_join(left, right, bucket_ms=1_800_000)
+    return out.select("view_id", "purchase_id", "user_id")
+
+
+_SQL_OVERLAPPING_ACTIVITY_WINDOWS = """
+WITH l AS (
+  SELECT event_id AS view_id, user_id,
+    ts::TIMESTAMP AS s, ts::TIMESTAMP + INTERVAL 30 MINUTE AS e
+  FROM events WHERE event_type = 'view'
+),
+r AS (
+  SELECT event_id AS purchase_id, user_id,
+    ts::TIMESTAMP - INTERVAL 15 MINUTE AS vf,
+    ts::TIMESTAMP + INTERVAL 45 MINUTE AS vt
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.view_id, r.purchase_id, l.user_id
+FROM l JOIN r ON l.user_id = r.user_id AND l.s < r.vt AND r.vf < l.e
 """
 
 

@@ -267,3 +267,63 @@ def interval_join(
         *[F.lit(None).cast(right_types[c]).alias(c) for c in right_only],
     )
     return matched.unionByName(unmatched)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: tuple[str, ...] = ("user_id",),
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "valid_from",
+    right_end: str = "valid_to",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join: every left interval
+    ``[left_start, left_end)`` x every right interval (same ``by``
+    key) with a non-empty intersection — concurrent sessions,
+    campaign/maintenance windows overlapping activity spans. Output
+    = left columns + right columns (join keys once).
+
+    Scale shape: both sides explode to the ``bucket_ms`` buckets they
+    touch and hash-join on (key, bucket) — but unlike the
+    point-in-interval case a pair can share MANY buckets, so the
+    join would duplicate. The standard dedup-free trick: a pair is
+    emitted only in the bucket of max(left_start, right_start) — the
+    first bucket where both are alive, which both sides are
+    guaranteed to have exploded (it lies inside each interval's
+    bucket range). One hash join, no distinct, exact overlap
+    predicate as post-filter. Empty intervals (end <= start) match
+    nothing and are dropped before exploding."""
+    from openset_spark.functions.time import epoch_ms
+
+    w = int(bucket_ms)
+
+    def bucketed(df, s, e):
+        ok = df.filter(F.col(e) > F.col(s))
+        return ok.withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(epoch_ms(F.col(s)) / w).cast("long"),
+                    F.floor((epoch_ms(F.col(e)) - 1) / w).cast("long"),
+                )
+            ),
+        )
+
+    lb = bucketed(left, left_start, left_end)
+    rb = bucketed(right, right_start, right_end)
+    overlap = (F.col(left_start) < F.col(right_end)) & (
+        F.col(right_start) < F.col(left_end)
+    )
+    anchor = F.floor(
+        F.greatest(
+            epoch_ms(F.col(left_start)), epoch_ms(F.col(right_start))
+        )
+        / w
+    ).cast("long")
+    return (
+        lb.join(rb, [*by, "_b"])
+        .filter(overlap & (F.col("_b") == anchor))
+        .drop("_b")
+    )

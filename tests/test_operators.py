@@ -1127,3 +1127,64 @@ def test_time_rollup_fuzz_vs_independent_per_level_groupby(spark):
     for k, (n, sv) in want.items():
         gn, gsv = got[k]
         assert gn == n and abs(gsv - sv) < 1e-9, k
+
+
+def test_interval_overlap_join_fuzz_vs_naive(spark):
+    """interval_overlap_join (r11): the max-start-anchor-bucket trick
+    must emit every overlapping pair EXACTLY once — fuzzed against
+    the naive quadratic overlap-predicate join, with intervals far
+    longer than the bucket (pairs sharing many buckets would
+    duplicate without the anchor) and touching/empty edge cases."""
+    import datetime as dt
+    import random
+
+    from openset_spark.operators.asof import interval_overlap_join
+
+    rnd = random.Random(59)
+    base = dt.datetime(2024, 6, 1)
+
+    def mk(n, id_name):
+        rows = []
+        for i in range(n):
+            a = rnd.randrange(0, 4000)
+            b = a + rnd.randrange(-100, 2400)  # up to 20 buckets long
+            rows.append(
+                (i, rnd.randrange(2),
+                 base + dt.timedelta(seconds=a),
+                 base + dt.timedelta(seconds=b))
+            )
+        return rows
+
+    for trial in range(5):
+        lrows = mk(25, "l")
+        rrows = mk(18, "r")
+        left = spark.createDataFrame(
+            lrows,
+            "l_id long, user_id long, start timestamp, end timestamp",
+        )
+        right = spark.createDataFrame(
+            rrows,
+            "r_id long, user_id long, valid_from timestamp,"
+            " valid_to timestamp",
+        )
+        got = sorted(
+            (r.l_id, r.r_id)
+            for r in interval_overlap_join(
+                left, right, bucket_ms=120_000
+            ).collect()
+        )
+        # empty intervals overlap nothing (the operator's contract);
+        # the bare predicate is vacuously true for some of them
+        nl = left.filter("end > start")
+        nr = right.filter("valid_to > valid_from")
+        naive = sorted(
+            (r.l_id, r.r_id)
+            for r in nl.join(
+                nr,
+                (nl.user_id == nr.user_id)
+                & (nl.start < nr.valid_to)
+                & (nr.valid_from < nl.end),
+            ).collect()
+        )
+        assert got == naive, trial
+        assert len(got) == len(set(got)), "duplicated pairs"
