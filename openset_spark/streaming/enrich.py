@@ -111,3 +111,36 @@ def stream_asof_enrich(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_interval_tag(
+    events: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    by: tuple[str, ...] = ("user_id",),
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    bucket_ms: int = 3_600_000,
+) -> DataFrame:
+    """Live point-in-interval tagging — the streaming twin of
+    ``operators/asof.py::interval_join`` (23rd parity surface):
+    ``events`` is a STREAM, ``intervals`` a static frame (campaign /
+    maintenance / validity windows). The batch operator's inner path
+    is reused verbatim: the static side explodes to its buckets once,
+    each live event computes its single bucket, and Spark runs a
+    stateless stream-static equijoin on (key, bucket) + the exact
+    containment post-filter — no state store at all, so parity with
+    the batch join is exact for ANY micro-batch split by
+    construction (and locked by the test anyway)."""
+    from openset_spark.operators.asof import interval_join
+
+    return interval_join(
+        events,
+        intervals,
+        on=on,
+        by=by,
+        start_col=start_col,
+        end_col=end_col,
+        bucket_ms=bucket_ms,
+        how="inner",
+    )

@@ -1446,3 +1446,53 @@ def test_stream_time_rollup_fold_matches_batch(spark, sf_dir, tmpdir):
     assert any(k[0] == "hour" for k in want) and any(
         k[0] == "day" for k in want
     )
+
+
+def test_stream_interval_tag_matches_batch_interval_join(
+    spark, sf_dir, tmpdir
+):
+    """23rd parity surface: live point-in-interval tagging — real
+    events streamed in micro-batches, stream-static joined to a
+    static interval table through the SAME bucketized inner path the
+    batch operator plans — must equal batch interval_join on the
+    identical inputs, including intervals that span many buckets and
+    overlapping windows that each emit a row."""
+    from openset_spark.operators.asof import interval_join
+    from openset_spark.streaming.enrich import stream_interval_tag
+
+    _spill_events(spark, sf_dir, tmpdir)
+    bf = _batch_frame(spark, tmpdir)
+    # purchase windows [ts-30min, ts+2h): multi-bucket at 45min
+    intervals = (
+        bf.filter("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("iv_id"),
+            "user_id",
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "valid_from"
+            ),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("valid_to"),
+        )
+    )
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    tagged = stream_interval_tag(
+        stream.select("event_id", "user_id", "ts"),
+        intervals,
+        bucket_ms=2_700_000,
+    )
+    name = f"parity_ivtag_{uuid.uuid4().hex[:8]}"
+    _run_available(tagged, name)
+    streamed = {
+        (r.event_id, r.iv_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    expected = {
+        (r.event_id, r.iv_id)
+        for r in interval_join(
+            bf.select("event_id", "user_id", "ts"),
+            intervals,
+            bucket_ms=2_700_000,
+        ).collect()
+    }
+    assert streamed == expected
+    assert len(expected) > 50
