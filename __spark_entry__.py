@@ -2323,6 +2323,61 @@ WHERE cum_tokens <= CASE lang WHEN 'en' THEN 8000 ELSE 1500 END
 """.replace("{Q}", _SQL_QUALITY_SCORE).replace("{L}", _lang_id_sql())
 
 
+def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-vs-crawl NB quality classifier (the CCNet/DCLM
+    fastText-filter shape as pure relational algebra): train binary
+    multinomial NB on sources src0-src3 (the "reference" shards) vs
+    the rest, score every doc as the log-odds token sum. Training =
+    two token-count aggregates; scoring = one explode + broadcast
+    join + per-doc sum; weights are ln() of integer count ratios so
+    DuckDB replays them bit-for-bit (lm_perplexity precedent);
+    score ships ROUND(,4). NEW r11."""
+    from openset_spark.pipeline.classify import nb_quality_scores
+
+    docs = _docs(spark, sf_dir)
+    ref = F.col("source").isin("src0", "src1", "src2", "src3")
+    return nb_quality_scores(docs, docs.filter(ref), docs.filter(~ref))
+
+
+_SQL_NB_QUALITY_SCORES = f"""
+WITH tok AS (
+  SELECT doc_id, source, t.t AS token
+  FROM (SELECT doc_id, source, {{toks}} AS ts FROM documents) d,
+       UNNEST(d.ts) AS t(t)
+  WHERE t.t <> ''
+),
+cp AS (
+  SELECT token, COUNT(*) AS c FROM tok
+  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1
+),
+cn AS (
+  SELECT token, COUNT(*) AS c FROM tok
+  WHERE source NOT IN ('src0', 'src1', 'src2', 'src3') GROUP BY 1
+),
+j AS (
+  SELECT COALESCE(cp.token, cn.token) AS token,
+    COALESCE(cp.c, 0) AS c_pos, COALESCE(cn.c, 0) AS c_neg
+  FROM cp FULL JOIN cn ON cp.token = cn.token
+),
+tot AS (SELECT SUM(c_pos) AS np, SUM(c_neg) AS nn, COUNT(*) AS v FROM j),
+w AS (
+  SELECT token,
+    ln((c_pos + 1) / CAST(np + v AS DOUBLE))
+      - ln((c_neg + 1) / CAST(nn + v AS DOUBLE)) AS weight
+  FROM j, tot
+),
+scored AS (
+  SELECT tok.doc_id,
+    COALESCE(w.weight,
+      ln(CAST(nn + v AS DOUBLE)) - ln(CAST(np + v AS DOUBLE))) AS wt
+  FROM tok LEFT JOIN w ON tok.token = w.token, tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  ROUND(SUM(wt), 4) AS score
+FROM scored GROUP BY doc_id
+""".replace("{toks}", _TOKS_SQL)
+
+
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter: a Laplace-smoothed bigram model
     trained on the doc_id%5==0 shard scores the rest of the corpus
@@ -3469,6 +3524,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_positive": q_pii_positive,
         "asof_nearest_purchase": q_asof_nearest_purchase,
         "overlapping_activity_windows": q_overlapping_activity_windows,
+        "nb_quality_scores": q_nb_quality_scores,
     }
 
 
@@ -4213,6 +4269,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_positive": _pii_positive_sql(),
         "asof_nearest_purchase": _SQL_ASOF_NEAREST_PURCHASE,
         "overlapping_activity_windows": _SQL_OVERLAPPING_ACTIVITY_WINDOWS,
+        "nb_quality_scores": _SQL_NB_QUALITY_SCORES,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

@@ -1,0 +1,76 @@
+"""NB quality classifier (pipeline/classify.py): hand-computed
+log-odds on a tiny corpus, OOV weight handling, end-to-end keep
+filter. The registry oracle (`nb_quality_scores`) replays the full
+model cross-engine at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.classify import (
+    nb_quality_model,
+    nb_quality_scores,
+    quality_classifier_keep,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_nb_weights_match_hand_computation(spark):
+    pos = _docs(spark, [(1, "good clean prose"), (2, "good words")])
+    neg = _docs(spark, [(3, "spam spam junk")])
+    weights, oov = nb_quality_model(pos, neg)
+    got = {r.token: r.weight for r in weights.collect()}
+    # N_pos=5, N_neg=3, V=6 distinct tokens
+    np_, nn, v = 5, 3, 6
+    def w(cp, cn):
+        return math.log((cp + 1) / (np_ + v)) - math.log((cn + 1) / (nn + v))
+    assert got["good"] == pytest.approx(w(2, 0), abs=1e-12)
+    assert got["spam"] == pytest.approx(w(0, 2), abs=1e-12)
+    assert got["prose"] == pytest.approx(w(1, 0), abs=1e-12)
+    assert oov == pytest.approx(math.log(nn + v) - math.log(np_ + v))
+    assert set(got) == {"good", "clean", "prose", "words", "spam", "junk"}
+
+
+def test_nb_scores_sum_and_oov(spark):
+    pos = _docs(spark, [(1, "good clean prose"), (2, "good words")])
+    neg = _docs(spark, [(3, "spam spam junk")])
+    target = _docs(
+        spark, [(10, "good unseen"), (11, "spam junk"), (12, "")]
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in nb_quality_scores(target, pos, neg).collect()
+    }
+    np_, nn, v = 5, 3, 6
+    w_good = math.log(3 / (np_ + v)) - math.log(1 / (nn + v))
+    oov = math.log(nn + v) - math.log(np_ + v)
+    w_spam = math.log(1 / (np_ + v)) - math.log(3 / (nn + v))
+    w_junk = math.log(1 / (np_ + v)) - math.log(2 / (nn + v))
+    assert out[10] == (2, round(w_good + oov, 4))
+    assert out[11] == (2, round(w_spam + w_junk, 4))
+    assert 12 not in out  # empty doc: no tokens, no evidence
+    # reference-like text scores above spam-like text
+    assert out[10][1] > 0 > out[11][1]
+
+
+def test_quality_classifier_keep_fraction(spark):
+    pos = _docs(spark, [(1, "alpha beta gamma")])
+    neg = _docs(spark, [(2, "zock zock pow")])
+    target = _docs(
+        spark,
+        [(i, "alpha beta") for i in range(10, 16)]
+        + [(i, "zock pow") for i in range(20, 26)],
+    )
+    kept = {
+        r.doc_id
+        for r in quality_classifier_keep(
+            target, pos, neg, keep_fraction=0.5
+        ).collect()
+    }
+    assert kept == set(range(10, 16))
