@@ -402,3 +402,63 @@ def test_time_rollup_rejects_misordered_granularities(spark):
         time_rollup(df, granularities=("minute", "hour", "day"), group_by=())
     with pytest.raises(ValueError, match="unknown"):
         time_rollup(df, granularities=("day", "fortnight"), group_by=())
+
+
+def test_asof_nearest_is_one_shuffle_two_sorts(spark, sf_dir):
+    """direction="nearest" computes BOTH running carries on one key
+    exchange: the plan must show exactly one user_id hash exchange
+    (AQE-independent: counted on the pre-execution physical plan)
+    and two Window nodes, never a second shuffle or a range join."""
+    from openset_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(left, right, direction="nearest")
+    plan = plan_str(out, "simple")
+    # key-ONLY exchanges (the windows); the right-side (user_id, ts)
+    # snapshot-dedup aggregate keys on both columns and doesn't count
+    assert len(
+        re.findall(r"Exchange hashpartitioning\(user_id#\d+L?, \d+\)", plan)
+    ) == 1, plan
+    assert len(re.findall(r"\bWindow\b", plan)) == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_is_single_hash_join_no_distinct(
+    spark, sf_dir
+):
+    """The anchor-bucket emission needs no dedup: one SortMergeJoin/
+    ShuffledHashJoin on (key, bucket), zero HashAggregate-for-distinct
+    above it, and never a nested loop."""
+    from openset_spark.operators.asof import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("l_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("valid_from"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("valid_to"),
+    )
+    out = interval_overlap_join(left, right)
+    plan = plan_str(out, "simple")
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan
+    )
+    assert len(joins) == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no distinct/aggregate above the join — emission is unique by
+    # construction
+    assert "HashAggregate" not in plan, plan
