@@ -2323,6 +2323,30 @@ WHERE cum_tokens <= CASE lang WHEN 'en' THEN 8000 ELSE 1500 END
 """.replace("{Q}", _SQL_QUALITY_SCORE).replace("{L}", _lang_id_sql())
 
 
+def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap curation: keep each source's 8 best documents by
+    (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
+    prefix sum, so a monster domain spreads over range partitions
+    instead of pinning one window partition. Oracle = per-source
+    QUALIFY row_number. NEW r11."""
+    from openset_spark.pipeline.sampling import group_cap
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    out = group_cap(
+        docs, ["source"], [F.desc("n_chars"), F.asc("doc_id")], 8
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+_SQL_SOURCE_QUALITY_CAP = """
+SELECT doc_id, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+) <= 8
+"""
+
+
 def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-vs-crawl NB quality classifier (the CCNet/DCLM
     fastText-filter shape as pure relational algebra): train binary
@@ -3525,6 +3549,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest_purchase": q_asof_nearest_purchase,
         "overlapping_activity_windows": q_overlapping_activity_windows,
         "nb_quality_scores": q_nb_quality_scores,
+        "source_quality_cap": q_source_quality_cap,
     }
 
 
@@ -4270,6 +4295,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest_purchase": _SQL_ASOF_NEAREST_PURCHASE,
         "overlapping_activity_windows": _SQL_OVERLAPPING_ACTIVITY_WINDOWS,
         "nb_quality_scores": _SQL_NB_QUALITY_SCORES,
+        "source_quality_cap": _SQL_SOURCE_QUALITY_CAP,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

@@ -206,6 +206,32 @@ def sample_per_stratum(
     )
 
 
+def group_cap(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    k: int,
+) -> DataFrame:
+    """Keep the best ``k`` rows per group in ``order`` — the
+    domain-cap curation pass (CommonCrawl-style: no single domain may
+    dominate the mix; keep its k best documents, drop the tail).
+
+    Unlike sample_per_stratum's per-stratum window, the rank comes
+    from the GROUPED distributed prefix sum: range partitions over
+    (group, order) + broadcast offsets, so ONE huge group (the
+    monster domain — exactly the row this operator exists for)
+    spreads across many partitions instead of pinning a single
+    window partition. ``order`` must be a total order (add the id as
+    the last key) or the boundary rows are arbitrary."""
+    ranked = distributed_cumsum(
+        df.withColumn("_one", F.lit(1)),
+        order,
+        "_one",
+        group_cols=tuple(group_cols),
+    )
+    return ranked.filter(F.col("_cum") <= k).drop("_one", "_cum")
+
+
 def leakage_safe_split(
     docs: DataFrame,
     pairs: DataFrame | None = None,
