@@ -473,6 +473,30 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r10"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-11 additions: time_rollup (GROUPING SETS plan), nearest
+    # as-of, the interval-overlap join, the NB quality classifier,
+    # and the domain cap. Disable with SPARK_GRAFT_R11=0.
+    if os.environ.get("SPARK_GRAFT_R11", "1") != "0":
+        try:
+            extra = {}
+            for name in (
+                "time_rollup",
+                "asof_nearest_purchase",
+                "overlapping_activity_windows",
+                "nb_quality_scores",
+                "source_quality_cap",
+                "pii_positive",
+            ):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r11"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r11"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Loader-scale evidence: distributed prefix-sum rank vs the naive
     # single-task global window on a 6M-row synthetic corpus, plus an
     # exact rank-equality spot check. Disable with SPARK_GRAFT_LOADER=0.
