@@ -74,3 +74,41 @@ def test_quality_classifier_keep_fraction(spark):
         ).collect()
     }
     assert kept == set(range(10, 16))
+
+
+def test_group_cap_equals_window_rank(spark):
+    """group_cap's grouped-prefix-sum rank must equal the per-group
+    row_number filter on fuzzed data with heavy group skew (one group
+    holds half the rows) and duplicate order values."""
+    import random
+
+    from pyspark.sql import Window
+
+    from openset_spark.pipeline.sampling import group_cap
+
+    rnd = random.Random(83)
+    for trial in range(3):
+        rows = [
+            (
+                i,
+                "g0" if rnd.random() < 0.5 else f"g{rnd.randrange(1, 6)}",
+                rnd.randrange(20),  # many ties
+            )
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "id long, grp string, v long")
+        k = rnd.randrange(3, 40)
+        got = {
+            r.id
+            for r in group_cap(
+                df, ["grp"], [F.desc("v"), F.asc("id")], k
+            ).collect()
+        }
+        w = Window.partitionBy("grp").orderBy(F.desc("v"), F.asc("id"))
+        want = {
+            r.id
+            for r in df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .collect()
+        }
+        assert got == want, (trial, k)
