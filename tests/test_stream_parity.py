@@ -1496,3 +1496,53 @@ def test_stream_interval_tag_matches_batch_interval_join(
     }
     assert streamed == expected
     assert len(expected) > 50
+
+
+def test_stream_nb_quality_matches_batch(spark, sf_dir, tmpdir):
+    """24th parity surface: the live NB quality gate over a streamed
+    document corpus equals batch nb_quality_scores doc for doc. The
+    model is trained batch-side (src0-src3 as reference) and frozen;
+    tokenization runs JVM-side on both twins; scores compare at the
+    operator's own ROUND(,4) output."""
+    import json
+
+    from openset_spark.pipeline.classify import (
+        nb_quality_model,
+        nb_quality_scores,
+    )
+    from openset_spark.sources.tables import load_table
+    from openset_spark.streaming.quality import stream_nb_quality
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    ref = F.col("source").isin("src0", "src1", "src2", "src3")
+    pos, neg = docs.filter(ref), docs.filter(~ref)
+    wdf, oov = nb_quality_model(pos, neg)
+    weights = {r.token: r.weight for r in wdf.collect()}
+
+    rows = [r.asDict() for r in docs.select("doc_id", "text").collect()]
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+    _stamp_ordered(tmpdir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_nbq_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_nb_quality(stream, weights, oov), name)
+    streamed = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    expected = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in nb_quality_scores(docs, pos, neg).collect()
+    }
+    assert streamed == expected
+    assert len(expected) > 50
