@@ -2323,6 +2323,33 @@ WHERE cum_tokens <= CASE lang WHEN 'en' THEN 8000 ELSE 1500 END
 """.replace("{Q}", _SQL_QUALITY_SCORE).replace("{L}", _lang_id_sql())
 
 
+def q_title_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: document 'titles' (first 24 normalized
+    chars) within Levenshtein distance 1 — exact deletion-neighborhood
+    candidates + levenshtein re-rank, never an all-pairs join. Oracle
+    = DuckDB's naive quadratic levenshtein self-join (exact at this
+    SF). NEW r11."""
+    from openset_spark.functions.text import normalize
+    from openset_spark.pipeline.dedup import edit1_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring(normalize(F.col("text")), 1, 24).alias("title")
+    )
+    return edit1_pairs(docs, "title", max_len=24)
+
+
+_SQL_TITLE_TYPO_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id, substr({_NORM_SQL}, 1, 24) AS title FROM documents
+  WHERE length(substr({_NORM_SQL}, 1, 24)) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 1
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -3550,6 +3577,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlapping_activity_windows": q_overlapping_activity_windows,
         "nb_quality_scores": q_nb_quality_scores,
         "source_quality_cap": q_source_quality_cap,
+        "title_typo_pairs": q_title_typo_pairs,
     }
 
 
@@ -4296,6 +4324,7 @@ def oracle_sql() -> dict[str, str]:
         "overlapping_activity_windows": _SQL_OVERLAPPING_ACTIVITY_WINDOWS,
         "nb_quality_scores": _SQL_NB_QUALITY_SCORES,
         "source_quality_cap": _SQL_SOURCE_QUALITY_CAP,
+        "title_typo_pairs": _SQL_TITLE_TYPO_PAIRS,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

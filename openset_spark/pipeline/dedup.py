@@ -1199,3 +1199,57 @@ def dedup_lines(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum(F.col("_drop").cast("long")).alias("n_removed"),
     )
+
+
+def edit1_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    max_len: int = 64,
+) -> DataFrame:
+    """(id_a, id_b, dist) pairs whose ``key_col`` strings are within
+    edit distance 1 (Levenshtein) — fuzzy record linkage for short
+    keys (titles, product names, normalized URLs) WITHOUT an
+    all-pairs join.
+
+    Exact candidate scheme — deletion neighborhoods: each string
+    emits itself plus every single-character-deletion variant. Two
+    strings within edit distance 1 ALWAYS share a variant
+    (substitution at i: both drop position i; insert/delete: the
+    shorter string IS a variant of the longer; equality: the string
+    itself), and sharing a variant bounds the distance by 2, so the
+    exact ``levenshtein`` re-rank keeps precision at 100%. Fan-out is
+    len+1 variants per row — which is why this is a SHORT-KEY
+    operator (``max_len`` guards; dedup long texts with
+    minhash/simhash instead). One groupBy on the variant, pairs from
+    sorted id arrays (the _bucket_pairs shape), distinct because a
+    pair can share several variants."""
+    keyed = df.select(
+        F.col(id_col), F.substring(F.col(key_col), 1, max_len).alias("_k")
+    ).filter(F.col("_k").isNotNull() & (F.length("_k") > 0))
+    variants = keyed.select(
+        id_col,
+        "_k",
+        F.explode(
+            F.array_union(
+                F.array(F.col("_k")),
+                F.expr(
+                    "transform(sequence(1, length(_k)), i -> "
+                    "concat(substring(_k, 1, i - 1), substring(_k, i + 1)))"
+                ),
+            )
+        ).alias("_v"),
+    )
+    cands = _bucket_pairs(variants, ["_v"], id_col)
+    a = keyed.select(F.col(id_col).alias("id_a"), F.col("_k").alias("_ka"))
+    b = keyed.select(F.col(id_col).alias("id_b"), F.col("_k").alias("_kb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ka", "_kb").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )

@@ -112,3 +112,67 @@ def test_group_cap_equals_window_rank(spark):
             .collect()
         }
         assert got == want, (trial, k)
+
+
+def test_edit1_pairs_finds_all_single_edits(spark):
+    """Deletion-neighborhood exactness: substitution, insertion,
+    deletion and equality pairs are all found with correct distances;
+    distance-2 strings are not."""
+    from openset_spark.pipeline.dedup import edit1_pairs
+
+    rows = [
+        (1, "spark rules"),
+        (2, "spark rulez"),   # substitution -> dist 1
+        (3, "spark rule"),    # deletion of 's' from 1 -> dist 1
+        (4, "sparkk rules"),  # insertion -> dist 1 vs 1
+        (5, "spark rules"),   # exact dup of 1 -> dist 0
+        (6, "totally different"),
+        (7, "spork rulez"),   # dist 2 from 1: must NOT pair with 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit1_pairs(df, "title").collect()
+    }
+    assert got[(1, 5)] == 0
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(2, 5)] == 1 and got[(3, 5)] == 1 and got[(4, 5)] == 1
+    assert (1, 7) not in got and (5, 7) not in got
+    assert got.get((2, 7)) == 1  # spork rulez vs spark rulez
+    assert not any(6 in p for p in got)
+
+
+def test_edit1_pairs_fuzz_vs_naive_levenshtein(spark):
+    """Candidate completeness on random short strings: the
+    neighborhood join must find EXACTLY the naive all-pairs
+    levenshtein<=1 set."""
+    import random
+
+    from openset_spark.pipeline.dedup import edit1_pairs
+
+    rnd = random.Random(29)
+    alpha = "abc"
+    for trial in range(3):
+        rows = [
+            (
+                i,
+                "".join(
+                    rnd.choice(alpha) for _ in range(rnd.randrange(1, 7))
+                ),
+            )
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, title string")
+        got = sorted(
+            (r.id_a, r.id_b)
+            for r in edit1_pairs(df, "title").collect()
+        )
+        a = df.selectExpr("doc_id AS id_a", "title AS ta")
+        b = df.selectExpr("doc_id AS id_b", "title AS tb")
+        naive = sorted(
+            (r.id_a, r.id_b)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(F.levenshtein("ta", "tb") <= 1)
+            .collect()
+        )
+        assert got == naive, trial
