@@ -1,0 +1,108 @@
+"""Scene-change detection + keyframe selection over decoded video
+frames — the frame-sampling pass a vision-language training pipeline
+runs so it trains on one frame per shot instead of 24 near-identical
+frames per second.
+
+Input is the decoded frame table (`multimodal.video_frame_rows` /
+`gif_frame_rows` schema: media_id, frame_idx, ts_ms, width, height,
+channels, pixels). The change statistic is the mean absolute pixel
+difference vs the previous frame, reported as integer PERMILLE of
+the 0-255 range (``sad * 1000 // (npix * 255)``) — exact integer
+arithmetic, so results are identical under any partitioning and any
+arithmetic backend (the lesson every oracle key here re-learned:
+floats drift, integers don't).
+
+Scale shape: one ``applyInPandas`` group per media id — a video's
+frames co-locate in one task, bounded by the decoder's
+``max_frames`` cap, the sessionize posture; across media the work is
+embarrassingly parallel. Frames that disagree on geometry with their
+predecessor (resolution change mid-stream) are scene changes by
+definition and get the sentinel diff 1000."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+FRAME_DIFF_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("diff_pm", LongType()),
+    ]
+)
+
+
+def frame_diffs(frames: DataFrame) -> DataFrame:
+    """(media_id, frame_idx, ts_ms, diff_pm) per frame: mean absolute
+    difference vs the previous frame in frame_idx order, integer
+    permille of full scale. The first frame of each media has NULL
+    diff_pm (nothing to compare against — callers treat it as a
+    scene start)."""
+    import pandas as pd
+
+    def per_media(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("frame_idx")
+        out_idx, out_ts, out_pm = [], [], []
+        prev = None
+        prev_shape = None
+        for _, r in pdf.iterrows():
+            w, h, ch = int(r.width), int(r.height), int(r.channels)
+            buf = bytes(r.pixels or b"")
+            n = w * h * ch
+            if n <= 0 or len(buf) < n:
+                continue
+            cur = np.frombuffer(buf[:n], dtype=np.uint8).astype(np.int64)
+            if prev is None:
+                pm = None
+            elif prev_shape != (w, h, ch):
+                pm = 1000  # geometry change = new scene by definition
+            else:
+                sad = int(np.abs(cur - prev).sum())
+                pm = sad * 1000 // (n * 255)
+            out_idx.append(int(r.frame_idx))
+            out_ts.append(int(r.ts_ms))
+            out_pm.append(pm)
+            prev, prev_shape = cur, (w, h, ch)
+        mid = int(pdf["media_id"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "media_id": pd.array([mid] * len(out_idx), dtype="int64"),
+                "frame_idx": pd.array(out_idx, dtype="int64"),
+                "ts_ms": pd.array(out_ts, dtype="int64"),
+                "diff_pm": pd.array(out_pm, dtype="Int64"),
+            }
+        )
+
+    return frames.groupBy("media_id").applyInPandas(
+        per_media, FRAME_DIFF_SCHEMA
+    )
+
+
+def scene_changes(frames: DataFrame, threshold_pm: int = 60) -> DataFrame:
+    """Frames that OPEN a scene: the first frame of each media plus
+    every frame whose diff_pm >= threshold_pm."""
+    d = frame_diffs(frames)
+    return d.filter(
+        F.col("diff_pm").isNull() | (F.col("diff_pm") >= threshold_pm)
+    )
+
+
+def keyframes(
+    frames: DataFrame, threshold_pm: int = 60
+) -> DataFrame:
+    """One representative frame per detected scene: the scene-opening
+    frame itself, with full pixel payload — join the scene starts
+    back to the frame table. The VLM-training frame-sampling output."""
+    starts = scene_changes(frames, threshold_pm).select(
+        "media_id", "frame_idx"
+    )
+    return frames.join(starts, ["media_id", "frame_idx"])
