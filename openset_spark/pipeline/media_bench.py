@@ -222,6 +222,7 @@ def run_media_bench(
         decode_images,
         video_frame_rows,
     )
+    from openset_spark.pipeline.scenes import keyframes as _keyframes
 
     corpora = ensure_media_corpus(spark, cache_dir)
     frames = {k: spark.read.parquet(p) for k, (p, _) in corpora.items()}
@@ -250,6 +251,10 @@ def run_media_bench(
         ),
         "video_frames_avi": (
             lambda: video_frame_rows(frames["avi"]),
+            "avi",
+        ),
+        "video_keyframes_avi": (
+            lambda: _keyframes(video_frame_rows(frames["avi"])),
             "avi",
         ),
     }
