@@ -106,3 +106,98 @@ def keyframes(
         "media_id", "frame_idx"
     )
     return frames.join(starts, ["media_id", "frame_idx"])
+
+
+def stream_frame_diffs(frames: DataFrame) -> DataFrame:
+    """Live scene statistics — the streaming twin of
+    :func:`frame_diffs` (25th parity surface, completing the
+    modality set: audio features 18th, image hashes 20th, video
+    25th): frames arrive in frame_idx order per media (the decoder
+    emits them that way); state per media is the PREVIOUS frame's
+    geometry + pixel buffer, so each arriving frame emits its
+    diff_pm immediately and state stays O(one frame). For an
+    in-order feed the output equals batch frame_diffs exactly across
+    any micro-batch split — the diff is a pure function of
+    (previous frame, current frame), both integer arithmetic."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("w", LongType()),
+            StructField("h", LongType()),
+            StructField("ch", LongType()),
+            StructField("px", BinaryType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            sw, sh, sch, spx = state.get
+            prev_shape = (int(sw), int(sh), int(sch))
+            prev = np.frombuffer(bytes(spx), dtype=np.uint8).astype(
+                np.int64
+            )
+        else:
+            prev_shape, prev = None, None
+        out = {"media_id": [], "frame_idx": [], "ts_ms": [], "diff_pm": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values("frame_idx")
+            for _, r in pdf.iterrows():
+                w, h, ch = int(r.width), int(r.height), int(r.channels)
+                buf = bytes(r.pixels or b"")
+                n = w * h * ch
+                if n <= 0 or len(buf) < n:
+                    continue
+                cur = np.frombuffer(buf[:n], dtype=np.uint8).astype(
+                    np.int64
+                )
+                if prev is None:
+                    pm = None
+                elif prev_shape != (w, h, ch):
+                    pm = 1000
+                else:
+                    sad = int(np.abs(cur - prev).sum())
+                    pm = sad * 1000 // (n * 255)
+                out["media_id"].append(int(key[0]))
+                out["frame_idx"].append(int(r.frame_idx))
+                out["ts_ms"].append(int(r.ts_ms))
+                out["diff_pm"].append(pm)
+                prev, prev_shape = cur, (w, h, ch)
+        if prev is not None:
+            state.update(
+                (
+                    prev_shape[0],
+                    prev_shape[1],
+                    prev_shape[2],
+                    bytes(np.asarray(prev, dtype=np.int64).astype(np.uint8)),
+                )
+            )
+        if out["media_id"]:
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="int64"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int64"),
+                    "ts_ms": pd.array(out["ts_ms"], dtype="int64"),
+                    "diff_pm": pd.array(out["diff_pm"], dtype="Int64"),
+                }
+            )
+
+    return frames.groupBy("media_id").applyInPandasWithState(
+        update,
+        outputStructType=FRAME_DIFF_SCHEMA,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

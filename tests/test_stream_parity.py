@@ -1546,3 +1546,54 @@ def test_stream_nb_quality_matches_batch(spark, sf_dir, tmpdir):
     }
     assert streamed == expected
     assert len(expected) > 50
+
+
+def test_stream_frame_diffs_match_batch(spark, tmpdir):
+    """25th parity surface — third multimodal one (audio 18th, image
+    20th, video now): live scene statistics with state = previous
+    frame per media. Frames stream in order across micro-batches; the
+    batch boundary falls INSIDE a scene so the state carry is what
+    produces the right diff; output equals batch frame_diffs exactly
+    (pure integer arithmetic both sides)."""
+    from openset_spark.pipeline.multimodal import GIF_FRAME_SCHEMA
+    from openset_spark.pipeline.scenes import frame_diffs, stream_frame_diffs
+
+    flat = bytes([10] * 12)
+    other = bytes([200] * 12)
+    all_rows = [
+        (1, 0, 0, 4, 1, 3, bytearray(flat)),
+        (2, 0, 0, 4, 1, 3, bytearray(other)),
+        (1, 1, 40, 4, 1, 3, bytearray(flat)),
+        # ---- batch boundary here: frame 2 diffs against state ----
+        (1, 2, 80, 4, 1, 3, bytearray(other)),
+        (2, 1, 40, 4, 1, 3, bytearray(other)),
+        (1, 3, 120, 4, 1, 3, bytearray(other)),
+    ]
+    for i, chunk in enumerate((all_rows[:3], all_rows[3:])):
+        spark.createDataFrame(chunk, GIF_FRAME_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(f"{tmpdir}/frames")
+    _stamp_ordered(f"{tmpdir}/frames")
+
+    stream = (
+        spark.readStream.schema(GIF_FRAME_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmpdir}/frames")
+    )
+    name = f"parity_scene_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_frame_diffs(stream), name)
+    streamed = {
+        (r.media_id, r.frame_idx): r.diff_pm
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    batch_in = spark.read.schema(GIF_FRAME_SCHEMA).parquet(
+        f"{tmpdir}/frames"
+    )
+    expected = {
+        (r.media_id, r.frame_idx): r.diff_pm
+        for r in frame_diffs(batch_in).collect()
+    }
+    assert streamed == expected
+    # the cross-batch carry produced a real scene change
+    assert streamed[(1, 2)] >= 60 and streamed[(1, 3)] == 0
+    assert streamed[(1, 0)] is None and streamed[(2, 0)] is None
