@@ -212,13 +212,12 @@ def interval_join(
     exploding.
 
     ``how="left"`` keeps unmatched left rows with NULL interval
-    columns: the matches come from the same inner bucket join, and
-    the unmatched rows from a LEFT ANTI join on the identical (key,
-    bucket, containment) condition — the two unioned. No join-back
-    on left columns at all, so duplicated left rows each survive
-    independently and NULLs in payload columns can't drop genuine
-    matches (each anti-side row is judged only by its key, bucket
-    and timestamp)."""
+    columns in ONE pass: the containment predicate rides the
+    (key, bucket) equi-join as its residual condition in a LEFT
+    OUTER join — a left row with no passing match emits exactly once
+    with NULLs, so there is no join-back on left columns at all
+    (duplicated left rows survive independently, NULL payloads can't
+    drop genuine matches) and no second scan of either side."""
     from openset_spark.functions.time import epoch_ms
 
     if how not in ("inner", "left"):
@@ -237,36 +236,30 @@ def interval_join(
             )
         ),
     )
-    matched = (
-        lb.join(rb, [*by, "_b"])
-        .filter(
-            (F.col(start_col) <= F.col(on)) & (F.col(on) < F.col(end_col))
-        )
-        .drop("_b")
-    )
     if how == "inner":
-        return matched
-    # unmatched lefts: LEFT ANTI on the same (key, bucket, containment)
-    # condition — exact because a point meets any interval only in its
-    # own single bucket, and free of the join-back hazards (duplicate
-    # left rows cross-multiplying, NULL payloads failing equality)
-    anti_cond = F.lit(True)
+        return (
+            lb.join(rb, [*by, "_b"])
+            .filter(
+                (F.col(start_col) <= F.col(on))
+                & (F.col(on) < F.col(end_col))
+            )
+            .drop("_b")
+        )
+    cond = F.lit(True)
     for c in by:
-        anti_cond = anti_cond & (lb[c] == rb[c])
-    anti_cond = (
-        anti_cond
+        cond = cond & (lb[c] == rb[c])
+    cond = (
+        cond
         & (lb["_b"] == rb["_b"])
         & (rb[start_col] <= lb[on])
         & (lb[on] < rb[end_col])
     )
-    unmatched = lb.join(rb, anti_cond, "left_anti").drop("_b")
-    right_types = {f.name: f.dataType for f in matched.schema.fields}
-    right_only = [c for c in matched.columns if c not in unmatched.columns]
-    unmatched = unmatched.select(
-        *unmatched.columns,
-        *[F.lit(None).cast(right_types[c]).alias(c) for c in right_only],
+    right_only = [c for c in rb.columns if c not in (*by, "_b")]
+    return lb.join(rb, cond, "left").select(
+        *[lb[c] for c in by],
+        *[lb[c] for c in left.columns if c not in by],
+        *[rb[c] for c in right_only],
     )
-    return matched.unionByName(unmatched)
 
 
 def interval_overlap_join(

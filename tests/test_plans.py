@@ -462,3 +462,31 @@ def test_interval_overlap_join_is_single_hash_join_no_distinct(
     # no distinct/aggregate above the join — emission is unique by
     # construction
     assert "HashAggregate" not in plan, plan
+
+
+def test_interval_join_left_is_single_outer_join(spark, sf_dir):
+    """The r11 single-pass left path: the containment predicate rides
+    the (key, bucket) equi-join as a residual condition — one
+    SortMergeJoin/ShuffledHashJoin LeftOuter, each input scanned
+    once, never a nested loop and no union of a second anti pass."""
+    from openset_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("valid_to"),
+    )
+    out = interval_join(left, right, how="left")
+    plan = plan_str(out, "simple")
+    joins = re.findall(
+        r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan
+    )
+    assert len(joins) == 1, plan
+    assert "LeftOuter" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Union" not in plan, plan
