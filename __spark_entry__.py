@@ -2350,6 +2350,51 @@ WHERE levenshtein(a.title, b.title) <= 1
 """
 
 
+def q_approx_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable HLL: approximate distinct users
+    per day. Spark's DataSketches HIP estimator is order-dependent
+    (same corpus, three different answers under reordering — measured
+    in pipeline/hll.py's docstring); this sketch is register-exact:
+    portable md5-prefix hash, max-rho registers, closed-form
+    estimate — DuckDB replays the WHOLE sketch bit for bit.
+    NEW r11."""
+    from openset_spark.pipeline.hll import approx_distinct
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    return approx_distinct(ev, "user_id", ("day",))
+
+
+_SQL_APPROX_USERS_PER_DAY = """
+WITH h AS (
+  SELECT strftime(date_trunc('day', ts::TIMESTAMP), '%Y-%m-%d') AS day,
+    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT day, CAST(hv % 1024 AS INTEGER) AS reg,
+    CAST(CASE WHEN hv // 1024 > 0 THEN 51 - length(bin(hv // 1024))
+         ELSE 51 END AS INTEGER) AS rho
+  FROM h
+),
+regs AS (SELECT day, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT day, SUM(power(2.0, -rho)) AS z_hit, COUNT(*) AS n_hit
+  FROM regs GROUP BY 1
+)
+SELECT day,
+  ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+               / (z_hit + (1024 - n_hit)) <= 2.5 * 1024
+             AND 1024 - n_hit > 0
+    THEN 1024.0 * ln(1024.0 / (1024 - n_hit))
+    ELSE (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+         / (z_hit + (1024 - n_hit)) END, 4) AS approx_distinct
+FROM agg
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -3578,6 +3623,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_quality_scores": q_nb_quality_scores,
         "source_quality_cap": q_source_quality_cap,
         "title_typo_pairs": q_title_typo_pairs,
+        "approx_users_per_day": q_approx_users_per_day,
     }
 
 
@@ -4325,6 +4371,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_quality_scores": _SQL_NB_QUALITY_SCORES,
         "source_quality_cap": _SQL_SOURCE_QUALITY_CAP,
         "title_typo_pairs": _SQL_TITLE_TYPO_PAIRS,
+        "approx_users_per_day": _SQL_APPROX_USERS_PER_DAY,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

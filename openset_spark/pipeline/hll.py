@@ -1,0 +1,132 @@
+"""Deterministic, engine-portable HyperLogLog — approximate distinct
+counts whose partials COMPOSE EXACTLY.
+
+Why not Spark's built-in DataSketches functions (`hll_sketch_agg` /
+`hll_union_agg`)? Their HIP estimator is ORDER-DEPENDENT: measured in
+this repo, the same 500-distinct corpus estimates 499 built directly,
+500 unioned from per-hour sketches, and 498 after reordering the
+union — three answers for one question, so a re-run of the same
+query on a different partitioning can disagree with itself, and no
+cross-engine oracle can ever replay it.
+
+This implementation is classic Flajolet HLL kept in PURE relational
+algebra, deterministic by construction:
+
+* hash = the portable 60-bit md5 prefix (``conv(substr(md5(x),1,15),
+  16, 10)`` — DuckDB computes the identical value, the dsir.py
+  precedent), so the SKETCH ITSELF is oracle-replayable;
+* a "sketch" is rows: (group..., reg, rho) with ``rho`` the register
+  max — max() is commutative/associative/idempotent, so partials
+  from any split (per-hour, per-shard, per-micro-batch) fold to
+  EXACTLY the registers a direct build produces: fold == direct,
+  bit for bit — the property the HIP estimator lacks;
+* the estimate is a closed-form expression of the registers (alpha_m
+  * m^2 / Z with the small-range linear-counting correction), an
+  identical float expression tree in Spark and DuckDB.
+
+Scale: the partial table carries at most m rows per group (m = 2^p,
+default 1024 — ~3.2% standard error); the register aggregate is one
+map-side-combinable max. The 2^60 hash space makes the large-range
+correction irrelevant at any realistic cardinality.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 hex chars of md5 — positive in a signed 64-bit
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hash60(col: Column) -> Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hll_partials(
+    df: DataFrame,
+    col: str,
+    group_by: tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """(group_by..., reg, rho) register maxes — the composable
+    sketch. reg = h mod m; rho = leading-zero rank of h div m within
+    its (60-p)-bit field (standard geometric: P(rho >= k) =
+    2^-(k-1)). NULL values are skipped (distinct-of-non-null, the
+    COUNT(DISTINCT) convention)."""
+    m = 1 << p
+    wbits = HASH_BITS - p
+    h = _hash60(F.col(col))
+    w = F.expr(f"_h div {m}")
+    rho = F.when(w > 0, F.lit(wbits + 1) - F.length(F.conv(w, 10, 2))).otherwise(
+        F.lit(wbits + 1)
+    )
+    base = (
+        df.filter(F.col(col).isNotNull())
+        .withColumn("_h", h)
+        .withColumn("reg", (F.col("_h") % m).cast("int"))
+        .withColumn("rho", rho.cast("int"))
+    )
+    return base.groupBy(*group_by, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_fold(
+    partials: DataFrame, group_by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Fold partials to a coarser grouping (drop keys, merge shards,
+    roll hours into days): same row shape, exact register algebra —
+    max of maxes IS the direct build's max."""
+    return partials.groupBy(*group_by, "reg").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_estimate(
+    partials: DataFrame,
+    group_by: tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """(group_by..., approx_distinct) from a register table. The
+    closed form: Z = sum(2^-rho) over present registers + one per
+    absent register; E = alpha*m^2/Z; if E <= 2.5m and any register
+    is empty, linear counting E = m*ln(m/V) (V = empty registers).
+    Output is ROUND(E, 4) — the cross-engine float contract."""
+    m = 1 << p
+    agg = partials.groupBy(*group_by).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z_hit"),
+        F.count(F.lit(1)).alias("_n_hit"),
+    )
+    z = F.col("_z_hit") + (F.lit(m) - F.col("_n_hit"))
+    raw = F.lit(_alpha(m) * m * m) / z
+    v = F.lit(m) - F.col("_n_hit")  # empty registers
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        *group_by, F.round(est, 4).alias("approx_distinct")
+    )
+
+
+def approx_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """COUNT(DISTINCT col) per group, approximately (~1.04/sqrt(2^p)
+    standard error), deterministically, and oracle-replayably."""
+    return hll_estimate(hll_partials(df, col, group_by, p), group_by, p)

@@ -1,0 +1,71 @@
+"""Deterministic portable HLL (pipeline/hll.py): accuracy envelope,
+exact register composability (fold == direct, bit for bit — the
+property Spark's DataSketches HIP estimator lacks), partitioning
+invariance, and the linear-counting small range."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.hll import (
+    approx_distinct,
+    hll_estimate,
+    hll_fold,
+    hll_partials,
+)
+
+
+def test_accuracy_envelope(spark):
+    # 5000 distinct ids: p=10 -> sigma ~3.25%; assert within 4 sigma
+    df = spark.range(20000).selectExpr("id % 5000 AS u")
+    est = approx_distinct(df, "u").first().approx_distinct
+    assert abs(est - 5000) / 5000 < 0.13, est
+
+
+def test_small_range_linear_counting_is_near_exact(spark):
+    df = spark.range(37).selectExpr("id AS u")
+    est = approx_distinct(df, "u").first().approx_distinct
+    # with 37 of 1024 registers hit, linear counting is near-exact
+    assert abs(est - 37) <= 2, est
+
+
+def test_fold_equals_direct_bit_for_bit(spark):
+    """Per-hour partials folded to the day must give the IDENTICAL
+    register table and the IDENTICAL estimate as a direct day build
+    — max composes exactly. (Spark's hll_union_agg measured 500 vs
+    499 vs 498 on this very shape.)"""
+    df = spark.range(30000).selectExpr(
+        "id % 500 AS u", "id % 24 AS h"
+    )
+    per_h = hll_partials(df, "u", ("h",))
+    folded = hll_fold(per_h, ())
+    direct = hll_partials(df, "u", ())
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    e1 = hll_estimate(folded).first().approx_distinct
+    e2 = hll_estimate(direct).first().approx_distinct
+    assert e1 == e2
+
+
+def test_partitioning_invariance(spark):
+    df = spark.range(8000).selectExpr("id % 900 AS u")
+    a = approx_distinct(df.repartition(32), "u").first().approx_distinct
+    b = approx_distinct(df.coalesce(1), "u").first().approx_distinct
+    c = approx_distinct(
+        df.repartition(7, "u"), "u"
+    ).first().approx_distinct
+    assert a == b == c
+
+
+def test_grouped_and_null_handling(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (None, "a"), (1, "b")],
+        "u long, g string",
+    )
+    out = {
+        r.g: r.approx_distinct
+        for r in approx_distinct(df, "u", ("g",)).collect()
+    }
+    assert abs(out["a"] - 2) <= 0.01 and abs(out["b"] - 1) <= 0.01
