@@ -56,17 +56,20 @@ def _hash60(col: Column) -> Column:
     ).cast("long")
 
 
-def hll_partials(
+def hll_observations(
     df: DataFrame,
     col: str,
     group_by: tuple[str, ...] = (),
     p: int = 10,
 ) -> DataFrame:
-    """(group_by..., reg, rho) register maxes — the composable
-    sketch. reg = h mod m; rho = leading-zero rank of h div m within
-    its (60-p)-bit field (standard geometric: P(rho >= k) =
-    2^-(k-1)). NULL values are skipped (distinct-of-non-null, the
-    COUNT(DISTINCT) convention)."""
+    """Per-ROW register observations (group_by..., reg, rho) — a pure
+    stateless projection, so it drops unchanged into a STREAMING
+    pipeline (the 26th parity surface: fold the streamed observations
+    and you hold the exact registers a batch build produces, for any
+    arrival order or micro-batch split). reg = h mod m; rho =
+    leading-zero rank of h div m within its (60-p)-bit field
+    (standard geometric: P(rho >= k) = 2^-(k-1)). NULLs are skipped
+    (distinct-of-non-null, the COUNT(DISTINCT) convention)."""
     m = 1 << p
     wbits = HASH_BITS - p
     h = _hash60(F.col(col))
@@ -74,13 +77,28 @@ def hll_partials(
     rho = F.when(w > 0, F.lit(wbits + 1) - F.length(F.conv(w, 10, 2))).otherwise(
         F.lit(wbits + 1)
     )
-    base = (
+    return (
         df.filter(F.col(col).isNotNull())
         .withColumn("_h", h)
         .withColumn("reg", (F.col("_h") % m).cast("int"))
         .withColumn("rho", rho.cast("int"))
+        .select(*group_by, "reg", "rho")
     )
-    return base.groupBy(*group_by, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_partials(
+    df: DataFrame,
+    col: str,
+    group_by: tuple[str, ...] = (),
+    p: int = 10,
+) -> DataFrame:
+    """(group_by..., reg, rho) register maxes — the composable
+    sketch: one map-side-combinable max over the observations."""
+    return (
+        hll_observations(df, col, group_by, p)
+        .groupBy(*group_by, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
 
 
 def hll_fold(

@@ -1597,3 +1597,43 @@ def test_stream_frame_diffs_match_batch(spark, tmpdir):
     # the cross-batch carry produced a real scene change
     assert streamed[(1, 2)] >= 60 and streamed[(1, 3)] == 0
     assert streamed[(1, 0)] is None and streamed[(2, 0)] is None
+
+
+def test_stream_hll_observations_fold_matches_batch(spark, sf_dir, tmpdir):
+    """26th parity surface: live distinct-user sketching. The stream
+    emits per-row register observations (pure projection, no state);
+    folding them yields EXACTLY the registers — and therefore exactly
+    the estimate — of a direct batch build, for any micro-batch
+    split, because register max is commutative and idempotent. This
+    is the property Spark's own DataSketches HIP estimator lacks
+    (order-dependent estimates, measured in pipeline/hll.py)."""
+    from openset_spark.pipeline.hll import (
+        hll_estimate,
+        hll_fold,
+        hll_observations,
+        hll_partials,
+    )
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    obs = hll_observations(stream, "user_id", ("event_type",))
+    name = f"parity_hll_{uuid.uuid4().hex[:8]}"
+    _run_available(obs, name)
+    folded = hll_fold(
+        spark.sql(f"select * from {name}"), ("event_type",)
+    )
+
+    bf = _batch_frame(spark, tmpdir)
+    direct = hll_partials(bf, "user_id", ("event_type",))
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    got = {
+        r.event_type: r.approx_distinct
+        for r in hll_estimate(folded, ("event_type",)).collect()
+    }
+    want = {
+        r.event_type: r.approx_distinct
+        for r in hll_estimate(direct, ("event_type",)).collect()
+    }
+    assert got == want and len(want) >= 5
