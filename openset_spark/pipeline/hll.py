@@ -32,8 +32,6 @@ correction irrelevant at any realistic cardinality.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -148,3 +146,45 @@ def approx_distinct(
     """COUNT(DISTINCT col) per group, approximately (~1.04/sqrt(2^p)
     standard error), deterministically, and oracle-replayably."""
     return hll_estimate(hll_partials(df, col, group_by, p), group_by, p)
+
+
+def hll_union_estimate(
+    a: DataFrame, b: DataFrame, p: int = 10
+) -> DataFrame:
+    """Distinct count of A ∪ B from two ungrouped register tables —
+    exact register algebra (elementwise max), so the union estimate
+    is the same number a direct build over the concatenated inputs
+    would produce."""
+    return hll_estimate(hll_fold(a.unionByName(b)), (), p)
+
+
+def hll_intersect_estimate(
+    a: DataFrame, b: DataFrame, p: int = 10
+) -> DataFrame:
+    """|A ∩ B| by inclusion-exclusion over the three deterministic
+    estimates (est(A) + est(B) - est(A∪B)) — the approximate
+    segment-overlap people count at corpus scale. Still a pure
+    function of the two register tables: deterministic under any
+    partitioning, never negative (clamped — inclusion-exclusion on
+    nearly-disjoint sets can dip below zero by estimation error)."""
+    ea = hll_estimate(a, (), p).selectExpr(
+        "approx_distinct AS _ea", "1 AS _k"
+    )
+    eb = hll_estimate(b, (), p).selectExpr(
+        "approx_distinct AS _eb", "1 AS _k"
+    )
+    eu = hll_union_estimate(a, b, p).selectExpr(
+        "approx_distinct AS _eu", "1 AS _k"
+    )
+    return (
+        ea.join(eb, "_k")
+        .join(eu, "_k")
+        .select(
+            F.round(
+                F.greatest(
+                    F.col("_ea") + F.col("_eb") - F.col("_eu"), F.lit(0.0)
+                ),
+                4,
+            ).alias("approx_distinct")
+        )
+    )

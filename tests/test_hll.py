@@ -69,3 +69,27 @@ def test_grouped_and_null_handling(spark):
         for r in approx_distinct(df, "u", ("g",)).collect()
     }
     assert abs(out["a"] - 2) <= 0.01 and abs(out["b"] - 1) <= 0.01
+
+
+def test_set_algebra_union_and_intersection(spark):
+    # A = 0..599, B = 400..999: |A|=600 |B|=600 |A∪B|=1000 |A∩B|=200
+    a = hll_partials(
+        spark.range(600).selectExpr("id AS u"), "u"
+    )
+    b = hll_partials(
+        spark.range(400, 1000).selectExpr("id AS u"), "u"
+    )
+    from openset_spark.pipeline.hll import (
+        hll_intersect_estimate,
+        hll_union_estimate,
+    )
+
+    eu = hll_union_estimate(a, b).first().approx_distinct
+    ei = hll_intersect_estimate(a, b).first().approx_distinct
+    assert abs(eu - 1000) / 1000 < 0.13, eu
+    # intersection inherits three estimates' error: generous envelope
+    assert abs(ei - 200) < 120, ei
+    # union of identical sketches is the sketch itself (idempotence)
+    same = hll_union_estimate(a, a).first().approx_distinct
+    direct = hll_estimate(a).first().approx_distinct
+    assert same == direct
