@@ -2395,6 +2395,67 @@ FROM agg
 """
 
 
+def q_rollup_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique users per day AND per hour from ONE register shuffle —
+    the continuous-aggregate distinct query exact dcount cannot fold
+    (a user active in two hours is one user that day). GROUPING SETS
+    over (bucket-prefix, reg) + the closed-form portable-HLL
+    estimate; DuckDB replays the whole thing, grouping sets included.
+    NEW r11."""
+    from openset_spark.pipeline.hll import time_rollup_distinct
+
+    ev = _events(spark, sf_dir)
+    out = time_rollup_distinct(ev, ("day", "hour"))
+    return out.select(
+        "granularity",
+        F.date_format("bucket_day", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_day"
+        ),
+        F.date_format("bucket_hour", "yyyy-MM-dd HH:mm:ss").alias(
+            "bucket_hour"
+        ),
+        "approx_distinct",
+    )
+
+
+_SQL_ROLLUP_UNIQUE_USERS = """
+WITH h AS (
+  SELECT date_trunc('day', ts::TIMESTAMP) AS bday,
+    date_trunc('hour', ts::TIMESTAMP) AS bhour,
+    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+o AS (
+  SELECT bday, bhour, CAST(hv % 1024 AS INTEGER) AS reg,
+    CAST(CASE WHEN hv // 1024 > 0 THEN 51 - length(bin(hv // 1024))
+         ELSE 51 END AS INTEGER) AS rho
+  FROM h
+),
+regs AS (
+  SELECT CASE WHEN GROUPING(bhour) = 1 THEN 'day' ELSE 'hour' END
+      AS granularity,
+    bday, bhour, reg, MAX(rho) AS rho
+  FROM o GROUP BY GROUPING SETS ((bday, reg), (bday, bhour, reg))
+),
+agg AS (
+  SELECT granularity, bday, bhour,
+    SUM(power(2.0, -rho)) AS z_hit, COUNT(*) AS n_hit
+  FROM regs GROUP BY 1, 2, 3
+)
+SELECT granularity,
+  strftime(bday, '%Y-%m-%d %H:%M:%S') AS bucket_day,
+  strftime(bhour, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+  ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+               / (z_hit + (1024 - n_hit)) <= 2.5 * 1024
+             AND 1024 - n_hit > 0
+    THEN 1024.0 * ln(1024.0 / (1024 - n_hit))
+    ELSE (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+         / (z_hit + (1024 - n_hit)) END, 4) AS approx_distinct
+FROM agg
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -3624,6 +3685,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_cap": q_source_quality_cap,
         "title_typo_pairs": q_title_typo_pairs,
         "approx_users_per_day": q_approx_users_per_day,
+        "rollup_unique_users": q_rollup_unique_users,
     }
 
 
@@ -4372,6 +4434,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quality_cap": _SQL_SOURCE_QUALITY_CAP,
         "title_typo_pairs": _SQL_TITLE_TYPO_PAIRS,
         "approx_users_per_day": _SQL_APPROX_USERS_PER_DAY,
+        "rollup_unique_users": _SQL_ROLLUP_UNIQUE_USERS,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

@@ -188,3 +188,69 @@ def hll_intersect_estimate(
             ).alias("approx_distinct")
         )
     )
+
+
+def time_rollup_distinct(
+    df: DataFrame,
+    granularities: tuple[str, ...] = ("day", "hour"),
+    ts_col: str = "ts",
+    group_by: tuple[str, ...] = (),
+    col: str = "user_id",
+    p: int = 10,
+) -> DataFrame:
+    """Approximate distinct counts at EVERY granularity of a time
+    hierarchy (unique users per hour, per day, per month ...) from
+    ONE register shuffle — the continuous-aggregate query exact
+    dcount can never fold (a user active in two hours is one user
+    that day) and the order-dependent DataSketches path can never
+    replay. GROUPING SETS over (dims, bucket-prefix, reg) computes
+    every level's register maxes in a single Expand+Exchange (the
+    time_rollup plan shape), then the closed-form estimate is one
+    small aggregate over m rows per group. Output: (granularity,
+    group_by..., bucket_<g>..., approx_distinct)."""
+    from openset_spark.operators.events import validate_granularities
+
+    validate_granularities(granularities)
+    bnames = [f"bucket_{g}" for g in granularities]
+    pre = df.withColumns(
+        {
+            n: F.date_trunc(g, F.col(ts_col))
+            for n, g in zip(bnames, granularities)
+        }
+    )
+    obs = hll_observations(pre, col, tuple(group_by) + tuple(bnames), p)
+    all_keys = list(group_by) + bnames + ["reg"]
+    sets = [
+        [F.col(c) for c in list(group_by) + bnames[: i + 1] + ["reg"]]
+        for i in range(len(granularities))
+    ]
+    regs = obs.groupingSets(sets, *[F.col(c) for c in all_keys]).agg(
+        F.max("rho").alias("rho"), F.grouping_id().alias("_gid")
+    )
+    level = F.lit(None).cast("string")
+    for i, g in enumerate(granularities):
+        # reg is the last gid bit and always present (0); bucket bits
+        # finer than level i are grouped away
+        gid = ((1 << (len(granularities) - 1 - i)) - 1) << 1
+        level = F.when(F.col("_gid") == gid, F.lit(g)).otherwise(level)
+    leveled = regs.select(
+        level.alias("granularity"), *all_keys[:-1], "reg", "rho"
+    )
+    m = 1 << p
+    agg = leveled.groupBy("granularity", *group_by, *bnames).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z_hit"),
+        F.count(F.lit(1)).alias("_n_hit"),
+    )
+    z = F.col("_z_hit") + (F.lit(m) - F.col("_n_hit"))
+    raw = F.lit(_alpha(m) * m * m) / z
+    v = F.lit(m) - F.col("_n_hit")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        "granularity",
+        *group_by,
+        *bnames,
+        F.round(est, 4).alias("approx_distinct"),
+    )

@@ -93,3 +93,56 @@ def test_set_algebra_union_and_intersection(spark):
     same = hll_union_estimate(a, a).first().approx_distinct
     direct = hll_estimate(a).first().approx_distinct
     assert same == direct
+
+
+def test_time_rollup_distinct_levels_match_per_level_builds(spark):
+    """The single-shuffle multi-granularity build must equal an
+    independent per-level approx_distinct on the same data, level by
+    level — and the day estimate must NOT be the sum of hour
+    estimates (the fold dedups users across hours)."""
+    import datetime as dt
+    import random
+
+    from openset_spark.pipeline.hll import time_rollup_distinct
+
+    rnd = random.Random(11)
+    rows = [
+        (
+            rnd.randrange(300),
+            dt.datetime(2024, 3, 1 + rnd.randrange(2), rnd.randrange(24)),
+        )
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = time_rollup_distinct(df, ("day", "hour"))
+    got_day = {
+        r.bucket_day: r.approx_distinct
+        for r in out.collect()
+        if r.granularity == "day"
+    }
+    got_hour = {
+        (r.bucket_day, r.bucket_hour): r.approx_distinct
+        for r in out.collect()
+        if r.granularity == "hour"
+    }
+    day_ref = {
+        r.bucket_day: r.approx_distinct
+        for r in approx_distinct(
+            df.withColumn("bucket_day", F.date_trunc("day", "ts")),
+            "user_id",
+            ("bucket_day",),
+        ).collect()
+    }
+    hour_ref = {
+        (r.bucket_day, r.bucket_hour): r.approx_distinct
+        for r in approx_distinct(
+            df.withColumn("bucket_day", F.date_trunc("day", "ts"))
+            .withColumn("bucket_hour", F.date_trunc("hour", "ts")),
+            "user_id",
+            ("bucket_day", "bucket_hour"),
+        ).collect()
+    }
+    assert got_day == day_ref and got_hour == hour_ref
+    for d, est in got_day.items():
+        s = sum(v for (dd, _), v in got_hour.items() if dd == d)
+        assert est < 0.7 * s  # users active in many hours dedup
