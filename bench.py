@@ -486,6 +486,9 @@ def main() -> None:
                 "nb_quality_scores",
                 "source_quality_cap",
                 "pii_positive",
+                "title_typo_pairs",
+                "approx_users_per_day",
+                "rollup_unique_users",
             ):
                 samples = []
                 for _ in range(reps):
