@@ -490,3 +490,20 @@ def test_interval_join_left_is_single_outer_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Union" not in plan, plan
+
+
+def test_nb_scoring_join_broadcasts_model(spark, sf_dir):
+    """The NB weight frame is vocabulary-bounded — after AQE sizes
+    it, the scoring join must run as a broadcast, not a shuffle of
+    the exploded token table."""
+    from openset_spark.pipeline.classify import nb_quality_scores
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    ref = F.col("source").isin("src0", "src1")
+    out = nb_quality_scores(docs, docs.filter(ref), docs.filter(~ref))
+    out.collect()  # let AQE finalize
+    plan = plan_str(out, "simple")
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan, plan
