@@ -1224,22 +1224,8 @@ def edit1_pairs(
     minhash/simhash instead). One groupBy on the variant, pairs from
     sorted id arrays (the _bucket_pairs shape), distinct because a
     pair can share several variants."""
-    keyed = df.select(
-        F.col(id_col), F.substring(F.col(key_col), 1, max_len).alias("_k")
-    ).filter(F.col("_k").isNotNull() & (F.length("_k") > 0))
-    variants = keyed.select(
-        id_col,
-        "_k",
-        F.explode(
-            F.array_union(
-                F.array(F.col("_k")),
-                F.expr(
-                    "transform(sequence(1, length(_k)), i -> "
-                    "concat(substring(_k, 1, i - 1), substring(_k, i + 1)))"
-                ),
-            )
-        ).alias("_v"),
-    )
+    variants = _edit1_variants(df, key_col, id_col, max_len)
+    keyed = variants.select(id_col, "_k").distinct()
     cands = _bucket_pairs(variants, ["_v"], id_col)
     a = keyed.select(F.col(id_col).alias("id_a"), F.col("_k").alias("_ka"))
     b = keyed.select(F.col(id_col).alias("id_b"), F.col("_k").alias("_kb"))
@@ -1252,4 +1238,63 @@ def edit1_pairs(
             F.levenshtein("_ka", "_kb").cast("int").alias("dist"),
         )
         .filter(F.col("dist") <= 1)
+    )
+
+
+def _edit1_variants(df: DataFrame, key_col: str, id_col: str, max_len: int = 64):
+    keyed = df.select(
+        F.col(id_col), F.substring(F.col(key_col), 1, max_len).alias("_k")
+    ).filter(F.col("_k").isNotNull() & (F.length("_k") > 0))
+    return keyed.select(
+        id_col,
+        "_k",
+        F.explode(
+            F.array_union(
+                F.array(F.col("_k")),
+                F.expr(
+                    "transform(sequence(1, length(_k)), i -> "
+                    "concat(substring(_k, 1, i - 1), substring(_k, i + 1)))"
+                ),
+            )
+        ).alias("_v"),
+    )
+
+
+def edit1_against(
+    docs: DataFrame,
+    corpus: DataFrame,
+    key_col: str,
+    id_col: str = "doc_id",
+    corpus_id_col: str = "doc_id",
+    max_len: int = 64,
+) -> DataFrame:
+    """(id, corpus_id, dist) pairs where an incoming doc's key is
+    within edit distance 1 of an EXISTING corpus key — the
+    ingest-time typo screen (near_dup_against's exact-short-key
+    sibling). Same deletion-neighborhood scheme as
+    :func:`edit1_pairs`, but the corpus side is a prebuilt (variant,
+    key, id) index the arrivals hash-join — every stage is a pure
+    per-row projection + one equijoin, so the identical plan runs
+    over a STREAMING doc side unchanged (stream-static join, no
+    state; the 27th parity surface)."""
+    dv = _edit1_variants(docs, key_col, id_col, max_len).withColumnRenamed(
+        id_col, "_did"
+    )
+    cv = (
+        _edit1_variants(corpus, key_col, corpus_id_col, max_len)
+        .withColumnRenamed(corpus_id_col, "_cid")
+        .withColumnRenamed("_k", "_ck")
+        .select("_cid", "_ck", "_v")
+    )
+    return (
+        dv.join(cv, "_v")
+        .filter(F.levenshtein(F.col("_k"), F.col("_ck")) <= 1)
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("_cid").alias("corpus_id"),
+            F.levenshtein(F.col("_k"), F.col("_ck"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .distinct()
     )

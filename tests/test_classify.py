@@ -176,3 +176,27 @@ def test_edit1_pairs_fuzz_vs_naive_levenshtein(spark):
             .collect()
         )
         assert got == naive, trial
+
+
+def test_edit1_against_corpus_screen(spark):
+    from openset_spark.pipeline.dedup import edit1_against
+
+    corpus = spark.createDataFrame(
+        [(100, "spark rules"), (101, "other title")],
+        "doc_id long, title string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "spark rulez"),   # sub -> matches 100
+            (2, "spark rules"),   # exact -> matches 100 dist 0
+            (3, "sprk rules"),    # deletion -> matches 100
+            (4, "unrelated text"),
+            (5, "othr title"),    # deletion -> matches 101
+        ],
+        "doc_id long, title string",
+    )
+    got = {
+        (r.doc_id, r.corpus_id): r.dist
+        for r in edit1_against(docs, corpus, "title").collect()
+    }
+    assert got == {(1, 100): 1, (2, 100): 0, (3, 100): 1, (5, 101): 1}

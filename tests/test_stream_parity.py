@@ -1637,3 +1637,55 @@ def test_stream_hll_observations_fold_matches_batch(spark, sf_dir, tmpdir):
         for r in hll_estimate(direct, ("event_type",)).collect()
     }
     assert got == want and len(want) >= 5
+
+
+def test_stream_edit1_screen_matches_batch(spark, sf_dir, tmpdir):
+    """27th parity surface: ingest-time typo screening. edit1_against
+    is projections + one stream-static equijoin (the trailing
+    distinct keeps only the matched-pair set as state), so the
+    emitted (doc, corpus, dist) pairs equal the batch run exactly
+    for any micro-batch split."""
+    import json
+
+    from openset_spark.pipeline.dedup import edit1_against
+    from openset_spark.sources.tables import load_table
+    from pyspark.sql import functions as FF
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        FF.substring(
+            FF.trim(
+                FF.regexp_replace(FF.lower(FF.col("text")), r"\s+", " ")
+            ),
+            1,
+            24,
+        ).alias("title"),
+    )
+    corpus = docs.filter("doc_id % 3 = 0")
+    arrivals = docs.filter("doc_id % 3 <> 0")
+
+    rows = [r.asDict() for r in arrivals.collect()]
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+    _stamp_ordered(tmpdir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, title string")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_typo_{uuid.uuid4().hex[:8]}"
+    _run_available(edit1_against(stream, corpus, "title"), name)
+    streamed = {
+        (r.doc_id, r.corpus_id, r.dist)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    expected = {
+        (r.doc_id, r.corpus_id, r.dist)
+        for r in edit1_against(arrivals, corpus, "title").collect()
+    }
+    assert streamed == expected
+    assert len(expected) > 0
