@@ -1275,8 +1275,10 @@ def edit1_against(
     :func:`edit1_pairs`, but the corpus side is a prebuilt (variant,
     key, id) index the arrivals hash-join — every stage is a pure
     per-row projection + one equijoin, so the identical plan runs
-    over a STREAMING doc side unchanged (stream-static join, no
-    state; the 27th parity surface)."""
+    over a STREAMING doc side unchanged (the 27th parity surface:
+    stream-static join; the only state is the trailing distinct's
+    matched-pair set — bounded by the SCREEN HITS, not the corpus,
+    and hits are what a typo screen exists to keep rare)."""
     dv = _edit1_variants(docs, key_col, id_col, max_len).withColumnRenamed(
         id_col, "_did"
     )
