@@ -2456,6 +2456,73 @@ FROM agg
 """
 
 
+def q_segment_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate segment-overlap people count (|viewers ∩ buyers|)
+    by inclusion-exclusion over three deterministic portable-HLL
+    estimates — the at-scale form of exact segment algebra. The
+    oracle replays all three sketches and the same arithmetic.
+    NEW r11."""
+    from openset_spark.pipeline.hll import (
+        hll_intersect_estimate,
+        hll_partials,
+    )
+
+    ev = _events(spark, sf_dir)
+    a = hll_partials(
+        ev.filter(F.col("event_type") == "view"), "user_id"
+    )
+    b = hll_partials(
+        ev.filter(F.col("event_type") == "purchase"), "user_id"
+    )
+    return hll_intersect_estimate(a, b)
+
+
+_SQL_SEGMENT_OVERLAP_APPROX = """
+WITH o AS (
+  SELECT event_type,
+    CAST(CAST(CAST(concat('0x',
+      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+      AS BIGINT) % 1024 AS INTEGER) AS reg,
+    CAST(CASE WHEN CAST(CAST(concat('0x',
+        substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+        AS BIGINT) // 1024 > 0
+      THEN 51 - length(bin(CAST(CAST(concat('0x',
+        substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+        AS BIGINT) // 1024))
+      ELSE 51 END AS INTEGER) AS rho
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')
+),
+ra AS (SELECT reg, MAX(rho) AS rho FROM o WHERE event_type = 'view'
+       GROUP BY 1),
+rb AS (SELECT reg, MAX(rho) AS rho FROM o WHERE event_type = 'purchase'
+       GROUP BY 1),
+ru AS (
+  SELECT reg, MAX(rho) AS rho
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY 1
+),
+est AS (
+  SELECT 'a' AS s, SUM(power(2.0, -rho)) AS z, COUNT(*) AS n FROM ra
+  UNION ALL
+  SELECT 'b', SUM(power(2.0, -rho)), COUNT(*) FROM rb
+  UNION ALL
+  SELECT 'u', SUM(power(2.0, -rho)), COUNT(*) FROM ru
+),
+e AS (
+  SELECT s,
+    ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+                 / (z + (1024 - n)) <= 2.5 * 1024 AND 1024 - n > 0
+      THEN 1024.0 * ln(1024.0 / (1024 - n))
+      ELSE (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+           / (z + (1024 - n)) END, 4) AS v
+  FROM est
+)
+SELECT ROUND(greatest(
+    (SELECT v FROM e WHERE s = 'a') + (SELECT v FROM e WHERE s = 'b')
+    - (SELECT v FROM e WHERE s = 'u'), 0.0), 4) AS approx_distinct
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -3686,6 +3753,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_typo_pairs": q_title_typo_pairs,
         "approx_users_per_day": q_approx_users_per_day,
         "rollup_unique_users": q_rollup_unique_users,
+        "segment_overlap_approx": q_segment_overlap_approx,
     }
 
 
@@ -4435,6 +4503,7 @@ def oracle_sql() -> dict[str, str]:
         "title_typo_pairs": _SQL_TITLE_TYPO_PAIRS,
         "approx_users_per_day": _SQL_APPROX_USERS_PER_DAY,
         "rollup_unique_users": _SQL_ROLLUP_UNIQUE_USERS,
+        "segment_overlap_approx": _SQL_SEGMENT_OVERLAP_APPROX,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,
