@@ -500,6 +500,19 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r11"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # HLL scale evidence: grouped approx_distinct (<= m rows per group
+    # shuffled) vs exact countDistinct (every (group, user) pair
+    # shuffled) on a 6M-row / 500k-user synthetic corpus; reports the
+    # speedup and the worst per-group relative error. Disable with
+    # SPARK_GRAFT_HLL=0.
+    if os.environ.get("SPARK_GRAFT_HLL", "1") != "0":
+        try:
+            from openset_spark.pipeline.hll_bench import run_hll_bench
+
+            out["hll_scale"] = run_hll_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["hll_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Loader-scale evidence: distributed prefix-sum rank vs the naive
     # single-task global window on a 6M-row synthetic corpus, plus an
     # exact rank-equality spot check. Disable with SPARK_GRAFT_LOADER=0.

@@ -301,3 +301,51 @@ def test_pack_sequences_matches_sequential_oracle(
             pos += take
             off += take
     assert got == expected
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                  max_size=300),
+    n_parts=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hll_fold_invariant_under_any_split(spark, vals, n_parts, seed):
+    """Register-exact composability as a law: split the multiset into
+    ANY k parts, sketch each, fold — registers and estimate equal the
+    direct single build exactly. (The property Spark's DataSketches
+    HIP estimator does not have.)"""
+    import random
+
+    from openset_spark.pipeline.hll import (
+        hll_estimate,
+        hll_fold,
+        hll_partials,
+    )
+
+    rnd = random.Random(seed)
+    parts = [[] for _ in range(n_parts)]
+    for v in vals:
+        parts[rnd.randrange(n_parts)].append(v)
+    sketches = [
+        hll_partials(
+            spark.createDataFrame([(v,) for v in part], "u long"), "u"
+        )
+        for part in parts
+        if part
+    ]
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    folded = hll_fold(merged)
+    direct = hll_partials(
+        spark.createDataFrame([(v,) for v in vals], "u long"), "u"
+    )
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert (
+        hll_estimate(folded).first().approx_distinct
+        == hll_estimate(direct).first().approx_distinct
+    )
