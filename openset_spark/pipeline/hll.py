@@ -199,15 +199,18 @@ def time_rollup_distinct(
     p: int = 10,
 ) -> DataFrame:
     """Approximate distinct counts at EVERY granularity of a time
-    hierarchy (unique users per hour, per day, per month ...) from
-    ONE register shuffle — the continuous-aggregate query exact
-    dcount can never fold (a user active in two hours is one user
-    that day) and the order-dependent DataSketches path can never
-    replay. GROUPING SETS over (dims, bucket-prefix, reg) computes
-    every level's register maxes in a single Expand+Exchange (the
-    time_rollup plan shape), then the closed-form estimate is one
-    small aggregate over m rows per group. Output: (granularity,
-    group_by..., bucket_<g>..., approx_distinct)."""
+    hierarchy (unique users per hour, per day, per month ...) — the
+    continuous-aggregate query exact dcount can never fold (a user
+    active in two hours is one user that day) and the
+    order-dependent DataSketches path can never replay.
+
+    Plan shape: the RAW rows pay exactly one register aggregate at
+    the finest grain (map-side-combinable max, one exchange); the
+    GROUPING SETS Expand then runs over the finest REGISTER table —
+    at most m rows per finest group — so the xN level amplification
+    never touches the event scan (registers compose by max, the same
+    law hll_fold rides). Output: (granularity, group_by...,
+    bucket_<g>..., approx_distinct)."""
     from openset_spark.operators.events import validate_granularities
 
     validate_granularities(granularities)
@@ -218,13 +221,13 @@ def time_rollup_distinct(
             for n, g in zip(bnames, granularities)
         }
     )
-    obs = hll_observations(pre, col, tuple(group_by) + tuple(bnames), p)
+    finest = hll_partials(pre, col, tuple(group_by) + tuple(bnames), p)
     all_keys = list(group_by) + bnames + ["reg"]
     sets = [
         [F.col(c) for c in list(group_by) + bnames[: i + 1] + ["reg"]]
         for i in range(len(granularities))
     ]
-    regs = obs.groupingSets(sets, *[F.col(c) for c in all_keys]).agg(
+    regs = finest.groupingSets(sets, *[F.col(c) for c in all_keys]).agg(
         F.max("rho").alias("rho"), F.grouping_id().alias("_gid")
     )
     level = F.lit(None).cast("string")

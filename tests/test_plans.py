@@ -507,3 +507,29 @@ def test_nb_scoring_join_broadcasts_model(spark, sf_dir):
     plan = plan_str(out, "simple")
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_time_rollup_distinct_expands_registers_not_rows(spark, sf_dir):
+    """The grouping-sets Expand must sit ABOVE the finest register
+    aggregate (which touches the raw rows exactly once) — the xN
+    level amplification applies to <= m rows per finest group, never
+    to the event scan."""
+    from openset_spark.pipeline.hll import time_rollup_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    out = time_rollup_distinct(ev, ("day", "hour"))
+    plan = out._jdf.queryExecution().optimizedPlan()
+    found = []
+
+    def walk(node, under_expand):
+        name = node.nodeName()
+        if name == "Expand":
+            under_expand = True
+        if under_expand and name == "Aggregate":
+            found.append("agg_under_expand")
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), under_expand)
+
+    walk(plan, False)
+    # the finest register aggregate must appear BELOW the Expand
+    assert "agg_under_expand" in found, plan.toString()
