@@ -160,6 +160,12 @@ def fold_rollup(
     )
 
     validate_granularities(granularities)
+    for fn, _c, _a in aggs:
+        if fn not in _FOLD_FNS:
+            raise ValueError(
+                f"agg {fn!r} is not fold-decomposable (count/sum/min/max"
+                " are); dcount/avg need their own sketch/partial pair"
+            )
     fcol = f"bucket_{granularities[-1]}"
     pre = finest.withColumns(
         {

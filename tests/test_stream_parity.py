@@ -1689,3 +1689,18 @@ def test_stream_edit1_screen_matches_batch(spark, sf_dir, tmpdir):
     }
     assert streamed == expected
     assert len(expected) > 0
+
+
+def test_rollup_twins_reject_non_foldable_aggs(spark):
+    from openset_spark.streaming.aggregate import (
+        fold_rollup,
+        stream_time_rollup_finest,
+    )
+
+    df = spark.range(1).selectExpr(
+        "current_timestamp() AS ts", "'x' AS event_type", "id AS n"
+    )
+    with pytest.raises(ValueError, match="fold-decomposable"):
+        stream_time_rollup_finest(df, aggs=(("dcount", "ts", "d"),))
+    with pytest.raises(ValueError, match="fold-decomposable"):
+        fold_rollup(df, aggs=(("avg", "n", "a"),))
