@@ -1225,7 +1225,9 @@ def edit1_pairs(
     sorted id arrays (the _bucket_pairs shape), distinct because a
     pair can share several variants."""
     variants = _edit1_variants(df, key_col, id_col, max_len)
-    keyed = variants.select(id_col, "_k").distinct()
+    keyed = df.select(
+        F.col(id_col), F.substring(F.col(key_col), 1, max_len).alias("_k")
+    ).filter(F.col("_k").isNotNull() & (F.length("_k") > 0))
     cands = _bucket_pairs(variants, ["_v"], id_col)
     a = keyed.select(F.col(id_col).alias("id_a"), F.col("_k").alias("_ka"))
     b = keyed.select(F.col(id_col).alias("id_b"), F.col("_k").alias("_kb"))
