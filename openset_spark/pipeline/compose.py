@@ -225,3 +225,41 @@ def corpus_diff(
     return j.select(
         F.col(id_col), status.alias("status"), "old_hash", "new_hash"
     )
+
+
+def incremental_apply(
+    old: DataFrame,
+    new: DataFrame,
+    old_out,
+    fn,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental view maintenance for PER-DOCUMENT operators: given
+    snapshot N (``old``), snapshot N+1 (``new``), the operator's
+    cached output over snapshot N (``old_out``) and the operator
+    itself (``fn: DataFrame -> DataFrame``, one output row keyed by
+    ``id_col`` per input doc, each row a function of that doc alone
+    — quality signals, token counts, fingerprints, NB scores, PII
+    audits...), produce ``fn(new)`` WITHOUT re-running ``fn`` over
+    the unchanged majority:
+
+    * ``corpus_diff`` classifies every id in one (bucketed:
+      zero-exchange) hash join;
+    * ``fn`` runs only over the added+changed docs;
+    * unchanged docs carry their cached rows forward (semi-join);
+    * removed docs simply drop out.
+
+    Exact by construction for per-document fn — asserted against the
+    full recompute in tests. The crawl-over-crawl economics: a 1%
+    churn re-tokenizes 1% of the corpus."""
+    d = corpus_diff(old, new, id_col, text_col)
+    fresh_ids = d.filter(
+        F.col("status").isin("added", "changed")
+    ).select(id_col)
+    unchanged_ids = d.filter(F.col("status") == "unchanged").select(
+        id_col
+    )
+    fresh = fn(new.join(fresh_ids, id_col, "left_semi"))
+    carried = old_out.join(unchanged_ids, id_col, "left_semi")
+    return carried.unionByName(fresh)

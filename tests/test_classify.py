@@ -200,3 +200,36 @@ def test_edit1_against_corpus_screen(spark):
         for r in edit1_against(docs, corpus, "title").collect()
     }
     assert got == {(1, 100): 1, (2, 100): 0, (3, 100): 1, (5, 101): 1}
+
+
+def test_incremental_apply_equals_full_recompute(spark, sf_dir):
+    """corpus_diff-driven incremental maintenance: carrying unchanged
+    outputs + recomputing only added/changed docs must equal the full
+    recompute EXACTLY, for a per-document operator (token counts +
+    char entropy here); removed docs drop out."""
+    from openset_spark.pipeline.compose import incremental_apply
+    from openset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter("doc_id % 11 <> 3")  # some ids absent from old
+    new = docs.filter("doc_id % 7 <> 2").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" CHANGED")))
+        .otherwise(F.col("text")),
+    )
+
+    def per_doc(df):
+        from openset_spark.functions.text import token_count
+
+        return df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            F.length("text").alias("n_chars"),
+        )
+
+    old_out = per_doc(old)
+    got = sorted(
+        map(tuple, incremental_apply(old, new, old_out, per_doc).collect())
+    )
+    want = sorted(map(tuple, per_doc(new).collect()))
+    assert got == want and len(want) > 50
