@@ -240,3 +240,56 @@ def test_hamming_block_candidates_rejects_non_divisor_blocks(spark):
         hamming_block_candidates(hashes, blocks=3)
     with pytest.raises(ValueError, match="divide 64"):
         hamming_block_candidates(hashes, blocks=0)
+
+
+def test_real_gray_alpha_png_flows_end_to_end(spark):
+    """A genuine color-type-4 PNG (gray+alpha) through decode_images
+    -> image_hashes: decode emits channels=2 and the hash equals the
+    pure-gray twin's (alpha ignored) — the full ADVICE-r10 path, not
+    just the _to_gray unit."""
+    import struct
+    import zlib
+
+    from openset_spark.pipeline.multimodal import MEDIA_SCHEMA, decode_images
+
+    w = h = 24
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def png(color_type, row_px):
+        raw = b""
+        for y in range(h):
+            raw += b"\x00" + bytes(row_px(y))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0),
+            )
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def gray(x, y):
+        return _pattern(x, y, w, h)
+
+    ga = png(4, lambda y: [v for x in range(w) for v in (gray(x, y), 7)])
+    g = png(0, lambda y: [gray(x, y) for x in range(w)])
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(ga), "image/png", None, None, None),
+            (2, "image", bytearray(g), "image/png", None, None, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    decoded = decode_images(media, deterministic=False)
+    chans = {r.media_id: r.channels for r in decoded.select("media_id", "channels").collect()}
+    assert chans == {1: 2, 2: 1}
+    hs = {r.media_id: (r.dhash, r.phash) for r in image_hashes(decoded).collect()}
+    assert hs[1] == hs[2]
