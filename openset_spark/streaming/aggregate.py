@@ -116,6 +116,16 @@ def stream_time_rollup_finest(
             f" for streaming (week+ buckets are not epoch-aligned):"
             f" {finest}"
         )
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone", "")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        # window() aligns tumbling windows to the UTC epoch while
+        # date_trunc truncates in the session timezone — fold_rollup
+        # only lands on time_rollup's buckets when they agree (the
+        # repo-wide UTC invariant load_table pins)
+        raise ValueError(
+            "stream_time_rollup_finest requires a UTC session timezone"
+            f" (window()/date_trunc alignment); got {tz!r}"
+        )
     for fn, _c, _a in aggs:
         if fn not in _FOLD_FNS:
             raise ValueError(
