@@ -2523,6 +2523,64 @@ SELECT ROUND(greatest(
 """
 
 
+def q_cms_token_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: tokens covering >= 0.2% of all token
+    occurrences, with their integer-exact CMS estimates. The sketch
+    shuffles a CONSTANT (depth x width counter rows per task) no
+    matter the corpus size — the at-scale form of GROUP BY token —
+    and its one-sided error means no true heavy hitter is ever
+    missed. Portable md5 hash family: DuckDB replays the WHOLE grid
+    and every min-over-depth estimate bit for bit. The relative
+    threshold is integer math (est * 500 >= N). NEW r11."""
+    from openset_spark.functions.text import tokens
+    from openset_spark.pipeline.cms import cms_estimate, cms_partials
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    sk = cms_partials(toks, "tok", (), depth=4, width=2048)
+    cands = toks.select("tok").distinct()
+    est = cms_estimate(sk, cands, "tok", (), 4, 2048)
+    total = toks.select(F.count(F.lit(1)).alias("_n"))
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est") * 500 >= F.col("_n"))
+        .select("tok", "est")
+        .orderBy(F.desc("est"), F.asc("tok"))
+    )
+
+
+_SQL_CMS_TOKEN_HITTERS = f"""
+WITH t AS (
+  SELECT tok FROM (
+    SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+  ) WHERE length(tok) > 0
+),
+ds AS (SELECT unnest(range(4)) AS d),
+grid AS (
+  SELECT d, CAST(CAST(CAST(concat('0x', substr(md5(concat(d, ':', tok)),
+      1, 15)) AS UBIGINT) AS BIGINT) % 2048 AS INTEGER) AS bucket,
+    COUNT(*)::BIGINT AS cnt
+  FROM t, ds GROUP BY 1, 2
+),
+cands AS (SELECT DISTINCT tok FROM t),
+pb AS (
+  SELECT tok, d, CAST(CAST(CAST(concat('0x', substr(md5(concat(d, ':',
+      tok)), 1, 15)) AS UBIGINT) AS BIGINT) % 2048 AS INTEGER) AS bucket
+  FROM cands, ds
+),
+est AS (
+  SELECT pb.tok AS tok, MIN(COALESCE(grid.cnt, 0)) AS est
+  FROM pb LEFT JOIN grid USING (d, bucket) GROUP BY 1
+),
+total AS (SELECT COUNT(*)::BIGINT AS n FROM t)
+SELECT tok, est FROM est, total WHERE est * 500 >= n
+ORDER BY est DESC, tok ASC
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -3754,6 +3812,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_users_per_day": q_approx_users_per_day,
         "rollup_unique_users": q_rollup_unique_users,
         "segment_overlap_approx": q_segment_overlap_approx,
+        "cms_token_hitters": q_cms_token_hitters,
     }
 
 
@@ -4504,6 +4563,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_users_per_day": _SQL_APPROX_USERS_PER_DAY,
         "rollup_unique_users": _SQL_ROLLUP_UNIQUE_USERS,
         "segment_overlap_approx": _SQL_SEGMENT_OVERLAP_APPROX,
+        "cms_token_hitters": _SQL_CMS_TOKEN_HITTERS,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

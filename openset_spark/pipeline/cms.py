@@ -1,0 +1,185 @@
+"""Deterministic, engine-portable Count-Min sketch — approximate
+per-item FREQUENCIES (how many times does each token / URL / user
+appear?) whose partials COMPOSE EXACTLY, the frequency-counting
+sibling of the distinct-counting HLL in ``pipeline/hll.py``.
+
+The sketch is a depth x width counter grid: row ``d`` of the grid
+counts every item into bucket ``h_d(item) mod width``; a point query
+reads the ``depth`` counters an item hashes to and takes their MIN
+(Cormode & Muthukrishnan 2005). Collisions only ever ADD, so the
+estimate is a guaranteed OVERcount: ``exact <= est <= exact +
+eps * N`` with ``eps = e/width`` at confidence ``1 - e^-depth`` —
+the right shape for heavy-hitter screens (nothing frequent is ever
+missed) and for per-item frequency joins where an exact
+``GROUP BY item`` would shuffle the full item dictionary.
+
+Kept in PURE relational algebra, deterministic by construction:
+
+* hash family = the portable 60-bit md5 prefix over a seeded string
+  (``conv(substr(md5(concat('<d>:', x)), 1, 15), 16, 10)``) — DuckDB
+  computes the identical value (the hll.py/dsir.py precedent), so
+  the SKETCH ITSELF is oracle-replayable;
+* a "sketch" is rows: (group..., d, bucket, cnt) with ``cnt`` a LONG
+  SUM — commutative/associative, so partials from any split
+  (per-hour, per-shard, per-micro-batch) fold to EXACTLY the grid a
+  direct build produces, bit for bit, under ANY fold order;
+* a point estimate is ``min`` over the ``depth`` joined counters —
+  an integer, so cross-engine comparison is exact (no float
+  contract needed at all).
+
+Scale: the counter grid carries at most depth x width rows per
+group no matter how many rows or distinct items feed it — the
+map-side partial aggregate collapses every task's contribution to
+<= depth x width rows before the exchange, so the ONE shuffle this
+sketch ever pays is O(tasks x depth x width), independent of input
+size. That is the whole point at 100 TB: exact ``GROUP BY token``
+shuffles the full dictionary; the sketch shuffles a constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash60(col: Column, seed: int) -> Column:
+    """Portable seeded 60-bit hash: md5 over '<seed>:<value>'."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def cms_observations(
+    df: DataFrame,
+    col: str,
+    group_by: tuple[str, ...] = (),
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-row bucket observations (group_by..., d, bucket, cnt) — a
+    pure stateless projection (one posexplode of a depth-long array),
+    so it drops unchanged into a STREAMING pipeline: fold the
+    streamed observations and you hold the exact grid a batch build
+    produces, for any arrival order or micro-batch split. NULL items
+    are skipped. ``weight_col`` (integer) counts each row that many
+    times (e.g. pre-aggregated token counts); default weight 1."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2: {depth}x{width}")
+    buckets = F.array(
+        *[
+            (_hash60(F.col(col), d) % width).cast("int")
+            for d in range(depth)
+        ]
+    )
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_by, w.alias("cnt"), F.posexplode(buckets))
+        .select(
+            *group_by,
+            F.col("pos").alias("d"),
+            F.col("col").alias("bucket"),
+            "cnt",
+        )
+    )
+
+
+def cms_partials(
+    df: DataFrame,
+    col: str,
+    group_by: tuple[str, ...] = (),
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(group_by..., d, bucket, cnt) counter grid — the composable
+    sketch: one map-side-combinable sum over the observations."""
+    return (
+        cms_observations(df, col, group_by, depth, width, weight_col)
+        .groupBy(*group_by, "d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_fold(
+    partials: DataFrame, group_by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Fold grids to a coarser grouping (drop keys, merge shards,
+    roll hours into days): same row shape, exact counter algebra —
+    sum of sums IS the direct build's sum."""
+    return partials.groupBy(*group_by, "d", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    col: str,
+    group_by: tuple[str, ...] = (),
+    depth: int = 4,
+    width: int = 2048,
+    broadcast_sketch: bool = True,
+) -> DataFrame:
+    """Point-query the grid: for every probe row, min over the
+    ``depth`` counters its value hashes to -> (probe columns...,
+    est). A value the sketch never saw estimates 0 (its buckets may
+    be absent from the grid — absent means zero, hence the left join
+    + coalesce). ``est`` is an exact integer function of the grid.
+
+    The sketch side is <= depth x width rows per group — broadcast
+    by default so the probe side (the big side) never shuffles; pass
+    ``broadcast_sketch=False`` when ``group_by`` is high-cardinality
+    and the grid outgrows the broadcast budget (the join key
+    (group..., d, bucket) still hash-joins evenly: bucket is
+    uniform)."""
+    keys = [c for c in probes.columns]
+    pb = probes.filter(F.col(col).isNotNull()).select(
+        *keys,
+        F.posexplode(
+            F.array(
+                *[
+                    (_hash60(F.col(col), d) % width).cast("int")
+                    for d in range(depth)
+                ]
+            )
+        ),
+    ).withColumnsRenamed({"pos": "d", "col": "bucket"})
+    sk = F.broadcast(sketch) if broadcast_sketch else sketch
+    joined = pb.join(sk, [*group_by, "d", "bucket"], "left")
+    return joined.groupBy(*keys).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Items whose estimated frequency reaches ``threshold`` ->
+    (item, est). One-sided by construction: ``est >= exact``, so NO
+    true heavy hitter is ever missed (the CMS guarantee); rare items
+    can slip in only by collision (+eps*N), and a downstream exact
+    count over the SMALL survivor set settles them.
+
+    Scale: the candidate enumeration is a distinct over ``col`` —
+    use this form when the dictionary is bounded (tokens, domains,
+    event types). For unbounded item spaces keep the grid and
+    ``cms_estimate`` your own probe frame instead."""
+    sketch = cms_partials(df, col, (), depth, width, weight_col)
+    cands = df.filter(F.col(col).isNotNull()).select(col).distinct()
+    out = cms_estimate(sketch, cands, col, (), depth, width)
+    return out.filter(F.col("est") >= threshold)

@@ -1,0 +1,154 @@
+"""Deterministic portable Count-Min sketch (pipeline/cms.py):
+one-sided error law (est >= exact, always), exact counter
+composability (fold == direct, bit for bit, any split), grouped
+grids, weighted builds, and the heavy-hitter no-miss guarantee."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.cms import (
+    cms_estimate,
+    cms_fold,
+    cms_heavy_hitters,
+    cms_partials,
+)
+
+
+def _exact(df, col):
+    return {r[col]: r["n"] for r in df.groupBy(col).agg(F.count("*").alias("n")).collect()}
+
+
+def test_never_underestimates_and_error_bounded(spark):
+    df = spark.range(12000).selectExpr("concat('t', id % 400) AS tok")
+    sk = cms_partials(df, "tok", (), depth=4, width=512)
+    probes = df.select("tok").distinct()
+    est = {
+        r["tok"]: r["est"]
+        for r in cms_estimate(sk, probes, "tok", (), 4, 512).collect()
+    }
+    exact = _exact(df, "tok")
+    assert all(est[t] >= exact[t] for t in exact)
+    # eps = e/512, N = 12000 -> expected overcount per row ~ N/512;
+    # assert a loose 8x envelope of the expectation
+    assert max(est[t] - exact[t] for t in exact) <= 8 * (12000 / 512)
+
+
+def test_fold_equals_direct_bit_for_bit(spark):
+    """Per-hour grids folded to the day must equal the direct day
+    grid EXACTLY — sums compose under any split (the same algebra
+    test hll_fold carries for max)."""
+    df = spark.range(9000).selectExpr(
+        "concat('t', id % 250) AS tok", "id % 24 AS h"
+    )
+    per_h = cms_partials(df, "tok", ("h",), depth=4, width=256)
+    folded = cms_fold(per_h, ())
+    direct = cms_partials(df, "tok", (), depth=4, width=256)
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_partitioning_invariance(spark):
+    df = spark.range(5000).selectExpr("concat('t', id % 97) AS tok")
+    grids = [
+        sorted(
+            map(
+                tuple,
+                cms_partials(d, "tok", (), 3, 128).collect(),
+            )
+        )
+        for d in (df.repartition(32), df.coalesce(1), df.repartition(5, "tok"))
+    ]
+    assert grids[0] == grids[1] == grids[2]
+
+
+def test_unseen_item_estimates_can_be_zero_and_nulls_skipped(spark):
+    df = spark.range(50).selectExpr(
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE concat('t', id % 7) END AS tok"
+    )
+    sk = cms_partials(df, "tok", (), depth=4, width=4096)
+    probes = spark.createDataFrame(
+        [("t1",), ("never-seen-xyz",)], ["tok"]
+    )
+    est = {
+        r["tok"]: r["est"]
+        for r in cms_estimate(sk, probes, "tok", (), 4, 4096).collect()
+    }
+    exact = _exact(df.filter("tok IS NOT NULL"), "tok")
+    assert est["t1"] >= exact["t1"]
+    # wide sparse grid: the unseen probe's buckets are almost surely
+    # absent -> the left-join coalesce(0) path must yield 0
+    assert est["never-seen-xyz"] == 0
+
+
+def test_grouped_grid_and_weighted_build(spark):
+    df = spark.range(2000).selectExpr(
+        "concat('t', id % 49) AS tok",  # odd modulus: decorrelated from grp
+        "id % 2 AS grp",
+        "CAST(1 + id % 3 AS INT) AS w",
+    )
+    sk = cms_partials(df, "tok", ("grp",), 3, 128, weight_col="w")
+    probes = df.select("grp", "tok").distinct()
+    est = cms_estimate(sk, probes, "tok", ("grp",), 3, 128)
+    exact = df.groupBy("grp", "tok").agg(F.sum("w").alias("n"))
+    j = est.join(exact, ["grp", "tok"]).collect()
+    assert len(j) == 98
+    assert all(r["est"] >= r["n"] for r in j)
+
+
+def test_heavy_hitters_never_miss(spark):
+    # 10 hot tokens at 300 each + 500 cold tokens at ~6 each
+    df = spark.range(6000).selectExpr(
+        "CASE WHEN id < 3000 THEN concat('hot', id % 10) "
+        "ELSE concat('cold', id % 500) END AS tok"
+    )
+    hh = {
+        r["tok"]
+        for r in cms_heavy_hitters(df, "tok", threshold=300, width=2048).collect()
+    }
+    assert all(f"hot{i}" in hh for i in range(10))  # one-sided: no miss
+    # collisions can admit a few cold tokens, never exclude hot ones
+    assert len(hh) <= 10 + 25
+
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_law_fold_invariance_and_overcount(spark, rows):
+    """Any split of the input (here: by a random shard column) folds
+    to the direct grid exactly, and every point estimate dominates
+    the exact count."""
+    df = spark.createDataFrame(
+        [(f"t{t}", s) for t, s in rows], ["tok", "shard"]
+    )
+    direct = cms_partials(df, "tok", (), 2, 32)
+    folded = cms_fold(cms_partials(df, "tok", ("shard",), 2, 32), ())
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, folded.collect())
+    )
+    probes = df.select("tok").distinct()
+    est = {
+        r["tok"]: r["est"]
+        for r in cms_estimate(direct, probes, "tok", (), 2, 32).collect()
+    }
+    exact = _exact(df, "tok")
+    assert all(est[t] >= exact[t] for t in exact)

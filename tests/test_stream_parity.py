@@ -1704,3 +1704,51 @@ def test_rollup_twins_reject_non_foldable_aggs(spark):
         stream_time_rollup_finest(df, aggs=(("dcount", "ts", "d"),))
     with pytest.raises(ValueError, match="fold-decomposable"):
         fold_rollup(df, aggs=(("avg", "n", "a"),))
+
+
+def test_stream_cms_observations_fold_matches_batch(spark, sf_dir, tmpdir):
+    """28th parity surface: live frequency sketching. The stream
+    emits per-row Count-Min bucket observations (pure projection, no
+    state); summing them yields EXACTLY the counter grid — and
+    therefore exactly every min-over-depth estimate — of a direct
+    batch build, for any micro-batch split, because the grid is a
+    plain integer SUM (pipeline/cms.py's fold law)."""
+    from openset_spark.pipeline.cms import (
+        cms_estimate,
+        cms_fold,
+        cms_observations,
+        cms_partials,
+    )
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    obs = cms_observations(stream, "user_id", ("event_type",), 3, 256)
+    name = f"parity_cms_{uuid.uuid4().hex[:8]}"
+    _run_available(obs, name)
+    folded = cms_fold(
+        spark.sql(f"select * from {name}"), ("event_type",)
+    )
+
+    bf = _batch_frame(spark, tmpdir)
+    direct = cms_partials(bf, "user_id", ("event_type",), 3, 256)
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    probes = bf.select("event_type", "user_id").distinct()
+    got = sorted(
+        map(
+            tuple,
+            cms_estimate(
+                folded, probes, "user_id", ("event_type",), 3, 256
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            cms_estimate(
+                direct, probes, "user_id", ("event_type",), 3, 256
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) >= 20
