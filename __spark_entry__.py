@@ -2581,6 +2581,43 @@ ORDER BY est DESC, tok ASC
 """
 
 
+def q_bloom_semijoin_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semijoin: lineitems of URGENT orders, aggregated
+    per returnflag. The portable bloom bitmap (seeded md5 hash
+    family, bit_or-folded 32-bit words) built over the small side is
+    inlined as a pure-codegen scan filter on the PROBE side, so
+    non-member rows never reach any exchange — the at-scale shuffle
+    saver — and the final exact semijoin removes the eps false
+    positives: results are EXACTLY the plain semijoin, which is the
+    oracle. NEW r11."""
+    from openset_spark.pipeline.bloom import bloom_semijoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    sj = bloom_semijoin(li, urgent, on="l_orderkey", build_col="o_orderkey")
+    return (
+        sj.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_SQL_BLOOM_SEMIJOIN_URGENT = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -3813,6 +3850,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_unique_users": q_rollup_unique_users,
         "segment_overlap_approx": q_segment_overlap_approx,
         "cms_token_hitters": q_cms_token_hitters,
+        "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
     }
 
 
@@ -4564,6 +4602,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_unique_users": _SQL_ROLLUP_UNIQUE_USERS,
         "segment_overlap_approx": _SQL_SEGMENT_OVERLAP_APPROX,
         "cms_token_hitters": _SQL_CMS_TOKEN_HITTERS,
+        "bloom_semijoin_urgent": _SQL_BLOOM_SEMIJOIN_URGENT,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

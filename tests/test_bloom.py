@@ -1,0 +1,113 @@
+"""Deterministic portable Bloom filter (pipeline/bloom.py): exact
+semijoin results (no false negatives, ever), scan-side prune power,
+bit_or fold composability, hex packing contract, and validation."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.bloom import (
+    bloom_contains,
+    bloom_fold,
+    bloom_hex,
+    bloom_semijoin,
+    bloom_words,
+)
+
+
+def test_semijoin_is_exact(spark):
+    build = spark.range(300).selectExpr("concat('k', id * 3) AS key")
+    probe = spark.range(8000).selectExpr("concat('k', id) AS key", "id AS v")
+    got = sorted(
+        map(tuple, bloom_semijoin(probe, build, "key").collect())
+    )
+    want = sorted(
+        map(tuple, probe.join(build, "key", "left_semi").collect())
+    )
+    assert got == want and len(want) == 300
+
+
+def test_no_false_negatives_and_low_fp(spark):
+    build = spark.range(1000).selectExpr("concat('m', id) AS key")
+    probe = spark.range(20000).selectExpr(
+        "CASE WHEN id < 1000 THEN concat('m', id) "
+        "ELSE concat('x', id) END AS key"
+    )
+    hx = bloom_hex(bloom_words(build, "key").collect())
+    survivors = probe.filter(bloom_contains(F.col("key"), hx)).count()
+    # every member survives (Bloom guarantee) ...
+    assert survivors >= 1000
+    # ... and at m=2^17, k=3, n=1000 the fp rate is ~1e-5: allow 1%
+    assert survivors - 1000 <= 190
+
+
+def test_fold_equals_direct_bit_for_bit(spark):
+    df = spark.range(800).selectExpr(
+        "concat('k', id) AS key", "id % 5 AS shard"
+    )
+    shards = [
+        bloom_words(df.filter(F.col("shard") == i), "key")
+        for i in range(5)
+    ]
+    u = shards[0]
+    for s in shards[1:]:
+        u = u.unionByName(s)
+    folded = sorted(map(tuple, bloom_fold(u).collect()))
+    direct = sorted(map(tuple, bloom_words(df, "key").collect()))
+    assert folded == direct
+
+
+def test_null_keys_never_match(spark):
+    build = spark.createDataFrame([("a",), (None,)], ["key"])
+    probe = spark.createDataFrame(
+        [("a", 1), (None, 2), ("b", 3)], ["key", "v"]
+    )
+    got = bloom_semijoin(probe, build, "key").collect()
+    assert [(r.key, r.v) for r in got] == [("a", 1)]
+
+
+def test_build_col_rename_and_validation(spark):
+    build = spark.range(50).selectExpr("concat('k', id) AS o_key")
+    probe = spark.range(200).selectExpr("concat('k', id) AS key")
+    n = bloom_semijoin(probe, build, "key", build_col="o_key").count()
+    assert n == 50
+    with pytest.raises(ValueError, match="multiple of 32"):
+        bloom_words(build, "o_key", m_bits=100)
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_words(build, "o_key", k=0)
+
+
+def test_hex_packing_contract(spark):
+    """Bit i = bit (i%8) of byte (i//8) = hex chars [2*(i//8),
+    2*(i//8)+2) — the layout bloom_contains reads back."""
+    rows = [{"word_idx": 0, "word": 0x0000_0001}, {"word_idx": 2, "word": 0x8000_0000}]
+    hx = bloom_hex(rows, m_bits=128)
+    assert len(hx) == 32  # 128 bits = 16 bytes = 32 hex chars
+    buf = bytes.fromhex(hx)
+    assert buf[0] == 0x01  # global bit 0
+    assert buf[11] == 0x80  # global bit 95 = word 2 bit 31 = byte 11 bit 7
+    assert all(b == 0 for i, b in enumerate(buf) if i not in (0, 11))
+
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=40),
+    probes=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=60),
+)
+@SETTINGS
+def test_law_semijoin_exactness(spark, members, probes):
+    build = spark.createDataFrame([(f"k{m}",) for m in members], ["key"])
+    probe = spark.createDataFrame([(f"k{p}", i) for i, p in enumerate(probes)], ["key", "v"])
+    got = sorted(map(tuple, bloom_semijoin(probe, build, "key", m_bits=1 << 12).collect()))
+    want = sorted((f"k{p}", i) for i, p in enumerate(probes) if p in members)
+    assert got == want

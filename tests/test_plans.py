@@ -533,3 +533,35 @@ def test_time_rollup_distinct_expands_registers_not_rows(spark, sf_dir):
     walk(plan, False)
     # the finest register aggregate must appear BELOW the Expand
     assert "agg_under_expand" in found, plan.toString()
+
+
+def test_bloom_prune_filters_probe_before_any_exchange(spark, sf_dir):
+    """The bloom membership predicate (md5/conv over the hex-literal
+    bitmap) must apply to the PROBE scan below every exchange — the
+    rows it rejects are exactly the shuffle it saves — and the
+    residual exact semijoin must be a broadcast, never a probe-side
+    shuffle."""
+    from openset_spark.pipeline.bloom import bloom_semijoin
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = bloom_semijoin(li, urgent, on="l_orderkey", build_col="o_orderkey")
+    plan = out._jdf.queryExecution().optimizedPlan()
+    hits = []
+
+    def walk(node, under_exchange):
+        name = node.nodeName()
+        if "Repartition" in name or "Exchange" in name:
+            under_exchange = True
+        if name == "Filter" and "md5" in node.toString().split("\n")[0]:
+            hits.append(("bloom_filter", under_exchange))
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), under_exchange)
+
+    walk(plan, False)
+    assert ("bloom_filter", False) in hits, plan.toString()
+    phys = plan_str(out, "simple")
+    assert "BroadcastHashJoin" in phys and "LeftSemi" in phys, phys
+    assert "SortMergeJoin" not in phys, phys
