@@ -2558,18 +2558,27 @@ WITH t AS (
     SELECT unnest({_TOKS_SQL}) AS tok FROM documents
   ) WHERE length(tok) > 0
 ),
-ds AS (SELECT unnest(range(4)) AS d),
-grid AS (
-  SELECT d, CAST(CAST(CAST(concat('0x', substr(md5(concat(d, ':', tok)),
-      1, 15)) AS UBIGINT) AS BIGINT) % 2048 AS INTEGER) AS bucket,
-    COUNT(*)::BIGINT AS cnt
-  FROM t, ds GROUP BY 1, 2
+-- row d buckets on the d-th base-2048 digit of ONE 60-bit md5 prefix
+ds AS (SELECT * FROM (VALUES (0, 1::BIGINT), (1, 2048::BIGINT),
+  (2, 4194304::BIGINT), (3, 8589934592::BIGINT)) v(d, wp)),
+h AS (
+  SELECT tok, CAST(CAST(concat('0x', substr(md5(tok), 1, 15))
+    AS UBIGINT) AS BIGINT) AS hv
+  FROM t
 ),
-cands AS (SELECT DISTINCT tok FROM t),
+grid AS (
+  SELECT d, CAST((hv // wp) % 2048 AS INTEGER) AS bucket,
+    COUNT(*)::BIGINT AS cnt
+  FROM h, ds GROUP BY 1, 2
+),
+ch AS (
+  SELECT tok, CAST(CAST(concat('0x', substr(md5(tok), 1, 15))
+    AS UBIGINT) AS BIGINT) AS hv
+  FROM (SELECT DISTINCT tok FROM t)
+),
 pb AS (
-  SELECT tok, d, CAST(CAST(CAST(concat('0x', substr(md5(concat(d, ':',
-      tok)), 1, 15)) AS UBIGINT) AS BIGINT) % 2048 AS INTEGER) AS bucket
-  FROM cands, ds
+  SELECT tok, d, CAST((hv // wp) % 2048 AS INTEGER) AS bucket
+  FROM ch, ds
 ),
 est AS (
   SELECT pb.tok AS tok, MIN(COALESCE(grid.cnt, 0)) AS est

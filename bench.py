@@ -489,6 +489,8 @@ def main() -> None:
                 "title_typo_pairs",
                 "approx_users_per_day",
                 "rollup_unique_users",
+                "cms_token_hitters",
+                "bloom_semijoin_urgent",
             ):
                 samples = []
                 for _ in range(reps):
@@ -512,6 +514,16 @@ def main() -> None:
             out["hll_scale"] = run_hll_bench(spark)
         except Exception as e:  # pragma: no cover - defensive
             out["hll_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
+    # Bloom + CMS scale evidence: selective-semijoin prune power and
+    # constant-shuffle frequency grids. Disable with SPARK_GRAFT_SKETCH=0.
+    if os.environ.get("SPARK_GRAFT_SKETCH", "1") != "0":
+        try:
+            from openset_spark.pipeline.sketch_bench import run_sketch_bench
+
+            out["sketch_scale"] = run_sketch_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["sketch_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     # Loader-scale evidence: distributed prefix-sum rank vs the naive
     # single-task global window on a 6M-row synthetic corpus, plus an

@@ -15,10 +15,14 @@ missed) and for per-item frequency joins where an exact
 
 Kept in PURE relational algebra, deterministic by construction:
 
-* hash family = the portable 60-bit md5 prefix over a seeded string
-  (``conv(substr(md5(concat('<d>:', x)), 1, 15), 16, 10)``) — DuckDB
-  computes the identical value (the hll.py/dsir.py precedent), so
-  the SKETCH ITSELF is oracle-replayable;
+* ONE portable 60-bit md5 prefix per row
+  (``conv(substr(md5(x), 1, 15), 16, 10)`` — the hll.py/dsir.py
+  precedent); row ``d`` of the grid buckets on the d-th DISJOINT
+  base-width digit of that hash (``(h div width^d) mod width``,
+  requires ``width^depth <= 2^60``) — md5 bits are uniform, so the
+  digits act as independent hash functions at 1/depth the hashing
+  cost, and DuckDB computes the identical values: the SKETCH ITSELF
+  is oracle-replayable;
 * a "sketch" is rows: (group..., d, bucket, cnt) with ``cnt`` a LONG
   SUM — commutative/associative, so partials from any split
   (per-hour, per-shard, per-micro-batch) fold to EXACTLY the grid a
@@ -42,15 +46,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _hash60(col: Column, seed: int) -> Column:
-    """Portable seeded 60-bit hash: md5 over '<seed>:<value>'."""
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit md5 prefix (the hll.py family)."""
     return F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 15
-        ),
-        16,
-        10,
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
     ).cast("long")
+
+
+def _buckets(col: Column, depth: int, width: int) -> Column:
+    """depth bucket ids from ONE hash: the d-th base-width digit.
+    width^depth <= 2^60 keeps the digits disjoint (validated)."""
+    h = _hash60(col)
+    return F.array(
+        *[
+            (F.floor(h / (width**d)).cast("long") % width).cast("int")
+            for d in range(depth)
+        ]
+    )
+
+
+def _check(depth: int, width: int) -> None:
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2: {depth}x{width}")
+    if width**depth > 1 << 60:
+        raise ValueError(
+            f"width^depth must be <= 2^60 for disjoint digits: "
+            f"{width}^{depth}"
+        )
 
 
 def cms_observations(
@@ -68,14 +90,8 @@ def cms_observations(
     produces, for any arrival order or micro-batch split. NULL items
     are skipped. ``weight_col`` (integer) counts each row that many
     times (e.g. pre-aggregated token counts); default weight 1."""
-    if depth < 1 or width < 2:
-        raise ValueError(f"need depth >= 1, width >= 2: {depth}x{width}")
-    buckets = F.array(
-        *[
-            (_hash60(F.col(col), d) % width).cast("int")
-            for d in range(depth)
-        ]
-    )
+    _check(depth, width)
+    buckets = _buckets(F.col(col), depth, width)
     w = (
         F.col(weight_col).cast("long")
         if weight_col
@@ -142,17 +158,11 @@ def cms_estimate(
     and the grid outgrows the broadcast budget (the join key
     (group..., d, bucket) still hash-joins evenly: bucket is
     uniform)."""
+    _check(depth, width)
     keys = [c for c in probes.columns]
     pb = probes.filter(F.col(col).isNotNull()).select(
         *keys,
-        F.posexplode(
-            F.array(
-                *[
-                    (_hash60(F.col(col), d) % width).cast("int")
-                    for d in range(depth)
-                ]
-            )
-        ),
+        F.posexplode(_buckets(F.col(col), depth, width)),
     ).withColumnsRenamed({"pos": "d", "col": "bucket"})
     sk = F.broadcast(sketch) if broadcast_sketch else sketch
     joined = pb.join(sk, [*group_by, "d", "bucket"], "left")

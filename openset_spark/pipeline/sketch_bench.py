@@ -1,0 +1,105 @@
+"""Scale evidence for the r11 sketch family.
+
+Bloom: the honest scenario is a build side TOO BIG TO BROADCAST
+(1M keys) and a selective probe (~1% members): the plain semijoin
+is a SortMergeJoin that shuffles EVERY probe row; bloom-pruned,
+only survivors (members + eps false positives) reach the exchange.
+Reported: both wall times, the survivor count (at cluster scale the
+survivor fraction IS the shuffle saved), and the row counts'
+equality (exactness).
+
+CMS: per-item frequency estimation at high cardinality — exact
+GROUP BY item shuffles the full dictionary; the grid shuffles a
+constant (depth x width rows per task). Reported: both timings,
+the grid size vs the dictionary size, and the heavy-hitter estimate
+deviation (always >= exact by the one-sided law)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def run_sketch_bench(
+    spark: SparkSession,
+    n_probe: int = 8_000_000,
+    n_build: int = 1_000_000,
+    n_items: int = 2_000_000,
+) -> dict:
+    from openset_spark.pipeline.bloom import bloom_semijoin
+    from openset_spark.pipeline.cms import cms_estimate, cms_partials
+
+    out: dict = {"n_probe": n_probe, "n_build": n_build}
+
+    # --- Bloom: 1M-key build (beyond broadcast), ~1.2% member probe ---
+    key_space = n_build * 80
+    probe = (
+        spark.range(n_probe)
+        .selectExpr(f"concat('k', xxhash64(id) % {key_space}) AS key")
+        .localCheckpoint()
+    )
+    build = (
+        spark.range(n_build)
+        .selectExpr("concat('k', id * 80) AS key")
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    plain = probe.join(build, "key", "left_semi").count()
+    out["plain_semijoin_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    # m = 2^24 bits (2 MiB broadcast) ~ 16 bits/key -> fp ~0.6%
+    pruned = bloom_semijoin(
+        probe, build, "key", m_bits=1 << 24, broadcast_keys=False
+    )
+    survivors = pruned.count()
+    out["bloom_semijoin_sec"] = round(time.time() - t0, 3)
+    assert plain == survivors, (plain, survivors)
+    out["semijoin_rows"] = plain
+    out["probe_members_pct"] = round(100.0 * plain / n_probe, 2)
+    # amortized: the bitmap is built once per build-side snapshot and
+    # reused across probes — time the probe path with the words
+    # pre-materialized (the repeated-ETL / streaming-enrich shape)
+    from openset_spark.pipeline.bloom import bloom_filter, bloom_words
+
+    words = bloom_words(build, "key", m_bits=1 << 24).localCheckpoint()
+    t0 = time.time()
+    refiltered = bloom_filter(probe, "key", words, m_bits=1 << 24).count()
+    out["bloom_refilter_sec"] = round(time.time() - t0, 3)
+    out["bloom_survivors"] = refiltered
+
+    # --- CMS: 2M-distinct dictionary, zipf-ish hot head ---
+    items = (
+        spark.range(n_probe)
+        .selectExpr(
+            # ~12% of rows hit 16 hot items; the rest spread over n_items
+            f"CASE WHEN id % 8 = 0 THEN concat('hot', id % 16) "
+            f"ELSE concat('i', xxhash64(id) % {n_items}) END AS item"
+        )
+        .localCheckpoint()
+    )
+    out["n_items"] = n_items
+    t0 = time.time()
+    exact = {
+        r.item: r.n
+        for r in items.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("item").startswith("hot"))
+        .collect()
+    }
+    out["exact_groupby_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sk = cms_partials(items, "item", (), depth=4, width=16384)
+    probes = spark.createDataFrame([(k,) for k in exact], ["item"])
+    est = {
+        r.item: r.est
+        for r in cms_estimate(sk, probes, "item", (), 4, 16384).collect()
+    }
+    out["cms_sec"] = round(time.time() - t0, 3)
+    assert all(est[k] >= exact[k] for k in exact)
+    out["cms_grid_rows"] = 4 * 16384
+    out["cms_hot_worst_over_ppm"] = int(
+        max((est[k] - exact[k]) * 1_000_000 // exact[k] for k in exact)
+    )
+    return out

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from openset_spark.pipeline.bloom import (
     bloom_contains,
     bloom_fold,
-    bloom_hex,
+    bloom_pack,
     bloom_semijoin,
     bloom_words,
 )
@@ -36,8 +36,10 @@ def test_no_false_negatives_and_low_fp(spark):
         "CASE WHEN id < 1000 THEN concat('m', id) "
         "ELSE concat('x', id) END AS key"
     )
-    hx = bloom_hex(bloom_words(build, "key").collect())
-    survivors = probe.filter(bloom_contains(F.col("key"), hx)).count()
+    packed = bloom_pack(bloom_words(build, "key").collect())
+    survivors = probe.filter(
+        bloom_contains(F.col("key"), packed)
+    ).count()
     # every member survives (Bloom guarantee) ...
     assert survivors >= 1000
     # ... and at m=2^17, k=3, n=1000 the fp rate is ~1e-5: allow 1%
@@ -80,16 +82,19 @@ def test_build_col_rename_and_validation(spark):
         bloom_words(build, "o_key", k=0)
 
 
-def test_hex_packing_contract(spark):
-    """Bit i = bit (i%8) of byte (i//8) = hex chars [2*(i//8),
-    2*(i//8)+2) — the layout bloom_contains reads back."""
-    rows = [{"word_idx": 0, "word": 0x0000_0001}, {"word_idx": 2, "word": 0x8000_0000}]
-    hx = bloom_hex(rows, m_bits=128)
-    assert len(hx) == 32  # 128 bits = 16 bytes = 32 hex chars
-    buf = bytes.fromhex(hx)
-    assert buf[0] == 0x01  # global bit 0
-    assert buf[11] == 0x80  # global bit 95 = word 2 bit 31 = byte 11 bit 7
-    assert all(b == 0 for i, b in enumerate(buf) if i not in (0, 11))
+def test_pack_contract(spark):
+    """Entry j of the packed list = word_idx j; absent words are
+    zero — the layout bloom_contains element_at's back."""
+    rows = [
+        {"word_idx": 0, "word": 0x0000_0001},
+        {"word_idx": 2, "word": 0x8000_0000},
+    ]
+    packed = bloom_pack(rows, m_bits=128)
+    assert packed == [1, 0, 0x8000_0000, 0]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="packed length"):
+        bloom_contains(F.lit("x"), packed, m_bits=256)
 
 
 SETTINGS = settings(
@@ -111,3 +116,63 @@ def test_law_semijoin_exactness(spark, members, probes):
     got = sorted(map(tuple, bloom_semijoin(probe, build, "key", m_bits=1 << 12).collect()))
     want = sorted((f"k{p}", i) for i, p in enumerate(probes) if p in members)
     assert got == want
+
+
+def test_md5_family_bitmap_replays_in_duckdb(spark):
+    """The portable family's bitmap is engine-portable: DuckDB
+    computes the identical (word_idx, word) rows from the same
+    Kirsch-Mitzenmacher derivation over the 60-bit md5 prefix."""
+    import duckdb
+
+    build = spark.range(400).selectExpr("concat('k', id * 3) AS key")
+    direct = sorted(
+        map(tuple, bloom_words(build, "key", hash="md5").collect())
+    )
+    con = duckdb.connect()
+    con.register("b", build.toPandas())
+    duck = con.execute(
+        """
+        WITH h AS (
+          SELECT CAST(CAST(concat('0x', substr(md5(key), 1, 15))
+            AS UBIGINT) AS BIGINT) AS hv FROM b
+        ),
+        km AS (
+          SELECT hv % 1073741824 AS h1,
+            ((hv // 1073741824) % 536870912) * 2 + 1 AS h2 FROM h
+        ),
+        pos AS (
+          SELECT CAST((h1 + d * h2) % 131072 AS INTEGER) AS pos
+          FROM km, (SELECT unnest(range(3)) AS d) ds
+        )
+        SELECT pos // 32 AS word_idx,
+          bit_or(1::BIGINT << (pos % 32)) AS word
+        FROM pos GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    assert [(int(a), int(b)) for a, b in duck] == direct
+
+
+def test_xx64_and_md5_families_agree_on_semijoin(spark):
+    build = spark.range(100).selectExpr("concat('k', id * 5) AS key")
+    probe = spark.range(3000).selectExpr("concat('k', id) AS key")
+    a = sorted(
+        r.key for r in bloom_semijoin(probe, build, "key", hash="xx64").collect()
+    )
+    b = sorted(
+        r.key for r in bloom_semijoin(probe, build, "key", hash="md5").collect()
+    )
+    assert a == b and len(a) == 100
+    with pytest.raises(ValueError, match="hash must be"):
+        bloom_semijoin(probe, build, "key", hash="sha9")
+
+
+def test_big_build_shuffles_only_survivors(spark):
+    """broadcast_keys=False: the residual semijoin may shuffle, but
+    only bloom SURVIVORS reach it — the filter sits below the
+    exchange on the probe side."""
+    build = spark.range(5000).selectExpr("concat('k', id * 2) AS key")
+    probe = spark.range(40000).selectExpr("concat('k', id) AS key")
+    out = bloom_semijoin(
+        probe, build, "key", broadcast_keys=False
+    )
+    assert out.count() == 5000

@@ -536,32 +536,34 @@ def test_time_rollup_distinct_expands_registers_not_rows(spark, sf_dir):
 
 
 def test_bloom_prune_filters_probe_before_any_exchange(spark, sf_dir):
-    """The bloom membership predicate (md5/conv over the hex-literal
-    bitmap) must apply to the PROBE scan below every exchange — the
-    rows it rejects are exactly the shuffle it saves — and the
-    residual exact semijoin must be a broadcast, never a probe-side
-    shuffle."""
-    from openset_spark.pipeline.bloom import bloom_semijoin
+    """The bloom prune (xxhash64 bit tests against the broadcast
+    bitmap) must execute on the probe BELOW the exact semijoin and
+    below any probe-side shuffle — the rows it rejects are exactly
+    the shuffle the filter saves. PushLeftSemiThroughJoin would
+    happily reorder the semijoin under the bloom (un-pruning the
+    probe); bloom_semijoin pins the order with a marker-entangled
+    residual conjunct, and this test keeps it pinned."""
+    from openset_spark.pipeline.bloom import bloom_filter, bloom_semijoin, bloom_words
 
     li = load_table(spark, sf_dir, "lineitem")
     urgent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     out = bloom_semijoin(li, urgent, on="l_orderkey", build_col="o_orderkey")
-    plan = out._jdf.queryExecution().optimizedPlan()
-    hits = []
-
-    def walk(node, under_exchange):
-        name = node.nodeName()
-        if "Repartition" in name or "Exchange" in name:
-            under_exchange = True
-        if name == "Filter" and "md5" in node.toString().split("\n")[0]:
-            hits.append(("bloom_filter", under_exchange))
-        for i in range(node.children().size()):
-            walk(node.children().apply(i), under_exchange)
-
-    walk(plan, False)
-    assert ("bloom_filter", False) in hits, plan.toString()
-    phys = plan_str(out, "simple")
-    assert "BroadcastHashJoin" in phys and "LeftSemi" in phys, phys
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    lines = phys.split("\n")
+    semi = next(i for i, l in enumerate(lines) if "LeftSemi" in l)
+    bloom = next(
+        i for i, l in enumerate(lines) if "BroadcastNestedLoopJoin" in l
+    )
+    # tree order: the semijoin node prints ABOVE the bloom join =>
+    # the bloom filters the probe BEFORE the semijoin consumes it
+    assert semi < bloom, phys
     assert "SortMergeJoin" not in phys, phys
+    # the pruned probe never shuffles on the key: the only exchanges
+    # in the bare filter plan belong to the bitmap build
+    pruned = bloom_filter(
+        li, "l_orderkey", bloom_words(urgent, "o_orderkey")
+    )
+    pphys = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(l_orderkey" not in pphys, pphys
