@@ -2627,6 +2627,61 @@ ORDER BY l_returnflag
 """
 
 
+def q_doc_length_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped p50/p90/p99 of document length from the log-linear
+    quantile sketch (pipeline/hdrhist.py) — bounded state (<= 64*32
+    buckets per source regardless of corpus size), fold-exact
+    partials, and PURE INTEGER bucketing (octave via binary-string
+    length + linear sub-bucket), so DuckDB replays the sketch AND
+    the quantile walk bit for bit — the determinism
+    percentile_approx's partitioning-dependent Greenwald-Khanna can
+    never offer. NEW r11."""
+    from openset_spark.pipeline.hdrhist import approx_quantiles
+
+    docs = _docs(spark, sf_dir)
+    return approx_quantiles(
+        docs, "n_chars", (0.5, 0.9, 0.99), ("source",)
+    ).orderBy("source", "q")
+
+
+_SQL_DOC_LENGTH_QUANTILES_SKETCH = """
+WITH b AS (
+  SELECT source, CASE WHEN n_chars = 0 THEN -1
+    ELSE (length(bin(CAST(n_chars AS BIGINT))) - 1) * 32
+      + (n_chars - CAST(power(2, length(bin(CAST(n_chars AS BIGINT))) - 1)
+          AS BIGINT)) * 32
+        // CAST(power(2, length(bin(CAST(n_chars AS BIGINT))) - 1) AS BIGINT)
+  END AS bucket
+  FROM documents WHERE n_chars IS NOT NULL
+),
+sk AS (SELECT source, bucket, COUNT(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT source, bucket,
+    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket) AS c,
+    SUM(cnt) OVER (PARTITION BY source) AS n
+  FROM sk
+),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+hit AS (
+  SELECT source, q, MIN(bucket) AS bk
+  FROM cum, qs WHERE c >= CEIL(q * n) GROUP BY 1, 2
+),
+dec AS (
+  SELECT source, q, bk,
+    CAST(power(2, bk // 32) AS BIGINT)
+      + (bk % 32) * CAST(power(2, bk // 32) AS BIGINT) // 32 AS lo,
+    CAST(power(2, bk // 32) AS BIGINT)
+      + ((bk % 32) + 1) * CAST(power(2, bk // 32) AS BIGINT) // 32 AS hi
+  FROM hit
+)
+SELECT source, q,
+  CASE WHEN bk = -1 THEN 0
+       ELSE (lo + GREATEST(hi, lo + 1) - 1) // 2 END AS est
+FROM dec
+ORDER BY source, q
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -3860,6 +3915,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_overlap_approx": q_segment_overlap_approx,
         "cms_token_hitters": q_cms_token_hitters,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
+        "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
     }
 
 
@@ -4612,6 +4668,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_overlap_approx": _SQL_SEGMENT_OVERLAP_APPROX,
         "cms_token_hitters": _SQL_CMS_TOKEN_HITTERS,
         "bloom_semijoin_urgent": _SQL_BLOOM_SEMIJOIN_URGENT,
+        "doc_length_quantiles_sketch": _SQL_DOC_LENGTH_QUANTILES_SKETCH,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

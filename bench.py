@@ -491,6 +491,7 @@ def main() -> None:
                 "rollup_unique_users",
                 "cms_token_hitters",
                 "bloom_semijoin_urgent",
+                "doc_length_quantiles_sketch",
             ):
                 samples = []
                 for _ in range(reps):

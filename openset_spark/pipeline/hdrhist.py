@@ -1,0 +1,175 @@
+"""Deterministic, engine-portable log-linear quantile sketch — the
+third sketch sibling (hll.py counts distincts, cms.py counts
+frequencies, this one answers QUANTILES: p50/p95/p99 of lengths,
+latencies, token counts) whose partials COMPOSE EXACTLY.
+
+The HdrHistogram idea in pure relational algebra: a non-negative
+integer value buckets by (octave, sub-bucket) — octave e =
+floor(log2(x)) computed EXACTLY as ``length(bin(x)) - 1`` (the
+hll.py rho trick; no floating log anywhere), then the octave
+[2^e, 2^{e+1}) splits linearly into s = 2^sub_bits sub-buckets:
+``sub = (x - 2^e) * s div 2^e``. Every step is INTEGER arithmetic,
+so Spark and DuckDB bucket identically by construction — the
+float-boundary hazard a log-gamma DDSketch would carry (ln() last-
+ulp disagreement flipping a ceil) simply cannot occur.
+
+* a "sketch" is rows (group..., bucket, cnt): bucket = e*s + sub
+  (lexicographic = numeric order), 0 maps to bucket -1; cnt is a
+  LONG SUM — partials from any split (shard/hour/micro-batch) fold
+  to EXACTLY the direct build's rows, bit for bit, and the
+  observation projection is stateless (streaming twin).
+* a quantile reads the first bucket whose running count reaches
+  rank ceil(q*n) and reports the bucket's integer midpoint:
+  relative error <= 1/s + rank resolution (s = 32 -> ~3%, s = 128
+  -> ~0.8%), max 64*s + 1 buckets per group REGARDLESS of n — the
+  bounded-state quantile an exact distributed sort can never be.
+
+Scale: the one shuffle is map-side-combinable (<= 64*s + 1 rows per
+task per group); the quantile walk is a window over the bucket rows
+only — never over the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _check(sub_bits: int) -> None:
+    if not 0 <= sub_bits <= 16:
+        raise ValueError(f"sub_bits must be in [0, 16]: {sub_bits}")
+
+
+def _bucket(x: Column, s: int) -> Column:
+    """(octave*s + sub) for x >= 1; -1 for x = 0. Pure integer ops:
+    octave from the binary-string length, sub by scaled division."""
+    e = (F.length(F.conv(x.cast("long"), 10, 2)) - 1).cast("long")
+    pw = F.pow(F.lit(2.0), e).cast("long")  # 2^e exact (e <= 62)
+    sub = F.floor((x.cast("long") - pw) * s / pw).cast("long")
+    return F.when(x == 0, F.lit(-1)).otherwise(e * s + sub)
+
+
+def _lo(bucket: Column, s: int) -> Column:
+    """Inclusive lower bound of a bucket: 2^e + sub*2^e div s."""
+    e = F.floor(bucket / s).cast("long")
+    sub = bucket % s
+    pw = F.pow(F.lit(2.0), e).cast("long")
+    return pw + F.floor(sub * pw / s).cast("long")
+
+
+def _hi(bucket: Column, s: int) -> Column:
+    """Exclusive upper bound: the next sub-bucket's lower bound."""
+    e = F.floor(bucket / s).cast("long")
+    sub = bucket % s
+    pw = F.pow(F.lit(2.0), e).cast("long")
+    return pw + F.floor((sub + 1) * pw / s).cast("long")
+
+
+def hdr_observations(
+    df: DataFrame,
+    col: str,
+    group_by: tuple[str, ...] = (),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Per-row bucket observations (group_by..., bucket, cnt=1) — a
+    pure stateless projection, so it drops unchanged into a
+    STREAMING pipeline (fold the streamed observations and you hold
+    exactly the batch sketch, any arrival order). NULLs are skipped;
+    negative values are a contract violation and raise at runtime
+    via a CASE guard (quantile sketches of signed data should
+    sketch the two signs separately)."""
+    _check(sub_bits)
+    s = 1 << sub_bits
+    x = F.col(col)
+    guarded = F.when(
+        x < 0, F.raise_error(F.lit(f"hdr sketch: negative value in {col}"))
+    ).otherwise(_bucket(x, s))
+    return (
+        df.filter(x.isNotNull())
+        .select(*group_by, guarded.alias("bucket"))
+        .withColumn("cnt", F.lit(1).cast("long"))
+    )
+
+
+def hdr_partials(
+    df: DataFrame,
+    col: str,
+    group_by: tuple[str, ...] = (),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """(group_by..., bucket, cnt) — the composable sketch: one
+    map-side-combinable sum over the observations."""
+    return (
+        hdr_observations(df, col, group_by, sub_bits)
+        .groupBy(*group_by, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hdr_fold(
+    partials: DataFrame, group_by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Fold sketches to a coarser grouping: same row shape, exact
+    counter algebra — sum of sums IS the direct build's sum."""
+    return partials.groupBy(*group_by, "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def hdr_quantiles(
+    partials: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_by: tuple[str, ...] = (),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """(group_by..., q, est): est = integer midpoint of the first
+    bucket whose running count reaches rank ceil(q*n) (bucket -1 ->
+    0). The window runs over BUCKET rows (<= 64*s + 1 per group),
+    never over the data. All arithmetic integer; the only floats
+    are the q labels themselves."""
+    _check(sub_bits)
+    s = 1 << sub_bits
+    w = Window.partitionBy(*group_by).orderBy("bucket")
+    cum = partials.select(
+        *group_by,
+        "bucket",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_by)).alias("_n"),
+    )
+    qdf = partials.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    hit = cum.crossJoin(F.broadcast(qdf)).filter(
+        F.col("_cum") >= F.ceil(F.col("q") * F.col("_n"))
+    )
+    best = hit.groupBy(*group_by, "q").agg(
+        F.min("bucket").alias("_b"), F.first("_n").alias("_n")
+    )
+    b = F.col("_b")
+    lo = _lo(b, s)
+    # low octaves (2^e < s) have single-value buckets where the raw
+    # hi equals lo — clamp so the midpoint never drops below lo
+    hi = F.greatest(_hi(b, s), lo + 1)
+    mid = F.floor((lo + hi - 1) / 2).cast("long")
+    return best.select(
+        *group_by,
+        "q",
+        F.when(b == -1, F.lit(0).cast("long")).otherwise(mid).alias("est"),
+    )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    group_by: tuple[str, ...] = (),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Grouped quantiles of a non-negative integer column with
+    <= 1/s relative bucket error and bounded state, deterministically
+    and oracle-replayably (unlike percentile_approx, whose
+    Greenwald-Khanna compaction is partitioning-dependent)."""
+    return hdr_quantiles(
+        hdr_partials(df, col, group_by, sub_bits), qs, group_by, sub_bits
+    )

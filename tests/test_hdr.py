@@ -1,0 +1,125 @@
+"""Deterministic portable log-linear quantile sketch
+(pipeline/hdrhist.py): accuracy envelope vs exact ranks, exact
+counter composability (fold == direct, bit for bit), partitioning
+invariance, degenerate low-octave buckets, zero/null handling, and
+the negative-value contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.hdrhist import (
+    approx_quantiles,
+    hdr_fold,
+    hdr_partials,
+    hdr_quantiles,
+)
+
+
+def _exact_rank(sorted_vals, q):
+    return sorted_vals[max(0, math.ceil(q * len(sorted_vals)) - 1)]
+
+
+def test_accuracy_envelope(spark):
+    vals = [(i * 7919) % 100000 for i in range(20000)]  # spread, deterministic
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = {
+        r.q: r.est
+        for r in approx_quantiles(df, "x", (0.5, 0.9, 0.99)).collect()
+    }
+    sv = sorted(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = _exact_rank(sv, q)
+        # sub_bits=5 -> 1/32 ~ 3.1% bucket error (+ rank resolution)
+        assert abs(got[q] - exact) <= max(2, 0.05 * exact), (q, got[q], exact)
+
+
+def test_fold_equals_direct_bit_for_bit(spark):
+    df = spark.range(9000).selectExpr(
+        "CAST((id * 131) % 50000 AS LONG) AS x", "id % 6 AS shard"
+    )
+    per = hdr_partials(df, "x", ("shard",))
+    folded = sorted(map(tuple, hdr_fold(per, ()).collect()))
+    direct = sorted(map(tuple, hdr_partials(df, "x", ()).collect()))
+    assert folded == direct
+    # and the folded sketch answers the same quantiles
+    a = sorted(map(tuple, hdr_quantiles(hdr_fold(per, ()), (0.5,)).collect()))
+    b = sorted(map(tuple, hdr_quantiles(hdr_partials(df, "x", ()), (0.5,)).collect()))
+    assert a == b
+
+
+def test_partitioning_invariance(spark):
+    df = spark.range(5000).selectExpr("CAST((id * 37) % 9999 AS LONG) AS x")
+    sketches = [
+        sorted(map(tuple, hdr_partials(d, "x").collect()))
+        for d in (df.repartition(32), df.coalesce(1), df.repartition(7, "x"))
+    ]
+    assert sketches[0] == sketches[1] == sketches[2]
+
+
+def test_low_octave_buckets_are_exact(spark):
+    """For x < 2^sub_bits every integer gets its own bucket, so the
+    quantile is EXACT (the degenerate-bucket midpoint clamp)."""
+    df = spark.createDataFrame([(v,) for v in [0, 0, 1, 2, 3, 5, 8, 13]], ["x"])
+    got = {
+        r.q: r.est
+        for r in approx_quantiles(df, "x", (0.25, 0.5, 0.75, 1.0)).collect()
+    }
+    sv = [0, 0, 1, 2, 3, 5, 8, 13]
+    for q, est in got.items():
+        assert est == _exact_rank(sv, q), (q, est)
+
+
+def test_grouped_nulls_and_negative_contract(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", None), ("a", 1000), ("b", 7)], ["g", "x"]
+    )
+    out = {
+        (r.g, r.q): r.est
+        for r in approx_quantiles(df, "x", (1.0,), ("g",)).collect()
+    }
+    assert out[("b", 1.0)] == 7
+    assert out[("a", 1.0)] >= 1000 * 31 // 32  # nulls skipped
+    neg = spark.createDataFrame([(-3,)], ["x"])
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        approx_quantiles(neg, "x", (0.5,)).collect()
+    with pytest.raises(ValueError, match="sub_bits"):
+        approx_quantiles(df, "x", (0.5,), sub_bits=40)
+
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=1 << 40),
+        min_size=1,
+        max_size=50,
+    ),
+    q=st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+@SETTINGS
+def test_law_relative_error_bound(spark, vals, q):
+    """The estimate is within one bucket of the exact rank value:
+    rel error <= 1/32 + 1/2^octave slack, and never crosses rank
+    boundaries (est between the neighbors of the exact value)."""
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    est = approx_quantiles(df, "x", (q,)).collect()[0].est
+    exact = _exact_rank(sorted(vals), q)
+    if exact == 0:
+        assert est == 0
+    else:
+        assert abs(est - exact) <= max(1, exact / 16), (est, exact)

@@ -1752,3 +1752,42 @@ def test_stream_cms_observations_fold_matches_batch(spark, sf_dir, tmpdir):
         )
     )
     assert got == want and len(want) >= 20
+
+
+def test_stream_hdr_observations_fold_matches_batch(spark, sf_dir, tmpdir):
+    """29th parity surface: live quantile sketching. The stream emits
+    per-row log-linear bucket observations (pure integer projection,
+    no state); summing them yields EXACTLY the bucket table — and
+    therefore exactly every quantile — of a direct batch build, for
+    any micro-batch split (pipeline/hdrhist.py's fold law)."""
+    from openset_spark.pipeline.hdrhist import (
+        hdr_fold,
+        hdr_observations,
+        hdr_partials,
+        hdr_quantiles,
+    )
+    from pyspark.sql import functions as FF
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1).select(
+        "event_type", FF.abs(FF.col("user_id")).alias("uid")
+    )
+    obs = hdr_observations(stream, "uid", ("event_type",))
+    name = f"parity_hdr_{uuid.uuid4().hex[:8]}"
+    _run_available(obs, name)
+    folded = hdr_fold(spark.sql(f"select * from {name}"), ("event_type",))
+
+    bf = _batch_frame(spark, tmpdir).select(
+        "event_type", FF.abs(FF.col("user_id")).alias("uid")
+    )
+    direct = hdr_partials(bf, "uid", ("event_type",))
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    got = sorted(
+        map(tuple, hdr_quantiles(folded, (0.5, 0.95), ("event_type",)).collect())
+    )
+    want = sorted(
+        map(tuple, hdr_quantiles(direct, (0.5, 0.95), ("event_type",)).collect())
+    )
+    assert got == want and len(want) >= 10
