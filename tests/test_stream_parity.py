@@ -1791,3 +1791,46 @@ def test_stream_hdr_observations_fold_matches_batch(spark, sf_dir, tmpdir):
         map(tuple, hdr_quantiles(direct, (0.5, 0.95), ("event_type",)).collect())
     )
     assert got == want and len(want) >= 10
+
+
+def test_stream_bloom_prune_matches_batch(spark, sf_dir, tmpdir):
+    """30th parity surface: ingest-time bloom pruning. The bitmap
+    (built once over a static key set) rides the same broadcast
+    cross join on a STREAM — stateless, so the surviving rows equal
+    the batch prune exactly for any micro-batch split, and the
+    downstream exact semijoin semantics are unchanged (the filter
+    only ever removes definite non-members)."""
+    from openset_spark.pipeline.bloom import bloom_filter, bloom_words
+    from pyspark.sql import functions as FF
+
+    _spill_events(spark, sf_dir, tmpdir)
+    batch = _batch_frame(spark, tmpdir)
+    # freeze a bitmap over the users seen purchasing
+    build = batch.filter(FF.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    words = bloom_words(build, "user_id").localCheckpoint()
+
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    pruned = bloom_filter(
+        stream.select("event_id", "user_id"), "user_id", words
+    )
+    name = f"parity_bloom_{uuid.uuid4().hex[:8]}"
+    _run_available(pruned, name)
+    streamed = {
+        (r.event_id, r.user_id)
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    expected = {
+        (r.event_id, r.user_id)
+        for r in bloom_filter(
+            batch.select("event_id", "user_id"), "user_id", words
+        ).collect()
+    }
+    assert streamed == expected and len(expected) > 0
+    # no false negatives: every true member survived the stream prune
+    members = {
+        r.user_id for r in build.distinct().collect()
+    }
+    survived_users = {u for _, u in streamed}
+    assert members <= survived_users
