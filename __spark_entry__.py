@@ -2682,6 +2682,60 @@ ORDER BY source, q
 """
 
 
+def q_segment_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap (viewers vs buyers) as DIRECT KMV
+    estimates: Jaccard + intersection read off the joint
+    k-minimum-values sample (Beyer et al. 2007) — the sketch whose
+    accuracy survives small overlaps of large sets, where HLL
+    inclusion-exclusion compounds three errors. The sketch is an
+    order statistic of portable md5 hashes, so DuckDB replays BOTH
+    sketches, the union threshold, and both estimates bit for bit.
+    NEW r11."""
+    from openset_spark.pipeline.kmv import kmv_jaccard, kmv_partials
+
+    ev = _events(spark, sf_dir)
+    a = kmv_partials(
+        ev.filter(F.col("event_type") == "view"), "user_id"
+    )
+    b = kmv_partials(
+        ev.filter(F.col("event_type") == "purchase"), "user_id"
+    )
+    return kmv_jaccard(a, b)
+
+
+_SQL_SEGMENT_JACCARD_KMV = """
+WITH ha AS (
+  SELECT DISTINCT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS
+    VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+a AS (SELECT hv FROM ha ORDER BY hv LIMIT 512),
+hb AS (
+  SELECT DISTINCT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS
+    VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+b AS (SELECT hv FROM hb ORDER BY hv LIMIT 512),
+uni AS (
+  SELECT DISTINCT hv FROM (SELECT hv FROM a UNION ALL SELECT hv FROM b)
+  ORDER BY hv LIMIT 512
+),
+th AS (SELECT MAX(hv) AS theta, COUNT(*)::BIGINT AS ku FROM uni),
+du AS (
+  SELECT ROUND(CASE WHEN ku < 512 THEN CAST(ku AS DOUBLE)
+    ELSE 511.0 * 1152921504606846976.0 / theta END, 4) AS du
+  FROM th
+),
+c AS (
+  SELECT COUNT(*)::BIGINT AS c
+  FROM a JOIN b USING (hv), th WHERE hv <= th.theta
+)
+SELECT ROUND(c / ku, 4) AS jaccard,
+  ROUND(c / ku * du, 4) AS approx_intersection
+FROM c, th, du
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -3916,6 +3970,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_token_hitters": q_cms_token_hitters,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
+        "segment_jaccard_kmv": q_segment_jaccard_kmv,
     }
 
 
@@ -4669,6 +4724,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_hitters": _SQL_CMS_TOKEN_HITTERS,
         "bloom_semijoin_urgent": _SQL_BLOOM_SEMIJOIN_URGENT,
         "doc_length_quantiles_sketch": _SQL_DOC_LENGTH_QUANTILES_SKETCH,
+        "segment_jaccard_kmv": _SQL_SEGMENT_JACCARD_KMV,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

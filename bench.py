@@ -492,6 +492,7 @@ def main() -> None:
                 "cms_token_hitters",
                 "bloom_semijoin_urgent",
                 "doc_length_quantiles_sketch",
+                "segment_jaccard_kmv",
             ):
                 samples = []
                 for _ in range(reps):

@@ -1,0 +1,138 @@
+"""Deterministic, engine-portable KMV (K-Minimum-Values) sketch —
+the set-INTERSECTION sibling of the HLL: where HLL's
+inclusion-exclusion intersection (est(A)+est(B)-est(A∪B)) compounds
+three estimation errors and collapses for small overlaps of large
+sets, KMV holds the k smallest distinct hashes of each set and
+reads the overlap DIRECTLY off the shared sample (Beyer et al.
+2007, the theta-sketch ancestor), so audience-overlap / Jaccard
+questions stay accurate when |A∩B| << |A|.
+
+Deterministic and portable like its siblings:
+
+* hash = the portable 60-bit md5 prefix (DuckDB-identical), so the
+  SKETCH ITSELF — an order statistic, not a random sample — is
+  oracle-replayable: the k smallest distinct hashes of a set are a
+  pure function of the set;
+* a "sketch" is rows (group..., hv): fold = k smallest distinct of
+  the union of partials == k smallest distinct of the direct build,
+  bit for bit, under ANY split (min order statistics compose);
+* estimates are closed-form in the sketch: distinct ~ (k-1) *
+  2^60 / hv_k (EXACT — the sketch is the whole distinct set — when
+  the set has < k members); intersection from the joint sample
+  below the combined threshold.
+
+Scale: the build is dense_rank() <= k over (group, hv) — Spark's
+WindowGroupLimit pushes a partial top-k into every map task
+(plan-asserted in tests/test_plans.py), so the exchange carries at
+most ~k rows per group per task, never the full distinct set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+HASH_SPACE = float(1 << 60)
+
+
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit md5 prefix (the hll.py family)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_observations(
+    df: DataFrame, col: str, group_by: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-row hash observations (group_by..., hv) — a pure
+    stateless projection (streaming twin: fold the streamed
+    observations and you hold exactly the batch sketch). NULLs are
+    skipped (distinct-of-non-null)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(*group_by, _hash60(F.col(col)).alias("hv"))
+    )
+
+
+def kmv_fold(
+    obs: DataFrame, group_by: tuple[str, ...] = (), k: int = 512
+) -> DataFrame:
+    """k smallest DISTINCT hashes per group of ANY union of
+    observations or partials — the composable step: min order
+    statistics of a union are the union's order statistics, so
+    fold(partials) == direct build exactly. dense_rank <= k compiles
+    to a WindowGroupLimit partial top-k in every map task."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    w = Window.partitionBy(*group_by).orderBy("hv")
+    return (
+        obs.withColumn("_r", F.dense_rank().over(w))
+        .filter(F.col("_r") <= k)
+        .select(*group_by, "hv")
+        .distinct()
+    )
+
+
+def kmv_partials(
+    df: DataFrame,
+    col: str,
+    group_by: tuple[str, ...] = (),
+    k: int = 512,
+) -> DataFrame:
+    """(group_by..., hv) — the sketch: k smallest distinct hashes
+    per group."""
+    return kmv_fold(kmv_observations(df, col, group_by), group_by, k)
+
+
+def kmv_distinct_estimate(
+    sketch: DataFrame, group_by: tuple[str, ...] = (), k: int = 512
+) -> DataFrame:
+    """(group_by..., approx_distinct): (k-1) * 2^60 / hv_k when the
+    sketch is full (the classic KMV estimator, ~1/sqrt(k-2) rel
+    error); EXACT row count when the set had < k distinct members
+    (the sketch then IS the distinct set). ROUND(.., 4) float
+    contract (identical expression tree both engines)."""
+    agg = sketch.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("hv").alias("_kth")
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("_kth")
+    )
+    return agg.select(
+        *group_by, F.round(est, 4).alias("approx_distinct")
+    )
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
+    """One row (jaccard, approx_intersection) from two ungrouped
+    sketches: combine to the union sketch (k smallest distinct of
+    A ∪ B), whose threshold theta = its max hash; the hashes below
+    theta form a uniform sample of A ∪ B, so jaccard ~ |sample ∩ A
+    ∩ B| / |sample| and |A ∩ B| ~ jaccard * est(A ∪ B) (Beyer et
+    al. 2007). Every step is a pure function of the two sketches —
+    deterministic, partitioning-invariant, DuckDB-replayable."""
+    u = kmv_fold(a.unionByName(b), (), k)
+    theta = u.agg(
+        F.max("hv").alias("_theta"), F.count(F.lit(1)).alias("_ku")
+    )
+    both = (
+        a.join(b, "hv", "inner")
+        .join(F.broadcast(theta))
+        .filter(F.col("hv") <= F.col("_theta"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    est_u = kmv_distinct_estimate(u, (), k).select(
+        F.col("approx_distinct").alias("_du")
+    )
+    return (
+        both.join(F.broadcast(theta.select("_ku")))
+        .join(F.broadcast(est_u))
+        .select(
+            F.round(F.col("_c") / F.col("_ku"), 4).alias("jaccard"),
+            F.round(
+                F.col("_c") / F.col("_ku") * F.col("_du"), 4
+            ).alias("approx_intersection"),
+        )
+    )

@@ -1834,3 +1834,44 @@ def test_stream_bloom_prune_matches_batch(spark, sf_dir, tmpdir):
     }
     survived_users = {u for _, u in streamed}
     assert members <= survived_users
+
+
+def test_stream_kmv_observations_fold_matches_batch(spark, sf_dir, tmpdir):
+    """31st parity surface: live audience sketching. The stream
+    emits per-row KMV hash observations (pure projection, no
+    state); folding them (k smallest distinct) yields EXACTLY the
+    batch sketch — min order statistics compose — and therefore
+    exactly the distinct estimate, for any micro-batch split."""
+    from openset_spark.pipeline.kmv import (
+        kmv_distinct_estimate,
+        kmv_fold,
+        kmv_observations,
+        kmv_partials,
+    )
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    obs = kmv_observations(stream, "user_id", ("event_type",))
+    name = f"parity_kmv_{uuid.uuid4().hex[:8]}"
+    _run_available(obs, name)
+    folded = kmv_fold(
+        spark.sql(f"select * from {name}"), ("event_type",), 64
+    )
+    bf = _batch_frame(spark, tmpdir)
+    direct = kmv_partials(bf, "user_id", ("event_type",), 64)
+    assert sorted(map(tuple, folded.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            kmv_distinct_estimate(folded, ("event_type",), 64).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            kmv_distinct_estimate(direct, ("event_type",), 64).collect(),
+        )
+    )
+    assert got == want and len(want) >= 5
