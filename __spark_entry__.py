@@ -2736,6 +2736,88 @@ FROM c, th, du
 """
 
 
+def q_rollup_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 of event value (integer cents) per day AND per hour
+    from ONE finest-grain bucket shuffle — the continuous-aggregate
+    percentile a raw percentile can never fold (a day's median is
+    not a function of its hours' medians). HDR buckets compose by
+    sum, so the grouping-sets Expand runs over the bounded bucket
+    table, never the event scan (plan-asserted); DuckDB replays the
+    integer bucketing, both level walks, and the midpoint decode
+    bit for bit. NEW r11."""
+    from openset_spark.pipeline.hdrhist import time_rollup_quantiles
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+    )
+    out = time_rollup_quantiles(
+        ev, ("day", "hour"), col="cents", qs=(0.5, 0.95)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "granularity",
+        F.date_format("bucket_day", fmt).alias("bucket_day"),
+        F.date_format("bucket_hour", fmt).alias("bucket_hour"),
+        "q",
+        "est",
+    ).orderBy("granularity", "bucket_day", "bucket_hour", "q")
+
+
+_SQL_ROLLUP_VALUE_QUANTILES = """
+WITH base AS (
+  SELECT date_trunc('day', ts::TIMESTAMP) AS bd,
+    date_trunc('hour', ts::TIMESTAMP) AS bh,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT bd, bh, CASE WHEN cents = 0 THEN -1
+    ELSE (length(bin(cents)) - 1) * 32
+      + (cents - CAST(power(2, length(bin(cents)) - 1) AS BIGINT)) * 32
+        // CAST(power(2, length(bin(cents)) - 1) AS BIGINT)
+  END AS bucket FROM base
+),
+sk_h AS (SELECT bd, bh, bucket, COUNT(*)::BIGINT AS cnt FROM b GROUP BY 1, 2, 3),
+sk_d AS (SELECT bd, bucket, SUM(cnt) AS cnt FROM sk_h GROUP BY 1, 2),
+qs AS (SELECT unnest([0.5, 0.95]) AS q),
+cum_h AS (
+  SELECT bd, bh, bucket,
+    SUM(cnt) OVER (PARTITION BY bd, bh ORDER BY bucket) AS c,
+    SUM(cnt) OVER (PARTITION BY bd, bh) AS n
+  FROM sk_h
+),
+cum_d AS (
+  SELECT bd, bucket,
+    SUM(cnt) OVER (PARTITION BY bd ORDER BY bucket) AS c,
+    SUM(cnt) OVER (PARTITION BY bd) AS n
+  FROM sk_d
+),
+hits AS (
+  SELECT 'hour' AS granularity, bd, bh, q, MIN(bucket) AS bk
+  FROM cum_h, qs WHERE c >= CEIL(q * n) GROUP BY 1, 2, 3, 4
+  UNION ALL
+  SELECT 'day' AS granularity, bd, NULL AS bh, q, MIN(bucket) AS bk
+  FROM cum_d, qs WHERE c >= CEIL(q * n) GROUP BY 1, 2, 3, 4
+),
+dec AS (
+  SELECT granularity, bd, bh, q, bk,
+    CAST(power(2, bk // 32) AS BIGINT)
+      + (bk % 32) * CAST(power(2, bk // 32) AS BIGINT) // 32 AS lo,
+    CAST(power(2, bk // 32) AS BIGINT)
+      + ((bk % 32) + 1) * CAST(power(2, bk // 32) AS BIGINT) // 32 AS hi
+  FROM hits
+)
+SELECT granularity,
+  strftime(bd, '%Y-%m-%d %H:%M:%S') AS bucket_day,
+  strftime(bh, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+  q,
+  CASE WHEN bk = -1 THEN 0
+       ELSE (lo + GREATEST(hi, lo + 1) - 1) // 2 END AS est
+FROM dec
+ORDER BY granularity, bucket_day, bucket_hour, q
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -3971,6 +4053,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
         "segment_jaccard_kmv": q_segment_jaccard_kmv,
+        "rollup_value_quantiles": q_rollup_value_quantiles,
     }
 
 
@@ -4725,6 +4808,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin_urgent": _SQL_BLOOM_SEMIJOIN_URGENT,
         "doc_length_quantiles_sketch": _SQL_DOC_LENGTH_QUANTILES_SKETCH,
         "segment_jaccard_kmv": _SQL_SEGMENT_JACCARD_KMV,
+        "rollup_value_quantiles": _SQL_ROLLUP_VALUE_QUANTILES,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

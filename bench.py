@@ -493,6 +493,7 @@ def main() -> None:
                 "bloom_semijoin_urgent",
                 "doc_length_quantiles_sketch",
                 "segment_jaccard_kmv",
+                "rollup_value_quantiles",
             ):
                 samples = []
                 for _ in range(reps):

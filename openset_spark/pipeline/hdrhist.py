@@ -173,3 +173,59 @@ def approx_quantiles(
     return hdr_quantiles(
         hdr_partials(df, col, group_by, sub_bits), qs, group_by, sub_bits
     )
+
+
+def time_rollup_quantiles(
+    df: DataFrame,
+    granularities: tuple[str, ...] = ("day", "hour"),
+    ts_col: str = "ts",
+    group_by: tuple[str, ...] = (),
+    col: str = "value",
+    qs: tuple[float, ...] = (0.5, 0.95),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Quantiles at EVERY granularity of a time hierarchy (p50/p95
+    per hour, per day, per month ...) — the continuous-aggregate
+    percentile query an exact percentile can never fold (a value
+    set's median is not a function of its hours' medians) and
+    percentile_approx can never replay. Mirrors
+    hll.time_rollup_distinct: the RAW rows pay exactly one bucket
+    aggregate at the finest grain (map-side-combinable sum, one
+    exchange); the GROUPING SETS Expand then runs over the finest
+    BUCKET table — at most 64*s + 1 rows per finest group — because
+    HDR buckets compose by sum, the same law hdr_fold rides. Output:
+    (granularity, group_by..., bucket_<g>..., q, est)."""
+    from openset_spark.operators.events import validate_granularities
+
+    validate_granularities(granularities)
+    _check(sub_bits)
+    bnames = [f"bucket_{g}" for g in granularities]
+    pre = df.withColumns(
+        {
+            n: F.date_trunc(g, F.col(ts_col))
+            for n, g in zip(bnames, granularities)
+        }
+    )
+    finest = hdr_partials(
+        pre, col, tuple(group_by) + tuple(bnames), sub_bits
+    )
+    all_keys = list(group_by) + bnames + ["bucket"]
+    sets = [
+        [F.col(c) for c in list(group_by) + bnames[: i + 1] + ["bucket"]]
+        for i in range(len(granularities))
+    ]
+    rolled = finest.groupingSets(
+        sets, *[F.col(c) for c in all_keys]
+    ).agg(F.sum("cnt").alias("cnt"), F.grouping_id().alias("_gid"))
+    level = F.lit(None).cast("string")
+    for i, g in enumerate(granularities):
+        # sketch bucket is the last gid bit and always present (0);
+        # time buckets finer than level i are grouped away
+        gid = ((1 << (len(granularities) - 1 - i)) - 1) << 1
+        level = F.when(F.col("_gid") == gid, F.lit(g)).otherwise(level)
+    leveled = rolled.select(
+        level.alias("granularity"), *all_keys[:-1], "bucket", "cnt"
+    )
+    return hdr_quantiles(
+        leveled, qs, ("granularity", *group_by, *bnames), sub_bits
+    )

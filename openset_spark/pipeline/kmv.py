@@ -112,7 +112,13 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
     theta form a uniform sample of A ∪ B, so jaccard ~ |sample ∩ A
     ∩ B| / |sample| and |A ∩ B| ~ jaccard * est(A ∪ B) (Beyer et
     al. 2007). Every step is a pure function of the two sketches —
-    deterministic, partitioning-invariant, DuckDB-replayable."""
+    deterministic, partitioning-invariant, DuckDB-replayable.
+
+    The plan references each sketch several times (union, joint
+    join, estimate); a sketch is <= k rows, so over large inputs
+    materialize it first (``.localCheckpoint()`` / write it as the
+    ingest-time artifact it is) rather than re-deriving the
+    upstream scan per reference."""
     u = kmv_fold(a.unionByName(b), (), k)
     theta = u.agg(
         F.max("hv").alias("_theta"), F.count(F.lit(1)).alias("_ku")

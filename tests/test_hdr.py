@@ -123,3 +123,34 @@ def test_law_relative_error_bound(spark, vals, q):
         assert est == 0
     else:
         assert abs(est - exact) <= max(1, exact / 16), (est, exact)
+
+
+def test_time_rollup_quantiles_levels_match_per_level_builds(spark, sf_dir):
+    """Every level of the grouping-sets rollup must equal an
+    independent per-level sketch build — buckets compose by sum, so
+    the one-shuffle rollup loses nothing."""
+    from openset_spark.sources.tables import load_table
+    from openset_spark.pipeline.hdrhist import time_rollup_quantiles
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+    )
+    out = time_rollup_quantiles(
+        ev, ("day", "hour"), col="cents", qs=(0.5, 0.95)
+    ).collect()
+    pre = ev.withColumn("bucket_day", F.date_trunc("day", F.col("ts")))
+    direct_day = {
+        (r.bucket_day, r.q): r.est
+        for r in approx_quantiles(
+            pre, "cents", (0.5, 0.95), ("bucket_day",)
+        ).collect()
+    }
+    got_day = {
+        (r.bucket_day, r.q): r.est
+        for r in out
+        if r.granularity == "day"
+    }
+    assert got_day == direct_day and len(got_day) >= 20
+    hours = [r for r in out if r.granularity == "hour"]
+    assert len(hours) > len(got_day)
+    assert all(r.bucket_hour is not None for r in hours)

@@ -567,3 +567,30 @@ def test_bloom_prune_filters_probe_before_any_exchange(spark, sf_dir):
     )
     pphys = pruned._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(l_orderkey" not in pphys, pphys
+
+
+def test_time_rollup_quantiles_expands_buckets_not_rows(spark, sf_dir):
+    """The grouping-sets Expand must sit ABOVE the finest bucket
+    aggregate (which touches the raw rows exactly once) — the xN
+    level amplification applies to <= 64*s + 1 rows per finest
+    group, never to the event scan (the hll rollup posture)."""
+    from openset_spark.pipeline.hdrhist import time_rollup_quantiles
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+    )
+    out = time_rollup_quantiles(ev, ("day", "hour"), col="cents")
+    plan = out._jdf.queryExecution().optimizedPlan()
+    found = []
+
+    def walk(node, under_expand):
+        name = node.nodeName()
+        if name == "Expand":
+            under_expand = True
+        if under_expand and name == "Aggregate":
+            found.append("agg_under_expand")
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), under_expand)
+
+    walk(plan, False)
+    assert "agg_under_expand" in found, plan.toString()
