@@ -503,3 +503,60 @@ class OpenSetEngine:
         roll = event_aggregate_rollup(self._events, group_by, aggs, where)
         agg_cols = ["people"] + [alias for _, _, alias in aggs]
         return to_result_tree(roll, group_by, agg_cols)
+
+    # -- sketch surface (r11): bounded-state approximate analytics --
+
+    def approx_people(
+        self, group_by: list[str] | None = None, p: int = 10
+    ) -> DataFrame:
+        """Approximate distinct users (per group) via the portable
+        HLL — deterministic under any partitioning, fold-exact
+        partials (pipeline/hll.py)."""
+        from openset_spark.pipeline.hll import approx_distinct
+
+        return approx_distinct(
+            self._events, "user_id", tuple(group_by or ()), p
+        )
+
+    def segment_overlap(
+        self, a: Column, b: Column, k: int = 512
+    ) -> DataFrame:
+        """Direct Jaccard + intersection estimate between two event
+        predicates' user sets (KMV joint sample — accurate even for
+        small overlaps of large audiences; pipeline/kmv.py)."""
+        from openset_spark.pipeline.kmv import kmv_jaccard, kmv_partials
+
+        sa = kmv_partials(self._events.filter(a), "user_id", (), k)
+        sb = kmv_partials(self._events.filter(b), "user_id", (), k)
+        return kmv_jaccard(sa, sb, k)
+
+    def approx_quantiles(
+        self,
+        col: str,
+        qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+        group_by: list[str] | None = None,
+        sub_bits: int = 5,
+    ) -> DataFrame:
+        """Grouped quantiles of a non-negative integer column with
+        bounded state (log-linear sketch, pipeline/hdrhist.py)."""
+        from openset_spark.pipeline.hdrhist import approx_quantiles
+
+        return approx_quantiles(
+            self._events, col, qs, tuple(group_by or ()), sub_bits
+        )
+
+    def heavy_hitters(
+        self,
+        col: str,
+        threshold: int,
+        depth: int = 4,
+        width: int = 2048,
+    ) -> DataFrame:
+        """Items of ``col`` whose estimated frequency reaches
+        ``threshold`` — CMS one-sided screen, no true heavy hitter
+        ever missed (pipeline/cms.py)."""
+        from openset_spark.pipeline.cms import cms_heavy_hitters
+
+        return cms_heavy_hitters(
+            self._events, col, threshold, depth, width
+        )

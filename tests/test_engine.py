@@ -219,3 +219,34 @@ def test_ping_and_status(spark, sf_dir):
     assert {"events", "documents", "lineitem"} <= set(st["tables"])
     assert st["partitions"]["count"] >= 1
     assert st["partitions"]["parallelism"] >= 1
+
+
+def test_engine_sketch_surface(eng):
+    """The r11 bounded-state approximate analytics facade: HLL
+    people counts, KMV overlap, HDR quantiles, CMS heavy hitters."""
+    from pyspark.sql import functions as F
+
+    people = {
+        r.event_type: r.approx_distinct
+        for r in eng.approx_people(["event_type"]).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in eng.events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(people) == set(exact)
+    for t, n in exact.items():
+        assert abs(people[t] - n) <= max(3, 0.15 * n), (t, people[t], n)
+
+    ov = eng.segment_overlap(
+        F.col("event_type") == "view", F.col("event_type") == "purchase"
+    ).first()
+    assert 0.0 <= ov.jaccard <= 1.0 and ov.approx_intersection >= 0
+
+    q = eng.approx_quantiles("user_id", (0.5,)).first()
+    assert q.est >= 0
+
+    hh = eng.heavy_hitters("event_type", threshold=1)
+    assert hh.count() >= 3
