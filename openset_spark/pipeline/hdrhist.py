@@ -36,9 +36,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+MAX_VALUE = 1 << 45  # exact-arithmetic domain bound (see _check)
+
+
 def _check(sub_bits: int) -> None:
-    if not 0 <= sub_bits <= 16:
-        raise ValueError(f"sub_bits must be in [0, 16]: {sub_bits}")
+    # sub_bits <= 8 and x < 2^45 keep EVERY division exact in BOTH
+    # engines: Spark's `/` is double division, so (x - 2^e) * s must
+    # stay under 2^53 (2^45 * 2^8) for floor() to equal integer
+    # division — DuckDB's `//` is integer-exact either way, and the
+    # decode products (sub+1)*2^e stay inside BIGINT. 2^45 covers
+    # counts, lengths, cents, and 35 000 years of milliseconds.
+    if not 0 <= sub_bits <= 8:
+        raise ValueError(f"sub_bits must be in [0, 8]: {sub_bits}")
 
 
 def _bucket(x: Column, s: int) -> Column:
@@ -76,14 +85,18 @@ def hdr_observations(
     pure stateless projection, so it drops unchanged into a
     STREAMING pipeline (fold the streamed observations and you hold
     exactly the batch sketch, any arrival order). NULLs are skipped;
-    negative values are a contract violation and raise at runtime
-    via a CASE guard (quantile sketches of signed data should
-    sketch the two signs separately)."""
+    negative values and values >= 2^45 are contract violations and
+    raise at runtime via CASE guards (signed data should sketch the
+    two signs separately; rescale units to fit the exact-arithmetic
+    domain — see _check)."""
     _check(sub_bits)
     s = 1 << sub_bits
     x = F.col(col)
     guarded = F.when(
         x < 0, F.raise_error(F.lit(f"hdr sketch: negative value in {col}"))
+    ).when(
+        x >= MAX_VALUE,
+        F.raise_error(F.lit(f"hdr sketch: {col} >= 2^45 (exact domain)")),
     ).otherwise(_bucket(x, s))
     return (
         df.filter(x.isNotNull())

@@ -154,3 +154,14 @@ def test_time_rollup_quantiles_levels_match_per_level_builds(spark, sf_dir):
     hours = [r for r in out if r.granularity == "hour"]
     assert len(hours) > len(got_day)
     assert all(r.bucket_hour is not None for r in hours)
+
+
+def test_exact_domain_contract(spark):
+    """Values >= 2^45 raise (the exact-arithmetic domain): Spark's
+    `/` is double division, so larger values would silently bucket
+    differently from DuckDB's integer `//`."""
+    big = spark.createDataFrame([(1 << 45,)], ["x"])
+    with pytest.raises(Exception, match="2.45|raise|exact|ERROR"):
+        approx_quantiles(big, "x", (0.5,)).collect()
+    ok = spark.createDataFrame([((1 << 45) - 1,)], ["x"])
+    assert approx_quantiles(ok, "x", (0.5,)).first().est > 0
