@@ -80,7 +80,11 @@ def _positions_from(h: Column, m_bits: int, k: int) -> list[Column]:
     60-bit hash column: h1 = low 30 bits, h2 = odd-ified next 29
     bits, pos_d = (h1 + d*h2) mod m."""
     h1 = h % _H1_MOD
-    h2 = (F.floor(h / _H1_MOD).cast("long") % _H2_MOD) * 2 + 1
+    # EXACT floor division by 2^30: (h - h%2^30)/2^30 is a pure
+    # exponent shift (a bare floor(h / 2^30) is double division —
+    # for h near a multiple of 2^30 the last-ulp error flips the
+    # quotient ~2^-24 per key, silently diverging from DuckDB's //)
+    h2 = (((h - h1) / _H1_MOD).cast("long") % _H2_MOD) * 2 + 1
     return [((h1 + d * h2) % m_bits).cast("int") for d in range(k)]
 
 

@@ -53,15 +53,28 @@ def _hash60(col: Column) -> Column:
     ).cast("long")
 
 
+def _digit(h: Column, d: int, width: int) -> Column:
+    """The d-th base-width digit of h, EXACTLY: (h % width^(d+1) -
+    h % width^d) / width^d — the numerator is a multiple of width^d
+    below width^(d+1), so its significand is <= log2(width) bits
+    and the double division is exact for ANY width. A bare
+    floor(h / width^d) % width is WRONG for h > 2^53 (Spark's `/`
+    is double division; measured: floor((2^60-1)/1) % 2048 = 0,
+    exact 2047 — a silent cross-engine divergence against DuckDB's
+    integer `//`)."""
+    lo = width**d
+    hi = width ** (d + 1)
+    if d == 0:
+        return h % width
+    return ((h % hi - h % lo) / lo).cast("long")
+
+
 def _buckets(col: Column, depth: int, width: int) -> Column:
     """depth bucket ids from ONE hash: the d-th base-width digit.
     width^depth <= 2^60 keeps the digits disjoint (validated)."""
     h = _hash60(col)
     return F.array(
-        *[
-            (F.floor(h / (width**d)).cast("long") % width).cast("int")
-            for d in range(depth)
-        ]
+        *[_digit(h, d, width).cast("int") for d in range(depth)]
     )
 
 

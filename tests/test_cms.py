@@ -152,3 +152,51 @@ def test_law_fold_invariance_and_overcount(spark, rows):
     }
     exact = _exact(df, "tok")
     assert all(est[t] >= exact[t] for t in exact)
+
+
+def test_grid_replays_in_duckdb(spark):
+    """The grid is engine-portable: DuckDB computes the identical
+    (d, bucket, cnt) rows via integer division over the same md5
+    digits. This is the regression fence for the double-division
+    bucketing bug (floor(h/1) % 2048 = 0 for h = 2^60-1 in Spark's
+    double arithmetic; exact is 2047)."""
+    import duckdb
+
+    df = spark.range(5000).selectExpr("concat('t', id % 300) AS tok")
+    grid = sorted(map(tuple, cms_partials(df, "tok", (), 4, 2048).collect()))
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    duck = con.execute(
+        """
+        WITH ds AS (SELECT * FROM (VALUES (0, 1::BIGINT),
+          (1, 2048::BIGINT), (2, 4194304::BIGINT),
+          (3, 8589934592::BIGINT)) v(d, wp)),
+        h AS (SELECT CAST(CAST(concat('0x', substr(md5(tok), 1, 15))
+          AS UBIGINT) AS BIGINT) AS hv FROM t)
+        SELECT d, CAST((hv // wp) % 2048 AS INTEGER) AS bucket,
+          COUNT(*)::BIGINT AS cnt
+        FROM h, ds GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    assert [(int(a), int(b), int(c)) for a, b, c in duck] == grid
+
+
+def test_non_power_of_two_width_still_exact(spark):
+    """The digit extraction is exact for ANY width (the numerator
+    has a <= log2(width)-bit significand): a width-100 grid still
+    replays in integer arithmetic."""
+    df = spark.range(400).selectExpr("concat('t', id % 37) AS tok")
+    grid = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_partials(df, "tok", (), 3, 100).collect()
+    }
+    import hashlib
+
+    expect = {}
+    for i in range(400):
+        tok = f"t{i % 37}"
+        hv = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for d in range(3):
+            k = (d, (hv // (100**d)) % 100)
+            expect[k] = expect.get(k, 0) + 1
+    assert grid == expect
