@@ -80,6 +80,7 @@ def hdr_observations(
     col: str,
     group_by: tuple[str, ...] = (),
     sub_bits: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-row bucket observations (group_by..., bucket, cnt=1) — a
     pure stateless projection, so it drops unchanged into a
@@ -88,10 +89,17 @@ def hdr_observations(
     negative values and values >= 2^45 are contract violations and
     raise at runtime via CASE guards (signed data should sketch the
     two signs separately; rescale units to fit the exact-arithmetic
-    domain — see _check)."""
+    domain — see _check). ``weight_col`` (integer) counts each row
+    that many times — the weighted-quantile form (e.g. doc-length
+    percentiles weighted by token count)."""
     _check(sub_bits)
     s = 1 << sub_bits
     x = F.col(col)
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
     guarded = F.when(
         x < 0, F.raise_error(F.lit(f"hdr sketch: negative value in {col}"))
     ).when(
@@ -100,8 +108,7 @@ def hdr_observations(
     ).otherwise(_bucket(x, s))
     return (
         df.filter(x.isNotNull())
-        .select(*group_by, guarded.alias("bucket"))
-        .withColumn("cnt", F.lit(1).cast("long"))
+        .select(*group_by, guarded.alias("bucket"), w.alias("cnt"))
     )
 
 
@@ -110,11 +117,12 @@ def hdr_partials(
     col: str,
     group_by: tuple[str, ...] = (),
     sub_bits: int = 5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(group_by..., bucket, cnt) — the composable sketch: one
     map-side-combinable sum over the observations."""
     return (
-        hdr_observations(df, col, group_by, sub_bits)
+        hdr_observations(df, col, group_by, sub_bits, weight_col)
         .groupBy(*group_by, "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )

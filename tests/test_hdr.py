@@ -165,3 +165,28 @@ def test_exact_domain_contract(spark):
         approx_quantiles(big, "x", (0.5,)).collect()
     ok = spark.createDataFrame([((1 << 45) - 1,)], ["x"])
     assert approx_quantiles(ok, "x", (0.5,)).first().est > 0
+
+
+def test_weighted_quantiles(spark):
+    """weight_col counts each row w times — identical to physically
+    repeating the rows."""
+    rows = [(10, 3), (100, 1), (1000, 2)]
+    df = spark.createDataFrame(rows, ["x", "w"])
+    expanded = spark.createDataFrame(
+        [(x,) for x, w in rows for _ in range(w)], ["x"]
+    )
+    a = sorted(
+        map(
+            tuple,
+            hdr_quantiles(
+                hdr_partials(df, "x", weight_col="w"), (0.5, 1.0)
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            hdr_quantiles(hdr_partials(expanded, "x"), (0.5, 1.0)).collect(),
+        )
+    )
+    assert a == b
