@@ -2592,9 +2592,10 @@ ORDER BY est DESC, tok ASC
 
 def q_bloom_semijoin_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-pruned semijoin: lineitems of URGENT orders, aggregated
-    per returnflag. The portable bloom bitmap (seeded md5 hash
-    family, bit_or-folded 32-bit words) built over the small side is
-    inlined as a pure-codegen scan filter on the PROBE side, so
+    per returnflag. The bloom bitmap (xxhash64 fast family,
+    bit_or-folded 32-bit words; the bitmap itself is internal — the
+    ORACLE sees only the exact result) built over the small side is
+    broadcast as a pure-codegen scan filter on the PROBE side, so
     non-member rows never reach any exchange — the at-scale shuffle
     saver — and the final exact semijoin removes the eps false
     positives: results are EXACTLY the plain semijoin, which is the

@@ -526,8 +526,15 @@ class OpenSetEngine:
         small overlaps of large audiences; pipeline/kmv.py)."""
         from openset_spark.pipeline.kmv import kmv_jaccard, kmv_partials
 
-        sa = kmv_partials(self._events.filter(a), "user_id", (), k)
-        sb = kmv_partials(self._events.filter(b), "user_id", (), k)
+        # materialize the <= k-row sketches: kmv_jaccard references
+        # each sketch from three subtrees, which would otherwise
+        # re-scan the events table ~3x per side
+        sa = kmv_partials(
+            self._events.filter(a), "user_id", (), k
+        ).localCheckpoint()
+        sb = kmv_partials(
+            self._events.filter(b), "user_id", (), k
+        ).localCheckpoint()
         return kmv_jaccard(sa, sb, k)
 
     def approx_quantiles(

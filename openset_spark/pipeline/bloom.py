@@ -56,9 +56,14 @@ _MASK60 = (1 << 60) - 1
 
 def _hash60(col: Column, hash: str) -> Column:
     """60-bit row hash: xx64 = codegen-intrinsic (hot path), md5 =
-    the portable prefix DuckDB replays (audit path)."""
+    the portable prefix DuckDB replays (audit path). BOTH families
+    hash the STRING form of the key: xxhash64 over raw columns is
+    TYPE-sensitive (xxhash64(42 as int) != xxhash64(42 as long)), so
+    an INT probe against a BIGINT build would silently prune every
+    true member — the cast makes membership value-based, matching
+    the equi-join's coercion semantics."""
     if hash == "xx64":
-        return F.xxhash64(col).bitwiseAND(F.lit(_MASK60))
+        return F.xxhash64(col.cast("string")).bitwiseAND(F.lit(_MASK60))
     if hash == "md5":
         return F.conv(
             F.substring(F.md5(col.cast("string")), 1, 15), 16, 10

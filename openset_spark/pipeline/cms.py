@@ -81,10 +81,16 @@ def _buckets(col: Column, depth: int, width: int) -> Column:
 def _check(depth: int, width: int) -> None:
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2: {depth}x{width}")
-    if width**depth > 1 << 60:
+    # power-of-two widths: the digit numerator is a multiple of
+    # 2^(j*d) below 2^(j*(d+1)) -> significand <= j bits, exact up
+    # to 2^60. Other widths get no trailing-zero relief, so the
+    # numerator must itself fit a double significand: <= 2^53.
+    limit = 60 if width & (width - 1) == 0 else 53
+    if width**depth > 1 << limit:
         raise ValueError(
-            f"width^depth must be <= 2^60 for disjoint digits: "
-            f"{width}^{depth}"
+            f"width^depth must be <= 2^{limit} for exact digits "
+            f"(width {'is' if limit == 60 else 'is not'} a power of "
+            f"two): {width}^{depth}"
         )
 
 
@@ -173,14 +179,22 @@ def cms_estimate(
     uniform)."""
     _check(depth, width)
     keys = [c for c in probes.columns]
+    clash = {"_cms_d", "_cms_bucket", "_cms_cnt"} & set(keys)
+    if clash:
+        raise ValueError(f"probe columns collide with internals: {clash}")
     pb = probes.filter(F.col(col).isNotNull()).select(
         *keys,
         F.posexplode(_buckets(F.col(col), depth, width)),
-    ).withColumnsRenamed({"pos": "d", "col": "bucket"})
-    sk = F.broadcast(sketch) if broadcast_sketch else sketch
-    joined = pb.join(sk, [*group_by, "d", "bucket"], "left")
+    ).withColumnsRenamed({"pos": "_cms_d", "col": "_cms_bucket"})
+    sk = sketch.withColumnsRenamed(
+        {"d": "_cms_d", "bucket": "_cms_bucket", "cnt": "_cms_cnt"}
+    )
+    sk = F.broadcast(sk) if broadcast_sketch else sk
+    joined = pb.join(sk, [*group_by, "_cms_d", "_cms_bucket"], "left")
+    # NOTE set semantics: duplicate probe ROWS collapse in this
+    # group-by (estimates are per distinct probe tuple)
     return joined.groupBy(*keys).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+        F.min(F.coalesce(F.col("_cms_cnt"), F.lit(0))).alias("est")
     )
 
 

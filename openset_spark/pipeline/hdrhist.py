@@ -105,6 +105,12 @@ def hdr_observations(
     ).when(
         x >= MAX_VALUE,
         F.raise_error(F.lit(f"hdr sketch: {col} >= 2^45 (exact domain)")),
+    ).when(
+        x != F.floor(x),
+        F.raise_error(
+            F.lit(f"hdr sketch: non-integral value in {col} (rescale "
+                  "units to integers)")
+        ),
     ).otherwise(_bucket(x, s))
     return (
         df.filter(x.isNotNull())

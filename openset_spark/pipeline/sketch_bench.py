@@ -34,10 +34,11 @@ def run_sketch_bench(
     out: dict = {"n_probe": n_probe, "n_build": n_build}
 
     # --- Bloom: 1M-key build (beyond broadcast), ~1.2% member probe ---
+    # pmod keeps probe keys non-negative so they can actually match
     key_space = n_build * 80
     probe = (
         spark.range(n_probe)
-        .selectExpr(f"concat('k', xxhash64(id) % {key_space}) AS key")
+        .selectExpr(f"concat('k', pmod(xxhash64(id), {key_space})) AS key")
         .localCheckpoint()
     )
     build = (
