@@ -528,6 +528,38 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["sketch_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Z-order layout evidence: candidate-file counts from parquet
+    # footer stats for a ~1% range predicate on BOTH indexed columns,
+    # z-ordered vs random layout. Disable with SPARK_GRAFT_LAYOUT=0.
+    if os.environ.get("SPARK_GRAFT_LAYOUT", "1") != "0":
+        try:
+            import tempfile
+
+            from openset_spark.sources.layout import (
+                write_zordered,
+                zorder_candidate_files,
+            )
+
+            d = tempfile.mkdtemp(prefix="zorder_bench_")
+            big = spark.range(2_000_000).selectExpr(
+                "CAST(xxhash64(id) % 1000000 AS LONG) AS x",
+                "CAST(xxhash64(id + 7) % 1000000 AS LONG) AS y",
+                "id AS payload",
+            )
+            t0 = time.time()
+            write_zordered(big, f"{d}/z", ["x", "y"], bits=10, n_files=64)
+            zsec = time.time() - t0
+            big.repartition(64).write.mode("overwrite").parquet(f"{d}/p")
+            rec = {"write_zordered_sec": round(zsec, 3)}
+            for col in ("x", "y"):
+                hz, tz = zorder_candidate_files(f"{d}/z", col, 10000, 30000)
+                hp, tp = zorder_candidate_files(f"{d}/p", col, 10000, 30000)
+                rec[f"{col}_files_zordered"] = f"{hz}/{tz}"
+                rec[f"{col}_files_plain"] = f"{hp}/{tp}"
+            out["layout_scale"] = rec
+        except Exception as e:  # pragma: no cover - defensive
+            out["layout_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Loader-scale evidence: distributed prefix-sum rank vs the naive
     # single-task global window on a 6M-row synthetic corpus, plus an
     # exact rank-equality spot check. Disable with SPARK_GRAFT_LOADER=0.

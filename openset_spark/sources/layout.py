@@ -1,0 +1,140 @@
+"""Multi-dimensional Z-ORDER data layout — the file-skipping lever
+for selective multi-column scans at 100 TB (the OPTIMIZE ZORDER of
+Delta/Iceberg, expressed as plain Spark).
+
+Parquet scans prune files and row groups from min/max footer
+statistics; a range-partitioned-by-one-column layout makes those
+stats tight for THAT column and useless for every other. Z-ordering
+interleaves the bit planes of several columns' bucket ids into one
+locality key, so sorting by it keeps EVERY indexed column's values
+clustered: a selective predicate on any of them touches a small
+fraction of files instead of all of them. The win compounds at
+scale — at 100 TB the difference between scanning 2% and 100% of
+files IS the query.
+
+Implementation is pure relational algebra, no UDFs:
+
+* per column: bucket id via ``width_bucket`` over the column's
+  [min, max] (computed in ONE tiny aggregate, broadcast as a
+  literal) — equi-width, which is what min/max footer pruning
+  actually keys on (heavily skewed columns: pre-transform, e.g.
+  log, before indexing);
+* the Z value interleaves the bucket bits with a closed-form sum of
+  shifted bit tests (2 x bits terms, all whole-stage codegen);
+* the write is ``repartitionByRange(z)`` + ``sortWithinPartitions
+  (z)`` — range partitioning gives non-overlapping z ranges per
+  file, the sort keeps row groups tight inside each file.
+
+``zorder_candidate_files`` reads the parquet FOOTERS (pyarrow) and
+counts how many files a [lo, hi] predicate on one column could
+touch — the deterministic file-skipping measurement the tests and
+bench assert on (no timing noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _interleave(buckets: list[Column], bits: int) -> Column:
+    """Interleave the low ``bits`` bits of each bucket id: bit i of
+    column c lands at position i * n_cols + c. Closed form — no UDF,
+    no loop at runtime."""
+    n = len(buckets)
+    z = F.lit(0).cast("long")
+    for c, b in enumerate(buckets):
+        for i in range(bits):
+            # ((b >> i) & 1) << (i*n + c), with >> via exact
+            # power-of-two arithmetic (b < 2^bits is small)
+            bit = (b.cast("long") / (1 << i)).cast("long") % 2
+            z = z + bit * (1 << (i * n + c))
+    return z
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 10
+) -> DataFrame:
+    """``df`` + a ``_z`` locality column interleaving ``cols``.
+    bits * len(cols) must fit a long (validated); NULLs bucket to 0
+    (cluster together at the low end)."""
+    if not 1 <= bits * len(cols) <= 62:
+        raise ValueError(f"bits*cols must be in [1, 62]: {bits}x{len(cols)}")
+    stats = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+            )
+        ]
+    ).first()
+    nb = 1 << bits
+    buckets = []
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        if mn is None or mx is None or mn == mx:
+            buckets.append(F.lit(0))
+            continue
+        b = F.width_bucket(
+            F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(nb)
+        )
+        # width_bucket: 1..nb, nb+1 at v == max, NULL input -> NULL
+        buckets.append(
+            F.least(F.coalesce(b, F.lit(1)), F.lit(nb)) - 1
+        )
+    return df.withColumn("_z", _interleave(buckets, bits))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    n_files: int = 32,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned
+    and sorted by the Z value of ``cols`` — every indexed column's
+    min/max footer stats become tight, so selective predicates on
+    ANY of them skip most files."""
+    zorder_value(df, cols, bits).repartitionByRange(
+        n_files, "_z"
+    ).sortWithinPartitions("_z").drop("_z").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def zorder_candidate_files(
+    path: str, col: str, lo, hi
+) -> tuple[int, int]:
+    """(candidate_files, total_files): how many parquet files a
+    [lo, hi] predicate on ``col`` could touch, judged EXACTLY the
+    way a scan does — from the footer min/max statistics (pyarrow;
+    driver-side metadata only, no data read). The deterministic
+    file-skipping measurement."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin = fmax = None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col_md = md.row_group(rg).column(ci)
+                if col_md.path_in_schema != col:
+                    continue
+                st = col_md.statistics
+                if st is None or not st.has_min_max:
+                    fmin = lo  # no stats -> must scan
+                    fmax = hi
+                    break
+                fmin = st.min if fmin is None else min(fmin, st.min)
+                fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is not None and not (fmax < lo or fmin > hi):
+            hit += 1
+    return hit, len(files)
