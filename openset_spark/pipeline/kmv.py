@@ -142,3 +142,88 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
             ).alias("approx_intersection"),
         )
     )
+
+
+def kmv_overlap_matrix(
+    sketches: DataFrame,
+    key: str = "segment",
+    k: int = 512,
+) -> DataFrame:
+    """All-pairs audience overlap from GROUPED sketches
+    ((key, hv) rows, one sketch per key value): for every unordered
+    pair key_a < key_b, the same joint-sample estimator as
+    kmv_jaccard -> (key_a, key_b, jaccard, approx_intersection).
+    The segment-overlap HEATMAP at corpus scale: every intermediate
+    is bounded by n_pairs x k rows — the raw sets are never
+    touched, so N segments over a 100 TB event table cost N sketch
+    builds + sketch-sized joins, never N^2 set intersections.
+
+    Estimator per pair (Beyer et al. 2007): combined sketch = k
+    smallest distinct of A ∪ B, theta = its max, ku = its size;
+    jaccard ~ |{hv <= theta in A ∩ B}| / ku; |A ∩ B| ~ jaccard *
+    est(A ∪ B). EXACT when both sets are below k (the sketch then
+    IS the set)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    a = sketches.select(F.col(key).alias("key_a"), "hv")
+    b = sketches.select(F.col(key).alias("key_b"), "hv")
+    pairs = (
+        a.select("key_a")
+        .distinct()
+        .join(b.select("key_b").distinct())
+        .filter(F.col("key_a") < F.col("key_b"))
+    )
+    # per-pair union sketch: k smallest distinct of A ∪ B
+    union_rows = (
+        pairs.join(a, "key_a")
+        .select("key_a", "key_b", "hv")
+        .unionByName(
+            pairs.join(b, "key_b").select("key_a", "key_b", "hv")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("key_a", "key_b").orderBy("hv")
+    u = (
+        union_rows.withColumn("_r", F.dense_rank().over(w))
+        .filter(F.col("_r") <= k)
+        .select("key_a", "key_b", "hv")
+    )
+    th = u.groupBy("key_a", "key_b").agg(
+        F.max("hv").alias("_theta"),
+        F.count(F.lit(1)).alias("_ku"),
+    )
+    du = th.select(
+        "key_a",
+        "key_b",
+        F.round(
+            F.when(F.col("_ku") < k, F.col("_ku").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.col("_theta")
+            ),
+            4,
+        ).alias("_du"),
+    )
+    joint = (
+        a.join(b, "hv")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .join(th, ["key_a", "key_b"])
+        .filter(F.col("hv") <= F.col("_theta"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        th.join(joint, ["key_a", "key_b"], "left")
+        .join(du, ["key_a", "key_b"])
+        .select(
+            "key_a",
+            "key_b",
+            F.round(
+                F.coalesce(F.col("_c"), F.lit(0)) / F.col("_ku"), 4
+            ).alias("jaccard"),
+            F.round(
+                F.coalesce(F.col("_c"), F.lit(0))
+                / F.col("_ku")
+                * F.col("_du"),
+                4,
+            ).alias("approx_intersection"),
+        )
+    )

@@ -125,3 +125,43 @@ def test_law_small_sets_are_exact(spark, xs, ys):
     union = len(xs | ys)
     assert r.jaccard == round(inter / union, 4)
     assert abs(r.approx_intersection - inter) < 0.02
+
+
+def test_overlap_matrix_exact_below_k(spark):
+    """Three small segments: every pairwise Jaccard/intersection is
+    EXACT (sketches below k are the sets), including a disjoint
+    pair (left-join zero path)."""
+    from openset_spark.pipeline.kmv import kmv_overlap_matrix
+
+    sets = {
+        "a": set(range(0, 60)),
+        "b": set(range(40, 100)),
+        "c": set(range(200, 230)),
+    }
+    rows = [(s, f"u{v}") for s, vals in sets.items() for v in vals]
+    df = spark.createDataFrame(rows, ["segment", "u"])
+    sk = kmv_partials(df, "u", ("segment",), k=512)
+    got = {
+        (r.key_a, r.key_b): (r.jaccard, r.approx_intersection)
+        for r in kmv_overlap_matrix(sk, "segment", 512).collect()
+    }
+    assert len(got) == 3
+    for (x, y), (j, i) in got.items():
+        inter = len(sets[x] & sets[y])
+        union = len(sets[x] | sets[y])
+        assert j == round(inter / union, 4), (x, y, j)
+        assert abs(i - inter) < 0.02, (x, y, i)
+
+
+def test_overlap_matrix_estimates_large_sets(spark):
+    """Beyond k the estimator stays in the accuracy envelope."""
+    from openset_spark.pipeline.kmv import kmv_overlap_matrix
+
+    a = spark.range(6000).selectExpr("'a' AS segment", "concat('u', id) AS u")
+    b = spark.range(3000, 9000).selectExpr(
+        "'b' AS segment", "concat('u', id) AS u"
+    )
+    sk = kmv_partials(a.unionByName(b), "u", ("segment",), k=512)
+    r = kmv_overlap_matrix(sk, "segment", 512).first()
+    assert abs(r.jaccard - 1 / 3) < 0.08
+    assert abs(r.approx_intersection - 3000) / 3000 < 0.25
