@@ -567,3 +567,23 @@ class OpenSetEngine:
         return cms_heavy_hitters(
             self._events, col, threshold, depth, width
         )
+
+    def segment_overlap_matrix(
+        self, segments: dict[str, "Column"], k: int = 512
+    ) -> DataFrame:
+        """All-pairs audience overlap between named event predicates
+        -> (key_a, key_b, jaccard, approx_intersection) — the
+        heatmap behind segment dashboards, from <= k-row KMV
+        sketches per segment (pipeline/kmv.py)."""
+        from openset_spark.pipeline.kmv import (
+            kmv_overlap_matrix,
+            kmv_partials,
+        )
+
+        sketches = None
+        for name, pred in segments.items():
+            sk = kmv_partials(
+                self._events.filter(pred), "user_id", (), k
+            ).select(F.lit(name).alias("segment"), "hv")
+            sketches = sk if sketches is None else sketches.unionByName(sk)
+        return kmv_overlap_matrix(sketches.localCheckpoint(), "segment", k)

@@ -250,3 +250,18 @@ def test_engine_sketch_surface(eng):
 
     hh = eng.heavy_hitters("event_type", threshold=1)
     assert hh.count() >= 3
+
+
+def test_engine_segment_overlap_matrix(eng):
+    from pyspark.sql import functions as F
+
+    m = eng.segment_overlap_matrix(
+        {
+            "viewers": F.col("event_type") == "view",
+            "buyers": F.col("event_type") == "purchase",
+            "clickers": F.col("event_type") == "click",
+        }
+    ).collect()
+    assert len(m) == 3  # all unordered pairs
+    for r in m:
+        assert 0.0 <= r.jaccard <= 1.0 and r.approx_intersection >= 0
