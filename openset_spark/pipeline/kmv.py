@@ -227,3 +227,36 @@ def kmv_overlap_matrix(
             ).alias("approx_intersection"),
         )
     )
+
+
+def kmv_difference(
+    a: DataFrame, b: DataFrame, k: int = 512
+) -> DataFrame:
+    """One row (approx_difference,): |A \\ B| from two ungrouped
+    sketches — the "new users this period" / "docs not yet
+    deduped-against" estimator. Same joint-sample logic as
+    kmv_jaccard: among the combined sketch's hashes (a uniform
+    sample of A ∪ B below theta), count those in A but not in B;
+    |A \\ B| ~ (c_only / ku) * est(A ∪ B). EXACT below k."""
+    u = kmv_fold(a.unionByName(b), (), k)
+    theta = u.agg(
+        F.max("hv").alias("_theta"), F.count(F.lit(1)).alias("_ku")
+    )
+    only_a = (
+        a.join(b, "hv", "left_anti")
+        .join(F.broadcast(theta))
+        .filter(F.col("hv") <= F.col("_theta"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    est_u = kmv_distinct_estimate(u, (), k).select(
+        F.col("approx_distinct").alias("_du")
+    )
+    return (
+        only_a.join(F.broadcast(theta.select("_ku")))
+        .join(F.broadcast(est_u))
+        .select(
+            F.round(
+                F.col("_c") / F.col("_ku") * F.col("_du"), 4
+            ).alias("approx_difference")
+        )
+    )

@@ -165,3 +165,20 @@ def test_overlap_matrix_estimates_large_sets(spark):
     r = kmv_overlap_matrix(sk, "segment", 512).first()
     assert abs(r.jaccard - 1 / 3) < 0.08
     assert abs(r.approx_intersection - 3000) / 3000 < 0.25
+
+
+def test_difference_exact_below_k_and_estimates_beyond(spark):
+    from openset_spark.pipeline.kmv import kmv_difference
+
+    A = spark.createDataFrame([(f"u{i}",) for i in range(80)], ["u"])
+    B = spark.createDataFrame([(f"u{i}",) for i in range(50, 120)], ["u"])
+    d = kmv_difference(
+        kmv_partials(A, "u"), kmv_partials(B, "u")
+    ).first().approx_difference
+    assert d == 50.0  # exact below k
+    A2 = spark.range(6000).selectExpr("concat('u', id) AS u")
+    B2 = spark.range(4000, 10000).selectExpr("concat('u', id) AS u")
+    d2 = kmv_difference(
+        kmv_partials(A2, "u"), kmv_partials(B2, "u")
+    ).first().approx_difference
+    assert abs(d2 - 4000) / 4000 < 0.25, d2
