@@ -138,3 +138,96 @@ def zorder_candidate_files(
         if fmin is not None and not (fmax < lo or fmin > hi):
             hit += 1
     return hit, len(files)
+
+
+def _equidepth_buckets(
+    df: DataFrame, cols: list[str], stats, nb: int
+) -> DataFrame:
+    """Replace each column's equi-width bucket with an EQUI-DEPTH
+    one, skew-robustly, in O(1) per row: quantize the column to a
+    2^20 grid over [min, max], sketch the quantized values with the
+    log-linear HDR histogram (bounded buckets), map each HDR bucket
+    to floor(nb * cumulative_count_before / n) — the quantile rank
+    of its lower edge — and broadcast-join that tiny map back. One
+    extra scan + one broadcast join per indexed column; no per-row
+    boundary search, no global sort. Adds ``_b_<col>`` columns."""
+    from pyspark.sql.window import Window
+
+    from openset_spark.pipeline.hdrhist import _bucket, hdr_partials
+
+    S = 1 << 20
+    out = df
+    for c in cols:
+        mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
+        if mn is None or mx is None or mn == mx:
+            out = out.withColumn(f"_b_{c}", F.lit(0))
+            continue
+        scaled = F.floor(
+            (F.col(c).cast("double") - mn) * S / (mx - mn)
+        ).cast("long")
+        scaled = F.least(F.greatest(scaled, F.lit(0)), F.lit(S - 1))
+        tmp = out.withColumn(f"_q_{c}", scaled)
+        sk = hdr_partials(tmp, f"_q_{c}", (), 5)
+        w = Window.orderBy("bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        mapping = sk.select(
+            F.col("bucket").alias(f"_hb_{c}"),
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("_cb"),
+            F.sum("cnt").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("_n"),
+        ).select(
+            f"_hb_{c}",
+            F.least(
+                F.floor(F.lit(nb) * F.col("_cb") / F.col("_n")),
+                F.lit(nb - 1),
+            )
+            .cast("int")
+            .alias(f"_b_{c}"),
+        )
+        out = (
+            tmp.withColumn(f"_hb_{c}", _bucket(F.col(f"_q_{c}"), 32))
+            .join(F.broadcast(mapping), f"_hb_{c}")
+            .drop(f"_q_{c}", f"_hb_{c}")
+        )
+    return out
+
+
+def write_zordered_equidepth(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    n_files: int = 32,
+) -> None:
+    """write_zordered with SKEW-ROBUST equi-depth buckets: an
+    outlier that would squeeze the whole population into a few
+    equi-width buckets (leaving most files spanning the hot range)
+    costs one quantile-rank bucket instead. Same Z interleave and
+    range-partitioned sorted write."""
+    if not 1 <= bits * len(cols) <= 62:
+        raise ValueError(f"bits*cols must be in [1, 62]: {bits}x{len(cols)}")
+    stats = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
+            )
+        ]
+    ).first()
+    nb = 1 << bits
+    bucketed = _equidepth_buckets(df, cols, stats, nb)
+    z = _interleave([F.col(f"_b_{c}") for c in cols], bits)
+    (
+        bucketed.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_b_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -75,3 +75,36 @@ def test_zorder_value_handles_nulls_and_constants(spark):
     assert all(r._z is not None for r in out)
     with pytest.raises(ValueError, match="bits"):
         zorder_value(df, ["a", "b"], bits=40)
+
+
+def test_equidepth_zorder_survives_skew(spark, tmp_path_factory):
+    """One extreme outlier per column collapses equi-width buckets
+    (nearly every row lands in bucket 0, so files all span the hot
+    range); the equi-depth variant keeps skipping."""
+    from openset_spark.sources.layout import write_zordered_equidepth
+
+    d = str(tmp_path_factory.mktemp("zskew"))
+    base = spark.range(400_000).selectExpr(
+        "CAST(pmod(xxhash64(id), 100000) AS LONG) AS x",
+        "CAST(pmod(xxhash64(id + 7), 100000) AS LONG) AS y",
+        "id AS payload",
+    )
+    outlier = spark.createDataFrame(
+        [(10_000_000_000, 10_000_000_000, -1)], ["x", "y", "payload"]
+    )
+    big = base.unionByName(outlier)
+    pw, pe = os.path.join(d, "width"), os.path.join(d, "depth")
+    write_zordered(big, pw, ["x", "y"], bits=10, n_files=32)
+    write_zordered_equidepth(big, pe, ["x", "y"], bits=10, n_files=32)
+    hw, tw = zorder_candidate_files(pw, "x", 1000, 3000)
+    he, te = zorder_candidate_files(pe, "x", 1000, 3000)
+    # equi-width: the outlier squeezes all real data into bucket 0,
+    # every row gets the same z, and the whole dataset lands in one
+    # fat file the predicate always touches -> zero SKIP FRACTION;
+    # equi-depth keeps the locality (compare fractions, not counts)
+    assert he / te <= 0.45, (he, te)
+    assert hw / tw > 0.95, (hw, tw)
+    assert he / te < hw / tw
+    # data intact
+    a = spark.read.parquet(pe).agg(F.count(F.lit(1)).alias("n")).first()
+    assert a.n == 400_001
