@@ -552,10 +552,16 @@ def main() -> None:
             big.repartition(64).write.mode("overwrite").parquet(f"{d}/p")
             rec = {"write_zordered_sec": round(zsec, 3)}
             for col in ("x", "y"):
-                hz, tz = zorder_candidate_files(f"{d}/z", col, 10000, 30000)
-                hp, tp = zorder_candidate_files(f"{d}/p", col, 10000, 30000)
+                hz, tz, rz, rtz = zorder_candidate_files(
+                    f"{d}/z", col, 10000, 30000
+                )
+                hp, tp, rp, rtp = zorder_candidate_files(
+                    f"{d}/p", col, 10000, 30000
+                )
                 rec[f"{col}_files_zordered"] = f"{hz}/{tz}"
                 rec[f"{col}_files_plain"] = f"{hp}/{tp}"
+                rec[f"{col}_rows_pct_zordered"] = round(100 * rz / rtz, 1)
+                rec[f"{col}_rows_pct_plain"] = round(100 * rp / rtp, 1)
             out["layout_scale"] = rec
         except Exception as e:  # pragma: no cover - defensive
             out["layout_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}

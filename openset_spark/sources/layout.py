@@ -107,21 +107,24 @@ def write_zordered(
 
 def zorder_candidate_files(
     path: str, col: str, lo, hi
-) -> tuple[int, int]:
-    """(candidate_files, total_files): how many parquet files a
-    [lo, hi] predicate on ``col`` could touch, judged EXACTLY the
-    way a scan does — from the footer min/max statistics (pyarrow;
-    driver-side metadata only, no data read). The deterministic
-    file-skipping measurement."""
+) -> tuple[int, int, int, int]:
+    """(candidate_files, total_files, candidate_rows, total_rows):
+    how much of the dataset a [lo, hi] predicate on ``col`` could
+    touch, judged EXACTLY the way a scan does — from the footer
+    min/max statistics (pyarrow; driver-side metadata only, no data
+    read). The ROW counts are the robust metric: file counts
+    mislead when file sizes are unequal (one fat file holding all
+    rows reads as "1 of 2 files" but is 100% of the scan)."""
     import glob
     import os
 
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
-    hit = 0
+    hit = rows_hit = rows_total = 0
     for f in files:
         md = pq.ParquetFile(f).metadata
+        rows_total += md.num_rows
         fmin = fmax = None
         for rg in range(md.num_row_groups):
             for ci in range(md.num_columns):
@@ -137,7 +140,8 @@ def zorder_candidate_files(
                 fmax = st.max if fmax is None else max(fmax, st.max)
         if fmin is not None and not (fmax < lo or fmin > hi):
             hit += 1
-    return hit, len(files)
+            rows_hit += md.num_rows
+    return hit, len(files), rows_hit, rows_total
 
 
 def _equidepth_buckets(

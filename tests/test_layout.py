@@ -50,13 +50,14 @@ def test_zorder_layout_skips_files_on_every_indexed_column(
     write_zordered(big, pz, ["x", "y"], bits=10, n_files=32)
     big.repartition(32).write.mode("overwrite").parquet(pp)
     for col in ("x", "y"):
-        hz, tz = zorder_candidate_files(pz, col, 1000, 3000)
-        hp, tp = zorder_candidate_files(pp, col, 1000, 3000)
+        hz, tz, rz, rtz = zorder_candidate_files(pz, col, 1000, 3000)
+        hp, tp, rp, rtp = zorder_candidate_files(pp, col, 1000, 3000)
         # random layout: every file spans the range -> zero skipping
-        assert hp == tp == 32
+        assert hp == tp == 32 and rp == rtp
         # z-ordered: a ~1% range predicate on EITHER column touches
-        # well under half the files
+        # well under half the files (and rows)
         assert hz <= tz * 0.45, (col, hz, tz)
+        assert rz <= rtz * 0.45, (col, rz, rtz)
     # and the data is intact
     a = spark.read.parquet(pz).agg(
         F.sum("payload").alias("s"), F.count(F.lit(1)).alias("n")
@@ -96,15 +97,15 @@ def test_equidepth_zorder_survives_skew(spark, tmp_path_factory):
     pw, pe = os.path.join(d, "width"), os.path.join(d, "depth")
     write_zordered(big, pw, ["x", "y"], bits=10, n_files=32)
     write_zordered_equidepth(big, pe, ["x", "y"], bits=10, n_files=32)
-    hw, tw = zorder_candidate_files(pw, "x", 1000, 3000)
-    he, te = zorder_candidate_files(pe, "x", 1000, 3000)
+    _, _, rw, rtw = zorder_candidate_files(pw, "x", 1000, 3000)
+    _, _, re_, rte = zorder_candidate_files(pe, "x", 1000, 3000)
     # equi-width: the outlier squeezes all real data into bucket 0,
-    # every row gets the same z, and the whole dataset lands in one
-    # fat file the predicate always touches -> zero SKIP FRACTION;
-    # equi-depth keeps the locality (compare fractions, not counts)
-    assert he / te <= 0.45, (he, te)
-    assert hw / tw > 0.95, (hw, tw)
-    assert he / te < hw / tw
+    # every row gets the same z, and the whole dataset lands in fat
+    # files the predicate always touches -> ~100% of ROWS scanned;
+    # equi-depth keeps the locality (rows are the robust metric —
+    # file counts mislead when sizes are unequal)
+    assert rw / rtw > 0.95, (rw, rtw)
+    assert re_ / rte <= 0.45, (re_, rte)
     # data intact
     a = spark.read.parquet(pe).agg(F.count(F.lit(1)).alias("n")).first()
     assert a.n == 400_001
