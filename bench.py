@@ -540,6 +540,8 @@ def main() -> None:
                 zorder_candidate_files,
             )
 
+            import shutil
+
             d = tempfile.mkdtemp(prefix="zorder_bench_")
             big = spark.range(2_000_000).selectExpr(
                 "CAST(xxhash64(id) % 1000000 AS LONG) AS x",
@@ -563,6 +565,7 @@ def main() -> None:
                 rec[f"{col}_rows_pct_zordered"] = round(100 * rz / rtz, 1)
                 rec[f"{col}_rows_pct_plain"] = round(100 * rp / rtp, 1)
             out["layout_scale"] = rec
+            shutil.rmtree(d, ignore_errors=True)
         except Exception as e:  # pragma: no cover - defensive
             out["layout_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 

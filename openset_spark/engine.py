@@ -580,10 +580,27 @@ class OpenSetEngine:
             kmv_partials,
         )
 
-        sketches = None
-        for name, pred in segments.items():
-            sk = kmv_partials(
-                self._events.filter(pred), "user_id", (), k
-            ).select(F.lit(name).alias("segment"), "hv")
-            sketches = sk if sketches is None else sketches.unionByName(sk)
-        return kmv_overlap_matrix(sketches.localCheckpoint(), "segment", k)
+        if not segments:
+            raise ValueError("segments must be non-empty")
+        # ONE events scan builds every sketch: tag each row with the
+        # segments its predicate matches (posexplode of a when-array,
+        # nulls dropped), then a single grouped kmv_partials
+        tags = F.array(
+            *[
+                F.when(pred, F.lit(name))
+                for name, pred in segments.items()
+            ]
+        )
+        tagged = (
+            self._events.select(
+                F.col("user_id"), F.explode(tags).alias("segment")
+            )
+            .filter(F.col("segment").isNotNull())
+        )
+        sketches = kmv_partials(
+            tagged, "user_id", ("segment",), k
+        ).localCheckpoint()
+        # keys= keeps pairs involving EMPTY segments in the output
+        return kmv_overlap_matrix(
+            sketches, "segment", k, keys=list(segments)
+        )

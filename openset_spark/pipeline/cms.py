@@ -184,7 +184,7 @@ def cms_estimate(
     uniform)."""
     _check(depth, width)
     keys = [c for c in probes.columns]
-    clash = {"_cms_d", "_cms_bucket", "_cms_cnt"} & set(keys)
+    clash = {"_cms_d", "_cms_bucket", "_cms_cnt", "_h60"} & set(keys)
     if clash:
         raise ValueError(f"probe columns collide with internals: {clash}")
     pb = (

@@ -148,6 +148,7 @@ def kmv_overlap_matrix(
     sketches: DataFrame,
     key: str = "segment",
     k: int = 512,
+    keys: list | None = None,
 ) -> DataFrame:
     """All-pairs audience overlap from GROUPED sketches
     ((key, hv) rows, one sketch per key value): for every unordered
@@ -162,17 +163,28 @@ def kmv_overlap_matrix(
     smallest distinct of A ∪ B, theta = its max, ku = its size;
     jaccard ~ |{hv <= theta in A ∩ B}| / ku; |A ∩ B| ~ jaccard *
     est(A ∪ B). EXACT when both sets are below k (the sketch then
-    IS the set)."""
+    IS the set).
+
+    ``keys=`` lists the segment names explicitly — pairs involving
+    an EMPTY segment (no sketch rows) then still appear, with
+    jaccard/intersection 0.0, instead of silently vanishing from
+    the heatmap. Like kmv_jaccard, the plan references ``sketches``
+    several times — materialize it first over large inputs (each
+    sketch is <= k rows; the engine facade localCheckpoints)."""
     if k < 2:
         raise ValueError(f"k must be >= 2: {k}")
     a = sketches.select(F.col(key).alias("key_a"), "hv")
     b = sketches.select(F.col(key).alias("key_b"), "hv")
-    pairs = (
-        a.select("key_a")
-        .distinct()
-        .join(b.select("key_b").distinct())
-        .filter(F.col("key_a") < F.col("key_b"))
-    )
+    if keys is not None:
+        names = sketches.sparkSession.createDataFrame(
+            [(str(x),) for x in keys], f"{key} string"
+        )
+        ka = names.select(F.col(key).alias("key_a"))
+        kb = names.select(F.col(key).alias("key_b"))
+    else:
+        ka = a.select("key_a").distinct()
+        kb = b.select("key_b").distinct()
+    pairs = ka.join(kb).filter(F.col("key_a") < F.col("key_b"))
     # per-pair union sketch: k smallest distinct of A ∪ B
     union_rows = (
         pairs.join(a, "key_a")
@@ -211,19 +223,28 @@ def kmv_overlap_matrix(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     return (
-        th.join(joint, ["key_a", "key_b"], "left")
-        .join(du, ["key_a", "key_b"])
+        pairs.join(th, ["key_a", "key_b"], "left")
+        .join(joint, ["key_a", "key_b"], "left")
+        .join(du, ["key_a", "key_b"], "left")
         .select(
             "key_a",
             "key_b",
-            F.round(
-                F.coalesce(F.col("_c"), F.lit(0)) / F.col("_ku"), 4
+            # a pair with an empty union (both segments empty) has
+            # no th row: jaccard/intersection 0.0 by convention
+            F.coalesce(
+                F.round(
+                    F.coalesce(F.col("_c"), F.lit(0)) / F.col("_ku"), 4
+                ),
+                F.lit(0.0),
             ).alias("jaccard"),
-            F.round(
-                F.coalesce(F.col("_c"), F.lit(0))
-                / F.col("_ku")
-                * F.col("_du"),
-                4,
+            F.coalesce(
+                F.round(
+                    F.coalesce(F.col("_c"), F.lit(0))
+                    / F.col("_ku")
+                    * F.col("_du"),
+                    4,
+                ),
+                F.lit(0.0),
             ).alias("approx_intersection"),
         )
     )

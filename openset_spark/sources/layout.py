@@ -52,15 +52,12 @@ def _interleave(buckets: list[Column], bits: int) -> Column:
     return z
 
 
-def zorder_value(
-    df: DataFrame, cols: list[str], bits: int = 10
-) -> DataFrame:
-    """``df`` + a ``_z`` locality column interleaving ``cols``.
-    bits * len(cols) must fit a long (validated); NULLs bucket to 0
-    (cluster together at the low end)."""
+def _validate_and_stats(df: DataFrame, cols: list[str], bits: int):
+    """Shared by both writers: the bits budget check and the ONE
+    tiny per-column min/max aggregate."""
     if not 1 <= bits * len(cols) <= 62:
         raise ValueError(f"bits*cols must be in [1, 62]: {bits}x{len(cols)}")
-    stats = df.agg(
+    return df.agg(
         *[
             f
             for c in cols
@@ -70,6 +67,15 @@ def zorder_value(
             )
         ]
     ).first()
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 10
+) -> DataFrame:
+    """``df`` + a ``_z`` locality column interleaving ``cols``.
+    bits * len(cols) must fit a long (validated); NULLs bucket to 0
+    (cluster together at the low end)."""
+    stats = _validate_and_stats(df, cols, bits)
     nb = 1 << bits
     buckets = []
     for c in cols:
@@ -122,6 +128,7 @@ def zorder_candidate_files(
 
     files = sorted(glob.glob(os.path.join(path, "*.parquet")))
     hit = rows_hit = rows_total = 0
+    col_seen = False
     for f in files:
         md = pq.ParquetFile(f).metadata
         rows_total += md.num_rows
@@ -131,6 +138,7 @@ def zorder_candidate_files(
                 col_md = md.row_group(rg).column(ci)
                 if col_md.path_in_schema != col:
                     continue
+                col_seen = True
                 st = col_md.statistics
                 if st is None or not st.has_min_max:
                     fmin = lo  # no stats -> must scan
@@ -141,6 +149,10 @@ def zorder_candidate_files(
         if fmin is not None and not (fmax < lo or fmin > hi):
             hit += 1
             rows_hit += md.num_rows
+    if files and not col_seen:
+        # a misspelled column would otherwise read as PERFECT
+        # skipping (0 candidates) — the inverted measurement
+        raise ValueError(f"column {col!r} not present in {path}")
     return hit, len(files), rows_hit, rows_total
 
 
@@ -212,18 +224,7 @@ def write_zordered_equidepth(
     equi-width buckets (leaving most files spanning the hot range)
     costs one quantile-rank bucket instead. Same Z interleave and
     range-partitioned sorted write."""
-    if not 1 <= bits * len(cols) <= 62:
-        raise ValueError(f"bits*cols must be in [1, 62]: {bits}x{len(cols)}")
-    stats = df.agg(
-        *[
-            f
-            for c in cols
-            for f in (
-                F.min(F.col(c).cast("double")).alias(f"_mn_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"_mx_{c}"),
-            )
-        ]
-    ).first()
+    stats = _validate_and_stats(df, cols, bits)
     nb = 1 << bits
     bucketed = _equidepth_buckets(df, cols, stats, nb)
     z = _interleave([F.col(f"_b_{c}") for c in cols], bits)

@@ -265,3 +265,24 @@ def test_engine_segment_overlap_matrix(eng):
     assert len(m) == 3  # all unordered pairs
     for r in m:
         assert 0.0 <= r.jaccard <= 1.0 and r.approx_intersection >= 0
+
+
+def test_engine_overlap_matrix_empty_segment_and_validation(eng):
+    """A predicate matching nothing still appears in every pair
+    (jaccard 0.0) instead of silently vanishing; empty dict raises."""
+    from pyspark.sql import functions as F
+    import pytest as _pt
+
+    m = {
+        (r.key_a, r.key_b): r.jaccard
+        for r in eng.segment_overlap_matrix(
+            {
+                "viewers": F.col("event_type") == "view",
+                "nobody": F.col("event_type") == "no-such-type-xyz",
+            }
+        ).collect()
+    }
+    assert len(m) == 1
+    assert m[("nobody", "viewers")] == 0.0
+    with _pt.raises(ValueError, match="non-empty"):
+        eng.segment_overlap_matrix({})

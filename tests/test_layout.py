@@ -109,3 +109,10 @@ def test_equidepth_zorder_survives_skew(spark, tmp_path_factory):
     # data intact
     a = spark.read.parquet(pe).agg(F.count(F.lit(1)).alias("n")).first()
     assert a.n == 400_001
+
+
+def test_candidate_files_rejects_unknown_column(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("zcol"))
+    spark.range(100).selectExpr("id AS x").write.parquet(d + "/t")
+    with pytest.raises(ValueError, match="not present"):
+        zorder_candidate_files(d + "/t", "X_typo", 0, 10)
