@@ -2819,6 +2819,95 @@ ORDER BY granularity, bucket_day, bucket_hour, q
 """
 
 
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary overlap between EVERY pair of sources (the corpus
+    heterogeneity heatmap) from per-source KMV sketches: k smallest
+    distinct token hashes per source, all-pairs joint-sample
+    Jaccard + intersection — every intermediate bounded by
+    n_pairs x k rows, the raw vocabularies never touched. The
+    sketches are order statistics of portable md5 hashes, so DuckDB
+    replays every pair's sketch, threshold, and both estimates bit
+    for bit. NEW r11."""
+    from openset_spark.functions.text import tokens
+    from openset_spark.pipeline.kmv import (
+        kmv_overlap_matrix,
+        kmv_partials,
+    )
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+    )
+    sk = kmv_partials(toks, "tok", ("source",), 512)
+    return kmv_overlap_matrix(sk, "source", 512).orderBy(
+        "key_a", "key_b"
+    )
+
+
+_SQL_SOURCE_VOCAB_OVERLAP = f"""
+WITH t AS (
+  SELECT DISTINCT source, tok FROM (
+    SELECT source, unnest({_TOKS_SQL}) AS tok FROM documents
+  ) WHERE length(tok) > 0
+),
+h AS (
+  SELECT DISTINCT source, CAST(CAST(concat('0x', substr(md5(tok), 1, 15))
+    AS UBIGINT) AS BIGINT) AS hv
+  FROM t
+),
+sk AS (
+  SELECT source, hv FROM (
+    SELECT source, hv,
+      DENSE_RANK() OVER (PARTITION BY source ORDER BY hv) AS r
+    FROM h
+  ) WHERE r <= 512
+),
+names AS (SELECT DISTINCT source FROM documents),
+pairs AS (
+  SELECT a.source AS key_a, b.source AS key_b
+  FROM names a, names b WHERE a.source < b.source
+),
+urows AS (
+  SELECT key_a, key_b, hv FROM pairs JOIN sk ON sk.source = pairs.key_a
+  UNION
+  SELECT key_a, key_b, hv FROM pairs JOIN sk ON sk.source = pairs.key_b
+),
+u AS (
+  SELECT key_a, key_b, hv FROM (
+    SELECT key_a, key_b, hv,
+      DENSE_RANK() OVER (PARTITION BY key_a, key_b ORDER BY hv) AS r
+    FROM urows
+  ) WHERE r <= 512
+),
+th AS (
+  SELECT key_a, key_b, MAX(hv) AS theta, COUNT(*)::BIGINT AS ku
+  FROM u GROUP BY 1, 2
+),
+du AS (
+  SELECT key_a, key_b,
+    ROUND(CASE WHEN ku < 512 THEN CAST(ku AS DOUBLE)
+      ELSE 511.0 * 1152921504606846976.0 / theta END, 4) AS du
+  FROM th
+),
+joint AS (
+  SELECT th.key_a, th.key_b, COUNT(*)::BIGINT AS c
+  FROM th
+  JOIN sk sa ON sa.source = th.key_a
+  JOIN sk sb ON sb.source = th.key_b AND sb.hv = sa.hv
+  WHERE sa.hv <= th.theta
+  GROUP BY 1, 2
+)
+SELECT th.key_a, th.key_b,
+  ROUND(COALESCE(c, 0) / ku, 4) AS jaccard,
+  ROUND(COALESCE(c, 0) / ku * du, 4) AS approx_intersection
+FROM th
+LEFT JOIN joint ON joint.key_a = th.key_a AND joint.key_b = th.key_b
+JOIN du ON du.key_a = th.key_a AND du.key_b = th.key_b
+ORDER BY th.key_a, th.key_b
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -4055,6 +4144,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
         "segment_jaccard_kmv": q_segment_jaccard_kmv,
         "rollup_value_quantiles": q_rollup_value_quantiles,
+        "source_vocab_overlap": q_source_vocab_overlap,
     }
 
 
@@ -4810,6 +4900,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles_sketch": _SQL_DOC_LENGTH_QUANTILES_SKETCH,
         "segment_jaccard_kmv": _SQL_SEGMENT_JACCARD_KMV,
         "rollup_value_quantiles": _SQL_ROLLUP_VALUE_QUANTILES,
+        "source_vocab_overlap": _SQL_SOURCE_VOCAB_OVERLAP,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

@@ -494,6 +494,7 @@ def main() -> None:
                 "doc_length_quantiles_sketch",
                 "segment_jaccard_kmv",
                 "rollup_value_quantiles",
+                "source_vocab_overlap",
             ):
                 samples = []
                 for _ in range(reps):
