@@ -111,7 +111,13 @@ def cms_observations(
     streamed observations and you hold the exact grid a batch build
     produces, for any arrival order or micro-batch split. NULL items
     are skipped. ``weight_col`` (integer) counts each row that many
-    times (e.g. pre-aggregated token counts); default weight 1."""
+    times (e.g. pre-aggregated token counts); default weight 1.
+    NEGATIVE weights implement DELETIONS (the turnstile model): the
+    grid stays an exact sum, so a delete-stream folded onto its
+    insert-stream equals the direct build of the net corpus bit for
+    bit — but the one-sided est >= exact guarantee then holds only
+    for the NET counts of items never over-deleted (standard CM
+    turnstile caveat)."""
     _check(depth, width)
     w = (
         F.col(weight_col).cast("long")

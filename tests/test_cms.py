@@ -200,3 +200,28 @@ def test_non_power_of_two_width_still_exact(spark):
             k = (d, (hv // (100**d)) % 100)
             expect[k] = expect.get(k, 0) + 1
     assert grid == expect
+
+
+def test_turnstile_deletions_fold_to_net_corpus(spark):
+    """Negative weights = deletions: inserts folded with deletes
+    equal the direct build over the net corpus exactly."""
+    full = spark.range(4000).selectExpr("concat('t', id % 80) AS tok")
+    gone = full.filter("tok IN ('t3', 't7')")
+    ins = cms_partials(full, "tok", (), 3, 256)
+    dele = cms_partials(
+        gone.selectExpr("tok", "CAST(-1 AS INT) AS w"),
+        "tok",
+        (),
+        3,
+        256,
+        weight_col="w",
+    )
+    net = cms_fold(ins.unionByName(dele), ())
+    direct = cms_partials(
+        full.filter("tok NOT IN ('t3', 't7')"), "tok", (), 3, 256
+    )
+    # zero-count buckets survive as explicit rows in the folded
+    # grid; drop them for the direct comparison
+    got = sorted(map(tuple, net.filter("cnt <> 0").collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
