@@ -2908,6 +2908,68 @@ ORDER BY th.key_a, th.key_b
 """
 
 
+def q_sliding_users_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users re-evaluated EVERY HOUR from
+    stored per-hour HLL registers — the sliding continuous
+    aggregate exact dcount can never maintain. Registers compose by
+    max, so the range-framed window fold equals a from-scratch
+    sketch of each trailing window (test-asserted in
+    tests/test_hll.py) and DuckDB replays spine, window frame and
+    closed-form estimate bit for bit. NEW r11."""
+    from openset_spark.pipeline.hll import hll_sliding_distinct
+
+    ev = _events(spark, sf_dir)
+    out = hll_sliding_distinct(ev, "user_id", "ts", "hour", 24)
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "approx_distinct",
+    ).orderBy("bucket")
+
+
+_SQL_SLIDING_USERS_24H = """
+WITH pre AS (
+  SELECT date_trunc('hour', ts::TIMESTAMP) AS b,
+    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT b, CAST(hv % 1024 AS INTEGER) AS reg,
+    CAST(CASE WHEN hv // 1024 > 0 THEN 51 - length(bin(hv // 1024))
+         ELSE 51 END AS INTEGER) AS rho
+  FROM pre
+),
+parts AS (SELECT b, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+spine AS (SELECT DISTINCT b FROM parts),
+regs AS (SELECT DISTINCT reg FROM parts),
+dense AS (
+  SELECT spine.b, regs.reg, parts.rho
+  FROM spine CROSS JOIN regs
+  LEFT JOIN parts ON parts.b = spine.b AND parts.reg = regs.reg
+),
+rolled AS (
+  SELECT b AS bucket, reg,
+    MAX(rho) OVER (PARTITION BY reg
+      ORDER BY CAST(epoch(b) AS BIGINT) // 3600
+      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS rho
+  FROM dense
+),
+agg AS (
+  SELECT bucket, SUM(power(2.0, -rho)) AS z_hit, COUNT(*) AS n_hit
+  FROM rolled WHERE rho IS NOT NULL GROUP BY 1
+)
+SELECT strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+  ROUND(CASE WHEN (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+               / (z_hit + (1024 - n_hit)) <= 2.5 * 1024
+             AND 1024 - n_hit > 0
+    THEN 1024.0 * ln(1024.0 / (1024 - n_hit))
+    ELSE (0.7213 / (1.0 + 1.079 / 1024)) * 1024 * 1024
+         / (z_hit + (1024 - n_hit)) END, 4) AS approx_distinct
+FROM agg
+ORDER BY bucket
+"""
+
+
 def q_source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-cap curation: keep each source's 8 best documents by
     (n_chars DESC, doc_id ASC) — rank via the GROUPED distributed
@@ -4145,6 +4207,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_jaccard_kmv": q_segment_jaccard_kmv,
         "rollup_value_quantiles": q_rollup_value_quantiles,
         "source_vocab_overlap": q_source_vocab_overlap,
+        "sliding_users_24h": q_sliding_users_24h,
     }
 
 
@@ -4901,6 +4964,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_jaccard_kmv": _SQL_SEGMENT_JACCARD_KMV,
         "rollup_value_quantiles": _SQL_ROLLUP_VALUE_QUANTILES,
         "source_vocab_overlap": _SQL_SOURCE_VOCAB_OVERLAP,
+        "sliding_users_24h": _SQL_SLIDING_USERS_24H,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

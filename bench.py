@@ -495,6 +495,7 @@ def main() -> None:
                 "segment_jaccard_kmv",
                 "rollup_value_quantiles",
                 "source_vocab_overlap",
+                "sliding_users_24h",
             ):
                 samples = []
                 for _ in range(reps):

@@ -257,3 +257,71 @@ def time_rollup_distinct(
         *bnames,
         F.round(est, 4).alias("approx_distinct"),
     )
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    col: str = "user_id",
+    ts_col: str = "ts",
+    slide: str = "hour",
+    window: int = 24,
+    p: int = 10,
+) -> DataFrame:
+    """TRAILING-window distinct counts at every slide point (unique
+    users in the last 24 hours, re-evaluated hourly) — the sliding
+    continuous aggregate exact dcount can never maintain (a user
+    active twice in the window is one user) and order-dependent
+    sketches can never replay. Registers compose by max, so the
+    trailing window folds WITHOUT re-touching raw rows:
+
+    1. one per-slide register build (the only scan of the data);
+    2. densify over the (slide buckets x observed regs) spine —
+       bounded by time x m, never by data — because a register
+       observed at h-5 must still count at h even if hour h never
+       saw it;
+    3. a RANGE-framed window max per register over the trailing
+       ``window`` slide indices (gaps in the spine handled by the
+       range frame);
+    4. the closed-form estimate per slide point.
+
+    Output: (bucket, approx_distinct) — the estimate at ``bucket``
+    covers (bucket - window + 1 .. bucket]. By construction the
+    windowed registers EQUAL a direct build over the window's rows,
+    so the estimate is identical to re-sketching from scratch
+    (test-asserted), and DuckDB replays the whole pipeline."""
+    from pyspark.sql.window import Window
+
+    if slide not in ("hour", "day"):
+        raise ValueError(f"slide must be hour|day: {slide}")
+    sec = 3600 if slide == "hour" else 86400
+    pre = df.withColumn("_b", F.date_trunc(slide, F.col(ts_col)))
+    parts = hll_partials(pre, col, ("_b",), p)
+    spine = parts.select("_b").distinct()
+    regs = parts.select("reg").distinct()
+    dense = spine.join(regs).join(parts, ["_b", "reg"], "left")
+    hidx = (F.unix_timestamp(F.col("_b")) / sec).cast("long")
+    w = (
+        Window.partitionBy("reg")
+        .orderBy(hidx)
+        .rangeBetween(-(window - 1), 0)
+    )
+    rolled = dense.select(
+        F.col("_b").alias("bucket"),
+        "reg",
+        F.max("rho").over(w).alias("rho"),  # max skips nulls
+    ).filter(F.col("rho").isNotNull())
+    m = 1 << p
+    agg = rolled.groupBy("bucket").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z_hit"),
+        F.count(F.lit(1)).alias("_n_hit"),
+    )
+    z = F.col("_z_hit") + (F.lit(m) - F.col("_n_hit"))
+    raw = F.lit(_alpha(m) * m * m) / z
+    v = F.lit(m) - F.col("_n_hit")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+    return agg.select(
+        "bucket", F.round(est, 4).alias("approx_distinct")
+    )

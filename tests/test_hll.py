@@ -146,3 +146,34 @@ def test_time_rollup_distinct_levels_match_per_level_builds(spark):
     for d, est in got_day.items():
         s = sum(v for (dd, _), v in got_hour.items() if dd == d)
         assert est < 0.7 * s  # users active in many hours dedup
+
+
+def test_sliding_distinct_equals_direct_window_builds(spark):
+    """The windowed register fold must give EXACTLY the estimate a
+    from-scratch sketch over each trailing window's raw rows gives
+    — max composes, so sliding maintenance loses nothing — and
+    gaps in the hour spine stay inside the range frame."""
+    import datetime as dt
+
+    from openset_spark.pipeline.hll import hll_sliding_distinct
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # 40 hours with a GAP at hours 20-23; rotating user population
+    for h in [*range(20), *range(24, 40)]:
+        for u in range(h * 7, h * 7 + 50):
+            rows.append((t0 + dt.timedelta(hours=h, minutes=u % 60), u % 400))
+    df = spark.createDataFrame(rows, ["ts", "user_id"])
+    got = {
+        r.bucket: r.approx_distinct
+        for r in hll_sliding_distinct(df, window=6).collect()
+    }
+    assert len(got) == 36
+    for h in (5, 19, 24, 30, 39):
+        b = t0 + dt.timedelta(hours=h)
+        lo = b - dt.timedelta(hours=5)
+        direct_rows = df.filter(
+            (F.col("ts") >= lo) & (F.col("ts") < b + dt.timedelta(hours=1))
+        )
+        want = approx_distinct(direct_rows, "user_id").first().approx_distinct
+        assert got[b] == want, (h, got[b], want)
