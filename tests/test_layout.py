@@ -116,3 +116,19 @@ def test_candidate_files_rejects_unknown_column(spark, tmp_path_factory):
     spark.range(100).selectExpr("id AS x").write.parquet(d + "/t")
     with pytest.raises(ValueError, match="not present"):
         zorder_candidate_files(d + "/t", "X_typo", 0, 10)
+
+
+def test_three_column_interleave_and_layout(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("z3"))
+    big = spark.range(200_000).selectExpr(
+        "CAST(pmod(xxhash64(id), 50000) AS LONG) AS x",
+        "CAST(pmod(xxhash64(id + 1), 50000) AS LONG) AS y",
+        "CAST(pmod(xxhash64(id + 2), 50000) AS LONG) AS w",
+    )
+    p = os.path.join(d, "z3")
+    write_zordered(big, p, ["x", "y", "w"], bits=8, n_files=27)
+    for col in ("x", "y", "w"):
+        h, t, rh, rt = zorder_candidate_files(p, col, 1000, 3000)
+        # 3-way interleave still skips on every indexed column
+        assert rh <= rt * 0.6, (col, rh, rt)
+    assert spark.read.parquet(p).count() == 200_000

@@ -1875,3 +1875,72 @@ def test_stream_kmv_observations_fold_matches_batch(spark, sf_dir, tmpdir):
         )
     )
     assert got == want and len(want) >= 5
+
+
+def test_stream_fold_feeds_sliding_distinct(spark, sf_dir, tmpdir):
+    """32nd parity surface: live trailing-window distincts. The
+    streamed per-hour register observations (26th surface) fold to
+    exactly the batch per-hour partials, so the range-framed
+    sliding fold built on them yields EXACTLY the batch
+    hll_sliding_distinct at every bucket — the live 24h-actives
+    dashboard with no approximation drift, ever."""
+    from pyspark.sql import functions as FF
+
+    from openset_spark.pipeline.hll import (
+        hll_fold,
+        hll_observations,
+        hll_sliding_distinct,
+    )
+    from pyspark.sql.window import Window
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    obs = hll_observations(
+        stream.withColumn("_b", FF.date_trunc("hour", FF.col("ts"))),
+        "user_id",
+        ("_b",),
+    )
+    name = f"parity_slide_{uuid.uuid4().hex[:8]}"
+    _run_available(obs, name)
+    parts = hll_fold(
+        spark.sql(f"select * from {name}"), ("_b",)
+    ).localCheckpoint()
+
+    # sliding estimate over the STREAM-folded partials
+    spine = parts.select("_b").distinct()
+    regs = parts.select("reg").distinct()
+    dense = spine.crossJoin(regs).join(parts, ["_b", "reg"], "left")
+    hidx = (FF.unix_timestamp(FF.col("_b")) / 3600).cast("long")
+    w = Window.partitionBy("reg").orderBy(hidx).rangeBetween(-5, 0)
+    rolled = dense.select(
+        FF.col("_b").alias("bucket"),
+        "reg",
+        FF.max("rho").over(w).alias("rho"),
+    ).filter(FF.col("rho").isNotNull())
+    m = 1024
+    agg = rolled.groupBy("bucket").agg(
+        FF.sum(FF.pow(FF.lit(2.0), -FF.col("rho"))).alias("_z"),
+        FF.count(FF.lit(1)).alias("_n"),
+    )
+    z = FF.col("_z") + (FF.lit(m) - FF.col("_n"))
+    raw = FF.lit(0.7213 / (1.0 + 1.079 / m) * m * m) / z
+    v = FF.lit(m) - FF.col("_n")
+    est = FF.when(
+        (raw <= FF.lit(2.5 * m)) & (v > 0),
+        FF.lit(float(m)) * FF.log(FF.lit(float(m)) / v),
+    ).otherwise(raw)
+    got = {
+        r.bucket: r.est
+        for r in agg.select(
+            "bucket", FF.round(est, 4).alias("est")
+        ).collect()
+    }
+
+    batch = _batch_frame(spark, tmpdir)
+    want = {
+        r.bucket: r.approx_distinct
+        for r in hll_sliding_distinct(
+            batch, "user_id", "ts", "hour", 6
+        ).collect()
+    }
+    assert got == want and len(want) >= 5
