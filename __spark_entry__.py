@@ -2940,7 +2940,11 @@ r AS (
   FROM pre
 ),
 parts AS (SELECT b, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
-spine AS (SELECT DISTINCT b FROM parts),
+spine AS (
+  SELECT unnest(generate_series((SELECT MIN(b) FROM parts),
+                                (SELECT MAX(b) FROM parts),
+                                INTERVAL 1 HOUR)) AS b
+),
 regs AS (SELECT DISTINCT reg FROM parts),
 dense AS (
   SELECT spine.b, regs.reg, parts.rho
@@ -3220,66 +3224,65 @@ _DRIVER_WINDOW = 50
 
 
 def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-11 window (VERDICT r10 ask #1 — closes the full-registry
-    # cycle): all 7 never-driver-green r10-born keys + all 34 veterans
-    # whose last green is r8 (due this round) take 41 slots; 7 fillers
-    # cover the remaining families (tests/test_registry.py) and the 2
-    # free slots re-verify perplexity_buckets (its r10 distributed-rank
-    # rewrite never saw a driver row) and mixture_select. The 50
-    # r10-greens rest in extras (due r12); the 49 r9-greens split
-    # across r12/r13. Ledger: COVERAGE.md.
+    # Round-12 window (VERDICT r11 ask #1, computed by
+    # tools/plan_window.py from the CORRECTNESS_r01–r11 ledger): the 16
+    # never-driver-green r11-born keys take the head slots, then 34 of
+    # the 41 r9-green veterans (2 rounds stale, due back this round).
+    # The remaining 7 r9-greens (family twins sharing code paths with a
+    # windowed sibling) spill to the top of extras and are FORCED into
+    # the r13 window. A green round makes the cumulative ledger
+    # 156/156 ever-driver-green. Ledger: COVERAGE.md.
     return {
-        # r8-stale veterans (34 — last green r8, due back this round)
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q9_style": q_tpch_q9_style,
-        "tpch_q18_style": q_tpch_q18_style,
-        "top_customers": q_top_customers,
-        "event_agg_by_day": q_event_agg_by_day,
-        "event_agg_two_level": q_event_agg_two_level,
-        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
-        "last_purchase_per_user": q_last_purchase_per_user,
-        "purchases_by_quarter": q_purchases_by_quarter,
-        "session_stats": q_session_stats,
-        "next_session_transitions": q_next_session_transitions,
-        "days_to_convert": q_days_to_convert,
-        "osl_histogram_weeks": q_osl_histogram_weeks,
-        "segment_counts": q_segment_counts,
-        "segment_algebra": q_segment_algebra,
-        "osl_return_first": q_osl_return_first,
-        "property_counts": q_property_counts,
-        "property_counts_rx": q_property_counts_rx,
-        "property_counts_between": q_property_counts_between,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_stats": q_text_stats,
-        "clean_documents": q_clean_documents,
-        "top_bigrams": q_top_bigrams,
-        "token_counts": q_token_counts,
-        "bm25_search": q_bm25_search,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "source_overlap": q_source_overlap,
-        "collocations": q_collocations,
-        "char_entropy": q_char_entropy,
-        "readability": q_readability,
-        "vocab_growth": q_vocab_growth,
-        "embedding_centroids": q_embedding_centroids,
-        "containment_pairs": q_containment_pairs,
-        "dedup_lines": q_dedup_lines,
-        "pii_report": q_pii_report,
-        "mink_prob": q_mink_prob,
-        "corpus_diff": q_corpus_diff,
-        "asof_last_purchase": q_asof_last_purchase,
-        "events_in_purchase_window": q_events_in_purchase_window,
-        "time_rollup": q_time_rollup,
-        "customer_timeline": q_customer_timeline,
-        "weekly_retention": q_weekly_retention,
-        "props_json_extract": q_props_json_extract,
-        "dedup_exact": q_dedup_exact,
-        "contamination_check": q_contamination_check,
-        "token_budget_select": q_token_budget_select,
-        "retention_cap": q_retention_cap,
-        "perplexity_buckets": q_perplexity_buckets,
-        "mixture_select": q_mixture_select,
+        "pii_positive": q_pii_positive,
+        "asof_nearest_purchase": q_asof_nearest_purchase,
+        "overlapping_activity_windows": q_overlapping_activity_windows,
+        "nb_quality_scores": q_nb_quality_scores,
+        "source_quality_cap": q_source_quality_cap,
+        "title_typo_pairs": q_title_typo_pairs,
+        "approx_users_per_day": q_approx_users_per_day,
+        "rollup_unique_users": q_rollup_unique_users,
+        "segment_overlap_approx": q_segment_overlap_approx,
+        "cms_token_hitters": q_cms_token_hitters,
+        "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
+        "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
+        "segment_jaccard_kmv": q_segment_jaccard_kmv,
+        "rollup_value_quantiles": q_rollup_value_quantiles,
+        "source_vocab_overlap": q_source_vocab_overlap,
+        "sliding_users_24h": q_sliding_users_24h,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q7_style": q_tpch_q7_style,
+        "tpch_q10_style": q_tpch_q10_style,
+        "event_agg_by_type": q_event_agg_by_type,
+        "first_events_per_user": q_first_events_per_user,
+        "top_event_types_per_day": q_top_event_types_per_day,
+        "zorder_first_rows": q_zorder_first_rows,
+        "session_counts": q_session_counts,
+        "funnel_within_hour": q_funnel_within_hour,
+        "next_event_transitions": q_next_event_transitions,
+        "segment_sequence_counts": q_segment_sequence_counts,
+        "osl_event_agg": q_osl_event_agg,
+        "osl_script_counter": q_osl_script_counter,
+        "property_counts_bucketed": q_property_counts_bucketed,
+        "histogram_spend_clipped": q_histogram_spend_clipped,
+        "dedup_minhash": q_dedup_minhash,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_ivf": q_ann_ivf,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "pack_sequences": q_pack_sequences,
+        "lm_perplexity": q_lm_perplexity,
+        "zipf_fit": q_zipf_fit,
+        "kneser_ney_score": q_kneser_ney_score,
+        "dup_span_fraction": q_dup_span_fraction,
+        "keyword_tags": q_keyword_tags,
+        "leakage_safe_split": q_leakage_safe_split,
+        "gopher_quality": q_gopher_quality,
+        "lexical_diversity": q_lexical_diversity,
+        "oov_rate": q_oov_rate,
+        "chunk_windows": q_chunk_windows,
+        "dsir_resample": q_dsir_resample,
+        "embedding_gram": q_embedding_gram,
     }
 
 
@@ -4102,6 +4105,65 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # still replays its oracle vs DuckDB on each local pytest run
     # (tests/test_correctness.py).
     return {
+        # r9-green spill — forced into the r13 window (tools/plan_window.py)
+        "ann_pq": q_ann_pq,
+        "dedup_keep_best": q_dedup_keep_best,
+        "remove_dup_spans": q_remove_dup_spans,
+        "nearest_dup": q_nearest_dup,
+        "ngram_coverage": q_ngram_coverage,
+        "lang_confusion": q_lang_confusion,
+        "cross_source_dups": q_cross_source_dups,
+        # resting greens (r10/r11-green; due r13/r14 per the >=2-rounds-stale rule)
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q9_style": q_tpch_q9_style,
+        "tpch_q18_style": q_tpch_q18_style,
+        "top_customers": q_top_customers,
+        "event_agg_by_day": q_event_agg_by_day,
+        "event_agg_two_level": q_event_agg_two_level,
+        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
+        "last_purchase_per_user": q_last_purchase_per_user,
+        "purchases_by_quarter": q_purchases_by_quarter,
+        "session_stats": q_session_stats,
+        "next_session_transitions": q_next_session_transitions,
+        "days_to_convert": q_days_to_convert,
+        "osl_histogram_weeks": q_osl_histogram_weeks,
+        "segment_counts": q_segment_counts,
+        "segment_algebra": q_segment_algebra,
+        "osl_return_first": q_osl_return_first,
+        "property_counts": q_property_counts,
+        "property_counts_rx": q_property_counts_rx,
+        "property_counts_between": q_property_counts_between,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "clean_documents": q_clean_documents,
+        "top_bigrams": q_top_bigrams,
+        "token_counts": q_token_counts,
+        "bm25_search": q_bm25_search,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "source_overlap": q_source_overlap,
+        "collocations": q_collocations,
+        "char_entropy": q_char_entropy,
+        "readability": q_readability,
+        "vocab_growth": q_vocab_growth,
+        "embedding_centroids": q_embedding_centroids,
+        "containment_pairs": q_containment_pairs,
+        "dedup_lines": q_dedup_lines,
+        "pii_report": q_pii_report,
+        "mink_prob": q_mink_prob,
+        "corpus_diff": q_corpus_diff,
+        "asof_last_purchase": q_asof_last_purchase,
+        "events_in_purchase_window": q_events_in_purchase_window,
+        "time_rollup": q_time_rollup,
+        "customer_timeline": q_customer_timeline,
+        "weekly_retention": q_weekly_retention,
+        "props_json_extract": q_props_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "contamination_check": q_contamination_check,
+        "token_budget_select": q_token_budget_select,
+        "retention_cap": q_retention_cap,
+        "perplexity_buckets": q_perplexity_buckets,
+        "mixture_select": q_mixture_select,
         "ngram_novelty": q_ngram_novelty,
         "quality_funnel": q_quality_funnel,
         "cooccur_pmi": q_cooccur_pmi,
@@ -4151,63 +4213,6 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_matches": q_winnow_matches,
         "dsir_weights": q_dsir_weights,
         "ann_lsh": q_ann_lsh,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q7_style": q_tpch_q7_style,
-        "tpch_q10_style": q_tpch_q10_style,
-        "event_agg_by_type": q_event_agg_by_type,
-        "first_events_per_user": q_first_events_per_user,
-        "top_event_types_per_day": q_top_event_types_per_day,
-        "zorder_first_rows": q_zorder_first_rows,
-        "session_counts": q_session_counts,
-        "funnel_within_hour": q_funnel_within_hour,
-        "next_event_transitions": q_next_event_transitions,
-        "segment_sequence_counts": q_segment_sequence_counts,
-        "osl_event_agg": q_osl_event_agg,
-        "osl_script_counter": q_osl_script_counter,
-        "property_counts_bucketed": q_property_counts_bucketed,
-        "histogram_spend_clipped": q_histogram_spend_clipped,
-        "dedup_minhash": q_dedup_minhash,
-        "substring_dup_pairs": q_substring_dup_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_ivf": q_ann_ivf,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "pack_sequences": q_pack_sequences,
-        "lm_perplexity": q_lm_perplexity,
-        "zipf_fit": q_zipf_fit,
-        "kneser_ney_score": q_kneser_ney_score,
-        "dup_span_fraction": q_dup_span_fraction,
-        "keyword_tags": q_keyword_tags,
-        "leakage_safe_split": q_leakage_safe_split,
-        "gopher_quality": q_gopher_quality,
-        "lexical_diversity": q_lexical_diversity,
-        "oov_rate": q_oov_rate,
-        "chunk_windows": q_chunk_windows,
-        "dsir_resample": q_dsir_resample,
-        "embedding_gram": q_embedding_gram,
-        "ann_pq": q_ann_pq,
-        "dedup_keep_best": q_dedup_keep_best,
-        "remove_dup_spans": q_remove_dup_spans,
-        "nearest_dup": q_nearest_dup,
-        "ngram_coverage": q_ngram_coverage,
-        "lang_confusion": q_lang_confusion,
-        "cross_source_dups": q_cross_source_dups,
-        "pii_positive": q_pii_positive,
-        "asof_nearest_purchase": q_asof_nearest_purchase,
-        "overlapping_activity_windows": q_overlapping_activity_windows,
-        "nb_quality_scores": q_nb_quality_scores,
-        "source_quality_cap": q_source_quality_cap,
-        "title_typo_pairs": q_title_typo_pairs,
-        "approx_users_per_day": q_approx_users_per_day,
-        "rollup_unique_users": q_rollup_unique_users,
-        "segment_overlap_approx": q_segment_overlap_approx,
-        "cms_token_hitters": q_cms_token_hitters,
-        "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
-        "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
-        "segment_jaccard_kmv": q_segment_jaccard_kmv,
-        "rollup_value_quantiles": q_rollup_value_quantiles,
-        "source_vocab_overlap": q_source_vocab_overlap,
-        "sliding_users_24h": q_sliding_users_24h,
     }
 
 

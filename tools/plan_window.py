@@ -1,13 +1,18 @@
 #!/usr/bin/env python
 """Compute the NEXT round's driver-window rotation from the
 cumulative ledger: forced slots = never-driver-green keys + keys
-whose last green is >= 2 rounds stale; free slots filled with the
-freshest greens (family reps last verified most recently rest).
+whose last green would be >= 3 rounds behind the NEXT round (i.e.
+already 2+ rounds stale today); any free slots are filled with the
+STALEST remaining greens first, so freshness debt never accumulates
+silently.
 
 Usage: python tools/plan_window.py [next_round_number]
 Prints the proposed 50-key window in order plus the spill list if
 the forced set overflows. Purely advisory — apply by reordering
 _priority_queries() in __spark_entry__.py next round.
+
+`load_ledger()` is importable (tests/test_registry.py uses it to
+assert the family-freshness invariant across rotations).
 """
 
 from __future__ import annotations
@@ -23,7 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WINDOW = 50
 
 
-def main() -> None:
+def load_ledger() -> tuple[list[str], dict[str, int], int]:
+    """Return (registry keys, key -> last driver-green round, latest
+    round number seen in CORRECTNESS_r*.json)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
 
@@ -50,6 +57,11 @@ def main() -> None:
             if name in keys and ok:
                 last_green[name] = max(last_green.get(name, 0), rnum)
     cur = max(rounds) if rounds else 0
+    return keys, last_green, cur
+
+
+def main() -> None:
+    keys, last_green, cur = load_ledger()
     nxt = int(sys.argv[1]) if len(sys.argv) > 1 else cur + 1
 
     never = [k for k in keys if k not in last_green]
@@ -58,6 +70,8 @@ def main() -> None:
         key=lambda k: last_green[k],
     )
     forced = never + stale
+    # free slots: stalest greens first (ascending last_green), so the
+    # next-due cohort starts rotating back in early.
     fresh = sorted(
         (k for k in keys if k in last_green and nxt - last_green[k] < 3),
         key=lambda k: (last_green[k], k),
