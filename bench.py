@@ -640,6 +640,15 @@ def main() -> None:
         "sf": out["sf"],
         "calibration_sec": out["calibration_sec"],
     }
+    # r11 lesson: the warning fired (cal 0.652) but lived only on the
+    # full record, which the driver's tail cap truncated — the one
+    # field a cross-round reader needs most must ride the compact
+    # line. Short form here so the line stays under the tail cap.
+    if "calibration_warning" in out:
+        compact["calibration_warning"] = (
+            f"host contended: cal {out['calibration_sec']} vs 0.49 "
+            "quiet band; discount absolute timings"
+        )
     print(json.dumps(compact))
 
 

@@ -46,6 +46,9 @@ def test_bench_script_emits_contract_json():
     assert all(v >= 0 for v in out["queries"].values())
     assert out["calibration_sec"] > 0
     assert out["value"] == full["value"]
+    # r11 lesson: if the calibration gate fires, its warning must ride
+    # the COMPACT line too — the full record gets tail-capped away.
+    assert ("calibration_warning" in out) == ("calibration_warning" in full)
     assert len(json_lines[1]) < 1024  # survives a 1 KiB tail cap
     out = full  # aux sections live on the full record
     # the r6/r7 sections ride along even in smoke mode
