@@ -45,9 +45,12 @@ def _interleave(buckets: list[Column], bits: int) -> Column:
     z = F.lit(0).cast("long")
     for c, b in enumerate(buckets):
         for i in range(bits):
-            # ((b >> i) & 1) << (i*n + c), with >> via exact
-            # power-of-two arithmetic (b < 2^bits is small)
-            bit = (b.cast("long") / (1 << i)).cast("long") % 2
+            # ((b >> i) & 1) << (i*n + c). shiftright is a true
+            # integer shift — exact for ANY long. (The previous
+            # `/ (1 << i)` form was DOUBLE division in Spark, exact
+            # only while the bucket id fits a 53-bit significand —
+            # the same hazard class pipeline/cms.py::_check fences.)
+            bit = F.shiftright(b.cast("long"), i) % 2
             z = z + bit * (1 << (i * n + c))
     return z
 
@@ -160,54 +163,88 @@ def _equidepth_buckets(
     df: DataFrame, cols: list[str], stats, nb: int
 ) -> DataFrame:
     """Replace each column's equi-width bucket with an EQUI-DEPTH
-    one, skew-robustly, in O(1) per row: quantize the column to a
-    2^20 grid over [min, max], sketch the quantized values with the
-    log-linear HDR histogram (bounded buckets), map each HDR bucket
-    to floor(nb * cumulative_count_before / n) — the quantile rank
-    of its lower edge — and broadcast-join that tiny map back. One
-    extra scan + one broadcast join per indexed column; no per-row
+    one, skew-robustly, in O(1) per row: quantize each column to a
+    2^20 grid over [min, max], sketch ALL columns' quantized values
+    in ONE stacked pass (explode to (col, q), one grouped log-linear
+    HDR aggregate), map each HDR bucket to
+    floor(nb * cumulative_count_before / n) — the quantile rank of
+    its lower edge, computed in exact Python integers — and apply
+    each column's tiny map as a dense-array-literal element_at. One
+    extra scan TOTAL (not per column), zero joins, no per-row
     boundary search, no global sort. Adds ``_b_<col>`` columns."""
-    from pyspark.sql.window import Window
-
     from openset_spark.pipeline.hdrhist import _bucket, hdr_partials
 
     S = 1 << 20
-    out = df
-    for c in cols:
+
+    def quantized(c: str):
         mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
-        if mn is None or mx is None or mn == mx:
-            out = out.withColumn(f"_b_{c}", F.lit(0))
-            continue
         scaled = F.floor(
             (F.col(c).cast("double") - mn) * S / (mx - mn)
         ).cast("long")
-        scaled = F.least(F.greatest(scaled, F.lit(0)), F.lit(S - 1))
-        tmp = out.withColumn(f"_q_{c}", scaled)
-        sk = hdr_partials(tmp, f"_q_{c}", (), 5)
-        w = Window.orderBy("bucket").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        mapping = sk.select(
-            F.col("bucket").alias(f"_hb_{c}"),
-            F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("_cb"),
-            F.sum("cnt").over(
-                Window.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ).alias("_n"),
-        ).select(
-            f"_hb_{c}",
-            F.least(
-                F.floor(F.lit(nb) * F.col("_cb") / F.col("_n")),
-                F.lit(nb - 1),
+        return F.least(F.greatest(scaled, F.lit(0)), F.lit(S - 1))
+
+    live = [
+        c
+        for c in cols
+        if stats[f"_mn_{c}"] is not None
+        and stats[f"_mx_{c}"] is not None
+        and stats[f"_mn_{c}"] != stats[f"_mx_{c}"]
+    ]
+    out = df
+    for c in cols:
+        if c not in live:
+            out = out.withColumn(f"_b_{c}", F.lit(0))
+    if not live:
+        return out
+
+    # ONE extra pass for ALL columns (r11 built one sketch scan per
+    # column, and each scan re-ran the previously-joined plan —
+    # O(cols^2) work): stack every column's quantized value as a
+    # (col, q) observation with a single explode, then one grouped
+    # HDR-sketch aggregate over the stacked frame.
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("idx_col"),
+                        quantized(c).alias("_q"),
+                    )
+                    for c in live
+                ]
             )
-            .cast("int")
-            .alias(f"_b_{c}"),
-        )
-        out = (
-            tmp.withColumn(f"_hb_{c}", _bucket(F.col(f"_q_{c}"), 32))
-            .join(F.broadcast(mapping), f"_hb_{c}")
-            .drop(f"_q_{c}", f"_hb_{c}")
+        ).alias("s")
+    ).select("s.idx_col", "s._q")
+    sk = hdr_partials(stacked, "_q", ("idx_col",), 5)
+
+    # The sketch is bounded by construction (q < 2^20, sub_bits=5 ->
+    # bucket ids in {-1} U [0, 639]; <= 641 rows per column), so it is
+    # a legitimate driver-side collect — same class as the seed /
+    # query-set broadcasts. Rank math runs in PYTHON integers (no
+    # double-division hazard at all), and each column's bucket -> rank
+    # map is applied as an O(1) dense-array-literal lookup: ZERO joins,
+    # zero re-scans.
+    by_col: dict[str, list[tuple[int, int]]] = {c: [] for c in live}
+    for r in sk.collect():
+        by_col[r["idx_col"]].append((r["bucket"], r["cnt"]))
+    for c in live:
+        ranks = sorted(by_col[c])
+        n = sum(cnt for _, cnt in ranks)
+        arr = [0] * (ranks[-1][0] + 2)  # index = bucket + 1 (0-based)
+        cum = rank = 0
+        prev = 0
+        for b, cnt in ranks:
+            rank = min(nb * cum // n, nb - 1)
+            for gap in range(prev, b + 1):
+                arr[gap + 1] = rank
+            prev = b + 1
+            cum += cnt
+        # element_at is 1-based -> index = bucket + 2
+        out = out.withColumn(
+            f"_b_{c}",
+            F.element_at(
+                F.lit(arr), (_bucket(quantized(c), 32) + 2).cast("int")
+            ).cast("int"),
         )
     return out
 

@@ -37,6 +37,26 @@ def test_interleave_matches_reference(spark):
     assert got == [ref(a, b) for a, b in rows]
 
 
+def test_interleave_exact_beyond_double_significand(spark):
+    """Regression (VERDICT r11): bit extraction must be a true integer
+    shift, not `/ 2^i` (double division — exact only below 2^53). A
+    single-column bits=62 interleave is the identity, so any high-bit
+    corruption shows up as an unequal round-trip."""
+    vals = [
+        (1 << 62) - 1,          # all 62 bits set — the r11 hazard case
+        (1 << 61) + 1,          # high bit + low bit
+        (1 << 53) + 1,          # first value a double cannot hold
+        (1 << 53) - 1,          # last value it can
+        0,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["a"])
+    got = [
+        r.z
+        for r in df.select(_interleave([F.col("a")], 62).alias("z")).collect()
+    ]
+    assert got == vals
+
+
 def test_zorder_layout_skips_files_on_every_indexed_column(
     spark, tmp_path_factory
 ):
@@ -109,6 +129,41 @@ def test_equidepth_zorder_survives_skew(spark, tmp_path_factory):
     # data intact
     a = spark.read.parquet(pe).agg(F.count(F.lit(1)).alias("n")).first()
     assert a.n == 400_001
+
+
+def test_equidepth_bucketing_is_one_pass_no_joins(spark):
+    """Scale contract (VERDICT r11 ask #6): the equi-depth rank maps
+    must cost ONE stacked sketch pass for ALL indexed columns, and the
+    per-row bucketed plan must be join-free (rank maps are bounded
+    array literals, applied as O(1) element_at) — a 4–6 column z-order
+    at 100 TB pays one extra scan, not six."""
+    from openset_spark.sources.layout import (
+        _equidepth_buckets,
+        _validate_and_stats,
+    )
+
+    df = spark.range(50_000).selectExpr(
+        "CAST(pmod(xxhash64(id), 997) AS LONG) AS x",
+        "CAST(pmod(xxhash64(id + 3), 9973) AS LONG) AS y",
+        "CAST(id % 11 AS LONG) AS w",
+    )
+    cols = ["x", "y", "w"]
+    stats = _validate_and_stats(df, cols, 10)
+    out = _equidepth_buckets(df, cols, stats, 1 << 10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan  # rank maps are literals, not joins
+    assert "Generate" not in plan, plan  # the explode ran at build time
+    # and the buckets really are equi-depth-ish: the load cap is set
+    # by the HDR sketch resolution (sub_bits=5 -> 32 sub-buckets per
+    # octave; the top octave holds ~half the mass, so ~n/64 per
+    # sketch bucket), not by nb — assert within 2x of that bound
+    n = out.count()
+    top = (
+        out.groupBy("_b_y").count().agg(F.max("count").alias("m")).first().m
+    )
+    assert top <= 2 * n / 64 + 64, (top, n)
+    n_buckets = out.select("_b_y").distinct().count()
+    assert n_buckets >= 64, n_buckets
 
 
 def test_candidate_files_rejects_unknown_column(spark, tmp_path_factory):
