@@ -54,6 +54,32 @@ def _hash60(col: Column) -> Column:
     ).cast("long")
 
 
+def _register_agg(grouped) -> DataFrame:
+    """The shared (sum 2^-rho, count) register aggregate every
+    estimator runs over a GroupedData of register rows."""
+    return grouped.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z_hit"),
+        F.count(F.lit(1)).alias("_n_hit"),
+    )
+
+
+def _estimate_expr(m: int) -> Column:
+    """The closed-form estimate over (_z_hit, _n_hit): Z = sum(2^-rho)
+    over present registers + one per absent register; E = alpha*m^2/Z;
+    if E <= 2.5m and any register is empty, linear counting
+    E = m*ln(m/V) (V = empty registers). ONE definition — the three
+    estimators (grouped, rollup, sliding) must never drift apart
+    (VERDICT r11 ask #5); an identical float expression tree exists on
+    the DuckDB oracle side."""
+    z = F.col("_z_hit") + (F.lit(m) - F.col("_n_hit"))
+    raw = F.lit(_alpha(m) * m * m) / z
+    v = F.lit(m) - F.col("_n_hit")  # empty registers
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(raw)
+
+
 def hll_observations(
     df: DataFrame,
     col: str,
@@ -121,19 +147,9 @@ def hll_estimate(
     is empty, linear counting E = m*ln(m/V) (V = empty registers).
     Output is ROUND(E, 4) — the cross-engine float contract."""
     m = 1 << p
-    agg = partials.groupBy(*group_by).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z_hit"),
-        F.count(F.lit(1)).alias("_n_hit"),
-    )
-    z = F.col("_z_hit") + (F.lit(m) - F.col("_n_hit"))
-    raw = F.lit(_alpha(m) * m * m) / z
-    v = F.lit(m) - F.col("_n_hit")  # empty registers
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
-    ).otherwise(raw)
+    agg = _register_agg(partials.groupBy(*group_by))
     return agg.select(
-        *group_by, F.round(est, 4).alias("approx_distinct")
+        *group_by, F.round(_estimate_expr(m), 4).alias("approx_distinct")
     )
 
 
@@ -240,22 +256,12 @@ def time_rollup_distinct(
         level.alias("granularity"), *all_keys[:-1], "reg", "rho"
     )
     m = 1 << p
-    agg = leveled.groupBy("granularity", *group_by, *bnames).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z_hit"),
-        F.count(F.lit(1)).alias("_n_hit"),
-    )
-    z = F.col("_z_hit") + (F.lit(m) - F.col("_n_hit"))
-    raw = F.lit(_alpha(m) * m * m) / z
-    v = F.lit(m) - F.col("_n_hit")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
-    ).otherwise(raw)
+    agg = _register_agg(leveled.groupBy("granularity", *group_by, *bnames))
     return agg.select(
         "granularity",
         *group_by,
         *bnames,
-        F.round(est, 4).alias("approx_distinct"),
+        F.round(_estimate_expr(m), 4).alias("approx_distinct"),
     )
 
 
@@ -278,7 +284,11 @@ def hll_sliding_distinct(
     2. densify over the (slide buckets x observed regs) spine —
        bounded by time x m, never by data — because a register
        observed at h-5 must still count at h even if hour h never
-       saw it;
+       saw it. The spine is the FULL min..max bucket sequence (one
+       1-row bounds aggregate + sequence explode), not just observed
+       buckets, so a slide point with zero events still reports its
+       (non-empty) trailing window — the "re-evaluated every hour"
+       contract has no gap hours (ADVICE r11);
     3. a RANGE-framed window max per register over the trailing
        ``window`` slide indices (gaps in the spine handled by the
        range frame);
@@ -296,7 +306,13 @@ def hll_sliding_distinct(
     sec = 3600 if slide == "hour" else 86400
     pre = df.withColumn("_b", F.date_trunc(slide, F.col(ts_col)))
     parts = hll_partials(pre, col, ("_b",), p)
-    spine = parts.select("_b").distinct()
+    spine = parts.agg(
+        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
+    ).select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval 1 {slide}"))
+        ).alias("_b")
+    )
     regs = parts.select("reg").distinct()
     dense = spine.join(regs).join(parts, ["_b", "reg"], "left")
     hidx = (F.unix_timestamp(F.col("_b")) / sec).cast("long")
@@ -311,17 +327,7 @@ def hll_sliding_distinct(
         F.max("rho").over(w).alias("rho"),  # max skips nulls
     ).filter(F.col("rho").isNotNull())
     m = 1 << p
-    agg = rolled.groupBy("bucket").agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_z_hit"),
-        F.count(F.lit(1)).alias("_n_hit"),
-    )
-    z = F.col("_z_hit") + (F.lit(m) - F.col("_n_hit"))
-    raw = F.lit(_alpha(m) * m * m) / z
-    v = F.lit(m) - F.col("_n_hit")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
-    ).otherwise(raw)
+    agg = _register_agg(rolled.groupBy("bucket"))
     return agg.select(
-        "bucket", F.round(est, 4).alias("approx_distinct")
+        "bucket", F.round(_estimate_expr(m), 4).alias("approx_distinct")
     )

@@ -151,8 +151,11 @@ def test_time_rollup_distinct_levels_match_per_level_builds(spark):
 def test_sliding_distinct_equals_direct_window_builds(spark):
     """The windowed register fold must give EXACTLY the estimate a
     from-scratch sketch over each trailing window's raw rows gives
-    — max composes, so sliding maintenance loses nothing — and
-    gaps in the hour spine stay inside the range frame."""
+    — max composes, so sliding maintenance loses nothing — and a
+    GAP hour (zero events) still reports its non-empty trailing
+    window: the spine is the dense min..max sequence, so the
+    're-evaluated every hour' contract has no silent holes
+    (ADVICE r11)."""
     import datetime as dt
 
     from openset_spark.pipeline.hll import hll_sliding_distinct
@@ -168,8 +171,8 @@ def test_sliding_distinct_equals_direct_window_builds(spark):
         r.bucket: r.approx_distinct
         for r in hll_sliding_distinct(df, window=6).collect()
     }
-    assert len(got) == 36
-    for h in (5, 19, 24, 30, 39):
+    assert len(got) == 40  # dense spine: gap hours 20-23 emit too
+    for h in (5, 19, 21, 23, 24, 30, 39):
         b = t0 + dt.timedelta(hours=h)
         lo = b - dt.timedelta(hours=5)
         direct_rows = df.filter(
