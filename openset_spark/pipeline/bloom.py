@@ -215,6 +215,12 @@ def bloom_filter(
     under the filter (FilterExec does no subexpression elimination
     — h1/h2 would otherwise re-hash per position, measured 2.5x)."""
     _check(m_bits, k)
+    # same guard as cms_estimate (ADVICE r11): withColumn REPLACES a
+    # same-named user column, so a probe frame already carrying one of
+    # the internal names would be silently clobbered and then dropped
+    clash = {"_h60", "_bm", "_bmk"} & set(df.columns)
+    if clash:
+        raise ValueError(f"probe columns collide with internals: {clash}")
     dense = bloom_dense(words, m_bits)
     return (
         df.withColumn("_h60", _hash60(F.col(col), hash))

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from openset_spark.pipeline.bloom import (
     bloom_contains,
+    bloom_filter,
     bloom_fold,
     bloom_pack,
     bloom_semijoin,
@@ -176,3 +177,18 @@ def test_big_build_shuffles_only_survivors(spark):
         probe, build, "key", broadcast_keys=False
     )
     assert out.count() == 5000
+
+
+def test_internal_name_collision_raises(spark):
+    """ADVICE r11: a probe frame already carrying _h60/_bm/_bmk would
+    be silently clobbered (withColumn replaces) and dropped — the
+    bloom path must refuse, like cms_estimate does."""
+    build = spark.range(10).selectExpr("concat('k', id) AS key")
+    for bad in ("_h60", "_bm", "_bmk"):
+        probe = spark.range(10).selectExpr(
+            "concat('k', id) AS key", f"id AS {bad}"
+        )
+        with pytest.raises(ValueError, match="collide with internals"):
+            bloom_filter(probe, "key", build)
+        with pytest.raises(ValueError, match="collide with internals"):
+            bloom_semijoin(probe, build, "key")
