@@ -2819,6 +2819,91 @@ ORDER BY granularity, bucket_day, bucket_hour, q
 """
 
 
+def q_sliding_value_p95_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h p50/p95 of event value (integer cents)
+    re-evaluated EVERY HOUR from stored per-hour HDR bucket counts —
+    the sliding percentile an exact sort can never maintain and
+    percentile_approx can never replay. HDR buckets compose by SUM,
+    so the range-framed window fold over the dense hour spine equals
+    a from-scratch sketch of each trailing window (test-asserted in
+    tests/test_hdr.py); DuckDB replays spine, frame, rank walk and
+    midpoint decode bit for bit. The hll sliding_users_24h twin
+    (VERDICT r11 ask #8). NEW r12."""
+    from openset_spark.pipeline.hdrhist import hdr_sliding_quantiles
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+    )
+    out = hdr_sliding_quantiles(
+        ev, "cents", "ts", "hour", 24, qs=(0.5, 0.95)
+    )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "q",
+        "est",
+    ).orderBy("bucket", "q")
+
+
+_SQL_SLIDING_VALUE_P95_24H = """
+WITH base AS (
+  SELECT date_trunc('hour', ts::TIMESTAMP) AS tb,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT tb, CASE WHEN cents = 0 THEN -1
+    ELSE (length(bin(cents)) - 1) * 32
+      + (cents - CAST(power(2, length(bin(cents)) - 1) AS BIGINT)) * 32
+        // CAST(power(2, length(bin(cents)) - 1) AS BIGINT)
+  END AS bucket FROM base
+),
+parts AS (SELECT tb, bucket, COUNT(*)::BIGINT AS cnt FROM b GROUP BY 1, 2),
+spine AS (
+  SELECT unnest(generate_series((SELECT MIN(tb) FROM parts),
+                                (SELECT MAX(tb) FROM parts),
+                                INTERVAL 1 HOUR)) AS tb
+),
+bks AS (SELECT DISTINCT bucket FROM parts),
+dense AS (
+  SELECT spine.tb, bks.bucket, parts.cnt
+  FROM spine CROSS JOIN bks
+  LEFT JOIN parts ON parts.tb = spine.tb AND parts.bucket = bks.bucket
+),
+rolled AS (
+  SELECT tb, bucket,
+    SUM(cnt) OVER (PARTITION BY bucket
+      ORDER BY CAST(epoch(tb) AS BIGINT) // 3600
+      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS cnt
+  FROM dense
+),
+f AS (SELECT * FROM rolled WHERE cnt IS NOT NULL),
+qs AS (SELECT unnest([0.5, 0.95]) AS q),
+cum AS (
+  SELECT tb, bucket,
+    SUM(cnt) OVER (PARTITION BY tb ORDER BY bucket) AS c,
+    SUM(cnt) OVER (PARTITION BY tb) AS n
+  FROM f
+),
+hits AS (
+  SELECT tb, q, MIN(bucket) AS bk
+  FROM cum, qs WHERE c >= CEIL(q * n) GROUP BY 1, 2
+),
+dec AS (
+  SELECT tb, q, bk,
+    CAST(power(2, bk // 32) AS BIGINT)
+      + (bk % 32) * CAST(power(2, bk // 32) AS BIGINT) // 32 AS lo,
+    CAST(power(2, bk // 32) AS BIGINT)
+      + ((bk % 32) + 1) * CAST(power(2, bk // 32) AS BIGINT) // 32 AS hi
+  FROM hits
+)
+SELECT strftime(tb, '%Y-%m-%d %H:%M:%S') AS bucket, q,
+  CASE WHEN bk = -1 THEN 0
+       ELSE (lo + GREATEST(hi, lo + 1) - 1) // 2 END AS est
+FROM dec
+ORDER BY bucket, q
+"""
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary overlap between EVERY pair of sources (the corpus
     heterogeneity heatmap) from per-source KMV sketches: k smallest
@@ -4213,6 +4298,8 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_matches": q_winnow_matches,
         "dsir_weights": q_dsir_weights,
         "ann_lsh": q_ann_lsh,
+        # born r12 (never driver-green yet; forced into the r13 window)
+        "sliding_value_p95_24h": q_sliding_value_p95_24h,
     }
 
 
@@ -4970,6 +5057,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_value_quantiles": _SQL_ROLLUP_VALUE_QUANTILES,
         "source_vocab_overlap": _SQL_SOURCE_VOCAB_OVERLAP,
         "sliding_users_24h": _SQL_SLIDING_USERS_24H,
+        "sliding_value_p95_24h": _SQL_SLIDING_VALUE_P95_24H,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

@@ -256,3 +256,63 @@ def time_rollup_quantiles(
     return hdr_quantiles(
         leveled, qs, ("granularity", *group_by, *bnames), sub_bits
     )
+
+
+def hdr_sliding_quantiles(
+    df: DataFrame,
+    col: str = "value",
+    ts_col: str = "ts",
+    slide: str = "hour",
+    window: int = 24,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """TRAILING-window quantiles at every slide point (p95 of the
+    last 24 hours, re-evaluated hourly) — the sliding percentile an
+    exact sort can never maintain and percentile_approx can never
+    replay. The hll.py sliding twin (VERDICT r11 ask #8): HDR
+    buckets compose by SUM, so the trailing window folds without
+    re-touching raw rows:
+
+    1. one per-slide bucket build (the only scan of the data);
+    2. densify over the (dense min..max slide sequence x observed
+       sketch buckets) spine — bounded by time x (64*s + 1), never
+       by data, and gap-free: a slide point with zero events still
+       reports its non-empty trailing window;
+    3. a RANGE-framed window SUM per sketch bucket over the
+       trailing ``window`` slide indices (sum skips the nulls the
+       densify introduced);
+    4. the rank walk per slide point, over bucket rows only.
+
+    Output: (bucket, q, est) — ``est`` at ``bucket`` covers
+    (bucket - window + 1 .. bucket]. By construction the windowed
+    counts EQUAL a direct sketch over the window's rows (sum
+    composes), so the estimate is identical to re-sketching from
+    scratch (test-asserted), and DuckDB replays the whole pipeline.
+    """
+    _check(sub_bits)
+    if slide not in ("hour", "day"):
+        raise ValueError(f"slide must be hour|day: {slide}")
+    sec = 3600 if slide == "hour" else 86400
+    pre = df.withColumn("_tb", F.date_trunc(slide, F.col(ts_col)))
+    parts = hdr_partials(pre, col, ("_tb",), sub_bits)
+    spine = parts.agg(
+        F.min("_tb").alias("_lo"), F.max("_tb").alias("_hi")
+    ).select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval 1 {slide}"))
+        ).alias("_tb")
+    )
+    buckets = parts.select("bucket").distinct()
+    dense = spine.join(buckets).join(parts, ["_tb", "bucket"], "left")
+    tidx = (F.unix_timestamp(F.col("_tb")) / sec).cast("long")
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(tidx)
+        .rangeBetween(-(window - 1), 0)
+    )
+    rolled = dense.select(
+        "_tb", "bucket", F.sum("cnt").over(w).alias("cnt")
+    ).filter(F.col("cnt").isNotNull())
+    out = hdr_quantiles(rolled, qs, ("_tb",), sub_bits)
+    return out.withColumnRenamed("_tb", "bucket")

@@ -190,3 +190,41 @@ def test_weighted_quantiles(spark):
         )
     )
     assert a == b
+
+
+def test_sliding_quantiles_equal_direct_window_builds(spark):
+    """The windowed bucket-count fold must give EXACTLY the estimate
+    a from-scratch sketch over each trailing window's raw rows gives
+    (sum composes, so sliding maintenance loses nothing), and a GAP
+    hour (zero events) still reports its non-empty trailing window —
+    the spine is the dense min..max sequence."""
+    import datetime as dt
+
+    from openset_spark.pipeline.hdrhist import hdr_sliding_quantiles
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # 40 hours with a GAP at hours 20-23; drifting value distribution
+    for h in [*range(20), *range(24, 40)]:
+        for u in range(60):
+            rows.append((t0 + dt.timedelta(hours=h, minutes=u), h * 37 + u * u))
+    df = spark.createDataFrame(rows, ["ts", "value"])
+    got = {
+        (r.bucket, r.q): r.est
+        for r in hdr_sliding_quantiles(df, window=6, qs=(0.5, 0.95)).collect()
+    }
+    assert len(got) == 80  # 40 dense hours x 2 quantiles (gap included)
+    for h in (5, 19, 21, 23, 24, 30, 39):
+        b = t0 + dt.timedelta(hours=h)
+        lo = b - dt.timedelta(hours=5)
+        direct_rows = df.filter(
+            (F.col("ts") >= lo) & (F.col("ts") < b + dt.timedelta(hours=1))
+        )
+        want = {
+            r.q: r.est
+            for r in approx_quantiles(
+                direct_rows, "value", (0.5, 0.95)
+            ).collect()
+        }
+        for q in (0.5, 0.95):
+            assert got[(b, q)] == want[q], (h, q, got[(b, q)], want[q])
