@@ -291,11 +291,29 @@ def hdr_sliding_quantiles(
     scratch (test-asserted), and DuckDB replays the whole pipeline.
     """
     _check(sub_bits)
+    pre = df.withColumn("_tb", F.date_trunc(slide, F.col(ts_col)))
+    parts = hdr_partials(pre, col, ("_tb",), sub_bits)
+    return hdr_sliding_from_partials(parts, slide, window, qs, sub_bits)
+
+
+def hdr_sliding_from_partials(
+    parts: DataFrame,
+    slide: str = "hour",
+    window: int = 24,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    sub_bits: int = 5,
+) -> DataFrame:
+    """The sliding fold from STORED per-slide partials (_tb, bucket,
+    cnt) — the path a live deployment runs: per-hour sketches are
+    maintained incrementally (e.g. stream-folded, the 29th parity
+    surface), and every trailing-window quantile re-reads only the
+    bounded partial table, never raw rows. hdr_sliding_quantiles is
+    exactly this on freshly-built partials, so stream-fed and batch
+    results are equal by construction (33rd parity surface)."""
+    _check(sub_bits)
     if slide not in ("hour", "day"):
         raise ValueError(f"slide must be hour|day: {slide}")
     sec = 3600 if slide == "hour" else 86400
-    pre = df.withColumn("_tb", F.date_trunc(slide, F.col(ts_col)))
-    parts = hdr_partials(pre, col, ("_tb",), sub_bits)
     spine = parts.agg(
         F.min("_tb").alias("_lo"), F.max("_tb").alias("_hi")
     ).select(

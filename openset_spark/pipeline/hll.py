@@ -301,11 +301,29 @@ def hll_sliding_distinct(
     (test-asserted), and DuckDB replays the whole pipeline."""
     from pyspark.sql.window import Window
 
+    pre = df.withColumn("_b", F.date_trunc(slide, F.col(ts_col)))
+    parts = hll_partials(pre, col, ("_b",), p)
+    return hll_sliding_from_partials(parts, slide, window, p)
+
+
+def hll_sliding_from_partials(
+    parts: DataFrame,
+    slide: str = "hour",
+    window: int = 24,
+    p: int = 10,
+) -> DataFrame:
+    """The sliding fold from STORED per-slide register partials
+    (_b, reg, rho) — the path a live deployment runs: per-hour
+    registers are maintained incrementally (stream-folded, the 26th
+    parity surface), and every trailing-window estimate re-reads only
+    the bounded register table, never raw rows. hll_sliding_distinct
+    is exactly this on freshly-built partials, so stream-fed and
+    batch results are equal by construction (32nd parity surface)."""
+    from pyspark.sql.window import Window
+
     if slide not in ("hour", "day"):
         raise ValueError(f"slide must be hour|day: {slide}")
     sec = 3600 if slide == "hour" else 86400
-    pre = df.withColumn("_b", F.date_trunc(slide, F.col(ts_col)))
-    parts = hll_partials(pre, col, ("_b",), p)
     spine = parts.agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     ).select(

@@ -1890,8 +1890,8 @@ def test_stream_fold_feeds_sliding_distinct(spark, sf_dir, tmpdir):
         hll_fold,
         hll_observations,
         hll_sliding_distinct,
+        hll_sliding_from_partials,
     )
-    from pyspark.sql.window import Window
 
     _spill_events(spark, sf_dir, tmpdir)
     stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
@@ -1906,34 +1906,13 @@ def test_stream_fold_feeds_sliding_distinct(spark, sf_dir, tmpdir):
         spark.sql(f"select * from {name}"), ("_b",)
     ).localCheckpoint()
 
-    # sliding estimate over the STREAM-folded partials
-    spine = parts.select("_b").distinct()
-    regs = parts.select("reg").distinct()
-    dense = spine.crossJoin(regs).join(parts, ["_b", "reg"], "left")
-    hidx = (FF.unix_timestamp(FF.col("_b")) / 3600).cast("long")
-    w = Window.partitionBy("reg").orderBy(hidx).rangeBetween(-5, 0)
-    rolled = dense.select(
-        FF.col("_b").alias("bucket"),
-        "reg",
-        FF.max("rho").over(w).alias("rho"),
-    ).filter(FF.col("rho").isNotNull())
-    m = 1024
-    agg = rolled.groupBy("bucket").agg(
-        FF.sum(FF.pow(FF.lit(2.0), -FF.col("rho"))).alias("_z"),
-        FF.count(FF.lit(1)).alias("_n"),
-    )
-    z = FF.col("_z") + (FF.lit(m) - FF.col("_n"))
-    raw = FF.lit(0.7213 / (1.0 + 1.079 / m) * m * m) / z
-    v = FF.lit(m) - FF.col("_n")
-    est = FF.when(
-        (raw <= FF.lit(2.5 * m)) & (v > 0),
-        FF.lit(float(m)) * FF.log(FF.lit(float(m)) / v),
-    ).otherwise(raw)
+    # sliding estimate over the STREAM-folded partials, through the
+    # SAME code path the batch op runs (r12: was an inline
+    # re-implementation, which silently diverged when the batch op
+    # densified its spine over gap hours)
     got = {
-        r.bucket: r.est
-        for r in agg.select(
-            "bucket", FF.round(est, 4).alias("est")
-        ).collect()
+        r.bucket: r.approx_distinct
+        for r in hll_sliding_from_partials(parts, "hour", 6).collect()
     }
 
     batch = _batch_frame(spark, tmpdir)
@@ -1944,3 +1923,50 @@ def test_stream_fold_feeds_sliding_distinct(spark, sf_dir, tmpdir):
         ).collect()
     }
     assert got == want and len(want) >= 5
+
+
+def test_stream_fold_feeds_sliding_quantiles(spark, sf_dir, tmpdir):
+    """33rd parity surface: live trailing-window percentiles. The
+    streamed per-hour HDR bucket observations (29th surface) fold to
+    exactly the batch per-hour partials (sum composes), so
+    hdr_sliding_from_partials over the stream-folded table yields
+    EXACTLY the batch hdr_sliding_quantiles at every (bucket, q) —
+    the live p95 dashboard with no approximation drift, ever."""
+    from pyspark.sql import functions as FF
+
+    from openset_spark.pipeline.hdrhist import (
+        hdr_fold,
+        hdr_observations,
+        hdr_sliding_from_partials,
+        hdr_sliding_quantiles,
+    )
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    obs = hdr_observations(
+        stream.withColumn(
+            "cents", FF.floor(FF.col("value") * 100 + 0.5).cast("long")
+        ).withColumn("_tb", FF.date_trunc("hour", FF.col("ts"))),
+        "cents",
+        ("_tb",),
+    )
+    name = f"parity_slideq_{uuid.uuid4().hex[:8]}"
+    _run_available(obs, name)
+    parts = hdr_fold(
+        spark.sql(f"select * from {name}"), ("_tb",)
+    ).localCheckpoint()
+
+    got = {
+        (r.bucket, r.q): r.est
+        for r in hdr_sliding_from_partials(parts, "hour", 6).collect()
+    }
+    batch = _batch_frame(spark, tmpdir).withColumn(
+        "cents", FF.floor(FF.col("value") * 100 + 0.5).cast("long")
+    )
+    want = {
+        (r.bucket, r.q): r.est
+        for r in hdr_sliding_quantiles(
+            batch, "cents", "ts", "hour", 6
+        ).collect()
+    }
+    assert got == want and len(want) >= 10
