@@ -604,3 +604,34 @@ class OpenSetEngine:
         return kmv_overlap_matrix(
             sketches, "segment", k, keys=list(segments)
         )
+
+    def sliding_actives(
+        self, slide: str = "hour", window: int = 24, p: int = 10
+    ) -> DataFrame:
+        """Trailing-window distinct users at every slide point (the
+        live 24h-actives series) — range-framed register fold over a
+        dense time spine; equal to re-sketching each window from
+        scratch (pipeline/hll.py::hll_sliding_distinct)."""
+        from openset_spark.pipeline.hll import hll_sliding_distinct
+
+        return hll_sliding_distinct(
+            self._events, "user_id", "ts", slide, window, p
+        )
+
+    def sliding_quantiles(
+        self,
+        col: str,
+        slide: str = "hour",
+        window: int = 24,
+        qs: tuple[float, ...] = (0.5, 0.95),
+        sub_bits: int = 5,
+    ) -> DataFrame:
+        """Trailing-window quantiles of a non-negative integer
+        column at every slide point (the live p95 series) — bucket
+        counts compose by sum, so the trailing fold re-reads only
+        bounded partials (pipeline/hdrhist.py::hdr_sliding_quantiles)."""
+        from openset_spark.pipeline.hdrhist import hdr_sliding_quantiles
+
+        return hdr_sliding_quantiles(
+            self._events, col, "ts", slide, window, qs, sub_bits
+        )

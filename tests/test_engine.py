@@ -286,3 +286,36 @@ def test_engine_overlap_matrix_empty_segment_and_validation(eng):
     assert m[("nobody", "viewers")] == 0.0
     with _pt.raises(ValueError, match="non-empty"):
         eng.segment_overlap_matrix({})
+
+
+def test_engine_sliding_surface(eng):
+    """r12: the trailing-window family on the facade — live actives
+    and live percentile series from bounded per-hour partials,
+    cross-checked against direct window builds."""
+    from pyspark.sql import functions as F
+
+    from openset_spark.pipeline.hdrhist import approx_quantiles
+    from openset_spark.pipeline.hll import approx_distinct
+
+    act = eng.sliding_actives(window=6)
+    rows = act.orderBy("bucket").collect()
+    assert len(rows) >= 5
+    # dense spine: consecutive hour buckets, no holes
+    hours = [r.bucket for r in rows]
+    assert all(
+        (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+    )
+    last = rows[-1]
+    lo = last.bucket - __import__("datetime").timedelta(hours=5)
+    direct = approx_distinct(
+        eng.events.filter(F.col("ts") >= lo), "user_id"
+    ).first()
+    assert last.approx_distinct == direct.approx_distinct
+
+    q = eng.sliding_quantiles("user_id", window=6, qs=(0.5,))
+    qrows = q.orderBy("bucket").collect()
+    assert len(qrows) == len(rows)  # same dense spine
+    direct_q = approx_quantiles(
+        eng.events.filter(F.col("ts") >= lo), "user_id", (0.5,)
+    ).first()
+    assert qrows[-1].est == direct_q.est
