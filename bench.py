@@ -507,6 +507,22 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r11"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-12 additions: the sliding-quantiles twin. Disable with
+    # SPARK_GRAFT_R12=0.
+    if os.environ.get("SPARK_GRAFT_R12", "1") != "0":
+        try:
+            extra = {}
+            for name in ("sliding_value_p95_24h",):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r12"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r12"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # HLL scale evidence: grouped approx_distinct (<= m rows per group
     # shuffled) vs exact countDistinct (every (group, user) pair
     # shuffled) on a 6M-row / 500k-user synthetic corpus; reports the
