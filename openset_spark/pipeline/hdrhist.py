@@ -314,6 +314,12 @@ def hdr_sliding_from_partials(
     if slide not in ("hour", "day"):
         raise ValueError(f"slide must be hour|day: {slide}")
     sec = 3600 if slide == "hour" else 86400
+    # Three subtrees reference `parts` (bounds agg, distinct buckets,
+    # densify join) — materialize the bounded partial table (slide
+    # buckets x <= 64*s + 1 rows) so the raw scan runs exactly once
+    # (same reasoning as hll_sliding_from_partials; measured 3 scans
+    # otherwise).
+    parts = parts.localCheckpoint()
     spine = parts.agg(
         F.min("_tb").alias("_lo"), F.max("_tb").alias("_hi")
     ).select(

@@ -324,6 +324,13 @@ def hll_sliding_from_partials(
     if slide not in ("hour", "day"):
         raise ValueError(f"slide must be hour|day: {slide}")
     sec = 3600 if slide == "hour" else 86400
+    # The fold references `parts` from THREE subtrees (bounds agg,
+    # distinct regs, the densify join); Catalyst plans each its own
+    # copy — measured 3 full raw scans when parts is a fresh plan
+    # over the event table. The partial table is bounded (slide
+    # buckets x <= 2^p rows), so materializing it costs O(bounded)
+    # and pins the raw scan to exactly ONE pass.
+    parts = parts.localCheckpoint()
     spine = parts.agg(
         F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
     ).select(

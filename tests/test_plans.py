@@ -594,3 +594,33 @@ def test_time_rollup_quantiles_expands_buckets_not_rows(spark, sf_dir):
 
     walk(plan, False)
     assert "agg_under_expand" in found, plan.toString()
+
+
+def test_sliding_folds_scan_raw_exactly_once(spark, sf_dir):
+    """Both sliding folds reference their partial table from THREE
+    subtrees (bounds agg, distinct regs/buckets, densify join) —
+    without materialization Catalyst plans three separate raw scans
+    (measured). The bounded partial table is localCheckpoint-pinned,
+    so the final plan must contain ZERO parquet scans: the one raw
+    pass already happened building the partials."""
+    from openset_spark.pipeline.hdrhist import hdr_sliding_quantiles
+    from openset_spark.pipeline.hll import hll_sliding_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    d = hll_sliding_distinct(ev, "user_id", "ts", "hour", 6)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan
+    assert plan.count("Scan ExistingRDD") == 3, plan
+
+    q = hdr_sliding_quantiles(
+        ev.withColumn(
+            "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+        ),
+        "cents",
+        window=6,
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan
+    # >= 3: the quantile-rank walk adds a LocalTableScan of qs, and
+    # exact node counts vary with AQE — the invariant is NO raw scan
+    assert plan.count("Scan ExistingRDD") >= 3, plan
