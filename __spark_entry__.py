@@ -2904,6 +2904,83 @@ ORDER BY bucket, q
 """
 
 
+def q_sliding_user_rates_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h event counts for a watched user set re-evaluated
+    EVERY HOUR from stored per-hour CMS grids — the live rate/abuse
+    monitor, and the third sliding sketch (HLL distincts, HDR
+    quantiles, CMS frequencies: grids compose by sum, so the
+    trailing fold re-reads only the probe set's own grid cells,
+    never raw rows; dense spine, so a watched user silent all hour
+    still emits). est is an exact integer function of the grids —
+    DuckDB replays hash, digit split, spine, frame and min-over-depth
+    bit for bit. NEW r12."""
+    from openset_spark.pipeline.cms import cms_sliding_estimate
+
+    ev = _events(spark, sf_dir)
+    probes = (
+        ev.select("user_id").filter(F.col("user_id") % 7 == 0).distinct()
+    )
+    out = cms_sliding_estimate(ev, "user_id", probes, "ts", "hour", 24)
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "user_id",
+        "est",
+    ).orderBy("bucket", "user_id")
+
+
+_SQL_SLIDING_USER_RATES_24H = """
+WITH ds AS (SELECT * FROM (VALUES (0, 1::BIGINT), (1, 2048::BIGINT),
+  (2, 4194304::BIGINT), (3, 8589934592::BIGINT)) v(d, wp)),
+base AS (
+  SELECT date_trunc('hour', ts::TIMESTAMP) AS tb,
+    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+grid AS (
+  SELECT tb, d, CAST((hv // wp) % 2048 AS INTEGER) AS bucket,
+    COUNT(*)::BIGINT AS cnt
+  FROM base, ds GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND user_id % 7 = 0
+),
+pb AS (
+  SELECT user_id, d,
+    CAST((CAST(CAST(concat('0x',
+        substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      AS UBIGINT) AS BIGINT) // wp) % 2048 AS INTEGER) AS bucket
+  FROM probes, ds
+),
+cells AS (SELECT DISTINCT d, bucket FROM pb),
+spine AS (
+  SELECT unnest(generate_series((SELECT MIN(tb) FROM grid),
+                                (SELECT MAX(tb) FROM grid),
+                                INTERVAL 1 HOUR)) AS tb
+),
+dense AS (
+  SELECT spine.tb, cells.d, cells.bucket, grid.cnt
+  FROM spine CROSS JOIN cells
+  LEFT JOIN grid ON grid.tb = spine.tb AND grid.d = cells.d
+                AND grid.bucket = cells.bucket
+),
+rolled AS (
+  SELECT tb, d, bucket,
+    SUM(cnt) OVER (PARTITION BY d, bucket
+      ORDER BY CAST(epoch(tb) AS BIGINT) // 3600
+      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS cnt
+  FROM dense
+)
+SELECT strftime(rolled.tb, '%Y-%m-%d %H:%M:%S') AS bucket,
+  pb.user_id AS user_id,
+  MIN(COALESCE(rolled.cnt, 0)) AS est
+FROM rolled JOIN pb ON pb.d = rolled.d AND pb.bucket = rolled.bucket
+GROUP BY 1, 2
+ORDER BY bucket, user_id
+"""
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary overlap between EVERY pair of sources (the corpus
     heterogeneity heatmap) from per-source KMV sketches: k smallest
@@ -4300,6 +4377,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         # born r12 (never driver-green yet; forced into the r13 window)
         "sliding_value_p95_24h": q_sliding_value_p95_24h,
+        "sliding_user_rates_24h": q_sliding_user_rates_24h,
     }
 
 
@@ -5058,6 +5136,7 @@ def oracle_sql() -> dict[str, str]:
         "source_vocab_overlap": _SQL_SOURCE_VOCAB_OVERLAP,
         "sliding_users_24h": _SQL_SLIDING_USERS_24H,
         "sliding_value_p95_24h": _SQL_SLIDING_VALUE_P95_24H,
+        "sliding_user_rates_24h": _SQL_SLIDING_USER_RATES_24H,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

@@ -236,3 +236,95 @@ def cms_heavy_hitters(
     cands = df.filter(F.col(col).isNotNull()).select(col).distinct()
     out = cms_estimate(sketch, cands, col, (), depth, width)
     return out.filter(F.col("est") >= threshold)
+
+
+def cms_sliding_estimate(
+    df: DataFrame,
+    col: str,
+    probes: DataFrame,
+    ts_col: str = "ts",
+    slide: str = "hour",
+    window: int = 24,
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """TRAILING-window approximate frequencies for a bounded probe
+    set at every slide point (each watched item's count over the
+    last 24 hours, re-evaluated hourly) — the live rate/trend
+    monitor an exact per-item count would re-scan for and the
+    sliding sibling of hll/hdr (grids compose by SUM, so the
+    trailing window folds from stored per-slide grids without
+    re-touching raw rows). Only the probe set's OWN grid cells ride
+    the fold: the spine is (dense min..max slide sequence) x
+    (probe cells, <= n_probes x depth), never time x width x depth
+    and never the data. A probe absent from the whole window
+    estimates 0 (absent cell = zero counter). Output:
+    (bucket, probe columns..., est) — est is an exact integer
+    function of the per-slide grids; est >= the window's exact
+    count (the CMS one-sided guarantee, per slide point).
+    By construction the windowed cells EQUAL a from-scratch grid
+    over each window's rows, so estimates are identical to
+    re-sketching every window (test-asserted)."""
+    from pyspark.sql.window import Window
+
+    _check(depth, width)
+    if slide not in ("hour", "day"):
+        raise ValueError(f"slide must be hour|day: {slide}")
+    keys = [c for c in probes.columns]
+    clash = {"_cms_d", "_cms_bucket", "_cms_cnt", "_h60", "_tb"} & set(keys)
+    if clash:
+        raise ValueError(f"probe columns collide with internals: {clash}")
+    sec = 3600 if slide == "hour" else 86400
+    pre = df.withColumn("_tb", F.date_trunc(slide, F.col(ts_col)))
+    # the per-slide grid is BOUNDED (slides x depth x width rows
+    # regardless of input) — materialize it so the raw scan runs
+    # exactly once across the spine/restrict references, and so the
+    # spine covers the FULL data range (a probe observed only early
+    # must still emit 0-estimates at later slide points)
+    parts = cms_partials(
+        pre, col, ("_tb",), depth, width, weight_col
+    ).localCheckpoint()
+    # probe cells (<= n_probes x depth rows; broadcast everywhere)
+    pb = (
+        probes.filter(F.col(col).isNotNull())
+        .withColumn("_h60", _hash60(F.col(col)))
+        .select(
+            *keys,
+            F.posexplode(_buckets_from(F.col("_h60"), depth, width)),
+        )
+        .withColumnsRenamed({"pos": "_cms_d", "col": "_cms_bucket"})
+        .localCheckpoint()
+    )
+    cells = pb.select("_cms_d", "_cms_bucket").distinct()
+    # restrict the stored grids to probe cells BEFORE the windowed
+    # fold — the fold only ever needs the watched cells
+    sub = parts.withColumnsRenamed(
+        {"d": "_cms_d", "bucket": "_cms_bucket"}
+    ).join(F.broadcast(cells), ["_cms_d", "_cms_bucket"])
+    spine = parts.agg(
+        F.min("_tb").alias("_lo"), F.max("_tb").alias("_hi")
+    ).select(
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"interval 1 {slide}"))
+        ).alias("_tb")
+    )
+    dense = spine.crossJoin(F.broadcast(cells)).join(
+        sub, ["_tb", "_cms_d", "_cms_bucket"], "left"
+    )
+    tidx = (F.unix_timestamp(F.col("_tb")) / sec).cast("long")
+    w = (
+        Window.partitionBy("_cms_d", "_cms_bucket")
+        .orderBy(tidx)
+        .rangeBetween(-(window - 1), 0)
+    )
+    rolled = dense.select(
+        "_tb",
+        "_cms_d",
+        "_cms_bucket",
+        F.sum("cnt").over(w).alias("_cms_cnt"),
+    )
+    joined = rolled.join(F.broadcast(pb), ["_cms_d", "_cms_bucket"])
+    return joined.groupBy(F.col("_tb").alias("bucket"), *keys).agg(
+        F.min(F.coalesce(F.col("_cms_cnt"), F.lit(0))).alias("est")
+    )

@@ -225,3 +225,50 @@ def test_turnstile_deletions_fold_to_net_corpus(spark):
     got = sorted(map(tuple, net.filter("cnt <> 0").collect()))
     want = sorted(map(tuple, direct.collect()))
     assert got == want
+
+
+def test_sliding_estimate_equals_direct_window_builds(spark):
+    """The windowed grid fold must give EXACTLY the estimate a
+    from-scratch CMS over each trailing window's raw rows gives
+    (sum composes); gap hours emit (dense spine); a probe observed
+    only EARLY still emits 0-estimates at later slide points; a
+    probe never observed estimates 0 everywhere."""
+    import datetime as dt
+
+    from openset_spark.pipeline.cms import cms_sliding_estimate
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # 30 hours with a GAP at 12-15; item mix shifts over time;
+    # "early" appears only in hours 0-3
+    for h in [*range(12), *range(16, 30)]:
+        for i in range(40):
+            rows.append((t0 + dt.timedelta(hours=h, minutes=i), f"tok{i % (5 + h % 3)}"))
+        if h < 4:
+            rows.append((t0 + dt.timedelta(hours=h, minutes=50), "early"))
+    df = spark.createDataFrame(rows, ["ts", "item"])
+    probes = spark.createDataFrame(
+        [("tok0",), ("tok3",), ("early",), ("never-seen",)], ["item"]
+    )
+    out = cms_sliding_estimate(
+        df, "item", probes, "ts", "hour", 6, depth=3, width=1024
+    )
+    got = {(r.bucket, r.item): r.est for r in out.collect()}
+    assert len(got) == 30 * 4  # dense spine x probes, gap included
+    for h in (3, 9, 13, 16, 20, 29):
+        b = t0 + dt.timedelta(hours=h)
+        lo = b - dt.timedelta(hours=5)
+        win = df.filter(
+            (F.col("ts") >= lo) & (F.col("ts") < b + dt.timedelta(hours=1))
+        )
+        sk = cms_partials(win, "item", (), 3, 1024)
+        want = {
+            r.item: r.est
+            for r in cms_estimate(sk, probes, "item", (), 3, 1024).collect()
+        }
+        for p in ("tok0", "tok3", "early", "never-seen"):
+            assert got[(b, p)] == want[p], (h, p, got[(b, p)], want[p])
+    # the early-only probe goes to 0 once its hours leave the window
+    assert got[(t0 + dt.timedelta(hours=9), "early")] == 0
+    assert all(got[(t0 + dt.timedelta(hours=h), "never-seen")] == 0
+               for h in range(30))
