@@ -618,6 +618,25 @@ class OpenSetEngine:
             self._events, "user_id", "ts", slide, window, p
         )
 
+    def sliding_rates(
+        self,
+        col: str,
+        probes: "DataFrame",
+        slide: str = "hour",
+        window: int = 24,
+        depth: int = 4,
+        width: int = 2048,
+    ) -> DataFrame:
+        """Trailing-window event rates for a watched probe set at
+        every slide point (the live rate/abuse monitor) — grids
+        compose by sum; only the probes' own cells ride the fold
+        (pipeline/cms.py::cms_sliding_estimate)."""
+        from openset_spark.pipeline.cms import cms_sliding_estimate
+
+        return cms_sliding_estimate(
+            self._events, col, probes, "ts", slide, window, depth, width
+        )
+
     def sliding_quantiles(
         self,
         col: str,

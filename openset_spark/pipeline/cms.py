@@ -266,6 +266,38 @@ def cms_sliding_estimate(
     By construction the windowed cells EQUAL a from-scratch grid
     over each window's rows, so estimates are identical to
     re-sketching every window (test-asserted)."""
+    _check(depth, width)
+    pre = df.withColumn("_tb", F.date_trunc(slide, F.col(ts_col)))
+    # the per-slide grid is BOUNDED (slides x depth x width rows
+    # regardless of input) — materialize it so the raw scan runs
+    # exactly once across the spine/restrict references, and so the
+    # spine covers the FULL data range (a probe observed only early
+    # must still emit 0-estimates at later slide points)
+    parts = cms_partials(
+        pre, col, ("_tb",), depth, width, weight_col
+    ).localCheckpoint()
+    return cms_sliding_from_partials(
+        parts, col, probes, slide, window, depth, width
+    )
+
+
+def cms_sliding_from_partials(
+    parts: DataFrame,
+    col: str,
+    probes: DataFrame,
+    slide: str = "hour",
+    window: int = 24,
+    depth: int = 4,
+    width: int = 2048,
+) -> DataFrame:
+    """The sliding fold from STORED per-slide grids (_tb, d, bucket,
+    cnt) — the path a live deployment runs: per-hour grids maintained
+    incrementally (stream-folded, the 28th parity surface), trailing
+    estimates re-reading only the watched cells of the bounded grid
+    table. cms_sliding_estimate is exactly this on freshly-built
+    grids, so stream-fed and batch results are equal by construction
+    (34th parity surface). ``parts`` should be materialized (a table
+    or checkpoint): three subtrees reference it."""
     from pyspark.sql.window import Window
 
     _check(depth, width)
@@ -276,15 +308,6 @@ def cms_sliding_estimate(
     if clash:
         raise ValueError(f"probe columns collide with internals: {clash}")
     sec = 3600 if slide == "hour" else 86400
-    pre = df.withColumn("_tb", F.date_trunc(slide, F.col(ts_col)))
-    # the per-slide grid is BOUNDED (slides x depth x width rows
-    # regardless of input) — materialize it so the raw scan runs
-    # exactly once across the spine/restrict references, and so the
-    # spine covers the FULL data range (a probe observed only early
-    # must still emit 0-estimates at later slide points)
-    parts = cms_partials(
-        pre, col, ("_tb",), depth, width, weight_col
-    ).localCheckpoint()
     # probe cells (<= n_probes x depth rows; broadcast everywhere)
     pb = (
         probes.filter(F.col(col).isNotNull())

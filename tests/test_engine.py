@@ -319,3 +319,17 @@ def test_engine_sliding_surface(eng):
         eng.events.filter(F.col("ts") >= lo), "user_id", (0.5,)
     ).first()
     assert qrows[-1].est == direct_q.est
+
+    probes = eng.events.select("user_id").filter(
+        F.col("user_id") % 5 == 0
+    ).distinct()
+    rates = eng.sliding_rates("user_id", probes, window=6)
+    rrows = rates.filter(F.col("bucket") == last.bucket).collect()
+    assert len(rrows) == probes.count()  # every probe emits
+    exact = {
+        r.user_id: r.n
+        for r in eng.events.filter(F.col("ts") >= lo)
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in rrows:  # one-sided CMS law per slide point
+        assert r.est >= exact.get(r.user_id, 0)

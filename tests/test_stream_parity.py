@@ -1970,3 +1970,51 @@ def test_stream_fold_feeds_sliding_quantiles(spark, sf_dir, tmpdir):
         ).collect()
     }
     assert got == want and len(want) >= 10
+
+
+def test_stream_fold_feeds_sliding_rates(spark, sf_dir, tmpdir):
+    """34th parity surface: live trailing-window rates for a watched
+    probe set. The streamed per-hour CMS bucket observations (28th
+    surface) fold to exactly the batch per-hour grids (sum composes),
+    so cms_sliding_from_partials over the stream-folded table yields
+    EXACTLY the batch cms_sliding_estimate at every (bucket, probe)
+    — the live rate monitor with no approximation drift, ever."""
+    from pyspark.sql import functions as FF
+
+    from openset_spark.pipeline.cms import (
+        cms_fold,
+        cms_observations,
+        cms_sliding_estimate,
+        cms_sliding_from_partials,
+    )
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    obs = cms_observations(
+        stream.withColumn("_tb", FF.date_trunc("hour", FF.col("ts"))),
+        "user_id",
+        ("_tb",),
+    )
+    name = f"parity_slider_{uuid.uuid4().hex[:8]}"
+    _run_available(obs, name)
+    parts = cms_fold(
+        spark.sql(f"select * from {name}"), ("_tb",)
+    ).localCheckpoint()
+
+    batch = _batch_frame(spark, tmpdir)
+    probes = (
+        batch.select("user_id").filter(FF.col("user_id") % 5 == 0).distinct()
+    ).localCheckpoint()
+    got = {
+        (r.bucket, r.user_id): r.est
+        for r in cms_sliding_from_partials(
+            parts, "user_id", probes, "hour", 6
+        ).collect()
+    }
+    want = {
+        (r.bucket, r.user_id): r.est
+        for r in cms_sliding_estimate(
+            batch, "user_id", probes, "ts", "hour", 6
+        ).collect()
+    }
+    assert got == want and len(want) >= 10
