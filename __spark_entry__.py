@@ -2981,6 +2981,108 @@ ORDER BY bucket, user_id
 """
 
 
+def q_sliding_segment_jaccard_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h audience overlap (viewers vs buyers) re-evaluated
+    EVERY HOUR from stored per-hour KMV sketches — the fourth sliding
+    sketch: min order statistics compose (every window-k-min hash is
+    inside its own hour's k-min), so the trailing sketches fold from
+    the bounded per-hour sketch table and the grouped joint-sample
+    estimator runs per slide point. DuckDB replays sketches, fan-out,
+    re-rank and estimator bit for bit. NEW r12."""
+    from openset_spark.pipeline.kmv import kmv_sliding_jaccard
+
+    ev = _events(spark, sf_dir)
+    out = kmv_sliding_jaccard(
+        ev,
+        "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        "ts",
+        "hour",
+        24,
+        k=64,
+    )
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "jaccard",
+        "approx_intersection",
+    ).orderBy("bucket")
+
+
+_SQL_SLIDING_SEGMENT_JACCARD_24H = """
+WITH pre AS (
+  SELECT date_trunc('hour', ts::TIMESTAMP) AS tb, event_type,
+    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+obs AS (
+  SELECT DISTINCT tb, 'a' AS side, hv FROM pre WHERE event_type = 'view'
+  UNION ALL
+  SELECT DISTINCT tb, 'b' AS side, hv FROM pre WHERE event_type = 'purchase'
+),
+parts AS (
+  SELECT tb, side, hv FROM (
+    SELECT tb, side, hv,
+      DENSE_RANK() OVER (PARTITION BY tb, side ORDER BY hv) AS r
+    FROM obs
+  ) WHERE r <= 64
+),
+hi AS (SELECT MAX(tb) AS hi FROM parts),
+served AS (
+  SELECT side, hv,
+    unnest(generate_series(tb,
+      LEAST(tb + INTERVAL 23 HOUR, (SELECT hi FROM hi)),
+      INTERVAL 1 HOUR)) AS bucket
+  FROM parts
+),
+wa AS (
+  SELECT bucket, hv FROM (
+    SELECT bucket, hv, DENSE_RANK() OVER (PARTITION BY bucket ORDER BY hv) AS r
+    FROM (SELECT DISTINCT bucket, hv FROM served WHERE side = 'a')
+  ) WHERE r <= 64
+),
+wb AS (
+  SELECT bucket, hv FROM (
+    SELECT bucket, hv, DENSE_RANK() OVER (PARTITION BY bucket ORDER BY hv) AS r
+    FROM (SELECT DISTINCT bucket, hv FROM served WHERE side = 'b')
+  ) WHERE r <= 64
+),
+uni AS (
+  SELECT bucket, hv FROM (
+    SELECT bucket, hv, DENSE_RANK() OVER (PARTITION BY bucket ORDER BY hv) AS r
+    FROM (SELECT DISTINCT bucket, hv FROM
+          (SELECT * FROM wa UNION ALL SELECT * FROM wb))
+  ) WHERE r <= 64
+),
+th AS (SELECT bucket, MAX(hv) AS theta, COUNT(*)::BIGINT AS ku
+       FROM uni GROUP BY 1),
+du AS (
+  SELECT bucket, ROUND(CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+    ELSE 63.0 * 1152921504606846976.0 / theta END, 4) AS du
+  FROM th
+),
+joint AS (
+  SELECT wa.bucket AS bucket, COUNT(*)::BIGINT AS c
+  FROM wa JOIN wb ON wb.bucket = wa.bucket AND wb.hv = wa.hv
+  JOIN th ON th.bucket = wa.bucket
+  WHERE wa.hv <= th.theta
+  GROUP BY 1
+)
+SELECT strftime(th.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+  ROUND(COALESCE(joint.c, 0) / th.ku, 4) AS jaccard,
+  -- exact-decimal product (kmv_jaccard_by float contract): a
+  -- double x double ROUND tie diverges between engines
+  CAST(ROUND(CAST(COALESCE(joint.c, 0) / th.ku AS DECIMAL(12,10))
+             * CAST(du.du AS DECIMAL(20,4)), 4) AS DOUBLE)
+    AS approx_intersection
+FROM th
+LEFT JOIN joint ON joint.bucket = th.bucket
+JOIN du ON du.bucket = th.bucket
+ORDER BY bucket
+"""
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary overlap between EVERY pair of sources (the corpus
     heterogeneity heatmap) from per-source KMV sketches: k smallest
@@ -4378,6 +4480,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born r12 (never driver-green yet; forced into the r13 window)
         "sliding_value_p95_24h": q_sliding_value_p95_24h,
         "sliding_user_rates_24h": q_sliding_user_rates_24h,
+        "sliding_segment_jaccard_24h": q_sliding_segment_jaccard_24h,
     }
 
 
@@ -5137,6 +5240,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_users_24h": _SQL_SLIDING_USERS_24H,
         "sliding_value_p95_24h": _SQL_SLIDING_VALUE_P95_24H,
         "sliding_user_rates_24h": _SQL_SLIDING_USER_RATES_24H,
+        "sliding_segment_jaccard_24h": _SQL_SLIDING_SEGMENT_JACCARD_24H,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

@@ -512,7 +512,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_R12", "1") != "0":
         try:
             extra = {}
-            for name in ("sliding_value_p95_24h", "sliding_user_rates_24h"):
+            for name in ("sliding_value_p95_24h", "sliding_user_rates_24h",
+                         "sliding_segment_jaccard_24h"):
                 samples = []
                 for _ in range(reps):
                     t0 = time.time()

@@ -281,3 +281,132 @@ def kmv_difference(
             ).alias("approx_difference")
         )
     )
+
+
+def kmv_jaccard_by(
+    a: DataFrame,
+    b: DataFrame,
+    group_by: tuple[str, ...],
+    k: int = 512,
+) -> DataFrame:
+    """GROUPED joint-sample Jaccard: one (group_by..., jaccard,
+    approx_intersection) row per group present in either sketch
+    frame — the same Beyer et al. estimator as kmv_jaccard, with
+    every step keyed by the group (the sliding fold groups by slide
+    point). A group where the pair is disjoint still emits (jaccard
+    0.0); a group absent from BOTH frames emits nothing (an empty
+    union has no estimator).
+
+    Float contract: ``jaccard`` is ROUND(c/ku, 4) — a ratio of small
+    ints whose only .xxxx5 ROUND ties are dyadic (exactly
+    representable, both engines round away from zero identically).
+    ``approx_intersection`` multiplies two inexact doubles, whose
+    ROUND ties ARE engine-divergent (Spark rounds the shortest
+    decimal repr, DuckDB the binary value — hit once per ~10^4 slide
+    points, measured), so the product runs in EXACT DECIMAL: each
+    factor recovers its intended decimal value (c/ku at 10 places —
+    dyadic-ties-only again; _du is already a 4-decimal quantity),
+    the decimal product is exact, and decimal ROUND is half-up in
+    both engines."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    gb = list(group_by)
+    u = kmv_fold(a.unionByName(b), group_by, k)
+    th = u.groupBy(*gb).agg(
+        F.max("hv").alias("_theta"), F.count(F.lit(1)).alias("_ku")
+    )
+    joint = (
+        a.join(b, gb + ["hv"])
+        .join(th, gb)
+        .filter(F.col("hv") <= F.col("_theta"))
+        .groupBy(*gb)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    du = kmv_distinct_estimate(u, group_by, k).withColumnRenamed(
+        "approx_distinct", "_du"
+    )
+    ratio = F.coalesce(F.col("_c"), F.lit(0)) / F.col("_ku")
+    return (
+        th.join(joint, gb, "left")
+        .join(du, gb)
+        .select(
+            *gb,
+            F.round(ratio, 4).alias("jaccard"),
+            F.round(
+                ratio.cast("decimal(12,10)")
+                * F.col("_du").cast("decimal(20,4)"),
+                4,
+            )
+            .cast("double")
+            .alias("approx_intersection"),
+        )
+    )
+
+
+def kmv_sliding_jaccard(
+    df: DataFrame,
+    col: str,
+    a: Column,
+    b: Column,
+    ts_col: str = "ts",
+    slide: str = "hour",
+    window: int = 24,
+    k: int = 512,
+) -> DataFrame:
+    """TRAILING-window audience overlap between two predicates at
+    every slide point (Jaccard of last-24h viewers vs last-24h
+    buyers, re-evaluated hourly) — the fourth sliding sketch: KMV
+    min order statistics COMPOSE (a window's k smallest distinct
+    hashes are all inside their own hour's k smallest), so the
+    trailing sketch folds from stored per-hour sketches without
+    re-touching raw rows:
+
+    1. one per-(hour, side) sketch build (the only scan of the
+       data; <= 2 x hours x k rows, materialized);
+    2. each hour's sketch rows serve the ``window`` slide points
+       that cover the hour — a bounded sequence-explode fan-out
+       (hours x k x window x 2), clipped to the data's max bucket;
+    3. re-rank per (slide point, side) to the window sketches;
+    4. the grouped joint-sample estimator per slide point.
+
+    Output: (bucket, jaccard, approx_intersection). A slide point
+    whose window saw only one side emits jaccard 0.0; a slide point
+    with an empty window emits nothing. By construction the window
+    sketches EQUAL from-scratch builds over each window's rows, so
+    estimates are identical to re-sketching (test-asserted), and
+    DuckDB replays sketches, fan-out, re-rank and estimator."""
+    if slide not in ("hour", "day"):
+        raise ValueError(f"slide must be hour|day: {slide}")
+    pre = df.withColumn("_tb", F.date_trunc(slide, F.col(ts_col)))
+    obs = kmv_observations(pre.filter(a), col, ("_tb",)).withColumn(
+        "_side", F.lit("a")
+    ).unionByName(
+        kmv_observations(pre.filter(b), col, ("_tb",)).withColumn(
+            "_side", F.lit("b")
+        )
+    )
+    # per-(hour, side) sketches: bounded (2 x hours x k), three
+    # downstream references -> materialize; raw scanned once
+    parts = kmv_fold(obs, ("_tb", "_side"), k).localCheckpoint()
+    hi = parts.agg(F.max("_tb").alias("_hi"))
+    served = (
+        parts.crossJoin(F.broadcast(hi))
+        .select(
+            "_side",
+            "hv",
+            F.explode(
+                F.expr(
+                    f"sequence(_tb, least(_tb + interval {window - 1} "
+                    f"{slide}, _hi), interval 1 {slide})"
+                )
+            ).alias("bucket"),
+        )
+    )
+    wa = served.filter(F.col("_side") == "a").select("bucket", "hv")
+    wb = served.filter(F.col("_side") == "b").select("bucket", "hv")
+    return kmv_jaccard_by(
+        kmv_fold(wa, ("bucket",), k),
+        kmv_fold(wb, ("bucket",), k),
+        ("bucket",),
+        k,
+    )

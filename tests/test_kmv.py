@@ -182,3 +182,55 @@ def test_difference_exact_below_k_and_estimates_beyond(spark):
         kmv_partials(A2, "u"), kmv_partials(B2, "u")
     ).first().approx_difference
     assert abs(d2 - 4000) / 4000 < 0.25, d2
+
+
+def test_sliding_jaccard_equals_direct_window_builds(spark):
+    """The windowed sketch re-rank must give EXACTLY the estimates a
+    from-scratch pair of sketches over each trailing window's raw
+    rows gives (min order statistics compose: every window-k-min hash
+    is inside its own hour's k-min) — including a GAP hour served by
+    earlier hours, and a window where one side is absent (jaccard
+    0.0)."""
+    import datetime as dt
+
+    from openset_spark.pipeline.kmv import (
+        kmv_jaccard_by,
+        kmv_partials,
+        kmv_sliding_jaccard,
+    )
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # 30 hours, GAP at 12-15; buyers only exist from hour 18 on
+    for h in [*range(12), *range(16, 30)]:
+        for u in range(40):
+            rows.append((t0 + dt.timedelta(hours=h, minutes=u), u % 25, "view"))
+        if h >= 18:
+            for u in range(10):
+                rows.append(
+                    (t0 + dt.timedelta(hours=h, minutes=u + 40), (u + h) % 25, "buy")
+                )
+    df = spark.createDataFrame(rows, ["ts", "user_id", "etype"])
+    A, B = F.col("etype") == "view", F.col("etype") == "buy"
+    got = {
+        r.bucket: (r.jaccard, r.approx_intersection)
+        for r in kmv_sliding_jaccard(
+            df, "user_id", A, B, window=6, k=16
+        ).collect()
+    }
+    assert len(got) == 30  # every slide point has a non-empty window
+    for h in (3, 13, 17, 19, 24, 29):
+        b = t0 + dt.timedelta(hours=h)
+        lo = b - dt.timedelta(hours=5)
+        win = df.filter(
+            (F.col("ts") >= lo) & (F.col("ts") < b + dt.timedelta(hours=1))
+        )
+        sa = kmv_partials(win.filter(A), "user_id", (), 16)
+        sb = kmv_partials(win.filter(B), "user_id", (), 16)
+        want = kmv_jaccard_by(
+            sa.withColumn("g", F.lit(1)), sb.withColumn("g", F.lit(1)),
+            ("g",), 16,
+        ).first()
+        assert got[b] == (want.jaccard, want.approx_intersection), (h, got[b], want)
+    # one-sided windows report 0.0 jaccard, not a missing row
+    assert got[t0 + dt.timedelta(hours=9)][0] == 0.0
