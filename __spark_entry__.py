@@ -2732,7 +2732,8 @@ c AS (
   FROM a JOIN b USING (hv), th WHERE hv <= th.theta
 )
 SELECT ROUND(c / ku, 4) AS jaccard,
-  ROUND(c / ku * du, 4) AS approx_intersection
+  CAST(ROUND(CAST(c / ku AS DECIMAL(12,10)) * CAST(du AS DECIMAL(20,4)), 4)
+    AS DOUBLE) AS approx_intersection
 FROM c, th, du
 """
 
@@ -3164,7 +3165,9 @@ joint AS (
 )
 SELECT th.key_a, th.key_b,
   ROUND(COALESCE(c, 0) / ku, 4) AS jaccard,
-  ROUND(COALESCE(c, 0) / ku * du, 4) AS approx_intersection
+  CAST(ROUND(CAST(COALESCE(c, 0) / ku AS DECIMAL(12,10))
+             * CAST(du AS DECIMAL(20,4)), 4) AS DOUBLE)
+    AS approx_intersection
 FROM th
 LEFT JOIN joint ON joint.key_a = th.key_a AND joint.key_b = th.key_b
 JOIN du ON du.key_a = th.key_a AND du.key_b = th.key_b

@@ -137,9 +137,15 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
         .join(F.broadcast(est_u))
         .select(
             F.round(F.col("_c") / F.col("_ku"), 4).alias("jaccard"),
+            # exact-DECIMAL product (see kmv_jaccard_by): a double
+            # ROUND tie here diverges between engines (r12 fix)
             F.round(
-                F.col("_c") / F.col("_ku") * F.col("_du"), 4
-            ).alias("approx_intersection"),
+                (F.col("_c") / F.col("_ku")).cast("decimal(12,10)")
+                * F.col("_du").cast("decimal(20,4)"),
+                4,
+            )
+            .cast("double")
+            .alias("approx_intersection"),
         )
     )
 
@@ -237,13 +243,15 @@ def kmv_overlap_matrix(
                 ),
                 F.lit(0.0),
             ).alias("jaccard"),
+            # exact-DECIMAL product (see kmv_jaccard_by): a double
+            # ROUND tie here diverges between engines (r12 fix)
             F.coalesce(
                 F.round(
-                    F.coalesce(F.col("_c"), F.lit(0))
-                    / F.col("_ku")
-                    * F.col("_du"),
+                    (F.coalesce(F.col("_c"), F.lit(0)) / F.col("_ku"))
+                    .cast("decimal(12,10)")
+                    * F.col("_du").cast("decimal(20,4)"),
                     4,
-                ),
+                ).cast("double"),
                 F.lit(0.0),
             ).alias("approx_intersection"),
         )
