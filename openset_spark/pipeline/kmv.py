@@ -396,6 +396,28 @@ def kmv_sliding_jaccard(
     # per-(hour, side) sketches: bounded (2 x hours x k), three
     # downstream references -> materialize; raw scanned once
     parts = kmv_fold(obs, ("_tb", "_side"), k).localCheckpoint()
+    return kmv_sliding_from_partials(parts, slide, window, k)
+
+
+def kmv_sliding_from_partials(
+    parts: DataFrame,
+    slide: str = "hour",
+    window: int = 24,
+    k: int = 512,
+) -> DataFrame:
+    """The sliding re-rank from STORED per-(slide, side) sketches
+    (_tb, _side in {'a','b'}, hv) — the path a live deployment runs:
+    per-hour sketches maintained incrementally (stream-folded, the
+    31st parity surface), trailing overlap re-reading only the
+    bounded sketch table. kmv_sliding_jaccard is exactly this on
+    freshly-built sketches, so stream-fed and batch results are
+    equal by construction (35th parity surface). ``parts`` should be
+    materialized (a table or checkpoint): several subtrees reference
+    it."""
+    if slide not in ("hour", "day"):
+        raise ValueError(f"slide must be hour|day: {slide}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
     hi = parts.agg(F.max("_tb").alias("_hi"))
     served = (
         parts.crossJoin(F.broadcast(hi))

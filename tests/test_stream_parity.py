@@ -2018,3 +2018,56 @@ def test_stream_fold_feeds_sliding_rates(spark, sf_dir, tmpdir):
         ).collect()
     }
     assert got == want and len(want) >= 10
+
+
+def test_stream_fold_feeds_sliding_jaccard(spark, sf_dir, tmpdir):
+    """35th parity surface: live trailing-window audience overlap.
+    The streamed per-(hour, side) KMV hash observations (31st
+    surface) fold to exactly the batch per-hour sketches (k-min of a
+    union composes), so kmv_sliding_from_partials over the
+    stream-folded table yields EXACTLY the batch kmv_sliding_jaccard
+    at every bucket."""
+    from pyspark.sql import functions as FF
+
+    from openset_spark.pipeline.kmv import (
+        kmv_fold,
+        kmv_observations,
+        kmv_sliding_from_partials,
+        kmv_sliding_jaccard,
+    )
+
+    _spill_events(spark, sf_dir, tmpdir)
+    stream = read_event_stream(spark, tmpdir, max_files_per_trigger=1)
+    pre = stream.withColumn("_tb", FF.date_trunc("hour", FF.col("ts")))
+    obs = kmv_observations(
+        pre.filter(FF.col("event_type") == "view"), "user_id", ("_tb",)
+    ).withColumn("_side", FF.lit("a")).unionByName(
+        kmv_observations(
+            pre.filter(FF.col("event_type") == "purchase"),
+            "user_id",
+            ("_tb",),
+        ).withColumn("_side", FF.lit("b"))
+    )
+    name = f"parity_slidej_{uuid.uuid4().hex[:8]}"
+    _run_available(obs, name)
+    parts = kmv_fold(
+        spark.sql(f"select * from {name}"), ("_tb", "_side"), 32
+    ).localCheckpoint()
+
+    got = {
+        (r.bucket, r.jaccard, r.approx_intersection)
+        for r in kmv_sliding_from_partials(parts, "hour", 6, 32).collect()
+    }
+    batch = _batch_frame(spark, tmpdir)
+    want = {
+        (r.bucket, r.jaccard, r.approx_intersection)
+        for r in kmv_sliding_jaccard(
+            batch,
+            "user_id",
+            FF.col("event_type") == "view",
+            FF.col("event_type") == "purchase",
+            window=6,
+            k=32,
+        ).collect()
+    }
+    assert got == want and len(want) >= 5
