@@ -624,3 +624,24 @@ def test_sliding_folds_scan_raw_exactly_once(spark, sf_dir):
     # >= 3: the quantile-rank walk adds a LocalTableScan of qs, and
     # exact node counts vary with AQE — the invariant is NO raw scan
     assert plan.count("Scan ExistingRDD") >= 3, plan
+
+    from openset_spark.pipeline.cms import cms_sliding_estimate
+    from openset_spark.pipeline.kmv import kmv_sliding_jaccard
+
+    probes = ev.select("user_id").filter(
+        F.col("user_id") % 7 == 0
+    ).distinct()
+    r = cms_sliding_estimate(ev, "user_id", probes, "ts", "hour", 6)
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan
+
+    j = kmv_sliding_jaccard(
+        ev,
+        "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        window=6,
+        k=32,
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan
