@@ -2975,7 +2975,9 @@ rolled AS (
 )
 SELECT strftime(rolled.tb, '%Y-%m-%d %H:%M:%S') AS bucket,
   pb.user_id AS user_id,
-  MIN(COALESCE(rolled.cnt, 0)) AS est
+  -- window SUM(BIGINT) is DECIMAL(38,0) in DuckDB -> pandas float64;
+  -- pin the integer contract explicitly
+  CAST(MIN(COALESCE(rolled.cnt, 0)) AS BIGINT) AS est
 FROM rolled JOIN pb ON pb.d = rolled.d AND pb.bucket = rolled.bucket
 GROUP BY 1, 2
 ORDER BY bucket, user_id
