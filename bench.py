@@ -537,6 +537,20 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["hll_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Sliding-fold scale evidence: 72 trailing-window answers from
+    # ONE scan (stored partials) vs one full re-sketch scan per slide
+    # point — identical answers by the fold law, so this measures
+    # pure scan count. Disable with SPARK_GRAFT_SLIDING=0.
+    if os.environ.get("SPARK_GRAFT_SLIDING", "1") != "0":
+        try:
+            from openset_spark.pipeline.sliding_bench import (
+                run_sliding_bench,
+            )
+
+            out["sliding_scale"] = run_sliding_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["sliding_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Bloom + CMS scale evidence: selective-semijoin prune power and
     # constant-shuffle frequency grids. Disable with SPARK_GRAFT_SKETCH=0.
     if os.environ.get("SPARK_GRAFT_SKETCH", "1") != "0":
