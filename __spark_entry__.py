@@ -3499,8 +3499,11 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the 41 r9-green veterans (2 rounds stale, due back this round).
     # The remaining 7 r9-greens (family twins sharing code paths with a
     # windowed sibling) spill to the top of extras and are FORCED into
-    # the r13 window. A green round makes the cumulative ledger
-    # 156/156 ever-driver-green. Ledger: COVERAGE.md.
+    # the r13 window. A green round makes all 156 pre-r12 keys
+    # ever-driver-green; the only never-greens left are then the 3
+    # r12-born sliding keys, which head the r13 window
+    # (tools/plan_window.py; apply with tools/apply_window.py).
+    # Ledger: COVERAGE.md.
     return {
         "pii_positive": q_pii_positive,
         "asof_nearest_purchase": q_asof_nearest_purchase,
