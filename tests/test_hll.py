@@ -6,6 +6,8 @@ invariance, and the linear-counting small range."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from openset_spark.pipeline.hll import (
@@ -13,6 +15,7 @@ from openset_spark.pipeline.hll import (
     hll_estimate,
     hll_fold,
     hll_partials,
+    hll_sliding_distinct,
 )
 
 
@@ -180,3 +183,75 @@ def test_sliding_distinct_equals_direct_window_builds(spark):
         )
         want = approx_distinct(direct_rows, "user_id").first().approx_distinct
         assert got[b] == want, (h, got[b], want)
+
+
+_FUZZ = settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    cells=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=29),   # hour
+            st.integers(min_value=0, max_value=120),  # user
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    window=st.integers(min_value=1, max_value=5),
+)
+@_FUZZ
+def test_law_sliding_fold_equals_direct(spark, cells, window):
+    """For ANY (hour, user) arrival pattern — arbitrary gaps, bursts,
+    singleton hours — the range-framed register fold equals a
+    from-scratch sketch of every trailing window, and the dense spine
+    emits every hour from min to max."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [(t0 + dt.timedelta(hours=h, minutes=u % 60), u) for h, u in cells],
+        ["ts", "user_id"],
+    )
+    got = {
+        r.bucket: r.approx_distinct
+        for r in hll_sliding_distinct(
+            df, "user_id", "ts", "hour", window
+        ).collect()
+    }
+    hours = sorted({h for h, _ in cells})
+    # dense spine: a slide point emits iff its trailing window is
+    # non-empty (a gap LONGER than the window yields no row — there
+    # is nothing to estimate)
+    expect = {
+        h
+        for h in range(hours[0], hours[-1] + 1)
+        if any(h - window < hh <= h for hh in hours)
+    }
+    assert {b.hour + 24 * (b.day - 1) for b in got} == expect
+    # spot-check the two densest + the last slide points
+    by_hour = {}
+    for h, u in cells:
+        by_hour.setdefault(h, set()).add(u)
+    dense2 = sorted(by_hour, key=lambda h: -len(by_hour[h]))[:2]
+    for h in {*dense2, hours[-1]}:
+        b = t0 + dt.timedelta(hours=h)
+        win_users = {
+            u for hh, u in cells if h - window < hh <= h
+        }
+        lo = b - dt.timedelta(hours=window - 1)
+        direct = approx_distinct(
+            df.filter(
+                (F.col("ts") >= F.lit(lo))
+                & (F.col("ts") < F.lit(b + dt.timedelta(hours=1)))
+            ),
+            "user_id",
+        ).first()
+        if win_users:
+            assert got[b] == direct.approx_distinct, (h, window)
+        else:
+            assert b not in got
