@@ -569,6 +569,7 @@ def main() -> None:
             import tempfile
 
             from openset_spark.sources.layout import (
+                write_hilbert,
                 write_zordered,
                 zorder_candidate_files,
             )
@@ -584,18 +585,29 @@ def main() -> None:
             t0 = time.time()
             write_zordered(big, f"{d}/z", ["x", "y"], bits=10, n_files=64)
             zsec = time.time() - t0
+            t0 = time.time()
+            write_hilbert(big, f"{d}/h", ["x", "y"], bits=10, n_files=64)
+            hsec = time.time() - t0
             big.repartition(64).write.mode("overwrite").parquet(f"{d}/p")
-            rec = {"write_zordered_sec": round(zsec, 3)}
+            rec = {
+                "write_zordered_sec": round(zsec, 3),
+                "write_hilbert_sec": round(hsec, 3),
+            }
             for col in ("x", "y"):
                 hz, tz, rz, rtz = zorder_candidate_files(
                     f"{d}/z", col, 10000, 30000
+                )
+                hh, th, rh, rth = zorder_candidate_files(
+                    f"{d}/h", col, 10000, 30000
                 )
                 hp, tp, rp, rtp = zorder_candidate_files(
                     f"{d}/p", col, 10000, 30000
                 )
                 rec[f"{col}_files_zordered"] = f"{hz}/{tz}"
+                rec[f"{col}_files_hilbert"] = f"{hh}/{th}"
                 rec[f"{col}_files_plain"] = f"{hp}/{tp}"
                 rec[f"{col}_rows_pct_zordered"] = round(100 * rz / rtz, 1)
+                rec[f"{col}_rows_pct_hilbert"] = round(100 * rh / rth, 1)
                 rec[f"{col}_rows_pct_plain"] = round(100 * rp / rtp, 1)
             out["layout_scale"] = rec
             shutil.rmtree(d, ignore_errors=True)

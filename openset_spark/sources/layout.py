@@ -72,13 +72,10 @@ def _validate_and_stats(df: DataFrame, cols: list[str], bits: int):
     ).first()
 
 
-def zorder_value(
-    df: DataFrame, cols: list[str], bits: int = 10
-) -> DataFrame:
-    """``df`` + a ``_z`` locality column interleaving ``cols``.
-    bits * len(cols) must fit a long (validated); NULLs bucket to 0
+def _width_buckets(cols: list[str], stats, bits: int) -> list[Column]:
+    """Equi-width bucket ids (0 .. 2^bits - 1) per column from the
+    shared min/max stats; NULLs and constant columns bucket to 0
     (cluster together at the low end)."""
-    stats = _validate_and_stats(df, cols, bits)
     nb = 1 << bits
     buckets = []
     for c in cols:
@@ -93,7 +90,19 @@ def zorder_value(
         buckets.append(
             F.least(F.coalesce(b, F.lit(1)), F.lit(nb)) - 1
         )
-    return df.withColumn("_z", _interleave(buckets, bits))
+    return buckets
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 10
+) -> DataFrame:
+    """``df`` + a ``_z`` locality column interleaving ``cols``.
+    bits * len(cols) must fit a long (validated); NULLs bucket to 0
+    (cluster together at the low end)."""
+    stats = _validate_and_stats(df, cols, bits)
+    return df.withColumn(
+        "_z", _interleave(_width_buckets(cols, stats, bits), bits)
+    )
 
 
 def write_zordered(
@@ -273,3 +282,80 @@ def write_zordered_equidepth(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _hilbert2(x: Column, y: Column, bits: int) -> Column:
+    """2-D Hilbert curve index of two bucket ids (each < 2^bits) —
+    the standard top-down quadrant walk (rotate/reflect per level),
+    run JVM-SIDE inside ONE higher-order F.aggregate over the level
+    sequence. A naive per-level column chain references the previous
+    level's (x, y) ~3x each, so the expression TREE grows 3^bits
+    (59k nodes at bits=10, seconds of analysis time); the aggregate
+    lambda keeps the state in a single struct accumulator — linear
+    plan size, no UDF, no Python. All arithmetic is bitwise/integer
+    (shiftleft, &, ^) — no division, no exactness envelope at all."""
+    def step(acc: Column, i: Column) -> Column:
+        # 2^i with a COLUMN exponent (shiftleft only takes a literal
+        # shift): pow is double but exact here — i <= 31 << the
+        # 53-bit significand (bits*2 <= 62 via _validate_and_stats)
+        s = F.pow(F.lit(2.0), i.cast("int")).cast("long")
+        ax, ay, ad = acc.getField("x"), acc.getField("y"), acc.getField("d")
+        rx = F.when(ax.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+        ry = F.when(ay.bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0)).cast(
+            "long"
+        )
+        d2 = ad + s * s * (rx * 3).bitwiseXOR(ry)
+        nx = F.when(
+            ry == 0, F.when(rx == 1, s - 1 - ay).otherwise(ay)
+        ).otherwise(ax)
+        ny = F.when(
+            ry == 0, F.when(rx == 1, s - 1 - ax).otherwise(ax)
+        ).otherwise(ay)
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    init = F.struct(
+        x.cast("long").alias("x"),
+        y.cast("long").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    levels = F.sequence(F.lit(bits - 1), F.lit(0), F.lit(-1))
+    return F.aggregate(levels, init, step).getField("d")
+
+
+def hilbert_value(
+    df: DataFrame, cols: list[str], bits: int = 10
+) -> DataFrame:
+    """``df`` + a ``_h`` locality column: the 2-D Hilbert index of the
+    two columns' equi-width buckets. The Hilbert walk visits adjacent
+    cells consecutively (no Z-curve seam jumps), so range-partitioned
+    files get TIGHTER per-column min/max footer stats than Z-order on
+    the same data — strictly better file skipping for 2-column
+    indexes (the clustering Delta/Databricks moved to for the same
+    reason). Exactly two columns (the quadrant walk is 2-D; for 3+
+    columns use ``zorder_value``)."""
+    if len(cols) != 2:
+        raise ValueError(
+            f"hilbert_value indexes exactly 2 columns: {cols} "
+            "(use zorder_value for 3+)"
+        )
+    stats = _validate_and_stats(df, cols, bits)
+    bx, by = _width_buckets(cols, stats, bits)
+    return df.withColumn("_h", _hilbert2(bx, by, bits))
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    n_files: int = 32,
+) -> None:
+    """write_zordered's Hilbert sibling: range-partitioned + sorted
+    by the Hilbert index of two columns."""
+    hilbert_value(df, cols, bits).repartitionByRange(
+        n_files, "_h"
+    ).sortWithinPartitions("_h").drop("_h").write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -187,3 +187,86 @@ def test_three_column_interleave_and_layout(spark, tmp_path_factory):
         # 3-way interleave still skips on every indexed column
         assert rh <= rt * 0.6, (col, rh, rt)
     assert spark.read.parquet(p).count() == 200_000
+
+
+def _hilbert_ref(x, y, bits):
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if x & s else 0
+        ry = 1 if y & s else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def test_hilbert_matches_reference_and_is_a_walk(spark):
+    """The JVM-side F.aggregate quadrant walk must equal the textbook
+    per-point algorithm, bijectively cover the grid, and STEP BY ONE
+    CELL between consecutive indices (the adjacency property Z-order
+    lacks — its seam jumps are exactly what loosens footer stats)."""
+    from openset_spark.sources.layout import _hilbert2
+
+    bits = 4
+    n = 1 << bits
+    pts = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        (r.x, r.y): r.h
+        for r in df.select(
+            "x", "y", _hilbert2(F.col("x"), F.col("y"), bits).alias("h")
+        ).collect()
+    }
+    assert got == {(x, y): _hilbert_ref(x, y, bits) for x, y in pts}
+    assert sorted(got.values()) == list(range(n * n))  # bijection
+    by_d = {d: p for p, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit step, always
+    # and the high-bits domain stays exact (pure bitwise ops)
+    big = spark.createDataFrame(
+        [((1 << 30) - 1, 1 << 29)], ["x", "y"]
+    ).select(_hilbert2(F.col("x"), F.col("y"), 30).alias("h"))
+    assert big.first().h == _hilbert_ref((1 << 30) - 1, 1 << 29, 30)
+
+
+def test_hilbert_layout_skips_at_least_as_well_as_zorder(
+    spark, tmp_path_factory
+):
+    """Range predicates on either indexed column: the Hilbert layout's
+    footer-stat row coverage must match-or-beat Z-order on identical
+    data (the unit-step walk never crosses the Z seam, so file
+    min/max ranges are tighter), and both crush a random layout."""
+    from openset_spark.sources.layout import write_hilbert
+
+    d = str(tmp_path_factory.mktemp("hilb"))
+    big = spark.range(400_000).selectExpr(
+        "CAST(pmod(xxhash64(id), 100000) AS LONG) AS x",
+        "CAST(pmod(xxhash64(id + 7), 100000) AS LONG) AS y",
+        "id AS payload",
+    )
+    ph, pz, pr = f"{d}/h", f"{d}/z", f"{d}/r"
+    write_hilbert(big, ph, ["x", "y"], bits=10, n_files=32)
+    write_zordered(big, pz, ["x", "y"], bits=10, n_files=32)
+    big.repartition(32).write.parquet(pr)
+    for col in ("x", "y"):
+        lo, hi = 40_000, 41_000  # ~1% of the domain
+        _, _, rh, th = zorder_candidate_files(ph, col, lo, hi)
+        _, _, rz, tz = zorder_candidate_files(pz, col, lo, hi)
+        _, _, rr, tr = zorder_candidate_files(pr, col, lo, hi)
+        assert rh / th <= rz / tz + 0.02, (col, rh / th, rz / tz)
+        assert rh / th < 0.5 < rr / tr, (col, rh / th, rr / tr)
+    # data intact
+    assert spark.read.parquet(ph).count() == 400_000
+
+
+def test_hilbert_validates_two_columns(spark):
+    from openset_spark.sources.layout import hilbert_value
+
+    df = spark.range(10).selectExpr("id AS x", "id AS y", "id AS w")
+    with pytest.raises(ValueError, match="exactly 2"):
+        hilbert_value(df, ["x", "y", "w"])
