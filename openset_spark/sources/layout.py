@@ -359,3 +359,30 @@ def write_hilbert(
     ).sortWithinPartitions("_h").drop("_h").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def write_hilbert_equidepth(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    n_files: int = 32,
+) -> None:
+    """write_hilbert with SKEW-ROBUST equi-depth buckets (the
+    write_zordered_equidepth sibling): quantile-rank bucket ids from
+    the one-pass stacked HDR sketch feed the same Hilbert walk."""
+    if len(cols) != 2:
+        raise ValueError(
+            f"write_hilbert_equidepth indexes exactly 2 columns: {cols}"
+        )
+    stats = _validate_and_stats(df, cols, bits)
+    bucketed = _equidepth_buckets(df, cols, stats, 1 << bits)
+    h = _hilbert2(F.col(f"_b_{cols[0]}"), F.col(f"_b_{cols[1]}"), bits)
+    (
+        bucketed.withColumn("_h", h)
+        .repartitionByRange(n_files, "_h")
+        .sortWithinPartitions("_h")
+        .drop("_h", *[f"_b_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -270,3 +270,27 @@ def test_hilbert_validates_two_columns(spark):
     df = spark.range(10).selectExpr("id AS x", "id AS y", "id AS w")
     with pytest.raises(ValueError, match="exactly 2"):
         hilbert_value(df, ["x", "y", "w"])
+
+
+def test_hilbert_equidepth_survives_skew(spark, tmp_path_factory):
+    """The skew scenario of test_equidepth_zorder_survives_skew,
+    through the Hilbert walk: one extreme outlier per column must not
+    collapse the layout's skipping."""
+    from openset_spark.sources.layout import write_hilbert_equidepth
+
+    d = str(tmp_path_factory.mktemp("hskew"))
+    base = spark.range(400_000).selectExpr(
+        "CAST(pmod(xxhash64(id), 100000) AS LONG) AS x",
+        "CAST(pmod(xxhash64(id + 7), 100000) AS LONG) AS y",
+        "id AS payload",
+    )
+    outlier = spark.createDataFrame(
+        [(10_000_000_000, 10_000_000_000, -1)], ["x", "y", "payload"]
+    )
+    big = base.unionByName(outlier)
+    p = os.path.join(d, "hd")
+    write_hilbert_equidepth(big, p, ["x", "y"], bits=10, n_files=32)
+    for col in ("x", "y"):
+        _, _, rh, rt = zorder_candidate_files(p, col, 1000, 3000)
+        assert rh / rt <= 0.45, (col, rh, rt)
+    assert spark.read.parquet(p).count() == 400_001
