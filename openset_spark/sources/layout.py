@@ -1,6 +1,9 @@
-"""Multi-dimensional Z-ORDER data layout — the file-skipping lever
-for selective multi-column scans at 100 TB (the OPTIMIZE ZORDER of
-Delta/Iceberg, expressed as plain Spark).
+"""Multi-dimensional Z-ORDER and HILBERT data layout — the
+file-skipping lever for selective multi-column scans at 100 TB (the
+OPTIMIZE ZORDER / liquid clustering of Delta/Iceberg, expressed as
+plain Spark). Z-order handles any column count; the Hilbert variant
+(2 columns) walks the grid one cell at a time — no Z-seam jumps —
+for strictly tighter footer stats (measured in layout_scale).
 
 Parquet scans prune files and row groups from min/max footer
 statistics; a range-partitioned-by-one-column layout makes those
