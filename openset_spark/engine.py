@@ -618,6 +618,45 @@ class OpenSetEngine:
             self._events, "user_id", "ts", slide, window, p
         )
 
+    def sliding_counts(
+        self,
+        where: Column | None = None,
+        slide: str = "hour",
+        window: int = 24,
+    ) -> DataFrame:
+        """Trailing-window EVENT COUNTS at every slide point (the
+        exact member of the sliding family — counts fold by plain
+        sum, no sketch needed): one per-slide aggregate, then a
+        range-framed sum over the dense min..max spine, so gap
+        hours emit their non-empty trailing totals like the sketch
+        siblings. Output: (bucket, n)."""
+        from pyspark.sql.window import Window as W
+
+        if slide not in ("hour", "day"):
+            raise ValueError(f"slide must be hour|day: {slide}")
+        sec = 3600 if slide == "hour" else 86400
+        ev = self._events if where is None else self._events.filter(where)
+        parts = (
+            ev.withColumn("_tb", F.date_trunc(slide, F.col("ts")))
+            .groupBy("_tb")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .localCheckpoint()  # bounded: one row per slide bucket
+        )
+        spine = parts.agg(
+            F.min("_tb").alias("_lo"), F.max("_tb").alias("_hi")
+        ).select(
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"interval 1 {slide}"))
+            ).alias("_tb")
+        )
+        dense = spine.join(parts, "_tb", "left")
+        tidx = (F.unix_timestamp(F.col("_tb")) / sec).cast("long")
+        w = W.orderBy(tidx).rangeBetween(-(window - 1), 0)
+        return dense.select(
+            F.col("_tb").alias("bucket"),
+            F.coalesce(F.sum("_n").over(w), F.lit(0)).alias("n"),
+        )
+
     def sliding_rates(
         self,
         col: str,

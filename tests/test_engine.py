@@ -333,3 +333,7 @@ def test_engine_sliding_surface(eng):
     }
     for r in rrows:  # one-sided CMS law per slide point
         assert r.est >= exact.get(r.user_id, 0)
+
+    counts = {r.bucket: r.n for r in eng.sliding_counts(window=6).collect()}
+    assert len(counts) == len(rows)  # same dense spine as the sketches
+    assert counts[last.bucket] == eng.events.filter(F.col("ts") >= lo).count()
