@@ -632,9 +632,9 @@ class OpenSetEngine:
         siblings. Output: (bucket, n)."""
         from pyspark.sql.window import Window as W
 
-        if slide not in ("hour", "day"):
-            raise ValueError(f"slide must be hour|day: {slide}")
-        sec = 3600 if slide == "hour" else 86400
+        from openset_spark.pipeline.sliding import check_slide, dense_spine
+
+        sec = check_slide(slide, window)
         ev = self._events if where is None else self._events.filter(where)
         parts = (
             ev.withColumn("_tb", F.date_trunc(slide, F.col("ts")))
@@ -642,14 +642,7 @@ class OpenSetEngine:
             .agg(F.count(F.lit(1)).alias("_n"))
             .localCheckpoint()  # bounded: one row per slide bucket
         )
-        spine = parts.agg(
-            F.min("_tb").alias("_lo"), F.max("_tb").alias("_hi")
-        ).select(
-            F.explode(
-                F.sequence("_lo", "_hi", F.expr(f"interval 1 {slide}"))
-            ).alias("_tb")
-        )
-        dense = spine.join(parts, "_tb", "left")
+        dense = dense_spine(parts, "_tb", slide).join(parts, "_tb", "left")
         tidx = (F.unix_timestamp(F.col("_tb")) / sec).cast("long")
         w = W.orderBy(tidx).rangeBetween(-(window - 1), 0)
         return dense.select(

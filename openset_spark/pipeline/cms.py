@@ -266,7 +266,10 @@ def cms_sliding_estimate(
     By construction the windowed cells EQUAL a from-scratch grid
     over each window's rows, so estimates are identical to
     re-sketching every window (test-asserted)."""
+    from openset_spark.pipeline.sliding import check_slide
+
     _check(depth, width)
+    check_slide(slide, window)  # BEFORE the eager grid build below
     pre = df.withColumn("_tb", F.date_trunc(slide, F.col(ts_col)))
     # the per-slide grid is BOUNDED (slides x depth x width rows
     # regardless of input) — materialize it so the raw scan runs
@@ -300,14 +303,22 @@ def cms_sliding_from_partials(
     or checkpoint): three subtrees reference it."""
     from pyspark.sql.window import Window
 
+    from openset_spark.pipeline.sliding import check_slide, dense_spine
+
     _check(depth, width)
-    if slide not in ("hour", "day"):
-        raise ValueError(f"slide must be hour|day: {slide}")
+    sec = check_slide(slide, window)
     keys = [c for c in probes.columns]
-    clash = {"_cms_d", "_cms_bucket", "_cms_cnt", "_h60", "_tb"} & set(keys)
+    # internals AND this function's own output/intermediate names:
+    # posexplode emits (pos, col), the result emits (bucket, est) —
+    # a probe key with any of those names would be silently
+    # clobbered or yield an ambiguous-reference output (code review
+    # r12; the r11-advice clobbering class)
+    clash = {
+        "_cms_d", "_cms_bucket", "_cms_cnt", "_h60", "_tb",
+        "pos", "col", "bucket", "est",
+    } & set(keys)
     if clash:
         raise ValueError(f"probe columns collide with internals: {clash}")
-    sec = 3600 if slide == "hour" else 86400
     # probe cells (<= n_probes x depth rows; broadcast everywhere)
     pb = (
         probes.filter(F.col(col).isNotNull())
@@ -325,13 +336,7 @@ def cms_sliding_from_partials(
     sub = parts.withColumnsRenamed(
         {"d": "_cms_d", "bucket": "_cms_bucket"}
     ).join(F.broadcast(cells), ["_cms_d", "_cms_bucket"])
-    spine = parts.agg(
-        F.min("_tb").alias("_lo"), F.max("_tb").alias("_hi")
-    ).select(
-        F.explode(
-            F.sequence("_lo", "_hi", F.expr(f"interval 1 {slide}"))
-        ).alias("_tb")
-    )
+    spine = dense_spine(parts, "_tb", slide)
     dense = spine.crossJoin(F.broadcast(cells)).join(
         sub, ["_tb", "_cms_d", "_cms_bucket"], "left"
     )

@@ -310,23 +310,17 @@ def hdr_sliding_from_partials(
     bounded partial table, never raw rows. hdr_sliding_quantiles is
     exactly this on freshly-built partials, so stream-fed and batch
     results are equal by construction (33rd parity surface)."""
+    from openset_spark.pipeline.sliding import check_slide, dense_spine
+
     _check(sub_bits)
-    if slide not in ("hour", "day"):
-        raise ValueError(f"slide must be hour|day: {slide}")
-    sec = 3600 if slide == "hour" else 86400
+    sec = check_slide(slide, window)
     # Three subtrees reference `parts` (bounds agg, distinct buckets,
     # densify join) — materialize the bounded partial table (slide
     # buckets x <= 64*s + 1 rows) so the raw scan runs exactly once
     # (same reasoning as hll_sliding_from_partials; measured 3 scans
     # otherwise).
     parts = parts.localCheckpoint()
-    spine = parts.agg(
-        F.min("_tb").alias("_lo"), F.max("_tb").alias("_hi")
-    ).select(
-        F.explode(
-            F.sequence("_lo", "_hi", F.expr(f"interval 1 {slide}"))
-        ).alias("_tb")
-    )
+    spine = dense_spine(parts, "_tb", slide)
     buckets = parts.select("bucket").distinct()
     dense = spine.join(buckets).join(parts, ["_tb", "bucket"], "left")
     tidx = (F.unix_timestamp(F.col("_tb")) / sec).cast("long")

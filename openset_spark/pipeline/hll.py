@@ -321,9 +321,9 @@ def hll_sliding_from_partials(
     batch results are equal by construction (32nd parity surface)."""
     from pyspark.sql.window import Window
 
-    if slide not in ("hour", "day"):
-        raise ValueError(f"slide must be hour|day: {slide}")
-    sec = 3600 if slide == "hour" else 86400
+    from openset_spark.pipeline.sliding import check_slide, dense_spine
+
+    sec = check_slide(slide, window)
     # The fold references `parts` from THREE subtrees (bounds agg,
     # distinct regs, the densify join); Catalyst plans each its own
     # copy — measured 3 full raw scans when parts is a fresh plan
@@ -331,13 +331,7 @@ def hll_sliding_from_partials(
     # buckets x <= 2^p rows), so materializing it costs O(bounded)
     # and pins the raw scan to exactly ONE pass.
     parts = parts.localCheckpoint()
-    spine = parts.agg(
-        F.min("_b").alias("_lo"), F.max("_b").alias("_hi")
-    ).select(
-        F.explode(
-            F.sequence("_lo", "_hi", F.expr(f"interval 1 {slide}"))
-        ).alias("_b")
-    )
+    spine = dense_spine(parts, "_b", slide)
     regs = parts.select("reg").distinct()
     dense = spine.join(regs).join(parts, ["_b", "reg"], "left")
     hidx = (F.unix_timestamp(F.col("_b")) / sec).cast("long")

@@ -383,8 +383,9 @@ def kmv_sliding_jaccard(
     sketches EQUAL from-scratch builds over each window's rows, so
     estimates are identical to re-sketching (test-asserted), and
     DuckDB replays sketches, fan-out, re-rank and estimator."""
-    if slide not in ("hour", "day"):
-        raise ValueError(f"slide must be hour|day: {slide}")
+    from openset_spark.pipeline.sliding import check_slide
+
+    check_slide(slide, window)  # BEFORE the eager sketch build below
     pre = df.withColumn("_tb", F.date_trunc(slide, F.col(ts_col)))
     obs = kmv_observations(pre.filter(a), col, ("_tb",)).withColumn(
         "_side", F.lit("a")
@@ -414,8 +415,9 @@ def kmv_sliding_from_partials(
     equal by construction (35th parity surface). ``parts`` should be
     materialized (a table or checkpoint): several subtrees reference
     it."""
-    if slide not in ("hour", "day"):
-        raise ValueError(f"slide must be hour|day: {slide}")
+    from openset_spark.pipeline.sliding import check_slide
+
+    check_slide(slide, window)
     if k < 2:
         raise ValueError(f"k must be >= 2: {k}")
     hi = parts.agg(F.max("_tb").alias("_hi"))

@@ -251,11 +251,18 @@ def _equidepth_buckets(
                 arr[gap + 1] = rank
             prev = b + 1
             cum += cnt
-        # element_at is 1-based -> index = bucket + 2
+        # element_at is 1-based -> index = bucket + 2. NULL values
+        # quantize to NULL -> element_at NULL: coalesce to bucket 0 so
+        # NULLs cluster at the low end, the same contract as the
+        # width-bucket path (code review r12 — the replaced r11 inner
+        # join silently DROPPED those rows).
         out = out.withColumn(
             f"_b_{c}",
-            F.element_at(
-                F.lit(arr), (_bucket(quantized(c), 32) + 2).cast("int")
+            F.coalesce(
+                F.element_at(
+                    F.lit(arr), (_bucket(quantized(c), 32) + 2).cast("int")
+                ),
+                F.lit(0),
             ).cast("int"),
         )
     return out

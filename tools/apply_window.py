@@ -26,25 +26,7 @@ sys.path.insert(0, __import__("os").path.dirname(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__))
 ))
 
-from plan_window import WINDOW, load_ledger  # noqa: E402 (repo tools dir)
-
-
-def compute_window() -> tuple[list[str], list[str], dict[str, int]]:
-    keys, last_green, cur = load_ledger()
-    nxt = cur + 1
-    never = [k for k in keys if k not in last_green]
-    stale = sorted(
-        (k for k in keys if k in last_green and nxt - last_green[k] >= 3),
-        key=lambda k: last_green[k],
-    )
-    forced = never + stale
-    fresh = sorted(
-        (k for k in keys if k in last_green and nxt - last_green[k] < 3),
-        key=lambda k: (last_green[k], k),
-    )
-    window = forced[:WINDOW]
-    window += fresh[: WINDOW - len(window)]
-    return window, forced[WINDOW:], last_green
+from plan_window import compute_window, load_ledger  # noqa: E402 (tools dir)
 
 
 def main() -> None:
@@ -62,12 +44,21 @@ def main() -> None:
 
     pb, pspan = dict_block("_priority_queries")
     eb, espan = dict_block("_extra_queries")
+    if espan[0] <= pspan[1]:
+        # the splice below replaces the LATER span first so the
+        # earlier span's offsets stay valid — that only holds while
+        # _priority_queries() precedes _extra_queries() in the file
+        raise SystemExit(
+            "_extra_queries() must come after _priority_queries() in "
+            f"{path} (span order changed — refusing to splice)"
+        )
     pairs: dict[str, str] = {}
     for body in (pb, eb):
         for m in re.finditer(r'"([a-z0-9_]+)": (q_[a-z0-9_]+),', body):
             pairs[m.group(1)] = m.group(2)
 
-    window, spill, last_green = compute_window()
+    keys_all, last_green, cur = load_ledger()
+    window, spill, _never = compute_window(keys_all, last_green, cur + 1)
     missing = [k for k in window if k not in pairs]
     if missing:
         raise SystemExit(f"planned keys missing from registry: {missing}")

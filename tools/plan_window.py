@@ -60,10 +60,12 @@ def load_ledger() -> tuple[list[str], dict[str, int], int]:
     return keys, last_green, cur
 
 
-def main() -> None:
-    keys, last_green, cur = load_ledger()
-    nxt = int(sys.argv[1]) if len(sys.argv) > 1 else cur + 1
-
+def compute_window(
+    keys: list[str], last_green: dict[str, int], nxt: int
+) -> tuple[list[str], list[str], list[str]]:
+    """(window, spill, never) for round ``nxt`` — THE rotation policy,
+    shared by the advisory printer below and tools/apply_window.py so
+    plan and rewrite can never disagree (code review r12)."""
     never = [k for k in keys if k not in last_green]
     stale = sorted(
         (k for k in keys if k in last_green and nxt - last_green[k] >= 3),
@@ -78,8 +80,17 @@ def main() -> None:
     )
     window = forced[:WINDOW]
     spill = forced[WINDOW:]
-    free = WINDOW - len(window)
-    window += fresh[:free]
+    window = window + fresh[: WINDOW - len(window)]
+    return window, spill, never
+
+
+def main() -> None:
+    keys, last_green, cur = load_ledger()
+    nxt = int(sys.argv[1]) if len(sys.argv) > 1 else cur + 1
+    window, spill, never = compute_window(keys, last_green, nxt)
+    stale = [
+        k for k in keys if k in last_green and nxt - last_green[k] >= 3
+    ]
 
     print(f"# proposed r{nxt} window ({len(window)} slots; "
           f"{len(never)} never-green, {len(stale)} stale-forced)")
