@@ -3086,6 +3086,91 @@ ORDER BY bucket
 """
 
 
+def q_rollup_user_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watched-user event counts per day AND per hour from ONE
+    finest-grain CMS grid shuffle — the continuous-aggregate
+    frequency query, completing the rollup symmetry
+    (rollup_unique_users counts distincts, rollup_value_quantiles
+    walks percentiles, this reads per-item counts). Grids compose by
+    sum, so the grouping-sets Expand runs over the bounded grid
+    table, never the event scan (plan-asserted); est is an exact
+    integer and >= the level's exact count per user (one-sided law
+    at every level). DuckDB replays hash, digit split, both level
+    grids and the min-over-depth bit for bit. NEW r12."""
+    from openset_spark.pipeline.cms import cms_time_rollup_estimate
+
+    ev = _events(spark, sf_dir)
+    probes = (
+        ev.select("user_id").filter(F.col("user_id") % 7 == 0).distinct()
+    )
+    out = cms_time_rollup_estimate(ev, "user_id", probes, ("day", "hour"))
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return out.select(
+        "granularity",
+        F.date_format("bucket_day", fmt).alias("bucket_day"),
+        F.date_format("bucket_hour", fmt).alias("bucket_hour"),
+        "user_id",
+        "est",
+    ).orderBy("granularity", "bucket_day", "bucket_hour", "user_id")
+
+
+_SQL_ROLLUP_USER_RATES = """
+WITH ds AS (SELECT * FROM (VALUES (0, 1::BIGINT), (1, 2048::BIGINT),
+  (2, 4194304::BIGINT), (3, 8589934592::BIGINT)) v(d, wp)),
+base AS (
+  SELECT date_trunc('day', ts::TIMESTAMP) AS bd,
+    date_trunc('hour', ts::TIMESTAMP) AS bh,
+    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+grid_h AS (
+  SELECT bd, bh, d, CAST((hv // wp) % 2048 AS INTEGER) AS bucket,
+    COUNT(*)::BIGINT AS cnt
+  FROM base, ds GROUP BY 1, 2, 3, 4
+),
+grid_d AS (
+  SELECT bd, d, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM grid_h GROUP BY 1, 2, 3
+),
+probes AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE user_id IS NOT NULL AND user_id % 7 = 0
+),
+pb AS (
+  SELECT user_id, d,
+    CAST((CAST(CAST(concat('0x',
+        substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+      AS UBIGINT) AS BIGINT) // wp) % 2048 AS INTEGER) AS bucket
+  FROM probes, ds
+),
+est_h AS (
+  SELECT 'hour' AS granularity, lk.bd, lk.bh, pb.user_id,
+    CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est
+  FROM (SELECT DISTINCT bd, bh FROM grid_h) lk
+  CROSS JOIN pb
+  LEFT JOIN grid_h g ON g.bd = lk.bd AND g.bh = lk.bh
+                    AND g.d = pb.d AND g.bucket = pb.bucket
+  GROUP BY 1, 2, 3, 4
+),
+est_d AS (
+  SELECT 'day' AS granularity, lk.bd, NULL::TIMESTAMP AS bh, pb.user_id,
+    CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est
+  FROM (SELECT DISTINCT bd FROM grid_d) lk
+  CROSS JOIN pb
+  LEFT JOIN grid_d g ON g.bd = lk.bd
+                    AND g.d = pb.d AND g.bucket = pb.bucket
+  GROUP BY 1, 2, 3, 4
+)
+SELECT granularity,
+  strftime(bd, '%Y-%m-%d %H:%M:%S') AS bucket_day,
+  strftime(bh, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+  user_id, est
+FROM (SELECT * FROM est_h UNION ALL SELECT * FROM est_d)
+ORDER BY granularity, bucket_day, bucket_hour, user_id
+"""
+
+
 def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary overlap between EVERY pair of sources (the corpus
     heterogeneity heatmap) from per-source KMV sketches: k smallest
@@ -4489,6 +4574,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_value_p95_24h": q_sliding_value_p95_24h,
         "sliding_user_rates_24h": q_sliding_user_rates_24h,
         "sliding_segment_jaccard_24h": q_sliding_segment_jaccard_24h,
+        "rollup_user_rates": q_rollup_user_rates,
     }
 
 
@@ -5249,6 +5335,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_value_p95_24h": _SQL_SLIDING_VALUE_P95_24H,
         "sliding_user_rates_24h": _SQL_SLIDING_USER_RATES_24H,
         "sliding_segment_jaccard_24h": _SQL_SLIDING_SEGMENT_JACCARD_24H,
+        "rollup_user_rates": _SQL_ROLLUP_USER_RATES,
         "mink_prob": _SQL_MINK_PROB,
         "corpus_diff": _SQL_CORPUS_DIFF,
         "asof_last_purchase": _SQL_ASOF_LAST_PURCHASE,

@@ -356,3 +356,106 @@ def cms_sliding_from_partials(
     return joined.groupBy(F.col("_tb").alias("bucket"), *keys).agg(
         F.min(F.coalesce(F.col("_cms_cnt"), F.lit(0))).alias("est")
     )
+
+
+def cms_time_rollup_estimate(
+    df: DataFrame,
+    col: str,
+    probes: DataFrame,
+    granularities: tuple[str, ...] = ("day", "hour"),
+    ts_col: str = "ts",
+    depth: int = 4,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Approximate frequencies for a bounded probe set at EVERY
+    granularity of a time hierarchy (watched-token counts per hour,
+    per day, per month ...) — the continuous-aggregate frequency
+    query, completing the rollup symmetry (hll.time_rollup_distinct
+    counts distincts, hdrhist.time_rollup_quantiles walks
+    percentiles, this one reads per-item counts). Mirrors both
+    siblings: the RAW rows pay exactly one grid aggregate at the
+    finest grain (map-side-combinable sum, one exchange); the
+    GROUPING SETS Expand runs over the finest GRID table — at most
+    depth x width rows per finest group — because grids compose by
+    sum, the same law cms_fold rides; estimates join only the probe
+    set's own cells. est is an exact integer function of the grids
+    and >= the level's exact count per probe (one-sided law holds
+    at every level). Output: (granularity, bucket_<g>...,
+    probe columns..., est)."""
+    from openset_spark.operators.events import validate_granularities
+
+    validate_granularities(granularities)
+    _check(depth, width)
+    keys = [c for c in probes.columns]
+    clash = {
+        "_cms_d", "_cms_bucket", "_cms_cnt", "_h60", "_tb",
+        "pos", "col", "bucket", "est", "granularity",
+    } | {f"bucket_{g}" for g in granularities}
+    clash &= set(keys)
+    if clash:
+        raise ValueError(f"probe columns collide with internals: {clash}")
+    bnames = [f"bucket_{g}" for g in granularities]
+    pre = df.withColumns(
+        {
+            n: F.date_trunc(g, F.col(ts_col))
+            for n, g in zip(bnames, granularities)
+        }
+    )
+    finest = cms_partials(
+        pre, col, tuple(bnames), depth, width, weight_col
+    )
+    all_keys = bnames + ["d", "bucket"]
+    sets = [
+        [F.col(c) for c in bnames[: i + 1] + ["d", "bucket"]]
+        for i in range(len(granularities))
+    ]
+    rolled = finest.groupingSets(
+        sets, *[F.col(c) for c in all_keys]
+    ).agg(F.sum("cnt").alias("cnt"), F.grouping_id().alias("_gid"))
+    level = F.lit(None).cast("string")
+    for i, g in enumerate(granularities):
+        # (d, bucket) are the last two gid bits and always present;
+        # time buckets finer than level i are grouped away
+        gid = ((1 << (len(granularities) - 1 - i)) - 1) << 2
+        level = F.when(F.col("_gid") == gid, F.lit(g)).otherwise(level)
+    leveled = rolled.select(
+        level.alias("granularity"),
+        *bnames,
+        F.col("d").alias("_cms_d"),
+        F.col("bucket").alias("_cms_bucket"),
+        F.col("cnt").alias("_cms_cnt"),
+    )
+    # probe cells (<= n_probes x depth, broadcast) x every level key
+    # (bounded by the level bucket counts), left-joined to the grid:
+    # an absent cell is a zero counter at that level
+    pb = (
+        probes.filter(F.col(col).isNotNull())
+        .withColumn("_h60", _hash60(F.col(col)))
+        .select(
+            *keys,
+            F.posexplode(_buckets_from(F.col("_h60"), depth, width)),
+        )
+        .withColumnsRenamed({"pos": "_cms_d", "col": "_cms_bucket"})
+        .localCheckpoint()
+    )
+    lev_keys = leveled.select("granularity", *bnames).distinct()
+    dense = lev_keys.join(F.broadcast(pb)).alias("q")
+    lev = leveled.alias("s")
+    # coarser levels carry NULL finer buckets (grouping sets) — the
+    # level-key match must be NULL-SAFE or every coarse level would
+    # silently estimate 0 (an equi-join drops NULL = NULL)
+    cond = F.col("q.granularity") == F.col("s.granularity")
+    for b in bnames:
+        cond = cond & F.col(f"q.{b}").eqNullSafe(F.col(f"s.{b}"))
+    cond = (
+        cond
+        & (F.col("q._cms_d") == F.col("s._cms_d"))
+        & (F.col("q._cms_bucket") == F.col("s._cms_bucket"))
+    )
+    joined = dense.join(lev, cond, "left")
+    return joined.groupBy(
+        F.col("q.granularity").alias("granularity"),
+        *[F.col(f"q.{b}").alias(b) for b in bnames],
+        *[F.col(f"q.{k}").alias(k) for k in keys],
+    ).agg(F.min(F.coalesce(F.col("s._cms_cnt"), F.lit(0))).alias("est"))

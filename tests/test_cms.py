@@ -272,3 +272,101 @@ def test_sliding_estimate_equals_direct_window_builds(spark):
     assert got[(t0 + dt.timedelta(hours=9), "early")] == 0
     assert all(got[(t0 + dt.timedelta(hours=h), "never-seen")] == 0
                for h in range(30))
+
+
+def test_time_rollup_estimate_levels_match_per_level_builds(spark):
+    """The single-shuffle multi-granularity grid must give EXACTLY
+    the estimates independent per-level grids give (grids compose by
+    sum), the one-sided est >= exact law holds at EVERY level, and a
+    probe absent from the corpus estimates 0 at every level."""
+    import datetime as dt
+    import random
+
+    from openset_spark.pipeline.cms import cms_time_rollup_estimate
+
+    rnd = random.Random(7)
+    rows = [
+        (
+            f"tok{rnd.randrange(12)}",
+            dt.datetime(2024, 3, 1 + rnd.randrange(2), rnd.randrange(24)),
+        )
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "item string, ts timestamp")
+    probes = spark.createDataFrame(
+        [("tok0",), ("tok7",), ("never-seen",)], ["item"]
+    )
+    out = cms_time_rollup_estimate(
+        df, "item", probes, ("day", "hour"), depth=3, width=1024
+    )
+    got = {
+        (r.granularity, r.bucket_day, r.bucket_hour, r.item): r.est
+        for r in out.collect()
+    }
+    # per-level reference: independent grids per (day) and (day, hour)
+    for level, bcols in (("day", ["bd"]), ("hour", ["bd", "bh"])):
+        pre = df.withColumn("bd", F.date_trunc("day", "ts")).withColumn(
+            "bh", F.date_trunc("hour", "ts")
+        )
+        sk = cms_partials(pre, "item", tuple(bcols), 3, 1024)
+        lev = {b: None for b in set()}
+        for b in [tuple(r) for r in pre.select(*bcols).distinct().collect()]:
+            cond = F.lit(True)
+            for c, v in zip(bcols, b):
+                cond = cond & (F.col(c) == F.lit(v))
+            sub = sk
+            for c, v in zip(bcols, b):
+                sub = sub.filter(F.col(c) == F.lit(v))
+            ref = {
+                r.item: r.est
+                for r in cms_estimate(
+                    sub.drop(*bcols), probes, "item", (), 3, 1024
+                ).collect()
+            }
+            exact = {
+                r.item: r.n
+                for r in pre.filter(cond)
+                .groupBy("item")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            bd = b[0]
+            bh = b[1] if level == "hour" else None
+            for p in ("tok0", "tok7", "never-seen"):
+                est = got[(level, bd, bh, p)]
+                assert est == ref[p], (level, b, p, est, ref[p])
+                assert est >= exact.get(p, 0)  # one-sided at every level
+    assert all(
+        v == 0 for (g, bd, bh, p), v in got.items() if p == "never-seen"
+    )
+
+
+def test_time_rollup_estimate_expands_grid_not_rows(spark):
+    """The grouping-sets Expand must sit ABOVE the finest grid
+    aggregate — the xN level amplification applies to <= depth x
+    width rows per finest group, never to the raw scan (the
+    time_rollup_distinct / time_rollup_quantiles plan law)."""
+    import datetime as dt
+
+    from openset_spark.pipeline.cms import cms_time_rollup_estimate
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 3, 1, h)) for h in range(24)],
+        "item string, ts timestamp",
+    )
+    probes = spark.createDataFrame([("a",)], ["item"])
+    out = cms_time_rollup_estimate(df, "item", probes, ("day", "hour"))
+    plan = out._jdf.queryExecution().optimizedPlan()
+    found = []
+
+    def walk(node, under_expand):
+        name = node.nodeName()
+        if name == "Expand":
+            under_expand = True
+        if under_expand and name == "Aggregate":
+            found.append("agg_under_expand")
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), under_expand)
+
+    walk(plan, False)
+    assert "agg_under_expand" in found, plan.toString()
