@@ -618,6 +618,23 @@ class OpenSetEngine:
             self._events, "user_id", "ts", slide, window, p
         )
 
+    def rollup_rates(
+        self,
+        col: str,
+        probes: "DataFrame",
+        granularities: tuple[str, ...] = ("day", "hour"),
+        depth: int = 4,
+        width: int = 2048,
+    ) -> DataFrame:
+        """Watched-item frequencies at every granularity of a time
+        hierarchy from ONE finest-grain grid shuffle (one-sided CMS
+        law at every level; pipeline/cms.py::cms_time_rollup_estimate)."""
+        from openset_spark.pipeline.cms import cms_time_rollup_estimate
+
+        return cms_time_rollup_estimate(
+            self._events, col, probes, granularities, "ts", depth, width
+        )
+
     def sliding_counts(
         self,
         where: Column | None = None,

