@@ -319,6 +319,7 @@ def cms_sliding_from_partials(
     } & set(keys)
     if clash:
         raise ValueError(f"probe columns collide with internals: {clash}")
+    parts = parts.localCheckpoint()
     # probe cells (<= n_probes x depth rows; broadcast everywhere)
     pb = (
         probes.filter(F.col(col).isNotNull())

@@ -412,14 +412,17 @@ def kmv_sliding_from_partials(
     31st parity surface), trailing overlap re-reading only the
     bounded sketch table. kmv_sliding_jaccard is exactly this on
     freshly-built sketches, so stream-fed and batch results are
-    equal by construction (35th parity surface). ``parts`` should be
-    materialized (a table or checkpoint): several subtrees reference
-    it."""
+    equal by construction (35th parity surface). ``parts`` is
+    materialized here (bounded: 2 x slides x k rows) — several
+    subtrees reference it, and a caller passing a fresh plan must
+    not pay repeated scans (the hll/hdr from_partials convention; an
+    already-checkpointed input costs one extra bounded copy)."""
     from openset_spark.pipeline.sliding import check_slide
 
     check_slide(slide, window)
     if k < 2:
         raise ValueError(f"k must be >= 2: {k}")
+    parts = parts.localCheckpoint()
     hi = parts.agg(F.max("_tb").alias("_hi"))
     served = (
         parts.crossJoin(F.broadcast(hi))
