@@ -3578,68 +3578,74 @@ _DRIVER_WINDOW = 50
 
 
 def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-12 window (VERDICT r11 ask #1, computed by
-    # tools/plan_window.py from the CORRECTNESS_r01–r11 ledger): the 16
-    # never-driver-green r11-born keys take the head slots, then 34 of
-    # the 41 r9-green veterans (2 rounds stale, due back this round).
-    # The remaining 7 r9-greens (family twins sharing code paths with a
-    # windowed sibling) spill to the top of extras and are FORCED into
-    # the r13 window. A green round makes all 156 pre-r12 keys
-    # ever-driver-green; the only never-greens left are then the 3
-    # r12-born sliding keys, which head the r13 window
+    # Round-13 window (VERDICT r12 ask #1, computed by
+    # tools/plan_window.py from the CORRECTNESS_r01–r12 ledger): the 4
+    # never-driver-green r12-born keys head it (3 sliding_* keys +
+    # rollup_user_rates — the r12 window comment undercounted this as
+    # 3, ADVICE r12 #3), then the 7 r9-green twins that spilled from
+    # the r12 rotation (ann_pq, dedup_keep_best, remove_dup_spans,
+    # nearest_dup, ngram_coverage, lang_confusion, cross_source_dups),
+    # then r10-stale veterans to fill. The forced set was 60 keys for
+    # 50 slots, so 10 r10-greens spill to the top of extras and are
+    # FORCED into the r14 window (monthly_retention, osl_customer_write,
+    # user_event_type_sets, dedup_exact_keep, sample_per_stratum,
+    # retention_cull, tfidf_top_terms, winnow_matches, dsir_weights,
+    # ann_lsh). A green round makes every key registered at r12 HEAD
+    # ever-driver-green (ledger 160/160); keys BORN this round (r13)
+    # join the never-green head of the r14 window
     # (tools/plan_window.py; apply with tools/apply_window.py).
     # Ledger: COVERAGE.md.
     return {
-        "pii_positive": q_pii_positive,
-        "asof_nearest_purchase": q_asof_nearest_purchase,
-        "overlapping_activity_windows": q_overlapping_activity_windows,
-        "nb_quality_scores": q_nb_quality_scores,
-        "source_quality_cap": q_source_quality_cap,
-        "title_typo_pairs": q_title_typo_pairs,
-        "approx_users_per_day": q_approx_users_per_day,
-        "rollup_unique_users": q_rollup_unique_users,
-        "segment_overlap_approx": q_segment_overlap_approx,
-        "cms_token_hitters": q_cms_token_hitters,
-        "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
-        "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
-        "segment_jaccard_kmv": q_segment_jaccard_kmv,
-        "rollup_value_quantiles": q_rollup_value_quantiles,
-        "source_vocab_overlap": q_source_vocab_overlap,
-        "sliding_users_24h": q_sliding_users_24h,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q7_style": q_tpch_q7_style,
-        "tpch_q10_style": q_tpch_q10_style,
-        "event_agg_by_type": q_event_agg_by_type,
-        "first_events_per_user": q_first_events_per_user,
-        "top_event_types_per_day": q_top_event_types_per_day,
-        "zorder_first_rows": q_zorder_first_rows,
-        "session_counts": q_session_counts,
-        "funnel_within_hour": q_funnel_within_hour,
-        "next_event_transitions": q_next_event_transitions,
-        "segment_sequence_counts": q_segment_sequence_counts,
-        "osl_event_agg": q_osl_event_agg,
-        "osl_script_counter": q_osl_script_counter,
-        "property_counts_bucketed": q_property_counts_bucketed,
-        "histogram_spend_clipped": q_histogram_spend_clipped,
-        "dedup_minhash": q_dedup_minhash,
-        "substring_dup_pairs": q_substring_dup_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "ann_ivf": q_ann_ivf,
-        "lang_id": q_lang_id,
-        "quality_score": q_quality_score,
-        "pack_sequences": q_pack_sequences,
-        "lm_perplexity": q_lm_perplexity,
-        "zipf_fit": q_zipf_fit,
-        "kneser_ney_score": q_kneser_ney_score,
-        "dup_span_fraction": q_dup_span_fraction,
-        "keyword_tags": q_keyword_tags,
-        "leakage_safe_split": q_leakage_safe_split,
-        "gopher_quality": q_gopher_quality,
-        "lexical_diversity": q_lexical_diversity,
-        "oov_rate": q_oov_rate,
-        "chunk_windows": q_chunk_windows,
-        "dsir_resample": q_dsir_resample,
-        "embedding_gram": q_embedding_gram,
+        "sliding_value_p95_24h": q_sliding_value_p95_24h,
+        "sliding_user_rates_24h": q_sliding_user_rates_24h,
+        "sliding_segment_jaccard_24h": q_sliding_segment_jaccard_24h,
+        "rollup_user_rates": q_rollup_user_rates,
+        "ann_pq": q_ann_pq,
+        "dedup_keep_best": q_dedup_keep_best,
+        "remove_dup_spans": q_remove_dup_spans,
+        "nearest_dup": q_nearest_dup,
+        "ngram_coverage": q_ngram_coverage,
+        "lang_confusion": q_lang_confusion,
+        "cross_source_dups": q_cross_source_dups,
+        "ngram_novelty": q_ngram_novelty,
+        "quality_funnel": q_quality_funnel,
+        "cooccur_pmi": q_cooccur_pmi,
+        "shard_manifest": q_shard_manifest,
+        "epoch_shuffle": q_epoch_shuffle,
+        "embedding_outliers": q_embedding_outliers,
+        "dataset_card": q_dataset_card,
+        "dup_pagerank": q_dup_pagerank,
+        "hard_negatives": q_hard_negatives,
+        "knn_agreement": q_knn_agreement,
+        "temperature_weights": q_temperature_weights,
+        "boilerplate_affixes": q_boilerplate_affixes,
+        "embedding_drift": q_embedding_drift,
+        "length_histogram": q_length_histogram,
+        "dup_cosine_check": q_dup_cosine_check,
+        "ann_ivfpq": q_ann_ivfpq,
+        "source_divergence": q_source_divergence,
+        "event_agg_rollup": q_event_agg_rollup,
+        "recent_purchase_totals": q_recent_purchase_totals,
+        "histogram_by_type": q_histogram_by_type,
+        "histogram_weeks_since": q_histogram_weeks_since,
+        "osl_funnel_continue": q_osl_funnel_continue,
+        "osl_segment_counts": q_osl_segment_counts,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "session_counts_5min": q_session_counts_5min,
+        "top_paths": q_top_paths,
+        "doc_fingerprint": q_doc_fingerprint,
+        "repetition_signals": q_repetition_signals,
+        "user_purchase_totals": q_user_purchase_totals,
+        "textual_user_core": q_textual_user_core,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "osl_agg_options": q_osl_agg_options,
+        "session_length_quantiles": q_session_length_quantiles,
+        "ann_topk": q_ann_topk,
+        "tpch_q3": q_tpch_q3,
+        "row_count_distribution": q_row_count_distribution,
+        "events_with_user_dim": q_events_with_user_dim,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
     }
 
 
@@ -4462,15 +4468,68 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # still replays its oracle vs DuckDB on each local pytest run
     # (tests/test_correctness.py).
     return {
-        # r9-green spill — forced into the r13 window (tools/plan_window.py)
-        "ann_pq": q_ann_pq,
-        "dedup_keep_best": q_dedup_keep_best,
-        "remove_dup_spans": q_remove_dup_spans,
-        "nearest_dup": q_nearest_dup,
-        "ngram_coverage": q_ngram_coverage,
-        "lang_confusion": q_lang_confusion,
-        "cross_source_dups": q_cross_source_dups,
-        # resting greens (r10/r11-green; due r13/r14 per the >=2-rounds-stale rule)
+        # forced spill — heads the NEXT round's window (tools/plan_window.py)
+        "monthly_retention": q_monthly_retention,
+        "osl_customer_write": q_osl_customer_write,
+        "user_event_type_sets": q_user_event_type_sets,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "sample_per_stratum": q_sample_per_stratum,
+        "retention_cull": q_retention_cull,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "winnow_matches": q_winnow_matches,
+        "dsir_weights": q_dsir_weights,
+        "ann_lsh": q_ann_lsh,
+        # resting greens
+        "pii_positive": q_pii_positive,
+        "asof_nearest_purchase": q_asof_nearest_purchase,
+        "overlapping_activity_windows": q_overlapping_activity_windows,
+        "nb_quality_scores": q_nb_quality_scores,
+        "source_quality_cap": q_source_quality_cap,
+        "title_typo_pairs": q_title_typo_pairs,
+        "approx_users_per_day": q_approx_users_per_day,
+        "rollup_unique_users": q_rollup_unique_users,
+        "segment_overlap_approx": q_segment_overlap_approx,
+        "cms_token_hitters": q_cms_token_hitters,
+        "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
+        "doc_length_quantiles_sketch": q_doc_length_quantiles_sketch,
+        "segment_jaccard_kmv": q_segment_jaccard_kmv,
+        "rollup_value_quantiles": q_rollup_value_quantiles,
+        "source_vocab_overlap": q_source_vocab_overlap,
+        "sliding_users_24h": q_sliding_users_24h,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q7_style": q_tpch_q7_style,
+        "tpch_q10_style": q_tpch_q10_style,
+        "event_agg_by_type": q_event_agg_by_type,
+        "first_events_per_user": q_first_events_per_user,
+        "top_event_types_per_day": q_top_event_types_per_day,
+        "zorder_first_rows": q_zorder_first_rows,
+        "session_counts": q_session_counts,
+        "funnel_within_hour": q_funnel_within_hour,
+        "next_event_transitions": q_next_event_transitions,
+        "segment_sequence_counts": q_segment_sequence_counts,
+        "osl_event_agg": q_osl_event_agg,
+        "osl_script_counter": q_osl_script_counter,
+        "property_counts_bucketed": q_property_counts_bucketed,
+        "histogram_spend_clipped": q_histogram_spend_clipped,
+        "dedup_minhash": q_dedup_minhash,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "ann_ivf": q_ann_ivf,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "pack_sequences": q_pack_sequences,
+        "lm_perplexity": q_lm_perplexity,
+        "zipf_fit": q_zipf_fit,
+        "kneser_ney_score": q_kneser_ney_score,
+        "dup_span_fraction": q_dup_span_fraction,
+        "keyword_tags": q_keyword_tags,
+        "leakage_safe_split": q_leakage_safe_split,
+        "gopher_quality": q_gopher_quality,
+        "lexical_diversity": q_lexical_diversity,
+        "oov_rate": q_oov_rate,
+        "chunk_windows": q_chunk_windows,
+        "dsir_resample": q_dsir_resample,
+        "embedding_gram": q_embedding_gram,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q9_style": q_tpch_q9_style,
@@ -4521,60 +4580,6 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cap": q_retention_cap,
         "perplexity_buckets": q_perplexity_buckets,
         "mixture_select": q_mixture_select,
-        "ngram_novelty": q_ngram_novelty,
-        "quality_funnel": q_quality_funnel,
-        "cooccur_pmi": q_cooccur_pmi,
-        "shard_manifest": q_shard_manifest,
-        "epoch_shuffle": q_epoch_shuffle,
-        "embedding_outliers": q_embedding_outliers,
-        "dataset_card": q_dataset_card,
-        "dup_pagerank": q_dup_pagerank,
-        "hard_negatives": q_hard_negatives,
-        "knn_agreement": q_knn_agreement,
-        "temperature_weights": q_temperature_weights,
-        "boilerplate_affixes": q_boilerplate_affixes,
-        "embedding_drift": q_embedding_drift,
-        "length_histogram": q_length_histogram,
-        "dup_cosine_check": q_dup_cosine_check,
-        "ann_ivfpq": q_ann_ivfpq,
-        "source_divergence": q_source_divergence,
-        "event_agg_rollup": q_event_agg_rollup,
-        "recent_purchase_totals": q_recent_purchase_totals,
-        "histogram_by_type": q_histogram_by_type,
-        "histogram_weeks_since": q_histogram_weeks_since,
-        "osl_funnel_continue": q_osl_funnel_continue,
-        "osl_segment_counts": q_osl_segment_counts,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "session_counts_5min": q_session_counts_5min,
-        "top_paths": q_top_paths,
-        "doc_fingerprint": q_doc_fingerprint,
-        "repetition_signals": q_repetition_signals,
-        "user_purchase_totals": q_user_purchase_totals,
-        "textual_user_core": q_textual_user_core,
-        "property_counts_by_segment": q_property_counts_by_segment,
-        "osl_agg_options": q_osl_agg_options,
-        "session_length_quantiles": q_session_length_quantiles,
-        "ann_topk": q_ann_topk,
-        "tpch_q3": q_tpch_q3,
-        "row_count_distribution": q_row_count_distribution,
-        "events_with_user_dim": q_events_with_user_dim,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
-        "monthly_retention": q_monthly_retention,
-        "osl_customer_write": q_osl_customer_write,
-        "user_event_type_sets": q_user_event_type_sets,
-        "dedup_exact_keep": q_dedup_exact_keep,
-        "sample_per_stratum": q_sample_per_stratum,
-        "retention_cull": q_retention_cull,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "winnow_matches": q_winnow_matches,
-        "dsir_weights": q_dsir_weights,
-        "ann_lsh": q_ann_lsh,
-        # born r12 (never driver-green yet; forced into the r13 window)
-        "sliding_value_p95_24h": q_sliding_value_p95_24h,
-        "sliding_user_rates_24h": q_sliding_user_rates_24h,
-        "sliding_segment_jaccard_24h": q_sliding_segment_jaccard_24h,
-        "rollup_user_rates": q_rollup_user_rates,
     }
 
 
