@@ -280,7 +280,8 @@ def cms_sliding_estimate(
         pre, col, ("_tb",), depth, width, weight_col
     ).localCheckpoint()
     return cms_sliding_from_partials(
-        parts, col, probes, slide, window, depth, width
+        parts, col, probes, slide, window, depth, width,
+        materialized=True,
     )
 
 
@@ -292,6 +293,7 @@ def cms_sliding_from_partials(
     window: int = 24,
     depth: int = 4,
     width: int = 2048,
+    materialized: bool = False,
 ) -> DataFrame:
     """The sliding fold from STORED per-slide grids (_tb, d, bucket,
     cnt) — the path a live deployment runs: per-hour grids maintained
@@ -299,8 +301,10 @@ def cms_sliding_from_partials(
     estimates re-reading only the watched cells of the bounded grid
     table. cms_sliding_estimate is exactly this on freshly-built
     grids, so stream-fed and batch results are equal by construction
-    (34th parity surface). ``parts`` should be materialized (a table
-    or checkpoint): three subtrees reference it."""
+    (34th parity surface). Three subtrees reference ``parts``, so it
+    is pinned here by default; ``materialized=True`` promises the
+    caller already pinned it (a checkpoint or stored table) and skips
+    the second bounded copy (VERDICT r12 ask #5)."""
     from pyspark.sql.window import Window
 
     from openset_spark.pipeline.sliding import check_slide, dense_spine
@@ -319,7 +323,8 @@ def cms_sliding_from_partials(
     } & set(keys)
     if clash:
         raise ValueError(f"probe columns collide with internals: {clash}")
-    parts = parts.localCheckpoint()
+    if not materialized:
+        parts = parts.localCheckpoint()
     # probe cells (<= n_probes x depth rows; broadcast everywhere)
     pb = (
         probes.filter(F.col(col).isNotNull())
@@ -356,6 +361,54 @@ def cms_sliding_from_partials(
     joined = rolled.join(F.broadcast(pb), ["_cms_d", "_cms_bucket"])
     return joined.groupBy(F.col("_tb").alias("bucket"), *keys).agg(
         F.min(F.coalesce(F.col("_cms_cnt"), F.lit(0))).alias("est")
+    )
+
+
+def _leveled_grid(
+    df: DataFrame,
+    col: str,
+    granularities: tuple[str, ...],
+    ts_col: str,
+    depth: int,
+    width: int,
+    weight_col: str | None,
+) -> DataFrame:
+    """The un-pinned multi-level grid behind cms_time_rollup_estimate:
+    one finest-grain grid aggregate over RAW, then the GROUPING SETS
+    Expand over grid rows only (<= depth x width per finest group).
+    Kept separate so the Expand-above-finest-aggregate plan law stays
+    testable — the public function checkpoints this frame, which
+    collapses its optimized plan."""
+    bnames = [f"bucket_{g}" for g in granularities]
+    pre = df.withColumns(
+        {
+            n: F.date_trunc(g, F.col(ts_col))
+            for n, g in zip(bnames, granularities)
+        }
+    )
+    finest = cms_partials(
+        pre, col, tuple(bnames), depth, width, weight_col
+    )
+    all_keys = bnames + ["d", "bucket"]
+    sets = [
+        [F.col(c) for c in bnames[: i + 1] + ["d", "bucket"]]
+        for i in range(len(granularities))
+    ]
+    rolled = finest.groupingSets(
+        sets, *[F.col(c) for c in all_keys]
+    ).agg(F.sum("cnt").alias("cnt"), F.grouping_id().alias("_gid"))
+    level = F.lit(None).cast("string")
+    for i, g in enumerate(granularities):
+        # (d, bucket) are the last two gid bits and always present;
+        # time buckets finer than level i are grouped away
+        gid = ((1 << (len(granularities) - 1 - i)) - 1) << 2
+        level = F.when(F.col("_gid") == gid, F.lit(g)).otherwise(level)
+    return rolled.select(
+        level.alias("granularity"),
+        *bnames,
+        F.col("d").alias("_cms_d"),
+        F.col("bucket").alias("_cms_bucket"),
+        F.col("cnt").alias("_cms_cnt"),
     )
 
 
@@ -397,36 +450,20 @@ def cms_time_rollup_estimate(
     if clash:
         raise ValueError(f"probe columns collide with internals: {clash}")
     bnames = [f"bucket_{g}" for g in granularities]
-    pre = df.withColumns(
-        {
-            n: F.date_trunc(g, F.col(ts_col))
-            for n, g in zip(bnames, granularities)
-        }
-    )
-    finest = cms_partials(
-        pre, col, tuple(bnames), depth, width, weight_col
-    )
-    all_keys = bnames + ["d", "bucket"]
-    sets = [
-        [F.col(c) for c in bnames[: i + 1] + ["d", "bucket"]]
-        for i in range(len(granularities))
-    ]
-    rolled = finest.groupingSets(
-        sets, *[F.col(c) for c in all_keys]
-    ).agg(F.sum("cnt").alias("cnt"), F.grouping_id().alias("_gid"))
-    level = F.lit(None).cast("string")
-    for i, g in enumerate(granularities):
-        # (d, bucket) are the last two gid bits and always present;
-        # time buckets finer than level i are grouped away
-        gid = ((1 << (len(granularities) - 1 - i)) - 1) << 2
-        level = F.when(F.col("_gid") == gid, F.lit(g)).otherwise(level)
-    leveled = rolled.select(
-        level.alias("granularity"),
-        *bnames,
-        F.col("d").alias("_cms_d"),
-        F.col("bucket").alias("_cms_bucket"),
-        F.col("cnt").alias("_cms_cnt"),
-    )
+    # leveled is referenced twice below (the lev_keys distinct and the
+    # estimate join); Catalyst plans a separate raw scan per subtree
+    # reference, so without pinning the executed plan pays TWO full
+    # grid aggregates over RAW (ADVICE r12). The table is bounded —
+    # at most depth x width rows per finest group across all levels —
+    # so the localCheckpoint materialization is small and the raw rows
+    # pay exactly one grid aggregate, as the sliding *_from_partials
+    # siblings already guarantee (plan-asserted in
+    # tests/test_plans.py::test_cms_rollup_scans_raw_exactly_once; the
+    # Expand-above-finest-aggregate law is asserted on the
+    # pre-checkpoint plan via _leveled_grid).
+    leveled = _leveled_grid(
+        df, col, granularities, ts_col, depth, width, weight_col
+    ).localCheckpoint()
     # probe cells (<= n_probes x depth, broadcast) x every level key
     # (bounded by the level bucket counts), left-joined to the grid:
     # an absent cell is a zero counter at that level

@@ -302,6 +302,7 @@ def hdr_sliding_from_partials(
     window: int = 24,
     qs: tuple[float, ...] = (0.5, 0.95),
     sub_bits: int = 5,
+    materialized: bool = False,
 ) -> DataFrame:
     """The sliding fold from STORED per-slide partials (_tb, bucket,
     cnt) — the path a live deployment runs: per-hour sketches are
@@ -309,7 +310,11 @@ def hdr_sliding_from_partials(
     surface), and every trailing-window quantile re-reads only the
     bounded partial table, never raw rows. hdr_sliding_quantiles is
     exactly this on freshly-built partials, so stream-fed and batch
-    results are equal by construction (33rd parity surface)."""
+    results are equal by construction (33rd parity surface).
+
+    ``materialized=True`` promises ``parts`` is already pinned (a
+    checkpoint or a stored table) and skips the defensive copy below
+    (VERDICT r12 ask #5 — the double-materialization opt-out)."""
     from openset_spark.pipeline.sliding import check_slide, dense_spine
 
     _check(sub_bits)
@@ -319,7 +324,8 @@ def hdr_sliding_from_partials(
     # buckets x <= 64*s + 1 rows) so the raw scan runs exactly once
     # (same reasoning as hll_sliding_from_partials; measured 3 scans
     # otherwise).
-    parts = parts.localCheckpoint()
+    if not materialized:
+        parts = parts.localCheckpoint()
     spine = dense_spine(parts, "_tb", slide)
     buckets = parts.select("bucket").distinct()
     dense = spine.join(buckets).join(parts, ["_tb", "bucket"], "left")

@@ -311,6 +311,7 @@ def hll_sliding_from_partials(
     slide: str = "hour",
     window: int = 24,
     p: int = 10,
+    materialized: bool = False,
 ) -> DataFrame:
     """The sliding fold from STORED per-slide register partials
     (_b, reg, rho) — the path a live deployment runs: per-hour
@@ -318,7 +319,11 @@ def hll_sliding_from_partials(
     parity surface), and every trailing-window estimate re-reads only
     the bounded register table, never raw rows. hll_sliding_distinct
     is exactly this on freshly-built partials, so stream-fed and
-    batch results are equal by construction (32nd parity surface)."""
+    batch results are equal by construction (32nd parity surface).
+
+    ``materialized=True`` promises ``parts`` is already pinned (a
+    checkpoint or a stored table) and skips the defensive copy below
+    (VERDICT r12 ask #5 — the double-materialization opt-out)."""
     from pyspark.sql.window import Window
 
     from openset_spark.pipeline.sliding import check_slide, dense_spine
@@ -330,7 +335,8 @@ def hll_sliding_from_partials(
     # over the event table. The partial table is bounded (slide
     # buckets x <= 2^p rows), so materializing it costs O(bounded)
     # and pins the raw scan to exactly ONE pass.
-    parts = parts.localCheckpoint()
+    if not materialized:
+        parts = parts.localCheckpoint()
     spine = dense_spine(parts, "_b", slide)
     regs = parts.select("reg").distinct()
     dense = spine.join(regs).join(parts, ["_b", "reg"], "left")

@@ -284,9 +284,16 @@ def kmv_difference(
         only_a.join(F.broadcast(theta.select("_ku")))
         .join(F.broadcast(est_u))
         .select(
+            # exact-DECIMAL product (see kmv_jaccard_by): a double
+            # ROUND tie here diverges between engines (r12 fix;
+            # ADVICE r12 flagged this last double-by-double holdout)
             F.round(
-                F.col("_c") / F.col("_ku") * F.col("_du"), 4
-            ).alias("approx_difference")
+                (F.col("_c") / F.col("_ku")).cast("decimal(12,10)")
+                * F.col("_du").cast("decimal(20,4)"),
+                4,
+            )
+            .cast("double")
+            .alias("approx_difference")
         )
     )
 
@@ -397,7 +404,9 @@ def kmv_sliding_jaccard(
     # per-(hour, side) sketches: bounded (2 x hours x k), three
     # downstream references -> materialize; raw scanned once
     parts = kmv_fold(obs, ("_tb", "_side"), k).localCheckpoint()
-    return kmv_sliding_from_partials(parts, slide, window, k)
+    return kmv_sliding_from_partials(
+        parts, slide, window, k, materialized=True
+    )
 
 
 def kmv_sliding_from_partials(
@@ -405,6 +414,7 @@ def kmv_sliding_from_partials(
     slide: str = "hour",
     window: int = 24,
     k: int = 512,
+    materialized: bool = False,
 ) -> DataFrame:
     """The sliding re-rank from STORED per-(slide, side) sketches
     (_tb, _side in {'a','b'}, hv) — the path a live deployment runs:
@@ -412,17 +422,19 @@ def kmv_sliding_from_partials(
     31st parity surface), trailing overlap re-reading only the
     bounded sketch table. kmv_sliding_jaccard is exactly this on
     freshly-built sketches, so stream-fed and batch results are
-    equal by construction (35th parity surface). ``parts`` is
-    materialized here (bounded: 2 x slides x k rows) — several
+    equal by construction (35th parity surface). ``parts`` is pinned
+    here by default (bounded: 2 x slides x k rows) — several
     subtrees reference it, and a caller passing a fresh plan must
-    not pay repeated scans (the hll/hdr from_partials convention; an
-    already-checkpointed input costs one extra bounded copy)."""
+    not pay repeated scans (the hll/hdr from_partials convention);
+    ``materialized=True`` promises the caller already pinned it and
+    skips the second bounded copy (VERDICT r12 ask #5)."""
     from openset_spark.pipeline.sliding import check_slide
 
     check_slide(slide, window)
     if k < 2:
         raise ValueError(f"k must be >= 2: {k}")
-    parts = parts.localCheckpoint()
+    if not materialized:
+        parts = parts.localCheckpoint()
     hi = parts.agg(F.max("_tb").alias("_hi"))
     served = (
         parts.crossJoin(F.broadcast(hi))

@@ -345,17 +345,19 @@ def test_time_rollup_estimate_expands_grid_not_rows(spark):
     """The grouping-sets Expand must sit ABOVE the finest grid
     aggregate — the xN level amplification applies to <= depth x
     width rows per finest group, never to the raw scan (the
-    time_rollup_distinct / time_rollup_quantiles plan law)."""
+    time_rollup_distinct / time_rollup_quantiles plan law). Asserted
+    on the pre-checkpoint grid (_leveled_grid): the public function
+    pins that frame (ADVICE r12 — one grid aggregate over raw), which
+    collapses its optimized plan to an ExistingRDD scan."""
     import datetime as dt
 
-    from openset_spark.pipeline.cms import cms_time_rollup_estimate
+    from openset_spark.pipeline.cms import _leveled_grid
 
     df = spark.createDataFrame(
         [("a", dt.datetime(2024, 3, 1, h)) for h in range(24)],
         "item string, ts timestamp",
     )
-    probes = spark.createDataFrame([("a",)], ["item"])
-    out = cms_time_rollup_estimate(df, "item", probes, ("day", "hour"))
+    out = _leveled_grid(df, "item", ("day", "hour"), "ts", 4, 2048, None)
     plan = out._jdf.queryExecution().optimizedPlan()
     found = []
 

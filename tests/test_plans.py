@@ -645,3 +645,22 @@ def test_sliding_folds_scan_raw_exactly_once(spark, sf_dir):
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" not in plan, plan
+
+
+def test_cms_rollup_scans_raw_exactly_once(spark, sf_dir):
+    """cms_time_rollup_estimate references its leveled grid from TWO
+    subtrees (the lev_keys distinct and the estimate join) — without
+    materialization Catalyst plans two separate raw scans, doubling
+    the dominant cost at scale (ADVICE r12). The bounded leveled
+    table (<= depth x width rows per finest group) is
+    localCheckpoint-pinned, so the final plan must contain ZERO
+    parquet scans: the one raw pass already happened building it."""
+    from openset_spark.pipeline.cms import cms_time_rollup_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = (
+        ev.select("user_id").filter(F.col("user_id") % 7 == 0).distinct()
+    )
+    out = cms_time_rollup_estimate(ev, "user_id", probes, ("day", "hour"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan
