@@ -4580,6 +4580,10 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cap": q_retention_cap,
         "perplexity_buckets": q_perplexity_buckets,
         "mixture_select": q_mixture_select,
+        # born r13 (registered AFTER the window plan per the rotation
+        # rule) — never driver-green; head the r14 window
+        "lang_id_nb": q_lang_id_nb,
+        "lang_nb_confusion": q_lang_nb_confusion,
     }
 
 
@@ -4941,6 +4945,91 @@ g AS (
 )
 SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM g GROUP BY 1, 2
+"""
+
+
+def q_lang_id_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-class language ID: multiclass multinomial NB over
+    char-3-grams, trained on the labeled doc_id%5==0 shard, scoring
+    the whole corpus (per-language log-likelihood sums + argmax).
+    Pure relational: one gram-count aggregate, one broadcast
+    weight-frame join, one per-doc sum — the nb_quality_scores shape
+    generalized to multiclass (VERDICT r12 ask #2; the stopword
+    lang_id stays as the cheap prefilter). NEW r13."""
+    from openset_spark.pipeline.classify import nb_lang_scores
+
+    docs = _docs(spark, sf_dir)
+    seed = docs.filter(F.col("doc_id") % 5 == 0)
+    return nb_lang_scores(docs, seed)
+
+
+_NB_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _lang_id_nb_sql() -> str:
+    scores = ",\n    ".join(
+        f"MAX(CASE WHEN l = '{l}' THEN s END) AS score_{l}"
+        for l in _NB_LANGS
+    )
+    best = "GREATEST(" + ", ".join(f"score_{l}" for l in _NB_LANGS) + ")"
+    guess = "CASE " + " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in _NB_LANGS
+    ) + " END"
+    return f"""
+WITH nd AS (SELECT doc_id, lang, {_NORM_SQL} AS nt FROM documents),
+g AS (
+  SELECT doc_id, lang, substring(nt, i, 3) AS gram
+  FROM nd, UNNEST(generate_series(1, greatest(len(nt) - 2, 1))) AS s(i)
+  WHERE substring(nt, i, 3) <> ''
+),
+cnt AS (
+  SELECT lang AS l, gram, COUNT(*) AS c FROM g
+  WHERE doc_id % 5 = 0 GROUP BY 1, 2
+),
+tot AS (SELECT l, SUM(c) AS nl FROM cnt GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT gram) AS v FROM cnt),
+w AS (
+  SELECT gram, l, ln((c + 1) / CAST(nl + v AS DOUBLE)) AS wt
+  FROM cnt JOIN tot USING (l), v
+),
+sc AS (
+  SELECT g.doc_id, t.l, COUNT(*) AS n,
+    ROUND(SUM(COALESCE(w.wt,
+      -ln(CAST(t.nl + (SELECT v FROM v) AS DOUBLE)))), 4) AS s
+  FROM g CROSS JOIN tot t
+  LEFT JOIN w ON w.gram = g.gram AND w.l = t.l
+  GROUP BY g.doc_id, t.l
+),
+wide AS (
+  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_grams,
+    {scores}
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+  {", ".join(f"score_{l}" for l in _NB_LANGS)},
+  {guess} AS lang_nb
+FROM wide
+"""
+
+
+def q_lang_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the NB language guess vs the gold `lang`
+    column — the audit that, run beside lang_confusion's stopword
+    matrix, says what the char-n-gram upgrade buys. NEW r13."""
+    from openset_spark.pipeline.classify import nb_lang_confusion
+
+    docs = _docs(spark, sf_dir)
+    seed = docs.filter(F.col("doc_id") % 5 == 0)
+    return nb_lang_confusion(docs, seed)
+
+
+def _lang_nb_confusion_sql() -> str:
+    inner = _lang_id_nb_sql()
+    return f"""
+WITH scored AS ({inner})
+SELECT d.lang, scored.lang_nb, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scored JOIN documents d USING (doc_id)
+GROUP BY 1, 2
 """
 
 
@@ -5449,6 +5538,8 @@ def oracle_sql() -> dict[str, str]:
         # formerly-no_oracle sketch queries (dedup_minhash,
         # dedup_simhash, ann_lsh, ann_ivf) now emit containment /
         # recall-floor frames their SQL can reproduce exactly.
+        "lang_id_nb": _lang_id_nb_sql(),
+        "lang_nb_confusion": _lang_nb_confusion_sql(),
     }
 
 

@@ -113,6 +113,138 @@ def nb_quality_scores(
     )
 
 
+def nb_lang_model(
+    seed: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+) -> tuple[DataFrame, list[str], dict[str, float]]:
+    """Multiclass multinomial NB over character n-grams — the
+    fastText-class language identifier (Joulin et al. 2016 use char
+    n-gram features for exactly this task), in the same closed-form
+    count-ratio shape as nb_quality_model so training IS one hash
+    aggregate and scoring IS a broadcast join + sum:
+
+        weight(g, l) = ln((c(g, l) + 1) / (N_l + V))
+        oov(l)       = -ln(N_l + V)            (gram unseen in l)
+
+    V counts distinct grams across ALL languages (a gram seen only
+    in one language still gets a finite, strongly-signed weight
+    everywhere). Returns (weights, langs, oov): ``weights`` is ONE
+    bounded wide frame (gram, _w_<lang>...) — V x (L+1), charset^n
+    -bounded, broadcast at score time so each exploded gram row is
+    touched once (the long (gram x lang) form would multiply the
+    100 TB explode by L) — ``langs`` the sorted label set, ``oov``
+    the per-language unseen-gram weights. The per-language totals
+    come from one L-row collect of pre-aggregated counts — never a
+    row collect. Replaces nothing: textstats.lang_id stays as the
+    cheap stopword prefilter (VERDICT r12 ask #2)."""
+    import math
+
+    from openset_spark.functions.text import char_ngrams
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    cnt = (
+        seed.select(
+            F.col(label_col).alias("_lang"),
+            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .groupBy("_lang", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # bounded: L rows + 1 row, both pre-aggregated
+    totals = {
+        r["_lang"]: int(r["nl"])
+        for r in cnt.groupBy("_lang").agg(F.sum("c").alias("nl")).collect()
+    }
+    v = int(cnt.select(F.countDistinct("gram").alias("v")).first()["v"])
+    langs = sorted(totals)
+    if not langs:
+        raise ValueError("seed corpus has no grams")
+    wide = cnt.groupBy("gram").pivot("_lang", langs).sum("c")
+    weights = wide.select(
+        "gram",
+        *[
+            F.log(
+                (F.coalesce(F.col(f"`{l}`"), F.lit(0)) + 1)
+                / F.lit(float(totals[l] + v))
+            ).alias(f"_w_{l}")
+            for l in langs
+        ],
+    )
+    oov = {l: -math.log(totals[l] + v) for l in langs}
+    return weights, langs, oov
+
+
+def nb_lang_scores(
+    docs: DataFrame,
+    seed: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_grams, score_<lang>..., lang_nb) for every doc with at
+    least one char n-gram: per-language NB log-likelihood sums under
+    the seed-trained model and the argmax guess. The argmax compares
+    the ROUND(·, 4) scores (the values the oracle layer locks) with
+    a lexicographically-smallest tiebreak, so the guess is exactly
+    reproducible from the emitted columns. Uniform prior — the seed
+    class mix is a corpus accident, not evidence (and a constant
+    per-language shift, trivially re-addable downstream)."""
+    from openset_spark.functions.text import char_ngrams
+
+    weights, langs, oov = nb_lang_model(seed, text_col, label_col, n)
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
+    ).filter(F.col("gram") != "")
+    joined = grams.join(F.broadcast(weights), "gram", "left")
+    scored = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        *[
+            F.round(
+                F.sum(F.coalesce(F.col(f"_w_{l}"), F.lit(float(oov[l])))), 4
+            ).alias(f"score_{l}")
+            for l in langs
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.coalesce(
+        *[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs]
+    )
+    return scored.select(
+        id_col,
+        "n_grams",
+        *[f"score_{l}" for l in langs],
+        guess.alias("lang_nb"),
+    )
+
+
+def nb_lang_confusion(
+    docs: DataFrame,
+    seed: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(lang, lang_nb, n_docs) confusion matrix of the NB guess vs
+    the labeled column — the audit that says what the classifier
+    actually does on a corpus (and, run beside lang_confusion's
+    stopword audit, what the upgrade buys). One bounded L x L
+    aggregate over the scored frame."""
+    scored = nb_lang_scores(docs, seed, text_col, label_col, n, id_col)
+    labeled = docs.select(F.col(id_col), F.col(label_col).alias("lang"))
+    return (
+        scored.join(labeled, id_col)
+        .groupBy("lang", "lang_nb")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def quality_classifier_keep(
     docs: DataFrame,
     pos: DataFrame,

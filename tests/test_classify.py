@@ -59,6 +59,80 @@ def test_nb_scores_sum_and_oov(spark):
     assert out[10][1] > 0 > out[11][1]
 
 
+def test_nb_lang_scores_recovers_planted_languages(spark):
+    """Two planted 'languages' with disjoint character inventories:
+    the char-3-gram NB must classify held-out docs of each, the
+    per-language scores must match a hand NB computation, and the
+    confusion matrix must be diagonal."""
+    from openset_spark.pipeline.classify import (
+        nb_lang_confusion,
+        nb_lang_scores,
+    )
+
+    seed = spark.createDataFrame(
+        [
+            (1, "aaa bbb aab", "aa"),
+            (2, "aba bab aab", "aa"),
+            (3, "xxx yyy xxy", "xx"),
+            (4, "xyx yxy xyy", "xx"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs = spark.createDataFrame(
+        [(10, "aab aba", "aa"), (11, "xxy yxy", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in nb_lang_scores(docs, seed).collect()}
+    assert out[10].lang_nb == "aa"
+    assert out[11].lang_nb == "xx"
+    # hand NB for doc 10: grams of "aab aba" under each class
+    import collections
+
+    def grams(t):
+        return [t[i : i + 3] for i in range(len(t) - 2)]
+
+    cnt = {"aa": collections.Counter(), "xx": collections.Counter()}
+    for _, t, l in seed.collect():
+        cnt[l].update(grams(t))
+    v = len(set(cnt["aa"]) | set(cnt["xx"]))
+    for lang in ("aa", "xx"):
+        n_l = sum(cnt[lang].values())
+        s = sum(
+            math.log((cnt[lang][g] + 1) / (n_l + v))
+            for g in grams("aab aba")
+        )
+        got = getattr(out[10], f"score_{lang}")
+        assert got == pytest.approx(round(s, 4), abs=1e-9), lang
+    conf = {
+        (r.lang, r.lang_nb): r.n_docs
+        for r in nb_lang_confusion(docs, seed).collect()
+    }
+    assert conf == {("aa", "aa"): 1, ("xx", "xx"): 1}
+
+
+def test_nb_lang_short_doc_and_tiebreak(spark):
+    """A doc shorter than the gram width still scores (one truncated
+    gram — the char_ngrams k<=0 contract); a doc whose rounded
+    scores tie across languages takes the lexicographically smallest
+    label (the documented argmax tiebreak)."""
+    from openset_spark.pipeline.classify import nb_lang_scores
+
+    seed = spark.createDataFrame(
+        [(1, "abcabc", "l1"), (2, "abcabc", "l2")],
+        "doc_id long, text string, lang string",
+    )
+    docs = spark.createDataFrame(
+        [(10, "ab", "l1"), (11, "abc", "l1")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in nb_lang_scores(docs, seed).collect()}
+    # identical seed corpora per class -> identical scores -> 'l1'
+    assert out[10].n_grams == 1  # the single truncated gram "ab"
+    assert out[10].score_l1 == out[10].score_l2
+    assert out[10].lang_nb == "l1"
+    assert out[11].lang_nb == "l1"
+
+
 def test_quality_classifier_keep_fraction(spark):
     pos = _docs(spark, [(1, "alpha beta gamma")])
     neg = _docs(spark, [(2, "zock zock pow")])
