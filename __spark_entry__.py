@@ -4584,6 +4584,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rule) — never driver-green; head the r14 window
         "lang_id_nb": q_lang_id_nb,
         "lang_nb_confusion": q_lang_nb_confusion,
+        "main_content": q_main_content,
     }
 
 
@@ -5540,6 +5541,7 @@ def oracle_sql() -> dict[str, str]:
         # recall-floor frames their SQL can reproduce exactly.
         "lang_id_nb": _lang_id_nb_sql(),
         "lang_nb_confusion": _lang_nb_confusion_sql(),
+        "main_content": _main_content_sql(),
     }
 
 
@@ -5918,6 +5920,103 @@ FROM documents GROUP BY source
 # including the overlap cases the scrub order exists for — and DuckDB
 # replays both the counts AND the scrubbed rewrite cross-engine.
 # ASCII only, no apostrophes (keeps the SQL literal trivial).
+# HTML main-content fixture: nav menus and footers (pure links),
+# cookie banner (short), real paragraphs, a link-heavy paragraph
+# right at the density boundary, tag-free prose, nested inline tags
+# inside an anchor, and a pure-markup doc (drops out entirely).
+_HTML_FIXTURE = [
+    (1, "<nav><a href=x>home</a> <a href=y>about</a> <a href=z>shop"
+        "</a></nav><p>the quick brown fox jumps over the lazy dog"
+        " tonight</p><p>a second real paragraph with enough words to"
+        " keep</p><footer><a href=q>terms</a> <a href=w>privacy</a>"
+        "</footer>"),
+    (2, "<div>we use cookies</div><p>short</p><h1>actual heading"
+        " text here</h1><p>body text continues with several more"
+        " plain words</p>"),
+    (3, "no markup at all just a plain prose document kept whole"),
+    (4, "<p>see <a href=a>this <b>bold</b> link</a> plus four plain"
+        " words</p><li>menu</li><li>items</li>"),
+    (5, "<p><a href=x>one</a> <a href=y>two</a> three four</p>"
+        "<p><a href=x>one two three</a> four five</p>"),
+    (6, "<table><tr><td>cell</td><td>grid</td></tr></table>"
+        "<p>after the table a real sentence of prose appears</p>"),
+    (7, "<div><br><p></p></div>"),
+]
+
+
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-style main-content extraction: block split on
+    block-level tags, per-block token + anchor-token counts, keep
+    blocks >= 3 tokens with link density <= 0.5 (integer permille),
+    reassemble in document order. Inline HTML fixture carrying nav
+    menus, cookie banners, link-density boundary cases and nested
+    inline tags (the pii_positive precedent; VERDICT r12 ask #3).
+    NEW r13."""
+    from openset_spark.pipeline.cleaning import extract_main_content
+
+    df = spark.createDataFrame(_HTML_FIXTURE, "doc_id long, text string")
+    return extract_main_content(df)
+
+
+def _main_content_sql() -> str:
+    from openset_spark.pipeline.cleaning import (
+        ANCHOR_SPAN_RE,
+        BLOCK_TAG_RE,
+        HTML_TAG_RE,
+    )
+
+    values = ",\n    ".join(f"({i}, '{t}')" for i, t in _HTML_FIXTURE)
+
+    def strip(x: str) -> str:
+        return (
+            f"trim(regexp_replace(regexp_replace({x}, '{HTML_TAG_RE}',"
+            f" ' ', 'g'), '\\s+', ' ', 'g'))"
+        )
+
+    return f"""
+WITH docs AS (
+  SELECT * FROM (VALUES
+    {values}
+  ) AS t(doc_id, text)
+),
+b AS (
+  SELECT doc_id, i AS block_idx, arr[i] AS raw
+  FROM (
+    SELECT doc_id, regexp_split_to_array(text, '{BLOCK_TAG_RE}') AS arr
+    FROM docs
+  ), UNNEST(generate_series(1, len(arr))) AS s(i)
+),
+st AS (
+  SELECT doc_id, block_idx,
+    {strip("raw")} AS bt,
+    {strip(
+        "COALESCE(array_to_string(regexp_extract_all(raw, '"
+        + ANCHOR_SPAN_RE
+        + "', 1), ' '), '')"
+    )} AS at
+  FROM b
+),
+c AS (
+  SELECT doc_id, block_idx, bt,
+    CASE WHEN bt = '' THEN 0 ELSE len(string_split(bt, ' ')) END AS n_tokens,
+    CASE WHEN at = '' THEN 0 ELSE len(string_split(at, ' ')) END AS anchor_tokens
+  FROM st
+),
+k AS (
+  SELECT doc_id, block_idx, bt,
+    (n_tokens >= 3 AND anchor_tokens * 1000 <= 500 * n_tokens) AS kept
+  FROM c WHERE n_tokens > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_blocks,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  COALESCE(
+    string_agg(CASE WHEN kept THEN bt END, ' ' ORDER BY block_idx),
+    '') AS main_text
+FROM k GROUP BY doc_id
+"""
+
+
 _PII_FIXTURE = [
     (1, "contact alice.smith+labs@example.org for access"),
     (2, "mirror at https://user@10.0.0.1/path?tok=x then nothing"),

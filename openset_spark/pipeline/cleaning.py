@@ -54,6 +54,126 @@ def clean_documents(
     return df.withColumn(out_col, redact_pii(strip_markup(F.col(text_col))))
 
 
+# Block-level boundaries for main-content extraction: the tags that
+# terminate a text block in every browser's layout model. Both open
+# and close forms split; inline tags (<a>, <b>, <span>, ...) do NOT —
+# they stay inside the block and are stripped after classification.
+BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|td|th|tr|table|nav|header|"
+    r"footer|aside|section|article|blockquote|form)\b[^>]*>"
+)
+# group 1 = the inner text of one anchor (nested inline tags allowed)
+ANCHOR_SPAN_RE = r"(?i)<a\b[^>]*>([\s\S]*?)</a>"
+
+
+def _block_token_count(c: Column) -> Column:
+    """Whitespace tokens of an already tag-stripped, space-collapsed
+    string ('' counts 0 — split('') yields [''] in both engines)."""
+    return (
+        F.when(c == "", F.lit(0)).otherwise(F.size(F.split(c, " ")))
+    ).cast("long")
+
+
+def content_blocks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 3,
+    max_link_permille: int = 500,
+) -> DataFrame:
+    """jusText-shape block classification (Pomikálek 2011; the
+    text-density + link-density step every web-crawl pipeline runs
+    between raw HTML and quality filtering — trafilatura/jusText
+    territory, here as pure JVM regexp/array built-ins):
+
+    1. split each document into blocks on block-level tags;
+    2. per block, strip inline markup and count tokens, and count
+       the tokens inside ``<a>`` spans of the ORIGINAL block;
+    3. keep blocks with >= ``min_tokens`` tokens whose link density
+       (anchor_tokens / n_tokens) is <= max_link_permille/1000 — the
+       integer-permille compare keeps the rule exact cross-engine.
+
+    Output: one row per NON-EMPTY block (doc, block_idx, block_text,
+    n_tokens, anchor_tokens, kept); blocks that are pure markup or
+    whitespace vanish (and don't count) in both engines, which makes
+    the frame robust to engine-specific empty-split conventions.
+    Scale shape: one projection + explode, no shuffle at all — the
+    per-block rows stay on their document's partition."""
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1: {min_tokens}")
+    if not 0 <= max_link_permille <= 1000:
+        raise ValueError(
+            f"max_link_permille must be in [0, 1000]: {max_link_permille}"
+        )
+    blocks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), BLOCK_TAG_RE)).alias(
+            "block_idx", "_raw"
+        ),
+    )
+    bt = strip_markup(F.col("_raw"))
+    anchor = strip_markup(
+        F.array_join(
+            F.regexp_extract_all(F.col("_raw"), F.lit(ANCHOR_SPAN_RE), 1),
+            " ",
+        )
+    )
+    scored = blocks.select(
+        id_col,
+        F.col("block_idx").cast("long").alias("block_idx"),
+        bt.alias("block_text"),
+        _block_token_count(bt).alias("n_tokens"),
+        _block_token_count(anchor).alias("anchor_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    return scored.withColumn(
+        "kept",
+        (F.col("n_tokens") >= min_tokens)
+        & (
+            F.col("anchor_tokens") * 1000
+            <= max_link_permille * F.col("n_tokens")
+        ),
+    )
+
+
+def extract_main_content(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 3,
+    max_link_permille: int = 500,
+) -> DataFrame:
+    """(id, n_blocks, n_kept, main_text) per document with >= 1
+    non-empty block: the kept blocks of content_blocks reassembled
+    in document order — raw crawl HTML in, boilerplate-free prose
+    out, ready for gopher_quality and the per-language mixtures
+    (VERDICT r12 ask #3: regex strip alone feeds menus and cookie
+    banners to the quality filters). A document whose every block is
+    boilerplate still emits (n_kept = 0, main_text = '')."""
+    blocks = content_blocks(
+        df, text_col, id_col, min_tokens, max_link_permille
+    )
+    # collect_list skips nulls -> only kept blocks ride the struct
+    # array; array_sort on (block_idx, text) restores document order
+    return blocks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("kept"),
+                            F.struct("block_idx", "block_text"),
+                        )
+                    )
+                ),
+                lambda s: s["block_text"],
+            ),
+            " ",
+        ).alias("main_text"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     n: int = 2,

@@ -1,0 +1,100 @@
+"""Main-content extraction (pipeline/cleaning.py): block split on
+block-level tags, link-density classification, document-order
+reassembly. The registry oracle (`main_content`) replays the full
+pipeline cross-engine over the inline HTML fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.cleaning import (
+    content_blocks,
+    extract_main_content,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_blocks_split_and_classify(spark):
+    html = (
+        "<nav><a href=x>home</a> <a href=y>about</a></nav>"
+        "<p>real prose with plenty of words to keep here</p>"
+        "<li>menu</li>"
+    )
+    rows = content_blocks(_docs(spark, [(1, html)])).orderBy(
+        "block_idx"
+    ).collect()
+    # 3 non-empty blocks: nav (all anchors), paragraph, short li
+    assert [(r.n_tokens, r.anchor_tokens, r.kept) for r in rows] == [
+        (2, 2, False),   # link density 1.0
+        (9, 0, True),
+        (1, 0, False),   # under min_tokens
+    ]
+
+
+def test_nested_inline_tags_inside_anchor(spark):
+    html = "<p>see <a href=a>this <b>bold</b> link</a> and four more words</p>"
+    r = content_blocks(_docs(spark, [(1, html)])).first()
+    # anchor text 'this bold link' = 3 tokens of 8 total
+    assert (r.n_tokens, r.anchor_tokens, bool(r.kept)) == (8, 3, True)
+
+
+def test_density_boundary_is_inclusive_permille(spark):
+    # exactly half the tokens in anchors: 2*1000 <= 500*4 -> kept
+    at_half = "<p><a href=x>one two</a> three four</p>"
+    over = "<p><a href=x>one two three</a> four five</p>"
+    rows = {
+        r.doc_id: r
+        for r in content_blocks(
+            _docs(spark, [(1, at_half), (2, over)])
+        ).collect()
+    }
+    assert bool(rows[1].kept) is True
+    assert bool(rows[2].kept) is False
+
+
+def test_main_text_document_order_and_empty(spark):
+    html = (
+        "<p>first kept block of words</p><li>skip</li>"
+        "<p>second kept block of words</p>"
+    )
+    out = {r.doc_id: r for r in extract_main_content(
+        _docs(spark, [(1, html), (2, "<nav><a href=x>only links here</a></nav>"), (3, "<div><br></div>")])
+    ).collect()}
+    assert out[1].main_text == (
+        "first kept block of words second kept block of words"
+    )
+    # three non-empty blocks (the 1-token <li> counts), two kept
+    assert (out[1].n_blocks, out[1].n_kept) == (3, 2)
+    # all-boilerplate doc still emits, empty
+    assert (out[2].n_kept, out[2].main_text) == (0, "")
+    # pure-markup doc has no non-empty block at all -> no row
+    assert 3 not in out
+
+
+def test_tag_free_document_kept_whole(spark):
+    out = extract_main_content(
+        _docs(spark, [(1, "plain prose with no markup at all")])
+    ).first()
+    assert (out.n_blocks, out.n_kept) == (1, 1)
+    assert out.main_text == "plain prose with no markup at all"
+
+
+def test_param_validation(spark):
+    d = _docs(spark, [(1, "x")])
+    with pytest.raises(ValueError):
+        content_blocks(d, min_tokens=0)
+    with pytest.raises(ValueError):
+        content_blocks(d, max_link_permille=1001)
+
+
+def test_no_shuffle_in_block_classification(spark):
+    """content_blocks is projection + explode only — the per-block
+    rows never leave their document's partition (the 100 TB posture:
+    classification costs one pass, zero exchanges)."""
+    d = _docs(spark, [(1, "<p>a b c</p>")])
+    plan = content_blocks(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
