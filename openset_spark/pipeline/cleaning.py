@@ -54,6 +54,122 @@ def clean_documents(
     return df.withColumn(out_col, redact_pii(strip_markup(F.col(text_col))))
 
 
+# ---------------------------------------------------------------
+# Encoding repair (the ftfy pass a web corpus needs before
+# tokenization — VERDICT r12 ask #4): curated mojibake sequences
+# from UTF-8 bytes mis-decoded as CP1252/Latin-1, e.g. é (C3 A9)
+# -> "Ã©", ’ (E2 80 99) -> "â€™", and the double-encoded round
+# trip "Ã¢â‚¬â„¢". Everything is LITERAL replace/count — no regex,
+# so Spark and DuckDB agree byte-for-byte by construction. The maps
+# are ordered: double-encoded first (their text contains the
+# single-encoded sequences), then punctuation, accents, spacing.
+MOJIBAKE_DOUBLE = [
+    ("Ã¢â‚¬â„¢", "’"),
+    ("Ã¢â‚¬Å“", "“"),
+    ("Ã¢â‚¬Â¦", "…"),
+]
+MOJIBAKE_PUNCT = [
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€˜", "‘"),  # â€˜ -> ‘
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> –
+    ("â€”", "—"),  # â€” -> —
+    ("â€¦", "…"),  # â€¦ -> …
+]
+MOJIBAKE_ACCENT = [
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã ", "à"),  # Ã (+nbsp) -> à
+    ("Ã¢", "â"),  # Ã¢ -> â
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ãª", "ê"),  # Ãª -> ê
+    ("Ã«", "ë"),  # Ã« -> ë
+    ("Ã­", "í"),  # Ã­ -> í
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ã´", "ô"),  # Ã´ -> ô
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã‰", "É"),  # Ã‰ -> É
+    ("Ãœ", "Ü"),  # Ãœ -> Ü
+]
+MOJIBAKE_SPACING = [
+    ("Â ", " "),       # Â+nbsp -> plain space
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+    ("Â°", "°"),  # Â° -> °
+]
+MOJIBAKE_CLASSES = [
+    ("double", MOJIBAKE_DOUBLE),
+    ("punct", MOJIBAKE_PUNCT),
+    ("accent", MOJIBAKE_ACCENT),
+    ("spacing", MOJIBAKE_SPACING),
+]
+
+
+def _count_literal(c: Column, s: str) -> Column:
+    """Occurrences of literal ``s`` in ``c`` by length arithmetic —
+    (len - len(after removal)) / len(s), exact integers end-to-end."""
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(s), F.lit(""))))
+        / F.lit(len(s))
+    ).cast("long")
+
+
+def _apply_map(c: Column, pairs: list) -> Column:
+    for bad, good in pairs:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+def fix_mojibake(text: Column) -> Column:
+    """The repair chain alone (double-encoded, then punctuation,
+    accents, spacing) — for use inside a wider projection."""
+    for _name, pairs in MOJIBAKE_CLASSES:
+        text = _apply_map(text, pairs)
+    return text
+
+
+def mojibake_repair(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_double, n_punct, n_accent, n_spacing, n_mojibake,
+    flagged, repaired) per document: encoding-damage detection and
+    the fix pass. Each class is counted on the text AS REPAIRED BY
+    THE PREVIOUS classes (double-encoded text contains the
+    single-encoded and accent sequences as substrings — progressive
+    counting means n_* sums to the number of replacements actually
+    applied, with no double counting). One projection, all literal
+    string ops inside codegen; nothing shuffles."""
+    stage = F.col(text_col)
+    counts = {}
+    for name, pairs in MOJIBAKE_CLASSES:
+        n = F.lit(0).cast("long")
+        for bad, _good in pairs:
+            n = n + _count_literal(stage, bad)
+        counts[f"n_{name}"] = n
+        stage = _apply_map(stage, pairs)
+    total = sum(
+        (F.col(f"n_{name}") for name, _ in MOJIBAKE_CLASSES),
+        F.lit(0).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in counts.items()],
+        stage.alias("repaired"),
+    ).select(
+        id_col,
+        *counts.keys(),
+        total.alias("n_mojibake"),
+        (total > 0).alias("flagged"),
+        "repaired",
+    )
+
+
 # Block-level boundaries for main-content extraction: the tags that
 # terminate a text block in every browser's layout model. Both open
 # and close forms split; inline tags (<a>, <b>, <span>, ...) do NOT —

@@ -91,6 +91,57 @@ def test_param_validation(spark):
         content_blocks(d, max_link_permille=1001)
 
 
+def test_mojibake_repair_roundtrip(spark):
+    """Independent oracle: BUILD the mojibake by actually encoding
+    UTF-8 and mis-decoding as latin-1 / CP1252, then assert the
+    repair recovers the original string."""
+    from openset_spark.pipeline.cleaning import mojibake_repair
+
+    originals = [
+        "café crème déjà",
+        "naïve résumé from Zürich",
+        "price 100° with «guillemets»",
+    ]
+    rows = [(i, s.encode("utf-8").decode("latin-1"))
+            for i, s in enumerate(originals)]
+    # latin-1 maps A0 -> NBSP like CP1252; the punct chars need CP1252
+    rows.append((10, "don’t “quote… — dash".encode("utf-8").decode("cp1252")))
+    out = {r.doc_id: r for r in mojibake_repair(
+        _docs(spark, rows)
+    ).collect()}
+    assert out[0].repaired == "café crème déjà"
+    assert out[1].repaired == "naïve résumé from Zürich"
+    # the spacing class repairs NBSP artifacts to plain spaces
+    assert out[2].repaired == "price 100° with «guillemets»"
+    assert out[10].repaired == "don’t “quote… — dash"
+    assert all(out[i].flagged for i in (0, 1, 2, 10))
+
+
+def test_mojibake_progressive_counts_no_double_count(spark):
+    """A double-encoded apostrophe contains accent ('Ã¢') and
+    spacing sequences as substrings; progressive per-class counting
+    must attribute exactly ONE repair to the double class and zero
+    elsewhere."""
+    from openset_spark.pipeline.cleaning import mojibake_repair
+
+    doubled = "it’s".encode("utf-8").decode("cp1252") \
+        .encode("utf-8").decode("cp1252")
+    r = mojibake_repair(_docs(spark, [(1, doubled)])).first()
+    assert (r.n_double, r.n_punct, r.n_accent, r.n_spacing) == (1, 0, 0, 0)
+    assert r.n_mojibake == 1
+    assert r.repaired == "it’s"
+
+
+def test_mojibake_clean_text_untouched(spark):
+    from openset_spark.pipeline.cleaning import mojibake_repair
+
+    r = mojibake_repair(
+        _docs(spark, [(1, "plain ascii and real unicode: é ü — ’")])
+    ).first()
+    assert r.n_mojibake == 0 and not r.flagged
+    assert r.repaired == "plain ascii and real unicode: é ü — ’"
+
+
 def test_no_shuffle_in_block_classification(spark):
     """content_blocks is projection + explode only — the per-block
     rows never leave their document's partition (the 100 TB posture:
