@@ -1,0 +1,219 @@
+"""The persisted sliding-partial store (pipeline/sliding.py): write
+partitioned-by-day, read partition-pruned, and the foreachBatch
+maintainer that keeps it live — the storage loop a deployment runs
+under the *_sliding_from_partials query halves (VERDICT r12 ask #6).
+
+Two contracts:
+* the partition-pruned read of a trailing window touches ONLY the
+  overlapping day directories (plan-asserted PartitionFilters +
+  inputFiles), and feeding it to the fold yields EXACTLY the batch
+  sliding answer at that bucket;
+* a store maintained across N micro-batches equals a fresh build
+  over all the data (exact fold laws: max / sum / k-min re-rank).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.sliding import (
+    read_sliding_partials,
+    sliding_store_maintainer,
+    write_sliding_partials,
+)
+from openset_spark.sources.tables import load_table
+
+from tests.test_stream_parity import (
+    _batch_frame,
+    _spill_events,
+)
+from openset_spark.streaming.ingest import read_event_stream
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="oss-slstore-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _hourly(df):
+    return df.withColumn("_b", F.date_trunc("hour", F.col("ts")))
+
+
+def test_pruned_read_answers_trailing_window(spark, sf_dir, tmpdir):
+    from openset_spark.pipeline.hll import (
+        hll_partials,
+        hll_sliding_distinct,
+        hll_sliding_from_partials,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = hll_partials(_hourly(ev), "user_id", ("_b",))
+    store = os.path.join(tmpdir, "hll_store")
+    write_sliding_partials(parts, store, "_b")
+
+    upto = ev.agg(F.max(F.date_trunc("hour", F.col("ts")))).first()[0]
+    pruned = read_sliding_partials(spark, store, "_b", upto, "hour", 24)
+
+    # the _day range must reach the scan as PartitionFilters (the
+    # string form "isnotnull(_day#n), (_day#n >= ...), (_day#n <= ...)"
+    # — directory-level pruning, not a post-scan filter)
+    import re
+
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert re.search(r"_day#\d+ >= ", m.group(1)), m.group(1)
+    assert re.search(r"_day#\d+ <= ", m.group(1)), m.group(1)
+    n_store_days = len(
+        [d for d in os.listdir(store) if d.startswith("_day=")]
+    )
+    assert n_store_days > 2, "fixture must span > 2 days"
+    # and the pruned frame's rows genuinely span <= 2 days
+    got_days = pruned.select(
+        F.to_date("_b").alias("d")
+    ).distinct().count()
+    assert got_days <= 2, got_days
+
+    got = {
+        r.bucket: r.approx_distinct
+        for r in hll_sliding_from_partials(pruned, "hour", 24).collect()
+    }
+    want = {
+        r.bucket: r.approx_distinct
+        for r in hll_sliding_distinct(
+            ev, "user_id", "ts", "hour", 24
+        ).collect()
+    }
+    # the pruned read answers the window ENDING at upto exactly
+    assert got[upto] == want[upto]
+
+
+def test_maintained_store_equals_fresh_build(spark, sf_dir, tmpdir):
+    """hll: N micro-batches through the foreachBatch maintainer ==
+    one fresh build; the sliding fold over the maintained store ==
+    the batch sliding op."""
+    from openset_spark.pipeline.hll import (
+        hll_fold,
+        hll_partials,
+        hll_sliding_distinct,
+        hll_sliding_from_partials,
+    )
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    _spill_events(spark, sf_dir, src)
+    store = os.path.join(tmpdir, "store_hll")
+    fn = sliding_store_maintainer(
+        store,
+        lambda df: hll_partials(_hourly(df), "user_id", ("_b",)),
+        lambda df: hll_fold(df, ("_b",)),
+        "_b",
+    )
+    q = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(fn)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    maintained = spark.read.parquet(store).drop("_day")
+    fresh = hll_partials(
+        _hourly(_batch_frame(spark, src)), "user_id", ("_b",)
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    got = {
+        r.bucket: r.approx_distinct
+        for r in hll_sliding_from_partials(
+            maintained, "hour", 6
+        ).collect()
+    }
+    want = {
+        r.bucket: r.approx_distinct
+        for r in hll_sliding_distinct(
+            _batch_frame(spark, src), "user_id", "ts", "hour", 6
+        ).collect()
+    }
+    assert got == want and len(want) >= 5
+
+
+def test_maintained_kmv_store_reranks_exactly(spark, sf_dir, tmpdir):
+    """kmv: the merge law is a re-rank (window k-min of old+new), the
+    one non-monoid-looking fold — a maintained two-sided sketch store
+    must still equal the fresh build and feed the sliding jaccard."""
+    from openset_spark.pipeline.kmv import (
+        kmv_fold,
+        kmv_observations,
+        kmv_sliding_from_partials,
+        kmv_sliding_jaccard,
+    )
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    _spill_events(spark, sf_dir, src)
+    k = 64
+
+    def two_sided(df):
+        pre = _hourly(df).withColumnRenamed("_b", "_tb")
+        a = kmv_observations(
+            pre.filter(F.col("event_type") == "view"), "user_id", ("_tb",)
+        ).withColumn("_side", F.lit("a"))
+        b = kmv_observations(
+            pre.filter(F.col("event_type") == "purchase"),
+            "user_id",
+            ("_tb",),
+        ).withColumn("_side", F.lit("b"))
+        return kmv_fold(a.unionByName(b), ("_tb", "_side"), k)
+
+    store = os.path.join(tmpdir, "store_kmv")
+    fn = sliding_store_maintainer(
+        store,
+        two_sided,
+        lambda df: kmv_fold(df, ("_tb", "_side"), k),
+        "_tb",
+    )
+    q = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(fn)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_kmv"))
+        .start()
+    )
+    q.awaitTermination()
+
+    maintained = spark.read.parquet(store).drop("_day")
+    fresh = two_sided(_batch_frame(spark, src))
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            kmv_sliding_from_partials(maintained, "hour", 6, k).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            kmv_sliding_jaccard(
+                _batch_frame(spark, src),
+                "user_id",
+                F.col("event_type") == "view",
+                F.col("event_type") == "purchase",
+                window=6,
+                k=k,
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) >= 5
