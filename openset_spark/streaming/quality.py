@@ -62,3 +62,83 @@ def stream_nb_quality(
     return scored.select(
         id_col, "n_tokens", F.round("_raw", 4).alias("score")
     )
+
+
+def stream_lang_id(
+    docs: DataFrame,
+    weights: dict[str, list[float]],
+    langs: list[str],
+    oov: list[float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_grams, score_<lang>..., lang_nb) per arriving document —
+    the live ingest router twin of ``classify.nb_lang_scores`` (36th
+    parity surface). The frozen model maps gram -> per-language
+    weight vector (aligned with ``langs``; ``oov`` is the unseen-gram
+    vector), trained batch-side by ``nb_lang_model`` and shipped in
+    the closure like stream_nb_quality's dict — vocabulary-bounded,
+    no state store, no stream-static join; scoring is a stateless
+    Arrow pass, exact for any micro-batch split.
+
+    Gram construction happens JVM-SIDE with the exact char_ngrams
+    expression the batch scorer uses; per-language sums are rounded
+    JVM-side and the argmax compares the ROUNDED scores with the
+    batch twin's lexicographic tiebreak — so stream and batch cannot
+    drift on normalization, rounding, or tie policy."""
+    import pandas as pd
+    from typing import Iterator
+
+    from openset_spark.functions.text import char_ngrams
+
+    if len(oov) != len(langs):
+        raise ValueError("oov vector must align with langs")
+    grammed = docs.select(
+        F.col(id_col),
+        F.filter(
+            char_ngrams(F.col(text_col), n), lambda g: g != ""
+        ).alias("_grams"),
+    ).filter(F.size("_grams") >= 1)
+    width = len(langs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        get = weights.get
+        for pdf in batches:
+            ids, ns, sums = [], [], [[] for _ in range(width)]
+            for did, grams in zip(pdf[id_col], pdf["_grams"]):
+                acc = [0.0] * width
+                for g in grams:
+                    w = get(g, oov)
+                    for i in range(width):
+                        acc[i] += w[i]
+                ids.append(did)
+                ns.append(len(grams))
+                for i in range(width):
+                    sums[i].append(acc[i])
+            yield pd.DataFrame(
+                {id_col: ids, "n_grams": ns}
+                | {f"_raw_{i}": sums[i] for i in range(width)}
+            )
+
+    raw_schema = f"{id_col} long, n_grams long, " + ", ".join(
+        f"_raw_{i} double" for i in range(width)
+    )
+    scored = grammed.mapInPandas(run, raw_schema).select(
+        id_col,
+        "n_grams",
+        *[
+            F.round(f"_raw_{i}", 4).alias(f"score_{l}")
+            for i, l in enumerate(langs)
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    guess = F.coalesce(
+        *[F.when(F.col(f"score_{l}") == best, F.lit(l)) for l in langs]
+    )
+    return scored.select(
+        id_col,
+        "n_grams",
+        *[f"score_{l}" for l in langs],
+        guess.alias("lang_nb"),
+    )

@@ -2071,3 +2071,101 @@ def test_stream_fold_feeds_sliding_jaccard(spark, sf_dir, tmpdir):
         ).collect()
     }
     assert got == want and len(want) >= 5
+
+
+def test_stream_lang_id_matches_batch(spark, sf_dir, tmpdir):
+    """36th parity surface: the live NB language router over a
+    streamed document corpus equals batch nb_lang_scores doc for
+    doc — per-language scores, gram counts AND the argmax guess.
+    The char-n-gram model is trained batch-side on the labeled
+    doc_id%5==0 shard and frozen; gram construction runs JVM-side
+    on both twins; the argmax compares the same ROUND(,4) values."""
+    import json
+
+    from openset_spark.pipeline.classify import (
+        nb_lang_model,
+        nb_lang_scores,
+    )
+    from openset_spark.sources.tables import load_table
+    from openset_spark.streaming.quality import stream_lang_id
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    seed = docs.filter(F.col("doc_id") % 5 == 0)
+    wdf, langs, oov = nb_lang_model(seed)
+    weights = {
+        r["gram"]: [r[f"_w_{l}"] for l in langs] for r in wdf.collect()
+    }
+    oov_vec = [oov[l] for l in langs]
+
+    rows = [r.asDict() for r in docs.select("doc_id", "text").collect()]
+    chunk = (len(rows) + N_FILES - 1) // N_FILES
+    for i in range(N_FILES):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for r in rows[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps(r) + "\n")
+    _stamp_ordered(tmpdir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    name = f"parity_langid_{uuid.uuid4().hex[:8]}"
+    _run_available(stream_lang_id(stream, weights, langs, oov_vec), name)
+    got = sorted(
+        map(tuple, spark.sql(f"select * from {name}").collect())
+    )
+    want = sorted(map(tuple, nb_lang_scores(docs, seed).collect()))
+    assert got == want and len(want) >= 100
+
+
+def test_stream_cleaners_are_stateless_parity(spark, tmpdir):
+    """37th parity surface (stateless pair): mojibake_repair and
+    content_blocks are pure projections/explodes, so the SAME
+    operator code runs unchanged on a streaming frame and must agree
+    with batch row for row across micro-batch splits — planted
+    encoding damage and HTML boilerplate included."""
+    import json
+
+    from openset_spark.pipeline.cleaning import (
+        content_blocks,
+        mojibake_repair,
+    )
+
+    fixture = [
+        (1, "CafÃ© crÃ¨me mojibake"),
+        (2, "donâ€™t â€œquote"),
+        (3, "clean ascii prose stays"),
+        (4, "<nav><a href=x>menu</a></nav><p>kept paragraph with "
+            "plenty of words</p>"),
+        (5, "<p>short</p><p>another kept block of several words"
+            "</p>"),
+        (6, "<div><br></div>"),
+    ]
+    chunk = 2
+    for i in range(3):
+        with open(f"{tmpdir}/docs-{i:03d}.json", "w") as f:
+            for did, text in fixture[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    _stamp_ordered(tmpdir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    batch = spark.createDataFrame(fixture, "doc_id long, text string")
+
+    name_m = f"parity_moji_{uuid.uuid4().hex[:8]}"
+    _run_available(mojibake_repair(stream), name_m)
+    assert sorted(
+        map(tuple, spark.sql(f"select * from {name_m}").collect())
+    ) == sorted(map(tuple, mojibake_repair(batch).collect()))
+
+    name_b = f"parity_blocks_{uuid.uuid4().hex[:8]}"
+    _run_available(content_blocks(stream), name_b)
+    assert sorted(
+        map(tuple, spark.sql(f"select * from {name_b}").collect())
+    ) == sorted(map(tuple, content_blocks(batch).collect()))
