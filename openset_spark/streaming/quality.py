@@ -90,14 +90,21 @@ def stream_lang_id(
     import pandas as pd
     from typing import Iterator
 
-    from openset_spark.functions.text import char_ngrams
+    from openset_spark.functions.text import (
+        char_ngrams_from_norm,
+        normalize,
+    )
 
     if len(oov) != len(langs):
         raise ValueError("oov vector must align with langs")
+    # normalize projected FIRST — no CSE inside transform lambdas
+    # (see char_ngrams_from_norm; O(len²) per doc otherwise)
     grammed = docs.select(
+        F.col(id_col), normalize(F.col(text_col)).alias("_nt")
+    ).select(
         F.col(id_col),
         F.filter(
-            char_ngrams(F.col(text_col), n), lambda g: g != ""
+            char_ngrams_from_norm(F.col("_nt"), n), lambda g: g != ""
         ).alias("_grams"),
     ).filter(F.size("_grams") >= 1)
     width = len(langs)
