@@ -4586,6 +4586,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_nb_confusion": q_lang_nb_confusion,
         "main_content": q_main_content,
         "mojibake_repair": q_mojibake_repair,
+        "preprocess_crawl": q_preprocess_crawl,
     }
 
 
@@ -5544,6 +5545,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_nb_confusion": _lang_nb_confusion_sql(),
         "main_content": _main_content_sql(),
         "mojibake_repair": _mojibake_repair_sql(),
+        "preprocess_crawl": _preprocess_crawl_sql(),
     }
 
 
@@ -5960,14 +5962,16 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(df)
 
 
-def _main_content_sql() -> str:
+def _main_content_sql(fixture=None) -> str:
     from openset_spark.pipeline.cleaning import (
         ANCHOR_SPAN_RE,
         BLOCK_TAG_RE,
         HTML_TAG_RE,
     )
 
-    values = ",\n    ".join(f"({i}, '{t}')" for i, t in _HTML_FIXTURE)
+    values = ",\n    ".join(
+        f"({i}, '{t}')" for i, t in (fixture or _HTML_FIXTURE)
+    )
 
     def strip(x: str) -> str:
         return (
@@ -6019,6 +6023,64 @@ FROM k GROUP BY doc_id
 """
 
 
+# Raw-crawl fixture for the FUSED front-end: HTML boilerplate AND
+# encoding damage AND PII in the same documents — main-content
+# extraction must run first (a mojibake inside a nav menu must NOT
+# count), repair second, redaction last.
+_CRAWL_FIXTURE = [
+    (1, "<nav><a href=x>home</a> <a href=y>about</a></nav>"
+        "<p>contact alice@example.org about the CafÃ© menu plans"
+        "</p>"),
+    (2, "<p>donâ€™t visit https://tracker.example.com/x right now"
+        "</p><li>nav</li>"),
+    (3, "plain prose with no markup mojibake or identifiers at all"),
+    (4, "<p>call +1 415 555 0134 about the naÃ¯ve rÃ©sumÃ© file"
+        "</p>"),
+    (5, "<div><a href=q>terms CafÃ©</a> <a href=w>privacy</a></div>"),
+    (6, "<div><br></div>"),
+]
+
+
+def q_preprocess_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED crawl front-end: main-content extraction + encoding
+    repair + PII redaction in one pass (one reassembly shuffle, both
+    rewrites riding the same stage — compose.preprocess_crawl). The
+    fixture plants boilerplate, mojibake and PII in the SAME docs so
+    the oracle locks the stage ORDER: damage inside dropped menus
+    never counts, addresses are redacted from the repaired text.
+    NEW r13."""
+    from openset_spark.pipeline.compose import preprocess_crawl
+
+    df = spark.createDataFrame(_CRAWL_FIXTURE, "doc_id long, text string")
+    return preprocess_crawl(df)
+
+
+def _preprocess_crawl_sql() -> str:
+    from openset_spark.pipeline.pii import PII_PATTERNS
+
+    inner = _main_content_sql(_CRAWL_FIXTURE)
+    ctes, last, prev = _mojibake_sql_stages(
+        "mc2", ["n_blocks", "n_kept"]
+    )
+    from openset_spark.pipeline.cleaning import MOJIBAKE_CLASSES
+
+    total = " + ".join(f"n_{n}" for n, _ in MOJIBAKE_CLASSES)
+    scrub = prev
+    for _k, (p, rep) in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{p}', '{rep}', 'g')"
+    return f"""
+WITH mc AS ({inner}),
+mc2 AS (
+  SELECT doc_id, n_blocks, n_kept, main_text AS t0 FROM mc
+),
+{ctes}
+SELECT doc_id, n_blocks, n_kept,
+  CAST({total} AS BIGINT) AS n_mojibake,
+  {scrub} AS clean_text
+FROM {last}
+"""
+
+
 # Encoding-damage fixture: single-encoded accents, CP1252 smart
 # punctuation, a double-encoded apostrophe, NBSP artifacts, clean
 # ASCII (no false positive), and a bare Ã that no map entry claims.
@@ -6047,15 +6109,18 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mojibake_repair(df)
 
 
-def _mojibake_repair_sql() -> str:
+def _mojibake_sql_stages(src: str, carry: list[str]) -> tuple[str, str, str]:
+    """The progressive per-class repair as spliceable CTE fragments:
+    (cte_sql, last_cte_name, last_text_col) reading from CTE ``src``
+    which must expose (doc_id, carry..., t0). Generated from the
+    same MOJIBAKE_CLASSES tables the operator compiles to, so code
+    and oracle cannot drift; shared by the standalone oracle and the
+    fused preprocess_crawl oracle."""
     from openset_spark.pipeline.cleaning import MOJIBAKE_CLASSES
 
     def q(s: str) -> str:
         return s.replace("'", "''")
 
-    values = ",\n    ".join(
-        f"({i}, '{q(t)}')" for i, t in _MOJIBAKE_FIXTURE
-    )
     ctes, prev = [], "t0"
     names = [name for name, _ in MOJIBAKE_CLASSES]
     for step, (name, pairs) in enumerate(MOJIBAKE_CLASSES):
@@ -6068,14 +6133,28 @@ def _mojibake_repair_sql() -> str:
         for bad, good in pairs:
             rep = f"replace({rep}, '{q(bad)}', '{q(good)}')"
         nxt = f"t{step + 1}"
-        carry = ", ".join(f"n_{n}" for n in names[:step])
-        carry = (carry + ", ") if carry else ""
+        cols = ", ".join(carry + [f"n_{n}" for n in names[:step]])
+        cols = (cols + ", ") if cols else ""
         ctes.append(
-            f"s{step} AS (SELECT doc_id, {carry}"
+            f"s{step} AS (SELECT doc_id, {cols}"
             f"CAST({cnt} AS BIGINT) AS n_{name}, {rep} AS {nxt}"
-            f" FROM {'docs' if step == 0 else f's{step - 1}'})"
+            f" FROM {src if step == 0 else f's{step - 1}'})"
         )
         prev = nxt
+    return ",\n".join(ctes), f"s{len(names) - 1}", prev
+
+
+def _mojibake_repair_sql() -> str:
+    from openset_spark.pipeline.cleaning import MOJIBAKE_CLASSES
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    values = ",\n    ".join(
+        f"({i}, '{q(t)}')" for i, t in _MOJIBAKE_FIXTURE
+    )
+    names = [name for name, _ in MOJIBAKE_CLASSES]
+    ctes, last, prev = _mojibake_sql_stages("docs", [])
     total = " + ".join(f"n_{n}" for n in names)
     return f"""
 WITH docs AS (
@@ -6083,13 +6162,13 @@ WITH docs AS (
     {values}
   ) AS t(doc_id, text)
 ),
-{",".join(ctes)}
+{ctes}
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
   {", ".join(f"n_{n}" for n in names)},
   CAST({total} AS BIGINT) AS n_mojibake,
   ({total}) > 0 AS flagged,
   {prev} AS repaired
-FROM s{len(names) - 1}
+FROM {last}
 """
 
 

@@ -135,16 +135,23 @@ def fix_mojibake(text: Column) -> Column:
 
 
 def mojibake_repair(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, n_double, n_punct, n_accent, n_spacing, n_mojibake,
-    flagged, repaired) per document: encoding-damage detection and
-    the fix pass. Each class is counted on the text AS REPAIRED BY
-    THE PREVIOUS classes (double-encoded text contains the
-    single-encoded and accent sequences as substrings — progressive
-    counting means n_* sums to the number of replacements actually
-    applied, with no double counting). One projection, all literal
-    string ops inside codegen; nothing shuffles."""
+    """(id, carry..., n_double, n_punct, n_accent, n_spacing,
+    n_mojibake, flagged, repaired) per document: encoding-damage
+    detection and the fix pass. Each class is counted on the text AS
+    REPAIRED BY THE PREVIOUS classes (double-encoded text contains
+    the single-encoded and accent sequences as substrings —
+    progressive counting means n_* sums to the number of
+    replacements actually applied, with no double counting). One
+    projection, all literal string ops inside codegen; nothing
+    shuffles. ``carry`` names input columns to ride along (the
+    lang_id extra_cols fusion hook — a caller fusing stages must not
+    join this frame back against its own input, which would plan the
+    upstream twice)."""
     stage = F.col(text_col)
     counts = {}
     for name, pairs in MOJIBAKE_CLASSES:
@@ -159,10 +166,12 @@ def mojibake_repair(
     )
     return df.select(
         F.col(id_col),
+        *carry,
         *[c.alias(n) for n, c in counts.items()],
         stage.alias("repaired"),
     ).select(
         id_col,
+        *carry,
         *counts.keys(),
         total.alias("n_mojibake"),
         (total > 0).alias("flagged"),

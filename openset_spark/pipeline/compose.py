@@ -24,6 +24,52 @@ from openset_spark.pipeline.sampling import hash_uniform
 from openset_spark.pipeline.textstats import lang_id, quality_score
 
 
+def preprocess_crawl(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 3,
+    max_link_permille: int = 500,
+) -> DataFrame:
+    """Raw crawl HTML -> model-ready text, the front-end step BEFORE
+    prepare_corpus's recipe (which starts from already-textual
+    documents): main-content extraction (block split + link-density
+    keep), encoding repair (mojibake), PII redaction — fused so the
+    raw corpus is read ONCE and the only shuffle is main-content's
+    per-doc reassembly groupBy; repair and redaction are projections
+    riding the same stage. Every published crawl recipe (CCNet /
+    Gopher / DCLM shape) runs exactly this chain between WARC text
+    and quality filtering.
+
+    Output: (id, n_blocks, n_kept, n_mojibake, clean_text) — docs
+    whose every block is pure markup emit nothing (the
+    extract_main_content convention); all-boilerplate docs emit
+    n_kept = 0 with empty clean_text."""
+    from openset_spark.pipeline.cleaning import (
+        extract_main_content,
+        mojibake_repair,
+    )
+    from openset_spark.pipeline.pii import scrub_pii
+
+    main = extract_main_content(
+        df, text_col, id_col, min_tokens, max_link_permille
+    )
+    # n_blocks/n_kept ride mojibake_repair's carry hook — joining the
+    # repaired frame back against `main` would reference the
+    # reassembly groupBy from two subtrees and plan it twice
+    fixed = mojibake_repair(
+        main, text_col="main_text", id_col=id_col,
+        carry=("n_blocks", "n_kept"),
+    )
+    return scrub_pii(fixed, text_col="repaired").select(
+        id_col,
+        "n_blocks",
+        "n_kept",
+        "n_mojibake",
+        F.col("repaired").alias("clean_text"),
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     text_col: str = "text",

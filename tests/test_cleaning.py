@@ -149,3 +149,27 @@ def test_no_shuffle_in_block_classification(spark):
     d = _docs(spark, [(1, "<p>a b c</p>")])
     plan = content_blocks(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_preprocess_crawl_fused_order_and_single_shuffle(spark):
+    """The fused crawl front-end: extraction FIRST (mojibake inside a
+    dropped nav menu never counts), repair second, redaction last —
+    and the whole pass plans exactly ONE exchange (the reassembly
+    groupBy); repair/redaction are projections on the same stage."""
+    from openset_spark.pipeline.compose import preprocess_crawl
+
+    docs = _docs(spark, [
+        # mojibake ONLY inside the boilerplate nav -> must not count
+        (1, "<nav><a href=x>CafÃ© menu</a></nav>"
+            "<p>contact bob@example.org for details tonight</p>"),
+        (2, "<p>the naÃ¯ve rÃ©sumÃ© draft needs words</p>"),
+    ])
+    out = {r.doc_id: r for r in preprocess_crawl(docs).collect()}
+    assert out[1].n_mojibake == 0
+    assert "<EMAIL>" in out[1].clean_text and "@" not in out[1].clean_text
+    assert out[2].n_mojibake == 3
+    assert "naïve résumé" in out[2].clean_text
+
+    plan = preprocess_crawl(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan
