@@ -164,10 +164,16 @@ def nb_lang_model(
 
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
+    # the gram-count frame feeds THREE actions (totals collect, V
+    # collect, the score-time weights evaluation) — pin the bounded
+    # (V x L)-row table or the seed normalize+explode+aggregate runs
+    # once per action (the Catalyst multi-reference rule; code
+    # review r13)
     cnt = (
         _doc_grams(seed, text_col, F.col(label_col), "_lang", n)
         .groupBy("_lang", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     # bounded: L rows + 1 row, both pre-aggregated
     totals = {
@@ -178,18 +184,28 @@ def nb_lang_model(
     langs = sorted(totals)
     if not langs:
         raise ValueError("seed corpus has no grams")
+    oov = {l: -math.log(totals[l] + v) for l in langs}
     wide = cnt.groupBy("gram").pivot("_lang", langs).sum("c")
+    # a gram in V but unseen in language l takes the SAME literal the
+    # fully-unseen path takes: ln((0+1)/(N_l+V)) == -ln(N_l+V)
+    # mathematically, but the two expression SHAPES can differ by an
+    # ulp between engines — the oracle's COALESCE fallback computes
+    # -ln(), so zero-count pivot cells must too (code review r13; the
+    # binary nb precedent mirrors its (c+1)/(N+V) form for the same
+    # reason)
     weights = wide.select(
         "gram",
         *[
-            F.log(
-                (F.coalesce(F.col(f"`{l}`"), F.lit(0)) + 1)
-                / F.lit(float(totals[l] + v))
-            ).alias(f"_w_{l}")
+            F.when(F.col(f"`{l}`").isNull(), F.lit(float(oov[l])))
+            .otherwise(
+                F.log(
+                    (F.col(f"`{l}`") + 1) / F.lit(float(totals[l] + v))
+                )
+            )
+            .alias(f"_w_{l}")
             for l in langs
         ],
     )
-    oov = {l: -math.log(totals[l] + v) for l in langs}
     return weights, langs, oov
 
 

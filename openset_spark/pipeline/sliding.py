@@ -11,7 +11,6 @@ batch spine densified)."""
 from __future__ import annotations
 
 import datetime as _dt
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,8 +106,19 @@ def sliding_store_maintainer(
             return
         parts = parts.localCheckpoint()
         days = [r["_day"] for r in parts.select("_day").distinct().collect()]
-        if os.path.exists(path):
+        # first-batch detection must work on ANY filesystem the store
+        # URI names (s3a://, hdfs://, ...) — os.path.exists sees only
+        # the driver's local disk and would silently make EVERY batch
+        # look like the first, overwriting folded history with just
+        # the current batch (code review r13). parquet schema
+        # inference is eager, so a missing path raises right here.
+        try:
             old = spark.read.parquet(path).filter(F.col("_day").isin(days))
+        except Exception as e:
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            old = None
+        if old is not None:
             merged = fold_fn(
                 old.drop("_day").unionByName(parts.drop("_day"))
             ).withColumn("_day", F.to_date(F.col(tb_col)))

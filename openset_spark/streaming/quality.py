@@ -56,8 +56,9 @@ def stream_nb_quality(
                 {id_col: ids, "n_tokens": ns, "_raw": scores}
             )
 
+    id_type = docs.schema[id_col].dataType.simpleString()
     scored = toked.mapInPandas(
-        run, f"{id_col} long, n_tokens long, _raw double"
+        run, f"{id_col} {id_type}, n_tokens long, _raw double"
     )
     return scored.select(
         id_col, "n_tokens", F.round("_raw", 4).alias("score")
@@ -128,7 +129,11 @@ def stream_lang_id(
                 | {f"_raw_{i}": sums[i] for i in range(width)}
             )
 
-    raw_schema = f"{id_col} long, n_grams long, " + ", ".join(
+    # the id's Arrow schema follows the INPUT column type — a
+    # hardcoded 'long' would kill the query on string ids despite
+    # id_col= advertising generality (code review r13)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    raw_schema = f"{id_col} {id_type}, n_grams long, " + ", ".join(
         f"_raw_{i} double" for i in range(width)
     )
     scored = grammed.mapInPandas(run, raw_schema).select(
