@@ -81,9 +81,19 @@ def prepare_corpus(
     near_dup: bool = True,
     transitive: bool = False,
     split_fractions: dict[str, float] | None = None,
+    lang_seed: DataFrame | None = None,
+    lang_label_col: str = "lang",
 ) -> DataFrame:
     """The filtered, deduplicated, sampled corpus with per-doc
     metadata (clean_text, lang_guess, quality, n_tokens).
+
+    Language routing: by default the cheap stopword heuristic
+    (lang_id). Pass ``lang_seed`` (a labeled corpus; ``lang_label_col``
+    names its label column) to route on the char-n-gram NB classifier
+    instead (nb_lang_scores — the fastText-class identifier; VERDICT
+    r12: the stopword heuristic is the one component that would not
+    survive a production multilingual corpus, and every per-language
+    mixture downstream keys on this signal).
 
     Near-dup handling keeps the LOWEST doc id of each candidate pair
     (the usual "first writer wins" policy); pair generation is the
@@ -102,9 +112,23 @@ def prepare_corpus(
     runs twice in one chain."""
     cleaned = clean_documents(docs, text_col=text_col)
 
-    langs = lang_id(cleaned, text_col="clean_text", id_col=id_col).select(
-        id_col, "lang_guess"
-    )
+    if lang_seed is not None:
+        from openset_spark.pipeline.classify import nb_lang_scores
+
+        # the seed trains on the SAME cleaned representation the
+        # corpus is scored in — markup grams in raw seed text would
+        # shift every weight off the scoring domain
+        langs = nb_lang_scores(
+            cleaned,
+            clean_documents(lang_seed, text_col=text_col),
+            text_col="clean_text",
+            label_col=lang_label_col,
+            id_col=id_col,
+        ).select(id_col, F.col("lang_nb").alias("lang_guess"))
+    else:
+        langs = lang_id(
+            cleaned, text_col="clean_text", id_col=id_col
+        ).select(id_col, "lang_guess")
     quality = quality_score(cleaned, text_col="clean_text", id_col=id_col).select(
         id_col, "quality", "n_tokens"
     )

@@ -316,6 +316,33 @@ def test_prepare_corpus_recipe(spark):
     assert 0.0 <= rep.mean_quality <= 1.0
 
 
+def test_prepare_corpus_nb_language_routing(spark):
+    """lang_seed= swaps the stopword heuristic for the char-n-gram NB
+    classifier: the recipe's language filter then keys on the SAME
+    guesses nb_lang_scores emits (verified doc-for-doc on the docs
+    that survive)."""
+    from openset_spark.pipeline.classify import nb_lang_scores
+    from openset_spark.pipeline.cleaning import clean_documents
+    from openset_spark.pipeline.compose import prepare_corpus
+
+    docs = load_table(spark, SF, "documents")
+    seed = docs.filter(F.col("doc_id") % 5 == 0)
+    out = prepare_corpus(
+        docs, near_dup=False, min_quality=0.0, lang_seed=seed,
+        languages=("en", "de"),
+    )
+    got = {r.doc_id: r.lang_guess for r in out.collect()}
+    assert got and set(got.values()) <= {"en", "de"}
+    cleaned = clean_documents(docs)
+    want = {
+        r.doc_id: r.lang_nb
+        for r in nb_lang_scores(
+            cleaned, clean_documents(seed), text_col="clean_text"
+        ).collect()
+    }
+    assert all(want[i] == g for i, g in got.items())
+
+
 def _png_bytes(w, h, channels, pixels, filters):
     """Minimal PNG encoder for the round-trip test: 8-bit depth, one
     IDAT, per-row filter type cycled from ``filters`` so every
