@@ -605,15 +605,65 @@ class OpenSetEngine:
             sketches, "segment", k, keys=list(segments)
         )
 
+    def build_actives_store(
+        self, path: str, slide: str = "hour", p: int = 10
+    ) -> None:
+        """Persist the per-slide HLL register partials behind
+        sliding_actives as a day-partitioned store (one raw scan;
+        pipeline/sliding.py::write_sliding_partials). A deployment
+        keeps it live with sliding_store_maintainer on the event
+        stream; sliding_actives(store=...) then answers any trailing
+        window without touching raw events."""
+        from openset_spark.pipeline.hll import hll_partials
+        from openset_spark.pipeline.sliding import write_sliding_partials
+
+        parts = hll_partials(
+            self._events.withColumn(
+                "_b", F.date_trunc(slide, F.col("ts"))
+            ),
+            "user_id",
+            ("_b",),
+            p,
+        )
+        write_sliding_partials(parts, path, "_b")
+
     def sliding_actives(
-        self, slide: str = "hour", window: int = 24, p: int = 10
+        self,
+        slide: str = "hour",
+        window: int = 24,
+        p: int = 10,
+        store: str | None = None,
+        upto=None,
     ) -> DataFrame:
         """Trailing-window distinct users at every slide point (the
         live 24h-actives series) — range-framed register fold over a
         dense time spine; equal to re-sketching each window from
-        scratch (pipeline/hll.py::hll_sliding_distinct)."""
-        from openset_spark.pipeline.hll import hll_sliding_distinct
+        scratch (pipeline/hll.py::hll_sliding_distinct).
 
+        With ``store=`` (a build_actives_store path) and ``upto=``
+        (the evaluation timestamp), the answer comes from a
+        PartitionFilter-pruned read of the persisted partials —
+        ceil(window_span/1day)+1 day directories, never raw events —
+        and is the ONE row whose window ends at ``upto``."""
+        from openset_spark.pipeline.hll import (
+            hll_sliding_distinct,
+            hll_sliding_from_partials,
+        )
+
+        if store is not None:
+            if upto is None:
+                raise ValueError("store= requires upto= (window end)")
+            from openset_spark.pipeline.sliding import (
+                read_sliding_partials,
+            )
+
+            pruned = read_sliding_partials(
+                self._events.sparkSession, store, "_b", upto, slide,
+                window,
+            )
+            return hll_sliding_from_partials(
+                pruned, slide, window, p
+            ).filter(F.col("bucket") == F.lit(upto))
         return hll_sliding_distinct(
             self._events, "user_id", "ts", slide, window, p
         )

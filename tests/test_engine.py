@@ -370,3 +370,26 @@ def test_engine_rollup_rates(eng):
     for (d, u), n in exact_day.items():
         if (d, u) in hsum:
             assert hsum[(d, u)] >= n or n == 0
+
+
+def test_engine_actives_store_roundtrip(eng, tmp_path_factory):
+    """r13: the facade's store-backed path — build_actives_store
+    persists the per-hour registers once; sliding_actives(store=,
+    upto=) answers the window ending at upto from the pruned store,
+    identically to the raw-scan series at that bucket."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("actstore"))
+    path = os.path.join(d, "actives")
+    eng.build_actives_store(path)
+    series = {
+        r.bucket: r.approx_distinct
+        for r in eng.sliding_actives(window=6).collect()
+    }
+    upto = max(series)
+    got = eng.sliding_actives(window=6, store=path, upto=upto).collect()
+    assert len(got) == 1
+    assert got[0].bucket == upto
+    assert got[0].approx_distinct == series[upto]
+    with pytest.raises(ValueError):
+        eng.sliding_actives(store=path)
