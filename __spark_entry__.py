@@ -2738,6 +2738,61 @@ FROM c, th, du
 """
 
 
+def q_segment_difference_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience difference (viewers who never bought) as a DIRECT
+    KMV estimate: |A \\ B| ~ (c_only/ku) * est(A ∪ B) off the joint
+    k-minimum-values sample — the "new users this period" estimator.
+    Closes the r12 ADVICE note: kmv_difference's exact-DECIMAL
+    product now has its own driver/oracle surface, so the fixed
+    ROUND-tie contract is locked cross-engine like its jaccard
+    sibling. NEW r13."""
+    from openset_spark.pipeline.kmv import kmv_difference, kmv_partials
+
+    ev = _events(spark, sf_dir)
+    a = kmv_partials(
+        ev.filter(F.col("event_type") == "view"), "user_id"
+    )
+    b = kmv_partials(
+        ev.filter(F.col("event_type") == "purchase"), "user_id"
+    )
+    return kmv_difference(a, b)
+
+
+_SQL_SEGMENT_DIFFERENCE_KMV = """
+WITH ha AS (
+  SELECT DISTINCT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS
+    VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+),
+a AS (SELECT hv FROM ha ORDER BY hv LIMIT 512),
+hb AS (
+  SELECT DISTINCT CAST(CAST(concat('0x', substr(md5(CAST(user_id AS
+    VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) AS hv
+  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+),
+b AS (SELECT hv FROM hb ORDER BY hv LIMIT 512),
+uni AS (
+  SELECT DISTINCT hv FROM (SELECT hv FROM a UNION ALL SELECT hv FROM b)
+  ORDER BY hv LIMIT 512
+),
+th AS (SELECT MAX(hv) AS theta, COUNT(*)::BIGINT AS ku FROM uni),
+du AS (
+  SELECT ROUND(CASE WHEN ku < 512 THEN CAST(ku AS DOUBLE)
+    ELSE 511.0 * 1152921504606846976.0 / theta END, 4) AS du
+  FROM th
+),
+c AS (
+  SELECT COUNT(*)::BIGINT AS c
+  FROM (SELECT hv FROM a ANTI JOIN b USING (hv)), th
+  WHERE hv <= th.theta
+)
+SELECT
+  CAST(ROUND(CAST(c / ku AS DECIMAL(12,10)) * CAST(du AS DECIMAL(20,4)), 4)
+    AS DOUBLE) AS approx_difference
+FROM c, th, du
+"""
+
+
 def q_rollup_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p50/p95 of event value (integer cents) per day AND per hour
     from ONE finest-grain bucket shuffle — the continuous-aggregate
@@ -4587,6 +4642,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "mojibake_repair": q_mojibake_repair,
         "preprocess_crawl": q_preprocess_crawl,
+        "segment_difference_kmv": q_segment_difference_kmv,
     }
 
 
@@ -5546,6 +5602,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _main_content_sql(),
         "mojibake_repair": _mojibake_repair_sql(),
         "preprocess_crawl": _preprocess_crawl_sql(),
+        "segment_difference_kmv": _SQL_SEGMENT_DIFFERENCE_KMV,
     }
 
 
