@@ -4643,6 +4643,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mojibake_repair": q_mojibake_repair,
         "preprocess_crawl": q_preprocess_crawl,
         "segment_difference_kmv": q_segment_difference_kmv,
+        "lang_mixture_select": q_lang_mixture_select,
     }
 
 
@@ -5089,6 +5090,65 @@ WITH scored AS ({inner})
 SELECT d.lang, scored.lang_nb, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM scored JOIN documents d USING (doc_id)
 GROUP BY 1, 2
+"""
+
+
+_LANG_MIX_BUDGETS = {
+    "en": 40000, "de": 15000, "es": 15000, "fr": 15000, "zh": 15000,
+}
+
+
+def q_lang_mixture_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE token budgets on NB-ROUTED languages — the
+    downstream consumer the r12 verdict said keys on the language
+    signal: within each NB-guessed language keep the docs the
+    classifier is MOST CONFIDENT about (winning score desc, id asc)
+    until that language's gram budget. Self-contained: the
+    confidence and the gram count both come off the one scored
+    frame; the running totals use the grouped distributed prefix
+    sum (the 80%-English partition never serializes). NEW r13."""
+    from openset_spark.pipeline.classify import nb_lang_scores
+    from openset_spark.pipeline.sampling import mixture_select
+
+    docs = _docs(spark, sf_dir)
+    seed = docs.filter(F.col("doc_id") % 5 == 0)
+    scored = nb_lang_scores(docs, seed)
+    conf = F.greatest(
+        *[F.col(f"score_{l}") for l in _NB_LANGS]
+    ).alias("conf")
+    base = scored.select("doc_id", "n_grams", conf, "lang_nb")
+    return mixture_select(
+        base,
+        _LANG_MIX_BUDGETS,
+        domain_col="lang_nb",
+        score_col="conf",
+        token_col="n_grams",
+    ).select("doc_id", "lang_nb", "conf", "n_grams", "cum_tokens")
+
+
+def _lang_mixture_select_sql() -> str:
+    inner = _lang_id_nb_sql()
+    langs = ", ".join(f"'{l}'" for l in _LANG_MIX_BUDGETS)
+    case = " ".join(
+        f"WHEN '{l}' THEN {b}" for l, b in _LANG_MIX_BUDGETS.items()
+    )
+    best = ", ".join(f"score_{l}" for l in _NB_LANGS)
+    return f"""
+WITH scored AS ({inner}),
+conf AS (
+  SELECT doc_id, n_grams, GREATEST({best}) AS conf, lang_nb
+  FROM scored WHERE lang_nb IN ({langs})
+),
+c AS (
+  SELECT doc_id, lang_nb, conf, n_grams,
+    CAST(SUM(n_grams) OVER (
+      PARTITION BY lang_nb ORDER BY conf DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM conf
+)
+SELECT doc_id, lang_nb, conf, n_grams, cum_tokens FROM c
+WHERE cum_tokens <= CASE lang_nb {case} END
 """
 
 
@@ -5603,6 +5663,7 @@ def oracle_sql() -> dict[str, str]:
         "mojibake_repair": _mojibake_repair_sql(),
         "preprocess_crawl": _preprocess_crawl_sql(),
         "segment_difference_kmv": _SQL_SEGMENT_DIFFERENCE_KMV,
+        "lang_mixture_select": _lang_mixture_select_sql(),
     }
 
 
