@@ -217,3 +217,99 @@ def test_maintained_kmv_store_reranks_exactly(spark, sf_dir, tmpdir):
         )
     )
     assert got == want and len(want) >= 5
+
+
+def test_maintained_hdr_and_cms_stores_sum_fold_exactly(spark, sf_dir, tmpdir):
+    """hdr + cms: the sum-compose stores complete the maintained
+    quartet (hll max, kmv re-rank proven above) — N micro-batches
+    through the maintainer equal a fresh build, and each store feeds
+    its sliding fold to the exact batch answer."""
+    from openset_spark.pipeline.cms import (
+        cms_fold,
+        cms_partials,
+        cms_sliding_estimate,
+        cms_sliding_from_partials,
+    )
+    from openset_spark.pipeline.hdrhist import (
+        hdr_fold,
+        hdr_partials,
+        hdr_sliding_from_partials,
+        hdr_sliding_quantiles,
+    )
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    _spill_events(spark, sf_dir, src)
+    batch = _batch_frame(spark, src)
+
+    def cents(df):
+        return df.withColumn(
+            "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+        ).withColumn("_tb", F.date_trunc("hour", F.col("ts")))
+
+    store_h = os.path.join(tmpdir, "store_hdr")
+    fn_h = sliding_store_maintainer(
+        store_h,
+        lambda df: hdr_partials(cents(df), "cents", ("_tb",)),
+        lambda df: hdr_fold(df, ("_tb",)),
+        "_tb",
+    )
+    q = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(fn_h)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir, "ck_h"))
+        .start()
+    )
+    q.awaitTermination()
+    maintained_h = spark.read.parquet(store_h).drop("_day")
+    fresh_h = hdr_partials(cents(batch), "cents", ("_tb",))
+    assert sorted(map(tuple, maintained_h.collect())) == sorted(
+        map(tuple, fresh_h.collect())
+    )
+    got = sorted(map(tuple, hdr_sliding_from_partials(
+        maintained_h, "hour", 6, (0.5,)
+    ).collect()))
+    want = sorted(map(tuple, hdr_sliding_quantiles(
+        cents(batch).drop("_tb"), "cents", "ts", "hour", 6, (0.5,)
+    ).collect()))
+    assert got == want and len(want) >= 5
+
+    store_c = os.path.join(tmpdir, "store_cms")
+    fn_c = sliding_store_maintainer(
+        store_c,
+        lambda df: cms_partials(
+            df.withColumn("_tb", F.date_trunc("hour", F.col("ts"))),
+            "user_id",
+            ("_tb",),
+        ),
+        lambda df: cms_fold(df, ("_tb",)),
+        "_tb",
+    )
+    q = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(fn_c)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir, "ck_c"))
+        .start()
+    )
+    q.awaitTermination()
+    maintained_c = spark.read.parquet(store_c).drop("_day")
+    fresh_c = cms_partials(
+        batch.withColumn("_tb", F.date_trunc("hour", F.col("ts"))),
+        "user_id",
+        ("_tb",),
+    )
+    assert sorted(map(tuple, maintained_c.collect())) == sorted(
+        map(tuple, fresh_c.collect())
+    )
+    probes = batch.select("user_id").filter(
+        F.col("user_id") % 7 == 0
+    ).distinct().localCheckpoint()
+    got = sorted(map(tuple, cms_sliding_from_partials(
+        maintained_c, "user_id", probes, "hour", 6
+    ).collect()))
+    want = sorted(map(tuple, cms_sliding_estimate(
+        batch, "user_id", probes, "ts", "hour", 6
+    ).collect()))
+    assert got == want and len(want) >= 5
