@@ -307,3 +307,47 @@ def test_incremental_apply_equals_full_recompute(spark, sf_dir):
     )
     want = sorted(map(tuple, per_doc(new).collect()))
     assert got == want and len(want) > 50
+
+
+def test_nb_lang_routes_real_natural_language(spark):
+    """Realism check the synthetic corpus cannot give (its labels are
+    uncorrelated with text): train on a few real sentences per
+    language, classify held-out sentences of each — char-3-gram NB
+    must route all of them, including the diacritic-free German/
+    Spanish ones a stopword list would need exact word hits for."""
+    from openset_spark.pipeline.classify import nb_lang_scores
+
+    seed_rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "this is a short example of english prose for training", "en"),
+        (3, "we went to the market and bought some fresh bread", "en"),
+        (4, "der schnelle braune fuchs springt über den faulen hund", "de"),
+        (5, "das ist ein kurzes beispiel für deutschen text", "de"),
+        (6, "wir gingen zum markt und kauften frisches brot", "de"),
+        (7, "le renard brun rapide saute par dessus le chien", "fr"),
+        (8, "ceci est un court exemple de texte français", "fr"),
+        (9, "nous sommes allés au marché acheter du pain frais", "fr"),
+        (10, "el rápido zorro marrón salta sobre el perro perezoso", "es"),
+        (11, "este es un breve ejemplo de texto en español", "es"),
+        (12, "fuimos al mercado y compramos pan fresco", "es"),
+    ]
+    seed = spark.createDataFrame(
+        seed_rows, "doc_id long, text string, lang string"
+    )
+    held_out = spark.createDataFrame(
+        [
+            (100, "the dog sleeps while the fox runs through the field", "en"),
+            (101, "der hund schläft während der fuchs durch das feld läuft", "de"),
+            (102, "le chien dort pendant que le renard court", "fr"),
+            (103, "el perro duerme mientras el zorro corre", "es"),
+            (104, "ein weiteres beispiel mit einigen deutschen worten", "de"),
+            (105, "un autre exemple avec quelques mots", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.doc_id: r.lang_nb
+        for r in nb_lang_scores(held_out, seed).collect()
+    }
+    want = {r.doc_id: r.lang for r in held_out.collect()}
+    assert got == want
