@@ -3633,74 +3633,84 @@ _DRIVER_WINDOW = 50
 
 
 def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Round-13 window (VERDICT r12 ask #1, computed by
-    # tools/plan_window.py from the CORRECTNESS_r01–r12 ledger): the 4
-    # never-driver-green r12-born keys head it (3 sliding_* keys +
-    # rollup_user_rates — the r12 window comment undercounted this as
-    # 3, ADVICE r12 #3), then the 7 r9-green twins that spilled from
-    # the r12 rotation (ann_pq, dedup_keep_best, remove_dup_spans,
-    # nearest_dup, ngram_coverage, lang_confusion, cross_source_dups),
-    # then r10-stale veterans to fill. The forced set was 60 keys for
-    # 50 slots, so 10 r10-greens spill to the top of extras and are
-    # FORCED into the r14 window (monthly_retention, osl_customer_write,
-    # user_event_type_sets, dedup_exact_keep, sample_per_stratum,
-    # retention_cull, tfidf_top_terms, winnow_matches, dsir_weights,
-    # ann_lsh). A green round makes every key registered at r12 HEAD
-    # ever-driver-green (ledger 160/160); keys BORN this round (r13)
-    # join the never-green head of the r14 window
-    # (tools/plan_window.py; apply with tools/apply_window.py).
+    # Round-14 window (VERDICT r13 ask #1, computed by
+    # tools/plan_window.py from the CORRECTNESS_r01–r13 ledger): the 7
+    # never-driver-green r13-born keys head it (lang_id_nb,
+    # lang_nb_confusion, main_content, mojibake_repair,
+    # preprocess_crawl, segment_difference_kmv, lang_mixture_select),
+    # then the 10 r10-greens that spilled from the r13 rotation
+    # (monthly_retention, osl_customer_write, user_event_type_sets,
+    # dedup_exact_keep, sample_per_stratum, retention_cull,
+    # tfidf_top_terms, winnow_matches, dsir_weights, ann_lsh), then
+    # r11-stale veterans to fill. The forced set was 67 keys for 50
+    # slots, so 17 r11-greens spill to the top of extras and are
+    # FORCED into the r15 window (containment_pairs, dedup_lines,
+    # pii_report, mink_prob, corpus_diff, asof_last_purchase,
+    # events_in_purchase_window, time_rollup, customer_timeline,
+    # weekly_retention, props_json_extract, dedup_exact,
+    # embedding_centroids, token_budget_select, retention_cap,
+    # perplexity_buckets, mixture_select). One family repair
+    # (plan_window._repair_families, NEW r14): the naive overflow
+    # spilled `contamination_check` — the SOLE `decontam` rep, last
+    # green r11, which would blow the family-freshness horizon — so
+    # the planner swapped it into the window tail in place of
+    # `embedding_centroids` (ann family stays covered by `ann_lsh`
+    # in-window). A green round makes every
+    # key registered at r13 HEAD ever-driver-green (ledger 167/167);
+    # keys BORN this round (r14) join the never-green head of the r15
+    # window (tools/plan_window.py; apply with tools/apply_window.py).
     # Ledger: COVERAGE.md.
     return {
-        "sliding_value_p95_24h": q_sliding_value_p95_24h,
-        "sliding_user_rates_24h": q_sliding_user_rates_24h,
-        "sliding_segment_jaccard_24h": q_sliding_segment_jaccard_24h,
-        "rollup_user_rates": q_rollup_user_rates,
-        "ann_pq": q_ann_pq,
-        "dedup_keep_best": q_dedup_keep_best,
-        "remove_dup_spans": q_remove_dup_spans,
-        "nearest_dup": q_nearest_dup,
-        "ngram_coverage": q_ngram_coverage,
-        "lang_confusion": q_lang_confusion,
-        "cross_source_dups": q_cross_source_dups,
-        "ngram_novelty": q_ngram_novelty,
-        "quality_funnel": q_quality_funnel,
-        "cooccur_pmi": q_cooccur_pmi,
-        "shard_manifest": q_shard_manifest,
-        "epoch_shuffle": q_epoch_shuffle,
-        "embedding_outliers": q_embedding_outliers,
-        "dataset_card": q_dataset_card,
-        "dup_pagerank": q_dup_pagerank,
-        "hard_negatives": q_hard_negatives,
-        "knn_agreement": q_knn_agreement,
-        "temperature_weights": q_temperature_weights,
-        "boilerplate_affixes": q_boilerplate_affixes,
-        "embedding_drift": q_embedding_drift,
-        "length_histogram": q_length_histogram,
-        "dup_cosine_check": q_dup_cosine_check,
-        "ann_ivfpq": q_ann_ivfpq,
-        "source_divergence": q_source_divergence,
-        "event_agg_rollup": q_event_agg_rollup,
-        "recent_purchase_totals": q_recent_purchase_totals,
-        "histogram_by_type": q_histogram_by_type,
-        "histogram_weeks_since": q_histogram_weeks_since,
-        "osl_funnel_continue": q_osl_funnel_continue,
-        "osl_segment_counts": q_osl_segment_counts,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "session_counts_5min": q_session_counts_5min,
-        "top_paths": q_top_paths,
-        "doc_fingerprint": q_doc_fingerprint,
-        "repetition_signals": q_repetition_signals,
-        "user_purchase_totals": q_user_purchase_totals,
-        "textual_user_core": q_textual_user_core,
-        "property_counts_by_segment": q_property_counts_by_segment,
-        "osl_agg_options": q_osl_agg_options,
-        "session_length_quantiles": q_session_length_quantiles,
-        "ann_topk": q_ann_topk,
-        "tpch_q3": q_tpch_q3,
-        "row_count_distribution": q_row_count_distribution,
-        "events_with_user_dim": q_events_with_user_dim,
-        "funnel_signup_purchase": q_funnel_signup_purchase,
+        "lang_id_nb": q_lang_id_nb,
+        "lang_nb_confusion": q_lang_nb_confusion,
+        "main_content": q_main_content,
+        "mojibake_repair": q_mojibake_repair,
+        "preprocess_crawl": q_preprocess_crawl,
+        "segment_difference_kmv": q_segment_difference_kmv,
+        "lang_mixture_select": q_lang_mixture_select,
+        "monthly_retention": q_monthly_retention,
+        "osl_customer_write": q_osl_customer_write,
+        "user_event_type_sets": q_user_event_type_sets,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "sample_per_stratum": q_sample_per_stratum,
+        "retention_cull": q_retention_cull,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "winnow_matches": q_winnow_matches,
+        "dsir_weights": q_dsir_weights,
+        "ann_lsh": q_ann_lsh,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q9_style": q_tpch_q9_style,
+        "tpch_q18_style": q_tpch_q18_style,
+        "top_customers": q_top_customers,
+        "event_agg_by_day": q_event_agg_by_day,
+        "event_agg_two_level": q_event_agg_two_level,
+        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
+        "last_purchase_per_user": q_last_purchase_per_user,
+        "purchases_by_quarter": q_purchases_by_quarter,
+        "session_stats": q_session_stats,
+        "next_session_transitions": q_next_session_transitions,
+        "days_to_convert": q_days_to_convert,
+        "osl_histogram_weeks": q_osl_histogram_weeks,
+        "segment_counts": q_segment_counts,
+        "segment_algebra": q_segment_algebra,
+        "osl_return_first": q_osl_return_first,
+        "property_counts": q_property_counts,
+        "property_counts_rx": q_property_counts_rx,
+        "property_counts_between": q_property_counts_between,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "text_stats": q_text_stats,
+        "clean_documents": q_clean_documents,
+        "top_bigrams": q_top_bigrams,
+        "token_counts": q_token_counts,
+        "bm25_search": q_bm25_search,
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "source_overlap": q_source_overlap,
+        "collocations": q_collocations,
+        "char_entropy": q_char_entropy,
+        "readability": q_readability,
+        "vocab_growth": q_vocab_growth,
+        "contamination_check": q_contamination_check,
     }
 
 
@@ -4524,17 +4534,74 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_correctness.py).
     return {
         # forced spill — heads the NEXT round's window (tools/plan_window.py)
-        "monthly_retention": q_monthly_retention,
-        "osl_customer_write": q_osl_customer_write,
-        "user_event_type_sets": q_user_event_type_sets,
-        "dedup_exact_keep": q_dedup_exact_keep,
-        "sample_per_stratum": q_sample_per_stratum,
-        "retention_cull": q_retention_cull,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "winnow_matches": q_winnow_matches,
-        "dsir_weights": q_dsir_weights,
-        "ann_lsh": q_ann_lsh,
+        "containment_pairs": q_containment_pairs,
+        "dedup_lines": q_dedup_lines,
+        "pii_report": q_pii_report,
+        "mink_prob": q_mink_prob,
+        "corpus_diff": q_corpus_diff,
+        "asof_last_purchase": q_asof_last_purchase,
+        "events_in_purchase_window": q_events_in_purchase_window,
+        "time_rollup": q_time_rollup,
+        "customer_timeline": q_customer_timeline,
+        "weekly_retention": q_weekly_retention,
+        "props_json_extract": q_props_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "embedding_centroids": q_embedding_centroids,
+        "token_budget_select": q_token_budget_select,
+        "retention_cap": q_retention_cap,
+        "perplexity_buckets": q_perplexity_buckets,
+        "mixture_select": q_mixture_select,
         # resting greens
+        "sliding_value_p95_24h": q_sliding_value_p95_24h,
+        "sliding_user_rates_24h": q_sliding_user_rates_24h,
+        "sliding_segment_jaccard_24h": q_sliding_segment_jaccard_24h,
+        "rollup_user_rates": q_rollup_user_rates,
+        "ann_pq": q_ann_pq,
+        "dedup_keep_best": q_dedup_keep_best,
+        "remove_dup_spans": q_remove_dup_spans,
+        "nearest_dup": q_nearest_dup,
+        "ngram_coverage": q_ngram_coverage,
+        "lang_confusion": q_lang_confusion,
+        "cross_source_dups": q_cross_source_dups,
+        "ngram_novelty": q_ngram_novelty,
+        "quality_funnel": q_quality_funnel,
+        "cooccur_pmi": q_cooccur_pmi,
+        "shard_manifest": q_shard_manifest,
+        "epoch_shuffle": q_epoch_shuffle,
+        "embedding_outliers": q_embedding_outliers,
+        "dataset_card": q_dataset_card,
+        "dup_pagerank": q_dup_pagerank,
+        "hard_negatives": q_hard_negatives,
+        "knn_agreement": q_knn_agreement,
+        "temperature_weights": q_temperature_weights,
+        "boilerplate_affixes": q_boilerplate_affixes,
+        "embedding_drift": q_embedding_drift,
+        "length_histogram": q_length_histogram,
+        "dup_cosine_check": q_dup_cosine_check,
+        "ann_ivfpq": q_ann_ivfpq,
+        "source_divergence": q_source_divergence,
+        "event_agg_rollup": q_event_agg_rollup,
+        "recent_purchase_totals": q_recent_purchase_totals,
+        "histogram_by_type": q_histogram_by_type,
+        "histogram_weeks_since": q_histogram_weeks_since,
+        "osl_funnel_continue": q_osl_funnel_continue,
+        "osl_segment_counts": q_osl_segment_counts,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "session_counts_5min": q_session_counts_5min,
+        "top_paths": q_top_paths,
+        "doc_fingerprint": q_doc_fingerprint,
+        "repetition_signals": q_repetition_signals,
+        "user_purchase_totals": q_user_purchase_totals,
+        "textual_user_core": q_textual_user_core,
+        "property_counts_by_segment": q_property_counts_by_segment,
+        "osl_agg_options": q_osl_agg_options,
+        "session_length_quantiles": q_session_length_quantiles,
+        "ann_topk": q_ann_topk,
+        "tpch_q3": q_tpch_q3,
+        "row_count_distribution": q_row_count_distribution,
+        "events_with_user_dim": q_events_with_user_dim,
+        "funnel_signup_purchase": q_funnel_signup_purchase,
         "pii_positive": q_pii_positive,
         "asof_nearest_purchase": q_asof_nearest_purchase,
         "overlapping_activity_windows": q_overlapping_activity_windows,
@@ -4585,65 +4652,6 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "dsir_resample": q_dsir_resample,
         "embedding_gram": q_embedding_gram,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q9_style": q_tpch_q9_style,
-        "tpch_q18_style": q_tpch_q18_style,
-        "top_customers": q_top_customers,
-        "event_agg_by_day": q_event_agg_by_day,
-        "event_agg_two_level": q_event_agg_two_level,
-        "event_agg_distinct_stamps": q_event_agg_distinct_stamps,
-        "last_purchase_per_user": q_last_purchase_per_user,
-        "purchases_by_quarter": q_purchases_by_quarter,
-        "session_stats": q_session_stats,
-        "next_session_transitions": q_next_session_transitions,
-        "days_to_convert": q_days_to_convert,
-        "osl_histogram_weeks": q_osl_histogram_weeks,
-        "segment_counts": q_segment_counts,
-        "segment_algebra": q_segment_algebra,
-        "osl_return_first": q_osl_return_first,
-        "property_counts": q_property_counts,
-        "property_counts_rx": q_property_counts_rx,
-        "property_counts_between": q_property_counts_between,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "text_stats": q_text_stats,
-        "clean_documents": q_clean_documents,
-        "top_bigrams": q_top_bigrams,
-        "token_counts": q_token_counts,
-        "bm25_search": q_bm25_search,
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "source_overlap": q_source_overlap,
-        "collocations": q_collocations,
-        "char_entropy": q_char_entropy,
-        "readability": q_readability,
-        "vocab_growth": q_vocab_growth,
-        "embedding_centroids": q_embedding_centroids,
-        "containment_pairs": q_containment_pairs,
-        "dedup_lines": q_dedup_lines,
-        "pii_report": q_pii_report,
-        "mink_prob": q_mink_prob,
-        "corpus_diff": q_corpus_diff,
-        "asof_last_purchase": q_asof_last_purchase,
-        "events_in_purchase_window": q_events_in_purchase_window,
-        "time_rollup": q_time_rollup,
-        "customer_timeline": q_customer_timeline,
-        "weekly_retention": q_weekly_retention,
-        "props_json_extract": q_props_json_extract,
-        "dedup_exact": q_dedup_exact,
-        "contamination_check": q_contamination_check,
-        "token_budget_select": q_token_budget_select,
-        "retention_cap": q_retention_cap,
-        "perplexity_buckets": q_perplexity_buckets,
-        "mixture_select": q_mixture_select,
-        # born r13 (registered AFTER the window plan per the rotation
-        # rule) — never driver-green; head the r14 window
-        "lang_id_nb": q_lang_id_nb,
-        "lang_nb_confusion": q_lang_nb_confusion,
-        "main_content": q_main_content,
-        "mojibake_repair": q_mojibake_repair,
-        "preprocess_crawl": q_preprocess_crawl,
-        "segment_difference_kmv": q_segment_difference_kmv,
-        "lang_mixture_select": q_lang_mixture_select,
     }
 
 
