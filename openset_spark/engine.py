@@ -654,15 +654,22 @@ class OpenSetEngine:
             if upto is None:
                 raise ValueError("store= requires upto= (window end)")
             from openset_spark.pipeline.sliding import (
+                check_upto,
                 read_sliding_partials,
             )
 
+            # a misaligned upto can never equal any bucket — raise
+            # instead of silently returning zero rows; extend_to
+            # stretches the fold spine through upto so a quiet final
+            # slide still yields the trailing-window answer from
+            # earlier partials (ADVICE r13 #1)
+            upto = check_upto(upto, slide)
             pruned = read_sliding_partials(
                 self._events.sparkSession, store, "_b", upto, slide,
                 window,
             )
             return hll_sliding_from_partials(
-                pruned, slide, window, p
+                pruned, slide, window, p, extend_to=upto
             ).filter(F.col("bucket") == F.lit(upto))
         return hll_sliding_distinct(
             self._events, "user_id", "ts", slide, window, p

@@ -28,6 +28,8 @@ oracle layer compares.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -184,6 +186,16 @@ def nb_lang_model(
     langs = sorted(totals)
     if not langs:
         raise ValueError("seed corpus has no grams")
+    # labels become column names (score_<lang>, _w_<lang>) referenced
+    # via F.col — a label with '.', '`', spaces or other specials
+    # would break resolution or collide after aliasing (ADVICE r13
+    # #5); fail loudly at train time, not at some downstream select
+    bad = [l for l in langs if not _re.fullmatch(r"[A-Za-z0-9_\-]+", l)]
+    if bad:
+        raise ValueError(
+            "labels must match [A-Za-z0-9_-]+ (they become column "
+            f"names): {bad}"
+        )
     oov = {l: -math.log(totals[l] + v) for l in langs}
     wide = cnt.groupBy("gram").pivot("_lang", langs).sum("c")
     # a gram in V but unseen in language l takes the SAME literal the

@@ -294,6 +294,7 @@ def cms_sliding_from_partials(
     depth: int = 4,
     width: int = 2048,
     materialized: bool = False,
+    extend_to=None,
 ) -> DataFrame:
     """The sliding fold from STORED per-slide grids (_tb, d, bucket,
     cnt) — the path a live deployment runs: per-hour grids maintained
@@ -342,7 +343,7 @@ def cms_sliding_from_partials(
     sub = parts.withColumnsRenamed(
         {"d": "_cms_d", "bucket": "_cms_bucket"}
     ).join(F.broadcast(cells), ["_cms_d", "_cms_bucket"])
-    spine = dense_spine(parts, "_tb", slide)
+    spine = dense_spine(parts, "_tb", slide, extend_to)
     dense = spine.crossJoin(F.broadcast(cells)).join(
         sub, ["_tb", "_cms_d", "_cms_bucket"], "left"
     )

@@ -303,6 +303,7 @@ def hdr_sliding_from_partials(
     qs: tuple[float, ...] = (0.5, 0.95),
     sub_bits: int = 5,
     materialized: bool = False,
+    extend_to=None,
 ) -> DataFrame:
     """The sliding fold from STORED per-slide partials (_tb, bucket,
     cnt) — the path a live deployment runs: per-hour sketches are
@@ -326,7 +327,7 @@ def hdr_sliding_from_partials(
     # otherwise).
     if not materialized:
         parts = parts.localCheckpoint()
-    spine = dense_spine(parts, "_tb", slide)
+    spine = dense_spine(parts, "_tb", slide, extend_to)
     buckets = parts.select("bucket").distinct()
     dense = spine.join(buckets).join(parts, ["_tb", "bucket"], "left")
     tidx = (F.unix_timestamp(F.col("_tb")) / sec).cast("long")

@@ -312,6 +312,7 @@ def hll_sliding_from_partials(
     window: int = 24,
     p: int = 10,
     materialized: bool = False,
+    extend_to=None,
 ) -> DataFrame:
     """The sliding fold from STORED per-slide register partials
     (_b, reg, rho) — the path a live deployment runs: per-hour
@@ -337,7 +338,7 @@ def hll_sliding_from_partials(
     # and pins the raw scan to exactly ONE pass.
     if not materialized:
         parts = parts.localCheckpoint()
-    spine = dense_spine(parts, "_b", slide)
+    spine = dense_spine(parts, "_b", slide, extend_to)
     regs = parts.select("reg").distinct()
     dense = spine.join(regs).join(parts, ["_b", "reg"], "left")
     hidx = (F.unix_timestamp(F.col("_b")) / sec).cast("long")

@@ -415,6 +415,7 @@ def kmv_sliding_from_partials(
     window: int = 24,
     k: int = 512,
     materialized: bool = False,
+    extend_to=None,
 ) -> DataFrame:
     """The sliding re-rank from STORED per-(slide, side) sketches
     (_tb, _side in {'a','b'}, hv) — the path a live deployment runs:
@@ -435,7 +436,13 @@ def kmv_sliding_from_partials(
         raise ValueError(f"k must be >= 2: {k}")
     if not materialized:
         parts = parts.localCheckpoint()
-    hi = parts.agg(F.max("_tb").alias("_hi"))
+    # extend_to stretches the served range past the last stored
+    # bucket so a quiet final slide still answers (same contract as
+    # dense_spine's extend_to; ADVICE r13 #1)
+    hi_expr = F.max("_tb")
+    if extend_to is not None:
+        hi_expr = F.greatest(hi_expr, F.lit(extend_to))
+    hi = parts.agg(hi_expr.alias("_hi"))
     served = (
         parts.crossJoin(F.broadcast(hi))
         .select(

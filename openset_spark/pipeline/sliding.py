@@ -29,6 +29,26 @@ def check_slide(slide: str, window: int) -> int:
     return _SLIDE_SECONDS[slide]
 
 
+def check_upto(upto: _dt.datetime, slide: str) -> _dt.datetime:
+    """Validate that a window-end timestamp sits ON a slide-bucket
+    boundary. A misaligned ``upto`` can never match any ``_b`` bucket,
+    so the store-backed answer would silently be empty (ADVICE r13
+    #1) — raise instead of truncating: truncation would silently
+    answer a DIFFERENT window than the caller named."""
+    if not isinstance(upto, _dt.datetime):
+        raise TypeError(f"upto must be a datetime: {upto!r}")
+    trunc = upto.replace(minute=0, second=0, microsecond=0)
+    if slide == "day":
+        trunc = trunc.replace(hour=0)
+    if trunc != upto:
+        raise ValueError(
+            f"upto {upto.isoformat()} is not aligned to the "
+            f"'{slide}' slide grain; truncate it to "
+            f"{trunc.isoformat()} (or the next boundary) first"
+        )
+    return upto
+
+
 def write_sliding_partials(
     parts: DataFrame, path: str, tb_col: str, mode: str = "overwrite"
 ) -> None:
@@ -99,26 +119,29 @@ def sliding_store_maintainer(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # pin the bounded partials FIRST: isEmpty() on the raw plan
+        # would execute the full aggregation once and localCheckpoint
+        # would recompute it (ADVICE r13 #3) — checkpoint, then read
+        # the days list off the pinned frame; empty days == empty
+        # batch, so no separate isEmpty pass at all.
         parts = partials_fn(batch_df).withColumn(
             "_day", F.to_date(F.col(tb_col))
-        )
-        if parts.isEmpty():
-            return
-        parts = parts.localCheckpoint()
+        ).localCheckpoint()
         days = [r["_day"] for r in parts.select("_day").distinct().collect()]
+        if not days:
+            return
         # first-batch detection must work on ANY filesystem the store
         # URI names (s3a://, hdfs://, ...) — os.path.exists sees only
         # the driver's local disk and would silently make EVERY batch
         # look like the first, overwriting folded history with just
-        # the current batch (code review r13). parquet schema
-        # inference is eager, so a missing path raises right here.
-        try:
+        # the current batch (code review r13). Ask the path's OWN
+        # FileSystem, not the parquet reader's error message — Spark
+        # versions/locales word the missing-path error differently
+        # (ADVICE r13 #2).
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             old = spark.read.parquet(path).filter(F.col("_day").isin(days))
-        except Exception as e:
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            old = None
-        if old is not None:
             merged = fold_fn(
                 old.drop("_day").unionByName(parts.drop("_day"))
             ).withColumn("_day", F.to_date(F.col(tb_col)))
@@ -129,31 +152,40 @@ def sliding_store_maintainer(
         # the merged frame reads the store files it is about to
         # replace — pin it BEFORE the overwrite truncates them
         merged = merged.localCheckpoint()
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            merged.write.mode("overwrite").partitionBy("_day").parquet(
-                path
-            )
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+        # per-WRITE dynamic mode (DataFrameWriter option, Spark 3.0+)
+        # instead of mutating the shared session conf: two concurrent
+        # maintainers racing a set/restore could leave one writing
+        # under 'static', wiping unrelated day partitions (ADVICE r13
+        # #4).
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("_day").parquet(path)
 
     return write_batch
 
 
-def dense_spine(parts: DataFrame, tb_col: str, slide: str) -> DataFrame:
+def dense_spine(
+    parts: DataFrame,
+    tb_col: str,
+    slide: str,
+    extend_to: _dt.datetime | None = None,
+) -> DataFrame:
     """The FULL min..max bucket sequence of ``parts`` (one 1-row
     bounds aggregate + sequence explode) — dense, so a slide point
     with zero events still reports its non-empty trailing window;
-    empty input yields an empty spine."""
+    empty input yields an empty spine.
+
+    ``extend_to`` stretches the upper bound to a caller-named
+    boundary-aligned bucket: a store read pruned to a trailing window
+    whose FINAL slides were quiet has max(tb) < upto, and without the
+    extension the bucket == upto answer row would not exist even
+    though the trailing window ending there is well-defined from
+    earlier partials (ADVICE r13 #1)."""
+    hi = F.max(tb_col)
+    if extend_to is not None:
+        hi = F.greatest(hi, F.lit(extend_to))
     return parts.agg(
-        F.min(tb_col).alias("_lo"), F.max(tb_col).alias("_hi")
+        F.min(tb_col).alias("_lo"), hi.alias("_hi")
     ).select(
         F.explode(
             F.sequence("_lo", "_hi", F.expr(f"interval 1 {slide}"))

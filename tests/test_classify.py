@@ -110,6 +110,30 @@ def test_nb_lang_scores_recovers_planted_languages(spark):
     assert conf == {("aa", "aa"): 1, ("xx", "xx"): 1}
 
 
+def test_nb_lang_rejects_unsafe_labels(spark):
+    """Labels become column names (score_<lang>, _w_<lang>); a label
+    with '.', '`' or spaces would break or collide at column
+    resolution, so nb_lang_model must refuse it at train time
+    (ADVICE r13 #5). Hyphens are safe in F.col and stay allowed."""
+    from openset_spark.pipeline.classify import nb_lang_model, nb_lang_scores
+
+    bad_seed = spark.createDataFrame(
+        [(1, "aaa bbb", "en.US"), (2, "xxx yyy", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="labels must match"):
+        nb_lang_model(bad_seed)
+    ok_seed = spark.createDataFrame(
+        [(1, "aaa bbb aab", "en-US"), (2, "xxx yyy xxy", "fr_FR")],
+        "doc_id long, text string, lang string",
+    )
+    docs = spark.createDataFrame(
+        [(10, "aab aba", "en-US")], "doc_id long, text string, lang string"
+    )
+    out = nb_lang_scores(docs, ok_seed).collect()
+    assert out[0]["lang_nb"] == "en-US"
+
+
 def test_nb_lang_short_doc_and_tiebreak(spark):
     """A doc shorter than the gram width still scores (one truncated
     gram — the char_ngrams k<=0 contract); a doc whose rounded

@@ -393,3 +393,25 @@ def test_engine_actives_store_roundtrip(eng, tmp_path_factory):
     assert got[0].approx_distinct == series[upto]
     with pytest.raises(ValueError):
         eng.sliding_actives(store=path)
+    # a QUIET final slide (no partial at upto) must still answer the
+    # trailing window from earlier buckets: with upto one hour past
+    # the last stored bucket, the 6h window ending there covers the
+    # same events as the 5 trailing stored hours (ADVICE r13 #1)
+    import datetime as dt
+
+    upto2 = upto + dt.timedelta(hours=1)
+    want5 = {
+        r.bucket: r.approx_distinct
+        for r in eng.sliding_actives(window=5).collect()
+    }[upto]
+    got2 = eng.sliding_actives(
+        window=6, store=path, upto=upto2
+    ).collect()
+    assert len(got2) == 1
+    assert got2[0].bucket == upto2
+    assert got2[0].approx_distinct == want5
+    # misaligned upto raises instead of silently matching nothing
+    with pytest.raises(ValueError, match="not aligned"):
+        eng.sliding_actives(
+            window=6, store=path, upto=upto + dt.timedelta(minutes=30)
+        )

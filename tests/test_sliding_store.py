@@ -96,6 +96,23 @@ def test_pruned_read_answers_trailing_window(spark, sf_dir, tmpdir):
     assert got[upto] == want[upto]
 
 
+def test_check_upto_alignment():
+    """check_upto: boundary-aligned timestamps pass through; anything
+    off-grain raises (a misaligned upto can never match a bucket —
+    the silent-empty-result foot-gun, ADVICE r13 #1)."""
+    from openset_spark.pipeline.sliding import check_upto
+
+    t = dt.datetime(2024, 3, 5, 14, 0, 0)
+    assert check_upto(t, "hour") == t
+    with pytest.raises(ValueError, match="not aligned"):
+        check_upto(t.replace(minute=30), "hour")
+    with pytest.raises(ValueError, match="not aligned"):
+        check_upto(t, "day")  # 14:00 is not a day boundary
+    assert check_upto(t.replace(hour=0), "day") == t.replace(hour=0)
+    with pytest.raises(TypeError):
+        check_upto("2024-03-05T14:00:00", "hour")
+
+
 def test_maintained_store_equals_fresh_build(spark, sf_dir, tmpdir):
     """hll: N micro-batches through the foreachBatch maintainer ==
     one fresh build; the sliding fold over the maintained store ==
