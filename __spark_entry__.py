@@ -4652,6 +4652,12 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": q_chunk_windows,
         "dsir_resample": q_dsir_resample,
         "embedding_gram": q_embedding_gram,
+        # BORN r14 (never-driver-green): head the r15 window next to
+        # the r14 spill per tools/plan_window.py
+        "url_normalize": q_url_normalize,
+        "url_dedup_keep": q_url_dedup_keep,
+        "domain_stats": q_domain_stats,
+        "filter_agreement": q_filter_agreement,
     }
 
 
@@ -5672,6 +5678,10 @@ def oracle_sql() -> dict[str, str]:
         "preprocess_crawl": _preprocess_crawl_sql(),
         "segment_difference_kmv": _SQL_SEGMENT_DIFFERENCE_KMV,
         "lang_mixture_select": _lang_mixture_select_sql(),
+        "url_normalize": _url_normalize_sql(),
+        "url_dedup_keep": _url_dedup_keep_sql(),
+        "domain_stats": _domain_stats_sql(),
+        "filter_agreement": _filter_agreement_sql(),
     }
 
 
@@ -6707,4 +6717,267 @@ SELECT CASE WHEN g_bh = 1 THEN 'day' ELSE 'hour' END AS granularity,
   strftime(bh, '%Y-%m-%d %H:%M:%S') AS bucket_hour,
   CAST(n AS BIGINT) AS n, sum_value
 FROM r WHERE g_bd = 0
+"""
+
+
+# --------------------------------------------------------------------
+# r14 ops: URL curation suite + filter-ensemble agreement
+# --------------------------------------------------------------------
+# Inline URL fixture (the pii_positive precedent — testdata has no
+# URL column): covers case folding, default/non-default ports,
+# userinfo, trailing-dot hosts, tracking params, param reordering,
+# fragments, multi-part TLDs, single-label hosts, and an
+# unparseable row. Docs 1/9 and 6/12 canonize identically (the
+# dedup pairs).
+_URL_FIXTURE = [
+    (1, "HTTP://Example.COM:80/a/b?utm_source=x&b=2&a=1#frag", 5),
+    (2, "https://user:pw@www.Example.co.uk./path", 7),
+    (3, "https://example.com:8443", 4),
+    (4, "ftp://files.example.org:21/pub/data.csv", 2),
+    (5, "https://example.com/a?fbclid=abc#sec", 9),
+    (6, "https://example.com/a?b=2&a=1", 3),
+    (7, "https://a.b.github.io/repo?z=1&y=2", 8),
+    (8, "not a url", 1),
+    (9, "http://example.com/a/b?a=1&b=2&utm_campaign=spring", 6),
+    (10, "http://localhost:9000/health", 2),
+    (11, "https://shop.example.co.uk/item?id=42&ref=tw", 4),
+    (12, "HTTPS://EXAMPLE.COM/a?b=2&a=1", 11),
+]
+
+
+def _url_frame(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _URL_FIXTURE, "doc_id long, url string, score long"
+    )
+
+
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (pipeline/urls.py::parse_urls): parsed
+    components + the normalized spelling — the crawl-curation front
+    end that runs before URL-level dedup. NEW r14."""
+    from openset_spark.pipeline.urls import parse_urls
+
+    return parse_urls(_url_frame(spark)).select(
+        "doc_id", "scheme", "host", "port", "path", "query_norm",
+        "registered_domain", "norm_url",
+    )
+
+
+def q_url_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup: one keeper per canonical URL (highest score,
+    ties to lowest id); unparseable rows all kept by contract.
+    NEW r14."""
+    from openset_spark.pipeline.urls import url_dedup_keep
+
+    return url_dedup_keep(_url_frame(spark), score_col="score").select(
+        "doc_id", "norm_url", "keep"
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain doc/host/URL counts + exact integer-ppm
+    corpus share — the domain-concentration report. NEW r14."""
+    from openset_spark.pipeline.urls import domain_stats
+
+    return domain_stats(_url_frame(spark))
+
+
+def _url_parse_cte() -> str:
+    """The DuckDB replay of parse_urls, generated from the SAME
+    URL_RE / TRACKING_PARAM_RE / DEFAULT_PORTS / MULTI_PART_TLDS
+    tables the operator compiles to (the mojibake oracle-from-tables
+    precedent — code and oracle cannot drift)."""
+    from openset_spark.pipeline.urls import (
+        DEFAULT_PORTS,
+        MULTI_PART_TLDS,
+        TRACKING_PARAM_RE,
+        URL_RE,
+    )
+
+    values = ",\n    ".join(
+        f"({i}, '{u}', {s})" for i, u, s in _URL_FIXTURE
+    )
+    dflt = " ".join(
+        f"WHEN '{s}' THEN {p}" for s, p in DEFAULT_PORTS.items()
+    )
+    tlds = ", ".join(f"'{t}'" for t in MULTI_PART_TLDS)
+    return f"""
+raw AS (SELECT * FROM (VALUES
+    {values}
+  ) AS t(doc_id, url, score)),
+p0 AS (
+  SELECT doc_id, score,
+    regexp_extract(url, '{URL_RE}', 1) AS scheme_raw,
+    regexp_extract(url, '{URL_RE}', 2) AS auth,
+    regexp_extract(url, '{URL_RE}', 3) AS path_raw,
+    regexp_extract(url, '{URL_RE}', 4) AS qs
+  FROM raw),
+p1 AS (
+  SELECT *, lower(scheme_raw) AS scheme,
+    regexp_replace(auth, '^[^@]*@', '') AS hostport
+  FROM p0),
+p2 AS (
+  SELECT *,
+    regexp_replace(
+      lower(regexp_replace(hostport, ':[0-9]+$', '')), '\\.$', ''
+    ) AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s
+  FROM p1),
+p3 AS (
+  SELECT *,
+    CASE WHEN port_s <> '' THEN CAST(port_s AS BIGINT) END AS port0,
+    CASE scheme {dflt} ELSE -1 END AS dflt_port,
+    CASE WHEN path_raw = '' THEN '/' ELSE path_raw END AS path,
+    COALESCE(array_to_string(list_sort(list_filter(
+      string_split(COALESCE(qs, ''), '&'),
+      x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')
+    )), '&'), '') AS query_norm,
+    string_split(host, '.') AS labels
+  FROM p2),
+p4 AS (
+  SELECT *,
+    CASE WHEN port0 IS NOT NULL AND port0 <> dflt_port
+         THEN port0 END AS port,
+    CASE WHEN len(labels) <= 1 THEN host
+         WHEN len(labels) >= 3
+              AND (labels[-2] || '.' || labels[-1]) IN ({tlds})
+         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+         ELSE labels[-2] || '.' || labels[-1] END AS registered_domain
+  FROM p3),
+p AS (
+  SELECT doc_id, score,
+    CASE WHEN scheme_raw <> '' THEN scheme END AS scheme,
+    CASE WHEN scheme_raw <> '' THEN host END AS host,
+    CASE WHEN scheme_raw <> '' THEN port END AS port,
+    CASE WHEN scheme_raw <> '' THEN path END AS path,
+    CASE WHEN scheme_raw <> '' THEN query_norm END AS query_norm,
+    CASE WHEN scheme_raw <> '' THEN registered_domain
+         END AS registered_domain,
+    CASE WHEN scheme_raw <> '' THEN
+      scheme || '://' || host ||
+      CASE WHEN port IS NOT NULL
+           THEN ':' || CAST(port AS VARCHAR) ELSE '' END ||
+      path ||
+      CASE WHEN query_norm <> '' THEN '?' || query_norm ELSE '' END
+    END AS norm_url
+  FROM p4)
+"""
+
+
+def _url_normalize_sql() -> str:
+    return f"""
+WITH {_url_parse_cte()}
+SELECT doc_id, scheme, host, port, path, query_norm,
+  registered_domain, norm_url
+FROM p
+"""
+
+
+def _url_dedup_keep_sql() -> str:
+    return f"""
+WITH {_url_parse_cte()},
+r AS (
+  SELECT doc_id, norm_url,
+    row_number() OVER (
+      PARTITION BY norm_url ORDER BY score DESC NULLS LAST, doc_id ASC
+    ) AS rn
+  FROM p)
+SELECT doc_id, norm_url, (norm_url IS NULL OR rn = 1) AS keep FROM r
+"""
+
+
+def _domain_stats_sql() -> str:
+    return f"""
+WITH {_url_parse_cte()},
+v AS (SELECT * FROM p WHERE norm_url IS NOT NULL),
+per AS (
+  SELECT registered_domain, COUNT(*) AS n_docs,
+    COUNT(DISTINCT host) AS n_hosts,
+    COUNT(DISTINCT norm_url) AS n_urls
+  FROM v GROUP BY 1),
+t AS (SELECT SUM(n_docs) AS total FROM per)
+SELECT registered_domain, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_hosts AS BIGINT) AS n_hosts,
+  CAST(n_urls AS BIGINT) AS n_urls,
+  CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm
+FROM per, t
+"""
+
+
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement + integer-exact Cohen's kappa across the
+    cheap quality-filter ensemble (gopher keep / NOT repetition
+    flagged / char entropy >= 2.0) — the filter-redundancy
+    governance table. pipeline/corpus_stats.py::filter_agreement.
+    NEW r14."""
+    from openset_spark.pipeline.corpus_stats import filter_agreement
+
+    return filter_agreement(_docs(spark, sf_dir))
+
+
+def _filter_agreement_sql() -> str:
+    """Splices the three EXISTING filter oracles as CTEs (the
+    preprocess_crawl precedent) and replays the agreement/kappa
+    integer arithmetic: pe products in HUGEINT, the signed kappa div
+    routed as sign * (abs // den) so DuckDB's flooring `//` matches
+    Spark's truncating `div` on worse-than-chance pairs."""
+    pair_sql = []
+    for a, b in [
+        ("entropy", "gopher"),
+        ("entropy", "repetition"),
+        ("gopher", "repetition"),
+    ]:
+        pair_sql.append(f"""
+  SELECT '{a}' AS filter_a, '{b}' AS filter_b, n,
+    bk_{a}_{b} AS n_both_keep, bd_{a}_{b} AS n_both_drop,
+    k_{a} AS ka, k_{b} AS kb
+  FROM one""")
+    pairs = "\n  UNION ALL".join(pair_sql)
+    return f"""
+WITH g AS (SELECT doc_id, keep FROM ({_SQL_GOPHER_QUALITY}) t),
+r AS (SELECT doc_id, NOT flagged AS k
+      FROM ({_SQL_REPETITION_SIGNALS}) t),
+e AS (SELECT doc_id, entropy_bits >= 2.0 AS k
+      FROM ({_SQL_CHAR_ENTROPY}) t),
+f AS (
+  SELECT g.doc_id, e.k AS k_entropy, g.keep AS k_gopher,
+    r.k AS k_repetition
+  FROM g JOIN r ON g.doc_id = r.doc_id
+  JOIN e ON g.doc_id = e.doc_id),
+one AS (
+  SELECT COUNT(*) AS n,
+    SUM(CASE WHEN k_entropy THEN 1 ELSE 0 END) AS k_entropy,
+    SUM(CASE WHEN k_gopher THEN 1 ELSE 0 END) AS k_gopher,
+    SUM(CASE WHEN k_repetition THEN 1 ELSE 0 END) AS k_repetition,
+    SUM(CASE WHEN k_entropy AND k_gopher THEN 1 ELSE 0 END)
+      AS bk_entropy_gopher,
+    SUM(CASE WHEN NOT k_entropy AND NOT k_gopher THEN 1 ELSE 0 END)
+      AS bd_entropy_gopher,
+    SUM(CASE WHEN k_entropy AND k_repetition THEN 1 ELSE 0 END)
+      AS bk_entropy_repetition,
+    SUM(CASE WHEN NOT k_entropy AND NOT k_repetition
+        THEN 1 ELSE 0 END) AS bd_entropy_repetition,
+    SUM(CASE WHEN k_gopher AND k_repetition THEN 1 ELSE 0 END)
+      AS bk_gopher_repetition,
+    SUM(CASE WHEN NOT k_gopher AND NOT k_repetition
+        THEN 1 ELSE 0 END) AS bd_gopher_repetition
+  FROM f),
+long AS ({pairs}),
+m AS (
+  SELECT *,
+    (n_both_keep + n_both_drop) * 1000000 // n AS po_ppm,
+    CAST((CAST(ka AS HUGEINT) * kb
+          + CAST(n - ka AS HUGEINT) * (n - kb)) * 1000000
+         // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_ppm
+  FROM long)
+SELECT filter_a, filter_b, CAST(n AS BIGINT) AS n_docs,
+  CAST(n_both_keep AS BIGINT) AS n_both_keep,
+  CAST(n_both_drop AS BIGINT) AS n_both_drop,
+  CAST(po_ppm AS BIGINT) AS agree_ppm,
+  CAST(CASE WHEN pe_ppm < 1000000 THEN
+    CASE WHEN po_ppm >= pe_ppm
+      THEN (po_ppm - pe_ppm) * 1000000 // (1000000 - pe_ppm)
+      ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
+    END END AS BIGINT) AS kappa_ppm
+FROM m
 """

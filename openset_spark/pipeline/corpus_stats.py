@@ -592,3 +592,122 @@ def source_divergence(
             6,
         ).alias("tv"),
     )
+
+
+def filter_agreement(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    entropy_min: float = 2.0,
+) -> DataFrame:
+    """Pairwise agreement report across the cheap quality-filter
+    ensemble — "do my filters measure the same thing?", the
+    governance table a pipeline reads before chaining filters whose
+    overlap decides how much corpus survives the cascade
+    (quality_funnel reports attrition ORDER; this reports filter
+    REDUNDANCY). Filters: ``gopher`` (gopher_quality_flags.keep),
+    ``repetition`` (NOT repetition_signals.flagged), ``entropy``
+    (char_entropy.entropy_bits >= entropy_min, compared on the
+    ROUND(4) value both engines lock).
+
+    One row per unordered filter pair: docs evaluated (inner join —
+    repetition_signals excludes <2-token docs by contract, so n_docs
+    surfaces the restriction), both-keep / both-drop counts, raw
+    agreement in exact integer ppm, and Cohen's kappa in ppm. Kappa
+    stays in exact integer/decimal arithmetic end-to-end: po/pe as
+    *_ppm via integer div (pe's cross products ride DECIMAL(38) —
+    ka*kb*1e6 overflows int64 past ~90M docs), kappa_ppm =
+    (po_ppm - pe_ppm)*1e6 div (1e6 - pe_ppm) with the negative
+    numerator routed through -((-x) div d) — Spark's `div` truncates
+    toward zero while DuckDB's `//` floors, so a bare signed div
+    diverges on every worse-than-chance pair (the source_divergence
+    hazard, sign form). pe_ppm == 1e6 (a degenerate always-keep /
+    always-drop marginal pair) yields NULL kappa.
+
+    Scale shape: each filter is its own documented one-pass
+    aggregate (different explodes — fusing them would multiply the
+    widest explode by the others); the join keys the bounded per-doc
+    flag frames on id; the agreement aggregate is ONE reduce to a
+    single row, unpivoted to 3 pair rows by a constant-size stack.
+    """
+    from openset_spark.pipeline.textstats import (
+        char_entropy,
+        gopher_quality_flags,
+        repetition_signals,
+    )
+
+    g = gopher_quality_flags(df, text_col, id_col).select(
+        id_col, F.col("keep").alias("k_gopher")
+    )
+    r = repetition_signals(df, text_col, id_col).select(
+        id_col, (~F.col("flagged")).alias("k_repetition")
+    )
+    e = char_entropy(df, text_col, id_col).select(
+        id_col,
+        (F.col("entropy_bits") >= F.lit(entropy_min)).alias("k_entropy"),
+    )
+    flags = g.join(r, id_col).join(e, id_col)
+
+    names = ["entropy", "gopher", "repetition"]
+    combos = [(a, b) for a in names for b in names if a < b]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for a in names:
+        aggs.append(
+            F.sum(F.col(f"k_{a}").cast("long")).alias(f"_k_{a}")
+        )
+    for a, b in combos:
+        both = F.col(f"k_{a}") & F.col(f"k_{b}")
+        neither = ~F.col(f"k_{a}") & ~F.col(f"k_{b}")
+        aggs.append(F.sum(both.cast("long")).alias(f"_bk_{a}_{b}"))
+        aggs.append(F.sum(neither.cast("long")).alias(f"_bd_{a}_{b}"))
+    one = flags.agg(*aggs)
+
+    pairs = [
+        F.struct(
+            F.lit(a).alias("filter_a"),
+            F.lit(b).alias("filter_b"),
+            F.col(f"_bk_{a}_{b}").alias("n_both_keep"),
+            F.col(f"_bd_{a}_{b}").alias("n_both_drop"),
+            F.col(f"_k_{a}").alias("_ka"),
+            F.col(f"_k_{b}").alias("_kb"),
+        )
+        for a, b in combos
+    ]
+    long = (
+        one.select("_n", F.explode(F.array(*pairs)).alias("p"))
+        .select("_n", "p.*")
+        .select(
+            "*",
+            F.expr(
+                "(n_both_keep + n_both_drop) * 1000000 div _n"
+            ).alias("po_ppm"),
+            F.expr(
+                "CAST((CAST(_ka AS DECIMAL(38,0)) * _kb"
+                " + CAST((_n - _ka) AS DECIMAL(38,0)) * (_n - _kb))"
+                " * 1000000"
+                " div (CAST(_n AS DECIMAL(38,0)) * _n) AS BIGINT)"
+            ).alias("pe_ppm"),
+        )
+    )
+    kappa = F.when(
+        F.col("pe_ppm") < 1_000_000,
+        F.when(
+            F.col("po_ppm") >= F.col("pe_ppm"),
+            F.expr(
+                "(po_ppm - pe_ppm) * 1000000 div (1000000 - pe_ppm)"
+            ),
+        ).otherwise(
+            -F.expr(
+                "(pe_ppm - po_ppm) * 1000000 div (1000000 - pe_ppm)"
+            )
+        ),
+    )
+    return long.select(
+        "filter_a",
+        "filter_b",
+        F.col("_n").alias("n_docs"),
+        "n_both_keep",
+        "n_both_drop",
+        F.col("po_ppm").alias("agree_ppm"),
+        kappa.alias("kappa_ppm"),
+    )

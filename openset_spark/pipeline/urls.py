@@ -1,0 +1,218 @@
+"""URL curation operators — the provenance-keyed front end of a
+crawl pipeline (FineWeb/CCNet shape: URL canonicalization and
+URL-level dedup run BEFORE any content pass, because a crawler
+revisits the same page under utm-tagged / reordered-query / default-
+port spellings and content dedup should never pay for those).
+
+Reference parity: the reference engine has no URL operators (its
+domain is product events); this module is part of the §2.8
+LLM-training-data surface the build brief adds beyond the reference.
+
+Design rules (the pii.py precedent): every pattern sits in the regex
+subset Java regex and RE2 read identically — no backrefs, no
+lookaround — and all derived values are strings/integers, so the
+DuckDB oracle replays every column byte-for-byte. Everything is one
+stateless projection (whole-stage codegen, no UDFs, no shuffle);
+only url_dedup_keep and domain_stats aggregate, each with exactly
+one shuffle on its natural key.
+
+At 100 TB: parsing is embarrassingly parallel; url_dedup_keep
+shuffles on norm_url (key space ~ page count; a mega-duplicated URL
+is bounded by its own duplicate count, the skew the operator
+removes); domain_stats shuffles on registered_domain and its
+share denominator rides a broadcast one-row total, never a global
+window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# groups: 1 scheme, 2 authority, 3 path, 4 query (no '?'), 5 fragment
+URL_RE = (
+    r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)"
+    r"(?:\?([^#]*))?(?:#(.*))?$"
+)
+
+# tracking/session params dropped by normalization (the FineWeb /
+# canonical-URL cleaning list): utm_* plus the big ad-click ids.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|igshid|mc_eid|yclid|ref|ref_src"
+    r"|spm)(=.*)?$"
+)
+
+DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+# Compact multi-part public-suffix sample (the common ccTLD
+# second-level registries). A production deployment swaps in the full
+# Mozilla Public Suffix List as a broadcast table via ``suffixes=``;
+# the fallback heuristic (last two labels) is right for every gTLD.
+MULTI_PART_TLDS = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "ac.in",
+    "com.br", "net.br", "org.br",
+    "com.mx", "com.ar", "com.cn", "com.sg", "com.tr", "com.tw",
+    "co.za", "co.kr", "or.kr", "com.hk", "com.my", "co.id",
+)
+
+
+def _norm_query(qs: Column) -> Column:
+    """Canonical query string: drop tracking params, sort the rest,
+    rejoin. Empty/null input and all-tracking input both canonize to
+    ''. array_join on an empty array is '' in Spark; the DuckDB twin
+    needs COALESCE (array_to_string([]) is NULL there)."""
+    parts = F.filter(
+        F.split(F.coalesce(qs, F.lit("")), "&"), lambda x: x != ""
+    )
+    kept = F.filter(parts, lambda x: ~x.rlike(TRACKING_PARAM_RE))
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def _registered_domain(host: Column, suffixes: tuple[str, ...]) -> Column:
+    """Registrable domain from a normalized host: last TWO labels,
+    or last THREE when the two-label suffix is a known multi-part
+    registry (co.uk et al). Single-label hosts (localhost, intranet
+    names) pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    suffix_hit = F.element_at(labels, -2).isNotNull() & last2.isin(
+        *suffixes
+    )
+    return F.when(n <= 1, host).otherwise(
+        F.when((n >= 3) & suffix_hit, last3).otherwise(last2)
+    )
+
+
+def parse_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    suffixes: tuple[str, ...] = MULTI_PART_TLDS,
+) -> DataFrame:
+    """Add parsed + canonical URL columns: ``scheme`` (lowered),
+    ``host`` (lowered, userinfo and trailing dot stripped), ``port``
+    (long; NULL when absent or the scheme default), ``path`` ('/'
+    when empty), ``query_norm`` (tracking-stripped, sorted),
+    ``registered_domain``, and ``norm_url`` (the canonical spelling
+    — fragment always dropped). Rows whose value does not parse as
+    an absolute URL get NULLs throughout (filter on
+    ``norm_url IS NOT NULL``). One projection, zero exchanges."""
+    u = F.col(url_col)
+    scheme_raw = F.regexp_extract(u, URL_RE, 1)
+    auth = F.regexp_extract(u, URL_RE, 2)
+    ok = scheme_raw != ""
+    scheme = F.lower(scheme_raw)
+    hostport = F.regexp_replace(auth, "^[^@]*@", "")
+    port_s = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(hostport, ":[0-9]+$", "")), r"\.$", ""
+    )
+    port = F.when(port_s != "", port_s.cast("long"))
+    default_port = F.coalesce(
+        *[
+            F.when(scheme == s, F.lit(p))
+            for s, p in DEFAULT_PORTS.items()
+        ],
+        F.lit(-1),
+    )
+    port_norm = F.when(port != default_port, port)
+    path_raw = F.regexp_extract(u, URL_RE, 3)
+    path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
+    qn = _norm_query(F.regexp_extract(u, URL_RE, 4))
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(
+            port_norm.isNotNull(),
+            F.concat(F.lit(":"), port_norm.cast("string")),
+        ).otherwise(F.lit("")),
+        path,
+        F.when(qn != "", F.concat(F.lit("?"), qn)).otherwise(F.lit("")),
+    )
+    null_s = F.lit(None).cast("string")
+    return df.select(
+        "*",
+        F.when(ok, scheme).otherwise(null_s).alias("scheme"),
+        F.when(ok, host).otherwise(null_s).alias("host"),
+        F.when(ok, port_norm).alias("port"),
+        F.when(ok, path).otherwise(null_s).alias("path"),
+        F.when(ok, qn).otherwise(null_s).alias("query_norm"),
+        F.when(ok, _registered_domain(host, suffixes))
+        .otherwise(null_s)
+        .alias("registered_domain"),
+        F.when(ok, norm).otherwise(null_s).alias("norm_url"),
+    )
+
+
+def url_dedup_keep(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+) -> DataFrame:
+    """URL-level dedup: one keeper per CANONICAL url — highest
+    ``score_col`` (ties and scoreless: lowest id; the dedup_keep_best
+    resolution policy). Returns the parsed frame plus ``keep``; rows
+    that did not parse keep NULL norm_url and are all kept (content
+    dedup owns them). One window shuffle on norm_url carrying (id,
+    score) — never text."""
+    from pyspark.sql.window import Window
+
+    parsed = parse_urls(df, url_col)
+    order = (
+        [F.col(score_col).desc_nulls_last(), F.col(id_col).asc()]
+        if score_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("norm_url").orderBy(*order)
+    rn = F.row_number().over(w)
+    return parsed.withColumn(
+        "keep", F.col("norm_url").isNull() | (rn == 1)
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per registered domain: docs, distinct hosts, distinct
+    canonical URLs, and the corpus share in exact integer ppm
+    (docs*1e6 div total — engine-portable, no float division). The
+    domain-concentration report a crawl curation pass caps from.
+    One groupBy shuffle; the share denominator is a broadcast
+    one-row total, never a global window."""
+    parsed = parse_urls(df, url_col).filter(
+        F.col("norm_url").isNotNull()
+    )
+    # `per` feeds TWO subtrees (the total aggregate and the final
+    # join) and Catalyst plans each its own copy of the whole corpus
+    # aggregation — two full scans at 100 TB. The per-domain frame is
+    # bounded by registered-domain cardinality, so pin it (the
+    # Catalyst multi-reference rule; the sliding/kmv precedent).
+    per = parsed.groupBy("registered_domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct("norm_url").alias("n_urls"),
+    ).localCheckpoint()
+    total = per.agg(F.sum("n_docs").alias("_total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "registered_domain",
+        "n_docs",
+        "n_hosts",
+        "n_urls",
+        F.expr("n_docs * 1000000 div _total").alias("share_ppm"),
+    )

@@ -1,0 +1,138 @@
+"""Round-14 operators: filter-ensemble agreement (pairwise
+agreement + integer-exact Cohen's kappa across the cheap quality
+filters). URL curation lives in tests/test_urls.py; both families'
+cross-engine exactness is additionally locked by their oracle keys
+in tests/test_correctness.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.corpus_stats import filter_agreement
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark's `div` (and
+    the operator's sign-routed form), NOT Python's flooring //."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _english(i: int) -> str:
+    words = (
+        "the cat sat on the mat and looked at the dog that ran "
+        "past the old house with a red door while birds flew over "
+        "the quiet field near the river bank under a pale sky as "
+        "children played games by the tall trees and wind moved "
+        "softly through green leaves all day"
+    ).split()
+    return " ".join(words) + f" extra{i} tale"
+
+
+def _flags(spark, docs, entropy_min):
+    from openset_spark.pipeline.textstats import (
+        char_entropy,
+        gopher_quality_flags,
+        repetition_signals,
+    )
+
+    g = {r.doc_id: bool(r.keep) for r in gopher_quality_flags(docs).collect()}
+    rep = {
+        r.doc_id: not r.flagged for r in repetition_signals(docs).collect()
+    }
+    e = {
+        r.doc_id: float(r.entropy_bits) >= entropy_min
+        for r in char_entropy(docs).collect()
+    }
+    ids = sorted(set(g) & set(rep) & set(e))
+    return {
+        "entropy": [e[i] for i in ids],
+        "gopher": [g[i] for i in ids],
+        "repetition": [rep[i] for i in ids],
+    }
+
+
+def _expected(flags, a, b):
+    ka_list, kb_list = flags[a], flags[b]
+    n = len(ka_list)
+    bk = sum(1 for x, y in zip(ka_list, kb_list) if x and y)
+    bd = sum(1 for x, y in zip(ka_list, kb_list) if not x and not y)
+    ka, kb = sum(ka_list), sum(kb_list)
+    po = (bk + bd) * 1_000_000 // n
+    pe = (ka * kb + (n - ka) * (n - kb)) * 1_000_000 // (n * n)
+    if pe >= 1_000_000:
+        kappa = None
+    else:
+        kappa = _tdiv((po - pe) * 1_000_000, 1_000_000 - pe)
+    return n, bk, bd, po, kappa
+
+
+def test_filter_agreement_matches_python_replay(spark):
+    """Mixed corpus (good English, token spam, short gibberish):
+    every emitted pair row equals a pure-Python replay of the same
+    flags with Spark's truncate-toward-zero div semantics."""
+    rows = [(i, _english(i)) for i in range(4)]
+    rows.append((10, "spam " * 80))  # repetition-flagged, gopher-drop
+    rows.append((11, "zq xv qp mw"))  # short, gopher-drop
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        (r.filter_a, r.filter_b): r
+        for r in filter_agreement(docs, entropy_min=2.0).collect()
+    }
+    assert set(out) == {
+        ("entropy", "gopher"),
+        ("entropy", "repetition"),
+        ("gopher", "repetition"),
+    }
+    flags = _flags(spark, docs, 2.0)
+    for (a, b), r in out.items():
+        n, bk, bd, po, kappa = _expected(flags, a, b)
+        assert (r.n_docs, r.n_both_keep, r.n_both_drop) == (n, bk, bd)
+        assert r.agree_ppm == po
+        assert r.kappa_ppm == kappa, (a, b)
+
+
+def test_filter_agreement_negative_kappa_sign_routing(spark):
+    """Perfectly anti-correlated pair -> kappa_ppm == -1_000_000
+    exactly (the negative branch must truncate toward zero like the
+    DuckDB oracle's sign-routed form, not floor)."""
+    from openset_spark.pipeline.textstats import char_entropy
+
+    rows = [(i, _english(i)) for i in range(2)]
+    # high-entropy gibberish: distinct chars, fails gopher
+    rows.append((20, "qz wx vj kp bm fd gh ln rs tc uy ae io"))
+    rows.append((21, "zj qx wv pk mb df hg nl sr ct yu ea oi"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ents = {
+        r.doc_id: float(r.entropy_bits)
+        for r in char_entropy(docs).collect()
+    }
+    lo = max(ents[0], ents[1])
+    hi = min(ents[20], ents[21])
+    assert lo < hi, ents  # gibberish must out-entropy English here
+    cut = (lo + hi) / 2
+    out = {
+        (r.filter_a, r.filter_b): r
+        for r in filter_agreement(docs, entropy_min=cut).collect()
+    }
+    r = out[("entropy", "gopher")]
+    # entropy keeps exactly the gopher-dropped docs and vice versa
+    assert (r.n_both_keep, r.n_both_drop) == (0, 0)
+    assert r.agree_ppm == 0
+    assert r.kappa_ppm == -1_000_000
+
+
+def test_filter_agreement_degenerate_marginal_null_kappa(spark):
+    """entropy_min below every doc's entropy and an all-keep second
+    filter make pe_ppm == 1e6 -> kappa NULL, agree_ppm still 1e6."""
+    rows = [(i, _english(i)) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.filter_a, r.filter_b): r
+        for r in filter_agreement(docs, entropy_min=0.0).collect()
+    }
+    r = out[("entropy", "repetition")]  # both keep everything here
+    assert r.agree_ppm == 1_000_000
+    assert r.kappa_ppm is None

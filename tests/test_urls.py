@@ -1,0 +1,156 @@
+"""URL curation operators (pipeline/urls.py): canonicalization
+semantics hand-checked per component (case, ports, userinfo,
+trailing dot, tracking params, param order, fragments), registered-
+domain extraction incl. the multi-part-TLD table, URL-level dedup
+resolution, and domain stats. The cross-engine exactness of every
+column is additionally locked by the url_normalize / url_dedup_keep
+/ domain_stats oracle keys in tests/test_correctness.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openset_spark.pipeline.urls import (
+    domain_stats,
+    parse_urls,
+    url_dedup_keep,
+)
+
+
+def _frame(spark, urls):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+
+
+def _parse_one(spark, url):
+    return parse_urls(_frame(spark, [url])).first()
+
+
+def test_parse_normalizes_case_port_and_params(spark):
+    r = _parse_one(
+        spark, "HTTP://Example.COM:80/a/b?utm_source=x&b=2&a=1#frag"
+    )
+    assert r.scheme == "http"
+    assert r.host == "example.com"
+    assert r.port is None  # default port stripped
+    assert r.path == "/a/b"
+    assert r.query_norm == "a=1&b=2"  # tracking dropped, rest sorted
+    assert r.norm_url == "http://example.com/a/b?a=1&b=2"
+
+
+def test_parse_userinfo_trailing_dot_and_multipart_tld(spark):
+    r = _parse_one(spark, "https://user:pw@www.Example.co.uk./path")
+    assert r.host == "www.example.co.uk"
+    assert r.registered_domain == "example.co.uk"
+    assert r.norm_url == "https://www.example.co.uk/path"
+
+
+def test_parse_nondefault_port_and_empty_path(spark):
+    assert (
+        _parse_one(spark, "https://example.com:8443").norm_url
+        == "https://example.com:8443/"
+    )
+    assert (
+        _parse_one(spark, "ftp://files.example.org:21/x").norm_url
+        == "ftp://files.example.org/x"
+    )
+
+
+def test_parse_all_tracking_query_and_fragment(spark):
+    r = _parse_one(spark, "https://example.com/a?fbclid=abc#sec")
+    assert r.query_norm == ""
+    assert r.norm_url == "https://example.com/a"
+
+
+def test_parse_invalid_rows_null_out(spark):
+    r = _parse_one(spark, "not a url")
+    assert r.norm_url is None and r.host is None and r.scheme is None
+
+
+def test_registered_domain_fallback_and_single_label(spark):
+    assert (
+        _parse_one(spark, "https://a.b.github.io/").registered_domain
+        == "github.io"
+    )
+    assert (
+        _parse_one(spark, "http://localhost:9000/").registered_domain
+        == "localhost"
+    )
+
+
+def test_url_dedup_keeps_best_per_canonical(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/a?utm_source=x", 5),
+            (2, "https://EXAMPLE.com:443/a", 9),
+            (3, "https://example.com/a?b=1", 7),
+            (4, "oops", 1),
+        ],
+        "doc_id long, url string, score long",
+    )
+    out = {
+        r.doc_id: r.keep
+        for r in url_dedup_keep(df, score_col="score").collect()
+    }
+    # 1 and 2 canonize identically; 2 wins on score. 3 differs
+    # (distinct query), 4 is unparseable -> kept by contract.
+    assert out == {1: False, 2: True, 3: True, 4: True}
+
+
+def test_url_dedup_tie_breaks_to_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(7, "https://x.org/p", 3), (2, "https://x.org/p", 3)],
+        "doc_id long, url string, score long",
+    )
+    out = {
+        r.doc_id: r.keep
+        for r in url_dedup_keep(df, score_col="score").collect()
+    }
+    assert out == {2: True, 7: False}
+
+
+def test_domain_stats_counts_and_share(spark):
+    df = _frame(
+        spark,
+        [
+            "https://a.example.com/1",
+            "https://b.example.com/2?utm_source=t",
+            "https://b.example.com/2",  # same canonical as above
+            "https://other.org/x",
+            "junk",  # excluded
+        ],
+    )
+    rows = {
+        r.registered_domain: r for r in domain_stats(df).collect()
+    }
+    ex = rows["example.com"]
+    assert (ex.n_docs, ex.n_hosts, ex.n_urls) == (3, 2, 2)
+    assert ex.share_ppm == 3 * 1_000_000 // 4
+    assert rows["other.org"].share_ppm == 1_000_000 // 4
+
+
+def test_url_plan_shapes(spark):
+    """parse_urls is one stateless projection (zero exchanges);
+    url_dedup_keep pays exactly one shuffle (the norm_url window);
+    domain_stats pins the bounded per-domain frame so the corpus
+    aggregation plans ONCE (no second scan subtree)."""
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x?b=1&utm_s=2", 3)],
+        "doc_id long, url string, score long",
+    )
+    p = parse_urls(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    k = (
+        url_dedup_keep(df, score_col="score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert k.count("Exchange") == 1
+    d = domain_stats(df)._jdf.queryExecution().executedPlan().toString()
+    # pinned: downstream of the checkpoint only the total agg + the
+    # broadcast remain — the Expand/scan subtree must not re-appear
+    assert "Expand" not in d
+    assert "BroadcastNestedLoopJoin" in d or "BroadcastExchange" in d
