@@ -4658,6 +4658,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_keep": q_url_dedup_keep,
         "domain_stats": q_domain_stats,
         "filter_agreement": q_filter_agreement,
+        "domain_links": q_domain_links,
     }
 
 
@@ -5682,6 +5683,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_keep": _url_dedup_keep_sql(),
         "domain_stats": _domain_stats_sql(),
         "filter_agreement": _filter_agreement_sql(),
+        "domain_links": _domain_links_sql(),
     }
 
 
@@ -6782,11 +6784,14 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_stats(_url_frame(spark))
 
 
-def _url_parse_cte() -> str:
-    """The DuckDB replay of parse_urls, generated from the SAME
-    URL_RE / TRACKING_PARAM_RE / DEFAULT_PORTS / MULTI_PART_TLDS
-    tables the operator compiles to (the mojibake oracle-from-tables
-    precedent — code and oracle cannot drift)."""
+def _url_parse_sql(src: str, keep: str, pfx: str = "p") -> str:
+    """DuckDB replay of parse_urls as a CTE chain parsing column
+    ``url`` of relation ``src`` (``keep`` columns carried through;
+    ``pfx`` namespaces the CTEs so two instantiations — e.g. source
+    URLs and extracted hrefs — can ride one WITH). Generated from
+    the SAME URL_RE / TRACKING_PARAM_RE / DEFAULT_PORTS /
+    MULTI_PART_TLDS tables the operator compiles to (the mojibake
+    oracle-from-tables precedent — code and oracle cannot drift)."""
     from openset_spark.pipeline.urls import (
         DEFAULT_PORTS,
         MULTI_PART_TLDS,
@@ -6794,36 +6799,30 @@ def _url_parse_cte() -> str:
         URL_RE,
     )
 
-    values = ",\n    ".join(
-        f"({i}, '{u}', {s})" for i, u, s in _URL_FIXTURE
-    )
     dflt = " ".join(
         f"WHEN '{s}' THEN {p}" for s, p in DEFAULT_PORTS.items()
     )
     tlds = ", ".join(f"'{t}'" for t in MULTI_PART_TLDS)
     return f"""
-raw AS (SELECT * FROM (VALUES
-    {values}
-  ) AS t(doc_id, url, score)),
-p0 AS (
-  SELECT doc_id, score,
+{pfx}0 AS (
+  SELECT {keep},
     regexp_extract(url, '{URL_RE}', 1) AS scheme_raw,
     regexp_extract(url, '{URL_RE}', 2) AS auth,
     regexp_extract(url, '{URL_RE}', 3) AS path_raw,
     regexp_extract(url, '{URL_RE}', 4) AS qs
-  FROM raw),
-p1 AS (
+  FROM {src}),
+{pfx}1 AS (
   SELECT *, lower(scheme_raw) AS scheme,
     regexp_replace(auth, '^[^@]*@', '') AS hostport
-  FROM p0),
-p2 AS (
+  FROM {pfx}0),
+{pfx}2 AS (
   SELECT *,
     regexp_replace(
       lower(regexp_replace(hostport, ':[0-9]+$', '')), '\\.$', ''
     ) AS host,
     regexp_extract(hostport, ':([0-9]+)$', 1) AS port_s
-  FROM p1),
-p3 AS (
+  FROM {pfx}1),
+{pfx}3 AS (
   SELECT *,
     CASE WHEN port_s <> '' THEN CAST(port_s AS BIGINT) END AS port0,
     CASE scheme {dflt} ELSE -1 END AS dflt_port,
@@ -6833,8 +6832,8 @@ p3 AS (
       x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')
     )), '&'), '') AS query_norm,
     string_split(host, '.') AS labels
-  FROM p2),
-p4 AS (
+  FROM {pfx}2),
+{pfx}4 AS (
   SELECT *,
     CASE WHEN port0 IS NOT NULL AND port0 <> dflt_port
          THEN port0 END AS port,
@@ -6843,9 +6842,9 @@ p4 AS (
               AND (labels[-2] || '.' || labels[-1]) IN ({tlds})
          THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
          ELSE labels[-2] || '.' || labels[-1] END AS registered_domain
-  FROM p3),
-p AS (
-  SELECT doc_id, score,
+  FROM {pfx}3),
+{pfx} AS (
+  SELECT {keep},
     CASE WHEN scheme_raw <> '' THEN scheme END AS scheme,
     CASE WHEN scheme_raw <> '' THEN host END AS host,
     CASE WHEN scheme_raw <> '' THEN port END AS port,
@@ -6860,13 +6859,23 @@ p AS (
       path ||
       CASE WHEN query_norm <> '' THEN '?' || query_norm ELSE '' END
     END AS norm_url
-  FROM p4)
+  FROM {pfx}4)
 """
+
+
+def _url_fixture_cte() -> str:
+    values = ",\n    ".join(
+        f"({i}, '{u}', {s})" for i, u, s in _URL_FIXTURE
+    )
+    return f"""raw AS (SELECT * FROM (VALUES
+    {values}
+  ) AS t(doc_id, url, score)),
+{_url_parse_sql("raw", "doc_id, score").strip()}"""
 
 
 def _url_normalize_sql() -> str:
     return f"""
-WITH {_url_parse_cte()}
+WITH {_url_fixture_cte()}
 SELECT doc_id, scheme, host, port, path, query_norm,
   registered_domain, norm_url
 FROM p
@@ -6875,7 +6884,7 @@ FROM p
 
 def _url_dedup_keep_sql() -> str:
     return f"""
-WITH {_url_parse_cte()},
+WITH {_url_fixture_cte()},
 r AS (
   SELECT doc_id, norm_url,
     row_number() OVER (
@@ -6888,7 +6897,7 @@ SELECT doc_id, norm_url, (norm_url IS NULL OR rn = 1) AS keep FROM r
 
 def _domain_stats_sql() -> str:
     return f"""
-WITH {_url_parse_cte()},
+WITH {_url_fixture_cte()},
 v AS (SELECT * FROM p WHERE norm_url IS NOT NULL),
 per AS (
   SELECT registered_domain, COUNT(*) AS n_docs,
@@ -6980,4 +6989,74 @@ SELECT filter_a, filter_b, CAST(n AS BIGINT) AS n_docs,
       ELSE -((pe_ppm - po_ppm) * 1000000 // (1000000 - pe_ppm))
     END END AS BIGINT) AS kappa_ppm
 FROM m
+"""
+
+
+# Inline link fixture: absolute links across domains (both quote
+# styles, uppercase attr, tracking params, fragments), a relative
+# href (dropped by contract), a linkless doc, and a duplicate-target
+# anchor pair that canonizes to distinct norm_urls but one domain.
+_LINK_FIXTURE = [
+    (
+        1,
+        "https://blog.example.com/post",
+        '<a href="https://example.com/a">x</a>'
+        " <a href='https://news.site.org/b?utm_source=f'>y</a>"
+        ' <a href="/rel">rel</a>',
+    ),
+    (
+        2,
+        "https://news.site.org/index",
+        '<A HREF="https://blog.example.com/post#sec">back</A>',
+    ),
+    (3, "https://example.com/", "no links here"),
+    (
+        4,
+        "https://shop.example.co.uk/",
+        '<a href="https://example.com/a">1</a>'
+        '<a href="https://example.com/b">2</a>'
+        '<a href="https://EXAMPLE.com/a">dup</a>',
+    ),
+]
+
+
+def q_domain_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain adjacency of the crawl link graph (href
+    extraction -> canonical parse -> one (src, dst) aggregate; zero
+    joins — src_domain rides the explode).
+    pipeline/urls.py::domain_links. NEW r14."""
+    from openset_spark.pipeline.urls import domain_links
+
+    df = spark.createDataFrame(
+        _LINK_FIXTURE, "doc_id long, url string, text string"
+    )
+    return domain_links(df)
+
+
+def _domain_links_sql() -> str:
+    from openset_spark.pipeline.urls import HREF_DQ_RE, HREF_SQ_RE
+
+    sq = lambda s: s.replace("'", "''")  # noqa: E731
+    values = ",\n    ".join(
+        f"({i}, '{sq(u)}', '{sq(t)}')" for i, u, t in _LINK_FIXTURE
+    )
+    return f"""
+WITH raw AS (SELECT * FROM (VALUES
+    {values}
+  ) AS t(doc_id, url, text)),
+{_url_parse_sql("raw", "doc_id, text", "sp").strip()},
+src AS (
+  SELECT registered_domain AS src_domain, doc_id, text
+  FROM sp WHERE registered_domain IS NOT NULL),
+ex AS (
+  SELECT src_domain, doc_id, u AS url
+  FROM src, UNNEST(list_concat(
+    regexp_extract_all(text, '{sq(HREF_DQ_RE)}', 1),
+    regexp_extract_all(text, '{sq(HREF_SQ_RE)}', 1))) AS t(u)),
+{_url_parse_sql("ex", "src_domain, doc_id", "dp").strip()}
+SELECT src_domain, registered_domain AS dst_domain,
+  CAST(COUNT(*) AS BIGINT) AS n_links,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs
+FROM dp WHERE registered_domain IS NOT NULL
+GROUP BY src_domain, registered_domain
 """

@@ -216,3 +216,72 @@ def domain_stats(
         "n_urls",
         F.expr("n_docs * 1000000 div _total").alias("share_ppm"),
     )
+
+
+# href attribute values, both quote styles — (?i) and the classes
+# mean the same thing in Java regex and RE2 (the pii.py discipline)
+HREF_DQ_RE = r'(?i)href\s*=\s*"([^"]*)"'
+HREF_SQ_RE = r"(?i)href\s*=\s*'([^']*)'"
+
+
+def extract_links(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(src_id, url) per href occurrence in the document markup —
+    the raw edge list of the crawl link graph. Both quote styles;
+    duplicates kept (each anchor is an edge). Relative hrefs are
+    emitted verbatim — parse_urls downstream nulls them out, and a
+    caller with base URLs resolves them first. One stateless
+    extract + explode, zero exchanges."""
+    hrefs = F.concat(
+        F.regexp_extract_all(F.col(text_col), F.lit(HREF_DQ_RE), F.lit(1)),
+        F.regexp_extract_all(F.col(text_col), F.lit(HREF_SQ_RE), F.lit(1)),
+    )
+    return df.select(
+        F.col(id_col).alias("src_id"), F.explode(hrefs).alias("url")
+    )
+
+
+def domain_links(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The registered-domain adjacency of the crawl link graph:
+    (src_domain, dst_domain, n_links, n_src_docs) — who links to
+    whom, the input to domain-authority / link-spam screens
+    (FineWeb-style curation ranks hosts by exactly this table).
+    Only ABSOLUTE hrefs that parse contribute edges; each anchor
+    occurrence counts as one link.
+
+    One pass, zero joins: the source document's own domain is a
+    row-local projection (url and text sit on the same row), so the
+    href explode carries src_domain with it and the single shuffle
+    is the final (src, dst) aggregate."""
+    src = (
+        parse_urls(df, url_col)
+        .select(
+            F.col("registered_domain").alias("src_domain"),
+            F.col(id_col),
+            F.col(text_col),
+        )
+        .filter(F.col("src_domain").isNotNull())
+    )
+    hrefs = F.concat(
+        F.regexp_extract_all(F.col(text_col), F.lit(HREF_DQ_RE), F.lit(1)),
+        F.regexp_extract_all(F.col(text_col), F.lit(HREF_SQ_RE), F.lit(1)),
+    )
+    exploded = src.select(
+        "src_domain", F.col(id_col), F.explode(hrefs).alias("url")
+    )
+    dst = parse_urls(exploded).filter(
+        F.col("registered_domain").isNotNull()
+    )
+    return dst.groupBy(
+        "src_domain",
+        F.col("registered_domain").alias("dst_domain"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct(id_col).alias("n_src_docs"),
+    )

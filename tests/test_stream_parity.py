@@ -2169,3 +2169,58 @@ def test_stream_cleaners_are_stateless_parity(spark, tmpdir):
     assert sorted(
         map(tuple, spark.sql(f"select * from {name_b}").collect())
     ) == sorted(map(tuple, content_blocks(batch).collect()))
+
+
+def test_stream_url_parse_and_links_stateless_parity(spark, tmpdir):
+    """38th parity surface (stateless pair): parse_urls and
+    extract_links are pure projections/explodes, so the SAME
+    operator code runs unchanged on a streaming frame and must agree
+    with batch row for row across micro-batch splits — tracking
+    params, default ports, multi-part TLDs and both href quote
+    styles included. (domain_links' aggregate is the standard
+    complete-mode fold over these stateless stages.)"""
+    import json
+
+    from openset_spark.pipeline.urls import extract_links, parse_urls
+
+    fixture = [
+        (1, "HTTP://Example.COM:80/a?utm_source=x&b=2&a=1#f",
+         '<a href="https://example.com/a">x</a>'),
+        (2, "https://user@www.Example.co.uk./p",
+         "<A HREF='https://news.site.org/b?fbclid=1'>y</A>"),
+        (3, "not a url", '<a href="/rel">r</a>'),
+        (4, "https://example.com:8443", "plain text"),
+        (5, "ftp://files.example.org:21/pub", ""),
+        (6, "https://a.b.github.io/r?z=1&y=2",
+         '<a href="https://shop.example.co.uk/i?id=2&ref=t">s</a>'),
+    ]
+    chunk = 2
+    for i in range(3):
+        with open(f"{tmpdir}/urls-{i:03d}.json", "w") as f:
+            for did, url, text in fixture[i * chunk : (i + 1) * chunk]:
+                f.write(
+                    json.dumps({"doc_id": did, "url": url, "text": text})
+                    + "\n"
+                )
+    _stamp_ordered(tmpdir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    batch = spark.createDataFrame(
+        fixture, "doc_id long, url string, text string"
+    )
+
+    name_p = f"parity_urls_{uuid.uuid4().hex[:8]}"
+    _run_available(parse_urls(stream), name_p)
+    assert sorted(
+        map(tuple, spark.sql(f"select * from {name_p}").collect())
+    ) == sorted(map(tuple, parse_urls(batch).collect()))
+
+    name_l = f"parity_links_{uuid.uuid4().hex[:8]}"
+    _run_available(extract_links(stream), name_l)
+    assert sorted(
+        map(tuple, spark.sql(f"select * from {name_l}").collect())
+    ) == sorted(map(tuple, extract_links(batch).collect()))

@@ -154,3 +154,77 @@ def test_url_plan_shapes(spark):
     # broadcast remain — the Expand/scan subtree must not re-appear
     assert "Expand" not in d
     assert "BroadcastNestedLoopJoin" in d or "BroadcastExchange" in d
+
+
+def test_extract_links_both_quote_styles_and_case(spark):
+    from openset_spark.pipeline.urls import extract_links
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                '<a href="https://a.com/x">x</a>'
+                " <A HREF='https://b.org/y'>y</A>"
+                ' <a href="/relative">r</a>',
+            )
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.url for r in extract_links(df).collect())
+    assert got == ["/relative", "https://a.com/x", "https://b.org/y"]
+
+
+def test_domain_links_adjacency(spark):
+    from openset_spark.pipeline.urls import domain_links
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                "https://blog.example.com/post",
+                '<a href="https://example.com/a">x</a>'
+                " <a href='https://news.site.org/b?utm_source=f'>y</a>"
+                ' <a href="/rel">rel</a>',
+            ),
+            (
+                2,
+                "https://news.site.org/index",
+                '<A HREF="https://blog.example.com/post#sec">back</A>',
+            ),
+            (3, "https://example.com/", "no links here"),
+            (
+                4,
+                "https://shop.example.co.uk/",
+                '<a href="https://example.com/a">1</a>'
+                '<a href="https://example.com/b">2</a>'
+                '<a href="https://EXAMPLE.com/a">dup</a>',
+            ),
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {
+        (r.src_domain, r.dst_domain): (r.n_links, r.n_src_docs)
+        for r in domain_links(df).collect()
+    }
+    assert got == {
+        ("example.com", "example.com"): (1, 1),
+        ("example.com", "site.org"): (1, 1),
+        ("site.org", "example.com"): (1, 1),
+        ("example.co.uk", "example.com"): (3, 1),
+    }
+
+
+def test_domain_links_single_shuffle(spark):
+    from openset_spark.pipeline.urls import domain_links
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/", '<a href="https://b.com/">b</a>')],
+        "doc_id long, url string, text string",
+    )
+    plan = (
+        domain_links(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the (src, dst) aggregate with a countDistinct = the standard
+    # two-exchange distinct plan over ONE upstream pass — no joins
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
