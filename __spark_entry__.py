@@ -4659,6 +4659,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "filter_agreement": q_filter_agreement,
         "domain_links": q_domain_links,
+        "domain_pagerank": q_domain_pagerank,
     }
 
 
@@ -5684,6 +5685,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _domain_stats_sql(),
         "filter_agreement": _filter_agreement_sql(),
         "domain_links": _domain_links_sql(),
+        "domain_pagerank": _domain_pagerank_sql(),
     }
 
 
@@ -7017,6 +7019,13 @@ _LINK_FIXTURE = [
         '<a href="https://example.com/b">2</a>'
         '<a href="https://EXAMPLE.com/a">dup</a>',
     ),
+    # orphan.net is linked to but crawls no outlinks — the DANGLING
+    # node domain_pagerank's mass-redistribution term exists for
+    (
+        5,
+        "https://news.site.org/two",
+        '<a href="https://orphan.net/x">o</a>',
+    ),
 ]
 
 
@@ -7059,4 +7068,67 @@ SELECT src_domain, registered_domain AS dst_domain,
   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_src_docs
 FROM dp WHERE registered_domain IS NOT NULL
 GROUP BY src_domain, registered_domain
+"""
+
+
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted directed PageRank over the domain link graph with
+    dangling-mass redistribution (orphan.net in the fixture is a
+    linked-to domain with no outlinks) — the domain-authority
+    ranking. pipeline/urls.py::domain_pagerank. NEW r14."""
+    from openset_spark.pipeline.urls import domain_links, domain_pagerank
+
+    df = spark.createDataFrame(
+        _LINK_FIXTURE, "doc_id long, url string, text string"
+    )
+    return domain_pagerank(domain_links(df), iters=5, k=10)
+
+
+def _domain_pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Replays the power iteration UNROLLED (the dup_pagerank oracle
+    shape) on top of the generated domain_links CTEs. Every float
+    step mirrors the operator's exact IEEE order — t + d*(s + dm/n),
+    contributions as pr * n_links / w — with literals CAST to
+    DOUBLE so DuckDB's decimal literals cannot sneak exact-decimal
+    arithmetic in; only the FINAL score rounds (6)."""
+    el = _domain_links_sql().strip()
+    assert el.startswith("WITH ")
+    d = f"CAST({damping} AS DOUBLE)"
+    its = []
+    for i in range(1, iters + 1):
+        p = f"pr{i - 1}"
+        its.append(f""",
+dg{i} AS (
+  SELECT COALESCE(SUM(pr), CAST(0 AS DOUBLE)) AS dm FROM {p}
+  WHERE d NOT IN (SELECT src_domain FROM outw)),
+c{i} AS (
+  SELECT e.dst_domain AS d, SUM(p.pr * e.n_links / o.w) AS s
+  FROM el e JOIN outw o ON e.src_domain = o.src_domain
+  JOIN {p} p ON e.src_domain = p.d
+  GROUP BY e.dst_domain),
+pr{i} AS (
+  SELECT n.d,
+    (CAST(1 AS DOUBLE) - {d}) / nn.n
+    + {d} * (COALESCE(c.s, CAST(0 AS DOUBLE)) + dg{i}.dm / nn.n) AS pr
+  FROM nodes n LEFT JOIN c{i} c ON n.d = c.d, nn, dg{i})""")
+    head = el.rsplit("SELECT src_domain", 1)[0].rstrip()
+    assert head.endswith(")"), head[-40:]
+    return f"""{head},
+el AS (
+  SELECT src_domain, registered_domain AS dst_domain,
+    COUNT(*) AS n_links
+  FROM dp WHERE registered_domain IS NOT NULL
+  GROUP BY src_domain, registered_domain),
+nodes AS (
+  SELECT DISTINCT d FROM (
+    SELECT src_domain AS d FROM el
+    UNION ALL SELECT dst_domain FROM el)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src_domain, SUM(n_links) AS w FROM el GROUP BY 1),
+pr0 AS (SELECT d, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes, nn){"".join(its)}
+SELECT d AS domain, ROUND(pr, 6) AS pr,
+  CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pr, 6) DESC, d)
+       AS BIGINT) AS rank
+FROM pr{iters}
+QUALIFY rank <= 10
 """

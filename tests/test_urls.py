@@ -228,3 +228,53 @@ def test_domain_links_single_shuffle(spark):
     # two-exchange distinct plan over ONE upstream pass — no joins
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_domain_pagerank_hand_computed(spark):
+    """3-node directed graph with a dangling sink, hand-replayed in
+    Python (same float order: t + d*(s + dm/n)) — mass conserves to
+    1 every iteration and the operator matches the replay to 1e-12
+    before its ROUND(6)."""
+    from openset_spark.pipeline.urls import domain_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 1), ("b", "c", 1)],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    got = {
+        r.domain: (r.pr, r.rank)
+        for r in domain_pagerank(edges, iters=3, k=10).collect()
+    }
+    n, d = 3, 0.85
+    t = (1.0 - d) / n
+    pr = {v: 1.0 / n for v in "abc"}
+    w = {"a": 3, "b": 1}
+    for _ in range(3):
+        dm = pr["c"]  # c has no outlinks
+        s = {
+            "b": pr["a"] * 2 / 3,
+            "c": pr["a"] * 1 / 3 + pr["b"] * 1 / 1,
+        }
+        pr = {
+            v: t + d * (s.get(v, 0.0) + dm / float(n)) for v in "abc"
+        }
+    assert abs(sum(pr.values()) - 1.0) < 1e-9  # mass conservation
+    for v in "abc":
+        assert got[v][0] == round(pr[v], 6), (v, got[v], pr[v])
+    ranked = sorted(pr, key=lambda v: (-round(pr[v], 6), v))
+    assert [got[v][1] for v in ranked] == [1, 2, 3]
+
+
+def test_domain_pagerank_empty_and_topk(spark):
+    from openset_spark.pipeline.urls import domain_pagerank
+
+    empty = spark.createDataFrame(
+        [], "src_domain string, dst_domain string, n_links long"
+    )
+    assert domain_pagerank(empty).count() == 0
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        "src_domain string, dst_domain string, n_links long",
+    )
+    top = domain_pagerank(edges, iters=2, k=2).collect()
+    assert len(top) == 2 and [r.rank for r in top] == [1, 2]
