@@ -571,6 +571,20 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["sliding_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # URL-suite scale evidence (r14): canonicalization throughput
+    # (steady-state codegen projection — median hides the one-time
+    # JIT compile a cluster amortizes, surfaced as parse_first_sec),
+    # URL-level dedup (one window shuffle) and the zero-join domain
+    # link graph, all on 2M synthetic URLs/HTML built JVM-side.
+    # Disable with SPARK_GRAFT_URL=0.
+    if os.environ.get("SPARK_GRAFT_URL", "1") != "0":
+        try:
+            from openset_spark.pipeline.url_bench import run_url_bench
+
+            out["url_scale"] = run_url_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["url_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # Bloom + CMS scale evidence: selective-semijoin prune power and
     # constant-shuffle frequency grids. Disable with SPARK_GRAFT_SKETCH=0.
     if os.environ.get("SPARK_GRAFT_SKETCH", "1") != "0":
