@@ -4660,6 +4660,8 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_agreement": q_filter_agreement,
         "domain_links": q_domain_links,
         "domain_pagerank": q_domain_pagerank,
+        "markdown_strip": q_markdown_strip,
+        "embedding_health": q_embedding_health,
     }
 
 
@@ -5686,6 +5688,8 @@ def oracle_sql() -> dict[str, str]:
         "filter_agreement": _filter_agreement_sql(),
         "domain_links": _domain_links_sql(),
         "domain_pagerank": _domain_pagerank_sql(),
+        "markdown_strip": _markdown_strip_sql(),
+        "embedding_health": _SQL_EMBEDDING_HEALTH,
     }
 
 
@@ -7131,4 +7135,124 @@ SELECT d AS domain, ROUND(pr, 6) AS pr,
        AS BIGINT) AS rank
 FROM pr{iters}
 QUALIFY rank <= 10
+"""
+
+
+# Markdown fixture: fence swallowing a fake heading and link, image
+# before link on one line, emphasis/bold/underscore, blockquote,
+# hrule, inline HTML, an unterminated fence, and a no-markdown doc.
+_MD_FIXTURE = [
+    (
+        1,
+        "# Title\n\nSome *bold* text with a [link](https://e.com/a) "
+        "and ![img](pic.png).\n\n```\ncode # not a heading\n"
+        "[not a link](x)\n```\n\n> quote\n\n---\n\n"
+        "snake_case stays __strong__ <br> end",
+    ),
+    (2, "plain text no markdown"),
+    (3, "``` unterminated fence\n# heading inside"),
+    (
+        4,
+        "## Two ## headings\n### three\n"
+        "`inline # code` *em* **bold** ***both***",
+    ),
+]
+
+
+def q_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> plain text with sequential rule counts (code
+    fences first, images before links — the ordered MD_RULES
+    contract). pipeline/cleaning.py::markdown_strip. NEW r14."""
+    from openset_spark.pipeline.cleaning import markdown_strip
+
+    df = spark.createDataFrame(_MD_FIXTURE, "doc_id long, text string")
+    return markdown_strip(df)
+
+
+def _markdown_strip_sql() -> str:
+    """Generated from the SAME ordered MD_RULES table the operator
+    compiles to (the mojibake precedent): one CTE per rule stage so
+    sequential counts bind the right intermediate text; Java's $n
+    replacement form rewritten to RE2's \\n and DuckDB's explicit
+    'g' flag added (Spark replaces globally by default)."""
+    from openset_spark.pipeline.cleaning import MD_RULES
+
+    sq = lambda x: x.replace("'", "''")  # noqa: E731
+    values = ",\n    ".join(
+        f"({i}, '{sq(t)}')" for i, t in _MD_FIXTURE
+    )
+    ctes = [
+        f"""docs AS (SELECT * FROM (VALUES
+    {values}
+  ) AS t(doc_id, text))""",
+        "s0 AS (SELECT doc_id, text AS t FROM docs)",
+    ]
+    carried = []
+    prev = "s0"
+    for i, (name, pat, repl, counted) in enumerate(MD_RULES, 1):
+        repl_re2 = repl.replace("$", "\\")
+        cols = ["doc_id"] + carried[:]
+        if counted:
+            cols.append(
+                f"CAST(len(regexp_extract_all(t, '{sq(pat)}'))"
+                f" AS BIGINT) AS n_{name}"
+            )
+            carried.append(f"n_{name}")
+        cols.append(
+            f"regexp_replace(t, '{sq(pat)}', '{sq(repl_re2)}', 'g') AS t"
+        )
+        ctes.append(f"s{i} AS (SELECT {', '.join(cols)} FROM {prev})")
+        prev = f"s{i}"
+    counts = ", ".join(carried)
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT doc_id, {counts}, TRIM(t) AS plain FROM {prev}
+"""
+
+
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding sanity audit (null/NaN/dim/zero-vector
+    counts, integer-exact) — the ingest gate before any ANN index
+    build. pipeline/similarity.py::embedding_health. NEW r14."""
+    from openset_spark.pipeline.similarity import embedding_health
+
+    return embedding_health(_embs(spark, sf_dir))
+
+
+# mode dim derived the same way the operator derives it (most
+# frequent non-null size, ties to the smallest); counts-only so the
+# clean corpus makes this the cross-engine no-false-positive check
+# (positive semantics pinned in tests/test_r14_ops.py)
+_SQL_EMBEDDING_HEALTH = """
+WITH dims AS (
+  SELECT len(embedding) AS d, COUNT(*) AS c FROM embeddings
+  WHERE embedding IS NOT NULL GROUP BY 1
+),
+ed AS (SELECT d FROM dims ORDER BY c DESC, d ASC LIMIT 1),
+m AS (
+  SELECT label, embedding AS emb,
+    embedding IS NULL AS is_null,
+    embedding IS NOT NULL AND len(embedding) <> ed.d AS wrong_dim,
+    COALESCE(len(list_filter(embedding, x -> isnan(x))) > 0,
+             FALSE) AS has_nan,
+    COALESCE(len(list_filter(embedding, x -> x IS NULL)) > 0,
+             FALSE) AS has_null_elem
+  FROM embeddings, ed
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_null_vec,
+  CAST(SUM(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_wrong_dim,
+  CAST(SUM(CASE WHEN has_nan THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_nan,
+  CAST(SUM(CASE WHEN has_null_elem THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_null_elem,
+  CAST(SUM(CASE WHEN NOT is_null AND NOT has_nan
+      AND NOT has_null_elem
+      AND len(list_filter(emb, x -> NOT (x = 0))) = 0
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec
+FROM m
+GROUP BY label
 """

@@ -399,3 +399,77 @@ def boilerplate_affixes(
         "n_top",
         "n_docs",
     )
+
+
+# Markdown-strip rules, ORDER IS THE CONTRACT (code fences first so
+# nothing inside them is counted as headings/links; images before
+# links because the link pattern matches an image's tail; spacing
+# last). Patterns sit in the Java∩RE2 subset with inline (?s)/(?m)
+# flags; replacements use Java's $1 form — the oracle generator
+# rewrites them to RE2's \1 and adds DuckDB's 'g' flag (Spark's
+# regexp_replace is global by default). Fourth field: whether the
+# rule emits a count column (counted on the text as stripped by the
+# PREVIOUS rules — a heading inside a code fence never counts, the
+# mojibake progressive-count convention).
+MD_RULES = [
+    ("code_blocks", r"(?s)```.*?```", " ", True),
+    ("inline_code", r"`([^`\n]*)`", "$1", False),
+    ("images", r"!\[([^\]]*)\]\(([^)]*)\)", "$1", True),
+    ("links", r"\[([^\]]*)\]\(([^)]*)\)", "$1", True),
+    ("headings", r"(?m)^#{1,6}[ \t]+", "", True),
+    ("emphasis", r"\*{1,3}([^*\n]+)\*{1,3}", "$1", False),
+    ("bold_underscore", r"__([^_\n]+)__", "$1", False),
+    ("blockquote", r"(?m)^>[ \t]?", "", False),
+    ("hrule", r"(?m)^(-{3,}|\*{3,})[ \t]*$", "", False),
+    ("html_tags", r"<[^>\n]+>", " ", False),
+    ("spaces", r"[ \t]+", " ", False),
+]
+
+
+def markdown_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Markdown -> plain text (the Dolma/RedPajama step beside
+    extract_main_content's HTML path): fenced code blocks dropped,
+    inline code / emphasis / bold unwrapped, images and links
+    reduced to their alt/anchor text, heading and blockquote markers
+    and horizontal rules removed, stray inline HTML tags spaced out,
+    runs of spaces collapsed. Emits (id, carry..., n_code_blocks,
+    n_images, n_links, n_headings, plain).
+
+    Sequential-count contract: each counted rule counts on the text
+    AS STRIPPED BY THE PREVIOUS rules — markup inside a code fence
+    is never counted (and an UNTERMINATED fence is left in place:
+    the non-greedy span needs a closing ```, so its contents then DO
+    count — garbage in, garbage out, deterministically). One
+    stateless chain of projections, zero exchanges; each counted
+    boundary binds the intermediate text in its own stage so the
+    count never re-evaluates the upstream replace chain (the
+    parse_urls staging lesson)."""
+    cur = df.select(
+        F.col(id_col), *carry, F.col(text_col).alias("_t")
+    )
+    count_cols = []
+    for name, pat, repl, counted in MD_RULES:
+        if counted:
+            cur = cur.select(
+                "*",
+                F.size(
+                    F.regexp_extract_all(F.col("_t"), F.lit(pat), F.lit(0))
+                )
+                .cast("long")
+                .alias(f"n_{name}"),
+            )
+            count_cols.append(f"n_{name}")
+        cur = cur.withColumn(
+            "_t", F.regexp_replace(F.col("_t"), pat, repl)
+        )
+    return cur.select(
+        F.col(id_col),
+        *carry,
+        *count_cols,
+        F.trim(F.col("_t")).alias("plain"),
+    )

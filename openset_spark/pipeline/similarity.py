@@ -1023,3 +1023,59 @@ def embedding_drift(
         "n_prior",
         (F.round(d2, 4) + F.lit(0.0)).alias("d2"),
     )
+
+
+def embedding_health(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    expected_dim: int | None = None,
+) -> DataFrame:
+    """Per-label embedding-table sanity audit — the ingest gate an
+    ANN/semantic-dedup pipeline runs before building any index
+    (a handful of NaN vectors silently poison IVF centroids and
+    cosine re-ranks): (label, n_vecs, n_null_vec, n_wrong_dim,
+    n_with_nan, n_with_null_elem, n_zero_vec). COUNTS ONLY — every
+    column is integer-exact cross-engine; no float aggregates, no
+    rounding contract (the pii_report no-false-positive posture on
+    clean corpora, positive semantics pinned in pytest).
+
+    ``expected_dim`` defaults to the MODE dimension (most frequent
+    size among non-null vectors, ties to the smallest — one bounded
+    aggregate, collected as a driver scalar). ``n_zero_vec`` counts
+    all-zero vectors among CLEAN ones only (no NaN, no null
+    element) — on dirty vectors Spark's forall and a filter-based
+    SQL replay diverge over null/NaN comparison semantics, so the
+    contract excludes them. One groupBy shuffle on the label."""
+    v = F.col(vec_col)
+    if expected_dim is None:
+        dims = (
+            df.filter(v.isNotNull())
+            .groupBy(F.size(v).alias("d"))
+            .count()
+            .orderBy(F.desc("count"), F.asc("d"))
+        )
+        first = dims.first()
+        if first is None:
+            raise ValueError("no non-null vectors to derive dim from")
+        expected_dim = int(first["d"])
+    has_nan = F.coalesce(
+        F.exists(v, lambda x: F.isnan(x)), F.lit(False)
+    )
+    has_null = F.coalesce(
+        F.exists(v, lambda x: x.isNull()), F.lit(False)
+    )
+    clean = v.isNotNull() & ~has_nan & ~has_null
+    all_zero = clean & F.forall(v, lambda x: x == 0)
+    return df.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(v.isNull().cast("long")).alias("n_null_vec"),
+        F.sum(
+            (v.isNotNull() & (F.size(v) != F.lit(expected_dim))).cast(
+                "long"
+            )
+        ).alias("n_wrong_dim"),
+        F.sum(has_nan.cast("long")).alias("n_with_nan"),
+        F.sum(has_null.cast("long")).alias("n_with_null_elem"),
+        F.sum(all_zero.cast("long")).alias("n_zero_vec"),
+    )

@@ -173,3 +173,60 @@ def test_preprocess_crawl_fused_order_and_single_shuffle(spark):
     plan = preprocess_crawl(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_markdown_strip_semantics(spark):
+    """Hand-checked markdown -> plain: fences swallow their contents
+    (no heading/link counts inside), images before links, alt/anchor
+    text kept, emphasis unwrapped, snake_case untouched, spaces
+    collapsed."""
+    from openset_spark.pipeline.cleaning import markdown_strip
+
+    md = (
+        "# Title\n\nSome *bold* text with a [link](https://e.com/a) "
+        "and ![img](pic.png).\n\n```\ncode # not a heading\n"
+        "[not a link](x)\n```\n\n> quote\n\n---\n\n"
+        "snake_case stays __strong__ <br> end"
+    )
+    df = spark.createDataFrame(
+        [(1, md), (2, "plain text no markdown")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in markdown_strip(df).collect()}
+    r = out[1]
+    assert (r.n_code_blocks, r.n_images, r.n_links, r.n_headings) == (
+        1, 1, 1, 1,
+    )
+    assert "code" not in r.plain and "not a link" not in r.plain
+    assert "link" in r.plain and "img" in r.plain
+    assert "bold" in r.plain and "*" not in r.plain
+    assert "snake_case stays strong" in r.plain
+    assert "<br>" not in r.plain and "---" not in r.plain
+    assert "  " not in r.plain.replace("\n", "|")
+    p = out[2]
+    assert p.plain == "plain text no markdown"
+    assert (p.n_code_blocks, p.n_links) == (0, 0)
+
+
+def test_markdown_strip_unterminated_fence_counts_inside(spark):
+    from openset_spark.pipeline.cleaning import markdown_strip
+
+    df = spark.createDataFrame(
+        [(1, "``` unterminated\n# heading inside")],
+        "doc_id long, text string",
+    )
+    r = markdown_strip(df).first()
+    # no closing fence -> no code block; the heading then counts
+    assert r.n_code_blocks == 0 and r.n_headings == 1
+
+
+def test_markdown_strip_zero_exchanges(spark):
+    from openset_spark.pipeline.cleaning import markdown_strip
+
+    df = spark.createDataFrame(
+        [(1, "# t\nx")], "doc_id long, text string"
+    )
+    plan = (
+        markdown_strip(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

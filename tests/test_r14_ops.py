@@ -136,3 +136,51 @@ def test_filter_agreement_degenerate_marginal_null_kappa(spark):
     r = out[("entropy", "repetition")]  # both keep everything here
     assert r.agree_ppm == 1_000_000
     assert r.kappa_ppm is None
+
+
+def test_embedding_health_positive_semantics(spark):
+    """Planted dirt: null vector, wrong dim, NaN element, null
+    element, all-zero vector, and clean vectors — each counted in
+    exactly one audit column (zero_vec only among clean vectors by
+    contract)."""
+    import math
+
+    from openset_spark.pipeline.similarity import embedding_health
+
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, None, 0),
+        (4, [1.0, 2.0, 3.0], 0),          # wrong dim (mode is 2)
+        (5, [float("nan"), 1.0], 1),
+        (6, [None, 1.0], 1),
+        (7, [0.0, 0.0], 1),               # clean all-zero
+        (8, [float("nan"), None], 1),     # counts in nan AND null_elem
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {r.label: r for r in embedding_health(df).collect()}
+    a, b = out[0], out[1]
+    assert (a.n_vecs, a.n_null_vec, a.n_wrong_dim) == (4, 1, 1)
+    assert (a.n_with_nan, a.n_with_null_elem, a.n_zero_vec) == (0, 0, 0)
+    assert (b.n_vecs, b.n_with_nan, b.n_with_null_elem) == (4, 2, 2)
+    assert b.n_zero_vec == 1  # only the clean [0,0]
+    assert b.n_wrong_dim == 0
+
+
+def test_embedding_health_explicit_dim_and_empty(spark):
+    from openset_spark.pipeline.similarity import embedding_health
+
+    df = spark.createDataFrame(
+        [(1, [1.0], 0)], "vec_id long, embedding array<double>, label int"
+    )
+    r = embedding_health(df, expected_dim=4).first()
+    assert r.n_wrong_dim == 1
+    import pytest as _pytest
+
+    empty = spark.createDataFrame(
+        [(1, None, 0)], "vec_id long, embedding array<double>, label int"
+    )
+    with _pytest.raises(ValueError, match="no non-null"):
+        embedding_health(empty)
