@@ -2224,3 +2224,41 @@ def test_stream_url_parse_and_links_stateless_parity(spark, tmpdir):
     assert sorted(
         map(tuple, spark.sql(f"select * from {name_l}").collect())
     ) == sorted(map(tuple, extract_links(batch).collect()))
+
+
+def test_stream_markdown_strip_stateless_parity(spark, tmpdir):
+    """39th parity surface: markdown_strip is a pure projection
+    chain, so the SAME operator code runs unchanged on a streaming
+    frame and must agree with batch row for row across micro-batch
+    splits — fences, images-before-links and the unterminated-fence
+    edge included."""
+    import json
+
+    from openset_spark.pipeline.cleaning import markdown_strip
+
+    fixture = [
+        (1, "# T\n*b* [l](u) ![i](p)\n```\n# not counted\n```"),
+        (2, "plain"),
+        (3, "``` open fence\n# counted"),
+        (4, "## h ## x\n`c` **bold** > not quote"),
+        (5, "> quote\n---\nsnake_case <b>tag</b>"),
+        (6, ""),
+    ]
+    chunk = 2
+    for i in range(3):
+        with open(f"{tmpdir}/md-{i:03d}.json", "w") as f:
+            for did, text in fixture[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    _stamp_ordered(tmpdir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    batch = spark.createDataFrame(fixture, "doc_id long, text string")
+    name = f"parity_md_{uuid.uuid4().hex[:8]}"
+    _run_available(markdown_strip(stream), name)
+    assert sorted(
+        map(tuple, spark.sql(f"select * from {name}").collect())
+    ) == sorted(map(tuple, markdown_strip(batch).collect()))
