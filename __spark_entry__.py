@@ -4662,6 +4662,8 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank": q_domain_pagerank,
         "markdown_strip": q_markdown_strip,
         "embedding_health": q_embedding_health,
+        "robots_rules": q_robots_rules,
+        "robots_verdicts": q_robots_verdicts,
     }
 
 
@@ -5690,6 +5692,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_pagerank": _domain_pagerank_sql(),
         "markdown_strip": _markdown_strip_sql(),
         "embedding_health": _SQL_EMBEDDING_HEALTH,
+        "robots_rules": _robots_rules_sql(),
+        "robots_verdicts": _robots_verdicts_sql(),
     }
 
 
@@ -7255,4 +7259,154 @@ SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
     THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec
 FROM m
 GROUP BY label
+"""
+
+
+# robots.txt fixture: comments, CRLF, an empty Disallow (dropped), a
+# multi-UA block (ignored for '*'), and a host whose ONLY group is
+# agent-specific (no '*' group -> no rules -> everything allowed).
+_ROBOTS_FIXTURE = [
+    (
+        "example.com",
+        "# global rules\n"
+        "User-agent: *\n"
+        "Disallow: /private/\r\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"
+        "\n"
+        "User-agent: googlebot\n"
+        "User-agent: bingbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: other\n"
+        "Disallow: /other/  # trailing comment\n",
+    ),
+    (
+        "bots-only.net",
+        "User-agent: googlebot\nDisallow: /\n",
+    ),
+]
+
+_ROBOTS_URLS = [
+    (1, "https://example.com/public/x"),
+    (2, "https://example.com/private/secret"),
+    (3, "https://example.com/private/ok/page"),
+    (4, "https://example.com/other/y"),
+    (5, "https://bots-only.net/anything"),
+    (6, "https://no-robots.org/z"),
+    (7, "not a url"),
+]
+
+
+def _robots_frames(spark: SparkSession):
+    rb = spark.createDataFrame(
+        _ROBOTS_FIXTURE, "host string, text string"
+    )
+    urls = spark.createDataFrame(_ROBOTS_URLS, "doc_id long, url string")
+    return rb, urls
+
+
+def q_robots_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt -> (host, allow, path) rules for agent '*' — the
+    windowed section parse (UA runs open blocks, rules bind to the
+    most recent block, RFC 9309 most-specific-group).
+    pipeline/urls.py::parse_robots. NEW r14."""
+    from openset_spark.pipeline.urls import parse_robots
+
+    rb, _ = _robots_frames(spark)
+    return parse_robots(rb)
+
+
+def q_robots_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL crawl verdict under the parsed '*' rules —
+    longest-match-wins, ties to Allow, no-rule hosts allowed.
+    pipeline/urls.py::robots_filter. NEW r14."""
+    from openset_spark.pipeline.urls import parse_robots, robots_filter
+
+    rb, urls = _robots_frames(spark)
+    return robots_filter(urls, parse_robots(rb))
+
+
+def _robots_rules_cte() -> str:
+    """The DuckDB replay of parse_robots for agent '*': line explode
+    (generate_series, the char_entropy shape), the same three
+    host-keyed windows (lag run-starts, running block sum, running
+    last-ignore-nulls rule binding), and the star-group selection
+    (for '*' the most-specific-group rule degenerates to the star
+    blocks themselves)."""
+    sq = lambda x: x.replace("'", "''")  # noqa: E731
+    values = ",\n    ".join(
+        f"('{h}', '{sq(t)}')" for h, t in _ROBOTS_FIXTURE
+    )
+    return f"""
+rb AS (SELECT * FROM (VALUES
+    {values}
+  ) AS t(host, text)),
+rl0 AS (SELECT host, string_split(text, chr(10)) AS ls FROM rb),
+rl AS (
+  SELECT host, i - 1 AS idx,
+    trim(regexp_replace(regexp_replace(ls[i], '#.*$', ''),
+                        '\\r', '', 'g')) AS line
+  FROM rl0, UNNEST(generate_series(1, len(ls))) AS s(i)),
+rt AS (
+  SELECT host, idx,
+    lower(trim(regexp_extract(line, '^([^:]+):', 1))) AS key,
+    trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS val
+  FROM rl
+  WHERE lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+    IN ('user-agent', 'allow', 'disallow')),
+r2 AS (SELECT *, key = 'user-agent' AS is_ua FROM rt),
+r3 AS (
+  SELECT *, is_ua AND NOT COALESCE(
+    lag(is_ua) OVER (PARTITION BY host ORDER BY idx), FALSE
+  ) AS run_start FROM r2),
+r4 AS (
+  SELECT *, SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+    OVER (PARTITION BY host ORDER BY idx) AS blk FROM r3),
+r5 AS (
+  SELECT *, last_value(CASE WHEN is_ua THEN blk END IGNORE NULLS)
+    OVER (PARTITION BY host ORDER BY idx) AS rule_blk FROM r4),
+rwanted AS (
+  SELECT DISTINCT host, blk AS b FROM r5
+  WHERE is_ua AND lower(val) = '*'),
+rules AS (
+  SELECT r5.host, key = 'allow' AS allow, val AS path
+  FROM r5 JOIN rwanted
+    ON r5.host = rwanted.host AND r5.rule_blk = rwanted.b
+  WHERE NOT is_ua AND val <> '')"""
+
+
+def _robots_rules_sql() -> str:
+    return f"""
+WITH {_robots_rules_cte()}
+SELECT host, allow, path FROM rules
+"""
+
+
+def _robots_verdicts_sql() -> str:
+    sq = lambda x: x.replace("'", "''")  # noqa: E731
+    values = ",\n    ".join(
+        f"({i}, '{sq(u)}')" for i, u in _ROBOTS_URLS
+    )
+    return f"""
+WITH {_robots_rules_cte()},
+uraw AS (SELECT * FROM (VALUES
+    {values}
+  ) AS t(doc_id, url)),
+{_url_parse_sql("uraw", "doc_id, url", "up").strip()},
+uv AS (SELECT * FROM up WHERE norm_url IS NOT NULL),
+j AS (
+  SELECT uv.*, r.allow AS r_allow, r.path AS r_path,
+    COALESCE(r.path IS NOT NULL
+             AND starts_with(uv.path, r.path), FALSE) AS hit
+  FROM uv LEFT JOIN rules r ON uv.host = r.host),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY hit DESC, length(r_path) DESC, r_allow DESC
+  ) AS rn FROM j)
+SELECT doc_id, url, scheme, host, port, path, query_norm,
+  registered_domain, norm_url,
+  CASE WHEN hit THEN r_allow ELSE TRUE END AS crawl_allowed
+FROM ranked WHERE rn = 1
 """

@@ -425,3 +425,143 @@ def domain_pagerank(
     top = scored.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    agent: str = "*",
+) -> DataFrame:
+    """robots.txt text -> (host, allow, path) rules for ``agent``.
+
+    Grammar subset (the crawler-relevant core): ``User-agent:`` /
+    ``Allow:`` / ``Disallow:`` directives, case-insensitive keys,
+    ``#`` comments stripped, CR tolerated. Section semantics: a
+    maximal run of consecutive User-agent lines opens a BLOCK; every
+    rule line belongs to the most recent block above it; a block
+    applies to ``agent`` by the RFC 9309 most-specific-group rule:
+    blocks naming ``agent`` exactly (case-insensitive) win, and the
+    ``*`` blocks apply only to hosts where no exact group exists. An empty Disallow value
+    ("Disallow:") allows everything, so it is dropped with the
+    comment lines rather than emitted as a match-all ban.
+
+    Shape: one posexplode over lines (bounded by robots.txt size, a
+    few KB per host), then three windows ALL partitioned by the same
+    host key — one shuffle total: block starts by lag, block ids by
+    running sum, each rule's governing block by running
+    last(ignorenulls). The agent match is a semi-join of rules to
+    their block's User-agent rows on (host, block)."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "idx", "line"
+        ),
+    ).select(
+        "host",
+        "idx",
+        F.trim(
+            F.regexp_replace(F.regexp_replace("line", "#.*$", ""), "\r", "")
+        ).alias("line"),
+    )
+    key = F.lower(F.trim(F.regexp_extract("line", "^([^:]+):", 1)))
+    val = F.trim(F.regexp_extract("line", "^[^:]+:(.*)$", 1))
+    typed = lines.select(
+        "host", "idx", key.alias("key"), val.alias("val")
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("idx")
+    is_ua = F.col("key") == "user-agent"
+    run_start = is_ua & ~F.coalesce(
+        F.lag(is_ua).over(w), F.lit(False)
+    )
+    blocks = typed.select(
+        "*",
+        F.sum(run_start.cast("long")).over(w).alias("_blk"),
+    ).select(
+        "*",
+        F.last(F.when(is_ua, F.col("_blk")), ignorenulls=True)
+        .over(w)
+        .alias("_rule_blk"),
+    )
+    agents = blocks.filter(is_ua).select(
+        "host",
+        F.col("_blk").alias("_b"),
+        F.lower(F.col("val")).alias("_agent"),
+    ).localCheckpoint(eager=False)
+    # RFC 9309 most-specific-group rule: when any block names the
+    # agent exactly, the '*' blocks are IGNORED for that host; '*'
+    # applies only to hosts with no exact group. (`agents` is
+    # referenced from both branches — lazily pinned above so the
+    # robots text parses once, the Catalyst multi-reference rule.)
+    exact = agents.filter(F.col("_agent") == agent.lower()).select(
+        "host", "_b"
+    )
+    star = agents.filter(F.col("_agent") == "*").select("host", "_b")
+    wanted = exact.unionAll(
+        star.join(
+            exact.select("host").distinct(), "host", "left_anti"
+        )
+    ).distinct()
+    rules = blocks.filter(~is_ua & (F.col("val") != "")).select(
+        "host",
+        F.col("_rule_blk").alias("_b"),
+        (F.col("key") == "allow").alias("allow"),
+        F.col("val").alias("path"),
+    )
+    return rules.join(wanted, ["host", "_b"], "left_semi").select(
+        "host", "allow", "path"
+    )
+
+
+def robots_filter(
+    df: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Tag every URL with its robots verdict: ``crawl_allowed`` by
+    the standard LONGEST-MATCH-WINS rule (the Google/RFC 9309
+    semantics): among the host's rules whose path is a PREFIX of the
+    URL path, the longest path decides; a length tie goes to Allow
+    (struct-max order: length first, then allow — False < True); no
+    matching rule (or no rules for the host) means allowed. Prefix
+    matching only — wildcard ('*', '$') rules are out of the subset
+    and should be expanded upstream.
+
+    Shape: parse once (staged projection), LEFT join rules by HOST —
+    rules tables are small (a few rules per host), AQE broadcasts
+    them — then ONE max-struct aggregate back to one row per URL; no
+    window, one shuffle. The aggregate groups by ALL input columns
+    (joining a minimal key back would reference the parse from two
+    subtrees and plan it twice — the Catalyst multi-reference rule),
+    so pass a projection, not a document-bearing frame: URL rows are
+    short by construction."""
+    parsed = parse_urls(
+        df.filter(F.col(url_col).rlike(ABS_URL_PREFIX_RE)), url_col
+    ).withColumnRenamed("path", "_upath")
+    joined = parsed.join(
+        rules.withColumnRenamed("path", "_rpath"), "host", "left"
+    )
+    hit = F.col("_rpath").isNotNull() & F.col("_upath").startswith(
+        F.col("_rpath")
+    )
+    verdict = joined.groupBy(*parsed.columns).agg(
+        F.max(
+            F.when(
+                hit,
+                F.struct(
+                    F.length("_rpath").alias("l"),
+                    F.col("allow").alias("a"),
+                ),
+            )
+        ).alias("_win")
+    )
+    return verdict.select(
+        *[
+            F.col(c).alias("path") if c == "_upath" else F.col(c)
+            for c in parsed.columns
+        ],
+        F.coalesce(F.col("_win.a"), F.lit(True)).alias("crawl_allowed"),
+    )

@@ -278,3 +278,89 @@ def test_domain_pagerank_empty_and_topk(spark):
     )
     top = domain_pagerank(edges, iters=2, k=2).collect()
     assert len(top) == 2 and [r.rank for r in top] == [1, 2]
+
+
+_ROBOTS = (
+    "# global rules\n"
+    "User-agent: *\n"
+    "Disallow: /private/\r\n"
+    "Allow: /private/ok\n"
+    "Disallow:\n"
+    "\n"
+    "User-agent: googlebot\n"
+    "User-agent: bingbot\n"
+    "Disallow: /\n"
+    "\n"
+    "User-agent: other\n"
+    "Disallow: /other/  # trailing comment\n"
+)
+
+
+def _robots_frame(spark):
+    return spark.createDataFrame(
+        [("example.com", _ROBOTS)], "host string, text string"
+    )
+
+
+def test_parse_robots_star_agent(spark):
+    from openset_spark.pipeline.urls import parse_robots
+
+    rules = sorted(
+        (r.allow, r.path)
+        for r in parse_robots(_robots_frame(spark)).collect()
+    )
+    # '*' group only: empty Disallow dropped, comments stripped
+    assert rules == [(False, "/private/"), (True, "/private/ok")]
+
+
+def test_parse_robots_most_specific_group_wins(spark):
+    from openset_spark.pipeline.urls import parse_robots
+
+    got = sorted(
+        (r.allow, r.path)
+        for r in parse_robots(
+            _robots_frame(spark), agent="GoogleBot"
+        ).collect()
+    )
+    # exact group exists -> '*' block ignored entirely
+    assert got == [(False, "/")]
+    got2 = sorted(
+        (r.allow, r.path)
+        for r in parse_robots(
+            _robots_frame(spark), agent="unknown-bot"
+        ).collect()
+    )
+    assert got2 == [(False, "/private/"), (True, "/private/ok")]
+
+
+def test_robots_filter_longest_match_wins(spark):
+    from openset_spark.pipeline.urls import parse_robots, robots_filter
+
+    rules = parse_robots(_robots_frame(spark))
+    urls = spark.createDataFrame(
+        [
+            (1, "https://example.com/public/x"),
+            (2, "https://example.com/private/secret"),
+            (3, "https://example.com/private/ok/page"),
+            (4, "https://other.org/anything"),  # no rules -> allowed
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.crawl_allowed
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: True}
+
+
+def test_robots_filter_tie_goes_to_allow(spark):
+    from openset_spark.pipeline.urls import robots_filter
+
+    rules = spark.createDataFrame(
+        [("h.com", False, "/a/"), ("h.com", True, "/a/")],
+        "host string, allow boolean, path string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "https://h.com/a/x")], "doc_id long, url string"
+    )
+    assert robots_filter(urls, rules).first().crawl_allowed is True
