@@ -516,6 +516,22 @@ def parse_robots(
     )
 
 
+def pack_robots_rules(rules: DataFrame) -> DataFrame:
+    """(host, _rules: array<struct(l, a, p)>) — rules grouped per
+    host for the broadcast verdict fold. The aggregate runs on the
+    RULES frame only (a few rows per host, catalog-scale), never on
+    URLs."""
+    return rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.length("path").alias("l"),
+                F.col("allow").alias("a"),
+                F.col("path").alias("p"),
+            )
+        ).alias("_rules")
+    )
+
+
 def robots_filter(
     df: DataFrame,
     rules: DataFrame,
@@ -524,44 +540,41 @@ def robots_filter(
     """Tag every URL with its robots verdict: ``crawl_allowed`` by
     the standard LONGEST-MATCH-WINS rule (the Google/RFC 9309
     semantics): among the host's rules whose path is a PREFIX of the
-    URL path, the longest path decides; a length tie goes to Allow
-    (struct-max order: length first, then allow — False < True); no
-    matching rule (or no rules for the host) means allowed. Prefix
-    matching only — wildcard ('*', '$') rules are out of the subset
-    and should be expanded upstream.
+    URL path, the longest path decides; a length tie goes to Allow;
+    no matching rule (and no rules for the host) means allowed.
+    Prefix matching only — wildcard ('*', '$') rules are out of the
+    subset and should be expanded upstream.
 
-    Shape: parse once (staged projection), LEFT join rules by HOST —
-    rules tables are small (a few rules per host), AQE broadcasts
-    them — then ONE max-struct aggregate back to one row per URL; no
-    window, one shuffle. The aggregate groups by ALL input columns
-    (joining a minimal key back would reference the parse from two
-    subtrees and plan it twice — the Catalyst multi-reference rule),
-    so pass a projection, not a document-bearing frame: URL rows are
-    short by construction."""
+    Shape — the 100 TB story: rules pack per host FIRST (an
+    aggregate over the tiny rules frame), the packed side rides a
+    BROADCAST left join, and the verdict is one F.aggregate fold
+    over the host's rule array — URL rows never shuffle at all
+    (join + groupBy per URL would re-key the whole corpus). The
+    post-join plan is a pure projection, so the operator runs
+    unchanged on a stream against static rules (stream-static
+    broadcast join; 40th parity surface)."""
     parsed = parse_urls(
         df.filter(F.col(url_col).rlike(ABS_URL_PREFIX_RE)), url_col
     ).withColumnRenamed("path", "_upath")
-    joined = parsed.join(
-        rules.withColumnRenamed("path", "_rpath"), "host", "left"
+    joined = parsed.join(F.broadcast(pack_robots_rules(rules)), "host", "left")
+    win = F.aggregate(
+        F.coalesce(F.col("_rules"), F.array().cast(
+            "array<struct<l:int,a:boolean,p:string>>"
+        )),
+        F.struct(
+            F.lit(-1).cast("int").alias("l"), F.lit(True).alias("a")
+        ),
+        lambda acc, r: F.when(
+            F.col("_upath").startswith(r["p"])
+            & (
+                (r["l"] > acc["l"])
+                | ((r["l"] == acc["l"]) & r["a"] & ~acc["a"])
+            ),
+            F.struct(r["l"].alias("l"), r["a"].alias("a")),
+        ).otherwise(acc),
     )
-    hit = F.col("_rpath").isNotNull() & F.col("_upath").startswith(
-        F.col("_rpath")
-    )
-    verdict = joined.groupBy(*parsed.columns).agg(
-        F.max(
-            F.when(
-                hit,
-                F.struct(
-                    F.length("_rpath").alias("l"),
-                    F.col("allow").alias("a"),
-                ),
-            )
-        ).alias("_win")
-    )
-    return verdict.select(
-        *[
-            F.col(c).alias("path") if c == "_upath" else F.col(c)
-            for c in parsed.columns
-        ],
-        F.coalesce(F.col("_win.a"), F.lit(True)).alias("crawl_allowed"),
-    )
+    out_cols = [
+        F.col(c).alias("path") if c == "_upath" else F.col(c)
+        for c in parsed.columns
+    ]
+    return joined.select(*out_cols, win["a"].alias("crawl_allowed"))

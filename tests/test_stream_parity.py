@@ -2262,3 +2262,50 @@ def test_stream_markdown_strip_stateless_parity(spark, tmpdir):
     assert sorted(
         map(tuple, spark.sql(f"select * from {name}").collect())
     ) == sorted(map(tuple, markdown_strip(batch).collect()))
+
+
+def test_stream_robots_filter_parity(spark, tmpdir):
+    """40th parity surface: robots_filter's post-join plan is a pure
+    projection over a stream-static BROADCAST join (rules pack on
+    the tiny static side; URL rows never shuffle), so the SAME
+    operator code tags a streaming URL feed and must agree with
+    batch row for row across micro-batch splits — longest-match,
+    tie-to-Allow and no-rule hosts included."""
+    import json
+
+    from openset_spark.pipeline.urls import parse_robots, robots_filter
+
+    robots = spark.createDataFrame(
+        [(
+            "example.com",
+            "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n",
+        )],
+        "host string, text string",
+    )
+    rules = parse_robots(robots).localCheckpoint()
+    fixture = [
+        (1, "https://example.com/public/x"),
+        (2, "https://example.com/private/secret"),
+        (3, "https://example.com/private/ok/page"),
+        (4, "https://other.org/anything"),
+        (5, "not a url"),
+        (6, "https://example.com/private/okay"),
+    ]
+    chunk = 2
+    for i in range(3):
+        with open(f"{tmpdir}/rob-{i:03d}.json", "w") as f:
+            for did, url in fixture[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps({"doc_id": did, "url": url}) + "\n")
+    _stamp_ordered(tmpdir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    batch = spark.createDataFrame(fixture, "doc_id long, url string")
+    name = f"parity_rob_{uuid.uuid4().hex[:8]}"
+    _run_available(robots_filter(stream, rules), name)
+    assert sorted(
+        map(tuple, spark.sql(f"select * from {name}").collect())
+    ) == sorted(map(tuple, robots_filter(batch, rules).collect()))
