@@ -571,6 +571,26 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["sliding_scale"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Round-14 additions over the REAL tables: the filter-ensemble
+    # agreement report (three full corpus filter passes + the joint
+    # reduce) and the embedding sanity audit. Fixture-backed r14
+    # keys (urls/robots/markdown) measure only session overhead at
+    # sf and stay out — url_scale below is their scale evidence.
+    # Disable with SPARK_GRAFT_R14=0.
+    if os.environ.get("SPARK_GRAFT_R14", "1") != "0":
+        try:
+            extra = {}
+            for name in ("filter_agreement", "embedding_health"):
+                samples = []
+                for _ in range(reps):
+                    t0 = time.time()
+                    qs[name](spark, sf_dir).count()
+                    samples.append(time.time() - t0)
+                extra[name] = round(statistics.median(samples), 3)
+            out["pipeline_r14"] = extra
+        except Exception as e:  # pragma: no cover - defensive
+            out["pipeline_r14"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # URL-suite scale evidence (r14): canonicalization throughput
     # (steady-state codegen projection — median hides the one-time
     # JIT compile a cluster amortizes, surfaced as parse_first_sec),
