@@ -7285,6 +7285,16 @@ _ROBOTS_FIXTURE = [
         "bots-only.net",
         "User-agent: googlebot\nDisallow: /\n",
     ),
+    # RFC 9309 wildcard rules: '*' spans, trailing '$' anchors, and
+    # a 7-vs-7 pattern-length tie (/*.pdf$ vs /docs/*) that must go
+    # to Allow
+    (
+        "wild.example",
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Allow: /docs/*\n"
+        "Disallow: /docs/private*\n",
+    ),
 ]
 
 _ROBOTS_URLS = [
@@ -7295,6 +7305,11 @@ _ROBOTS_URLS = [
     (5, "https://bots-only.net/anything"),
     (6, "https://no-robots.org/z"),
     (7, "not a url"),
+    (8, "https://wild.example/docs/pub/x.html"),
+    (9, "https://wild.example/file.pdf"),
+    (10, "https://wild.example/file.pdf.html"),
+    (11, "https://wild.example/docs/private/f"),
+    (12, "https://wild.example/docs/guide.pdf"),
 ]
 
 
@@ -7384,7 +7399,18 @@ SELECT host, allow, path FROM rules
 
 
 def _robots_verdicts_sql() -> str:
+    from openset_spark.pipeline.urls import ROBOTS_RX_ESCAPE
+
     sq = lambda x: x.replace("'", "''")  # noqa: E731
+    # the wildcard translation chain, generated from the operator's
+    # OWN escape table (literal replace(), no regex-in-regex)
+    rxchain = (
+        "CASE WHEN ends_with(path, '$') "
+        "THEN substring(path, 1, length(path) - 1) ELSE path END"
+    )
+    for ch in ROBOTS_RX_ESCAPE:
+        rxchain = f"replace({rxchain}, '{ch}', '\\{ch}')"
+    rxchain = f"replace({rxchain}, '*', '.*')"
     values = ",\n    ".join(
         f"({i}, '{sq(u)}')" for i, u in _ROBOTS_URLS
     )
@@ -7395,11 +7421,18 @@ uraw AS (SELECT * FROM (VALUES
   ) AS t(doc_id, url)),
 {_url_parse_sql("uraw", "doc_id, url", "up").strip()},
 uv AS (SELECT * FROM up WHERE norm_url IS NOT NULL),
+rules2 AS (
+  SELECT host, allow, path,
+    (contains(path, '*') OR ends_with(path, '$')) AS wild,
+    '^' || {rxchain} ||
+    CASE WHEN ends_with(path, '$') THEN '$' ELSE '' END AS rx
+  FROM rules),
 j AS (
   SELECT uv.*, r.allow AS r_allow, r.path AS r_path,
-    COALESCE(r.path IS NOT NULL
-             AND starts_with(uv.path, r.path), FALSE) AS hit
-  FROM uv LEFT JOIN rules r ON uv.host = r.host),
+    COALESCE(r.path IS NOT NULL AND CASE WHEN r.wild
+             THEN regexp_matches(uv.path, r.rx)
+             ELSE starts_with(uv.path, r.path) END, FALSE) AS hit
+  FROM uv LEFT JOIN rules2 r ON uv.host = r.host),
 ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY doc_id

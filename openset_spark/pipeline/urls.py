@@ -516,17 +516,51 @@ def parse_robots(
     )
 
 
+# regex metacharacters escaped during wildcard-rule translation —
+# every char EXCEPT '*' (which becomes '.*'); '$' is escaped here
+# and re-added as the anchor only when it TRAILS the rule. The same
+# table generates the oracle's replace chain (literal replace(), no
+# regex-in-regex) so translation cannot drift between engines.
+ROBOTS_RX_ESCAPE = [
+    "\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$",
+]
+
+
+def _robots_rx(base: Column) -> Column:
+    for ch in ROBOTS_RX_ESCAPE:
+        base = F.replace(base, F.lit(ch), F.lit("\\" + ch))
+    return F.replace(base, F.lit("*"), F.lit(".*"))
+
+
 def pack_robots_rules(rules: DataFrame) -> DataFrame:
-    """(host, _rules: array<struct(l, a, p)>) — rules grouped per
-    host for the broadcast verdict fold. The aggregate runs on the
-    RULES frame only (a few rows per host, catalog-scale), never on
-    URLs."""
+    """(host, _rules: array<struct(l, a, p, w, rx)>) — rules grouped
+    per host for the broadcast verdict fold. Wildcard rules (any
+    '*', or a trailing '$' end-anchor — RFC 9309 §2.2.3) carry a
+    translated regex ``rx`` (anchored '^', metachars escaped via the
+    shared literal-replace table, '*' -> '.*', trailing '$' kept as
+    the anchor); plain rules keep the cheap startswith path.
+    Specificity ``l`` is the ORIGINAL pattern length (the RFC's
+    most-octets rule). The aggregate runs on the RULES frame only (a
+    few rows per host, catalog-scale), never on URLs."""
+    trailing = F.col("path").endswith("$")
+    base = F.when(
+        trailing,
+        F.expr("substring(path, 1, length(path) - 1)"),
+    ).otherwise(F.col("path"))
+    rx = F.concat(
+        F.lit("^"),
+        _robots_rx(base),
+        F.when(trailing, F.lit("$")).otherwise(F.lit("")),
+    )
+    wild = F.col("path").contains("*") | trailing
     return rules.groupBy("host").agg(
         F.collect_list(
             F.struct(
                 F.length("path").alias("l"),
                 F.col("allow").alias("a"),
                 F.col("path").alias("p"),
+                wild.alias("w"),
+                rx.alias("rx"),
             )
         ).alias("_rules")
     )
@@ -539,11 +573,14 @@ def robots_filter(
 ) -> DataFrame:
     """Tag every URL with its robots verdict: ``crawl_allowed`` by
     the standard LONGEST-MATCH-WINS rule (the Google/RFC 9309
-    semantics): among the host's rules whose path is a PREFIX of the
-    URL path, the longest path decides; a length tie goes to Allow;
-    no matching rule (and no rules for the host) means allowed.
-    Prefix matching only — wildcard ('*', '$') rules are out of the
-    subset and should be expanded upstream.
+    semantics): among the host's rules matching the URL path, the
+    longest PATTERN decides (the RFC's most-octets rule, measured on
+    the original rule text); a length tie goes to Allow; no matching
+    rule (and no rules for the host) means allowed. Full RFC
+    matching: plain rules are prefix tests; rules carrying '*' or a
+    trailing '$' end-anchor take the translated-regex path built at
+    pack time (the shared literal-replace escape table — oracle-
+    replayable, no regex-in-regex).
 
     Shape — the 100 TB story: rules pack per host FIRST (an
     aggregate over the tiny rules frame), the packed side rides a
@@ -556,16 +593,20 @@ def robots_filter(
     parsed = parse_urls(
         df.filter(F.col(url_col).rlike(ABS_URL_PREFIX_RE)), url_col
     ).withColumnRenamed("path", "_upath")
-    joined = parsed.join(F.broadcast(pack_robots_rules(rules)), "host", "left")
+    joined = parsed.join(
+        F.broadcast(pack_robots_rules(rules)), "host", "left"
+    )
     win = F.aggregate(
         F.coalesce(F.col("_rules"), F.array().cast(
-            "array<struct<l:int,a:boolean,p:string>>"
+            "array<struct<l:int,a:boolean,p:string,w:boolean,rx:string>>"
         )),
         F.struct(
             F.lit(-1).cast("int").alias("l"), F.lit(True).alias("a")
         ),
         lambda acc, r: F.when(
-            F.col("_upath").startswith(r["p"])
+            F.when(
+                r["w"], F.regexp_like(F.col("_upath"), r["rx"])
+            ).otherwise(F.col("_upath").startswith(r["p"]))
             & (
                 (r["l"] > acc["l"])
                 | ((r["l"] == acc["l"]) & r["a"] & ~acc["a"])

@@ -364,3 +364,40 @@ def test_robots_filter_tie_goes_to_allow(spark):
         [(1, "https://h.com/a/x")], "doc_id long, url string"
     )
     assert robots_filter(urls, rules).first().crawl_allowed is True
+
+
+def test_robots_filter_wildcards_and_anchor(spark):
+    """RFC 9309 wildcard matching: '*' spans, trailing '$' anchors,
+    regex metachars in rule paths stay literal, specificity is the
+    original pattern length and ties go to Allow."""
+    from openset_spark.pipeline.urls import robots_filter
+
+    rules = spark.createDataFrame(
+        [
+            ("w.com", False, "/*.pdf$"),
+            ("w.com", True, "/docs/*"),
+            ("w.com", False, "/docs/private*"),
+            ("w.com", False, "/a(b)/"),  # metachars literal
+        ],
+        "host string, allow boolean, path string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://w.com/docs/pub/x.html"),  # allow /docs/*
+            (2, "https://w.com/file.pdf"),         # *.pdf$ disallow
+            (3, "https://w.com/file.pdf.html"),    # $ anchors: allowed
+            (4, "https://w.com/docs/private/f"),   # longer disallow
+            (5, "https://w.com/docs/guide.pdf"),   # 7==7 tie -> Allow
+            (6, "https://w.com/a(b)/x"),           # literal parens
+            (7, "https://w.com/aXbY/x"),           # '(' not a group
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r.doc_id: r.crawl_allowed
+        for r in robots_filter(urls, rules).collect()
+    }
+    assert got == {
+        1: True, 2: False, 3: True, 4: False, 5: True,
+        6: False, 7: True,
+    }
