@@ -619,3 +619,53 @@ def robots_filter(
         for c in parsed.columns
     ]
     return joined.select(*out_cols, win["a"].alias("crawl_allowed"))
+
+
+def curate_urls(
+    df: DataFrame,
+    rules: DataFrame | None = None,
+    score_col: str | None = None,
+    per_domain_cap: int | None = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The URL-side preparation recipe (compose.prepare_corpus's
+    provenance sibling, run BEFORE any content is fetched or
+    processed): robots verdicts (optional) -> canonical URL dedup
+    (best score, ties to lowest id) -> optional per-registered-domain
+    cap. Returns the parsed keeper rows.
+
+    Scale shape: every stage reuses the family's documented form —
+    the robots fold adds no URL shuffle, dedup is the one norm_url
+    window (near-unique key, no skew), and the domain cap is
+    sampling.group_cap's GROUPED distributed prefix sum, NOT a
+    per-domain window — the monster domain this cap exists for
+    would pin a single window partition."""
+    from pyspark.sql.window import Window
+
+    from openset_spark.pipeline.sampling import group_cap
+
+    if rules is not None:
+        parsed = robots_filter(df, rules, url_col).filter(
+            F.col("crawl_allowed")
+        ).drop("crawl_allowed")
+    else:
+        parsed = parse_urls(
+            df.filter(F.col(url_col).rlike(ABS_URL_PREFIX_RE)), url_col
+        )
+    order = (
+        [F.col(score_col).desc_nulls_last(), F.col(id_col).asc()]
+        if score_col
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy("norm_url").orderBy(*order)
+    kept = (
+        parsed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    if per_domain_cap is not None:
+        kept = group_cap(
+            kept, ["registered_domain"], order, per_domain_cap
+        )
+    return kept

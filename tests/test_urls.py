@@ -401,3 +401,37 @@ def test_robots_filter_wildcards_and_anchor(spark):
         1: True, 2: False, 3: True, 4: False, 5: True,
         6: False, 7: True,
     }
+
+
+def test_curate_urls_recipe(spark):
+    """robots -> canonical dedup -> domain cap, end to end: the
+    disallowed URL drops first, the tracking twin collapses, and the
+    domain cap keeps the best-scored survivors."""
+    from openset_spark.pipeline.urls import curate_urls, parse_robots
+
+    robots = spark.createDataFrame(
+        [("e.com", "User-agent: *\nDisallow: /private/\n")],
+        "host string, text string",
+    )
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [
+            (1, "https://e.com/a?utm_source=x", 5),
+            (2, "https://e.com/a", 9),            # dedup winner of 1/2
+            (3, "https://e.com/private/x", 99),   # robots-dropped
+            (4, "https://e.com/b", 7),
+            (5, "https://e.com/c", 6),
+            (6, "https://other.org/z", 1),
+            (7, "junk", 1),
+        ],
+        "doc_id long, url string, score long",
+    )
+    out = curate_urls(
+        urls, rules=rules, score_col="score", per_domain_cap=2
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    # e.com survivors by score: 2 (9), 4 (7) — 5 capped out;
+    # other.org keeps its single URL
+    assert kept == [2, 4, 6]
+    no_cap = curate_urls(urls, rules=rules, score_col="score")
+    assert sorted(r.doc_id for r in no_cap.collect()) == [2, 4, 5, 6]
