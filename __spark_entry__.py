@@ -6877,7 +6877,10 @@ def _url_fixture_cte() -> str:
     values = ",\n    ".join(
         f"({i}, '{u}', {s})" for i, u, s in _URL_FIXTURE
     )
-    return f"""raw AS (SELECT * FROM (VALUES
+    return f"""raw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, url,
+    CAST(score AS BIGINT) AS score
+  FROM (VALUES
     {values}
   ) AS t(doc_id, url, score)),
 {_url_parse_sql("raw", "doc_id, score").strip()}"""
@@ -7189,7 +7192,8 @@ def _markdown_strip_sql() -> str:
         f"""docs AS (SELECT * FROM (VALUES
     {values}
   ) AS t(doc_id, text))""",
-        "s0 AS (SELECT doc_id, text AS t FROM docs)",
+        "s0 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " text AS t FROM docs)",
     ]
     carried = []
     prev = "s0"
@@ -7416,7 +7420,8 @@ def _robots_verdicts_sql() -> str:
     )
     return f"""
 WITH {_robots_rules_cte()},
-uraw AS (SELECT * FROM (VALUES
+uraw AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, url FROM (VALUES
     {values}
   ) AS t(doc_id, url)),
 {_url_parse_sql("uraw", "doc_id, url", "up").strip()},
