@@ -218,7 +218,10 @@ def url_dedup_keep(
     resolution policy). Returns the parsed frame plus ``keep``; rows
     that did not parse keep NULL norm_url and are all kept (content
     dedup owns them). One window shuffle on norm_url carrying (id,
-    score) — never text."""
+    score) — never text. Unparseable rows get a SYNTHETIC unique
+    partition key (their keep is constant True, but a shared NULL
+    key would pin every invalid row of a dirty 100 TB crawl onto
+    one window partition)."""
     from pyspark.sql.window import Window
 
     parsed = parse_urls(df, url_col)
@@ -227,7 +230,11 @@ def url_dedup_keep(
         if score_col
         else [F.col(id_col).asc()]
     )
-    w = Window.partitionBy("norm_url").orderBy(*order)
+    pkey = F.coalesce(
+        F.col("norm_url"),
+        F.concat(F.lit("\x00invalid:"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(pkey).orderBy(*order)
     rn = F.row_number().over(w)
     return parsed.withColumn(
         "keep", F.col("norm_url").isNull() | (rn == 1)
