@@ -4664,6 +4664,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": q_embedding_health,
         "robots_rules": q_robots_rules,
         "robots_verdicts": q_robots_verdicts,
+        "script_profile": q_script_profile,
     }
 
 
@@ -5694,6 +5695,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_health": _SQL_EMBEDDING_HEALTH,
         "robots_rules": _robots_rules_sql(),
         "robots_verdicts": _robots_verdicts_sql(),
+        "script_profile": _script_profile_sql(),
     }
 
 
@@ -7447,4 +7449,58 @@ SELECT doc_id, url, scheme, host, port, path, query_norm,
   registered_domain, norm_url,
   CASE WHEN hit THEN r_allow ELSE TRUE END AS crawl_allowed
 FROM ranked WHERE rn = 1
+"""
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Unicode script histogram + dominant script over the
+    documents corpus (char-class counts via the length-difference
+    trick — integer-exact, zero exchanges).
+    pipeline/textstats.py::script_profile. NEW r14."""
+    from openset_spark.pipeline.textstats import script_profile
+
+    return script_profile(_docs(spark, sf_dir))
+
+
+def _script_profile_sql() -> str:
+    """Generated from the SAME SCRIPT_CLASSES literal ranges and the
+    shared explicit whitespace class (Java \\s includes VT, RE2's
+    does not)."""
+    from openset_spark.pipeline.textstats import (
+        SCRIPT_CLASSES,
+        SCRIPT_WHITESPACE,
+    )
+
+    count_cols = []
+    ctes = [
+        "t0 AS (SELECT doc_id, regexp_replace(text, "
+        f"'[{SCRIPT_WHITESPACE}]', '', 'g') AS t FROM documents)",
+        "t1 AS (SELECT doc_id, t, length(t) AS n_chars FROM t0)",
+    ]
+    prev = "t1"
+    for i, (name, cls) in enumerate(SCRIPT_CLASSES, 2):
+        ctes.append(
+            f"t{i} AS (SELECT *, CAST(n_chars - length("
+            f"regexp_replace(t, '[{cls}]', '', 'g')) AS BIGINT)"
+            f" AS n_{name} FROM {prev})"
+        )
+        prev = f"t{i}"
+        count_cols.append(f"n_{name}")
+    total = " + ".join(count_cols)
+    sel = ", ".join(count_cols)
+    cases = " ".join(
+        f"WHEN n_{name} = best THEN '{name}'"
+        for name, _ in SCRIPT_CLASSES
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined},
+m AS (
+  SELECT *, CAST(n_chars - ({total}) AS BIGINT) AS n_other,
+    greatest({sel}, CAST(n_chars - ({total}) AS BIGINT)) AS best
+  FROM {prev})
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, {sel}, n_other,
+  CASE WHEN n_chars = 0 THEN 'none' {cases}
+       ELSE 'other' END AS main_script
+FROM m
 """

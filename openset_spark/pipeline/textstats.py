@@ -530,3 +530,85 @@ def length_histogram(
         F.min("_n").cast("long").alias("min_tokens"),
         F.max("_n").cast("long").alias("max_tokens"),
     )
+
+
+# Unicode script ranges as LITERAL character-class strings — built
+# from chr() so the very same literal reaches Java regex and RE2
+# (escape syntaxes differ between them; literal ranges do not).
+# Ordered: the dominant-script argmax tie-breaks to the FIRST class
+# here (then 'other').
+SCRIPT_CLASSES = [
+    ("latin", "A-Za-z"),
+    ("cyrillic", chr(0x0400) + "-" + chr(0x04FF)),
+    ("greek", chr(0x0370) + "-" + chr(0x03FF)),
+    ("arabic", chr(0x0600) + "-" + chr(0x06FF)),
+    ("devanagari", chr(0x0900) + "-" + chr(0x097F)),
+    ("cjk", chr(0x4E00) + "-" + chr(0x9FFF)),
+    ("hiragana_katakana", chr(0x3040) + "-" + chr(0x30FF)),
+    ("hangul", chr(0xAC00) + "-" + chr(0xD7AF)),
+    ("digit", "0-9"),
+]
+
+
+# explicit whitespace class shared with the oracle: Java's \s
+# includes \x0B (vertical tab) while RE2's does not — a literal
+# class sidesteps the divergence
+SCRIPT_WHITESPACE = " \t\n\r\f" + chr(0x0B)
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Unicode script histogram + dominant script — the
+    multilingual-corpus routing/QA signal beside lang_id (a doc
+    whose label says 'en' but whose chars are 80% Cyrillic is a
+    mislabel or mojibake): (id, n_chars, n_<script>..., n_other,
+    main_script). Counts are CHARACTERS per script class via the
+    length-difference trick (length(t) - length(t with the class
+    removed) — each match is one char, so the count is exact and
+    integer; no explode, zero exchanges). main_script = argmax over
+    the counts with ties to SCRIPT_CLASSES order then 'other';
+    whitespace is excluded from n_chars and from 'other'. One
+    STAGED projection per class (the parse_urls lesson: the shared
+    text column binds once, each class regex runs once per row)."""
+    cur = df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.col(text_col), "[" + SCRIPT_WHITESPACE + "]", ""
+        ).alias("_t"),
+    ).select("*", F.length("_t").alias("n_chars"))
+    names = []
+    for name, cls in SCRIPT_CLASSES:
+        cur = cur.select(
+            "*",
+            (
+                F.col("n_chars")
+                - F.length(
+                    F.regexp_replace(F.col("_t"), f"[{cls}]", "")
+                )
+            )
+            .cast("long")
+            .alias(f"n_{name}"),
+        )
+        names.append(f"n_{name}")
+    other = F.col("n_chars") - sum(
+        (F.col(c) for c in names), F.lit(0).cast("long")
+    )
+    cur = cur.select("*", other.alias("n_other"))
+    best = F.greatest(*[F.col(c) for c in names], F.col("n_other"))
+    main = F.when(F.col("n_chars") == 0, F.lit("none")).otherwise(
+        F.coalesce(
+            *[
+                F.when(F.col(c) == best, F.lit(c[2:]))
+                for c in names
+            ],
+            F.when(F.col("n_other") == best, F.lit("other")),
+        )
+    )
+    return cur.select(
+        id_col,
+        F.col("n_chars").cast("long").alias("n_chars"),
+        *names,
+        "n_other",
+        main.alias("main_script"),
+    )

@@ -184,3 +184,41 @@ def test_embedding_health_explicit_dim_and_empty(spark):
     )
     with _pytest.raises(ValueError, match="no non-null"):
         embedding_health(empty)
+
+
+def test_script_profile_hand_counts(spark):
+    from openset_spark.pipeline.textstats import script_profile
+
+    rows = [
+        (1, "hello мир 123"),          # 5 latin, 3 cyrillic, 3 digit
+        (2, "日本語 かな カナ"),        # 3 cjk, 4 kana
+        (3, "   "),                    # whitespace only
+        (4, "abc €€€"),                # 3 latin, 3 other
+        (5, "مرحبا"),                  # 5 arabic
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in script_profile(df).collect()}
+    r = out[1]
+    assert (r.n_chars, r.n_latin, r.n_cyrillic, r.n_digit) == (
+        11, 5, 3, 3,
+    )
+    assert r.n_other == 0 and r.main_script == "latin"
+    r = out[2]
+    assert (r.n_cjk, r.n_hiragana_katakana) == (3, 4)
+    assert r.main_script == "hiragana_katakana"
+    assert out[3].n_chars == 0 and out[3].main_script == "none"
+    r = out[4]
+    assert (r.n_latin, r.n_other) == (3, 3)
+    # 3-vs-3 tie: class order wins over 'other'
+    assert r.main_script == "latin"
+    assert out[5].main_script == "arabic"
+
+
+def test_script_profile_zero_exchanges(spark):
+    from openset_spark.pipeline.textstats import script_profile
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        script_profile(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
