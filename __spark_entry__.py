@@ -4665,6 +4665,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_rules": q_robots_rules,
         "robots_verdicts": q_robots_verdicts,
         "script_profile": q_script_profile,
+        "sentence_chunks": q_sentence_chunks,
     }
 
 
@@ -5696,6 +5697,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_rules": _robots_rules_sql(),
         "robots_verdicts": _robots_verdicts_sql(),
         "script_profile": _script_profile_sql(),
+        "sentence_chunks": _SQL_SENTENCE_CHUNKS,
     }
 
 
@@ -7503,4 +7505,43 @@ SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, {sel}, n_other,
   CASE WHEN n_chars = 0 THEN 'none' {cases}
        ELSE 'other' END AS main_script
 FROM m
+"""
+
+
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-aligned retrieval chunks over the documents corpus
+    (budget 32, the shard_manifest assignment law at sentence
+    granularity). pipeline/packing.py::sentence_chunks. NEW r14."""
+    from openset_spark.pipeline.packing import sentence_chunks
+
+    return sentence_chunks(_docs(spark, sf_dir), budget=32)
+
+
+_SQL_SENTENCE_CHUNKS = r"""
+WITH sl AS (
+  SELECT doc_id,
+    regexp_extract_all(text, '[^.!?]+[.!?]+|[^.!?]+$') AS ss
+  FROM documents
+),
+se AS (
+  SELECT doc_id, i - 1 AS idx, trim(ss[i]) AS sentence
+  FROM sl, UNNEST(generate_series(1, len(ss))) AS t(i)
+),
+sf AS (SELECT * FROM se WHERE sentence <> ''),
+tk AS (
+  SELECT *, len(list_filter(
+    string_split_regex(sentence, '[ \t\n\r\f]+'), x -> x <> ''
+  )) AS n_toks FROM sf
+),
+cm AS (
+  SELECT *, SUM(n_toks) OVER (
+    PARTITION BY doc_id ORDER BY idx
+  ) AS cum FROM tk
+),
+ck AS (SELECT *, CAST((cum - 1) // 32 AS BIGINT) AS chunk_id FROM cm)
+SELECT doc_id, chunk_id,
+  CAST(COUNT(*) AS BIGINT) AS n_sentences,
+  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+  string_agg(sentence, ' ' ORDER BY idx) AS chunk_text
+FROM ck GROUP BY doc_id, chunk_id
 """

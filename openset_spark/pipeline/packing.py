@@ -196,3 +196,78 @@ def epoch_shuffle(
             "batch_id"
         ),
     )
+
+
+def sentence_chunks(
+    df: DataFrame,
+    budget: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-ALIGNED retrieval chunks — the RAG indexing shape
+    beside chunk_windows' fixed token windows: sentences never
+    split; chunk boundaries land where the running token count
+    crosses the budget, by the shard_manifest assignment law
+    (chunk_id = (cum_tokens - 1) div budget on the INCLUSIVE per-doc
+    running sum) — deterministic, window-free of global state, and
+    exactly SQL-replayable, unlike greedy repacking. A sentence
+    longer than the budget keeps its own chunk(s) boundary — chunks
+    can overshoot by at most one sentence, the doc-atomic
+    shard_manifest tradeoff.
+
+    Sentence split = the portable alternation
+    ``[^.!?]+[.!?]+|[^.!?]+$`` (leftmost-preferred in both Java and
+    RE2); punctuation-only/whitespace docs emit nothing. Emits
+    (id, chunk_id, n_sentences, n_tokens, chunk_text).
+
+    Shape: one posexplode (order kept), ONE exchange — the per-doc
+    cumsum window partitions by id and the (id, chunk) aggregate
+    reuses that partitioning (subset-key distribution); reassembly
+    is sort_array(collect_list) inside the aggregate (the
+    dedup_lines pattern), never a second window."""
+    from pyspark.sql.window import Window
+
+    sent_re = r"[^.!?]+[.!?]+|[^.!?]+$"
+    ws = r"[ \t\n\r\f]+"
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.col(text_col), F.lit(sent_re), F.lit(0))
+        ).alias("idx", "_s"),
+    ).select(
+        F.col(id_col), "idx", F.trim(F.col("_s")).alias("sentence")
+    ).filter(F.col("sentence") != "")
+    toks = F.size(
+        F.filter(
+            F.split(F.col("sentence"), ws), lambda x: x != ""
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("idx")
+    cum = sents.select(
+        "*",
+        toks.alias("n_toks"),
+    ).select(
+        "*",
+        F.sum("n_toks").over(w).alias("_cum"),
+    ).select(
+        "*",
+        F.expr(f"CAST((_cum - 1) div {int(budget)} AS BIGINT)").alias(
+            "chunk_id"
+        ),
+    )
+    return (
+        cum.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "sentence"))
+                    ),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )

@@ -222,3 +222,43 @@ def test_script_profile_zero_exchanges(spark):
         script_profile(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_sentence_chunks_assignment_law(spark):
+    """Hand-checked: sentences keep order, never split; chunk_id
+    follows (cum-1) div budget; a budget-crossing sentence overshoots
+    into the earlier chunk; punctuation-only docs emit nothing."""
+    from openset_spark.pipeline.packing import sentence_chunks
+
+    text = (
+        "one two three. four five? six seven eight nine! "
+        "ten eleven twelve thirteen."
+    )
+    df = spark.createDataFrame(
+        [(1, text), (2, "..."), (3, "no punctuation tail")],
+        "doc_id long, text string",
+    )
+    out = sentence_chunks(df, budget=5).collect()
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_sentences, r.n_tokens, r.chunk_text)
+        for r in out
+    }
+    # cum: 3, 5, 9, 13 -> chunk ids (cum-1)//5: 0, 0, 1, 2
+    assert got[(1, 0)] == (2, 5, "one two three. four five?")
+    assert got[(1, 1)] == (1, 4, "six seven eight nine!")
+    assert got[(1, 2)] == (1, 4, "ten eleven twelve thirteen.")
+    assert not any(d == 2 for d, _ in got)  # punctuation-only: nothing
+    assert got[(3, 0)] == (1, 3, "no punctuation tail")
+
+
+def test_sentence_chunks_single_exchange(spark):
+    from openset_spark.pipeline.packing import sentence_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b. c d.")], "doc_id long, text string"
+    )
+    plan = (
+        sentence_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    # window partitioning on id serves the (id, chunk) aggregate too
+    assert plan.count("Exchange hashpartitioning") == 1
