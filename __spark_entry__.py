@@ -4666,6 +4666,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_verdicts": q_robots_verdicts,
         "script_profile": q_script_profile,
         "sentence_chunks": q_sentence_chunks,
+        "lang_script_agreement": q_lang_script_agreement,
     }
 
 
@@ -5698,6 +5699,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_verdicts": _robots_verdicts_sql(),
         "script_profile": _script_profile_sql(),
         "sentence_chunks": _SQL_SENTENCE_CHUNKS,
+        "lang_script_agreement": _lang_script_agreement_sql(),
     }
 
 
@@ -7544,4 +7546,24 @@ SELECT doc_id, chunk_id,
   CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
   string_agg(sentence, ' ' ORDER BY idx) AS chunk_text
 FROM ck GROUP BY doc_id, chunk_id
+"""
+
+
+def q_lang_script_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-guess x dominant-script audit matrix over the
+    documents corpus. pipeline/textstats.py::lang_script_agreement.
+    NEW r14."""
+    from openset_spark.pipeline.textstats import lang_script_agreement
+
+    return lang_script_agreement(_docs(spark, sf_dir))
+
+
+def _lang_script_agreement_sql() -> str:
+    return f"""
+WITH lg AS (SELECT doc_id, lang_guess FROM ({_lang_id_sql()}) t),
+sp AS (SELECT doc_id, main_script FROM ({_script_profile_sql()}) t)
+SELECT lg.lang_guess, sp.main_script,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM lg JOIN sp ON lg.doc_id = sp.doc_id
+GROUP BY lg.lang_guess, sp.main_script
 """

@@ -612,3 +612,25 @@ def script_profile(
         "n_other",
         main.alias("main_script"),
     )
+
+
+def lang_script_agreement(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(lang_guess, main_script, n_docs) — the mislabel/mojibake
+    audit the script_profile docstring promises: a language guess
+    whose docs' dominant script disagrees with the language's
+    expected script (an 'en' bucket that is mostly Cyrillic) marks
+    broken routing or encoding damage upstream. Two one-pass
+    per-doc projections joined on the id, then one bounded
+    (|langs|+1) x (|scripts|+1) aggregate — the lang_confusion
+    shape with the script column as the second axis."""
+    lang = lang_id(df, text_col, id_col).select(id_col, "lang_guess")
+    script = script_profile(df, text_col, id_col).select(
+        id_col, "main_script"
+    )
+    return (
+        lang.join(script, id_col)
+        .groupBy("lang_guess", "main_script")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

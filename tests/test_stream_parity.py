@@ -2309,3 +2309,40 @@ def test_stream_robots_filter_parity(spark, tmpdir):
     assert sorted(
         map(tuple, spark.sql(f"select * from {name}").collect())
     ) == sorted(map(tuple, robots_filter(batch, rules).collect()))
+
+
+def test_stream_script_profile_stateless_parity(spark, tmpdir):
+    """41st parity surface: script_profile is one staged projection
+    chain (length-difference char-class counts), so it runs
+    unchanged on a streaming frame — parity-locked row-for-row over
+    mixed-script, empty and tie-case docs across micro-batches."""
+    import json
+
+    from openset_spark.pipeline.textstats import script_profile
+
+    fixture = [
+        (1, "hello мир 123"),
+        (2, "日本語 かな カナ"),
+        (3, "   "),
+        (4, "abc €€€"),
+        (5, "مرحبا world"),
+        (6, "한국어 text"),
+    ]
+    chunk = 2
+    for i in range(3):
+        with open(f"{tmpdir}/sc-{i:03d}.json", "w") as f:
+            for did, text in fixture[i * chunk : (i + 1) * chunk]:
+                f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    _stamp_ordered(tmpdir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(tmpdir)
+    )
+    batch = spark.createDataFrame(fixture, "doc_id long, text string")
+    name = f"parity_script_{uuid.uuid4().hex[:8]}"
+    _run_available(script_profile(stream), name)
+    assert sorted(
+        map(tuple, spark.sql(f"select * from {name}").collect())
+    ) == sorted(map(tuple, script_profile(batch).collect()))
