@@ -4667,6 +4667,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         "sentence_chunks": q_sentence_chunks,
         "lang_script_agreement": q_lang_script_agreement,
+        "decayed_counts": q_decayed_counts,
     }
 
 
@@ -5700,6 +5701,7 @@ def oracle_sql() -> dict[str, str]:
         "script_profile": _script_profile_sql(),
         "sentence_chunks": _SQL_SENTENCE_CHUNKS,
         "lang_script_agreement": _lang_script_agreement_sql(),
+        "decayed_counts": _decayed_counts_sql(),
     }
 
 
@@ -7566,4 +7568,42 @@ SELECT lg.lang_guess, sp.main_script,
   CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM lg JOIN sp ON lg.doc_id = sp.doc_id
 GROUP BY lg.lang_guess, sp.main_script
+"""
+
+
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-decayed activity counters at a pinned
+    evaluation time (half-life 7 days) — the feature-store recency
+    aggregate. operators/events.py::decayed_counts. NEW r14."""
+    import datetime as dt
+
+    from openset_spark.operators.events import decayed_counts
+    from openset_spark.sources.tables import load_table
+
+    return decayed_counts(
+        load_table(spark, sf_dir, "events"),
+        at=dt.datetime(2024, 1, 31),
+        half_life_days=7.0,
+    )
+
+
+def _decayed_counts_sql() -> str:
+    import math
+
+    lam = math.log(2.0) / 7.0
+    # lam inlined via repr so DuckDB parses the IDENTICAL double the
+    # Spark literal carries (a plain decimal literal would re-round)
+    return f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(exp(-{lam!r} *
+    ((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+      - epoch_us(ts::TIMESTAMP)) / 86400000000.0))), 4)
+    AS decayed_events,
+  ROUND(SUM(exp(-{lam!r} *
+    ((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+      - epoch_us(ts::TIMESTAMP)) / 86400000000.0)) * value), 4)
+    AS decayed_value
+FROM events
+WHERE ts::TIMESTAMP <= TIMESTAMP '2024-01-31 00:00:00'
+GROUP BY user_id
 """

@@ -386,3 +386,47 @@ def grouping_sets_rollup(
         *bnames,
         *out_cols,
     )
+
+
+def decayed_counts(
+    df: DataFrame,
+    at,
+    half_life_days: float = 7.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially-decayed per-user activity counters evaluated at
+    ``at`` — the feature-store recency features (a purchase last
+    night outweighs ten from last quarter): decayed_events =
+    Σ 0.5^(age_days / half_life), decayed_value the value-weighted
+    twin; events after ``at`` are excluded (no future leakage).
+
+    One map-side-combinable groupBy — the cheapest possible shape;
+    the decay weight is a row-local projection. Cross-engine float
+    contract (the char_entropy/readability posture): ages derive
+    from EXACT integer microseconds (< 2^53, so the division is the
+    same IEEE double in both engines), the weight is one exp() per
+    row (libm last-ulp differences vanish in the ROUND(4) the
+    oracle locks), sums surface rounded. At 100 TB: the decayed sum
+    FOLDS like any sum — per-shard/day partials compose, and
+    re-evaluating at a later ``at`` only multiplies every partial by
+    a constant 0.5^(Δ/half_life) — so a store of per-day partials
+    answers any evaluation time without rescanning raw events (the
+    sliding-partial store pattern; documented, not persisted here).
+    """
+    if half_life_days <= 0:
+        raise ValueError(f"half_life_days must be > 0: {half_life_days}")
+    import math
+
+    lam = math.log(2.0) / float(half_life_days)
+    age_days = (
+        F.unix_micros(F.lit(at)) - F.unix_micros(F.col(ts_col))
+    ) / F.lit(86400e6)
+    w = F.exp(-F.lit(lam) * age_days)
+    kept = df.filter(F.col(ts_col) <= F.lit(at))
+    return kept.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(w), 4).alias("decayed_events"),
+        F.round(F.sum(w * F.col(value_col)), 4).alias("decayed_value"),
+    )

@@ -262,3 +262,51 @@ def test_sentence_chunks_single_exchange(spark):
     )
     # window partitioning on id serves the (id, chunk) aggregate too
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_decayed_counts_fold_law_and_leakage(spark):
+    """The docstring's store law: a partial evaluated at T1 rescales
+    to T2 by the constant 0.5^((T2-T1)/hl) and composes with the
+    late events' own T2 partial — equal (to float tolerance, before
+    the surface rounding) to the direct T2 build. Events after `at`
+    never contribute."""
+    import datetime as dt
+    import math
+
+    from openset_spark.operators.events import decayed_counts
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 10.0),
+        (1, dt.datetime(2024, 1, 10), 20.0),
+        (1, dt.datetime(2024, 1, 20), 40.0),
+        (2, dt.datetime(2024, 1, 25), 5.0),
+        (1, dt.datetime(2024, 2, 5), 99.0),  # after T2: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+    t1, t2, hl = dt.datetime(2024, 1, 15), dt.datetime(2024, 2, 1), 7.0
+    direct = {
+        r.user_id: (r.n_events, r.decayed_events, r.decayed_value)
+        for r in decayed_counts(df, at=t2, half_life_days=hl).collect()
+    }
+    assert direct[1][0] == 3  # the Feb 5 event is excluded
+    early = {
+        r.user_id: (r.decayed_events, r.decayed_value)
+        for r in decayed_counts(
+            df.filter(f"ts <= timestamp'{t1}'"), at=t1, half_life_days=hl
+        ).collect()
+    }
+    late = {
+        r.user_id: (r.decayed_events, r.decayed_value)
+        for r in decayed_counts(
+            df.filter(f"ts > timestamp'{t1}'"), at=t2, half_life_days=hl
+        ).collect()
+    }
+    scale = 0.5 ** (((t2 - t1).total_seconds() / 86400.0) / hl)
+    for u in direct:
+        for i in (0, 1):
+            folded = early.get(u, (0.0, 0.0))[i] * scale + late.get(
+                u, (0.0, 0.0)
+            )[i]
+            assert abs(folded - direct[u][i + 1]) < 2e-3, (u, i)
