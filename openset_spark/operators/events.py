@@ -430,3 +430,76 @@ def decayed_counts(
         F.round(F.sum(w), 4).alias("decayed_events"),
         F.round(F.sum(w * F.col(value_col)), 4).alias("decayed_value"),
     )
+
+
+def decayed_partials(
+    df: DataFrame,
+    half_life_days: float = 7.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(user, day) decayed partials, each evaluated at ITS OWN
+    day-end boundary — the stored half of decayed_counts (write with
+    pipeline.sliding.write_sliding_partials: the frame carries the
+    ``_day`` column that partitions the store). A day's partial
+    never changes once the day closes, so the maintainer only ever
+    appends/overwrites the current day."""
+    if half_life_days <= 0:
+        raise ValueError(f"half_life_days must be > 0: {half_life_days}")
+    import math
+
+    lam = math.log(2.0) / float(half_life_days)
+    day = F.to_date(F.col(ts_col))
+    day_end = F.date_add(day, 1).cast("timestamp")
+    age_days = (
+        F.unix_micros(day_end) - F.unix_micros(F.col(ts_col))
+    ) / F.lit(86400e6)
+    w = F.exp(-F.lit(lam) * age_days)
+    return df.groupBy(
+        F.col(user_col).alias(user_col), day.alias("_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(w).alias("de"),
+        F.sum(w * F.col(value_col)).alias("dv"),
+    )
+
+
+def decayed_from_partials(
+    parts: DataFrame,
+    at,
+    half_life_days: float = 7.0,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """decayed_counts from STORED per-(user, day) partials: each
+    day's partial rescales from its own day-end boundary to ``at``
+    by the constant 0.5^(gap/half_life) and the rescaled partials
+    sum per user — the bounded partial table (users x days) answers
+    any evaluation time without rescanning raw events. Days at or
+    after ``at``'s date are excluded (their rows could contain
+    future events; re-aggregate the current open day from raw if
+    sub-day freshness is needed).
+
+    Float note — the ONE fold in the store family that is not
+    bit-exact: exp(a)*exp(b) and exp(a+b) differ in the last ulp,
+    so maintained == direct holds to ~1e-12 relative, inside the
+    ROUND(4) surface (tolerance-locked in pytest, unlike the
+    max/sum/k-min folds' exact equality)."""
+    if half_life_days <= 0:
+        raise ValueError(f"half_life_days must be > 0: {half_life_days}")
+    import math
+
+    lam = math.log(2.0) / float(half_life_days)
+    day_end = F.date_add(F.col("_day"), 1).cast("timestamp")
+    gap_days = (
+        F.unix_micros(F.lit(at)) - F.unix_micros(day_end)
+    ) / F.lit(86400e6)
+    scale = F.exp(-F.lit(lam) * gap_days)
+    kept = parts.filter(
+        F.col("_day") < F.lit(at.date() if hasattr(at, "date") else at)
+    )
+    return kept.groupBy(user_col).agg(
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.sum(F.col("de") * scale), 4).alias("decayed_events"),
+        F.round(F.sum(F.col("dv") * scale), 4).alias("decayed_value"),
+    )

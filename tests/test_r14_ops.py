@@ -310,3 +310,43 @@ def test_decayed_counts_fold_law_and_leakage(spark):
                 u, (0.0, 0.0)
             )[i]
             assert abs(folded - direct[u][i + 1]) < 2e-3, (u, i)
+
+
+def test_decayed_store_roundtrip_matches_direct(spark, tmp_path):
+    """The stored half: per-(user, day) partials written
+    day-partitioned, read back, rescaled to the evaluation time —
+    equal to the direct build on all of n_events (exact) and the
+    rounded decayed sums (the exp(a)*exp(b) ulp makes this the one
+    tolerance fold in the store family)."""
+    import datetime as dt
+    import os
+
+    from openset_spark.operators.events import (
+        decayed_counts,
+        decayed_from_partials,
+        decayed_partials,
+    )
+    from openset_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    at = dt.datetime(2024, 1, 31)
+    parts = decayed_partials(ev, half_life_days=7.0)
+    store = os.path.join(str(tmp_path), "decayed")
+    # the partial frame already carries _day — write partitioned
+    parts.write.partitionBy("_day").parquet(store)
+    stored = spark.read.parquet(store)
+    got = {
+        r.user_id: (r.n_events, r.decayed_events, r.decayed_value)
+        for r in decayed_from_partials(
+            stored, at=at, half_life_days=7.0
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.decayed_events, r.decayed_value)
+        for r in decayed_counts(ev, at=at, half_life_days=7.0).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], u  # exact event counts
+        for i in (1, 2):
+            assert abs(got[u][i] - want[u][i]) <= 1e-3, (u, i)
