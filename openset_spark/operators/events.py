@@ -442,7 +442,8 @@ def decayed_partials(
     """Per-(user, day) decayed partials, each evaluated at ITS OWN
     day-end boundary — the stored half of decayed_counts (write with
     pipeline.sliding.write_sliding_partials: the frame carries the
-    ``_day`` column that partitions the store). A day's partial
+    ``_db`` day-bucket column the store machinery partitions and
+    folds on). A day's partial
     never changes once the day closes, so the maintainer only ever
     appends/overwrites the current day."""
     if half_life_days <= 0:
@@ -450,14 +451,14 @@ def decayed_partials(
     import math
 
     lam = math.log(2.0) / float(half_life_days)
-    day = F.to_date(F.col(ts_col))
-    day_end = F.date_add(day, 1).cast("timestamp")
+    day = F.date_trunc("day", F.col(ts_col))
+    day_end = day + F.expr("interval 1 day")
     age_days = (
         F.unix_micros(day_end) - F.unix_micros(F.col(ts_col))
     ) / F.lit(86400e6)
     w = F.exp(-F.lit(lam) * age_days)
     return df.groupBy(
-        F.col(user_col).alias(user_col), day.alias("_day")
+        F.col(user_col).alias(user_col), day.alias("_db")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(w).alias("de"),
@@ -490,16 +491,30 @@ def decayed_from_partials(
     import math
 
     lam = math.log(2.0) / float(half_life_days)
-    day_end = F.date_add(F.col("_day"), 1).cast("timestamp")
+    day_end = F.col("_db") + F.expr("interval 1 day")
     gap_days = (
         F.unix_micros(F.lit(at)) - F.unix_micros(day_end)
     ) / F.lit(86400e6)
     scale = F.exp(-F.lit(lam) * gap_days)
     kept = parts.filter(
-        F.col("_day") < F.lit(at.date() if hasattr(at, "date") else at)
+        F.col("_db") < F.date_trunc("day", F.lit(at))
     )
     return kept.groupBy(user_col).agg(
         F.sum("n_events").cast("long").alias("n_events"),
         F.round(F.sum(F.col("de") * scale), 4).alias("decayed_events"),
         F.round(F.sum(F.col("dv") * scale), 4).alias("decayed_value"),
+    )
+
+
+def decayed_fold(parts: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Compose same-(user, day) decayed partials — plain SUMS at the
+    fixed day-end boundary, so unlike the rescale in
+    decayed_from_partials this fold is BIT-exact only up to double
+    summation order; n_events is exact. The maintainer fold for a
+    live decayed-counter store (pipeline.sliding.
+    sliding_store_maintainer with tb_col='_db')."""
+    return parts.groupBy(user_col, "_db").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("de").alias("de"),
+        F.sum("dv").alias("dv"),
     )

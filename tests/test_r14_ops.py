@@ -330,11 +330,12 @@ def test_decayed_store_roundtrip_matches_direct(spark, tmp_path):
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     at = dt.datetime(2024, 1, 31)
+    from openset_spark.pipeline.sliding import write_sliding_partials
+
     parts = decayed_partials(ev, half_life_days=7.0)
     store = os.path.join(str(tmp_path), "decayed")
-    # the partial frame already carries _day — write partitioned
-    parts.write.partitionBy("_day").parquet(store)
-    stored = spark.read.parquet(store)
+    write_sliding_partials(parts, store, "_db")
+    stored = spark.read.parquet(store).drop("_day")
     got = {
         r.user_id: (r.n_events, r.decayed_events, r.decayed_value)
         for r in decayed_from_partials(

@@ -330,3 +330,78 @@ def test_maintained_hdr_and_cms_stores_sum_fold_exactly(spark, sf_dir, tmpdir):
         batch, "user_id", probes, "ts", "hour", 6
     ).collect()))
     assert got == want and len(want) >= 5
+
+
+def test_maintained_decayed_store_matches_direct(spark, sf_dir, tmpdir):
+    """decayed counters, the fifth store family member: N
+    micro-batches through the SAME foreachBatch maintainer
+    (partials keyed on the _db day bucket, sum-fold) == fresh
+    per-day partials on n_events exactly and on de/dv within double
+    summation-order noise; the rescale fold over the maintained
+    store answers within the ROUND(4) surface of the direct
+    decayed_counts build."""
+    import datetime as dt
+
+    from openset_spark.operators.events import (
+        decayed_counts,
+        decayed_fold,
+        decayed_from_partials,
+        decayed_partials,
+    )
+
+    src = os.path.join(tmpdir, "events")
+    os.makedirs(src)
+    _spill_events(spark, sf_dir, src)
+    store = os.path.join(tmpdir, "store_decayed")
+    fn = sliding_store_maintainer(
+        store,
+        lambda df: decayed_partials(df, half_life_days=7.0),
+        decayed_fold,
+        "_db",
+    )
+    q = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(fn)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_dc"))
+        .start()
+    )
+    q.awaitTermination()
+
+    maintained = spark.read.parquet(store).drop("_day")
+    fresh = {
+        (r.user_id, r._db): (r.n_events, r.de, r.dv)
+        for r in decayed_partials(
+            _batch_frame(spark, src), half_life_days=7.0
+        ).collect()
+    }
+    got = {
+        (r.user_id, r._db): (r.n_events, r.de, r.dv)
+        for r in maintained.collect()
+    }
+    assert set(got) == set(fresh)
+    for k in fresh:
+        assert got[k][0] == fresh[k][0], k
+        for i in (1, 2):
+            assert abs(got[k][i] - fresh[k][i]) <= 1e-9 * (
+                1.0 + abs(fresh[k][i])
+            ), (k, i)
+
+    at = dt.datetime(2024, 2, 1)
+    want = {
+        r.user_id: (r.n_events, r.decayed_events, r.decayed_value)
+        for r in decayed_counts(
+            _batch_frame(spark, src), at=at, half_life_days=7.0
+        ).collect()
+    }
+    ans = {
+        r.user_id: (r.n_events, r.decayed_events, r.decayed_value)
+        for r in decayed_from_partials(
+            maintained, at=at, half_life_days=7.0
+        ).collect()
+    }
+    assert set(ans) == set(want)
+    for u in want:
+        assert ans[u][0] == want[u][0], u
+        for i in (1, 2):
+            assert abs(ans[u][i] - want[u][i]) <= 1e-3, (u, i)
