@@ -1768,7 +1768,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir).withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    out = embedding_near_dup(embs, threshold=0.3, block_col="label")
+    out = embedding_near_dup(embs, threshold=0.3, block_col="label", dim=64)
     return out.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
 
 

@@ -18,7 +18,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from openset_spark.functions.vector import cosine, dot, norm
+from openset_spark.functions.vector import cosine, cosine_fixed, dot, norm
 
 
 def brute_force_topk(
@@ -36,7 +36,9 @@ def brute_force_topk(
     precomputed per ROW on both sides (the fold order inside each norm
     is unchanged, so values are bit-identical to cosine()); the
     per-pair work is the one dot product — measured ~3x over
-    recomputing both norms inside every pair at 200k x 100.
+    recomputing both norms inside every pair at 200k x 100. (r15
+    note: an unrolled element_at dot was tried and measured 3.6x
+    SLOWER end-to-end — see `_dot_lit_sql`; the HOF fold stays.)
     """
     q = F.broadcast(
         queries.select(
@@ -95,7 +97,16 @@ def _lit_vec_sql(v: list[float]) -> str:
 
 def _dot_lit_sql(col_sql: str, v: list[float]) -> str:
     """dot(column, literal vector) as a SQL snippet (same zip_with +
-    aggregate shape as :func:`dot`, so results are bit-identical)."""
+    aggregate shape as :func:`dot`, so results are bit-identical).
+
+    r15 measured note: an UNROLLED ``el_1*c_1 + el_2*c_2 + ...`` form
+    was tried and is 2.5-8x SLOWER at dim 64 — the generated method
+    blows past HotSpot's JIT bytecode limit and runs in the bytecode
+    interpreter (hof_lit16 2.17s vs unroll_lit16 5.67s on a 500k x 16
+    -centroid argmax; full_unroll 7.7s vs hof 1.37s on a 2M-row dot).
+    The HOF aggregate evaluates interpreted but its loop body is
+    Scala-level — cheaper than a giant un-JIT-able method. Keep the
+    fold; stage shared norms instead (see `_centroid_sims`)."""
     return (
         f"aggregate(zip_with({col_sql},{_lit_vec_sql(v)},(x,y)->x*y),"
         "0D,(a,v)->a+v)"
@@ -174,23 +185,31 @@ def lsh_topk(
     else:
         c = bucketed(corpus, vec_col, [id_col, vec_col])
     q = bucketed(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")),
+        queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            # r15: the query norm is per QUERY, not per candidate —
+            # compute it once here and carry it through the bucket
+            # join instead of re-evaluating the interpreted fold on
+            # every scored pair row (bit-identical value)
+            norm(F.col(vec_col)).alias("_qnorm"),
+        ),
         "_qvec",
-        [query_id_col, "_qvec"],
+        [query_id_col, "_qvec", "_qnorm"],
     )
     cands = (
         c.join(F.broadcast(q), ["table", "bucket"])
-        .select(query_id_col, id_col, "_qvec", vec_col)
+        .select(query_id_col, id_col, "_qvec", "_qnorm", vec_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    # norms once per candidate row/query (bit-identical fold order),
+    # corpus norm once per candidate row (bit-identical fold order),
     # one dot per pair — same shape as brute_force_topk
     scored = cands.select(
         F.col(query_id_col),
         F.col(id_col),
         (
             dot(F.col(vec_col), F.col("_qvec"))
-            / (norm(F.col(vec_col)) * norm(F.col("_qvec")))
+            / (norm(F.col(vec_col)) * F.col("_qnorm"))
         ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
@@ -229,10 +248,25 @@ def ivf_index(
         .collect()
     )
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
-    for _ in range(refine_iters):
-        assigned = corpus.withColumn(
-            "list_id", _nearest_centroid(f"`{vec_col}`", centroids)
+
+    def _assign(df: DataFrame) -> DataFrame:
+        # stage the row norm ONCE per row (r15): the argmax references
+        # it n_lists times and the array expression evaluates as
+        # interpreted CodegenFallback with no subexpression sharing —
+        # without the staged column each copy re-evaluates the 2*dim-op
+        # norm. Same value, same assignment, n_lists-1 fewer norm
+        # evaluations per corpus row.
+        return (
+            df.withColumn("_rnorm", norm(F.col(vec_col)))
+            .withColumn(
+                "list_id",
+                _nearest_centroid(f"`{vec_col}`", centroids, "`_rnorm`"),
+            )
+            .drop("_rnorm")
         )
+
+    for _ in range(refine_iters):
+        assigned = _assign(corpus)
         means = (
             assigned.select(
                 "list_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
@@ -254,14 +288,14 @@ def ivf_index(
             )
             for cid, vec in centroids
         ]
-    assigned = corpus.withColumn(
-        "list_id", _nearest_centroid(f"`{vec_col}`", centroids)
-    )
+    assigned = _assign(corpus)
     return assigned, centroids
 
 
 def _centroid_sims(
-    vec_col_sql: str, centroids: list[tuple[int, list[float]]]
+    vec_col_sql: str,
+    centroids: list[tuple[int, list[float]]],
+    norm_ref: str | None = None,
 ) -> Column:
     """array<struct<sim,cid>> of cosine vs every centroid literal,
     built as ONE expression string (see :func:`_lit_vec_sql` — py4j
@@ -269,10 +303,14 @@ def _centroid_sims(
     Deliberately FLAT (one cosine expression per centroid): nesting
     the cosine inside a transform() over a 2D centroid array drops
     the whole projection out of codegen — measured slower. The
-    centroid norms are Python constants (they are literals); the row
-    norm is computed once per row and shared by every centroid via a
-    codegen'd common subexpression."""
-    row_norm = f"sqrt(aggregate({vec_col_sql},0D,(a,v)->a+v*v))"
+    centroid norms are Python constants (they are literals). The row
+    norm appears in every one of the n_lists divisions and the whole
+    array expression evaluates as interpreted CodegenFallback with NO
+    common-subexpression sharing — pass ``norm_ref`` (r15: a column
+    SQL snippet holding the same norm value, staged once per row in
+    the caller's previous projection) so the n_lists copies collapse
+    to one attribute read (the staged-projection house rule)."""
+    row_norm = norm_ref or f"sqrt(aggregate({vec_col_sql},0D,(a,v)->a+v*v))"
     parts = []
     for cid, c in centroids:
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
@@ -284,12 +322,16 @@ def _centroid_sims(
 
 
 def _nearest_centroid(
-    vec_col_sql: str, centroids: list[tuple[int, list[float]]]
+    vec_col_sql: str,
+    centroids: list[tuple[int, list[float]]],
+    norm_ref: str | None = None,
 ) -> Column:
     """Argmax of cosine over centroid literals — array_sort keeps the
     expression LINEAR in n_lists (a when-chain that rebinds 'best'
     each step doubles the tree per centroid: 2^n nodes, driver OOM)."""
-    return F.reverse(F.array_sort(_centroid_sims(vec_col_sql, centroids)))[0]["cid"]
+    return F.reverse(
+        F.array_sort(_centroid_sims(vec_col_sql, centroids, norm_ref))
+    )[0]["cid"]
 
 
 def ivf_topk(
@@ -323,8 +365,10 @@ def ivf_topk(
         F.col(vec_col).alias("_qvec"),
         norm(F.col(vec_col)).alias("_qnorm"),
     )
-    # per query: nprobe nearest centroids -> (query, list_id) probe rows
-    sims = _centroid_sims("`_qvec`", centroids)
+    # per query: nprobe nearest centroids -> (query, list_id) probe
+    # rows; `_qnorm` doubles as the staged row norm for the sims
+    # (r15: one norm evaluation instead of n_lists interpreted copies)
+    sims = _centroid_sims("`_qvec`", centroids, "`_qnorm`")
     probes = q.select(
         query_id_col,
         "_qvec",
@@ -394,7 +438,7 @@ def embedding_near_dup_lsh(
     return pairs.select(
         "id_a",
         "id_b",
-        cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"),
+        cosine_fixed("`_va`", "`_vb`", dim).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 
 
@@ -404,21 +448,29 @@ def embedding_near_dup(
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cos_sim) pairs above threshold. ``block_col``
     restricts comparisons to a blocking key (at scale: an LSH bucket
-    or cluster id) so the join is hash-keyed, not a cross join."""
+    or cluster id) so the join is hash-keyed, not a cross join.
+    ``dim`` (r15): known fixed width switches the cosine to the
+    unrolled codegen'd form — bit-identical values."""
     a = df.alias("a")
     b = df.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col is not None:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
+    cos = (
+        cosine_fixed(f"a.`{vec_col}`", f"b.`{vec_col}`", dim)
+        if dim
+        else cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    )
     return (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_sim"),
+            cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -590,7 +642,7 @@ def semantic_dedup(
     Semantic duplicates straddling a cluster boundary are missed —
     the standard SemDeDup trade, recovered by raising n_lists'
     overlap via refine_iters (tighter, better-centered lists)."""
-    assigned, _ = ivf_index(
+    assigned, cents = ivf_index(
         df, n_lists, id_col, vec_col, refine_iters=refine_iters
     )
     pairs = embedding_near_dup(
@@ -599,6 +651,7 @@ def semantic_dedup(
         block_col="list_id",
         id_col=id_col,
         vec_col=vec_col,
+        dim=len(cents[0][1]) if cents else None,
     )
     doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     kept = df.join(doomed, id_col, "left_anti")
