@@ -557,7 +557,10 @@ SCRIPT_WHITESPACE = " \t\n\r\f" + chr(0x0B)
 
 
 def script_profile(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: dict | None = None,
 ) -> DataFrame:
     """Per-doc Unicode script histogram + dominant script — the
     multilingual-corpus routing/QA signal beside lang_id (a doc
@@ -570,9 +573,17 @@ def script_profile(
     the counts with ties to SCRIPT_CLASSES order then 'other';
     whitespace is excluded from n_chars and from 'other'. One
     STAGED projection per class (the parse_urls lesson: the shared
-    text column binds once, each class regex runs once per row)."""
+    text column binds once, each class regex runs once per row).
+
+    ``extra_cols`` ({name: Column}) ride along in the entry
+    projection — the lang_id fusion hook (r15): a consumer that
+    needs script + another per-row signal computes both in ONE scan
+    instead of joining two derived frames (lang_script_agreement
+    dropped from two text scans + a join to one scan this way)."""
+    extra_cols = extra_cols or {}
     cur = df.select(
         F.col(id_col),
+        *[c.alias(n) for n, c in extra_cols.items()],
         F.regexp_replace(
             F.col(text_col), "[" + SCRIPT_WHITESPACE + "]", ""
         ).alias("_t"),
@@ -607,6 +618,7 @@ def script_profile(
     )
     return cur.select(
         id_col,
+        *extra_cols.keys(),
         F.col("n_chars").cast("long").alias("n_chars"),
         *names,
         "n_other",
@@ -621,16 +633,35 @@ def lang_script_agreement(
     audit the script_profile docstring promises: a language guess
     whose docs' dominant script disagrees with the language's
     expected script (an 'en' bucket that is mostly Cyrillic) marks
-    broken routing or encoding damage upstream. Two one-pass
-    per-doc projections joined on the id, then one bounded
-    (|langs|+1) x (|scripts|+1) aggregate — the lang_confusion
-    shape with the script column as the second axis."""
-    lang = lang_id(df, text_col, id_col).select(id_col, "lang_guess")
-    script = script_profile(df, text_col, id_col).select(
-        id_col, "main_script"
+    broken routing or encoding damage upstream.
+
+    ONE text scan (r15; was two scans joined on the id — half the
+    read cost at corpus scale): the stopword-hit columns ride
+    script_profile's entry projection via ``extra_cols`` (the
+    lang_id fusion hook), the language argmax is the IDENTICAL
+    expression lang_id builds over those columns, and the result
+    feeds one bounded (|langs|+1) x (|scripts|+1) aggregate — the
+    lang_confusion shape with the script column as the second
+    axis. No join anywhere in the plan (plan-fenced in
+    tests/test_r14_ops.py)."""
+    toks = tokens(F.col(text_col))
+    hits = {
+        f"hits_{lang}": stopword_hits(toks, lang).cast("long")
+        for lang in STOPWORDS
+    }
+    prof = script_profile(df, text_col, id_col, extra_cols=hits)
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.coalesce(
+        *[F.when(F.col(f"hits_{lang}") == best, F.lit(lang)) for lang in langs]
     )
     return (
-        lang.join(script, id_col)
+        prof.select(
+            F.when(best > 0, guess).otherwise(F.lit("unknown")).alias(
+                "lang_guess"
+            ),
+            "main_script",
+        )
         .groupBy("lang_guess", "main_script")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

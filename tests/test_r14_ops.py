@@ -351,3 +351,22 @@ def test_decayed_store_roundtrip_matches_direct(spark, tmp_path):
         assert got[u][0] == want[u][0], u  # exact event counts
         for i in (1, 2):
             assert abs(got[u][i] - want[u][i]) <= 1e-3, (u, i)
+
+
+def test_lang_script_agreement_single_scan_no_join(spark, sf_dir):
+    """r15: the audit fuses lang_id's stopword hits into
+    script_profile's entry projection — ONE scan of the corpus, no
+    join. A second scan or a join reappearing here would double the
+    read cost at corpus scale."""
+    from openset_spark.pipeline.textstats import lang_script_agreement
+    from openset_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        lang_script_agreement(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
