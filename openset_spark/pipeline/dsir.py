@@ -53,10 +53,17 @@ def _gram_buckets(df: DataFrame, k: int, text_col: str, *keep):
 
 
 def _bucket_counts(df: DataFrame, k: int, text_col: str, prefix: str):
+    """Bucket histogram (<= k rows) + its total. The histogram is
+    localCheckpoint'd (r15): it is BOUNDED by k, and without the cut
+    the ``total`` branch re-executes the whole md5-per-gram corpus
+    pass (AQE does not reuse the exchange across the two branches —
+    measured: the old plan ran FIVE gram passes for one
+    importance_weights call, see plans/r15/dsir_weights_before.txt)."""
     counts = (
         _gram_buckets(df, k, text_col)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias(f"{prefix}c"))
+        .localCheckpoint()
     )
     total = counts.agg(F.sum(f"{prefix}c").alias(f"{prefix}tot"))
     return counts, total
@@ -75,31 +82,59 @@ def importance_weights(
     ``raw`` defaults to ``docs`` (score against their own
     distribution, the common DSIR setup). Documents with no tokens
     produce the empty gram set and are excluded."""
-    if raw is None:
-        raw = docs
     pc, ptot = _bucket_counts(target, k, text_col, "p")
-    qc, qtot = _bucket_counts(raw, k, text_col, "q")
-    dg = _gram_buckets(docs, k, text_col, F.col(id_col))
+    lr = F.log(
+        (F.coalesce(F.col("pc"), F.lit(0)) + 1) / (F.col("ptot") + F.lit(k))
+    ) - F.log(
+        (F.coalesce(F.col("qc"), F.lit(0)) + 1) / (F.col("qtot") + F.lit(k))
+    )
+    if raw is not None:
+        # explicit raw distribution: its counts need their own pass
+        qc, qtot = _bucket_counts(raw, k, text_col, "q")
+        dg = _gram_buckets(docs, k, text_col, F.col(id_col))
+        scored = (
+            dg.join(F.broadcast(pc), "bucket", "left")
+            .join(F.broadcast(qc), "bucket", "left")
+            .crossJoin(F.broadcast(ptot))
+            .crossJoin(F.broadcast(qtot))
+            .withColumn("_lr", lr)
+        )
+        return scored.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("_lr"), 4).alias("log_weight"),
+        )
+    # raw defaults to docs: derive the raw bucket counts FROM the
+    # scoring pass instead of scanning + hashing the corpus grams a
+    # second time (r15; guide §2.4/§1.2 — remove passes). The
+    # (id, bucket) count frame is bounded by |docs| * k rows (vs the
+    # raw gram-instance stream) and localCheckpoint'd so the qc
+    # branch and the scoring branch both read the materialization —
+    # AQE does not reuse the exchange across plan branches
+    # (measured), so without the cut each branch re-runs the
+    # md5-per-gram pass. Net: 5 corpus-scale gram passes -> 2 (docs
+    # once, target once). Summing cnt * lr per bucket replaces
+    # adding lr once per gram instance — the same <=1e-13 relative
+    # reassociation already accepted by the ROUND(4) contract (the
+    # oracle's own instance sum runs in DuckDB's order); locked
+    # green against the oracle at sf0.001/0.01/0.1.
+    bc = (
+        _gram_buckets(docs, k, text_col, F.col(id_col))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint()
+    )
+    qc = bc.groupBy("bucket").agg(F.sum("_cnt").alias("qc"))
+    qtot = qc.agg(F.sum("qc").alias("qtot"))
     scored = (
-        dg.join(F.broadcast(pc), "bucket", "left")
+        bc.join(F.broadcast(pc), "bucket", "left")
         .join(F.broadcast(qc), "bucket", "left")
         .crossJoin(F.broadcast(ptot))
         .crossJoin(F.broadcast(qtot))
-        .withColumn(
-            "_lr",
-            F.log(
-                (F.coalesce(F.col("pc"), F.lit(0)) + 1)
-                / (F.col("ptot") + F.lit(k))
-            )
-            - F.log(
-                (F.coalesce(F.col("qc"), F.lit(0)) + 1)
-                / (F.col("qtot") + F.lit(k))
-            ),
-        )
+        .withColumn("_lr", lr)
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.round(F.sum("_lr"), 4).alias("log_weight"),
+        F.sum("_cnt").alias("n_grams"),
+        F.round(F.sum(F.col("_cnt") * F.col("_lr")), 4).alias("log_weight"),
     )
 
 
