@@ -2474,7 +2474,10 @@ def q_segment_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hll_partials(
         ev.filter(F.col("event_type") == "purchase"), "user_id"
     )
-    return hll_intersect_estimate(a, b)
+    # r15: inclusion-exclusion references each <=1024-row register
+    # table twice; materialize so the md5 event pass runs once per
+    # side (was 4 event scans in one plan).
+    return hll_intersect_estimate(a.localCheckpoint(), b.localCheckpoint())
 
 
 _SQL_SEGMENT_OVERLAP_APPROX = """
@@ -2701,7 +2704,10 @@ def q_segment_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = kmv_partials(
         ev.filter(F.col("event_type") == "purchase"), "user_id"
     )
-    return kmv_jaccard(a, b)
+    # r15: the joint estimator references each <=512-row sketch
+    # several times; materialize so the event scan runs once per
+    # side (the kmv module's documented posture).
+    return kmv_jaccard(a.localCheckpoint(), b.localCheckpoint())
 
 
 _SQL_SEGMENT_JACCARD_KMV = """
@@ -2755,7 +2761,8 @@ def q_segment_difference_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = kmv_partials(
         ev.filter(F.col("event_type") == "purchase"), "user_id"
     )
-    return kmv_difference(a, b)
+    # r15: same bounded-sketch materialization as segment_jaccard_kmv
+    return kmv_difference(a.localCheckpoint(), b.localCheckpoint())
 
 
 _SQL_SEGMENT_DIFFERENCE_KMV = """
@@ -3246,7 +3253,13 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
         .filter(F.length("tok") > 0)
     )
-    sk = kmv_partials(toks, "tok", ("source",), 512)
+    # r15: the overlap matrix references the sketch frame ~10x and
+    # AQE does not reuse exchanges across plan branches — without the
+    # cut each reference re-ran the explode+md5 corpus pass (22
+    # document scans in one plan, plans/r15/). The sketch is bounded
+    # (<= |sources| * 512 rows): exactly the "materialize it first"
+    # posture the kmv module documents.
+    sk = kmv_partials(toks, "tok", ("source",), 512).localCheckpoint()
     return kmv_overlap_matrix(sk, "source", 512).orderBy(
         "key_a", "key_b"
     )
