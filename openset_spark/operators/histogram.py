@@ -59,11 +59,19 @@ def histogram(
     ``per_user_scalar`` must have one row per user (user_col, value_col).
     """
     idx = _bucket_idx(value_col, bucket, max_value)
+    # r15: the zero-fill below references this frame twice (bounds +
+    # the full-outer join) and AQE does not reuse exchanges across
+    # plan branches, so without the cut the WHOLE upstream (often a
+    # full event scan + per-user aggregate) executed twice — measured
+    # 4 event scans in histogram_weeks_since's plan, 2 after. The
+    # bucketed histogram is bounded by the bucket count, so the
+    # materialization is display-sized.
     hist = (
         per_user_scalar.select(idx.alias("_idx"), F.col(user_col))
         .filter(F.col("_idx").isNotNull())
         .groupBy("_idx")
         .agg(F.countDistinct(user_col).alias("people"))
+        .localCheckpoint()
     )
     # Zero-fill per the reference's jsonResultHistogramFill
     # (src/result.cpp:780-941):
