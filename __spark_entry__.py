@@ -2543,10 +2543,17 @@ def q_cms_token_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(tokens(F.col("text"))).alias("tok"))
         .filter(F.length("tok") > 0)
     )
-    sk = cms_partials(toks, "tok", (), depth=4, width=2048)
+    # r15: the grid is bounded (4 x 2048 counter rows) — materialize
+    # it, and read the total occurrence count off depth row 0 (every
+    # depth row counts each instance exactly once, so sum(cnt WHERE
+    # d=0) IS count(*) of the token stream). 3 explode passes -> 2
+    # (the candidate-token distinct still needs the strings).
+    sk = cms_partials(toks, "tok", (), depth=4, width=2048).localCheckpoint()
     cands = toks.select("tok").distinct()
     est = cms_estimate(sk, cands, "tok", (), 4, 2048)
-    total = toks.select(F.count(F.lit(1)).alias("_n"))
+    total = sk.filter(F.col("d") == 0).agg(
+        F.sum("cnt").alias("_n")
+    )
     return (
         est.crossJoin(F.broadcast(total))
         .filter(F.col("est") * 500 >= F.col("_n"))

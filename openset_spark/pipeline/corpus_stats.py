@@ -540,12 +540,20 @@ def source_divergence(
     toks = df.select(
         F.col(group_col), F.explode(tokens(F.col(text_col))).alias("w")
     )
-    sw = toks.groupBy(group_col, "w").agg(
-        F.count(F.lit(1)).alias("c_sw")
+    # r15: every marginal is an exact integer fold of the (source,
+    # word) count table — derive all three from ONE tokenize+explode
+    # pass instead of four (AQE does not share the scan across plan
+    # branches; measured 4 document scans -> 1). sw is bounded by
+    # |vocab| x |sources| rows — far below the token-instance stream
+    # — so the lineage cut is the model-sized materialization.
+    sw = (
+        toks.groupBy(group_col, "w")
+        .agg(F.count(F.lit(1)).alias("c_sw"))
+        .localCheckpoint(eager=False)
     )
-    wtot = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
-    stot = toks.groupBy(group_col).agg(F.count(F.lit(1)).alias("t_s"))
-    gtot = toks.agg(F.count(F.lit(1)).alias("t"))
+    wtot = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    stot = sw.groupBy(group_col).agg(F.sum("c_sw").alias("t_s"))
+    gtot = sw.agg(F.sum("c_sw").alias("t"))
     d38 = "decimal(38,0)"
     joined = (
         sw.join(wtot, "w")
