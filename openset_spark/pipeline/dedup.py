@@ -414,9 +414,28 @@ def dup_clusters(
     union-find (collect bounded by the threshold — the same
     small-side judgement a broadcast join makes); pass None to force
     the distributed loop."""
-    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    rev = pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b"))
-    edges = fwd.union(rev).filter(F.col("a") != F.col("b")).distinct()
+    # r15: symmetrize with ONE reference to ``pairs`` — the union of
+    # two selects executed the entire upstream pair-generation
+    # pipeline twice (AQE does not reuse exchanges across plan
+    # branches; measured 2x the LSH candidate cost on the bench's
+    # minhash composition). explode duplicates each row JVM-side.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("a"), F.col(id_a).alias("b")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
     if algorithm == "star":
         edges = edges.localCheckpoint()
         if (
@@ -500,7 +519,16 @@ def _cc_star(edges: DataFrame, max_iter: int):
     stars around their minimum id."""
 
     def large_star(e: DataFrame) -> DataFrame:
-        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        # e is always a materialized checkpoint here, so the two sym
+        # references only re-read it; explode still halves the reads
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        ).select("_e.a", "_e.b")
         m = sym.groupBy("a").agg(F.min("b").alias("_mn"))
         m = m.select("a", F.least("a", "_mn").alias("_m"))
         return (
@@ -517,9 +545,16 @@ def _cc_star(edges: DataFrame, max_iter: int):
         )
         m = o.groupBy("a").agg(F.min("b").alias("_m"))
         j = o.join(m, "a")
-        out = j.select(F.col("b").alias("a"), F.col("_m").alias("b")).union(
-            j.select("a", F.col("_m").alias("b"))
-        )
+        # one reference to the join (the union of two j-selects ran
+        # the whole join — and its uncheckpointed upstream — twice)
+        out = j.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("b").alias("a"), F.col("_m").alias("b")),
+                    F.struct(F.col("a"), F.col("_m").alias("b")),
+                )
+            ).alias("_e")
+        ).select("_e.a", "_e.b")
         return out.filter(F.col("a") != F.col("b")).distinct()
 
     def sig(e: DataFrame):
@@ -535,9 +570,15 @@ def _cc_star(edges: DataFrame, max_iter: int):
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # lazy checkpoint: the signature probe right after is the one
-        # action per round (eager would pay a second job)
-        cur = small_star(large_star(cur)).localCheckpoint(eager=False)
+        # lazy checkpoints: the signature probe right after is the one
+        # action per round (eager would pay a second job). The
+        # intermediate large-star frame is checkpointed too —
+        # small_star references its input twice (min-map build +
+        # join), which re-ran the whole large-star shuffle per
+        # reference before r15.
+        cur = small_star(
+            large_star(cur).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False)
         new_sig = sig(cur)
         if new_sig == cur_sig:
             break

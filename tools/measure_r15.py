@@ -70,8 +70,12 @@ def main() -> None:
         samples = []
         for _ in range(args.reps):
             spark.sparkContext.setJobDescription(f"r15:{name}")
-            df = qs[name](spark, sf_dir)
+            # build INSIDE the timed region, exactly like bench.py —
+            # queries with eager driver-path work (dup_clusters'
+            # union-find short-circuit, eager localCheckpoints) do
+            # real computation at build time
             t0 = time.time()
+            df = qs[name](spark, sf_dir)
             if args.sink == "noop":
                 df.write.format("noop").mode("overwrite").save()
             else:
