@@ -675,13 +675,14 @@ def embedding_outliers(
     engines, unlike a row-order-dependent group sum).
 
     Scale shape: centroids are |groups| x dim — broadcast; the
-    distance pass is map-only. The per-group top-k is TWO-PHASE:
-    a local top-k inside each scan partition (window over
-    (group, partition_id) — bounded by partition size), then the
-    global top-k over <= k x n_partitions survivors — group
-    cardinality is small (labels, sources), so a single-phase
-    group window would pin each group's WHOLE row count on one
-    reducer at 100 TB."""
+    distance pass is map-only. The per-group top-k is two-phase via
+    the engine's rank-limit pushdown (SPARK-37099): a Partial
+    WindowGroupLimit truncates every map partition to k rows per
+    group BEFORE the exchange, so the reducer sees <= k x
+    n_partitions survivors even though group cardinality is small
+    (labels, sources) — the hand-rolled (group, partition_id)
+    pre-window the r15 round removed duplicated that bound at the
+    cost of an extra Sort+Exchange+Window pass."""
     from openset_spark.pipeline.similarity import embedding_centroids
 
     cents = embedding_centroids(df, group_col=group_col, vec_col=vec_col)
@@ -707,19 +708,10 @@ def embedding_outliers(
         group_col,
         F.col(id_col),
         (F.round(d2, 4) + F.lit(0.0)).alias("d2"),
-        F.spark_partition_id().alias("_pid"),
-    )
-    local_w = Window.partitionBy(group_col, "_pid").orderBy(
-        F.desc("d2"), F.asc(id_col)
-    )
-    survivors = (
-        scored.withColumn("_lr", F.row_number().over(local_w))
-        .filter(F.col("_lr") <= k)
-        .drop("_pid", "_lr")
     )
     w = Window.partitionBy(group_col).orderBy(F.desc("d2"), F.asc(id_col))
     return (
-        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
@@ -962,31 +954,27 @@ def knn_label_agreement(
 
     Output: (label, n_queries, match_ppm).
 
-    Scale shape: the top-k cut is TWO-PHASE like embedding_outliers
-    — a local top-k inside each scan partition (window over (query,
-    partition_id), bounded by partition size) feeds a global top-k
-    over <= k x n_partitions survivors, so no reducer ever holds a
-    query's full |corpus| candidate list. ``candidates=`` (e.g.
-    :func:`ivf_candidate_pairs`) restricts scoring to a candidate
-    pair frame — the affordable shape when the query set is itself
-    corpus-scale; agreement then measures the probed neighbourhood
-    (equal to exact whenever the true top-k are inside it)."""
+    Scale shape: the top-k cut is two-phase WITHOUT a hand-rolled
+    local pass — Spark's rank-limit pushdown (SPARK-37099) plants a
+    Partial WindowGroupLimit in every map task ahead of the exchange,
+    so each partition ships <= k rows per query and no reducer ever
+    holds a query's full |corpus| candidate list. (r15: the explicit
+    (query, partition_id) pre-window duplicated exactly that bound at
+    the cost of an extra Sort+Exchange+Window pass — verify
+    `WindowGroupLimit ... Partial` in the plan when touching this.)
+    ``candidates=`` (e.g. :func:`ivf_candidate_pairs`) restricts
+    scoring to a candidate pair frame — the affordable shape when the
+    query set is itself corpus-scale; agreement then measures the
+    probed neighbourhood (equal to exact whenever the true top-k are
+    inside it)."""
     scored = _label_scored(
         corpus, queries, id_col, vec_col, label_col, query_id_col,
         candidates=candidates, assume_distinct=assume_distinct,
-    ).withColumn("_pid", F.spark_partition_id())
-    local_w = Window.partitionBy(query_id_col, "_pid").orderBy(
-        F.desc("cos_sim"), F.asc(id_col)
-    )
-    survivors = (
-        scored.withColumn("_lrn", F.row_number().over(local_w))
-        .filter(F.col("_lrn") <= k)
-        .drop("_pid", "_lrn")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
-    topk = survivors.withColumn("_rn", F.row_number().over(w)).filter(
+    topk = scored.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
     )
     per_q = topk.groupBy(query_id_col, "_qlabel").agg(
