@@ -481,6 +481,14 @@ def decayed_from_partials(
     future events; re-aggregate the current open day from raw if
     sub-day freshness is needed).
 
+    Boundary convention (ADVICE r14): the direct build
+    (:func:`decayed_counts`) filters ``ts <= at`` INCLUSIVE, while
+    this store path drops the whole ``date_trunc('day', at)`` day —
+    so an event stamped exactly at a midnight ``at`` is counted by
+    the direct build but lives in the excluded open day here and
+    must come from the raw re-aggregation. Callers needing the two
+    paths to agree at midnight boundaries must union the open day.
+
     Float note — the ONE fold in the store family that is not
     bit-exact: exp(a)*exp(b) and exp(a+b) differ in the last ulp,
     so maintained == direct holds to ~1e-12 relative, inside the

@@ -138,9 +138,24 @@ def sliding_store_maintainer(
         # FileSystem, not the parquet reader's error message — Spark
         # versions/locales word the missing-path error differently
         # (ADVICE r13 #2).
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jpath):
+        # Spark Connect sessions have no _jvm/_jsc (ADVICE r14 #3):
+        # fall back to the read-and-catch probe there — AnalysisException
+        # on a missing path IS first-batch, re-raised otherwise.
+        if hasattr(spark, "_jvm") and spark._jvm is not None:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            store_exists = fs.exists(jpath)
+        else:
+            from pyspark.errors import AnalysisException
+
+            try:
+                spark.read.parquet(path).schema
+                store_exists = True
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                    raise
+                store_exists = False
+        if store_exists:
             old = spark.read.parquet(path).filter(F.col("_day").isin(days))
             merged = fold_fn(
                 old.drop("_day").unionByName(parts.drop("_day"))

@@ -583,11 +583,21 @@ def robots_filter(
     semantics): among the host's rules matching the URL path, the
     longest PATTERN decides (the RFC's most-octets rule, measured on
     the original rule text); a length tie goes to Allow; no matching
-    rule (and no rules for the host) means allowed. Full RFC
-    matching: plain rules are prefix tests; rules carrying '*' or a
-    trailing '$' end-anchor take the translated-regex path built at
-    pack time (the shared literal-replace escape table — oracle-
-    replayable, no regex-in-regex).
+    rule (and no rules for the host) means allowed. Rule matching:
+    plain rules are prefix tests; rules carrying '*' or a trailing
+    '$' end-anchor take the translated-regex path built at pack time
+    (the shared literal-replace escape table — oracle-replayable, no
+    regex-in-regex).
+
+    CONTRACT (deliberate subset, locked by the oracle): rules match
+    against the URL *path only* — parse_urls' ``path`` column
+    excludes the query string, so a rule containing '?' (e.g.
+    ``Disallow: /search?q=``) can never fire here, where RFC 9309 /
+    Google semantics match path+query. Likewise authority is keyed
+    on HOST only: http/https/any-port of one host share a rule set,
+    where the RFC scopes robots.txt per (scheme, host, port). Both
+    are documented merges, not bugs — widening either changes every
+    verdict hash and needs the oracle regenerated in lockstep.
 
     Shape — the 100 TB story: rules pack per host FIRST (an
     aggregate over the tiny rules frame), the packed side rides a
