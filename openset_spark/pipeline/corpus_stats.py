@@ -46,7 +46,23 @@ def source_ngram_overlap(
     text_col: str = "text",
 ) -> DataFrame:
     """(source_a, source_b, shared, jaccard) for every source pair
-    sharing at least one distinct word n-gram; source_a < source_b."""
+    sharing at least one distinct word n-gram; source_a < source_b.
+
+    ONE corpus pass (r15): the shingle explode feeds a single
+    groupBy(gram) whose collect_set dedups (source, gram) map-side
+    (the former separate ``.distinct()`` exchange is subsumed), and
+    BOTH the pair counts and the per-source set sizes come out of one
+    exploded stream over that frame — each gram row emits its
+    C(|ids|,2) pair structs plus one (source, NULL) singleton per
+    member, so ``sizes`` is the NULL-partner margin of the same
+    bounded counts frame instead of a second (and third — it is
+    referenced for both join sides) corpus scan. The counts frame is
+    ≤ |sources|² + |sources| rows — catalog-constant — and is
+    localCheckpointed so the sa/sb references read the
+    materialization (AQE does not reuse exchanges across plan
+    branches)."""
+    from openset_spark.pipeline.dedup import _pairs_expr
+
     sh = (
         df.select(
             F.col(group_col),
@@ -59,29 +75,34 @@ def source_ngram_overlap(
                 F.array_distinct(shingles_from_tokens(F.col("_toks"), n))
             ).alias("_g"),
         )
-        .distinct()
     )
-    sizes = sh.groupBy(group_col).agg(F.count(F.lit(1)).alias("_sz"))
-    from openset_spark.pipeline.dedup import _pairs_expr
-
-    grouped = (
-        sh.groupBy("_g")
-        .agg(F.array_sort(F.collect_set(group_col)).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
+    grouped = sh.groupBy("_g").agg(
+        F.array_sort(F.collect_set(group_col)).alias("_ids")
     )
-    shared = (
-        grouped.select(F.explode(_pairs_expr(F.col("_ids"))).alias("_p"))
+    units = F.concat(
+        F.transform(
+            F.col("_ids"),
+            lambda x: F.struct(
+                x.alias("id_a"), F.lit(None).cast("string").alias("id_b")
+            ),
+        ),
+        _pairs_expr(F.col("_ids")),
+    )
+    counts = (
+        grouped.select(F.explode(units).alias("_p"))
         .groupBy(
             F.col("_p.id_a").alias("source_a"),
             F.col("_p.id_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .localCheckpoint()
     )
-    sa = sizes.select(
-        F.col(group_col).alias("source_a"), F.col("_sz").alias("_sza")
+    shared = counts.filter(F.col("source_b").isNotNull())
+    sa = counts.filter(F.col("source_b").isNull()).select(
+        "source_a", F.col("shared").alias("_sza")
     )
-    sb = sizes.select(
-        F.col(group_col).alias("source_b"), F.col("_sz").alias("_szb")
+    sb = counts.filter(F.col("source_b").isNull()).select(
+        F.col("source_a").alias("source_b"), F.col("shared").alias("_szb")
     )
     jac = F.col("shared") / (
         F.col("_sza") + F.col("_szb") - F.col("shared")
@@ -126,7 +147,7 @@ def collocations(
     )
     # the bigram-count frame feeds three aggregates + the final join:
     # materialize once (the tfidf_top_terms rule)
-    big = big.localCheckpoint(eager=False)
+    big = big.localCheckpoint()
     cl = big.groupBy("w1").agg(F.sum("c12").alias("_cl"))
     cr = big.groupBy("w2").agg(F.sum("c12").alias("_cr"))
     n_tot = F.broadcast(big.agg(F.sum("c12").alias("_n")))
@@ -254,7 +275,7 @@ def ngram_novelty(
     )
     # both aggregates consume the same shingle frame: materialize
     # once (the tfidf_top_terms rule; measured 8.8 -> ~4s at sf0.1)
-    dg = dg.localCheckpoint(eager=False)
+    dg = dg.localCheckpoint()
     per_doc = dg.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_grams")
     )
@@ -397,7 +418,7 @@ def cooccur_pmi(
     )
     # feeds two marginal aggregates + total + the scored join:
     # materialize once (the tfidf_top_terms rule)
-    pc = pc.localCheckpoint(eager=False)
+    pc = pc.localCheckpoint()
     marg = (
         pc.select(F.col("a").alias("w"), "c_ab")
         .unionAll(pc.select(F.col("b").alias("w"), "c_ab"))
@@ -549,7 +570,7 @@ def source_divergence(
     sw = (
         toks.groupBy(group_col, "w")
         .agg(F.count(F.lit(1)).alias("c_sw"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     wtot = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
     stot = sw.groupBy(group_col).agg(F.sum("c_sw").alias("t_s"))
@@ -632,29 +653,117 @@ def filter_agreement(
     hazard, sign form). pe_ppm == 1e6 (a degenerate always-keep /
     always-drop marginal pair) yields NULL kappa.
 
-    Scale shape: each filter is its own documented one-pass
-    aggregate (different explodes — fusing them would multiply the
-    widest explode by the others); the join keys the bounded per-doc
-    flag frames on id; the agreement aggregate is ONE reduce to a
-    single row, unpivoted to 3 pair rows by a constant-size stack.
+    Scale shape (r15 — ONE corpus pass, down from four; ZERO
+    corpus-sized shuffles, down from two gram-stream exchanges):
+    every row-local statistic (the full gopher rule set, token
+    counts, normalized length) rides ONE projection via gopher's
+    ``extra_cols``/``stage_cols`` hooks, and the two explode-shaped
+    signals become row-LOCAL array computations — char frequencies
+    for entropy via the script_profile length-difference trick
+    (one codegen'd ``replace`` scan per DISTINCT char), the
+    repetition top-bigram via run lengths of the sorted per-doc
+    bigram array — so the per-(doc,gram) counting that used to ride
+    an explode + groupBy exchange never leaves the scan task. The
+    whole query is scan → staged projections → one single-row
+    reduce, unpivoted to 3 pair rows by a constant-size stack.
+    Value-identical to composing gopher_quality_flags /
+    repetition_signals / char_entropy (replay-tested): run lengths
+    of a sorted array ARE the per-gram counts, the top-bigram
+    tiebreak (max count, then lexicographically greatest bigram)
+    falls out of the ascending sort order, and entropy's
+    sum(c*log2(c)) accumulates in array_distinct's first-occurrence
+    order — a summation order the ROUND(4) contract already absorbs
+    (the DuckDB oracle sums in its own hash order today).
     """
-    from openset_spark.pipeline.textstats import (
-        char_entropy,
-        gopher_quality_flags,
-        repetition_signals,
+    from openset_spark.functions.text import normalize
+    from openset_spark.pipeline.textstats import gopher_quality_flags
+
+    # Run lengths of a sorted array ARE the per-gram counts. The
+    # cheap per-element pass is a boundary FILTER (bare comparisons,
+    # no per-element state allocation — a named_struct fold state
+    # measured ~0.3s slower at sf0.1); the per-run arithmetic then
+    # runs over the tiny boundary array. `_cb`/`_bb` hold the
+    # 1-based END positions of each run, so run j's length is
+    # bounds[j] - bounds[j-1] and run j's gram is element_at(arr,
+    # bounds[j]). The i = size(...) disjunct short-circuits before
+    # the lookahead so element_at stays in bounds under ANSI; the
+    # size-0 guard dodges sequence(1, 0) being DESCENDING.
+    def _run_bounds(arr: str) -> str:
+        return (
+            f"if(size({arr}) = 0, array(), "
+            f"filter(sequence(1, size({arr})), "
+            f"i -> i = size({arr}) "
+            f"or element_at({arr}, i + 1) != element_at({arr}, i)))"
+        )
+
+    rowloc = gopher_quality_flags(
+        df,
+        text_col,
+        id_col,
+        stage_cols={"_norm": normalize(F.col(text_col))},
+        extra_cols={
+            "_norm": F.col("_norm"),
+            "_nd": F.size(F.array_distinct(F.col("_toks"))),
+            "_nc": F.length(F.col("_norm")),
+            "_chs": F.expr("filter(split(_norm, ''), c -> c != '')"),
+            "_bgs": F.expr(
+                "array_sort(transform(sequence(0, size(_toks)-2), "
+                "i -> concat(element_at(_toks, i+1), ' ', "
+                "element_at(_toks, i+2))))"
+            ),
+        },
+    ).filter(F.col("n_words") >= 2)
+    staged = rowloc.select(
+        "*",
+        F.expr(_run_bounds("_bgs")).alias("_bb"),
     )
 
-    g = gopher_quality_flags(df, text_col, id_col).select(
-        id_col, F.col("keep").alias("k_gopher")
+    # entropy's sum(c*log2(c)) by the script_profile length-difference
+    # house trick: count of char c = (len(s) - len(replace(s, c, '')))
+    # / len(c) — `replace` is a codegen'd byte scan, so the only
+    # interpreted lambda runs once per DISTINCT char (~dozens), not
+    # once per char (a sorted run-length fold measured ~0.2s slower at
+    # sf0.1). The len(c) divisor keeps surrogate-pair (2-code-unit)
+    # chars exact. Summation order is array_distinct's
+    # first-occurrence order — inside the ROUND(4) contract that
+    # already absorbs the oracle's own hash order.
+    clog = F.expr(
+        "aggregate("
+        "transform(array_distinct(_chs), "
+        "c -> (length(_norm) - length(replace(_norm, c, ''))) div length(c)), "
+        "cast(0 as double), (a, cc) -> a + cc * log2(cc))"
     )
-    r = repetition_signals(df, text_col, id_col).select(
-        id_col, (~F.col("flagged")).alias("k_repetition")
+    # max-count bigram: struct-max over (run length, gram at run end)
+    # — array_max's struct ordering (count, then gram) replicates the
+    # original max(struct(c, bigram)) tiebreak exactly
+    best = F.expr(
+        "array_max(zip_with("
+        "transform(_bb, (b, j) -> b - if(j = 0, 0, element_at(_bb, j))), "
+        "transform(_bb, b -> element_at(_bgs, b)), "
+        "(r, g) -> struct(cast(r as bigint) as c, g as bigram)))"
     )
-    e = char_entropy(df, text_col, id_col).select(
-        id_col,
-        (F.col("entropy_bits") >= F.lit(entropy_min)).alias("k_entropy"),
+    n_ch = F.size("_chs")
+
+    dup = 1.0 - F.col("_nd") / F.col("n_words")
+    frac = F.col("_big.c") * F.length("_big.bigram") / F.col("_nc")
+    entropy_bits = F.round(
+        F.log2("_n_ch") - F.col("_clog") / F.col("_n_ch"), 4
     )
-    flags = g.join(r, id_col).join(e, id_col)
+    flags = staged.select(
+        F.col(id_col),
+        F.col("keep").alias("k_gopher"),
+        F.col("n_words"),
+        F.col("_nd"),
+        F.col("_nc"),
+        clog.alias("_clog"),
+        best.alias("_big"),
+        n_ch.alias("_n_ch"),
+    ).select(
+        F.col(id_col),
+        F.col("k_gopher"),
+        (~((dup > 0.5) | (frac > 0.2))).alias("k_repetition"),
+        (entropy_bits >= F.lit(entropy_min)).alias("k_entropy"),
+    )
 
     names = ["entropy", "gopher", "repetition"]
     combos = [(a, b) for a in names for b in names if a < b]

@@ -467,7 +467,7 @@ def dup_clusters(
             labels.union(nbr)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
         changed = (
             new.withColumnRenamed("label", "_new")
@@ -577,8 +577,8 @@ def _cc_star(edges: DataFrame, max_iter: int):
         # join), which re-ran the whole large-star shuffle per
         # reference before r15.
         cur = small_star(
-            large_star(cur).localCheckpoint(eager=False)
-        ).localCheckpoint(eager=False)
+            large_star(cur).localCheckpoint()
+        ).localCheckpoint()
         new_sig = sig(cur)
         if new_sig == cur_sig:
             break
@@ -749,7 +749,7 @@ def containment_pairs(
         F.array_distinct(
             shingles_from_tokens(F.col("_toks"), n)
         ).alias("_sh"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     sizes = sh.select(F.col(id_col), F.size("_sh").alias("_sz"))
     exploded = sh.select(F.col(id_col), F.explode("_sh").alias("_g"))
     grouped = (
@@ -856,7 +856,7 @@ def remove_dup_spans(
     k = window_tokens
     toked = df.select(
         F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     win = F.expr(
         f"transform(sequence(1, size(_toks)-{k}+1), "
         f"s -> struct(s as s, "
@@ -867,7 +867,7 @@ def remove_dup_spans(
         .select(F.col(id_col), F.explode(win).alias("_w"))
         .select(F.col(id_col), F.col("_w.s").alias("s"),
                 F.col("_w.wh").alias("wh"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     dup_wh = (
         pos_wins.select(id_col, "wh").distinct()
         .groupBy("wh").agg(F.count(F.lit(1)).alias("_df"))
@@ -942,11 +942,11 @@ def nearest_dup(
     # the symmetrizing union references the pair pipeline twice —
     # materialize it once (the repo's shared-subtree rule; without
     # this the candidate generation runs twice, plan-verified)
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.localCheckpoint()
     toksets = df.select(
         F.col(id_col).alias("_tid"),
         F.array_distinct(tokens(F.col(text_col))).alias("_ts"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     sym = pairs.select(
         F.col("id_a").alias("a"), F.col("id_b").alias("b")
     ).union(
@@ -1064,7 +1064,7 @@ def dup_pagerank(
     pairs = (
         substring_dup_pairs(df, text_col=text_col, id_col=id_col)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -1073,10 +1073,10 @@ def dup_pagerank(
                 F.col("id_b").alias("src"), F.col("id_a").alias("dst")
             )
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    deg = deg.localCheckpoint(eager=False)
+    deg = deg.localCheckpoint()
     n_nodes = deg.count()
     if n_nodes == 0:
         return df.sparkSession.createDataFrame(
@@ -1096,7 +1096,7 @@ def dup_pagerank(
                 F.col("dst").alias(id_col),
                 (F.lit(teleport) + F.lit(damping) * F.col("_s")).alias("pr"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     scored = r.select(
         id_col, F.round("pr", 6).alias("pr")

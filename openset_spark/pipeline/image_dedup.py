@@ -215,7 +215,7 @@ def image_near_dups(
     a hard guarantee at higher distances)."""
     if method not in ("phash", "dhash"):
         raise ValueError(f"unknown perceptual hash method: {method}")
-    hs = image_hashes(decoded).localCheckpoint(eager=False)
+    hs = image_hashes(decoded).localCheckpoint()
     pairs = hamming_block_candidates(hs, method, "media_id", blocks)
     a = hs.select(
         F.col("media_id").alias("id_a"), F.col(method).alias("_ha")

@@ -57,7 +57,7 @@ def tfidf_top_terms(
     # same double-evaluation distributed_cumsum's materialize_input
     # and winnow_matches' one-groupBy rewrite exist to avoid); a lazy
     # localCheckpoint pins it to executor storage after first compute
-    tf = _tf(df, text_col, id_col).localCheckpoint(eager=False)
+    tf = _tf(df, text_col, id_col).localCheckpoint()
     # document frequencies are VOCABULARY-sized — small next to the
     # corpus but unbounded (1e9+ distinct terms on a web corpus), so
     # no forced broadcast: AQE picks broadcast when it actually fits

@@ -61,13 +61,13 @@ def train_bigram_lm(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= min_count)
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     uni = (
         corpus.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy(F.col("w").alias("w1"))
         .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     return {"bigrams": bg, "unigrams": uni, "vocab": vocab}
@@ -145,7 +145,7 @@ def train_kneser_ney_lm(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
         .filter(F.col("c12") >= min_count)
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     ctx = bg.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1fw")
@@ -255,7 +255,7 @@ def perplexity_buckets(
             min_count=min_count,
         )
         .select(id_col, "n_bigrams", "avg_logp", F.lit(1).alias("_one"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     order = [F.desc("avg_logp"), F.asc(id_col)]
     ranked = distributed_cumsum(scored, order, "_one").withColumnRenamed(

@@ -104,7 +104,7 @@ def distributed_cumsum(
     executor-local storage — on a cluster with aggressive
     decommissioning, materialize to a table instead."""
     if materialize_input:
-        df = df.localCheckpoint(eager=False)
+        df = df.localCheckpoint()
     grp = [F.col(c) for c in group_cols]
     ranged = df.repartitionByRange(partitions, *grp, *order_key)
     part = ranged.withColumn("_pid", F.spark_partition_id())
@@ -116,8 +116,16 @@ def distributed_cumsum(
     local = part.withColumn("_local_cum", F.sum(token_col).over(local_w))
     # per-(group,)partition totals: `partitions` tiny rows per group —
     # the prefix-sum over them is driver-trivial but stays in-plan as
-    # a broadcast join
-    totals = local.groupBy(*group_cols, "_pid").agg(
+    # a broadcast join. Aggregated from the PRE-window frame (r15):
+    # AQE does not reuse exchanges across branches, so this branch
+    # re-executes the range exchange either way — but summing `part`
+    # instead of `local` drops the per-partition SORT + running-window
+    # pass from the totals branch (a plain map-side-combinable hash
+    # aggregate needs no order). Order-safe because every caller's
+    # token column is integral (unit weights / token counts) — a
+    # float token column would make the sum order-sensitive and must
+    # keep the windowed form.
+    totals = part.groupBy(*group_cols, "_pid").agg(
         F.sum(token_col).alias("_ptot")
     )
     offset_w = (

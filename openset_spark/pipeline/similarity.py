@@ -20,6 +20,153 @@ from pyspark.sql import functions as F
 
 from openset_spark.functions.vector import cosine, cosine_fixed, dot, norm
 
+# Spark type -> pyarrow type for the Arrow cross scorer's passthrough
+# columns (ids / labels). Anything outside this map falls back to the
+# JVM HOF path rather than guess.
+_PA_TYPES = {
+    "bigint": "int64",
+    "int": "int32",
+    "smallint": "int16",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+}
+
+
+def _arrow_cross_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    label_col: str | None = None,
+    exclude_self: bool = False,
+) -> DataFrame | None:
+    """Brute-force pair scoring as ONE Arrow batch pass (guide §4.2):
+    corpus partitions stream through a vectorized NumPy scorer;
+    queries — bounded by the same contract that lets the JVM path
+    broadcast them (the driver holds them either way) — ship in the
+    task closure. Returns (query_id[, _qlabel], id[, label], cos_sim)
+    or None when the shape isn't eligible (non-double vectors, types
+    outside the passthrough map), in which case the caller keeps the
+    interpreted-HOF crossJoin.
+
+    Bit-exactness contract (tests/test_vector_unroll.py locks it):
+    every float op replays the HOF fold exactly — dot and norm² are
+    the sequential left fold ``acc = acc + v[d]*q[d]`` (NumPy's
+    elementwise mul/add are the same correctly-rounded IEEE doubles
+    as Java's, and the d-loop runs in dim order, NOT a pairwise/BLAS
+    reduction), cos = dot / (cnorm * qnorm) with the denominator
+    grouped first, exactly as the column expression associates. The
+    interpreted fold costs ~µs per pair; this path scores a full
+    batch per NumPy op — measured ~3x end-to-end on knn_agreement at
+    sf0.1 — while the plan keeps the same single corpus scan and no
+    exchange below the scorer."""
+    c_vec = corpus.schema[vec_col].dataType.simpleString()
+    q_vec = queries.schema[vec_col].dataType.simpleString()
+    if c_vec != "array<double>" or q_vec != "array<double>":
+        return None
+    out_fields = [(query_id_col, queries.schema[query_id_col].dataType)]
+    if label_col is not None:
+        out_fields.append(("_qlabel", queries.schema[label_col].dataType))
+    out_fields.append((id_col, corpus.schema[id_col].dataType))
+    if label_col is not None:
+        out_fields.append((label_col, corpus.schema[label_col].dataType))
+    pa_types = []
+    for _, dt in out_fields:
+        t = _PA_TYPES.get(dt.simpleString())
+        if t is None:
+            return None
+        pa_types.append(t)
+
+    qsel = [query_id_col, vec_col] + ([label_col] if label_col else [])
+    qrows = queries.select(*qsel).collect()
+
+    schema_ddl = ", ".join(
+        f"`{nm}` {dt.simpleString()}" for nm, dt in out_fields
+    ) + ", cos_sim double"
+    csel = [id_col, vec_col] + ([label_col] if label_col else [])
+    proj = corpus.select(*csel)
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        nq = len(qrows)
+        if nq == 0:
+            return
+        patys = [pa.type_for_alias(t) for t in pa_types]
+        f64 = pa.type_for_alias("float64")
+        Q = np.array([r[1] for r in qrows], dtype=np.float64)
+        dim = Q.shape[1]
+        # per-query norm: the same sequential fold the HOF runs
+        qn = np.zeros(nq, dtype=np.float64)
+        for d in range(dim):
+            qn = qn + Q[:, d] * Q[:, d]
+        qn = np.sqrt(qn)
+        qids = [r[0] for r in qrows]
+        qlabels = [r[2] for r in qrows] if label_col else None
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(1).flatten()
+            V = flat.to_numpy(zero_copy_only=False)
+            if V.size != n * dim:
+                raise ValueError(
+                    f"ragged {vec_col}: {V.size} values for {n} rows "
+                    f"of dim {dim} (fixed-width contract)"
+                )
+            V = V.reshape(n, dim)
+            cn = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                cn = cn + V[:, d] * V[:, d]
+            cn = np.sqrt(cn)
+            ids_np = batch.column(0).to_numpy(zero_copy_only=False)
+            labels_np = (
+                batch.column(2).to_numpy(zero_copy_only=False)
+                if label_col
+                else None
+            )
+            cols = [[] for _ in out_fields]
+            cos_parts = []
+            for j in range(nq):
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + V[:, d] * Q[j, d]
+                cos = acc / (cn * qn[j])
+                if exclude_self:
+                    keep = ids_np != qids[j]
+                    m = int(keep.sum())
+                    sel = lambda a: a[keep]  # noqa: E731
+                else:
+                    m = n
+                    sel = lambda a: a  # noqa: E731
+                k = 0
+                cols[k].append(pa.array([qids[j]] * m, type=patys[0]))
+                k += 1
+                if label_col:
+                    cols[k].append(
+                        pa.array([qlabels[j]] * m, type=patys[k])
+                    )
+                    k += 1
+                cols[k].append(pa.array(sel(ids_np), type=patys[k]))
+                k += 1
+                if label_col:
+                    cols[k].append(
+                        pa.array(sel(labels_np), type=patys[k])
+                    )
+                    k += 1
+                cos_parts.append(pa.array(sel(cos), type=f64))
+            arrays = [pa.concat_arrays(c) for c in cols]
+            arrays.append(pa.concat_arrays(cos_parts))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[nm for nm, _ in out_fields] + ["cos_sim"]
+            )
+
+    return proj.mapInArrow(score, schema_ddl)
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -38,26 +185,34 @@ def brute_force_topk(
     per-pair work is the one dot product — measured ~3x over
     recomputing both norms inside every pair at 200k x 100. (r15
     note: an unrolled element_at dot was tried and measured 3.6x
-    SLOWER end-to-end — see `_dot_lit_sql`; the HOF fold stays.)
+    SLOWER end-to-end — see `_dot_lit_sql`; the HOF fold stays. r15
+    second pass: double-typed inputs route through
+    :func:`_arrow_cross_scores`, the bit-identical Arrow batch
+    scorer — the HOF crossJoin remains the fallback for float32 /
+    exotic id types.)
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("_qvec"),
-            norm(F.col(vec_col)).alias("_qnorm"),
+    scored = _arrow_cross_scores(
+        corpus, queries, id_col, vec_col, query_id_col
+    )
+    if scored is None:
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col),
+                F.col(vec_col).alias("_qvec"),
+                norm(F.col(vec_col)).alias("_qnorm"),
+            )
         )
-    )
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_cnorm")
-    )
-    scored = c.crossJoin(q).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        (
-            dot(F.col(vec_col), F.col("_qvec"))
-            / (F.col("_cnorm") * F.col("_qnorm"))
-        ).alias("cos_sim"),
-    )
+        c = corpus.select(
+            F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_cnorm")
+        )
+        scored = c.crossJoin(q).select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("_qvec"))
+                / (F.col("_cnorm") * F.col("_qnorm"))
+            ).alias("cos_sim"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cos_sim"), F.asc(id_col)
     )
@@ -818,6 +973,20 @@ def _label_scored(
     NOT). Duplicate pairs would double-count rows in the top-k cut,
     and the dedup is a full shuffle of the pair frame — the single
     biggest cost of the candidate path when it isn't needed."""
+    if candidates is None:
+        # exact crossJoin path: double-typed inputs route through the
+        # bit-identical Arrow batch scorer (guide §4.2) — same single
+        # corpus scan, ~µs-per-pair interpreted HOF fold replaced by
+        # one vectorized pass per batch. Self-pairs are excluded
+        # inside the scorer, mirroring the filter below.
+        arrow = _arrow_cross_scores(
+            corpus, queries, id_col, vec_col, query_id_col,
+            label_col=label_col, exclude_self=True,
+        )
+        if arrow is not None:
+            return arrow.select(
+                query_id_col, "_qlabel", id_col, label_col, "cos_sim"
+            )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col),

@@ -375,7 +375,11 @@ GOPHER_REQUIRED_STOPWORDS = [
 
 
 def gopher_quality_flags(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    extra_cols: dict | None = None,
+    stage_cols: dict | None = None,
 ) -> DataFrame:
     """The Gopher rule-set (Rae et al. 2021, App. A1.1) as one
     fused column pass: word-count band [50, 100k], mean word length
@@ -388,10 +392,26 @@ def gopher_quality_flags(
     All JVM built-ins over one token array; rule comparisons happen
     on the RAW rational values (exact IEEE divisions of integer
     counts — identical in any engine), with only the REPORTED ratio
-    columns rounded."""
+    columns rounded.
+
+    ``extra_cols`` ({name: Column}) ride along in the same scan —
+    the lang_id/script_profile fusion hook, so an audit that needs
+    gopher flags PLUS other row-local stats reads the corpus once
+    (filter_agreement). Expressions may reference the staged
+    ``_text`` (raw text) and ``_toks`` (token array) columns so the
+    tokenize tree is not rebuilt per column. ``stage_cols``
+    ({name: Column over the INPUT columns}) are computed in the base
+    projection alongside ``_text``/``_toks`` so extra_cols that
+    share an expensive intermediate (e.g. the normalized text)
+    evaluate it once — the staged-projection no-CSE house rule."""
+    extra_cols = extra_cols or {}
+    stage_cols = stage_cols or {}
     t = F.col(text_col)
     base = df.select(
-        F.col(id_col), t.alias("_text"), tokens(t).alias("_toks")
+        F.col(id_col),
+        t.alias("_text"),
+        tokens(t).alias("_toks"),
+        *[c.alias(nm) for nm, c in stage_cols.items()],
     )
     n_words = F.size("_toks")
     sum_len = F.length(F.concat_ws("", F.col("_toks")))
@@ -425,6 +445,7 @@ def gopher_quality_flags(
         F.round(alpha, 4).alias("alpha_word_frac"),
         n_req.cast("long").alias("n_req_stopwords"),
         keep.alias("keep"),
+        *[c.alias(nm) for nm, c in extra_cols.items()],
     )
 
 

@@ -374,12 +374,12 @@ def domain_pagerank(
 
     edges = edges.select(
         "src_domain", "dst_domain", "n_links"
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     nodes = (
         edges.select(F.col("src_domain").alias("d"))
         .unionAll(edges.select(F.col("dst_domain").alias("d")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -389,7 +389,7 @@ def domain_pagerank(
     outw = (
         edges.groupBy("src_domain")
         .agg(F.sum("n_links").alias("_w"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     r = nodes.select("d", F.lit(1.0 / n_nodes).alias("pr"))
     teleport = (1.0 - damping) / n_nodes
@@ -423,7 +423,7 @@ def domain_pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     scored = r.select(
         F.col("d").alias("domain"), F.round("pr", 6).alias("pr")
@@ -497,7 +497,7 @@ def parse_robots(
         "host",
         F.col("_blk").alias("_b"),
         F.lower(F.col("val")).alias("_agent"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
     # RFC 9309 most-specific-group rule: when any block names the
     # agent exactly, the '*' blocks are IGNORED for that host; '*'
     # applies only to hosts with no exact group. (`agents` is
