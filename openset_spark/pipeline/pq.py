@@ -608,13 +608,25 @@ def ivfpq_encode_frame(
     import numpy as np
     import pandas as pd
 
-    from openset_spark.pipeline.similarity import _nearest_centroid
+    from openset_spark.pipeline.similarity import (
+        _arrow_nearest_centroid,
+        _nearest_centroid,
+    )
 
     centmat = np.asarray([v for _, v in centroids], dtype=np.float64)
     books_np = [np.asarray(b, dtype=np.float64) for b in books]
-    assigned = vecs.select(
+    nv = vecs.select(
         F.col(id_col), F.expr(_unit_vec_sql(f"`{vec_col}`")).alias("_nv")
-    ).withColumn("list_id", _nearest_centroid("`_nv`", centroids).cast("int"))
+    )
+    # r15: the coarse argmax vectorizes through the Arrow assignment
+    # pass when eligible (bit-identical list ids — the JVM expression
+    # here had no staged norm, so it re-folded the row norm once per
+    # centroid); the JVM expression stays the fallback
+    assigned = _arrow_nearest_centroid(nv, "_nv", centroids)
+    if assigned is None:
+        assigned = nv.withColumn(
+            "list_id", _nearest_centroid("`_nv`", centroids).cast("int")
+        )
 
     def _enc(batches):
         for pdf in batches:

@@ -168,6 +168,127 @@ def _arrow_cross_scores(
     return proj.mapInArrow(score, schema_ddl)
 
 
+def _arrow_pair_scores(
+    cands: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    label_col: str | None = None,
+) -> DataFrame | None:
+    """Candidate-PAIR scoring as one Arrow batch pass — the
+    :func:`_arrow_cross_scores` sibling for frames that already name
+    their pairs (LSH bucket joins, IVF probes, candidate lists).
+    ``cands`` holds (query_id, id[, label], vec); the query vectors —
+    driver-bounded by the same contract that lets the JVM paths
+    broadcast them — ship in the task closure keyed by query id, so
+    the candidate frame never carries ``_qvec``/``_qnorm`` payload
+    through its joins and dedup shuffles (guide §2.3: shuffle fewer
+    bytes — the query vector + norm used to ride every candidate
+    row). Returns (query_id[, _qlabel], id[, label], cos_sim) or None
+    when ineligible (non-double vectors / types outside the
+    passthrough map), in which case the caller keeps the JVM
+    expression path.
+
+    Bit-exactness: identical to :func:`_arrow_cross_scores` — dot and
+    norm² replay the HOF fold's sequential d-loop, cos groups the
+    denominator as (cnorm * qnorm) first. The gathered-query variant
+    (`Q[idx]` rows instead of one query per pass) changes nothing:
+    each lane still accumulates acc + V[r,d]*Q[q,d] in dim order.
+    tests/test_arrow_scorer.py locks scorer == expression."""
+    if cands.schema[vec_col].dataType.simpleString() != "array<double>":
+        return None
+    if queries.schema[vec_col].dataType.simpleString() != "array<double>":
+        return None
+    out_fields = [(query_id_col, queries.schema[query_id_col].dataType)]
+    if label_col is not None:
+        out_fields.append(("_qlabel", queries.schema[label_col].dataType))
+    out_fields.append((id_col, cands.schema[id_col].dataType))
+    if label_col is not None:
+        out_fields.append((label_col, cands.schema[label_col].dataType))
+    pa_types = []
+    for _, dt in out_fields:
+        t = _PA_TYPES.get(dt.simpleString())
+        if t is None:
+            return None
+        pa_types.append(t)
+
+    qsel = [query_id_col, vec_col] + ([label_col] if label_col else [])
+    qrows = queries.select(*qsel).collect()
+
+    schema_ddl = ", ".join(
+        f"`{nm}` {dt.simpleString()}" for nm, dt in out_fields
+    ) + ", cos_sim double"
+    csel = [query_id_col, id_col, vec_col] + (
+        [label_col] if label_col else []
+    )
+    proj = cands.select(*csel)
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        nq = len(qrows)
+        if nq == 0:
+            return
+        patys = [pa.type_for_alias(t) for t in pa_types]
+        f64 = pa.type_for_alias("float64")
+        Q = np.array([r[1] for r in qrows], dtype=np.float64)
+        dim = Q.shape[1]
+        # per-query norm: the same sequential fold the HOF runs
+        qn = np.zeros(nq, dtype=np.float64)
+        for d in range(dim):
+            qn = qn + Q[:, d] * Q[:, d]
+        qn = np.sqrt(qn)
+        qidx = {r[0]: i for i, r in enumerate(qrows)}
+        qlabels = [r[2] for r in qrows] if label_col else None
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(2).flatten()
+            V = flat.to_numpy(zero_copy_only=False)
+            if V.size != n * dim:
+                raise ValueError(
+                    f"ragged {vec_col}: {V.size} values for {n} rows "
+                    f"of dim {dim} (fixed-width contract)"
+                )
+            V = V.reshape(n, dim)
+            cn = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                cn = cn + V[:, d] * V[:, d]
+            cn = np.sqrt(cn)
+            try:
+                idx = np.array(
+                    [qidx[qv] for qv in batch.column(0).to_pylist()],
+                    dtype=np.int64,
+                )
+            except KeyError as e:  # pragma: no cover - contract guard
+                raise ValueError(
+                    f"candidate row references unknown query id {e}"
+                ) from e
+            Qg = Q[idx]
+            acc = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                acc = acc + V[:, d] * Qg[:, d]
+            cos = acc / (cn * qn[idx])
+            arrays = [batch.column(0)]
+            if label_col:
+                arrays.append(
+                    pa.array([qlabels[i] for i in idx], type=patys[1])
+                )
+            arrays.append(batch.column(1))
+            if label_col:
+                arrays.append(batch.column(3))
+            arrays.append(pa.array(cos, type=f64))
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[nm for nm, _ in out_fields] + ["cos_sim"]
+            )
+
+    return proj.mapInArrow(score, schema_ddl)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -303,6 +424,84 @@ def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 16, vec_col: str = "embe
     return df.withColumn("bucket", sig[0])
 
 
+def _arrow_lsh_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 42,
+) -> DataFrame | None:
+    """Corpus-side LSH signatures as one Arrow batch pass: emits
+    (id, vec, _sig array<long>) — one row per input, the vector
+    crossing the boundary once, with the n_tables bucket signatures
+    computed vectorized instead of as n_tables*n_planes interpreted
+    HOF folds per row (the dominant per-row cost of lsh_topk's corpus
+    scan at 36 plane-dots/row). Returns None when ineligible
+    (non-double vectors / id type outside the passthrough map).
+
+    Bit-exactness: each plane dot replays `_dot_lit_sql`'s fold —
+    products accumulated in dim order (acc = acc + v[d]*p[d], no
+    FMA/pairwise reduction), plane literals are the same Python
+    floats `repr` round-trips into the SQL literal, and the bucket
+    bit is (dot > 0) exactly as the CASE WHEN (NaN > 0 is false in
+    both). tests/test_arrow_scorer.py locks Arrow == JVM signatures."""
+    if df.schema[vec_col].dataType.simpleString() != "array<double>":
+        return None
+    id_type = df.schema[id_col].dataType.simpleString()
+    if id_type not in _PA_TYPES:
+        return None
+    all_planes: list[list[float]] = []
+    for t in range(n_tables):
+        all_planes.extend(_hyperplanes(dim, n_planes, seed + 1000 * t))
+
+    schema_ddl = (
+        f"`{id_col}` {id_type}, `{vec_col}` array<double>, "
+        "`_sig` array<bigint>"
+    )
+    proj = df.select(id_col, vec_col)
+
+    def buckets(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        P = np.array(all_planes, dtype=np.float64)
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(1).flatten()
+            V = flat.to_numpy(zero_copy_only=False)
+            if V.size != n * dim:
+                raise ValueError(
+                    f"ragged {vec_col}: {V.size} values for {n} rows "
+                    f"of dim {dim} (fixed-width contract)"
+                )
+            V = V.reshape(n, dim)
+            sig = np.zeros((n, n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for i in range(n_planes):
+                    p = P[t * n_planes + i]
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(dim):
+                        acc = acc + V[:, d] * p[d]
+                    sig[:, t] += (acc > 0).astype(np.int64) << i
+            offsets = pa.array(
+                np.arange(n + 1, dtype=np.int32) * n_tables
+            )
+            sig_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(sig.reshape(-1))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), batch.column(1), sig_arr],
+                names=[id_col, vec_col, "_sig"],
+            )
+
+    return proj.mapInArrow(buckets, schema_ddl)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -338,35 +537,70 @@ def lsh_topk(
         # by its join key) — the query path pays no corpus signature
         c = bucketed_corpus
     else:
-        c = bucketed(corpus, vec_col, [id_col, vec_col])
-    q = bucketed(
+        # r15 second pass: corpus signatures vectorize through the
+        # Arrow bucket pass when eligible (bit-identical bits; the
+        # interpreted n_tables*n_planes HOF dots were the scan's
+        # dominant per-row cost); posexplode of the signature array
+        # stays JVM-side
+        ab = _arrow_lsh_buckets(
+            corpus.select(id_col, vec_col), id_col, vec_col,
+            dim, n_planes, n_tables, seed,
+        )
+        if ab is not None:
+            c = ab.select(
+                id_col, vec_col,
+                F.posexplode("_sig").alias("table", "bucket"),
+            )
+        else:
+            c = bucketed(corpus, vec_col, [id_col, vec_col])
+    # r15 second pass: double-typed inputs score through the Arrow
+    # pair scorer — the broadcast rows and the dedup shuffle carry
+    # ONLY (query_id, id, vec); the query vector and norm live in the
+    # task closure instead of riding every candidate row
+    slim_q = bucketed(
         queries.select(
-            F.col(query_id_col),
-            F.col(vec_col).alias("_qvec"),
-            # r15: the query norm is per QUERY, not per candidate —
-            # compute it once here and carry it through the bucket
-            # join instead of re-evaluating the interpreted fold on
-            # every scored pair row (bit-identical value)
-            norm(F.col(vec_col)).alias("_qnorm"),
+            F.col(query_id_col), F.col(vec_col).alias("_qvec")
         ),
         "_qvec",
-        [query_id_col, "_qvec", "_qnorm"],
+        [query_id_col],
     )
-    cands = (
-        c.join(F.broadcast(q), ["table", "bucket"])
-        .select(query_id_col, id_col, "_qvec", "_qnorm", vec_col)
+    slim_cands = (
+        c.join(F.broadcast(slim_q), ["table", "bucket"])
+        .select(query_id_col, id_col, vec_col)
         .dropDuplicates([query_id_col, id_col])
     )
-    # corpus norm once per candidate row (bit-identical fold order),
-    # one dot per pair — same shape as brute_force_topk
-    scored = cands.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        (
-            dot(F.col(vec_col), F.col("_qvec"))
-            / (norm(F.col(vec_col)) * F.col("_qnorm"))
-        ).alias("cos_sim"),
+    scored = _arrow_pair_scores(
+        slim_cands, queries, id_col, vec_col, query_id_col
     )
+    if scored is None:
+        q = bucketed(
+            queries.select(
+                F.col(query_id_col),
+                F.col(vec_col).alias("_qvec"),
+                # the query norm is per QUERY, not per candidate —
+                # compute it once here and carry it through the bucket
+                # join instead of re-evaluating the interpreted fold
+                # on every scored pair row (bit-identical value)
+                norm(F.col(vec_col)).alias("_qnorm"),
+            ),
+            "_qvec",
+            [query_id_col, "_qvec", "_qnorm"],
+        )
+        cands = (
+            c.join(F.broadcast(q), ["table", "bucket"])
+            .select(query_id_col, id_col, "_qvec", "_qnorm", vec_col)
+            .dropDuplicates([query_id_col, id_col])
+        )
+        # corpus norm once per candidate row (bit-identical fold
+        # order), one dot per pair — same shape as brute_force_topk
+        scored = cands.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("_qvec"))
+                / (norm(F.col(vec_col)) * F.col("_qnorm"))
+            ).alias("cos_sim"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
@@ -405,6 +639,13 @@ def ivf_index(
     centroids = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(cents)]
 
     def _assign(df: DataFrame) -> DataFrame:
+        # r15 second pass: the per-row argmax vectorizes through the
+        # Arrow assignment pass when eligible (bit-identical list
+        # ids; the n_lists interpreted cosine folds per corpus row
+        # were the index build's dominant cost)
+        arrow = _arrow_nearest_centroid(df, vec_col, centroids)
+        if arrow is not None:
+            return arrow
         # stage the row norm ONCE per row (r15): the argmax references
         # it n_lists times and the array expression evaluates as
         # interpreted CodegenFallback with no subexpression sharing —
@@ -445,6 +686,92 @@ def ivf_index(
         ]
     assigned = _assign(corpus)
     return assigned, centroids
+
+
+def _arrow_nearest_centroid(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+) -> DataFrame | None:
+    """IVF assignment as one Arrow batch pass: every input column
+    passes through untouched and a ``list_id int`` column is
+    appended — the nearest-centroid argmax computed vectorized
+    instead of as n_lists interpreted cosine folds per row. Returns
+    None when ineligible (non-double vectors / a column type the DDL
+    round trip can't express).
+
+    Bit-exactness with `_nearest_centroid`'s
+    reverse(array_sort(struct(sim, cid)))[0].cid: each sim replays
+    the staged-norm expression — dot and norm² as the sequential
+    d-order fold, sim = dot / (rnorm * cn) with the same Python
+    centroid-norm constant — and the argmax takes the LARGEST
+    (sim, cid) pair with NaN sims (zero-norm rows) above everything,
+    ties to the larger cid: the ascending-cid `>=` sweep with
+    NaN→+inf keys reproduces exactly that ordering (a finite +inf
+    sim, which would tie with NaN here, cannot arise from finite
+    inputs; zero-norm rows are out of contract — the JVM expression
+    itself raises DIVIDE_BY_ZERO under ANSI).
+    tests/test_arrow_scorer.py locks Arrow == JVM assignments."""
+    if df.schema[vec_col].dataType.simpleString() != "array<double>":
+        return None
+    for f in df.schema.fields:
+        st = f.dataType.simpleString()
+        if st != "array<double>" and st not in _PA_TYPES:
+            return None
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", `list_id` int"
+    col_names = list(df.columns)
+    vec_idx = col_names.index(vec_col)
+    cents = [(int(cid), [float(x) for x in v]) for cid, v in centroids]
+
+    def assign(batches):
+        import math as _math
+
+        import numpy as np
+        import pyarrow as pa
+
+        dim = len(cents[0][1])
+        # the same Python-constant centroid norms _centroid_sims bakes
+        # into the SQL literal (sum() is the same left-to-right fold)
+        cns = [
+            (_math.sqrt(sum(x * x for x in c)) or 1.0) for _, c in cents
+        ]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(vec_idx).flatten()
+            V = flat.to_numpy(zero_copy_only=False)
+            if V.size != n * dim:
+                raise ValueError(
+                    f"ragged {vec_col}: {V.size} values for {n} rows "
+                    f"of dim {dim} (fixed-width contract)"
+                )
+            V = V.reshape(n, dim)
+            rn = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                rn = rn + V[:, d] * V[:, d]
+            rn = np.sqrt(rn)
+            best_key = np.full(n, -np.inf)
+            best_cid = np.zeros(n, dtype=np.int32)
+            for cid, c in cents:
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc = acc + V[:, d] * c[d]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = acc / (rn * cns[cid])
+                key = np.where(np.isnan(sim), np.inf, sim)
+                take = key >= best_key
+                best_key = np.where(take, key, best_key)
+                best_cid = np.where(take, np.int32(cid), best_cid)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(best_cid, type=pa.int32())],
+                names=col_names + ["list_id"],
+            )
+
+    return df.mapInArrow(assign, ddl)
 
 
 def _centroid_sims(
@@ -535,17 +862,27 @@ def ivf_topk(
         query_id_col, "_qvec", "_qnorm", F.col("_p.cid").alias("list_id")
     )
 
-    cands = assigned.join(F.broadcast(probes), "list_id")
-    # corpus norm once per candidate row, query norm in the broadcast
-    # probe frame; per-pair work is the one dot product
-    scored = cands.select(
-        F.col(query_id_col),
-        F.col(id_col),
-        (
-            dot(F.col(vec_col), F.col("_qvec"))
-            / (norm(F.col(vec_col)) * F.col("_qnorm"))
-        ).alias("cos_sim"),
+    # r15 second pass: double-typed inputs score through the Arrow
+    # pair scorer — the broadcast probe frame shrinks to
+    # (query_id, list_id) and no candidate row carries _qvec/_qnorm
+    slim_cands = assigned.join(
+        F.broadcast(probes.select(query_id_col, "list_id")), "list_id"
+    ).select(query_id_col, id_col, vec_col)
+    scored = _arrow_pair_scores(
+        slim_cands, queries, id_col, vec_col, query_id_col
     )
+    if scored is None:
+        cands = assigned.join(F.broadcast(probes), "list_id")
+        # corpus norm once per candidate row, query norm in the
+        # broadcast probe frame; per-pair work is the one dot product
+        scored = cands.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (
+                dot(F.col(vec_col), F.col("_qvec"))
+                / (norm(F.col(vec_col)) * F.col("_qnorm"))
+            ).alias("cos_sim"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= k)
 
@@ -1004,21 +1341,36 @@ def _label_scored(
     if candidates is None:
         paired = c.crossJoin(q)
     elif label_col in candidates.columns and vec_col in candidates.columns:
-        # self-scoring payload frame: no corpus re-join
-        cand = candidates.select(
-            query_id_col,
-            id_col,
-            F.col(label_col),
-            F.col(vec_col),
-            norm(F.col(vec_col)).alias("_cnorm"),
-        )
+        # self-scoring payload frame: no corpus re-join. Double-typed
+        # vectors route through the Arrow pair scorer (r15): the
+        # dedup shuffle and the scored rows never carry
+        # _qvec/_qnorm/_cnorm payload.
+        slim = candidates.select(query_id_col, id_col, label_col, vec_col)
         if not assume_distinct:
-            cand = cand.dropDuplicates([query_id_col, id_col])
+            slim = slim.dropDuplicates([query_id_col, id_col])
+        arrow = _arrow_pair_scores(
+            slim, queries, id_col, vec_col, query_id_col,
+            label_col=label_col,
+        )
+        if arrow is not None:
+            return arrow.filter(
+                F.col(id_col) != F.col(query_id_col)
+            ).select(query_id_col, "_qlabel", id_col, label_col, "cos_sim")
+        cand = slim.withColumn("_cnorm", norm(F.col(vec_col)))
         paired = cand.join(q, query_id_col)
     else:
         cand = candidates.select(query_id_col, id_col)
         if not assume_distinct:
             cand = cand.distinct()
+        slim = corpus.select(id_col, label_col, vec_col).join(cand, id_col)
+        arrow = _arrow_pair_scores(
+            slim, queries, id_col, vec_col, query_id_col,
+            label_col=label_col,
+        )
+        if arrow is not None:
+            return arrow.filter(
+                F.col(id_col) != F.col(query_id_col)
+            ).select(query_id_col, "_qlabel", id_col, label_col, "cos_sim")
         paired = c.join(cand, id_col).join(q, query_id_col)
     return (
         paired.filter(F.col(id_col) != F.col(query_id_col))

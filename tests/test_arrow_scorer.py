@@ -142,3 +142,108 @@ def test_brute_force_topk_routes_through_arrow(spark):
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= 4)
     assert _key(out.collect()) == _key(ref.collect())
+
+def test_arrow_pair_scorer_bit_identical(spark):
+    """The pair scorer (LSH/IVF candidate frames) must equal the JVM
+    expression bit-for-bit on an arbitrary (query_id, id) pair set."""
+    from openset_spark.pipeline.similarity import _arrow_pair_scores
+
+    corpus, queries = _frames(spark, 50, 8, 11, seed=21)
+    # an arbitrary-but-deterministic candidate pair set (~1/3 of pairs)
+    cands = (
+        corpus.crossJoin(
+            queries.select(F.col("query_id"), F.col("label").alias("_ql"))
+        )
+        .filter(F.xxhash64("vec_id", "query_id") % 3 == 0)
+        .select("query_id", "vec_id", "label", "embedding")
+    )
+    got = _arrow_pair_scores(
+        cands, queries, "vec_id", "embedding", "query_id",
+        label_col="label",
+    )
+    assert got is not None
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"),
+            F.col("label").alias("_qlabel"),
+            F.col("embedding").alias("_qvec"),
+            norm(F.col("embedding")).alias("_qnorm"),
+        )
+    )
+    exp = (
+        cands.withColumn("_cnorm", norm(F.col("embedding")))
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "_qlabel",
+            "vec_id",
+            "label",
+            (
+                dot(F.col("embedding"), F.col("_qvec"))
+                / (F.col("_cnorm") * F.col("_qnorm"))
+            ).alias("cos_sim"),
+        )
+    )
+    assert _key(got.collect()) == _key(exp.collect())
+
+
+def test_lsh_ivf_topk_route_through_arrow(spark):
+    """lsh_topk / ivf_topk on double vectors plan a MapInArrow scorer
+    and return the same rows as the JVM expression path (forced via
+    float32-typed inputs, cast back so values are identical)."""
+    from openset_spark.pipeline.similarity import ivf_topk, lsh_topk
+
+    corpus, queries = _frames(spark, 80, 6, 8, seed=5)
+    for fn, kw in ((lsh_topk, {"dim": 8}), (ivf_topk, {"n_lists": 4})):
+        out = fn(corpus, queries.select("query_id", "embedding"), k=3, **kw)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in plan, (fn.__name__, plan)
+
+def test_arrow_lsh_buckets_bit_identical(spark):
+    """Arrow bucket signatures == the JVM CASE-WHEN expression bit for
+    bit (same fold order, same plane literals, same >0 sign rule)."""
+    from openset_spark.pipeline.similarity import (
+        _arrow_lsh_buckets,
+        lsh_buckets_array,
+    )
+
+    corpus, _ = _frames(spark, 70, 1, 12, seed=31)
+    got = _arrow_lsh_buckets(corpus, "vec_id", "embedding", 12, 5, 3)
+    assert got is not None
+    jvm = corpus.select(
+        "vec_id",
+        lsh_buckets_array("`embedding`", 12, 5, 3).alias("_sig"),
+    )
+    g = {r.vec_id: r._sig for r in got.select("vec_id", "_sig").collect()}
+    e = {r.vec_id: r._sig for r in jvm.collect()}
+    assert g == e
+
+def test_arrow_nearest_centroid_bit_identical(spark):
+    """Arrow IVF assignment == the JVM argmax expression. (Zero-norm
+    rows are out of contract: the JVM expression itself raises
+    DIVIDE_BY_ZERO under ANSI, so no corpus path can contain them.)"""
+    from openset_spark.functions.vector import norm as _norm
+    from openset_spark.pipeline.similarity import (
+        _arrow_nearest_centroid,
+        _nearest_centroid,
+    )
+
+    df, _ = _frames(spark, 60, 1, 10, seed=41)
+    cents = [
+        (i, r.embedding)
+        for i, r in enumerate(df.filter(F.col("vec_id") % 11 == 3).collect())
+    ]
+    got = _arrow_nearest_centroid(df, "embedding", cents)
+    assert got is not None
+    jvm = (
+        df.withColumn("_rnorm", _norm(F.col("embedding")))
+        .withColumn(
+            "list_id", _nearest_centroid("`embedding`", cents, "`_rnorm`")
+        )
+        .drop("_rnorm")
+    )
+    g = {r.vec_id: r.list_id for r in got.select("vec_id", "list_id").collect()}
+    e = {r.vec_id: r.list_id for r in jvm.select("vec_id", "list_id").collect()}
+    assert g == e
