@@ -144,6 +144,25 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def _run_bounds(arr: str) -> str:
+    """SQL snippet: 1-based END positions of each run of equal values
+    in the SORTED array column ``arr`` — run j's length is
+    bounds[j] - bounds[j-1] and run j's value sits at bounds[j]. Run
+    lengths of a sorted array ARE the per-value counts, so this is
+    the row-local substitute for an explode + groupBy count (zero
+    corpus shuffles; the per-element pass is a bare-comparison
+    filter, no per-element state allocation). The i = size(...)
+    disjunct short-circuits before the lookahead so element_at stays
+    in bounds under ANSI; the size-0 guard dodges sequence(1, 0)
+    being DESCENDING."""
+    return (
+        f"if(size({arr}) = 0, array(), "
+        f"filter(sequence(1, size({arr})), "
+        f"i -> i = size({arr}) "
+        f"or element_at({arr}, i + 1) != element_at({arr}, i)))"
+    )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -153,45 +172,51 @@ def repetition_signals(
     word 2-gram — the cheap structural filters a pretraining pipeline
     runs before any model-based scoring.
 
-    One bigram explode + two aggregates, all JVM-side; the top-bigram
-    tie-break is the lexicographically greatest bigram at the max
-    count (a struct max — deterministic, mirrored in the oracle).
-    ``top_bigram_char_frac`` counts occurrences * bigram length over
-    normalized chars (overlapping occurrences not merged — the usual
-    simplification). Documents with fewer than 2 tokens are excluded.
-    ``flagged`` applies Gopher-ish thresholds (dup fraction > 0.5 or
-    top-bigram coverage > 0.2), computed on unrounded values."""
+    The top-bigram tie-break is the lexicographically greatest bigram
+    at the max count (a struct max — deterministic, mirrored in the
+    oracle). ``top_bigram_char_frac`` counts occurrences * bigram
+    length over normalized chars (overlapping occurrences not merged
+    — the usual simplification). Documents with fewer than 2 tokens
+    are excluded. ``flagged`` applies Gopher-ish thresholds (dup
+    fraction > 0.5 or top-bigram coverage > 0.2), computed on
+    unrounded values.
+
+    Scale shape (r15): ONE corpus scan, ZERO corpus-sized shuffles —
+    the per-(doc, bigram) counting that used to ride an explode +
+    groupBy exchange (the bigram stream is corpus-sized at 100 TB) is
+    a row-LOCAL run-length pass over the sorted per-doc bigram array
+    (see :func:`_run_bounds`; `array_max` over (count, gram) structs
+    replicates the struct-max tiebreak exactly — ascending sort order
+    means a count tie is always won by the lexicographically greater
+    run). Value-identical to the explode form: run lengths of a
+    sorted array ARE the per-bigram counts (integer-exact, no
+    summation-order question)."""
     toks = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col),
         toks.alias("toks"),
         F.length(normalize(F.col(text_col))).alias("n_chars"),
     ).filter(F.size("toks") >= 2)
-    # per-doc scalars are row-local projections — kept OUT of the heavy
-    # bigram shuffle (carrying them through the wide grouping key
-    # measured 2.6x slower at sf0.1: 2.04s -> 0.78s) and joined back
-    # on the one-row-per-doc frame instead
-    stats = base.select(
+    staged = base.select(
         id_col,
         "n_chars",
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.expr(
+            "array_sort(transform(sequence(0, size(toks)-2), "
+            "i -> concat(element_at(toks, i+1), ' ', "
+            "element_at(toks, i+2))))"
+        ).alias("_bgs"),
+    ).select("*", F.expr(_run_bounds("_bgs")).alias("_bb"))
+    best = F.expr(
+        "array_max(zip_with("
+        "transform(_bb, (b, j) -> b - if(j = 0, 0, element_at(_bb, j))), "
+        "transform(_bb, b -> element_at(_bgs, b)), "
+        "(r, g) -> struct(cast(r as bigint) as c, g as bigram)))"
     )
-    bigrams = base.select(
-        id_col,
-        F.explode(
-            F.expr(
-                "transform(sequence(0, size(toks)-2), "
-                "i -> concat(element_at(toks, i+1), ' ', element_at(toks, i+2)))"
-            )
-        ).alias("bigram"),
+    top = staged.select(
+        id_col, "n_chars", "n_tokens", "n_distinct", best.alias("m")
     )
-    counts = bigrams.groupBy(id_col, "bigram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    top = counts.groupBy(id_col).agg(
-        F.max(F.struct(F.col("c"), F.col("bigram"))).alias("m")
-    ).join(stats, id_col)
     dup = 1.0 - F.col("n_distinct") / F.col("n_tokens")
     frac = F.col("m.c") * F.length("m.bigram") / F.col("n_chars")
     return top.select(
@@ -212,31 +237,37 @@ def char_entropy(
     — the classic gibberish/low-diversity quality signal (near-zero
     for repeated-char spam, ~4.2 for natural English).
 
-    Shape: one character explode + two aggregates on (doc, char) —
-    the same cardinality as a char-frequency table, never quadratic.
-    H = log2(n) - sum(c*log2(c))/n keeps all arithmetic on integer
-    counts until the final expression; the result is rounded to 4
-    decimals so the DuckDB oracle's libm/summation-order noise
-    (~1e-13) cannot flip the compare."""
-    norm = normalize(F.col(text_col))
-    chars = df.select(
+    Shape (r15): ONE corpus scan, ZERO shuffles — the per-(doc, char)
+    counting that used to ride an explode + groupBy exchange (the
+    char stream is the corpus at 100 TB) is row-LOCAL: count of char
+    c = (len(s) - len(replace(s, c, ''))) / len(c), the
+    script_profile length-difference trick, where ``replace`` is a
+    codegen'd byte scan and the only interpreted lambda runs once per
+    DISTINCT char (~dozens), not once per char. The len(c) divisor
+    keeps surrogate-pair (2-code-unit) chars exact; counts stay
+    integer-exact. H = log2(n) - sum(c*log2(c))/n keeps all
+    arithmetic on integer counts until the final expression; the sum
+    accumulates in array_distinct's first-occurrence order and the
+    result is rounded to 4 decimals — the same ROUND(4) contract that
+    already absorbs the DuckDB oracle's own libm/summation-order
+    noise (~1e-13)."""
+    staged = df.select(
+        F.col(id_col), normalize(F.col(text_col)).alias("_norm")
+    ).select(
         F.col(id_col),
-        F.explode(F.split(norm, "")).alias("ch"),
-    ).filter(F.col("ch") != "")
-    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
-    return (
-        counts.groupBy(id_col)
-        .agg(
-            F.sum("c").alias("n"),
-            F.sum(F.col("c") * F.log2("c")).alias("_clog"),
-        )
-        .select(
-            id_col,
-            F.col("n").cast("long").alias("n_chars"),
-            F.round(F.log2("n") - F.col("_clog") / F.col("n"), 4).alias(
-                "entropy_bits"
-            ),
-        )
+        "_norm",
+        F.expr("filter(split(_norm, ''), c -> c != '')").alias("_chs"),
+    )
+    clog = F.expr(
+        "aggregate(transform(array_distinct(_chs), "
+        "c -> (length(_norm) - length(replace(_norm, c, ''))) div length(c)), "
+        "cast(0 as double), (a, cc) -> a + cc * log2(cc))"
+    )
+    n = F.size("_chs")
+    return staged.filter(n > 0).select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.round(F.log2(n) - clog / n, 4).alias("entropy_bits"),
     )
 
 
