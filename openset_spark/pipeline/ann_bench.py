@@ -82,7 +82,22 @@ def _write_vectors(path: str, ids: np.ndarray, vecs: np.ndarray, id_name: str) -
             ).cast(pa.list_(pa.float32())),
         }
     )
-    pq.write_table(table, path)
+    # write-then-rename so a killed process never leaves a partial
+    # file that a later run's exists() check would trust
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def _spark_dir_ready(path: str) -> bool:
+    """True only when a Spark-written parquet directory is COMPLETE.
+
+    A bare os.path.exists() is not enough: a bench process killed
+    mid-write leaves the directory created but empty (observed — the
+    next run then dies with UNABLE_TO_INFER_SCHEMA instead of
+    rebuilding). Spark's commit protocol writes the _SUCCESS marker
+    last, so its presence is the completeness signal."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def ensure_corpus(
@@ -124,7 +139,7 @@ def ensure_lsh_index(
     (table, bucket % P) so the probe join prunes files."""
     tag = os.path.basename(corpus_path).removesuffix(".parquet")
     path = os.path.join(cache_dir, f"lsh_{tag}_{n_planes}x{n_tables}.parquet")
-    if not os.path.exists(path):
+    if not _spark_dir_ready(path):
         corpus = spark.read.parquet(corpus_path)
         sig = lsh_buckets_array("`embedding`", dim, n_planes, n_tables, seed)
         corpus.select(
@@ -149,7 +164,7 @@ def ensure_ivf_index(
     cpath = os.path.join(
         cache_dir, f"ivf_{tag}_{n_lists}{rtag}_centroids.json"
     )
-    if not (os.path.exists(apath) and os.path.exists(cpath)):
+    if not (_spark_dir_ready(apath) and os.path.exists(cpath)):
         from openset_spark.pipeline.similarity import ivf_index
 
         corpus = spark.read.parquet(corpus_path)
@@ -182,7 +197,7 @@ def ensure_pq_index(
     books_path = os.path.join(
         cache_dir, f"pq_{tag}_{m}x{ksub}_books.json"
     )
-    if not (os.path.exists(codes_path) and os.path.exists(books_path)):
+    if not (_spark_dir_ready(codes_path) and os.path.exists(books_path)):
         from openset_spark.pipeline.pq import pq_codebooks, pq_encode
 
         corpus = spark.read.parquet(corpus_path)
@@ -445,7 +460,7 @@ def ensure_ivfpq_index(
     jpath = os.path.join(
         cache_dir, f"ivfpq_{tag}_{n_lists}_{m}x{ksub}_meta.json"
     )
-    if not (os.path.exists(ipath) and os.path.exists(jpath)):
+    if not (_spark_dir_ready(ipath) and os.path.exists(jpath)):
         from openset_spark.pipeline.pq import ivfpq_build
 
         corpus = spark.read.parquet(corpus_path)
