@@ -416,13 +416,22 @@ def pq_topk(
     16 KB dtab copy into every BroadcastNestedLoop output row —
     measured 94 s vs brute-force 46 s at 200k x ksub=256; the numpy
     scan touches only the 8-byte code rows."""
+    # r15: in-query builds use the Arrow/numpy assignment. The flat
+    # SQL encode at m=8 x ksub=16 over dim-64 input already exceeds
+    # whole-stage codegen's 64 KB method limit (the consume method
+    # cannot split when its input is a deserialized local variable),
+    # so every action paid a ~17k-line janino compile that FAILED
+    # before falling back — compile failures are not cached, so the
+    # cost recurred per execution. numpy codebooks/codes verified
+    # element-identical to the SQL path at sf0.001/0.01/0.1.
     if books is None:
         books = pq_codebooks(
-            corpus, m, ksub, refine_iters, id_col, vec_col
+            corpus, m, ksub, refine_iters, id_col, vec_col,
+            method="numpy",
         )
     m = len(books)
     if codes is None:
-        codes = pq_encode(corpus, books, id_col, vec_col)
+        codes = pq_encode(corpus, books, id_col, vec_col, method="numpy")
 
     if adc_method == "numpy":
         short = _adc_shortlist_np(
