@@ -18,7 +18,12 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from openset_spark.functions.vector import cosine, cosine_fixed, dot, norm
+from openset_spark.functions.vector import (
+    dot,
+    dot_fixed,
+    norm,
+    norm_fixed,
+)
 
 # Spark type -> pyarrow type for the Arrow cross scorer's passthrough
 # columns (ids / labels). Anything outside this map falls back to the
@@ -906,8 +911,15 @@ def embedding_near_dup_lsh(
     the self-contained 100 TB path; :func:`embedding_near_dup` is the
     variant for corpora that already carry a blocking key."""
     sig = lsh_buckets_array(f"`{vec_col}`", dim, n_planes, n_tables, seed)
+    # norm staged once per ROW (r15 second pass, same reasoning as
+    # embedding_near_dup): the inline cosine re-folded both norms per
+    # PAIR, and the fully inlined 384-term form exceeded whole-stage
+    # codegen's 64 KB consume-method limit — a failed (uncached)
+    # janino compile per action. Same fold order, same dot/(na*nb)
+    # grouping — bit-identical values.
     bucketed = df.select(
         F.col(id_col), F.col(vec_col),
+        norm_fixed(f"`{vec_col}`", dim).alias("_n"),
         F.posexplode(sig).alias("table", "bucket"),
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
@@ -923,6 +935,8 @@ def embedding_near_dup_lsh(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{vec_col}").alias("_va"),
             F.col(f"b.{vec_col}").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
         # a pair sharing buckets in several tables appears once
         .dropDuplicates(["id_a", "id_b"])
@@ -930,7 +944,10 @@ def embedding_near_dup_lsh(
     return pairs.select(
         "id_a",
         "id_b",
-        cosine_fixed("`_va`", "`_vb`", dim).alias("cos_sim"),
+        (
+            dot_fixed("`_va`", "`_vb`", dim)
+            / (F.col("_na") * F.col("_nb"))
+        ).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= threshold)
 
 
@@ -946,17 +963,31 @@ def embedding_near_dup(
     restricts comparisons to a blocking key (at scale: an LSH bucket
     or cluster id) so the join is hash-keyed, not a cross join.
     ``dim`` (r15): known fixed width switches the cosine to the
-    unrolled codegen'd form — bit-identical values."""
-    a = df.alias("a")
-    b = df.alias("b")
+    unrolled codegen'd form — bit-identical values. Norms are staged
+    once per ROW before the join (r15 second pass): the inline
+    cosine recomputed both norms for EVERY pair — within-block
+    fan-out times two 64-element folds — and the 384-term fully
+    inlined form also blew whole-stage codegen's 64 KB consume-method
+    limit (the method cannot split over deserialized local variables),
+    so every action paid a ~17k-line janino compile that failed
+    before falling back, uncached. The staged form keeps the same
+    fold order and the same ``dot/(na*nb)`` grouping — bit-identical
+    values — with only the 64-term dot per pair, which compiles."""
+    nrm = (
+        norm_fixed(f"`{vec_col}`", dim) if dim else norm(F.col(vec_col))
+    )
+    keep = [id_col] + ([block_col] if block_col is not None else [])
+    staged = df.select(*keep, F.col(vec_col), nrm.alias("_n"))
+    a = staged.alias("a")
+    b = staged.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col is not None:
         cond = (F.col(f"a.{block_col}") == F.col(f"b.{block_col}")) & cond
     cos = (
-        cosine_fixed(f"a.`{vec_col}`", f"b.`{vec_col}`", dim)
+        dot_fixed(f"a.`{vec_col}`", f"b.`{vec_col}`", dim)
         if dim
-        else cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    )
+        else dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    ) / (F.col("a._n") * F.col("b._n"))
     return (
         a.join(b, cond)
         .select(

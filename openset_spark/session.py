@@ -28,5 +28,18 @@ def get_spark(app_name: str = "openset-spark", *, shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Align whole-stage codegen's bail-out with HotSpot's actual
+        # JIT refusal threshold (-XX:HugeMethodLimit = 8000 bytecode
+        # bytes, JVM-version-independent). Spark's default (65535)
+        # keeps stages whose generated methods land in the
+        # 8 KB..64 KB band: those COMPILE but can never be JIT'd, so
+        # the hot loop runs in the bytecode interpreter — the
+        # measured 2.5-8x cliff documented in functions/vector.py.
+        # With 8000, such stages fall back to per-operator codegen
+        # (method-split, JIT-able); the successful compile that
+        # sized them is cached, so the check is paid once per plan,
+        # not per action. Scale-independent JVM behavior — the same
+        # setting is right on a cluster.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
     )
     return builder.getOrCreate()
