@@ -41,13 +41,20 @@ def main() -> None:
     ap.add_argument("--plans", default=None)
     ap.add_argument("--tag", default="before")
     ap.add_argument("--sink", choices=["count", "noop"], default="count")
+    ap.add_argument("--registry-only", action="store_true",
+                    help="do NOT overlay bench._bench_impls() — bench "
+                         "defines same-named impls (ann_pq, dedup_minhash, "
+                         "...) that SHADOW the registry query; measuring "
+                         "'the registry path' through the merged dict "
+                         "silently times the bench path instead")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("openset-spark-measure-r15")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = {**entry_mod.queries(), **bench._bench_impls()}
+    qs = (entry_mod.queries() if args.registry_only
+          else {**entry_mod.queries(), **bench._bench_impls()})
 
     names = (bench.HEADLINE if args.queries == "headline"
              else [n.strip() for n in args.queries.split(",") if n.strip()])
