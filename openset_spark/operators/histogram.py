@@ -59,20 +59,6 @@ def histogram(
     ``per_user_scalar`` must have one row per user (user_col, value_col).
     """
     idx = _bucket_idx(value_col, bucket, max_value)
-    # r15: the zero-fill below references this frame twice (bounds +
-    # the full-outer join) and AQE does not reuse exchanges across
-    # plan branches, so without the cut the WHOLE upstream (often a
-    # full event scan + per-user aggregate) executed twice — measured
-    # 4 event scans in histogram_weeks_since's plan, 2 after. The
-    # bucketed histogram is bounded by the bucket count, so the
-    # materialization is display-sized.
-    hist = (
-        per_user_scalar.select(idx.alias("_idx"), F.col(user_col))
-        .filter(F.col("_idx").isNotNull())
-        .groupBy("_idx")
-        .agg(F.countDistinct(user_col).alias("people"))
-        .localCheckpoint()
-    )
     # Zero-fill per the reference's jsonResultHistogramFill
     # (src/result.cpp:780-941):
     # - interior gaps between lo and hi ALWAYS fill with people=0 (the
@@ -82,27 +68,53 @@ def histogram(
     # - the hi bucket is always present (the reference re-injects the
     #   max branch carrying the clipped overflow, 0 if nothing hit it);
     # - empty input stays empty (the reference returns early).
-    # Spark shape: a sequence() range frame FULL-outer-joined with the
-    # observed buckets — observed rows outside the fill range survive
-    # the join, range rows missing from observed coalesce to 0. All
-    # index arithmetic on longs so no FP step-count drift.
+    #
+    # r16 shape: the bucketed histogram is bounded by the bucket count
+    # (display-sized), so it collapses into ONE packed row
+    # (collect_list + bounds in a single aggregate) and the fill is a
+    # row-local array op: sequence(lo, hi) ∪ observed indices, people
+    # looked up from a map. One reference to the histogram frame — the
+    # r15 form checkpointed it because the bounds scan + full-outer
+    # join re-ran the whole upstream (often a full event scan +
+    # per-user aggregate) once per reference under AQE; the packed
+    # form needs neither the checkpoint job nor the join. All index
+    # arithmetic on longs so no FP step-count drift.
     lo_forced = None if min_value is None else _trunc_idx(min_value, bucket)
     hi_forced = None if max_value is None else _trunc_idx(max_value, bucket)
-    bounds = hist.agg(F.min("_idx").alias("_lo"), F.max("_idx").alias("_hi"))
+    packed = (
+        per_user_scalar.select(idx.alias("_idx"), F.col(user_col))
+        .filter(F.col("_idx").isNotNull())
+        .groupBy("_idx")
+        .agg(F.countDistinct(user_col).alias("people"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_idx", "people"))
+            ).alias("_m"),
+            F.min("_idx").alias("_lo"),
+            F.max("_idx").alias("_hi"),
+        )
+    )
     lo_c = F.col("_lo") if lo_forced is None else F.lit(lo_forced).cast("long")
     hi_c = F.col("_hi") if hi_forced is None else F.lit(hi_forced).cast("long")
-    rng = bounds.filter(F.col("_lo").isNotNull()).select(
-        F.explode(
-            # a forced lo above everything degenerates to just the
-            # re-injected hi bucket, matching the reference's
-            # no-iteration fill loop + max re-inject
-            F.when(lo_c <= hi_c, F.sequence(lo_c, hi_c)).otherwise(
-                F.array(hi_c)
-            )
-        ).alias("_idx")
+    # a forced lo above everything degenerates to just the
+    # re-injected hi bucket, matching the reference's no-iteration
+    # fill loop + max re-inject; observed buckets outside the fill
+    # range survive via the union (the old full-outer's semantics)
+    all_idx = F.array_union(
+        F.when(lo_c <= hi_c, F.sequence(lo_c, hi_c)).otherwise(
+            F.array(hi_c)
+        ),
+        F.map_keys("_m"),
     )
-    filled = rng.join(hist, "_idx", "full").select(
-        F.col("_idx"), F.coalesce("people", F.lit(0)).alias("people")
+    filled = (
+        packed.filter(F.col("_lo").isNotNull())
+        .select(F.col("_m"), F.explode(all_idx).alias("_idx"))
+        .select(
+            F.col("_idx"),
+            F.coalesce(
+                F.expr("try_element_at(_m, _idx)"), F.lit(0)
+            ).alias("people"),
+        )
     )
     return filled.select(
         (F.col("_idx").cast("double") * F.lit(float(bucket))).alias(name),
@@ -148,39 +160,50 @@ def histogram_by(
 
     ``per_user_scalar`` has one row per (user, group) pair."""
     idx = _bucket_idx(value_col, bucket, max_value)
-    hist = (
+    # per-group interior zero-fill: the reference applies
+    # jsonResultHistogramFill to EACH group's branch of a foreach
+    # result (result.cpp:795-807 "isDeep" path), each group filling
+    # its own observed min..max unless min=/max= force the bounds.
+    # r16: same packed single-reference shape as histogram() above,
+    # per group — the per-group bucket map is bounded by the bucket
+    # count, and the old bounds-scan + full-outer join re-ran the
+    # whole upstream (scan + per-(group,bucket) aggregate) TWICE
+    # under AQE's no-cross-branch exchange reuse.
+    lo_forced = None if min_value is None else _trunc_idx(min_value, bucket)
+    hi_forced = None if max_value is None else _trunc_idx(max_value, bucket)
+    lo_c = F.col("_lo") if lo_forced is None else F.lit(lo_forced).cast("long")
+    hi_c = F.col("_hi") if hi_forced is None else F.lit(hi_forced).cast("long")
+    packed = (
         per_user_scalar.select(
             F.col(group_col), idx.alias("_idx"), F.col(user_col)
         )
         .filter(F.col("_idx").isNotNull())
         .groupBy(group_col, "_idx")
         .agg(F.countDistinct(user_col).alias("people"))
-    )
-    # per-group interior zero-fill: the reference applies
-    # jsonResultHistogramFill to EACH group's branch of a foreach
-    # result (result.cpp:795-807 "isDeep" path), each group filling
-    # its own observed min..max unless min=/max= force the bounds.
-    lo_forced = None if min_value is None else _trunc_idx(min_value, bucket)
-    hi_forced = None if max_value is None else _trunc_idx(max_value, bucket)
-    lo_c = F.col("_lo") if lo_forced is None else F.lit(lo_forced).cast("long")
-    hi_c = F.col("_hi") if hi_forced is None else F.lit(hi_forced).cast("long")
-    rng = (
-        hist.groupBy(group_col)
-        .agg(F.min("_idx").alias("_lo"), F.max("_idx").alias("_hi"))
-        .select(
-            group_col,
-            F.explode(
-                F.when(lo_c <= hi_c, F.sequence(lo_c, hi_c)).otherwise(
-                    F.array(hi_c)
-                )
-            ).alias("_idx"),
+        .groupBy(group_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_idx", "people"))
+            ).alias("_m"),
+            F.min("_idx").alias("_lo"),
+            F.max("_idx").alias("_hi"),
         )
     )
+    all_idx = F.array_union(
+        F.when(lo_c <= hi_c, F.sequence(lo_c, hi_c)).otherwise(
+            F.array(hi_c)
+        ),
+        F.map_keys("_m"),
+    )
     return (
-        rng.join(hist, [group_col, "_idx"], "full")
+        packed.select(
+            group_col, F.col("_m"), F.explode(all_idx).alias("_idx")
+        )
         .select(
             group_col,
             (F.col("_idx").cast("double") * F.lit(float(bucket))).alias(name),
-            F.coalesce("people", F.lit(0)).alias("people"),
+            F.coalesce(
+                F.expr("try_element_at(_m, _idx)"), F.lit(0)
+            ).alias("people"),
         )
     )

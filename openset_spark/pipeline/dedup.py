@@ -584,9 +584,9 @@ def _cc_star(edges: DataFrame, max_iter: int):
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        # lazy checkpoints: the signature probe right after is the one
-        # action per round (eager would pay a second job). The
-        # intermediate large-star frame is checkpointed too —
+        # eager checkpoints (the lazy form is exposed to the ABBA
+        # deadlock recorded in plans/r15/localcheckpoint_deadlock_jstack.txt).
+        # The intermediate large-star frame is checkpointed too —
         # small_star references its input twice (min-map build +
         # join), which re-ran the whole large-star shuffle per
         # reference before r15.

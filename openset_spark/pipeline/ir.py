@@ -118,9 +118,7 @@ def bm25_search(
     # query-pruned, but still rooted in the full corpus explode: both
     # the df aggregate and the scoring join consume it — materialize
     # once (same rule as tfidf_top_terms above)
-    hits = tf.filter(F.col("term").isin(*query_terms)).localCheckpoint(
-        eager=False
-    )
+    hits = tf.filter(F.col("term").isin(*query_terms)).localCheckpoint()
     dfk = F.broadcast(
         hits.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
     )

@@ -47,11 +47,12 @@ def _bigrams(df: DataFrame, text_col: str, *keep):
 def train_bigram_lm(
     corpus: DataFrame, text_col: str = "text", min_count: int = 1
 ) -> dict:
-    """The model as three lazy frames: bigram counts, context
-    (unigram) counts, and the 1-row vocabulary size."""
+    """The model as three frames: bigram counts, context (unigram)
+    counts (both eagerly checkpointed), and the 1-row vocabulary
+    size derived from the unigram table."""
     # r15: the model frames are the natural materialization point
-    # (train once, score many — the kneser_ney twin already lazily
-    # checkpoints its bigram table). Lazy cuts mean each training
+    # (train once, score many — the kneser_ney twin already
+    # checkpoints its bigram table). The cuts mean each training
     # pass runs exactly once per execution, and the vocabulary size
     # is COUNT(*) of the unigram table (same integer as
     # countDistinct over the token stream) instead of a third full

@@ -160,14 +160,23 @@ def pq_codebooks(
     M * ksub * dsub rows, never by corpus size. Trains on normalized
     vectors (see module docstring).
 
-    ``method='sql'`` (default) keeps assignment as the codegen'd
-    expression — deterministic per engine, right for query-path
-    builds at modest ksub. ``method='numpy'`` runs assignment +
-    partial sums per Arrow batch (BLAS) — the INGEST-time bulk shape
-    for large ksub, where the M*ksub-term projection outgrows
-    whole-stage codegen's method limits and falls back to
-    interpreted eval (measured 402 s -> 78 s -> ~s per Lloyd pass on
-    200k x ksub=64 across struct-sort / flat-SQL / numpy).
+    ``method='sql'`` (default here) keeps assignment as the codegen'd
+    expression. ``method='numpy'`` runs assignment + partial sums per
+    Arrow batch (BLAS) — the bulk shape for large ksub, where the
+    M*ksub-term projection outgrows whole-stage codegen's method
+    limits and falls back to interpreted eval (measured 402 s -> 78 s
+    -> ~s per Lloyd pass on 200k x ksub=64 across struct-sort /
+    flat-SQL / numpy). :func:`pq_topk`'s in-query builds ALSO default
+    to numpy (``build_method='numpy'``): the flat SQL encode at even
+    m=8 x ksub=16 exceeds janino's 64 KB method limit and pays a
+    failed compile per action. Caveat: the numpy Lloyd mean is
+    F.sum(sm)/F.sum(cnt) over BLAS partials, ~1e-9-close to the SQL
+    F.avg trajectory but summation-order/platform-dependent, so
+    cross-platform bit-reproducibility of the SHORTLIST is not
+    guaranteed (near-tie argmin flips can change code assignments);
+    the exact cosine re-rank in pq_topk is what pins the final
+    results. Pass ``build_method='sql'`` when shortlist-level
+    determinism across engines matters more than build speed.
 
     ``normalize=False`` trains on the raw vectors — the IVF-PQ
     residual path, where the input is already (unit vector − coarse
@@ -295,8 +304,11 @@ def pq_encode(
                     {id_col: pdf[id_col].values, "codes": list(codes)}
                 )
 
+        # Preserve the id column's real type (string/int ids work on
+        # the SQL path; hardcoding `long` here would miscast them).
+        id_type = corpus.schema[id_col].dataType.simpleString()
         return corpus.select(id_col, vec_col).mapInPandas(
-            _enc, f"{id_col} long, codes array<int>"
+            _enc, f"{id_col} {id_type}, codes array<int>"
         )
     # normalize into a real column FIRST: inlining the normalization
     # into every one of the M*ksub distance terms re-evaluates it per
@@ -396,6 +408,7 @@ def pq_topk(
     books: Codebooks | None = None,
     codes: DataFrame | None = None,
     adc_method: str = "sql",
+    build_method: str = "numpy",
 ) -> DataFrame:
     """ADC top-k with exact cosine re-rank: scan the code table once
     per query batch (queries + their ADC tables broadcast), take the
@@ -403,8 +416,11 @@ def pq_topk(
     for ONLY those rows, exact-cosine re-rank to top ``k``.
 
     Pass ``books``/``codes`` (an ingest-time build) to skip training
-    and encoding on the query path. Output matches
-    similarity.ivf_topk: (query_id, vec_id, cos_sim, rank).
+    and encoding on the query path; otherwise ``build_method``
+    selects the in-query build ('numpy' default for speed, 'sql' for
+    cross-engine shortlist determinism — see :func:`pq_codebooks`).
+    Output matches similarity.ivf_topk:
+    (query_id, vec_id, cos_sim, rank).
 
     ``adc_method='sql'`` keeps the scan declarative — right for
     modest ksub (the registry/oracle config). ``adc_method='numpy'``
@@ -427,11 +443,13 @@ def pq_topk(
     if books is None:
         books = pq_codebooks(
             corpus, m, ksub, refine_iters, id_col, vec_col,
-            method="numpy",
+            method=build_method,
         )
     m = len(books)
     if codes is None:
-        codes = pq_encode(corpus, books, id_col, vec_col, method="numpy")
+        codes = pq_encode(
+            corpus, books, id_col, vec_col, method=build_method
+        )
 
     if adc_method == "numpy":
         short = _adc_shortlist_np(

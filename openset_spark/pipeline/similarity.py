@@ -14,6 +14,7 @@ All vector math is `aggregate`/`zip_with` (JVM codegen), no Python.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -36,6 +37,29 @@ _PA_TYPES = {
     "float": "float32",
     "string": "string",
 }
+
+
+def _arrow_query_cap() -> int:
+    """Row cap on the query frame the Arrow scorers may pull to the
+    driver. The JVM broadcast path fails LOUDLY past the broadcast
+    size threshold; a bare ``.collect()`` would instead OOM the
+    driver silently, so past this cap the scorers return None and
+    the caller keeps the JVM broadcast plan (which enforces its own
+    limits). 2M rows at dim-64 double vectors is ~1 GB framed —
+    within the default driver heap but far past any sane "query
+    batch"; override per-deployment via SPARK_GRAFT_ARROW_QUERY_CAP."""
+    return int(os.environ.get("SPARK_GRAFT_ARROW_QUERY_CAP", "2000000"))
+
+
+def _collect_queries_capped(queries: DataFrame, qsel: list) -> list | None:
+    """collect() the projected query frame, or None when it exceeds
+    the cap. limit(cap+1) bounds what ever reaches the driver — the
+    overflow probe costs one extra row, not an uncapped collect."""
+    cap = _arrow_query_cap()
+    rows = queries.select(*qsel).limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return rows
 
 
 def _arrow_cross_scores(
@@ -85,7 +109,9 @@ def _arrow_cross_scores(
         pa_types.append(t)
 
     qsel = [query_id_col, vec_col] + ([label_col] if label_col else [])
-    qrows = queries.select(*qsel).collect()
+    qrows = _collect_queries_capped(queries, qsel)
+    if qrows is None:
+        return None
 
     schema_ddl = ", ".join(
         f"`{nm}` {dt.simpleString()}" for nm, dt in out_fields
@@ -219,7 +245,9 @@ def _arrow_pair_scores(
         pa_types.append(t)
 
     qsel = [query_id_col, vec_col] + ([label_col] if label_col else [])
-    qrows = queries.select(*qsel).collect()
+    qrows = _collect_queries_capped(queries, qsel)
+    if qrows is None:
+        return None
 
     schema_ddl = ", ".join(
         f"`{nm}` {dt.simpleString()}" for nm, dt in out_fields
@@ -976,7 +1004,11 @@ def embedding_near_dup(
     nrm = (
         norm_fixed(f"`{vec_col}`", dim) if dim else norm(F.col(vec_col))
     )
-    keep = [id_col] + ([block_col] if block_col is not None else [])
+    # dict.fromkeys dedupes in case block_col == id_col (a duplicate
+    # column here would make the self-join references ambiguous)
+    keep = list(
+        dict.fromkeys([id_col] + ([block_col] if block_col is not None else []))
+    )
     staged = df.select(*keep, F.col(vec_col), nrm.alias("_n"))
     a = staged.alias("a")
     b = staged.alias("b")

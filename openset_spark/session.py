@@ -39,7 +39,15 @@ def get_spark(app_name: str = "openset-spark", *, shuffle_partitions: int | None
         # (method-split, JIT-able); the successful compile that
         # sized them is cached, so the check is paid once per plan,
         # not per action. Scale-independent JVM behavior — the same
-        # setting is right on a cluster.
-        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # setting is right on a cluster. Validated against the
+        # registry bench (alternated full-headline A/B, r15 #21);
+        # overridable per-deployment via SPARK_GRAFT_HUGE_METHOD_LIMIT
+        # because Spark ships 65535 for a reason — a stage whose
+        # generated method lands in the 8-64 KB band but whose hot
+        # loop is elsewhere loses whole-stage fusion under this cap.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+        )
     )
     return builder.getOrCreate()

@@ -247,3 +247,40 @@ def test_arrow_nearest_centroid_bit_identical(spark):
     g = {r.vec_id: r.list_id for r in got.select("vec_id", "list_id").collect()}
     e = {r.vec_id: r.list_id for r in jvm.select("vec_id", "list_id").collect()}
     assert g == e
+
+
+def test_arrow_scorer_declines_oversized_query_frame(spark, monkeypatch):
+    """Query frames past SPARK_GRAFT_ARROW_QUERY_CAP must NOT be
+    collected to the driver: the scorers return None so callers keep
+    the JVM broadcast path (which fails loudly at its size threshold
+    instead of silently OOMing the driver)."""
+    from openset_spark.pipeline.similarity import (
+        _arrow_pair_scores,
+        brute_force_topk,
+    )
+
+    corpus, queries = _frames(spark, 20, 5, 4)
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_QUERY_CAP", "3")
+    assert (
+        _arrow_cross_scores(
+            corpus, queries, "vec_id", "embedding", "query_id"
+        )
+        is None
+    )
+    cands = corpus.select(
+        F.lit(0).cast("long").alias("query_id"), "vec_id", "embedding"
+    )
+    assert (
+        _arrow_pair_scores(cands, queries, "vec_id", "embedding", "query_id")
+        is None
+    )
+    # end-to-end: the caller falls back to the JVM plan and still
+    # returns the same rows as the Arrow route
+    out_jvm = brute_force_topk(corpus, queries, k=3)
+    plan = out_jvm._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan, plan
+    jvm_rows = sorted(map(tuple, out_jvm.collect()))
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_QUERY_CAP", "2000000")
+    out_arrow = brute_force_topk(corpus, queries, k=3)
+    assert "MapInArrow" in out_arrow._jdf.queryExecution().executedPlan().toString()
+    assert sorted(map(tuple, out_arrow.collect())) == jvm_rows
