@@ -3432,15 +3432,19 @@ def q_nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     fastText-filter shape as pure relational algebra): train binary
     multinomial NB on sources src0-src3 (the "reference" shards) vs
     the rest, score every doc as the log-odds token sum. Training =
-    two token-count aggregates; scoring = one explode + broadcast
-    join + per-doc sum; weights are ln() of integer count ratios so
+    ONE labeled token-count aggregate (r16; the classes are
+    complementary filters of the scored frame); scoring = one explode
+    + broadcast join + per-doc sum; weights are ln() of integer count
+    ratios so
     DuckDB replays them bit-for-bit (lm_perplexity precedent);
     score ships ROUND(,4). NEW r11."""
     from openset_spark.pipeline.classify import nb_quality_scores
 
     docs = _docs(spark, sf_dir)
     ref = F.col("source").isin("src0", "src1", "src2", "src3")
-    return nb_quality_scores(docs, docs.filter(ref), docs.filter(~ref))
+    # labeled form: pos/neg are complementary filters of `docs`, so
+    # training is ONE corpus scan instead of two (r16)
+    return nb_quality_scores(docs, pos_label=ref)
 
 
 _SQL_NB_QUALITY_SCORES = f"""

@@ -46,30 +46,15 @@ def _class_counts(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def nb_quality_model(
-    pos: DataFrame,
-    neg: DataFrame,
-    text_col: str = "text",
-) -> tuple[DataFrame, float]:
-    """Binary multinomial NB with Laplace smoothing, as a (token,
-    weight) frame plus the out-of-vocabulary weight:
-
-        weight(w) = ln((c_pos(w)+1)/(N_pos+V)) - ln((c_neg(w)+1)/(N_neg+V))
-        oov       = ln(N_neg+V) - ln(N_pos+V)   (both counts 0)
-
-    V counts distinct tokens across BOTH classes, so a token seen
-    only in one class still gets a finite (and strongly signed)
-    weight. The three scalars (N_pos, N_neg, V) come from one tiny
-    collect of pre-aggregated counts — never a row collect."""
-    cp = _class_counts(pos, text_col)
-    cn = _class_counts(neg, text_col)
-    joined = cp.withColumnRenamed("c", "c_pos").join(
-        cn.withColumnRenamed("c", "c_neg"), "token", "full"
-    ).select(
-        "token",
-        F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
-        F.coalesce("c_neg", F.lit(0)).alias("c_neg"),
-    )
+def _model_from_counts(joined: DataFrame) -> tuple[DataFrame, float]:
+    """(weights, oov) off a (token, c_pos, c_neg) count frame. The
+    frame is referenced twice (the totals collect + the weights
+    projection) and is bounded by the VOCABULARY, so it is
+    checkpointed — without the cut each reference re-ran the full
+    training corpus scan(s) under AQE's no-cross-branch exchange
+    reuse (the kmv/dsir r15 posture; same rule as the nb_lang gram
+    counts pinned in r13)."""
+    joined = joined.localCheckpoint()
     totals = joined.agg(
         F.sum("c_pos").alias("np"),
         F.sum("c_neg").alias("nn"),
@@ -89,19 +74,85 @@ def nb_quality_model(
     return weights, oov
 
 
-def nb_quality_scores(
-    docs: DataFrame,
+def nb_quality_model(
     pos: DataFrame,
     neg: DataFrame,
     text_col: str = "text",
+) -> tuple[DataFrame, float]:
+    """Binary multinomial NB with Laplace smoothing, as a (token,
+    weight) frame plus the out-of-vocabulary weight:
+
+        weight(w) = ln((c_pos(w)+1)/(N_pos+V)) - ln((c_neg(w)+1)/(N_neg+V))
+        oov       = ln(N_neg+V) - ln(N_pos+V)   (both counts 0)
+
+    V counts distinct tokens across BOTH classes, so a token seen
+    only in one class still gets a finite (and strongly signed)
+    weight. The three scalars (N_pos, N_neg, V) come from one tiny
+    collect of pre-aggregated counts — never a row collect.
+
+    When pos and neg are complementary label filters over ONE frame,
+    use :func:`nb_quality_model_labeled` instead: one training scan
+    instead of two."""
+    cp = _class_counts(pos, text_col)
+    cn = _class_counts(neg, text_col)
+    joined = cp.withColumnRenamed("c", "c_pos").join(
+        cn.withColumnRenamed("c", "c_neg"), "token", "full"
+    ).select(
+        "token",
+        F.coalesce("c_pos", F.lit(0)).alias("c_pos"),
+        F.coalesce("c_neg", F.lit(0)).alias("c_neg"),
+    )
+    return _model_from_counts(joined)
+
+
+def nb_quality_model_labeled(
+    docs: DataFrame,
+    pos_label,
+    text_col: str = "text",
+) -> tuple[DataFrame, float]:
+    """:func:`nb_quality_model` for the common case where the two
+    classes are complementary subsets of ONE frame (``pos_label`` a
+    boolean Column): per-class token counts come from a SINGLE
+    exploded pass with a conditional sum — identical integers, half
+    the training scans. Rows whose label is NULL belong to neither
+    class and are excluded, exactly as ``filter(label)`` /
+    ``filter(~label)`` would exclude them on the two-pass path."""
+    joined = (
+        docs.select(pos_label.alias("_pos"), F.col(text_col))
+        .filter(F.col("_pos").isNotNull())
+        .select("_pos", F.explode(tokens(F.col(text_col))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("_pos"), 1).otherwise(0)).alias("c_pos"),
+            F.sum(F.when(F.col("_pos"), 0).otherwise(1)).alias("c_neg"),
+        )
+    )
+    return _model_from_counts(joined)
+
+
+def nb_quality_scores(
+    docs: DataFrame,
+    pos: DataFrame | None = None,
+    neg: DataFrame | None = None,
+    text_col: str = "text",
     id_col: str = "doc_id",
+    pos_label=None,
 ) -> DataFrame:
     """(id, n_tokens, score) for every doc with >= 1 token: the NB
     log-odds sum of its tokens under the pos-vs-neg model (positive
     = reference-like). The class prior is a per-corpus constant that
     shifts every score equally — thresholding happens downstream, so
-    it is deliberately not baked in."""
-    weights, oov = nb_quality_model(pos, neg, text_col)
+    it is deliberately not baked in.
+
+    Pass either (pos, neg) frames, or ``pos_label`` (a boolean Column
+    over ``docs``) when the classes are complementary subsets of the
+    scored frame itself — the labeled form trains in ONE corpus scan
+    instead of two (identical counts, identical weights)."""
+    if pos_label is not None:
+        weights, oov = nb_quality_model_labeled(docs, pos_label, text_col)
+    else:
+        weights, oov = nb_quality_model(pos, neg, text_col)
     toked = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     ).filter(F.col("token") != "")
@@ -116,22 +167,29 @@ def nb_quality_scores(
 
 
 def _doc_grams(
-    df: DataFrame, text_col: str, key, key_name: str, n: int
+    df: DataFrame, text_col: str, key, key_name: str, n: int,
+    extra: tuple = (),
 ) -> DataFrame:
-    """(key_name, gram) exploded char n-grams — the normalized text
-    is projected to a REAL column before the gram transform (no CSE
-    inside transform lambdas: gramming over normalize(text) directly
-    re-runs the normalize regex once per gram, O(len²) per doc —
-    see char_ngrams_from_norm)."""
+    """(key_name[, extra...], gram) exploded char n-grams — the
+    normalized text is projected to a REAL column before the gram
+    transform (no CSE inside transform lambdas: gramming over
+    normalize(text) directly re-runs the normalize regex once per
+    gram, O(len²) per doc — see char_ngrams_from_norm). ``extra``
+    names per-row columns carried through the explode (the
+    lang_script_agreement fusion hook: a consumer that needs another
+    doc column can ride this scan instead of re-scanning + joining)."""
     from openset_spark.functions.text import (
         char_ngrams_from_norm,
         normalize,
     )
 
     return df.select(
-        key.alias(key_name), normalize(F.col(text_col)).alias("_nt")
+        key.alias(key_name),
+        *[F.col(c) for c in extra],
+        normalize(F.col(text_col)).alias("_nt"),
     ).select(
         key_name,
+        *extra,
         F.explode(char_ngrams_from_norm(F.col("_nt"), n)).alias("gram"),
     ).filter(F.col("gram") != "")
 
@@ -228,6 +286,7 @@ def nb_lang_scores(
     label_col: str = "lang",
     n: int = 3,
     id_col: str = "doc_id",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """(id, n_grams, score_<lang>..., lang_nb) for every doc with at
     least one char n-gram: per-language NB log-likelihood sums under
@@ -238,9 +297,15 @@ def nb_lang_scores(
     class mix is a corpus accident, not evidence (and a constant
     per-language shift, trivially re-addable downstream)."""
     weights, langs, oov = nb_lang_model(seed, text_col, label_col, n)
-    grams = _doc_grams(docs, text_col, F.col(id_col), id_col, n)
+    # extra_cols ride the scoring scan (functionally dependent on the
+    # doc id, so adding them to the group keys changes nothing) —
+    # a consumer needing another doc column gets it WITHOUT a second
+    # corpus scan + join (nb_lang_confusion: 2 scans -> 1, r16)
+    grams = _doc_grams(
+        docs, text_col, F.col(id_col), id_col, n, extra=extra_cols
+    )
     joined = grams.join(F.broadcast(weights), "gram", "left")
-    scored = joined.groupBy(id_col).agg(
+    scored = joined.groupBy(id_col, *extra_cols).agg(
         F.count(F.lit(1)).alias("n_grams"),
         *[
             F.round(
@@ -255,6 +320,7 @@ def nb_lang_scores(
     )
     return scored.select(
         id_col,
+        *extra_cols,
         "n_grams",
         *[f"score_{l}" for l in langs],
         guess.alias("lang_nb"),
@@ -273,11 +339,17 @@ def nb_lang_confusion(
     the labeled column — the audit that says what the classifier
     actually does on a corpus (and, run beside lang_confusion's
     stopword audit, what the upgrade buys). One bounded L x L
-    aggregate over the scored frame."""
-    scored = nb_lang_scores(docs, seed, text_col, label_col, n, id_col)
-    labeled = docs.select(F.col(id_col), F.col(label_col).alias("lang"))
+    aggregate over the scored frame. The gold label rides the
+    scoring scan via the extra_cols hook (r16): before, a second
+    full corpus scan + join re-fetched a column the scan already
+    read — the inner join on the doc id kept exactly the scored
+    docs, which is what the fused form emits."""
+    scored = nb_lang_scores(
+        docs, seed, text_col, label_col, n, id_col,
+        extra_cols=(label_col,),
+    )
     return (
-        scored.join(labeled, id_col)
+        scored.select(F.col(label_col).alias("lang"), "lang_nb")
         .groupBy("lang", "lang_nb")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

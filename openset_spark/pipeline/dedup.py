@@ -6,9 +6,11 @@ Five tiers, all shuffle-bounded (no O(n^2) cross joins at scale):
 - minhash:   word-shingle MinHash signatures -> LSH bands -> bucket
              join. Candidate pairs only form inside a band bucket, so
              the join is a hash join on (band_idx, band_hash) whose
-             fan-out is controlled by band width. All signature math
-             is JVM higher-order functions (xxhash64 + array_min) —
-             no Python in the hot path.
+             fan-out is controlled by band width. Shingle hashing and
+             band keys are JVM expressions; the 64 slot hashes run as
+             a vectorized Arrow pass with bit-identical xxhash64
+             replication (r16; JVM expression fallback kept for
+             exotic id types, and the streaming twin stays pure-JVM).
 - simhash:   64-bit simhash via per-bit token votes (JVM aggregate),
              near-dup candidates = equal 16-bit simhash blocks
              (hamming<=3 guarantee via 4-block pigeonhole).
@@ -62,6 +64,96 @@ def exact_dedup(
 
 
 # ---------- minhash + LSH ----------
+# Bit-identical NumPy replication of Spark's xxhash64 over
+# (bigint, int-literal) children with the default seed 42:
+# xxhash64(h, i) = XXH64.hashInt(i, XXH64.hashLong(h, 42)). The
+# constants and op sequence mirror catalyst's XXH64.java exactly;
+# uint64 arithmetic wraps like Java longs and the final .view(int64)
+# reinterprets the bits the way Spark returns them.
+# tests/test_arrow_minhash.py locks slot values == the SQL expression
+# on randomized inputs (including the int64 edge values).
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _np_xxh64_fmix(h, np):
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_XXH_P2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_XXH_P3)
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def _np_xxh64_long(v, seed, np):
+    """XXH64.hashLong(v, seed) vectorized over uint64 ``v``."""
+    h = seed + np.uint64(_XXH_P5) + np.uint64(8)
+    k1 = v * np.uint64(_XXH_P2)
+    k1 = ((k1 << np.uint64(31)) | (k1 >> np.uint64(33))) * np.uint64(_XXH_P1)
+    h = h ^ k1
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * np.uint64(
+        _XXH_P1
+    ) + np.uint64(_XXH_P4)
+    return _np_xxh64_fmix(h, np)
+
+
+def _np_xxh64_int(i, seed, np):
+    """XXH64.hashInt(i, seed) for a scalar int ``i`` against a
+    vectorized uint64 ``seed`` (the per-row chained hash)."""
+    h = seed + np.uint64(_XXH_P5) + np.uint64(4)
+    h = h ^ np.uint64((i & 0xFFFFFFFF) * _XXH_P1 & 0xFFFFFFFFFFFFFFFF)
+    h = ((h << np.uint64(23)) | (h >> np.uint64(41))) * np.uint64(
+        _XXH_P2
+    ) + np.uint64(_XXH_P3)
+    return _np_xxh64_fmix(h, np)
+
+
+def _arrow_minhash_slots(
+    exploded: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame | None:
+    """Per-batch PARTIAL MinHash slots (id, s0..s{n-1}) via
+    mapInPandas over the (id, _h) shingle-hash stream — guide §4.2:
+    the 64 chained xxhash64 evaluations per shingle instance become
+    three vectorized uint64 ops per slot over the whole batch, and
+    each batch emits one partial-min row per doc it saw (a map-side
+    partial in Python), so the JVM min aggregate that follows touches
+    ~|docs| rows per batch, not |shingle instances|. Bit-identity:
+    slot values replicate the SQL expression exactly (see the XXH64
+    notes above) and signed-int64 min is associative/commutative, so
+    min(partial mins) == min(all). Returns None when the id type is
+    not a plain primitive (caller keeps the JVM expression path)."""
+    id_type = exploded.schema[id_col].dataType.simpleString()
+    if "<" in id_type:  # struct/array/map ids: stay on the JVM path
+        return None
+
+    def _slots(batches):
+        import numpy as np
+        import pandas as pd
+
+        u42 = np.uint64(42)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["_h"].to_numpy(dtype=np.int64).view(np.uint64)
+            base = _np_xxh64_long(h, u42, np)
+            mat = np.empty((len(h), num_hashes), dtype=np.int64)
+            for i in range(num_hashes):
+                mat[:, i] = _np_xxh64_int(i, base, np).view(np.int64)
+            gdf = pd.DataFrame(
+                {f"s{i}": mat[:, i] for i in range(num_hashes)}
+            )
+            gdf.insert(0, id_col, pdf[id_col].values)
+            yield gdf.groupby(id_col, sort=False).min().reset_index()
+
+    ddl = f"`{id_col}` {id_type}, " + ", ".join(
+        f"s{i} bigint" for i in range(num_hashes)
+    )
+    return exploded.mapInPandas(_slots, ddl)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -86,11 +178,25 @@ def minhash_signature(
             F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
         ).alias("shingle"),
     ).select(F.col(id_col), F.xxhash64("shingle").alias("_h"))
-    # ALL slot aggregates in ONE expression string (an array of
-    # min(xxhash64(...)) aggregates): building them as 64 separate
-    # F.min(F.xxhash64(F.lit(i))) Columns costs several py4j round
-    # trips each — ~1s of DRIVER time per plan build, measured (same
-    # lesson as similarity._lit_vec_sql)
+    # r16: the 64 chained xxhash64 slot hashes per shingle instance —
+    # the signature's dominant per-row cost — run vectorized in an
+    # Arrow pass that also pre-mins per batch (see
+    # _arrow_minhash_slots; bit-identical slot values, locked by
+    # tests/test_arrow_minhash.py), so the JVM aggregate below
+    # combines ~|docs| partial rows per batch instead of folding
+    # every shingle instance through 64 hash evaluations.
+    arrow = _arrow_minhash_slots(exploded, id_col, num_hashes)
+    if arrow is not None:
+        mins = ",".join(f"min(s{i})" for i in range(num_hashes))
+        return arrow.groupBy(id_col).agg(
+            F.expr(f"array({mins})").alias("mh")
+        )
+    # JVM fallback (exotic id types). ALL slot aggregates in ONE
+    # expression string (an array of min(xxhash64(...)) aggregates):
+    # building them as 64 separate F.min(F.xxhash64(F.lit(i)))
+    # Columns costs several py4j round trips each — ~1s of DRIVER
+    # time per plan build, measured (same lesson as
+    # similarity._lit_vec_sql)
     slots = ",".join(f"min(xxhash64(_h, {i}))" for i in range(num_hashes))
     return exploded.groupBy(id_col).agg(
         F.expr(f"array({slots})").alias("mh")

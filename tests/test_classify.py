@@ -375,3 +375,36 @@ def test_nb_lang_routes_real_natural_language(spark):
     }
     want = {r.doc_id: r.lang for r in held_out.collect()}
     assert got == want
+
+
+def test_nb_labeled_model_bit_identical_to_two_pass(spark):
+    """The one-scan labeled trainer must produce bit-identical weights
+    and oov to the two-pass (pos, neg) form, including NULL-label rows
+    (neither class) and tokens seen in only one class."""
+    from openset_spark.pipeline.classify import nb_quality_model_labeled
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean prose", "ref"),
+            (2, "good words", "ref"),
+            (3, "spam spam junk", "crawl"),
+            (4, "orphan words", None),  # NULL label: excluded
+        ],
+        "doc_id long, text string, src string",
+    )
+    lbl = F.col("src") == "ref"
+    pos = docs.filter(lbl)
+    neg = docs.filter(~lbl)
+    w2, oov2 = nb_quality_model(pos, neg)
+    w1, oov1 = nb_quality_model_labeled(docs, lbl)
+    assert oov1 == oov2
+    m2 = {r.token: r.weight for r in w2.collect()}
+    m1 = {r.token: r.weight for r in w1.collect()}
+    assert m1 == m2  # bit-identical doubles, same vocabulary
+    assert "orphan" not in m1
+
+    s2 = sorted(map(tuple, nb_quality_scores(docs, pos, neg).collect()))
+    s1 = sorted(
+        map(tuple, nb_quality_scores(docs, pos_label=lbl).collect())
+    )
+    assert s1 == s2
