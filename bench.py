@@ -725,6 +725,24 @@ def main() -> None:
         except Exception as e:  # pragma: no cover - defensive
             out["pipeline_media"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
+    # Core-scaling evidence (r16): a generated multi-file input whose
+    # scan/shuffle stages actually fan out — the signal the
+    # single-row-group sf0.1 headline inputs cannot provide (8 cores
+    # beat 32 on every headline query; this section's ratio across
+    # the driver's core-count runs separates parallel work from
+    # scheduler overhead). Additions-only: headline queries, sinks
+    # and the compact line are untouched. Disable with
+    # SPARK_GRAFT_SCALING=0.
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        try:
+            from openset_spark.pipeline.scaling_bench import (
+                run_scaling_bench,
+            )
+
+            out["scaling"] = run_scaling_bench(spark)
+        except Exception as e:  # pragma: no cover - defensive
+            out["scaling"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+
     # full record first, COMPACT headline last: a tail-capped consumer
     # keeps the end of stdout, so the short final line always survives
     # intact (r8's single fat line lost its "value" field to the cap)

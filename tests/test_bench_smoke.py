@@ -20,6 +20,9 @@ def test_bench_script_emits_contract_json():
         SPARK_GRAFT_BENCH_REPS="1",
         SPARK_GRAFT_SKEW="0",
         SPARK_GRAFT_ANN_SCALE="0",
+        # the scaling section generates a 16M-row input — covered by
+        # its own direct test below at a small row count
+        SPARK_GRAFT_SCALING="0",
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
@@ -67,3 +70,16 @@ def test_bench_script_emits_contract_json():
         "lm_perplexity",
         "dsir_weights",
     }
+
+
+def test_scaling_bench_section_runs_small(spark):
+    """The r16 scaling section: generates its own multi-file input in
+    a temp dir (removed afterwards), times the aggregate with the
+    noop sink, and reports the contract fields."""
+    from openset_spark.pipeline.scaling_bench import run_scaling_bench
+
+    rec = run_scaling_bench(spark, n_rows=50_000, n_files=8, reps=1)
+    assert rec["n_rows"] == 50_000
+    assert rec["n_files"] == 8
+    assert rec["agg_noop_sec"] > 0
+    assert len(rec["agg_noop_all"]) == 1
