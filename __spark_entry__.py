@@ -3721,7 +3721,16 @@ def _priority_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osl_return_first": q_osl_return_first,
         "property_counts": q_property_counts,
         "property_counts_rx": q_property_counts_rx,
-        "property_counts_between": q_property_counts_between,
+        # r16 minimal freshness repair (NOT a full rotation — the
+        # optimization rounds deliberately keep the window comparable):
+        # with the window frozen since r14, the dim_join family's last
+        # green (<= r13) aged past the 2-round freshness horizon when
+        # CORRECTNESS_r15 landed. customer_timeline (dim_join rep,
+        # strict-replay green) takes the slot of
+        # property_counts_between, whose family keeps TWO in-window
+        # reps (property_counts, property_counts_rx). One-key swap;
+        # the other 49 slots are byte-identical to r14/r15.
+        "customer_timeline": q_customer_timeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
         "clean_documents": q_clean_documents,
@@ -4566,7 +4575,7 @@ def _extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_purchase": q_asof_last_purchase,
         "events_in_purchase_window": q_events_in_purchase_window,
         "time_rollup": q_time_rollup,
-        "customer_timeline": q_customer_timeline,
+        "property_counts_between": q_property_counts_between,
         "weekly_retention": q_weekly_retention,
         "props_json_extract": q_props_json_extract,
         "dedup_exact": q_dedup_exact,

@@ -56,7 +56,11 @@ def histogram(
 ) -> DataFrame:
     """Bucketed distinct-customer histogram of a per-user scalar frame.
 
-    ``per_user_scalar`` must have one row per user (user_col, value_col).
+    ``per_user_scalar`` must have one row per user (user_col,
+    value_col) — this contract is LOAD-BEARING: `people` is computed
+    as count(user) per bucket (identical to countDistinct on a
+    one-row-per-user frame, without the distinct form's extra
+    (bucket, user)-keyed exchange over the |users|-sized stream).
     """
     idx = _bucket_idx(value_col, bucket, max_value)
     # Zero-fill per the reference's jsonResultHistogramFill
@@ -81,11 +85,19 @@ def histogram(
     # arithmetic on longs so no FP step-count drift.
     lo_forced = None if min_value is None else _trunc_idx(min_value, bucket)
     hi_forced = None if max_value is None else _trunc_idx(max_value, bucket)
+    # people = count(user), not countDistinct(user): the input
+    # contract (one row per user, asserted in the docstring and
+    # satisfied by every caller's per-user aggregate) makes them the
+    # same integer — count(col) keeps countDistinct's NULL-user
+    # exclusion — and the distinct form plans an extra
+    # (bucket, user)-keyed exchange + aggregate pass over the
+    # |users|-sized frame, the corpus-scale stage of this operator
+    # at 100 TB (r16).
     packed = (
         per_user_scalar.select(idx.alias("_idx"), F.col(user_col))
         .filter(F.col("_idx").isNotNull())
         .groupBy("_idx")
-        .agg(F.countDistinct(user_col).alias("people"))
+        .agg(F.count(F.col(user_col)).alias("people"))
         .agg(
             F.map_from_entries(
                 F.collect_list(F.struct("_idx", "people"))
@@ -173,13 +185,15 @@ def histogram_by(
     hi_forced = None if max_value is None else _trunc_idx(max_value, bucket)
     lo_c = F.col("_lo") if lo_forced is None else F.lit(lo_forced).cast("long")
     hi_c = F.col("_hi") if hi_forced is None else F.lit(hi_forced).cast("long")
+    # count(user), not countDistinct: one row per (user, group) by
+    # the input contract — see histogram() above
     packed = (
         per_user_scalar.select(
             F.col(group_col), idx.alias("_idx"), F.col(user_col)
         )
         .filter(F.col("_idx").isNotNull())
         .groupBy(group_col, "_idx")
-        .agg(F.countDistinct(user_col).alias("people"))
+        .agg(F.count(F.col(user_col)).alias("people"))
         .groupBy(group_col)
         .agg(
             F.map_from_entries(
