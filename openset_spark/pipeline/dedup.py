@@ -6,11 +6,11 @@ Five tiers, all shuffle-bounded (no O(n^2) cross joins at scale):
 - minhash:   word-shingle MinHash signatures -> LSH bands -> bucket
              join. Candidate pairs only form inside a band bucket, so
              the join is a hash join on (band_idx, band_hash) whose
-             fan-out is controlled by band width. Shingle hashing and
-             band keys are JVM expressions; the 64 slot hashes run as
-             a vectorized Arrow pass with bit-identical xxhash64
-             replication (r16; JVM expression fallback kept for
-             exotic id types, and the streaming twin stays pure-JVM).
+             fan-out is controlled by band width. All signature math
+             is JVM expressions (xxhash64 + min aggregates) — an
+             Arrow slot-hash pass was built, proven bit-identical,
+             measured SLOWER, and deliberately not wired (r16; see
+             minhash_signature).
 - simhash:   64-bit simhash via per-bit token votes (JVM aggregate),
              near-dup candidates = equal 16-bit simhash blocks
              (hamming<=3 guarantee via 4-block pigeonhole).
@@ -115,16 +115,18 @@ def _arrow_minhash_slots(
     exploded: DataFrame, id_col: str, num_hashes: int
 ) -> DataFrame | None:
     """Per-batch PARTIAL MinHash slots (id, s0..s{n-1}) via
-    mapInPandas over the (id, _h) shingle-hash stream — guide §4.2:
-    the 64 chained xxhash64 evaluations per shingle instance become
-    three vectorized uint64 ops per slot over the whole batch, and
-    each batch emits one partial-min row per doc it saw (a map-side
-    partial in Python), so the JVM min aggregate that follows touches
-    ~|docs| rows per batch, not |shingle instances|. Bit-identity:
-    slot values replicate the SQL expression exactly (see the XXH64
-    notes above) and signed-int64 min is associative/commutative, so
-    min(partial mins) == min(all). Returns None when the id type is
-    not a plain primitive (caller keeps the JVM expression path)."""
+    mapInPandas over the (id, _h) shingle-hash stream. NOT wired into
+    minhash_signature — a MEASURED NEGATIVE RESULT kept with its
+    fences so the next round doesn't re-try it blind (see the
+    rejection numbers in minhash_signature): the vectorized form
+    pays 64 slots x ~10 full-array memory passes + the Python
+    boundary, losing to whole-stage codegen's fused in-register
+    per-row loop both locally and at scale. Bit-identity (the part
+    that IS proven and reusable): slot values replicate the SQL
+    expression exactly (see the XXH64 notes above) and signed-int64
+    min is associative/commutative, so min(partial mins) ==
+    min(all) — locked by tests/test_arrow_minhash.py. Returns None
+    when the id type is not a plain primitive."""
     id_type = exploded.schema[id_col].dataType.simpleString()
     if "<" in id_type:  # struct/array/map ids: stay on the JVM path
         return None
@@ -178,25 +180,26 @@ def minhash_signature(
             F.array_distinct(shingles_from_tokens(F.col("_toks"), shingle_n))
         ).alias("shingle"),
     ).select(F.col(id_col), F.xxhash64("shingle").alias("_h"))
-    # r16: the 64 chained xxhash64 slot hashes per shingle instance —
-    # the signature's dominant per-row cost — run vectorized in an
-    # Arrow pass that also pre-mins per batch (see
-    # _arrow_minhash_slots; bit-identical slot values, locked by
-    # tests/test_arrow_minhash.py), so the JVM aggregate below
-    # combines ~|docs| partial rows per batch instead of folding
-    # every shingle instance through 64 hash evaluations.
-    arrow = _arrow_minhash_slots(exploded, id_col, num_hashes)
-    if arrow is not None:
-        mins = ",".join(f"min(s{i})" for i in range(num_hashes))
-        return arrow.groupBy(id_col).agg(
-            F.expr(f"array({mins})").alias("mh")
-        )
-    # JVM fallback (exotic id types). ALL slot aggregates in ONE
-    # expression string (an array of min(xxhash64(...)) aggregates):
-    # building them as 64 separate F.min(F.xxhash64(F.lit(i)))
-    # Columns costs several py4j round trips each — ~1s of DRIVER
-    # time per plan build, measured (same lesson as
-    # similarity._lit_vec_sql)
+    # The 64 slot hashes stay JVM expressions DELIBERATELY (r16,
+    # tried and rejected with numbers): an Arrow pass with
+    # bit-identical NumPy XXH64 replication + per-batch partial mins
+    # (_arrow_minhash_slots below, equality-fenced in
+    # tests/test_arrow_minhash.py) measured SLOWER in alternated
+    # sf0.1 A/Bs (dedup_minhash 1.44s JVM vs 2.23s Arrow;
+    # dedup_clusters 1.74s vs 2.93s medians), and the loss is
+    # structural, not an SF artifact: whole-stage codegen evaluates
+    # all 64 hashes per row in registers within ONE pass over the
+    # shingle stream, while the vectorized form pays 64 slots x ~10
+    # full-array memory passes (measured 4.6s/1M rows NumPy vs the
+    # fused JVM loop's ~0.3s) plus the Python boundary. The Arrow
+    # helper is kept (with its fences) as the documented negative
+    # result so the next round doesn't re-try it blind.
+    #
+    # ALL slot aggregates in ONE expression string (an array of
+    # min(xxhash64(...)) aggregates): building them as 64 separate
+    # F.min(F.xxhash64(F.lit(i))) Columns costs several py4j round
+    # trips each — ~1s of DRIVER time per plan build, measured (same
+    # lesson as similarity._lit_vec_sql)
     slots = ",".join(f"min(xxhash64(_h, {i}))" for i in range(num_hashes))
     return exploded.groupBy(id_col).agg(
         F.expr(f"array({slots})").alias("mh")

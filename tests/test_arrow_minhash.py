@@ -1,9 +1,12 @@
-"""r16: the Arrow MinHash slot pass must be BIT-identical to the JVM
-``min(xxhash64(_h, i))`` aggregate it replaces — candidate sets (and
-therefore every minhash-derived query result) change with any slot
-drift. Locks the NumPy XXH64 replication against the SQL expression on
-randomized and edge-case inputs, the partial-min composition, and the
-end-to-end signature equality including the short-doc fallback."""
+"""r16: the Arrow MinHash slot pass (_arrow_minhash_slots — a
+measured negative result, deliberately NOT wired into
+minhash_signature; see its docstring) must stay BIT-identical to the
+JVM ``min(xxhash64(_h, i))`` aggregate — candidate sets (and
+therefore every minhash-derived query result) would change with any
+slot drift if a future round wires it in. Locks the NumPy XXH64
+replication against the SQL expression on randomized and edge-case
+inputs, the partial-min composition, and the end-to-end signature
+equality."""
 
 from __future__ import annotations
 
@@ -85,7 +88,11 @@ def test_partial_min_composes_across_batches(spark):
     assert got == exp
 
 
-def test_minhash_signature_equals_jvm_path(spark):
+def test_arrow_composed_signature_equals_jvm_path(spark):
+    """The Arrow pass composed with the final JVM min aggregate must
+    reproduce minhash_signature exactly on real tokenized docs."""
+    from openset_spark.functions.text import shingles_from_tokens, tokens
+
     rng = random.Random(3)
     words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
     docs = [
@@ -93,11 +100,31 @@ def test_minhash_signature_equals_jvm_path(spark):
         for i in range(60)
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    got = {r.doc_id: r.mh for r in minhash_signature(df).collect()}
-    exp = {r.doc_id: r.mh
-           for r in _jvm_signature(df, "text", "doc_id", 64, 3).collect()}
+    exploded = (
+        df.select(F.col("doc_id"), tokens(F.col("text")).alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens(F.col("_toks"), 3))
+            ).alias("shingle"),
+        )
+        .select("doc_id", F.xxhash64("shingle").alias("_h"))
+    )
+    part = _arrow_minhash_slots(exploded, "doc_id", 64)
+    mins = ",".join(f"min(s{i})" for i in range(64))
+    got = {
+        r.doc_id: r.mh
+        for r in part.groupBy("doc_id")
+        .agg(F.expr(f"array({mins})").alias("mh"))
+        .collect()
+    }
+    exp = {r.doc_id: r.mh for r in minhash_signature(df).collect()}
     assert got == exp
-    # and the banded bucket keys downstream agree too
+    # the production JVM signature path agrees with its own verbatim
+    # copy (regression fence for the expression string)
+    exp2 = {r.doc_id: r.mh
+            for r in _jvm_signature(df, "text", "doc_id", 64, 3).collect()}
+    assert exp == exp2
     gb = sorted(map(tuple, minhash_bands(df).collect()))
     assert len(gb) == 16 * len(exp)
 
