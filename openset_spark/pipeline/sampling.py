@@ -340,19 +340,31 @@ def temperature_weights(
     Output: (source, n_docs, n_tokens, p_ppm, w_rel, boost).
 
     Scale shape: one map-side-combinable aggregate over the corpus
-    (token counts are `size(split(..))` — no explode), then a
-    broadcast of the per-source totals frame onto itself via a
-    window-free cross of aggregates (|sources| rows)."""
+    (token counts are `size(split(..))` — no explode), then the
+    grand totals as a GLOBAL window over the |sources|-row result —
+    bounded, one task, and crucially a single reference to the
+    corpus aggregate (r16; see the in-code note)."""
     from openset_spark.functions.text import token_count
 
+    # r16: the per-source frame used to be referenced twice (a
+    # totals-aggregate broadcast + the main select), and AQE does not
+    # reuse exchanges across plan branches — the corpus aggregate ran
+    # once per reference (audit: documents x2). The totals now come
+    # from a GLOBAL WINDOW over the |sources|-bounded frame instead:
+    # one reference, one plan, no checkpoint job, 2 corpus scans -> 1.
     per = docs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col))).alias("n_tokens"),
     )
-    tot = per.agg(
-        F.sum("n_tokens").alias("_total"), F.max("n_tokens").alias("_max")
+    w = Window.partitionBy()
+    totaled = per.select(
+        group_col,
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("_total"),
+        F.max("n_tokens").over(w).alias("_max"),
     )
-    return per.crossJoin(F.broadcast(tot)).select(
+    return totaled.select(
         group_col,
         "n_docs",
         "n_tokens",

@@ -367,10 +367,16 @@ def keyword_tags(
     ``n_hit_words``.
 
     Scale shape: the lexicon is a broadcast dim (thousands of rows
-    at most — a catalog artifact); the document side is the standard
-    distinct-token explode, so the whole operator is one broadcast
-    join + one per-doc aggregate. Docs with no hits surface with an
-    empty tag array via the left join back to the id spine."""
+    at most — a catalog artifact); the document side is ONE
+    outer-exploded distinct-token pass LEFT-joined to the lexicon,
+    so every doc reaches the per-doc aggregate directly —
+    explode_outer keeps a NULL-word row for empty/NULL-token docs,
+    non-matching words ride through with a NULL topic, and the
+    aggregate counts only matched rows. r16: this replaces the old
+    inner join + second corpus scan for the id spine (2 corpus
+    scans + a corpus-sized join -> 1 scan, same rows: collect_set
+    skips NULLs, countDistinct(when(matched, word)) is exactly the
+    old countDistinct over the inner-join rows)."""
     rows = sorted(
         {(w, t) for t, ws in lexicon.items() for w in ws}
     )
@@ -378,25 +384,19 @@ def keyword_tags(
     lex = spark.createDataFrame(rows, "word string, topic string")
     toks = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("word"),
+        F.explode_outer(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("word"),
     )
-    hits = (
-        toks.join(F.broadcast(lex), "word")
+    return (
+        toks.join(F.broadcast(lex), "word", "left")
         .groupBy(id_col)
         .agg(
             F.sort_array(F.collect_set("topic")).alias("topics"),
-            F.countDistinct("word").cast("long").alias("n_hit_words"),
+            F.countDistinct(
+                F.when(F.col("topic").isNotNull(), F.col("word"))
+            ).cast("long").alias("n_hit_words"),
         )
-    )
-    spine = df.select(id_col)
-    return spine.join(hits, id_col, "left").select(
-        id_col,
-        F.coalesce(F.col("topics"), F.array().cast("array<string>")).alias(
-            "topics"
-        ),
-        F.coalesce(F.col("n_hit_words"), F.lit(0).cast("long")).alias(
-            "n_hit_words"
-        ),
     )
 
 
