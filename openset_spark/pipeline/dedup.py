@@ -56,11 +56,20 @@ def exact_dedup_clusters(
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep one doc per normalized text (the min id) — the drop pass."""
-    keep = exact_dedup_clusters(df, text_col, id_col).select(
-        F.col("keeper_doc_id").alias(id_col)
+    """Keep one doc per normalized text (the min id) — the drop pass.
+
+    r16 shape: a min-id window over the hash group + a row-local
+    filter — ONE corpus scan and ONE exchange (by text_hash). The
+    old clusters-aggregate + left-semi join back on the id ran the
+    corpus scan twice and paid a second corpus-sized exchange keyed
+    on the id for the join. Same rows: a row survives iff its id is
+    the group's minimum."""
+    w = Window.partitionBy(F.md5(normalize(F.col(text_col))))
+    return (
+        df.withColumn("_keep_min", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_keep_min"))
+        .drop("_keep_min")
     )
-    return df.join(keep, id_col, "left_semi")
 
 
 # ---------- minhash + LSH ----------
